@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TreeExpand
+
+/** Recursive tree expansion (SURVEY.md J3/R1 — `build_item_tree`). The test
+  * tables have no self-FK, so the comment forest is derived arithmetically
+  * from `events`: node = event_id, parent = (event_id-1) div 3 (a 3-ary tree
+  * rooted at 0). The expansion itself is the honest iterative self-join —
+  * the oracle re-derives it independently with a DuckDB recursive CTE.
+  */
+object Hierarchy {
+
+  /** q11: expand the three subtrees under node 0's children {1,2,3},
+    * tagging every node with its subtree root, depth and materialized path —
+    * exactly the shape `html_render` needs (SURVEY.md E3).
+    */
+  val q11 = Q(
+    "q11_tree_expand",
+    """WITH RECURSIVE edges AS (
+      |  SELECT event_id AS id,
+      |         CASE WHEN event_id = 0 THEN NULL ELSE (event_id - 1) // 3 END AS parent
+      |  FROM events
+      |), t AS (
+      |  SELECT id, id AS root, 0 AS depth, CAST(id AS VARCHAR) AS path
+      |  FROM edges WHERE id IN (1, 2, 3)
+      |  UNION ALL
+      |  SELECT e.id, t.root, t.depth + 1, t.path || '/' || CAST(e.id AS VARCHAR)
+      |  FROM edges e JOIN t ON e.parent = t.id
+      |)
+      |SELECT id, root, CAST(depth AS BIGINT) AS depth, path
+      |FROM t ORDER BY id""".stripMargin) { (s, dir) =>
+    val edges = Tables.events(s, dir)
+      .select(col("event_id").as("id"),
+        when(col("event_id") === 0, lit(null).cast("long"))
+          .otherwise(expr("(event_id - 1) div 3")).as("parent"))
+    val roots = edges.filter(col("id").isin(1, 2, 3)).select("id")
+    TreeExpand.expand(edges, roots)
+      .select(col("id"), col("root"), col("depth").cast("long").as("depth"),
+        col("path"))
+      .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(q11)
+}
