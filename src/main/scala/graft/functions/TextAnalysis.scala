@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the training-data pipeline operators
+  * (tokenization, deterministic hashing, language-ID heuristic, quality
+  * metrics). Everything is built from codegen'd Catalyst built-ins and is
+  * arithmetically reproducible in ANSI SQL, so every derived operator stays
+  * DuckDB-oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Modulus for all polynomial hashes: 2^31-1 (Mersenne prime). Keeps every
+    * intermediate product < 2^63 (acc < 2^31, ×31 + 127), so both Spark and
+    * DuckDB evaluate the identical BIGINT arithmetic with no overflow.
+    */
+  val P: Long = 2147483647L
+
+  /** Whitespace tokenization, the reference point for all token-level ops. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Deterministic Java-style 31-polynomial string hash mod [[P]], computed
+    * over code points. DuckDB twin: [[graft.queries.OracleSql.tokenHash]].
+    */
+  def strHash(s: Column): Column =
+    aggregate(regexp_extract_all(s, lit("."), lit(0)), lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % P)
+
+  /** The k-th universal hash over an already-hashed value: (a_k·x + b_k) mod P. */
+  def rehash(x: Column, k: Int): Column =
+    (lit(MinhashA(k)) * x + lit(MinhashB(k))) % P
+
+  /** Fixed MinHash family (16 functions → 4 bands × 4 rows). Arbitrary but
+    * immutable constants < 2^30, so a_k·x < 2^61. */
+  val MinhashA: Array[Long] = Array(
+    387420489L, 129140163L, 43046721L, 14348907L,
+    478296900L, 159432300L, 53144100L, 17714700L,
+    362797056L, 120932352L, 40310784L, 13436928L,
+    244140625L, 48828125L, 9765625L, 1953125L)
+  val MinhashB: Array[Long] = Array(
+    12345L, 67890L, 13579L, 24680L,
+    11111L, 22222L, 33333L, 44444L,
+    55555L, 66666L, 77777L, 88888L,
+    99999L, 10101L, 20202L, 30303L)
+
+  /** Stopword lists for the language-ID heuristic (real-world lists; the
+    * driver corpus is synthetic so most docs score 'en' or 'und' — the
+    * operator, not the corpus, is what's under test). Kept sorted so the
+    * generated SQL is stable.
+    */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "of", "and", "a", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不"))
+}

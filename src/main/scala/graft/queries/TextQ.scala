@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis
+import graft.functions.TextAnalysis._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication queries over `documents` — the
+  * training-data-pipeline operator family: token statistics, exact dedup,
+  * n-gram Jaccard near-dup pairs, language-ID heuristic, document
+  * fingerprinting, MinHash+LSH, SimHash, and quality scoring.
+  *
+  * The repetitive oracle SQL (16 MinHash aggregates, 32 SimHash bit sums,
+  * the language-ID CASE chain) is GENERATED from the same constants the
+  * Spark operators use ([[TextAnalysis]]), so the two sides cannot drift.
+  */
+object TextQ {
+
+  /** DuckDB twin of [[TextAnalysis.strHash]]. */
+  private def sqlHash(c: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    s"list_transform(regexp_extract_all($c, '.'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+    s"(a, b) -> (a * 31 + b) % $P)"
+
+  private val sqlToks = """string_split_regex(trim(text), '\s+')"""
+
+  /** Shared CTE prefix: tokens + distinct 3-gram shingles (with source for
+    * blocked variants). DuckDB lists are 1-based; range(1, len-1) is empty
+    * for < 3 tokens, matching the Spark guard. */
+  private def shCte(withSource: Boolean): String = {
+    val src = if (withSource) ", source" else ""
+    s"""toks AS (SELECT doc_id$src, $sqlToks AS w FROM documents),
+       |sh AS (SELECT DISTINCT doc_id$src, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |       FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i))""".stripMargin
+  }
+
+  /** q20: corpus token statistics per language — token counting (whitespace
+    * tokenizer) + grouped aggregation. */
+  val q20 = Q(
+    "q20_token_stats",
+    s"""SELECT lang, n_docs, total_tokens, max_tokens, n_sources,
+       |       CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens
+       |FROM (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |         CAST(SUM(len($sqlToks)) AS BIGINT) AS total_tokens,
+       |         CAST(MAX(len($sqlToks)) AS BIGINT) AS max_tokens,
+       |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+       |  FROM documents GROUP BY lang
+       |)
+       |ORDER BY lang""".stripMargin) { (s, dir) =>
+    val nTok = size(tokens(col("text")))
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTok).as("total_tokens"),
+        max(nTok).cast("long").as("max_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
+      .orderBy("lang")
+  }
+
+  /** q21: exact deduplication on normalized text (hash-groupBy; SURVEY.md
+    * north-star dedup #1). */
+  val q21 = Q(
+    "q21_exact_dedup",
+    """SELECT canonical_id, n_copies FROM (
+      |  SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |  FROM documents
+      |  GROUP BY trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                               ' +', ' ', 'g'))
+      |)
+      |ORDER BY canonical_id""".stripMargin) { (s, dir) =>
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("canonical_id")
+  }
+
+  /** q22: all-pairs n-gram Jaccard within source blocks, threshold 0.3 —
+    * integer-exact threshold compare, double jaccard derived from the same
+    * integers. */
+  val q22 = Q(
+    "q22_ngram_jaccard",
+    s"""WITH ${shCte(withSource = true)},
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+       |          FROM sh a JOIN sh b
+       |            ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+       |       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE common * 1000 >= 300 * (sa.sz + sb.sz - common)
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      blockCols = Seq("source"), thresholdMilli = 300)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q23: language-ID heuristic — stopword-hit argmax with lexicographic
+    * tie-break, 'und' when nothing hits; reported as a confusion matrix
+    * against the labeled lang. (The corpus is synthetic English word-soup,
+    * so the matrix mostly lands on en/und — the operator is what's tested.)
+    */
+  val q23 = {
+    val langs = Stopwords.map(_._1)
+    val sqlScores = Stopwords.map { case (l, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($sqlToks, w -> w IN ($list))) AS s_$l"
+    }.mkString(",\n         ")
+    val zero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val argmax = langs.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      if (rest.isEmpty) s"ELSE '$l'"
+      else s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString("\n              ")
+    Q(
+      "q23_lang_id",
+      s"""SELECT actual, predicted, COUNT(*) AS n FROM (
+         |  SELECT lang AS actual,
+         |         CASE WHEN $zero THEN 'und'
+         |              $argmax END AS predicted
+         |  FROM (
+         |    SELECT lang,
+         |         $sqlScores
+         |    FROM documents
+         |  )
+         |)
+         |GROUP BY actual, predicted
+         |ORDER BY actual, predicted""".stripMargin) { (s, dir) =>
+      val toks = tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("lang").as("actual") +: Stopwords.map { case (l, words) =>
+          size(filter(toks, w => w.isin(words: _*))).as(s"s_$l")
+        }: _*)
+      val anyHit = langs.map(l => col(s"s_$l") > 0).reduce(_ || _)
+      val argmaxCol = langs.zipWithIndex.foldRight(lit(langs.last)) {
+        case ((l, i), elseCol) =>
+          val rest = langs.drop(i + 1)
+          if (rest.isEmpty) elseCol
+          else when(rest.map(r => col(s"s_$l") >= col(s"s_$r")).reduce(_ && _), lit(l))
+            .otherwise(elseCol)
+      }
+      scored
+        .withColumn("predicted", when(!anyHit, lit("und")).otherwise(argmaxCol))
+        .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
+    }
+  }
+
+  /** q24: document fingerprinting — deterministic 31-polynomial rolling hash
+    * over the full text (SURVEY.md north-star; the expression-index analog). */
+  val q24 = Q(
+    "q24_fingerprint",
+    s"""SELECT doc_id, ${sqlHash("text")} AS fp,
+       |       CAST(length(text) AS BIGINT) AS len, n_chars
+       |FROM documents
+       |WHERE doc_id % 11 = 0
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), strHash(col("text")).as("fp"),
+        length(col("text")).cast("long").as("len"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** q25: MinHash + LSH near-dup pairs (threshold 0.5): 16-min signature in
+    * one groupBy, 4×4 banding, bucket self-join for candidates, exact
+    * Jaccard verify on candidates only. The oracle re-derives the entire
+    * pipeline from the same hash constants. */
+  val q25 = {
+    val sigAggs = (0 until 16).map(k =>
+      s"MIN((${MinhashA(k)} * h + ${MinhashB(k)}) % $P) AS sig_$k")
+      .mkString(",\n              ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"CAST(sig_${b * 4 + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    Q(
+      "q25_minhash_lsh",
+      s"""WITH ${shCte(withSource = false)},
+         |gh AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |              $sigAggs
+         |        FROM gh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects
+         |),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+         |           FROM cand c
+         |           JOIN sh a ON a.doc_id = c.id_a
+         |           JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+         |           GROUP BY 1, 2)
+         |SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+         |       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE common * 1000 >= 500 * (sa.sz + sb.sz - common)
+         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        thresholdMilli = 500)
+        .orderBy("id_a", "id_b")
+    }
+  }
+
+  /** q26: 32-bit SimHash signatures — bit-parallel (32 SUM aggregates in one
+    * groupBy, no per-bit explode). */
+  val q26 = {
+    val bitSums = (0 until 32).map(j =>
+      s"SUM(((h >> $j) % 2) * cnt) AS b_$j").mkString(",\n              ")
+    val sig = (0 until 32).map(j =>
+      s"CASE WHEN b_$j * 2 > total THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    Q(
+      "q26_simhash",
+      s"""WITH tok AS (SELECT doc_id, w, COUNT(*) AS cnt FROM (
+         |       SELECT doc_id, unnest($sqlToks) AS w FROM documents) GROUP BY 1, 2),
+         |th AS (SELECT doc_id, cnt, ${sqlHash("w")} AS h FROM tok),
+         |bits AS (SELECT doc_id,
+         |              $bitSums,
+         |              CAST(SUM(cnt) AS BIGINT) AS total
+         |         FROM th GROUP BY doc_id)
+         |SELECT doc_id, $sig AS simhash
+         |FROM bits
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    }
+  }
+
+  /** q27: quality scoring — exact-integer metrics (token count, short-token
+    * count, stopword hits, summed token length) + the derived double ratios
+    * and a rule-based keep/drop flag. */
+  val q27 = {
+    val enList = Stopwords.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+    Q(
+      "q27_quality_score",
+      s"""SELECT doc_id, n_tokens, sum_tok_len, short_tokens, stop_hits,
+         |       CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_tok_len,
+         |       CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+         |       (n_tokens BETWEEN 10 AND 1000) AND (short_tokens * 1000 < 400 * n_tokens)
+         |         AS quality_ok
+         |FROM (
+         |  SELECT doc_id,
+         |         CAST(len(w) AS BIGINT) AS n_tokens,
+         |         CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum') AS BIGINT)
+         |           AS sum_tok_len,
+         |         CAST(len(list_filter(w, t -> length(t) <= 2)) AS BIGINT) AS short_tokens,
+         |         CAST(len(list_filter(w, t -> t IN ($enList))) AS BIGINT) AS stop_hits
+         |  FROM (SELECT doc_id, $sqlToks AS w FROM documents)
+         |)
+         |WHERE doc_id % 13 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val en = Stopwords.toMap.apply("en")
+      val toks = tokens(col("text"))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          aggregate(transform(toks, t => length(t)), lit(0L),
+            (acc, x) => acc + x).as("sum_tok_len"),
+          size(filter(toks, t => length(t) <= 2)).cast("long").as("short_tokens"),
+          size(filter(toks, t => t.isin(en: _*))).cast("long").as("stop_hits"))
+        .withColumn("avg_tok_len", col("sum_tok_len").cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("quality_ok",
+          col("n_tokens").between(10, 1000) &&
+          col("short_tokens") * 1000 < col("n_tokens") * 400)
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+}
