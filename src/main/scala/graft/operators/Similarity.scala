@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis.{MinhashA, MinhashB, P}
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Arithmetic discipline: every dot product is an index-ordered sequential
+  * fold over per-element double products (`aggregate(zip_with(...))`), which
+  * is the exact same IEEE operation sequence the DuckDB oracle's
+  * `list_reduce(list_transform(...))` performs — so scores agree bitwise and
+  * only get rounded (6 dp) for belt-and-braces output stability.
+  *
+  * Scale notes:
+  *  - brute-force top-k is a map-side scan + TakeOrderedAndProject: no
+  *    shuffle of the corpus, only k rows reach the driver. This is the
+  *    correct baseline at any scale when k is small.
+  *  - the k-NN join broadcasts the (small) query set against the corpus and
+  *    takes per-query top-k with one window shuffle on query id — at 100 TB
+  *    the corpus side still never shuffles.
+  *  - `hyperplaneBucket` is the scale path (random-hyperplane LSH): an
+  *    8-bit signature partitions the corpus into 256 buckets; candidate
+  *    generation becomes an equi-join on the bucket key — broadcastable,
+  *    pruned, and index-friendly — with exact rerank on candidates only.
+  */
+object Similarity {
+
+  /** Elementwise float→double, so all downstream arithmetic is pure double. */
+  def vecD(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Index-ordered sequential sum of an array<double>. */
+  def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dotD(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y))
+
+  def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** cosine(a, b) given precomputed norms — dot / (na * nb). */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotD(a, b) / (na * nb)
+
+  /** Adds `vecd` (double vector) and `norm` columns. */
+  def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    val d = vecD(col(vecCol))
+    df.withColumn("vecd", d).withColumn("norm", normD(col("vecd")))
+  }
+
+  /** Deterministic hyperplane component j ∈ [0,8), index i (1-based):
+    * ((a_j·i + b_j) mod P) / P − 0.5 — reproducible in ANSI SQL, uniform
+    * enough for bucketing. */
+  private def hyperplaneAt(j: Int, i: Column): Column =
+    ((lit(MinhashA(j)) * i + lit(MinhashB(j))) % P).cast("double") / P.toDouble - 0.5
+
+  /** Signed projection of `vecd` onto hyperplane j (sequential fold). */
+  def hyperplaneDot(vecd: Column, j: Int): Column =
+    foldSum(transform(sequence(lit(1), size(vecd)),
+      i => hyperplaneAt(j, i) * element_at(vecd, i)))
+
+  /** 8-bit random-hyperplane LSH bucket of a double vector. */
+  def hyperplaneBucket(vecd: Column): Column =
+    (0 until 8).map(j =>
+      when(hyperplaneDot(vecd, j) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Brute-force top-k by cosine against the single row `idCol = queryId`
+    * (query excluded from results). Output: (idCol, cos_r). */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int): DataFrame = {
+    val base = withNorm(df, vecCol)
+    val q = base.filter(col(idCol) === queryId)
+      .select(col("vecd").as("qvec"), col("norm").as("qnorm"))
+    base.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col("vecd"), col("qvec"), col("norm"), col("qnorm")), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** k-NN join: per query row (small set, broadcast), the top-k corpus
+    * neighbors by cosine. Output: (qid, rank, idCol, cos_r). */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("qid"), col("vecd").as("qvec"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col(idCol).asc)
+    c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        round(cosine(col("vecd"), col("qvec"), col("norm"), col("qnorm")), 6).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates share the query's 8-bit bucket;
+    * exact cosine rerank on candidates only. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int): DataFrame = {
+    val base = withNorm(df, vecCol)
+      .withColumn("bucket", hyperplaneBucket(col("vecd")))
+    val q = base.filter(col(idCol) === queryId)
+      .select(col("vecd").as("qvec"), col("norm").as("qnorm"),
+        col("bucket").as("qbucket"))
+    base.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket"))
+      .select(col(idCol), col("bucket"),
+        round(cosine(col("vecd"), col("qvec"), col("norm"), col("qnorm")), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextAnalysis.{MinhashA, MinhashB, P}
+import graft.operators.Similarity
+
+/** Embedding similarity queries over `embeddings` (64-d float vectors):
+  * brute-force cosine top-k (the exact baseline), a k-NN join for a query
+  * set, random-hyperplane LSH ANN (the scale path), and per-label centroids.
+  *
+  * The oracle twins rebuild the identical index-ordered sequential folds
+  * with `list_reduce`, from the same hyperplane constants, so even the LSH
+  * bucketing is oracle-checked.
+  */
+object VectorQ {
+
+  /** DuckDB twin of [[Similarity.dotD]]: sequential index-ordered fold. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(range(1, len($a) + 1), " +
+    s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** DuckDB twin of [[Similarity.hyperplaneDot]]. */
+  private def sqlHpDot(j: Int, v: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(range(1, len($v) + 1), " +
+    s"i -> (CAST((${MinhashA(j)} * i + ${MinhashB(j)}) % $P AS DOUBLE) / 2147483647.0 - 0.5)" +
+    s" * CAST($v[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  private def sqlBucket(v: String): String =
+    (0 until 8).map(j =>
+      s"CASE WHEN ${sqlHpDot(j, v)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+
+  /** q30: brute-force cosine top-10 around vec_id 0 — scan + rerank, no
+    * corpus shuffle (TakeOrderedAndProject). */
+  val q30 = Q(
+    "q30_knn_brute",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0)
+       |SELECT vec_id, ROUND(${sqlDot("embedding", "qv")} / (nrm * qn), 6) AS cos_r
+       |FROM n, q
+       |WHERE vec_id <> 0
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+  }
+
+  /** q31: k-NN join — every 100th vector as a query, top-3 neighbors each
+    * (broadcast query set × corpus + one window shuffle on qid). */
+  val q31 = Q(
+    "q31_knn_join",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn
+       |      FROM n WHERE vec_id % 100 = 0),
+       |sc AS (SELECT qid, vec_id,
+       |              ROUND(${sqlDot("embedding", "qv")} / (nrm * qn), 6) AS cos_r
+       |       FROM n, q WHERE vec_id <> qid),
+       |r AS (SELECT qid, vec_id, cos_r,
+       |             CAST(ROW_NUMBER() OVER (
+       |               PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
+       |      FROM sc)
+       |SELECT qid, rank, vec_id, cos_r FROM r
+       |WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnJoin(emb, emb.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 3)
+      .select("qid", "rank", "vec_id", "cos_r")
+      .orderBy("qid", "rank")
+  }
+
+  /** q32: random-hyperplane LSH ANN — 8-bit bucket signature, candidates
+    * share the query's bucket, exact rerank on candidates only. */
+  val q32 = Q(
+    "q32_ann_lsh",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, embedding, nrm,
+       |             ${sqlBucket("embedding")} AS bucket
+       |      FROM n),
+       |q AS (SELECT embedding AS qv, nrm AS qn, bucket AS qb
+       |      FROM b WHERE vec_id = 0)
+       |SELECT vec_id, bucket,
+       |       ROUND(${sqlDot("embedding", "qv")} / (nrm * qn), 6) AS cos_r
+       |FROM b, q
+       |WHERE vec_id <> 0 AND bucket = qb
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 5""".stripMargin) { (s, dir) =>
+    Similarity.annTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 5)
+  }
+
+  /** q33: per-label centroids, long form (label, pos, centroid) — posexplode
+    * + grouped average; rounding absorbs the engines' differing partial-sum
+    * orders. */
+  val q33 = Q(
+    "q33_label_centroids",
+    """SELECT label, i AS pos,
+      |       ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid
+      |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) t(i)
+      |GROUP BY label, i
+      |ORDER BY label, pos""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(round(sum(col("v").cast("double")) / count(lit(1)), 6).as("centroid"))
+      .orderBy("label", "pos")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33)
+}
