@@ -1,0 +1,28 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming-ready event transforms (SURVEY.md §2.8). Each takes
+  * a plain DataFrame so the same logical plan runs in batch (the oracle
+  * path, q12-q14) and under `readStream` (tests drive it with a file source
+  * + memory sink). Watermarks bound state; they're no-ops in batch.
+  */
+object EventJobs {
+
+  /** Tumbling 1-hour window rollup with a 1-hour watermark — the streaming
+    * twin of q12. Output: window struct, event_type, n, value_sum. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+
+  /** Per-user running event count via stateless projection + windowed count
+    * (used to smoke the append-mode path). */
+  def typeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+}

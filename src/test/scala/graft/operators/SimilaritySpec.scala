@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Cosine top-k, k-NN join and LSH ANN on vectors with known geometry. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 0 aligned with 1, orthogonal to 2, opposite to 3; 4 diagonal
+  private val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f, 0f)),
+    (1L, Seq(2f, 0f, 0f, 0f)),
+    (2L, Seq(0f, 1f, 0f, 0f)),
+    (3L, Seq(-1f, 0f, 0f, 0f)),
+    (4L, Seq(1f, 1f, 0f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by cosine with id tie-break") {
+    val out = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(out.head._2 == 1.0)
+    assert(out.last._2 == -1.0)
+  }
+
+  test("knnJoin returns per-query ranked neighbors") {
+    val out = Similarity.knnJoin(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+    assert(out.sortBy(_._2).map(_._3).toSeq == Seq(1L, 4L))
+  }
+
+  test("annTopK candidates share the query bucket; identical direction always matches") {
+    val out = Similarity.annTopK(vecs, "vec_id", "embedding", 0L, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.contains(1L)) // same direction ⇒ same hyperplane signs ⇒ same bucket
+    assert(!out.contains(3L)) // opposite direction ⇒ all signs flip ⇒ different bucket
+  }
+}

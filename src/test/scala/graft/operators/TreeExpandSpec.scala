@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** J3 recursive expansion vs a hand-built forest. */
+class TreeExpandSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  //        1            2
+  //       / \            \
+  //      3   4            7
+  //     / \
+  //    5   6
+  private val edges = Seq(
+    (1L, Option.empty[Long]), (2L, Option.empty[Long]),
+    (3L, Option(1L)), (4L, Option(1L)),
+    (5L, Option(3L)), (6L, Option(3L)), (7L, Option(2L))
+  ).toDF("id", "parent")
+
+  test("expansion yields correct roots, depths and paths") {
+    val out = TreeExpand.expand(edges, Seq(1L, 2L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out.size == 7)
+    assert(out(1L) == ((1L, 0, "1")))
+    assert(out(5L) == ((1L, 2, "1/3/5")))
+    assert(out(6L) == ((1L, 2, "1/3/6")))
+    assert(out(7L) == ((2L, 1, "2/7")))
+  }
+
+  test("subtree-only expansion excludes other trees") {
+    val out = TreeExpand.expand(edges, Seq(3L).toDF("id")).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(3L, 5L, 6L))
+    assert(out.forall(_.getLong(1) == 3L))
+  }
+
+  test("maxDepth fuses unbounded recursion (cycle)") {
+    val cyc = Seq((1L, Option(2L)), (2L, Option(1L))).toDF("id", "parent")
+    val out = TreeExpand.expand(cyc, Seq(1L).toDF("id"), maxDepth = 5).collect()
+    assert(out.length == 6) // root + 5 expansions, then the fuse stops it
+  }
+}

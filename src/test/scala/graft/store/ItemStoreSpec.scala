@@ -1,0 +1,96 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ingest.FakeFetcher
+import graft.schema.Item
+import graft.streaming.LivestreamRunner
+
+/** S6-S8 store semantics: init, reference column asymmetry, tombstone
+  * keep-old, snapshot atomicity, recrawl filter, livestream runner E2E. */
+class ItemStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshStore(): ItemStore = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val st = new ItemStore(spark, dir)
+    st.init()
+    st
+  }
+
+  private def normalized(rows: (Long, String)*) =
+    Item.normalize(rows.toSeq.toDF("id", "body"), lit(100L))
+
+  test("init is idempotent and yields an empty typed table") {
+    val st = freshStore()
+    st.init()
+    assert(st.current().count() == 0)
+    // parquet round-trips drop non-null flags; compare names + types
+    assert(st.current().schema.map(f => (f.name, f.dataType)) ==
+      Item.schema.map(f => (f.name, f.dataType)))
+    assert(st.latestId().isEmpty)
+  }
+
+  test("merge applies reference column asymmetry and refreshes retrieved") {
+    val st = freshStore()
+    st.merge(normalized(
+      1L -> """{"id":1,"type":"story","by":"alice","time":50,"score":10,"title":"t1"}"""))
+    // re-fetch: score now null in payload (keeps old), title present (overwrites? no: coalesce) —
+    // descendants is an overwrite column and updates
+    st.merge(Item.normalize(
+      Seq(1L -> """{"id":1,"type":"story","time":50,"descendants":5}""").toDF("id", "body"),
+      lit(200L)))
+    val r = st.current().collect().head
+    assert(r.getAs[String]("author") == "alice")   // coalesce kept
+    assert(r.getAs[Long]("score") == 10L)          // coalesce kept
+    assert(r.getAs[Long]("descendants") == 5L)     // overwrite applied
+    assert(r.getAs[Long]("retrieved") == 200L)     // always refreshed
+  }
+
+  test("tombstone: deleted item never reaches merge, old row survives") {
+    val st = freshStore()
+    st.merge(normalized(1L -> """{"id":1,"type":"comment","by":"bob","time":60}"""))
+    // re-crawl returns null body → normalize drops it → store unchanged
+    st.merge(normalized(1L -> null))
+    assert(st.current().count() == 1)
+    assert(st.latestId().contains(1L))
+  }
+
+  test("recrawlIds applies the age window and maturity cutoff") {
+    val st = freshStore()
+    st.merge(normalized(
+      // retrieved=100 for all; ages: 40 (young), 5_000_000 (old)
+      1L -> """{"id":1,"type":"story","time":60}""",
+      2L -> """{"id":2,"type":"story","time":-4999900}"""))
+    val now = 100L + 15L * 86400L
+    val young = st.recrawlIds(days = 1, onlyMature = false, now = now)
+      .as[Long].collect().toSet
+    assert(young == Set(1L)) // age 40s ≤ 1 day; id 2 far older
+    val mature = st.recrawlIds(days = 1, onlyMature = true, now = 100L)
+      .as[Long].collect().toSet
+    assert(mature.isEmpty) // nothing is 14 days old yet relative to now=100
+  }
+
+  test("livestream runner drains batches into the store idempotently") {
+    val st = freshStore()
+    val items = (1L to 7L).map(i =>
+      i -> s"""{"id":$i,"type":"comment","by":"u$i","time":${i * 10}}""").toMap
+    val f = new FakeFetcher(items, maxId = 7)
+    val n = LivestreamRunner.run(spark, st, f, maxItems = 7, commitPeriod = 3,
+      sleep = _ => (), now = () => 500L)
+    assert(n == 7)
+    assert(st.current().count() == 7)
+    assert(st.latestId().contains(7L))
+    // resume: no new items → runner picks up from latest+1; publish 8
+    val f2 = new FakeFetcher(items + (8L ->
+      """{"id":8,"type":"comment","by":"u8","time":80}"""), maxId = 8)
+    LivestreamRunner.run(spark, st, f2, maxItems = 1, commitPeriod = 3,
+      sleep = _ => (), now = () => 600L)
+    assert(st.current().count() == 8)
+  }
+}
