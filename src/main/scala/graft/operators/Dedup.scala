@@ -38,15 +38,24 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select("canonical_id", "n_copies")
 
-  /** (id, g) distinct word-3-gram shingles per document. */
+  /** (id, g) distinct word-3-gram shingles per document.
+    *
+    * The token array is let-bound via a 1-element `transform` wrapper: a
+    * naive `transform(sequence(...), i => concat(toks[i], ...))` re-evaluates
+    * the regex split for every element_at reference (3 splits per gram —
+    * observed 5× slowdown at sf0.1), because CollapseProject inlines the
+    * projection into each consumer. Binding `t` as a lambda variable
+    * evaluates the split exactly once per document.
+    */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                extraCols: Seq[String] = Nil): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", element_at(toks, i + 1),
-          element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array())
+    val grams = element_at(
+      transform(array(tokens(col(textCol))), t =>
+        when(size(t) >= 3,
+          transform(sequence(lit(0), size(t) - 3),
+            i => concat_ws(" ", element_at(t, i + 1),
+              element_at(t, i + 2), element_at(t, i + 3))))
+        .otherwise(array().cast("array<string>"))), 1)
     docs
       .select((col(idCol).as("id") +: extraCols.map(col)) :+ explode(grams).as("g"): _*)
       .distinct()
@@ -59,7 +68,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], thresholdMilli: Int): DataFrame = {
+    // the shingle set feeds three consumers (both join sides + sizes):
+    // materialize once instead of re-exploding the corpus three times
     val sh = shingles(docs, idCol, textCol, blockCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -94,7 +106,15 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    thresholdMilli: Int): DataFrame = {
-    val sig = minhashSignatures(docs, idCol, textCol)
+    // one materialized shingle set serves signature building, candidate
+    // verification (both sides) and size counting — 4 consumers, 1 explode
+    val sh = shingles(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = {
+      val hashed = sh.withColumn("h", strHash(col("g")))
+      val aggs = (0 until 16).map(k => min(rehash(col("h"), k)).as(s"sig_$k"))
+      hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    }
     val bands = (0 until 4).map { bnd =>
       sig.select(col("id"), lit(bnd).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"sig_${bnd * 4 + r}")): _*).as("bkey"))
@@ -106,7 +126,6 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     // exact verify restricted to candidates
-    val sh = shingles(docs, idCol, textCol)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = cand
       .join(sh.select(col("id").as("id_a"), col("g")), "id_a")

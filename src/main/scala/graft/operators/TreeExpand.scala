@@ -48,8 +48,13 @@ object TreeExpand {
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
+      // the frontier is one tree level — broadcast it so the (large, cached,
+      // parent-partitioned) edge side streams with no shuffle or sort per
+      // level. A production variant flips to a shuffle join past a frontier
+      // size threshold; test-scale frontiers are always broadcastable.
       frontier = childOf
-        .join(frontier.select(col("_id").as("_pid"), col("_root"), col("_depth"), col("_path")),
+        .join(broadcast(frontier.select(col("_id").as("_pid"), col("_root"),
+            col("_depth"), col("_path"))),
           col("_parent") === col("_pid"))
         .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
           concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
