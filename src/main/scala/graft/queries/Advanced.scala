@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsofJoin
+import Q.cents
+
+/** Advanced relational surface: as-of join, ROLLUP grouping sets, pivot,
+  * distinct aggregates, and id-gap detection (the honest general form of
+  * the reference's `update` catch-up — SURVEY.md §2.6/J5).
+  */
+object Advanced {
+
+  /** q18: backward as-of join — each purchase enriched with the user's most
+    * recent prior-or-equal click (union + one window shuffle, no range
+    * join). Integer epoch seconds for cross-engine precision safety. */
+  val q18 = Q(
+    "q18_asof_join",
+    """WITH ev AS (SELECT event_id, user_id,
+      |                   CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type
+      |            FROM events),
+      |u AS (
+      |  SELECT user_id, sec, event_id, 1 AS side,
+      |         CAST(NULL AS BIGINT) AS r_event, CAST(NULL AS BIGINT) AS r_sec
+      |  FROM ev WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, sec, event_id, 0, event_id, sec
+      |  FROM ev WHERE event_type = 'click'
+      |),
+      |c AS (SELECT user_id, sec, event_id, side,
+      |             last_value(r_event IGNORE NULLS) OVER w AS click_id,
+      |             last_value(r_sec IGNORE NULLS) OVER w AS click_sec
+      |      FROM u
+      |      WINDOW w AS (PARTITION BY user_id ORDER BY sec, side, event_id
+      |                   ROWS UNBOUNDED PRECEDING))
+      |SELECT event_id, user_id, sec, click_id, sec - click_sec AS gap_sec
+      |FROM c WHERE side = 1
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "sec")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sec"),
+        col("event_id"), col("event_id").as("click_id"), col("sec").as("click_sec"))
+    AsofJoin.backward(purchases, clicks, keyCol = "user_id", tsCol = "sec",
+      leftTieCol = "event_id", rightTieCol = "event_id",
+      payloadCols = Seq("click_id", "click_sec"))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        col("asof_click_id").as("click_id"),
+        (col("sec") - col("asof_click_sec")).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  /** q19: ROLLUP over (status, priority) — hierarchical grouping sets with
+    * subtotals and a grand total in one pass. */
+  val q19 = Q(
+    "q19_rollup",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rev_c"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** q28: pivot — daily event counts, one column per event type (explicit
+    * value list keeps the plan single-pass; conditional-agg equivalent in
+    * the oracle). */
+  val q28 = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Q(
+      "q28_pivot",
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |${types.map(t => s"       COUNT(*) FILTER (event_type = '$t') AS $t").mkString(",\n")}
+         |FROM events
+         |GROUP BY 1
+         |ORDER BY day""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy("day")
+    }
+  }
+
+  /** q29: distinct aggregates — exact COUNT(DISTINCT) alongside plain
+    * aggregates (the approx_count_distinct/HLL twin is exercised in
+    * ScalaTest; sketch internals differ across engines so it cannot be
+    * hash-oracled). */
+  val q29 = Q(
+    "q29_distinct_agg",
+    """SELECT event_type,
+      |       COUNT(DISTINCT user_id) AS users,
+      |       COUNT(*) AS n,
+      |       MIN(user_id) AS u_min, MAX(user_id) AS u_max
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("n"),
+        min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"))
+      .orderBy("event_type")
+  }
+
+  /** q34: id-gap detection — expected \ stored anti-join over a generated
+    * id range (SURVEY.md J5/§2.6: the set-difference the reference's
+    * `update` never does, causing its documented missed-id gaps). */
+  val q34 = Q(
+    "q34_gap_detect",
+    """WITH stored AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
+      |expected AS (SELECT unnest(generate_series(0, (SELECT MAX(o_orderkey) FROM orders))) AS id)
+      |SELECT id FROM expected
+      |WHERE NOT EXISTS (SELECT 1 FROM stored WHERE o_orderkey = id)
+      |ORDER BY id""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val stored = orders.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("id"))
+    val maxKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    s.range(0, maxKey + 1).toDF("id")
+      .join(stored, Seq("id"), "left_anti")
+      .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(q18, q19, q28, q29, q34)
+}
