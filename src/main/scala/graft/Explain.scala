@@ -22,9 +22,12 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (showPlan) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[explain] $name rep=$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     spark.stop()
   }
 }

@@ -21,9 +21,17 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Deterministic Java-style 31-polynomial string hash mod [[P]], computed
-    * over code points. DuckDB twin: [[graft.queries.OracleSql.tokenHash]].
+    * over code points — the native codegen'd [[PolyHash]] expression.
+    * Oracle twin: DuckDB `list_reduce` (see `graft.queries.TextQ.sqlHash`).
     */
   def strHash(s: Column): Column =
+    if (sys.env.get("GRAFT_PORTABLE_HASH").contains("1")) strHashPortable(s)
+    else PolyHash(s)
+
+  /** Built-ins-only twin of [[strHash]] (regex scan + interpreted fold);
+    * kept as the cross-implementation check for the codegen'd expression.
+    */
+  def strHashPortable(s: Column): Column =
     aggregate(regexp_extract_all(s, lit("."), lit(0)), lit(0L),
       (acc, c) => (acc * 31L + ascii(c)) % P)
 
