@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TopKAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("per-group top-k with score desc, id asc tie-break") {
+    val ds = Seq(
+      ("a", 1.0, 1L), ("a", 3.0, 2L), ("a", 2.0, 3L), ("a", 3.0, 4L),
+      ("b", 5.0, 9L)
+    ).toDS()
+    val out = ds.groupByKey(_._1)
+      .agg(TopKAgg.topK[(String, Double, Long)](2)(t => (t._2, t._3))
+        .toColumn.name("top"))
+      .collect().toMap
+    assert(out("a") == Seq((3.0, 2L), (3.0, 4L))) // ties broken by id asc
+    assert(out("b") == Seq((5.0, 9L)))
+  }
+
+  test("agrees with the window row_number formulation on real embeddings") {
+    val knn = Similarity.knnJoin(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .filter($"vec_id" % 200 === 0),
+      "vec_id", "embedding", k = 3)
+    val windowed = knn.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+      .toSet
+
+    val scored = Similarity.knnJoin(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .filter($"vec_id" % 200 === 0),
+      "vec_id", "embedding", k = Int.MaxValue) // unfiltered scores
+      .select($"qid", $"cos_r", $"vec_id").as[(Long, Double, Long)]
+    val agged = scored.groupByKey(_._1)
+      .agg(TopKAgg.topK[(Long, Double, Long)](3)(t => (t._2, t._3))
+        .toColumn.name("top"))
+      .collect()
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((_, id), i) => (qid, (i + 1).toLong, id) } }
+      .toSet
+    assert(agged == windowed)
+  }
+}
