@@ -116,5 +116,33 @@ object VectorQ {
       .orderBy("label", "pos")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33)
+  /** q35: embedding-cosine near-duplicate pairs — label-blocked all-pairs
+    * cosine above a threshold (the vector analog of q22; the LSH-bucketed
+    * variant q32 is the scale path for candidate generation). Threshold
+    * compare uses the rounded score both sides. */
+  val q35 = Q(
+    "q35_embedding_neardup",
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |             ROUND(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_r
+       |      FROM n a JOIN n b
+       |        ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos_r FROM p
+       |WHERE cos_r >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val base = Similarity.withNorm(Tables.embeddings(s, dir), "embedding")
+      .select(col("vec_id"), col("label"), col("vecd"), col("norm"))
+    val a = base.as("a")
+    val b = base.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(Similarity.cosine(col("a.vecd"), col("b.vecd"),
+          col("a.norm"), col("b.norm")), 6).as("cos_r"))
+      .filter(col("cos_r") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35)
 }

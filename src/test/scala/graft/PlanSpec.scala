@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB properties the queries must keep:
+  * predicate pushdown reaching the parquet scan, column pruning, broadcast
+  * joins for dimensions, TakeOrderedAndProject for top-k (never a full
+  * sort). Encoding them as tests stops plan regressions silently costing
+  * 100× at scale. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02 pushes filters into the parquet scan and prunes columns") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:") &&
+      p.matches("(?s).*PushedFilters: \\[.*l_shipdate.*\\].*"),
+      s"no pushed l_shipdate filter in:\n$p")
+    // projection needs only 6 columns — l_tax/l_returnflag must not be read
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q04 broadcasts the dimension tables") {
+    val p = plan("q04_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q05 plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q05_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered in:\n$p")
+  }
+
+  test("q03 point lookup pushes the key predicate") {
+    val p = plan("q03_point_lookup")
+    assert(p.matches("(?s).*PushedFilters: \\[.*o_orderkey.*\\].*"),
+      s"no pushed key filter in:\n$p")
+  }
+
+  test("q30 brute-force knn never shuffles the corpus (one exchange max)") {
+    val p = plan("q30_knn_brute")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(p.contains("TakeOrderedAndProject"), s"knn missing TakeOrdered:\n$p")
+    assert(exchanges <= 1, s"corpus shuffle detected ($exchanges exchanges):\n$p")
+  }
+}
