@@ -131,5 +131,52 @@ object Advanced {
       .orderBy("id")
   }
 
-  val all: Seq[Q] = Seq(q18, q19, q28, q29, q34)
+  /** q36: exact interpolated percentiles per group — Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition
+    * (validated bitwise at round(6)). */
+  val q36 = Q(
+    "q36_percentiles",
+    """SELECT event_type,
+      |       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |       ROUND(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+  }
+
+  /** q37: BPE-ish regex token counting next to whitespace counting — the
+    * token-budget estimator of a training-data pipeline. The pattern avoids
+    * lookahead so Java (Spark) and RE2 (DuckDB) agree. */
+  val q37 = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+    Q(
+      "q37_bpe_token_count",
+      s"""SELECT lang,
+         |       CAST(SUM(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS bpe_tokens,
+         |       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+         |       CAST(SUM(len(regexp_extract_all(text, '$pat'))) AS DOUBLE)
+         |         / SUM(len(string_split_regex(trim(text), '\\s+'))) AS ratio
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      import graft.functions.TextAnalysis.tokens
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          sum(size(regexp_extract_all(col("text"), lit(pat), lit(0)))).as("bpe_tokens"),
+          sum(size(tokens(col("text")))).as("ws_tokens"))
+        .withColumn("ratio",
+          col("bpe_tokens").cast("double") / col("ws_tokens"))
+        .orderBy("lang")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q18, q19, q28, q29, q34, q36, q37)
 }

@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.schema.Item
+import graft.store.ItemStore
+
+/** The livestream as a real Structured Streaming source: offset tracking,
+  * catch-up, new-data triggers, and the full stream→normalize→merge loop. */
+class ItemsStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def item(id: Long): String =
+    s"""{"id":$id,"type":"comment","by":"u$id","time":${id * 10}}"""
+
+  test("micro-batch stream reads (start, latest] and follows new publications") {
+    val grow = new graft.ingest.Fetcher {
+      @volatile var max = 5L
+      def fetch(id: Long): Option[String] =
+        if (id <= max && id != 3L) Some(item(id)) else None // 3 deleted
+      def latestId(): Long = max
+    }
+    ItemsSource.registerFake("stream1", grow)
+    val store = new ItemStore(spark,
+      Files.createTempDirectory("graft-ms-store").toString)
+    store.init()
+
+    val q = spark.readStream.format("graft.sources.ItemsStream")
+      .option("start", "0").option("partitions", "2")
+      .option("fetcher", "fake:stream1")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        store.merge(Item.normalize(batch, lit(42L)))
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ms-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(store.current().count() == 4) // 1,2,4,5 — 3 tombstoned
+      assert(store.latestId().contains(5L))
+      grow.max = 8L // three more published upstream
+      q.processAllAvailable()
+      assert(store.current().count() == 7)
+      assert(store.latestId().contains(8L))
+    } finally q.stop()
+  }
+}
