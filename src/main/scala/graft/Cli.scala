@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ingest.{Fetcher, HttpFetcher, Update}
+import graft.render.Render
+import graft.sources.ItemsSource
+import graft.store.ItemStore
+import graft.streaming.LivestreamRunner
+
+/** Command-line surface mirroring the reference's subcommands (SURVEY.md
+  * §3; `main` hnarchive.py:568-741) so a reference user can run the same
+  * verbs against the Spark engine:
+  *
+  *   get          --db DIR [--lower N] [--upper N] [--threads N]
+  *   update       --db DIR [--threads N]
+  *   update_items --db DIR --days N [--only_mature] [--threads N]
+  *   livestream   --db DIR [--max_items N] [--commit_period N]
+  *   html_render  --db DIR --ids 1,2,3 [--output TEMPLATE]   ({id} substituted)
+  *
+  * `--fetcher http|fake:KEY` selects the transport (http needs egress).
+  */
+object Cli {
+
+  private def opt(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(s"--$name")
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+  private def flag(args: Array[String], name: String): Boolean =
+    args.contains(s"--$name")
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Cli <get|update|update_items|livestream|html_render> ...")
+    val cmd = args.head
+    val rest = args.tail
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cmd, rest)
+    finally spark.stop()
+  }
+
+  private def fetcherOf(rest: Array[String]): Fetcher =
+    opt(rest, "fetcher").getOrElse("http") match {
+      case "http" => new HttpFetcher()
+      case spec => graft.sources.ItemsSource.resolve(spec)
+    }
+
+  def run(spark: SparkSession, cmd: String, rest: Array[String]): Unit = {
+    val db = opt(rest, "db").getOrElse(sys.error("--db required"))
+    val store = new ItemStore(spark, db)
+    val threads = opt(rest, "threads").map(_.toInt).getOrElse(4)
+    val now = () => System.currentTimeMillis() / 1000
+
+    cmd match {
+      case "get" =>
+        store.init()
+        val fetcher = fetcherOf(rest)
+        val lower = opt(rest, "lower").map(_.toLong)
+          .orElse(store.latestId().map(_ + 1)).getOrElse(1L)
+        val upper = opt(rest, "upper").map(_.toLong).getOrElse(fetcher.latestId())
+        val batch = ingest.BulkFetch.fetchItems(spark, fetcher, lower, upper,
+          threads, now())
+        store.merge(batch)
+        println(s"[get] merged ids [$lower,$upper]; store=${store.current().count()}")
+
+      case "update" =>
+        val rounds = Update.catchUp(spark, store, fetcherOf(rest), threads, now)
+        println(s"[update] $rounds rounds; latest=${store.latestId()}")
+
+      case "update_items" =>
+        val days = opt(rest, "days").map(_.toInt).getOrElse(1)
+        val n = Update.recrawl(spark, store, fetcherOf(rest), days,
+          flag(rest, "only_mature"), threads, now)
+        println(s"[update_items] re-crawled $n ids")
+
+      case "livestream" =>
+        val maxItems = opt(rest, "max_items").map(_.toInt).getOrElse(Int.MaxValue)
+        val period = opt(rest, "commit_period").map(_.toInt).getOrElse(200)
+        val n = LivestreamRunner.run(spark, store, fetcherOf(rest), maxItems, period)
+        println(s"[livestream] merged $n items")
+
+      case "html_render" =>
+        val ids = opt(rest, "ids").getOrElse(sys.error("--ids required"))
+          .split(",").map(_.trim.toLong)
+        val items = store.current()
+        ids.foreach { id =>
+          val tree = Render.buildTree(items, id)
+          val opts =
+            if (tree.item.itemType == "poll")
+              items.filter(org.apache.spark.sql.functions.col("poll") === id)
+                .collect().map(r => Render.RItem(
+                  r.getAs[Long]("id"), r.getAs[String]("type"),
+                  Option(r.getAs[String]("author")), r.getAs[Long]("time"),
+                  Option(r.getAs[String]("text")), Option(r.getAs[String]("url")),
+                  Option(r.get(r.fieldIndex("score"))).map(_.asInstanceOf[Long]),
+                  Option(r.getAs[String]("title")),
+                  Option(r.get(r.fieldIndex("parent"))).map(_.asInstanceOf[Long])))
+                .toSeq.sortBy(i => (i.time, i.id))
+            else Nil
+          val html = Render.renderPage(tree, opts)
+          opt(rest, "output") match {
+            case Some(template) =>
+              val path = Paths.get(template.replace("{id}", id.toString))
+              Files.writeString(path, html)
+              println(s"[html_render] wrote $path")
+            case None => println(html)
+          }
+        }
+
+      case other => sys.error(s"unknown command: $other")
+    }
+  }
+}

@@ -54,7 +54,7 @@ object ItemsSource {
   private val fakes = TrieMap.empty[String, Fetcher]
   def registerFake(key: String, f: Fetcher): Unit = fakes.put(key, f)
 
-  private[sources] def resolve(spec: String): Fetcher = spec match {
+  private[graft] def resolve(spec: String): Fetcher = spec match {
     case "http" => new HttpFetcher()
     case s if s.startsWith("fake:") =>
       fakes.getOrElse(s.stripPrefix("fake:"),
