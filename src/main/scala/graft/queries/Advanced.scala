@@ -178,5 +178,56 @@ object Advanced {
     }
   }
 
-  val all: Seq[Q] = Seq(q18, q19, q28, q29, q34, q36, q37)
+  /** q38: RANGE-framed running window — trailing-7-day spend per customer
+    * over integer epoch days (value-based frame, not row-based: days with
+    * no orders still age out of the window). */
+  val q38 = Q(
+    "q38_running_range_window",
+    """SELECT o_custkey, day, totalprice_c,
+      |       CAST(SUM(totalprice_c) OVER (
+      |         PARTITION BY o_custkey ORDER BY day
+      |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing7_c
+      |FROM (
+      |  SELECT o_custkey,
+      |         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+      |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS totalprice_c
+      |  FROM orders
+      |  WHERE o_custkey % 50 = 0
+      |  GROUP BY 1, 2
+      |)
+      |ORDER BY o_custkey, day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, dir)
+      .filter(col("o_custkey") % 50 === 0)
+      .groupBy(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(sum(cents(col("o_totalprice"))).as("totalprice_c"))
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    daily
+      .withColumn("trailing7_c", sum(col("totalprice_c")).over(w))
+      .orderBy("o_custkey", "day")
+  }
+
+  /** q39: argmax aggregates — per customer, the order carrying the maximum
+    * price (`max_by` / `arg_max`), with a composite key making the argmax
+    * unique so both engines agree on ties. */
+  val q39 = Q(
+    "q39_argmax",
+    """SELECT o_custkey,
+      |       arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey)
+      |         AS top_order,
+      |       CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS top_price_c
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val rank = cents(col("o_totalprice")) * 10000000L + col("o_orderkey")
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(max_by(col("o_orderkey"), rank).as("top_order"),
+        max(cents(col("o_totalprice"))).as("top_price_c"))
+      .orderBy("o_custkey")
+  }
+
+  val all: Seq[Q] = Seq(q18, q19, q28, q29, q34, q36, q37, q38, q39)
 }
