@@ -52,12 +52,16 @@ object TreeExpand {
       // parent-partitioned) edge side streams with no shuffle or sort per
       // level. A production variant flips to a shuffle join past a frontier
       // size threshold; test-scale frontiers are always broadcastable.
+      // coalesce before the eager checkpoint: frontiers are small, and 32
+      // near-empty partitions × (checkpoint + isEmpty) jobs per level is
+      // pure scheduling overhead at test scale
       frontier = childOf
         .join(broadcast(frontier.select(col("_id").as("_pid"), col("_root"),
             col("_depth"), col("_path"))),
           col("_parent") === col("_pid"))
         .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
           concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
+        .coalesce(8)
         .localCheckpoint()
       acc = acc.unionAll(frontier)
     }
