@@ -98,6 +98,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN top-k: a deterministic subsample of the corpus acts as
+    * the coarse quantizer (the "centroids"); every vector is assigned to
+    * its nearest centroid's cell (one small broadcast cross-join + argmin),
+    * the query probes its `nprobe` nearest cells, and the exact rerank
+    * touches only vectors in probed cells. The inverted-file layout at
+    * scale: partition (or bucket) the corpus by `cell` at write time and
+    * the probe becomes partition pruning.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, centroidEvery: Int = 137,
+              nprobe: Int = 2): DataFrame = {
+    val base = withNorm(df, vecCol)
+    val cents = base.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col("vecd").as("cent_vec"),
+        col("norm").as("cent_norm"))
+    // cell assignment: nearest centroid by cosine, id tie-break
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        cosine(col("vecd"), col("cent_vec"), col("norm"), col("cent_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("vecd"), col("norm"), col("cent_id").as("cell"))
+    val q = base.filter(col(idCol) === queryId)
+      .select(col("vecd").as("qvec"), col("norm").as("qnorm"))
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("cent_cos",
+        cosine(col("qvec"), col("cent_vec"), col("qnorm"), col("cent_norm")))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      .limit(nprobe)
+      .select(col("cent_id").as("cell"))
+    assigned
+      .join(broadcast(probed), "cell")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("cell"),
+        round(cosine(col("vecd"), col("qvec"), col("norm"), col("qnorm")), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN top-k: candidates share the query's 8-bit bucket;
     * exact cosine rerank on candidates only. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,

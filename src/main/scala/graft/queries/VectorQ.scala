@@ -144,5 +144,13 @@ object VectorQ {
       .orderBy("id_a", "id_b")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35)
+  /** q40: IVF-style ANN (rows-only check — the probe/assign pipeline is
+    * SQL-expressible but the oracle would be disproportionate; correctness
+    * is pinned by IvfSpec against the brute-force ranking instead). */
+  val q40 = Q.noOracle("q40_ann_ivf") { (s, dir) =>
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 10, centroidEvery = 50, nprobe = 3)
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40)
 }

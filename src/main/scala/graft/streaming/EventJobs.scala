@@ -25,4 +25,13 @@ object EventJobs {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("user_id"))
       .agg(count(lit(1)).as("n"))
+
+  /** Built-in gap session windows (`session_window`) — the streaming-native
+    * twin of [[graft.operators.Sessionize]]; state closes when a key's gap
+    * exceeds `gap`. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
 }
