@@ -18,6 +18,7 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.PolyHash.ensureRegistered(spark)
     graft.functions.WordShingles.ensureRegistered(spark)
+    graft.functions.VecDot.ensureRegistered(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -44,7 +45,11 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register all tables as temp views for `spark.sql` use. */
+  /** Register all tables as temp views for `spark.sql` use (events goes
+    * through its nanos-normalizing loader). */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -35,7 +35,14 @@ object Similarity {
   def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  def dotD(a: Column, b: Column): Column =
+  /** Index-ordered dot product — the native codegen'd [[graft.functions
+    * .VecDot]]; bitwise-identical to `foldSum(zip_with(a, b, _ * _))` and
+    * to the DuckDB oracle's list_reduce. */
+  def dotD(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
+
+  /** Built-ins-only twin of [[dotD]] (interpreted HOF fold), kept as the
+    * cross-implementation check. */
+  def dotDPortable(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x * y))
 
   def normD(a: Column): Column = sqrt(dotD(a, a))
