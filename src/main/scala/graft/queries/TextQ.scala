@@ -170,7 +170,9 @@ object TextQ {
     * one groupBy, 4×4 banding, bucket self-join for candidates, exact
     * Jaccard verify on candidates only. The oracle re-derives the entire
     * pipeline from the same hash constants. */
-  val q25 = {
+  /** Shared CTE chain ending in a `pairs` relation: the full MinHash+LSH
+    * pipeline (used by q25 and as the edge set of q41's clustering). */
+  private def minhashPairsCtes(thresholdMilli: Int): String = {
     val sigAggs = (0 until 16).map(k =>
       s"MIN((${MinhashA(k)} * h + ${MinhashB(k)}) % $P) AS sig_$k")
       .mkString(",\n              ")
@@ -179,36 +181,65 @@ object TextQ {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    Q(
-      "q25_minhash_lsh",
-      s"""WITH ${shCte(withSource = false)},
-         |gh AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh),
-         |sig AS (SELECT doc_id,
-         |              $sigAggs
-         |        FROM gh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects
-         |),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-         |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
-         |           FROM cand c
-         |           JOIN sh a ON a.doc_id = c.id_a
-         |           JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
-         |           GROUP BY 1, 2)
-         |SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
-         |       CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
-         |FROM common
-         |JOIN sizes sa ON id_a = sa.doc_id
-         |JOIN sizes sb ON id_b = sb.doc_id
-         |WHERE common * 1000 >= 500 * (sa.sz + sb.sz - common)
-         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        thresholdMilli = 500)
-        .orderBy("id_a", "id_b")
-    }
+    s"""${shCte(withSource = false)},
+       |gh AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh),
+       |sig AS (SELECT doc_id,
+       |              $sigAggs
+       |        FROM gh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
+       |           FROM cand c
+       |           JOIN sh a ON a.doc_id = c.id_a
+       |           JOIN sh b ON b.doc_id = c.id_b AND b.g = a.g
+       |           GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+       |                 CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) AS jaccard
+       |          FROM common
+       |          JOIN sizes sa ON id_a = sa.doc_id
+       |          JOIN sizes sb ON id_b = sb.doc_id
+       |          WHERE common * 1000 >= $thresholdMilli * (sa.sz + sb.sz - common))""".stripMargin
+  }
+
+  val q25 = Q(
+    "q25_minhash_lsh",
+    s"""WITH ${minhashPairsCtes(500)}
+       |SELECT id_a, id_b, common, sz_a, sz_b, jaccard FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      thresholdMilli = 500)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q41: near-dup clusters — connected components over the MinHash pair
+    * graph, canonical id = min doc in the component (min-label propagation
+    * in Spark; recursive-CTE transitive closure in the oracle). This is the
+    * "keep one representative per duplicate cluster" step of a corpus
+    * dedup pipeline. */
+  val q41 = Q(
+    "q41_neardup_clusters",
+    s"""WITH RECURSIVE ${minhashPairsCtes(500)},
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |closure AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT c.id, e.b FROM closure c JOIN edges e ON e.a = c.r
+       |)
+       |SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+       |FROM closure GROUP BY id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      thresholdMilli = 500)
+    graft.operators.Components.of(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
   }
 
   /** q26: 32-bit SimHash signatures — bit-parallel (32 SUM aggregates in one
@@ -279,5 +310,5 @@ object TextQ {
     }
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41)
 }

@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("labels every node with its component's min id") {
+    // components: {1,2,3,4} (chain), {7,9}, singleton edges absent
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("a", "b")
+    val out = Components.of(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("long chain converges (diameter > 2 rounds)") {
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Components.of(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to 10L).toSet)
+    assert(out.values.forall(_ == 1L))
+  }
+}
