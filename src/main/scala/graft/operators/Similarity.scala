@@ -53,6 +53,7 @@ object Similarity {
 
   /** Adds `vecd` (double vector) and `norm` columns. */
   def withNorm(df: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.VecDot.ensureRegistered(df.sparkSession)
     val d = vecD(col(vecCol))
     df.withColumn("vecd", d).withColumn("norm", normD(col("vecd")))
   }
