@@ -229,5 +229,44 @@ object Advanced {
       .orderBy("o_custkey")
   }
 
-  val all: Seq[Q] = Seq(q18, q19, q28, q29, q34, q36, q37, q38, q39)
+  /** q42: fixed-width histogram — 20 bins of width 25 over the value range,
+    * open-ended top bin (floor arithmetic; identical IEEE ops both sides). */
+  val q42 = Q(
+    "q42_histogram",
+    """SELECT LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), CAST(19 AS BIGINT)) AS bucket,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_c
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(least(floor(col("value") / 25.0).cast("long"), lit(19L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+      .orderBy("bucket")
+  }
+
+  /** q43: column profile (long form) — row count, null count, distinct
+    * count per column: the data-quality sweep a pipeline runs before
+    * training ingestion. */
+  val q43 = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+    Q(
+      "q43_profile",
+      cols.map(c =>
+        s"""SELECT '$c' AS col, COUNT(*) AS n,
+           |       COUNT(*) - COUNT($c) AS nulls,
+           |       COUNT(DISTINCT $c) AS n_distinct
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col")) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      cols.map { c =>
+        orders.agg(count(lit(1)).as("n"),
+          (count(lit(1)) - count(col(c))).as("nulls"),
+          countDistinct(col(c)).as("n_distinct"))
+          .select(lit(c).as("col"), col("n"), col("nulls"), col("n_distinct"))
+      }.reduce(_ unionAll _).orderBy("col")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q18, q19, q28, q29, q34, q36, q37, q38, q39, q42, q43)
 }
