@@ -49,10 +49,7 @@ object Cli {
   }
 
   private def fetcherOf(rest: Array[String]): Fetcher =
-    opt(rest, "fetcher").getOrElse("http") match {
-      case "http" => new HttpFetcher()
-      case spec => graft.sources.ItemsSource.resolve(spec)
-    }
+    ItemsSource.resolve(opt(rest, "fetcher").getOrElse("http"))
 
   def run(spark: SparkSession, cmd: String, rest: Array[String]): Unit = {
     val db = opt(rest, "db").getOrElse(sys.error("--db required"))

@@ -30,9 +30,10 @@ object TextAnalysis {
 
   /** Built-ins-only twin of [[strHash]] (regex scan + interpreted fold);
     * kept as the cross-implementation check for the codegen'd expression.
+    * `(?s)` so '.' matches newlines, like PolyHash's code-point loop.
     */
   def strHashPortable(s: Column): Column =
-    aggregate(regexp_extract_all(s, lit("."), lit(0)), lit(0L),
+    aggregate(regexp_extract_all(s, lit("(?s)."), lit(0)), lit(0L),
       (acc, c) => (acc * 31L + ascii(c)) % P)
 
   /** The k-th universal hash over an already-hashed value: (a_k·x + b_k) mod P. */

@@ -27,11 +27,11 @@ case class WordShingles(child: Expression) extends UnaryExpression {
         s"word_shingles requires STRING input, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.eval(input.asInstanceOf[UTF8String].toString)
+    WordShingles.compute(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordShingles.eval($c.toString())")
+      s"graft.functions.WordShingles.compute($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -42,7 +42,7 @@ case class WordShingles(child: Expression) extends UnaryExpression {
 object WordShingles {
   val N = 3
 
-  def eval(s: String): ArrayData = {
+  def compute(s: String): ArrayData = {
     val toks = s.trim.split("\\s+")
     if (toks.length < N) new GenericArrayData(Array.empty[Any])
     else {

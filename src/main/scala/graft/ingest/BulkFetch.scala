@@ -26,6 +26,6 @@ object BulkFetch {
       .repartition(parallelism)
       .mapPartitions { ids => ids.map(id => (id, fetcher.fetch(id).orNull)) }
       .toDF("id", "body")
-    Item.normalize(raw, lit(retrievedAt)).drop("id_raw")
+    Item.normalize(raw, lit(retrievedAt))
   }
 }

@@ -38,6 +38,7 @@ final class HttpFetcher(
     var tries = 0
     var last: Throwable = null
     while (tries < maxTries) {
+      var fatal: RuntimeException = null
       try {
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
           .timeout(java.time.Duration.ofMillis(timeoutMillis)).GET().build()
@@ -46,12 +47,16 @@ final class HttpFetcher(
         val code = resp.statusCode()
         if (code == 200) return resp.body()
         if (code != 429 && code < 500)
-          throw new RuntimeException(s"HTTP $code for $url")
-        last = new RuntimeException(s"HTTP $code for $url")
+          // non-retryable 4xx: fail fast (reference raises, hnarchive.py:111)
+          fatal = new RuntimeException(s"HTTP $code for $url")
+        else
+          last = new RuntimeException(s"HTTP $code for $url")
       } catch { case t: Throwable => last = t }
+      if (fatal != null) throw fatal
       tries += 1
-      // quadratic backoff: 0.2·tries² + 1, capped at 10 s (hnarchive.py:99)
-      Thread.sleep(math.min(10000L, (200L * tries * tries) + 1000L))
+      if (tries < maxTries)
+        // quadratic backoff: 0.2·tries² + 1, capped at 10 s (hnarchive.py:99)
+        Thread.sleep(math.min(10000L, (200L * tries * tries) + 1000L))
     }
     throw last
   }

@@ -20,22 +20,20 @@ object Update {
               batchLimit: Long = 100000L): Int = {
     store.init()
     var rounds = 0
-    var continue = true
-    while (continue) {
-      val lower = store.latestId().map(_ + 1).getOrElse(1L)
-      val upper = fetcher.latestId()
-      if (lower > upper) continue = false
-      else {
-        val hi = math.min(upper, lower + batchLimit - 1)
-        val batch = BulkFetch.fetchItems(spark, fetcher, lower, hi,
-          parallelism, now())
-        store.merge(batch)
-        rounds += 1
-        // a fully-tombstoned range would loop forever (latestId stays past
-        // the stored max); the reference shares this property but its upper
-        // bound is re-read per round — stop once the bound is reached
-        if (hi >= upper && store.latestId().forall(_ < lower)) continue = false
-      }
+    // the cursor advances past every fetched range regardless of how many
+    // rows survived normalization — deriving it from store.latestId() would
+    // livelock on a fully-tombstoned range (the store max never moves, so
+    // the same dead ids would be refetched forever)
+    var cursor = store.latestId().map(_ + 1).getOrElse(1L)
+    var upper = fetcher.latestId()
+    while (cursor <= upper) {
+      val hi = math.min(upper, cursor + batchLimit - 1)
+      val batch = BulkFetch.fetchItems(spark, fetcher, cursor, hi,
+        parallelism, now())
+      store.merge(batch)
+      rounds += 1
+      cursor = hi + 1
+      upper = fetcher.latestId() // bound re-read per round, like the reference
     }
     rounds
   }

@@ -33,7 +33,11 @@ object Components {
       .localCheckpoint()
     var round = 0
     var changed = true
-    while (changed && round < maxRounds) {
+    while (changed) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"Components.of did not converge in $maxRounds rounds — " +
+            "component diameter exceeds maxRounds; raise it")
       round += 1
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")

@@ -18,10 +18,11 @@ import graft.operators.Dedup
   */
 object TextQ {
 
-  /** DuckDB twin of [[TextAnalysis.strHash]]. */
+  /** DuckDB twin of [[TextAnalysis.strHash]] — `(?s)` so '.' also matches
+    * newlines, like PolyHash's every-code-point loop. */
   private def sqlHash(c: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-    s"list_transform(regexp_extract_all($c, '.'), ch -> CAST(unicode(ch) AS BIGINT))), " +
+    s"list_transform(regexp_extract_all($c, '(?s).'), ch -> CAST(unicode(ch) AS BIGINT))), " +
     s"(a, b) -> (a * 31 + b) % $P)"
 
   private val sqlToks = """string_split_regex(trim(text), '\s+')"""

@@ -62,12 +62,23 @@ final class ItemStore(spark: SparkSession, root: String) {
     * snapshot. Idempotent by id (re-merging the same batch is a no-op
     * modulo `retrieved`). */
   def merge(batch: DataFrame): Unit = {
+    val previous = new String(Files.readAllBytes(pointer)).trim
     val merged = Merge.upsert(current(), batch, "id", coalesceCols, overwriteCols)
       .select(Item.schema.fieldNames.map(col): _*)
     val snap = s"snap-${System.nanoTime()}"
     merged.write.mode("overwrite").parquet(rootPath.resolve(snap).toString)
     commitPointer(snap)
+    // GC the superseded snapshot once the swap is durable — otherwise every
+    // merge retains a full store copy (quadratic disk growth over a stream)
+    deleteRecursively(rootPath.resolve(previous))
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
 
   /** A1 `select_latest_id` (hnarchive.py:285-290): resume offset. */
   def latestId(): Option[Long] =

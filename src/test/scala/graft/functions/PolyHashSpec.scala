@@ -33,6 +33,16 @@ class PolyHashSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.getLong(1) == 97L)
   }
 
+  test("newlines are hashed (parity with the (?s) oracle regex)") {
+    PolyHash.ensureRegistered(spark)
+    val got = Seq("a\nb").toDF("t")
+      .select(PolyHash(col("t")).as("a"),
+        TextAnalysis.strHashPortable(col("t")).as("b")).head
+    val expected = ((97L * 31 + 10) * 31 + 98) % TextAnalysis.P
+    assert(got.getLong(0) == expected) // DuckDB-validated: 93625
+    assert(got.getLong(1) == expected)
+  }
+
   test("non-ASCII code points match the unicode() semantics") {
     PolyHash.ensureRegistered(spark)
     // '中' = U+4E2D (20013): hash = ((0*31+20013) % P)

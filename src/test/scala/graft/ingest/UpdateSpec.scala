@@ -28,6 +28,19 @@ class UpdateSpec extends AnyFunSuite {
     assert(Update.catchUp(spark, store, f, 2, () => 501L) == 0)
   }
 
+  test("catchUp advances past fully-tombstoned ranges (no livelock)") {
+    val store = new ItemStore(spark,
+      Files.createTempDirectory("graft-up2").toString)
+    // ids 1-5 deleted upstream; real items at 6-7. A cursor derived from
+    // store.latestId() would refetch 1-4 forever with batchLimit=4.
+    val f = new FakeFetcher(Map(6L -> item(6), 7L -> item(7)), maxId = 7)
+    val rounds = Update.catchUp(spark, store, f, parallelism = 2,
+      now = () => 500L, batchLimit = 4L)
+    assert(rounds == 2) // 1-4 (all tombstones), 5-7
+    assert(store.current().count() == 2)
+    assert(store.latestId().contains(7L))
+  }
+
   test("recrawl refetches volatile rows and merges revisions") {
     val store = new ItemStore(spark,
       Files.createTempDirectory("graft-rc").toString)

@@ -23,4 +23,12 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.keySet == (1L to 10L).toSet)
     assert(out.values.forall(_ == 1L))
   }
+
+  test("throws instead of returning non-converged labels past maxRounds") {
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Components.of(chain, "a", "b", maxRounds = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

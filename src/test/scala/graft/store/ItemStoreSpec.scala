@@ -76,6 +76,21 @@ class ItemStoreSpec extends AnyFunSuite {
     assert(mature.isEmpty) // nothing is 14 days old yet relative to now=100
   }
 
+  test("merge garbage-collects the superseded snapshot") {
+    val dir = Files.createTempDirectory("graft-store-gc")
+    val st = new ItemStore(spark, dir.toString)
+    st.init()
+    (1 to 4).foreach { i =>
+      st.merge(normalized(
+        i.toLong -> s"""{"id":$i,"type":"comment","time":${i * 10}}"""))
+    }
+    val snaps = Files.list(dir).iterator()
+    val snapDirs = scala.jdk.CollectionConverters.IteratorHasAsScala(snaps)
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("snap-")).toSeq
+    assert(snapDirs.size == 1, s"stale snapshots retained: $snapDirs")
+    assert(st.current().count() == 4)
+  }
+
   test("livestream runner drains batches into the store idempotently") {
     val st = freshStore()
     val items = (1L to 7L).map(i =>
