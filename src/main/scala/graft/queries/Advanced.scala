@@ -268,5 +268,40 @@ object Advanced {
     }
   }
 
-  val all: Seq[Q] = Seq(q18, q19, q28, q29, q34, q36, q37, q38, q39, q42, q43)
+  /** q44: edit-distance similarity — exact integer Levenshtein over blocked
+    * document-prefix pairs (unit costs; identical definition both engines). */
+  val q44 = Q(
+    "q44_levenshtein",
+    """WITH d AS (SELECT doc_id, substr(text, 1, 60) AS s FROM documents
+      |           WHERE doc_id % 200 = 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") % 200 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("s"))
+    d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q45: CUBE grouping sets — all four aggregation granularities of
+    * (status, priority) in one pass. */
+  val q45 = Q(
+    "q45_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  val all: Seq[Q] =
+    Seq(q18, q19, q28, q29, q34, q36, q37, q38, q39, q42, q43, q44, q45)
 }
