@@ -19,6 +19,8 @@ object Tables {
     graft.functions.PolyHash.ensureRegistered(spark)
     graft.functions.WordShingles.ensureRegistered(spark)
     graft.functions.VecDot.ensureRegistered(spark)
+    graft.functions.TokenStats.ensureRegistered(spark)
+    graft.functions.StopHits.ensureRegistered(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -166,12 +166,11 @@ object Advanced {
          |FROM documents
          |GROUP BY lang
          |ORDER BY lang""".stripMargin) { (s, dir) =>
-      import graft.functions.TextAnalysis.tokens
       Tables.documents(s, dir)
         .groupBy("lang")
         .agg(
           sum(size(regexp_extract_all(col("text"), lit(pat), lit(0)))).as("bpe_tokens"),
-          sum(size(tokens(col("text")))).as("ws_tokens"))
+          sum(graft.functions.TokenStats(col("text")).getField("n_tokens")).as("ws_tokens"))
         .withColumn("ratio",
           col("bpe_tokens").cast("double") / col("ws_tokens"))
         .orderBy("lang")

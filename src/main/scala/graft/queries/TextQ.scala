@@ -51,12 +51,12 @@ object TextQ {
        |  FROM documents GROUP BY lang
        |)
        |ORDER BY lang""".stripMargin) { (s, dir) =>
-    val nTok = size(tokens(col("text")))
+    val nTok = graft.functions.TokenStats(col("text")).getField("n_tokens")
     Tables.documents(s, dir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(nTok).as("total_tokens"),
-        max(nTok).cast("long").as("max_tokens"),
+        max(nTok).as("max_tokens"),
         countDistinct(col("source")).as("n_sources"))
       .withColumn("avg_tokens", col("total_tokens").cast("double") / col("n_docs"))
       .orderBy("lang")
@@ -131,10 +131,9 @@ object TextQ {
          |)
          |GROUP BY actual, predicted
          |ORDER BY actual, predicted""".stripMargin) { (s, dir) =>
-      val toks = tokens(col("text"))
       val scored = Tables.documents(s, dir)
         .select(col("lang").as("actual") +: Stopwords.map { case (l, words) =>
-          size(filter(toks, w => w.isin(words: _*))).as(s"s_$l")
+          graft.functions.StopHits(col("text"), words).as(s"s_$l")
         }: _*)
       val anyHit = langs.map(l => col(s"s_$l") > 0).reduce(_ || _)
       val argmaxCol = langs.zipWithIndex.foldRight(lit(langs.last)) {
@@ -293,15 +292,14 @@ object TextQ {
          |WHERE doc_id % 13 = 0
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val en = Stopwords.toMap.apply("en")
-      val toks = tokens(col("text"))
+      val st = graft.functions.TokenStats(col("text"))
       Tables.documents(s, dir)
         .filter(col("doc_id") % 13 === 0)
         .select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          aggregate(transform(toks, t => length(t)), lit(0L),
-            (acc, x) => acc + x).as("sum_tok_len"),
-          size(filter(toks, t => length(t) <= 2)).cast("long").as("short_tokens"),
-          size(filter(toks, t => t.isin(en: _*))).cast("long").as("stop_hits"))
+          st.getField("n_tokens").as("n_tokens"),
+          st.getField("sum_tok_len").as("sum_tok_len"),
+          st.getField("short_tokens").as("short_tokens"),
+          graft.functions.StopHits(col("text"), en).as("stop_hits"))
         .withColumn("avg_tok_len", col("sum_tok_len").cast("double") / col("n_tokens"))
         .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tokens"))
         .withColumn("quality_ok",
