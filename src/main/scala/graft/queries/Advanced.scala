@@ -125,7 +125,7 @@ object Advanced {
     val orders = Tables.orders(s, dir)
     val stored = orders.filter(col("o_orderkey") % 97 =!= 0)
       .select(col("o_orderkey").as("id"))
-    val maxKey = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
     s.range(0, maxKey + 1).toDF("id")
       .join(stored, Seq("id"), "left_anti")
       .orderBy("id")

@@ -64,7 +64,7 @@ final class ItemStore(spark: SparkSession, root: String) {
   def merge(batch: DataFrame): Unit = {
     val previous = new String(Files.readAllBytes(pointer)).trim
     val merged = Merge.upsert(current(), batch, "id", coalesceCols, overwriteCols)
-      .select(Item.schema.fieldNames.map(col): _*)
+      .select(Item.schema.fieldNames.toIndexedSeq.map(col): _*)
     val snap = s"snap-${System.nanoTime()}"
     merged.write.mode("overwrite").parquet(rootPath.resolve(snap).toString)
     commitPointer(snap)
@@ -82,7 +82,7 @@ final class ItemStore(spark: SparkSession, root: String) {
 
   /** A1 `select_latest_id` (hnarchive.py:285-290): resume offset. */
   def latestId(): Option[Long] =
-    current().agg(max(col("id"))).head.get(0) match {
+    current().agg(max(col("id"))).head().get(0) match {
       case null => None
       case v: Long => Some(v)
     }
