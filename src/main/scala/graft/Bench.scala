@@ -24,8 +24,12 @@ object Bench {
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    // min of 2 timed reps per query: the host shows multi-second noise
-    // spikes; the minimum is the reproducible cost of the plan
+    spark.catalog.clearCache()
+    // min of 2 timed reps per query (the host shows multi-second noise
+    // spikes; the minimum is the reproducible cost of the plan). Cache is
+    // cleared BETWEEN queries, kept between a query's reps: ~135 executions
+    // otherwise accumulate persisted/checkpointed blocks in one JVM and
+    // late queries degrade 10x.
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -33,6 +37,7 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
