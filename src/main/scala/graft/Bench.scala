@@ -30,20 +30,25 @@ object Bench {
     // cleared BETWEEN queries, kept between a query's reps: ~135 executions
     // otherwise accumulate persisted/checkpointed blocks in one JVM and
     // late queries degrade 10x.
+    // A query that throws is reported as -1 and listed in "errors", never
+    // silently timed — a fail-fast regression must not read as a speedup.
     val results = names.map { name =>
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
+        catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }
       spark.catalog.clearCache()
-      name -> times.min
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":2,"agg":"min"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":2,"agg":"min"}""")
     spark.stop()
   }
 }

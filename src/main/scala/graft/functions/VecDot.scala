@@ -18,6 +18,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // NULL on unequal lengths / null elements, like the composed HOF form —
+  // so nullable even when both children are non-null arrays
+  override def nullable: Boolean = true
+
+  /** Schema-level proof that no element can be null: skip the per-row null
+    * scan entirely (the common case — Similarity casts produce tight arrays). */
+  private def elementsMayBeNull: Boolean = Seq(left.dataType, right.dataType).exists {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -32,11 +42,26 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecDot.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements() ||
+        (elementsMayBeNull && VecDot.anyNull(x, y))) null
+    else VecDot.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nullScan =
+        if (elementsMayBeNull) s" || graft.functions.VecDot.anyNull($a, $b)" else ""
+      s"""
+         |if ($a.numElements() != $b.numElements()$nullScan) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VecDot.dot($a, $b);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =
@@ -46,8 +71,21 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 }
 
 object VecDot {
+  /** Null-element scan (bitmap check on UnsafeArrayData — cheap relative to
+    * the multiply loop). Run only when the schema admits null elements. */
+  def anyNull(a: ArrayData, b: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Index-ordered sequential sum of products (shared by interpreted eval
-    * and generated code). Arrays must have equal length. */
+    * and generated code). Arrays must have equal length and no null
+    * elements — callers guard via length check + [[anyNull]]. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     var acc = 0.0

@@ -20,14 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** @param precedenceCols when the incoming batch can carry duplicate keys,
+    *   the row with the greatest (precedenceCols…, remaining cols) tuple wins
+    *   per key — the set-based analog of the reference's row-at-a-time
+    *   last-write-wins (`retrieved` is the natural precedence column for HN
+    *   items). The dedup is a hash aggregate already partitioned by the key,
+    *   so the subsequent join reuses the exchange — no extra shuffle. */
   def upsert(
       stored: DataFrame,
       incoming: DataFrame,
       key: String,
       coalesceCols: Seq[String],
-      overwriteCols: Seq[String]): DataFrame = {
+      overwriteCols: Seq[String],
+      precedenceCols: Seq[String] = Nil): DataFrame = {
     val st = stored.as("st")
-    val in = incoming.as("in")
+    val in = dedupeByKey(incoming, key, precedenceCols).as("in")
     val joined = st.join(in, col(s"st.$key") === col(s"in.$key"), "full_outer")
     val hasIncoming = col(s"in.$key").isNotNull
     val keyCol = coalesce(col(s"in.$key"), col(s"st.$key")).as(key)
@@ -36,5 +43,19 @@ object Merge {
       overwriteCols.map(c =>
         when(hasIncoming, col(s"in.$c")).otherwise(col(s"st.$c")).as(c))
     joined.select(keyCol +: merged: _*)
+  }
+
+  /** One row per key: max by (precedenceCols…, then all remaining columns —
+    * a deterministic total tiebreak; struct comparison ranks NULL lowest, so
+    * populated values beat NULLs). Duplicate ids in one batch would otherwise
+    * fan out through the full-outer join and permanently duplicate store
+    * rows. */
+  private def dedupeByKey(
+      incoming: DataFrame, key: String, precedenceCols: Seq[String]): DataFrame = {
+    val rest = incoming.columns.filterNot(_ == key).toSeq
+    val ord = precedenceCols ++ rest.filterNot(precedenceCols.contains)
+    incoming.groupBy(col(key))
+      .agg(max(struct(ord.map(col): _*)).as("_win"))
+      .select(col(key) +: rest.map(c => col(s"_win.$c").as(c)): _*)
   }
 }

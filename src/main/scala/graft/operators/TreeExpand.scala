@@ -65,6 +65,12 @@ object TreeExpand {
         .localCheckpoint()
       acc = acc.unionAll(frontier)
     }
+    if (!frontier.isEmpty) {
+      childOf.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"TreeExpand did not converge within maxDepth=$maxDepth — " +
+          "cyclic or corrupt edge set? (matches Components.of fail-loud policy)")
+    }
     childOf.unpersist(blocking = false)
     acc.select(col("_id").as(idCol), col("_root").as("root"),
       col("_depth").as("depth"), col("_path").as("path"))

@@ -63,7 +63,8 @@ final class ItemStore(spark: SparkSession, root: String) {
     * modulo `retrieved`). */
   def merge(batch: DataFrame): Unit = {
     val previous = new String(Files.readAllBytes(pointer)).trim
-    val merged = Merge.upsert(current(), batch, "id", coalesceCols, overwriteCols)
+    val merged = Merge.upsert(current(), batch, "id", coalesceCols, overwriteCols,
+        precedenceCols = Seq("retrieved"))
       .select(Item.schema.fieldNames.toIndexedSeq.map(col): _*)
     val snap = s"snap-${System.nanoTime()}"
     merged.write.mode("overwrite").parquet(rootPath.resolve(snap).toString)

@@ -26,4 +26,14 @@ class VecDotSpec extends AnyFunSuite {
       "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))").head
     assert(r.getDouble(0) == 32.0)
   }
+
+  test("unequal lengths and null elements yield NULL, like the HOF form") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val rows = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(4.0d, 5.0d, 6.0d)) AS short_long,
+        |       vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(4.0d, 5.0d)) AS with_null,
+        |       vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(4.0d)) AS null_side
+        |""".stripMargin).head
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+  }
 }

@@ -50,6 +50,22 @@ class MergeSpec extends AnyFunSuite {
     assert(once == twice)
   }
 
+  test("duplicate keys in one batch collapse to last-write-wins, no fan-out") {
+    val incoming = Seq(
+      (1L, Option("al"), Option(11L)),
+      (1L, Option("albert"), Option(12L)), // wins: higher precedence (score)
+      (6L, Option("fred"), Option(60L)),
+      (6L, Option("fred"), Option(61L))
+    ).toDF("id", "author", "score")
+    val merged = Merge.upsert(stored, incoming, "id", Seq("author"), Seq("score"),
+      precedenceCols = Seq("score"))
+    assert(merged.count() == 3) // 1, 2, 6 — no duplicated rows in the store
+    val out = merged.collect().map(r => r.getLong(0) ->
+      ((Option(r.getString(1)), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) == ((Some("albert"), Some(12L))))
+    assert(out(6L) == ((Some("fred"), Some(61L))))
+  }
+
   test("batching invariance: folding two half-batches equals one batch") {
     val b1 = Seq((1L, Option.empty[String], Option(11L))).toDF("id", "author", "score")
     val b2 = Seq((5L, Option("eve"), Option(50L))).toDF("id", "author", "score")

@@ -36,9 +36,19 @@ class TreeExpandSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 3L))
   }
 
-  test("maxDepth fuses unbounded recursion (cycle)") {
+  test("maxDepth with a live frontier throws instead of truncating silently") {
     val cyc = Seq((1L, Option(2L)), (2L, Option(1L))).toDF("id", "parent")
-    val out = TreeExpand.expand(cyc, Seq(1L).toDF("id"), maxDepth = 5).collect()
-    assert(out.length == 6) // root + 5 expansions, then the fuse stops it
+    val e = intercept[IllegalStateException] {
+      TreeExpand.expand(cyc, Seq(1L).toDF("id"), maxDepth = 5)
+    }
+    assert(e.getMessage.contains("maxDepth=5"))
+  }
+
+  test("deep chain within maxDepth converges cleanly") {
+    val chain = (1L to 12L).map(i =>
+      (i, if (i == 1L) Option.empty[Long] else Option(i - 1))).toDF("id", "parent")
+    val out = TreeExpand.expand(chain, Seq(1L).toDF("id"), maxDepth = 20).collect()
+    assert(out.length == 12)
+    assert(out.map(_.getInt(2)).max == 11)
   }
 }
