@@ -18,6 +18,8 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.PolyHash.ensureRegistered(spark)
     graft.functions.WordShingles.ensureRegistered(spark)
+    graft.functions.WordShingleSet.ensureRegistered(spark)
+    graft.functions.MinHashSig.ensureRegistered(spark)
     graft.functions.VecDot.ensureRegistered(spark)
     graft.functions.TokenStats.ensureRegistered(spark)
     graft.functions.StopHits.ensureRegistered(spark)

@@ -20,10 +20,19 @@ import org.apache.spark.storage.StorageLevel
 object Components {
 
   /** @return (id, component) for every node appearing in `edges`, where
-    *         component = min node id of the connected component. */
+    *         component = min node id of the connected component.
+    *
+    * Size-gated hybrid: below `driverThreshold` edges the graph is solved
+    * with union-find on the driver (one collect; near-dup pair graphs are
+    * proportional to the duplicate count, minuscule next to the corpus), so
+    * the common case pays one job instead of O(diameter) join rounds. Above
+    * it, distributed min-label propagation — identical output, no driver
+    * materialization. */
   def of(edges: DataFrame, aCol: String, bCol: String,
-         maxRounds: Int = 50): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+         maxRounds: Int = 50, driverThreshold: Long = 1000000L): DataFrame = {
+    val pairs = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    if (pairs.count() <= driverThreshold) return driverUnionFind(pairs)
+    val sym = pairs
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -56,5 +65,42 @@ object Components {
     }
     sym.unpersist(blocking = false)
     labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Union-find with path compression over a collected edge list; component
+    * label = min member (any Comparable id type — Long, String, …). */
+  private def driverUnionFind(pairs: DataFrame): DataFrame = {
+    val rows = pairs.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val label = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { k =>
+      val r = find(k)
+      val cur = label.get(r)
+      if (cur.isEmpty ||
+          k.asInstanceOf[Comparable[Any]].compareTo(cur.get) < 0) label(r) = k
+    }
+    val spark = pairs.sparkSession
+    val idType = pairs.schema.fields(0).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+    val out = parent.keys.toSeq.map(k =>
+      org.apache.spark.sql.Row(k, label(find(k))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), outSchema)
   }
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.operators.Dedup
+
+/** Parity: the one-pass codegen'd signature/shingle-set expressions must be
+  * bitwise-identical to the composed built-ins pipelines they replace. */
+class MinHashSigSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("minhash_sig equals the explode+groupBy composed pipeline on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val composed = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val exprSide = docs
+      .select(col("doc_id").as("id"), MinHashSig(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id") +: (0 until MinHashSig.K).map(k =>
+        col("sig").getItem(k).as(s"sig_$k")): _*)
+    assert(composed.count() > 0)
+    assert(exprSide.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(exprSide).count() == 0)
+  }
+
+  test("minhash_sig is NULL for docs with fewer than 3 tokens") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      "SELECT minhash_sig('one two') IS NULL, minhash_sig('one two three') IS NULL").head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("word_shingle_set equals distinct(word_shingles) as a set, per doc") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaSet = docs.select(col("doc_id"),
+      explode(WordShingleSet(col("text"))).as("g"))
+    val viaDistinct = docs.select(col("doc_id"),
+      explode(WordShingles(col("text"))).as("g")).distinct()
+    assert(viaSet.count() == viaDistinct.count()) // set => already duplicate-free
+    assert(viaSet.exceptAll(viaDistinct).count() == 0)
+    assert(viaDistinct.exceptAll(viaSet).count() == 0)
+  }
+}

@@ -8,7 +8,7 @@ class ComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("labels every node with its component's min id") {
+  test("labels every node with its component's min id (driver union-find path)") {
     // components: {1,2,3,4} (chain), {7,9}, singleton edges absent
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("a", "b")
     val out = Components.of(edges, "a", "b")
@@ -16,9 +16,18 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
-  test("long chain converges (diameter > 2 rounds)") {
+  test("distributed label propagation matches union-find on the same graph") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L), (5L, 6L)).toDF("a", "b")
+    val dist = Components.of(edges, "a", "b", driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = Components.of(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == uf)
+  }
+
+  test("long chain converges on the distributed path (diameter > 2 rounds)") {
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Components.of(chain, "a", "b")
+    val out = Components.of(chain, "a", "b", driverThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == (1L to 10L).toSet)
     assert(out.values.forall(_ == 1L))
@@ -27,7 +36,7 @@ class ComponentsSpec extends AnyFunSuite {
   test("throws instead of returning non-converged labels past maxRounds") {
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      Components.of(chain, "a", "b", maxRounds = 3)
+      Components.of(chain, "a", "b", maxRounds = 3, driverThreshold = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
