@@ -24,6 +24,12 @@ object TreeExpand {
   /** @param edges (idCol, parentCol) adjacency rows, parent NULL for roots
     * @param roots one column `idCol`: the subtree roots to expand (included
     *              in the output at depth 0)
+    * @param levelsPerRound BFS levels expanded inside ONE physical plan per
+    *              driver round. Each round costs a fixed ~3 jobs (broadcast
+    *              build, materialize, emptiness probe) regardless of how
+    *              many levels it covers, so batching divides the dominant
+    *              driver-scheduling cost by the batch size; Catalyst's
+    *              exchange reuse keeps the chained joins linear.
     * @return (id, root, depth: int, path: string "root/…/id")
     */
   def expand(
@@ -31,12 +37,27 @@ object TreeExpand {
       roots: DataFrame,
       idCol: String = "id",
       parentCol: String = "parent",
-      maxDepth: Int = 1000): DataFrame = {
+      maxDepth: Int = 1000,
+      levelsPerRound: Int = 4): DataFrame = {
+    require(levelsPerRound >= 1, "levelsPerRound must be >= 1")
     val childOf = edges
       .select(col(idCol).as("_id"), col(parentCol).as("_parent"))
       .filter(col("_parent").isNotNull)
       .repartition(col("_parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def step(level: DataFrame, bcast: Boolean): DataFrame = {
+      // level 1 of a round broadcasts the (checkpointed, small) frontier so
+      // the cached parent-partitioned edge side streams with no shuffle;
+      // deeper in-plan levels are lazy, so they shuffle instead (tiny) —
+      // broadcasting them would force per-level materialization jobs back in
+      val keyed = level.select(col("_id").as("_pid"), col("_root"),
+        col("_depth"), col("_path"))
+      childOf
+        .join(if (bcast) broadcast(keyed) else keyed, col("_parent") === col("_pid"))
+        .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
+          concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
+    }
 
     var frontier = roots
       .select(col(idCol).as("_id"))
@@ -47,23 +68,17 @@ object TreeExpand {
     var acc = frontier
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
-      depth += 1
-      // the frontier is one tree level — broadcast it so the (large, cached,
-      // parent-partitioned) edge side streams with no shuffle or sort per
-      // level. A production variant flips to a shuffle join past a frontier
-      // size threshold; test-scale frontiers are always broadcastable.
-      // coalesce before the eager checkpoint: frontiers are small, and 32
-      // near-empty partitions × (checkpoint + isEmpty) jobs per level is
-      // pure scheduling overhead at test scale
-      frontier = childOf
-        .join(broadcast(frontier.select(col("_id").as("_pid"), col("_root"),
-            col("_depth"), col("_path"))),
-          col("_parent") === col("_pid"))
-        .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
-          concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
+      val rounds = math.min(levelsPerRound, maxDepth - depth)
+      var levels = List(step(frontier, bcast = true))
+      (2 to rounds).foreach { _ => levels = step(levels.head, bcast = false) :: levels }
+      // one job materializes every level of the batch (coalesced: frontiers
+      // are small and 32 near-empty partitions per probe is pure overhead)
+      val batch = levels.reverse.reduce(_ unionAll _)
         .coalesce(8)
         .localCheckpoint()
-      acc = acc.unionAll(frontier)
+      depth += rounds
+      frontier = batch.filter(col("_depth") === depth)
+      acc = acc.unionAll(batch)
     }
     if (!frontier.isEmpty) {
       childOf.unpersist(blocking = false)
