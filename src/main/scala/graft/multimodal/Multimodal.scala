@@ -57,6 +57,33 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Header inspection: REAL (non-stub) metadata extraction — container
+    * format, dimensions and bit depth parsed from the leading bytes by
+    * [[ImageHeader]], per-partition like [[featurize]]. Unrecognized
+    * payloads yield nulls rather than dropping rows (a 100 TB crawl always
+    * contains garbage; filtering is the caller's policy decision). */
+  def inspectImages(df: DataFrame, bytesCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bit_depth", IntegerType)))
+    val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        ImageHeader.parse(bytes) match {
+          case Some(m) => Row(r.getLong(0), bytes.length, m.format, m.width, m.height, m.bitDepth)
+          case None    => Row(r.getLong(0), if (bytes == null) 0 else bytes.length,
+                              null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sampling shape: explode a media row into n evenly-spaced frame
     * stubs (id, frame_no, offset_ratio) — the plumbing for video pipelines. */
   def sampleFrames(df: DataFrame, idCol: String, n: Int): DataFrame =

@@ -26,6 +26,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows1.values.forall(_._1 > 0))
   }
 
+  test("ImageHeader parses PNG/GIF/BMP/JPEG dimensions from raw bytes") {
+    // minimal hand-built headers
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',             // IHDR chunk header
+      0, 0, 2, 0,                                  // width 512
+      0, 0, 1, 0,                                  // height 256
+      8, 6, 0, 0, 0                                // depth 8, rgba
+    ).map(_.toByte)
+    assert(ImageHeader.parse(png).contains(ImageHeader.ImageMeta("png", 512, 256, 32)))
+
+    val gif = ("GIF89a".getBytes("ASCII") ++ Array[Int](
+      0x40, 0x01, // width 320 LE
+      0xc8, 0x00, // height 200 LE
+      0x70, 0, 0  // packed: color resolution 8
+    ).map(_.toByte))
+    assert(ImageHeader.parse(gif).contains(ImageHeader.ImageMeta("gif", 320, 200, 8)))
+
+    val bmp = ("BM".getBytes("ASCII") ++ Array.fill(12)(0.toByte) ++ Array[Int](
+      40, 0, 0, 0,        // BITMAPINFOHEADER size
+      0x80, 0, 0, 0,      // width 128
+      0xb0, 0xff, 0xff, 0xff, // height -80 (top-down) -> 80
+      1, 0, 24, 0         // planes, bitcount 24
+    ).map(_.toByte))
+    assert(ImageHeader.parse(bmp).contains(ImageHeader.ImageMeta("bmp", 128, 80, 24)))
+
+    val jpeg = Array[Int](
+      0xff, 0xd8,                   // SOI
+      0xff, 0xe0, 0x00, 0x04, 0, 0, // APP0 segment, len 4
+      0xff, 0xc0, 0x00, 0x11,       // SOF0, len 17
+      8,                            // precision
+      0x00, 0xf0,                   // height 240
+      0x01, 0x40,                   // width 320
+      3                             // 3 components
+    ).map(_.toByte)
+    assert(ImageHeader.parse(jpeg).contains(ImageHeader.ImageMeta("jpeg", 320, 240, 24)))
+
+    assert(ImageHeader.parse("not an image at all".getBytes).isEmpty)
+    assert(ImageHeader.parse(Array.empty[Byte]).isEmpty)
+    assert(ImageHeader.parse(null).isEmpty)
+  }
+
+  test("inspectImages emits per-row metadata, nulls for unrecognized bytes") {
+    import spark.implicits._
+    val png = Array[Int](
+      0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 64, 0, 0, 0, 32, 8, 2, 0, 0, 0).map(_.toByte)
+    val media = Seq((1L, png), (2L, "garbage-bytes-here!!".getBytes))
+      .toDF("media_id", "media")
+    val out = Multimodal.inspectImages(media, "media", "media_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(2) == "png")
+    assert(out(1L).getInt(3) == 64 && out(1L).getInt(4) == 32 && out(1L).getInt(5) == 24)
+    assert(out(2L).isNullAt(2) && out(2L).isNullAt(3))
+    assert(out(2L).getInt(1) == 20)
+  }
+
   test("sampleFrames explodes n evenly spaced frame stubs per media row") {
     val media = spark.range(3).select(col("id").as("media_id"))
     val out = Multimodal.sampleFrames(media, "media_id", n = 4).collect()
