@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -33,6 +33,7 @@ class ItemsStream extends TableProvider {
     val start = properties.getOrDefault("start", "0").toLong
     val parts = properties.getOrDefault("partitions", "4").toInt
     val fetcherSpec = properties.getOrDefault("fetcher", "http")
+    val maxPerTrigger = Option(properties.get("maxIdsPerTrigger")).map(_.toLong)
     new Table with SupportsRead {
       override def name(): String = s"hn_items_stream[$start+]"
       override def schema(): StructType = ItemsSource.schema
@@ -43,7 +44,7 @@ class ItemsStream extends TableProvider {
           override def build(): Scan = this
           override def readSchema(): StructType = ItemsSource.schema
           override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-            new ItemsMicroBatchStream(start, parts, fetcherSpec)
+            new ItemsMicroBatchStream(start, parts, fetcherSpec, maxPerTrigger)
         }
     }
   }
@@ -54,20 +55,48 @@ final case class IdOffset(id: Long) extends Offset {
 }
 
 final class ItemsMicroBatchStream(start: Long, partitions: Int,
-    fetcherSpec: String) extends MicroBatchStream {
+    fetcherSpec: String, maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private lazy val fetcher = ItemsSource.resolve(fetcherSpec)
 
   override def initialOffset(): Offset = IdOffset(start)
 
-  override def latestOffset(): Offset =
+  /** Admission control (rate limiting): the engine calls
+    * `latestOffset(start, limit)` instead of `latestOffset()` when this
+    * interface is present, and THIS is where a batch may be capped — the
+    * reference's "polite" pacing knob (README.md:8, `--threads`) expressed
+    * as ids-per-trigger. A lagging restart then catches up in bounded
+    * batches instead of one giant fetch of the whole backlog. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val begin = startOffset.asInstanceOf[IdOffset].id
+    val remote = math.max(start, fetcher.latestId())
+    def cap(l: ReadLimit): Long = l match {
+      case rows: ReadMaxRows => math.min(remote, begin + rows.maxRows())
+      case comp: CompositeReadLimit => comp.getReadLimits.map(cap).min
+      case _: ReadAllAvailable => remote
+      case _ => remote
+    }
+    IdOffset(cap(limit))
+  }
+
+  /** True head of the remote feed regardless of the cap (drives the
+    * engine's lag metrics). */
+  override def reportLatestOffset(): Offset =
     IdOffset(math.max(start, fetcher.latestId()))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def deserializeOffset(json: String): Offset = IdOffset(json.toLong)
 
-  // NB: rate limiting must happen in latestOffset (admission control), never
-  // here — the engine has already committed `endOff` as this batch's bound,
-  // so truncating the plan would silently drop ids.
+  // NB: rate limiting happens above in latestOffset (admission control),
+  // never here — the engine has already committed `endOff` as this batch's
+  // bound, so truncating the plan would silently drop ids.
   override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {
     val lo = startOff.asInstanceOf[IdOffset].id + 1
     val hi = endOff.asInstanceOf[IdOffset].id

@@ -50,4 +50,34 @@ class ItemsStreamSpec extends AnyFunSuite {
       assert(store.latestId().contains(8L))
     } finally q.stop()
   }
+
+  test("maxIdsPerTrigger rate-limits batches without losing ids") {
+    val src = new graft.ingest.Fetcher {
+      def fetch(id: Long): Option[String] = if (id <= 10L) Some(item(id)) else None
+      def latestId(): Long = 10L
+    }
+    ItemsSource.registerFake("stream2", src)
+    val batchSizes = scala.collection.mutable.Buffer.empty[Long]
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream.format("graft.sources.ItemsStream")
+      .option("start", "0").option("partitions", "2")
+      .option("fetcher", "fake:stream2")
+      .option("maxIdsPerTrigger", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.select("id").collect().map(_.getLong(0))
+        batchSizes.synchronized { batchSizes += ids.length.toLong; seen ++= ids }
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ms-ckpt2").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen == (1L to 10L).toSet)      // complete, nothing dropped
+      assert(batchSizes.forall(_ <= 3L))      // every batch within the cap
+      assert(batchSizes.count(_ > 0) >= 4)    // 10 ids / 3 per trigger
+    } finally q.stop()
+  }
 }
