@@ -242,30 +242,61 @@ object TextQ {
       .orderBy("doc_id")
   }
 
-  /** q26: 32-bit SimHash signatures — bit-parallel (32 SUM aggregates in one
-    * groupBy, no per-bit explode). */
-  val q26 = {
+  /** Shared CTE chain ending in `sig AS (doc_id[, source], simhash)` — the
+    * bit-parallel SimHash pipeline (used by q26 and q46). */
+  private def simhashCtes(withSource: Boolean): String = {
+    val src = if (withSource) ", source" else ""
     val bitSums = (0 until 32).map(j =>
       s"SUM(((h >> $j) % 2) * cnt) AS b_$j").mkString(",\n              ")
     val sig = (0 until 32).map(j =>
       s"CASE WHEN b_$j * 2 > total THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
-    Q(
-      "q26_simhash",
-      s"""WITH tok AS (SELECT doc_id, w, COUNT(*) AS cnt FROM (
-         |       SELECT doc_id, unnest($sqlToks) AS w FROM documents) GROUP BY 1, 2),
-         |th AS (SELECT doc_id, cnt, ${sqlHash("w")} AS h FROM tok),
-         |bits AS (SELECT doc_id,
-         |              $bitSums,
-         |              CAST(SUM(cnt) AS BIGINT) AS total
-         |         FROM th GROUP BY doc_id)
-         |SELECT doc_id, $sig AS simhash
-         |FROM bits
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
-        .select(col("id").as("doc_id"), col("simhash"))
-        .orderBy("doc_id")
-    }
+    s"""tok AS (SELECT doc_id$src, w, COUNT(*) AS cnt FROM (
+       |       SELECT doc_id$src, unnest($sqlToks) AS w FROM documents) GROUP BY ALL),
+       |th AS (SELECT doc_id$src, cnt, ${sqlHash("w")} AS h FROM tok),
+       |bits AS (SELECT doc_id$src,
+       |              $bitSums,
+       |              CAST(SUM(cnt) AS BIGINT) AS total
+       |         FROM th GROUP BY doc_id$src),
+       |sig AS (SELECT doc_id$src, $sig AS simhash FROM bits)""".stripMargin
+  }
+
+  /** q26: 32-bit SimHash signatures — bit-parallel (32 SUM aggregates in one
+    * groupBy, no per-bit explode). */
+  val q26 = Q(
+    "q26_simhash",
+    s"""WITH ${simhashCtes(withSource = false)}
+       |SELECT doc_id, simhash FROM sig
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** q46: SimHash near-dup pairs within source blocks — byte-banding over
+    * the 32-bit signature (exact recall for hamming ≤ 3 by pigeonhole; we
+    * verify at ≤ 1) + popcount verify. The dedup family's third detector:
+    * exact (q21), Jaccard/MinHash (q22/q25), bit-distance (here). The
+    * synthetic corpus shares one vocabulary, so signatures correlate and
+    * the blocking key is what keeps the candidate volume honest — same
+    * policy knob as q22. */
+  val q46 = Q(
+    "q46_simhash_neardup",
+    s"""WITH ${simhashCtes(withSource = true)},
+       |bands AS (SELECT doc_id, source, simhash, band, (simhash >> (band * 8)) % 256 AS bkey
+       |          FROM sig, UNNEST([0, 1, 2, 3]) AS t(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, x.simhash AS sim_a,
+       |                y.doc_id AS id_b, y.simhash AS sim_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.source = y.source
+       |              AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sim_a, sim_b)) <= 1
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 1, blockCols = Seq("source"))
+      .orderBy("id_a", "id_b")
   }
 
   /** q27: quality scoring — exact-integer metrics (token count, short-token
@@ -309,5 +340,5 @@ object TextQ {
     }
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41)
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46)
 }

@@ -40,6 +40,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L))) // identical shingle sets always share bands
   }
 
+  test("simhashPairs finds hamming-0 rewrites, respects blocking") {
+    val d = Seq(
+      (1L, "alpha beta gamma alpha delta epsilon", "s0"),
+      (2L, "beta alpha alpha gamma epsilon delta", "s0"), // same multiset -> hamming 0
+      (3L, "zeta eta theta iota kappa lambda", "s0"),
+      (4L, "alpha beta gamma alpha delta epsilon", "s1")  // dup of 1, other block
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text",
+      maxHamming = 0, blockCols = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L)) // blocked apart
+  }
+
   test("simhash: identical token multisets equal; disjoint texts differ") {
     val d = Seq((1L, "alpha beta gamma alpha"), (2L, "beta alpha alpha gamma"),
       (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
