@@ -69,8 +69,15 @@ object Similarity {
     foldSum(transform(sequence(lit(1), size(vecd)),
       i => hyperplaneAt(j, i) * element_at(vecd, i)))
 
-  /** 8-bit random-hyperplane LSH bucket of a double vector. */
+  /** 8-bit random-hyperplane LSH bucket of a double vector — the native
+    * codegen'd [[graft.functions.HyperplaneBucket]] (one pass per row);
+    * bitwise-identical to [[hyperplaneBucketPortable]]. */
   def hyperplaneBucket(vecd: Column): Column =
+    graft.functions.HyperplaneBucket(vecd)
+
+  /** Built-ins-only twin of [[hyperplaneBucket]] (8 interpreted HOF folds),
+    * kept as the cross-implementation check. */
+  def hyperplaneBucketPortable(vecd: Column): Column =
     (0 until 8).map(j =>
       when(hyperplaneDot(vecd, j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -152,6 +159,7 @@ object Similarity {
     * exact cosine rerank on candidates only. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int): DataFrame = {
+    graft.functions.HyperplaneBucket.ensureRegistered(df.sparkSession)
     val base = withNorm(df, vecCol)
       .withColumn("bucket", hyperplaneBucket(col("vecd")))
     val q = base.filter(col(idCol) === queryId)

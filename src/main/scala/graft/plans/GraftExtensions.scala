@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MinHashSig(exprs.head)))
     e.injectFunction(fn("vec_dot", classOf[VecDot],
       exprs => VecDot(exprs(0), exprs(1))))
+    e.injectFunction(fn("hyperplane_bucket", classOf[HyperplaneBucket],
+      exprs => HyperplaneBucket(exprs.head)))
     e.injectOptimizerRule(_ => VecDotRewrite)
   }
 }

@@ -31,6 +31,18 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("hyperplane_bucket equals the composed 8-fold HOF form on real vectors") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("vecd", graft.operators.Similarity.vecD(col("embedding")))
+    val diff = emb.select(
+      HyperplaneBucket(col("vecd")).as("a"),
+      graft.operators.Similarity.hyperplaneBucketPortable(col("vecd")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+    val distinctBuckets = emb.select(HyperplaneBucket(col("vecd"))).distinct().count()
+    assert(distinctBuckets > 1) // hashes actually spread the corpus
+  }
+
   test("word_shingle_set equals distinct(word_shingles) as a set, per doc") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val viaSet = docs.select(col("doc_id"),
