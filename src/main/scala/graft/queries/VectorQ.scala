@@ -144,10 +144,38 @@ object VectorQ {
       .orderBy("id_a", "id_b")
   }
 
-  /** q40: IVF-style ANN (rows-only check — the probe/assign pipeline is
-    * SQL-expressible but the oracle would be disproportionate; correctness
-    * is pinned by IvfSpec against the brute-force ranking instead). */
-  val q40 = Q.noOracle("q40_ann_ivf") { (s, dir) =>
+  /** q40: IVF-style ANN — deterministic subsample centroids (vec_id % 50),
+    * nearest-centroid cell assignment (cosine argmax, cent_id tie-break),
+    * probe the query's 3 nearest cells, exact rerank on probed cells only.
+    * The oracle re-derives the ENTIRE pipeline — assignment, probing,
+    * rerank — with the same index-ordered folds, so even the approximate
+    * path is hash-checked (IvfSpec additionally pins recall against the
+    * brute-force ranking). */
+  val q40 = Q(
+    "q40_ann_ivf",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+       |          FROM n WHERE vec_id % 50 = 0),
+       |scored AS (SELECT vec_id, embedding, nrm, cent_id,
+       |                  ${sqlDot("embedding", "cv")} / (nrm * cn) AS cent_cos
+       |           FROM n, cents),
+       |assigned AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+       |probed AS (SELECT cent_id AS cell
+       |           FROM cents, q
+       |           ORDER BY ${sqlDot("cv", "qv")} / (cn * qn) DESC, cent_id
+       |           LIMIT 3)
+       |SELECT vec_id, cell,
+       |       ROUND(${sqlDot("embedding", "qv")} / (nrm * qn), 6) AS cos_r
+       |FROM assigned JOIN probed USING (cell), q
+       |WHERE vec_id <> 0
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryId = 0L, k = 10, centroidEvery = 50, nprobe = 3)
   }
