@@ -1,17 +1,21 @@
 package graft.multimodal
 
-/** Pure-JVM image header parsing: container format + pixel dimensions +
-  * bit depth straight from the leading bytes, no codec libraries. This is
-  * the real metadata-extraction step of a multimodal ingest pipeline (the
-  * pixel DECODE stays stubbed — see [[Multimodal.decodeStub]] — but header
-  * inspection at 100 TB is exactly this: a few branches over the first
-  * bytes of an opaque binary column, no allocation, fully codegen-hostable).
+/** Pure-JVM media header parsing: container format + dimensions/sample
+  * layout + bit depth straight from the leading bytes, no codec libraries.
+  * This is the real metadata-extraction step of a multimodal ingest
+  * pipeline (the pixel/sample DECODE stays stubbed — see
+  * [[Multimodal.decodeStub]] — but header inspection at 100 TB is exactly
+  * this: a few branches over the first bytes of an opaque binary column,
+  * no allocation, fully codegen-hostable).
   *
   * Formats: PNG (IHDR), GIF87a/89a (logical screen descriptor), BMP
-  * (BITMAPINFOHEADER), JPEG (SOF0-SOF15 marker scan). Anything else → None.
+  * (BITMAPINFOHEADER), JPEG (SOF0-SOF15 marker scan), WAV (RIFF fmt
+  * chunk — width carries sample rate, height channel count). Anything
+  * else → None.
   */
 object ImageHeader {
 
+  /** For audio (wav): width = sample rate, height = channels. */
   final case class ImageMeta(format: String, width: Int, height: Int, bitDepth: Int)
 
   def parse(bytes: Array[Byte]): Option[ImageMeta] = {
@@ -20,6 +24,7 @@ object ImageHeader {
     else if (isGif(bytes)) parseGif(bytes)
     else if (isBmp(bytes)) parseBmp(bytes)
     else if (isJpeg(bytes)) parseJpeg(bytes)
+    else if (isWav(bytes)) parseWav(bytes)
     else None
   }
 
@@ -75,6 +80,30 @@ object ImageHeader {
       if (hdrSize < 40) None // BITMAPCOREHEADER not supported
       else Some(ImageMeta("bmp", le32(b, 18), math.abs(le32(b, 22)), le16(b, 28)))
     }
+  }
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** WAV: walk RIFF chunks to "fmt ": channels(2 LE) at +2, sample rate
+    * (4 LE) at +4, bits per sample (2 LE) at +14 within the chunk body. */
+  private def parseWav(b: Array[Byte]): Option[ImageMeta] = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val len = le32(b, i + 4)
+      if (isFmt) {
+        if (len < 16 || i + 8 + 16 > b.length) return None
+        val channels = le16(b, i + 10)
+        val sampleRate = le32(b, i + 12)
+        val bits = le16(b, i + 22)
+        return Some(ImageMeta("wav", sampleRate, channels, bits))
+      }
+      if (len < 0) return None
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    None
   }
 
   private def isJpeg(b: Array[Byte]): Boolean =

@@ -63,6 +63,20 @@ class MultimodalSpec extends AnyFunSuite {
     ).map(_.toByte)
     assert(ImageHeader.parse(jpeg).contains(ImageHeader.ImageMeta("jpeg", 320, 240, 24)))
 
+    // WAV with a junk chunk before fmt (walker must skip it)
+    val wav = ("RIFF".getBytes("ASCII") ++ Array[Int](0, 0, 0, 0).map(_.toByte) ++
+      "WAVE".getBytes("ASCII") ++
+      "junk".getBytes("ASCII") ++ Array[Int](2, 0, 0, 0, 9, 9).map(_.toByte) ++
+      "fmt ".getBytes("ASCII") ++ Array[Int](16, 0, 0, 0).map(_.toByte) ++ Array[Int](
+        1, 0,             // PCM
+        2, 0,             // 2 channels
+        0x44, 0xac, 0, 0, // 44100 Hz
+        0, 0, 0, 0,       // byte rate (unused)
+        4, 0,             // block align (unused)
+        16, 0             // 16 bits/sample
+      ).map(_.toByte))
+    assert(ImageHeader.parse(wav).contains(ImageHeader.ImageMeta("wav", 44100, 2, 16)))
+
     assert(ImageHeader.parse("not an image at all".getBytes).isEmpty)
     assert(ImageHeader.parse(Array.empty[Byte]).isEmpty)
     assert(ImageHeader.parse(null).isEmpty)
