@@ -155,6 +155,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialized IVF index: the corpus written to `dir` PARTITIONED BY its
+    * cell assignment (same deterministic subsample-centroid quantizer as
+    * [[ivfTopK]]). This is the "inverted file" made literal in the storage
+    * layout: each cell is a parquet partition directory, so a probe is
+    * partition PRUNING — the scan never opens unprobed cells' files
+    * (`IvfIndexSpec` pins that on the physical plan). At 100 TB this is the
+    * difference between touching nprobe/k-th of the corpus and all of it.
+    */
+  def ivfWriteIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                    centroidEvery: Int = 137): Unit = {
+    val base = withNorm(df, vecCol)
+    val cents = base.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col("vecd").as("cent_vec"),
+        col("norm").as("cent_norm"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    base.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        cosine(col("vecd"), col("cent_vec"), col("norm"), col("cent_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+    // centroids stored beside the data: the probe reads THIS (tiny), never
+    // the corpus
+    cents.select(col("cent_id").as("cell"), col("cent_vec"), col("cent_norm"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Query the materialized index: rank cells from the (tiny) centroid
+    * sidecar, then exact-rerank ONLY the probed partitions —
+    * `cell IN (...)` prunes at the directory level, so unprobed cells'
+    * files are never opened. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     idCol: String, vecCol: String, queryVec: Seq[Double],
+                     k: Int, nprobe: Int = 2): DataFrame = {
+    graft.functions.VecDot.ensureRegistered(spark)
+    val qlit = array(queryVec.map(lit): _*)
+    val qnorm = math.sqrt(queryVec.map(x => x * x).sum)
+    val probed = spark.read.parquet(s"$dir/centroids")
+      .withColumn("cent_cos", dotD(col("cent_vec"), qlit) / (col("cent_norm") * qnorm))
+      .orderBy(col("cent_cos").desc, col("cell").asc)
+      .limit(nprobe)
+      .select("cell").collect().map(_.getLong(0))
+    spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .withColumn("vecd", vecD(col(vecCol)))
+      .withColumn("norm", normD(col("vecd")))
+      .select(col(idCol), col("cell"),
+        round(dotD(col("vecd"), qlit) / (col("norm") * qnorm), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN top-k: candidates share the query's 8-bit bucket;
     * exact cosine rerank on candidates only. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
