@@ -340,5 +340,65 @@ object TextQ {
     }
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46)
+  /** q47: corpus vocabulary — top-20 tokens by total occurrences with
+    * document frequency (the "term statistics" pass every text pipeline
+    * runs before filtering/weighting). One explode + one two-aggregate
+    * groupBy; the top-k is TakeOrderedAndProject. */
+  val q47 = Q(
+    "q47_vocab_topk",
+    s"""SELECT w, n, df FROM (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM (SELECT doc_id, unnest($sqlToks) AS w FROM documents)
+       |  GROUP BY w)
+       |ORDER BY n DESC, w
+       |LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(20)
+  }
+
+  /** q48: TF-IDF term ranking — top term per document (every 17th doc) by
+    * an EXACT-integer tf-idf surrogate: score_milli = (tf · N · 1000) div
+    * df. Deliberately no ln(): libm log implementations differ across
+    * engines, so a float idf would break bitwise oracle parity; integer
+    * division is monotone in tf/df exactly like tf·log(N/df) for ranking
+    * within a document. df comes from the FULL corpus; tf only from the
+    * selected docs. */
+  val q48 = Q(
+    "q48_tfidf_top_term",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |dfreq AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |          FROM tok GROUP BY w),
+       |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok WHERE doc_id % 17 = 0 GROUP BY doc_id, w),
+       |scored AS (SELECT doc_id, w, tf, df, (tf * n * 1000) // df AS score_milli
+       |           FROM tf JOIN dfreq USING (w), n_docs),
+       |ranked AS (SELECT *, ROW_NUMBER() OVER (
+       |             PARTITION BY doc_id ORDER BY score_milli DESC, w) AS rn
+       |           FROM scored)
+       |SELECT doc_id, w, tf, df, score_milli
+       |FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val dfreq = tok.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tok.filter(col("doc_id") % 17 === 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_milli").desc, col("w"))
+    tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .withColumn("score_milli", expr("(tf * n * 1000) div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "w", "tf", "df", "score_milli")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47, q48)
 }
