@@ -50,4 +50,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"knn missing TakeOrdered:\n$p")
     assert(exchanges <= 1, s"corpus shuffle detected ($exchanges exchanges):\n$p")
   }
+
+  test("MinHash signature stage is map-only — no exchange, codegen'd expression") {
+    import org.apache.spark.sql.functions._
+    Tables.registerViews(spark, dir) // registers minhash_sig
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.MinHashSig(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val p = sig.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"signature stage shuffles:\n$p")
+    // formatted mode marks whole-stage-codegen'd operators with '*'
+    assert(p.contains("* Project"), s"signature stage not codegen'd:\n$p")
+  }
+
+  test("shingle relation needs no exchange (per-doc dedup in the expression)") {
+    val sh = graft.operators.Dedup.shingles(
+      Tables.documents(spark, dir), "doc_id", "text")
+    val p = sh.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), s"shingle relation shuffles:\n$p")
+  }
+
+  test("q47 vocabulary top-k is TakeOrderedAndProject with partial aggregation") {
+    val p = plan("q47_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab top-k sorts globally:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no map-side partial aggregation:\n$p")
+  }
 }
