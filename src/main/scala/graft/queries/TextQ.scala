@@ -400,5 +400,30 @@ object TextQ {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47, q48)
+  /** q49: deterministic train/val split — assignment by polyhash of the
+    * document id (NOT row order or rand(): the split must be reproducible
+    * run-to-run, machine-to-machine, and stable under corpus append, which
+    * only a content/key hash gives). 90/10 by hash mod 100; reported as
+    * per-(lang, split) counts and char volume. */
+  val q49 = Q(
+    "q49_stratified_split",
+    s"""SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM (
+       |  SELECT lang, n_chars,
+       |         CASE WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")} % 100 < 90
+       |              THEN 'train' ELSE 'val' END AS split
+       |  FROM documents)
+       |GROUP BY lang, split
+       |ORDER BY lang, split""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(strHash(col("doc_id").cast("string")) % 100 < 90, lit("train"))
+          .otherwise(lit("val")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47, q48, q49)
 }
