@@ -21,6 +21,7 @@ object Tables {
     graft.functions.WordShingleSet.ensureRegistered(spark)
     graft.functions.MinHashSig.ensureRegistered(spark)
     graft.functions.HyperplaneBucket.ensureRegistered(spark)
+    graft.functions.SimHashSig.ensureRegistered(spark)
     graft.functions.VecDot.ensureRegistered(spark)
     graft.functions.TokenStats.ensureRegistered(spark)
     graft.functions.StopHits.ensureRegistered(spark)

@@ -34,6 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => VecDot(exprs(0), exprs(1))))
     e.injectFunction(fn("hyperplane_bucket", classOf[HyperplaneBucket],
       exprs => HyperplaneBucket(exprs.head)))
+    e.injectFunction(fn("simhash_sig", classOf[SimHashSig],
+      exprs => SimHashSig(exprs.head)))
     e.injectOptimizerRule(_ => VecDotRewrite)
   }
 }

@@ -31,6 +31,15 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("simhash_sig equals the explode+groupBy composed pipeline on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val composed = Dedup.simhashSignaturesPortable(docs, "doc_id", "text")
+    val exprSide = Dedup.simhashSignatures(docs, "doc_id", "text")
+    assert(composed.count() > 0)
+    assert(exprSide.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(exprSide).count() == 0)
+  }
+
   test("hyperplane_bucket equals the composed 8-fold HOF form on real vectors") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .withColumn("vecd", graft.operators.Similarity.vecD(col("embedding")))
