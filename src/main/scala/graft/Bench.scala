@@ -32,9 +32,12 @@ object Bench {
     // late queries degrade 10x.
     // A query that throws is reported as -1 and listed in "errors", never
     // silently timed — a fail-fast regression must not read as a speedup.
+    // min-of-3: the host shows multi-second steal spikes; the minimum is
+    // the reproducible cost of the plan.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = names.map { name =>
       var failed = false
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => failed = true }
@@ -48,7 +51,7 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":2,"agg":"min"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
     spark.stop()
   }
 }

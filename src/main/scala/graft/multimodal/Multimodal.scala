@@ -84,6 +84,43 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB — stands in for a real pixel resize. Deterministic: samples
+    * `outW*outH` bytes from the payload on a fixed stride. A real
+    * deployment swaps only this function. */
+  def resizeStub(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val n = outW * outH
+    val out = new Array[Byte](n)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < n) {
+        out(i) = bytes((i.toLong * bytes.length / n).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Resize pipeline shape: per-partition batched transform emitting the
+    * resized payload plus its new dimensions — downstream schema is fixed
+    * up-front like [[featurize]], so the stub swap is codec-only. */
+  def resize(df: DataFrame, bytesCol: String, idCol: String,
+             outW: Int, outH: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
+      // codec init once per task, as in featurize
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), resizeStub(bytes, outW, outH), outW, outH)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sampling shape: explode a media row into n evenly-spaced frame
     * stubs (id, frame_no, offset_ratio) — the plumbing for video pipelines. */
   def sampleFrames(df: DataFrame, idCol: String, n: Int): DataFrame =

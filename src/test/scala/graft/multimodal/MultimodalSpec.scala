@@ -98,6 +98,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).getInt(1) == 20)
   }
 
+  test("resize emits fixed dims and deterministic payloads") {
+    import spark.implicits._
+    val media = Seq((1L, "some moderately long payload standing in for pixels".getBytes),
+      (2L, Array.empty[Byte])).toDF("media_id", "media")
+    val out = Multimodal.resize(media, "media", "media_id", outW = 4, outH = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Array[Byte]](1).length == 12)
+    assert(out(1L).getInt(2) == 4 && out(1L).getInt(3) == 3)
+    assert(out(2L).getAs[Array[Byte]](1).length == 12) // empty payload still shapes
+    val again = Multimodal.resize(media, "media", "media_id", 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(again(1L) == out(1L).getAs[Array[Byte]](1).toSeq) // deterministic
+  }
+
   test("sampleFrames explodes n evenly spaced frame stubs per media row") {
     val media = spark.range(3).select(col("id").as("media_id"))
     val out = Multimodal.sampleFrames(media, "media_id", n = 4).collect()
