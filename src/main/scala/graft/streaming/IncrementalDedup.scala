@@ -29,7 +29,13 @@ final class IncrementalDedup(spark: SparkSession, root: String) {
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("current")
-  private val schema = StructType(Seq(StructField("bkey", StringType, nullable = false)))
+  // claimant id makes the filter idempotent under micro-batch REPLAY: a
+  // bucket claimed by YOURSELF is not a duplicate, so a re-run of the same
+  // batch after a crash between claim-commit and downstream write keeps
+  // the same rows instead of dropping everything
+  private val schema = StructType(Seq(
+    StructField("bkey", StringType, nullable = false),
+    StructField("claimant", org.apache.spark.sql.types.LongType, nullable = false)))
 
   def init(): Unit = {
     Files.createDirectories(rootPath)
@@ -64,8 +70,9 @@ final class IncrementalDedup(spark: SparkSession, root: String) {
   def filterAndClaim(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
     val previous = new String(Files.readAllBytes(pointer)).trim
     val bands = bandKeys(batch, idCol, textCol).localCheckpoint(true)
-    // dropped: bucket already in the store…
-    val storeDup = bands.join(buckets(), Seq("bkey"), "left_semi").select("id")
+    // dropped: bucket already claimed by SOMEONE ELSE in the store…
+    val storeDup = bands.join(buckets(), "bkey")
+      .filter(col("claimant") =!= col("id")).select("id")
     // …or a smaller id in this batch shares the bucket
     val batchMin = bands.groupBy("bkey").agg(min(col("id")).as("min_id"))
     val batchDup = bands.join(batchMin, "bkey")
@@ -73,7 +80,11 @@ final class IncrementalDedup(spark: SparkSession, root: String) {
     val dropIds = storeDup.unionAll(batchDup).distinct()
     val kept = batch.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .localCheckpoint(true) // materialize BEFORE the snapshot advances
-    val newBuckets = buckets().unionAll(bands.select("bkey")).distinct()
+    // claim: unclaimed buckets get the batch's min id; existing claims win
+    // (first-writer-wins keeps replays stable)
+    val newClaims = bands.groupBy("bkey").agg(min(col("id")).as("claimant"))
+      .join(buckets(), Seq("bkey"), "left_anti")
+    val newBuckets = buckets().unionAll(newClaims)
     val snap = s"snap-${System.nanoTime()}"
     newBuckets.write.mode("overwrite").parquet(rootPath.resolve(snap).toString)
     commitPointer(snap)

@@ -43,6 +43,23 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(dd.filterAndClaim(b3, "doc_id", "text").count() == 0)
   }
 
+  test("replaying a batch (foreachBatch retry) keeps the same rows") {
+    val dd = new IncrementalDedup(spark,
+      Files.createTempDirectory("graft-inc-dedup-replay").toString)
+    dd.init()
+    val b = Seq(
+      (1L, base),
+      (2L, base), // intra-batch dup of 1
+      (3L, "completely different words compose this other sentence here now ok")
+    ).toDF("doc_id", "text")
+    val first = dd.filterAndClaim(b, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val replay = dd.filterAndClaim(b, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(1L, 3L))
+    assert(replay == first) // idempotent: own claims don't count as dups
+  }
+
   test("docs with no shingles (< 3 tokens) pass through") {
     val dd = new IncrementalDedup(spark,
       Files.createTempDirectory("graft-inc-dedup2").toString)
