@@ -38,7 +38,8 @@ object TreeExpand {
       idCol: String = "id",
       parentCol: String = "parent",
       maxDepth: Int = 1000,
-      levelsPerRound: Int = 4): DataFrame = {
+      levelsPerRound: Int = 4,
+      useBroadcast: Boolean = true): DataFrame = {
     require(levelsPerRound >= 1, "levelsPerRound must be >= 1")
     val childOf = edges
       .select(col(idCol).as("_id"), col(parentCol).as("_parent"))
@@ -53,8 +54,10 @@ object TreeExpand {
       // broadcasting them would force per-level materialization jobs back in
       val keyed = level.select(col("_id").as("_pid"), col("_root"),
         col("_depth"), col("_path"))
+      val probe = if (bcast && useBroadcast) broadcast(keyed)
+                  else keyed.hint("shuffle_hash")
       childOf
-        .join(if (bcast) broadcast(keyed) else keyed, col("_parent") === col("_pid"))
+        .join(probe, col("_parent") === col("_pid"))
         .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
           concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
     }
