@@ -34,7 +34,8 @@ object Bench {
     // silently timed — a fail-fast regression must not read as a speedup.
     // min-of-3: the host shows multi-second steal spikes; the minimum is
     // the reproducible cost of the plan.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     val results = names.map { name =>
       var failed = false
       val times = (1 to reps).map { _ =>

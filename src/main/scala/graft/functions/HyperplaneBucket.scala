@@ -35,12 +35,20 @@ case class HyperplaneBucket(child: Expression) extends UnaryExpression {
           s"hyperplane_bucket requires ARRAY<DOUBLE> input, got ${t.catalogString}")
     }
 
+  /** True when the schema admits null elements — compute() then checks
+    * per row (a null element nulls every projection in the portable HOF
+    * form, leaving every bit unset: bucket 0). */
+  private def elementsMayBeNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def nullSafeEval(input: Any): Any =
-    HyperplaneBucket.compute(input.asInstanceOf[ArrayData])
+    HyperplaneBucket.compute(input.asInstanceOf[ArrayData], elementsMayBeNull)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneBucket.compute($c)")
+      s"graft.functions.HyperplaneBucket.compute($c, $elementsMayBeNull)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
@@ -51,12 +59,21 @@ case class HyperplaneBucket(child: Expression) extends UnaryExpression {
 object HyperplaneBucket {
   val Bits = 8
 
-  def compute(v: ArrayData): Long = {
+  def compute(v: ArrayData, checkNulls: Boolean): Long = {
     val p = TextAnalysis.P
     val pd = p.toDouble
     val a = TextAnalysis.MinhashA
     val b = TextAnalysis.MinhashB
     val n = v.numElements()
+    if (checkNulls) {
+      var i = 0
+      while (i < n) {
+        // null element => every projection NULL in the composed form =>
+        // no bit passes `> 0` => bucket 0
+        if (v.isNullAt(i)) return 0L
+        i += 1
+      }
+    }
     var bucket = 0L
     var j = 0
     while (j < Bits) {

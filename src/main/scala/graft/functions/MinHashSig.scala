@@ -59,7 +59,7 @@ object MinHashSig {
 
   /** Null iff the text yields no shingles (< 3 tokens). */
   def compute(s: String): ArrayData = {
-    val toks = s.trim.split("\\s+")
+    val toks = TextAnalysis.jvmTokens(s)
     val n = WordShingles.N
     if (toks.length < n) return null
     val p = TextAnalysis.P

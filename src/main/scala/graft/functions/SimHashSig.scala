@@ -49,7 +49,7 @@ object SimHashSig {
   def compute(s: String): Long = {
     // NB: "".split on an empty/blank string yields one "" token, exactly
     // like split(trim(text), "\s+") — empty docs get the hash-of-"" vote
-    val toks = s.trim.split("\\s+")
+    val toks = TextAnalysis.jvmTokens(s)
     val bitSums = new Array[Long](Bits)
     var total = 0L
     var t = 0

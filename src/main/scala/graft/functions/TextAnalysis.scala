@@ -20,6 +20,21 @@ object TextAnalysis {
   /** Whitespace tokenization, the reference point for all token-level ops. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** JVM twin of [[tokens]] with EXACT Spark/DuckDB semantics, shared by
+    * every codegen'd expression that tokenizes. Two traps make the obvious
+    * `s.trim.split("\\s+")` wrong: Java trim strips all chars ≤ U+0020
+    * while Spark/DuckDB trim strip only spaces, and Java split's default
+    * limit drops trailing empty tokens while Spark/DuckDB keep them — so
+    * `"foo bar\n"` must tokenize as `[foo, bar, ""]`, not `[foo, bar]`.
+    */
+  def jvmTokens(s: String): Array[String] = {
+    var lo = 0
+    var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s.substring(lo, hi).split("\\s+", -1)
+  }
+
   /** Deterministic Java-style 31-polynomial string hash mod [[P]], computed
     * over code points — the native codegen'd [[PolyHash]] expression.
     * Oracle twin: DuckDB `list_reduce` (see `graft.queries.TextQ.sqlHash`).

@@ -44,7 +44,7 @@ object TokenStats {
     StructField("short_tokens", LongType, nullable = false)))
 
   def compute(s: String): InternalRow = {
-    val toks = s.trim.split("\\s+")
+    val toks = TextAnalysis.jvmTokens(s)
     var sum = 0L
     var short = 0L
     var i = 0
@@ -104,7 +104,7 @@ case class StopHits(child: Expression, words: Seq[String])
 
 object StopHits {
   def compute(s: String, set: java.util.HashSet[String]): Long = {
-    val toks = s.trim.split("\\s+")
+    val toks = TextAnalysis.jvmTokens(s)
     var n = 0L
     var i = 0
     while (i < toks.length) {

@@ -48,7 +48,7 @@ case class WordShingleSet(child: Expression) extends UnaryExpression {
 object WordShingleSet {
 
   def compute(s: String): ArrayData = {
-    val toks = s.trim.split("\\s+")
+    val toks = TextAnalysis.jvmTokens(s)
     val n = WordShingles.N
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {

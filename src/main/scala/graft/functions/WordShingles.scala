@@ -43,7 +43,7 @@ object WordShingles {
   val N = 3
 
   def compute(s: String): ArrayData = {
-    val toks = s.trim.split("\\s+")
+    val toks = TextAnalysis.jvmTokens(s)
     if (toks.length < N) new GenericArrayData(Array.empty[Any])
     else {
       val out = new Array[Any](toks.length - N + 1)

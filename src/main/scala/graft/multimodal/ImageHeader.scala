@@ -89,18 +89,20 @@ object ImageHeader {
   /** WAV: walk RIFF chunks to "fmt ": channels(2 LE) at +2, sample rate
     * (4 LE) at +4, bits per sample (2 LE) at +14 within the chunk body. */
   private def parseWav(b: Array[Byte]): Option[ImageMeta] = {
-    var i = 12
+    // Long cursor: a crafted chunk length near Int.MaxValue would wrap an
+    // Int cursor negative, pass the loop guard, and crash the scan
+    var i = 12L
     while (i + 8 <= b.length) {
-      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-      val len = le32(b, i + 4)
+      val p = i.toInt
+      val isFmt = b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' '
+      val len = le32(b, p + 4).toLong & 0xffffffffL // RIFF sizes are unsigned
       if (isFmt) {
-        if (len < 16 || i + 8 + 16 > b.length) return None
-        val channels = le16(b, i + 10)
-        val sampleRate = le32(b, i + 12)
-        val bits = le16(b, i + 22)
+        if (len < 16 || p + 8 + 16 > b.length) return None
+        val channels = le16(b, p + 10)
+        val sampleRate = le32(b, p + 12)
+        val bits = le16(b, p + 22)
         return Some(ImageMeta("wav", sampleRate, channels, bits))
       }
-      if (len < 0) return None
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
     None

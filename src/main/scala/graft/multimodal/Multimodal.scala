@@ -90,7 +90,7 @@ object Multimodal {
   def resizeStub(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
     val n = outW * outH
     val out = new Array[Byte](n)
-    if (bytes.nonEmpty) {
+    if (bytes != null && bytes.nonEmpty) {
       var i = 0
       while (i < n) {
         out(i) = bytes((i.toLong * bytes.length / n).toInt)

@@ -30,10 +30,14 @@ object Components {
     * materialization. */
   def of(edges: DataFrame, aCol: String, bCol: String,
          maxRounds: Int = 50, driverThreshold: Long = 1000000L): DataFrame = {
+    // materialize once: the size gate would otherwise evaluate the (often
+    // expensive — LSH pair generation) edge plan twice, once for count and
+    // once for collect/propagation
     val pairs = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
     if (pairs.count() <= driverThreshold) return driverUnionFind(pairs)
     val sym = pairs
-      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 

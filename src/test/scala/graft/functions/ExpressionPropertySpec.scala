@@ -25,8 +25,11 @@ class ExpressionPropertySpec extends AnyFunSuite {
 
   private def samples(n: Int): Seq[String] =
     (0 until n).flatMap(i =>
-      textGen.apply(Gen.Parameters.default, Seed(i.toLong))) :+ "" :+ "   " :+
-      "one two" :+ "a b c a b c a b c"
+      textGen.apply(Gen.Parameters.default, Seed(i.toLong))) ++ Seq(
+      "", "   ", "one two", "a b c a b c a b c",
+      // leading/trailing non-space whitespace: Java trim/split semantics
+      // diverge from Spark/DuckDB here — these pin the jvmTokens fix
+      "foo bar\n", "\tfoo bar baz", "a b c \n", " x\ty z\n\n", "\n", "\t\t")
 
   private def strings(a: ArrayData): Seq[String] =
     (0 until a.numElements()).map(i =>
@@ -53,7 +56,7 @@ class ExpressionPropertySpec extends AnyFunSuite {
 
   test("simhash_sig == majority vote over per-instance token hash bits") {
     samples(300).foreach { s =>
-      val toks = s.trim.split("\\s+").toSeq // same tokenizer, incl. [""] for blank
+      val toks = TextAnalysis.jvmTokens(s).toSeq // Spark-semantics tokenizer
       val hs = toks.map(PolyHash.hash)
       val total = hs.length
       var expected = 0L
@@ -85,6 +88,12 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
     graft.multimodal.ImageHeader.parse(
       Array(0xff, 0xd8, 0xff, 0x01, 0x00, 0x00).map(_.toByte)) // zero-len marker
+    // crafted WAV chunk length near Int.MaxValue: must return None, not
+    // wrap the cursor negative and crash
+    val evil = "RIFF".getBytes("ASCII") ++ Array.fill(4)(0.toByte) ++
+      "WAVE".getBytes("ASCII") ++ "junk".getBytes("ASCII") ++
+      Array(0xf0, 0xff, 0xff, 0x7f).map(_.toByte) ++ Array.fill(30)(0x41.toByte)
+    assert(graft.multimodal.ImageHeader.parse(evil).isEmpty)
     ()
   }
 }

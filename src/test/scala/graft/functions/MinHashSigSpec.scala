@@ -52,6 +52,31 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(distinctBuckets > 1) // hashes actually spread the corpus
   }
 
+  test("native expressions match portable forms on adversarial whitespace") {
+    import spark.implicits._
+    // leading/trailing tabs & newlines: Java trim/split diverge from
+    // Spark/DuckDB tokenization here — jvmTokens must not
+    val docs = Seq((1L, "foo bar baz\n"), (2L, "\tfoo bar baz qux"),
+      (3L, "a b c \n"), (4L, " x\ty z w\n\n"), (5L, "\n"), (6L, "plain one two three"))
+      .toDF("doc_id", "text")
+    val simN = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val simP = Dedup.simhashSignaturesPortable(docs, "doc_id", "text")
+    assert(simN.exceptAll(simP).count() == 0 && simP.exceptAll(simN).count() == 0)
+    val mhN = docs.select(col("doc_id").as("id"), MinHashSig(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id") +: (0 until MinHashSig.K).map(k =>
+        col("sig").getItem(k).as(s"sig_$k")): _*)
+    val mhP = Dedup.minhashSignatures(docs, "doc_id", "text")
+    assert(mhN.exceptAll(mhP).count() == 0 && mhP.exceptAll(mhN).count() == 0)
+  }
+
+  test("hyperplane_bucket with a null element matches the portable form (0)") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      "SELECT hyperplane_bucket(array(1.0d, CAST(NULL AS DOUBLE), 3.0d))").head
+    assert(r.getLong(0) == 0L) // composed form: all projections NULL -> no bit set
+  }
+
   test("word_shingle_set equals distinct(word_shingles) as a set, per doc") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val viaSet = docs.select(col("doc_id"),
