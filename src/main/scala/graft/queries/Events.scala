@@ -142,5 +142,46 @@ object Events {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(q12, q13, q14, q15, q16, q17)
+  /** q50: conversion funnel — per user, the first view, the first click
+    * strictly after it, the first purchase strictly after that; counts per
+    * stage. Each stage is one aggregate + one join keyed on user_id (all
+    * three stages reuse the same key partitioning; no windows, no
+    * per-user explode). Timestamps are compared, never output — both
+    * engines truncate the nanos parquet to microseconds identically. */
+  val q50 = Q(
+    "q50_funnel",
+    """WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+      |SELECT stage, n_users FROM (
+      |  SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+      |  UNION ALL
+      |  SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM c
+      |  UNION ALL
+      |  SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    def firstAfter(tpe: String, prev: org.apache.spark.sql.DataFrame,
+                   prevCol: String, outCol: String) =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevCol))
+        .groupBy("user_id").agg(min(col("ts")).as(outCol))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = firstAfter("click", v, "t_view", "t_click")
+    val p = firstAfter("purchase", c, "t_click", "t_buy")
+    val count = (df: org.apache.spark.sql.DataFrame, stage: String) =>
+      df.agg(count_distinct(col("user_id")).as("n_users"))
+        .select(lit(stage).as("stage"), col("n_users"))
+    count(v, "view").unionAll(count(c, "click")).unionAll(count(p, "purchase"))
+      .orderBy("stage")
+  }
+
+  val all: Seq[Q] = Seq(q12, q13, q14, q15, q16, q17, q50)
 }
