@@ -131,9 +131,11 @@ object TextQ {
          |)
          |GROUP BY actual, predicted
          |ORDER BY actual, predicted""".stripMargin) { (s, dir) =>
+      graft.functions.LangScores.ensureRegistered(s)
+      val ls = graft.functions.LangScores(col("text"))
       val scored = Tables.documents(s, dir)
-        .select(col("lang").as("actual") +: Stopwords.map { case (l, words) =>
-          graft.functions.StopHits(col("text"), words).as(s"s_$l")
+        .select(col("lang").as("actual") +: Stopwords.map { case (l, _) =>
+          ls.getField(s"s_$l").as(s"s_$l")
         }: _*)
       val anyHit = langs.map(l => col(s"s_$l") > 0).reduce(_ || _)
       val argmaxCol = langs.zipWithIndex.foldRight(lit(langs.last)) {

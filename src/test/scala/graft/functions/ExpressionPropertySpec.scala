@@ -74,6 +74,18 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lang_scores fields == StopHits per language, one pass") {
+    samples(200).foreach { s =>
+      val row = LangScores.compute(s)
+      TextAnalysis.Stopwords.zipWithIndex.foreach { case ((_, words), k) =>
+        val set = new java.util.HashSet[String]()
+        words.foreach(set.add)
+        assert(row.getLong(k) == StopHits.compute(s, set),
+          s"lang_scores mismatch (lang #$k) on: ${s.take(60)}")
+      }
+    }
+  }
+
   test("header parsers never throw on arbitrary bytes") {
     val byteGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
     (0 until 500).foreach { i =>
