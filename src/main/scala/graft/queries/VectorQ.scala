@@ -180,5 +180,43 @@ object VectorQ {
       queryId = 0L, k = 10, centroidEvery = 50, nprobe = 3)
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40)
+  /** q51: per-label top-3 vectors by L2 norm through the typed [[graft
+    * .operators.TopKAgg]] Aggregator — the custom-UDAF tier under the
+    * oracle gate. The aggregator ships ≤ k rows per group per partition
+    * (map-side partial agg, no global sort); the oracle re-ranks with a
+    * window, proving the bounded-buffer path returns exactly the window's
+    * answer. Norms fold index-ordered, so scores agree bitwise. */
+  val q51 = Q(
+    "q51_topk_agg",
+    s"""WITH n AS (SELECT label, vec_id,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |r AS (SELECT label, vec_id, nrm,
+       |             ROW_NUMBER() OVER (
+       |               PARTITION BY label ORDER BY nrm DESC, vec_id) AS rank
+       |      FROM n)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(rank AS BIGINT) AS rank,
+       |       vec_id, ROUND(nrm, 6) AS norm_r
+       |FROM r WHERE rank <= 3
+       |ORDER BY label, rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val base = Similarity.withNorm(Tables.embeddings(s, dir), "embedding")
+      .select(col("label").cast("long").as("label"), col("vec_id"), col("norm"))
+      .as[(Long, Long, Double)]
+    val agg = graft.operators.TopKAgg.topK[(Long, Long, Double)](3) {
+      case (_, id, nrm) => (nrm, id)
+    }
+    base.groupByKey(_._1).agg(agg.toColumn.name("top"))
+      .flatMap { case (label, entries) =>
+        entries.zipWithIndex.map { case ((nrm, id), i) =>
+          (label, (i + 1).toLong, id, nrm)
+        }
+      }
+      .toDF("label", "rank", "vec_id", "norm")
+      .select(col("label"), col("rank"), col("vec_id"),
+        round(col("norm"), 6).as("norm_r"))
+      .orderBy("label", "rank")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51)
 }
