@@ -183,5 +183,38 @@ object Events {
       .orderBy("stage")
   }
 
-  val all: Seq[Q] = Seq(q12, q13, q14, q15, q16, q17, q50)
+  /** q52: weekly cohort retention — users grouped by the week of their
+    * first signup, counted as active in each later week they produced any
+    * event. Week index = days-since-epoch-start div 7 (integer arithmetic,
+    * no date_trunc — engine week-start conventions can differ; div can't).
+    */
+  val q52 = Q(
+    "q52_retention_cohorts",
+    """WITH wk AS (SELECT user_id, event_type,
+      |                   CAST(date_diff('day', DATE '2024-01-01',
+      |                                  CAST(ts AS DATE)) AS BIGINT) // 7 AS w
+      |            FROM events),
+      |su AS (SELECT user_id, MIN(w) AS cohort FROM wk
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |act AS (SELECT DISTINCT user_id, w FROM wk)
+      |SELECT cohort, (w - cohort) AS week_offset,
+      |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      |FROM act JOIN su USING (user_id)
+      |WHERE w >= cohort
+      |GROUP BY cohort, week_offset
+      |ORDER BY cohort, week_offset""".stripMargin) { (s, dir) =>
+    val wk = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7").as("w"))
+    val su = wk.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("w")).as("cohort"))
+    val act = wk.select("user_id", "w").distinct()
+    act.join(su, "user_id")
+      .filter(col("w") >= col("cohort"))
+      .groupBy(col("cohort"), (col("w") - col("cohort")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  val all: Seq[Q] = Seq(q12, q13, q14, q15, q16, q17, q50, q52)
 }
