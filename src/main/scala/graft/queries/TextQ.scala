@@ -427,5 +427,34 @@ object TextQ {
       .orderBy("lang", "split")
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47, q48, q49)
+  /** q53: deterministic per-source sample — the 3 docs per source with the
+    * smallest polyhash(doc_id), i.e. reproducible uniform-ish subsampling
+    * keyed on content identity (rand()/TABLESAMPLE give a different corpus
+    * every run and every partitioning; a hash rank never does). The same
+    * pattern scales to weighted sampling by scaling the hash. */
+  val q53 = Q(
+    "q53_hash_sample",
+    s"""WITH h AS (SELECT source, doc_id,
+       |                  ${sqlHash("CAST(doc_id AS VARCHAR)")} AS hv
+       |           FROM documents),
+       |r AS (SELECT source, doc_id, hv,
+       |             ROW_NUMBER() OVER (
+       |               PARTITION BY source ORDER BY hv, doc_id) AS rn
+       |      FROM h)
+       |SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, hv
+       |FROM r WHERE rn <= 3
+       |ORDER BY source, rn""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("hv"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        strHash(col("doc_id").cast("string")).as("hv"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("source", "rn", "doc_id", "hv")
+      .orderBy("source", "rn")
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
+    q48, q49, q53)
 }
