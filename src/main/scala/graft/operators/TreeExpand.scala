@@ -62,15 +62,31 @@ object TreeExpand {
           concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
     }
 
-    var frontier = roots
+    val spark = edges.sparkSession
+    val frontier0 = roots
       .select(col(idCol).as("_id"))
       .distinct()
       .select(col("_id"), col("_id").as("_root"), lit(0).as("_depth"),
         col("_id").cast("string").as("_path"))
-      .localCheckpoint()
+
+    // Broadcast mode keeps the frontier on the DRIVER between rounds: the
+    // frontier must fit in a broadcast anyway, so collecting it makes the
+    // emptiness check free and turns the join side into a local relation
+    // (broadcast build without a cluster job) — 2 jobs per round
+    // (materialize + frontier fetch) instead of 3. The useBroadcast=false
+    // path never collects and is the wide-frontier fallback.
+    var frontierRows = frontier0.collect()
+    val frontierSchema = frontier0.schema
+    def localFrontier() = spark.createDataFrame(
+      java.util.Arrays.asList(frontierRows: _*), frontierSchema)
+
+    var frontier: DataFrame = if (useBroadcast) localFrontier() else
+      frontier0.localCheckpoint()
     var acc = frontier
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    def frontierEmpty: Boolean =
+      if (useBroadcast) frontierRows.isEmpty else frontier.isEmpty
+    while (depth < maxDepth && !frontierEmpty) {
       val rounds = math.min(levelsPerRound, maxDepth - depth)
       var levels = List(step(frontier, bcast = true))
       (2 to rounds).foreach { _ => levels = step(levels.head, bcast = false) :: levels }
@@ -80,10 +96,15 @@ object TreeExpand {
         .coalesce(8)
         .localCheckpoint()
       depth += rounds
-      frontier = batch.filter(col("_depth") === depth)
+      if (useBroadcast) {
+        frontierRows = batch.filter(col("_depth") === depth).collect()
+        frontier = localFrontier()
+      } else {
+        frontier = batch.filter(col("_depth") === depth)
+      }
       acc = acc.unionAll(batch)
     }
-    if (!frontier.isEmpty) {
+    if (!frontierEmpty) {
       childOf.unpersist(blocking = false)
       throw new IllegalStateException(
         s"TreeExpand did not converge within maxDepth=$maxDepth — " +
