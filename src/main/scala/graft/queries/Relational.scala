@@ -279,5 +279,36 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+  /** q54: two-dimension star join — lineitem fact against the part and
+    * supplier(→nation) dimensions, discounted revenue per (brand, nation).
+    * Dimensions broadcast; the fact table never shuffles for them, only
+    * for the final two-key aggregate. Exercises the part/supplier tables
+    * (every driver-generated table is now under the oracle gate). */
+  val q54 = Q(
+    "q54_brand_supplier_revenue",
+    """SELECT p_brand, n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_c4,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_size <= 15
+      |GROUP BY p_brand, n_name
+      |ORDER BY p_brand, n_name""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val part = broadcast(Tables.part(s, dir).filter(col("p_size") <= 15))
+    val supp = broadcast(Tables.supplier(s, dir))
+    val nation = broadcast(Tables.nation(s, dir))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nation, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("p_brand", "n_name")
+      .agg(sum(scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        .as("revenue_c4"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand", "n_name")
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q54)
 }
