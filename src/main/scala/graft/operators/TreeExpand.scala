@@ -25,11 +25,11 @@ object TreeExpand {
     * @param roots one column `idCol`: the subtree roots to expand (included
     *              in the output at depth 0)
     * @param levelsPerRound BFS levels expanded inside ONE physical plan per
-    *              driver round. Each round costs a fixed ~3 jobs (broadcast
-    *              build, materialize, emptiness probe) regardless of how
-    *              many levels it covers, so batching divides the dominant
-    *              driver-scheduling cost by the batch size; Catalyst's
-    *              exchange reuse keeps the chained joins linear.
+    *              driver round. Each round costs a fixed ~2 jobs
+    *              (materialize batch, fetch next frontier) regardless of
+    *              how many levels it covers, so batching divides the
+    *              dominant driver-scheduling cost by the batch size;
+    *              Catalyst's exchange reuse keeps the chained joins linear.
     * @return (id, root, depth: int, path: string "root/…/id")
     */
   def expand(
