@@ -20,6 +20,12 @@ import graft.streaming.LivestreamRunner
   *   livestream   --db DIR [--max_items N] [--commit_period N]
   *   html_render  --db DIR --ids 1,2,3 [--output TEMPLATE]   ({id} substituted)
   *
+  * plus the engine's analytics surface beyond the reference:
+  *
+  *   query        --name qNN_xxx [--sf DIR] [--out DIR] [--limit N]
+  *                runs any registered query; writes parquet to --out or
+  *                prints the first N rows
+  *
   * `--fetcher http|fake:KEY` selects the transport (http needs egress).
   */
 object Cli {
@@ -52,6 +58,7 @@ object Cli {
     ItemsSource.resolve(opt(rest, "fetcher").getOrElse("http"))
 
   def run(spark: SparkSession, cmd: String, rest: Array[String]): Unit = {
+    if (cmd == "query") { runQuery(spark, rest); return }
     val db = opt(rest, "db").getOrElse(sys.error("--db required"))
     val store = new ItemStore(spark, db)
     val threads = opt(rest, "threads").map(_.toInt).getOrElse(4)
@@ -114,6 +121,24 @@ object Cli {
         }
 
       case other => sys.error(s"unknown command: $other")
+    }
+  }
+
+  private def runQuery(spark: SparkSession, rest: Array[String]): Unit = {
+    val name = opt(rest, "name").getOrElse(
+      sys.error("--name required; available: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; available: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
+    val sf = opt(rest, "sf").getOrElse("/root/testdata/sf0.01")
+    val df = fn(spark, sf)
+    opt(rest, "out") match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(dir)
+        println(s"[query] $name -> $dir (${spark.read.parquet(dir).count()} rows)")
+      case None =>
+        df.show(opt(rest, "limit").map(_.toInt).getOrElse(20), truncate = false)
     }
   }
 }

@@ -40,4 +40,17 @@ class CliSpec extends AnyFunSuite {
     assert(html.contains("""<div class="comment" id="2">"""))
     assert(html.contains("""<div class="comment" id="3">"""))
   }
+
+  test("query verb runs a registered query and writes parquet") {
+    val out = Files.createTempDirectory("graft-cli-query").toString + "/res"
+    Cli.run(spark, "query", Array("--name", "q01_pricing_summary",
+      "--sf", "/root/testdata/sf0.001", "--out", out))
+    val res = spark.read.parquet(out)
+    assert(res.count() > 0)
+    assert(res.columns.contains("l_returnflag"))
+    val e = intercept[RuntimeException] {
+      Cli.run(spark, "query", Array("--name", "nope"))
+    }
+    assert(e.getMessage.contains("unknown query"))
+  }
 }
