@@ -1,7 +1,5 @@
 package graft.store
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,12 +10,13 @@ import graft.schema.Item
   * semantics (SURVEY.md S6-S8; `/root/reference/hnarchive.py:197-290`).
   *
   * Plain parquet has no MERGE, so a merge writes a new snapshot directory
-  * and atomically swaps a `current` pointer file — the batch analog of the
-  * reference's per-200-row transactional commit (hnarchive.py:255-262).
-  * Upsert column asymmetry mirrors `insert_item` (hnarchive.py:231-246):
-  * incoming NULL keeps the stored value for author/text/poll/url/score/
-  * title; flags, parent, descendants, type and time always overwrite;
-  * `retrieved` always refreshes. Tombstones never delete (README.md:18).
+  * and atomically swaps a `current` pointer file (see [[Snapshots]]) — the
+  * batch analog of the reference's per-200-row transactional commit
+  * (hnarchive.py:255-262). Upsert column asymmetry mirrors `insert_item`
+  * (hnarchive.py:231-246): incoming NULL keeps the stored value for
+  * author/text/poll/url/score/title; flags, parent, descendants, type and
+  * time always overwrite; `retrieved` always refreshes. Tombstones never
+  * delete (README.md:18).
   *
   * Scale: the merge is one key-shuffle full-outer join (broadcast when the
   * batch is small); snapshots are written partitioned-by nothing here but
@@ -26,8 +25,7 @@ import graft.schema.Item
   */
 final class ItemStore(spark: SparkSession, root: String) {
 
-  private val rootPath: Path = Paths.get(root)
-  private val pointer: Path = rootPath.resolve("current")
+  private val snaps = new Snapshots(spark, root, Item.schema)
 
   /** Reference column groups (hnarchive.py:231-246). */
   val coalesceCols: Seq[String] = Seq("author", "text", "poll", "url", "score", "title")
@@ -35,51 +33,19 @@ final class ItemStore(spark: SparkSession, root: String) {
     Seq("deleted", "type", "time", "dead", "parent", "descendants", "retrieved")
 
   /** S6 `init_db`: create an empty snapshot iff absent (idempotent). */
-  def init(): Unit = {
-    Files.createDirectories(rootPath)
-    if (!Files.exists(pointer)) {
-      val snap = rootPath.resolve("snap-0").toString
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Item.schema).write.mode("overwrite").parquet(snap)
-      commitPointer("snap-0")
-    }
-  }
+  def init(): Unit = snaps.init()
 
-  def current(): DataFrame =
-    spark.read.schema(Item.schema).parquet(currentSnapDir)
-
-  private def currentSnapDir: String =
-    rootPath.resolve(new String(Files.readAllBytes(pointer)).trim).toString
-
-  private def commitPointer(snap: String): Unit = {
-    val tmp = rootPath.resolve("current.tmp")
-    Files.write(tmp, snap.getBytes)
-    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  def current(): DataFrame = snaps.read()
 
   /** S7/S8: merge a normalized item batch into the store and commit a new
     * snapshot. Idempotent by id (re-merging the same batch is a no-op
     * modulo `retrieved`). */
   def merge(batch: DataFrame): Unit = {
-    val previous = new String(Files.readAllBytes(pointer)).trim
     val merged = Merge.upsert(current(), batch, "id", coalesceCols, overwriteCols,
         precedenceCols = Seq("retrieved"))
       .select(Item.schema.fieldNames.toIndexedSeq.map(col): _*)
-    val snap = s"snap-${System.nanoTime()}"
-    merged.write.mode("overwrite").parquet(rootPath.resolve(snap).toString)
-    commitPointer(snap)
-    // GC the superseded snapshot once the swap is durable — otherwise every
-    // merge retains a full store copy (quadratic disk growth over a stream)
-    deleteRecursively(rootPath.resolve(previous))
+    snaps.replace(merged)
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-    }
 
   /** A1 `select_latest_id` (hnarchive.py:285-290): resume offset. */
   def latestId(): Option[Long] =
