@@ -114,4 +114,93 @@ object TreeExpand {
     acc.select(col("_id").as(idCol), col("_root").as("root"),
       col("_depth").as("depth"), col("_path").as("path"))
   }
+
+  /** Pointer-doubling expansion: identical output contract to [[expand]]
+    * in O(log depth) rounds instead of O(depth / levelsPerRound).
+    *
+    * Every node tracks (ptr, dist, seg): its current known ancestor, the
+    * distance to it, and the path from just below that ancestor down to
+    * itself. Each round contracts chains by joining every unfinished node
+    * to its ancestor's state — ptr jumps 2^k parents per round. The chosen
+    * roots act as cut points (their ptr starts null), so chains terminate
+    * at the nearest chosen root; nodes whose chains end elsewhere are
+    * outside the requested subtrees and drop out.
+    *
+    * Trade-off vs BFS: every round self-joins the WHOLE node table (the
+    * frontier trick doesn't apply), so for shallow trees — HN comment
+    * threads — the BFS is cheaper. This is the deep-chain fallback: depth
+    * 10^3 costs 10 rounds instead of 250. Because it computes globally, it
+    * also fails loud on cyclic edges ANYWHERE in the table, where the BFS
+    * only trips on cycles reachable from the chosen roots. */
+  def expandByDoubling(
+      edges: DataFrame,
+      roots: DataFrame,
+      idCol: String = "id",
+      parentCol: String = "parent",
+      maxDepth: Int = 1000): DataFrame = {
+    val idType = edges.schema(idCol).dataType
+    val rootSet = roots.select(col(idCol).as("_rid")).distinct()
+      .localCheckpoint(true)
+    // State per node: _ptr  = current jump target (null ⟺ chain resolved)
+    //                 _term = terminal node once resolved (a cut point:
+    //                         chosen root, or a real root — filtered later)
+    //                 _dist = distance to _ptr (unresolved) / _term (resolved)
+    //                 _seg  = path ids from just below the anchor to _id;
+    //                         final path = _term "/" _seg (or _seg at dist 0)
+    var state = edges
+      .select(col(idCol).as("_id"), col(parentCol).as("_parent"))
+      .join(broadcast(rootSet), col("_id") === col("_rid"), "left")
+      .select(col("_id"),
+        when(col("_rid").isNotNull || col("_parent").isNull,
+          lit(null).cast(idType)).otherwise(col("_parent")).as("_ptr"),
+        when(col("_rid").isNotNull || col("_parent").isNull, col("_id"))
+          .otherwise(lit(null).cast(idType)).as("_term"),
+        when(col("_rid").isNotNull || col("_parent").isNull, lit(0))
+          .otherwise(lit(1)).as("_dist"),
+        col("_id").cast("string").as("_seg"))
+      .localCheckpoint(true)
+    var rounds = 0
+    val maxRounds = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDepth.toLong))
+    var open = state.filter(col("_ptr").isNotNull).count()
+    while (open > 0) {
+      rounds += 1
+      if (rounds > maxRounds + 1)
+        throw new IllegalStateException(
+          s"expandByDoubling did not converge within maxDepth=$maxDepth — " +
+            "cyclic or corrupt edge set? (matches expand's fail-loud policy)")
+      val anc = state.select(col("_id").as("_aid"), col("_ptr").as("_aptr"),
+        col("_term").as("_aterm"), col("_dist").as("_adist"),
+        col("_seg").as("_aseg"))
+      val resolved = col("s._ptr").isNull
+      val ancResolved = col("_aterm").isNotNull
+      val ancIsTerminal = ancResolved && col("_adist") === 0
+      state = state.as("s")
+        .join(anc, col("s._ptr") === col("_aid"), "left")
+        .select(col("s._id").as("_id"),
+          when(resolved, lit(null).cast(idType))
+            .when(ancResolved, lit(null).cast(idType))
+            .otherwise(col("_aptr")).as("_ptr"),
+          when(resolved, col("s._term"))
+            .when(ancResolved, col("_aterm"))
+            .otherwise(lit(null).cast(idType)).as("_term"),
+          when(resolved, col("s._dist"))
+            .otherwise(col("s._dist") + col("_adist")).as("_dist"),
+          when(resolved || ancIsTerminal, col("s._seg"))
+            .otherwise(concat(col("_aseg"), lit("/"), col("s._seg"))).as("_seg"))
+        .localCheckpoint(true)
+      open = state.filter(col("_ptr").isNotNull).count()
+    }
+    val inScope = state
+      .join(broadcast(rootSet), col("_term") === col("_rid"), "left_semi")
+    if (inScope.filter(col("_dist") > maxDepth).head(1).nonEmpty)
+      throw new IllegalStateException(
+        s"expandByDoubling: subtree deeper than maxDepth=$maxDepth — " +
+          "matches expand's fail-loud policy")
+    inScope
+      .select(col("_id").as(idCol), col("_term").as("root"),
+        col("_dist").as("depth"),
+        when(col("_dist") === 0, col("_seg"))
+          .otherwise(concat(col("_term").cast("string"), lit("/"), col("_seg")))
+          .as("path"))
+  }
 }

@@ -51,4 +51,40 @@ class TreeExpandSpec extends AnyFunSuite {
     assert(out.length == 12)
     assert(out.map(_.getInt(2)).max == 11)
   }
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+
+  test("pointer doubling matches BFS on the forest, incl. subtree roots") {
+    val bfs = asMap(TreeExpand.expand(edges, Seq(1L, 2L).toDF("id")))
+    val dbl = asMap(TreeExpand.expandByDoubling(edges, Seq(1L, 2L).toDF("id")))
+    assert(dbl == bfs)
+    val bfsSub = asMap(TreeExpand.expand(edges, Seq(3L).toDF("id")))
+    val dblSub = asMap(TreeExpand.expandByDoubling(edges, Seq(3L).toDF("id")))
+    assert(dblSub == bfsSub)
+  }
+
+  test("pointer doubling handles a deep chain in O(log depth) rounds") {
+    val n = 100L
+    val chain = (1L to n).map(i =>
+      (i, if (i == 1L) Option.empty[Long] else Option(i - 1))).toDF("id", "parent")
+    val out = asMap(TreeExpand.expandByDoubling(chain, Seq(1L).toDF("id")))
+    assert(out.size == n)
+    assert(out(n) == ((1L, (n - 1).toInt, (1L to n).mkString("/"))))
+  }
+
+  test("pointer doubling fails loud on cycles and over-deep trees") {
+    val cyc = Seq((1L, Option(2L)), (2L, Option(1L)), (3L, Option(1L)))
+      .toDF("id", "parent")
+    intercept[IllegalStateException] {
+      TreeExpand.expandByDoubling(cyc, Seq(3L).toDF("id"), maxDepth = 5)
+    }
+    val chain = (1L to 12L).map(i =>
+      (i, if (i == 1L) Option.empty[Long] else Option(i - 1))).toDF("id", "parent")
+    val e = intercept[IllegalStateException] {
+      TreeExpand.expandByDoubling(chain, Seq(1L).toDF("id"), maxDepth = 5)
+    }
+    assert(e.getMessage.contains("deeper than maxDepth"))
+  }
 }
