@@ -132,12 +132,18 @@ object TreeExpand {
     * 10^3 costs 10 rounds instead of 250. Because it computes globally, it
     * also fails loud on cyclic edges ANYWHERE in the table, where the BFS
     * only trips on cycles reachable from the chosen roots. */
+  /** @param withPath when false, path accumulation is skipped and the
+    *        output `path` column is just the node id. On a DEEP chain the
+    *        materialized paths are quadratic in total size (node k's path
+    *        has k components) — depth-only expansion is the only sane mode
+    *        there, and it's what depth/root analyses need. */
   def expandByDoubling(
       edges: DataFrame,
       roots: DataFrame,
       idCol: String = "id",
       parentCol: String = "parent",
-      maxDepth: Int = 1000): DataFrame = {
+      maxDepth: Int = 1000,
+      withPath: Boolean = true): DataFrame = {
     val idType = edges.schema(idCol).dataType
     val rootSet = roots.select(col(idCol).as("_rid")).distinct()
       .localCheckpoint(true)
@@ -185,8 +191,10 @@ object TreeExpand {
             .otherwise(lit(null).cast(idType)).as("_term"),
           when(resolved, col("s._dist"))
             .otherwise(col("s._dist") + col("_adist")).as("_dist"),
-          when(resolved || ancIsTerminal, col("s._seg"))
-            .otherwise(concat(col("_aseg"), lit("/"), col("s._seg"))).as("_seg"))
+          (if (withPath)
+             when(resolved || ancIsTerminal, col("s._seg"))
+               .otherwise(concat(col("_aseg"), lit("/"), col("s._seg")))
+           else col("s._seg")).as("_seg"))
         .localCheckpoint(true)
       open = state.filter(col("_ptr").isNotNull).count()
     }
@@ -199,8 +207,9 @@ object TreeExpand {
     inScope
       .select(col("_id").as(idCol), col("_term").as("root"),
         col("_dist").as("depth"),
-        when(col("_dist") === 0, col("_seg"))
-          .otherwise(concat(col("_term").cast("string"), lit("/"), col("_seg")))
-          .as("path"))
+        (if (withPath)
+           when(col("_dist") === 0, col("_seg"))
+             .otherwise(concat(col("_term").cast("string"), lit("/"), col("_seg")))
+         else col("_seg")).as("path"))
   }
 }

@@ -43,5 +43,36 @@ object Hierarchy {
       .orderBy("id")
   }
 
-  val all: Seq[Q] = Seq(q11)
+  /** q55: unbounded-depth recursion — a 2000-deep single chain (event ids
+    * 0..1999, parent = id - 1), expanded by pointer doubling
+    * ([[TreeExpand.expandByDoubling]], ~11 rounds) where the per-level BFS
+    * would need 2000 driver round-trips. Depth-only mode (paths on a chain
+    * are quadratic in total size); the digest (count, max, sum of depths)
+    * pins every node's depth. The chain length is SF-independent so the
+    * oracle's 2000-step recursive CTE stays cheap at any scale. */
+  val q55 = Q(
+    "q55_deep_chain",
+    """WITH RECURSIVE ch AS (SELECT event_id FROM events WHERE event_id < 2000),
+      |t AS (
+      |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS depth
+      |  UNION ALL
+      |  SELECT c.event_id, t.depth + 1 FROM ch c JOIN t ON c.event_id = t.id + 1
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |       CAST(MAX(depth) AS BIGINT) AS max_depth,
+      |       CAST(SUM(depth) AS BIGINT) AS sum_depth
+      |FROM t""".stripMargin) { (s, dir) =>
+    val edges = Tables.events(s, dir)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id").as("id"),
+        when(col("event_id") === 0, lit(null).cast("long"))
+          .otherwise(col("event_id") - 1).as("parent"))
+    TreeExpand.expandByDoubling(edges, edges.filter(col("id") === 0).select("id"),
+        maxDepth = 4000, withPath = false)
+      .agg(count(lit(1)).as("n_nodes"),
+        max(col("depth")).cast("long").as("max_depth"),
+        sum(col("depth")).as("sum_depth"))
+  }
+
+  val all: Seq[Q] = Seq(q11, q55)
 }
