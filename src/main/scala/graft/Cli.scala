@@ -135,8 +135,15 @@ object Cli {
     val df = fn(spark, sf)
     opt(rest, "out") match {
       case Some(dir) =>
-        df.write.mode("overwrite").parquet(dir)
-        println(s"[query] $name -> $dir (${spark.read.parquet(dir).count()} rows)")
+        // observe() counts during the write itself — no second scan of the
+        // freshly written output just for the log line
+        import org.apache.spark.sql.functions.{count, lit}
+        val observed = df.observe("stats", count(lit(1)).as("rows"))
+        observed.write.mode("overwrite").parquet(dir)
+        val n = scala.util.Try(
+          observed.queryExecution.observedMetrics("stats").getAs[Long]("rows"))
+          .getOrElse(-1L)
+        println(s"[query] $name -> $dir ($n rows)")
       case None =>
         df.show(opt(rest, "limit").map(_.toInt).getOrElse(20), truncate = false)
     }

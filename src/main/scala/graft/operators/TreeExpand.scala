@@ -75,7 +75,8 @@ object TreeExpand {
     // (broadcast build without a cluster job) — 2 jobs per round
     // (materialize + frontier fetch) instead of 3. The useBroadcast=false
     // path never collects and is the wide-frontier fallback.
-    var frontierRows = frontier0.collect()
+    var frontierRows: Array[org.apache.spark.sql.Row] =
+      if (useBroadcast) frontier0.collect() else Array.empty
     val frontierSchema = frontier0.schema
     def localFrontier() = spark.createDataFrame(
       java.util.Arrays.asList(frontierRows: _*), frontierSchema)
@@ -115,8 +116,14 @@ object TreeExpand {
       col("_depth").as("depth"), col("_path").as("path"))
   }
 
-  /** Pointer-doubling expansion: identical output contract to [[expand]]
-    * in O(log depth) rounds instead of O(depth / levelsPerRound).
+  /** Pointer-doubling expansion: [[expand]]'s output contract in
+    * O(log depth) rounds instead of O(depth / levelsPerRound), with ONE
+    * qualification — NEAREST-ROOT semantics. Each node is attributed to the
+    * closest chosen root on its ancestor path (one output row per node),
+    * whereas [[expand]] emits a node once per covering root. The two agree
+    * exactly whenever the chosen roots are disjoint subtrees (the typical
+    * case — q11's siblings, q55's single chain; spec-pinned); for nested
+    * roots use [[expand]].
     *
     * Every node tracks (ptr, dist, seg): its current known ancestor, the
     * distance to it, and the path from just below that ancestor down to
@@ -153,8 +160,16 @@ object TreeExpand {
     //                 _dist = distance to _ptr (unresolved) / _term (resolved)
     //                 _seg  = path ids from just below the anchor to _id;
     //                         final path = _term "/" _seg (or _seg at dist 0)
-    var state = edges
+    // seed from edges ∪ chosen roots absent from the edge table — expand()
+    // emits a depth-0 row for every requested root regardless of presence
+    // (the dedup only ever collapses chosen-root rows, whose parent is cut
+    // to null right below — so first()'s pick among duplicates is moot)
+    val seedNodes = edges
       .select(col(idCol).as("_id"), col(parentCol).as("_parent"))
+      .unionAll(rootSet.select(col("_rid").as("_id"),
+        lit(null).cast(edges.schema(parentCol).dataType).as("_parent")))
+      .groupBy("_id").agg(first(col("_parent"), ignoreNulls = false).as("_parent"))
+    var state = seedNodes
       .join(broadcast(rootSet), col("_id") === col("_rid"), "left")
       .select(col("_id"),
         when(col("_rid").isNotNull || col("_parent").isNull,
@@ -172,8 +187,9 @@ object TreeExpand {
       rounds += 1
       if (rounds > maxRounds + 1)
         throw new IllegalStateException(
-          s"expandByDoubling did not converge within maxDepth=$maxDepth — " +
-            "cyclic or corrupt edge set? (matches expand's fail-loud policy)")
+          s"expandByDoubling: ancestor chains exceed maxDepth=$maxDepth — " +
+            "tree deeper than the bound, or a cyclic/corrupt edge set " +
+            "(matches expand's fail-loud policy)")
       val anc = state.select(col("_id").as("_aid"), col("_ptr").as("_aptr"),
         col("_term").as("_aterm"), col("_dist").as("_adist"),
         col("_seg").as("_aseg"))

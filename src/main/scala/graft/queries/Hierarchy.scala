@@ -43,13 +43,14 @@ object Hierarchy {
       .orderBy("id")
   }
 
-  /** q55: unbounded-depth recursion — a 2000-deep single chain (event ids
-    * 0..1999, parent = id - 1), expanded by pointer doubling
+  /** q55: unbounded-depth recursion — a single chain of up to 2000 events
+    * (ids < 2000, parent = id - 1; at sf0.001 the table stops at id 999 so
+    * the chain is 1000 there), expanded by pointer doubling
     * ([[TreeExpand.expandByDoubling]], ~11 rounds) where the per-level BFS
-    * would need 2000 driver round-trips. Depth-only mode (paths on a chain
-    * are quadratic in total size); the digest (count, max, sum of depths)
-    * pins every node's depth. The chain length is SF-independent so the
-    * oracle's 2000-step recursive CTE stays cheap at any scale. */
+    * would need one driver round-trip per level. Depth-only mode (paths on
+    * a chain are quadratic in total size); the digest (count, max, sum of
+    * depths) pins every node's depth. The id cap keeps the oracle's
+    * recursive CTE cost flat from sf0.01 upward. */
   val q55 = Q(
     "q55_deep_chain",
     """WITH RECURSIVE ch AS (SELECT event_id FROM events WHERE event_id < 2000),

@@ -85,6 +85,13 @@ class TreeExpandSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException] {
       TreeExpand.expandByDoubling(chain, Seq(1L).toDF("id"), maxDepth = 5)
     }
-    assert(e.getMessage.contains("deeper than maxDepth"))
+    assert(e.getMessage.contains("maxDepth=5"))
+  }
+
+  test("pointer doubling emits depth-0 rows for roots absent from edges") {
+    val bfs = asMap(TreeExpand.expand(edges, Seq(1L, 42L).toDF("id")))
+    val dbl = asMap(TreeExpand.expandByDoubling(edges, Seq(1L, 42L).toDF("id")))
+    assert(dbl == bfs)
+    assert(dbl(42L) == ((42L, 0, "42")))
   }
 }
