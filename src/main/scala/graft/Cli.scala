@@ -135,14 +135,11 @@ object Cli {
     val df = fn(spark, sf)
     opt(rest, "out") match {
       case Some(dir) =>
-        // observe() counts during the write itself — no second scan of the
-        // freshly written output just for the log line
-        import org.apache.spark.sql.functions.{count, lit}
-        val observed = df.observe("stats", count(lit(1)).as("rows"))
-        observed.write.mode("overwrite").parquet(dir)
-        val n = scala.util.Try(
-          observed.queryExecution.observedMetrics("stats").getAs[Long]("rows"))
-          .getOrElse(-1L)
+        df.write.mode("overwrite").parquet(dir)
+        // count the freshly written parquet (footer row counts, no full
+        // column scan) — the df's own observe() metrics never populate here
+        // because DataFrameWriter executes its own separate QueryExecution
+        val n = spark.read.parquet(dir).count()
         println(s"[query] $name -> $dir ($n rows)")
       case None =>
         df.show(opt(rest, "limit").map(_.toInt).getOrElse(20), truncate = false)

@@ -113,6 +113,22 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic subsample quantizer shared by [[ivfTopK]] /
+    * [[ivfWriteIndex]]. Fails loud when `id % centroidEvery == 0` matches no
+    * row (sparse or non-dense id space): a silent empty centroid set would
+    * otherwise drop every corpus row through the assignment cross-join and
+    * write/return an empty result — contrary to the repo's fail-loud policy. */
+  private def centroidsOf(base: DataFrame, idCol: String,
+                          centroidEvery: Int): DataFrame = {
+    val cents = base.filter(col(idCol) % centroidEvery === 0)
+      .select(col(idCol).as("cent_id"), col("vecd").as("cent_vec"),
+        col("norm").as("cent_norm"))
+    require(cents.head(1).nonEmpty,
+      s"IVF centroid subsample is empty: no row has $idCol % $centroidEvery == 0 " +
+        "(sparse or non-dense id space) — pass a smaller centroidEvery")
+    cents
+  }
+
   /** IVF-style ANN top-k: a deterministic subsample of the corpus acts as
     * the coarse quantizer (the "centroids"); every vector is assigned to
     * its nearest centroid's cell (one small broadcast cross-join + argmin),
@@ -125,9 +141,7 @@ object Similarity {
               queryId: Long, k: Int, centroidEvery: Int = 137,
               nprobe: Int = 2): DataFrame = {
     val base = withNorm(df, vecCol)
-    val cents = base.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("cent_id"), col("vecd").as("cent_vec"),
-        col("norm").as("cent_norm"))
+    val cents = centroidsOf(base, idCol, centroidEvery)
     // cell assignment: nearest centroid by cosine, id tie-break
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cent_cos").desc, col("cent_id").asc)
@@ -166,9 +180,7 @@ object Similarity {
   def ivfWriteIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
                     centroidEvery: Int = 137): Unit = {
     val base = withNorm(df, vecCol)
-    val cents = base.filter(col(idCol) % centroidEvery === 0)
-      .select(col(idCol).as("cent_id"), col("vecd").as("cent_vec"),
-        col("norm").as("cent_norm"))
+    val cents = centroidsOf(base, idCol, centroidEvery)
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("cent_cos").desc, col("cent_id").asc)
     base.crossJoin(broadcast(cents))

@@ -106,10 +106,17 @@ object TreeExpand {
       acc = acc.unionAll(batch)
     }
     if (!frontierEmpty) {
-      childOf.unpersist(blocking = false)
-      throw new IllegalStateException(
-        s"TreeExpand did not converge within maxDepth=$maxDepth — " +
-          "cyclic or corrupt edge set? (matches Components.of fail-loud policy)")
+      // nodes at exactly depth == maxDepth may simply be leaves: a tree of
+      // height maxDepth converged legitimately. Only fail if the frontier
+      // actually has children (rows would exist at depth maxDepth + 1) —
+      // same contract as expandByDoubling, which rejects only _dist > maxDepth
+      val deeper = step(frontier, bcast = true).head(1).nonEmpty
+      if (deeper) {
+        childOf.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"TreeExpand did not converge within maxDepth=$maxDepth — " +
+            "cyclic or corrupt edge set? (matches Components.of fail-loud policy)")
+      }
     }
     childOf.unpersist(blocking = false)
     acc.select(col("_id").as(idCol), col("_root").as("root"),

@@ -185,8 +185,11 @@ object Events {
 
   /** q52: weekly cohort retention — users grouped by the week of their
     * first signup, counted as active in each later week they produced any
-    * event. Week index = days-since-epoch-start div 7 (integer arithmetic,
-    * no date_trunc — engine week-start conventions can differ; div can't).
+    * event. Week index = floor(days-since-epoch-start / 7) — FLOOR, not
+    * truncation, on both sides: DuckDB `//` floors, and Spark `div`
+    * truncates toward zero, so the two diverge on any event before the
+    * 2024-01-01 epoch (e.g. day -3: div → 0, floor → -1). No date_trunc —
+    * engine week-start conventions can differ; integer floor can't.
     */
   val q52 = Q(
     "q52_retention_cohorts",
@@ -205,7 +208,7 @@ object Events {
       |ORDER BY cohort, week_offset""".stripMargin) { (s, dir) =>
     val wk = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"),
-        expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7").as("w"))
+        expr("floor(datediff(CAST(ts AS DATE), DATE '2024-01-01') / 7)").as("w"))
     val su = wk.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min(col("w")).as("cohort"))
     val act = wk.select("user_id", "w").distinct()

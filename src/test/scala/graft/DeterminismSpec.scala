@@ -17,4 +17,15 @@ class DeterminismSpec extends AnyFunSuite {
       assert(a == b, s"$name differs between runs")
     }
   }
+
+  test("q52 week index floors (matches DuckDB // on pre-epoch dates)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // 2023-12-29 is day -3: DuckDB (-3) // 7 = -1 (floor); Spark `div`
+    // would truncate to 0 — the query must use floor on both sides
+    val w = Seq("2023-12-29", "2024-01-01", "2024-01-08").toDF("d")
+      .select(expr("floor(datediff(CAST(d AS DATE), DATE '2024-01-01') / 7)"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(w == Seq(-1L, 0L, 1L))
+  }
 }

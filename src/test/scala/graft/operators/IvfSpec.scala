@@ -23,4 +23,22 @@ class IvfSpec extends AnyFunSuite {
     // ranking within the result is descending
     assert(ivf.map(_._2).toSeq == ivf.map(_._2).sortBy(-_).toSeq)
   }
+
+  test("empty centroid subsample fails loud instead of returning empty") {
+    import spark.implicits._
+    // ids 1..40 with centroidEvery=1000: no id % 1000 == 0 — a sparse id
+    // space must not silently produce an empty index/result
+    val sparse = (1L to 40L).map(i =>
+      (i, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(sparse, "vec_id", "embedding", 1L, k = 5,
+        centroidEvery = 1000)
+    }
+    assert(e.getMessage.contains("centroid"))
+    val tmp = java.nio.file.Files.createTempDirectory("ivf-empty").toString
+    intercept[IllegalArgumentException] {
+      Similarity.ivfWriteIndex(sparse, "vec_id", "embedding", tmp,
+        centroidEvery = 1000)
+    }
+  }
 }

@@ -44,6 +44,23 @@ class TreeExpandSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxDepth=5"))
   }
 
+  test("tree of height exactly maxDepth converges (leaves at the bound)") {
+    // chain 1→…→6: deepest node at depth 5 is a LEAF — depth == maxDepth
+    // must not spuriously fail (the frontier is non-empty but childless)
+    val chain = (1L to 6L).map(i =>
+      (i, if (i == 1L) Option.empty[Long] else Option(i - 1))).toDF("id", "parent")
+    val out = TreeExpand.expand(chain, Seq(1L).toDF("id"), maxDepth = 5).collect()
+    assert(out.length == 6)
+    assert(out.map(_.getInt(2)).max == 5)
+    // …but one level deeper than the bound still fails loud
+    val deeper = (1L to 7L).map(i =>
+      (i, if (i == 1L) Option.empty[Long] else Option(i - 1))).toDF("id", "parent")
+    val e = intercept[IllegalStateException] {
+      TreeExpand.expand(deeper, Seq(1L).toDF("id"), maxDepth = 5)
+    }
+    assert(e.getMessage.contains("maxDepth=5"))
+  }
+
   test("deep chain within maxDepth converges cleanly") {
     val chain = (1L to 12L).map(i =>
       (i, if (i == 1L) Option.empty[Long] else Option(i - 1))).toDF("id", "parent")
