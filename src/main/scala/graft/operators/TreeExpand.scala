@@ -11,15 +11,38 @@ import org.apache.spark.storage.StorageLevel
   * tree *level* (not per node), accumulating (id, root, depth, path).
   *
   * Scale design:
-  *  - `edges` is repartitioned by the parent key once and cached, so every
-  *    iteration's join reuses the same partitioning — the frontier (small
-  *    side) moves to the edges, never the reverse.
+  *  - two regimes, chosen by MEASURING the edge table (one count, which
+  *    doubles as cache population). Small graphs (edge table within the
+  *    broadcast budget): every level joins by broadcast — provably safe
+  *    because no level can exceed the edge count — so a whole round runs
+  *    with zero shuffle stages and AQE (pure per-stage latency at this
+  *    size) is suspended for the expansion. Large graphs: the edge side is
+  *    repartitioned by parent key once and cached, deep levels shuffle-hash
+  *    against it, and AQE stays per session config — the 100-TB path.
   *  - each round is `localCheckpoint`ed to cut lineage growth (otherwise the
   *    plan doubles per level and the driver OOMs planning level ~30).
   *  - termination is the fixpoint (empty frontier) with a maxDepth fuse
   *    against cyclic/corrupt edge sets.
   */
 object TreeExpand {
+
+  /** Per-round frontier residency, selected by SIZE each round — the caller
+    * never has to know how wide the tree gets:
+    *  - `driver`: frontier rows held on the driver as a local relation; the
+    *    broadcast build needs no cluster job and the emptiness check is
+    *    free. Only when the frontier is provably tiny (≤ driverFrontierRows
+    *    — a `head(cap+1)` proves completeness without a count).
+    *  - `broadcast`: frontier stays on executors (a filter of the
+    *    checkpointed batch); the join still broadcasts, but the build reads
+    *    executor-side data in parallel instead of a driver round-trip.
+    *    A 60k-row frontier with long paths collected+rebuilt+rebroadcast on
+    *    the driver every round is exactly the q11 regression this avoids.
+    *  - `shuffle`: frontier too big to broadcast at all — shuffle-hash join,
+    *    nothing materializes on the driver. The wide-graph graceful degrade.
+    */
+  private val DriverMode = "driver"
+  private val BroadcastMode = "broadcast"
+  private val ShuffleMode = "shuffle"
 
   /** @param edges (idCol, parentCol) adjacency rows, parent NULL for roots
     * @param roots one column `idCol`: the subtree roots to expand (included
@@ -30,6 +53,13 @@ object TreeExpand {
     *              how many levels it covers, so batching divides the
     *              dominant driver-scheduling cost by the batch size;
     *              Catalyst's exchange reuse keeps the chained joins linear.
+    * @param driverFrontierRows max frontier rows kept on the driver between
+    *              rounds (the `driver` residency above)
+    * @param broadcastFrontierRows max frontier rows joined via broadcast;
+    *              beyond this the round degrades to a shuffle-hash join
+    *              instead of OOMing the driver with the broadcast build
+    * @param modeLog when set, appends the residency chosen each round —
+    *              test observability for the size gate
     * @return (id, root, depth: int, path: string "root/…/id")
     */
   def expand(
@@ -39,86 +69,149 @@ object TreeExpand {
       parentCol: String = "parent",
       maxDepth: Int = 1000,
       levelsPerRound: Int = 4,
-      useBroadcast: Boolean = true): DataFrame = {
+      driverFrontierRows: Int = 8192,
+      broadcastFrontierRows: Long = 1000000L,
+      modeLog: scala.collection.mutable.Buffer[String] = null): DataFrame = {
     require(levelsPerRound >= 1, "levelsPerRound must be >= 1")
+    require(driverFrontierRows >= 1 && broadcastFrontierRows >= driverFrontierRows,
+      "need 1 <= driverFrontierRows <= broadcastFrontierRows")
+    val spark = edges.sparkSession
     val childOf = edges
       .select(col(idCol).as("_id"), col(parentCol).as("_parent"))
       .filter(col("_parent").isNotNull)
-      .repartition(col("_parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // one count populates the cache AND proves (or refutes) the invariant
+    // that makes the all-broadcast regime safe: every BFS level is a subset
+    // of the edge table, so edgeCount <= budget bounds every future build
+    val edgeCount = childOf.count()
+    val smallGraph = edgeCount <= broadcastFrontierRows
+    // large regime only: deep levels shuffle-hash every round, so pay the
+    // parent-key repartition once and reuse its partitioning each round
+    var shuffledInit = false
+    lazy val childOfShuffled = {
+      shuffledInit = true
+      childOf.repartition(col("_parent")).persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
-    def step(level: DataFrame, bcast: Boolean): DataFrame = {
-      // level 1 of a round broadcasts the (checkpointed, small) frontier so
-      // the cached parent-partitioned edge side streams with no shuffle;
-      // deeper in-plan levels are lazy, so they shuffle instead (tiny) —
-      // broadcasting them would force per-level materialization jobs back in
+    def step(level: DataFrame, mode: String): DataFrame = {
+      // small graphs broadcast EVERY in-plan level: each level's broadcast
+      // build appears once in the round plan and once under the next level,
+      // and exchange reuse dedups them — a round runs with zero shuffle
+      // stages (stage barriers dominate tiny rounds). Large graphs
+      // broadcast only a within-budget materialized frontier and
+      // shuffle-hash the lazy deeper levels: broadcasting those would risk
+      // an unbounded build on a fan-out spike.
       val keyed = level.select(col("_id").as("_pid"), col("_root"),
         col("_depth"), col("_path"))
-      val probe = if (bcast && useBroadcast) broadcast(keyed)
-                  else keyed.hint("shuffle_hash")
-      childOf
-        .join(probe, col("_parent") === col("_pid"))
-        .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
-          concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
+      if (mode == ShuffleMode)
+        childOfShuffled
+          .join(keyed.hint("shuffle_hash"), col("_parent") === col("_pid"))
+          .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
+            concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
+      else
+        childOf
+          .join(broadcast(keyed), col("_parent") === col("_pid"))
+          .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
+            concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
     }
+    val frontierSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id", edges.schema(idCol).dataType),
+      org.apache.spark.sql.types.StructField("_root", edges.schema(idCol).dataType),
+      org.apache.spark.sql.types.StructField("_depth",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_path",
+        org.apache.spark.sql.types.StringType)))
 
-    val spark = edges.sparkSession
-    val frontier0 = roots
-      .select(col(idCol).as("_id"))
-      .distinct()
-      .select(col("_id"), col("_id").as("_root"), lit(0).as("_depth"),
-        col("_id").cast("string").as("_path"))
+    var frontierRows: Array[org.apache.spark.sql.Row] = Array.empty
+    var frontier: DataFrame = null // executor-side frontier when not driver-held
+    var mode: String = DriverMode
+    var frontierKnownEmpty = false
 
-    // Broadcast mode keeps the frontier on the DRIVER between rounds: the
-    // frontier must fit in a broadcast anyway, so collecting it makes the
-    // emptiness check free and turns the join side into a local relation
-    // (broadcast build without a cluster job) — 2 jobs per round
-    // (materialize + frontier fetch) instead of 3. The useBroadcast=false
-    // path never collects and is the wide-frontier fallback.
-    var frontierRows: Array[org.apache.spark.sql.Row] =
-      if (useBroadcast) frontier0.collect() else Array.empty
-    val frontierSchema = frontier0.schema
-    def localFrontier() = spark.createDataFrame(
-      java.util.Arrays.asList(frontierRows: _*), frontierSchema)
-
-    var frontier: DataFrame = if (useBroadcast) localFrontier() else
-      frontier0.localCheckpoint()
-    var acc = frontier
-    var depth = 0
-    def frontierEmpty: Boolean =
-      if (useBroadcast) frontierRows.isEmpty else frontier.isEmpty
-    while (depth < maxDepth && !frontierEmpty) {
-      val rounds = math.min(levelsPerRound, maxDepth - depth)
-      var levels = List(step(frontier, bcast = true))
-      (2 to rounds).foreach { _ => levels = step(levels.head, bcast = false) :: levels }
-      // one job materializes every level of the batch (coalesced: frontiers
-      // are small and 32 near-empty partitions per probe is pure overhead)
-      val batch = levels.reverse.reduce(_ unionAll _)
-        .coalesce(8)
-        .localCheckpoint()
-      depth += rounds
-      if (useBroadcast) {
-        frontierRows = batch.filter(col("_depth") === depth).collect()
-        frontier = localFrontier()
+    /** Measure the new frontier and pick next round's residency: one
+      * `head(cap+1)` job (cheap — the source is checkpointed); a count job
+      * only on the rare large-frontier rounds to apply the broadcast cap. */
+    val dbg = sys.env.contains("GRAFT_TREE_DEBUG")
+    def tdbg[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (dbg) println(f"[tree] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+    def adopt(nextFrontier: DataFrame): Unit = tdbg("adopt") {
+      val sample = nextFrontier.head(driverFrontierRows + 1)
+      if (sample.length <= driverFrontierRows) {
+        mode = DriverMode
+        frontierRows = sample
+        frontier = spark.createDataFrame(
+          java.util.Arrays.asList(frontierRows: _*), frontierSchema)
+        frontierKnownEmpty = sample.isEmpty
       } else {
-        frontier = batch.filter(col("_depth") === depth)
+        mode = if (nextFrontier.count() <= broadcastFrontierRows) BroadcastMode
+               else ShuffleMode
+        frontierRows = Array.empty
+        frontier = nextFrontier
+        frontierKnownEmpty = false
       }
-      acc = acc.unionAll(batch)
+      if (modeLog != null) modeLog += mode
     }
-    if (!frontierEmpty) {
-      // nodes at exactly depth == maxDepth may simply be leaves: a tree of
-      // height maxDepth converged legitimately. Only fail if the frontier
-      // actually has children (rows would exist at depth maxDepth + 1) —
-      // same contract as expandByDoubling, which rejects only _dist > maxDepth
-      val deeper = step(frontier, bcast = true).head(1).nonEmpty
-      if (deeper) {
+
+    // suspend AQE for a small-graph expansion: every stage is tiny and
+    // broadcast-only, so adaptive replanning is pure per-stage latency.
+    // Session-global conf, restored in the finally — expand is synchronous,
+    // so only a concurrently-issued query in the SAME session would observe
+    // the window. Large graphs keep the session's setting (skew handling
+    // on the wide shuffle-hash rounds is worth it there).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    val suspendAqe = smallGraph && aqePrev == "true"
+    if (suspendAqe) spark.conf.set(aqeKey, "false")
+    val acc =
+      try {
+        adopt(roots
+          .select(col(idCol).as("_id"))
+          .distinct()
+          .select(col("_id"), col("_id").as("_root"), lit(0).as("_depth"),
+            col("_id").cast("string").as("_path"))
+          .localCheckpoint())
+
+        var out = frontier
+        var depth = 0
+        while (depth < maxDepth && !frontierKnownEmpty) {
+          val rounds = math.min(levelsPerRound, maxDepth - depth)
+          val deeperMode = if (smallGraph) BroadcastMode else ShuffleMode
+          var levels = List(step(frontier, mode))
+          (2 to rounds).foreach { _ =>
+            levels = step(levels.head, deeperMode) :: levels }
+          // one job materializes every level of the batch; coalesce only the
+          // small (driver-frontier) rounds — 32 near-empty partitions per
+          // probe is pure overhead there; wide rounds keep their parallelism
+          val union = levels.reverse.reduce(_ unionAll _)
+          val batch = tdbg(s"materialize depth<=${depth + rounds} ($mode)") {
+            (if (mode == DriverMode) union.coalesce(8) else union)
+              .localCheckpoint()
+          }
+          depth += rounds
+          adopt(batch.filter(col("_depth") === depth))
+          out = out.unionAll(batch)
+        }
+        if (!frontierKnownEmpty && frontier.head(1).nonEmpty) {
+          // nodes at exactly depth == maxDepth may simply be leaves: a tree
+          // of height maxDepth converged legitimately. Only fail if the
+          // frontier actually has children (rows at depth maxDepth + 1) —
+          // same contract as expandByDoubling (rejects _dist > maxDepth)
+          val deeper = step(frontier, mode).head(1).nonEmpty
+          if (deeper)
+            throw new IllegalStateException(
+              s"TreeExpand did not converge within maxDepth=$maxDepth — " +
+                "cyclic or corrupt edge set? (matches Components.of fail-loud policy)")
+        }
+        out
+      } finally {
+        if (suspendAqe) spark.conf.set(aqeKey, aqePrev)
+        // acc references only checkpointed batches / local relations, so the
+        // edge caches can go now
         childOf.unpersist(blocking = false)
-        throw new IllegalStateException(
-          s"TreeExpand did not converge within maxDepth=$maxDepth — " +
-            "cyclic or corrupt edge set? (matches Components.of fail-loud policy)")
+        if (shuffledInit) childOfShuffled.unpersist(blocking = false)
       }
-    }
-    childOf.unpersist(blocking = false)
     acc.select(col("_id").as(idCol), col("_root").as("root"),
       col("_depth").as("depth"), col("_path").as("path"))
   }
@@ -151,16 +244,27 @@ object TreeExpand {
     *        materialized paths are quadratic in total size (node k's path
     *        has k components) — depth-only expansion is the only sane mode
     *        there, and it's what depth/root analyses need. */
+  /** @param broadcastStateRows when the whole node table fits this budget,
+    *        each contraction round joins against a BROADCAST of the state
+    *        (zero shuffle stages — the small-graph regime, same measurement
+    *        -based gate as [[expand]]); larger tables keep the shuffled
+    *        self-join, which is the right plan at cluster scale. */
   def expandByDoubling(
       edges: DataFrame,
       roots: DataFrame,
       idCol: String = "id",
       parentCol: String = "parent",
       maxDepth: Int = 1000,
-      withPath: Boolean = true): DataFrame = {
+      withPath: Boolean = true,
+      broadcastStateRows: Long = 1000000L): DataFrame = {
     val idType = edges.schema(idCol).dataType
+    // lazy checkpoints throughout: the first action over each (the open-set
+    // count below, for state) materializes it as a side effect, so every
+    // round costs ONE job instead of an eager-checkpoint job plus a count
+    // job — at ~11 rounds for a 2000-deep chain the saved driver round-trips
+    // are a third of the operator's wall-clock
     val rootSet = roots.select(col(idCol).as("_rid")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // State per node: _ptr  = current jump target (null ⟺ chain resolved)
     //                 _term = terminal node once resolved (a cut point:
     //                         chosen root, or a real root — filtered later)
@@ -186,9 +290,20 @@ object TreeExpand {
         when(col("_rid").isNotNull || col("_parent").isNull, lit(0))
           .otherwise(lit(1)).as("_dist"),
         col("_id").cast("string").as("_seg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var rounds = 0
     val maxRounds = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDepth.toLong))
+    // materializes the seed checkpoint AND measures the state for the
+    // broadcast gate in one job; the open count after it is a cheap second
+    // pass over checkpointed partitions
+    val nodeCount = state.count()
+    val smallState = nodeCount <= broadcastStateRows
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    val suspendAqe = smallState && aqePrev == "true"
+    if (suspendAqe) spark.conf.set(aqeKey, "false")
+    try {
     var open = state.filter(col("_ptr").isNotNull).count()
     while (open > 0) {
       rounds += 1
@@ -204,7 +319,8 @@ object TreeExpand {
       val ancResolved = col("_aterm").isNotNull
       val ancIsTerminal = ancResolved && col("_adist") === 0
       state = state.as("s")
-        .join(anc, col("s._ptr") === col("_aid"), "left")
+        .join(if (smallState) broadcast(anc) else anc,
+          col("s._ptr") === col("_aid"), "left")
         .select(col("s._id").as("_id"),
           when(resolved, lit(null).cast(idType))
             .when(ancResolved, lit(null).cast(idType))
@@ -218,7 +334,7 @@ object TreeExpand {
              when(resolved || ancIsTerminal, col("s._seg"))
                .otherwise(concat(col("_aseg"), lit("/"), col("s._seg")))
            else col("s._seg")).as("_seg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       open = state.filter(col("_ptr").isNotNull).count()
     }
     val inScope = state
@@ -234,5 +350,8 @@ object TreeExpand {
            when(col("_dist") === 0, col("_seg"))
              .otherwise(concat(col("_term").cast("string"), lit("/"), col("_seg")))
          else col("_seg")).as("path"))
+    } finally {
+      if (suspendAqe) spark.conf.set(aqeKey, aqePrev)
+    }
   }
 }

@@ -69,6 +69,32 @@ class TreeExpandSpec extends AnyFunSuite {
     assert(out.map(_.getInt(2)).max == 11)
   }
 
+  test("frontier residency auto-gates: wide frontiers leave the driver") {
+    // 1 → 40 children → grandchildren: the 40-row frontier exceeds
+    // driverFrontierRows=4, and with broadcastFrontierRows=8 it must take
+    // the shuffle path — no driver materialization, identical output
+    val wide = Seq((1L, Option.empty[Long])) ++
+      (2L to 41L).map(i => (i, Option(1L))) ++
+      (42L to 81L).map(i => (i, Option(i - 40L)))
+    val wideDf = wide.toDF("id", "parent")
+    val modes = scala.collection.mutable.Buffer.empty[String]
+    val gated = TreeExpand.expand(wideDf, Seq(1L).toDF("id"),
+      levelsPerRound = 1, driverFrontierRows = 4, broadcastFrontierRows = 8,
+      modeLog = modes)
+    val expected = asMap(TreeExpand.expand(wideDf, Seq(1L).toDF("id")))
+    assert(asMap(gated) == expected)
+    // root frontier (1 row) is driver-held; the 40-wide levels shuffle
+    assert(modes.head == "driver")
+    assert(modes.contains("shuffle"))
+    // middle ground: a cap that admits broadcast but not driver residency
+    val modes2 = scala.collection.mutable.Buffer.empty[String]
+    val bcast = TreeExpand.expand(wideDf, Seq(1L).toDF("id"),
+      levelsPerRound = 1, driverFrontierRows = 4, broadcastFrontierRows = 100,
+      modeLog = modes2)
+    assert(asMap(bcast) == expected)
+    assert(modes2.contains("broadcast") && !modes2.contains("shuffle"))
+  }
+
   private def asMap(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r =>
       r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
