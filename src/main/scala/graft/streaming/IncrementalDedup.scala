@@ -23,12 +23,16 @@ import graft.store.Snapshots
   *
   * Scale: the filter is one semi-join of (id, 4 band keys) against the
   * bucket index — the corpus text never re-processes; signatures come from
-  * the codegen'd [[graft.functions.MinHashSig]] in the scan. The bucket
-  * snapshot is the shared [[Snapshots]] pointer-swap store; at 100 TB the
-  * index becomes a key-value table bucketed by band key, the join logic
+  * the codegen'd [[graft.functions.MinHashSig]] in the scan. Claims are
+  * APPEND-ONLY deltas on the shared [[Snapshots]] store: a micro-batch
+  * writes O(batch) rows (one delta directory), never the whole index, and
+  * the delta log compacts back into one base snapshot every `compactEvery`
+  * batches — amortized O(index / compactEvery) per batch. At 100 TB the
+  * same log becomes a key-value table bucketed by band key, the join logic
   * unchanged.
   */
-final class IncrementalDedup(spark: SparkSession, root: String) {
+final class IncrementalDedup(spark: SparkSession, root: String,
+                             compactEvery: Int = 16) {
 
   private val schema = StructType(Seq(
     StructField("bkey", StringType, nullable = false),
@@ -69,10 +73,13 @@ final class IncrementalDedup(spark: SparkSession, root: String) {
     val kept = batch.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
       .localCheckpoint(true) // materialize BEFORE the snapshot advances
     // claim: unclaimed buckets get the batch's min id; existing claims win
-    // (first-writer-wins keeps replays stable)
+    // (first-writer-wins keeps replays stable). Deltas are left_anti'd
+    // against the full store, so no bucket key ever appears in two manifest
+    // entries — read() needs no per-key precedence rule.
     val newClaims = bands.groupBy("bkey").agg(min(col("id")).as("claimant"))
       .join(buckets(), Seq("bkey"), "left_anti")
-    snaps.replace(buckets().unionAll(newClaims))
+    snaps.appendDelta(newClaims)
+    if (snaps.deltaCount >= compactEvery) snaps.replace(snaps.read())
     kept
   }
 }

@@ -70,6 +70,60 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(kept.count() == 2)
   }
 
+  private def listDirs(root: String): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Paths.get(root)).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(d => d.getFileName.toString ->
+        Files.list(d).iterator().asScala.map(_.getFileName.toString).toSet)
+      .toMap
+  }
+
+  test("a micro-batch writes O(batch) claim deltas, not the whole index") {
+    val root = Files.createTempDirectory("graft-inc-delta").toString
+    val dd = new IncrementalDedup(spark, root, compactEvery = 100)
+    dd.init()
+    // seed a real index: 40 distinct docs -> 160 claimed buckets
+    val seed = (1L to 40L).map(i =>
+      (i, s"document number $i carries its own distinct set of words token$i extra$i more$i"))
+      .toDF("doc_id", "text")
+    dd.filterAndClaim(seed, "doc_id", "text").count()
+    val before = listDirs(root)
+    val indexRows = dd.buckets().count()
+    assert(indexRows >= 100) // the index is much bigger than the next batch
+
+    val small = Seq((100L, "one tiny novel batch with a handful of fresh words appended"))
+      .toDF("doc_id", "text")
+    dd.filterAndClaim(small, "doc_id", "text").count()
+    val after = listDirs(root)
+
+    // exactly one new directory, a delta, holding only the batch's claims
+    val created = after.keySet -- before.keySet
+    assert(created.size == 1 && created.head.startsWith("delta-"), created)
+    val deltaRows = spark.read.parquet(s"$root/${created.head}").count()
+    assert(deltaRows <= 4, s"delta holds $deltaRows rows — expected <= 4 (one doc)")
+    // every pre-existing directory is byte-for-byte untouched (same files)
+    before.foreach { case (dir, files) => assert(after(dir) == files, dir) }
+  }
+
+  test("the delta log compacts back to one snapshot every compactEvery batches") {
+    val root = Files.createTempDirectory("graft-inc-compact").toString
+    val dd = new IncrementalDedup(spark, root, compactEvery = 2)
+    dd.init()
+    dd.filterAndClaim(Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text").count()
+    // second batch pushes deltaCount to the threshold -> compaction
+    dd.filterAndClaim(
+      Seq((2L, "another entirely different document with plenty of its own words"))
+        .toDF("doc_id", "text"), "doc_id", "text").count()
+    val dirs = listDirs(root).keySet
+    assert(!dirs.exists(_.startsWith("delta-")), s"deltas not compacted: $dirs")
+    assert(dirs.count(_.startsWith("snap-")) == 1, dirs)
+    // semantics preserved through compaction: both docs' buckets still claimed
+    assert(dd.filterAndClaim(
+      Seq((3L, base)).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+    assert(dd.buckets().select("claimant").distinct().count() == 2)
+  }
+
   test("drives from a real streaming query via foreachBatch") {
     val srcDir = Files.createTempDirectory("graft-inc-src").toString
     Seq((1L, base)).toDF("doc_id", "text").write.mode("append").parquet(srcDir)
