@@ -22,13 +22,15 @@ final class FakeFetcher(items: Map[Long, String], maxId: Long) extends Fetcher {
 
 /** Real HTTP fetcher with the reference's retry curve (S1: 8 tries,
   * quadratic backoff a=0.2 c=1 capped 10 s, 2 s timeout;
-  * hnarchive.py:98-121). Compiles in the zero-egress build but is only
-  * exercised against a live network.
+  * hnarchive.py:98-121). The zero-egress build exercises it against a
+  * loopback stub server (HttpFetcherSpec); `sleeper` injects the backoff
+  * sleep so those tests replay the retry curve without wall-clock cost.
   */
 final class HttpFetcher(
     baseUrl: String = "https://hacker-news.firebaseio.com/v0",
     maxTries: Int = 8,
-    timeoutMillis: Int = 2000) extends Fetcher {
+    timeoutMillis: Int = 2000,
+    sleeper: Long => Unit = Thread.sleep(_)) extends Fetcher {
 
   @transient private lazy val client =
     java.net.http.HttpClient.newBuilder()
@@ -56,7 +58,7 @@ final class HttpFetcher(
       tries += 1
       if (tries < maxTries)
         // quadratic backoff: 0.2·tries² + 1, capped at 10 s (hnarchive.py:99)
-        Thread.sleep(math.min(10000L, (200L * tries * tries) + 1000L))
+        sleeper(math.min(10000L, (200L * tries * tries) + 1000L))
     }
     throw last
   }
