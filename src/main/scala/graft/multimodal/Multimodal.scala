@@ -7,15 +7,101 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` derives a deterministic fake feature vector
-  * from the bytes. Everything around it — schema, partition-batched
-  * execution, output shape — is the real scale path: at 100 TB you
-  * repartition so each task holds a codec-friendly batch, decode inside
-  * `mapPartitions` (one codec init per task, not per row), and emit fixed
-  * metadata + feature columns.
+  * Image decode and resize are REAL — `javax.imageio` ships in the JDK
+  * (PNG/GIF/BMP/JPEG), so [[decodeImage]] produces actual RGB pixels and
+  * [[resizeImage]] actual bilinear-scaled pixels. Payloads ImageIO cannot
+  * read (a 100 TB crawl always contains garbage) fall back to the
+  * deterministic byte-derived stubs so the pipeline stays total; audio and
+  * video codecs remain environment-constrained stubs. The execution shape
+  * is the scale path either way: repartition so each task holds a
+  * codec-friendly batch, decode inside `mapPartitions` (one codec init per
+  * task, not per row), and emit fixed metadata + feature columns.
   */
 object Multimodal {
+
+  /** Decoded raster: row-major RGB, 3 bytes per pixel. */
+  final case class Pixels(width: Int, height: Int, rgb: Array[Byte])
+
+  /** REAL image decode via `javax.imageio` (pure JDK). None when the
+    * payload is not a decodable image. */
+  def decodeImage(bytes: Array[Byte]): Option[Pixels] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None else Some(toPixels(img))
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL resize: decode, bilinear-scale to (outW, outH), return raw RGB.
+    * None when the payload is not a decodable image. */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Option[Pixels] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (src == null) None
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, outW, outH, null)
+        } finally g.dispose()
+        Some(toPixels(dst))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def toPixels(img: java.awt.image.BufferedImage): Pixels = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        rgb(i) = ((p >> 16) & 0xff).toByte
+        rgb(i + 1) = ((p >> 8) & 0xff).toByte
+        rgb(i + 2) = (p & 0xff).toByte
+        i += 3
+        x += 1
+      }
+      y += 1
+    }
+    Pixels(w, h, rgb)
+  }
+
+  /** Features from real pixels: per-channel means (0..1) then a luminance
+    * histogram over the remaining buckets — deterministic, bounded, and
+    * actually about the image content. */
+  def imageFeatures(p: Pixels, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = p.width * p.height
+    if (n == 0 || dim == 0) return out
+    val channelDims = math.min(3, dim)
+    val histDims = dim - channelDims
+    val sums = new Array[Long](3)
+    var i = 0
+    while (i < p.rgb.length) {
+      val r = p.rgb(i) & 0xff
+      val g = p.rgb(i + 1) & 0xff
+      val b = p.rgb(i + 2) & 0xff
+      sums(0) += r; sums(1) += g; sums(2) += b
+      if (histDims > 0) {
+        val lum = (299 * r + 587 * g + 114 * b) / 1000
+        out(channelDims + math.min(histDims - 1, lum * histDims / 256)) += 1f
+      }
+      i += 3
+    }
+    var c = 0
+    while (c < channelDims) { out(c) = sums(c).toFloat / (255f * n); c += 1 }
+    var k = channelDims
+    while (k < dim) { out(k) /= n; k += 1 }
+    out
+  }
 
   /** Canonical media schema: opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -25,12 +111,13 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType)))
 
-  /** STUB — stands in for a real image decode (e.g. JPEG → RGB planes).
-    * Deterministic: a rolling byte hash seeds `dim` pseudo-features. A real
-    * deployment swaps only this function; the Spark plumbing is unchanged. */
+  /** FALLBACK for payloads [[decodeImage]] cannot read (and the stand-in
+    * for audio/video codecs this container lacks): a rolling byte hash
+    * seeds `dim` deterministic pseudo-features, keeping the pipeline total
+    * over garbage bytes. */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     var h = 1125899906842597L
-    bytes.foreach { b => h = h * 31 + (b & 0xff) }
+    if (bytes != null) bytes.foreach { b => h = h * 31 + (b & 0xff) }
     Array.tabulate(dim) { i =>
       val v = h * (i + 1) + 0x9e3779b97f4a7c15L * i
       ((v >>> 11).toDouble / (1L << 53).toDouble).toFloat
@@ -39,19 +126,27 @@ object Multimodal {
 
   /** Decode + featurize via per-partition batches (the `mapInPandas`
     * analog): one decoder init per partition, rows processed as an
-    * iterator, output schema fixed up-front. */
+    * iterator, output schema fixed up-front. Decodable images yield REAL
+    * pixel-derived features ([[imageFeatures]], `decoded = true`);
+    * anything else falls back to the byte-hash stub (`decoded = false`). */
   def featurize(df: DataFrame, bytesCol: String, idCol: String,
                 dim: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("n_bytes", IntegerType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
       StructField("features", ArrayType(FloatType), nullable = false)))
     val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
       // decoder/codec init would happen HERE, once per task
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        Row(r.getLong(0), bytes.length, decodeStub(bytes, dim).toSeq)
+        decodeImage(bytes) match {
+          case Some(p) => Row(r.getLong(0), bytes.length, true,
+            imageFeatures(p, dim).toSeq)
+          case None => Row(r.getLong(0), if (bytes == null) 0 else bytes.length,
+            false, decodeStub(bytes, dim).toSeq)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -84,11 +179,12 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** STUB — stands in for a real pixel resize. Deterministic: samples
-    * `outW*outH` bytes from the payload on a fixed stride. A real
-    * deployment swaps only this function. */
+  /** FALLBACK for payloads [[resizeImage]] cannot read: samples
+    * `outW*outH*3` bytes from the payload on a fixed stride (same
+    * 3-bytes-per-pixel shape as the real path), keeping the pipeline
+    * total over garbage bytes. */
   def resizeStub(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
-    val n = outW * outH
+    val n = outW * outH * 3
     val out = new Array[Byte](n)
     if (bytes != null && bytes.nonEmpty) {
       var i = 0
@@ -100,9 +196,10 @@ object Multimodal {
     out
   }
 
-  /** Resize pipeline shape: per-partition batched transform emitting the
-    * resized payload plus its new dimensions — downstream schema is fixed
-    * up-front like [[featurize]], so the stub swap is codec-only. */
+  /** Resize via per-partition batches: decodable images take the REAL
+    * bilinear path ([[resizeImage]], `decoded = true`, payload = raw RGB
+    * at 3 bytes/pixel); anything else falls back to the stride-sampling
+    * stub with the same output shape (`decoded = false`). */
   def resize(df: DataFrame, bytesCol: String, idCol: String,
              outW: Int, outH: Int): DataFrame = {
     val spark = df.sparkSession
@@ -110,12 +207,17 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("media", BinaryType, nullable = false),
       StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false)))
+      StructField("height", IntegerType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false)))
     val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
       // codec init once per task, as in featurize
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        Row(r.getLong(0), resizeStub(bytes, outW, outH), outW, outH)
+        resizeImage(bytes, outW, outH) match {
+          case Some(p) => Row(r.getLong(0), p.rgb, outW, outH, true)
+          case None => Row(r.getLong(0), resizeStub(bytes, outW, outH),
+            outW, outH, false)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

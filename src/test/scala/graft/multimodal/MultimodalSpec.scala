@@ -9,21 +9,59 @@ import graft.{Tables, TestSpark}
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("featurize emits fixed schema and deterministic features") {
-    // fabricate media payloads from document text bytes
-    val media = Tables.documents(spark, "/root/testdata/sf0.001")
+  /** A real PNG, produced by the JDK's own encoder: `w`x`h`, every pixel
+    * the given RGB color. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage decodes a real PNG to known pixel values") {
+    val red = pngBytes(4, 2, 0xff0000)
+    val p = Multimodal.decodeImage(red).get
+    assert(p.width == 4 && p.height == 2)
+    assert(p.rgb.length == 4 * 2 * 3)
+    assert(p.rgb.grouped(3).forall(px =>
+      (px(0) & 0xff) == 255 && (px(1) & 0xff) == 0 && (px(2) & 0xff) == 0))
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+
+  test("featurize emits fixed schema; real pixels for images, stub for garbage") {
+    import spark.implicits._
+    val green = pngBytes(8, 8, 0x00ff00)
+    val media = Seq((1L, green), (2L, "garbage bytes stand-in".getBytes))
+      .toDF("media_id", "media")
+    val out1 = Multimodal.featurize(media, "media", "media_id", dim = 8)
+    assert(out1.schema.fieldNames.toSeq ==
+      Seq("media_id", "n_bytes", "decoded", "features"))
+    val rows1 = out1.collect().map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getBoolean(2), r.getSeq[Float](3)))).toMap
+    // pure-green image: meanR=0, meanG=1, meanB=0; luminance 587/1000*255
+    // lands every pixel in one histogram bucket of the remaining 5
+    val (n1, dec1, f1) = rows1(1L)
+    assert(dec1 && n1 == green.length)
+    assert(f1(0) == 0f && f1(1) == 1f && f1(2) == 0f)
+    assert(f1.drop(3).count(_ == 1f) == 1 && f1.drop(3).count(_ == 0f) == 4)
+    val (_, dec2, f2) = rows1(2L)
+    assert(!dec2 && f2.length == 8) // garbage falls back to the byte-hash stub
+    // deterministic end to end
+    val rows2 = Multimodal.featurize(media, "media", "media_id", dim = 8)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getInt(1), r.getBoolean(2), r.getSeq[Float](3)))).toMap
+    assert(rows1 == rows2)
+    // still runs over arbitrary fabricated payloads (the corpus-shaped path)
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
       .limit(20)
       .select(col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("media"))
-    val out1 = Multimodal.featurize(media, "media", "media_id", dim = 8)
-    assert(out1.schema.fieldNames.toSeq == Seq("media_id", "n_bytes", "features"))
-    val rows1 = out1.collect().map(r =>
-      r.getLong(0) -> (r.getInt(1), r.getSeq[Float](2))).toMap
-    val rows2 = Multimodal.featurize(media, "media", "media_id", dim = 8)
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Float](2))).toMap
-    assert(rows1 == rows2) // deterministic
-    assert(rows1.values.forall(_._2.length == 8))
-    assert(rows1.values.forall(_._1 > 0))
+    assert(Multimodal.featurize(corpus, "media", "media_id", dim = 8)
+      .collect().forall(r => !r.getBoolean(2) && r.getSeq[Float](3).length == 8))
   }
 
   test("ImageHeader parses PNG/GIF/BMP/JPEG dimensions from raw bytes") {
@@ -98,18 +136,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).getInt(1) == 20)
   }
 
-  test("resize emits fixed dims and deterministic payloads") {
+  test("resize bilinear-scales real images and stride-samples garbage") {
     import spark.implicits._
-    val media = Seq((1L, "some moderately long payload standing in for pixels".getBytes),
-      (2L, Array.empty[Byte])).toDF("media_id", "media")
+    val blue = pngBytes(16, 8, 0x0000ff)
+    val media = Seq(
+      (1L, blue),
+      (2L, "some moderately long payload standing in for pixels".getBytes),
+      (3L, Array.empty[Byte])).toDF("media_id", "media")
     val out = Multimodal.resize(media, "media", "media_id", outW = 4, outH = 3)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(out(1L).getAs[Array[Byte]](1).length == 12)
-    assert(out(1L).getInt(2) == 4 && out(1L).getInt(3) == 3)
-    assert(out(2L).getAs[Array[Byte]](1).length == 12) // empty payload still shapes
+    // real path: a solid-blue source stays solid blue at any scale
+    val px1 = out(1L).getAs[Array[Byte]](1)
+    assert(out(1L).getBoolean(4) && px1.length == 4 * 3 * 3)
+    assert(px1.grouped(3).forall(p =>
+      (p(0) & 0xff) == 0 && (p(1) & 0xff) == 0 && (p(2) & 0xff) == 255))
+    // fallback path: same 3-bytes-per-pixel shape, decoded = false
+    assert(!out(2L).getBoolean(4) && out(2L).getAs[Array[Byte]](1).length == 36)
+    assert(out(2L).getInt(2) == 4 && out(2L).getInt(3) == 3)
+    assert(out(3L).getAs[Array[Byte]](1).length == 36) // empty payload still shapes
     val again = Multimodal.resize(media, "media", "media_id", 4, 3)
       .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
-    assert(again(1L) == out(1L).getAs[Array[Byte]](1).toSeq) // deterministic
+    assert(again(1L) == px1.toSeq && again(2L) == out(2L).getAs[Array[Byte]](1).toSeq)
   }
 
   test("sampleFrames explodes n evenly spaced frame stubs per media row") {
