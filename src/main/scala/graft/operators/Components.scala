@@ -22,20 +22,32 @@ object Components {
   /** @return (id, component) for every node appearing in `edges`, where
     *         component = min node id of the connected component.
     *
-    * Size-gated hybrid: below `driverThreshold` edges the graph is solved
-    * with union-find on the driver (one collect; near-dup pair graphs are
+    * Size-gated hybrid: within `driverThreshold` edges AND
+    * `driverMaxBytes` estimated payload the graph is solved with
+    * union-find on the driver (one collect; near-dup pair graphs are
     * proportional to the duplicate count, minuscule next to the corpus), so
-    * the common case pays one job instead of O(diameter) join rounds. Above
-    * it, distributed min-label propagation — identical output, no driver
-    * materialization. */
+    * the common case pays one job instead of O(diameter) join rounds.
+    * Beyond either bound, distributed min-label propagation — identical
+    * output, no driver materialization. The byte bound exists because rows
+    * are not a memory unit: 1M edges of wide string ids is a very
+    * different collect than 1M longs, and the gate must reflect that. */
   def of(edges: DataFrame, aCol: String, bCol: String,
-         maxRounds: Int = 50, driverThreshold: Long = 1000000L): DataFrame = {
-    // materialize once: the size gate would otherwise evaluate the (often
-    // expensive — LSH pair generation) edge plan twice, once for count and
+         maxRounds: Int = 50, driverThreshold: Long = 1000000L,
+         driverMaxBytes: Long = 32L << 20): DataFrame = {
+    // one job measures rows AND estimated bytes while materializing the
+    // checkpoint: the size gate would otherwise evaluate the (often
+    // expensive — LSH pair generation) edge plan twice, once for stats and
     // once for collect/propagation
     val pairs = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(true)
-    if (pairs.count() <= driverThreshold) return driverUnionFind(pairs)
+      .localCheckpoint(false)
+    val stats = pairs.agg(
+      count(lit(1)),
+      // per-row estimate: rendered width of both ids + per-row object tax
+      coalesce(sum(length(col("src").cast("string")) +
+        length(col("dst").cast("string")) + lit(16L)), lit(0L))).head()
+    val (rows, bytes) = (stats.getLong(0), stats.getLong(1))
+    if (rows <= driverThreshold && bytes <= driverMaxBytes)
+      return driverUnionFind(pairs)
     val sym = pairs
       .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))

@@ -33,6 +33,21 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.values.forall(_ == 1L))
   }
 
+  test("byte bound forces the distributed path even when rows are few") {
+    // 4 edges of WIDE string ids: well under any row threshold, but over a
+    // tiny byte budget — rows are not a memory unit, the gate must see bytes
+    val wide = "x" * 200
+    val edges = Seq(("a" + wide, "b" + wide), ("b" + wide, "c" + wide),
+      ("p" + wide, "q" + wide), ("q" + wide, "r" + wide)).toDF("a", "b")
+    val viaBytes = Components.of(edges, "a", "b", driverMaxBytes = 64L)
+      .collect().map(r => r.getString(0).take(1) -> r.getString(1).take(1)).toMap
+    val viaDriver = Components.of(edges, "a", "b")
+      .collect().map(r => r.getString(0).take(1) -> r.getString(1).take(1)).toMap
+    assert(viaBytes == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "p" -> "p", "q" -> "p", "r" -> "p"))
+    assert(viaBytes == viaDriver)
+  }
+
   test("throws instead of returning non-converged labels past maxRounds") {
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
