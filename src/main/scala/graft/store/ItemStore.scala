@@ -19,13 +19,17 @@ import graft.schema.Item
   * delete (README.md:18).
   *
   * Scale: the merge is one key-shuffle full-outer join (broadcast when the
-  * batch is small); snapshots are written partitioned-by nothing here but
-  * the layout knob is `repartitionBy` — at 100 TB you'd bucket by id so
-  * successive merges co-locate without re-shuffling the store.
+  * batch is small). With `buckets > 0` every snapshot is stored BUCKETED
+  * by id ([[Snapshots]] bucketed mode), so the merge join plans with no
+  * Exchange on the store side — successive merges shuffle only the
+  * incoming batch, never the accumulated archive. That asymmetry is the
+  * whole 100 TB story: the store is ~25M rows × years, the batch is
+  * whatever one crawl returned.
   */
-final class ItemStore(spark: SparkSession, root: String) {
+final class ItemStore(spark: SparkSession, root: String, buckets: Int = 0) {
 
-  private val snaps = new Snapshots(spark, root, Item.schema)
+  private val snaps = new Snapshots(spark, root, Item.schema,
+    if (buckets > 0) Some(("id", buckets)) else None)
 
   /** Reference column groups (hnarchive.py:231-246). */
   val coalesceCols: Seq[String] = Seq("author", "text", "poll", "url", "score", "title")

@@ -27,27 +27,55 @@ import org.apache.spark.sql.types.StructType
   * The manifest is newline-separated directory names: first line the base
   * snapshot, following lines deltas in commit order (a bare single line is
   * exactly the old pointer format, so pre-delta stores read unchanged).
+  *
+  * Optional `bucketBy = Some((key, n))` stores every snapshot bucketed by
+  * `key` (hash, n buckets, sorted within): bucket metadata only flows
+  * through the catalog, so each snapshot is additionally registered as an
+  * EXTERNAL table over its directory (re-registered on first read in a
+  * fresh session — the files plus the manifest remain the durable truth).
+  * A reader joining on `key` then plans WITHOUT an Exchange on the store
+  * side: successive merges shuffle only the incoming batch, never the
+  * accumulated store. Delta appends are not supported in bucketed mode
+  * (a delta would break the one-table bucket invariant).
   */
-final class Snapshots(spark: SparkSession, root: String, schema: StructType) {
+final class Snapshots(spark: SparkSession, root: String, schema: StructType,
+                      bucketBy: Option[(String, Int)] = None) {
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("current")
+
+  /** Catalog identifier for a snapshot directory (bucketed mode): derived
+    * from the store root so two stores never collide. */
+  private def tableFor(snap: String): String =
+    s"graft_snap_${java.lang.Integer.toHexString(root.hashCode)}_${snap.replace('-', '_')}"
+
+  private def registerTable(snap: String): Unit = bucketBy.foreach { case (key, n) =>
+    val tbl = tableFor(snap)
+    if (!spark.catalog.tableExists(tbl))
+      spark.sql(
+        s"""CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS
+           |LOCATION '${rootPath.resolve(snap)}'""".stripMargin)
+  }
 
   /** Create an empty snapshot iff absent (idempotent bootstrap — S6). */
   def init(): Unit = {
     Files.createDirectories(rootPath)
     if (!Files.exists(pointer)) {
-      val snap = rootPath.resolve("snap-0").toString
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .write.mode("overwrite").parquet(snap)
+      writeSnapshot(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), "snap-0")
       commitManifest(Seq("snap-0"))
     }
   }
 
-  def read(): DataFrame = {
-    val dirs = manifest.map(d => rootPath.resolve(d).toString)
-    spark.read.schema(schema).parquet(dirs: _*)
+  def read(): DataFrame = bucketBy match {
+    case Some(_) =>
+      val snap = manifest.head
+      registerTable(snap) // fresh session: catalog entry may not exist yet
+      spark.table(tableFor(snap))
+    case None =>
+      val dirs = manifest.map(d => rootPath.resolve(d).toString)
+      spark.read.schema(schema).parquet(dirs: _*)
   }
 
   /** Number of delta directories since the last base snapshot — the
@@ -57,6 +85,9 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType) {
   /** Write `df` as one new delta directory and commit it to the manifest.
     * I/O is O(df), independent of the store size. */
   def appendDelta(df: DataFrame): Unit = {
+    require(bucketBy.isEmpty,
+      "appendDelta is unsupported on a bucketed store: a delta directory " +
+        "would break the one-table bucket invariant — use replace")
     val old = manifest
     val delta = s"delta-${System.nanoTime()}"
     df.write.mode("overwrite").parquet(rootPath.resolve(delta).toString)
@@ -69,9 +100,23 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType) {
   def replace(df: DataFrame): Unit = {
     val previous = manifest
     val snap = s"snap-${System.nanoTime()}"
-    df.write.mode("overwrite").parquet(rootPath.resolve(snap).toString)
+    writeSnapshot(df, snap)
     commitManifest(Seq(snap))
-    previous.foreach(d => deleteRecursively(rootPath.resolve(d)))
+    previous.foreach { d =>
+      if (bucketBy.nonEmpty)
+        spark.sql(s"DROP TABLE IF EXISTS ${tableFor(d)}") // EXTERNAL: files stay
+      deleteRecursively(rootPath.resolve(d))
+    }
+  }
+
+  private def writeSnapshot(df: DataFrame, snap: String): Unit = bucketBy match {
+    case Some((key, n)) =>
+      df.write.format("parquet")
+        .bucketBy(n, key).sortBy(key)
+        .option("path", rootPath.resolve(snap).toString)
+        .saveAsTable(tableFor(snap))
+    case None =>
+      df.write.mode("overwrite").parquet(rootPath.resolve(snap).toString)
   }
 
   private def manifest: Seq[String] =

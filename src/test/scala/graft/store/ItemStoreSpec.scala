@@ -91,6 +91,36 @@ class ItemStoreSpec extends AnyFunSuite {
     assert(st.current().count() == 4)
   }
 
+  test("bucketed store: second merge plans with no Exchange on the store side") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val dir = Files.createTempDirectory("graft-store-bucketed").toString
+    val st = new ItemStore(spark, dir, buckets = 4)
+    st.init()
+    st.merge(normalized(
+      1L -> """{"id":1,"type":"story","by":"a","time":10}""",
+      2L -> """{"id":2,"type":"story","by":"b","time":20}"""))
+    // the second merge joins the BUCKETED store snapshot against the batch:
+    // the store side must scan bucketed (no Exchange above it); only the
+    // incoming batch may shuffle
+    val batch2 = normalized(3L -> """{"id":3,"type":"story","by":"c","time":30}""")
+    val merged = graft.operators.Merge.upsert(st.current(), batch2, "id",
+      st.coalesceCols, st.overwriteCols, precedenceCols = Seq("retrieved"))
+    val plan = merged.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"), s"store scan not bucketed:\n$plan")
+    val exchanges = plan.linesIterator.count(_.trim.matches("""Exchange .*"""))
+    assert(exchanges <= 1, s"expected at most the batch-side Exchange:\n$plan")
+    // and the store semantics are unchanged through the bucketed layout
+    st.merge(batch2)
+    assert(st.current().count() == 3)
+    assert(st.latestId().contains(3L))
+    // a fresh-session analog: drop the catalog entry, read() must re-register
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_snap_"))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+    assert(st.current().count() == 3)
+  }
+
   test("livestream runner drains batches into the store idempotently") {
     val st = freshStore()
     val items = (1L to 7L).map(i =>
