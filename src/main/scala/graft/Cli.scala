@@ -27,6 +27,9 @@ import graft.streaming.LivestreamRunner
   *                prints the first N rows
   *
   * `--fetcher http|fake:KEY` selects the transport (http needs egress).
+  * `--buckets N` opens the store in bucketed-by-id mode (merges plan with
+  * no Exchange on the store side — see ItemStore); use the same N on
+  * every command against one store directory.
   */
 object Cli {
 
@@ -60,7 +63,8 @@ object Cli {
   def run(spark: SparkSession, cmd: String, rest: Array[String]): Unit = {
     if (cmd == "query") { runQuery(spark, rest); return }
     val db = opt(rest, "db").getOrElse(sys.error("--db required"))
-    val store = new ItemStore(spark, db)
+    val store = new ItemStore(spark, db,
+      buckets = opt(rest, "buckets").map(_.toInt).getOrElse(0))
     val threads = opt(rest, "threads").map(_.toInt).getOrElse(4)
     val now = () => System.currentTimeMillis() / 1000
 

@@ -3,10 +3,11 @@ package graft.multimodal
 /** Pure-JVM media header parsing: container format + dimensions/sample
   * layout + bit depth straight from the leading bytes, no codec libraries.
   * This is the real metadata-extraction step of a multimodal ingest
-  * pipeline (the pixel/sample DECODE stays stubbed — see
-  * [[Multimodal.decodeStub]] — but header inspection at 100 TB is exactly
-  * this: a few branches over the first bytes of an opaque binary column,
-  * no allocation, fully codegen-hostable).
+  * pipeline — header inspection at 100 TB is exactly this: a few branches
+  * over the first bytes of an opaque binary column, no allocation, fully
+  * codegen-hostable. Full decode lives in [[Multimodal]]: real pixels via
+  * `javax.imageio`, real WAV-PCM samples via [[Multimodal.decodeWav]],
+  * byte-hash stubs only for the video codecs this container lacks.
   *
   * Formats: PNG (IHDR), GIF87a/89a (logical screen descriptor), BMP
   * (BITMAPINFOHEADER), JPEG (SOF0-SOF15 marker scan), WAV (RIFF fmt

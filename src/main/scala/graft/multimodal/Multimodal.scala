@@ -111,10 +111,116 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType)))
 
-  /** FALLBACK for payloads [[decodeImage]] cannot read (and the stand-in
-    * for audio/video codecs this container lacks): a rolling byte hash
-    * seeds `dim` deterministic pseudo-features, keeping the pipeline total
-    * over garbage bytes. */
+  /** Decoded audio: interleaved samples normalized to [-1, 1). */
+  final case class AudioClip(sampleRate: Int, channels: Int,
+                             bitsPerSample: Int, samples: Array[Float])
+
+  /** REAL WAV decode: RIFF chunk walk (same discipline as
+    * [[ImageHeader.parse]]) to the `fmt ` and `data` chunks, then PCM
+    * samples (8-bit unsigned, 16/24/32-bit signed little-endian) normalized
+    * to floats. Pure JVM, no codec library. None for anything that is not
+    * integer-PCM WAV. */
+  def decodeWav(bytes: Array[Byte]): Option[AudioClip] = {
+    if (bytes == null || bytes.length < 44) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+      return None
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var i = 12L // Long cursor: crafted chunk sizes must not wrap (ImageHeader note)
+    while (i + 8 <= bytes.length) {
+      val p = i.toInt
+      val tag = new String(bytes, p, 4, "US-ASCII")
+      val len = le32(p + 4).toLong & 0xffffffffL
+      if (tag == "fmt ") {
+        if (len < 16 || p + 8 + 16 > bytes.length) return None
+        val audioFormat = le16(p + 8)
+        if (audioFormat != 1) return None // integer PCM only
+        fmt = Some((le16(p + 10), le32(p + 12), le16(p + 22)))
+      } else if (tag == "data" && fmt.nonEmpty) {
+        val (channels, rate, bits) = fmt.get
+        if (channels < 1 || !Set(8, 16, 24, 32).contains(bits)) return None
+        val bytesPerSample = bits / 8
+        val avail = math.min(len, (bytes.length - p - 8).toLong)
+        val n = (avail / bytesPerSample).toInt
+        val out = new Array[Float](n)
+        var s = 0
+        while (s < n) {
+          val o = p + 8 + s * bytesPerSample
+          out(s) = bits match {
+            case 8 => (u8(o) - 128) / 128f
+            case 16 => le16(o).toShort / 32768f
+            case 24 =>
+              val v = u8(o) | (u8(o + 1) << 8) | (u8(o + 2) << 16)
+              ((v << 8) >> 8) / 8388608f // sign-extend 24 -> 32
+            case 32 => le32(o) / 2147483648f
+          }
+          s += 1
+        }
+        return Some(AudioClip(rate, channels, bits, out))
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Features from real audio: per-window RMS energy over the mono mix —
+    * `dim` equal time windows, deterministic and bounded. */
+  def audioFeatures(clip: AudioClip, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val frames = clip.samples.length / clip.channels
+    if (frames == 0 || dim == 0) return out
+    var w = 0
+    while (w < dim) {
+      val from = (w.toLong * frames / dim).toInt
+      val until = ((w + 1).toLong * frames / dim).toInt
+      var acc = 0.0
+      var f = from
+      while (f < until) {
+        var c = 0
+        var mono = 0.0
+        while (c < clip.channels) { mono += clip.samples(f * clip.channels + c); c += 1 }
+        mono /= clip.channels
+        acc += mono * mono
+        f += 1
+      }
+      out(w) = if (until > from) math.sqrt(acc / (until - from)).toFloat else 0f
+      w += 1
+    }
+    out
+  }
+
+  /** Audio decode + featurize, same per-partition shape and output schema
+    * as [[featurize]]: real WAV-PCM clips yield RMS-window features
+    * (`decoded = true`); anything else falls back to the byte-hash stub. */
+  def featurizeAudio(df: DataFrame, bytesCol: String, idCol: String,
+                     dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("decoded", BooleanType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        decodeWav(bytes) match {
+          case Some(clip) => Row(r.getLong(0), bytes.length, true,
+            audioFeatures(clip, dim).toSeq)
+          case None => Row(r.getLong(0), if (bytes == null) 0 else bytes.length,
+            false, decodeStub(bytes, dim).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** FALLBACK for payloads [[decodeImage]]/[[decodeWav]] cannot read (and
+    * the stand-in for the video codecs this container lacks): a rolling
+    * byte hash seeds `dim` deterministic pseudo-features, keeping the
+    * pipeline total over garbage bytes. */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     var h = 1125899906842597L
     if (bytes != null) bytes.foreach { b => h = h * 31 + (b & 0xff) }

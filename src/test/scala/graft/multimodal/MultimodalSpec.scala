@@ -136,6 +136,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).getInt(1) == 20)
   }
 
+  /** A real 16-bit mono PCM WAV built byte by byte. */
+  private def wavBytes(sampleRate: Int, samples: Seq[Short]): Array[Byte] = {
+    val data = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { data.write(v & 0xff); data.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    def ascii(s: String): Unit = data.write(s.getBytes("US-ASCII"))
+    val dataLen = samples.length * 2
+    ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+    ascii("fmt "); le32(16)
+    le16(1); le16(1) // PCM, mono
+    le32(sampleRate); le32(sampleRate * 2) // byte rate
+    le16(2); le16(16) // block align, bits
+    ascii("data"); le32(dataLen)
+    samples.foreach(s => le16(s & 0xffff))
+    data.toByteArray
+  }
+
+  test("decodeWav decodes real PCM samples to known float values") {
+    // square wave: 4 frames at +0.5, 4 at -0.5 (16384 = 0.5 * 32768)
+    val wav = wavBytes(8000, Seq[Short](16384, 16384, 16384, 16384,
+      -16384, -16384, -16384, -16384))
+    val clip = Multimodal.decodeWav(wav).get
+    assert(clip.sampleRate == 8000 && clip.channels == 1 && clip.bitsPerSample == 16)
+    assert(clip.samples.toSeq == Seq(0.5f, 0.5f, 0.5f, 0.5f, -0.5f, -0.5f, -0.5f, -0.5f))
+    // per-window RMS of a +-0.5 square wave is 0.5 in both halves
+    assert(Multimodal.audioFeatures(clip, 2).toSeq == Seq(0.5f, 0.5f))
+    assert(Multimodal.decodeWav("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+  }
+
+  test("featurizeAudio: real RMS features for WAV, stub for garbage") {
+    import spark.implicits._
+    val wav = wavBytes(8000, Seq.fill(8)(16384.toShort))
+    val media = Seq((1L, wav), (2L, "not audio at all".getBytes))
+      .toDF("media_id", "media")
+    val out = Multimodal.featurizeAudio(media, "media", "media_id", dim = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getSeq[Float](3)))).toMap
+    assert(out(1L)._1 && out(1L)._2 == Seq(0.5f, 0.5f, 0.5f, 0.5f))
+    assert(!out(2L)._1 && out(2L)._2.length == 4)
+  }
+
   test("resize bilinear-scales real images and stride-samples garbage") {
     import spark.implicits._
     val blue = pngBytes(16, 8, 0x0000ff)
