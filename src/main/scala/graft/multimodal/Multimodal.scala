@@ -22,10 +22,18 @@ object Multimodal {
   /** Decoded raster: row-major RGB, 3 bytes per pixel. */
   final case class Pixels(width: Int, height: Int, rgb: Array[Byte])
 
+  /** Cheap pre-filter before ImageIO: the zero-allocation header parse
+    * must recognize a raster format. A 100 TB crawl is mostly non-image
+    * bytes, and without this every garbage row still pays ImageIO's
+    * format-sniffing across all registered readers. */
+  private def looksLikeImage(bytes: Array[Byte]): Boolean =
+    ImageHeader.parse(bytes).exists(_.format != "wav")
+
   /** REAL image decode via `javax.imageio` (pure JDK). None when the
-    * payload is not a decodable image. */
+    * payload is not a decodable image (formats are those the header
+    * parser recognizes: PNG/GIF/BMP/JPEG). */
   def decodeImage(bytes: Array[Byte]): Option[Pixels] = {
-    if (bytes == null || bytes.isEmpty) return None
+    if (bytes == null || bytes.isEmpty || !looksLikeImage(bytes)) return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None else Some(toPixels(img))
@@ -35,7 +43,7 @@ object Multimodal {
   /** REAL resize: decode, bilinear-scale to (outW, outH), return raw RGB.
     * None when the payload is not a decodable image. */
   def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Option[Pixels] = {
-    if (bytes == null || bytes.isEmpty) return None
+    if (bytes == null || bytes.isEmpty || !looksLikeImage(bytes)) return None
     try {
       val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (src == null) None
@@ -192,30 +200,19 @@ object Multimodal {
     out
   }
 
-  /** Audio decode + featurize, same per-partition shape and output schema
-    * as [[featurize]]: real WAV-PCM clips yield RMS-window features
+  /** Audio decode + featurize, same per-partition shape and schema as
+    * [[featurize]]: real WAV-PCM clips yield RMS-window features
     * (`decoded = true`); anything else falls back to the byte-hash stub. */
   def featurizeAudio(df: DataFrame, bytesCol: String, idCol: String,
-                     dim: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("n_bytes", IntegerType, nullable = false),
-      StructField("decoded", BooleanType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = false)))
-    val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        decodeWav(bytes) match {
-          case Some(clip) => Row(r.getLong(0), bytes.length, true,
-            audioFeatures(clip, dim).toSeq)
-          case None => Row(r.getLong(0), if (bytes == null) 0 else bytes.length,
-            false, decodeStub(bytes, dim).toSeq)
-        }
+                     dim: Int = 8): DataFrame =
+    decodePartitions(df, bytesCol, idCol, featureSchema) { (id, bytes) =>
+      decodeWav(bytes) match {
+        case Some(clip) => Row(id, bytes.length, true,
+          audioFeatures(clip, dim).toSeq)
+        case None => Row(id, if (bytes == null) 0 else bytes.length,
+          false, decodeStub(bytes, dim).toSeq)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   /** FALLBACK for payloads [[decodeImage]]/[[decodeWav]] cannot read (and
     * the stand-in for the video codecs this container lacks): a rolling
@@ -230,33 +227,40 @@ object Multimodal {
     }
   }
 
-  /** Decode + featurize via per-partition batches (the `mapInPandas`
-    * analog): one decoder init per partition, rows processed as an
-    * iterator, output schema fixed up-front. Decodable images yield REAL
-    * pixel-derived features ([[imageFeatures]], `decoded = true`);
-    * anything else falls back to the byte-hash stub (`decoded = false`). */
-  def featurize(df: DataFrame, bytesCol: String, idCol: String,
-                dim: Int = 8): DataFrame = {
+  /** The shared per-partition decode shell (the `mapInPandas` analog): one
+    * codec init per task (ImageIO's disk-backed stream cache off — a temp
+    * file per row otherwise), rows processed as an iterator, output schema
+    * fixed up-front. Every decode surface (image/audio featurize, resize)
+    * goes through here so the (media_id, n_bytes, decoded, ...) contract
+    * cannot drift between them. */
+  private def decodePartitions(df: DataFrame, bytesCol: String, idCol: String,
+      outSchema: StructType)(rowFn: (Long, Array[Byte]) => Row): DataFrame = {
     val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("n_bytes", IntegerType, nullable = false),
-      StructField("decoded", BooleanType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = false)))
     val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
-      // decoder/codec init would happen HERE, once per task
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        decodeImage(bytes) match {
-          case Some(p) => Row(r.getLong(0), bytes.length, true,
-            imageFeatures(p, dim).toSeq)
-          case None => Row(r.getLong(0), if (bytes == null) 0 else bytes.length,
-            false, decodeStub(bytes, dim).toSeq)
-        }
-      }
+      javax.imageio.ImageIO.setUseCache(false) // codec init, once per task
+      rows.map(r => rowFn(r.getLong(0), r.getAs[Array[Byte]](1)))
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  private def featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = false)))
+
+  /** Decode + featurize images per partition: decodable payloads yield
+    * REAL pixel-derived features ([[imageFeatures]], `decoded = true`);
+    * anything else falls back to the byte-hash stub (`decoded = false`). */
+  def featurize(df: DataFrame, bytesCol: String, idCol: String,
+                dim: Int = 8): DataFrame =
+    decodePartitions(df, bytesCol, idCol, featureSchema) { (id, bytes) =>
+      decodeImage(bytes) match {
+        case Some(p) => Row(id, bytes.length, true, imageFeatures(p, dim).toSeq)
+        case None => Row(id, if (bytes == null) 0 else bytes.length,
+          false, decodeStub(bytes, dim).toSeq)
+      }
+    }
 
   /** Header inspection: REAL (non-stub) metadata extraction — container
     * format, dimensions and bit depth parsed from the leading bytes by
@@ -264,7 +268,6 @@ object Multimodal {
     * payloads yield nulls rather than dropping rows (a 100 TB crawl always
     * contains garbage; filtering is the caller's policy decision). */
   def inspectImages(df: DataFrame, bytesCol: String, idCol: String): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("n_bytes", IntegerType, nullable = false),
@@ -272,17 +275,13 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("bit_depth", IntegerType)))
-    val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        ImageHeader.parse(bytes) match {
-          case Some(m) => Row(r.getLong(0), bytes.length, m.format, m.width, m.height, m.bitDepth)
-          case None    => Row(r.getLong(0), if (bytes == null) 0 else bytes.length,
-                              null, null, null, null)
-        }
+    decodePartitions(df, bytesCol, idCol, outSchema) { (id, bytes) =>
+      ImageHeader.parse(bytes) match {
+        case Some(m) => Row(id, bytes.length, m.format, m.width, m.height, m.bitDepth)
+        case None => Row(id, if (bytes == null) 0 else bytes.length,
+          null, null, null, null)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
   }
 
   /** FALLBACK for payloads [[resizeImage]] cannot read: samples
@@ -308,25 +307,18 @@ object Multimodal {
     * stub with the same output shape (`decoded = false`). */
   def resize(df: DataFrame, bytesCol: String, idCol: String,
              outW: Int, outH: Int): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("media", BinaryType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("decoded", BooleanType, nullable = false)))
-    val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
-      // codec init once per task, as in featurize
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        resizeImage(bytes, outW, outH) match {
-          case Some(p) => Row(r.getLong(0), p.rgb, outW, outH, true)
-          case None => Row(r.getLong(0), resizeStub(bytes, outW, outH),
-            outW, outH, false)
-        }
+    decodePartitions(df, bytesCol, idCol, outSchema) { (id, bytes) =>
+      resizeImage(bytes, outW, outH) match {
+        case Some(p) => Row(id, p.rgb, outW, outH, true)
+        case None => Row(id, resizeStub(bytes, outW, outH), outW, outH, false)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Frame-sampling shape: explode a media row into n evenly-spaced frame

@@ -58,6 +58,11 @@ object TreeExpand {
     * @param broadcastFrontierRows max frontier rows joined via broadcast;
     *              beyond this the round degrades to a shuffle-hash join
     *              instead of OOMing the driver with the broadcast build
+    * @param broadcastMaxBytes max ESTIMATED frontier payload (path strings
+    *              dominate) for any broadcast/driver residency — rows are
+    *              not a memory unit, and paths grow with depth, so the
+    *              regime demotes mid-flight when a measured frontier
+    *              exceeds this
     * @param modeLog when set, appends the residency chosen each round —
     *              test observability for the size gate
     * @return (id, root, depth: int, path: string "root/…/id")
@@ -71,6 +76,7 @@ object TreeExpand {
       levelsPerRound: Int = 4,
       driverFrontierRows: Int = 8192,
       broadcastFrontierRows: Long = 1000000L,
+      broadcastMaxBytes: Long = 64L << 20,
       modeLog: scala.collection.mutable.Buffer[String] = null): DataFrame = {
     require(levelsPerRound >= 1, "levelsPerRound must be >= 1")
     require(driverFrontierRows >= 1 && broadcastFrontierRows >= driverFrontierRows,
@@ -82,9 +88,14 @@ object TreeExpand {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one count populates the cache AND proves (or refutes) the invariant
     // that makes the all-broadcast regime safe: every BFS level is a subset
-    // of the edge table, so edgeCount <= budget bounds every future build
+    // of the edge table, so edgeCount <= budget bounds every future build's
+    // ROWS. Bytes are not bounded the same way (paths grow with depth), so
+    // adopt() also measures frontier bytes each round and demotes the
+    // regime mid-flight if they blow the budget — rows are not a memory
+    // unit (same lesson as Components.of's byte gate).
     val edgeCount = childOf.count()
-    val smallGraph = edgeCount <= broadcastFrontierRows
+    var smallGraph = edgeCount <= broadcastFrontierRows &&
+      edgeCount * 48 <= broadcastMaxBytes
     // large regime only: deep levels shuffle-hash every round, so pay the
     // parent-key repartition once and reuse its partitioning each round
     var shuffledInit = false
@@ -136,17 +147,51 @@ object TreeExpand {
       if (dbg) println(f"[tree] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.3fs")
       r
     }
+    // suspend AQE for a small-graph expansion: every stage is tiny and
+    // broadcast-only, so adaptive replanning is pure per-stage latency.
+    // Session-global conf, restored in the finally — the store of record
+    // is single-writer and expand is synchronous, so only a concurrently-
+    // issued query in the SAME session would observe the window. Large
+    // graphs keep the session's setting (skew handling on the wide
+    // shuffle-hash rounds is worth it there).
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    var aqeOff = false
+    def suspendAqe(): Unit =
+      if (smallGraph && aqePrev == "true" && !aqeOff) {
+        spark.conf.set(aqeKey, "false"); aqeOff = true
+      }
+    def restoreAqe(): Unit =
+      if (aqeOff) { spark.conf.set(aqeKey, aqePrev); aqeOff = false }
+
+    /** Estimated broadcast payload of one frontier row: the path string
+      * dominates; ids/depth are a constant tax. */
+    def rowBytes(r: org.apache.spark.sql.Row): Long =
+      32L + (if (r.isNullAt(3)) 0 else r.getString(3).length)
+
     def adopt(nextFrontier: DataFrame): Unit = tdbg("adopt") {
       val sample = nextFrontier.head(driverFrontierRows + 1)
-      if (sample.length <= driverFrontierRows) {
+      val sampleBytes = sample.iterator.map(rowBytes).sum
+      if (sample.length <= driverFrontierRows && sampleBytes <= broadcastMaxBytes) {
         mode = DriverMode
         frontierRows = sample
         frontier = spark.createDataFrame(
           java.util.Arrays.asList(frontierRows: _*), frontierSchema)
         frontierKnownEmpty = sample.isEmpty
       } else {
-        mode = if (nextFrontier.count() <= broadcastFrontierRows) BroadcastMode
-               else ShuffleMode
+        val m = nextFrontier
+          .agg(count(lit(1)), coalesce(sum(length(col("_path")) + 32L), lit(0L)))
+          .head()
+        val (rows, bytes) = (m.getLong(0), m.getLong(1))
+        mode = if (rows <= broadcastFrontierRows && bytes <= broadcastMaxBytes)
+          BroadcastMode else ShuffleMode
+        if (bytes > broadcastMaxBytes && smallGraph) {
+          // paths outgrew the byte budget: the all-broadcast invariant no
+          // longer holds — demote to the shuffle regime for the rest of
+          // the expansion and give AQE back to its wide stages
+          smallGraph = false
+          restoreAqe()
+        }
         frontierRows = Array.empty
         frontier = nextFrontier
         frontierKnownEmpty = false
@@ -154,16 +199,7 @@ object TreeExpand {
       if (modeLog != null) modeLog += mode
     }
 
-    // suspend AQE for a small-graph expansion: every stage is tiny and
-    // broadcast-only, so adaptive replanning is pure per-stage latency.
-    // Session-global conf, restored in the finally — expand is synchronous,
-    // so only a concurrently-issued query in the SAME session would observe
-    // the window. Large graphs keep the session's setting (skew handling
-    // on the wide shuffle-hash rounds is worth it there).
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    val suspendAqe = smallGraph && aqePrev == "true"
-    if (suspendAqe) spark.conf.set(aqeKey, "false")
+    suspendAqe()
     val acc =
       try {
         adopt(roots
@@ -206,7 +242,7 @@ object TreeExpand {
         }
         out
       } finally {
-        if (suspendAqe) spark.conf.set(aqeKey, aqePrev)
+        restoreAqe()
         // acc references only checkpointed batches / local relations, so the
         // edge caches can go now
         childOf.unpersist(blocking = false)
@@ -244,11 +280,14 @@ object TreeExpand {
     *        materialized paths are quadratic in total size (node k's path
     *        has k components) — depth-only expansion is the only sane mode
     *        there, and it's what depth/root analyses need. */
-  /** @param broadcastStateRows when the whole node table fits this budget,
-    *        each contraction round joins against a BROADCAST of the state
-    *        (zero shuffle stages — the small-graph regime, same measurement
-    *        -based gate as [[expand]]); larger tables keep the shuffled
-    *        self-join, which is the right plan at cluster scale. */
+  /** @param broadcastStateRows when the whole node table fits this budget
+    *        (rows AND estimated bytes — `broadcastStateBytes`), each
+    *        contraction round joins against a BROADCAST of the state (zero
+    *        shuffle stages — the small-graph regime, same measurement-based
+    *        gate as [[expand]]); larger or byte-heavy tables keep the
+    *        shuffled self-join, which is the right plan at cluster scale.
+    *        Segment strings grow by concatenation each round, so the
+    *        per-round measurement can demote the regime mid-flight. */
   def expandByDoubling(
       edges: DataFrame,
       roots: DataFrame,
@@ -256,7 +295,8 @@ object TreeExpand {
       parentCol: String = "parent",
       maxDepth: Int = 1000,
       withPath: Boolean = true,
-      broadcastStateRows: Long = 1000000L): DataFrame = {
+      broadcastStateRows: Long = 1000000L,
+      broadcastStateBytes: Long = 64L << 20): DataFrame = {
     val idType = edges.schema(idCol).dataType
     // lazy checkpoints throughout: the first action over each (the open-set
     // count below, for state) materializes it as a side effect, so every
@@ -293,18 +333,25 @@ object TreeExpand {
       .localCheckpoint(false)
     var rounds = 0
     val maxRounds = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDepth.toLong))
-    // materializes the seed checkpoint AND measures the state for the
-    // broadcast gate in one job; the open count after it is a cheap second
-    // pass over checkpointed partitions
-    val nodeCount = state.count()
-    val smallState = nodeCount <= broadcastStateRows
+    // ONE job materializes each round's lazy checkpoint and measures rows,
+    // open chains, and estimated bytes (seg strings dominate and GROW by
+    // concatenation each round — rows are not a memory unit, so the
+    // broadcast gate re-checks bytes every round and demotes mid-flight)
+    def measure(): (Long, Long, Long) = {
+      val m = state.agg(count(lit(1)),
+        coalesce(sum(when(col("_ptr").isNotNull, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(length(col("_seg")) + 48L), lit(0L))).head()
+      (m.getLong(0), m.getLong(1), m.getLong(2))
+    }
+    val (nodeCount, open0, bytes0) = measure()
+    var smallState = nodeCount <= broadcastStateRows && bytes0 <= broadcastStateBytes
     val spark = edges.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark.conf.get(aqeKey, "true")
-    val suspendAqe = smallState && aqePrev == "true"
-    if (suspendAqe) spark.conf.set(aqeKey, "false")
+    var aqeOff = smallState && aqePrev == "true"
+    if (aqeOff) spark.conf.set(aqeKey, "false")
     try {
-    var open = state.filter(col("_ptr").isNotNull).count()
+    var open = open0
     while (open > 0) {
       rounds += 1
       if (rounds > maxRounds + 1)
@@ -335,7 +382,14 @@ object TreeExpand {
                .otherwise(concat(col("_aseg"), lit("/"), col("s._seg")))
            else col("s._seg")).as("_seg"))
         .localCheckpoint(false)
-      open = state.filter(col("_ptr").isNotNull).count()
+      val (_, openNow, bytesNow) = measure()
+      open = openNow
+      if (smallState && bytesNow > broadcastStateBytes) {
+        // segments outgrew the byte budget: stop broadcasting the state
+        // and give AQE back to the now-shuffled rounds
+        smallState = false
+        if (aqeOff) { spark.conf.set(aqeKey, aqePrev); aqeOff = false }
+      }
     }
     val inScope = state
       .join(broadcast(rootSet), col("_term") === col("_rid"), "left_semi")
@@ -351,7 +405,7 @@ object TreeExpand {
              .otherwise(concat(col("_term").cast("string"), lit("/"), col("_seg")))
          else col("_seg")).as("path"))
     } finally {
-      if (suspendAqe) spark.conf.set(aqeKey, aqePrev)
+      if (aqeOff) spark.conf.set(aqeKey, aqePrev)
     }
   }
 }

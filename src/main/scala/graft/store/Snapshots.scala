@@ -13,6 +13,7 @@ import org.apache.spark.sql.types.StructType
   * half-written snapshot, and a crash between write and swap leaves the
   * previous version intact — the batch analog of the reference's
   * transactional commit (`/root/reference/hnarchive.py:199-201,255-262`).
+  * Single-writer by design, like the reference's one SQLite file.
   *
   * Two write shapes:
   *  - [[replace]] — full-snapshot rewrite; right whenever the new content
@@ -24,9 +25,14 @@ import org.apache.spark.sql.types.StructType
   *    Callers compact on their own cadence via `replace(read())` when
   *    [[deltaCount]] grows — amortized O(store / compactEvery) per batch.
   *
-  * The manifest is newline-separated directory names: first line the base
-  * snapshot, following lines deltas in commit order (a bare single line is
-  * exactly the old pointer format, so pre-delta stores read unchanged).
+  * The manifest is newline-separated: optional `#`-prefixed metadata
+  * lines, then directory names — first the base snapshot, then deltas in
+  * commit order (a bare single line is exactly the old pointer format, so
+  * pre-delta stores read unchanged). A bucketed store records its bucket
+  * spec as `#bucketed-by <key> <n>`; every open validates the caller's
+  * spec against it and FAILS LOUD on mismatch — Spark trusts declared
+  * bucketing and would silently return wrong joins over files hashed
+  * into a different bucket count.
   *
   * Optional `bucketBy = Some((key, n))` stores every snapshot bucketed by
   * `key` (hash, n buckets, sorted within): bucket metadata only flows
@@ -58,13 +64,30 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
            |LOCATION '${rootPath.resolve(snap)}'""".stripMargin)
   }
 
-  /** Create an empty snapshot iff absent (idempotent bootstrap — S6). */
+  /** Create an empty snapshot iff absent (idempotent bootstrap — S6, safe
+    * under crash-retry); on an existing store, validate the bucket spec
+    * and sweep orphan directories left by a crash between a snapshot
+    * write and its manifest commit (they are unreferenced forever, and a
+    * continuously-restarting streaming writer would otherwise accumulate
+    * them without bound). */
   def init(): Unit = {
     Files.createDirectories(rootPath)
     if (!Files.exists(pointer)) {
       writeSnapshot(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), "snap-0")
       commitManifest(Seq("snap-0"))
+    } else {
+      val live = manifest.toSet
+      import scala.jdk.CollectionConverters._
+      Files.list(rootPath).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filter(d => (d.startsWith("snap-") || d.startsWith("delta-")) && !live(d))
+        .foreach { orphan =>
+          if (bucketBy.nonEmpty)
+            spark.sql(s"DROP TABLE IF EXISTS ${tableFor(orphan)}")
+          deleteRecursively(rootPath.resolve(orphan))
+        }
     }
   }
 
@@ -111,6 +134,12 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
 
   private def writeSnapshot(df: DataFrame, snap: String): Unit = bucketBy match {
     case Some((key, n)) =>
+      // crash-retry safety: a previous attempt may have left the table
+      // and/or a half-written directory with no manifest entry — clear
+      // both so the CTAS (which has no overwrite mode with bucketBy)
+      // cannot wedge the store on TableAlreadyExists / non-empty location
+      spark.sql(s"DROP TABLE IF EXISTS ${tableFor(snap)}")
+      deleteRecursively(rootPath.resolve(snap))
       df.write.format("parquet")
         .bucketBy(n, key).sortBy(key)
         .option("path", rootPath.resolve(snap).toString)
@@ -119,13 +148,38 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
       df.write.mode("overwrite").parquet(rootPath.resolve(snap).toString)
   }
 
-  private def manifest: Seq[String] =
-    new String(Files.readAllBytes(pointer)).trim
+  private def bucketHeader: Seq[String] =
+    bucketBy.toSeq.map { case (key, n) => s"#bucketed-by $key $n" }
+
+  /** Directory names from the manifest, after validating that the stored
+    * bucket spec matches this instance's — mismatched bucketing must fail
+    * loud, never return wrong joins. */
+  private def manifest: Seq[String] = {
+    val lines = new String(Files.readAllBytes(pointer)).trim
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    val stored = lines.filter(_.startsWith("#")) match {
+      case Seq() => None
+      case metas => metas.collectFirst {
+        case m if m.startsWith("#bucketed-by ") =>
+          val Array(key, n) = m.stripPrefix("#bucketed-by ").split(" ")
+          (key, n.toInt)
+      }
+    }
+    if (stored != bucketBy)
+      throw new IllegalStateException(
+        s"store at $root was written with bucket spec ${specStr(stored)} but " +
+          s"opened with ${specStr(bucketBy)} — Spark trusts declared bucketing, " +
+          "so a mismatch silently corrupts joins; reopen with the original spec " +
+          "(or compact via a matching instance first)")
+    lines.filterNot(_.startsWith("#"))
+  }
+
+  private def specStr(s: Option[(String, Int)]): String =
+    s.map { case (k, n) => s"bucketed-by($k, $n)" }.getOrElse("unbucketed")
 
   private def commitManifest(dirs: Seq[String]): Unit = {
     val tmp = rootPath.resolve("current.tmp")
-    Files.write(tmp, dirs.mkString("\n").getBytes)
+    Files.write(tmp, (bucketHeader ++ dirs).mkString("\n").getBytes)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }

@@ -95,6 +95,28 @@ class TreeExpandSpec extends AnyFunSuite {
     assert(modes2.contains("broadcast") && !modes2.contains("shuffle"))
   }
 
+  test("byte budget demotes broadcast residency even when rows are few") {
+    // 40-row frontiers are tiny by rows but their paths exceed a 64-byte
+    // budget: the gate must fall to the shuffle path (rows are not a
+    // memory unit), with identical output
+    val wide = Seq((1L, Option.empty[Long])) ++
+      (2L to 41L).map(i => (i, Option(1L))) ++
+      (42L to 81L).map(i => (i, Option(i - 40L)))
+    val wideDf = wide.toDF("id", "parent")
+    val modes = scala.collection.mutable.Buffer.empty[String]
+    val gated = TreeExpand.expand(wideDf, Seq(1L).toDF("id"),
+      levelsPerRound = 1, driverFrontierRows = 4096,
+      broadcastFrontierRows = 1000000L, broadcastMaxBytes = 64L,
+      modeLog = modes)
+    val expected = asMap(TreeExpand.expand(wideDf, Seq(1L).toDF("id")))
+    assert(asMap(gated) == expected)
+    assert(modes.contains("shuffle"), modes)
+    // pointer doubling under a tiny state-byte budget still matches
+    val dbl = asMap(TreeExpand.expandByDoubling(wideDf, Seq(1L).toDF("id"),
+      broadcastStateBytes = 32L))
+    assert(dbl == expected)
+  }
+
   private def asMap(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r =>
       r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap

@@ -121,6 +121,46 @@ class ItemStoreSpec extends AnyFunSuite {
     assert(st.current().count() == 3)
   }
 
+  test("bucket spec mismatch fails loud instead of corrupting joins") {
+    val dir = Files.createTempDirectory("graft-store-spec").toString
+    val st4 = new ItemStore(spark, dir, buckets = 4)
+    st4.init()
+    st4.merge(normalized(1L -> """{"id":1,"type":"story","time":10}"""))
+    // different bucket count: Spark would trust the declared bucketing and
+    // silently mis-join files hashed into 4 buckets — must throw instead
+    val e8 = intercept[IllegalStateException] {
+      new ItemStore(spark, dir, buckets = 8).current().count()
+    }
+    assert(e8.getMessage.contains("bucket"))
+    // unbucketed open of a bucketed store: same hazard, same refusal
+    intercept[IllegalStateException] { new ItemStore(spark, dir).current() }
+    // bucketed open of an unbucketed store: files are not bucketed at all
+    val plainDir = Files.createTempDirectory("graft-store-plain").toString
+    val plain = new ItemStore(spark, plainDir)
+    plain.init()
+    intercept[IllegalStateException] {
+      new ItemStore(spark, plainDir, buckets = 4).current()
+    }
+    // the matching spec still reads fine
+    assert(st4.current().count() == 1)
+  }
+
+  test("init sweeps orphan directories left by a crashed write") {
+    val dir = Files.createTempDirectory("graft-store-orphan")
+    val st = new ItemStore(spark, dir.toString)
+    st.init()
+    st.merge(normalized(1L -> """{"id":1,"type":"story","time":10}"""))
+    // simulate a crash between snapshot write and manifest commit
+    val orphanSnap = dir.resolve("snap-99999")
+    val orphanDelta = dir.resolve("delta-99999")
+    Files.createDirectories(orphanSnap)
+    Files.write(orphanSnap.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    Files.createDirectories(orphanDelta)
+    new ItemStore(spark, dir.toString).init()
+    assert(!Files.exists(orphanSnap) && !Files.exists(orphanDelta))
+    assert(st.current().count() == 1) // live snapshot untouched
+  }
+
   test("livestream runner drains batches into the store idempotently") {
     val st = freshStore()
     val items = (1L to 7L).map(i =>
