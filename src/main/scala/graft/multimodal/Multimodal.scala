@@ -22,12 +22,23 @@ object Multimodal {
   /** Decoded raster: row-major RGB, 3 bytes per pixel. */
   final case class Pixels(width: Int, height: Int, rgb: Array[Byte])
 
-  /** Cheap pre-filter before ImageIO: the zero-allocation header parse
-    * must recognize a raster format. A 100 TB crawl is mostly non-image
-    * bytes, and without this every garbage row still pays ImageIO's
-    * format-sniffing across all registered readers. */
-  private def looksLikeImage(bytes: Array[Byte]): Boolean =
-    ImageHeader.parse(bytes).exists(_.format != "wav")
+  /** Cheap magic-byte pre-filter before ImageIO: a 100 TB crawl is mostly
+    * non-image bytes, and without this every garbage row still pays
+    * ImageIO's format-sniffing across all registered readers. Deliberately
+    * BROADER than [[ImageHeader.parse]] (magic only, no header-well-formed
+    * requirement) so formats ImageIO can decode but the header parser
+    * cannot fully parse — TIFF, BITMAPCOREHEADER BMPs — still reach the
+    * real decoder. Known loss: WBMP has no magic bytes and is skipped. */
+  private def looksLikeImage(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 4) return false
+    def u(i: Int) = b(i) & 0xff
+    (u(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // png
+    (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||                 // gif
+    (b(0) == 'B' && b(1) == 'M') ||                                // bmp (any header)
+    (u(0) == 0xff && u(1) == 0xd8) ||                              // jpeg
+    (b(0) == 'I' && b(1) == 'I' && u(2) == 0x2a && u(3) == 0) ||   // tiff LE
+    (b(0) == 'M' && b(1) == 'M' && u(2) == 0 && u(3) == 0x2a)      // tiff BE
+  }
 
   /** REAL image decode via `javax.imageio` (pure JDK). None when the
     * payload is not a decodable image (formats are those the header

@@ -180,15 +180,20 @@ object TreeExpand {
         frontierKnownEmpty = sample.isEmpty
       } else {
         val m = nextFrontier
-          .agg(count(lit(1)), coalesce(sum(length(col("_path")) + 32L), lit(0L)))
+          .agg(count(lit(1)),
+            coalesce(sum(coalesce(length(col("_path")), lit(0)) + 32L), lit(0L)))
           .head()
         val (rows, bytes) = (m.getLong(0), m.getLong(1))
         mode = if (rows <= broadcastFrontierRows && bytes <= broadcastMaxBytes)
           BroadcastMode else ShuffleMode
-        if (bytes > broadcastMaxBytes && smallGraph) {
-          // paths outgrew the byte budget: the all-broadcast invariant no
-          // longer holds — demote to the shuffle regime for the rest of
-          // the expansion and give AQE back to its wide stages
+        if (smallGraph && (bytes > broadcastMaxBytes || rows > broadcastFrontierRows)) {
+          // the frontier outgrew a broadcast budget: paths can outgrow the
+          // byte cap with depth, and overlapping roots can push (node,
+          // covering-root) pair counts past the row cap even though each
+          // level's NODES are a subset of the edge table. Either way the
+          // all-broadcast invariant no longer holds — demote to the shuffle
+          // regime for the rest of the expansion and give AQE back to its
+          // wide stages
           smallGraph = false
           restoreAqe()
         }

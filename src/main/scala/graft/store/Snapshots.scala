@@ -79,15 +79,19 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
     } else {
       val live = manifest.toSet
       import scala.jdk.CollectionConverters._
-      Files.list(rootPath).iterator().asScala
-        .filter(Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filter(d => (d.startsWith("snap-") || d.startsWith("delta-")) && !live(d))
-        .foreach { orphan =>
-          if (bucketBy.nonEmpty)
-            spark.sql(s"DROP TABLE IF EXISTS ${tableFor(orphan)}")
-          deleteRecursively(rootPath.resolve(orphan))
-        }
+      val listing = Files.list(rootPath) // must close: holds a directory fd
+      val orphans =
+        try listing.iterator().asScala
+          .filter(Files.isDirectory(_))
+          .map(_.getFileName.toString)
+          .filter(d => (d.startsWith("snap-") || d.startsWith("delta-")) && !live(d))
+          .toList
+        finally listing.close()
+      orphans.foreach { orphan =>
+        if (bucketBy.nonEmpty)
+          spark.sql(s"DROP TABLE IF EXISTS ${tableFor(orphan)}")
+        deleteRecursively(rootPath.resolve(orphan))
+      }
     }
   }
 
@@ -167,10 +171,12 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
     }
     if (stored != bucketBy)
       throw new IllegalStateException(
-        s"store at $root was written with bucket spec ${specStr(stored)} but " +
-          s"opened with ${specStr(bucketBy)} — Spark trusts declared bucketing, " +
-          "so a mismatch silently corrupts joins; reopen with the original spec " +
-          "(or compact via a matching instance first)")
+        s"store at $root records bucket spec ${specStr(stored)} but was " +
+          s"opened with ${specStr(bucketBy)} — Spark trusts declared " +
+          "bucketing, so a mismatch silently corrupts joins. Reopen with " +
+          "the recorded spec; to change specs, compact through an instance " +
+          "matching the recorded one and rewrite with the new one. (A store " +
+          "with no recorded spec was written unbucketed.)")
     lines.filterNot(_.startsWith("#"))
   }
 

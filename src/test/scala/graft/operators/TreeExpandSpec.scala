@@ -117,6 +117,33 @@ class TreeExpandSpec extends AnyFunSuite {
     assert(dbl == expected)
   }
 
+  test("mid-flight demotion: path growth flips a small graph to shuffle") {
+    // 190-char string ids: 20 edges pass the initial small-graph gate
+    // (20 * 48 bytes < 1500), but depth-1 paths are ~380 chars, so the
+    // first adopted 4-row frontier blows the byte budget mid-flight —
+    // exercising the demote branch (smallGraph off, AQE restored), not
+    // just the initial gate
+    def n(i: Int) = f"n$i%0190d"
+    val edges = (Seq((n(1), Option.empty[String])) ++
+      (2 to 5).map(i => (n(i), Option(n(1)))) ++
+      (6 to 21).map(i => (n(i), Option(n(2 + (i - 6) / 4))))).toDF("id", "parent")
+    val roots = Seq(n(1)).toDF("id")
+    val modes = scala.collection.mutable.Buffer.empty[String]
+    val gated = TreeExpand.expand(edges, roots, levelsPerRound = 1,
+      driverFrontierRows = 2, broadcastMaxBytes = 1500L, modeLog = modes)
+    def asStrMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getString(3)))).toMap
+    val expected = asStrMap(TreeExpand.expand(edges, roots))
+    assert(asStrMap(gated) == expected)
+    assert(modes.head == "driver" && modes.contains("shuffle"), modes)
+    // pointer doubling: seed segs fit the budget, round-1 concatenations
+    // exceed it — demotes between rounds, output unchanged
+    val dbl = asStrMap(TreeExpand.expandByDoubling(edges, roots,
+      broadcastStateBytes = 6000L))
+    assert(dbl == expected)
+  }
+
   private def asMap(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r =>
       r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
