@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: assign documents to
+  * fixed-token-budget packs (the pretraining batch-construction step that
+  * concatenates documents up to a context length).
+  *
+  * Semantics: CONTIGUOUS CUMULATIVE packing — within each partition key,
+  * documents are taken in `orderCol` order and document d goes to pack
+  * `floor(exclusive_prefix_sum(weight) / budget)`. This is deterministic,
+  * one-pass, and exactly expressible in ANSI SQL (window cumulative sum),
+  * which makes it oracle-checkable; it is NOT best-fit bin packing — a
+  * document may straddle a budget boundary, in which case its pack
+  * overflows the budget rather than splitting the document (the common
+  * "greedy concat then truncate at consumer" policy).
+  *
+  * Scale: one window shuffle on the partition columns; the per-partition
+  * scan is inherently sequential (each pack depends on every prior
+  * weight), so parallelism comes from the partition key — exactly how a
+  * production packer shards (by source/shard), never globally.
+  */
+object Packing {
+
+  /** Adds `pack_id` to `df`. */
+  def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
+                   partCols: Seq[String], budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("_cum", sum(col(weightCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("_cum") - col(weightCol)).cast("double") / budget))
+      .drop("_cum")
+  }
+
+  /** Per-pack summary: (partCols..., pack_id, n_docs, pack_weight). */
+  def packSummary(df: DataFrame, orderCol: String, weightCol: String,
+                  partCols: Seq[String], budget: Long): DataFrame =
+    packByBudget(df, orderCol, weightCol, partCols, budget)
+      .groupBy((partCols :+ "pack_id").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("pack_weight"))
+}

@@ -455,6 +455,32 @@ object TextQ {
       .orderBy("source", "rn")
   }
 
+  /** q56: sequence packing — contiguous token-budget packs per source
+    * ([[graft.operators.Packing]]; the pretraining batch-construction
+    * step). One window shuffle on the blocking key; the per-source scan is
+    * inherently sequential, parallelism comes from the key. */
+  val q56 = Q(
+    "q56_sequence_packing",
+    s"""WITH t AS (SELECT doc_id, source, CAST(len($sqlToks) AS BIGINT) AS tok
+       |           FROM documents),
+       |c AS (SELECT doc_id, source, tok,
+       |             SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING
+       |                            AND CURRENT ROW) AS cum
+       |      FROM t)
+       |SELECT source,
+       |       CAST(FLOOR(CAST(cum - tok AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(tok) AS BIGINT) AS pack_weight
+       |FROM c GROUP BY source, pack_id
+       |ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).withColumn("tok",
+      graft.functions.TokenStats(col("text")).getField("n_tokens"))
+    graft.operators.Packing
+      .packSummary(docs, "doc_id", "tok", Seq("source"), budget = 2048)
+      .orderBy("source", "pack_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53)
+    q48, q49, q53, q56)
 }

@@ -218,5 +218,40 @@ object VectorQ {
       .orderBy("label", "rank")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51)
+  /** q57: int8 embedding quantization audit ([[graft.operators.Quantize]])
+    * — per-vector scale plus max/mean reconstruction error, the
+    * storage-shrink step of a vector-store pipeline. Elementwise double
+    * arithmetic with explicit half-up floor (engine `round` tie-breaking
+    * differs), so the DuckDB twin is bit-identical pre-rounding. */
+  val q57 = Q(
+    "q57_int8_quantize",
+    s"""WITH v AS (SELECT vec_id,
+       |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+       |           FROM embeddings WHERE vec_id < 200),
+       |s AS (SELECT vec_id, vd,
+       |             list_aggregate(list_transform(vd, x -> abs(x)), 'max') AS scale
+       |      FROM v),
+       |e AS (SELECT vec_id, scale,
+       |             CASE WHEN scale = 0
+       |                  THEN list_transform(vd, x -> abs(x))
+       |                  ELSE list_transform(vd, x ->
+       |                    abs(x - FLOOR(x * 127 / scale + 0.5) * scale / 127))
+       |             END AS errs
+       |      FROM s)
+       |SELECT vec_id, ROUND(scale, 6) AS scale_r,
+       |       ROUND(list_aggregate(errs, 'max'), 6) AS max_err_r,
+       |       ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), errs),
+       |                         (a, b) -> a + b) / len(errs), 6) AS mean_err_r
+       |FROM e
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    graft.operators.Quantize
+      .int8Audit(Tables.embeddings(s, dir).filter(col("vec_id") < 200),
+        "vec_id", "embedding")
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        round(col("max_err"), 6).as("max_err_r"),
+        round(col("mean_err"), 6).as("mean_err_r"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57)
 }

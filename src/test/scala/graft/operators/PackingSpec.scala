@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Contiguous cumulative packing semantics. */
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("documents pack greedily by exclusive prefix sum within the key") {
+    // budget 10, weights in id order: 4,4,4 | 12 | 3,3
+    // exclusive prefixes: 0,4,8 | 12 | 24,27 -> packs 0,0,0 | 1 | 2,2
+    val docs = Seq(
+      ("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 4L),
+      ("a", 4L, 12L), // oversize doc: overflows its pack, never splits
+      ("a", 5L, 3L), ("a", 6L, 3L),
+      ("b", 7L, 9L), ("b", 8L, 2L) // independent key: restarts at pack 0
+    ).toDF("source", "doc_id", "tok")
+    val out = Packing.packByBudget(docs, "doc_id", "tok", Seq("source"), 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 2L,
+      7L -> 0L, 8L -> 0L))
+    val sum = Packing.packSummary(docs, "doc_id", "tok", Seq("source"), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(sum(("a", 0L)) == ((3L, 12L))) // pack 0 holds 3 docs, 12 tokens
+    assert(sum(("a", 1L)) == ((1L, 12L))) // the oversize doc alone
+    assert(sum(("b", 0L)) == ((2L, 11L)))
+  }
+
+  test("budget must be positive") {
+    val docs = Seq(("a", 1L, 4L)).toDF("source", "doc_id", "tok")
+    intercept[IllegalArgumentException] {
+      Packing.packByBudget(docs, "doc_id", "tok", Seq("source"), 0L)
+    }
+  }
+}
