@@ -293,6 +293,21 @@ object TreeExpand {
     *        shuffled self-join, which is the right plan at cluster scale.
     *        Segment strings grow by concatenation each round, so the
     *        per-round measurement can demote the regime mid-flight. */
+  /** @param driverStateRows tiniest tier (0 disables): when the WHOLE node
+    *        table provably fits this many rows (a `head(cap+1)` proves it)
+    *        AND `driverStateBytes`, the chains are resolved in one driver
+    *        pass — zero contraction rounds, so a 2000-deep chain costs ~2
+    *        tiny jobs instead of ~11 (each round is a full-table join job;
+    *        at local/test scale driver latency dominates them). Same
+    *        size-gated pattern as `Components.driverUnionFind` — past the
+    *        gate the distributed rounds are unchanged, which is the 100-TB
+    *        path. In `withPath` mode materialized paths can be quadratic in
+    *        depth, so the tier re-estimates total path bytes (depths ×
+    *        longest id) against `broadcastStateBytes` and DECLINES to the
+    *        distributed rounds when they don't fit. One deliberate
+    *        strictness difference: the driver tier bounds EVERY chain by
+    *        `maxDepth`, where the distributed rounds bound chains by the
+    *        next power of two (the round fuse). */
   def expandByDoubling(
       edges: DataFrame,
       roots: DataFrame,
@@ -301,7 +316,9 @@ object TreeExpand {
       maxDepth: Int = 1000,
       withPath: Boolean = true,
       broadcastStateRows: Long = 1000000L,
-      broadcastStateBytes: Long = 64L << 20): DataFrame = {
+      broadcastStateBytes: Long = 64L << 20,
+      driverStateRows: Int = 8192,
+      driverStateBytes: Long = 8L << 20): DataFrame = {
     val idType = edges.schema(idCol).dataType
     // lazy checkpoints throughout: the first action over each (the open-set
     // count below, for state) materializes it as a side effect, so every
@@ -348,7 +365,25 @@ object TreeExpand {
         coalesce(sum(length(col("_seg")) + 48L), lit(0L))).head()
       (m.getLong(0), m.getLong(1), m.getLong(2))
     }
-    val (nodeCount, open0, bytes0) = measure()
+    // driver tier: ONE head() job proves the whole state tiny (the head also
+    // materializes the checkpoint, so nothing is wasted when it declines),
+    // then every chain resolves locally with zero contraction rounds
+    var sampleStats: Option[(Long, Long, Long)] = None
+    if (driverStateRows > 0 && driverIdType(idType)) {
+      val sample = state.head(driverStateRows + 1)
+      if (sample.length <= driverStateRows) {
+        val bytes = sample.iterator.map(r =>
+          48L + (if (r.isNullAt(4)) 0L else r.getString(4).length.toLong)).sum
+        sampleStats = Some((sample.length.toLong,
+          sample.count(!_.isNullAt(1)).toLong, bytes))
+        if (bytes <= driverStateBytes) {
+          val done = resolveOnDriver(sample, rootSet, idCol, idType, maxDepth,
+            withPath, broadcastStateBytes)
+          if (done.isDefined) return done.get
+        }
+      }
+    }
+    val (nodeCount, open0, bytes0) = sampleStats.getOrElse(measure())
     var smallState = nodeCount <= broadcastStateRows && bytes0 <= broadcastStateBytes
     val spark = edges.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
@@ -412,5 +447,114 @@ object TreeExpand {
     } finally {
       if (aqeOff) spark.conf.set(aqeKey, aqePrev)
     }
+  }
+
+  /** Id types whose driver-side toString matches Spark's string cast — the
+    * driver tier builds `path` strings locally, so it only engages for
+    * these (anything else keeps the distributed rounds). */
+  private def driverIdType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+
+  /** [[expandByDoubling]]'s driver tier: the complete (proven by the caller)
+    * seed state resolves in one local pass — walk each unresolved chain to
+    * its terminal with memoization, exactly the nearest-root semantics of
+    * the contraction rounds. Returns None (caller falls back to the rounds)
+    * when `withPath` would materialize more than `pathBytesBudget` of path
+    * strings. Fails loud like the rounds: cycles anywhere, and ANY chain
+    * longer than maxDepth. */
+  private def resolveOnDriver(
+      sample: Array[org.apache.spark.sql.Row],
+      rootSet: DataFrame,
+      idCol: String,
+      idType: org.apache.spark.sql.types.DataType,
+      maxDepth: Int,
+      withPath: Boolean,
+      pathBytesBudget: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.Row
+    val n = sample.length
+    val parentOf = new java.util.HashMap[Any, Any](n * 2) // unresolved → parent
+    val termOf = new java.util.HashMap[Any, Any](n * 2)   // resolved → terminal
+    val distOf = new java.util.HashMap[Any, java.lang.Long](n * 2)
+    // dangling-parent chains terminate outside the requested scope — same
+    // as the rounds' null-join: resolved, terminal null, dropped at the end
+    val Missing = new Object
+    sample.foreach { r =>
+      val id = r.get(0)
+      if (!r.isNullAt(2)) { termOf.put(id, r.get(2)); distOf.put(id, 0L) }
+      else parentOf.put(id, r.get(1)) // _ptr non-null whenever _term is null
+    }
+    def chainsExceed(): Nothing = throw new IllegalStateException(
+      s"expandByDoubling: ancestor chains exceed maxDepth=$maxDepth — " +
+        "tree deeper than the bound, or a cyclic/corrupt edge set " +
+        "(matches expand's fail-loud policy)")
+    val stack = new java.util.ArrayDeque[Any]()
+    val onPath = new java.util.HashSet[Any]()
+    sample.foreach { r =>
+      var cur: Any = r.get(0)
+      stack.clear(); onPath.clear()
+      while (!termOf.containsKey(cur)) {
+        if (!onPath.add(cur)) chainsExceed() // cycle
+        val p = parentOf.get(cur)
+        if (termOf.containsKey(p) || parentOf.containsKey(p)) {
+          stack.push(cur); cur = p
+        } else { termOf.put(cur, Missing); distOf.put(cur, 0L) }
+      }
+      val t = termOf.get(cur)
+      var d: Long = distOf.get(cur)
+      while (!stack.isEmpty) {
+        val node = stack.pop(); d += 1
+        if (d > maxDepth) chainsExceed()
+        termOf.put(node, t); distOf.put(node, d)
+      }
+    }
+    val chosen = rootSet.collect().iterator.map(_.get(0)).toSet
+    val inScope = sample.filter { r =>
+      val t = termOf.get(r.get(0)); t != Missing && chosen.contains(t)
+    }
+    def idStr(v: Any): String = String.valueOf(v)
+    if (withPath) {
+      // materialized paths are quadratic in depth (node k's path repeats k
+      // id components) — estimate against the budget before building
+      val maxIdLen = sample.iterator.map(r => idStr(r.get(0)).length)
+        .foldLeft(0)(math.max)
+      val est = inScope.iterator
+        .map(r => (distOf.get(r.get(0)) + 1) * (maxIdLen + 1)).sum
+      if (est > pathBytesBudget) return None
+    }
+    val pathOf = new java.util.HashMap[Any, String](n * 2)
+    def pathFor(id0: Any): String = {
+      var cur = id0
+      stack.clear()
+      while (!pathOf.containsKey(cur) && distOf.get(cur) != 0L) {
+        stack.push(cur); cur = parentOf.get(cur)
+      }
+      var p = pathOf.get(cur)
+      if (p == null) { p = idStr(cur); pathOf.put(cur, p) }
+      while (!stack.isEmpty) {
+        val node = stack.pop()
+        p = p + "/" + idStr(node)
+        pathOf.put(node, p)
+      }
+      p
+    }
+    val rows = new java.util.ArrayList[Row](inScope.length)
+    inScope.foreach { r =>
+      val id = r.get(0)
+      rows.add(Row(id, termOf.get(id), distOf.get(id).toInt,
+        if (withPath) pathFor(id) else idStr(id)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idType),
+      org.apache.spark.sql.types.StructField("root", idType),
+      org.apache.spark.sql.types.StructField("depth",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType)))
+    Some(rootSet.sparkSession.createDataFrame(rows, schema))
   }
 }

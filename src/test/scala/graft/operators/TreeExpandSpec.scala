@@ -150,8 +150,13 @@ class TreeExpandSpec extends AnyFunSuite {
 
   test("pointer doubling matches BFS on the forest, incl. subtree roots") {
     val bfs = asMap(TreeExpand.expand(edges, Seq(1L, 2L).toDF("id")))
+    // default gates take the driver tier; driverStateRows = 0 pins the
+    // distributed contraction rounds to the same answer
     val dbl = asMap(TreeExpand.expandByDoubling(edges, Seq(1L, 2L).toDF("id")))
     assert(dbl == bfs)
+    val dblDist = asMap(TreeExpand.expandByDoubling(edges, Seq(1L, 2L).toDF("id"),
+      driverStateRows = 0))
+    assert(dblDist == bfs)
     val bfsSub = asMap(TreeExpand.expand(edges, Seq(3L).toDF("id")))
     val dblSub = asMap(TreeExpand.expandByDoubling(edges, Seq(3L).toDF("id")))
     assert(dblSub == bfsSub)
@@ -161,23 +166,62 @@ class TreeExpandSpec extends AnyFunSuite {
     val n = 100L
     val chain = (1L to n).map(i =>
       (i, if (i == 1L) Option.empty[Long] else Option(i - 1))).toDF("id", "parent")
+    val expected = asMap(TreeExpand.expandByDoubling(chain, Seq(1L).toDF("id"),
+      driverStateRows = 0))
+    assert(expected.size == n)
+    assert(expected(n) == ((1L, (n - 1).toInt, (1L to n).mkString("/"))))
+    // driver tier agrees with the rounds
     val out = asMap(TreeExpand.expandByDoubling(chain, Seq(1L).toDF("id")))
-    assert(out.size == n)
-    assert(out(n) == ((1L, (n - 1).toInt, (1L to n).mkString("/"))))
+    assert(out == expected)
+  }
+
+  test("driver tier resolves tiny states with fewer jobs than the rounds") {
+    val n = 200L
+    val chain = (1L to n).map(i =>
+      (i, if (i == 1L) Option.empty[Long] else Option(i - 1))).toDF("id", "parent")
+    def countJobs(f: => Unit): Int = {
+      var jobs = 0
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; org.apache.spark.GraftTestBus.flush(spark.sparkContext) }
+      finally spark.sparkContext.removeSparkListener(l)
+      jobs
+    }
+    var driverOut: Map[Long, (Long, Int, String)] = null
+    var roundsOut: Map[Long, (Long, Int, String)] = null
+    val driverJobs = countJobs {
+      driverOut = asMap(TreeExpand.expandByDoubling(chain, Seq(1L).toDF("id")))
+    }
+    val roundJobs = countJobs {
+      roundsOut = asMap(TreeExpand.expandByDoubling(chain, Seq(1L).toDF("id"),
+        driverStateRows = 0))
+    }
+    assert(driverOut == roundsOut)
+    // ~8 contraction rounds (one job each) skipped: the gap must be material
+    assert(driverJobs + 4 <= roundJobs, s"driver=$driverJobs rounds=$roundJobs")
   }
 
   test("pointer doubling fails loud on cycles and over-deep trees") {
     val cyc = Seq((1L, Option(2L)), (2L, Option(1L)), (3L, Option(1L)))
       .toDF("id", "parent")
-    intercept[IllegalStateException] {
-      TreeExpand.expandByDoubling(cyc, Seq(3L).toDF("id"), maxDepth = 5)
-    }
     val chain = (1L to 12L).map(i =>
       (i, if (i == 1L) Option.empty[Long] else Option(i - 1))).toDF("id", "parent")
-    val e = intercept[IllegalStateException] {
-      TreeExpand.expandByDoubling(chain, Seq(1L).toDF("id"), maxDepth = 5)
+    // both tiers must fail loud the same way
+    for (driverRows <- Seq(8192, 0)) {
+      intercept[IllegalStateException] {
+        TreeExpand.expandByDoubling(cyc, Seq(3L).toDF("id"), maxDepth = 5,
+          driverStateRows = driverRows)
+      }
+      val e = intercept[IllegalStateException] {
+        TreeExpand.expandByDoubling(chain, Seq(1L).toDF("id"), maxDepth = 5,
+          driverStateRows = driverRows)
+      }
+      assert(e.getMessage.contains("maxDepth=5"))
     }
-    assert(e.getMessage.contains("maxDepth=5"))
   }
 
   test("pointer doubling emits depth-0 rows for roots absent from edges") {
@@ -185,5 +229,8 @@ class TreeExpandSpec extends AnyFunSuite {
     val dbl = asMap(TreeExpand.expandByDoubling(edges, Seq(1L, 42L).toDF("id")))
     assert(dbl == bfs)
     assert(dbl(42L) == ((42L, 0, "42")))
+    val dblDist = asMap(TreeExpand.expandByDoubling(edges, Seq(1L, 42L).toDF("id"),
+      driverStateRows = 0))
+    assert(dblDist == bfs)
   }
 }
