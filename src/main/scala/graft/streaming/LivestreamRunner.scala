@@ -14,6 +14,13 @@ import graft.store.ItemStore
   * `store.latestId() + 1` (T1), matching `select_latest_id() or 1`
   * (hnarchive.py:164); each batch-merge is atomic (S8/T6 — the snapshot
   * swap is the transaction).
+  *
+  * Scale: pass a BUCKETED [[ItemStore]] (`buckets > 0`, CLI `--buckets`)
+  * so each micro-batch merge shuffles only the incoming `commitPeriod`-row
+  * batch — the accumulated archive joins Exchange-free off its bucketed
+  * snapshot (spec-pinned in ItemStoreSpec). The snapshot WRITE is still
+  * O(store) per commit (plain parquet has no MERGE); a file-level merge
+  * format is the documented upgrade beyond that.
   */
 object LivestreamRunner {
 

@@ -161,6 +161,43 @@ class ItemStoreSpec extends AnyFunSuite {
     assert(st.current().count() == 1) // live snapshot untouched
   }
 
+  test("livestream runner on a bucketed store keeps merges Exchange-free") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val dir = Files.createTempDirectory("graft-store-ls-bucketed").toString
+    val st = new ItemStore(spark, dir, buckets = 4)
+    val items = (1L to 9L).map(i =>
+      i -> s"""{"id":$i,"type":"comment","by":"u$i","time":${i * 10}}""").toMap
+    // commitPeriod 2 → five micro-batch merges, five snapshot swaps
+    val n = LivestreamRunner.run(spark, st, new FakeFetcher(items, maxId = 9),
+      maxItems = 9, commitPeriod = 2, sleep = _ => (), now = () => 500L)
+    assert(n == 9)
+    assert(st.current().count() == 9)
+    assert(st.latestId().contains(9L))
+    // superseded generations must not accumulate in the catalog: exactly one
+    // live snapshot table for this store root after five swaps
+    val prefix = s"graft_snap_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val tables = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+    assert(tables.length == 1, s"stale snapshot tables: ${tables.mkString(",")}")
+    // and the NEXT merge, five generations in, still scans the store
+    // bucketed with at most the batch-side Exchange
+    val batch = normalized(10L -> """{"id":10,"type":"comment","time":100}""")
+    val merged = graft.operators.Merge.upsert(st.current(), batch, "id",
+      st.coalesceCols, st.overwriteCols, precedenceCols = Seq("retrieved"))
+    val plan = merged.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"), s"store scan not bucketed:\n$plan")
+    assert(plan.linesIterator.count(_.trim.matches("""Exchange .*""")) <= 1,
+      s"expected at most the batch-side Exchange:\n$plan")
+    // resume + replay through the runner path stays idempotent on buckets
+    LivestreamRunner.run(spark, st,
+      new FakeFetcher(items + (10L ->
+        """{"id":10,"type":"comment","by":"u10","time":100}"""), maxId = 10),
+      maxItems = 1, commitPeriod = 2, sleep = _ => (), now = () => 600L)
+    assert(st.current().count() == 10)
+    assert(st.latestId().contains(10L))
+  }
+
   test("livestream runner drains batches into the store idempotently") {
     val st = freshStore()
     val items = (1L to 7L).map(i =>
