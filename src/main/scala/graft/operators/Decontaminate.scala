@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for the training-data pipeline: flag (and drop)
+  * training documents that share word-3-gram shingles with an evaluation /
+  * benchmark set — the overlap-removal step every published pretraining
+  * pipeline runs before training.
+  *
+  * Scale shape: benchmark sets are tiny by construction (a few thousand
+  * documents), so the DEFAULT plan broadcasts the eval shingle set — the
+  * training corpus is scanned once, shingled in-scan
+  * ([[graft.operators.Dedup.shingles]]'s codegen'd expression), map-side
+  * joined against the broadcast, and only MATCHING (train, eval, gram) rows
+  * ever enter a shuffle (two partial-aggregated groupBys on the match set,
+  * which is << corpus). The corpus itself never shuffles. For an eval set
+  * too big to broadcast, `broadcastEval = false` switches both sides to a
+  * shuffle-hash join on the gram — the same honest fallback gate as the
+  * dedup family.
+  */
+object Decontaminate {
+
+  /** Training docs sharing ≥ `minShared` DISTINCT shingles with at least one
+    * eval doc. Output: (idCol, n_eval_hits, top_overlap) — how many eval
+    * docs cross the threshold, and the largest per-eval-doc overlap.
+    */
+  def flagged(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+              minShared: Int, broadcastEval: Boolean = true): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val tsh = Dedup.shingles(train, idCol, textCol)
+    val esh = Dedup.shingles(eval, idCol, textCol)
+      .select(col("id").as("eval_id"), col("g"))
+    val (probe, build) =
+      if (broadcastEval) (tsh, broadcast(esh))
+      else (tsh.hint("shuffle_hash"), esh.hint("shuffle_hash"))
+    probe.join(build, "g")
+      .groupBy("id", "eval_id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minShared)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("overlap").as("top_overlap"))
+      .select(col("id").as(idCol), col("n_eval_hits"), col("top_overlap"))
+  }
+
+  /** The decontaminated corpus: `train` minus every flagged document. */
+  def clean(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+            minShared: Int, broadcastEval: Boolean = true): DataFrame =
+    train.join(
+      flagged(train, eval, idCol, textCol, minShared, broadcastEval),
+      Seq(idCol), "left_anti")
+}

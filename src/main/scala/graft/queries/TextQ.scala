@@ -481,6 +481,94 @@ object TextQ {
       .orderBy("source", "pack_id")
   }
 
+  /** q58: benchmark decontamination ([[graft.operators.Decontaminate]]) —
+    * training docs (doc_id % 97 ≠ 0, the stand-in train split) sharing ≥ 2
+    * distinct 3-gram shingles with any eval doc (doc_id % 97 = 0, the
+    * stand-in benchmark). The eval shingle set broadcasts; the train corpus
+    * never shuffles. The oracle re-derives the overlap join from the shared
+    * shingle CTE. */
+  val q58 = Q(
+    "q58_decontaminate",
+    s"""WITH ${shCte(withSource = false)},
+       |ov AS (SELECT t.doc_id AS tid, e.doc_id AS eid, COUNT(*) AS overlap
+       |       FROM sh t JOIN sh e ON t.g = e.g
+       |       WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT tid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+       |       CAST(MAX(overlap) AS BIGINT) AS top_overlap
+       |FROM ov GROUP BY tid ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Decontaminate.flagged(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", minShared = 2)
+      .orderBy("doc_id")
+  }
+
+  /** q59: Gopher-style repetition quality filter — per-doc top-bigram
+    * dominance and duplicate-trigram fraction, computed in one in-scan pass
+    * by the codegen'd [[graft.functions.RepetitionStats]] (zero shuffle);
+    * the flag threshold compare is exact integer arithmetic, the reported
+    * fractions derive from the same integers. The oracle recomputes both
+    * metrics via explode→groupBy. */
+  val q59 = Q(
+    "q59_repetition_filter",
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |bi AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+       |       FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+       |topbi AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+       |                 CAST(SUM(c) AS BIGINT) AS n_bigrams
+       |          FROM (SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+       |          GROUP BY doc_id),
+       |tri AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |               CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct_trigrams
+       |        FROM (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i))
+       |        GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       COALESCE(n_bigrams, 0) AS n_bigrams,
+       |       COALESCE(top_bigram_n, 0) AS top_bigram_n,
+       |       COALESCE(n_trigrams, 0) AS n_trigrams,
+       |       COALESCE(n_distinct_trigrams, 0) AS n_distinct_trigrams,
+       |       CASE WHEN COALESCE(n_bigrams, 0) > 0
+       |            THEN CAST(top_bigram_n AS DOUBLE) / n_bigrams
+       |            END AS top_bigram_frac,
+       |       CASE WHEN COALESCE(n_trigrams, 0) > 0
+       |            THEN CAST(n_trigrams - n_distinct_trigrams AS DOUBLE) / n_trigrams
+       |            END AS dup_trigram_frac,
+       |       CAST(CASE WHEN (COALESCE(n_bigrams, 0) > 0
+       |                       AND top_bigram_n * 1000 >= n_bigrams * 100)
+       |                   OR (COALESCE(n_trigrams, 0) > 0
+       |                       AND (n_trigrams - n_distinct_trigrams) * 1000 >= n_trigrams * 20)
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+       |FROM toks t
+       |LEFT JOIN topbi ON t.doc_id = topbi.doc_id
+       |LEFT JOIN tri ON t.doc_id = tri.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.RepetitionStats.ensureRegistered(s)
+    val rs = graft.functions.RepetitionStats(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        rs.getField("n_bigrams").as("n_bigrams"),
+        rs.getField("top_bigram_n").as("top_bigram_n"),
+        rs.getField("n_trigrams").as("n_trigrams"),
+        rs.getField("n_distinct_trigrams").as("n_distinct_trigrams"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams")))
+      .withColumn("dup_trigram_frac",
+        when(col("n_trigrams") > 0,
+          (col("n_trigrams") - col("n_distinct_trigrams")).cast("double") /
+            col("n_trigrams")))
+      .withColumn("repetitive",
+        ((col("n_bigrams") > 0 &&
+            col("top_bigram_n") * 1000 >= col("n_bigrams") * 100) ||
+          (col("n_trigrams") > 0 &&
+            (col("n_trigrams") - col("n_distinct_trigrams")) * 1000 >=
+              col("n_trigrams") * 20)).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56)
+    q48, q49, q53, q56, q58, q59)
 }
