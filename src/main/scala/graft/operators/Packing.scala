@@ -28,7 +28,12 @@ object Packing {
   def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
                    partCols: Seq[String], budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // ROWS frame, not the default RANGE: RANGE includes ORDER-BY peers, so
+    // tied orderCol values would all see the same cumulative sum and land
+    // in the same (wrong) pack — the sequential semantics need one row at
+    // a time, exactly the oracle's ROWS BETWEEN UNBOUNDED PRECEDING
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(weightCol)).over(w))
       .withColumn("pack_id",
         floor((col("_cum") - col(weightCol)).cast("double") / budget))

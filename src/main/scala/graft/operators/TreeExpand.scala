@@ -304,10 +304,13 @@ object TreeExpand {
     *        path. In `withPath` mode materialized paths can be quadratic in
     *        depth, so the tier re-estimates total path bytes (depths ×
     *        longest id) against `broadcastStateBytes` and DECLINES to the
-    *        distributed rounds when they don't fit. One deliberate
-    *        strictness difference: the driver tier bounds EVERY chain by
-    *        `maxDepth`, where the distributed rounds bound chains by the
-    *        next power of two (the round fuse). */
+    *        distributed rounds when they don't fit. Fail-loud behavior is
+    *        IDENTICAL across tiers (spec-pinned): cycles throw, chains past
+    *        the 2^(maxRounds+1) round fuse throw, in-scope nodes past
+    *        maxDepth throw — the same input never flips between success and
+    *        failure depending on the size gate. Chains whose parent pointer
+    *        leaves the edge slice (dangling) resolve to the missing id as
+    *        their terminal and are dropped, in both tiers. */
   def expandByDoubling(
       edges: DataFrame,
       roots: DataFrame,
@@ -377,8 +380,13 @@ object TreeExpand {
         sampleStats = Some((sample.length.toLong,
           sample.count(!_.isNullAt(1)).toLong, bytes))
         if (bytes <= driverStateBytes) {
+          // what the round counter tolerates: maxRounds+1 contraction
+          // rounds resolve chains up to 2^(maxRounds+1) — the driver tier
+          // applies the same fuse so failure behavior matches exactly
+          val fuse =
+            if (maxRounds >= 62) Long.MaxValue else 1L << (maxRounds + 1)
           val done = resolveOnDriver(sample, rootSet, idCol, idType, maxDepth,
-            withPath, broadcastStateBytes)
+            fuse, withPath, broadcastStateBytes)
           if (done.isDefined) return done.get
         }
       }
@@ -403,22 +411,31 @@ object TreeExpand {
         col("_term").as("_aterm"), col("_dist").as("_adist"),
         col("_seg").as("_aseg"))
       val resolved = col("s._ptr").isNull
+      // no ancestor ROW for the pointer (a dangling parent reference — the
+      // edge slice omits that id): the chain's terminal IS the missing id.
+      // Resolve to it (it can never be a chosen root — those are all seeded
+      // into the state — so the semi-join drops the chain at the end).
+      // Leaving it unresolved would contract ONE level per round (the null
+      // join nulls dist/seg), spuriously tripping the round fuse on deep
+      // dangling chains.
+      val ancMiss = col("_aid").isNull
       val ancResolved = col("_aterm").isNotNull
       val ancIsTerminal = ancResolved && col("_adist") === 0
       state = state.as("s")
         .join(if (smallState) broadcast(anc) else anc,
           col("s._ptr") === col("_aid"), "left")
         .select(col("s._id").as("_id"),
-          when(resolved, lit(null).cast(idType))
+          when(resolved || ancMiss, lit(null).cast(idType))
             .when(ancResolved, lit(null).cast(idType))
             .otherwise(col("_aptr")).as("_ptr"),
           when(resolved, col("s._term"))
+            .when(ancMiss, col("s._ptr"))
             .when(ancResolved, col("_aterm"))
             .otherwise(lit(null).cast(idType)).as("_term"),
-          when(resolved, col("s._dist"))
+          when(resolved || ancMiss, col("s._dist"))
             .otherwise(col("s._dist") + col("_adist")).as("_dist"),
           (if (withPath)
-             when(resolved || ancIsTerminal, col("s._seg"))
+             when(resolved || ancMiss || ancIsTerminal, col("s._seg"))
                .otherwise(concat(col("_aseg"), lit("/"), col("s._seg")))
            else col("s._seg")).as("_seg"))
         .localCheckpoint(false)
@@ -465,14 +482,18 @@ object TreeExpand {
     * its terminal with memoization, exactly the nearest-root semantics of
     * the contraction rounds. Returns None (caller falls back to the rounds)
     * when `withPath` would materialize more than `pathBytesBudget` of path
-    * strings. Fails loud like the rounds: cycles anywhere, and ANY chain
-    * longer than maxDepth. */
+    * strings. Fail-loud PARITY with the rounds: cycles anywhere throw; any
+    * chain longer than `fuse` (= 2^(maxRounds+1), what the round counter
+    * tolerates) throws the rounds' fuse error; an IN-SCOPE node deeper than
+    * maxDepth throws the subtree error — so the same input never flips
+    * between success and failure across the size gate. */
   private def resolveOnDriver(
       sample: Array[org.apache.spark.sql.Row],
       rootSet: DataFrame,
       idCol: String,
       idType: org.apache.spark.sql.types.DataType,
       maxDepth: Int,
+      fuse: Long,
       withPath: Boolean,
       pathBytesBudget: Long): Option[DataFrame] = {
     import org.apache.spark.sql.Row
@@ -480,8 +501,10 @@ object TreeExpand {
     val parentOf = new java.util.HashMap[Any, Any](n * 2) // unresolved → parent
     val termOf = new java.util.HashMap[Any, Any](n * 2)   // resolved → terminal
     val distOf = new java.util.HashMap[Any, java.lang.Long](n * 2)
-    // dangling-parent chains terminate outside the requested scope — same
-    // as the rounds' null-join: resolved, terminal null, dropped at the end
+    // dangling-parent chains terminate at the missing id — out of the
+    // requested scope, dropped at the end (same as the rounds' miss
+    // handling). The sentinel stands in for that id; dist counts from it
+    // (the gap-adjacent node is at distance 1), matching the rounds.
     val Missing = new Object
     sample.foreach { r =>
       val id = r.get(0)
@@ -502,13 +525,13 @@ object TreeExpand {
         val p = parentOf.get(cur)
         if (termOf.containsKey(p) || parentOf.containsKey(p)) {
           stack.push(cur); cur = p
-        } else { termOf.put(cur, Missing); distOf.put(cur, 0L) }
+        } else { termOf.put(cur, Missing); distOf.put(cur, 1L) }
       }
       val t = termOf.get(cur)
       var d: Long = distOf.get(cur)
       while (!stack.isEmpty) {
         val node = stack.pop(); d += 1
-        if (d > maxDepth) chainsExceed()
+        if (d > fuse) chainsExceed()
         termOf.put(node, t); distOf.put(node, d)
       }
     }
@@ -516,6 +539,10 @@ object TreeExpand {
     val inScope = sample.filter { r =>
       val t = termOf.get(r.get(0)); t != Missing && chosen.contains(t)
     }
+    if (inScope.exists(r => distOf.get(r.get(0)) > maxDepth))
+      throw new IllegalStateException(
+        s"expandByDoubling: subtree deeper than maxDepth=$maxDepth — " +
+          "matches expand's fail-loud policy")
     def idStr(v: Any): String = String.valueOf(v)
     if (withPath) {
       // materialized paths are quadratic in depth (node k's path repeats k

@@ -25,7 +25,7 @@ class BucketingSpec extends AnyFunSuite {
         spark.table("li_bucketed")("l_orderkey") === spark.table("o_bucketed")("o_orderkey"))
     val plan = joined.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
-    assert(!plan.linesIterator.exists(_.trim.startsWith("Exchange")),
+    assert(PlanChecks.shuffleExchanges(plan) == 0,
       s"bucketed join still shuffles:\n$plan")
     assert(joined.count() == 6000)
   }

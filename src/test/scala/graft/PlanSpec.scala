@@ -46,9 +46,20 @@ class PlanSpec extends AnyFunSuite {
 
   test("q30 brute-force knn never shuffles the corpus (one exchange max)") {
     val p = plan("q30_knn_brute")
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    val exchanges = PlanChecks.shuffleExchanges(p)
     assert(p.contains("TakeOrderedAndProject"), s"knn missing TakeOrdered:\n$p")
     assert(exchanges <= 1, s"corpus shuffle detected ($exchanges exchanges):\n$p")
+  }
+
+  test("canary: the shuffle-exchange counter sees a real shuffle") {
+    // a repartition is the plainest shuffle there is — if a Spark upgrade
+    // changes the formatted-explain operator syntax, this fails instead of
+    // every shuffleExchanges assertion going silently vacuous
+    import org.apache.spark.sql.functions.col
+    val p = Tables.orders(spark, dir).repartition(col("o_orderkey"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(PlanChecks.shuffleExchanges(p) >= 1,
+      s"counter matched no Exchange in a repartition plan:\n$p")
   }
 
   test("MinHash signature stage is map-only — no exchange, codegen'd expression") {

@@ -30,6 +30,20 @@ class PackingSpec extends AnyFunSuite {
     assert(sum(("b", 0L)) == ((2L, 11L)))
   }
 
+  test("tied order keys still pack one row at a time (ROWS frame)") {
+    // four equal-weight docs sharing ONE orderCol value, budget 4: the
+    // default RANGE frame would give every row the peers-inclusive sum 8
+    // and put all four in pack 1 (pack 0 empty); the ROWS frame must fill
+    // packs 0 and 1 with two docs each. Equal weights keep the summary
+    // deterministic even though tie ORDER is arbitrary.
+    val docs = Seq(
+      ("a", 1L, 2L), ("a", 1L, 2L), ("a", 1L, 2L), ("a", 1L, 2L)
+    ).toDF("source", "doc_id", "tok")
+    val sum = Packing.packSummary(docs, "doc_id", "tok", Seq("source"), 4L)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(sum == Map(0L -> ((2L, 4L)), 1L -> ((2L, 4L))))
+  }
+
   test("budget must be positive") {
     val docs = Seq(("a", 1L, 4L)).toDF("source", "doc_id", "tok")
     intercept[IllegalArgumentException] {

@@ -224,6 +224,41 @@ class TreeExpandSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-scope deep chains: tiers agree (drop within fuse, throw past)") {
+    // maxDepth=5 → round fuse 2^(maxRounds+1)=16. A 12-deep chain under an
+    // UNREQUESTED root exceeds maxDepth but fits the fuse: both tiers must
+    // drop it silently (only the requested isolated root 50 comes back)
+    def chainPlus(n: Long) =
+      ((1L to n).map(i => (i, if (i == 1L) Option.empty[Long] else Option(i - 1)))
+        :+ ((50L, Option.empty[Long]))).toDF("id", "parent")
+    for (driverRows <- Seq(8192, 0)) {
+      val out = asMap(TreeExpand.expandByDoubling(chainPlus(12L),
+        Seq(50L).toDF("id"), maxDepth = 5, driverStateRows = driverRows))
+      assert(out == Map(50L -> ((50L, 0, "50"))), s"driverRows=$driverRows")
+    }
+    // a 20-deep chain exceeds the fuse: both tiers throw, in or out of scope
+    for (driverRows <- Seq(8192, 0)) {
+      intercept[IllegalStateException] {
+        TreeExpand.expandByDoubling(chainPlus(20L), Seq(50L).toDF("id"),
+          maxDepth = 5, driverStateRows = driverRows)
+      }
+    }
+  }
+
+  test("dangling parent pointers resolve and drop in both tiers") {
+    // nodes 10..14 chain up to parent 9, which has NO row (the edge slice
+    // omits it): the chain terminates at the missing id and drops. Pinned
+    // distributed too — a miss used to contract one level per round and
+    // spuriously trip the round fuse on chains deeper than the round count
+    val dangling = (Seq((1L, Option.empty[Long])) ++
+      (10L to 14L).map(i => (i, Option(i - 1)))).toDF("id", "parent")
+    for (driverRows <- Seq(8192, 0)) {
+      val out = asMap(TreeExpand.expandByDoubling(dangling, Seq(1L).toDF("id"),
+        maxDepth = 5, driverStateRows = driverRows))
+      assert(out == Map(1L -> ((1L, 0, "1"))), s"driverRows=$driverRows")
+    }
+  }
+
   test("pointer doubling emits depth-0 rows for roots absent from edges") {
     val bfs = asMap(TreeExpand.expand(edges, Seq(1L, 42L).toDF("id")))
     val dbl = asMap(TreeExpand.expandByDoubling(edges, Seq(1L, 42L).toDF("id")))

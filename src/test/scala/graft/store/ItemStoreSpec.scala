@@ -108,8 +108,11 @@ class ItemStoreSpec extends AnyFunSuite {
     val plan = merged.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("Bucketed: true"), s"store scan not bucketed:\n$plan")
-    val exchanges = plan.linesIterator.count(_.trim.matches("""Exchange .*"""))
-    assert(exchanges <= 1, s"expected at most the batch-side Exchange:\n$plan")
+    // exactly the batch-side Exchange: 0 would mean the counter went
+    // vacuous (a full-outer equi-join must shuffle the unbucketed batch),
+    // 2+ would mean the store side shuffled too
+    val exchanges = graft.PlanChecks.shuffleExchanges(plan)
+    assert(exchanges == 1, s"expected exactly the batch-side Exchange:\n$plan")
     // and the store semantics are unchanged through the bucketed layout
     st.merge(batch2)
     assert(st.current().count() == 3)
@@ -187,8 +190,8 @@ class ItemStoreSpec extends AnyFunSuite {
     val plan = merged.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("Bucketed: true"), s"store scan not bucketed:\n$plan")
-    assert(plan.linesIterator.count(_.trim.matches("""Exchange .*""")) <= 1,
-      s"expected at most the batch-side Exchange:\n$plan")
+    assert(graft.PlanChecks.shuffleExchanges(plan) == 1,
+      s"expected exactly the batch-side Exchange:\n$plan")
     // resume + replay through the runner path stays idempotent on buckets
     LivestreamRunner.run(spark, st,
       new FakeFetcher(items + (10L ->
