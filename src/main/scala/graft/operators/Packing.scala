@@ -10,12 +10,21 @@ import org.apache.spark.sql.functions._
   *
   * Semantics: CONTIGUOUS CUMULATIVE packing — within each partition key,
   * documents are taken in `orderCol` order and document d goes to pack
-  * `floor(exclusive_prefix_sum(weight) / budget)`. This is deterministic,
-  * one-pass, and exactly expressible in ANSI SQL (window cumulative sum),
-  * which makes it oracle-checkable; it is NOT best-fit bin packing — a
-  * document may straddle a budget boundary, in which case its pack
-  * overflows the budget rather than splitting the document (the common
-  * "greedy concat then truncate at consumer" policy).
+  * `exclusive_prefix_sum(weight) div budget` (exact integer division — no
+  * double rounding even past 2^53 cumulative weight). This is one-pass and
+  * exactly expressible in ANSI SQL (window cumulative sum), which makes it
+  * oracle-checkable; it is NOT best-fit bin packing — a document may
+  * straddle a budget boundary, in which case its pack overflows the budget
+  * rather than splitting the document (the common "greedy concat then
+  * truncate at consumer" policy).
+  *
+  * Determinism contract: `orderCol` must be a TOTAL order within each
+  * partition key (a unique id) and weights non-negative (`div` truncates
+  * toward zero, which equals floor only for non-negative prefixes). With
+  * tied order keys the ROWS-frame prefix sum still packs one row at a
+  * time, but WHICH tied row lands in the earlier pack follows Spark's
+  * arbitrary tie order — assignment is then deterministic only up to ties
+  * (and an oracle on tied keys with unequal weights can diverge).
   *
   * Scale: one window shuffle on the partition columns; the per-partition
   * scan is inherently sequential (each pack depends on every prior
@@ -35,8 +44,7 @@ object Packing {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(weightCol)).over(w))
-      .withColumn("pack_id",
-        floor((col("_cum") - col(weightCol)).cast("double") / budget))
+      .withColumn("pack_id", expr(s"(_cum - $weightCol) div $budget"))
       .drop("_cum")
   }
 

@@ -306,7 +306,7 @@ object TreeExpand {
     *        longest id) against `broadcastStateBytes` and DECLINES to the
     *        distributed rounds when they don't fit. Fail-loud behavior is
     *        IDENTICAL across tiers (spec-pinned): cycles throw, chains past
-    *        the 2^(maxRounds+1) round fuse throw, in-scope nodes past
+    *        the 2^(maxRounds+1)-1 round fuse throw, in-scope nodes past
     *        maxDepth throw — the same input never flips between success and
     *        failure depending on the size gate. Chains whose parent pointer
     *        leaves the edge slice (dangling) resolve to the missing id as
@@ -380,11 +380,14 @@ object TreeExpand {
         sampleStats = Some((sample.length.toLong,
           sample.count(!_.isNullAt(1)).toLong, bytes))
         if (bytes <= driverStateBytes) {
-          // what the round counter tolerates: maxRounds+1 contraction
-          // rounds resolve chains up to 2^(maxRounds+1) — the driver tier
-          // applies the same fuse so failure behavior matches exactly
+          // what the round counter tolerates: after k contraction rounds
+          // chains of dist <= 2^k - 1 are resolved (a node resolves only if
+          // its 2^(k-1)-jump target resolved the round before), so
+          // maxRounds+1 rounds tolerate dist <= 2^(maxRounds+1) - 1 — the
+          // driver tier applies the same fuse so failure matches exactly
           val fuse =
-            if (maxRounds >= 62) Long.MaxValue else 1L << (maxRounds + 1)
+            if (maxRounds >= 62) Long.MaxValue
+            else (1L << (maxRounds + 1)) - 1
           val done = resolveOnDriver(sample, rootSet, idCol, idType, maxDepth,
             fuse, withPath, broadcastStateBytes)
           if (done.isDefined) return done.get
@@ -483,7 +486,7 @@ object TreeExpand {
     * the contraction rounds. Returns None (caller falls back to the rounds)
     * when `withPath` would materialize more than `pathBytesBudget` of path
     * strings. Fail-loud PARITY with the rounds: cycles anywhere throw; any
-    * chain longer than `fuse` (= 2^(maxRounds+1), what the round counter
+    * chain longer than `fuse` (= 2^(maxRounds+1)-1, what the round counter
     * tolerates) throws the rounds' fuse error; an IN-SCOPE node deeper than
     * maxDepth throws the subtree error — so the same input never flips
     * between success and failure across the size gate. */

@@ -469,7 +469,7 @@ object TextQ {
        |                            AND CURRENT ROW) AS cum
        |      FROM t)
        |SELECT source,
-       |       CAST(FLOOR(CAST(cum - tok AS DOUBLE) / 2048) AS BIGINT) AS pack_id,
+       |       CAST((cum - tok) // 2048 AS BIGINT) AS pack_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
        |       CAST(SUM(tok) AS BIGINT) AS pack_weight
        |FROM c GROUP BY source, pack_id

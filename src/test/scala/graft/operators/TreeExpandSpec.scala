@@ -225,21 +225,24 @@ class TreeExpandSpec extends AnyFunSuite {
   }
 
   test("out-of-scope deep chains: tiers agree (drop within fuse, throw past)") {
-    // maxDepth=5 → round fuse 2^(maxRounds+1)=16. A 12-deep chain under an
-    // UNREQUESTED root exceeds maxDepth but fits the fuse: both tiers must
-    // drop it silently (only the requested isolated root 50 comes back)
+    // maxDepth=5 → round fuse 2^(maxRounds+1)-1=15. A 12-deep chain under
+    // an UNREQUESTED root exceeds maxDepth but fits the fuse: both tiers
+    // must drop it silently (only the requested isolated root 50 returns)
     def chainPlus(n: Long) =
       ((1L to n).map(i => (i, if (i == 1L) Option.empty[Long] else Option(i - 1)))
         :+ ((50L, Option.empty[Long]))).toDF("id", "parent")
-    for (driverRows <- Seq(8192, 0)) {
-      val out = asMap(TreeExpand.expandByDoubling(chainPlus(12L),
+    // the EXACT boundary: a 16-node chain (max dist 15) is the deepest both
+    // tiers tolerate; 17 nodes (dist 16) must throw in BOTH — the off-by-one
+    // between 'd > 2^(maxRounds+1)' and the round recurrence was a real
+    // success/failure flip across the size gate
+    for (driverRows <- Seq(8192, 0); n <- Seq(12L, 16L)) {
+      val out = asMap(TreeExpand.expandByDoubling(chainPlus(n),
         Seq(50L).toDF("id"), maxDepth = 5, driverStateRows = driverRows))
-      assert(out == Map(50L -> ((50L, 0, "50"))), s"driverRows=$driverRows")
+      assert(out == Map(50L -> ((50L, 0, "50"))), s"driverRows=$driverRows n=$n")
     }
-    // a 20-deep chain exceeds the fuse: both tiers throw, in or out of scope
     for (driverRows <- Seq(8192, 0)) {
       intercept[IllegalStateException] {
-        TreeExpand.expandByDoubling(chainPlus(20L), Seq(50L).toDF("id"),
+        TreeExpand.expandByDoubling(chainPlus(17L), Seq(50L).toDF("id"),
           maxDepth = 5, driverStateRows = driverRows)
       }
     }
