@@ -87,4 +87,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"no map-side partial aggregation:\n$p")
   }
+
+  test("q58 decontamination broadcasts the eval shingles — corpus never shuffles") {
+    val p = plan("q58_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    // the only shuffles are the two match-set aggregations and the final
+    // sort — never a corpus-wide exchange below the join
+    assert(PlanChecks.shuffleExchanges(p) <= 3,
+      s"unexpected extra shuffle:\n$p")
+  }
+
+  test("q59 repetition stats stay in-scan: one sort exchange, codegen'd") {
+    val p = plan("q59_repetition_filter")
+    assert(PlanChecks.shuffleExchanges(p) <= 1, // the ORDER BY only
+      s"repetition metrics shuffled the corpus:\n$p")
+    assert(p.contains("* Project"), s"metric projection not codegen'd:\n$p")
+  }
 }
