@@ -51,9 +51,19 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Argument check shared by every resize entry point: non-positive or
+    * overflowing dimensions must fail at call time on the driver. */
+  private def requireDims(outW: Int, outH: Int): Unit = {
+    require(outW > 0 && outH > 0,
+      s"resize dimensions must be positive, got ${outW}x$outH")
+    require(outW.toLong * outH * 3 <= Int.MaxValue,
+      s"resize output ${outW}x$outH exceeds the maximum byte-array size")
+  }
+
   /** REAL resize: decode, bilinear-scale to (outW, outH), return raw RGB.
     * None when the payload is not a decodable image. */
   def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Option[Pixels] = {
+    requireDims(outW, outH)
     if (bytes == null || bytes.isEmpty || !looksLikeImage(bytes)) return None
     try {
       val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -300,6 +310,7 @@ object Multimodal {
     * 3-bytes-per-pixel shape as the real path), keeping the pipeline
     * total over garbage bytes. */
   def resizeStub(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    requireDims(outW, outH)
     val n = outW * outH * 3
     val out = new Array[Byte](n)
     if (bytes != null && bytes.nonEmpty) {
@@ -318,6 +329,9 @@ object Multimodal {
     * stub with the same output shape (`decoded = false`). */
   def resize(df: DataFrame, bytesCol: String, idCol: String,
              outW: Int, outH: Int): DataFrame = {
+    requireDims(outW, outH) // fail on the driver at call time, not per-row
+                            // inside an executor task with a confusing
+                            // NegativeArraySizeException
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("media", BinaryType, nullable = false),

@@ -37,15 +37,33 @@ object Packing {
   def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
                    partCols: Seq[String], budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // the exact `div` below requires an integral weight: a double weight
+    // would silently coerce (and its prefix sums round past 2^53) — fail
+    // at call time instead
+    val wt = df.schema(weightCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(wt),
+      s"weightCol '$weightCol' must be an integral type for exact pack " +
+        s"division, got $wt — pre-quantize fractional weights to token counts")
+    // temp column that cannot shadow caller data
+    val cum = Iterator.from(0)
+      .map(i => if (i == 0) "_cum" else s"_cum$i")
+      .find(n => !df.columns.contains(n)).get
     // ROWS frame, not the default RANGE: RANGE includes ORDER-BY peers, so
     // tied orderCol values would all see the same cumulative sum and land
     // in the same (wrong) pack — the sequential semantics need one row at
     // a time, exactly the oracle's ROWS BETWEEN UNBOUNDED PRECEDING
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_cum", sum(col(weightCol)).over(w))
-      .withColumn("pack_id", expr(s"(_cum - $weightCol) div $budget"))
-      .drop("_cum")
+    // backtick-quoted identifiers (with embedded backticks doubled), so
+    // names needing quoting parse instead of failing at analysis
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    df.withColumn(cum, sum(col(weightCol).cast("long")).over(w))
+      .withColumn("pack_id",
+        expr(s"(${q(cum)} - cast(${q(weightCol)} as bigint)) div ${budget}L"))
+      .drop(cum)
   }
 
   /** Per-pack summary: (partCols..., pack_id, n_docs, pack_weight). */

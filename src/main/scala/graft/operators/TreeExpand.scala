@@ -23,6 +23,15 @@ import org.apache.spark.storage.StorageLevel
   *    plan doubles per level and the driver OOMs planning level ~30).
   *  - termination is the fixpoint (empty frontier) with a maxDepth fuse
   *    against cyclic/corrupt edge sets.
+  *
+  * Concurrency note (both entry points): a SMALL-graph expansion suspends
+  * `spark.sql.adaptive.enabled` on its session for the duration (tiny
+  * broadcast-only stages gain nothing from adaptive replanning, and the
+  * per-stage replan latency dominates at that size). Concurrent expansions
+  * on the same session serialize their windows under a per-session lock
+  * (no save/restore clobber), but an unrelated query issued on the SAME
+  * session during the window also runs with AQE off — run
+  * concurrency-sensitive work on its own `spark.newSession()`.
   */
 object TreeExpand {
 
@@ -43,6 +52,36 @@ object TreeExpand {
   private val DriverMode = "driver"
   private val BroadcastMode = "broadcast"
   private val ShuffleMode = "shuffle"
+
+  /** Per-session monitor for the small-graph AQE suspension window (weak
+    * keys: a lock must not pin a stopped session). */
+  private val aqeLocks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.locks.ReentrantLock]())
+
+  /** Scoped suspension of `spark.sql.adaptive.enabled` for a small-graph
+    * expansion. The conf is session-scoped, so the flip is visible to any
+    * query issued on the SAME session during the window (documented at the
+    * public entry points — use a separate session for concurrency-sensitive
+    * work); the save/restore itself runs under a per-session lock so two
+    * concurrent expansions serialize their windows instead of clobbering
+    * each other's saved value. `restore()` is idempotent. */
+  private final class AqeWindow(spark: org.apache.spark.sql.SparkSession) {
+    private val key = "spark.sql.adaptive.enabled"
+    private var held: java.util.concurrent.locks.ReentrantLock = null
+    private var prev: String = null
+    def suspend(): Unit = if (held == null) {
+      val l = aqeLocks.computeIfAbsent(spark,
+        _ => new java.util.concurrent.locks.ReentrantLock())
+      l.lock()
+      prev = spark.conf.get(key, "true")
+      if (prev == "true") { spark.conf.set(key, "false"); held = l }
+      else l.unlock() // already off (possibly another expansion's window)
+    }
+    def restore(): Unit = if (held != null) {
+      spark.conf.set(key, prev); held.unlock(); held = null
+    }
+  }
 
   /** @param edges (idCol, parentCol) adjacency rows, parent NULL for roots
     * @param roots one column `idCol`: the subtree roots to expand (included
@@ -86,14 +125,24 @@ object TreeExpand {
       .select(col(idCol).as("_id"), col(parentCol).as("_parent"))
       .filter(col("_parent").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one count populates the cache AND proves (or refutes) the invariant
-    // that makes the all-broadcast regime safe: every BFS level is a subset
-    // of the edge table, so edgeCount <= budget bounds every future build's
-    // ROWS. Bytes are not bounded the same way (paths grow with depth), so
-    // adopt() also measures frontier bytes each round and demotes the
-    // regime mid-flight if they blow the budget — rows are not a memory
-    // unit (same lesson as Components.of's byte gate).
-    val edgeCount = childOf.count()
+    // one agg job populates the cache AND measures what the all-broadcast
+    // regime's safety argument needs: the edge count (every BFS level's
+    // distinct NODES are a subset of the edge table), the max parent rows
+    // per child (>1 ⟺ DAG/duplicate edges, where (node, path) PAIR counts
+    // can compound per level), and the longest id rendering (appended to
+    // paths each level). Bytes are not bounded by rows (paths grow with
+    // depth), so adopt() also measures frontier bytes each round and
+    // demotes the regime mid-flight if they blow the budget — rows are
+    // not a memory unit (same lesson as Components.of's byte gate).
+    val em = childOf.groupBy(col("_id"))
+      .agg(count(lit(1)).as("_c"), max(length(col("_id").cast("string"))).as("_l"))
+      .agg(coalesce(sum(col("_c")), lit(0L)),
+        coalesce(max(col("_c")), lit(1L)),
+        coalesce(max(col("_l")), lit(1)).cast("long"))
+      .head()
+    val edgeCount = em.getLong(0)
+    val maxParentsPerChild = em.getLong(1)
+    val maxEdgeIdLen = em.getLong(2)
     var smallGraph = edgeCount <= broadcastFrontierRows &&
       edgeCount * 48 <= broadcastMaxBytes
     // large regime only: deep levels shuffle-hash every round, so pay the
@@ -137,6 +186,14 @@ object TreeExpand {
     var frontier: DataFrame = null // executor-side frontier when not driver-held
     var mode: String = DriverMode
     var frontierKnownEmpty = false
+    // measured at every round boundary, for the in-round amplification cap:
+    // max (node, path) multiplicity per node id and longest path in the
+    // CURRENT frontier. Multi-parent nodes (DAG / duplicate edges) make
+    // multiplicity exceed 1 and compound by up to maxParentsPerChild per
+    // level, so a level's ROW count is no longer bounded by the edge
+    // count — the small-graph invariant only bounds distinct nodes.
+    var frontierMaxMult = 1L
+    var frontierMaxPathLen = 0L
 
     /** Measure the new frontier and pick next round's residency: one
       * `head(cap+1)` job (cheap — the source is checkpointed); a count job
@@ -149,20 +206,12 @@ object TreeExpand {
     }
     // suspend AQE for a small-graph expansion: every stage is tiny and
     // broadcast-only, so adaptive replanning is pure per-stage latency.
-    // Session-global conf, restored in the finally — the store of record
-    // is single-writer and expand is synchronous, so only a concurrently-
-    // issued query in the SAME session would observe the window. Large
-    // graphs keep the session's setting (skew handling on the wide
-    // shuffle-hash rounds is worth it there).
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    var aqeOff = false
-    def suspendAqe(): Unit =
-      if (smallGraph && aqePrev == "true" && !aqeOff) {
-        spark.conf.set(aqeKey, "false"); aqeOff = true
-      }
-    def restoreAqe(): Unit =
-      if (aqeOff) { spark.conf.set(aqeKey, aqePrev); aqeOff = false }
+    // Large graphs keep the session's setting (skew handling on the wide
+    // shuffle-hash rounds is worth it there). See [[AqeWindow]] for the
+    // concurrency contract.
+    val aqe = new AqeWindow(spark)
+    def suspendAqe(): Unit = if (smallGraph) aqe.suspend()
+    def restoreAqe(): Unit = aqe.restore()
 
     /** Estimated broadcast payload of one frontier row: the path string
       * dominates; ids/depth are a constant tax. */
@@ -178,12 +227,28 @@ object TreeExpand {
         frontier = spark.createDataFrame(
           java.util.Arrays.asList(frontierRows: _*), frontierSchema)
         frontierKnownEmpty = sample.isEmpty
+        frontierMaxMult = if (sample.isEmpty) 1L
+          else sample.iterator.map(_.get(0)).toSeq.groupBy(identity)
+            .valuesIterator.map(_.size.toLong).max
+        frontierMaxPathLen = sample.iterator
+          .map(r => if (r.isNullAt(3)) 0L else r.getString(3).length.toLong)
+          .foldLeft(0L)(math.max)
       } else {
-        val m = nextFrontier
-          .agg(count(lit(1)),
-            coalesce(sum(coalesce(length(col("_path")), lit(0)) + 32L), lit(0L)))
+        // two-level agg, still ONE job: per-node multiplicity first, so the
+        // amplification cap sees multi-parent row counts
+        val per = nextFrontier.groupBy(col("_id"))
+          .agg(count(lit(1)).as("_c"),
+            sum(coalesce(length(col("_path")), lit(0)) + 32L).as("_b"),
+            max(coalesce(length(col("_path")), lit(0))).as("_l"))
+        val m = per
+          .agg(coalesce(sum(col("_c")), lit(0L)),
+            coalesce(sum(col("_b")), lit(0L)),
+            coalesce(max(col("_c")), lit(1L)),
+            coalesce(max(col("_l")), lit(0)).cast("long"))
           .head()
         val (rows, bytes) = (m.getLong(0), m.getLong(1))
+        frontierMaxMult = m.getLong(2)
+        frontierMaxPathLen = m.getLong(3)
         mode = if (rows <= broadcastFrontierRows && bytes <= broadcastMaxBytes)
           BroadcastMode else ShuffleMode
         if (smallGraph && (bytes > broadcastMaxBytes || rows > broadcastFrontierRows)) {
@@ -217,7 +282,37 @@ object TreeExpand {
         var out = frontier
         var depth = 0
         while (depth < maxDepth && !frontierKnownEmpty) {
-          val rounds = math.min(levelsPerRound, maxDepth - depth)
+          var rounds = math.min(levelsPerRound, maxDepth - depth)
+          if (smallGraph && rounds > 1) {
+            // in-round amplification cap: levels 2..rounds broadcast the
+            // UNMEASURED outputs of levels 1..rounds-1. Bound level j's
+            // build from what IS measured — multiplicity can compound by at
+            // most maxParentsPerChild per level (trees: ×1, so the bound
+            // collapses to edgeCount), rows(j) <= edgeCount * mult(j), and
+            // a row's payload <= measured longest path plus j appended
+            // edge-table ids. Keep only as many in-plan levels as provably
+            // fit the broadcast budgets; rounds=1 means every build is a
+            // frontier adopt() just measured — always safe.
+            def buildFits(j: Int): Boolean = {
+              var mult = frontierMaxMult
+              var i = 0
+              while (i < j && mult <= broadcastFrontierRows) {
+                mult *= maxParentsPerChild; i += 1
+              }
+              val rowsBound = edgeCount * mult
+              // bytes computed only under the row bound, so the product
+              // cannot overflow Long
+              mult <= broadcastFrontierRows &&
+                rowsBound <= broadcastFrontierRows &&
+                rowsBound * (33L + frontierMaxPathLen + j * (maxEdgeIdLen + 1)) <=
+                  broadcastMaxBytes
+            }
+            val capped = (1 to rounds).takeWhile(r => r == 1 || buildFits(r - 1)).last
+            if (capped < rounds) {
+              rounds = capped
+              if (modeLog != null) modeLog += s"cap$capped@$depth"
+            }
+          }
           val deeperMode = if (smallGraph) BroadcastMode else ShuffleMode
           var levels = List(step(frontier, mode))
           (2 to rounds).foreach { _ =>
@@ -397,10 +492,8 @@ object TreeExpand {
     val (nodeCount, open0, bytes0) = sampleStats.getOrElse(measure())
     var smallState = nodeCount <= broadcastStateRows && bytes0 <= broadcastStateBytes
     val spark = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    var aqeOff = smallState && aqePrev == "true"
-    if (aqeOff) spark.conf.set(aqeKey, "false")
+    val aqe = new AqeWindow(spark)
+    if (smallState) aqe.suspend()
     try {
     var open = open0
     while (open > 0) {
@@ -448,7 +541,7 @@ object TreeExpand {
         // segments outgrew the byte budget: stop broadcasting the state
         // and give AQE back to the now-shuffled rounds
         smallState = false
-        if (aqeOff) { spark.conf.set(aqeKey, aqePrev); aqeOff = false }
+        aqe.restore()
       }
     }
     val inScope = state
@@ -465,7 +558,7 @@ object TreeExpand {
              .otherwise(concat(col("_term").cast("string"), lit("/"), col("_seg")))
          else col("_seg")).as("path"))
     } finally {
-      if (aqeOff) spark.conf.set(aqeKey, aqePrev)
+      aqe.restore()
     }
   }
 

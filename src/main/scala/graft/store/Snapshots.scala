@@ -51,17 +51,46 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
   private val pointer: Path = rootPath.resolve("current")
 
   /** Catalog identifier for a snapshot directory (bucketed mode): derived
-    * from the store root so two stores never collide. */
-  private def tableFor(snap: String): String =
-    s"graft_snap_${java.lang.Integer.toHexString(root.hashCode)}_${snap.replace('-', '_')}"
+    * from the NORMALIZED store root via SHA-256 (64 hex-bit prefix) so two
+    * stores never collide — a 32-bit `hashCode` prefix plus the fixed
+    * bootstrap name `snap-0` made same-session collisions realistic, and
+    * `registerTable`'s exists short-circuit would then silently serve one
+    * store's files to the other. [[registerTable]] additionally verifies an
+    * existing entry's LOCATION before reuse, so even a name collision (or a
+    * stale entry surviving an external delete/recreate) fails loud. */
+  private def tableFor(snap: String): String = {
+    val norm = rootPath.toAbsolutePath.normalize.toString
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    s"graft_snap_${hex}_${snap.replace('-', '_')}"
+  }
 
   private def registerTable(snap: String): Unit = bucketBy.foreach { case (key, n) =>
     val tbl = tableFor(snap)
+    val expected = rootPath.resolve(snap).toAbsolutePath.normalize.toString
     if (!spark.catalog.tableExists(tbl))
       spark.sql(
         s"""CREATE TABLE $tbl (${schema.toDDL}) USING PARQUET
            |CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS
-           |LOCATION '${rootPath.resolve(snap)}'""".stripMargin)
+           |LOCATION '$expected'""".stripMargin)
+    else {
+      // never trust a pre-existing entry blindly: verify it points at THIS
+      // store's snapshot directory (DESCRIBE FORMATTED is driver-only)
+      val loc = spark.sql(s"DESCRIBE FORMATTED $tbl")
+        .where("col_name = 'Location'").select("data_type")
+        .collect().headOption.map(_.getString(0)).getOrElse("")
+      val locPath = try java.nio.file.Paths.get(new java.net.URI(loc).getPath)
+        .toAbsolutePath.normalize.toString
+      catch { case _: Exception => loc }
+      if (locPath != expected)
+        throw new IllegalStateException(
+          s"catalog table $tbl resolves to '$locPath', expected " +
+            s"'$expected' — another store registered a colliding table " +
+            "name in this session, or a stale entry survived an external " +
+            "change. DROP TABLE it (the table is EXTERNAL; files are " +
+            "untouched) and reopen the store.")
+    }
   }
 
   /** Create an empty snapshot iff absent (idempotent bootstrap — S6, safe

@@ -101,6 +101,14 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q59_repetition_filter")
     assert(PlanChecks.shuffleExchanges(p) <= 1, // the ORDER BY only
       s"repetition metrics shuffled the corpus:\n$p")
-    assert(p.contains("* Project"), s"metric projection not codegen'd:\n$p")
+    // codegen markers only appear on the EXECUTED final plan under AQE —
+    // explaining the lazy plan made this assert depend on whether another
+    // suite's AQE-off window happened to be open (a real flake)
+    val df = SparkEntry.queries("q59_repetition_filter")(spark, dir)
+    df.collect()
+    val executed = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(executed.contains("* Project"),
+      s"metric projection not codegen'd:\n$executed")
   }
 }

@@ -200,6 +200,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again(1L) == px1.toSeq && again(2L) == out(2L).getAs[Array[Byte]](1).toSeq)
   }
 
+  test("resize rejects non-positive or overflowing dimensions at call time") {
+    import spark.implicits._
+    val media = Seq((1L, Array.empty[Byte])).toDF("media_id", "media")
+    // driver-side failure with a clear message — not a per-row
+    // NegativeArraySizeException inside an executor task
+    for ((w, h) <- Seq((0, 3), (4, 0), (-1, 3), (4, -2))) {
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.resize(media, "media", "media_id", w, h)
+      }
+      assert(e.getMessage.contains("positive"), s"($w,$h): ${e.getMessage}")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeStub(Array[Byte](1, 2, 3), -1, 4)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImage(Array[Byte](1, 2, 3), 0, 0)
+    }
+    // dimension product past Int.MaxValue/3 must also fail loud
+    intercept[IllegalArgumentException] {
+      Multimodal.resize(media, "media", "media_id", 50000, 50000)
+    }
+  }
+
   test("sampleFrames explodes n evenly spaced frame stubs per media row") {
     val media = spark.range(3).select(col("id").as("media_id"))
     val out = Multimodal.sampleFrames(media, "media_id", n = 4).collect()

@@ -50,4 +50,31 @@ class PackingSpec extends AnyFunSuite {
       Packing.packByBudget(docs, "doc_id", "tok", Seq("source"), 0L)
     }
   }
+
+  test("weight columns needing quoting pack correctly (no expr injection)") {
+    // a hyphenated name fails to parse unquoted inside expr(): the
+    // backtick-quoted build must handle it
+    val docs = Seq(("a", 1L, 4L), ("a", 2L, 4L), ("a", 3L, 4L))
+      .toDF("source", "doc_id", "tok-count")
+    val out = Packing.packByBudget(docs, "doc_id", "tok-count", Seq("source"), 8L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("caller columns named _cum are not clobbered by the temp column") {
+    val docs = Seq(("a", 1L, 4L, "keep1"), ("a", 2L, 4L, "keep2"))
+      .toDF("source", "doc_id", "tok", "_cum")
+    val out = Packing.packByBudget(docs, "doc_id", "tok", Seq("source"), 8L)
+    assert(out.columns.count(_ == "_cum") == 1)
+    assert(out.select("_cum").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("keep1", "keep2"))
+  }
+
+  test("fractional weight types fail at call time, not via silent coercion") {
+    val docs = Seq(("a", 1L, 4.5)).toDF("source", "doc_id", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Packing.packByBudget(docs, "doc_id", "tok", Seq("source"), 10L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

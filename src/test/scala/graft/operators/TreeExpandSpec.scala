@@ -262,6 +262,56 @@ class TreeExpandSpec extends AnyFunSuite {
     }
   }
 
+  test("in-round amplification cap: multi-parent edges clamp batched levels") {
+    // duplicate (2,1) edges: each level multiplies (node, path) rows by the
+    // parent multiplicity, so levels 2..levelsPerRound inside one round
+    // would broadcast UNMEASURED builds past the row budget. With
+    // maxParentsPerChild=2 and broadcastFrontierRows=12 the worst-case
+    // bound (edgeCount * mult) admits one batched level but not two — the
+    // cap must clamp the round instead of building an unbounded broadcast
+    val dag = Seq(
+      (2L, Option(1L)), (2L, Option(1L)), // duplicate edge: multiplicity 2
+      (3L, Option(2L)), (4L, Option(3L)), (5L, Option(4L)), (6L, Option(5L))
+    ).toDF("id", "parent")
+    val modes = scala.collection.mutable.Buffer.empty[String]
+    val out = TreeExpand.expand(dag, Seq(1L).toDF("id"),
+      levelsPerRound = 4, driverFrontierRows = 12, broadcastFrontierRows = 12,
+      modeLog = modes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    // reference: one measured level per round (always safe)
+    val ref = TreeExpand.expand(dag, Seq(1L).toDF("id"),
+      levelsPerRound = 1, driverFrontierRows = 12, broadcastFrontierRows = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+    assert(out == ref)
+    // node 2's duplicate parent rows double every path below it
+    assert(out.count(x => x._1 == 6L) == 2)
+    assert(modes.exists(_.startsWith("cap")), modes)
+    // trees (maxParentsPerChild=1, mult 1) must NOT trip the cap: the
+    // bound collapses to edgeCount, which the small-graph gate admitted
+    val treeModes = scala.collection.mutable.Buffer.empty[String]
+    TreeExpand.expand(edges, Seq(1L, 2L).toDF("id"), modeLog = treeModes)
+    assert(!treeModes.exists(_.startsWith("cap")), treeModes)
+  }
+
+  test("concurrent small-graph expansions restore AQE exactly once") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    assert(prev == "true", "precondition: session starts with AQE on")
+    val expected = asMap(TreeExpand.expand(edges, Seq(1L, 2L).toDF("id")))
+    val runs = Future.sequence((1 to 4).map(_ => Future {
+      asMap(TreeExpand.expand(edges, Seq(1L, 2L).toDF("id")))
+    }))
+    val results = Await.result(runs, 120.seconds)
+    assert(results.forall(_ == expected))
+    // the per-session lock serializes the suspend/restore windows, so the
+    // saved value can never be another window's "false"
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+
   test("pointer doubling emits depth-0 rows for roots absent from edges") {
     val bfs = asMap(TreeExpand.expand(edges, Seq(1L, 42L).toDF("id")))
     val dbl = asMap(TreeExpand.expandByDoubling(edges, Seq(1L, 42L).toDF("id")))

@@ -26,6 +26,32 @@ class ItemStoreSpec extends AnyFunSuite {
   private def normalized(rows: (Long, String)*) =
     Item.normalize(rows.toSeq.toDF("id", "body"), lit(100L))
 
+  test("bucketed table reuse verifies location — stale/colliding entries fail loud") {
+    val dirA = Files.createTempDirectory("graft-snap-loc-a")
+    val dirB = Files.createTempDirectory("graft-snap-loc-b").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val snaps = new Snapshots(spark, dirA.toString, schema, Some(("id", 2)))
+    snaps.init()
+    assert(snaps.read().count() == 0) // legit reuse: location matches
+    // simulate a colliding/stale catalog entry: same table name the store
+    // derives (replicating tableFor's sha-256 naming), pointing elsewhere
+    val norm = dirA.toAbsolutePath.normalize.toString
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    val tbl = s"graft_snap_${hex}_snap_0"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (id BIGINT) USING PARQUET
+         |CLUSTERED BY (id) SORTED BY (id) INTO 2 BUCKETS
+         |LOCATION '$dirB'""".stripMargin)
+    val e = intercept[IllegalStateException] { snaps.read() }
+    assert(e.getMessage.contains("resolves to"), e.getMessage)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("init is idempotent and yields an empty typed table") {
     val st = freshStore()
     st.init()
@@ -178,7 +204,11 @@ class ItemStoreSpec extends AnyFunSuite {
     assert(st.latestId().contains(9L))
     // superseded generations must not accumulate in the catalog: exactly one
     // live snapshot table for this store root after five swaps
-    val prefix = s"graft_snap_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val prefix = "graft_snap_" + java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     val tables = spark.catalog.listTables().collect().map(_.name)
       .filter(_.startsWith(prefix))
     assert(tables.length == 1, s"stale snapshot tables: ${tables.mkString(",")}")
