@@ -63,9 +63,11 @@ object TreeExpand {
     * expansion. The conf is session-scoped, so the flip is visible to any
     * query issued on the SAME session during the window (documented at the
     * public entry points — use a separate session for concurrency-sensitive
-    * work); the save/restore itself runs under a per-session lock so two
-    * concurrent expansions serialize their windows instead of clobbering
-    * each other's saved value. `restore()` is idempotent. */
+    * work); only a lock HOLDER ever writes the conf, so two concurrent
+    * expansions cannot clobber each other's saved value. A contender that
+    * fails `tryLock` runs WITHOUT suspending AQE (losing only the latency
+    * optimization) instead of blocking behind the other expansion's whole
+    * window. `restore()` is idempotent. */
   private final class AqeWindow(spark: org.apache.spark.sql.SparkSession) {
     private val key = "spark.sql.adaptive.enabled"
     private var held: java.util.concurrent.locks.ReentrantLock = null
@@ -73,13 +75,22 @@ object TreeExpand {
     def suspend(): Unit = if (held == null) {
       val l = aqeLocks.computeIfAbsent(spark,
         _ => new java.util.concurrent.locks.ReentrantLock())
-      l.lock()
-      prev = spark.conf.get(key, "true")
-      if (prev == "true") { spark.conf.set(key, "false"); held = l }
-      else l.unlock() // already off (possibly another expansion's window)
+      if (l.tryLock()) {
+        // conf access can throw (session stopped mid-call) — the lock must
+        // not leak, or every later expansion on this session degrades
+        try {
+          prev = spark.conf.get(key, "true")
+          if (prev == "true") { spark.conf.set(key, "false"); held = l }
+          else l.unlock() // already off (possibly another expansion's window)
+        } catch { case t: Throwable =>
+          if (held == null) l.unlock()
+          throw t
+        }
+      }
     }
     def restore(): Unit = if (held != null) {
-      spark.conf.set(key, prev); held.unlock(); held = null
+      try spark.conf.set(key, prev)
+      finally { held.unlock(); held = null }
     }
   }
 
@@ -125,26 +136,55 @@ object TreeExpand {
       .select(col(idCol).as("_id"), col(parentCol).as("_parent"))
       .filter(col("_parent").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one agg job populates the cache AND measures what the all-broadcast
-    // regime's safety argument needs: the edge count (every BFS level's
-    // distinct NODES are a subset of the edge table), the max parent rows
-    // per child (>1 ⟺ DAG/duplicate edges, where (node, path) PAIR counts
-    // can compound per level), and the longest id rendering (appended to
-    // paths each level). Bytes are not bounded by rows (paths grow with
-    // depth), so adopt() also measures frontier bytes each round and
-    // demotes the regime mid-flight if they blow the budget — rows are
+    // a map-only count populates the cache and decides the regime; the
+    // per-child metadata the all-broadcast safety argument needs — max
+    // parent rows per child (>1 ⟺ DAG/duplicate edges, where (node, path)
+    // PAIR counts can compound per level) and the longest id rendering
+    // (appended to paths each level) — is consumed ONLY by the small-graph
+    // in-round cap, so its groupBy runs only when `edgeCount` already
+    // passed the broadcast budget (tiny by definition, and it reads the
+    // just-populated cache). Shuffle-regime expansions never pay it: at
+    // 100 TB that groupBy would be a full extra shuffle per expansion for
+    // numbers the regime discards. Bytes are not bounded by rows (paths
+    // grow with depth), so adopt() also measures frontier bytes each round
+    // and demotes the regime mid-flight if they blow the budget — rows are
     // not a memory unit (same lesson as Components.of's byte gate).
-    val em = childOf.groupBy(col("_id"))
-      .agg(count(lit(1)).as("_c"), max(length(col("_id").cast("string"))).as("_l"))
+    // the optimizer's size ESTIMATE (free — no job) picks the startup shape:
+    // a plausibly-small edge table fuses count + metadata into ONE groupBy
+    // job over the just-cached rows (the estimate being wrong costs one
+    // bounded shuffle, never an unbounded broadcast — smallGraph itself is
+    // always decided from the EXACT count); a table whose estimate already
+    // dwarfs the broadcast budget pays only the map-only count, and the
+    // metadata groupBy runs after it only in the (rare) case the estimate
+    // was pessimistic and the exact count lands within the small regime.
+    val estBytes = childOf.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fusedMeta = levelsPerRound > 1 &&
+      estBytes <= BigInt(8L) * BigInt(broadcastMaxBytes)
+    var maxParentsPerChild = 1L // unread unless smallGraph && levelsPerRound>1
+    var maxEdgeIdLen = 1L
+    var edgeCount = 0L
+    def metaAgg(): org.apache.spark.sql.Row = childOf.groupBy(col("_id"))
+      .agg(count(lit(1)).as("_c"),
+        max(length(col("_id").cast("string"))).as("_l"))
       .agg(coalesce(sum(col("_c")), lit(0L)),
         coalesce(max(col("_c")), lit(1L)),
         coalesce(max(col("_l")), lit(1)).cast("long"))
       .head()
-    val edgeCount = em.getLong(0)
-    val maxParentsPerChild = em.getLong(1)
-    val maxEdgeIdLen = em.getLong(2)
+    if (fusedMeta) {
+      val em = metaAgg()
+      edgeCount = em.getLong(0)
+      maxParentsPerChild = em.getLong(1)
+      maxEdgeIdLen = em.getLong(2)
+    } else {
+      edgeCount = childOf.count()
+    }
     var smallGraph = edgeCount <= broadcastFrontierRows &&
       edgeCount * 48 <= broadcastMaxBytes
+    if (!fusedMeta && smallGraph && levelsPerRound > 1) {
+      val em = metaAgg() // reads the count-populated cache: tiny by the gate
+      maxParentsPerChild = em.getLong(1)
+      maxEdgeIdLen = em.getLong(2)
+    }
     // large regime only: deep levels shuffle-hash every round, so pay the
     // parent-key repartition once and reuse its partitioning each round
     var shuffledInit = false
@@ -234,20 +274,46 @@ object TreeExpand {
           .map(r => if (r.isNullAt(3)) 0L else r.getString(3).length.toLong)
           .foldLeft(0L)(math.max)
       } else {
-        // two-level agg, still ONE job: per-node multiplicity first, so the
-        // amplification cap sees multi-parent row counts
-        val per = nextFrontier.groupBy(col("_id"))
-          .agg(count(lit(1)).as("_c"),
-            sum(coalesce(length(col("_path")), lit(0)) + 32L).as("_b"),
-            max(coalesce(length(col("_path")), lit(0))).as("_l"))
-        val m = per
-          .agg(coalesce(sum(col("_c")), lit(0L)),
-            coalesce(sum(col("_b")), lit(0L)),
-            coalesce(max(col("_c")), lit(1L)),
-            coalesce(max(col("_l")), lit(0)).cast("long"))
-          .head()
+        // per-node multiplicity feeds ONLY the small-graph in-round cap, and
+        // even there a per-key re-measure is needed ONLY for DAGs
+        // (maxParentsPerChild > 1): with single-parent edges every frontier
+        // row inherits exactly one row from its parent, so a node's
+        // multiplicity equals its parent's and the frontier MAX is
+        // non-increasing level to level — the carried value stays a valid
+        // upper bound. So the per-key agg level runs only for small-graph
+        // DAG expansions (frontier within the broadcast budget — a tiny
+        // shuffle of map-side partials). Everything else keeps the single
+        // global agg: one map-side-combined job, no per-key exchange — at
+        // 100 TB a per-key agg here would be a full frontier shuffle per
+        // round for numbers the regime never reads (and trees never need).
+        val remeasureMult = smallGraph && maxParentsPerChild > 1
+        val m =
+          if (remeasureMult) {
+            // two-level agg, still ONE job: per-node multiplicity first, so
+            // the amplification cap sees multi-parent row counts
+            nextFrontier.groupBy(col("_id"))
+              .agg(count(lit(1)).as("_c"),
+                sum(coalesce(length(col("_path")), lit(0)) + 32L).as("_b"),
+                max(coalesce(length(col("_path")), lit(0))).as("_l"))
+              .agg(coalesce(sum(col("_c")), lit(0L)),
+                coalesce(sum(col("_b")), lit(0L)),
+                coalesce(max(col("_c")), lit(1L)),
+                coalesce(max(col("_l")), lit(0)).cast("long"))
+              .head()
+          } else {
+            nextFrontier
+              .agg(count(lit(1)),
+                coalesce(sum(coalesce(length(col("_path")), lit(0)) + 32L),
+                  lit(0L)),
+                coalesce(max(lit(1L)), lit(1L)),
+                coalesce(max(coalesce(length(col("_path")), lit(0))), lit(0))
+                  .cast("long"))
+              .head()
+          }
         val (rows, bytes) = (m.getLong(0), m.getLong(1))
-        frontierMaxMult = m.getLong(2)
+        // tree + smallGraph: carry the inherited bound instead of m's lit(1)
+        frontierMaxMult = if (remeasureMult || !smallGraph) m.getLong(2)
+          else frontierMaxMult
         frontierMaxPathLen = m.getLong(3)
         mode = if (rows <= broadcastFrontierRows && bytes <= broadcastMaxBytes)
           BroadcastMode else ShuffleMode

@@ -37,7 +37,7 @@ object Hierarchy {
         when(col("event_id") === 0, lit(null).cast("long"))
           .otherwise(expr("(event_id - 1) div 3")).as("parent"))
     val roots = edges.filter(col("id").isin(1, 2, 3)).select("id")
-    TreeExpand.expand(edges, roots)
+    TreeExpand.expand(edges, roots, levelsPerRound = 6)
       .select(col("id"), col("root"), col("depth").cast("long").as("depth"),
         col("path"))
       .orderBy("id")

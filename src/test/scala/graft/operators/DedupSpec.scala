@@ -54,6 +54,56 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 1L && p._2 == 4L)) // blocked apart
   }
 
+  test("minhashPairs job floor: two materializations + collect, reused scan") {
+    // the operator's latency floor is its SEQUENTIAL job count (each job
+    // multiplies under host load): candidate checkpoint, verify-shingle
+    // checkpoint, final collect — the signature scan must NOT spend a
+    // separate materialization job (it fuses into the band join, whose two
+    // identical shuffle sides share ONE exchange via ReuseExchange)
+    var jobs = 0
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    val plans = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.execution.SparkPlan]
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.sparkContext.addSparkListener(jl)
+    spark.listenerManager.register(ql)
+    try {
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", thresholdMilli = 500)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)))
+      org.apache.spark.GraftTestBus.flush(spark.sparkContext)
+      // the exact sequential floor is the ACTION count: candidate
+      // checkpoint, verify-shingle checkpoint, collect. The old shape spent
+      // a 4th action materializing the signature scan. (Job count is AQE's
+      // per-stage scheduling detail — a loose ceiling only.)
+      assert(plans.synchronized(plans.length) == 3,
+        s"sequential action floor regressed: ${plans.length} actions")
+      assert(jobs <= 12, s"job count blew up: $jobs jobs")
+      // the band self-join (inside the candidate checkpoint) must reuse one
+      // exchange for its two identical scan→sig→posexplode sides
+      // (the sig projection itself constant-folds into the LocalTableScan
+      // on this in-memory corpus, so match the band posexplode instead)
+      val bandJoin = plans.synchronized {
+        plans.find(p => p.toString.contains("ShuffledHashJoin") &&
+          p.toString.contains("posexplode"))
+      }
+      assert(bandJoin.isDefined, "band-join materialization plan not captured")
+      assert(bandJoin.get.toString.contains("ReusedExchange"),
+        s"band join recomputes the signature scan:\n${bandJoin.get}")
+    } finally {
+      spark.sparkContext.removeSparkListener(jl)
+      spark.listenerManager.unregister(ql)
+    }
+  }
+
   test("simhash: identical token multisets equal; disjoint texts differ") {
     val d = Seq((1L, "alpha beta gamma alpha"), (2L, "beta alpha alpha gamma"),
       (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
