@@ -30,6 +30,9 @@ import graft.streaming.LivestreamRunner
   * `--buckets N` opens the store in bucketed-by-id mode (merges plan with
   * no Exchange on the store side — see ItemStore); use the same N on
   * every command against one store directory.
+  * `--compact_every N` switches merges to the O(batch) delta log (each
+  * commit appends one delta directory; the log compacts every N commits —
+  * the continuous-ingestion write path; see ItemStore).
   */
 object Cli {
 
@@ -64,7 +67,8 @@ object Cli {
     if (cmd == "query") { runQuery(spark, rest); return }
     val db = opt(rest, "db").getOrElse(sys.error("--db required"))
     val store = new ItemStore(spark, db,
-      buckets = opt(rest, "buckets").map(_.toInt).getOrElse(0))
+      buckets = opt(rest, "buckets").map(_.toInt).getOrElse(0),
+      compactEvery = opt(rest, "compact_every").map(_.toInt).getOrElse(0))
     val threads = opt(rest, "threads").map(_.toInt).getOrElse(4)
     val now = () => System.currentTimeMillis() / 1000
 

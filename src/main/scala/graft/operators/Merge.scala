@@ -49,8 +49,10 @@ object Merge {
     * a deterministic total tiebreak; struct comparison ranks NULL lowest, so
     * populated values beat NULLs). Duplicate ids in one batch would otherwise
     * fan out through the full-outer join and permanently duplicate store
-    * rows. */
-  private def dedupeByKey(
+    * rows. Public because delta-log writers apply the same batch dedup
+    * BEFORE persisting a delta, so later cross-delta folds see one row per
+    * (key, delta). */
+  def dedupeByKey(
       incoming: DataFrame, key: String, precedenceCols: Seq[String]): DataFrame = {
     val rest = incoming.columns.filterNot(_ == key).toSeq
     val ord = precedenceCols ++ rest.filterNot(precedenceCols.contains)

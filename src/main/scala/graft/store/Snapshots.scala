@@ -41,8 +41,10 @@ import org.apache.spark.sql.types.StructType
   * fresh session — the files plus the manifest remain the durable truth).
   * A reader joining on `key` then plans WITHOUT an Exchange on the store
   * side: successive merges shuffle only the incoming batch, never the
-  * accumulated store. Delta appends are not supported in bucketed mode
-  * (a delta would break the one-table bucket invariant).
+  * accumulated store. Deltas on a bucketed store are plain (unbucketed)
+  * parquet side directories: [[readBase]] keeps the Exchange-free bucketed
+  * scan, and the caller folds [[readDeltas]] (tiny by construction) into
+  * it — compaction then rewrites one bucketed base again.
   */
 final class Snapshots(spark: SparkSession, root: String, schema: StructType,
                       bucketBy: Option[(String, Int)] = None) {
@@ -75,21 +77,40 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
            |CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS
            |LOCATION '$expected'""".stripMargin)
     else {
-      // never trust a pre-existing entry blindly: verify it points at THIS
-      // store's snapshot directory (DESCRIBE FORMATTED is driver-only)
-      val loc = spark.sql(s"DESCRIBE FORMATTED $tbl")
-        .where("col_name = 'Location'").select("data_type")
-        .collect().headOption.map(_.getString(0)).getOrElse("")
-      val locPath = try java.nio.file.Paths.get(new java.net.URI(loc).getPath)
+      // never trust a pre-existing entry blindly: verify location AND the
+      // bucket spec AND the schema before reuse (DESCRIBE FORMATTED is
+      // driver-only). A stale entry at the SAME location but a different
+      // bucket spec (store externally deleted and recreated, old session
+      // entry surviving) would otherwise make Spark trust bucket metadata
+      // over files hashed into a different bucket count — silently wrong
+      // joins, the exact failure this verification exists to catch.
+      def fail(what: String, got: String, want: String): Nothing =
+        throw new IllegalStateException(
+          s"catalog table $tbl $what is '$got', expected '$want' — " +
+            "another store registered a colliding table name in this " +
+            "session, or a stale entry survived an external change. DROP " +
+            "TABLE it (the table is EXTERNAL; files are untouched) and " +
+            "reopen the store.")
+      val desc = spark.sql(s"DESCRIBE FORMATTED $tbl")
+        .select("col_name", "data_type").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val loc = desc.getOrElse("Location", "")
+      // hadoop Path tolerates unencoded chars (a raw space in the store
+      // root breaks java.net.URI and would fail a LEGITIMATE reuse)
+      val locPath = try java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(loc).toUri.getPath)
         .toAbsolutePath.normalize.toString
       catch { case _: Exception => loc }
-      if (locPath != expected)
-        throw new IllegalStateException(
-          s"catalog table $tbl resolves to '$locPath', expected " +
-            s"'$expected' — another store registered a colliding table " +
-            "name in this session, or a stale entry survived an external " +
-            "change. DROP TABLE it (the table is EXTERNAL; files are " +
-            "untouched) and reopen the store.")
+      if (locPath != expected) fail("location", locPath, expected)
+      val gotBuckets = desc.getOrElse("Num Buckets", "").trim
+      if (gotBuckets != n.toString) fail("bucket count", gotBuckets, n.toString)
+      val gotCols = desc.getOrElse("Bucket Columns", "").replace("`", "").trim
+      if (gotCols != s"[$key]") fail("bucket columns", gotCols, s"[$key]")
+      val gotSchema = spark.table(tbl).schema
+        .map(f => (f.name, f.dataType)).toSeq
+      val wantSchema = schema.map(f => (f.name, f.dataType)).toSeq
+      if (gotSchema != wantSchema)
+        fail("schema", gotSchema.mkString(","), wantSchema.mkString(","))
     }
   }
 
@@ -126,12 +147,43 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
 
   def read(): DataFrame = bucketBy match {
     case Some(_) =>
-      val snap = manifest.head
-      registerTable(snap) // fresh session: catalog entry may not exist yet
-      spark.table(tableFor(snap))
+      val m = manifest
+      registerTable(m.head) // fresh session: catalog entry may not exist yet
+      val base = spark.table(tableFor(m.head))
+      // deltas (plain parquet) union in AFTER the bucketed base: callers
+      // that need per-key precedence across deltas (versioned rows) read
+      // [[readBase]]/[[readDeltas]] instead and merge themselves
+      m.tail.foldLeft(base)((acc, d) =>
+        acc.unionAll(spark.read.schema(schema)
+          .parquet(rootPath.resolve(d).toString)))
     case None =>
       val dirs = manifest.map(d => rootPath.resolve(d).toString)
       spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** The base snapshot only (bucketed stores: the catalog table, so joins
+    * on the bucket key plan Exchange-free), excluding any deltas. */
+  def readBase(): DataFrame = bucketBy match {
+    case Some(_) =>
+      val snap = manifest.head
+      registerTable(snap)
+      spark.table(tableFor(snap))
+    case None =>
+      spark.read.schema(schema)
+        .parquet(rootPath.resolve(manifest.head).toString)
+  }
+
+  /** All delta directories since the base, each row tagged with `_seq` —
+    * the 1-based manifest commit order — so callers can apply last-writer-
+    * wins (or any per-key precedence) across deltas. None when the store
+    * has no deltas. */
+  def readDeltas(): Option[DataFrame] = {
+    val dirs = manifest.tail
+    if (dirs.isEmpty) None
+    else Some(dirs.zipWithIndex.map { case (d, i) =>
+      spark.read.schema(schema).parquet(rootPath.resolve(d).toString)
+        .withColumn("_seq", org.apache.spark.sql.functions.lit((i + 1).toLong))
+    }.reduce(_ unionAll _))
   }
 
   /** Number of delta directories since the last base snapshot — the
@@ -141,9 +193,6 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
   /** Write `df` as one new delta directory and commit it to the manifest.
     * I/O is O(df), independent of the store size. */
   def appendDelta(df: DataFrame): Unit = {
-    require(bucketBy.isEmpty,
-      "appendDelta is unsupported on a bucketed store: a delta directory " +
-        "would break the one-table bucket invariant — use replace")
     val old = manifest
     val delta = s"delta-${System.nanoTime()}"
     df.write.mode("overwrite").parquet(rootPath.resolve(delta).toString)

@@ -18,9 +18,11 @@ import graft.store.ItemStore
   * Scale: pass a BUCKETED [[ItemStore]] (`buckets > 0`, CLI `--buckets`)
   * so each micro-batch merge shuffles only the incoming `commitPeriod`-row
   * batch — the accumulated archive joins Exchange-free off its bucketed
-  * snapshot (spec-pinned in ItemStoreSpec). The snapshot WRITE is still
-  * O(store) per commit (plain parquet has no MERGE); a file-level merge
-  * format is the documented upgrade beyond that.
+  * snapshot (spec-pinned in ItemStoreSpec). Pass `compactEvery > 0` (CLI
+  * `--compact_every`) to make the WRITE O(batch) too: each commit appends
+  * one delta directory and the log compacts every N commits — matching
+  * the reference's own O(batch) sink (hnarchive.py:255-262), spec-pinned
+  * byte-for-byte in ItemStoreSpec.
   */
 object LivestreamRunner {
 

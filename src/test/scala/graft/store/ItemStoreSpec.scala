@@ -48,7 +48,26 @@ class ItemStoreSpec extends AnyFunSuite {
          |CLUSTERED BY (id) SORTED BY (id) INTO 2 BUCKETS
          |LOCATION '$dirB'""".stripMargin)
     val e = intercept[IllegalStateException] { snaps.read() }
-    assert(e.getMessage.contains("resolves to"), e.getMessage)
+    assert(e.getMessage.contains("location"), e.getMessage)
+    // stale entry at the SAME location but a DIFFERENT bucket spec (store
+    // externally recreated, old catalog entry surviving): Spark would
+    // trust the stale bucket metadata over files hashed into another
+    // bucket count — must fail loud, not silently mis-join
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (id BIGINT) USING PARQUET
+         |CLUSTERED BY (id) SORTED BY (id) INTO 8 BUCKETS
+         |LOCATION '${dirA.resolve("snap-0")}'""".stripMargin)
+    val eb = intercept[IllegalStateException] { snaps.read() }
+    assert(eb.getMessage.contains("bucket count"), eb.getMessage)
+    // same location and bucket count, different schema: same refusal
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl (id BIGINT, extra STRING) USING PARQUET
+         |CLUSTERED BY (id) SORTED BY (id) INTO 2 BUCKETS
+         |LOCATION '${dirA.resolve("snap-0")}'""".stripMargin)
+    val es = intercept[IllegalStateException] { snaps.read() }
+    assert(es.getMessage.contains("schema"), es.getMessage)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
@@ -229,6 +248,143 @@ class ItemStoreSpec extends AnyFunSuite {
       maxItems = 1, commitPeriod = 2, sleep = _ => (), now = () => 600L)
     assert(st.current().count() == 10)
     assert(st.latestId().contains(10L))
+  }
+
+  private def dirBytes(p: java.nio.file.Path): Long = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(p)
+    try s.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(Files.size).sum
+    finally s.close()
+  }
+
+  test("delta-mode merge writes O(batch) per commit, not O(store)") {
+    val dir = Files.createTempDirectory("graft-store-delta")
+    val st = new ItemStore(spark, dir.toString, compactEvery = 100)
+    st.init()
+    // seed a "large" store state: one 60-row batch
+    st.merge(Item.normalize((1L to 60L).map(i =>
+      i -> s"""{"id":$i,"type":"comment","by":"u$i","time":${i * 10}}""")
+      .toDF("id", "body"), lit(100L)))
+    def entries() = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(d => d.startsWith("snap-") || d.startsWith("delta-")).toSet
+      finally s.close()
+    }
+    val before = entries()
+    val baseBytes = before.map(d => dirBytes(dir.resolve(d))).sum
+    // five 1-row merges: each must add EXACTLY one delta directory and
+    // leave every pre-existing directory byte-identical (no rewrite)
+    (61L to 65L).foreach { i =>
+      val snapshot = entries()
+      val snapshotBytes = snapshot.map(d => d -> dirBytes(dir.resolve(d))).toMap
+      st.merge(normalized(i -> s"""{"id":$i,"type":"comment","time":${i * 10}}"""))
+      val now = entries()
+      val added = now -- snapshot
+      assert(added.size == 1 && added.head.startsWith("delta-"),
+        s"expected one new delta dir, got $added")
+      snapshot.foreach { d =>
+        assert(dirBytes(dir.resolve(d)) == snapshotBytes(d),
+          s"pre-existing dir $d was rewritten")
+      }
+      // a 1-row delta must be far smaller than the accumulated base
+      assert(dirBytes(dir.resolve(added.head)) < baseBytes,
+        "delta write is not O(batch)")
+    }
+    assert(st.current().count() == 65)
+    assert(st.latestId().contains(65L))
+  }
+
+  test("delta-mode store matches replace-mode semantics exactly") {
+    val deltaSt = new ItemStore(spark,
+      Files.createTempDirectory("graft-store-dsem").toString, compactEvery = 100)
+    val fullSt = freshStore()
+    deltaSt.init()
+    val batches = Seq(
+      Seq(1L -> """{"id":1,"type":"story","by":"alice","time":50,"score":10,"title":"t1"}""",
+        2L -> """{"id":2,"type":"comment","by":"bob","time":60,"text":"hi"}"""),
+      // id 1 re-crawled: score/author null (coalesce keeps), descendants
+      // appears (overwrite applies); id 3 new
+      Seq(1L -> """{"id":1,"type":"story","time":50,"descendants":5}""",
+        3L -> """{"id":3,"type":"comment","by":"eve","time":70}"""),
+      // id 1 again: author returns with a NEW value (latest non-null wins),
+      // descendants null-out is impossible (overwrite via absent field →
+      // null overwrites!) — exactly the asymmetry worth pinning across 3 deltas
+      Seq(1L -> """{"id":1,"type":"story","by":"alice2","time":50}"""))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val n = Item.normalize(b.toDF("id", "body"), lit(100L + i))
+      deltaSt.merge(n); fullSt.merge(n)
+    }
+    def asMap(st: ItemStore) = st.current().collect()
+      .map(r => r.getAs[Long]("id") -> r.toSeq).toMap
+    assert(asMap(deltaSt) == asMap(fullSt))
+    // replay the last batch: both stay idempotent and equal
+    val replay = Item.normalize(batches.last.toDF("id", "body"), lit(102L))
+    deltaSt.merge(replay); fullSt.merge(replay)
+    assert(asMap(deltaSt) == asMap(fullSt))
+  }
+
+  test("delta log compacts to one snapshot at compactEvery, preserving rows") {
+    val dir = Files.createTempDirectory("graft-store-compact")
+    val st = new ItemStore(spark, dir.toString, compactEvery = 3)
+    st.init()
+    (1 to 7).foreach { i =>
+      st.merge(normalized(
+        i.toLong -> s"""{"id":$i,"type":"comment","time":${i * 10}}"""))
+    }
+    // 7 merges at compactEvery=3: compactions at merge 3 and 6, then one
+    // trailing delta — manifest holds one base + one delta, old dirs GC'd
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(dir)
+    val dirs = try listing.iterator().asScala.map(_.getFileName.toString)
+      .filter(d => d.startsWith("snap-") || d.startsWith("delta-")).toList
+    finally listing.close()
+    assert(dirs.count(_.startsWith("snap-")) == 1, s"stale bases: $dirs")
+    assert(dirs.count(_.startsWith("delta-")) == 1, s"deltas not GC'd: $dirs")
+    assert(st.current().count() == 7)
+    assert(st.latestId().contains(7L))
+  }
+
+  test("bucketed delta store: merge-on-read keeps the base scan Exchange-free") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val dir = Files.createTempDirectory("graft-store-bdelta").toString
+    val st = new ItemStore(spark, dir, buckets = 4, compactEvery = 100)
+    st.init()
+    st.merge(normalized(
+      1L -> """{"id":1,"type":"story","by":"a","time":10}""",
+      2L -> """{"id":2,"type":"story","by":"b","time":20}"""))
+    st.merge(normalized(3L -> """{"id":3,"type":"story","by":"c","time":30}"""))
+    // current() = upsert(bucketed base, folded deltas): the base must scan
+    // bucketed with no Exchange above it; only the (tiny) delta fold and
+    // its join alignment may shuffle
+    val plan = st.current().queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"), s"base scan not bucketed:\n$plan")
+    assert(graft.PlanChecks.shuffleExchanges(plan) <= 2,
+      s"store side shuffled:\n$plan")
+    assert(st.current().count() == 3)
+    assert(st.latestId().contains(3L))
+  }
+
+  test("livestream runner over a delta-log store drains and compacts") {
+    val dir = Files.createTempDirectory("graft-store-ls-delta").toString
+    val st = new ItemStore(spark, dir, compactEvery = 3)
+    val items = (1L to 9L).map(i =>
+      i -> s"""{"id":$i,"type":"comment","by":"u$i","time":${i * 10}}""").toMap
+    val n = LivestreamRunner.run(spark, st, new FakeFetcher(items, maxId = 9),
+      maxItems = 9, commitPeriod = 2, sleep = _ => (), now = () => 500L)
+    assert(n == 9)
+    assert(st.current().count() == 9)
+    assert(st.latestId().contains(9L))
+    // resume across a fresh instance (manifest is the durable truth)
+    val st2 = new ItemStore(spark, dir, compactEvery = 3)
+    LivestreamRunner.run(spark, st2,
+      new FakeFetcher(items + (10L ->
+        """{"id":10,"type":"comment","by":"u10","time":100}"""), maxId = 10),
+      maxItems = 1, commitPeriod = 2, sleep = _ => (), now = () => 600L)
+    assert(st2.current().count() == 10)
   }
 
   test("livestream runner drains batches into the store idempotently") {
