@@ -36,23 +36,42 @@ object Bench {
     // the reproducible cost of the plan.
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
+    // per-query Spark JOB count (from the final rep, listener bus flushed
+    // for exactness): job count is load-invariant where wall time is not,
+    // so a round-over-round bench diff can separate host noise (time moved,
+    // jobs identical) from a real plan regression (jobs moved) mechanically
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
     val results = names.map { name =>
       var failed = false
+      var lastRepJobs = 0L
       val times = (1 to reps).map { _ =>
+        org.apache.spark.GraftBus.flush(spark.sparkContext)
+        val jobs0 = jobCounter.get()
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => failed = true }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.GraftBus.flush(spark.sparkContext)
+        lastRepJobs = jobCounter.get() - jobs0
+        dt
       }
       spark.catalog.clearCache()
-      name -> (if (failed) -1.0 else times.min)
+      (name, if (failed) -1.0 else times.min, if (failed) -1L else lastRepJobs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val js = results.map { case (k, _, j) => "\"" + k + s"""":$j""" }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package org.apache.spark
 
-/** Test-only access to the private[spark] listener bus: flush it so
-  * SparkListener-based job counters are exact, not racy. */
+/** Test alias of [[GraftBus]]: flush the listener bus so SparkListener-
+  * based job counters are exact, not racy. */
 object GraftTestBus {
-  def flush(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+  def flush(sc: SparkContext): Unit = GraftBus.flush(sc)
 }
