@@ -42,6 +42,39 @@ object Decontaminate {
       .select(col("id").as(idCol), col("n_eval_hits"), col("top_overlap"))
   }
 
+  /** [[flagged]] semantics over the SHUFFLE path with explicit skew
+    * salting — the regime for an eval set too big to broadcast whose gram
+    * keys are heavy-tailed (an eval corpus derived from logs/events repeats
+    * a few texts thousands of times, so a handful of grams carry most of
+    * the join: AQE's skew split works on map-output sizes, but a single
+    * hot KEY still lands on one task in a plain shuffle-hash join).
+    *
+    * [[graft.operators.Salting.hotSaltedJoin]] composition: one cheap
+    * count over the eval shingles finds the hot grams (≥ `hotMin` eval
+    * rows); the exploded TRAIN side salts those on the train doc id
+    * (deterministic, so the same pair meets exactly once) and the eval
+    * side replicates ONLY its hot-gram rows `saltR` ways — a hot gram's
+    * matches spread over `saltR` tasks while the cold tail pays no
+    * replication. Only (id, gram) pairs enter the exchange; the corpus
+    * text itself never shuffles (spec-pinned in PlanSpec). Output is
+    * identical to [[flagged]] — the salt changes placement, never pairing.
+    */
+  def flaggedSalted(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, minShared: Int, saltR: Int = 8,
+                    hotMin: Long = 64L): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(saltR >= 1, "saltR must be >= 1")
+    val tsh = Dedup.shingles(train, idCol, textCol)
+    val esh = Dedup.shingles(eval, idCol, textCol)
+      .select(col("id").as("eval_id"), col("g"))
+    Salting.hotSaltedJoin(tsh, esh, "g", col("id"), saltR, hotMin)
+      .groupBy("id", "eval_id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minShared)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("overlap").as("top_overlap"))
+      .select(col("id").as(idCol), col("n_eval_hits"), col("top_overlap"))
+  }
+
   /** The decontaminated corpus: `train` minus every flagged document. */
   def clean(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
             minShared: Int, broadcastEval: Boolean = true): DataFrame =

@@ -30,4 +30,43 @@ object Salting {
       explode(sequence(lit(0), lit(r - 1))))
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** [[saltedJoin]] that salts ONLY the measured hot keys — the 100 TB
+    * shape when the small side is merely modest: full replication costs
+    * `r × |small|` exchange rows for a tail of keys that never needed the
+    * fan-out. One cheap partial-aggregated count over the small side finds
+    * the keys with ≥ `hotMin` rows (bounded by |small| / hotMin — tiny by
+    * construction, so it broadcasts); hot keys salt `r` ways, every other
+    * key keeps salt 0 with NO replication. The join strategy is pinned
+    * shuffle-hash: if either side were broadcastable the salt would be
+    * pointless (broadcast joins have no per-key placement), and the
+    * planner's pre-explode stats undercount exploded sides anyway.
+    *
+    * Same contract as [[saltedJoin]]: placement changes, pairing never
+    * does — each (skewed, small) row pair meets exactly once.
+    */
+  def hotSaltedJoin(skewed: DataFrame, small: DataFrame, key: String,
+                    saltBy: Column, r: Int, hotMin: Long): DataFrame = {
+    // eager-materialized: the hot set feeds BOTH tag joins — lazy, the
+    // count agg (and the small side's scan under it) would compute twice.
+    // Bounded by |small| / hotMin rows, so the materialization is tiny.
+    val hot = small.groupBy(col(key)).agg(count(lit(1)).as("_hc"))
+      .filter(col("_hc") >= hotMin).select(col(key).as("_hk"))
+      .localCheckpoint(true)
+    val saltedBig = skewed
+      .join(broadcast(hot), col(key) === col("_hk"), "left")
+      .withColumn("_salt",
+        when(col("_hk").isNotNull, pmod(hash(saltBy), lit(r))).otherwise(lit(0)))
+      .drop("_hk")
+      .hint("shuffle_hash")
+    val replicated = small
+      .join(broadcast(hot), col(key) === col("_hk"), "left")
+      .withColumn("_salts",
+        when(col("_hk").isNotNull, sequence(lit(0), lit(r - 1)))
+          .otherwise(array(lit(0))))
+      .withColumn("_salt", explode(col("_salts")))
+      .drop("_salts", "_hk")
+      .hint("shuffle_hash")
+    saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

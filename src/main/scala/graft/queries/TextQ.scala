@@ -569,6 +569,45 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q60: CROSS-CORPUS decontamination under key skew — the eval set is
+    * derived from the `events` stream (every 10th event replays the full
+    * text of the document its user points at), so a handful of hot
+    * documents repeat across thousands of eval rows and their grams
+    * dominate the join key distribution. Runs the salted shuffle path
+    * ([[graft.operators.Decontaminate.flaggedSalted]]: Decontaminate ∘
+    * Salting — train side salted by doc id, eval side replicated) whose
+    * output is pinned identical to the broadcast path by the oracle. Plan
+    * shape (no corpus-wide shuffle, hot grams fanned out over the salt)
+    * is spec-pinned in PlanSpec. */
+  val q60 = Q(
+    "q60_decontaminate_skew",
+    s"""WITH ${shCte(withSource = false)},
+       |evd AS (SELECT e.event_id AS eid, d.text
+       |        FROM events e JOIN documents d ON d.doc_id = e.user_id
+       |        WHERE e.event_id % 10 = 0),
+       |etoks AS (SELECT eid, string_split_regex(trim(text), '\\s+') AS w FROM evd),
+       |esh AS (SELECT DISTINCT eid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |        FROM etoks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+       |ov AS (SELECT t.doc_id AS tid, e.eid, COUNT(*) AS overlap
+       |       FROM sh t JOIN esh e ON t.g = e.g
+       |       WHERE t.doc_id % 97 <> 0
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT tid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+       |       CAST(MAX(overlap) AS BIGINT) AS top_overlap
+       |FROM ov GROUP BY tid ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val evalDocs = Tables.events(s, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"))
+      .join(docs.select(col("doc_id").as("src_doc"), col("text")),
+        col("src_doc") === col("user_id"))
+      .select(col("event_id").as("doc_id"), col("text"))
+    graft.operators.Decontaminate.flaggedSalted(
+      docs.filter(col("doc_id") % 97 =!= 0), evalDocs,
+      "doc_id", "text", minShared = 2, saltR = 8)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56, q58, q59)
+    q48, q49, q53, q56, q58, q59, q60)
 }

@@ -97,6 +97,35 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected extra shuffle:\n$p")
   }
 
+  test("q60 skewed decontamination: salted shuffle join, corpus text stays below") {
+    val p = plan("q60_decontaminate_skew")
+    // the overlap join must be the salted SHUFFLE join — a broadcast there
+    // would make the salt a no-op (no per-key placement to spread); the
+    // only BroadcastHashJoins allowed are the hot-gram tag joins and the
+    // eval-text derivation join
+    assert(p.contains("ShuffledHashJoin"), s"overlap join not shuffle-hash:\n$p")
+    // formatted mode details the keys below the tree: the ShuffledHashJoin
+    // section's "Left keys" must include the salt column
+    val shjDetail = p.split("""\(\d+\) ShuffledHashJoin""").drop(1).mkString
+    assert(shjDetail.linesIterator.exists(l =>
+      l.contains("keys") && l.contains("_salt")),
+      s"overlap join keys carry no salt:\n$p")
+    // the hot-gram set must broadcast into both tag joins
+    assert(p.contains("BroadcastHashJoin"), s"hot-gram set not broadcast:\n$p")
+    // corpus-wide data never shuffles: every Exchange partitions on gram/
+    // salt or agg keys — the raw text column must be consumed by the
+    // in-scan shingle Generate BELOW the exchanges, never partitioned
+    val exchangeLines = p.linesIterator
+      .filter(_.trim.matches("""\(\d+\) Exchange.*""")).mkString("\n")
+    assert(!exchangeLines.contains("text"),
+      s"corpus text crosses an exchange:\n$exchangeLines")
+    // shape bound: two salted join sides + the hot-gram count (appears
+    // once per tag join) + pair agg + per-doc agg + sort — every one
+    // partitions on gram/salt/id keys, none on corpus rows
+    assert(PlanChecks.shuffleExchanges(p) <= 7,
+      s"unexpected extra shuffle:\n$p")
+  }
+
   test("q59 repetition stats stay in-scan: one sort exchange, codegen'd") {
     val p = plan("q59_repetition_filter")
     assert(PlanChecks.shuffleExchanges(p) <= 1, // the ORDER BY only

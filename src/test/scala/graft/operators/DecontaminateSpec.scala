@@ -41,6 +41,22 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(sh == bc)
   }
 
+  test("salted shuffle path matches the broadcast plan under duplication") {
+    // an events-style eval corpus: the same text repeated many times makes
+    // its grams hot; the salted path must still produce identical flags
+    val dupEval = (100L to 139L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val bc = asMap(Decontaminate.flagged(train, dupEval, "doc_id", "text",
+      minShared = 1))
+    for (r <- Seq(1, 8); hotMin <- Seq(1L, 8L, 1000L)) {
+      val salted = asMap(Decontaminate.flaggedSalted(train, dupEval,
+        "doc_id", "text", minShared = 1, saltR = r, hotMin = hotMin))
+      assert(salted == bc, s"r=$r hotMin=$hotMin")
+    }
+    // n_eval_hits counts every duplicated eval doc separately
+    assert(bc(1L)._1 == 40L)
+  }
+
   test("clean() drops exactly the flagged documents") {
     val kept = Decontaminate.clean(train, eval, "doc_id", "text",
       minShared = 2).select("doc_id").as[Long].collect().toSet
