@@ -191,12 +191,23 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
   def deltaCount: Int = manifest.size - 1
 
   /** Write `df` as one new delta directory and commit it to the manifest.
-    * I/O is O(df), independent of the store size. */
-  def appendDelta(df: DataFrame): Unit = {
+    * I/O is O(df), independent of the store size.
+    *
+    * @param token optional idempotency key (e.g. a streaming epoch id): the
+    *   delta directory is named by it, and an append whose token is already
+    *   in the manifest is a NO-OP — a replayed micro-batch (crash between
+    *   sink commit and engine checkpoint) cannot double-append. A crash
+    *   between the directory write and the manifest commit leaves an
+    *   orphan that [[init]] sweeps and the retry overwrites. */
+  def appendDelta(df: DataFrame, token: Option[String] = None): Unit = {
+    token.foreach(t => require(t.matches("[A-Za-z0-9._-]+"),
+      s"delta token must be a plain directory-name fragment, got '$t'"))
     val old = manifest
-    val delta = s"delta-${System.nanoTime()}"
-    df.write.mode("overwrite").parquet(rootPath.resolve(delta).toString)
-    commitManifest(old :+ delta)
+    val delta = token.map(t => s"delta-$t").getOrElse(s"delta-${System.nanoTime()}")
+    if (!old.contains(delta)) {
+      df.write.mode("overwrite").parquet(rootPath.resolve(delta).toString)
+      commitManifest(old :+ delta)
+    }
   }
 
   /** Write `df` as the next base snapshot, swap the manifest, GC every

@@ -34,4 +34,22 @@ object EventJobs {
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Session windows over the ITEM feed: event-time is the item's `time`
+    * (unix seconds), the session key its `author` — "a user's posting
+    * burst", the item-stream analog of [[sessionCounts]]. In append mode a
+    * session row emits exactly once, when the watermark passes its close —
+    * what lets [[SessionPipeline]] sink sessions as immutable deltas.
+    * Output: (author, session_start, session_end, n_items), epoch seconds. */
+  def itemSessions(items: DataFrame, gap: String = "30 minutes"): DataFrame =
+    items
+      .filter(col("author").isNotNull && col("time").isNotNull)
+      .withColumn("ts", timestamp_seconds(col("time")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("author"))
+      .agg(count(lit(1)).as("n_items"))
+      .select(col("author"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_items"))
 }
