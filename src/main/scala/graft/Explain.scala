@@ -20,6 +20,21 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("SPARK_GRAFT_JOBLOG")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, j.time)
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val dur = j.time - starts.getOrDefault(j.jobId, j.time)
+            println(f"[job] id=${j.jobId}%3d dur=${dur / 1e3}%6.2fs")
+          }
+        })
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (showPlan) df.explain("formatted")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt

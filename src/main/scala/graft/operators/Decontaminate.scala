@@ -65,8 +65,16 @@ object Decontaminate {
     require(minShared >= 1, "minShared must be >= 1")
     require(saltR >= 1, "saltR must be >= 1")
     val tsh = Dedup.shingles(train, idCol, textCol)
+    // eager-materialized: hotSaltedJoin consumes the eval shingles twice
+    // (hot-gram count, replicated join side). The eval lineage is the
+    // expensive part here — often a join + the hot texts exploded
+    // thousands of times — so recomputing it doubles the query. The
+    // checkpoint holds (eval_id, gram) pairs only, bounded by the modest
+    // eval side this path contracts for; the TRAIN corpus stays lazy and
+    // in-scan.
     val esh = Dedup.shingles(eval, idCol, textCol)
       .select(col("id").as("eval_id"), col("g"))
+      .localCheckpoint(true)
     Salting.hotSaltedJoin(tsh, esh, "g", col("id"), saltR, hotMin)
       .groupBy("id", "eval_id").agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minShared)

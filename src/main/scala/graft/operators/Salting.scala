@@ -47,12 +47,13 @@ object Salting {
     */
   def hotSaltedJoin(skewed: DataFrame, small: DataFrame, key: String,
                     saltBy: Column, r: Int, hotMin: Long): DataFrame = {
-    // eager-materialized: the hot set feeds BOTH tag joins — lazy, the
-    // count agg (and the small side's scan under it) would compute twice.
-    // Bounded by |small| / hotMin rows, so the materialization is tiny.
+    // The hot set feeds BOTH tag joins from one logical subtree — the two
+    // broadcast builds are identical, so ReuseExchange materializes the
+    // agg once. Callers pass a `small` whose lineage is cheap to re-read
+    // (e.g. already checkpointed); an eager checkpoint here would add a
+    // sequential job to every call for a set bounded by |small| / hotMin.
     val hot = small.groupBy(col(key)).agg(count(lit(1)).as("_hc"))
       .filter(col("_hc") >= hotMin).select(col(key).as("_hk"))
-      .localCheckpoint(true)
     val saltedBig = skewed
       .join(broadcast(hot), col(key) === col("_hk"), "left")
       .withColumn("_salt",
