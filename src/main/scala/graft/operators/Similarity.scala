@@ -129,6 +129,23 @@ object Similarity {
     cents
   }
 
+  /** Nearest-centroid cell assignment: broadcast cross-join against the
+    * (tiny) centroid set + per-row argmax (cosine, cent_id tie-break).
+    * Output: every column of `base` plus `cell`. Shared by [[ivfTopK]],
+    * [[ivfWriteIndex]] and [[semDedup]]. */
+  def assignCells(base: DataFrame, idCol: String,
+                  cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val keep = base.columns.map(col).toSeq :+ col("cent_id").as("cell")
+    base.crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        cosine(col("vecd"), col("cent_vec"), col("norm"), col("cent_norm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(keep: _*)
+  }
+
   /** IVF-style ANN top-k: a deterministic subsample of the corpus acts as
     * the coarse quantizer (the "centroids"); every vector is assigned to
     * its nearest centroid's cell (one small broadcast cross-join + argmin),
@@ -142,15 +159,8 @@ object Similarity {
               nprobe: Int = 2): DataFrame = {
     val base = withNorm(df, vecCol)
     val cents = centroidsOf(base, idCol, centroidEvery)
-    // cell assignment: nearest centroid by cosine, id tie-break
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        cosine(col("vecd"), col("cent_vec"), col("norm"), col("cent_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("vecd"), col("norm"), col("cent_id").as("cell"))
+    val assigned = assignCells(base, idCol, cents)
+      .select(col(idCol), col("vecd"), col("norm"), col("cell"))
     val q = base.filter(col(idCol) === queryId)
       .select(col("vecd").as("qvec"), col("norm").as("qnorm"))
     val probed = cents.crossJoin(broadcast(q))
@@ -181,14 +191,8 @@ object Similarity {
                     centroidEvery: Int = 137): Unit = {
     val base = withNorm(df, vecCol)
     val cents = centroidsOf(base, idCol, centroidEvery)
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    base.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        cosine(col("vecd"), col("cent_vec"), col("norm"), col("cent_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id").as("cell"))
+    assignCells(base, idCol, cents)
+      .select(col(idCol), col(vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
     // centroids stored beside the data: the probe reads THIS (tiny), never
     // the corpus
@@ -221,6 +225,56 @@ object Similarity {
       .orderBy(col("cos_r").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the corpus with the coarse quantizer, then
+    * within each cluster mark every vector that has a LOWER-id neighbor
+    * with cosine ≥ `minCos` as a semantic duplicate. Output (one row per
+    * DROPPED vector): (idCol, cell, dup_of = lowest such neighbor,
+    * n_dups, top_cos_r), ordered by id.
+    *
+    * Scale shape: the all-pairs comparison is confined to cells —
+    * candidate generation is the same broadcast assignment as
+    * [[ivfTopK]], the self-join shuffles only on the cell key (both
+    * sides reuse ONE assignment exchange via ReuseExchange), and the
+    * per-pair cosine is the codegen'd [[graft.functions.VecDot]]. The
+    * corpus never materializes driver-side. Cell population is bounded
+    * by the quantizer granularity (`centroidEvery`), which is the knob
+    * that keeps within-cell pairs quadratic-in-small rather than
+    * quadratic-in-corpus — exactly the paper's k-means confinement.
+    *
+    * The threshold compares the 6-dp ROUNDED cosine (like the rest of
+    * the similarity family) so the decision is bitwise-reproducible
+    * across engines. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               minCos: Double, centroidEvery: Int = 137): DataFrame = {
+    val base = withNorm(df, vecCol)
+    val cents = centroidsOf(base, idCol, centroidEvery)
+    val assigned = assignCells(base, idCol, cents)
+      .select(col(idCol), col("vecd"), col("norm"), col("cell"))
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
+      col("vecd").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
+      col("vecd").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_r",
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("cos_r") >= minCos)
+      .groupBy(col("id_b"), col("cell"))
+      .agg(min(col("id_a")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        max(col("cos_r")).as("top_cos_r"))
+      .select(col("id_b").as(idCol), col("cell"), col("dup_of"),
+        col("n_dups"), col("top_cos_r"))
+  }
+
+  /** The semantically deduplicated corpus: `df` minus every vector
+    * [[semDedup]] drops — the keep-lowest-id-per-duplicate-group policy. */
+  def semDedupKeep(df: DataFrame, idCol: String, vecCol: String,
+                   minCos: Double, centroidEvery: Int = 137): DataFrame =
+    df.join(semDedup(df, idCol, vecCol, minCos, centroidEvery)
+      .select(col(idCol)), Seq(idCol), "left_anti")
 
   /** LSH-bucketed ANN top-k: candidates share the query's 8-bit bucket;
     * exact cosine rerank on candidates only. */

@@ -253,5 +253,39 @@ object VectorQ {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57)
+  /** q61: SemDeDup — cluster-confined semantic deduplication
+    * ([[Similarity.semDedup]]): nearest-centroid cells (same deterministic
+    * vec_id % 50 quantizer as q40), then within each cell every vector
+    * with a lower-id neighbor at rounded cosine ≥ 0.4 is dropped,
+    * reporting which keeper it duplicates. The oracle re-derives
+    * assignment, within-cell pairs, and the keep-lowest-id policy. */
+  val q61 = Q(
+    "q61_semdedup",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+       |          FROM n WHERE vec_id % 50 = 0),
+       |scored AS (SELECT vec_id, embedding, nrm, cent_id,
+       |                  ${sqlDot("embedding", "cv")} / (nrm * cn) AS cent_cos
+       |           FROM n, cents),
+       |assigned AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |p AS (SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       |             ROUND(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) AS cos_r
+       |      FROM assigned a JOIN assigned b
+       |        ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |SELECT id_b AS vec_id, cell, MIN(id_a) AS dup_of,
+       |       CAST(COUNT(*) AS BIGINT) AS n_dups, MAX(cos_r) AS top_cos_r
+       |FROM p WHERE cos_r >= 0.4
+       |GROUP BY 1, 2
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      minCos = 0.4, centroidEvery = 50)
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61)
 }
