@@ -608,6 +608,35 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q62: duplicate-span statistics ([[graft.operators.Dedup.spanDupStats]])
+    * — fixed-width (8-token) chunk hashing over every document, flagging
+    * documents whose chunk stream is ≥ 90% made of chunks that also appear
+    * in ≥ 2 distinct documents. The RefinedWeb "exact substring dedup"
+    * tier at chunk granularity; the oracle re-derives chunking, the
+    * duplicated-chunk set, and the integer flag threshold. */
+  val q62 = Q(
+    "q62_span_dup",
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |ch AS (SELECT doc_id, len(w) // 8 AS n_chunks,
+       |              ${sqlHash("array_to_string(w[i:i+7], ' ')")} AS hv
+       |       FROM toks, UNNEST(range(1, 8 * (len(w) // 8) - 6, 8)) AS t(i)),
+       |dup AS (SELECT hv FROM (
+       |          SELECT hv, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY hv)
+       |        WHERE nd >= 2)
+       |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       |       CAST(COUNT(*) AS BIGINT) AS n_dup_chunks,
+       |       CAST((COUNT(*) * 1000) // n_chunks AS BIGINT) AS dup_milli,
+       |       CAST(COUNT(*) AS DOUBLE) / n_chunks AS dup_frac,
+       |       CAST(CASE WHEN COUNT(*) * 1000 >= n_chunks * 900
+       |                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM ch JOIN dup USING (hv)
+       |GROUP BY doc_id, n_chunks
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Dedup.spanDupStats(Tables.documents(s, dir), "doc_id", "text",
+      span = 8, minDocs = 2, flagMilli = 900)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56, q58, q59, q60)
+    q48, q49, q53, q56, q58, q59, q60, q62)
 }

@@ -112,4 +112,50 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) == sigs(2L))
     assert(sigs(1L) != sigs(3L))
   }
+
+  test("spanDupStats: chunk-level duplicate fractions with known structure") {
+    // span=2 chunks. doc 1: [a b][c d][e f]; doc 2 repeats [a b][c d] then
+    // diverges; doc 3 shares nothing; doc 4 has 5 tokens → 2 chunks, one
+    // ([a b]) shared. Chunks shared by >= 2 docs: "a b", "c d".
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, "p q r s t u"),
+      (4L, "a b z w k")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(d, "doc_id", "text", span = 2, minDocs = 2,
+      flagMilli = 600)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))).toMap
+    // (n_chunks, n_dup_chunks, dup_milli, flagged)
+    assert(out(1L) == ((3L, 2L, 666L, 1L)))
+    assert(out(2L) == ((3L, 2L, 666L, 1L)))
+    assert(out(4L) == ((2L, 1L, 500L, 0L)))
+    assert(!out.contains(3L), "doc 3 shares no chunk")
+  }
+
+  test("spanDupStats: docs shorter than one span never chunk; within-doc " +
+    "repetition alone is not a duplicate") {
+    val d = Seq(
+      (1L, "a b a b a b"), // repeats internally, appears in ONE doc only
+      (2L, "x y"),
+      (3L, "too short")    // 2 tokens < span 4
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(d, "doc_id", "text", span = 4, minDocs = 2)
+    assert(out.count() == 0)
+  }
+
+  test("spanDupStats plan: text stays in-scan, (id, hash) pairs shuffle") {
+    val out = Dedup.spanDupStats(docs, "doc_id", "text", span = 2)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeLines = p.linesIterator
+      .filter(_.trim.matches("""\(\d+\) Exchange.*""")).mkString("\n")
+    assert(!exchangeLines.contains("text"),
+      s"corpus text crosses an exchange:\n$exchangeLines")
+    // dup-set agg + probe share the exploded relation: one exchange on hv
+    // (reused), one on id for the final agg
+    assert(graft.PlanChecks.shuffleExchanges(p) <= 3,
+      s"unexpected extra shuffle:\n$p")
+  }
 }
