@@ -637,6 +637,58 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q63: per-source quota sampling ([[graft.operators.Mixing.quotaSample]])
+    * — domain balancing: cap every source at 15 documents, chosen
+    * deterministically by content-addressed hash rank through the bounded
+    * [[graft.operators.TopKAgg]] buffer (map-side partial agg, ≤ quota
+    * rows per group per partition, no per-group sort). The oracle is the
+    * window formulation the aggregator replaces. */
+  val q63 = Q(
+    "q63_quota_sample",
+    s"""WITH h AS (SELECT source, doc_id,
+       |                  ${sqlHash("CAST(doc_id AS VARCHAR)")} AS hv
+       |           FROM documents),
+       |r AS (SELECT source, doc_id,
+       |             ROW_NUMBER() OVER (
+       |               PARTITION BY source ORDER BY hv, doc_id) AS rank
+       |      FROM h)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+       |FROM r WHERE rank <= 15
+       |ORDER BY source, rank""".stripMargin) { (s, dir) =>
+    graft.operators.Mixing.quotaSample(Tables.documents(s, dir),
+      "doc_id", "source", quota = 15)
+      .orderBy("source", "rank")
+  }
+
+  /** Static mixture weights shared by q64's Spark side and oracle. */
+  private val MixRates = Seq("src0" -> 100, "src1" -> 250, "src2" -> 500,
+    "src3" -> 900)
+  private val MixDefault = 50
+
+  /** q64: static-rate corpus mixing audit ([[graft.operators.Mixing
+    * .rateMixSummary]]) — Pile-style per-source mixture weights applied as
+    * a pure map-side modular-hash filter (zero corpus shuffle; only the
+    * 20-row summary aggregates). The oracle replays the same CASE rate
+    * table and hash filter. */
+  val q64 = Q(
+    "q64_rate_mix",
+    s"""WITH d AS (SELECT source, doc_id,
+       |                  CASE ${MixRates.map { case (g, r) =>
+                             s"WHEN source = '$g' THEN $r" }.mkString(" ")}
+       |                       ELSE $MixDefault END AS rate_milli,
+       |                  ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000 AS hm
+       |           FROM documents)
+       |SELECT source, CAST(rate_milli AS BIGINT) AS rate_milli,
+       |       CAST(COUNT(*) AS BIGINT) AS n_total,
+       |       CAST(SUM(CASE WHEN hm < rate_milli THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept
+       |FROM d GROUP BY source, rate_milli
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.operators.Mixing.rateMixSummary(Tables.documents(s, dir),
+      "doc_id", "source", MixRates.toMap, defaultMilli = MixDefault)
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56, q58, q59, q60, q62)
+    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64)
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Corpus mixing ([[Mixing]]): deterministic quota sampling and
+  * static-rate mixture filtering. */
+class MixingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("quotaSample caps every group at the quota, ranks densely from 1") {
+    val out = Mixing.quotaSample(docs, "doc_id", "source", quota = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGroup = out.groupBy(_._1)
+    assert(byGroup.nonEmpty)
+    byGroup.foreach { case (g, rows) =>
+      assert(rows.length <= 5, s"group $g exceeds quota")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq,
+        s"group $g ranks not dense")
+    }
+    // membership is deterministic: a second run returns the same set
+    val again = Mixing.quotaSample(docs, "doc_id", "source", quota = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("quotaSample survivors are stable when new documents arrive") {
+    // append-stability: growing the corpus can only displace members from
+    // the quota, never admit a document that previously hashed higher than
+    // a surviving member — survivors keep their relative hash order.
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val fullKept = Mixing.quotaSample(docs, "doc_id", "source", quota = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val halfKept = Mixing.quotaSample(half, "doc_id", "source", quota = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every full-corpus survivor present in the half corpus was also kept
+    // there unless the half corpus had spare quota for lower-hash ids —
+    // the contrapositive: survivors of the HALF corpus that still survive
+    // the full corpus keep identical ranks is too strong; assert the
+    // membership monotonicity that holds: full survivors ∩ half corpus ⊆
+    // half survivors when groups are at quota in both.
+    val halfIds = half.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((fullKept intersect halfIds).subsetOf(halfKept))
+  }
+
+  test("rateMix keeps the hash-selected fraction; rate 0 and 1000 are exact") {
+    val all = Mixing.rateMix(docs, "doc_id", "source",
+      Map("src0" -> 0), defaultMilli = 1000)
+    assert(all.filter(col("source") === "src0").count() == 0)
+    val n = docs.filter(col("source") =!= "src0").count()
+    assert(all.count() == n, "default 1000 must keep every other source")
+    // kept set is a subset of docs and deterministic
+    val k1 = Mixing.rateMix(docs, "doc_id", "source", Map("src1" -> 300),
+      defaultMilli = 500).select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = Mixing.rateMix(docs, "doc_id", "source", Map("src1" -> 300),
+      defaultMilli = 500).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+  }
+
+  test("rateMix is append-stable: a document's decision never changes") {
+    val rates = Map("src0" -> 400)
+    val fullKept = Mixing.rateMix(docs, "doc_id", "source", rates, 700)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val halfKept = Mixing.rateMix(half, "doc_id", "source", rates, 700)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val halfIds = half.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(halfKept == (fullKept intersect halfIds))
+  }
+
+  test("rateMixSummary counts agree with rateMix") {
+    val rates = Map("src0" -> 100, "src1" -> 900)
+    val sum = Mixing.rateMixSummary(docs, "doc_id", "source", rates, 250)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val kept = Mixing.rateMix(docs, "doc_id", "source", rates, 250)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sum.foreach { case (g, (rate, total, nk)) =>
+      assert(nk == kept.getOrElse(g, 0L), s"group $g summary/filter disagree")
+      assert(nk <= total)
+      val want = if (g == "src0") 100L else if (g == "src1") 900L else 250L
+      assert(rate == want)
+    }
+  }
+
+  test("rateMix plan is a pure map-side filter — zero exchanges") {
+    val p = Mixing.rateMix(docs, "doc_id", "source", Map("src0" -> 300), 500)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(p) == 0,
+      s"rate mixing must not shuffle:\n$p")
+    assert(!p.contains("Exchange"), s"no exchange of any kind expected:\n$p")
+  }
+
+  test("invalid rates and quotas fail loud") {
+    intercept[IllegalArgumentException] {
+      Mixing.rateMix(docs, "doc_id", "source", Map("src0" -> 1001))
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.quotaSample(docs, "doc_id", "source", quota = 0)
+    }
+  }
+}
