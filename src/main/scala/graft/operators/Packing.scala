@@ -66,6 +66,52 @@ object Packing {
       .drop(cum)
   }
 
+  /** Concat-and-chunk index — the OTHER batch-construction policy: all
+    * documents in a shard are conceptually concatenated in `orderCol`
+    * order and the token stream is cut into fixed `chunkTokens` windows
+    * that CROSS document boundaries (the GPT-style "pack everything, let
+    * sequences straddle" loader, vs [[packByBudget]]'s never-split-a-doc
+    * policy). No tokens are materialized: the output is the INDEX a
+    * loader needs — each document's [start_off, end_off) token span and
+    * the first/last chunk it touches.
+    *
+    * Output: `df`'s columns + (start_off, end_off, first_chunk,
+    * last_chunk, n_chunks). Zero-weight rows occupy no tokens: their
+    * first/last chunk are NULL and n_chunks 0. Same determinism contract
+    * and exact-integer division as [[packByBudget]]; same scale shape —
+    * one window shuffle on the shard key, O(1) running state per
+    * partition. */
+  def concatChunkIndex(df: DataFrame, orderCol: String, weightCol: String,
+                       partCols: Seq[String], chunkTokens: Long): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val wt = df.schema(weightCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(wt),
+      s"weightCol '$weightCol' must be an integral type for exact chunk " +
+        s"division, got $wt — pre-quantize fractional weights to token counts")
+    val outCols = Seq("start_off", "end_off", "first_chunk", "last_chunk",
+      "n_chunks")
+    val clash = df.columns.filter(outCols.contains)
+    require(clash.isEmpty,
+      s"input already has output column(s) ${clash.mkString(", ")} — rename " +
+        "them before chunk indexing")
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    df.withColumn("end_off", sum(col(weightCol).cast("long")).over(w))
+      .withColumn("start_off",
+        col("end_off") - col(weightCol).cast("long"))
+      .withColumn("first_chunk",
+        when(col(weightCol) > 0, expr(s"start_off div ${chunkTokens}L")))
+      .withColumn("last_chunk",
+        when(col(weightCol) > 0, expr(s"(end_off - 1) div ${chunkTokens}L")))
+      .withColumn("n_chunks",
+        coalesce(col("last_chunk") - col("first_chunk") + 1, lit(0L)))
+      .select((df.columns.map(col) ++ outCols.map(col)).toIndexedSeq: _*)
+  }
+
   /** Per-pack summary: (partCols..., pack_id, n_docs, pack_weight). */
   def packSummary(df: DataFrame, orderCol: String, weightCol: String,
                   partCols: Seq[String], budget: Long): DataFrame =

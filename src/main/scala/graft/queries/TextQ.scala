@@ -689,6 +689,40 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q65: concat-and-chunk index ([[graft.operators.Packing
+    * .concatChunkIndex]]) — the GPT-style loader policy: per-source token
+    * streams conceptually concatenated in doc_id order and cut into
+    * 512-token windows that straddle document boundaries. Output is the
+    * loader index (per-doc token span + first/last chunk touched); token
+    * counts ride the scan ([[graft.functions.TokenStats]]), the only
+    * exchange is the per-source window. The oracle replays the cumulative
+    * window and exact integer chunk division. */
+  val q65 = Q(
+    "q65_concat_chunks",
+    s"""WITH t AS (SELECT source, doc_id,
+       |                  CAST(len($sqlToks) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |             SUM(n_tokens) OVER (
+       |               PARTITION BY source ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM t)
+       |SELECT source, doc_id, n_tokens,
+       |       CAST(cum - n_tokens AS BIGINT) AS start_off,
+       |       CAST(cum AS BIGINT) AS end_off,
+       |       CAST((cum - n_tokens) // 512 AS BIGINT) AS first_chunk,
+       |       CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
+       |       CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+       |         AS n_chunks
+       |FROM c ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    val nTok = graft.functions.TokenStats(col("text")).getField("n_tokens")
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), nTok.cast("long").as("n_tokens"))
+    graft.operators.Packing.concatChunkIndex(docs, "doc_id", "n_tokens",
+      Seq("source"), chunkTokens = 512)
+      .orderBy("source", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64)
+    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65)
 }

@@ -77,4 +77,42 @@ class PackingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("concatChunkIndex: spans, straddling, and zero-weight docs") {
+    // chunk 10. Stream a: 4,4,4,12,3 → offsets [0,4) [4,8) [8,12) [12,24) [24,27)
+    // doc 3 straddles chunks 0-1; doc 4 straddles 1-2; zero-weight doc 9
+    // (inserted between 2 and 3 by id order) occupies nothing.
+    val docs = Seq(
+      ("a", 1L, 4L), ("a", 2L, 4L), ("a", 9L, 3L), // 9 sorts last in a
+      ("a", 3L, 4L), ("a", 4L, 12L),
+      ("a", 5L, 0L), // zero-weight: no chunks
+      ("b", 7L, 25L) // alone: chunks 0-2
+    ).toDF("source", "doc_id", "tok")
+    val out = Packing.concatChunkIndex(docs, "doc_id", "tok", Seq("source"), 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6), r.getLong(7)))).toMap
+    // (start_off, end_off, first_chunk, last_chunk, n_chunks); id order in
+    // a: 1,2,3,4,5,9 → offsets 0,4,8,12,24,24
+    assert(out(("a", 1L)) == ((0L, 4L, 0L, 0L, 1L)))
+    assert(out(("a", 2L)) == ((4L, 8L, 0L, 0L, 1L)))
+    assert(out(("a", 3L)) == ((8L, 12L, 0L, 1L, 2L)))   // straddles
+    assert(out(("a", 4L)) == ((12L, 24L, 1L, 2L, 2L)))  // straddles
+    assert(out(("a", 5L)) == ((24L, 24L, -1L, -1L, 0L))) // zero-weight
+    assert(out(("a", 9L)) == ((24L, 27L, 2L, 2L, 1L)))
+    assert(out(("b", 7L)) == ((0L, 25L, 0L, 2L, 1L + 2L)))
+  }
+
+  test("concatChunkIndex rejects output-name collisions and bad chunk size") {
+    val docs = Seq(("a", 1L, 4L)).toDF("source", "doc_id", "tok")
+    intercept[IllegalArgumentException] {
+      Packing.concatChunkIndex(docs, "doc_id", "tok", Seq("source"), 0L)
+    }
+    val clash = docs.withColumn("end_off", org.apache.spark.sql.functions.lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Packing.concatChunkIndex(clash, "doc_id", "tok", Seq("source"), 10L)
+    }
+    assert(e.getMessage.contains("end_off"))
+  }
 }
