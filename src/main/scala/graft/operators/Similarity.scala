@@ -129,21 +129,53 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid cell assignment: broadcast cross-join against the
-    * (tiny) centroid set + per-row argmax (cosine, cent_id tie-break).
+  /** Centroid sets up to this size are collected and folded map-side in
+    * [[assignCells]]; larger quantizers fall back to the join+window
+    * formulation. 64k centroids × 64 dims × 8 B ≈ 32 MB of task literal —
+    * about the ceiling worth shipping per task. */
+  val MaxDriverCentroids = 65536
+
+  /** Nearest-centroid cell assignment (cosine argmax, cent_id tie-break).
     * Output: every column of `base` plus `cell`. Shared by [[ivfTopK]],
-    * [[ivfWriteIndex]] and [[semDedup]]. */
-  def assignCells(base: DataFrame, idCol: String,
-                  cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    * [[ivfWriteIndex]] and [[semDedup]].
+    *
+    * Fast path: the centroid set is tiny by construction, so it is
+    * collected (one bounded job) and the argmax runs inside the scan as
+    * the codegen'd [[graft.functions.NearestCentroid]] expression — the
+    * corpus takes ZERO exchanges for assignment, where the join+window
+    * formulation cross-joins and then shuffles the whole corpus on
+    * `idCol` to rank. Past `maxDriver` centroids the windowed path takes
+    * over — same output (parity spec-pinned), honest fallback for a
+    * quantizer too big to ship per task.
+    *
+    * Tie-break parity: the expression scans centroids in ascending
+    * cent_id and keeps strict improvements only, which selects the
+    * LOWEST cent_id among bitwise-equal maxima — exactly `ROW_NUMBER()
+    * OVER (ORDER BY cent_cos DESC, cent_id ASC) = 1`. (Zero-norm vectors
+    * producing NaN cosines are outside both paths' contract.) */
+  def assignCells(base: DataFrame, idCol: String, cents: DataFrame,
+                  maxDriver: Int = MaxDriverCentroids): DataFrame = {
     val keep = base.columns.map(col).toSeq :+ col("cent_id").as("cell")
-    base.crossJoin(broadcast(cents))
-      .withColumn("cent_cos",
-        cosine(col("vecd"), col("cent_vec"), col("norm"), col("cent_norm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(keep: _*)
+    val head = cents.select(col("cent_id"), col("cent_vec"), col("cent_norm"))
+      .orderBy(col("cent_id")).head(maxDriver + 1)
+    if (head.length > maxDriver) {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      base.crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          cosine(col("vecd"), col("cent_vec"), col("norm"), col("cent_norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(keep: _*)
+    } else {
+      graft.functions.NearestCentroid.ensureRegistered(base.sparkSession)
+      val ids = head.map(_.getLong(0)).toIndexedSeq
+      val flat = head.flatMap(_.getSeq[Double](1)).toIndexedSeq
+      val norms = head.map(_.getDouble(2)).toIndexedSeq
+      base.withColumn("cell",
+        graft.functions.NearestCentroid(col("vecd"), col("norm"), ids, flat, norms))
+        .select(keep.init :+ col("cell"): _*)
+    }
   }
 
   /** IVF-style ANN top-k: a deterministic subsample of the corpus acts as
