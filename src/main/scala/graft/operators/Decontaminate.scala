@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextAnalysis.strHash
+
 /** Benchmark decontamination for the training-data pipeline: flag (and drop)
   * training documents that share word-3-gram shingles with an evaluation /
   * benchmark set — the overlap-removal step every published pretraining
@@ -55,25 +57,32 @@ object Decontaminate {
     * (deterministic, so the same pair meets exactly once) and the eval
     * side replicates ONLY its hot-gram rows `saltR` ways — a hot gram's
     * matches spread over `saltR` tasks while the cold tail pays no
-    * replication. Only (id, gram) pairs enter the exchange; the corpus
-    * text itself never shuffles (spec-pinned in PlanSpec). Output is
-    * identical to [[flagged]] — the salt changes placement, never pairing.
+    * replication. The join key is the 8-byte [[graft.functions.PolyHash]]
+    * of the gram, not the gram string — the salted exchange and both
+    * hash tables carry longs (the same collision-tolerance trade the
+    * MinHash tier documents: a 2⁻⁶¹-per-pair chance of counting a merged
+    * gram, replayed identically by the oracle). Only (id, gram-hash)
+    * pairs enter the exchange; the corpus text itself never shuffles
+    * (spec-pinned in PlanSpec). Output is identical to [[flagged]] up to
+    * hash collisions — the salt changes placement, never pairing.
     */
   def flaggedSalted(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, minShared: Int, saltR: Int = 8,
                     hotMin: Long = 64L): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(saltR >= 1, "saltR must be >= 1")
+    graft.functions.PolyHash.ensureRegistered(train.sparkSession)
     val tsh = Dedup.shingles(train, idCol, textCol)
+      .select(col("id"), strHash(col("g")).as("g"))
     // eager-materialized: hotSaltedJoin consumes the eval shingles twice
     // (hot-gram count, replicated join side). The eval lineage is the
     // expensive part here — often a join + the hot texts exploded
     // thousands of times — so recomputing it doubles the query. The
-    // checkpoint holds (eval_id, gram) pairs only, bounded by the modest
-    // eval side this path contracts for; the TRAIN corpus stays lazy and
-    // in-scan.
+    // checkpoint holds (eval_id, gram-hash) pairs only, bounded by the
+    // modest eval side this path contracts for; the TRAIN corpus stays
+    // lazy and in-scan.
     val esh = Dedup.shingles(eval, idCol, textCol)
-      .select(col("id").as("eval_id"), col("g"))
+      .select(col("id").as("eval_id"), strHash(col("g")).as("g"))
       .localCheckpoint(true)
     Salting.hotSaltedJoin(tsh, esh, "g", col("id"), saltR, hotMin)
       .groupBy("id", "eval_id").agg(count(lit(1)).as("overlap"))

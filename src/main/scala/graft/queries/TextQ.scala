@@ -588,9 +588,10 @@ object TextQ {
        |etoks AS (SELECT eid, string_split_regex(trim(text), '\\s+') AS w FROM evd),
        |esh AS (SELECT DISTINCT eid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
        |        FROM etoks, UNNEST(range(1, len(w) - 1)) AS t(i)),
+       |th AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh WHERE doc_id % 97 <> 0),
+       |eh AS (SELECT eid, ${sqlHash("g")} AS h FROM esh),
        |ov AS (SELECT t.doc_id AS tid, e.eid, COUNT(*) AS overlap
-       |       FROM sh t JOIN esh e ON t.g = e.g
-       |       WHERE t.doc_id % 97 <> 0
+       |       FROM th t JOIN eh e ON t.h = e.h
        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
        |SELECT tid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
        |       CAST(MAX(overlap) AS BIGINT) AS top_overlap
