@@ -53,18 +53,25 @@ object Mixing {
       .toDF(groupCol, "rank", idCol)
   }
 
+  /** The per-mille rate a row's group resolves to — ONE definition shared
+    * by the filter and its audit so they cannot drift. */
+  private def rateExpr(groupCol: String, ratesMilli: Map[String, Int],
+                       defaultMilli: Int): org.apache.spark.sql.Column = {
+    require((ratesMilli.values ++ Seq(defaultMilli)).forall(r => r >= 0 && r <= 1000),
+      "rates are per-mille: 0..1000")
+    ratesMilli.foldLeft(lit(defaultMilli)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+  }
+
   /** Static-mixture filter: keep a document iff
     * `hash(id) % 1000 < ratesMilli(group)` (missing groups use
     * `defaultMilli`). Returns the kept rows of `docs`, all columns. */
   def rateMix(docs: DataFrame, idCol: String, groupCol: String,
               ratesMilli: Map[String, Int],
               defaultMilli: Int = 1000): DataFrame = {
-    require((ratesMilli.values ++ Seq(defaultMilli)).forall(r => r >= 0 && r <= 1000),
-      "rates are per-mille: 0..1000")
     graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
-    val rate = ratesMilli.foldLeft(lit(defaultMilli)) { case (acc, (g, r)) =>
-      when(col(groupCol) === g, lit(r)).otherwise(acc)
-    }
+    val rate = rateExpr(groupCol, ratesMilli, defaultMilli)
     docs.filter(strHash(col(idCol).cast("string")) % 1000 < rate)
   }
 
@@ -74,9 +81,7 @@ object Mixing {
                      ratesMilli: Map[String, Int],
                      defaultMilli: Int = 1000): DataFrame = {
     graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
-    val rate = ratesMilli.foldLeft(lit(defaultMilli)) { case (acc, (g, r)) =>
-      when(col(groupCol) === g, lit(r)).otherwise(acc)
-    }
+    val rate = rateExpr(groupCol, ratesMilli, defaultMilli)
     docs
       .select(col(groupCol).as("g"),
         rate.cast("long").as("rate_milli"),

@@ -99,7 +99,6 @@ object Packing {
         "them before chunk indexing")
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def q(name: String) = "`" + name.replace("`", "``") + "`"
     df.withColumn("end_off", sum(col(weightCol).cast("long")).over(w))
       .withColumn("start_off",
         col("end_off") - col(weightCol).cast("long"))

@@ -156,9 +156,11 @@ object Similarity {
   def assignCells(base: DataFrame, idCol: String, cents: DataFrame,
                   maxDriver: Int = MaxDriverCentroids): DataFrame = {
     val keep = base.columns.map(col).toSeq :+ col("cent_id").as("cell")
-    val head = cents.select(col("cent_id"), col("cent_vec"), col("cent_norm"))
-      .orderBy(col("cent_id")).head(maxDriver + 1)
-    if (head.length > maxDriver) {
+    // regime probe on ids only (8 bytes/row): deciding the fallback must
+    // not itself pull maxDriver full vectors onto the driver
+    val overBudget =
+      cents.select(col("cent_id")).head(maxDriver + 1).length > maxDriver
+    if (overBudget) {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cent_cos").desc, col("cent_id").asc)
       base.crossJoin(broadcast(cents))
@@ -169,6 +171,8 @@ object Similarity {
         .select(keep: _*)
     } else {
       graft.functions.NearestCentroid.ensureRegistered(base.sparkSession)
+      val head = cents.select(col("cent_id"), col("cent_vec"), col("cent_norm"))
+        .orderBy(col("cent_id")).collect()
       val ids = head.map(_.getLong(0)).toIndexedSeq
       val flat = head.flatMap(_.getSeq[Double](1)).toIndexedSeq
       val norms = head.map(_.getDouble(2)).toIndexedSeq

@@ -711,10 +711,13 @@ object TextQ {
        |SELECT source, doc_id, n_tokens,
        |       CAST(cum - n_tokens AS BIGINT) AS start_off,
        |       CAST(cum AS BIGINT) AS end_off,
-       |       CAST((cum - n_tokens) // 512 AS BIGINT) AS first_chunk,
-       |       CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
-       |       CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
-       |         AS n_chunks
+       |       CAST(CASE WHEN n_tokens > 0 THEN (cum - n_tokens) // 512 END
+       |            AS BIGINT) AS first_chunk,
+       |       CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 512 END
+       |            AS BIGINT) AS last_chunk,
+       |       CAST(CASE WHEN n_tokens > 0
+       |                 THEN (cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+       |                 ELSE 0 END AS BIGINT) AS n_chunks
        |FROM c ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
     val nTok = graft.functions.TokenStats(col("text")).getField("n_tokens")
     val docs = Tables.documents(s, dir)

@@ -190,21 +190,49 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
     * caller's compaction trigger. */
   def deltaCount: Int = manifest.size - 1
 
+  /** Ledger of delta directory names a compaction has folded into a base
+    * snapshot. Token idempotence must survive [[replace]]: without this, a
+    * replayed epoch whose delta was just compacted away would re-append
+    * its rows as duplicates (the manifest alone forgets consumed tokens).
+    * One short line per consumed delta — growth is one name per epoch,
+    * negligible next to the data. */
+  private val tokensFile = rootPath.resolve("consumed-tokens")
+
+  private def consumedTokens: Set[String] =
+    if (Files.exists(tokensFile)) {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(tokensFile).asScala.filter(_.nonEmpty).toSet
+    } else Set.empty
+
+  private def recordConsumed(dirs: Seq[String]): Unit = {
+    val deltas = dirs.filter(_.startsWith("delta-"))
+    if (deltas.nonEmpty) {
+      val merged = (consumedTokens ++ deltas).toSeq.sorted
+      val tmp = rootPath.resolve("consumed-tokens.tmp")
+      Files.write(tmp, merged.mkString("\n").getBytes)
+      Files.move(tmp, tokensFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Write `df` as one new delta directory and commit it to the manifest.
     * I/O is O(df), independent of the store size.
     *
     * @param token optional idempotency key (e.g. a streaming epoch id): the
     *   delta directory is named by it, and an append whose token is already
-    *   in the manifest is a NO-OP — a replayed micro-batch (crash between
-    *   sink commit and engine checkpoint) cannot double-append. A crash
-    *   between the directory write and the manifest commit leaves an
-    *   orphan that [[init]] sweeps and the retry overwrites. */
+    *   in the manifest — or in the consumed-tokens ledger a compaction
+    *   leaves behind — is a NO-OP: a replayed micro-batch (crash between
+    *   sink commit and engine checkpoint) cannot double-append, even when
+    *   the replay races a compaction that already folded the delta into
+    *   the base. A crash between the directory write and the manifest
+    *   commit leaves an orphan that [[init]] sweeps and the retry
+    *   overwrites. */
   def appendDelta(df: DataFrame, token: Option[String] = None): Unit = {
     token.foreach(t => require(t.matches("[A-Za-z0-9._-]+"),
       s"delta token must be a plain directory-name fragment, got '$t'"))
     val old = manifest
     val delta = token.map(t => s"delta-$t").getOrElse(s"delta-${System.nanoTime()}")
-    if (!old.contains(delta)) {
+    if (!old.contains(delta) && !consumedTokens.contains(delta)) {
       df.write.mode("overwrite").parquet(rootPath.resolve(delta).toString)
       commitManifest(old :+ delta)
     }
@@ -212,11 +240,15 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
 
   /** Write `df` as the next base snapshot, swap the manifest, GC every
     * superseded directory (old base and deltas). `replace(read())` is the
-    * delta-log compaction. */
+    * delta-log compaction. Consumed delta names are recorded BEFORE the
+    * manifest swap: a crash between the two leaves both the ledger entry
+    * and the live delta — reads stay correct and a replayed append is
+    * still a no-op; the next replace re-records idempotently. */
   def replace(df: DataFrame): Unit = {
     val previous = manifest
     val snap = s"snap-${System.nanoTime()}"
     writeSnapshot(df, snap)
+    recordConsumed(previous)
     commitManifest(Seq(snap))
     previous.foreach { d =>
       if (bucketBy.nonEmpty)

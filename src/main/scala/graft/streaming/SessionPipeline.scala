@@ -45,6 +45,8 @@ object SessionPipeline {
             storeRoot: String, checkpointDir: String,
             gap: String = "30 minutes", retrieved: Long = 0L,
             compactEvery: Int = 64): StreamingQuery = {
+    require(compactEvery >= 1,
+      "compactEvery must be >= 1 — 0 would rewrite the whole store every epoch")
     val snaps = store(spark, storeRoot)
     val raw = spark.readStream.format("graft.sources.ItemsStream")
       .option("start", startId.toString)

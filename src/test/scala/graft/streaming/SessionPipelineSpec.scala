@@ -65,4 +65,31 @@ class SessionPipelineSpec extends AnyFunSuite {
     assert(snaps.read().count() == 1)
     assert(snaps.deltaCount == 1)
   }
+
+  test("replayed epoch stays a no-op after compaction folds its delta") {
+    // crash between sink write and engine checkpoint, with a compaction in
+    // between: the consumed-tokens ledger must keep the replay out even
+    // though the manifest no longer lists the delta
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sess-compact-replay").toString
+    val snaps = SessionPipeline.store(spark, root)
+    val rows = Seq(("u9", 1L, 2L, 3L))
+      .toDF("author", "session_start", "session_end", "n_items")
+    snaps.appendDelta(rows, Some("epoch-7"))
+    snaps.replace(snaps.read()) // compaction erases delta-epoch-7 from the manifest
+    assert(snaps.deltaCount == 0)
+    snaps.appendDelta(rows, Some("epoch-7")) // replay after compaction
+    assert(snaps.read().count() == 1,
+      "compacted epoch replayed as a duplicate")
+    // a REOPENED store (fresh Snapshots over the same root) must honor the
+    // ledger too — restart-then-replay is the realistic crash shape
+    val reopened = SessionPipeline.store(spark, root)
+    reopened.appendDelta(rows, Some("epoch-7"))
+    assert(reopened.read().count() == 1)
+    // and a genuinely new epoch still lands
+    reopened.appendDelta(
+      Seq(("u10", 5L, 6L, 1L)).toDF("author", "session_start", "session_end", "n_items"),
+      Some("epoch-8"))
+    assert(reopened.read().count() == 2)
+  }
 }
