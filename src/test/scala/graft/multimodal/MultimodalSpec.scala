@@ -230,4 +230,65 @@ class MultimodalSpec extends AnyFunSuite {
     val offsets = out.filter(_.getLong(0) == 0L).map(_.getDouble(2)).sorted.toSeq
     assert(offsets == Seq(0.0, 0.25, 0.5, 0.75))
   }
+
+  /** A real animated GIF written by the JDK's own sequence encoder: one
+    * full solid-color frame per entry in `colors`. */
+  private def animatedGifBytes(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("decodeGifFrames reads every frame of a real animated GIF") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+    val frames = Multimodal.decodeGifFrames(
+      animatedGifBytes(5, 3, colors)).get
+    assert(frames.length == 4)
+    frames.zip(colors).foreach { case (p, c) =>
+      assert(p.width == 5 && p.height == 3)
+      val px = p.rgb.take(3).map(_ & 0xff)
+      assert(px(0) == ((c >> 16) & 0xff) && px(1) == ((c >> 8) & 0xff) &&
+        px(2) == (c & 0xff), s"frame pixel $px vs color $c")
+    }
+    assert(Multimodal.decodeGifFrames(pngBytes(2, 2, 0xff0000)).isEmpty)
+    assert(Multimodal.decodeGifFrames("garbage".getBytes).isEmpty)
+    assert(Multimodal.decodeGifFrames(null).isEmpty)
+  }
+
+  test("sampleFramesDecoded: real pixels for animated GIFs, index-only rows otherwise") {
+    import spark.implicits._
+    val gif = animatedGifBytes(4, 4,
+      Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0xff00ff, 0x00ffff))
+    val media = Seq((1L, gif), (2L, "not media".getBytes))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.sampleFramesDecoded(media, "bytes", "media_id", n = 3)
+      .collect()
+    assert(out.length == 6)
+    val gifRows = out.filter(_.getLong(0) == 1L).sortBy(_.getInt(1))
+    // 6 frames sampled 3 ways: indices 0, 2, 4
+    assert(gifRows.map(_.getInt(2)).toSeq == Seq(0, 2, 4))
+    assert(gifRows.forall(_.getBoolean(6)))
+    val colors = Seq(0xff0000, 0x0000ff, 0xff00ff) // frames 0, 2, 4
+    gifRows.zip(colors).foreach { case (r, c) =>
+      assert(r.getInt(3) == 4 && r.getInt(4) == 4)
+      val px = r.getAs[Array[Byte]](5).take(3).map(_ & 0xff)
+      assert(px(0) == ((c >> 16) & 0xff) && px(1) == ((c >> 8) & 0xff) &&
+        px(2) == (c & 0xff), s"sampled pixel $px vs color $c")
+    }
+    val stubRows = out.filter(_.getLong(0) == 2L)
+    assert(stubRows.length == 3 && stubRows.forall(r => !r.getBoolean(6)))
+    assert(stubRows.forall(r => r.isNullAt(3) && r.isNullAt(5)))
+  }
 }
