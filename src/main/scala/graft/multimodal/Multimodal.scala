@@ -258,11 +258,19 @@ object Multimodal {
     * goes through here so the (media_id, n_bytes, decoded, ...) contract
     * cannot drift between them. */
   private def decodePartitions(df: DataFrame, bytesCol: String, idCol: String,
-      outSchema: StructType)(rowFn: (Long, Array[Byte]) => Row): DataFrame = {
+      outSchema: StructType)(rowFn: (Long, Array[Byte]) => Row): DataFrame =
+    decodePartitionsFlat(df, bytesCol, idCol, outSchema)(
+      (id, bytes) => Seq(rowFn(id, bytes)))
+
+  /** One-to-many variant of the shell (frame sampling emits n rows per
+    * media row) — same codec init and contract. */
+  private def decodePartitionsFlat(df: DataFrame, bytesCol: String,
+      idCol: String, outSchema: StructType)(
+      rowFn: (Long, Array[Byte]) => Seq[Row]): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // codec init, once per task
-      rows.map(r => rowFn(r.getLong(0), r.getAs[Array[Byte]](1)))
+      rows.flatMap(r => rowFn(r.getLong(0), r.getAs[Array[Byte]](1)))
     }
     spark.createDataFrame(rdd, outSchema)
   }
@@ -356,16 +364,29 @@ object Multimodal {
         explode(sequence(lit(0), lit(n - 1))).as("frame_no"))
       .withColumn("offset_ratio", col("frame_no").cast("double") / n)
 
+  /** Adversarial-payload bounds for GIF decoding: one crawl row must never
+    * take down a task. A canvas past [[MaxGifPixels]] or a container past
+    * [[MaxGifFrames]] is treated as undecodable (stub fallback), not
+    * decoded-until-OOM. 64 MP ≈ 192 MB of canvas RGB — roomy for real
+    * media, far below task heap. */
+  val MaxGifPixels: Long = 64L * 1024 * 1024
+  val MaxGifFrames: Int = 4096
+
   /** REAL multi-frame decode for the one multi-frame container the JDK
     * ships a codec for: animated GIF — the honest stand-in for video
     * frame extraction (MP4/WebM codecs are absent from the JDK; those
-    * stay [[decodeStub]]-fallback rows). Delta frames are composited onto
-    * the running canvas at their ImageDescriptor offsets under the
-    * "do not dispose" policy — the dominant encoding for animation
-    * deltas; restore-to-background GIFs will show stale pixels outside
-    * the delta rect, a documented fidelity bound of the JDK codec path.
-    * None when the payload is not a readable GIF. */
-  def decodeGifFrames(bytes: Array[Byte]): Option[IndexedSeq[Pixels]] = {
+    * stay [[decodeStub]]-fallback rows). The canvas is the GIF's logical
+    * screen (from the stream metadata — frame 0's bounds alone would clip
+    * optimizer-produced sub-rect first frames); delta frames composite at
+    * their ImageDescriptor offsets under the "do not dispose" policy —
+    * the dominant encoding for animation deltas; restore-to-background
+    * GIFs show stale pixels outside the delta rect, a documented fidelity
+    * bound of the JDK codec path. Returns the frames at `wanted` indices
+    * (all frames when None), compositing incrementally so memory is
+    * O(canvas + wanted), not O(canvas × frames). None when the payload is
+    * not a readable GIF or exceeds the decode bounds. */
+  def decodeGifFrames(bytes: Array[Byte],
+                      wanted: Option[Set[Int]] = None): Option[IndexedSeq[Pixels]] = {
     if (bytes == null || bytes.length < 3 ||
         !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) return None
     try {
@@ -378,21 +399,26 @@ object Multimodal {
         try {
           reader.setInput(iis, false, false)
           val n = reader.getNumImages(true)
-          if (n <= 0) return None
+          if (n <= 0 || n > MaxGifFrames) return None
+          val last = wanted.map(_.max).getOrElse(n - 1) min (n - 1)
           var canvas: java.awt.image.BufferedImage = null
           val out = IndexedSeq.newBuilder[Pixels]
           var i = 0
-          while (i < n) {
+          while (i <= last) {
             val frame = reader.read(i)
             val (ox, oy) = gifFrameOffset(reader, i)
             if (canvas == null) {
+              val (lw, lh) = gifLogicalScreen(reader)
+                .getOrElse((ox + frame.getWidth, oy + frame.getHeight))
+              val w = lw max (ox + frame.getWidth)
+              val h = lh max (oy + frame.getHeight)
+              if (w.toLong * h > MaxGifPixels) return None
               canvas = new java.awt.image.BufferedImage(
-                ox + frame.getWidth, oy + frame.getHeight,
-                java.awt.image.BufferedImage.TYPE_INT_RGB)
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
             }
             val g = canvas.createGraphics()
             try g.drawImage(frame, ox, oy, null) finally g.dispose()
-            out += toPixels(canvas)
+            if (wanted.forall(_.contains(i))) out += toPixels(canvas)
             i += 1
           }
           Some(out.result())
@@ -400,6 +426,24 @@ object Multimodal {
       } finally iis.close()
     } catch { case _: Exception => None }
   }
+
+  /** Logical screen (width, height) from the GIF stream metadata; None
+    * when the node is missing or unparsable. */
+  private def gifLogicalScreen(
+      reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val tree = reader.getStreamMetadata
+        .getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val nodes = tree.getElementsByTagName("LogicalScreenDescriptor")
+      if (nodes.getLength == 0) None
+      else {
+        val d = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+        val w = d.getAttribute("logicalScreenWidth").toInt
+        val h = d.getAttribute("logicalScreenHeight").toInt
+        if (w > 0 && h > 0) Some((w, h)) else None
+      }
+    } catch { case _: Exception => None }
 
   /** (left, top) placement of frame `i` from the GIF ImageDescriptor
     * metadata; (0, 0) when the node is missing. */
@@ -417,16 +461,35 @@ object Multimodal {
       }
     } catch { case _: Exception => (0, 0) }
 
+  /** Frame count of a readable GIF without decoding pixels. */
+  private def gifFrameCount(bytes: Array[Byte]): Option[Int] = {
+    if (bytes == null || bytes.length < 3 ||
+        !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          val n = { reader.setInput(iis, false, true); reader.getNumImages(true) }
+          if (n <= 0 || n > MaxGifFrames) None else Some(n)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Frame sampling with REAL decode: each media row explodes into
     * `n` evenly-spaced decoded frames (frame index `k·nFrames/n`).
-    * Animated GIFs yield real composited pixels (`decoded = true`);
+    * Animated GIFs yield real composited pixels (`decoded = true` —
+    * only the sampled frames materialize, see [[decodeGifFrames]]);
     * payloads without a JDK multi-frame codec keep the index-only rows
     * with null pixels (`decoded = false`) so the pipeline stays total —
     * same contract as every other decode surface here. */
   def sampleFramesDecoded(df: DataFrame, bytesCol: String, idCol: String,
                           n: Int): DataFrame = {
     require(n >= 1, "frame sample count must be >= 1")
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_no", IntegerType, nullable = false),
@@ -435,23 +498,19 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("rgb", org.apache.spark.sql.types.BinaryType),
       StructField("decoded", BooleanType, nullable = false)))
-    val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      rows.flatMap { r =>
-        val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        decodeGifFrames(bytes) match {
-          case Some(frames) =>
-            (0 until n).map { k =>
-              val idx = (k.toLong * frames.length / n).toInt
-              val p = frames(idx)
-              Row(id, k, idx, p.width, p.height, p.rgb, true)
-            }
-          case None =>
-            (0 until n).map(k => Row(id, k, k, null, null, null, false))
+    decodePartitionsFlat(df, bytesCol, idCol, outSchema) { (id, bytes) =>
+      val sampled = for {
+        total <- gifFrameCount(bytes)
+        indices = (0 until n).map(k => (k.toLong * total / n).toInt)
+        frames <- decodeGifFrames(bytes, Some(indices.toSet))
+      } yield {
+        val byIndex = indices.distinct.zip(frames).toMap
+        indices.zipWithIndex.map { case (idx, k) =>
+          val p = byIndex(idx)
+          Row(id, k, idx, p.width, p.height, p.rgb, true)
         }
       }
+      sampled.getOrElse((0 until n).map(k => Row(id, k, k, null, null, null, false)))
     }
-    spark.createDataFrame(rdd, outSchema)
   }
 }

@@ -251,6 +251,75 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** Animated GIF with an explicit logical screen larger than its frames —
+    * the shape gifsicle-style optimizers emit (sub-rect first frame). */
+  private def optimizedGifBytes(screenW: Int, screenH: Int,
+      frames: Seq[(Int, Int, Int)]): Array[Byte] = { // (w, h, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      val smd = writer.getDefaultStreamMetadata(null)
+      val fmt = "javax_imageio_gif_stream_1.0"
+      val root = smd.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val ls = root.getElementsByTagName("LogicalScreenDescriptor")
+      val lsd =
+        if (ls.getLength > 0)
+          ls.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        else {
+          val n = new javax.imageio.metadata.IIOMetadataNode("LogicalScreenDescriptor")
+          root.appendChild(n); n
+        }
+      lsd.setAttribute("logicalScreenWidth", screenW.toString)
+      lsd.setAttribute("logicalScreenHeight", screenH.toString)
+      lsd.setAttribute("colorResolution", "8")
+      lsd.setAttribute("pixelAspectRatio", "0")
+      smd.setFromTree(fmt, root)
+      writer.prepareWriteSequence(smd)
+      frames.foreach { case (w, h, c) =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("decodeGifFrames sizes the canvas from the logical screen, not frame 0") {
+    // optimizer shape: 10x8 screen, 3x2 first frame — later full frames
+    // must not be clipped to frame 0's bounds
+    val gif = optimizedGifBytes(10, 8,
+      Seq((3, 2, 0xff0000), (10, 8, 0x0000ff)))
+    val frames = Multimodal.decodeGifFrames(gif).get
+    assert(frames.length == 2)
+    assert(frames.forall(p => p.width == 10 && p.height == 8))
+    // frame 0 composite: red in the 3x2 corner, untouched canvas elsewhere
+    val f0 = frames(0)
+    def px(p: Multimodal.Pixels, x: Int, y: Int) = {
+      val i = (y * p.width + x) * 3
+      (p.rgb(i) & 0xff, p.rgb(i + 1) & 0xff, p.rgb(i + 2) & 0xff)
+    }
+    assert(px(f0, 0, 0) == ((255, 0, 0)))
+    assert(px(f0, 9, 7) == ((0, 0, 0)))
+    // frame 1 composite: blue everywhere, including beyond frame 0's rect
+    val f1 = frames(1)
+    assert(px(f1, 0, 0) == ((0, 0, 255)) && px(f1, 9, 7) == ((0, 0, 255)))
+  }
+
+  test("decodeGifFrames materializes only the wanted frame indices") {
+    val gif = animatedGifBytes(4, 4, Seq(0xff0000, 0x00ff00, 0x0000ff))
+    val only2 = Multimodal.decodeGifFrames(gif, Some(Set(2))).get
+    assert(only2.length == 1)
+    assert((only2.head.rgb(2) & 0xff) == 255) // frame 2 is blue
+    val oneAndTwo = Multimodal.decodeGifFrames(gif, Some(Set(1, 2))).get
+    assert(oneAndTwo.length == 2)
+    assert((oneAndTwo.head.rgb(1) & 0xff) == 255) // frame 1 green first
+  }
+
   test("decodeGifFrames reads every frame of a real animated GIF") {
     val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
     val frames = Multimodal.decodeGifFrames(
