@@ -727,6 +727,32 @@ object TextQ {
       .orderBy("source", "doc_id")
   }
 
+  /** q66: the decontaminated corpus ([[graft.operators.Decontaminate
+    * .clean]]) — q58's flag set applied as a left-anti join, returning the
+    * surviving training documents. The oracle re-derives the flag set and
+    * anti-joins it the SQL way. */
+  val q66 = Q(
+    "q66_decontaminate_clean",
+    s"""WITH ${shCte(withSource = false)},
+       |ov AS (SELECT t.doc_id AS tid, e.doc_id AS eid, COUNT(*) AS overlap
+       |       FROM sh t JOIN sh e ON t.g = e.g
+       |       WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |flagged AS (SELECT DISTINCT tid FROM ov)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id % 97 <> 0
+       |  AND d.doc_id NOT IN (SELECT tid FROM flagged)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Decontaminate.clean(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", minShared = 2)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65)
+    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66)
 }

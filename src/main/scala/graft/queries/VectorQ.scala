@@ -287,5 +287,36 @@ object VectorQ {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61)
+  /** q67: the semantically deduplicated corpus ([[Similarity
+    * .semDedupKeep]]) — q61's drop set applied as a left-anti join; the
+    * oracle re-derives assignment, pairs, and the NOT IN. */
+  val q67 = Q(
+    "q67_semdedup_keep",
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+       |          FROM n WHERE vec_id % 50 = 0),
+       |scored AS (SELECT vec_id, embedding, nrm, cent_id,
+       |                  ${sqlDot("embedding", "cv")} / (nrm * cn) AS cent_cos
+       |           FROM n, cents),
+       |assigned AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |            FROM assigned a JOIN assigned b
+       |              ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |            WHERE ROUND(${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 6) >= 0.4)
+       |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label
+       |FROM embeddings e
+       |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+    Similarity.semDedupKeep(Tables.embeddings(s, dir), "vec_id", "embedding",
+      minCos = 0.4, centroidEvery = 50)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67)
 }
