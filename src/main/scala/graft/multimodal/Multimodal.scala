@@ -259,18 +259,25 @@ object Multimodal {
     * cannot drift between them. */
   private def decodePartitions(df: DataFrame, bytesCol: String, idCol: String,
       outSchema: StructType)(rowFn: (Long, Array[Byte]) => Row): DataFrame =
-    decodePartitionsFlat(df, bytesCol, idCol, outSchema)(
-      (id, bytes) => Seq(rowFn(id, bytes)))
+    decodeShell(df, bytesCol, idCol, outSchema)(
+      _.map(r => rowFn(r.getLong(0), r.getAs[Array[Byte]](1))))
 
   /** One-to-many variant of the shell (frame sampling emits n rows per
-    * media row) — same codec init and contract. */
+    * media row) — same codec init and contract, no per-row wrapper on the
+    * one-to-one surfaces. */
   private def decodePartitionsFlat(df: DataFrame, bytesCol: String,
       idCol: String, outSchema: StructType)(
-      rowFn: (Long, Array[Byte]) => Seq[Row]): DataFrame = {
+      rowFn: (Long, Array[Byte]) => Seq[Row]): DataFrame =
+    decodeShell(df, bytesCol, idCol, outSchema)(
+      _.flatMap(r => rowFn(r.getLong(0), r.getAs[Array[Byte]](1))))
+
+  private def decodeShell(df: DataFrame, bytesCol: String, idCol: String,
+      outSchema: StructType)(
+      partFn: Iterator[Row] => Iterator[Row]): DataFrame = {
     val spark = df.sparkSession
     val rdd = df.select(col(idCol), col(bytesCol)).rdd.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // codec init, once per task
-      rows.flatMap(r => rowFn(r.getLong(0), r.getAs[Array[Byte]](1)))
+      partFn(rows)
     }
     spark.createDataFrame(rdd, outSchema)
   }
@@ -382,11 +389,32 @@ object Multimodal {
     * the dominant encoding for animation deltas; restore-to-background
     * GIFs show stale pixels outside the delta rect, a documented fidelity
     * bound of the JDK codec path. Returns the frames at `wanted` indices
-    * (all frames when None), compositing incrementally so memory is
-    * O(canvas + wanted), not O(canvas × frames). None when the payload is
-    * not a readable GIF or exceeds the decode bounds. */
+    * in ascending order (all frames when None; out-of-range indices are
+    * ignored, an effectively-empty set yields Some(empty) — a readable
+    * GIF is never misreported as undecodable), compositing incrementally
+    * so memory is O(canvas + wanted), not O(canvas × frames). None when
+    * the payload is not a readable GIF or exceeds the decode bounds
+    * ([[MaxGifFrames]], per-frame and canvas [[MaxGifPixels]] — checked
+    * header-only BEFORE any raster allocates). */
   def decodeGifFrames(bytes: Array[Byte],
-                      wanted: Option[Set[Int]] = None): Option[IndexedSeq[Pixels]] = {
+                      wanted: Option[Set[Int]] = None): Option[IndexedSeq[Pixels]] =
+    decodeGif(bytes, total =>
+      wanted.map(_.filter(i => i >= 0 && i < total).toSeq.sorted)
+        .getOrElse(0 until total))
+      .map(_.map(_._2).toIndexedSeq)
+
+  /** Single-parse core shared by [[decodeGifFrames]] and
+    * [[sampleFramesDecoded]]: one container scan yields the frame count,
+    * `plan(total)` picks the indices to materialize (must be sorted,
+    * in-range), and frames composite incrementally — only planned indices
+    * snapshot to [[Pixels]]. Every frame's declared dimensions are
+    * checked HEADER-ONLY (`reader.getWidth/getHeight`) against
+    * [[MaxGifPixels]] BEFORE `reader.read` allocates its raster: a
+    * crafted descriptor cannot OOM the task by declaring a huge frame.
+    * An empty plan returns Some(empty) — a readable GIF is never
+    * misreported as undecodable. */
+  private def decodeGif(bytes: Array[Byte],
+      plan: Int => Seq[Int]): Option[Seq[(Int, Pixels)]] = {
     if (bytes == null || bytes.length < 3 ||
         !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) return None
     try {
@@ -400,11 +428,19 @@ object Multimodal {
           reader.setInput(iis, false, false)
           val n = reader.getNumImages(true)
           if (n <= 0 || n > MaxGifFrames) return None
-          val last = wanted.map(_.max).getOrElse(n - 1) min (n - 1)
+          val indices = plan(n)
+          require(indices.forall(i => i >= 0 && i < n),
+            s"frame plan out of range for $n frames: $indices")
+          if (indices.isEmpty) return Some(Seq.empty)
+          val wantedSet = indices.toSet
+          val last = indices.last
           var canvas: java.awt.image.BufferedImage = null
-          val out = IndexedSeq.newBuilder[Pixels]
+          val out = Seq.newBuilder[(Int, Pixels)]
           var i = 0
           while (i <= last) {
+            // header-only bound BEFORE the raster allocates
+            if (reader.getWidth(i).toLong * reader.getHeight(i) > MaxGifPixels)
+              return None
             val frame = reader.read(i)
             val (ox, oy) = gifFrameOffset(reader, i)
             if (canvas == null) {
@@ -418,7 +454,7 @@ object Multimodal {
             }
             val g = canvas.createGraphics()
             try g.drawImage(frame, ox, oy, null) finally g.dispose()
-            if (wanted.forall(_.contains(i))) out += toPixels(canvas)
+            if (wantedSet.contains(i)) out += ((i, toPixels(canvas)))
             i += 1
           }
           Some(out.result())
@@ -461,32 +497,14 @@ object Multimodal {
       }
     } catch { case _: Exception => (0, 0) }
 
-  /** Frame count of a readable GIF without decoding pixels. */
-  private def gifFrameCount(bytes: Array[Byte]): Option[Int] = {
-    if (bytes == null || bytes.length < 3 ||
-        !(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')) return None
-    try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return None
-        val reader = readers.next()
-        try {
-          val n = { reader.setInput(iis, false, true); reader.getNumImages(true) }
-          if (n <= 0 || n > MaxGifFrames) None else Some(n)
-        } finally reader.dispose()
-      } finally iis.close()
-    } catch { case _: Exception => None }
-  }
-
   /** Frame sampling with REAL decode: each media row explodes into
     * `n` evenly-spaced decoded frames (frame index `k·nFrames/n`).
     * Animated GIFs yield real composited pixels (`decoded = true` —
-    * only the sampled frames materialize, see [[decodeGifFrames]]);
-    * payloads without a JDK multi-frame codec keep the index-only rows
-    * with null pixels (`decoded = false`) so the pipeline stays total —
-    * same contract as every other decode surface here. */
+    * ONE container parse per row, only the sampled frames materialize,
+    * see [[decodeGif]]); payloads without a JDK multi-frame codec keep
+    * the index-only rows with null pixels (`decoded = false`) so the
+    * pipeline stays total — same contract as every other decode surface
+    * here. */
   def sampleFramesDecoded(df: DataFrame, bytesCol: String, idCol: String,
                           n: Int): DataFrame = {
     require(n >= 1, "frame sample count must be >= 1")
@@ -499,13 +517,14 @@ object Multimodal {
       StructField("rgb", org.apache.spark.sql.types.BinaryType),
       StructField("decoded", BooleanType, nullable = false)))
     decodePartitionsFlat(df, bytesCol, idCol, outSchema) { (id, bytes) =>
-      val sampled = for {
-        total <- gifFrameCount(bytes)
-        indices = (0 until n).map(k => (k.toLong * total / n).toInt)
-        frames <- decodeGifFrames(bytes, Some(indices.toSet))
-      } yield {
-        val byIndex = indices.distinct.zip(frames).toMap
-        indices.zipWithIndex.map { case (idx, k) =>
+      var total = 0 // captured by the plan during decodeGif's single parse
+      val sampled = decodeGif(bytes, t => {
+        total = t
+        (0 until n).map(k => (k.toLong * t / n).toInt).distinct
+      }).map { frames =>
+        val byIndex = frames.toMap
+        (0 until n).map { k =>
+          val idx = (k.toLong * total / n).toInt
           val p = byIndex(idx)
           Row(id, k, idx, p.width, p.height, p.rgb, true)
         }

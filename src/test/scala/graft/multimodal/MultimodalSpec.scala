@@ -320,6 +320,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert((oneAndTwo.head.rgb(1) & 0xff) == 255) // frame 1 green first
   }
 
+  test("decodeGifFrames wanted-set edge cases never misreport readability") {
+    val gif = animatedGifBytes(4, 4, Seq(0xff0000, 0x00ff00))
+    // empty set: readable GIF, zero frames requested — Some(empty), not None
+    assert(Multimodal.decodeGifFrames(gif, Some(Set.empty)).get.isEmpty)
+    // out-of-range indices are ignored, in-range ones still decode
+    val mixed = Multimodal.decodeGifFrames(gif, Some(Set(1, 7, -3))).get
+    assert(mixed.length == 1)
+    assert((mixed.head.rgb(1) & 0xff) == 255) // frame 1 green
+    // all out-of-range: Some(empty)
+    assert(Multimodal.decodeGifFrames(gif, Some(Set(9))).get.isEmpty)
+  }
+
+  test("a frame declaring huge dimensions is rejected before decoding") {
+    // hand-patch a valid GIF's image descriptor to claim 46000x46000 —
+    // the header-only bound must bail out (None), never allocate
+    val gif = animatedGifBytes(4, 4, Seq(0xff0000, 0x00ff00))
+    // image descriptor: 0x2C introducer, then left,top,width,height (u16 LE)
+    val idx = gif.indexWhere(_ == 0x2c.toByte)
+    assert(idx > 0, "no image descriptor found in test GIF")
+    val patched = gif.clone()
+    val dim = 46000
+    patched(idx + 5) = (dim & 0xff).toByte
+    patched(idx + 6) = ((dim >> 8) & 0xff).toByte
+    patched(idx + 7) = (dim & 0xff).toByte
+    patched(idx + 8) = ((dim >> 8) & 0xff).toByte
+    assert(Multimodal.decodeGifFrames(patched).isEmpty)
+  }
+
   test("decodeGifFrames reads every frame of a real animated GIF") {
     val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
     val frames = Multimodal.decodeGifFrames(
