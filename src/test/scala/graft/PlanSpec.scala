@@ -126,6 +126,17 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected extra shuffle:\n$p")
   }
 
+  test("q63 quota sampling aggregates bounded buffers — no window sort") {
+    val p = plan("q63_quota_sample")
+    // the whole point of the TopKAgg path: map-side partial aggregation
+    // (<= quota rows per group per partition cross the exchange), never a
+    // per-group window ranking over the full corpus
+    assert(p.contains("ObjectHashAggregate"), s"typed aggregation missing:\n$p")
+    assert(!p.contains("Window"), s"quota sampling fell back to a window:\n$p")
+    // group-key exchange + final ORDER BY only
+    assert(PlanChecks.shuffleExchanges(p) <= 2, s"unexpected extra shuffle:\n$p")
+  }
+
   test("q59 repetition stats stay in-scan: one sort exchange, codegen'd") {
     val p = plan("q59_repetition_filter")
     assert(PlanChecks.shuffleExchanges(p) <= 1, // the ORDER BY only
