@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** End-to-end curation funnel ([[Curation.curate]]): the operator library
+  * composed the way a training-data pipeline actually runs it. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  // events-derived eval set, like q60: every 25th event replays a document
+  private def evalDocs = {
+    val d = docs
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_id") % 25 === 0)
+      .select(col("event_id"), col("user_id"))
+      .join(d.select(col("doc_id").as("src_doc"), col("text")),
+        col("src_doc") === col("user_id"))
+      .select(col("event_id").as("doc_id"), col("text"))
+  }
+
+  test("funnel counts are monotone and every stage engages") {
+    val (out, r) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500,
+      mixRatesMilli = Map("src0" -> 300), mixDefaultMilli = 800,
+      packBudget = 256)
+    assert(r.nInput > 0)
+    assert(r.nInput >= r.nAfterQuality)
+    assert(r.nAfterQuality >= r.nAfterExact)
+    assert(r.nAfterExact >= r.nAfterNearDup)
+    assert(r.nAfterNearDup >= r.nAfterDecontam)
+    assert(r.nAfterDecontam >= r.nAfterMix)
+    // the synthetic corpus is repetitive word salad: dedup, decontam and
+    // mixing must each actually drop something at these settings
+    assert(r.nAfterNearDup < r.nAfterExact, "near-dup stage dropped nothing")
+    assert(r.nAfterDecontam < r.nAfterNearDup, "decontamination dropped nothing")
+    assert(r.nAfterMix < r.nAfterDecontam, "mixing dropped nothing")
+    assert(r.nPacks > 0 && r.nPacks <= r.nAfterMix)
+    // output carries the curated schema: original columns + n_tokens + pack_id
+    assert(out.columns.contains("pack_id") && out.columns.contains("n_tokens"))
+    assert(out.count() == r.nAfterMix)
+  }
+
+  test("curation is deterministic end to end") {
+    def run() = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256, audit = false)._1
+      .select("doc_id", "pack_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == run())
+  }
+
+  test("packs respect the budget except oversize singletons") {
+    val (out, _) = Curation.curate(docs, evalDocs, packBudget = 256)
+    val packs = out.groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("w"),
+        max("n_tokens").as("maxw"))
+      .collect()
+    packs.foreach { p =>
+      val (w, maxw) = (p.getLong(3), p.getLong(4))
+      // contiguous-cumulative contract: a pack exceeds the budget only by
+      // the straddling (or oversize) document — remove it and the prefix
+      // was under budget
+      assert(w <= 256 || w - maxw < 256, s"pack $p overflows beyond one doc")
+    }
+    // and the packing is exhaustive: every curated doc has a pack
+    assert(out.filter(col("pack_id").isNull).count() == 0)
+  }
+
+  test("every kept document survives for a provable reason: no flagged " +
+    "pair remains intact") {
+    val (out, _) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, audit = false)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // no verified near-dup pair has BOTH sides in the curated output
+    val pairs = graft.operators.Dedup.minhashPairs(
+        docs, "doc_id", "text", thresholdMilli = 500)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)),
+        s"near-dup pair ($a, $b) fully survived curation")
+    }
+  }
+}
