@@ -71,6 +71,19 @@ object RepetitionStats {
 
   def apply(c: Column): Column = call_function("repetition_stats", c)
 
+  /** The Gopher-style repetition predicate over the four counters — ONE
+    * definition shared by q59 and the curation pipeline so the
+    * oracle-pinned thresholds cannot drift between them. Exact integer
+    * arithmetic: flagged iff the top bigram holds ≥ `topBigramMilli`/1000
+    * of all bigrams, or duplicate trigrams are ≥ `dupTrigramMilli`/1000
+    * of all trigrams. */
+  def repetitiveFlag(nBigrams: Column, topBigramN: Column, nTrigrams: Column,
+                     nDistinctTrigrams: Column, topBigramMilli: Int = 100,
+                     dupTrigramMilli: Int = 20): Column =
+    (nBigrams > 0 && topBigramN * 1000 >= nBigrams * topBigramMilli) ||
+      (nTrigrams > 0 &&
+        (nTrigrams - nDistinctTrigrams) * 1000 >= nTrigrams * dupTrigramMilli)
+
   def ensureRegistered(spark: SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry

@@ -9,9 +9,13 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing}
   * operator library — the workflow a pretraining data team runs over a
   * raw crawl before a training job:
   *
+  *   0. drop null-text rows (they can be neither scored nor packed —
+  *      counted as `nInput - nAfterQuality` alongside the quality drops,
+  *      applied explicitly so three-valued logic never hides them)
   *   1. quality filter   — drop repetitive documents
-  *                         ([[graft.functions.RepetitionStats]], Gopher
-  *                         thresholds, in-scan)
+  *                         ([[graft.functions.RepetitionStats
+  *                         .repetitiveFlag]], the same oracle-pinned
+  *                         predicate as q59)
   *   2. exact dedup      — keep one copy per normalized text
   *                         ([[Dedup.exactGroups]], keep-lowest-id)
   *   3. near-dup dedup   — MinHash+LSH pairs, greedy keep-lowest-id
@@ -32,6 +36,16 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing}
   * the simple transitive-safe policy: it can over-drop relative to
   * connected-component canonicalization ([[graft.operators.Components]])
   * but never keeps two documents that were flagged as a pair.
+  *
+  * `audit = true` (default) eagerly materializes each stage
+  * (`localCheckpoint`) and counts it — each count then reads its own
+  * materialization instead of replaying the whole upstream lineage, and
+  * the caller's action on the returned frame starts from the last
+  * checkpoint. `audit = false` skips the materializations and counts and
+  * returns the composed plan with every Report field -1; note the plan is
+  * still not fully lazy — [[Dedup.minhashPairs]] eagerly materializes its
+  * candidate set internally, so some Spark jobs run at curate() time
+  * either way.
   */
 object Curation {
 
@@ -41,70 +55,86 @@ object Curation {
                           nAfterDecontam: Long, nAfterMix: Long,
                           nPacks: Long)
 
-  /** Run the full funnel. Returns the curated corpus with `pack_id`
-    * assigned, plus the per-stage report. Counts force one action per
-    * stage boundary; pass `audit = false` to skip them (single-action
-    * lazy plan, Report filled with -1 except the ends).
-    */
+  /** Run the full funnel. Returns the curated corpus with `n_tokens` and
+    * `pack_id` appended, plus the per-stage report. Fails at call time if
+    * the input already carries either output column. */
   def curate(docs: DataFrame, evalDocs: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
              sourceCol: String = "source",
+             repetitionTopBigramMilli: Int = 100,
+             repetitionDupTrigramMilli: Int = 20,
              nearDupThresholdMilli: Int = 800,
              decontamMinShared: Int = 2,
              mixRatesMilli: Map[String, Int] = Map.empty,
              mixDefaultMilli: Int = 1000,
              packBudget: Long = 2048,
              audit: Boolean = true): (DataFrame, Report) = {
+    val outClash = docs.columns.filter(Seq("n_tokens", "pack_id").contains)
+    require(outClash.isEmpty,
+      s"input already has output column(s) ${outClash.mkString(", ")} — " +
+        "rename them before curation")
     val spark = docs.sparkSession
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.TokenStats.ensureRegistered(spark)
 
+    // stage boundary: materialize once under audit so each count (and the
+    // next stage) reads the checkpoint, not the full upstream lineage
+    def stage(df: DataFrame): DataFrame =
+      if (audit) df.localCheckpoint(true) else df
     def n(df: DataFrame): Long = if (audit) df.count() else -1L
+    // temp names that cannot shadow caller data (packByBudget's pattern)
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(c => !docs.columns.contains(c)).get
+    val rsCol = fresh("_rs")
+    val tokCol = fresh("_tok")
 
-    // 1. quality: Gopher-style repetition thresholds, exact integers
+    // 0+1. null-text drop (explicit) + quality: Gopher repetition predicate
     val rs = graft.functions.RepetitionStats(col(textCol))
-    val quality = docs
-      .withColumn("_rs", rs)
-      .filter(!(
-        (col("_rs.n_bigrams") > 0 &&
-          col("_rs.top_bigram_n") * 1000 >= col("_rs.n_bigrams") * 100) ||
-        (col("_rs.n_trigrams") > 0 &&
-          (col("_rs.n_trigrams") - col("_rs.n_distinct_trigrams")) * 1000 >=
-            col("_rs.n_trigrams") * 20)))
-      .drop("_rs")
+    val quality = stage(docs
+      .filter(col(textCol).isNotNull)
+      .withColumn(rsCol, rs)
+      .filter(!graft.functions.RepetitionStats.repetitiveFlag(
+        col(s"$rsCol.n_bigrams"), col(s"$rsCol.top_bigram_n"),
+        col(s"$rsCol.n_trigrams"), col(s"$rsCol.n_distinct_trigrams"),
+        repetitionTopBigramMilli, repetitionDupTrigramMilli))
+      .drop(rsCol))
 
     // 2. exact dedup: keep the canonical (lowest) id of each text group
     val canon = Dedup.exactGroups(quality, idCol, textCol)
       .select(col("canonical_id").as(idCol))
-    val exact = quality.join(canon, Seq(idCol), "left_semi")
+    val exact = stage(quality.join(canon, Seq(idCol), "left_semi"))
 
     // 3. near-dup: drop the higher id of every LSH-verified pair
     val dropB = Dedup.minhashPairs(exact, idCol, textCol,
         thresholdMilli = nearDupThresholdMilli)
       .select(col("id_b").as(idCol)).distinct()
-    val nearDup = exact.join(dropB, Seq(idCol), "left_anti")
+    val nearDup = stage(exact.join(dropB, Seq(idCol), "left_anti"))
 
     // 4. decontamination against the eval corpus
-    val decontam = Decontaminate.clean(nearDup, evalDocs, idCol, textCol,
-      minShared = decontamMinShared)
+    val decontam = stage(Decontaminate.clean(nearDup, evalDocs, idCol,
+      textCol, minShared = decontamMinShared))
 
-    // 5. mixing: per-source static rates
+    // 5. mixing: per-source static rates (reuses the decontam frame — and
+    // its count — when the rates keep everything)
+    val mixIsNoop = mixRatesMilli.isEmpty && mixDefaultMilli == 1000
     val mixed =
-      if (mixRatesMilli.isEmpty && mixDefaultMilli == 1000) decontam
-      else Mixing.rateMix(decontam, idCol, sourceCol, mixRatesMilli,
-        mixDefaultMilli)
+      if (mixIsNoop) decontam
+      else stage(Mixing.rateMix(decontam, idCol, sourceCol, mixRatesMilli,
+        mixDefaultMilli))
 
     // 6. packing: token budget per source shard
-    val weighted = mixed.withColumn("_tok",
+    val weighted = mixed.withColumn(tokCol,
       graft.functions.TokenStats(col(textCol)).getField("n_tokens").cast("long"))
-    val packed = Packing.packByBudget(weighted, idCol, "_tok",
+    val packed = Packing.packByBudget(weighted, idCol, tokCol,
       Seq(sourceCol), packBudget)
-      .withColumnRenamed("_tok", "n_tokens")
+      .withColumnRenamed(tokCol, "n_tokens")
 
+    val nDecontam = n(decontam)
     val report = Report(
       nInput = n(docs), nAfterQuality = n(quality), nAfterExact = n(exact),
-      nAfterNearDup = n(nearDup), nAfterDecontam = n(decontam),
-      nAfterMix = n(mixed),
+      nAfterNearDup = n(nearDup), nAfterDecontam = nDecontam,
+      nAfterMix = if (mixIsNoop) nDecontam else n(mixed),
       nPacks = if (audit)
         packed.select(sourceCol, "pack_id").distinct().count() else -1L)
     (packed, report)

@@ -561,11 +561,9 @@ object TextQ {
           (col("n_trigrams") - col("n_distinct_trigrams")).cast("double") /
             col("n_trigrams")))
       .withColumn("repetitive",
-        ((col("n_bigrams") > 0 &&
-            col("top_bigram_n") * 1000 >= col("n_bigrams") * 100) ||
-          (col("n_trigrams") > 0 &&
-            (col("n_trigrams") - col("n_distinct_trigrams")) * 1000 >=
-              col("n_trigrams") * 20)).cast("long"))
+        graft.functions.RepetitionStats.repetitiveFlag(
+          col("n_bigrams"), col("top_bigram_n"),
+          col("n_trigrams"), col("n_distinct_trigrams")).cast("long"))
       .orderBy("doc_id")
   }
 

@@ -69,6 +69,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(col("pack_id").isNull).count() == 0)
   }
 
+  test("output-column clashes fail at call time; null text drops explicitly") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Curation.curate(docs.withColumn("pack_id", lit(1L)), evalDocs)
+    }
+    // long enough that the 10% top-bigram threshold cannot trip on size
+    val okText = (1 to 20).map(i => s"w$i").mkString(" ")
+    val withNull = Seq(
+      (1L, okText, "s0"),
+      (2L, null.asInstanceOf[String], "s0")
+    ).toDF("doc_id", "text", "source")
+    val (out, r) = Curation.curate(withNull, evalDocs.limit(0))
+    assert(r.nInput == 2 && r.nAfterQuality == 1,
+      "null-text row must drop at the quality boundary")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("every kept document survives for a provable reason: no flagged " +
     "pair remains intact") {
     val (out, _) = Curation.curate(docs, evalDocs,
