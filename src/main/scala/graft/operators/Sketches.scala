@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The sketch tier of the aggregation family — the 100 TB answer when
+  * exact distinct/percentile/frequency aggregation is the bottleneck:
+  *
+  *  - exact `countDistinct` shuffles every distinct key (two exchanges,
+  *    state proportional to cardinality); HyperLogLog++
+  *    (`approx_count_distinct`, codegen'd, mergeable fixed-size state)
+  *    costs one scan and kilobytes per group at a declared relative
+  *    standard deviation.
+  *  - exact percentiles need a sort or full value collection;
+  *    `percentile_approx` (Greenwald-Khanna style) bounds state by the
+  *    accuracy knob.
+  *  - exact heavy-hitter counts need a full groupBy over ALL keys;
+  *    a Count-Min Sketch aggregates into a fixed eps×confidence grid and
+  *    answers point estimates with one-sided error (never undercounts).
+  *
+  * All three are Spark built-ins — declared here as the library's
+  * documented scale path with their error contracts SPEC-PINNED against
+  * exact computation on real data (no SQL oracle: DuckDB's approximate
+  * aggregates use different algorithms, so cross-engine hash parity is
+  * impossible by construction; the driver records a rows-only check for
+  * the query surface and SketchesSpec carries the accuracy evidence).
+  */
+object Sketches {
+
+  /** Per-group sketch statistics next to their exact-cost cousins:
+    * (groupCol, n_rows, approx_distinct, approx_median). One scan, one
+    * group-key exchange carrying fixed-size sketch state. */
+  def groupStats(df: DataFrame, groupCol: String, distinctCol: String,
+                 numCol: String, rsd: Double = 0.05,
+                 percentileAccuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        approx_count_distinct(col(distinctCol), rsd).as("approx_distinct"),
+        // percentile_approx preserves the input type; cast for a stable
+        // output contract regardless of the numeric column's type
+        percentile_approx(col(numCol), lit(0.5), lit(percentileAccuracy))
+          .cast("double").as("approx_median"))
+
+  /** Count-Min point estimates for a candidate item set: ONE pass builds
+    * the fixed-size sketch (no per-key shuffle state), the driver reads
+    * the (tiny) sketch and answers each candidate. Estimates are
+    * one-sided: `est >= true count`, and `est <= true + eps·N` with
+    * probability `confidence`. The candidate list is driver-bounded by
+    * contract (heavy-hitter verification, not enumeration). */
+  def heavyHitterEstimates(df: DataFrame, itemCol: String,
+                           candidates: Seq[String], eps: Double = 0.001,
+                           confidence: Double = 0.99,
+                           seed: Int = 42): DataFrame = {
+    require(candidates.nonEmpty, "pass at least one candidate item")
+    val sketch = df.stat.countMinSketch(itemCol, eps, confidence, seed)
+    val spark = df.sparkSession
+    val rows = candidates.map(c => Row(c, sketch.estimateCount(c)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("est_count",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+}

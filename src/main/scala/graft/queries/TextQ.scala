@@ -751,6 +751,19 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q68: sketch-tier corpus statistics ([[graft.operators.Sketches
+    * .groupStats]]) — HLL++ distinct texts and approximate median length
+    * per source, one scan with fixed-size mergeable state. NO SQL oracle
+    * by construction (DuckDB's approximate aggregates use different
+    * algorithms, so cross-engine hash parity is impossible); the accuracy
+    * contracts are pinned against exact computation in SketchesSpec and
+    * the driver records a rows-only check. */
+  val q68 = Q.noOracle("q68_sketch_stats") { (s, dir) =>
+    graft.operators.Sketches.groupStats(
+      Tables.documents(s, dir), "source", "text", "n_chars")
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66)
+    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68)
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Sketch-tier accuracy contracts pinned against exact computation on the
+  * real test corpus — the evidence a no-oracle query surface rides on. */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("HLL++ distinct estimates stay within 3 rsd of exact, per group") {
+    val rsd = 0.05
+    val approx = Sketches.groupStats(docs, "source", "text", "n_chars", rsd)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = docs.groupBy("source").agg(countDistinct("text").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (g, ex) =>
+      val err = math.abs(approx(g).toDouble - ex) / ex
+      assert(err <= 3 * rsd, s"group $g: approx ${approx(g)} vs exact $ex")
+    }
+  }
+
+  test("approx median lands inside the exact inter-quartile neighborhood") {
+    val out = Sketches.groupStats(docs, "source", "text", "n_chars")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val bounds = docs.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.25)").as("lo"),
+        expr("percentile(n_chars, 0.75)").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    bounds.foreach { case (g, (lo, hi)) =>
+      assert(out(g) >= lo && out(g) <= hi,
+        s"group $g: approx median ${out(g)} outside [$lo, $hi]")
+    }
+  }
+
+  test("count-min estimates never undercount and respect the eps bound") {
+    val eps = 0.001
+    val total = docs.count()
+    val cands = Seq("src0", "src7", "src19", "absent-source")
+    val est = Sketches.heavyHitterEstimates(docs, "source", cands, eps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cands.foreach { c =>
+      val ex = exact.getOrElse(c, 0L)
+      assert(est(c) >= ex, s"$c: CMS undercounted (${est(c)} < $ex)")
+      assert(est(c) <= ex + (eps * total).ceil.toLong * 10,
+        s"$c: CMS estimate ${est(c)} far above $ex")
+    }
+    assert(est("absent-source") <= (eps * total).ceil.toLong * 10)
+  }
+
+  test("empty candidate list fails loud") {
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitterEstimates(docs, "source", Seq.empty)
+    }
+  }
+}
