@@ -52,6 +52,13 @@ object Sketches {
                            confidence: Double = 0.99,
                            seed: Int = 42): DataFrame = {
     require(candidates.nonEmpty, "pass at least one candidate item")
+    // the sketch hashes the column's NATIVE values; string candidates
+    // queried against a non-string-built sketch hash differently and
+    // silently undercount — cast upstream instead
+    require(df.schema(itemCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"itemCol '$itemCol' must be STRING to match the string candidates " +
+        s"(got ${df.schema(itemCol).dataType}) — cast it first")
     val sketch = df.stat.countMinSketch(itemCol, eps, confidence, seed)
     val spark = df.sparkSession
     val rows = candidates.map(c => Row(c, sketch.estimateCount(c)))

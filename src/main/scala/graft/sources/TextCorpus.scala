@@ -51,9 +51,11 @@ object TextCorpus {
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)))
     val bad = col("_parsed").isNull ||
-      col(s"_parsed.$CorruptCol").isNotNull
+      col("_parsed").getField(CorruptCol).isNotNull
+    // getField treats the name literally — a legal JSON key containing
+    // dots must not be resolved as a nested path
     val clean = parsed.filter(!bad)
-      .select(schema.fieldNames.map(f => col(s"_parsed.$f").as(f))
+      .select(schema.fieldNames.map(f => col("_parsed").getField(f).as(f))
         .toIndexedSeq: _*)
     val quarantine = parsed.filter(bad)
       .select(col("value").as("raw_line"))
@@ -61,10 +63,23 @@ object TextCorpus {
   }
 
   /** [[readJsonl]] plus the ingest audit: (clean, quarantine,
-    * (nClean, nQuarantined)). Two counts over the parsed frame. */
+    * (nClean, nQuarantined)) — both counts from ONE aggregation pass
+    * over the uncached parse, not a scan per count. */
   def readJsonlWithStats(spark: SparkSession, path: String,
                          schema: StructType): (DataFrame, DataFrame, (Long, Long)) = {
     val (clean, quarantine) = readJsonl(spark, path, schema)
-    (clean, quarantine, (clean.count(), quarantine.count()))
+    val withCorrupt = schema.add(CorruptCol,
+      org.apache.spark.sql.types.StringType, nullable = true)
+    val counts = spark.read.text(path)
+      .withColumn("_parsed", from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)))
+      .select((col("_parsed").isNull ||
+        col("_parsed").getField(CorruptCol).isNotNull).as("bad"))
+      .agg(sum(when(!col("bad"), 1L)).as("n_clean"),
+        sum(when(col("bad"), 1L)).as("n_quarantined"))
+      .head()
+    def at(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+    (clean, quarantine, (at(0), at(1)))
   }
 }

@@ -49,15 +49,23 @@ class SketchesSpec extends AnyFunSuite {
     cands.foreach { c =>
       val ex = exact.getOrElse(c, 0L)
       assert(est(c) >= ex, s"$c: CMS undercounted (${est(c)} < $ex)")
-      assert(est(c) <= ex + (eps * total).ceil.toLong * 10,
-        s"$c: CMS estimate ${est(c)} far above $ex")
+      // the documented bound, exactly: est <= true + eps*N (seed is
+      // fixed, so this is deterministic — no slack multiplier)
+      assert(est(c) <= ex + (eps * total).ceil.toLong,
+        s"$c: CMS estimate ${est(c)} breaks the eps bound over $ex")
     }
-    assert(est("absent-source") <= (eps * total).ceil.toLong * 10)
+    assert(est("absent-source") <= (eps * total).ceil.toLong)
   }
 
-  test("empty candidate list fails loud") {
+  test("empty candidate lists and non-string item columns fail loud") {
     intercept[IllegalArgumentException] {
       Sketches.heavyHitterEstimates(docs, "source", Seq.empty)
     }
+    // a Long column would hash natively while the string candidates hash
+    // as UTF-8 — silent undercount; must be rejected at call time
+    val e = intercept[IllegalArgumentException] {
+      Sketches.heavyHitterEstimates(docs, "doc_id", Seq("42"))
+    }
+    assert(e.getMessage.contains("STRING"))
   }
 }

@@ -57,6 +57,20 @@ class TextCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("field names containing dots resolve literally, not as nested paths") {
+    val dotted = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("meta.lang", StringType)))
+    val dir = Files.createTempDirectory("graft-jsonl-dot").toString
+    Files.write(java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      """{"doc_id": 5, "meta.lang": "en"}""".getBytes)
+    val (clean, quarantine) = TextCorpus.readJsonl(spark, dir, dotted)
+    val rows = clean.collect()
+    assert(quarantine.count() == 0)
+    assert(rows.length == 1 && rows.head.getLong(0) == 5L &&
+      rows.head.getString(1) == "en")
+  }
+
   test("a type-mismatched field quarantines the line instead of nulling it") {
     val dir = Files.createTempDirectory("graft-jsonl-type").toString
     Files.write(java.nio.file.Paths.get(dir, "part-0.jsonl"),
