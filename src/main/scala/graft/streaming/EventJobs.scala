@@ -52,4 +52,23 @@ object EventJobs {
         unix_timestamp(col("session_window.start")).as("session_start"),
         unix_timestamp(col("session_window.end")).as("session_end"),
         col("n_items"))
+
+  /** Windowed per-key activity counts over the normalized item feed —
+    * tumbling event-time windows, watermark-finalized (append mode emits
+    * a (window, key) count exactly once, when the watermark passes the
+    * window end). The building block for trending-key analytics; pair
+    * with a bounded per-window top-k in the sink
+    * ([[graft.streaming.Trending]]). */
+  def windowedKeyCounts(items: DataFrame, keyCol: String,
+                        windowDur: String = "10 minutes",
+                        watermark: String = "1 hour"): DataFrame =
+    items
+      .filter(col(keyCol).isNotNull && col("time").isNotNull)
+      .withColumn("ts", timestamp_seconds(col("time")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        unix_timestamp(col("window.end")).as("window_end"),
+        col("key"), col("n"))
 }
