@@ -190,24 +190,34 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
     * caller's compaction trigger. */
   def deltaCount: Int = manifest.size - 1
 
-  /** Ledger of delta directory names a compaction has folded into a base
-    * snapshot. Token idempotence must survive [[replace]]: without this, a
-    * replayed epoch whose delta was just compacted away would re-append
-    * its rows as duplicates (the manifest alone forgets consumed tokens).
-    * One short line per consumed delta — growth is one name per epoch,
-    * negligible next to the data. */
+  /** Ledger of TOKEN-named delta directories a compaction has folded into
+    * a base snapshot. Token idempotence must survive [[replace]]: without
+    * this, a replayed epoch whose delta was just compacted away would
+    * re-append its rows as duplicates (the manifest alone forgets
+    * consumed tokens). Costs are kept off the hot path: tokenless appends
+    * (content-idempotent callers like the item-store merge) never read
+    * the ledger, auto-named (`delta-<nanotime>`, purely numeric) deltas
+    * are never recorded, and retention is bounded to the most recent
+    * [[Snapshots.MaxConsumedTokens]] entries in append order — far beyond
+    * any streaming engine's replay horizon (the engine replays at most
+    * the epochs since its last checkpoint, not months of history). */
   private val tokensFile = rootPath.resolve("consumed-tokens")
 
-  private def consumedTokens: Set[String] =
+  private def consumedTokens: Seq[String] =
     if (Files.exists(tokensFile)) {
       import scala.jdk.CollectionConverters._
-      Files.readAllLines(tokensFile).asScala.filter(_.nonEmpty).toSet
-    } else Set.empty
+      Files.readAllLines(tokensFile).asScala.filter(_.nonEmpty).toSeq
+    } else Seq.empty
 
   private def recordConsumed(dirs: Seq[String]): Unit = {
-    val deltas = dirs.filter(_.startsWith("delta-"))
+    // token deltas only: auto-generated names are purely-numeric suffixes
+    // (and purely-numeric TOKENS are rejected at append time)
+    val deltas = dirs.filter(d =>
+      d.startsWith("delta-") && !d.stripPrefix("delta-").matches("[0-9]+"))
     if (deltas.nonEmpty) {
-      val merged = (consumedTokens ++ deltas).toSeq.sorted
+      val known = consumedTokens
+      val fresh = deltas.filterNot(known.toSet)
+      val merged = (known ++ fresh).takeRight(Snapshots.MaxConsumedTokens)
       val tmp = rootPath.resolve("consumed-tokens.tmp")
       Files.write(tmp, merged.mkString("\n").getBytes)
       Files.move(tmp, tokensFile, StandardCopyOption.ATOMIC_MOVE,
@@ -228,11 +238,21 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
     *   commit leaves an orphan that [[init]] sweeps and the retry
     *   overwrites. */
   def appendDelta(df: DataFrame, token: Option[String] = None): Unit = {
-    token.foreach(t => require(t.matches("[A-Za-z0-9._-]+"),
-      s"delta token must be a plain directory-name fragment, got '$t'"))
+    token.foreach { t =>
+      require(t.matches("[A-Za-z0-9._-]+"),
+        s"delta token must be a plain directory-name fragment, got '$t'")
+      require(!t.matches("[0-9]+"),
+        s"purely numeric token '$t' is reserved for auto-named deltas — " +
+          "prefix it (e.g. 'epoch-" + t + "') to keep cross-compaction " +
+          "replay protection")
+    }
     val old = manifest
     val delta = token.map(t => s"delta-$t").getOrElse(s"delta-${System.nanoTime()}")
-    if (!old.contains(delta) && !consumedTokens.contains(delta)) {
+    // the ledger read is paid only on TOKENED appends — the
+    // content-idempotent tokenless path stays O(batch) with no extra I/O
+    val replayed = old.contains(delta) ||
+      (token.isDefined && consumedTokens.contains(delta))
+    if (!replayed) {
       df.write.mode("overwrite").parquet(rootPath.resolve(delta).toString)
       commitManifest(old :+ delta)
     }
@@ -317,4 +337,13 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
       Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(f => Files.deleteIfExists(f))
     }
+}
+
+object Snapshots {
+  /** Consumed-token ledger retention (append-ordered tail). A streaming
+    * engine replays at most the epochs since its last checkpoint —
+    * typically single digits — so 10k retained tokens is orders of
+    * magnitude past any real replay horizon while bounding the ledger
+    * read that tokened appends pay. */
+  val MaxConsumedTokens: Int = 10000
 }

@@ -91,5 +91,11 @@ class SessionPipelineSpec extends AnyFunSuite {
       Seq(("u10", 5L, 6L, 1L)).toDF("author", "session_start", "session_end", "n_items"),
       Some("epoch-8"))
     assert(reopened.read().count() == 2)
+    // purely numeric tokens would be indistinguishable from auto-named
+    // deltas in the consumed ledger — rejected loud, not silently weaker
+    val e = intercept[IllegalArgumentException] {
+      reopened.appendDelta(rows, Some("12345"))
+    }
+    assert(e.getMessage.contains("reserved"))
   }
 }
