@@ -152,10 +152,18 @@ object Similarity {
     * cent_id and keeps strict improvements only, which selects the
     * LOWEST cent_id among bitwise-equal maxima — exactly `ROW_NUMBER()
     * OVER (ORDER BY cent_cos DESC, cent_id ASC) = 1`. (Zero-norm vectors
-    * producing NaN cosines are outside both paths' contract.) */
+    * producing NaN cosines are outside both paths' contract.)
+    *
+    * Malformed-vector parity: a row whose vector has the wrong dimension
+    * or null elements gets a NULL cosine against EVERY centroid, so the
+    * windowed path drops its candidates before ranking and the left join
+    * back restores the row with a NULL cell — the same row the fast
+    * path's [[graft.functions.NearestCentroid]] emits (NULL cell, row
+    * kept). Without the null filter, `row_number` would rank the all-NULL
+    * group by cent_id alone and assign a real cell on one path only. */
   def assignCells(base: DataFrame, idCol: String, cents: DataFrame,
                   maxDriver: Int = MaxDriverCentroids): DataFrame = {
-    val keep = base.columns.map(col).toSeq :+ col("cent_id").as("cell")
+    val keep = base.columns.map(col).toSeq :+ col("cell")
     // regime probe on ids only (8 bytes/row): deciding the fallback must
     // not itself pull maxDriver full vectors onto the driver
     val overBudget =
@@ -163,11 +171,14 @@ object Similarity {
     if (overBudget) {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cent_cos").desc, col("cent_id").asc)
-      base.crossJoin(broadcast(cents))
+      val best = base.crossJoin(broadcast(cents))
         .withColumn("cent_cos",
           cosine(col("vecd"), col("cent_vec"), col("norm"), col("cent_norm")))
+        .filter(col("cent_cos").isNotNull)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+        .select(col(idCol).as("_cell_of"), col("cent_id").as("cell"))
+      base.join(best, col(idCol) === col("_cell_of"), "left")
         .select(keep: _*)
     } else {
       graft.functions.NearestCentroid.ensureRegistered(base.sparkSession)
@@ -178,7 +189,7 @@ object Similarity {
       val norms = head.map(_.getDouble(2)).toIndexedSeq
       base.withColumn("cell",
         graft.functions.NearestCentroid(col("vecd"), col("norm"), ids, flat, norms))
-        .select(keep.init :+ col("cell"): _*)
+        .select(keep: _*)
     }
   }
 

@@ -41,6 +41,33 @@ object Sketches {
         percentile_approx(col(numCol), lit(0.5), lit(percentileAccuracy))
           .cast("double").as("approx_median"))
 
+  /** The exact cousin of [[groupStats]], priced at what the sketches
+    * avoid: `countDistinct` shuffles every distinct key (state grows with
+    * cardinality) and the exact median ranks every group member (a second
+    * full-width exchange on the group key). Runs on the small strata
+    * where exactness is affordable — and doubles as the oracle-checkable
+    * scaffolding proof for the sketch tier, whose own outputs can never
+    * hash-match a foreign engine (q69 vs q68).
+    *
+    * The median is the LOW median (element at rank ⌈n/2⌉ by `numCol`),
+    * an order statistic of the actual values — integer-exact and
+    * engine-portable, where interpolated medians average two values in
+    * float arithmetic. Ties on `numCol` leave row_number free to permute
+    * equal VALUES, so the picked value is still deterministic. */
+  def exactGroupStats(df: DataFrame, groupCol: String, distinctCol: String,
+                      numCol: String): DataFrame = {
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(distinctCol), col(numCol))
+      .withColumn("_rn", row_number().over(byGroup.orderBy(col(numCol))).cast("long"))
+      .withColumn("_cnt", count(lit(1)).over(byGroup))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(distinctCol)).as("exact_distinct"),
+        max(when(col("_rn") === expr("(_cnt + 1) div 2"),
+          col(numCol))).cast("long").as("exact_median_low"))
+  }
+
   /** Count-Min point estimates for a candidate item set: ONE pass builds
     * the fixed-size sketch (no per-key shuffle state), the driver reads
     * the (tiny) sketch and answers each candidate. Estimates are

@@ -764,6 +764,30 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q69: q68's exact cousin ([[graft.operators.Sketches
+    * .exactGroupStats]]) — the same grouping with exact COUNT(DISTINCT)
+    * and the exact LOW median (the ⌈n/2⌉-th order statistic, integer-
+    * exact in both engines where interpolated medians would float), so
+    * the sketch tier's query scaffolding IS hash-verified even though the
+    * sketch values themselves can't be (q68 is rows-only by construction;
+    * SketchesSpec bounds q68's estimates against THIS query's exacts). */
+  val q69 = Q(
+    "q69_sketch_exact",
+    """WITH r AS (SELECT source, text, n_chars,
+      |                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+      |                  COUNT(*) OVER (PARTITION BY source) AS cnt
+      |           FROM documents)
+      |SELECT source, COUNT(*) AS n_rows,
+      |       CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct,
+      |       CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS BIGINT)
+      |         AS exact_median_low
+      |FROM r GROUP BY source
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.operators.Sketches.exactGroupStats(
+      Tables.documents(s, dir), "source", "text", "n_chars")
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68)
+    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69)
 }

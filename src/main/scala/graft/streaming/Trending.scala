@@ -65,22 +65,38 @@ object Trending {
           val sp = batch.sparkSession
           import sp.implicits._
           // finalized windows only: bounded top-k per window, count
-          // descending with lexicographic key tie-break made total by
-          // ranking on (n, hash-free stable order). TopKAgg orders by
-          // (score desc, id asc); keys are strings, so rank via a
-          // per-window sort of the (tiny) finalized batch instead —
-          // still bounded: |batch| = finalized windows × keys.
+          // descending with lexicographic key tie-break. The group
+          // iterator folds through a k-bounded heap (worst entry at the
+          // head, evicted on a strictly better candidate), so memory is
+          // O(k) per window regardless of the window's key cardinality —
+          // a high-cardinality key column must not buffer a whole
+          // window's key set executor-side.
           val typed = batch
             .select(col("window_start"), col("window_end"), col("key"), col("n"))
             .as[(Long, Long, String, Long)]
+          // ranking is (n desc, key asc); under this ordering the MAXIMAL
+          // element is the WORST ranked one (smallest n, then largest
+          // key), so a max-heap keeps the group's worst survivor at the
+          // head where eviction can read it in O(1)
+          val worstAtHead: Ordering[(String, Long)] =
+            Ordering.by[(String, Long), Long](_._2).reverse
+              .orElse(Ordering.by[(String, Long), String](_._1))
           val top = typed.groupByKey(r => (r._1, r._2))
             .flatMapGroups { (w: (Long, Long),
                               rows: Iterator[(Long, Long, String, Long)]) =>
-              rows.toSeq.sortBy { case (_, _, key, n) => (-n, key) }
-                .take(k).zipWithIndex
-                .map { case ((_, _, key, n), i) =>
-                  (w._1, w._2, (i + 1).toLong, key, n)
+              val heap =
+                scala.collection.mutable.PriorityQueue.empty[(String, Long)](
+                  worstAtHead)
+              rows.foreach { case (_, _, key, n) =>
+                if (heap.size < k) heap.enqueue((key, n))
+                else if (worstAtHead.lt((key, n), heap.head)) {
+                  heap.dequeue(); heap.enqueue((key, n))
                 }
+              }
+              val bestFirst: Seq[(String, Long)] = heap.dequeueAll.reverse
+              bestFirst.zipWithIndex.map { case ((key, n), i) =>
+                (w._1, w._2, (i + 1).toLong, key, n)
+              }
             }
             .toDF("window_start", "window_end", "rank", "key", "n")
           snaps.appendDelta(top, Some(s"epoch-$epoch"))

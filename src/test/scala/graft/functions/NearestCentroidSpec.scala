@@ -85,6 +85,30 @@ class NearestCentroidSpec extends AnyFunSuite {
     }
   }
 
+  test("assignCells paths agree on malformed vectors: NULL cell, row kept") {
+    import spark.implicits._
+    val good = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "vecd")
+    val wrongDim = Seq((3L, Seq(1.0, 0.0, 0.0))).toDF("id", "vecd")
+    val nullElem = spark.range(1).select(lit(4L).as("id"),
+      array(lit(1.0), lit(null).cast("double")).as("vecd"))
+    val base = good.union(wrongDim).union(nullElem)
+      .withColumn("norm", lit(1.0))
+    val cents = Seq((10L, Seq(1.0, 0.0), 1.0), (20L, Seq(0.0, 1.0), 1.0))
+      .toDF("cent_id", "cent_vec", "cent_norm")
+    def assign(maxDriver: Int): Map[Long, Option[Long]] =
+      Similarity.assignCells(base, "id", cents, maxDriver)
+        .select("id", "cell").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val fast = assign(Similarity.MaxDriverCentroids)
+    val windowed = assign(0)
+    assert(fast == windowed)
+    assert(fast(1L).contains(10L) && fast(2L).contains(20L))
+    // malformed rows survive with NULL cell on BOTH paths — the windowed
+    // path must not rank an all-NULL cosine group by cent_id alone
+    assert(fast(3L).isEmpty && fast(4L).isEmpty)
+  }
+
   test("strict-improvement scan keeps the lowest cent_id among exact ties") {
     import spark.implicits._
     NearestCentroid.ensureRegistered(spark)

@@ -38,6 +38,35 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("q69 exacts reconcile the q68 sketches: distinct within 3 rsd, " +
+      "median straddled by the low-median order statistic") {
+    // q69_sketch_exact is the oracle-checked scaffolding twin of the
+    // no-oracle q68_sketch_stats — this cross-reference pins that the two
+    // queries describe the SAME statistics of the same grouping
+    val rsd = 0.05
+    val exact = graft.queries.TextQ.q69.fn(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val approx = graft.queries.TextQ.q68.fn(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (g, (nRows, exDistinct, exMedianLow)) =>
+      val (aRows, aDistinct, aMedian) = approx(g)
+      assert(aRows == nRows, s"group $g: row counts must agree exactly")
+      val err = math.abs(aDistinct.toDouble - exDistinct) / exDistinct
+      assert(err <= 3 * rsd, s"group $g: HLL $aDistinct vs exact $exDistinct")
+      // the low median is the ⌈n/2⌉-th order statistic; GK's 0.5 quantile
+      // at this accuracy must land within the adjacent-rank neighborhood
+      // — bounded here by the exact quartiles like the q68-only test
+      val (lo, hi) = docs.filter(col("source") === g)
+        .agg(expr("percentile(n_chars, 0.25)"), expr("percentile(n_chars, 0.75)"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).head
+      assert(aMedian >= lo && aMedian <= hi && exMedianLow >= lo && exMedianLow <= hi,
+        s"group $g: medians ($aMedian approx, $exMedianLow exact) outside [$lo, $hi]")
+    }
+  }
+
   test("count-min estimates never undercount and respect the eps bound") {
     val eps = 0.001
     val total = docs.count()
