@@ -26,8 +26,13 @@ object Explain {
           private val starts =
             new java.util.concurrent.ConcurrentHashMap[Int, Long]()
           override def onJobStart(
-              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
             starts.put(j.jobId, j.time)
+            val props = Option(j.properties)
+            val site = props.map(_.getProperty("spark.job.description",
+              props.get.getProperty("spark.callSite.short", "?"))).getOrElse("?")
+            println(f"[jobstart] id=${j.jobId}%3d stages=${j.stageInfos.map(_.name).mkString(" | ").take(160)} desc=${String.valueOf(site).take(80)}")
+          }
           override def onJobEnd(
               j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
             val dur = j.time - starts.getOrDefault(j.jobId, j.time)

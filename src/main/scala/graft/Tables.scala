@@ -15,6 +15,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Footer schemas, keyed per (dir, table): schema inference on a
+    * schemaless `read.parquet` runs a footer-read JOB on every call, and
+    * every query execution re-resolves its tables — so an uncached loader
+    * pays 1–3 jobs per run just to rediscover schemas that never change.
+    * The test tables are immutable driver artifacts; caching their
+    * inferred schema per path is exactly what a production deployment
+    * gets from a catalog/metastore. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.PolyHash.ensureRegistered(spark)
     graft.functions.WordShingles.ensureRegistered(spark)
@@ -25,7 +36,10 @@ object Tables {
     graft.functions.VecDot.ensureRegistered(spark)
     graft.functions.TokenStats.ensureRegistered(spark)
     graft.functions.StopHits.ensureRegistered(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

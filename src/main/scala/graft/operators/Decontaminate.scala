@@ -84,7 +84,17 @@ object Decontaminate {
     val esh = Dedup.shingles(eval, idCol, textCol)
       .select(col("id").as("eval_id"), strHash(col("g")).as("g"))
       .localCheckpoint(true)
+    // ONE exchange for both aggregation levels: hash-partitioning on the
+    // train id alone satisfies the pair-level grouping's (id, eval_id)
+    // clustering AND the doc-level grouping's, so the two stacked aggs
+    // run back-to-back in the same stage with no exchange between them —
+    // where stacked groupBys would materialize two sequential shuffles
+    // (pair keys, then id). The exchange carries raw (g, id, eval_id)
+    // match longs instead of partially-aggregated pairs; matches are
+    // bounded by the overlap join's output either way, and dropping a
+    // whole stage boundary wins at the measured ~12-sequential-job floor.
     Salting.hotSaltedJoin(tsh, esh, "g", col("id"), saltR, hotMin)
+      .repartition(col("id"))
       .groupBy("id", "eval_id").agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minShared)
       .groupBy("id")

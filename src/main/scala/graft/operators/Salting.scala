@@ -31,42 +31,69 @@ object Salting {
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** The measured hot-key set of `small`, found in ONE bounded job: a
+    * per-partition count pass emits only locally-repeated keys and the
+    * driver merges the partials — no aggregation exchange, no broadcast
+    * build. The emission floor of 2 is sound by pigeonhole whenever
+    * `hotMin` exceeds the partition count (a key with global count ≥
+    * hotMin must repeat within some partition), and the driver threshold
+    * `hotMin − nPart` absorbs the ≤ 1-per-partition undercount the floor
+    * can hide — so every truly-hot key is caught, and the only slack is
+    * keys in [hotMin − nPart, hotMin) salting unnecessarily. That slack
+    * is free: salting changes placement, never pairing. When hotMin ≤
+    * nPart (degenerate small-data regime) the floor drops to 1 and the
+    * count is exact. Collect size is bounded by the locally-repeated key
+    * set — the skew tail this operator exists for is a FEW heavy keys,
+    * so the partials are tiny by the same argument as the old
+    * |small| / hotMin broadcast bound. */
+  private[operators] def hotKeys(small: DataFrame, key: String,
+                                 hotMin: Long): Seq[Any] = {
+    val rdd = small.select(col(key)).rdd
+    val nPart = rdd.getNumPartitions
+    val floor = if (hotMin > nPart) 2L else 1L
+    val partials = rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[Any, Long]
+      it.foreach { row =>
+        val k = row.get(0)
+        if (k != null) m.update(k, m.getOrElse(k, 0L) + 1L)
+      }
+      m.iterator.filter(_._2 >= floor)
+    }.collect()
+    val sums = scala.collection.mutable.HashMap.empty[Any, Long]
+    partials.foreach { case (k, c) => sums.update(k, sums.getOrElse(k, 0L) + c) }
+    val thr = if (floor == 2L) math.max(1L, hotMin - nPart) else hotMin
+    sums.iterator.filter(_._2 >= thr).map(_._1).toSeq
+  }
+
   /** [[saltedJoin]] that salts ONLY the measured hot keys — the 100 TB
     * shape when the small side is merely modest: full replication costs
     * `r × |small|` exchange rows for a tail of keys that never needed the
-    * fan-out. One cheap partial-aggregated count over the small side finds
-    * the keys with ≥ `hotMin` rows (bounded by |small| / hotMin — tiny by
-    * construction, so it broadcasts); hot keys salt `r` ways, every other
-    * key keeps salt 0 with NO replication. The join strategy is pinned
-    * shuffle-hash: if either side were broadcastable the salt would be
-    * pointless (broadcast joins have no per-key placement), and the
-    * planner's pre-explode stats undercount exploded sides anyway.
+    * fan-out. [[hotKeys]] finds the hot set in one bounded job; hot keys
+    * salt `r` ways, every other key keeps salt 0 with NO replication.
+    * The hot set rides into both sides as an `InSet` predicate evaluated
+    * in-scan — no aggregation exchange, no broadcast tag joins. The join
+    * strategy is pinned shuffle-hash: if either side were broadcastable
+    * the salt would be pointless (broadcast joins have no per-key
+    * placement), and the planner's pre-explode stats undercount exploded
+    * sides anyway.
     *
     * Same contract as [[saltedJoin]]: placement changes, pairing never
-    * does — each (skewed, small) row pair meets exactly once.
+    * does — each (skewed, small) row pair meets exactly once, whatever
+    * the hot classification decided.
     */
   def hotSaltedJoin(skewed: DataFrame, small: DataFrame, key: String,
                     saltBy: Column, r: Int, hotMin: Long): DataFrame = {
-    // The hot set feeds BOTH tag joins from one logical subtree — the two
-    // broadcast builds are identical, so ReuseExchange materializes the
-    // agg once. Callers pass a `small` whose lineage is cheap to re-read
-    // (e.g. already checkpointed); an eager checkpoint here would add a
-    // sequential job to every call for a set bounded by |small| / hotMin.
-    val hot = small.groupBy(col(key)).agg(count(lit(1)).as("_hc"))
-      .filter(col("_hc") >= hotMin).select(col(key).as("_hk"))
+    val hot = hotKeys(small, key, hotMin)
+    val isHot: Column =
+      if (hot.isEmpty) lit(false) else col(key).isInCollection(hot)
     val saltedBig = skewed
-      .join(broadcast(hot), col(key) === col("_hk"), "left")
       .withColumn("_salt",
-        when(col("_hk").isNotNull, pmod(hash(saltBy), lit(r))).otherwise(lit(0)))
-      .drop("_hk")
+        when(isHot, pmod(hash(saltBy), lit(r))).otherwise(lit(0)))
       .hint("shuffle_hash")
     val replicated = small
-      .join(broadcast(hot), col(key) === col("_hk"), "left")
-      .withColumn("_salts",
-        when(col("_hk").isNotNull, sequence(lit(0), lit(r - 1)))
-          .otherwise(array(lit(0))))
-      .withColumn("_salt", explode(col("_salts")))
-      .drop("_salts", "_hk")
+      .withColumn("_salt",
+        explode(when(isHot, sequence(lit(0), lit(r - 1)))
+          .otherwise(array(lit(0)))))
       .hint("shuffle_hash")
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
