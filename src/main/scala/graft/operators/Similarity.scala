@@ -193,6 +193,128 @@ object Similarity {
     }
   }
 
+  /** Both bounded codebooks of the two-level quantizer, collected once:
+    * the level-1 subsample and the shared residual codebook derived from
+    * the level-2 subsample's residuals against their OWN level-1 cells.
+    * Exactly two bounded driver jobs; fails loud on an empty or
+    * over-budget subsample like [[centroidsOf]]. */
+  private[operators] final case class TwoLevelCodebooks(
+      ids1: IndexedSeq[Long], flat1: IndexedSeq[Double],
+      norms1: IndexedSeq[Double], ids2: IndexedSeq[Long],
+      flat2: IndexedSeq[Double]) {
+    def dim: Int = flat1.length / ids1.length
+  }
+
+  private[operators] def buildCodebooks(
+      base: DataFrame, idCol: String, every1: Int, every2: Int,
+      maxDriver: Int): TwoLevelCodebooks = {
+    graft.functions.NearestCentroid.ensureRegistered(base.sparkSession)
+    graft.functions.NearestResidual.ensureRegistered(base.sparkSession)
+    val head = base.filter(col(idCol) % every1 === 0)
+      .select(col(idCol), col("vecd"), col("norm"))
+      .orderBy(col(idCol)).head(maxDriver + 1)
+    require(head.nonEmpty,
+      s"level-1 subsample is empty: no row has $idCol % $every1 == 0 — " +
+        "pass a smaller every1")
+    require(head.length <= maxDriver,
+      s"level-1 codebook exceeds $maxDriver entries — raise every1")
+    val ids1 = head.map(_.getLong(0)).toIndexedSeq
+    val flat1 = head.flatMap(_.getSeq[Double](1)).toIndexedSeq
+    val norms1 = head.map(_.getDouble(2)).toIndexedSeq
+    val dim = flat1.length / ids1.length
+    val ids1Arr = ids1.toArray
+    // Malformed sample rows (NULL cell1) are excluded: they cannot
+    // anchor a cell.
+    val sample = base
+      .withColumn("cell1", graft.functions.NearestCentroid(
+        col("vecd"), col("norm"), ids1, flat1, norms1))
+      .filter(col(idCol) % every2 === 0 && col("cell1").isNotNull)
+      .select(col(idCol), col("vecd"), col("cell1"))
+      .orderBy(col(idCol)).head(maxDriver + 1)
+    require(sample.nonEmpty,
+      s"level-2 subsample is empty: no well-formed row has $idCol % $every2 == 0")
+    require(sample.length <= maxDriver,
+      s"level-2 codebook exceeds $maxDriver entries — raise every2")
+    val ids2 = sample.map(_.getLong(0)).toIndexedSeq
+    val flat2 = sample.flatMap { r =>
+      val v = r.getSeq[Double](1)
+      // cell1 was assigned FROM ids1, so the lookup always hits
+      val off = java.util.Arrays.binarySearch(ids1Arr, r.getLong(2)) * dim
+      (0 until dim).map(i => v(i) - flat1(off + i))
+    }.toIndexedSeq
+    TwoLevelCodebooks(ids1, flat1, norms1, ids2, flat2)
+  }
+
+  /** (cell1, cell2) in-scan assignment against pre-collected codebooks. */
+  private def assignWith(base: DataFrame, cb: TwoLevelCodebooks): DataFrame =
+    base
+      .withColumn("cell1", graft.functions.NearestCentroid(
+        col("vecd"), col("norm"), cb.ids1, cb.flat1, cb.norms1))
+      .withColumn("cell2", graft.functions.NearestResidual(
+        col("vecd"), col("cell1"), cb.ids1, cb.flat1, cb.ids2, cb.flat2))
+
+  /** Two-level coarse quantizer — the true-100 TB regime where a single
+    * level runs out: constant cell population needs |C| ∝ n centroids,
+    * but only ~64k fit the per-task shipping budget
+    * ([[MaxDriverCentroids]]), so past 64k·cellsize vectors a single-level
+    * quantizer must either blow up cell population (fixed |C|) or fall
+    * back to broadcasting an O(n) centroid set (the windowed path).
+    * Composing two bounded codebooks instead spans a |C1|·|C2| cell
+    * VOCABULARY (4B+ composite cells from 64k+64k) while shipping only
+    * |C1| + |C2| vectors — per-cell sub-centroid tables would ship
+    * |C1|·k2, the same O(n) blowup one level down.
+    *
+    * Level 1: cosine argmax against the `every1`-stride subsample — the
+    * in-scan [[graft.functions.NearestCentroid]], unchanged. Level 2: a
+    * SHARED residual codebook (the `every2`-stride subsample's residuals
+    * against their OWN level-1 centroids — residual quantization, the
+    * IVF-ADC construction); every row takes the codebook entry nearest
+    * (squared L2) to its residual via the in-scan [[graft.functions
+    * .NearestResidual]]. Squared L2 — not cosine — keeps zero-residual
+    * rows (exact centroid matches) well-defined.
+    *
+    * Output: every column of `base` plus (cell1, cell2). ZERO corpus
+    * exchanges: both assignments run inside the scan; the only jobs are
+    * two bounded codebook collects (≤ maxDriver rows each). Rows whose
+    * vector is malformed (wrong dimension / null elements) carry NULL
+    * cells, like [[assignCells]]. Generalizes the reference's
+    * index-as-physical-design idea (hnarchive.py:53-58) one hierarchy
+    * level deeper, to vectors.
+    */
+  def assignCellsTwoLevel(base: DataFrame, idCol: String, every1: Int,
+                          every2: Int,
+                          maxDriver: Int = MaxDriverCentroids): DataFrame =
+    assignWith(base, buildCodebooks(base, idCol, every1, every2, maxDriver))
+
+  /** [[semDedup]] over the two-level quantizer: the all-pairs comparison
+    * confines to COMPOSITE (cell1, cell2) cells, whose population the
+    * two bounded codebooks keep small without either exceeding the
+    * shipping budget — the same paper semantics with the cluster count
+    * no longer capped at 64k. Output: (idCol, cell1, cell2, dup_of,
+    * n_dups, top_cos_r). */
+  def semDedupTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                       minCos: Double, every1: Int, every2: Int): DataFrame = {
+    val base = withNorm(df, vecCol)
+    val cb = buildCodebooks(base, idCol, every1, every2, MaxDriverCentroids)
+    val assigned = assignWith(base, cb)
+      .select(col(idCol), col("vecd"), col("norm"), col("cell1"), col("cell2"))
+    val a = assigned.select(col("cell1"), col("cell2"), col(idCol).as("id_a"),
+      col("vecd").as("va"), col("norm").as("na"))
+    val b = assigned.select(col("cell1"), col("cell2"), col(idCol).as("id_b"),
+      col("vecd").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cell1", "cell2"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_r",
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .filter(col("cos_r") >= minCos)
+      .groupBy(col("id_b"), col("cell1"), col("cell2"))
+      .agg(min(col("id_a")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        max(col("cos_r")).as("top_cos_r"))
+      .select(col("id_b").as(idCol), col("cell1"), col("cell2"),
+        col("dup_of"), col("n_dups"), col("top_cos_r"))
+  }
+
   /** IVF-style ANN top-k: a deterministic subsample of the corpus acts as
     * the coarse quantizer (the "centroids"); every vector is assigned to
     * its nearest centroid's cell (one small broadcast cross-join + argmin),
@@ -271,6 +393,91 @@ object Similarity {
         round(dotD(col("vecd"), qlit) / (col("norm") * qnorm), 6).as("cos_r"))
       .orderBy(col("cos_r").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** [[ivfTopK]] over the two-level quantizer: the probe ranks level-1
+    * cells by query cosine (nprobe1), then within each probed cell ranks
+    * the residual codebook by the QUERY'S residual against that cell's
+    * centroid (nprobe2) — all driver-side arithmetic over the two
+    * collected codebooks, no corpus job. The exact rerank touches only
+    * rows whose composite (cell1, cell2) is among the nprobe1·nprobe2
+    * probed pairs (a broadcast semi-join on the pair). Driver folds are
+    * index-ordered like the in-scan expressions, so probing is
+    * bitwise-reproducible by a SQL twin. */
+  def ivfTopKTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int, every1: Int, every2: Int,
+                      nprobe1: Int = 2, nprobe2: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val base = withNorm(df, vecCol)
+    val cb = buildCodebooks(base, idCol, every1, every2, MaxDriverCentroids)
+    val assigned = assignWith(base, cb)
+      .select(col(idCol), col("vecd"), col("norm"), col("cell1"), col("cell2"))
+    val qRow = base.filter(col(idCol) === queryId)
+      .select(col("vecd"), col("norm")).head()
+    val qv = qRow.getSeq[Double](0).toArray
+    val qn = qRow.getDouble(1)
+    val dim = cb.dim
+    // level-1 probe: query cosine against each centroid, index-ordered
+    // fold like the in-scan expressions (bitwise SQL-replayable)
+    val probed1 = cb.ids1.indices.map { c =>
+      val off = c * dim
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += qv(i) * cb.flat1(off + i); i += 1 }
+      (cb.ids1(c), off, acc / (qn * cb.norms1(c)))
+    }.sortBy { case (id, _, cos) => (-cos, id) }.take(nprobe1)
+    // level-2 probe per probed cell: the QUERY'S residual against that
+    // cell's centroid, ranked against the shared codebook by squared L2
+    val probedPairs = probed1.flatMap { case (cid1, off1, _) =>
+      cb.ids2.indices.map { c =>
+        val off2 = c * dim
+        var acc = 0.0; var i = 0
+        while (i < dim) {
+          val d = (qv(i) - cb.flat1(off1 + i)) - cb.flat2(off2 + i)
+          acc += d * d; i += 1
+        }
+        (cb.ids2(c), acc)
+      }.sortBy { case (id, dist) => (dist, id) }.take(nprobe2)
+        .map { case (cid2, _) => (cid1, cid2) }
+    }
+    import spark.implicits._
+    val pairsDf = probedPairs.toDF("cell1", "cell2")
+    val q = base.filter(col(idCol) === queryId)
+      .select(col("vecd").as("qvec"), col("norm").as("qnorm"))
+    assigned
+      .join(broadcast(pairsDf), Seq("cell1", "cell2"))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("cell1"), col("cell2"),
+        round(cosine(col("vecd"), col("qvec"), col("norm"), col("qnorm")), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** [[ivfWriteIndex]] over the two-level quantizer: the corpus lands
+    * PARTITIONED BY (cell1, cell2) — the composite inverted file as
+    * nested directories, so a two-level probe prunes at both levels —
+    * with both (tiny) codebooks as sidecars for probe-time ranking. The
+    * sidecars are written from the SAME collected arrays the assignment
+    * shipped, so index and probe can never disagree on the quantizer. */
+  def ivfWriteIndexTwoLevel(df: DataFrame, idCol: String, vecCol: String,
+                            dir: String, every1: Int, every2: Int): Unit = {
+    val spark = df.sparkSession
+    val base = withNorm(df, vecCol)
+    val cb = buildCodebooks(base, idCol, every1, every2, MaxDriverCentroids)
+    assignWith(base, cb)
+      .select(col(idCol), col(vecCol), col("cell1"), col("cell2"))
+      .write.mode("overwrite").partitionBy("cell1", "cell2")
+      .parquet(s"$dir/data")
+    import spark.implicits._
+    val dim = cb.dim
+    cb.ids1.indices.map { c =>
+      (cb.ids1(c), (0 until dim).map(i => cb.flat1(c * dim + i)), cb.norms1(c))
+    }.toDF("cell1", "cent_vec", "cent_norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids1")
+    cb.ids2.indices.map { c =>
+      (cb.ids2(c), (0 until dim).map(i => cb.flat2(c * dim + i)))
+    }.toDF("cell2", "rvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook2")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv

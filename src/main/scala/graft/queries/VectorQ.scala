@@ -318,5 +318,106 @@ object VectorQ {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67)
+  /** Shared CTE prefix re-deriving the TWO-LEVEL quantizer in SQL: the
+    * level-1 assignment (cosine argmax, q40's pattern), the shared
+    * residual codebook (the `every2`-stride subsample's residuals against
+    * their OWN level-1 centroids), and the level-2 assignment (squared-L2
+    * argmin over the codebook, lowest cent2_id tie-break) — every fold
+    * index-ordered, so both [[graft.functions.NearestCentroid]] and
+    * [[graft.functions.NearestResidual]] are replayed bitwise. */
+  private def twoLevelCte(every1: Int, every2: Int): String = {
+    // squared-L2 between row x's residual (vs centroid cv) and codebook
+    // entry rv, as one sequential fold
+    def sqlResDist(emb: String, cv: String, rv: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($emb) + 1), " +
+      s"i -> ((CAST($emb[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)) - $rv[i])" +
+      s" * ((CAST($emb[i] AS DOUBLE) - CAST($cv[i] AS DOUBLE)) - $rv[i]))), " +
+      s"(x, y) -> x + y)"
+    s"""n AS (SELECT vec_id, embedding,
+       |             sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |      FROM embeddings),
+       |c1 AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+       |       FROM n WHERE vec_id % $every1 = 0),
+       |s1 AS (SELECT n.vec_id, n.embedding, n.nrm, c1.cent_id,
+       |              ${sqlDot("n.embedding", "c1.cv")} / (n.nrm * c1.cn) AS cent_cos
+       |       FROM n, c1),
+       |a1 AS (SELECT vec_id, embedding, nrm, cent_id AS cell1 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn
+       |    FROM s1) WHERE rn = 1),
+       |c2 AS (SELECT a.vec_id AS cent2_id,
+       |              list_transform(range(1, len(a.embedding) + 1),
+       |                i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
+       |       FROM a1 a JOIN c1 c ON c.cent_id = a.cell1
+       |       WHERE a.vec_id % $every2 = 0),
+       |d2 AS (SELECT a.vec_id, a.cell1, c2.cent2_id,
+       |              ${sqlResDist("a.embedding", "c.cv", "c2.rv")} AS dist
+       |       FROM a1 a JOIN c1 c ON c.cent_id = a.cell1, c2),
+       |a2 AS (SELECT vec_id, cent2_id AS cell2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist ASC, cent2_id) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |asg AS (SELECT a1.vec_id, a1.embedding, a1.nrm, a1.cell1, a2.cell2
+       |        FROM a1 JOIN a2 USING (vec_id))""".stripMargin
+  }
+
+  /** q70: SemDeDup over the TWO-LEVEL quantizer ([[Similarity
+    * .semDedupTwoLevel]]) — the paper semantics with the cluster count no
+    * longer capped by the per-task codebook budget: the composite
+    * (cell1, cell2) vocabulary is |C1|·|C2| from |C1|+|C2| shipped
+    * vectors, assignment fully in-scan. The oracle re-derives both
+    * codebooks, both assignments, the within-composite-cell pairs, and
+    * the keep-lowest-id policy. */
+  val q70 = Q(
+    "q70_semdedup_2level",
+    s"""WITH ${twoLevelCte(50, 37)},
+       |p AS (SELECT x.cell1, x.cell2, x.vec_id AS id_a, y.vec_id AS id_b,
+       |             ROUND(${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cos_r
+       |      FROM asg x JOIN asg y
+       |        ON x.cell1 = y.cell1 AND x.cell2 = y.cell2 AND x.vec_id < y.vec_id)
+       |SELECT id_b AS vec_id, cell1, cell2, MIN(id_a) AS dup_of,
+       |       CAST(COUNT(*) AS BIGINT) AS n_dups, MAX(cos_r) AS top_cos_r
+       |FROM p WHERE cos_r >= 0.4
+       |GROUP BY 1, 2, 3
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Similarity.semDedupTwoLevel(Tables.embeddings(s, dir), "vec_id", "embedding",
+      minCos = 0.4, every1 = 50, every2 = 37)
+      .orderBy("vec_id")
+  }
+
+  /** q71: IVF ANN over the TWO-LEVEL quantizer ([[Similarity
+    * .ivfTopKTwoLevel]]) — hierarchical probe (nprobe1 level-1 cells by
+    * query cosine, then nprobe2 codebook entries by the query's residual
+    * per probed cell), exact rerank on the probed composite cells only.
+    * The oracle replays the entire pipeline including the probe. */
+  val q71 = Q(
+    "q71_ann_ivf_2level",
+    s"""WITH ${twoLevelCte(50, 37)},
+       |q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+       |p1 AS (SELECT cent_id, cv FROM c1, q
+       |       ORDER BY ${sqlDot("c1.cv", "q.qv")} / (c1.cn * q.qn) DESC, cent_id
+       |       LIMIT 3),
+       |pp AS (SELECT cell1, cell2 FROM (
+       |    SELECT p1.cent_id AS cell1, c2.cent2_id AS cell2,
+       |           ROW_NUMBER() OVER (PARTITION BY p1.cent_id ORDER BY
+       |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list_transform(range(1, len(q.qv) + 1),
+       |                 i -> ((CAST(q.qv[i] AS DOUBLE) - CAST(p1.cv[i] AS DOUBLE)) - c2.rv[i])
+       |                    * ((CAST(q.qv[i] AS DOUBLE) - CAST(p1.cv[i] AS DOUBLE)) - c2.rv[i]))),
+       |               (x, y) -> x + y) ASC, c2.cent2_id) AS rn
+       |    FROM p1, c2, q) WHERE rn <= 2)
+       |SELECT vec_id, cell1, cell2,
+       |       ROUND(${sqlDot("asg.embedding", "q.qv")} / (asg.nrm * q.qn), 6) AS cos_r
+       |FROM asg JOIN pp USING (cell1, cell2), q
+       |WHERE vec_id <> 0
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    Similarity.ivfTopKTwoLevel(Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryId = 0L, k = 10, every1 = 50, every2 = 37,
+      nprobe1 = 3, nprobe2 = 2)
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
+    q70, q71)
 }
