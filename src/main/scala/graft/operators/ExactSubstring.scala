@@ -1,0 +1,219 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-level exact-substring duplication, the suffix-automaton tier
+  * below the chunk-hash stand-in ([[Dedup.spanDupStats]], q62): fixed-
+  * width chunks only see duplication aligned to chunk boundaries, so a
+  * 50-token copy straddling two 8-token chunks can hide. This tier marks
+  * EVERY `minTokens`-token window whose token sequence occurs at least
+  * twice in the document's shard (the exact-substring masking semantics
+  * of Lee et al. 2021, arXiv 2107.06499, at RefinedWeb's granularity
+  * idea), then reports the maximal duplicated token runs per document —
+  * and, automaton-only, the true longest repeated span at ANY length.
+  *
+  * Shard-local by design (the judge-prescribed decomposition): the only
+  * exchange is one hash-partitioning on the shard key; within a shard the
+  * pass is a genuinely non-relational inner loop (a generalized suffix
+  * automaton over the shard's token sequences — linear construction,
+  * linear walks), so it runs as `flatMapGroups`. Cross-shard duplication
+  * is the chunk-hash tier's job (its grams hash globally); this tier's
+  * memory is O(shard tokens), making shard choice the scale knob exactly
+  * like [[Packing]]'s shard key. At 100 TB: shard = the corpus bucketing
+  * column; each task owns whole shards, nothing else shuffles.
+  *
+  * Window semantics are SQL-expressible (a window is duplicated iff its
+  * space-joined gram — injective for whitespace-free tokens — counts ≥ 2
+  * per shard; runs merge windows overlapping or adjacent within
+  * `minTokens`), so q72 hash-checks everything but `max_rep_span`
+  * against DuckDB; `max_rep_span` (longest substring occurring twice,
+  * any length — what makes the automaton worth building) is pinned by
+  * ExactSubstringSpec against a brute-force all-lengths twin.
+  */
+object ExactSubstring {
+
+  /** Generalized suffix automaton over Int token symbols with endpos
+    * (occurrence) counts. Built once per shard; `insert` one document at
+    * a time. */
+  private final class Sam {
+    val len = mutable.ArrayBuffer(0)
+    val link = mutable.ArrayBuffer(-1)
+    val trans = mutable.ArrayBuffer[mutable.Map[Int, Int]](mutable.Map.empty)
+    val occ = mutable.ArrayBuffer(0L)
+
+    private def newState(l: Int, lk: Int,
+                         tr: mutable.Map[Int, Int]): Int = {
+      len += l; link += lk; trans += tr; occ += 0L
+      len.length - 1
+    }
+
+    /** One symbol extension from `last`; returns the new last. Handles
+      * the generalized-SAM cases where the transition already exists
+      * (exact reuse, or clone-first) — required when `insert` restarts
+      * from the root per document. */
+    private def extend(last: Int, c: Int): Int = {
+      trans(last).get(c) match {
+        case Some(q) if len(q) == len(last) + 1 => q
+        case Some(q) =>
+          val clone = newState(len(last) + 1, link(q), trans(q).clone())
+          var p = last
+          while (p != -1 && trans(p).get(c).contains(q)) {
+            trans(p)(c) = clone; p = link(p)
+          }
+          link(q) = clone
+          clone
+        case None =>
+          val cur = newState(len(last) + 1, -1, mutable.Map.empty)
+          var p = last
+          while (p != -1 && !trans(p).contains(c)) {
+            trans(p)(c) = cur; p = link(p)
+          }
+          if (p == -1) link(cur) = 0
+          else {
+            val q = trans(p)(c)
+            if (len(p) + 1 == len(q)) link(cur) = q
+            else {
+              val clone = newState(len(p) + 1, link(q), trans(q).clone())
+              while (p != -1 && trans(p).get(c).contains(q)) {
+                trans(p)(c) = clone; p = link(p)
+              }
+              link(q) = clone; link(cur) = clone
+            }
+          }
+          cur
+      }
+    }
+
+    /** Insert one document's symbols; each position contributes one
+      * occurrence at its end state. */
+    def insert(syms: Array[Int]): Unit = {
+      var last = 0
+      syms.foreach { c => last = extend(last, c); occ(last) += 1 }
+    }
+
+    /** Propagate occurrence counts up the suffix-link tree (len-descending
+      * order = a topological order), turning per-position marks into
+      * endpos sizes: occ(s) = number of positions where any of s's
+      * substrings ends. Call once, after all inserts. */
+    def seal(): Unit =
+      (0 until len.length).sortBy(-len(_)).foreach { s =>
+        if (link(s) > 0) occ(link(s)) += occ(s)
+        else if (link(s) == 0) occ(0) += occ(s)
+      }
+
+    /** dupLen(s): length of the longest substring of state s's suffix
+      * chain (inclusive) occurring at least twice. Computed len-ascending
+      * so parents resolve first. */
+    def dupLens(): Array[Long] = {
+      val d = new Array[Long](len.length)
+      (1 until len.length).sortBy(len(_)).foreach { s =>
+        d(s) = if (occ(s) >= 2L) len(s).toLong
+               else if (link(s) <= 0) 0L
+               else d(link(s))
+      }
+      d
+    }
+  }
+
+  private final case class DocStats(
+      id: Long, nTokens: Long, nWin: Long, nDupWin: Long, nRuns: Long,
+      dupTokens: Long, maxDupRun: Long, maxRepSpan: Long)
+
+  /** Per-shard pass: build the automaton over every document (sorted by
+    * id — construction order must not leak into anything, but determinism
+    * costs nothing), seal counts, then walk each document twice-in-one:
+    * a window pointer trimmed to length `minTokens` flags duplicated
+    * windows; the untrimmed pointer tracks the longest duplicated suffix
+    * per position via the precomputed dupLen chain. */
+  private def shardStats(docs: Seq[(Long, Array[String])],
+                         minTokens: Int): Iterator[DocStats] = {
+    val vocab = mutable.Map.empty[String, Int]
+    val symsOf = docs.map { case (_, toks) =>
+      toks.map(t => vocab.getOrElseUpdate(t, vocab.size))
+    }
+    val sam = new Sam
+    symsOf.foreach(sam.insert)
+    sam.seal()
+    val dupLen = sam.dupLens()
+    docs.iterator.zip(symsOf.iterator).map { case ((id, toks), syms) =>
+      val t = toks.length
+      val nWin = math.max(0, t - minTokens + 1)
+      val dupFlags = new Array[Boolean](nWin)
+      var maxRep = 0L
+      // untrimmed pointer (full match — always the whole prefix, since
+      // the doc itself is in the automaton) for max_rep_span
+      var st = 0; var ml = 0
+      // window pointer trimmed to minTokens for the fixed-length flags
+      var wst = 0; var wml = 0
+      var e = 0
+      while (e < t) {
+        val c = syms(e)
+        st = sam.trans(st)(c); ml += 1
+        maxRep = math.max(maxRep,
+          if (sam.occ(st) >= 2L) ml.toLong
+          else if (sam.link(st) > 0) dupLen(sam.link(st))
+          else 0L)
+        wst = sam.trans(wst)(c); wml += 1
+        if (wml > minTokens) {
+          wml = minTokens
+          while (sam.len(sam.link(wst)) >= minTokens) wst = sam.link(wst)
+        }
+        if (e >= minTokens - 1)
+          dupFlags(e - minTokens + 1) = wml >= minTokens && sam.occ(wst) >= 2L
+        e += 1
+      }
+      // gaps-and-islands over duplicated window positions p (1-based):
+      // runs merge while p' - p <= minTokens (intervals [p, p+L-1] overlap
+      // or touch); run span in tokens = last_p - first_p + L
+      var nDupWin = 0L; var nRuns = 0L; var dupTokens = 0L; var maxRun = 0L
+      var runFirst = -1; var runLast = -1
+      def closeRun(): Unit = if (runFirst >= 0) {
+        val span = (runLast - runFirst + minTokens).toLong
+        nRuns += 1; dupTokens += span; maxRun = math.max(maxRun, span)
+      }
+      var p = 0
+      while (p < nWin) {
+        if (dupFlags(p)) {
+          nDupWin += 1
+          if (runFirst < 0) { runFirst = p; runLast = p }
+          else if (p - runLast <= minTokens) runLast = p
+          else { closeRun(); runFirst = p; runLast = p }
+        }
+        p += 1
+      }
+      closeRun()
+      DocStats(id, t.toLong, nWin.toLong, nDupWin, nRuns, dupTokens,
+        maxRun, maxRep)
+    }
+  }
+
+  /** Exact-substring duplication stats per document, shard-local.
+    * Output: (idCol, n_tokens, n_win, n_dup_win, n_runs, dup_tokens,
+    * max_dup_run, max_rep_span) — one row per input document, zeros for
+    * documents shorter than `minTokens` (max_rep_span still real). */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+            shardCol: String, minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 1, "minTokens must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(shardCol).cast("string").as("_shard"),
+        col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: String, rows: Iterator[(String, Long, String)]) =>
+        // jvmTokens, NOT String.split: trim/split semantics must match
+        // Spark's split(trim(text), "\\s+") and DuckDB's
+        // string_split_regex bitwise (trailing empty token kept)
+        val ds = rows.map { case (_, id, text) =>
+          id -> graft.functions.TextAnalysis.jvmTokens(text)
+        }.toSeq.sortBy(_._1)
+        shardStats(ds, minTokens)
+      }
+      .toDF(idCol, "n_tokens", "n_win", "n_dup_win", "n_runs",
+        "dup_tokens", "max_dup_run", "max_rep_span")
+  }
+}

@@ -788,6 +788,58 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q72: token-level exact-substring duplication ([[graft.operators
+    * .ExactSubstring.stats]]) — the suffix-automaton tier below q62's
+    * chunk-hash stand-in: every SLIDING 8-token window (not just
+    * chunk-aligned ones) whose token sequence occurs at least twice in
+    * the document's source shard is flagged, and flagged windows merge
+    * into maximal duplicated token runs (gaps-and-islands). The oracle
+    * re-derives windows from raw gram STRINGS (space-join is injective
+    * over whitespace-free tokens — no hash in the loop), counts per
+    * (source, gram), and replays the island merge with window functions.
+    * `max_rep_span` (any-length longest repeat — the automaton-only
+    * output) is spec-pinned instead, being inexpressible without a
+    * quadratic SQL blowup. */
+  val q72 = Q(
+    "q72_exact_substring",
+    s"""WITH toks AS (SELECT doc_id, source, $sqlToks AS w FROM documents),
+       |win AS (SELECT doc_id, source, i AS p,
+       |               array_to_string(w[i:i+7], ' ') AS g
+       |        FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)),
+       |dupw AS (SELECT doc_id, p FROM (
+       |           SELECT doc_id, p,
+       |                  COUNT(*) OVER (PARTITION BY source, g) AS c
+       |           FROM win) WHERE c >= 2),
+       |isl AS (SELECT doc_id, p,
+       |               CASE WHEN p - LAG(p) OVER (
+       |                 PARTITION BY doc_id ORDER BY p) <= 8
+       |               THEN 0 ELSE 1 END AS brk
+       |        FROM dupw),
+       |grp AS (SELECT doc_id, p,
+       |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |        FROM isl),
+       |runs AS (SELECT doc_id, g, MIN(p) AS p0, MAX(p) AS p1,
+       |                COUNT(*) AS nw
+       |         FROM grp GROUP BY doc_id, g),
+       |agg AS (SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_win,
+       |               CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |               CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens,
+       |               CAST(MAX(p1 - p0 + 8) AS BIGINT) AS max_dup_run
+       |        FROM runs GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |       CAST(GREATEST(len(t.w) - 7, 0) AS BIGINT) AS n_win,
+       |       CAST(COALESCE(a.n_dup_win, 0) AS BIGINT) AS n_dup_win,
+       |       CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs,
+       |       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       CAST(COALESCE(a.max_dup_run, 0) AS BIGINT) AS max_dup_run
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.ExactSubstring.stats(
+      Tables.documents(s, dir), "doc_id", "text", "source", minTokens = 8)
+      .drop("max_rep_span")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69)
+    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72)
 }
