@@ -65,6 +65,7 @@ object Cli {
 
   def run(spark: SparkSession, cmd: String, rest: Array[String]): Unit = {
     if (cmd == "query") { runQuery(spark, rest); return }
+    if (cmd == "trending") { runTrending(spark, rest); return }
     val db = opt(rest, "db").getOrElse(sys.error("--db required"))
     val store = new ItemStore(spark, db,
       buckets = opt(rest, "buckets").map(_.toInt).getOrElse(0),
@@ -130,6 +131,42 @@ object Cli {
 
       case other => sys.error(s"unknown command: $other")
     }
+  }
+
+  /** `trending --store DIR --checkpoint DIR [--fetcher SPEC] [--start N]
+    * [--key COL] [--window DUR] [--k N] [--compact_every N] [--drain |
+    * --timeout_sec N]` — the streaming trending-top-k pipeline
+    * ([[graft.streaming.Trending]]) as a CLI verb, closing the loop the
+    * way `livestream` does for ingestion. `--drain` processes everything
+    * the fetcher has and stops (bounded fetchers / tests); otherwise the
+    * stream runs until `--timeout_sec` (default: forever). Prints the
+    * store's newest windows on exit. */
+  private def runTrending(spark: SparkSession, rest: Array[String]): Unit = {
+    val storeRoot = opt(rest, "store").getOrElse(sys.error("--store required"))
+    val checkpoint = opt(rest, "checkpoint")
+      .getOrElse(sys.error("--checkpoint required"))
+    val q = streaming.Trending.start(
+      spark,
+      fetcherSpec = opt(rest, "fetcher").getOrElse("http"),
+      startId = opt(rest, "start").map(_.toLong).getOrElse(0L),
+      storeRoot = storeRoot,
+      checkpointDir = checkpoint,
+      keyCol = opt(rest, "key").getOrElse("author"),
+      windowDur = opt(rest, "window").getOrElse("10 minutes"),
+      k = opt(rest, "k").map(_.toInt).getOrElse(3),
+      compactEvery = opt(rest, "compact_every").map(_.toInt).getOrElse(64))
+    try {
+      if (flag(rest, "drain")) q.processAllAvailable()
+      else opt(rest, "timeout_sec") match {
+        case Some(s) => q.awaitTermination(s.toLong * 1000L)
+        case None    => q.awaitTermination()
+      }
+    } finally q.stop()
+    val trends = streaming.Trending.store(spark, storeRoot).read()
+      .orderBy(org.apache.spark.sql.functions.col("window_start").desc,
+        org.apache.spark.sql.functions.col("rank").asc)
+    println(s"[trending] store=$storeRoot windows committed:")
+    trends.show(opt(rest, "limit").map(_.toInt).getOrElse(20), truncate = false)
   }
 
   private def runQuery(spark: SparkSession, rest: Array[String]): Unit = {

@@ -41,6 +41,29 @@ class CliSpec extends AnyFunSuite {
     assert(html.contains("""<div class="comment" id="3">"""))
   }
 
+  test("trending verb drains the feed and commits ranked windows") {
+    // one finalized 10-min window [600,1200): u1 x2 beats u2 x1; item 9
+    // is the far-future watermark pusher that finalizes it
+    val feed = Map(
+      1L -> (610L, "u1"), 2L -> (700L, "u1"), 3L -> (800L, "u2"),
+      9L -> (1000000L, "u9"))
+    ItemsSource.registerFake("cli-trend", new graft.ingest.Fetcher {
+      def fetch(id: Long): Option[String] = feed.get(id).map {
+        case (t, by) => s"""{"id":$id,"type":"comment","by":"$by","time":$t}"""
+      }
+      def latestId(): Long = 9L
+    })
+    val store = Files.createTempDirectory("graft-cli-trend").toString
+    Cli.run(spark, "trending", Array("--store", store,
+      "--checkpoint", Files.createTempDirectory("graft-cli-trend-ck").toString,
+      "--fetcher", "fake:cli-trend", "--key", "author",
+      "--window", "10 minutes", "--k", "2", "--drain"))
+    val got = graft.streaming.Trending.store(spark, store).read().collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4)))
+      .toSet
+    assert(got == Set((600L, 1L, "u1", 2L), (600L, 2L, "u2", 1L)), got)
+  }
+
   test("query verb runs a registered query and writes parquet") {
     val out = Files.createTempDirectory("graft-cli-query").toString + "/res"
     Cli.run(spark, "query", Array("--name", "q01_pricing_summary",
