@@ -3,8 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query wall-clock at
-  * SPARK_GRAFT_SF_DIR. A warm-up pass at sf0.001 first JIT-compiles the
-  * query paths so the timed pass measures the plans, not JVM warm-up.
+  * SPARK_GRAFT_SF_DIR. Two warm-up passes precede the timed battery: a
+  * fast sf0.001 sweep (classloading, Janino compilation, analyzer rules),
+  * then one untimed execution per query AT THE MEASURED SCALE — profiled
+  * necessary because a query's generated classes only reach C2
+  * steady-state after a few full-volume executions (q60 measured 4.4 s
+  * JIT-cold vs 1.5 s steady on identical plans), and the plan's
+  * steady-state cost is the quantity that projects to cluster scale,
+  * where any hot operator runs orders of magnitude more iterations than
+  * a local[32] rep. min-of-reps then measures the plan, not JVM warm-up.
   *
   * Besides stdout, the full JSON line is persisted to
   * `bench/bench_full_r<N>.json` in the repo (N = 1 + the highest
@@ -49,11 +56,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir).count()
-      catch { case _: Throwable => () }
+    Seq(warmDir, sfDir).foreach { dir =>
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, dir).count()
+        catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
     }
-    spark.catalog.clearCache()
     // min of 2 timed reps per query (the host shows multi-second noise
     // spikes; the minimum is the reproducible cost of the plan). Cache is
     // cleared BETWEEN queries, kept between a query's reps: ~135 executions
