@@ -102,6 +102,53 @@ object Decontaminate {
       .select(col("id").as(idCol), col("n_eval_hits"), col("top_overlap"))
   }
 
+  /** [[flagged]] semantics for an eval set too big to BROADCAST but whose
+    * gram set still fits a Bloom sketch — the middle regime between the
+    * broadcast path (eval hash table in every executor) and the bare
+    * shuffle path (full corpus shingle set through the exchange).
+    *
+    * Shape: the eval gram hashes fold into ONE driver-held Bloom filter
+    * (`-1.44·log2(fpp)` bits per gram — at fpp 1 % about 10 bits/key, two
+    * orders of magnitude under the hash table the broadcast join would
+    * build), which ships to every task as a literal and gates the TRAIN
+    * shingles map-side, inside the scan stage: only grams the sketch
+    * admits — true matches plus an fpp-sized sliver of false positives —
+    * ever enter the shuffle-hash join's exchange. The join then removes
+    * the false positives, so the output is EXACTLY [[flagged]]'s (the
+    * oracle hash-checks it); the sketch changes how much data moves,
+    * never the answer. At 100 TB: corpus shingles reduce from
+    * O(corpus) exchange rows to O(matches + fpp·corpus) — for a 1 %
+    * fpp and a sub-percent true-hit rate, a ~50× exchange cut — while
+    * the eval side keeps the same bounded shuffle it had.
+    */
+  def flaggedBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, minShared: Int,
+                   fpp: Double = 0.01): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val spark = train.sparkSession
+    graft.functions.PolyHash.ensureRegistered(spark)
+    graft.functions.BloomGate.ensureRegistered(spark)
+    val tsh = Dedup.shingles(train, idCol, textCol)
+      .select(col("id"), strHash(col("g")).as("g"))
+    // consumed twice (sketch build, join build side) — same justified
+    // checkpoint as flaggedSalted's eval side
+    val esh = Dedup.shingles(eval, idCol, textCol)
+      .select(col("id").as("eval_id"), strHash(col("g")).as("g"))
+      .localCheckpoint(true)
+    val nGrams = esh.count() // cheap: counts the checkpointed blocks
+    val bloom = esh.stat.bloomFilter("g", math.max(nGrams, 64L), fpp)
+    val gate = lit(graft.functions.BloomGate.serialize(bloom))
+    tsh.filter(graft.functions.BloomGate(gate, col("g")))
+      .hint("shuffle_hash")
+      .join(esh.hint("shuffle_hash"), "g")
+      .groupBy("id", "eval_id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minShared)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("overlap").as("top_overlap"))
+      .select(col("id").as(idCol), col("n_eval_hits"), col("top_overlap"))
+  }
+
   /** The decontaminated corpus: `train` minus every flagged document. */
   def clean(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
             minShared: Int, broadcastEval: Boolean = true): DataFrame =

@@ -788,6 +788,35 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q73: Bloom-gated decontamination ([[graft.operators.Decontaminate
+    * .flaggedBloom]]) — the middle regime between q58's broadcast join and
+    * q60's bare salted shuffle: the eval gram set folds into one Bloom
+    * sketch that gates the train shingles map-side before the
+    * shuffle-hash join, so only admitted grams cross the exchange. False
+    * positives are removed by the exact join, so the output hash-matches
+    * the same SQL as an exact overlap join (the oracle knows nothing of
+    * the sketch); the join key is the PolyHash long, replayed by the
+    * oracle like q60. Plan shape (gate below the exchange) is
+    * spec-pinned in DecontaminateSpec. */
+  val q73 = Q(
+    "q73_decontaminate_bloom",
+    s"""WITH ${shCte(withSource = false)},
+       |th AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh WHERE doc_id % 89 <> 0),
+       |eh AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh WHERE doc_id % 89 = 0),
+       |ov AS (SELECT t.doc_id AS tid, e.doc_id AS eid, COUNT(*) AS overlap
+       |       FROM th t JOIN eh e ON t.h = e.h
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+       |SELECT tid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+       |       CAST(MAX(overlap) AS BIGINT) AS top_overlap
+       |FROM ov GROUP BY tid ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Decontaminate.flaggedBloom(
+      docs.filter(col("doc_id") % 89 =!= 0),
+      docs.filter(col("doc_id") % 89 === 0),
+      "doc_id", "text", minShared = 3)
+      .orderBy("doc_id")
+  }
+
   /** q72: token-level exact-substring duplication ([[graft.operators
     * .ExactSubstring.stats]]) — the suffix-automaton tier below q62's
     * chunk-hash stand-in: every SLIDING 8-token window (not just
@@ -841,5 +870,6 @@ object TextQ {
   }
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
-    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72)
+    q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
+    q73)
 }

@@ -57,6 +57,53 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(bc(1L)._1 == 40L)
   }
 
+  test("bloom-gated path matches the broadcast plan at any fpp") {
+    // the gate only changes what reaches the exchange; the exact join must
+    // scrub every false positive, so even an absurd fpp (sketch admits
+    // almost everything) and a tight one produce identical flags. NOTE:
+    // flagged() joins raw gram strings while flaggedBloom joins PolyHash
+    // longs — identical output here pins that the hash-key trade doesn't
+    // alter pairing on real text (collisions are the documented 2^-61
+    // residual risk)
+    val bc = asMap(Decontaminate.flagged(train, eval, "doc_id", "text",
+      minShared = 1))
+    for (fpp <- Seq(0.5, 0.01, 0.0001)) {
+      val bl = asMap(Decontaminate.flaggedBloom(train, eval, "doc_id", "text",
+        minShared = 1, fpp = fpp))
+      assert(bl == bc, s"fpp=$fpp")
+    }
+  }
+
+  test("bloom gate runs map-side: no exchange anywhere below the gate filter") {
+    val df = Decontaminate.flaggedBloom(train, eval, "doc_id", "text",
+      minShared = 1)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("might_contain"), plan)
+    // formatted explain = tree section + per-operator details; operator ids
+    // link them. Find the Filter detail carrying the gate, locate its tree
+    // line, and assert its SUBTREE (following lines with deeper indent —
+    // everything executed before the gate) contains no Exchange: the gate
+    // must see raw scan output, never shuffled rows.
+    val gateId = plan.linesIterator
+      .find(l => l.trim.matches("""\(\d+\) (\*\s*)?Filter.*""") &&
+        // detail header line; the condition follows on subsequent lines, so
+        // scan the whole detail block below the header
+        plan.substring(plan.indexOf(l)).split("""\n\(\d+\)""").head
+          .contains("might_contain"))
+      .map(_.trim.replaceAll("""^\((\d+)\).*""", "$1"))
+    assert(gateId.nonEmpty, s"no Filter detail carries the gate:\n$plan")
+    val tree = plan.split("\n\n").head.linesIterator.toSeq
+    val treeIdx = tree.indexWhere(_.matches(s""".*Filter \\(${gateId.get}\\)\\s*"""))
+    assert(treeIdx >= 0, s"gate Filter (${gateId.get}) not in tree:\n$plan")
+    def indentOf(l: String) = l.indexWhere(c => c.isLetter || c == '*')
+    val gateIndent = indentOf(tree(treeIdx))
+    val subtree = tree.drop(treeIdx + 1).takeWhile(indentOf(_) > gateIndent)
+    assert(subtree.nonEmpty && !subtree.exists(_.contains("Exchange")),
+      s"exchange below the bloom gate:\n${subtree.mkString("\n")}\n\n$plan")
+  }
+
   test("clean() drops exactly the flagged documents") {
     val kept = Decontaminate.clean(train, eval, "doc_id", "text",
       minShared = 2).select("doc_id").as[Long].collect().toSet
