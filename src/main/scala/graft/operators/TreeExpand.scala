@@ -53,35 +53,39 @@ object TreeExpand {
   private val BroadcastMode = "broadcast"
   private val ShuffleMode = "shuffle"
 
-  /** Per-session monitor for the small-graph AQE suspension window (weak
+  /** Per-(session, conf-key) monitor for scoped conf windows (weak session
     * keys: a lock must not pin a stopped session). */
-  private val aqeLocks = java.util.Collections.synchronizedMap(
+  private val confLocks = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.locks.ReentrantLock]())
+      java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.locks.ReentrantLock]]())
 
-  /** Scoped suspension of `spark.sql.adaptive.enabled` for a small-graph
-    * expansion. The conf is session-scoped, so the flip is visible to any
-    * query issued on the SAME session during the window (documented at the
-    * public entry points — use a separate session for concurrency-sensitive
-    * work); only a lock HOLDER ever writes the conf, so two concurrent
-    * expansions cannot clobber each other's saved value. A contender that
-    * fails `tryLock` runs WITHOUT suspending AQE (losing only the latency
-    * optimization) instead of blocking behind the other expansion's whole
-    * window. `restore()` is idempotent. */
-  private final class AqeWindow(spark: org.apache.spark.sql.SparkSession) {
-    private val key = "spark.sql.adaptive.enabled"
+  /** Scoped override of a session conf (`key` := `want`) for the duration
+    * of an expansion — AQE suspension for small graphs, the one-job head()
+    * window below. The conf is session-scoped, so the flip is visible to
+    * any query issued on the SAME session during the window (documented at
+    * the public entry points — use a separate session for
+    * concurrency-sensitive work); only a lock HOLDER ever writes the conf,
+    * so two concurrent expansions cannot clobber each other's saved value.
+    * A contender that fails `tryLock` runs WITHOUT the override (losing
+    * only the latency optimization) instead of blocking behind the other
+    * expansion's whole window. `restore()` is idempotent. */
+  private final class ConfWindow(spark: org.apache.spark.sql.SparkSession,
+                                 key: String, want: String,
+                                 default: String) {
     private var held: java.util.concurrent.locks.ReentrantLock = null
     private var prev: String = null
     def suspend(): Unit = if (held == null) {
-      val l = aqeLocks.computeIfAbsent(spark,
-        _ => new java.util.concurrent.locks.ReentrantLock())
+      val l = confLocks
+        .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+        .computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock())
       if (l.tryLock()) {
         // conf access can throw (session stopped mid-call) — the lock must
         // not leak, or every later expansion on this session degrades
         try {
-          prev = spark.conf.get(key, "true")
-          if (prev == "true") { spark.conf.set(key, "false"); held = l }
-          else l.unlock() // already off (possibly another expansion's window)
+          prev = spark.conf.get(key, default)
+          if (prev != want) { spark.conf.set(key, want); held = l }
+          else l.unlock() // already there (possibly another window's doing)
         } catch { case t: Throwable =>
           if (held == null) l.unlock()
           throw t
@@ -93,6 +97,19 @@ object TreeExpand {
       finally { held.unlock(); held = null }
     }
   }
+
+  private def aqeWindow(spark: org.apache.spark.sql.SparkSession) =
+    new ConfWindow(spark, "spark.sql.adaptive.enabled", "false", "true")
+
+  /** Every frontier measurement is a `head(cap+1)` whose source has ≤ 32
+    * partitions; Spark's incremental limit (start at 1 partition, scale by
+    * `spark.sql.limit.scaleUpFactor`) turns each into 2-4 SEQUENTIAL jobs
+    * — pure driver-latency tax at the per-round cadence. One job over all
+    * partitions is strictly better here at any scale: per-partition work
+    * is still bounded by the limit (tasks stop at cap+1 rows), and one
+    * 32-task job beats three job round-trips. */
+  private def headOneJobWindow(spark: org.apache.spark.sql.SparkSession) =
+    new ConfWindow(spark, "spark.sql.limit.initialNumPartitions", "64", "1")
 
   /** @param edges (idCol, parentCol) adjacency rows, parent NULL for roots
     * @param roots one column `idCol`: the subtree roots to expand (included
@@ -249,9 +266,10 @@ object TreeExpand {
     // Large graphs keep the session's setting (skew handling on the wide
     // shuffle-hash rounds is worth it there). See [[AqeWindow]] for the
     // concurrency contract.
-    val aqe = new AqeWindow(spark)
-    def suspendAqe(): Unit = if (smallGraph) aqe.suspend()
-    def restoreAqe(): Unit = aqe.restore()
+    val aqe = aqeWindow(spark)
+    val headWin = headOneJobWindow(spark)
+    def suspendAqe(): Unit = { if (smallGraph) aqe.suspend(); headWin.suspend() }
+    def restoreAqe(): Unit = { aqe.restore(); headWin.restore() }
 
     /** Estimated broadcast payload of one frontier row: the path string
       * dominates; ids/depth are a constant tax. */
@@ -558,8 +576,10 @@ object TreeExpand {
     val (nodeCount, open0, bytes0) = sampleStats.getOrElse(measure())
     var smallState = nodeCount <= broadcastStateRows && bytes0 <= broadcastStateBytes
     val spark = edges.sparkSession
-    val aqe = new AqeWindow(spark)
+    val aqe = aqeWindow(spark)
+    val headWin = headOneJobWindow(spark)
     if (smallState) aqe.suspend()
+    headWin.suspend()
     try {
     var open = open0
     while (open > 0) {
@@ -625,6 +645,7 @@ object TreeExpand {
          else col("_seg")).as("path"))
     } finally {
       aqe.restore()
+      headWin.restore()
     }
   }
 
