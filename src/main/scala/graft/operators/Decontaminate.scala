@@ -68,11 +68,12 @@ object Decontaminate {
     */
   def flaggedSalted(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, minShared: Int, saltR: Int = 8,
-                    hotMin: Long = 64L): DataFrame = {
+                    hotMin: Long = 64L, bloomGate: Boolean = false,
+                    bloomFpp: Double = 0.01): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(saltR >= 1, "saltR must be >= 1")
     graft.functions.PolyHash.ensureRegistered(train.sparkSession)
-    val tsh = Dedup.shingles(train, idCol, textCol)
+    val tshAll = Dedup.shingles(train, idCol, textCol)
       .select(col("id"), strHash(col("g")).as("g"))
     // eager-materialized: hotSaltedJoin consumes the eval shingles twice
     // (hot-gram count, replicated join side). The eval lineage is the
@@ -84,6 +85,20 @@ object Decontaminate {
     val esh = Dedup.shingles(eval, idCol, textCol)
       .select(col("id").as("eval_id"), strHash(col("g")).as("g"))
       .localCheckpoint(true)
+    // optional composition with the Bloom regime ([[flaggedBloom]]): the
+    // sketch of the (checkpointed) eval grams gates the train side
+    // in-scan, so the salted exchange carries O(matches + fpp·corpus)
+    // instead of the whole corpus shingle set; salting then spreads the
+    // hot survivors. The two mechanisms are orthogonal — the gate cuts
+    // VOLUME, the salt fixes PLACEMENT — and the exact join still scrubs
+    // the sketch's false positives, so output is unchanged (spec-pinned).
+    val tsh = if (!bloomGate) tshAll else {
+      graft.functions.BloomGate.ensureRegistered(train.sparkSession)
+      val nGrams = esh.count()
+      val bloom = esh.stat.bloomFilter("g", math.max(nGrams, 64L), bloomFpp)
+      tshAll.filter(graft.functions.BloomGate(
+        lit(graft.functions.BloomGate.serialize(bloom)), col("g")))
+    }
     // ONE exchange for both aggregation levels: hash-partitioning on the
     // train id alone satisfies the pair-level grouping's (id, eval_id)
     // clustering AND the doc-level grouping's, so the two stacked aggs

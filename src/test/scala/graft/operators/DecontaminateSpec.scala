@@ -48,10 +48,12 @@ class DecontaminateSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val bc = asMap(Decontaminate.flagged(train, dupEval, "doc_id", "text",
       minShared = 1))
-    for (r <- Seq(1, 8); hotMin <- Seq(1L, 8L, 1000L)) {
+    for (r <- Seq(1, 8); hotMin <- Seq(1L, 8L, 1000L);
+         bloom <- Seq(false, true)) {
       val salted = asMap(Decontaminate.flaggedSalted(train, dupEval,
-        "doc_id", "text", minShared = 1, saltR = r, hotMin = hotMin))
-      assert(salted == bc, s"r=$r hotMin=$hotMin")
+        "doc_id", "text", minShared = 1, saltR = r, hotMin = hotMin,
+        bloomGate = bloom))
+      assert(salted == bc, s"r=$r hotMin=$hotMin bloom=$bloom")
     }
     // n_eval_hits counts every duplicated eval doc separately
     assert(bc(1L)._1 == 40L)
