@@ -164,11 +164,21 @@ object Similarity {
   def assignCells(base: DataFrame, idCol: String, cents: DataFrame,
                   maxDriver: Int = MaxDriverCentroids): DataFrame = {
     val keep = base.columns.map(col).toSeq :+ col("cell")
-    // regime probe on ids only (8 bytes/row): deciding the fallback must
-    // not itself pull maxDriver full vectors onto the driver
-    val overBudget =
-      cents.select(col("cent_id")).head(maxDriver + 1).length > maxDriver
-    if (overBudget) {
+    // fused regime probe + codebook fetch, ONE job: head(maxDriver+1) of
+    // the full centroid rows decides the regime AND, when within budget,
+    // IS the collected codebook (<= maxDriver rows back means head saw
+    // every row, so the set is complete and only needs a driver-side
+    // sort). Over budget the transfer is still bounded by maxDriver+1
+    // rows (~32 MB) once, independent of n — paid only in the rare
+    // windowed regime. The one-job window stops the incremental limit
+    // from spending 2-4 sequential jobs on the partition ladder.
+    val hw = ConfWindow.headOneJob(base.sparkSession)
+    hw.suspend()
+    val sample =
+      try cents.select(col("cent_id"), col("cent_vec"), col("cent_norm"))
+        .head(maxDriver + 1)
+      finally hw.restore()
+    if (sample.length > maxDriver) {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("cent_cos").desc, col("cent_id").asc)
       val best = base.crossJoin(broadcast(cents))
@@ -182,8 +192,10 @@ object Similarity {
         .select(keep: _*)
     } else {
       graft.functions.NearestCentroid.ensureRegistered(base.sparkSession)
-      val head = cents.select(col("cent_id"), col("cent_vec"), col("cent_norm"))
-        .orderBy(col("cent_id")).collect()
+      // the sample IS the full centroid set; NearestCentroid's tie-break
+      // contract needs it in ascending cent_id order (driver-side sort of
+      // <= maxDriver rows replaces the old orderBy().collect() job)
+      val head = sample.sortBy(_.getLong(0))
       val ids = head.map(_.getLong(0)).toIndexedSeq
       val flat = head.flatMap(_.getSeq[Double](1)).toIndexedSeq
       val norms = head.map(_.getDouble(2)).toIndexedSeq
