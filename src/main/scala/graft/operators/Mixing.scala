@@ -75,6 +75,82 @@ object Mixing {
     docs.filter(strHash(col(idCol).cast("string")) % 1000 < rate)
   }
 
+  /** Temperature-weighted mixture (the `n_s^alpha` pretraining mix at
+    * T = 2, i.e. alpha = 1/2): each source's share of a global `budget`
+    * of documents is proportional to sqrt(n_s), flattening the head
+    * domains and up-weighting the tail — the standard multilingual /
+    * multi-domain rebalance. Rates derive per-source, then membership is
+    * the same content-addressed hash filter as [[rateMix]] (parts-per-
+    * million resolution — per-mille is too coarse for the small rates a
+    * large budget-to-source ratio produces).
+    *
+    * Exactness contract (what makes the oracle replayable bit-for-bit on
+    * another engine): the ONLY floating-point op is `sqrt`, which IEEE
+    * 754 requires exactly rounded on every platform; everything after is
+    * integer arithmetic —
+    *   w_s        = floor(sqrt(n_s) * 1000)         milli-sqrt weight
+    *   q_s        = budget * w_s div W              integer division
+    *   rate_ppm_s = min(1e6, q_s * 1e6 div n_s)
+    *   keep(doc)  = hash(id) mod 1e6 < rate_ppm_s
+    * Overflow bound: budget * w_s and q_s * 1e6 must fit a long —
+    * enforced, and generous (budget 1e9 against a 1e12-doc source).
+    *
+    * Scale shape: one map-side-combined agg for the per-source counts (a
+    * handful of rows), the rate table derives on those rows (a single
+    * tiny window), and the mix itself is a broadcast-joined map-side
+    * filter — the corpus is scanned, never shuffled.
+    *
+    * Output: (groupCol, n_total, w, quota, rate_ppm, n_kept) — the audit
+    * summary. Use [[temperatureMixDocs]] for the kept rows themselves. */
+  def temperatureMix(docs: DataFrame, idCol: String, groupCol: String,
+                     budget: Long): DataFrame = {
+    val rates = temperatureRates(docs, groupCol, budget)
+    docs
+      .select(col(groupCol).as("g"),
+        (strHash(col(idCol).cast("string")) % 1000000).as("hv"))
+      .join(broadcast(rates), Seq("g"))
+      .groupBy("g", "n_total", "w", "quota", "rate_ppm")
+      .agg(sum((col("hv") < col("rate_ppm")).cast("long")).as("n_kept"))
+      .select(col("g").as(groupCol), col("n_total"), col("w"), col("quota"),
+        col("rate_ppm"), col("n_kept"))
+  }
+
+  /** The kept rows of `docs` under the [[temperatureMix]] policy. */
+  def temperatureMixDocs(docs: DataFrame, idCol: String, groupCol: String,
+                         budget: Long): DataFrame = {
+    val rates = temperatureRates(docs, groupCol, budget)
+      .select(col("g"), col("rate_ppm"))
+    docs
+      .join(broadcast(rates), docs(groupCol) === col("g"))
+      .filter(strHash(col(idCol).cast("string")) % 1000000 < col("rate_ppm"))
+      .drop("g", "rate_ppm")
+  }
+
+  /** (g, n_total, w, quota, rate_ppm) per source — the integer-exact rate
+    * derivation above, computed in-plan (the source table is a handful of
+    * rows; the empty-frame window is a single tiny exchange). */
+  private def temperatureRates(docs: DataFrame, groupCol: String,
+                               budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(budget <= 1000000000L,
+      "budget must be <= 1e9 (keeps budget * w inside a long for any " +
+        "source up to ~8e13 docs)")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    docs
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("w", floor(sqrt(col("n_total")) * 1000).cast("long"))
+      .withColumn("wsum", sum(col("w")).over(w))
+      .withColumn("quota", expr(s"($budget * w) div wsum"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(quota * 1000000) div n_total")))
+      .drop("wsum")
+  }
+
   /** Per-group audit of a [[rateMix]] decision: group, total, kept, and
     * the applied per-mille rate. One scan, one small agg. */
   def rateMixSummary(docs: DataFrame, idCol: String, groupCol: String,

@@ -788,6 +788,39 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q74: temperature-weighted source mixing ([[graft.operators.Mixing
+    * .temperatureMix]]) — the n_s^(1/2) (T = 2) pretraining rebalance:
+    * each source's share of a global document budget is proportional to
+    * sqrt(n_s), then membership is the content-addressed ppm-hash filter.
+    * Everything after the (IEEE-exactly-rounded) sqrt is integer
+    * arithmetic, so the oracle replays the whole derivation bit-for-bit:
+    * milli-sqrt weights, integer-div quotas, ppm rates, hash keeps. */
+  val q74 = Q(
+    "q74_temperature_mix",
+    s"""WITH n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+       |           FROM documents GROUP BY source),
+       |w AS (SELECT source, n_total,
+       |             CAST(floor(sqrt(n_total) * 1000) AS BIGINT) AS w
+       |      FROM n),
+       |t AS (SELECT *, SUM(w) OVER () AS tw FROM w),
+       |r AS (SELECT source, n_total, w,
+       |             (30000 * w) // tw AS quota,
+       |             LEAST(1000000, (((30000 * w) // tw) * 1000000) // n_total)
+       |               AS rate_ppm
+       |      FROM t),
+       |k AS (SELECT d.source,
+       |             CAST(SUM(CASE WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")}
+       |                            % 1000000 < r.rate_ppm
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |      FROM documents d JOIN r USING (source) GROUP BY d.source)
+       |SELECT r.source, r.n_total, r.w, CAST(r.quota AS BIGINT) AS quota,
+       |       CAST(r.rate_ppm AS BIGINT) AS rate_ppm, k.n_kept
+       |FROM r JOIN k USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.operators.Mixing.temperatureMix(Tables.documents(s, dir),
+      "doc_id", "source", budget = 30000L)
+      .orderBy("source")
+  }
+
   /** q73: Bloom-gated decontamination ([[graft.operators.Decontaminate
     * .flaggedBloom]]) — the middle regime between q58's broadcast join and
     * q60's bare salted shuffle: the eval gram set folds into one Bloom
@@ -871,5 +904,5 @@ object TextQ {
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73)
+    q73, q74)
 }

@@ -97,6 +97,46 @@ class MixingSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"no exchange of any kind expected:\n$p")
   }
 
+  test("temperatureMix: exact integer quotas from milli-sqrt weights") {
+    // sources sized 100/25/4/1: milli-sqrt weights 10000/5000/2000/1000,
+    // W = 18000. budget 90 -> quotas 50/25/10/5 exactly (all divisions
+    // land on integers); rates then min(1e6, quota*1e6 div n)
+    val rows = Seq("a" -> 100, "b" -> 25, "c" -> 4, "d" -> 1).flatMap {
+      case (s, n) => (0 until n).map(i => (s, s.hashCode.abs * 1000L + i))
+    }
+    val df = rows.toDF("source", "doc_id")
+    val out = Mixing.temperatureMix(df, "doc_id", "source", budget = 90L)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out("a")._1 == 100L && out("a")._2 == 10000L && out("a")._3 == 50L)
+    assert(out("b")._3 == 25L && out("c")._3 == 10L && out("d")._3 == 5L)
+    // rate_ppm: a 500000, b 1000000 (quota==n), c 1000000 capped? 10/4 ->
+    // 2500000 capped to 1e6; d 5/1 -> capped 1e6
+    assert(out("a")._4 == 500000L)
+    assert(out("b")._4 == 1000000L && out("c")._4 == 1000000L)
+    assert(out("d")._4 == 1000000L)
+    // rate 1e6 keeps everything; kept counts bounded by totals
+    assert(out("b")._5 == 25L && out("c")._5 == 4L && out("d")._5 == 1L)
+    assert(out("a")._5 <= 100L)
+    // the flattening property: the big source's RATE is the smallest
+    // even though its quota is the largest
+    assert(out("a")._4 < out("b")._4)
+  }
+
+  test("temperatureMixDocs agrees with the summary and is deterministic") {
+    val out = Mixing.temperatureMix(docs, "doc_id", "source", budget = 200L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    val kept = Mixing.temperatureMixDocs(docs, "doc_id", "source", budget = 200L)
+    val keptCounts = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptCounts == out.filter(_._2 > 0))
+    val again = Mixing.temperatureMixDocs(docs, "doc_id", "source",
+      budget = 200L).select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("invalid rates and quotas fail loud") {
     intercept[IllegalArgumentException] {
       Mixing.rateMix(docs, "doc_id", "source", Map("src0" -> 1001))
