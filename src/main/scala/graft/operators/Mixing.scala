@@ -91,7 +91,7 @@ object Mixing {
     *   w_s        = floor(sqrt(n_s) * 1000)         milli-sqrt weight
     *   q_s        = budget * w_s div W              integer division
     *   rate_ppm_s = min(1e6, q_s * 1e6 div n_s)
-    *   keep(doc)  = hash(id) mod 1e6 < rate_ppm_s
+    *   keep(doc)  = ((hash(id) * 2654435761) mod P) mod 1e6 < rate_ppm_s
     * Overflow bound: budget * w_s and q_s * 1e6 must fit a long —
     * enforced, and generous (budget 1e9 against a 1e12-doc source).
     *
@@ -106,8 +106,7 @@ object Mixing {
                      budget: Long): DataFrame = {
     val rates = temperatureRates(docs, groupCol, budget)
     docs
-      .select(col(groupCol).as("g"),
-        (strHash(col(idCol).cast("string")) % 1000000).as("hv"))
+      .select(col(groupCol).as("g"), (ppmHash(idCol) % 1000000).as("hv"))
       .join(broadcast(rates), Seq("g"))
       .groupBy("g", "n_total", "w", "quota", "rate_ppm")
       .agg(sum((col("hv") < col("rate_ppm")).cast("long")).as("n_kept"))
@@ -122,9 +121,25 @@ object Mixing {
       .select(col("g"), col("rate_ppm"))
     docs
       .join(broadcast(rates), docs(groupCol) === col("g"))
-      .filter(strHash(col(idCol).cast("string")) % 1000000 < col("rate_ppm"))
+      .filter(ppmHash(idCol) % 1000000 < col("rate_ppm"))
       .drop("g", "rate_ppm")
   }
+
+  /** Membership hash at ppm resolution. The raw polyhash of same-length
+    * id strings varies only in a ~9k-wide window (digits contribute at
+    * most 9*(31^2+31+1) per position and nothing wraps the 2^31-1
+    * modulus), so `hash(id) % 1e6` has almost no entropy exactly where
+    * ppm rates need it. A Knuth multiplicative mix fixes it EXACTLY:
+    * `h * K mod P` is a bijection on [0, P) for K coprime to the prime P,
+    * so the clustered window scatters across the full range — pure
+    * integer arithmetic (h < 2^31, K < 2^32: the product fits a long),
+    * replayed verbatim by the oracle. rateMix's per-mille filter keeps
+    * the raw hash — per-mille sits inside even a short id's entropy, and
+    * its decisions are pinned append-stable. */
+  private val MixK = 2654435761L // Knuth's 2^32 / phi, coprime to P
+  private def ppmHash(idCol: String): org.apache.spark.sql.Column =
+    (strHash(col(idCol).cast("string")) * lit(MixK)) %
+      lit(graft.functions.TextAnalysis.P)
 
   /** (g, n_total, w, quota, rate_ppm) per source — the integer-exact rate
     * derivation above, computed in-plan (the source table is a handful of

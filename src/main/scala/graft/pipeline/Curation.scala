@@ -67,6 +67,8 @@ object Curation {
              decontamMinShared: Int = 2,
              mixRatesMilli: Map[String, Int] = Map.empty,
              mixDefaultMilli: Int = 1000,
+             decontamBloomFpp: Option[Double] = None,
+             temperatureBudget: Option[Long] = None,
              packBudget: Long = 2048,
              audit: Boolean = true): (DataFrame, Report) = {
     val outClash = docs.columns.filter(Seq("n_tokens", "pack_id").contains)
@@ -111,17 +113,35 @@ object Curation {
       .select(col("id_b").as(idCol)).distinct()
     val nearDup = stage(exact.join(dropB, Seq(idCol), "left_anti"))
 
-    // 4. decontamination against the eval corpus
-    val decontam = stage(Decontaminate.clean(nearDup, evalDocs, idCol,
-      textCol, minShared = decontamMinShared))
+    // 4. decontamination against the eval corpus: the broadcast path by
+    // default; `decontamBloomFpp` switches the overlap probe to the
+    // Bloom-gated mid regime ([[Decontaminate.flaggedBloom]] — eval set
+    // too big to broadcast, gram sketch gates the corpus in-scan; output
+    // identical, the exact join scrubs the sketch's false positives)
+    val decontam = stage(decontamBloomFpp match {
+      case Some(fpp) => nearDup.join(
+        Decontaminate.flaggedBloom(nearDup, evalDocs, idCol, textCol,
+          minShared = decontamMinShared, fpp = fpp),
+        Seq(idCol), "left_anti")
+      case None => Decontaminate.clean(nearDup, evalDocs, idCol,
+        textCol, minShared = decontamMinShared)
+    })
 
-    // 5. mixing: per-source static rates (reuses the decontam frame — and
-    // its count — when the rates keep everything)
-    val mixIsNoop = mixRatesMilli.isEmpty && mixDefaultMilli == 1000
-    val mixed =
-      if (mixIsNoop) decontam
-      else stage(Mixing.rateMix(decontam, idCol, sourceCol, mixRatesMilli,
-        mixDefaultMilli))
+    // 5. mixing: static per-source rates, or — when `temperatureBudget`
+    // is set — the n^(1/2) temperature rebalance ([[Mixing
+    // .temperatureMixDocs]]), which derives the rates from the surviving
+    // corpus itself instead of a fixed table. Temperature wins if both
+    // are given (a fixed table AND a budget is a contradiction — the
+    // budget IS the rate policy).
+    val mixIsNoop = temperatureBudget.isEmpty &&
+      mixRatesMilli.isEmpty && mixDefaultMilli == 1000
+    val mixed = temperatureBudget match {
+      case Some(b) => stage(Mixing.temperatureMixDocs(decontam, idCol,
+        sourceCol, b))
+      case None if mixIsNoop => decontam
+      case None => stage(Mixing.rateMix(decontam, idCol, sourceCol,
+        mixRatesMilli, mixDefaultMilli))
+    }
 
     // 6. packing: token budget per source shard
     val weighted = mixed.withColumn(tokCol,

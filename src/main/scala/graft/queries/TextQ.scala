@@ -809,8 +809,8 @@ object TextQ {
        |               AS rate_ppm
        |      FROM t),
        |k AS (SELECT d.source,
-       |             CAST(SUM(CASE WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")}
-       |                            % 1000000 < r.rate_ppm
+       |             CAST(SUM(CASE WHEN ((${sqlHash("CAST(doc_id AS VARCHAR)")}
+       |                            * 2654435761) % $P) % 1000000 < r.rate_ppm
        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |      FROM documents d JOIN r USING (source) GROUP BY d.source)
        |SELECT r.source, r.n_total, r.w, CAST(r.quota AS BIGINT) AS quota,

@@ -117,9 +117,11 @@ class MixingSpec extends AnyFunSuite {
     assert(out("a")._4 == 500000L)
     assert(out("b")._4 == 1000000L && out("c")._4 == 1000000L)
     assert(out("d")._4 == 1000000L)
-    // rate 1e6 keeps everything; kept counts bounded by totals
+    // rate 1e6 keeps everything; the 500000-ppm source must keep a real
+    // strict subset — the mixed hash has to actually disperse at ppm
+    // resolution (the raw short-id polyhash does not; see ppmHash)
     assert(out("b")._5 == 25L && out("c")._5 == 4L && out("d")._5 == 1L)
-    assert(out("a")._5 <= 100L)
+    assert(out("a")._5 > 0L && out("a")._5 < 100L)
     // the flattening property: the big source's RATE is the smallest
     // even though its quota is the largest
     assert(out("a")._4 < out("b")._4)

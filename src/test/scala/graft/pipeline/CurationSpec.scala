@@ -44,6 +44,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count() == r.nAfterMix)
   }
 
+  test("bloom decontamination and temperature mixing slot in equivalently") {
+    // bloom path: decontamination survivors identical to the broadcast
+    // path (the sketch only changes data movement, never the answer)
+    val (outBc, rBc) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256)
+    val (outBl, rBl) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      decontamBloomFpp = Some(0.01))
+    assert(rBl.nAfterDecontam == rBc.nAfterDecontam)
+    assert(outBl.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      outBc.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // temperature mixing: engages, bounded by the decontam survivors, and
+    // wins over a static rate table when both are (mis)configured
+    val (_, rT) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      mixRatesMilli = Map("src0" -> 1000), // would keep everything
+      temperatureBudget = Some(50L))
+    assert(rT.nAfterMix < rT.nAfterDecontam, "temperature mix dropped nothing")
+    assert(rT.nAfterMix > 0L)
+  }
+
   test("curation is deterministic end to end") {
     def run() = Curation.curate(docs, evalDocs,
       nearDupThresholdMilli = 500, packBudget = 256, audit = false)._1
