@@ -97,6 +97,26 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected extra shuffle:\n$p")
   }
 
+  test("q74 temperature mix: corpus never shuffles, rates broadcast back") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Mixing.temperatureMix(
+      Tables.documents(spark, dir), "doc_id", "source", budget = 30000L)
+      .orderBy("source")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the rate table joins back by BROADCAST (it is a handful of source
+    // rows); a shuffle join there would exchange the corpus
+    assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$p")
+    // the corpus text column never crosses an exchange: counts aggregate
+    // map-side, the membership decision is an in-scan filter
+    val exchangeLines = p.linesIterator
+      .filter(_.trim.matches("""\(\d+\) Exchange.*""")).mkString("\n")
+    assert(!exchangeLines.contains("text"),
+      s"corpus text crosses an exchange:\n$exchangeLines")
+    // shape bound: count agg + the tiny window's single-partition
+    // exchange + summary agg + sort — all on source-keyed summary rows
+    assert(PlanChecks.shuffleExchanges(p) <= 5, s"unexpected extra shuffle:\n$p")
+  }
+
   test("q60 skewed decontamination: salted shuffle join, corpus text stays below") {
     // The hot-gram set is MEASURED, so the salted SHAPE only exists when
     // some gram crosses the threshold — true at the sf0.1 bench scale,
