@@ -170,4 +170,88 @@ object Decontaminate {
     train.join(
       flagged(train, eval, idCol, textCol, minShared, broadcastEval),
       Seq(idCol), "left_anti")
+
+  /** Span-level decontamination — scrub, don't drop: every sliding
+    * `minTokens`-token window of a training document whose token sequence
+    * occurs anywhere in the eval set is masked OUT of the text, and the
+    * document survives with the remaining tokens (the RefinedWeb /
+    * Lee et al. 2021 exact-substring masking semantics, where [[clean]]'s
+    * document drop is too blunt — one quoted benchmark question should not
+    * delete a whole web page).
+    *
+    * Flagged windows merge into maximal runs exactly like
+    * [[ExactSubstring.stats]] (gaps-and-islands, overlap-or-adjacent
+    * within `minTokens`), and the covered tokens `[p0, p1+minTokens-1]` of
+    * every run are removed. The scrubbed text is the kept tokens joined
+    * with single spaces — a canonical-whitespace rebuild (original inter-
+    * token whitespace is not preserved; at this tier the corpus is already
+    * whitespace-normalized by the quality stages).
+    *
+    * Scale shape: eval windows fold to a DISTINCT 8-byte hash set that
+    * BROADCASTS (the eval-set-is-tiny contract of [[flagged]]); train
+    * windows are generated in-scan and map-side joined, so only flagged
+    * (id, position) pairs — bounded by the contamination, not the corpus —
+    * ever enter an exchange. The rebuild pass re-scans the corpus and
+    * map-side joins the per-doc run lists back (`broadcastRuns = false`
+    * switches to a shuffle-hash join for a contamination volume too big to
+    * broadcast — at that point the right call is usually [[clean]]).
+    * The corpus text itself never crosses an exchange on either pass.
+    *
+    * Output: every `train` column with `textCol` REPLACED by the scrubbed
+    * text, plus (n_tokens, removed_tokens, n_spans). Join keys are
+    * [[graft.functions.PolyHash]] longs (the documented collision trade).
+    */
+  def scrubSpans(train: DataFrame, eval: DataFrame, idCol: String,
+                 textCol: String, minTokens: Int = 8,
+                 broadcastRuns: Boolean = true): DataFrame = {
+    require(minTokens >= 1, "minTokens must be >= 1")
+    val L = minTokens
+    graft.functions.PolyHash.ensureRegistered(train.sparkSession)
+    // `keep` are column NAMES already present on `df` — the helper only
+    // ever references them by name, so the window explode composes over
+    // the pre-projected frame without re-resolving caller expressions
+    def winHashes(df: DataFrame, keep: Seq[String]): DataFrame = df
+      .withColumn("_w", graft.functions.TextAnalysis.tokens(col(textCol)))
+      .withColumn("_n", coalesce(size(col("_w")), lit(0)))
+      .filter(col("_n") >= L)
+      .select(keep.map(col) :+ explode(transform(
+        sequence(lit(1), col("_n") - (L - 1)),
+        i => struct(i.as("p"),
+          strHash(concat_ws(" ", slice(col("_w"), i, lit(L)))).as("h")))).as("_ph"): _*)
+      .select(keep.map(col) :+ col("_ph.p").as("p") :+ col("_ph.h").as("h"): _*)
+    val eh = winHashes(eval, Nil).select("h").distinct()
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("p")
+    val runs = winHashes(train.select(col(idCol).as("id"), col(textCol)), Seq("id"))
+      .join(broadcast(eh), "h") // map-side: corpus windows never shuffle
+      .select("id", "p")
+      .withColumn("_brk",
+        when(col("p") - lag("p", 1).over(wId) <= L, 0).otherwise(1))
+      .withColumn("_grp", sum("_brk").over(wId))
+      .groupBy("id", "_grp").agg(min("p").as("p0"), max("p").as("p1"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("p0"), col("p1"))).as("_runs"),
+        count(lit(1)).as("n_spans"))
+    val runsSide =
+      if (broadcastRuns) broadcast(runs)
+      else runs.hint("shuffle_hash")
+    val passthrough = train.columns.filter(_ != textCol).map(col).toSeq
+    train
+      .join(runsSide, train(idCol) === runs("id"), "left")
+      .withColumn("_w", graft.functions.TextAnalysis.tokens(col(textCol)))
+      .withColumn("_n", coalesce(size(col("_w")), lit(0)))
+      .withColumn("_rs", coalesce(col("_runs"),
+        array().cast("array<struct<p0:int,p1:int>>")))
+      // sequence(1, 0) would step DOWNWARD ([1, 0]) — guard the empty case
+      .withColumn("_kept", when(col("_n") === 0, array().cast("array<int>"))
+        .otherwise(filter(sequence(lit(1), col("_n")),
+          i => !exists(col("_rs"),
+            r => i >= r.getField("p0") && i <= r.getField("p1") + (L - 1)))))
+      .select(passthrough
+        :+ concat_ws(" ",
+          transform(col("_kept"), i => element_at(col("_w"), i))).as(textCol)
+        :+ col("_n").cast("long").as("n_tokens")
+        :+ (col("_n") - size(col("_kept"))).cast("long").as("removed_tokens")
+        :+ coalesce(col("n_spans"), lit(0L)).as("n_spans"): _*)
+  }
 }

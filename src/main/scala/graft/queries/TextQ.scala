@@ -788,6 +788,64 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q75: span-level decontamination ([[graft.operators.Decontaminate
+    * .scrubSpans]]) — scrub, don't drop: every sliding 8-token window of a
+    * training document that occurs anywhere in the (events-replayed, like
+    * q60) eval set is masked out, flagged windows merging into maximal
+    * runs by q72's gaps-and-islands rule, and the document survives as
+    * the kept tokens joined by single spaces. The oracle re-derives
+    * window hashes, the island merge, and the token-index rebuild
+    * (list_filter with an index lambda over the run list). */
+  val q75 = Q(
+    "q75_scrub_spans",
+    s"""WITH ttoks AS (SELECT doc_id, $sqlToks AS w
+       |               FROM documents WHERE doc_id % 97 <> 0),
+       |evd AS (SELECT d.text FROM events e JOIN documents d
+       |        ON d.doc_id = e.user_id WHERE e.event_id % 10 = 0),
+       |etoks AS (SELECT $sqlToks AS w FROM evd),
+       |eh AS (SELECT DISTINCT ${sqlHash("array_to_string(w[i:i+7], ' ')")} AS h
+       |       FROM etoks, UNNEST(range(1, len(w) - 6)) AS t(i)),
+       |twin AS (SELECT doc_id, i AS p,
+       |                ${sqlHash("array_to_string(w[i:i+7], ' ')")} AS h
+       |         FROM ttoks, UNNEST(range(1, len(w) - 6)) AS t(i)),
+       |flag AS (SELECT doc_id, p FROM twin JOIN eh USING (h)),
+       |isl AS (SELECT doc_id, p,
+       |               CASE WHEN p - LAG(p) OVER (
+       |                 PARTITION BY doc_id ORDER BY p) <= 8
+       |               THEN 0 ELSE 1 END AS brk
+       |        FROM flag),
+       |grp AS (SELECT doc_id, p,
+       |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |        FROM isl),
+       |runs AS (SELECT doc_id, g, MIN(p) AS p0, MAX(p) AS p1
+       |         FROM grp GROUP BY doc_id, g),
+       |rl AS (SELECT doc_id, list({'p0': p0, 'p1': p1}) AS rs,
+       |              CAST(COUNT(*) AS BIGINT) AS n_spans
+       |       FROM runs GROUP BY doc_id),
+       |kept AS (SELECT t.doc_id,
+       |                list_filter(t.w, (tok, i) -> NOT COALESCE(
+       |                  list_aggregate(list_transform(r.rs,
+       |                    x -> i BETWEEN x.p0 AND x.p1 + 7), 'bool_or'),
+       |                  FALSE)) AS kw,
+       |                CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |                COALESCE(r.n_spans, 0) AS n_spans
+       |         FROM ttoks t LEFT JOIN rl r USING (doc_id))
+       |SELECT doc_id, COALESCE(array_to_string(kw, ' '), '') AS text, n_tokens,
+       |       CAST(n_tokens - len(kw) AS BIGINT) AS removed_tokens, n_spans
+       |FROM kept ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val evalDocs = Tables.events(s, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"))
+      .join(docs.select(col("doc_id").as("src_doc"), col("text")),
+        col("src_doc") === col("user_id"))
+      .select(col("event_id").as("doc_id"), col("text"))
+    graft.operators.Decontaminate.scrubSpans(
+      docs.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text"),
+      evalDocs, "doc_id", "text", minTokens = 8)
+      .orderBy("doc_id")
+  }
+
   /** q74: temperature-weighted source mixing ([[graft.operators.Mixing
     * .temperatureMix]]) — the n_s^(1/2) (T = 2) pretraining rebalance:
     * each source's share of a global document budget is proportional to
@@ -904,5 +962,5 @@ object TextQ {
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74)
+    q73, q74, q75)
 }

@@ -117,6 +117,26 @@ class PlanSpec extends AnyFunSuite {
     assert(PlanChecks.shuffleExchanges(p) <= 5, s"unexpected extra shuffle:\n$p")
   }
 
+  test("q75 span scrub: eval hashes broadcast, corpus text never exchanges") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, dir)
+    val ev = docs.filter(col("doc_id") % 89 === 0).select("doc_id", "text")
+    val df = graft.operators.Decontaminate.scrubSpans(
+      docs.filter(col("doc_id") % 89 =!= 0).select("doc_id", "text"),
+      ev, "doc_id", "text", minTokens = 8)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the eval window-hash set and the per-doc run lists both come back by
+    // BROADCAST; the only shuffles are the flagged (id, p) pairs' window
+    // partitioning and the run-list aggregation — corpus-volume data never
+    // exchanges on either pass
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast joins:\n$p")
+    val exchangeLines = p.linesIterator
+      .filter(_.trim.matches("""\(\d+\) Exchange.*""")).mkString("\n")
+    assert(!exchangeLines.contains("text") && !exchangeLines.contains("_w"),
+      s"corpus tokens cross an exchange:\n$exchangeLines")
+    assert(PlanChecks.shuffleExchanges(p) <= 3, s"unexpected extra shuffle:\n$p")
+  }
+
   test("q60 skewed decontamination: salted shuffle join, corpus text stays below") {
     // The hot-gram set is MEASURED, so the salted SHAPE only exists when
     // some gram crosses the threshold — true at the sf0.1 bench scale,

@@ -106,6 +106,43 @@ class DecontaminateSpec extends AnyFunSuite {
       s"exchange below the bloom gate:\n${subtree.mkString("\n")}\n\n$plan")
   }
 
+  test("scrubSpans masks exactly the contaminated token runs") {
+    // eval span "q1 q2 q3 q4" (4 tokens); minTokens = 4 so only that exact
+    // window can flag. Train doc 1 embeds it mid-text; doc 2 is clean;
+    // doc 3 IS an eval doc verbatim (fully scrubbed); doc 4 embeds two
+    // overlapping eval windows that must merge into one run.
+    val ev = Seq((100L, "q1 q2 q3 q4 q5")).toDF("doc_id", "text")
+    val tr = Seq(
+      (1L, "a b q1 q2 q3 q4 c d"),
+      (2L, "clean words only here"),
+      (3L, "q1 q2 q3 q4 q5"),
+      (4L, "x q1 q2 q3 q4 q5 y")).toDF("doc_id", "text")
+    val out = Decontaminate.scrubSpans(tr, ev, "doc_id", "text", minTokens = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(1L) == (("a b c d", 8L, 4L, 1L)))
+    assert(out(2L) == (("clean words only here", 4L, 0L, 0L)))
+    assert(out(3L) == (("", 5L, 5L, 1L)))
+    // doc 4: windows at p=2 ("q1..q4") and p=3 ("q2..q5") merge -> one
+    // run covering tokens 2..6, keeping "x" and "y"
+    assert(out(4L) == (("x y", 7L, 5L, 1L)))
+  }
+
+  test("scrubSpans shuffle-runs fallback matches the broadcast path") {
+    val ev = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val tr = Seq(
+      (1L, "x alpha beta gamma delta y"),
+      (2L, "no overlap at all here")).toDF("doc_id", "text")
+    def run(bc: Boolean) =
+      Decontaminate.scrubSpans(tr, ev, "doc_id", "text", minTokens = 4,
+        broadcastRuns = bc).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(run(true) == run(false))
+    assert(run(true)(1L) == "x y")
+  }
+
   test("clean() drops exactly the flagged documents") {
     val kept = Decontaminate.clean(train, eval, "doc_id", "text",
       minShared = 2).select("doc_id").as[Long].collect().toSet
