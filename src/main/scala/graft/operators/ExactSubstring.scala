@@ -190,6 +190,70 @@ object ExactSubstring {
     }
   }
 
+  /** GLOBAL sliding-window duplication stats — the cell of the
+    * exact-substring tier matrix the other two miss: [[stats]] is
+    * any-length but shard-confined (the automaton must fit a task), and
+    * [[Dedup.spanDupStats]] is global but chunk-ALIGNED (a copy
+    * straddling two chunks hides). Here every sliding `minTokens`-token
+    * window is flagged iff its token sequence occurs >= `minOcc` times
+    * anywhere in the corpus, then flagged windows merge into maximal
+    * runs per document ([[stats]]' gaps-and-islands rule) — same output
+    * schema minus the automaton-only `max_rep_span`.
+    *
+    * Scale shape: in-scan window hashing, then ONE exchange of
+    * (hash, id, position) longs partitioned by hash — a per-hash window
+    * count (no second exchange: the occurrence count rides a window
+    * function over the hash partitioning) — and one (id)-partitioned
+    * island merge over FLAGGED positions only. The corpus text crosses
+    * no exchange; the window rows are 24 bytes each, so the shuffle is
+    * ~24·L bytes per corpus token: big but linear, the honest price of
+    * global scope (RefinedWeb's suffix-array pass pays the analogous
+    * sort). Collision trade as everywhere: 8-byte PolyHash keys,
+    * replayed identically by the oracle. */
+  def globalStats(docs: DataFrame, idCol: String, textCol: String,
+                  minTokens: Int = 8, minOcc: Int = 2): DataFrame = {
+    require(minTokens >= 1, "minTokens must be >= 1")
+    require(minOcc >= 2, "minOcc must be >= 2")
+    val L = minTokens
+    val spark = docs.sparkSession
+    graft.functions.PolyHash.ensureRegistered(spark)
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      graft.functions.TextAnalysis.tokens(col(textCol)).as("_w"))
+      .withColumn("_n", coalesce(size(col("_w")), lit(0)))
+    val wins = base.filter(col("_n") >= L)
+      .select(col("id"), explode(transform(
+        sequence(lit(1), col("_n") - (L - 1)),
+        i => struct(i.as("p"), graft.functions.TextAnalysis.strHash(
+          concat_ws(" ", slice(col("_w"), i, lit(L)))).as("h")))).as("_ph"))
+      .select(col("id"), col("_ph.p").as("p"), col("_ph.h").as("h"))
+    val wH = Window.partitionBy("h")
+    val wId = Window.partitionBy("id").orderBy("p")
+    val flagged = wins
+      .withColumn("_c", count(lit(1)).over(wH))
+      .filter(col("_c") >= minOcc)
+      .select("id", "p")
+    val agg = flagged
+      .withColumn("_brk",
+        when(col("p") - lag("p", 1).over(wId) <= L, 0).otherwise(1))
+      .withColumn("_grp", sum("_brk").over(wId))
+      .groupBy("id", "_grp").agg(min("p").as("p0"), max("p").as("p1"),
+        count(lit(1)).as("_nw"))
+      .groupBy("id").agg(
+        sum(col("_nw")).as("n_dup_win"),
+        count(lit(1)).as("n_runs"),
+        sum(col("p1") - col("p0") + L).cast("long").as("dup_tokens"),
+        max(col("p1") - col("p0") + L).cast("long").as("max_dup_run"))
+    base.select(col("id"), col("_n").cast("long").as("n_tokens"),
+        greatest(col("_n") - (L - 1), lit(0)).cast("long").as("n_win"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"), col("n_win"),
+        coalesce(col("n_dup_win"), lit(0L)).as("n_dup_win"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
   /** Exact-substring duplication stats per document, shard-local.
     * Output: (idCol, n_tokens, n_win, n_dup_win, n_runs, dup_tokens,
     * max_dup_run, max_rep_span) — one row per input document, zeros for

@@ -908,6 +908,51 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q76: GLOBAL sliding-window duplication ([[graft.operators
+    * .ExactSubstring.globalStats]]) — the tier-matrix cell q72 (shard-
+    * confined) and q62 (chunk-aligned) both miss: every sliding 8-token
+    * window occurring >= 2 times ANYWHERE in the corpus is flagged, runs
+    * merge per document. The oracle re-derives window hashes (the join
+    * key is the PolyHash long, like q73/q75), the global occurrence
+    * count, and the island merge. */
+  val q76 = Q(
+    "q76_global_window_dup",
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |win AS (SELECT doc_id, i AS p,
+       |               ${sqlHash("array_to_string(w[i:i+7], ' ')")} AS h
+       |        FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)),
+       |dupw AS (SELECT doc_id, p FROM (
+       |           SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS c
+       |           FROM win) WHERE c >= 2),
+       |isl AS (SELECT doc_id, p,
+       |               CASE WHEN p - LAG(p) OVER (
+       |                 PARTITION BY doc_id ORDER BY p) <= 8
+       |               THEN 0 ELSE 1 END AS brk
+       |        FROM dupw),
+       |grp AS (SELECT doc_id, p,
+       |               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |        FROM isl),
+       |runs AS (SELECT doc_id, g, MIN(p) AS p0, MAX(p) AS p1,
+       |                COUNT(*) AS nw
+       |         FROM grp GROUP BY doc_id, g),
+       |agg AS (SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_win,
+       |               CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |               CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens,
+       |               CAST(MAX(p1 - p0 + 8) AS BIGINT) AS max_dup_run
+       |        FROM runs GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |       CAST(GREATEST(len(t.w) - 7, 0) AS BIGINT) AS n_win,
+       |       CAST(COALESCE(a.n_dup_win, 0) AS BIGINT) AS n_dup_win,
+       |       CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs,
+       |       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       CAST(COALESCE(a.max_dup_run, 0) AS BIGINT) AS max_dup_run
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.ExactSubstring.globalStats(
+      Tables.documents(s, dir), "doc_id", "text", minTokens = 8)
+      .orderBy("doc_id")
+  }
+
   /** q72: token-level exact-substring duplication ([[graft.operators
     * .ExactSubstring.stats]]) — the suffix-automaton tier below q62's
     * chunk-hash stand-in: every SLIDING 8-token window (not just
@@ -962,5 +1007,5 @@ object TextQ {
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75)
+    q73, q74, q75, q76)
 }

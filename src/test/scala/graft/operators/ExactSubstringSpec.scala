@@ -149,6 +149,40 @@ class ExactSubstringSpec extends AnyFunSuite {
     assert(out(1L)._7 == 6L && out(2L)._7 == 6L)
   }
 
+  test("globalStats matches the shard tier on a one-shard corpus (minus max_rep_span)") {
+    val rows = Seq(
+      (1L, "a b c d e f g h i j a b c d e f", "s0"),
+      (2L, "x y z a b c d e q r s t u v w", "s0"),
+      (3L, "p q r p q r p q r p q r", "s0"),
+      (4L, "one two three four five six seven", "s0"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val shard = ExactSubstring.stats(df, "doc_id", "text", "source",
+      minTokens = 3).drop("max_rep_span").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val global = ExactSubstring.globalStats(df, "doc_id", "text",
+      minTokens = 3).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(global == shard)
+  }
+
+  test("globalStats catches cross-shard duplication the shard tier cannot") {
+    val copy = "k1 k2 k3 k4 k5 k6"
+    val rows = Seq(
+      (1L, s"a1 a2 $copy a3 a4", "s0"),
+      (2L, s"b1 $copy b2 b3 b4", "s1"), // same span, OTHER shard
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8", "s0"))
+    val df = rows.toDF("doc_id", "text", "source")
+    val shard = ExactSubstring.stats(df, "doc_id", "text", "source",
+      minTokens = 6).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(shard.values.forall(_ == 0L), s"shard tier should miss: $shard")
+    val global = ExactSubstring.globalStats(df, "doc_id", "text",
+      minTokens = 6).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5)))).toMap
+    assert(global(1L) == ((1L, 6L))) // one flagged window, six dup tokens
+    assert(global(2L) == ((1L, 6L)))
+    assert(global(3L) == ((0L, 0L)))
+  }
+
   test("single exchange: one shuffle on the shard key, nothing else") {
     val df = Seq((1L, "a b c d e", "s0"), (2L, "a b c d e", "s1"))
       .toDF("doc_id", "text", "source")
