@@ -22,6 +22,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Execute the query AS COMPILED — every output row, every column.
+    * `.count()` instead would let Catalyst rewrite the plan around the
+    * count: a row-preserving left join (unique build keys) gets pruned
+    * ENTIRELY, so a query whose cost lives in computed columns or such a
+    * join (q75's scrub rebuild, q76's global window count) would time a
+    * skeleton. Executing the final physical plan's RDD measures what a
+    * consumer writing the result would pay. */
+  def runFully(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.execute().count()
+
   /** Listener-bus drain that degrades instead of aborting: on a loaded
     * host `waitUntilEmpty` can exceed its 10 s default and throw — the
     * bench must then fall back to a possibly-stale job count for ONE
@@ -58,7 +68,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     Seq(warmDir, sfDir).foreach { dir =>
       names.foreach { n =>
-        try SparkEntry.queries(n)(spark, dir).count()
+        try Bench.runFully(SparkEntry.queries(n)(spark, dir))
         catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
@@ -93,7 +103,7 @@ object Bench {
         if (!flushQuietly(spark.sparkContext)) flushTimeouts += 1
         val jobs0 = jobCounter.get()
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        try { Bench.runFully(SparkEntry.queries(name)(spark, sfDir)) }
         catch { case _: Throwable => failed = true }
         val dt = (System.nanoTime() - t0) / 1e9
         if (!flushQuietly(spark.sparkContext)) flushTimeouts += 1

@@ -45,7 +45,7 @@ object Explain {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      val n = Bench.runFully(SparkEntry.queries(name)(spark, sfDir))
       println(f"[explain] $name rep=$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()

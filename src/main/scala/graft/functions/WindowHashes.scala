@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[PolyHash]] of every sliding `n`-token window of a document, in
+  * position order: element k (0-based) is the hash of the space-joined
+  * tokens `[k+1, k+n]` (1-based window starts, like every island
+  * consumer). Bitwise identical to
+  * `transform(sequence(1, len-n+1), i -> polyhash(concat_ws(' ',
+  * slice(tokens, i, n))))` — and to the DuckDB oracle's
+  * `list_reduce` over `array_to_string(w[i:i+n-1], ' ')` — but runs as
+  * ONE codegen'd loop over the document instead of a higher-order
+  * function chain: Spark's HOFs are `CodegenFallback`, so the composed
+  * form tokenizes once but then pays an interpreted lambda, a slice
+  * allocation, and a string build PER WINDOW. This expression is the hot
+  * inner loop of the global-window dedup (q76) and span-scrub (q75)
+  * tiers — per corpus token at 100 TB, it must stay inside codegen.
+  *
+  * Empty-ish inputs (fewer than `n` tokens) return an empty array;
+  * `n` must be a foldable positive integer (the window width is plan
+  * metadata, not data).
+  */
+case class WindowHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"window_hashes requires STRING text, got ${left.dataType.catalogString}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "window_hashes requires a foldable INT window width")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    WindowHashes.compute(text.asInstanceOf[UTF8String].toString,
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.WindowHashes.compute($t.toString(), $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WindowHashes =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "window_hashes"
+}
+
+object WindowHashes {
+
+  /** One pass: tokenize with the Spark/DuckDB-exact [[TextAnalysis
+    * .jvmTokens]], then hash each window's characters directly — token
+    * chars + single-space separators — without building the joined
+    * string. Matches `PolyHash.hash(tokens.slice(k, k+n).mkString(" "))`
+    * bitwise (spec-pinned): the polynomial runs over the same code-point
+    * sequence either way. */
+  def compute(s: String, n: Int): ArrayData = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    val toks = TextAnalysis.jvmTokens(s)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val p = TextAnalysis.P
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * 31 + ' '.toInt) % p
+        val t = toks(k + j)
+        var c = 0
+        while (c < t.length) {
+          // code points, not chars: supplementary pairs must fold like
+          // PolyHash.hash / DuckDB unicode() — one value per code point
+          val cp = t.codePointAt(c)
+          acc = (acc * 31 + cp) % p
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(text: Column, n: Int): Column =
+    call_function("window_hashes", text, lit(n))
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("window_hashes",
+        exprs => WindowHashes(exprs.head, exprs(1)), "built-in")
+}

@@ -207,18 +207,15 @@ object Decontaminate {
     require(minTokens >= 1, "minTokens must be >= 1")
     val L = minTokens
     graft.functions.PolyHash.ensureRegistered(train.sparkSession)
-    // `keep` are column NAMES already present on `df` — the helper only
-    // ever references them by name, so the window explode composes over
-    // the pre-projected frame without re-resolving caller expressions
+    graft.functions.WindowHashes.ensureRegistered(train.sparkSession)
+    // `keep` are column NAMES already present on `df`; window hashing is
+    // the codegen'd [[graft.functions.WindowHashes]] — one in-scan loop
+    // per document, where the HOF transform/slice/concat_ws formulation
+    // pays an interpreted lambda and a string build PER WINDOW
     def winHashes(df: DataFrame, keep: Seq[String]): DataFrame = df
-      .withColumn("_w", graft.functions.TextAnalysis.tokens(col(textCol)))
-      .withColumn("_n", coalesce(size(col("_w")), lit(0)))
-      .filter(col("_n") >= L)
-      .select(keep.map(col) :+ explode(transform(
-        sequence(lit(1), col("_n") - (L - 1)),
-        i => struct(i.as("p"),
-          strHash(concat_ws(" ", slice(col("_w"), i, lit(L)))).as("h")))).as("_ph"): _*)
-      .select(keep.map(col) :+ col("_ph.p").as("p") :+ col("_ph.h").as("h"): _*)
+      .select(keep.map(col) :+
+        posexplode(graft.functions.WindowHashes(col(textCol), L)): _*)
+      .select(keep.map(col) :+ (col("pos") + 1).as("p") :+ col("col").as("h"): _*)
     val eh = winHashes(eval, Nil).select("h").distinct()
     val wId = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("p")
@@ -229,29 +226,34 @@ object Decontaminate {
         when(col("p") - lag("p", 1).over(wId) <= L, 0).otherwise(1))
       .withColumn("_grp", sum("_brk").over(wId))
       .groupBy("id", "_grp").agg(min("p").as("p0"), max("p").as("p1"))
+      // disjoint intervals: independently sorted start/end arrays stay
+      // aligned, which is exactly the shape ScrubTokens' merge-walk wants
       .groupBy("id")
-      .agg(collect_list(struct(col("p0"), col("p1"))).as("_runs"),
+      .agg(sort_array(collect_list(col("p0").cast("int"))).as("_s"),
+        sort_array(collect_list((col("p1") + (L - 1)).cast("int"))).as("_e"),
         count(lit(1)).as("n_spans"))
     val runsSide =
       if (broadcastRuns) broadcast(runs)
       else runs.hint("shuffle_hash")
+    graft.functions.ScrubTokens.ensureRegistered(train.sparkSession)
+    graft.functions.TokenStats.ensureRegistered(train.sparkSession)
     val passthrough = train.columns.filter(_ != textCol).map(col).toSeq
+    // rebuild pass, fully codegen'd: TokenStats counts the original
+    // tokens, ScrubTokens drops covered positions in one merge-walk —
+    // both in-scan (the HOF filter/exists/transform chain they replace
+    // is interpreted per token)
+    val empty = array().cast("array<int>")
     train
       .join(runsSide, train(idCol) === runs("id"), "left")
-      .withColumn("_w", graft.functions.TextAnalysis.tokens(col(textCol)))
-      .withColumn("_n", coalesce(size(col("_w")), lit(0)))
-      .withColumn("_rs", coalesce(col("_runs"),
-        array().cast("array<struct<p0:int,p1:int>>")))
-      // sequence(1, 0) would step DOWNWARD ([1, 0]) — guard the empty case
-      .withColumn("_kept", when(col("_n") === 0, array().cast("array<int>"))
-        .otherwise(filter(sequence(lit(1), col("_n")),
-          i => !exists(col("_rs"),
-            r => i >= r.getField("p0") && i <= r.getField("p1") + (L - 1)))))
+      .withColumn("_n", graft.functions.TokenStats(col(textCol))
+        .getField("n_tokens").cast("int"))
+      .withColumn("_sc", graft.functions.ScrubTokens(col(textCol),
+        coalesce(col("_s"), empty), coalesce(col("_e"), empty)))
       .select(passthrough
-        :+ concat_ws(" ",
-          transform(col("_kept"), i => element_at(col("_w"), i))).as(textCol)
+        :+ col("_sc").getField("text").as(textCol)
         :+ col("_n").cast("long").as("n_tokens")
-        :+ (col("_n") - size(col("_kept"))).cast("long").as("removed_tokens")
+        :+ (col("_n") - col("_sc").getField("kept")).cast("long")
+          .as("removed_tokens")
         :+ coalesce(col("n_spans"), lit(0L)).as("n_spans"): _*)
   }
 }

@@ -216,17 +216,18 @@ object ExactSubstring {
     require(minOcc >= 2, "minOcc must be >= 2")
     val L = minTokens
     val spark = docs.sparkSession
-    graft.functions.PolyHash.ensureRegistered(spark)
+    graft.functions.WindowHashes.ensureRegistered(spark)
+    graft.functions.TokenStats.ensureRegistered(spark)
     import org.apache.spark.sql.expressions.Window
+    // both passes fully codegen'd in-scan: token counts via TokenStats,
+    // window hashes via WindowHashes (the HOF transform/slice/concat_ws
+    // formulation pays an interpreted lambda + a string build PER WINDOW)
     val base = docs.select(col(idCol).cast("long").as("id"),
-      graft.functions.TextAnalysis.tokens(col(textCol)).as("_w"))
-      .withColumn("_n", coalesce(size(col("_w")), lit(0)))
-    val wins = base.filter(col("_n") >= L)
-      .select(col("id"), explode(transform(
-        sequence(lit(1), col("_n") - (L - 1)),
-        i => struct(i.as("p"), graft.functions.TextAnalysis.strHash(
-          concat_ws(" ", slice(col("_w"), i, lit(L)))).as("h")))).as("_ph"))
-      .select(col("id"), col("_ph.p").as("p"), col("_ph.h").as("h"))
+      graft.functions.TokenStats(col(textCol)).getField("n_tokens")
+        .cast("int").as("_n"))
+    val wins = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(graft.functions.WindowHashes(col(textCol), L)))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
     val wH = Window.partitionBy("h")
     val wId = Window.partitionBy("id").orderBy("p")
     val flagged = wins

@@ -68,6 +68,7 @@ object Curation {
              mixRatesMilli: Map[String, Int] = Map.empty,
              mixDefaultMilli: Int = 1000,
              decontamBloomFpp: Option[Double] = None,
+             decontamScrubSpans: Option[Int] = None,
              temperatureBudget: Option[Long] = None,
              packBudget: Long = 2048,
              audit: Boolean = true): (DataFrame, Report) = {
@@ -113,18 +114,31 @@ object Curation {
       .select(col("id_b").as(idCol)).distinct()
     val nearDup = stage(exact.join(dropB, Seq(idCol), "left_anti"))
 
-    // 4. decontamination against the eval corpus: the broadcast path by
-    // default; `decontamBloomFpp` switches the overlap probe to the
-    // Bloom-gated mid regime ([[Decontaminate.flaggedBloom]] — eval set
-    // too big to broadcast, gram sketch gates the corpus in-scan; output
-    // identical, the exact join scrubs the sketch's false positives)
-    val decontam = stage(decontamBloomFpp match {
-      case Some(fpp) => nearDup.join(
-        Decontaminate.flaggedBloom(nearDup, evalDocs, idCol, textCol,
-          minShared = decontamMinShared, fpp = fpp),
-        Seq(idCol), "left_anti")
-      case None => Decontaminate.clean(nearDup, evalDocs, idCol,
-        textCol, minShared = decontamMinShared)
+    // 4. decontamination against the eval corpus. Three regimes:
+    //  - default: the broadcast-join document DROP ([[Decontaminate.clean]])
+    //  - `decontamBloomFpp`: same drop via the Bloom-gated probe
+    //    ([[Decontaminate.flaggedBloom]] — eval set too big to broadcast,
+    //    gram sketch gates the corpus in-scan; output identical, the exact
+    //    join scrubs the sketch's false positives)
+    //  - `decontamScrubSpans = Some(L)`: SCRUB instead of drop
+    //    ([[Decontaminate.scrubSpans]], RefinedWeb masking) — contaminated
+    //    L-token runs are masked out and the document survives; its audit
+    //    columns are dropped here (packing recomputes token counts on the
+    //    scrubbed text). Scrub wins if combined with the others — it
+    //    subsumes the drop decision.
+    val decontam = stage(decontamScrubSpans match {
+      case Some(l) =>
+        Decontaminate.scrubSpans(nearDup, evalDocs, idCol, textCol,
+            minTokens = l)
+          .drop("n_tokens", "removed_tokens", "n_spans")
+      case None => decontamBloomFpp match {
+        case Some(fpp) => nearDup.join(
+          Decontaminate.flaggedBloom(nearDup, evalDocs, idCol, textCol,
+            minShared = decontamMinShared, fpp = fpp),
+          Seq(idCol), "left_anti")
+        case None => Decontaminate.clean(nearDup, evalDocs, idCol,
+          textCol, minShared = decontamMinShared)
+      }
     })
 
     // 5. mixing: static per-source rates, or — when `temperatureBudget`

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The codegen'd WindowHashes expression vs its built-ins twin (the HOF
+  * transform/slice/concat_ws/polyhash formulation it replaces) — bitwise,
+  * on real corpus text — plus edge semantics. */
+class WindowHashesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hofTwin(l: Int) = {
+    val w = TextAnalysis.tokens(col("text"))
+    when(coalesce(size(w), lit(0)) < l, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(w) - (l - 1)),
+        i => TextAnalysis.strHashPortable(concat_ws(" ", slice(w, i, lit(l))))))
+  }
+
+  test("bitwise parity with the built-ins twin on real corpus text") {
+    PolyHash.ensureRegistered(spark)
+    WindowHashes.ensureRegistered(spark)
+    for (l <- Seq(1, 3, 8)) {
+      val diff = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(WindowHashes(col("text"), l).as("a"), hofTwin(l).as("b"))
+        .filter(not(col("a") === col("b")))
+      assert(diff.count() == 0, s"L=$l diverges from the HOF twin")
+    }
+  }
+
+  test("JVM compute matches PolyHash of the joined slice directly") {
+    val toks = Array("aa", "b", "ccc", "dd", "e")
+    val got = WindowHashes.compute(toks.mkString(" "), 3)
+    (0 to 2).foreach { k =>
+      assert(got.getLong(k) == PolyHash.hash(toks.slice(k, k + 3).mkString(" ")),
+        s"window $k")
+    }
+  }
+
+  test("short documents yield an empty array; null stays null; width checked") {
+    WindowHashes.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT window_hashes('a b', 3), window_hashes(CAST(NULL AS STRING), 3)")
+      .head
+    assert(r.getSeq[Long](0).isEmpty && r.isNullAt(1))
+    // whitespace-only text tokenizes to [""] (the trim/split contract) —
+    // one token, so L=1 hashes the empty string (0), L=2 is empty
+    assert(WindowHashes.compute("  ", 1).getLong(0) == 0L)
+    assert(WindowHashes.compute("  ", 2).numElements() == 0)
+    intercept[IllegalArgumentException] { WindowHashes.compute("a", 0) }
+  }
+
+  test("supplementary code points fold one value per code point") {
+    // U+1F600 (128512) as a single token: hash = 128512 % P
+    assert(WindowHashes.compute(new String(Character.toChars(0x1F600)), 1)
+      .getLong(0) == 128512L)
+  }
+}

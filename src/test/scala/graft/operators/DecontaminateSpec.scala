@@ -130,6 +130,48 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(out(4L) == (("x y", 7L, 5L, 1L)))
   }
 
+  test("scrubSpans randomized parity vs an independent brute force") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("t0", "t1", "t2", "t3", "t4")
+    def doc(n: Int) = Array.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val L = 3
+    // small vocab + short windows force plenty of incidental matches
+    val evDocs = (0 until 4).map(i => (100L + i, doc(8 + rnd.nextInt(8))))
+    val trDocs = (0 until 12).map(i => (i.toLong, doc(6 + rnd.nextInt(14))))
+    // independent brute force: eval window set, flag train windows, merge
+    // islands (gap <= L), remove covered 1-based positions, single-space join
+    val evWins = evDocs.flatMap { case (_, w) =>
+      (0 to w.length - L).map(i => w.slice(i, i + L).toSeq)
+    }.toSet
+    val expect = trDocs.map { case (id, w) =>
+      val flagged = (1 to w.length - L + 1)
+        .filter(p => evWins.contains(w.slice(p - 1, p - 1 + L).toSeq))
+      var runs = List.empty[(Int, Int)]
+      flagged.foreach { p =>
+        runs match {
+          case (f, l) :: rest if p - l <= L => runs = (f, p) :: rest
+          case _                            => runs = (p, p) :: runs
+        }
+      }
+      val covered = runs.flatMap { case (f, l) => f to (l + L - 1) }.toSet
+      val kept = w.zipWithIndex.collect {
+        case (t, i) if !covered.contains(i + 1) => t }
+      id -> ((kept.mkString(" "), w.length.toLong,
+        (w.length - kept.length).toLong, runs.length.toLong))
+    }.toMap
+    val out = Decontaminate.scrubSpans(
+      trDocs.map { case (id, w) => (id, w.mkString(" ")) }.toDF("doc_id", "text"),
+      evDocs.map { case (id, w) => (id, w.mkString(" ")) }.toDF("doc_id", "text"),
+      "doc_id", "text", minTokens = L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out == expect)
+    // the generator must have actually exercised scrubbing
+    assert(expect.values.exists(_._3 > 0L), "no doc was scrubbed — generator too weak")
+  }
+
   test("scrubSpans shuffle-runs fallback matches the broadcast path") {
     val ev = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val tr = Seq(

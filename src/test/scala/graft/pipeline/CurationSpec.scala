@@ -63,6 +63,17 @@ class CurationSpec extends AnyFunSuite {
       temperatureBudget = Some(50L))
     assert(rT.nAfterMix < rT.nAfterDecontam, "temperature mix dropped nothing")
     assert(rT.nAfterMix > 0L)
+    // scrub regime: no document is DROPPED at the decontamination stage
+    // (they survive scrubbed), and the output schema is unchanged — the
+    // operator's audit columns must not leak into the funnel output
+    val (outS, rS) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      decontamScrubSpans = Some(8))
+    assert(rS.nAfterDecontam == rS.nAfterNearDup, "scrub regime dropped docs")
+    assert(outS.columns.sorted.toSeq == outBc.columns.sorted.toSeq)
+    // the eval replay really contaminates: some surviving text got shorter
+    // than the drop regime's corresponding doc set implies
+    assert(rS.nAfterDecontam > rBc.nAfterDecontam)
   }
 
   test("curation is deterministic end to end") {
