@@ -15,7 +15,14 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing}
   *   1. quality filter   — drop repetitive documents
   *                         ([[graft.functions.RepetitionStats
   *                         .repetitiveFlag]], the same oracle-pinned
-  *                         predicate as q59)
+  *                         predicate as q59), plus — when `lmRefFilter`
+  *                         is set — the LM-likelihood drop
+  *                         ([[graft.operators.LmQuality.score]], the
+  *                         q77 CCNet-style filter): documents scoring
+  *                         below `lmMinAvgPpm` under the bigram model
+  *                         trained on the reference slice are dropped;
+  *                         documents with no bigram to score survive
+  *                         (nothing to judge them by)
   *   2. exact dedup      — keep one copy per normalized text
   *                         ([[Dedup.exactGroups]], keep-lowest-id)
   *   3. near-dup dedup   — MinHash+LSH pairs, greedy keep-lowest-id
@@ -63,6 +70,8 @@ object Curation {
              sourceCol: String = "source",
              repetitionTopBigramMilli: Int = 100,
              repetitionDupTrigramMilli: Int = 20,
+             lmRefFilter: Option[org.apache.spark.sql.Column] = None,
+             lmMinAvgPpm: Long = 1000L,
              nearDupThresholdMilli: Int = 800,
              decontamMinShared: Int = 2,
              mixRatesMilli: Map[String, Int] = Map.empty,
@@ -92,16 +101,29 @@ object Curation {
     val rsCol = fresh("_rs")
     val tokCol = fresh("_tok")
 
-    // 0+1. null-text drop (explicit) + quality: Gopher repetition predicate
+    // 0+1. null-text drop (explicit) + quality: Gopher repetition
+    // predicate, then the optional LM-likelihood drop (q77 regime). The
+    // model trains on the reference slice of the repetition-clean corpus
+    // — training on documents the funnel already rejected would teach the
+    // model the garbage it exists to catch. Documents with nothing to
+    // score (< 2 tokens) survive: the anti-join only removes LOW scorers.
     val rs = graft.functions.RepetitionStats(col(textCol))
-    val quality = stage(docs
+    val repClean = docs
       .filter(col(textCol).isNotNull)
       .withColumn(rsCol, rs)
       .filter(!graft.functions.RepetitionStats.repetitiveFlag(
         col(s"$rsCol.n_bigrams"), col(s"$rsCol.top_bigram_n"),
         col(s"$rsCol.n_trigrams"), col(s"$rsCol.n_distinct_trigrams"),
         repetitionTopBigramMilli, repetitionDupTrigramMilli))
-      .drop(rsCol))
+      .drop(rsCol)
+    val quality = stage(lmRefFilter match {
+      case Some(pred) =>
+        val low = graft.operators.LmQuality.score(repClean, pred, idCol, textCol)
+          .filter(col("n_bigrams") > 0 && col("avg_p_ppm") < lmMinAvgPpm)
+          .select(col(idCol))
+        repClean.join(low, Seq(idCol), "left_anti")
+      case None => repClean
+    })
 
     // 2. exact dedup: keep the canonical (lowest) id of each text group
     val canon = Dedup.exactGroups(quality, idCol, textCol)

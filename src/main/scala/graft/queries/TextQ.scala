@@ -1005,7 +1005,50 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q77: LM-quality scoring ([[graft.operators.LmQuality.score]]) — the
+    * CCNet-style perplexity filter in its exact-integer form: an add-one-
+    * smoothed bigram model trained on the content-hash-deterministic 10 %
+    * reference slice scores every document's bigram occurrences in ppm,
+    * `((c12+1)·10⁶) div (c1+V)` (see the operator scaladoc for why no
+    * ln()). The oracle retrains the identical model from raw SQL — same
+    * polyhash gram keys, same integer smoothing — so counts, OOV tallies,
+    * and both ppm scores hash-match bit-for-bit. */
+  val q77 = Q(
+    "q77_lm_quality",
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |ref AS (SELECT w FROM toks
+       |        WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 10 = 0),
+       |uni AS (SELECT ${sqlHash("w[i]")} AS h1, CAST(COUNT(*) AS BIGINT) AS c1
+       |        FROM ref, UNNEST(range(1, len(w) + 1)) AS t(i) GROUP BY 1),
+       |bi AS (SELECT ${sqlHash("w[i] || ' ' || w[i+1]")} AS h12,
+       |              CAST(COUNT(*) AS BIGINT) AS c12
+       |       FROM ref, UNNEST(range(1, len(w))) AS t(i) GROUP BY 1),
+       |voc AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT), 1) AS v FROM uni),
+       |occ AS (SELECT doc_id, ${sqlHash("w[i] || ' ' || w[i+1]")} AS h12,
+       |               ${sqlHash("w[i]")} AS h1
+       |        FROM toks, UNNEST(range(1, len(w))) AS t(i)),
+       |p AS (SELECT doc_id, c12,
+       |             ((COALESCE(c12, 0) + 1) * 1000000)
+       |               // (COALESCE(c1, 0) + v) AS p_ppm
+       |      FROM occ LEFT JOIN bi USING (h12) LEFT JOIN uni USING (h1), voc),
+       |scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |                  CAST(SUM(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END)
+       |                       AS BIGINT) AS oov_bigrams,
+       |                  CAST(SUM(p_ppm) AS BIGINT) // COUNT(*) AS avg_p_ppm,
+       |                  MIN(p_ppm) AS min_p_ppm
+       |           FROM p GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       CAST(COALESCE(oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+       |       avg_p_ppm, min_p_ppm
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN scored USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.LmQuality.score(
+      Tables.documents(s, dir),
+      strHash(col("doc_id").cast("string")) % 10 === 0, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76)
+    q73, q74, q75, q76, q77)
 }

@@ -76,6 +76,30 @@ class CurationSpec extends AnyFunSuite {
     assert(rS.nAfterDecontam > rBc.nAfterDecontam)
   }
 
+  test("LM-quality knob: threshold 0 is a no-op, a maximal threshold " +
+    "drops every scored doc and keeps the unscoreable") {
+    val ref = Some(graft.functions.TextAnalysis
+      .strHash(col("doc_id").cast("string")) % 10 === 0)
+    val (_, base) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256)
+    // avg_p_ppm >= 0 always, the drop predicate is strict-below
+    val (_, noop) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      lmRefFilter = ref, lmMinAvgPpm = 0L)
+    assert(noop.nAfterQuality == base.nAfterQuality)
+    // add-one smoothing bounds every conditional strictly under 10^6 ppm
+    // (c12 <= c1 and V >= 2 here), so this threshold rejects every doc
+    // with at least one bigram — survivors are exactly the unscoreable
+    val (_, all) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      lmRefFilter = ref, lmMinAvgPpm = 1000000L)
+    assert(all.nAfterQuality < noop.nAfterQuality)
+    val repCleanUnscoreable = docs.filter(col("text").isNotNull)
+      .filter(size(split(trim(col("text")), "\\s+")) < 2).count()
+    assert(all.nAfterQuality <= repCleanUnscoreable,
+      "a scored document survived the maximal threshold")
+  }
+
   test("curation is deterministic end to end") {
     def run() = Curation.curate(docs, evalDocs,
       nearDupThresholdMilli = 500, packBudget = 256, audit = false)._1
