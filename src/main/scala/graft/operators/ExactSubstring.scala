@@ -118,10 +118,6 @@ object ExactSubstring {
     }
   }
 
-  private final case class DocStats(
-      id: Long, nTokens: Long, nWin: Long, nDupWin: Long, nRuns: Long,
-      dupTokens: Long, maxDupRun: Long, maxRepSpan: Long)
-
   /** Per-shard pass: build the automaton over every document (sorted by
     * id — construction order must not leak into anything, but determinism
     * costs nothing), seal counts, then walk each document twice-in-one:
@@ -282,3 +278,14 @@ object ExactSubstring {
         "dup_tokens", "max_dup_run", "max_rep_span")
   }
 }
+
+/** Encoder target for [[ExactSubstring.stats]]'s per-document row. Top
+  * level and qualified-private on purpose: a Scala-`private` class nested
+  * in the object compiles to bytecode Janino cannot call accessors on, so
+  * `SerializeFromObjectExec`'s generated projection failed to compile and
+  * every task silently fell back to the interpreted path (15 compile
+  * errors per bench run). Qualified private keeps the API surface while
+  * emitting public bytecode. */
+private[operators] final case class DocStats(
+    id: Long, nTokens: Long, nWin: Long, nDupWin: Long, nRuns: Long,
+    dupTokens: Long, maxDupRun: Long, maxRepSpan: Long)
