@@ -62,4 +62,14 @@ private[graft] object ConfWindow {
   def headOneJob(spark: org.apache.spark.sql.SparkSession) =
     new ConfWindow(spark, "spark.sql.limit.initialNumPartitions", "64", "1")
 
+  /** AQE coalesces a small exchange down to one partition by output SIZE —
+    * correct when the exchange feeds comparably-sized work, wrong when a
+    * compact materialization (an inverted index, a signature table) feeds
+    * a multiplying join downstream: the whole expansion then runs on one
+    * task. Scope this window around the materialization so it keeps the
+    * session's parallelism; downstream stages inherit it. */
+  def keepParallelism(spark: org.apache.spark.sql.SparkSession) =
+    new ConfWindow(spark,
+      "spark.sql.adaptive.coalescePartitions.enabled", "false", "true")
+
 }

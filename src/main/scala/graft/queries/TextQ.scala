@@ -1048,7 +1048,87 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q78: BM25 top-k retrieval ([[graft.operators.Retrieval.bm25TopK]]) —
+    * rank training documents against each eval query document (q73's
+    * corpus/eval split) by the integer-exact BM25 surrogate: exact
+    * rational tf saturation at k1 = 6/5, b = 3/4 and the unlogged
+    * (N−df+0.5)/(df+0.5) odds idf, both in fixed-point integer division
+    * (the q48 no-libm contract), so DuckDB replays the scoring
+    * bit-for-bit. The oracle re-ranks with a window; the Spark side ranks
+    * through the bounded [[graft.operators.TopKAgg]] heap, proving (like
+    * q51) that the ≤-k-rows-per-partition path returns exactly the
+    * window's answer. */
+  val q78 = Q(
+    "q78_bm25_topk",
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl
+       |      FROM toks WHERE doc_id % 89 <> 0),
+       |ct AS (SELECT doc_id, dl, unnest(w) AS t FROM c),
+       |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf,
+       |              MIN(dl) AS dl
+       |       FROM ct GROUP BY doc_id, t),
+       |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |              CAST(SUM(dl) AS BIGINT) AS s FROM c),
+       |qt AS (SELECT DISTINCT doc_id AS qid, unnest(w) AS t
+       |       FROM toks WHERE doc_id % 89 = 0),
+       |term AS (SELECT qt.qid, tf.doc_id,
+       |                ((2*n - 2*df + 1)*1000) // (2*df + 1) AS idf_milli,
+       |                (22*tf.tf*s*1000) // (10*tf.tf*s + 3*s + 9*tf.dl*n)
+       |                  AS part_permille
+       |         FROM qt JOIN tf ON tf.t = qt.t
+       |                 JOIN dfreq ON dfreq.t = qt.t, st),
+       |sc AS (SELECT qid, doc_id,
+       |              CAST(SUM(idf_milli * part_permille) AS BIGINT) AS score
+       |       FROM term GROUP BY qid, doc_id),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (
+       |         PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+       |FROM rk WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Retrieval.bm25TopK(
+      docs.filter(col("doc_id") % 89 =!= 0),
+      docs.filter(col("doc_id") % 89 === 0),
+      "doc_id", "text", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** q79: near-dup keep-one ([[graft.operators.Dedup.keepCanonical]]) —
+    * the deduped-corpus materialization over q41's MinHash clusters: one
+    * row per document with its component and whether it survives (highest
+    * n_chars per component, ties to the lowest doc_id). The oracle replays
+    * the transitive closure (q41's recursive CTE) and re-ranks each
+    * component with a window. */
+  val q79 = Q(
+    "q79_neardup_keep",
+    s"""WITH RECURSIVE ${minhashPairsCtes(500)},
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |closure AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT c.id, e.b FROM closure c JOIN edges e ON e.a = c.r
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM closure GROUP BY id),
+       |d AS (SELECT doc_id, n_chars,
+       |             CAST(COALESCE(component, doc_id) AS BIGINT) AS component
+       |      FROM documents LEFT JOIN comp ON comp.id = doc_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+       |      FROM d)
+       |SELECT doc_id, component, rn = 1 AS kept
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      thresholdMilli = 500)
+    Dedup.keepCanonical(docs, "doc_id", "n_chars", pairs)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76, q77)
+    q73, q74, q75, q76, q77, q78, q79)
 }

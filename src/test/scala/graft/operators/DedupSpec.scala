@@ -158,4 +158,35 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.PlanChecks.shuffleExchanges(p) <= 3,
       s"unexpected extra shuffle:\n$p")
   }
+  test("keepCanonical: one survivor per cluster by quality, singletons kept") {
+    // clusters {1,2,7} (via 1-2, 2-7) and {4,5}; 3 and 9 unclustered
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 5L), (4L, 8L), (5L, 8L),
+      (7L, 30L), (9L, 1L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 7L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.keepCanonical(docs, "doc_id", "n_chars", pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, false),
+      (2L, 1L, true),  // quality 30 ties with 7, lower id wins
+      (3L, 3L, true),  // singleton: own component, kept
+      (4L, 4L, true),  // quality tie in {4,5}: lower id wins
+      (5L, 4L, false),
+      (7L, 1L, false),
+      (9L, 9L, true)), s"got $out")
+  }
+
+  test("keepCanonical: every document appears exactly once") {
+    val d = docs.withColumn("n_chars",
+      org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")))
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text", thresholdMilli = 500)
+    val out = Dedup.keepCanonical(d, "doc_id", "n_chars", pairs)
+    val n = d.count()
+    assert(out.count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+    // exactly one kept row per component
+    val bad = out.filter("kept").groupBy("component")
+      .count().filter("count != 1").count()
+    assert(bad == 0)
+  }
 }
