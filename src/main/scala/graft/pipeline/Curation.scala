@@ -43,6 +43,10 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing}
   * the simple transitive-safe policy: it can over-drop relative to
   * connected-component canonicalization ([[graft.operators.Components]])
   * but never keeps two documents that were flagged as a pair.
+  * `nearDupQualityCol` switches the stage to [[Dedup.keepCanonical]] —
+  * exactly one survivor per near-dup cluster, chosen by quality — when
+  * copies differ in extraction quality and the components pass is worth
+  * its cost.
   *
   * `audit = true` (default) eagerly materializes each stage
   * (`localCheckpoint`) and counts it — each count then reads its own
@@ -73,6 +77,7 @@ object Curation {
              lmRefFilter: Option[org.apache.spark.sql.Column] = None,
              lmMinAvgPpm: Long = 1000L,
              nearDupThresholdMilli: Int = 800,
+             nearDupQualityCol: Option[String] = None,
              decontamMinShared: Int = 2,
              mixRatesMilli: Map[String, Int] = Map.empty,
              mixDefaultMilli: Int = 1000,
@@ -130,11 +135,24 @@ object Curation {
       .select(col("canonical_id").as(idCol))
     val exact = stage(quality.join(canon, Seq(idCol), "left_semi"))
 
-    // 3. near-dup: drop the higher id of every LSH-verified pair
-    val dropB = Dedup.minhashPairs(exact, idCol, textCol,
-        thresholdMilli = nearDupThresholdMilli)
-      .select(col("id_b").as(idCol)).distinct()
-    val nearDup = stage(exact.join(dropB, Seq(idCol), "left_anti"))
+    // 3. near-dup: by default drop the higher id of every LSH-verified
+    // pair (greedy — cheaper than clustering, never keeps a flagged
+    // pair). With `nearDupQualityCol`, canonicalize through the component
+    // map instead ([[Dedup.keepCanonical]]): one survivor per near-dup
+    // CLUSTER, chosen by quality — what a production dedup keeps when
+    // copies differ in extraction quality, at the price of the
+    // connected-components pass.
+    val pairs = Dedup.minhashPairs(exact, idCol, textCol,
+      thresholdMilli = nearDupThresholdMilli)
+    val nearDup = stage(nearDupQualityCol match {
+      case Some(q) =>
+        val kept = Dedup.keepCanonical(exact, idCol, q, pairs)
+          .filter(col("kept")).select(col(idCol))
+        exact.join(kept, Seq(idCol), "left_semi")
+      case None =>
+        val dropB = pairs.select(col("id_b").as(idCol)).distinct()
+        exact.join(dropB, Seq(idCol), "left_anti")
+    })
 
     // 4. decontamination against the eval corpus. Three regimes:
     //  - default: the broadcast-join document DROP ([[Decontaminate.clean]])

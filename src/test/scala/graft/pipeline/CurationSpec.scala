@@ -157,4 +157,29 @@ class CurationSpec extends AnyFunSuite {
         s"near-dup pair ($a, $b) fully survived curation")
     }
   }
+
+  test("nearDupQualityCol keeps the best copy per cluster, still no " +
+    "surviving pair") {
+    val (out, _) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, nearDupQualityCol = Some("n_chars"),
+      audit = false)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = graft.operators.Dedup.minhashPairs(
+        docs, "doc_id", "text", thresholdMilli = 500)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture needs near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)),
+        s"near-dup pair ($a, $b) fully survived curation")
+    }
+    // the knob engages: the quality-aware survivor set differs from the
+    // greedy keep-lowest-id run on the same corpus (n_chars ordering and
+    // id ordering disagree on at least one cluster of this fixture)
+    val (greedy, _) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, audit = false)
+    val greedyKept = greedy.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept != greedyKept,
+      "quality-aware keep chose the same survivors as greedy — knob inert")
+  }
 }
