@@ -28,11 +28,21 @@ object Decontaminate {
     * docs cross the threshold, and the largest per-eval-doc overlap.
     */
   def flagged(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
-              minShared: Int, broadcastEval: Boolean = true): DataFrame = {
+              minShared: Int, broadcastEval: Boolean = true): DataFrame =
+    flaggedOverShingles(train,
+      Dedup.shingles(eval, idCol, textCol)
+        .select(col("id").as("eval_id"), col("g")),
+      idCol, textCol, minShared, broadcastEval)
+
+  /** [[flagged]] with the eval side already derived as (eval_id, g)
+    * shingle rows — the seam [[graft.streaming.StreamDecontam]] uses to
+    * fold the eval corpus ONCE and probe every micro-batch against the
+    * same materialization. */
+  private[graft] def flaggedOverShingles(train: DataFrame, esh: DataFrame,
+      idCol: String, textCol: String, minShared: Int,
+      broadcastEval: Boolean): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     val tsh = Dedup.shingles(train, idCol, textCol)
-    val esh = Dedup.shingles(eval, idCol, textCol)
-      .select(col("id").as("eval_id"), col("g"))
     val (probe, build) =
       if (broadcastEval) (tsh, broadcast(esh))
       else (tsh.hint("shuffle_hash"), esh.hint("shuffle_hash"))
@@ -203,7 +213,28 @@ object Decontaminate {
     */
   def scrubSpans(train: DataFrame, eval: DataFrame, idCol: String,
                  textCol: String, minTokens: Int = 8,
-                 broadcastRuns: Boolean = true): DataFrame = {
+                 broadcastRuns: Boolean = true): DataFrame =
+    scrubSpansOverHashes(train,
+      evalWindowHashes(eval, textCol, minTokens),
+      idCol, textCol, minTokens, broadcastRuns)
+
+  /** The eval side of [[scrubSpans]]: the DISTINCT set of every sliding
+    * `minTokens`-token window hash in the eval corpus, as a one-column
+    * (`h`) frame. Exposed so [[graft.streaming.StreamDecontam]] can fold
+    * it once per stream instead of once per micro-batch. */
+  private[graft] def evalWindowHashes(eval: DataFrame, textCol: String,
+                                      minTokens: Int): DataFrame = {
+    graft.functions.WindowHashes.ensureRegistered(eval.sparkSession)
+    eval
+      .select(posexplode(
+        graft.functions.WindowHashes(col(textCol), minTokens)))
+      .select(col("col").as("h")).distinct()
+  }
+
+  /** [[scrubSpans]] with the eval window-hash set already derived. */
+  private[graft] def scrubSpansOverHashes(train: DataFrame, eh: DataFrame,
+      idCol: String, textCol: String, minTokens: Int,
+      broadcastRuns: Boolean): DataFrame = {
     require(minTokens >= 1, "minTokens must be >= 1")
     val L = minTokens
     graft.functions.PolyHash.ensureRegistered(train.sparkSession)
@@ -216,7 +247,6 @@ object Decontaminate {
       .select(keep.map(col) :+
         posexplode(graft.functions.WindowHashes(col(textCol), L)): _*)
       .select(keep.map(col) :+ (col("pos") + 1).as("p") :+ col("col").as("h"): _*)
-    val eh = winHashes(eval, Nil).select("h").distinct()
     val wId = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("p")
     val runs = winHashes(train.select(col(idCol).as("id"), col(textCol)), Seq("id"))

@@ -74,7 +74,6 @@ object ExactSubstring {
     def len(s: Int): Int = _len(s)
     def link(s: Int): Int = _link(s)
     def occ(s: Int): Long = _occ(s)
-    private[ExactSubstring] def occInc(s: Int): Unit = _occ(s) += 1L
 
     private def pack(s: Int, c: Int): Long = (s.toLong << 32) | (c & 0xffffffffL)
     private def slotOf(k: Long): Int = {
