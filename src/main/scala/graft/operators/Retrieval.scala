@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis.tokens
+import graft.functions.TextAnalysis.{strHash, tokens}
 
 /** BM25 top-k retrieval: rank corpus documents against a set of query
   * documents — the ranking/retrieval tier of the training-data pipeline
@@ -36,94 +36,90 @@ import graft.functions.TextAnalysis.tokens
   * Scale shape: document text never crosses an exchange — tokens explode
   * in-scan, and only (id, term, tf, dl) aggregates shuffle. The query set
   * (an eval suite: thousands of documents, like [[Decontaminate]]'s eval
-  * side) BROADCASTS twice — once into the df lookup, once into the
-  * postings join — so the corpus-side tf table is never repartitioned by
-  * term and hot terms cause no skew. Final ranking is the bounded
-  * [[TopKAgg]] heap (≤ k rows per query per partition cross the last
-  * exchange), not a window sort over every candidate.
+  * side) collects driver-side and broadcasts as a local relation, so the
+  * corpus-side tf table is never repartitioned by term and hot terms cause
+  * no skew. Final ranking is the bounded [[TopKAgg]] heap (≤ k rows per
+  * query per partition cross the last exchange), not a window sort over
+  * every candidate. For repeated query batches, [[bm25WriteIndex]]
+  * materializes the inverted index once with term-hash-bucket partitions
+  * (the physical-design tier, like `Similarity.ivfWriteIndex`), and
+  * [[bm25TopKIndexed]] opens only the buckets containing query terms.
   */
 object Retrieval {
 
-  /** Top-k corpus documents per query document by integer-exact BM25.
-    * Output: (query_id, rank, doc_id, score) — rank 1-based by
-    * (score desc, doc_id asc); queries with no token in common with any
-    * corpus document produce no rows. */
-  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-               textCol: String, k: Int = 3): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
+  /** The inverted index: one (doc, term, tf, dl, first-marker) row per
+    * distinct term per document — orders of magnitude smaller than the
+    * token stream it folds. Checkpointed: it feeds several consumers (df,
+    * corpus stats, the postings join / the index write), and without
+    * materialization Catalyst re-scans and re-explodes the corpus once per
+    * consumer (no ReusedExchange: column pruning makes the subplans
+    * differ). keepParallelism: AQE would coalesce the compact exchange to
+    * ~1 partition by size and the multiplying postings join downstream
+    * would run on one task (measured 1.5 s of a 2.4 s query on one core).
+    * Null-text documents have no tokens and drop out (and out of N/S).
+    * The position-0 marker survives the rollup as `_first` (exactly one
+    * marked row per document), so N and S fall out of one plain global
+    * aggregate — no countDistinct expansion. */
+  private def invertedIndex(corpus: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("_id"),
       tokens(col(textCol)).as("_w"))
       .withColumn("_dl", size(col("_w")).cast("long"))
-    // posexplode: the position-0 marker survives the (doc, term) rollup as
-    // _first (exactly one marked row per document), so N and S later fall
-    // out of ONE plain global aggregate — no countDistinct expansion, no
-    // per-document rollup
     val ct = c.select(col("_id"), col("_dl"),
       posexplode(col("_w")).as(Seq("_p", "_t")))
-    // tf IS the inverted index: one row per (doc, term), docs × distinct
-    // terms — orders of magnitude smaller than the token stream it folds.
-    // It feeds three consumers (df, corpus stats, the postings join), so
-    // without materialization Catalyst re-scans and re-explodes the corpus
-    // once per consumer (no ReusedExchange: column pruning makes the three
-    // subplans differ). localCheckpoint pins the compact aggregate instead
-    // — the corpus parquet is read exactly once. Null-text documents have
-    // no tokens and drop out of the index (and of N and S).
-    // keepParallelism: without it AQE coalesces the compact index exchange
-    // to ~1 partition by size, and the multiplying postings join below
-    // (|terms per doc| × |queries per term| rows out per index row) runs
-    // on one task — measured 1.5 s of a 2.4 s query on one core
-    val pw = ConfWindow.keepParallelism(spark)
+    val pw = ConfWindow.keepParallelism(corpus.sparkSession)
     pw.suspend()
-    val tf =
-      try ct.groupBy("_id", "_t")
-        .agg(count(lit(1)).as("_tf"), min(col("_dl")).as("_dl"),
-          max(when(col("_p") === 0, 1L).otherwise(0L)).as("_first"))
-        .localCheckpoint(true)
-      finally pw.restore()
-    // N and S collect as two numbers and inline as literals: S = Σ tf
-    // (total tokens), N = Σ first-markers (distinct docs) — one partial-
-    // aggregated single-exchange job over the index, nothing broadcast
-    val statsRow = tf.agg(sum(col("_first")).as("_n"), sum(col("_tf")).as("_s"))
-      .head()
-    val (n, s) = (statsRow.getLong(0), statsRow.getLong(1))
+    try ct.groupBy("_id", "_t")
+      .agg(count(lit(1)).as("_tf"), min(col("_dl")).as("_dl"),
+        max(when(col("_p") === 0, 1L).otherwise(0L)).as("_first"))
+      .localCheckpoint(true)
+    finally pw.restore()
+  }
 
-    // the query side is driver-small by contract (an eval suite, like
-    // [[Decontaminate]]'s eval set and BloomGate's sketch literal):
-    // collect it once and tokenize with the tokenizer's bitwise JVM twin —
-    // the per-(query, term) idf table then builds as a LOCAL relation,
-    // and its broadcast ships without any distinct exchange or build job
-    val qRows = queries.select(col(idCol).cast("long"), col(textCol)).collect()
-    val qtLocal = qRows.iterator
+  /** (N, S): distinct documents and total tokens, one single-exchange
+    * aggregate over the index. */
+  private def corpusStats(tf: DataFrame): (Long, Long) = {
+    val r = tf.agg(sum(col("_first")).as("_n"), sum(col("_tf")).as("_s"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** The query side, collected: driver-small by contract (an eval suite,
+    * like [[Decontaminate]]'s eval set and BloomGate's sketch literal),
+    * tokenized with the tokenizer's bitwise JVM twin. One (query_id, term)
+    * pair per DISTINCT term per query document. */
+  private def queryTerms(queries: DataFrame, idCol: String,
+                         textCol: String): Seq[(Long, String)] =
+    queries.select(col(idCol).cast("long"), col(textCol)).collect()
+      .iterator
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .flatMap { r =>
         graft.functions.TextAnalysis.jvmTokens(r.getString(1)).distinct
           .map(t => (r.getLong(0), t))
       }.toSeq
-    val dfLocal = spark.createDataFrame(qtLocal).toDF("_qid", "_t")
-    val qidf = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
-      .join(broadcast(dfLocal), "_t")
-      .select(col("_t"), col("_qid"),
-        expr(s"((${2 * n + 1}L - _df*2) * 1000) div (_df*2 + 1)")
-          .as("_idf_milli"))
 
-    // one exchange serves BOTH aggregations below: HashPartitioning(_qid)
-    // satisfies the (_qid, _id) clustering of the score aggregate (subset
-    // rule) and the _qid clustering of the top-k aggregate, so neither
-    // inserts its own shuffle
-    val scored = tf.join(broadcast(qidf), "_t")
+  /** Driver twin of the idf expression — Long division truncates like
+    * `div` for these positive operands. */
+  private def idfMilli(n: Long, df: Long): Long =
+    ((2 * n - 2 * df + 1) * 1000) / (2 * df + 1)
+
+  /** Score postings against the broadcast (term, query, idf) table and
+    * rank: one `repartition(_qid)` exchange serves BOTH aggregations
+    * (HashPartitioning(_qid) satisfies the (_qid, _id) clustering of the
+    * score aggregate by the subset rule AND the _qid clustering of the
+    * top-k aggregate), and the top-k is the bounded [[TopKAgg]] heap via
+    * an untyped `udaf` wrapper, so the grouping key stays the real column
+    * (a typed groupByKey would re-key on a serialized value column,
+    * forcing its own exchange). */
+  private def scoreAndRank(postings: DataFrame, qidf: DataFrame,
+                           n: Long, s: Long, k: Int): DataFrame = {
+    val scored = postings.join(broadcast(qidf), "_t")
       .withColumn("_part_permille",
         expr(s"(${22 * s}L * _tf * 1000) div " +
           s"(${10 * s}L * _tf + ${3 * s}L + ${9 * n}L * _dl)"))
       .repartition(col("_qid"))
       .groupBy("_qid", "_id")
       .agg(sum(col("_idf_milli") * col("_part_permille")).as("_score"))
-
-    // untyped udaf wrapper so the grouping key IS _qid (a typed groupByKey
-    // would re-key on a serialized value column, forcing its own exchange
-    // the repartition above could not satisfy)
     val topAgg = udaf(TopKAgg.topK[(Long, Long)](k) {
       case (id, score) => (score.toDouble, id) // integer-valued: exact
     }, Encoders.product[(Long, Long)])
@@ -134,5 +130,88 @@ object Retrieval {
         posexplode(col("_top")).as(Seq("_i", "_e")))
       .select(col("query_id"), (col("_i") + 1).cast("long").as("rank"),
         col("_e._2").as("doc_id"), col("_e._1").cast("long").as("score"))
+  }
+
+  /** Top-k corpus documents per query document by integer-exact BM25.
+    * Output: (query_id, rank, doc_id, score) — rank 1-based by
+    * (score desc, doc_id asc); queries with no token in common with any
+    * corpus document produce no rows. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tf = invertedIndex(corpus, idCol, textCol)
+    val (n, s) = corpusStats(tf)
+    val qtLocal = queryTerms(queries, idCol, textCol)
+    val dfLocal = spark.createDataFrame(qtLocal).toDF("_qid", "_t")
+    // per-(query, term) idf: the df lookup joins the broadcast query table
+    // into the index's per-term counts, so the index side never
+    // repartitions by term
+    val qidf = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+      .join(broadcast(dfLocal), "_t")
+      .select(col("_t"), col("_qid"),
+        expr(s"((${2 * n + 1}L - _df*2) * 1000) div (_df*2 + 1)")
+          .as("_idf_milli"))
+    scoreAndRank(tf, qidf, n, s, k)
+  }
+
+  /** Materialize the inverted index as the STANDING physical design (the
+    * role `Similarity.ivfWriteIndex` plays for vectors): postings
+    * partitioned by a term-hash bucket — at query time only the buckets
+    * containing query terms are opened (directory-level pruning) — plus a
+    * per-term df sidecar partitioned the same way and a one-row meta
+    * sidecar (N, S, buckets). Amortizes the index build across query
+    * batches; the bucket count is the pruning granularity (more buckets =
+    * finer pruning, more small files). */
+  def bm25WriteIndex(corpus: DataFrame, idCol: String, textCol: String,
+                     dir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tf = invertedIndex(corpus, idCol, textCol)
+    val (n, s) = corpusStats(tf)
+    val b = pmod(strHash(col("_t")), lit(buckets.toLong)).as("_b")
+    tf.select(col("_id"), col("_t"), col("_tf"), col("_dl"), b)
+      .write.mode("overwrite").partitionBy("_b").parquet(s"$dir/postings")
+    tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+      .select(col("_t"), col("_df"), b)
+      .write.mode("overwrite").partitionBy("_b").parquet(s"$dir/df")
+    Seq((n, s, buckets.toLong)).toDF("_n", "_s", "_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** [[bm25TopK]] over the materialized index: query terms hash to their
+    * buckets on the driver (the JVM twin of the write-side bucket
+    * expression), the df sidecar is read bucket-pruned and term-filtered
+    * to build the (term, query, idf) table locally, and the postings scan
+    * opens ONLY the probed bucket partitions — unprobed buckets' files are
+    * never touched (spec-pinned via `selectedPartitions`). Scoring and
+    * ranking are [[bm25TopK]]'s, shared. */
+  def bm25TopKIndexed(spark: SparkSession, dir: String, queries: DataFrame,
+                      idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (n, s, buckets) = (meta.getLong(0), meta.getLong(1), meta.getLong(2))
+    val qtLocal = queryTerms(queries, idCol, textCol)
+    val terms = qtLocal.map(_._2).distinct
+    val termBucket = terms.map { t =>
+      val h = graft.functions.PolyHash.hash(t)
+      t -> (((h % buckets) + buckets) % buckets) // pmod twin
+    }.toMap
+    val probed = termBucket.values.toSeq.distinct
+    val dfMap = spark.read.parquet(s"$dir/df")
+      .filter(col("_b").isin(probed: _*) && col("_t").isin(terms: _*))
+      .select("_t", "_df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qidfLocal = qtLocal.flatMap { case (qid, t) =>
+      dfMap.get(t).map(df => (t, qid, idfMilli(n, df)))
+    }
+    import spark.implicits._
+    val qidf = spark.createDataFrame(qidfLocal)
+      .toDF("_t", "_qid", "_idf_milli")
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("_b").isin(probed: _*))
+    scoreAndRank(postings, qidf, n, s, k)
   }
 }
