@@ -191,8 +191,12 @@ object Retrieval {
   def bm25TopKIndexed(spark: SparkSession, dir: String, queries: DataFrame,
                       idCol: String, textCol: String, k: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val meta = spark.read.parquet(s"$dir/meta").head()
-    val (n, s, buckets) = (meta.getLong(0), meta.getLong(1), meta.getLong(2))
+    // meta = base row + one row per append delta; N and S are additive,
+    // the bucket count is the base's (appends inherit it)
+    val metaRows = metaRoots(dir).flatMap(p => spark.read.parquet(p).collect())
+    val n = metaRows.map(_.getLong(0)).sum
+    val s = metaRows.map(_.getLong(1)).sum
+    val buckets = metaRows.head.getLong(2)
     val qtLocal = queryTerms(queries, idCol, textCol)
     val terms = qtLocal.map(_._2).distinct
     val termBucket = terms.map { t =>
@@ -200,18 +204,96 @@ object Retrieval {
       t -> (((h % buckets) + buckets) % buckets) // pmod twin
     }.toMap
     val probed = termBucket.values.toSeq.distinct
-    val dfMap = spark.read.parquet(s"$dir/df")
-      .filter(col("_b").isin(probed: _*) && col("_t").isin(terms: _*))
-      .select("_t", "_df").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // df is additive across base + deltas; query terms are few, so the
+    // bucket-pruned, term-filtered rows collect and sum on the driver
+    val dfMap = dfRoots(dir).flatMap { p =>
+      spark.read.parquet(p)
+        .filter(col("_b").isin(probed: _*) && col("_t").isin(terms: _*))
+        .select("_t", "_df").collect()
+    }.groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.map(_.getLong(1)).sum }
     val qidfLocal = qtLocal.flatMap { case (qid, t) =>
       dfMap.get(t).map(df => (t, qid, idfMilli(n, df)))
     }
     import spark.implicits._
     val qidf = spark.createDataFrame(qidfLocal)
       .toDF("_t", "_qid", "_idf_milli")
-    val postings = spark.read.parquet(s"$dir/postings")
-      .filter(col("_b").isin(probed: _*))
+    val postings = postingsRoots(dir)
+      .map(p => spark.read.parquet(p).filter(col("_b").isin(probed: _*)))
+      .reduce(_ unionAll _)
     scoreAndRank(postings, qidf, n, s, k)
+  }
+
+  private def deltaDirs(dir: String, sub: String): Seq[String] = {
+    val root = new java.io.File(s"$dir/${sub}_delta")
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("b="))
+      .sortBy(_.getName)
+      .map(_.getAbsolutePath)
+  }
+  private def postingsRoots(dir: String) =
+    s"$dir/postings" +: deltaDirs(dir, "postings")
+  private def dfRoots(dir: String) = s"$dir/df" +: deltaDirs(dir, "df")
+  private def metaRoots(dir: String) = s"$dir/meta" +: deltaDirs(dir, "meta")
+
+  /** Incremental index maintenance — the [[graft.streaming]] delta-log
+    * idea applied to retrieval: a micro-batch of NEW documents (dedup
+    * upstream owns id uniqueness, as in `IncrementalDedup`) writes
+    * O(batch) postings/df/meta DELTA files keyed by `batchId`; the base
+    * index is never rewritten. Each delta is `overwrite` into its own
+    * `b=<batchId>` directory, so a replayed batch overwrites itself —
+    * replay-idempotent by construction. [[bm25TopKIndexed]] reads base +
+    * deltas (df and meta are additive); [[bm25CompactIndex]] folds the
+    * deltas back into the base when their count grows. */
+  def bm25AppendIndex(batch: DataFrame, idCol: String, textCol: String,
+                      dir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val buckets = spark.read.parquet(s"$dir/meta").head().getLong(2)
+    val tf = invertedIndex(batch, idCol, textCol)
+    val (n, s) = corpusStats(tf)
+    val b = pmod(strHash(col("_t")), lit(buckets)).as("_b")
+    tf.select(col("_id"), col("_t"), col("_tf"), col("_dl"), b)
+      .write.mode("overwrite")
+      .partitionBy("_b").parquet(s"$dir/postings_delta/b=$batchId")
+    tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+      .select(col("_t"), col("_df"), b)
+      .write.mode("overwrite")
+      .partitionBy("_b").parquet(s"$dir/df_delta/b=$batchId")
+    Seq((n, s, buckets)).toDF("_n", "_s", "_buckets")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/meta_delta/b=$batchId")
+  }
+
+  /** Fold every delta into the base and drop the delta dirs. NOT
+    * crash-atomic (a production deployment puts the swap behind
+    * `store.Snapshots`' pointer-commit); bounded by O(index) like the
+    * dedup log's compaction, amortized by running it every K batches. */
+  def bm25CompactIndex(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val posts = postingsRoots(dir).map(spark.read.parquet(_))
+      .reduce(_ unionAll _)
+      .localCheckpoint(true)
+    val dfAll = dfRoots(dir).map(spark.read.parquet(_))
+      .reduce(_ unionAll _)
+      .groupBy("_t", "_b").agg(sum(col("_df")).as("_df"))
+      .select(col("_t"), col("_df"), col("_b"))
+      .localCheckpoint(true)
+    val metaRows = metaRoots(dir).flatMap(p => spark.read.parquet(p).collect())
+    val merged = (metaRows.map(_.getLong(0)).sum,
+      metaRows.map(_.getLong(1)).sum, metaRows.head.getLong(2))
+    posts.write.mode("overwrite").partitionBy("_b")
+      .parquet(s"$dir/postings")
+    dfAll.write.mode("overwrite").partitionBy("_b").parquet(s"$dir/df")
+    Seq(merged).toDF("_n", "_s", "_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    Seq("postings", "df", "meta").foreach { sub =>
+      val root = new java.io.File(s"$dir/${sub}_delta")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      rm(root)
+    }
   }
 }

@@ -61,6 +61,33 @@ class RetrievalIndexSpec extends AnyFunSuite {
     assert(scanned.forall(p => p > 0 && p <= bucketDirs))
   }
 
+  test("append deltas equal a full rebuild, replays are idempotent, and " +
+    "compaction preserves the answer") {
+    val dir = Files.createTempDirectory("graft-bm25-inc").toString
+    val ids = corpus.select("doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val a = corpus.filter(col("doc_id") <= cut)
+    val b = corpus.filter(col("doc_id") > cut)
+    Retrieval.bm25WriteIndex(a, "doc_id", "text", dir, buckets = 16)
+    Retrieval.bm25AppendIndex(b, "doc_id", "text", dir, batchId = 1L)
+
+    def indexed() = Retrieval.bm25TopKIndexed(spark, dir, queries,
+        "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(indexed() == want, "base + delta must equal the full corpus")
+
+    // a replayed batch overwrites its own delta — same answer, no
+    // double counting
+    Retrieval.bm25AppendIndex(b, "doc_id", "text", dir, batchId = 1L)
+    assert(indexed() == want, "replayed append double-counted")
+
+    Retrieval.bm25CompactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/postings_delta").exists())
+    assert(indexed() == want, "compaction changed the answer")
+  }
+
   test("a query set touching few terms opens few buckets") {
     val dir = Files.createTempDirectory("graft-bm25-index2").toString
     Retrieval.bm25WriteIndex(corpus, "doc_id", "text", dir, buckets = 16)
