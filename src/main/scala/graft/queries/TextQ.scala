@@ -1128,7 +1128,23 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q80: BPE tokenizer training + application ([[graft.operators.Bpe]])
+    * — learn 30 merges from the corpus word-frequency table (distributed
+    * pass; driver merge loop is vocab-sized), then count each document's
+    * BPE pieces under the trained table. Rows-only by construction: the
+    * data-dependent iterative merge loop is not SQL-expressible, so
+    * correctness is spec-pinned instead (BpeSpec: the hand-computable
+    * Sennrich example, train/apply rank parity over the real vocabulary,
+    * determinism/prefix/monotonicity, and a collections brute-force twin
+    * of this exact query). */
+  val q80 = Q.noOracle("q80_bpe_train") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 30)
+    graft.operators.Bpe.pieceCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76, q77, q78, q79)
+    q73, q74, q75, q76, q77, q78, q79, q80)
 }
