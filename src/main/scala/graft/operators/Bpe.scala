@@ -2,9 +2,11 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
+import graft.functions.TextAnalysis
 import graft.functions.TextAnalysis.tokens
 
 /** BPE tokenizer TRAINING over the corpus — the vocabulary-construction
@@ -15,13 +17,22 @@ import graft.functions.TextAnalysis.tokens
   * Decomposition is the standard one (and the same shape as the IVF
   * codebooks): the CORPUS pass is distributed — one in-scan tokenize +
   * one aggregation to the word-frequency table — and the merge loop runs
-  * on the DRIVER over that table, which is vocab-sized, not corpus-sized
-  * (production tokenizer trainers are built exactly this way: distributed
-  * pre-tokenization, in-memory merges). Applying the trained table is
-  * again corpus-scale Spark: every DISTINCT word segments once on the
-  * driver (the segmentation of a word depends only on the word), the
-  * word → piece-count map broadcasts, and the per-document counts are an
-  * explode + broadcast-join + sum — the corpus text never shuffles.
+  * on the DRIVER over that table. The table is vocab-sized, not
+  * corpus-sized, and the collect is BOUNDED BY CONSTRUCTION: words below
+  * `minFreq` are filtered in the aggregation and at most `maxVocab` rows
+  * reach the driver (highest-frequency first, word-lexicographic
+  * tie-break), so a web corpus's unbounded noise tail (typos, URLs,
+  * code) can never land on the driver. Production tokenizer trainers
+  * are built exactly this way: distributed pre-tokenization, a frequency
+  * floor, in-memory merges.
+  *
+  * Applying the trained table never touches the driver at all: the merge
+  * table (O(numMerges), small) broadcasts, each executor segments the
+  * words it scans with a per-partition memo keyed by distinct word (word
+  * frequencies are Zipfian, so the memo hit-rate is high), and only the
+  * per-document (id, n_words, n_pieces) rows shuffle — the corpus text
+  * crosses no exchange and NO action collects O(distinct-words) rows
+  * anywhere (BpeSpec pins both the laziness and the parity).
   *
   * Determinism contract (specs pin it): pair selection is by highest
   * count, ties broken by the lexicographically SMALLEST (left, right)
@@ -32,6 +43,17 @@ import graft.functions.TextAnalysis.tokens
 object Bpe {
 
   type Merge = (String, String)
+
+  /** Default cap on the word-frequency rows `train` may collect. 4M
+    * entries ≈ a few hundred MB of driver heap at web-scale word lengths
+    * — far above any real tokenizer vocabulary (GPT-2: 50k merges), far
+    * below a web corpus's distinct-word count. */
+  val DefaultMaxVocab: Int = 1 << 22
+
+  /** Per-partition cap on the word → piece-count memo in [[pieceCounts]].
+    * Past it, segmentation still happens (per occurrence), it just stops
+    * caching — memory stays bounded regardless of partition vocabulary. */
+  val MemoCap: Int = 1 << 20
 
   /** End-of-word marker appended as a separate initial symbol. */
   val EndOfWord = "</w>"
@@ -51,8 +73,12 @@ object Bpe {
 
   /** Apply an ordered merge list to one word — repeatedly merge the
     * EARLIEST-ranked mergeable pair (standard BPE application). */
-  def segment(word: String, merges: Seq[Merge]): Vector[String] = {
-    val rank = merges.zipWithIndex.toMap
+  def segment(word: String, merges: Seq[Merge]): Vector[String] =
+    segmentRanked(word, merges.zipWithIndex.toMap)
+
+  /** [[segment]] against a prebuilt rank map — the executor-side form,
+    * so the map builds once per partition, not once per word. */
+  def segmentRanked(word: String, rank: Map[Merge, Int]): Vector[String] = {
     var syms = initial(word)
     var done = false
     while (!done && syms.length >= 2) {
@@ -80,13 +106,24 @@ object Bpe {
     docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Train `numMerges` BPE merges from the collected word-frequency
-    * table. Driver memory is O(vocab); the corpus was touched exactly
-    * once, by [[wordFrequencies]]'s aggregation. */
+  /** Train `numMerges` BPE merges from the word-frequency table. The
+    * corpus is touched exactly once, by [[wordFrequencies]]'s
+    * aggregation; the driver sees at most `maxVocab` rows (top by
+    * frequency, word-ascending tie-break — a TakeOrdered, so each
+    * partition ships only its own top-k) after the `minFreq` floor.
+    * Training is vocab-ORDER-independent (pair counts are summed over
+    * the whole table; ties break on the pair, not the word), so when the
+    * cap does not bind the merges are identical to an uncapped train. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minPairCount: Long = 2L): Seq[Merge] = {
+            minPairCount: Long = 2L, minFreq: Long = 1L,
+            maxVocab: Int = DefaultMaxVocab): Seq[Merge] = {
     require(numMerges >= 0, "numMerges must be >= 0")
-    val vocab = wordFrequencies(docs, textCol).collect()
+    require(maxVocab > 0, "maxVocab must be > 0")
+    val vocab = wordFrequencies(docs, textCol)
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxVocab)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1)))
     trainFromVocab(vocab.toIndexedSeq, numMerges, minPairCount)
   }
@@ -132,24 +169,54 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Per-document piece counts under a trained merge table: every
-    * DISTINCT corpus word segments once on the driver, the
-    * word → piece-count map broadcasts, and the corpus pays one explode +
-    * broadcast join + sum. Output: (idCol, n_words, n_pieces) — n_pieces
-    * includes each word's end-of-word marker piece (so an unmergeable
-    * 1-char word still counts ≥ 1... its chars + marker may have merged
-    * to a single piece). */
+  /** Per-document piece counts under a trained merge table, computed
+    * entirely in executors: the merge-rank map (O(numMerges)) broadcasts,
+    * each scan task tokenizes with [[TextAnalysis.jvmTokens]] (the exact
+    * twin of the [[tokens]] column, BpeSpec pins parity) and segments
+    * through a per-partition memo capped at [[MemoCap]] distinct words,
+    * and only (id, n_words, n_pieces) rows reach the final aggregation.
+    * The corpus text crosses no exchange; the driver collects NOTHING —
+    * unlike [[train]] there is no vocab-sized table here at all.
+    * Output: (idCol, n_words, n_pieces) — n_pieces includes each word's
+    * end-of-word marker piece (so an unmergeable 1-char word still
+    * counts ≥ 1... its chars + marker may have merged to a single
+    * piece). Documents with a NULL `textCol` are absent from the output,
+    * matching the previous explode-based form. */
   def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
                   merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    val words = docs.select(explode(tokens(col(textCol))).as("word"))
-      .distinct().as[String].collect()
-    val pieceOf = words.map(w => (w, segment(w, merges).length.toLong)).toSeq
-    val local = spark.createDataFrame(pieceOf).toDF("word", "_pieces")
-    docs.select(col(idCol), explode(tokens(col(textCol))).as("word"))
-      .join(broadcast(local), "word")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_words"), sum(col("_pieces")).as("n_pieces"))
+    val rankB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val idField = docs.schema(docs.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_pieces", LongType, nullable = false)))
+    val perDoc = docs.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val rank = rankB.value
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) None
+          else {
+            val toks = TextAnalysis.jvmTokens(r.getString(1))
+            var pieces = 0L
+            var i = 0
+            while (i < toks.length) {
+              val w = toks(i)
+              var p = memo.get(w)
+              if (p == null) {
+                p = java.lang.Long.valueOf(
+                  segmentRanked(w, rank).length.toLong)
+                if (memo.size < MemoCap) memo.put(w, p)
+              }
+              pieces += p.longValue
+              i += 1
+            }
+            Some(Row(r.get(0), toks.length.toLong, pieces))
+          }
+        }
+      }(Encoders.row(outSchema))
+    perDoc.groupBy(col(idCol))
+      .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"))
   }
 }

@@ -75,6 +75,63 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainFromVocab(vocab, 10, minPairCount = 2L).isEmpty)
   }
 
+  test("train: the maxVocab cap binds deterministically and is invisible " +
+      "when it does not bind") {
+    // cap above the true vocab size → identical merges to the uncapped
+    // legacy behavior (vocab order is irrelevant to trainFromVocab)
+    val m1 = Bpe.train(docs, "text", numMerges = 12)
+    val m2 = Bpe.train(docs, "text", numMerges = 12, maxVocab = Int.MaxValue)
+    assert(m1 == m2)
+    // a binding cap trains on exactly the top-M by (freq desc, word asc)
+    val vocab = docs.select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toSeq
+    val top = vocab.sortBy { case (w, f) => (-f, w) }.take(50)
+    val capped = Bpe.train(docs, "text", numMerges = 12, maxVocab = 50)
+    assert(capped == Bpe.trainFromVocab(top, numMerges = 12))
+    // the minFreq floor drops the noise tail before the collect
+    val floored = Bpe.train(docs, "text", numMerges = 12, minFreq = 3L)
+    assert(floored ==
+      Bpe.trainFromVocab(vocab.filter(_._2 >= 3L), numMerges = 12))
+  }
+
+  test("pieceCounts is lazy: no job runs and nothing collects at call time") {
+    // the legacy implementation collected every DISTINCT corpus word to
+    // the driver EAGERLY, inside the call — a driver bottleneck at scale.
+    // Pin the fix: building the plan runs zero Spark jobs; all work (and
+    // all segmentation) happens in executors at action time.
+    val merges = Bpe.train(docs, "text", numMerges = 10)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = Bpe.pieceCounts(docs, "doc_id", "text", merges)
+      // the listener bus is async; the legacy collect() would have
+      // BLOCKED on its job, so its start event is long since posted —
+      // a short settle window is enough to catch any job
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"pieceCounts ran ${jobs.get()} job(s) before any action")
+      assert(plan.columns.toSeq == Seq("doc_id", "n_words", "n_pieces"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("pieceCounts drops NULL-text documents, matching the explode form") {
+    val merges = Seq(("a", "b"))
+    val d = Seq((1L, "ab ab"), (3L, "xy")).toDF("doc_id", "text")
+      .unionByName(Seq((2L, Option.empty[String])).toDF("doc_id", "text"))
+    val out = Bpe.pieceCounts(d, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, v, p) => k -> ((v, p)) }.toMap
+    assert(!out.contains(2L), "null-text doc must be absent")
+    assert(out(1L) == ((2L, 4L))) // "ab" -> [ab, </w>] twice
+    assert(out(3L) == ((1L, 3L))) // [x, y, </w>]
+  }
+
   test("pieceCounts: corpus-scale counts agree with per-word segmentation") {
     val merges = Bpe.train(docs, "text", numMerges = 30)
     val out = Bpe.pieceCounts(docs, "doc_id", "text", merges)
