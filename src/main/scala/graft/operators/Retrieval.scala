@@ -156,6 +156,33 @@ object Retrieval {
     scoreAndRank(tf, qidf, n, s, k)
   }
 
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  private val postingsSchema = StructType(Seq(
+    StructField("_id", LongType), StructField("_t", StringType),
+    StructField("_tf", LongType), StructField("_dl", LongType),
+    StructField("_b", LongType)))
+  private val dfSchema = StructType(Seq(
+    StructField("_t", StringType), StructField("_df", LongType),
+    StructField("_b", LongType)))
+  private val metaSchema = StructType(Seq(
+    StructField("_n", LongType), StructField("_s", LongType),
+    StructField("_buckets", LongType)))
+
+  /** The three [[graft.store.Snapshots]] stores the standing index lives
+    * in. Every mutation goes through their pointer-commit manifest, so
+    * base swaps are crash-atomic and readers never observe a half-written
+    * snapshot; postings and df keep the `_b=` hive-partitioned layout
+    * (directory pruning) via `partitionByCol`. */
+  private def postingsStore(spark: SparkSession, dir: String) =
+    new graft.store.Snapshots(spark, s"$dir/postings", postingsSchema,
+      partitionByCol = Some("_b"))
+  private def dfStore(spark: SparkSession, dir: String) =
+    new graft.store.Snapshots(spark, s"$dir/df", dfSchema,
+      partitionByCol = Some("_b"))
+  private def metaStore(spark: SparkSession, dir: String) =
+    new graft.store.Snapshots(spark, s"$dir/meta", metaSchema)
+
   /** Materialize the inverted index as the STANDING physical design (the
     * role `Similarity.ivfWriteIndex` plays for vectors): postings
     * partitioned by a term-hash bucket — at query time only the buckets
@@ -163,7 +190,11 @@ object Retrieval {
     * per-term df sidecar partitioned the same way and a one-row meta
     * sidecar (N, S, buckets). Amortizes the index build across query
     * batches; the bucket count is the pruning granularity (more buckets =
-    * finer pruning, more small files). */
+    * finer pruning, more small files). Each table is a [[graft.store
+    * .Snapshots]] store: the initial build is three pointer-commits (a
+    * crash mid-build is retried by re-running the build — the usual
+    * bootstrap contract), and every LATER mutation (append, compact) is
+    * crash-atomic per table. */
   def bm25WriteIndex(corpus: DataFrame, idCol: String, textCol: String,
                      dir: String, buckets: Int = 64): Unit = {
     require(buckets >= 1, "buckets must be >= 1")
@@ -172,13 +203,14 @@ object Retrieval {
     val tf = invertedIndex(corpus, idCol, textCol)
     val (n, s) = corpusStats(tf)
     val b = pmod(strHash(col("_t")), lit(buckets.toLong)).as("_b")
-    tf.select(col("_id"), col("_t"), col("_tf"), col("_dl"), b)
-      .write.mode("overwrite").partitionBy("_b").parquet(s"$dir/postings")
-    tf.groupBy("_t").agg(count(lit(1)).as("_df"))
-      .select(col("_t"), col("_df"), b)
-      .write.mode("overwrite").partitionBy("_b").parquet(s"$dir/df")
-    Seq((n, s, buckets.toLong)).toDF("_n", "_s", "_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val ps = postingsStore(spark, dir); ps.init()
+    ps.replace(tf.select(col("_id"), col("_t"), col("_tf"), col("_dl"), b))
+    val ds = dfStore(spark, dir); ds.init()
+    ds.replace(tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+      .select(col("_t"), col("_df"), b))
+    val ms = metaStore(spark, dir); ms.init()
+    ms.replace(Seq((n, s, buckets.toLong)).toDF("_n", "_s", "_buckets")
+      .coalesce(1))
   }
 
   /** [[bm25TopK]] over the materialized index: query terms hash to their
@@ -193,7 +225,7 @@ object Retrieval {
     require(k >= 1, "k must be >= 1")
     // meta = base row + one row per append delta; N and S are additive,
     // the bucket count is the base's (appends inherit it)
-    val metaRows = metaRoots(dir).flatMap(p => spark.read.parquet(p).collect())
+    val metaRows = metaStore(spark, dir).read().collect()
     val n = metaRows.map(_.getLong(0)).sum
     val s = metaRows.map(_.getLong(1)).sum
     val buckets = metaRows.head.getLong(2)
@@ -204,13 +236,13 @@ object Retrieval {
       t -> (((h % buckets) + buckets) % buckets) // pmod twin
     }.toMap
     val probed = termBucket.values.toSeq.distinct
-    // df is additive across base + deltas; query terms are few, so the
-    // bucket-pruned, term-filtered rows collect and sum on the driver
-    val dfMap = dfRoots(dir).flatMap { p =>
-      spark.read.parquet(p)
-        .filter(col("_b").isin(probed: _*) && col("_t").isin(terms: _*))
-        .select("_t", "_df").collect()
-    }.groupBy(_.getString(0))
+    // df is additive across base + deltas (one manifest-resolved scan,
+    // partition-pruned on _b); query terms are few, so the term-filtered
+    // rows collect and sum on the driver
+    val dfMap = dfStore(spark, dir).read()
+      .filter(col("_b").isin(probed: _*) && col("_t").isin(terms: _*))
+      .select("_t", "_df").collect()
+      .groupBy(_.getString(0))
       .map { case (t, rows) => t -> rows.map(_.getLong(1)).sum }
     val qidfLocal = qtLocal.flatMap { case (qid, t) =>
       dfMap.get(t).map(df => (t, qid, idfMilli(n, df)))
@@ -218,82 +250,70 @@ object Retrieval {
     import spark.implicits._
     val qidf = spark.createDataFrame(qidfLocal)
       .toDF("_t", "_qid", "_idf_milli")
-    val postings = postingsRoots(dir)
-      .map(p => spark.read.parquet(p).filter(col("_b").isin(probed: _*)))
-      .reduce(_ unionAll _)
+    val postings = postingsStore(spark, dir).read()
+      .filter(col("_b").isin(probed: _*))
     scoreAndRank(postings, qidf, n, s, k)
   }
 
-  private def deltaDirs(dir: String, sub: String): Seq[String] = {
-    val root = new java.io.File(s"$dir/${sub}_delta")
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("b="))
-      .sortBy(_.getName)
-      .map(_.getAbsolutePath)
-  }
-  private def postingsRoots(dir: String) =
-    s"$dir/postings" +: deltaDirs(dir, "postings")
-  private def dfRoots(dir: String) = s"$dir/df" +: deltaDirs(dir, "df")
-  private def metaRoots(dir: String) = s"$dir/meta" +: deltaDirs(dir, "meta")
-
   /** Incremental index maintenance — the [[graft.streaming]] delta-log
     * idea applied to retrieval: a micro-batch of NEW documents (dedup
-    * upstream owns id uniqueness, as in `IncrementalDedup`) writes
-    * O(batch) postings/df/meta DELTA files keyed by `batchId`; the base
-    * index is never rewritten. Each delta is `overwrite` into its own
-    * `b=<batchId>` directory, so a replayed batch overwrites itself —
-    * replay-idempotent by construction. [[bm25TopKIndexed]] reads base +
+    * upstream owns id uniqueness, as in `IncrementalDedup`) appends
+    * O(batch) postings/df/meta DELTAS through the stores' tokened
+    * `appendDelta` (token `b-<batchId>`); the base index is never
+    * rewritten. A replayed batch is a NO-OP — the token is remembered in
+    * the manifest AND, across a compaction that already folded the delta
+    * away, in the consumed-tokens ledger, so a crash-replay racing a
+    * compaction cannot double-append. [[bm25TopKIndexed]] reads base +
     * deltas (df and meta are additive); [[bm25CompactIndex]] folds the
     * deltas back into the base when their count grows. */
   def bm25AppendIndex(batch: DataFrame, idCol: String, textCol: String,
                       dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val buckets = spark.read.parquet(s"$dir/meta").head().getLong(2)
+    val buckets = metaStore(spark, dir).readBase().head().getLong(2)
     val tf = invertedIndex(batch, idCol, textCol)
     val (n, s) = corpusStats(tf)
     val b = pmod(strHash(col("_t")), lit(buckets)).as("_b")
-    tf.select(col("_id"), col("_t"), col("_tf"), col("_dl"), b)
-      .write.mode("overwrite")
-      .partitionBy("_b").parquet(s"$dir/postings_delta/b=$batchId")
-    tf.groupBy("_t").agg(count(lit(1)).as("_df"))
-      .select(col("_t"), col("_df"), b)
-      .write.mode("overwrite")
-      .partitionBy("_b").parquet(s"$dir/df_delta/b=$batchId")
-    Seq((n, s, buckets)).toDF("_n", "_s", "_buckets")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/meta_delta/b=$batchId")
+    val token = Some(s"b-$batchId")
+    postingsStore(spark, dir).appendDelta(
+      tf.select(col("_id"), col("_t"), col("_tf"), col("_dl"), b), token)
+    dfStore(spark, dir).appendDelta(
+      tf.groupBy("_t").agg(count(lit(1)).as("_df"))
+        .select(col("_t"), col("_df"), b), token)
+    metaStore(spark, dir).appendDelta(
+      Seq((n, s, buckets)).toDF("_n", "_s", "_buckets").coalesce(1), token)
   }
 
-  /** Fold every delta into the base and drop the delta dirs. NOT
-    * crash-atomic (a production deployment puts the swap behind
-    * `store.Snapshots`' pointer-commit); bounded by O(index) like the
-    * dedup log's compaction, amortized by running it every K batches. */
+  /** Fold every delta into its base — `replace(read())`, the Snapshots
+    * delta-log compaction, run per table. CRASH-ATOMIC: each table's swap
+    * is a pointer-commit (readers resolve through the manifest, so a
+    * crash between the new base write and the manifest move leaves the
+    * old base + deltas serving, and a crash between the move and the GC
+    * leaves only unreferenced garbage that the next `init()` sweeps).
+    * Across tables no atomicity is NEEDED: compaction does not change any
+    * table's logical content (base ∪ deltas ≡ folded base), so a crash
+    * between per-table swaps still reads exactly base+delta ≡ rebuild —
+    * RetrievalIndexSpec pins this with kill-point states. Bounded by
+    * O(index) like the dedup log's compaction, amortized by running it
+    * every K batches. */
   def bm25CompactIndex(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
-    val posts = postingsRoots(dir).map(spark.read.parquet(_))
-      .reduce(_ unionAll _)
-      .localCheckpoint(true)
-    val dfAll = dfRoots(dir).map(spark.read.parquet(_))
-      .reduce(_ unionAll _)
+    val ps = postingsStore(spark, dir)
+    // init() on an existing store sweeps orphan dirs a previously CRASHED
+    // compaction left behind (written but never manifest-committed), so
+    // garbage lifetime is bounded by the compaction cadence
+    ps.init()
+    ps.replace(ps.read())
+    val ds = dfStore(spark, dir)
+    ds.init()
+    ds.replace(ds.read()
       .groupBy("_t", "_b").agg(sum(col("_df")).as("_df"))
-      .select(col("_t"), col("_df"), col("_b"))
-      .localCheckpoint(true)
-    val metaRows = metaRoots(dir).flatMap(p => spark.read.parquet(p).collect())
+      .select(col("_t"), col("_df"), col("_b")))
+    val ms = metaStore(spark, dir)
+    ms.init()
+    val metaRows = ms.read().collect()
     val merged = (metaRows.map(_.getLong(0)).sum,
       metaRows.map(_.getLong(1)).sum, metaRows.head.getLong(2))
-    posts.write.mode("overwrite").partitionBy("_b")
-      .parquet(s"$dir/postings")
-    dfAll.write.mode("overwrite").partitionBy("_b").parquet(s"$dir/df")
-    Seq(merged).toDF("_n", "_s", "_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    Seq("postings", "df", "meta").foreach { sub =>
-      val root = new java.io.File(s"$dir/${sub}_delta")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete(); ()
-      }
-      rm(root)
-    }
+    ms.replace(Seq(merged).toDF("_n", "_s", "_buckets").coalesce(1))
   }
 }

@@ -45,9 +45,23 @@ import org.apache.spark.sql.types.StructType
   * parquet side directories: [[readBase]] keeps the Exchange-free bucketed
   * scan, and the caller folds [[readDeltas]] (tiny by construction) into
   * it — compaction then rewrites one bucketed base again.
+  *
+  * Optional `partitionByCol = Some(col)` (exclusive with bucketBy) lays
+  * every snapshot AND delta out hive-partitioned by `col` — the
+  * directory-pruning layout (`col=v/` subdirs): a reader filtering on
+  * `col` opens only the matching directories in every manifest entry,
+  * which is what the BM25 standing index's term-hash buckets need
+  * ([[graft.operators.Retrieval]]). The spec is recorded in the manifest
+  * (`#partitioned-by col`) and validated on open, like the bucket spec —
+  * a mismatched writer would silently flatten the layout and lose
+  * pruning, so it fails loud instead.
   */
 final class Snapshots(spark: SparkSession, root: String, schema: StructType,
-                      bucketBy: Option[(String, Int)] = None) {
+                      bucketBy: Option[(String, Int)] = None,
+                      partitionByCol: Option[String] = None) {
+
+  require(bucketBy.isEmpty || partitionByCol.isEmpty,
+    "bucketBy and partitionByCol are mutually exclusive store layouts")
 
   private val rootPath: Path = Paths.get(root)
   private val pointer: Path = rootPath.resolve("current")
@@ -158,7 +172,15 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
           .parquet(rootPath.resolve(d).toString)))
     case None =>
       val dirs = manifest.map(d => rootPath.resolve(d).toString)
-      spark.read.schema(schema).parquet(dirs: _*)
+      partitionByCol match {
+        // hive-partitioned dirs must load one root at a time: partition
+        // discovery across multiple roots demands a single common base
+        // and fails loud on the snapshot/delta sibling layout
+        case Some(_) =>
+          dirs.map(d => spark.read.schema(schema).parquet(d))
+            .reduce(_ unionAll _)
+        case None => spark.read.schema(schema).parquet(dirs: _*)
+      }
   }
 
   /** The base snapshot only (bucketed stores: the catalog table, so joins
@@ -253,7 +275,9 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
     val replayed = old.contains(delta) ||
       (token.isDefined && consumedTokens.contains(delta))
     if (!replayed) {
-      df.write.mode("overwrite").parquet(rootPath.resolve(delta).toString)
+      val w = df.write.mode("overwrite")
+      partitionByCol.fold(w)(c => w.partitionBy(c))
+        .parquet(rootPath.resolve(delta).toString)
       commitManifest(old :+ delta)
     }
   }
@@ -290,11 +314,14 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
         .option("path", rootPath.resolve(snap).toString)
         .saveAsTable(tableFor(snap))
     case None =>
-      df.write.mode("overwrite").parquet(rootPath.resolve(snap).toString)
+      val w = df.write.mode("overwrite")
+      partitionByCol.fold(w)(c => w.partitionBy(c))
+        .parquet(rootPath.resolve(snap).toString)
   }
 
   private def bucketHeader: Seq[String] =
-    bucketBy.toSeq.map { case (key, n) => s"#bucketed-by $key $n" }
+    bucketBy.toSeq.map { case (key, n) => s"#bucketed-by $key $n" } ++
+      partitionByCol.toSeq.map(c => s"#partitioned-by $c")
 
   /** Directory names from the manifest, after validating that the stored
     * bucket spec matches this instance's — mismatched bucketing must fail
@@ -318,6 +345,17 @@ final class Snapshots(spark: SparkSession, root: String, schema: StructType,
           "the recorded spec; to change specs, compact through an instance " +
           "matching the recorded one and rewrite with the new one. (A store " +
           "with no recorded spec was written unbucketed.)")
+    val storedPart = lines.collectFirst {
+      case m if m.startsWith("#partitioned-by ") =>
+        m.stripPrefix("#partitioned-by ").trim
+    }
+    if (storedPart != partitionByCol)
+      throw new IllegalStateException(
+        s"store at $root records partition layout " +
+          s"${storedPart.getOrElse("none")} but was opened with " +
+          s"${partitionByCol.getOrElse("none")} — a mismatched writer " +
+          "would flatten the hive-partitioned layout and silently lose " +
+          "directory pruning. Reopen with the recorded layout.")
     lines.filterNot(_.startsWith("#"))
   }
 

@@ -34,6 +34,24 @@ class RetrievalIndexSpec extends AnyFunSuite {
   private def corpus = docs.filter(col("doc_id") % 89 =!= 0)
   private def queries = docs.filter(col("doc_id") % 89 === 0)
 
+  /** Directory names a store's pointer-commit manifest references —
+    * everything else on disk must be invisible to readers. */
+  private def manifestDirs(root: String): Seq[String] =
+    new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "current"))).trim
+      .split("\n").toSeq.map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("#"))
+
+  private def copyDir(src: java.nio.file.Path,
+                      dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(src).iterator().asScala.toSeq.foreach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+    }
+  }
+
   test("indexed query equals the direct operator and prunes to the " +
     "probed buckets") {
     val dir = Files.createTempDirectory("graft-bm25-index").toString
@@ -49,8 +67,10 @@ class RetrievalIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
 
     // pruning is visible in the physical plan: the postings scan selects
-    // only buckets containing query terms, never all of them
-    val bucketDirs = new java.io.File(s"$dir/postings").listFiles()
+    // only buckets containing query terms, never all of them (the base
+    // snapshot lives under the store's manifest-referenced directory)
+    val snap = manifestDirs(s"$dir/postings").head
+    val bucketDirs = new java.io.File(s"$dir/postings/$snap").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("_b="))
     val scanned = postingsScans(res).map(_.selectedPartitions.partitionCount)
     assert(scanned.nonEmpty)
@@ -78,14 +98,68 @@ class RetrievalIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(indexed() == want, "base + delta must equal the full corpus")
 
-    // a replayed batch overwrites its own delta — same answer, no
-    // double counting
+    // a replayed batch is a manifest-token no-op — same answer, no
+    // double counting, no second delta
     Retrieval.bm25AppendIndex(b, "doc_id", "text", dir, batchId = 1L)
+    assert(manifestDirs(s"$dir/postings").length == 2,
+      "replayed append added a delta")
     assert(indexed() == want, "replayed append double-counted")
 
     Retrieval.bm25CompactIndex(spark, dir)
-    assert(!new java.io.File(s"$dir/postings_delta").exists())
+    Seq("postings", "df", "meta").foreach { sub =>
+      assert(manifestDirs(s"$dir/$sub") ==
+        Seq(manifestDirs(s"$dir/$sub").head),
+        s"$sub deltas survived compaction")
+    }
     assert(indexed() == want, "compaction changed the answer")
+  }
+
+  test("compaction kill-points: uncommitted snapshots, unreferenced " +
+    "deltas, and replays of compacted batches are all invisible") {
+    val dir = Files.createTempDirectory("graft-bm25-crash").toString
+    val ids = corpus.select("doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val a = corpus.filter(col("doc_id") <= cut)
+    val b = corpus.filter(col("doc_id") > cut)
+    Retrieval.bm25WriteIndex(a, "doc_id", "text", dir, buckets = 16)
+    Retrieval.bm25AppendIndex(b, "doc_id", "text", dir, batchId = 1L)
+
+    def indexed() = Retrieval.bm25TopKIndexed(spark, dir, queries,
+        "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val want = Retrieval.bm25TopK(corpus, queries, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(indexed() == want)
+
+    // kill-point 1 — compaction crashed BETWEEN writing the new folded
+    // base and committing the manifest: the written-but-unreferenced
+    // snapshot (here: a byte-identical copy of the live base, i.e. a
+    // worst-case plausible double) must not be read
+    val proot = java.nio.file.Paths.get(dir, "postings")
+    val liveSnap = manifestDirs(s"$dir/postings").head
+    copyDir(proot.resolve(liveSnap), proot.resolve("snap-00crashed"))
+    assert(indexed() == want, "uncommitted snapshot leaked into reads")
+
+    // kill-point 2 — compaction crashed BETWEEN the manifest commit and
+    // the delta GC: a delta directory still on disk but no longer in the
+    // manifest must not be double-counted
+    val liveDelta = manifestDirs(s"$dir/postings").last
+    copyDir(proot.resolve(liveDelta), proot.resolve("delta-00ghost"))
+    assert(indexed() == want, "unreferenced delta double-counted")
+
+    // a finishing compaction folds base+delta and SWEEPS both leftovers
+    Retrieval.bm25CompactIndex(spark, dir)
+    assert(indexed() == want, "compaction changed the answer")
+    assert(!Files.exists(proot.resolve("snap-00crashed")) &&
+      !Files.exists(proot.resolve("delta-00ghost")),
+      "compaction's init() must sweep crash leftovers")
+
+    // kill-point 3 — a crash-replay of a batch whose delta the compaction
+    // already folded away: the consumed-tokens ledger makes it a no-op
+    Retrieval.bm25AppendIndex(b, "doc_id", "text", dir, batchId = 1L)
+    assert(manifestDirs(s"$dir/postings").length == 1,
+      "replay of a compacted batch re-appended its delta")
+    assert(indexed() == want, "replay of a compacted batch double-counted")
   }
 
   test("a query set touching few terms opens few buckets") {
