@@ -31,38 +31,52 @@ object Salting {
     saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
-  /** The measured hot-key set of `small`, found in ONE bounded job: a
-    * per-partition count pass emits only locally-repeated keys and the
-    * driver merges the partials — no aggregation exchange, no broadcast
-    * build. The emission floor of 2 is sound by pigeonhole whenever
-    * `hotMin` exceeds the partition count (a key with global count ≥
-    * hotMin must repeat within some partition), and the driver threshold
-    * `hotMin − nPart` absorbs the ≤ 1-per-partition undercount the floor
-    * can hide — so every truly-hot key is caught, and the only slack is
-    * keys in [hotMin − nPart, hotMin) salting unnecessarily. That slack
-    * is free: salting changes placement, never pairing. When hotMin ≤
-    * nPart (degenerate small-data regime) the floor drops to 1 and the
-    * count is exact. Collect size is bounded by the locally-repeated key
-    * set — the skew tail this operator exists for is a FEW heavy keys,
-    * so the partials are tiny by the same argument as the old
-    * |small| / hotMin broadcast bound. */
+  /** The measured hot-key set of `small`. Fast path (hotMin > partition
+    * count): ONE bounded job — a per-partition count pass emits only
+    * locally-repeated keys (floor 2) and the driver merges the partials,
+    * no aggregation exchange, no broadcast build. The floor is sound by
+    * pigeonhole (a key with global count ≥ hotMin must repeat within some
+    * partition), and the driver threshold `hotMin − nPart` absorbs the
+    * ≤ 1-per-partition undercount the floor can hide — every truly-hot
+    * key is caught, and the only slack is keys in [hotMin − nPart,
+    * hotMin) salting unnecessarily. That slack is free: salting changes
+    * placement, never pairing. Collect size is bounded BY DATA: every
+    * emitted partial repeats locally, so partials ≤ |small| / 2 in the
+    * adversarial worst case and ≈ the few genuinely heavy keys in the
+    * skew-tail reality this operator exists for.
+    *
+    * When hotMin ≤ nPart the pigeonhole argument collapses (a hot key
+    * can land once per partition and never repeat locally) and a floor
+    * of 1 would collect every distinct key in every partition — the full
+    * small side, bounded only by partitioning. That regime uses the
+    * exact distributed aggregation instead: one exchange, and the
+    * collect is ≤ |small| / hotMin keys by counting — bounded by data,
+    * never by partition count. */
   private[operators] def hotKeys(small: DataFrame, key: String,
                                  hotMin: Long): Seq[Any] = {
     val rdd = small.select(col(key)).rdd
     val nPart = rdd.getNumPartitions
-    val floor = if (hotMin > nPart) 2L else 1L
-    val partials = rdd.mapPartitions { it =>
-      val m = scala.collection.mutable.HashMap.empty[Any, Long]
-      it.foreach { row =>
-        val k = row.get(0)
-        if (k != null) m.update(k, m.getOrElse(k, 0L) + 1L)
+    if (hotMin <= nPart) {
+      small.filter(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= hotMin)
+        .select(col(key)).collect().map(_.get(0)).toSeq
+    } else {
+      val partials = rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Any, Long]
+        it.foreach { row =>
+          val k = row.get(0)
+          if (k != null) m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        m.iterator.filter(_._2 >= 2L)
+      }.collect()
+      val sums = scala.collection.mutable.HashMap.empty[Any, Long]
+      partials.foreach { case (k, c) =>
+        sums.update(k, sums.getOrElse(k, 0L) + c)
       }
-      m.iterator.filter(_._2 >= floor)
-    }.collect()
-    val sums = scala.collection.mutable.HashMap.empty[Any, Long]
-    partials.foreach { case (k, c) => sums.update(k, sums.getOrElse(k, 0L) + c) }
-    val thr = if (floor == 2L) math.max(1L, hotMin - nPart) else hotMin
-    sums.iterator.filter(_._2 >= thr).map(_._1).toSeq
+      val thr = math.max(1L, hotMin - nPart)
+      sums.iterator.filter(_._2 >= thr).map(_._1).toSeq
+    }
   }
 
   /** [[saltedJoin]] that salts ONLY the measured hot keys — the 100 TB
