@@ -162,14 +162,19 @@ object Curation {
     //    join scrubs the sketch's false positives)
     //  - `decontamScrubSpans = Some(L)`: SCRUB instead of drop
     //    ([[Decontaminate.scrubSpans]], RefinedWeb masking) — contaminated
-    //    L-token runs are masked out and the document survives; its audit
-    //    columns are dropped here (packing recomputes token counts on the
-    //    scrubbed text). Scrub wins if combined with the others — it
-    //    subsumes the drop decision.
+    //    L-token runs are masked out and the document survives UNLESS the
+    //    scrub consumed it entirely (kept == 0): a fully-contaminated
+    //    document would flow on as an empty-text row that still counts
+    //    one (empty) token downstream — junk in mixing and packing — so
+    //    it drops here, exactly like the drop regimes would have dropped
+    //    it. Audit columns are dropped after the gate (packing recomputes
+    //    token counts on the scrubbed text). Scrub wins if combined with
+    //    the others — it subsumes the drop decision.
     val decontam = stage(decontamScrubSpans match {
       case Some(l) =>
         Decontaminate.scrubSpans(nearDup, evalDocs, idCol, textCol,
             minTokens = l)
+          .filter(col("removed_tokens") < col("n_tokens"))
           .drop("n_tokens", "removed_tokens", "n_spans")
       case None => decontamBloomFpp match {
         case Some(fpp) => nearDup.join(

@@ -63,17 +63,30 @@ class CurationSpec extends AnyFunSuite {
       temperatureBudget = Some(50L))
     assert(rT.nAfterMix < rT.nAfterDecontam, "temperature mix dropped nothing")
     assert(rT.nAfterMix > 0L)
-    // scrub regime: no document is DROPPED at the decontamination stage
-    // (they survive scrubbed), and the output schema is unchanged — the
-    // operator's audit columns must not leak into the funnel output
+    // scrub regime: partially-contaminated documents survive scrubbed,
+    // FULLY-contaminated ones drop (kept == 0 — an empty-text row would
+    // be junk in mixing/packing), and the output schema is unchanged —
+    // the operator's audit columns must not leak into the funnel output
     val (outS, rS) = Curation.curate(docs, evalDocs,
       nearDupThresholdMilli = 500, packBudget = 256,
       decontamScrubSpans = Some(8))
-    assert(rS.nAfterDecontam == rS.nAfterNearDup, "scrub regime dropped docs")
+    assert(rS.nAfterDecontam <= rS.nAfterNearDup)
+    assert(rS.nAfterDecontam < rS.nAfterNearDup,
+      "eval replays full documents: the kept==0 gate must engage")
+    assert(outS.filter(length(col("text")) === 0).count() == 0L,
+      "a fully-scrubbed empty-text row leaked into the funnel output")
     assert(outS.columns.sorted.toSeq == outBc.columns.sorted.toSeq)
-    // the eval replay really contaminates: some surviving text got shorter
-    // than the drop regime's corresponding doc set implies
+    // the eval replay really contaminates: scrub still keeps MORE than
+    // the drop regime (partial overlaps survive scrubbed there, dropped
+    // here), even after dropping the fully-consumed docs
     assert(rS.nAfterDecontam > rBc.nAfterDecontam)
+    // a window longer than every document is a no-op scrub: nothing
+    // matches, nothing drops — the gate itself never fires spuriously
+    val (_, rNoop) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      decontamScrubSpans = Some(1000000))
+    assert(rNoop.nAfterDecontam == rNoop.nAfterNearDup,
+      "no-op scrub dropped documents")
   }
 
   test("LM-quality knob: threshold 0 is a no-op, a maximal threshold " +
