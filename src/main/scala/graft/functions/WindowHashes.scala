@@ -103,3 +103,97 @@ object WindowHashes {
       .createOrReplaceTempFunction("window_hashes",
         exprs => WindowHashes(exprs.head, exprs(1)), "built-in")
 }
+
+/** WIDE variant of [[WindowHashes]] for the GLOBAL duplication tier
+  * (q76): a single 31-bit polynomial space starts colliding by birthday
+  * around ~50k distinct windows — nothing at eval-set scale, ppm-level
+  * false dup flags already at a modest corpus. This computes TWO
+  * independent 31-bit polynomials per window (multipliers 31 and 37,
+  * both mod [[TextAnalysis.P]]) in the same single loop and combines
+  * them as `h31 · P + h37` — a 62-bit key both Spark Long and DuckDB
+  * BIGINT evaluate exactly (max value (P−1)·P + (P−1) < 2^62; checked
+  * 64-bit arithmetic never overflows), pushing the birthday regime to
+  * ~2^31 distinct windows and the collision rate per pair to 2^-62.
+  * Same contract otherwise: empty array under `n` tokens, foldable `n`.
+  */
+case class WideWindowHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wide_window_hashes requires STRING text, got ${left.dataType.catalogString}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "wide_window_hashes requires a foldable INT window width")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    WideWindowHashes.compute(text.asInstanceOf[UTF8String].toString,
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.WideWindowHashes.compute($t.toString(), $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WideWindowHashes =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "wide_window_hashes"
+}
+
+object WideWindowHashes {
+
+  /** Second polynomial's multiplier; coprime walk distinct from 31 so the
+    * two hash coordinates are independent. */
+  val Mult2: Long = 37L
+
+  /** One loop, two accumulators; combined key `h31 · P + h37`. Bitwise
+    * equal to `poly31(w) * P + poly37(w)` over the space-joined window
+    * (spec-pinned against the composed twin). */
+  def compute(s: String, n: Int): ArrayData = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    val toks = TextAnalysis.jvmTokens(s)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val p = TextAnalysis.P
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      var a31 = 0L
+      var a37 = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) {
+          a31 = (a31 * 31 + ' '.toInt) % p
+          a37 = (a37 * Mult2 + ' '.toInt) % p
+        }
+        val t = toks(k + j)
+        var c = 0
+        while (c < t.length) {
+          val cp = t.codePointAt(c)
+          a31 = (a31 * 31 + cp) % p
+          a37 = (a37 * Mult2 + cp) % p
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(k) = a31 * p + a37
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(text: Column, n: Int): Column =
+    call_function("wide_window_hashes", text, lit(n))
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("wide_window_hashes",
+        exprs => WideWindowHashes(exprs.head, exprs(1)), "built-in")
+}

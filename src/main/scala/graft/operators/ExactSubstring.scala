@@ -345,15 +345,19 @@ object ExactSubstring {
     * no exchange; the window rows are 24 bytes each, so the shuffle is
     * ~24·L bytes per corpus token: big but linear, the honest price of
     * global scope (RefinedWeb's suffix-array pass pays the analogous
-    * sort). Collision trade as everywhere: 8-byte PolyHash keys,
-    * replayed identically by the oracle. */
+    * sort). Keys are 62-bit [[graft.functions.WideWindowHashes]] values
+    * (two independent 31-bit polynomials combined): a single 31-bit
+    * space would reach its birthday regime around ~50k distinct windows
+    * — trivially exceeded by any global-scope corpus — while the 62-bit
+    * key pushes it to ~2^31 windows and the oracle replays the same
+    * arithmetic exactly in BIGINT. */
   def globalStats(docs: DataFrame, idCol: String, textCol: String,
                   minTokens: Int = 8, minOcc: Int = 2): DataFrame = {
     require(minTokens >= 1, "minTokens must be >= 1")
     require(minOcc >= 2, "minOcc must be >= 2")
     val L = minTokens
     val spark = docs.sparkSession
-    graft.functions.WindowHashes.ensureRegistered(spark)
+    graft.functions.WideWindowHashes.ensureRegistered(spark)
     graft.functions.TokenStats.ensureRegistered(spark)
     import org.apache.spark.sql.expressions.Window
     // both passes fully codegen'd in-scan: token counts via TokenStats,
@@ -363,7 +367,7 @@ object ExactSubstring {
       graft.functions.TokenStats(col(textCol)).getField("n_tokens")
         .cast("int").as("_n"))
     val wins = docs.select(col(idCol).cast("long").as("id"),
-        posexplode(graft.functions.WindowHashes(col(textCol), L)))
+        posexplode(graft.functions.WideWindowHashes(col(textCol), L)))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
     val wH = Window.partitionBy("h")
     val wId = Window.partitionBy("id").orderBy("p")

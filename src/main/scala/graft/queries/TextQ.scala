@@ -20,10 +20,18 @@ object TextQ {
 
   /** DuckDB twin of [[TextAnalysis.strHash]] — `(?s)` so '.' also matches
     * newlines, like PolyHash's every-code-point loop. */
-  private def sqlHash(c: String): String =
+  private def sqlHashM(c: String, mult: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
     s"list_transform(regexp_extract_all($c, '(?s).'), ch -> CAST(unicode(ch) AS BIGINT))), " +
-    s"(a, b) -> (a * 31 + b) % $P)"
+    s"(a, b) -> (a * $mult + b) % $P)"
+
+  private def sqlHash(c: String): String = sqlHashM(c, 31)
+
+  /** DuckDB twin of [[graft.functions.WideWindowHashes]]' 62-bit key:
+    * two independent 31-bit polynomials (multipliers 31 and 37) combined
+    * as `h31 * P + h37` — max value < 2^62, exact in BIGINT. */
+  private def sqlWideHash(c: String): String =
+    s"(${sqlHashM(c, 31)} * $P + ${sqlHashM(c, 37)})"
 
   private val sqlToks = """string_split_regex(trim(text), '\s+')"""
 
@@ -913,13 +921,14 @@ object TextQ {
     * confined) and q62 (chunk-aligned) both miss: every sliding 8-token
     * window occurring >= 2 times ANYWHERE in the corpus is flagged, runs
     * merge per document. The oracle re-derives window hashes (the join
-    * key is the PolyHash long, like q73/q75), the global occurrence
-    * count, and the island merge. */
+    * key is the 62-bit wide hash — global scope needs more than a
+    * 31-bit space, see [[graft.functions.WideWindowHashes]]), the
+    * global occurrence count, and the island merge. */
   val q76 = Q(
     "q76_global_window_dup",
     s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
        |win AS (SELECT doc_id, i AS p,
-       |               ${sqlHash("array_to_string(w[i:i+7], ' ')")} AS h
+       |               ${sqlWideHash("array_to_string(w[i:i+7], ' ')")} AS h
        |        FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)),
        |dupw AS (SELECT doc_id, p FROM (
        |           SELECT doc_id, p, COUNT(*) OVER (PARTITION BY h) AS c
