@@ -43,14 +43,22 @@ object Bench {
     catch { case _: Throwable => false }
 
   /** `bench/bench_full_r<N>.json` with N inferred from the committed
-    * official artifacts (max BENCH_r<k>.json + 1). */
+    * official artifacts (max BENCH_r<k>.json + 1). NEVER clobbers: when
+    * that name is already taken (a battery was committed earlier in the
+    * round), later runs — the driver's official rerun included — write
+    * `bench_full_r<N>_<epoch>.json` beside it, so every battery of a
+    * round survives on disk and the committed artifact is immutable. */
   private def defaultOutPath(): java.nio.file.Path = {
     val repo = java.nio.file.Paths.get(".").toAbsolutePath.normalize
     val re = "BENCH_r(\\d+)\\.json".r
     val prev = Option(repo.toFile.list()).toSeq.flatten.collect {
       case re(n) => n.toInt
     }.maxOption.getOrElse(0)
-    repo.resolve("bench").resolve(f"bench_full_r${prev + 1}%02d.json")
+    val dir = repo.resolve("bench")
+    val base = dir.resolve(f"bench_full_r${prev + 1}%02d.json")
+    if (!java.nio.file.Files.exists(base)) base
+    else dir.resolve(
+      f"bench_full_r${prev + 1}%02d_${System.currentTimeMillis / 1000}%d.json")
   }
 
   def main(args: Array[String]): Unit = {

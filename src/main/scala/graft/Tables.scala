@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet test tables (TESTDATA.md).
   *
@@ -49,18 +49,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is nanosecond parquet, which Spark 4 refuses to read as a
-    * timestamp — read it as a nanos-long (legacy conf) and convert to a
-    * microsecond timestamp (truncation; never output sub-second values in
-    * oracle-checked queries). The file is NTZ and the session TZ is pinned
-    * UTC, so the instant matches DuckDB's naive reading.
+  /** events.ts arrives in whatever physical shape the generator chose —
+    * nanosecond parquet (which Spark 4 refuses to read as a timestamp:
+    * read as a nanos-long via the legacy conf and truncate to micros) or
+    * naive microseconds (which Spark 4 infers as TIMESTAMP_NTZ: cast to
+    * the session type, since watermarks and window() require TIMESTAMP).
+    * Either way the file is timezone-naive and the session TZ is pinned
+    * UTC, so the resulting instant matches DuckDB's naive reading; never
+    * output sub-second values in oracle-checked queries.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

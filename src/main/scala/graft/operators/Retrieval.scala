@@ -84,6 +84,29 @@ object Retrieval {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** (N, S, df-per-query-term) in ONE pass over the index: group by the
+    * query-term-or-null projection — non-query terms all fold into the
+    * null group — so the global sums and the per-term document frequencies
+    * come out of a single aggregate job (collected rows = distinct query
+    * terms + 1, driver-small by the query-side contract). Replaces a
+    * separate stats `head()` plus a distributed per-term df groupBy/join
+    * subtree in the final plan — two fewer actions/stages on the q78-shaped
+    * path, and the index side still never repartitions by term. */
+  private def corpusStatsWithDf(tf: DataFrame,
+                                terms: Seq[String]): (Long, Long, Map[String, Long]) = {
+    val qt = if (terms.isEmpty) lit(null).cast("string")
+             else when(col("_t").isInCollection(terms), col("_t"))
+    val rows = tf.groupBy(qt.as("_qt"))
+      .agg(sum(col("_first")).as("_n"), sum(col("_tf")).as("_s"),
+        count(lit(1)).as("_df"))
+      .collect()
+    val n = rows.iterator.map(_.getLong(1)).sum
+    val s = rows.iterator.map(_.getLong(2)).sum
+    val dfMap = rows.iterator.filter(!_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    (n, s, dfMap)
+  }
+
   /** The query side, collected: driver-small by contract (an eval suite,
     * like [[Decontaminate]]'s eval set and BloomGate's sketch literal),
     * tokenized with the tokenizer's bitwise JVM twin. One (query_id, term)
@@ -120,8 +143,11 @@ object Retrieval {
       .repartition(col("_qid"))
       .groupBy("_qid", "_id")
       .agg(sum(col("_idf_milli") * col("_part_permille")).as("_score"))
-    val topAgg = udaf(TopKAgg.topK[(Long, Long)](k) {
-      case (id, score) => (score.toDouble, id) // integer-valued: exact
+    // Long-scored heap: scores live in the 2^63 fixed-point contract, and
+    // a Double-keyed heap is exact only below 2^53 — near-ties past that
+    // could misrank against the oracle's exact BIGINT ordering
+    val topAgg = udaf(TopKAgg.topKLong[(Long, Long)](k) {
+      case (id, score) => (score, id)
     }, Encoders.product[(Long, Long)])
     scored
       .groupBy("_qid")
@@ -129,7 +155,7 @@ object Retrieval {
       .select(col("_qid").as("query_id"),
         posexplode(col("_top")).as(Seq("_i", "_e")))
       .select(col("query_id"), (col("_i") + 1).cast("long").as("rank"),
-        col("_e._2").as("doc_id"), col("_e._1").cast("long").as("score"))
+        col("_e._2").as("doc_id"), col("_e._1").as("score"))
   }
 
   /** Top-k corpus documents per query document by integer-exact BM25.
@@ -142,17 +168,15 @@ object Retrieval {
     val spark = corpus.sparkSession
     import spark.implicits._
     val tf = invertedIndex(corpus, idCol, textCol)
-    val (n, s) = corpusStats(tf)
     val qtLocal = queryTerms(queries, idCol, textCol)
-    val dfLocal = spark.createDataFrame(qtLocal).toDF("_qid", "_t")
-    // per-(query, term) idf: the df lookup joins the broadcast query table
-    // into the index's per-term counts, so the index side never
-    // repartitions by term
-    val qidf = tf.groupBy("_t").agg(count(lit(1)).as("_df"))
-      .join(broadcast(dfLocal), "_t")
-      .select(col("_t"), col("_qid"),
-        expr(s"((${2 * n + 1}L - _df*2) * 1000) div (_df*2 + 1)")
-          .as("_idf_milli"))
+    // ONE fused pass computes N, S and every query term's df; the
+    // (term, query, idf) table then builds locally, exactly as the indexed
+    // path builds it from its df sidecar
+    val (n, s, dfMap) = corpusStatsWithDf(tf, qtLocal.map(_._2).distinct)
+    val qidfLocal = qtLocal.flatMap { case (qid, t) =>
+      dfMap.get(t).map(df => (t, qid, idfMilli(n, df)))
+    }
+    val qidf = spark.createDataFrame(qidfLocal).toDF("_t", "_qid", "_idf_milli")
     scoreAndRank(tf, qidf, n, s, k)
   }
 

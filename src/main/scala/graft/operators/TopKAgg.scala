@@ -50,4 +50,43 @@ object TopKAgg {
       def outputEncoder: Encoder[Seq[Entry]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
+
+  type LongEntry = (Long, Long) // (score, id)
+
+  final case class LongBuf(var items: List[LongEntry])
+
+  /** [[topK]] with an exact Long score — for integer-scored rankings
+    * (BM25's fixed-point contract): a Double-keyed heap is exact only
+    * below 2^53, but BM25 per-term contributions can reach ~1.5e15 inside
+    * the documented 2^63 arithmetic bound, so a few shared terms push sums
+    * past 2^53 and Double rounding could misrank near-ties against an
+    * oracle's exact BIGINT ordering. Long comparisons carry the full
+    * contract. Sorted descending by score, ascending-id tie-break. */
+  def topKLong[I](k: Int)(extract: I => LongEntry): Aggregator[I, LongBuf, Seq[LongEntry]] =
+    new Aggregator[I, LongBuf, Seq[LongEntry]] {
+
+      private def ord: Ordering[LongEntry] =
+        Ordering.by[LongEntry, (Long, Long)] { case (s, id) => (-s, id) }
+
+      private def bounded(xs: List[LongEntry]): List[LongEntry] =
+        xs.sorted(ord).take(k)
+
+      def zero: LongBuf = LongBuf(Nil)
+
+      def reduce(b: LongBuf, a: I): LongBuf = {
+        b.items = bounded(extract(a) :: b.items)
+        b
+      }
+
+      def merge(b1: LongBuf, b2: LongBuf): LongBuf = {
+        b1.items = bounded(b1.items ::: b2.items)
+        b1
+      }
+
+      def finish(b: LongBuf): Seq[LongEntry] = bounded(b.items)
+
+      def bufferEncoder: Encoder[LongBuf] = Encoders.product[LongBuf]
+      def outputEncoder: Encoder[Seq[LongEntry]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
 }

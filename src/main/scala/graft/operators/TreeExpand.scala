@@ -444,13 +444,25 @@ object TreeExpand {
       driverStateRows: Int = 8192,
       driverStateBytes: Long = 8L << 20): DataFrame = {
     val idType = edges.schema(idCol).dataType
-    // lazy checkpoints throughout: the first action over each (the open-set
-    // count below, for state) materializes it as a side effect, so every
-    // round costs ONE job instead of an eager-checkpoint job plus a count
-    // job — at ~11 rounds for a 2000-deep chain the saved driver round-trips
-    // are a third of the operator's wall-clock
+    // Lazy checkpoints for the ROUND state: the first action over each (the
+    // open-set count below) materializes it as a side effect, so every round
+    // costs ONE job instead of an eager-checkpoint job plus a count job — at
+    // ~11 rounds for a 2000-deep chain the saved driver round-trips are a
+    // third of the operator's wall-clock. The SEED root set is the one
+    // exception: it is broadcast while still unmaterialized, and a broadcast
+    // exchange whose sub-job lineage contains a not-yet-materialized lazy
+    // localCheckpoint can deadlock against the DAG event loop (AB-BA on
+    // cacheLocs + the RDD monitor inside Spark's own lock ordering — observed
+    // once in a full-suite run, jstack'd; ROUND6.md Candidates). Eagerly
+    // materializing the seed (+1 job ≈ 40 ms) closes that window before any
+    // broadcast is planned; every LATER checkpoint is materialized by its
+    // round's measure job before the next round broadcasts it, so the rounds
+    // keep the fused lazy design. Escape hatch for the latency-sensitive:
+    // spark.graft.treeExpand.lazySeed=true restores the old behavior.
+    val lazySeed = edges.sparkSession.conf
+      .get("spark.graft.treeExpand.lazySeed", "false").toBoolean
     val rootSet = roots.select(col(idCol).as("_rid")).distinct()
-      .localCheckpoint(false)
+      .localCheckpoint(!lazySeed)
     // State per node: _ptr  = current jump target (null ⟺ chain resolved)
     //                 _term = terminal node once resolved (a cut point:
     //                         chosen root, or a real root — filtered later)

@@ -21,6 +21,19 @@ class TopKAggSpec extends AnyFunSuite {
     assert(out("b") == Seq((5.0, 9L)))
   }
 
+  test("topKLong ranks exactly past 2^53 where a Double heap would tie") {
+    // two scores that collide when rounded to Double (same 2^53-scale
+    // neighborhood, differ by 1): the Long heap must order them exactly
+    val big = (1L << 60) + 4096L
+    val ds = Seq(("g", big, 1L), ("g", big + 1L, 2L), ("g", big - 1L, 3L)).toDS()
+    assert(big.toDouble == (big + 1L).toDouble) // the Double heap CAN'T see this gap
+    val out = ds.groupByKey(_._1)
+      .agg(TopKAgg.topKLong[(String, Long, Long)](2)(t => (t._2, t._3))
+        .toColumn.name("top"))
+      .collect().toMap
+    assert(out("g") == Seq((big + 1L, 2L), (big, 1L)))
+  }
+
   test("agrees with the window row_number formulation on real embeddings") {
     val knn = Similarity.knnJoin(
       graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
