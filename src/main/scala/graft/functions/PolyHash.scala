@@ -58,6 +58,26 @@ object PolyHash {
     acc
   }
 
+  /** The WIDE scalar loop (see [[WidePolyHash]]): two independent 31-bit
+    * polynomials (multipliers 31 and 37, both mod [[TextAnalysis.P]]) in
+    * one pass, combined as `h31 · P + h37` — max value (P−1)·P + (P−1)
+    * < 2^62, exact in both Spark Long and DuckDB BIGINT. Bitwise equal to
+    * `hash(s) * P + hash37(s)` (spec-pinned). */
+  def wideHash(s: String): Long = {
+    val p = TextAnalysis.P
+    var a31 = 0L
+    var a37 = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      a31 = (a31 * 31L + cp) % p
+      a37 = (a37 * WideWindowHashes.Mult2 + cp) % p
+      i += Character.charCount(cp)
+    }
+    a31 * p + a37
+  }
+
   /** Column API — resolves through the function registry, so
     * [[ensureRegistered]] must have run on the analyzing session (the
     * [[graft.Tables]] loaders guarantee it for every query path). */
@@ -69,4 +89,50 @@ object PolyHash {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("polyhash", exprs => PolyHash(exprs.head),
         "built-in")
+}
+
+/** WIDE variant of [[PolyHash]] for GLOBAL-scope join keys: a single
+  * 31-bit polynomial space enters its birthday regime around ~50k distinct
+  * values — trivially exceeded by a corpus-wide gram/chunk key set, where
+  * each collision silently merges two distinct strings (a phantom dup, a
+  * false decontamination hit). Two independent polynomials (multipliers 31
+  * and 37, both mod [[TextAnalysis.P]]) computed in the same single loop
+  * and combined as `h31 · P + h37` give a 62-bit key exact in both Spark
+  * Long and DuckDB BIGINT, pushing the birthday regime to ~2^31 distinct
+  * values and the per-pair collision rate to 2^-62. The [[WideWindowHashes]]
+  * scheme, at scalar granularity — consumers: the span-chunk dup join
+  * (q62), the salted/Bloom gram joins (q60/q73).
+  */
+case class WidePolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wide_polyhash requires STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.wideHash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PolyHash.wideHash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): WidePolyHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "wide_polyhash"
+}
+
+object WidePolyHash {
+  def apply(c: Column): Column = call_function("wide_polyhash", c)
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("wide_polyhash",
+        exprs => WidePolyHash(exprs.head), "built-in")
 }

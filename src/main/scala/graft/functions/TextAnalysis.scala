@@ -51,6 +51,26 @@ object TextAnalysis {
     aggregate(regexp_extract_all(s, lit("(?s)."), lit(0)), lit(0L),
       (acc, c) => (acc * 31L + ascii(c)) % P)
 
+  /** 62-bit WIDE string hash for GLOBAL-scope join keys — the codegen'd
+    * [[WidePolyHash]] (`poly31 · P + poly37`; see its scaladoc for the
+    * birthday-regime rationale). Use this, not [[strHash]], whenever the
+    * hash keys a corpus-wide equi-join: the 31-bit space saturates around
+    * ~50k distinct values. Oracle twin: `graft.queries.TextQ.sqlWideHash`.
+    */
+  def wideStrHash(s: Column): Column =
+    if (sys.env.get("GRAFT_PORTABLE_HASH").contains("1")) wideStrHashPortable(s)
+    else WidePolyHash(s)
+
+  /** Built-ins-only twin of [[wideStrHash]] — the composed two-polynomial
+    * form the single-loop expression replaces (cross-implementation check).
+    */
+  def wideStrHashPortable(s: Column): Column = {
+    def poly(mult: Long): Column =
+      aggregate(regexp_extract_all(s, lit("(?s)."), lit(0)), lit(0L),
+        (acc, c) => (acc * mult + ascii(c)) % P)
+    poly(31L) * P + poly(WideWindowHashes.Mult2)
+  }
+
   /** The k-th universal hash over an already-hashed value: (a_k·x + b_k) mod P. */
   def rehash(x: Column, k: Int): Column =
     (lit(MinhashA(k)) * x + lit(MinhashB(k))) % P

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis.strHash
+import graft.functions.TextAnalysis.wideStrHash
 
 /** Benchmark decontamination for the training-data pipeline: flag (and drop)
   * training documents that share word-3-gram shingles with an evaluation /
@@ -67,11 +67,13 @@ object Decontaminate {
     * (deterministic, so the same pair meets exactly once) and the eval
     * side replicates ONLY its hot-gram rows `saltR` ways — a hot gram's
     * matches spread over `saltR` tasks while the cold tail pays no
-    * replication. The join key is the 8-byte [[graft.functions.PolyHash]]
-    * of the gram, not the gram string — the salted exchange and both
-    * hash tables carry longs (the same collision-tolerance trade the
-    * MinHash tier documents: a 2⁻⁶¹-per-pair chance of counting a merged
-    * gram, replayed identically by the oracle). Only (id, gram-hash)
+    * replication. The join key is the 8-byte 62-bit
+    * [[graft.functions.WidePolyHash]] of the gram, not the gram string —
+    * the salted exchange and both hash tables carry longs. This join is
+    * GLOBAL scope (corpus-wide gram set), so a 31-bit key would saturate
+    * by birthday around ~50k distinct grams; the wide key holds
+    * 2⁻⁶²-per-pair to ~2³¹ grams, and the oracle replays the identical
+    * arithmetic. Only (id, gram-hash)
     * pairs enter the exchange; the corpus text itself never shuffles
     * (spec-pinned in PlanSpec). Output is identical to [[flagged]] up to
     * hash collisions — the salt changes placement, never pairing.
@@ -82,9 +84,9 @@ object Decontaminate {
                     bloomFpp: Double = 0.01): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(saltR >= 1, "saltR must be >= 1")
-    graft.functions.PolyHash.ensureRegistered(train.sparkSession)
+    graft.functions.WidePolyHash.ensureRegistered(train.sparkSession)
     val tshAll = Dedup.shingles(train, idCol, textCol)
-      .select(col("id"), strHash(col("g")).as("g"))
+      .select(col("id"), wideStrHash(col("g")).as("g"))
     // eager-materialized: hotSaltedJoin consumes the eval shingles twice
     // (hot-gram count, replicated join side). The eval lineage is the
     // expensive part here — often a join + the hot texts exploded
@@ -93,7 +95,7 @@ object Decontaminate {
     // modest eval side this path contracts for; the TRAIN corpus stays
     // lazy and in-scan.
     val esh = Dedup.shingles(eval, idCol, textCol)
-      .select(col("id").as("eval_id"), strHash(col("g")).as("g"))
+      .select(col("id").as("eval_id"), wideStrHash(col("g")).as("g"))
       .localCheckpoint(true)
     // optional composition with the Bloom regime ([[flaggedBloom]]): the
     // sketch of the (checkpointed) eval grams gates the train side
@@ -152,14 +154,14 @@ object Decontaminate {
     require(minShared >= 1, "minShared must be >= 1")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val spark = train.sparkSession
-    graft.functions.PolyHash.ensureRegistered(spark)
+    graft.functions.WidePolyHash.ensureRegistered(spark)
     graft.functions.BloomGate.ensureRegistered(spark)
     val tsh = Dedup.shingles(train, idCol, textCol)
-      .select(col("id"), strHash(col("g")).as("g"))
+      .select(col("id"), wideStrHash(col("g")).as("g"))
     // consumed twice (sketch build, join build side) — same justified
     // checkpoint as flaggedSalted's eval side
     val esh = Dedup.shingles(eval, idCol, textCol)
-      .select(col("id").as("eval_id"), strHash(col("g")).as("g"))
+      .select(col("id").as("eval_id"), wideStrHash(col("g")).as("g"))
       .localCheckpoint(true)
     val nGrams = esh.count() // cheap: counts the checkpointed blocks
     val bloom = esh.stat.bloomFilter("g", math.max(nGrams, 64L), fpp)
@@ -208,8 +210,11 @@ object Decontaminate {
     * The corpus text itself never crosses an exchange on either pass.
     *
     * Output: every `train` column with `textCol` REPLACED by the scrubbed
-    * text, plus (n_tokens, removed_tokens, n_spans). Join keys are
-    * [[graft.functions.PolyHash]] longs (the documented collision trade).
+    * text, plus (n_tokens, removed_tokens, n_spans). Join keys are 62-bit
+    * [[graft.functions.WideWindowHashes]] longs: a window-hash collision
+    * here DESTROYS an L-token run of legitimate text, and corpus-side
+    * window counts dwarf the ~50k birthday bound of a 31-bit key — the
+    * wide key holds 2⁻⁶²-per-pair out to ~2³¹ distinct windows.
     */
   def scrubSpans(train: DataFrame, eval: DataFrame, idCol: String,
                  textCol: String, minTokens: Int = 8,
@@ -224,10 +229,10 @@ object Decontaminate {
     * it once per stream instead of once per micro-batch. */
   private[graft] def evalWindowHashes(eval: DataFrame, textCol: String,
                                       minTokens: Int): DataFrame = {
-    graft.functions.WindowHashes.ensureRegistered(eval.sparkSession)
+    graft.functions.WideWindowHashes.ensureRegistered(eval.sparkSession)
     eval
       .select(posexplode(
-        graft.functions.WindowHashes(col(textCol), minTokens)))
+        graft.functions.WideWindowHashes(col(textCol), minTokens)))
       .select(col("col").as("h")).distinct()
   }
 
@@ -237,15 +242,14 @@ object Decontaminate {
       broadcastRuns: Boolean): DataFrame = {
     require(minTokens >= 1, "minTokens must be >= 1")
     val L = minTokens
-    graft.functions.PolyHash.ensureRegistered(train.sparkSession)
-    graft.functions.WindowHashes.ensureRegistered(train.sparkSession)
+    graft.functions.WideWindowHashes.ensureRegistered(train.sparkSession)
     // `keep` are column NAMES already present on `df`; window hashing is
-    // the codegen'd [[graft.functions.WindowHashes]] — one in-scan loop
+    // the codegen'd [[graft.functions.WideWindowHashes]] — one in-scan loop
     // per document, where the HOF transform/slice/concat_ws formulation
     // pays an interpreted lambda and a string build PER WINDOW
     def winHashes(df: DataFrame, keep: Seq[String]): DataFrame = df
       .select(keep.map(col) :+
-        posexplode(graft.functions.WindowHashes(col(textCol), L)): _*)
+        posexplode(graft.functions.WideWindowHashes(col(textCol), L)): _*)
       .select(keep.map(col) :+ (col("pos") + 1).as("p") :+ col("col").as("h"): _*)
     val wId = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("p")

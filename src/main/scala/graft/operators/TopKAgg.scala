@@ -65,8 +65,15 @@ object TopKAgg {
   def topKLong[I](k: Int)(extract: I => LongEntry): Aggregator[I, LongBuf, Seq[LongEntry]] =
     new Aggregator[I, LongBuf, Seq[LongEntry]] {
 
-      private def ord: Ordering[LongEntry] =
-        Ordering.by[LongEntry, (Long, Long)] { case (s, id) => (-s, id) }
+      // explicit comparator, not Ordering.by(-s): negation overflows at
+      // Long.MinValue (-Long.MinValue == Long.MinValue), which would
+      // misplace that score in a general-purpose utility
+      private def ord: Ordering[LongEntry] = new Ordering[LongEntry] {
+        def compare(a: LongEntry, b: LongEntry): Int = {
+          val c = java.lang.Long.compare(b._1, a._1) // score descending
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2) // id ascending
+        }
+      }
 
       private def bounded(xs: List[LongEntry]): List[LongEntry] =
         xs.sorted(ord).take(k)

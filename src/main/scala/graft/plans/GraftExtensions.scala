@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(fn("polyhash", classOf[PolyHash], exprs => PolyHash(exprs.head)))
+    e.injectFunction(fn("wide_polyhash", classOf[WidePolyHash],
+      exprs => WidePolyHash(exprs.head)))
     e.injectFunction(fn("word_shingles", classOf[WordShingles],
       exprs => WordShingles(exprs.head)))
     e.injectFunction(fn("word_shingle_set", classOf[WordShingleSet],

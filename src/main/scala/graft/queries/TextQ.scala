@@ -594,8 +594,8 @@ object TextQ {
        |etoks AS (SELECT eid, string_split_regex(trim(text), '\\s+') AS w FROM evd),
        |esh AS (SELECT DISTINCT eid, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
        |        FROM etoks, UNNEST(range(1, len(w) - 1)) AS t(i)),
-       |th AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh WHERE doc_id % 97 <> 0),
-       |eh AS (SELECT eid, ${sqlHash("g")} AS h FROM esh),
+       |th AS (SELECT doc_id, ${sqlWideHash("g")} AS h FROM sh WHERE doc_id % 97 <> 0),
+       |eh AS (SELECT eid, ${sqlWideHash("g")} AS h FROM esh),
        |ov AS (SELECT t.doc_id AS tid, e.eid, COUNT(*) AS overlap
        |       FROM th t JOIN eh e ON t.h = e.h
        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
@@ -625,7 +625,7 @@ object TextQ {
     "q62_span_dup",
     s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
        |ch AS (SELECT doc_id, len(w) // 8 AS n_chunks,
-       |              ${sqlHash("array_to_string(w[i:i+7], ' ')")} AS hv
+       |              ${sqlWideHash("array_to_string(w[i:i+7], ' ')")} AS hv
        |       FROM toks, UNNEST(range(1, 8 * (len(w) // 8) - 6, 8)) AS t(i)),
        |dup AS (SELECT hv FROM (
        |          SELECT hv, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY hv)
@@ -811,10 +811,10 @@ object TextQ {
        |evd AS (SELECT d.text FROM events e JOIN documents d
        |        ON d.doc_id = e.user_id WHERE e.event_id % 10 = 0),
        |etoks AS (SELECT $sqlToks AS w FROM evd),
-       |eh AS (SELECT DISTINCT ${sqlHash("array_to_string(w[i:i+7], ' ')")} AS h
+       |eh AS (SELECT DISTINCT ${sqlWideHash("array_to_string(w[i:i+7], ' ')")} AS h
        |       FROM etoks, UNNEST(range(1, len(w) - 6)) AS t(i)),
        |twin AS (SELECT doc_id, i AS p,
-       |                ${sqlHash("array_to_string(w[i:i+7], ' ')")} AS h
+       |                ${sqlWideHash("array_to_string(w[i:i+7], ' ')")} AS h
        |         FROM ttoks, UNNEST(range(1, len(w) - 6)) AS t(i)),
        |flag AS (SELECT doc_id, p FROM twin JOIN eh USING (h)),
        |isl AS (SELECT doc_id, p,
@@ -894,14 +894,15 @@ object TextQ {
     * shuffle-hash join, so only admitted grams cross the exchange. False
     * positives are removed by the exact join, so the output hash-matches
     * the same SQL as an exact overlap join (the oracle knows nothing of
-    * the sketch); the join key is the PolyHash long, replayed by the
+    * the sketch); the join key is the 62-bit WidePolyHash long (global
+    * gram scope — see [[graft.functions.WidePolyHash]]), replayed by the
     * oracle like q60. Plan shape (gate below the exchange) is
     * spec-pinned in DecontaminateSpec. */
   val q73 = Q(
     "q73_decontaminate_bloom",
     s"""WITH ${shCte(withSource = false)},
-       |th AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh WHERE doc_id % 89 <> 0),
-       |eh AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh WHERE doc_id % 89 = 0),
+       |th AS (SELECT doc_id, ${sqlWideHash("g")} AS h FROM sh WHERE doc_id % 89 <> 0),
+       |eh AS (SELECT doc_id, ${sqlWideHash("g")} AS h FROM sh WHERE doc_id % 89 = 0),
        |ov AS (SELECT t.doc_id AS tid, e.doc_id AS eid, COUNT(*) AS overlap
        |       FROM th t JOIN eh e ON t.h = e.h
        |       GROUP BY 1, 2 HAVING COUNT(*) >= 3)

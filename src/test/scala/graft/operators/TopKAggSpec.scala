@@ -34,6 +34,22 @@ class TopKAggSpec extends AnyFunSuite {
     assert(out("g") == Seq((big + 1L, 2L), (big, 1L)))
   }
 
+  test("topKLong orders Long.MinValue correctly (no negation overflow)") {
+    // -Long.MinValue == Long.MinValue, so a (-s, id) tuple ordering would
+    // sort MinValue as the LARGEST score; the explicit comparator must
+    // rank it strictly last
+    val ds = Seq(
+      ("g", Long.MinValue, 1L), ("g", 0L, 2L),
+      ("g", Long.MaxValue, 3L), ("g", -1L, 4L)
+    ).toDS()
+    val out = ds.groupByKey(_._1)
+      .agg(TopKAgg.topKLong[(String, Long, Long)](4)(t => (t._2, t._3))
+        .toColumn.name("top"))
+      .collect().toMap
+    assert(out("g") ==
+      Seq((Long.MaxValue, 3L), (0L, 2L), (-1L, 4L), (Long.MinValue, 1L)))
+  }
+
   test("agrees with the window row_number formulation on real embeddings") {
     val knn = Similarity.knnJoin(
       graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
