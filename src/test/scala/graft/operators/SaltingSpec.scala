@@ -56,4 +56,83 @@ class SaltingSpec extends AnyFunSuite {
       .select("_salt").distinct().count()
     assert(salts == 8)
   }
+
+  private def countJobsStages(f: => Unit): (Int, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { f; org.apache.spark.GraftTestBus.flush(spark.sparkContext) }
+    finally spark.sparkContext.removeSparkListener(l)
+    (jobs.get(), stages.get())
+  }
+
+  test("hotKeys exact-agg branch (hotMin <= nPart): catches a hot key the " +
+    "pigeonhole floor would miss, collect bounded by |small|/hotMin") {
+    // adversarial layout for the floor-2 fast path: the hot key lands
+    // EXACTLY ONCE in each of 8 partitions (global count 8, zero local
+    // repeats), padded with unique cold keys. parallelize slices the seq
+    // contiguously, so each group of 5 elements is one partition.
+    val perPart = (0 until 8).map(p =>
+      Seq("H") ++ (0 until 4).map(c => s"cold_${p}_$c"))
+    val small = spark.createDataFrame(
+      spark.sparkContext.parallelize(perPart.flatten.map(Tuple1(_)), 8)
+        .map(t => org.apache.spark.sql.Row(t._1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType))))
+    assert(small.rdd.getNumPartitions == 8)
+    val hotMin = 4L // <= nPart: the pigeonhole argument collapses here
+    var hot: Seq[Any] = null
+    val (jobs, stages) = countJobsStages {
+      hot = Salting.hotKeys(small, "key", hotMin)
+    }
+    // branch semantics: a per-partition floor-2 pass would emit NOTHING
+    // for H (it never repeats locally) — only the exact aggregation
+    // finds it. This is the regression pin for the branch selection.
+    assert(hot == Seq("H"), s"exact branch must catch the spread hot key, got $hot")
+    // boundedness contract: the collect carries only keys with count >=
+    // hotMin, so by counting it is <= |small| / hotMin rows
+    assert(hot.size <= (40 / hotMin).toInt)
+    // plan shape: the exact branch aggregates through an exchange (> 1
+    // stage across its job(s)); the one-job zero-exchange profile belongs
+    // to the fast path alone
+    assert(stages >= 2, s"expected an aggregation exchange, saw $stages stage(s) in $jobs job(s)")
+  }
+
+  test("hotKeys pigeonhole fast path (hotMin > nPart): one single-stage " +
+    "job, no hot key missed under maximal spread") {
+    // hot keys spread as evenly as possible over 4 partitions: count 10
+    // over 4 partitions means some partition holds >= 3 — the floor-2
+    // emit plus the hotMin - nPart driver threshold must recover every
+    // truly-hot key (pigeonhole soundness)
+    val hotRows = (0 until 10).flatMap(i => Seq("H1", "H2")) // 10 each, interleaved
+    val coldRows = (0 until 20).map(c => s"cold_$c")
+    val rows = hotRows ++ coldRows
+    val small = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Tuple1(_)), 4)
+        .map(t => org.apache.spark.sql.Row(t._1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType))))
+    assert(small.rdd.getNumPartitions == 4)
+    val hotMin = 8L // > nPart = 4: pigeonhole regime
+    var hot: Seq[Any] = null
+    val (jobs, stages) = countJobsStages {
+      hot = Salting.hotKeys(small, "key", hotMin)
+    }
+    assert(hot.toSet == Set("H1", "H2"),
+      s"fast path must find every key with count >= hotMin, got $hot")
+    // the fast path's whole contract: ONE job, ZERO exchanges (a single
+    // mapPartitions + driver merge) — if this grows a stage, the exact
+    // branch leaked into the pigeonhole regime
+    assert(jobs == 1 && stages == 1, s"expected 1 job / 1 stage, got $jobs / $stages")
+  }
 }
