@@ -81,7 +81,8 @@ object Decontaminate {
   def flaggedSalted(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, minShared: Int, saltR: Int = 8,
                     hotMin: Long = 64L, bloomGate: Boolean = false,
-                    bloomFpp: Double = 0.01): DataFrame = {
+                    bloomFpp: Double = 0.01,
+                    expectedGrams: Long = 1L << 20): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(saltR >= 1, "saltR must be >= 1")
     graft.functions.WidePolyHash.ensureRegistered(train.sparkSession)
@@ -94,9 +95,8 @@ object Decontaminate {
     // checkpoint holds (eval_id, gram-hash) pairs only, bounded by the
     // modest eval side this path contracts for; the TRAIN corpus stays
     // lazy and in-scan.
-    val esh = Dedup.shingles(eval, idCol, textCol)
+    val eshBase = Dedup.shingles(eval, idCol, textCol)
       .select(col("id").as("eval_id"), wideStrHash(col("g")).as("g"))
-      .localCheckpoint(true)
     // optional composition with the Bloom regime ([[flaggedBloom]]): the
     // sketch of the (checkpointed) eval grams gates the train side
     // in-scan, so the salted exchange carries O(matches + fpp·corpus)
@@ -104,12 +104,15 @@ object Decontaminate {
     // hot survivors. The two mechanisms are orthogonal — the gate cuts
     // VOLUME, the salt fixes PLACEMENT — and the exact join still scrubs
     // the sketch's false positives, so output is unchanged (spec-pinned).
-    val tsh = if (!bloomGate) tshAll else {
+    // With the gate on, the checkpoint materialization and the sketch
+    // build fuse into one job ([[checkpointGramsWithSketch]]).
+    val (esh, tsh) = if (!bloomGate) (eshBase.localCheckpoint(true), tshAll)
+    else {
       graft.functions.BloomGate.ensureRegistered(train.sparkSession)
-      val nGrams = esh.count()
-      val bloom = esh.stat.bloomFilter("g", math.max(nGrams, 64L), bloomFpp)
-      tshAll.filter(graft.functions.BloomGate(
-        lit(graft.functions.BloomGate.serialize(bloom)), col("g")))
+      val (e, _, bloom) =
+        checkpointGramsWithSketch(eshBase, "g", expectedGrams, bloomFpp)
+      (e, tshAll.filter(graft.functions.BloomGate(
+        lit(graft.functions.BloomGate.serialize(bloom)), col("g"))))
     }
     // ONE exchange for both aggregation levels: hash-partitioning on the
     // train id alone satisfies the pair-level grouping's (id, eval_id)
@@ -150,30 +153,73 @@ object Decontaminate {
     */
   def flaggedBloom(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, minShared: Int,
-                   fpp: Double = 0.01): DataFrame = {
+                   fpp: Double = 0.01,
+                   expectedGrams: Long = 1L << 20): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    require(expectedGrams >= 1, "expectedGrams must be >= 1")
     val spark = train.sparkSession
     graft.functions.WidePolyHash.ensureRegistered(spark)
     graft.functions.BloomGate.ensureRegistered(spark)
     val tsh = Dedup.shingles(train, idCol, textCol)
       .select(col("id"), wideStrHash(col("g")).as("g"))
-    // consumed twice (sketch build, join build side) — same justified
-    // checkpoint as flaggedSalted's eval side
-    val esh = Dedup.shingles(eval, idCol, textCol)
-      .select(col("id").as("eval_id"), wideStrHash(col("g")).as("g"))
-      .localCheckpoint(true)
-    val nGrams = esh.count() // cheap: counts the checkpointed blocks
-    val bloom = esh.stat.bloomFilter("g", math.max(nGrams, 64L), fpp)
+    // ONE materializing job builds the checkpoint blocks, the exact gram
+    // count, AND the Bloom sketch (vs the three sequential passes —
+    // checkpoint, count, stat.bloomFilter — this fused aggregate
+    // replaces; each sequential job multiplies under host load)
+    val (esh, _, bloom) = checkpointGramsWithSketch(
+      Dedup.shingles(eval, idCol, textCol)
+        .select(col("id").as("eval_id"), wideStrHash(col("g")).as("g")),
+      "g", expectedGrams, fpp)
     val gate = lit(graft.functions.BloomGate.serialize(bloom))
     tsh.filter(graft.functions.BloomGate(gate, col("g")))
       .hint("shuffle_hash")
       .join(esh.hint("shuffle_hash"), "g")
+      // ONE exchange for both aggregation levels — the same trade
+      // [[flaggedSalted]] documents: partitioning on the train id alone
+      // satisfies the pair-level AND doc-level clustering, so the two
+      // stacked aggs run back-to-back with no exchange between them;
+      // the exchange carries raw match rows instead of partial pairs,
+      // bounded by the overlap join's output either way
+      .repartition(col("id"))
       .groupBy("id", "eval_id").agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minShared)
       .groupBy("id")
       .agg(count(lit(1)).as("n_eval_hits"), max("overlap").as("top_overlap"))
       .select(col("id").as(idCol), col("n_eval_hits"), col("top_overlap"))
+  }
+
+  /** Checkpoint the eval gram rows AND fold their exact count + Bloom
+    * sketch in the SAME job: the RDD is marked for local checkpoint, and
+    * the fused treeAggregate is the action that materializes the blocks —
+    * so the expensive eval lineage (often a join + hot texts exploded
+    * thousands of times) runs exactly once, where the previous shape paid
+    * three sequential jobs (eager checkpoint, count, `stat.bloomFilter`).
+    *
+    * The sketch is sized by `expectedGrams` up front (the count isn't
+    * known until the same pass finishes). If the realized count exceeds
+    * the estimate, ONE extra job rebuilds the sketch over the (now
+    * checkpointed, longs-only) blocks with exact sizing — the rare path
+    * costs what the old shape always paid, and the target fpp is never
+    * silently degraded. */
+  private[graft] def checkpointGramsWithSketch(
+      grams: DataFrame, hashCol: String, expectedGrams: Long,
+      fpp: Double): (DataFrame, Long, org.apache.spark.util.sketch.BloomFilter) = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val schema = grams.schema
+    val gIdx = schema.fieldIndex(hashCol)
+    val rowRdd = grams.rdd
+    rowRdd.localCheckpoint()
+    val expect = math.max(expectedGrams, 64L)
+    val (n, bloom0) = rowRdd.treeAggregate((0L, BloomFilter.create(expect, fpp)))(
+      seqOp = { case ((c, bf), row) => bf.putLong(row.getLong(gIdx)); (c + 1L, bf) },
+      combOp = { case ((c1, b1), (c2, b2)) => b1.mergeInPlace(b2); (c1 + c2, b1) })
+    val bloom =
+      if (n <= expect) bloom0
+      else rowRdd.treeAggregate(BloomFilter.create(n, fpp))(
+        seqOp = { (bf, row) => bf.putLong(row.getLong(gIdx)); bf },
+        combOp = { (a, b) => a.mergeInPlace(b); a })
+    (grams.sparkSession.createDataFrame(rowRdd, schema), n, bloom)
   }
 
   /** The decontaminated corpus: `train` minus every flagged document. */

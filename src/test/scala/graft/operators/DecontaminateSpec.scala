@@ -63,10 +63,10 @@ class DecontaminateSpec extends AnyFunSuite {
     // the gate only changes what reaches the exchange; the exact join must
     // scrub every false positive, so even an absurd fpp (sketch admits
     // almost everything) and a tight one produce identical flags. NOTE:
-    // flagged() joins raw gram strings while flaggedBloom joins PolyHash
-    // longs — identical output here pins that the hash-key trade doesn't
-    // alter pairing on real text (collisions are the documented 2^-61
-    // residual risk)
+    // flagged() joins raw gram strings while flaggedBloom joins 62-bit
+    // WidePolyHash longs — identical output here pins that the hash-key
+    // trade doesn't alter pairing on real text (collisions are the
+    // documented 2^-62 residual risk)
     val bc = asMap(Decontaminate.flagged(train, eval, "doc_id", "text",
       minShared = 1))
     for (fpp <- Seq(0.5, 0.01, 0.0001)) {
@@ -74,6 +74,50 @@ class DecontaminateSpec extends AnyFunSuite {
         minShared = 1, fpp = fpp))
       assert(bl == bc, s"fpp=$fpp")
     }
+  }
+
+  test("undersized expectedGrams triggers the exact-sizing rebuild, output unchanged") {
+    // eval with well over 64 distinct grams so expectedGrams = 1 (floored
+    // to 64) undersizes the fused sketch and forces the rebuild job; the
+    // output must be identical to the broadcast string-keyed plan
+    val bigEval = Seq((100L, (0 until 120).map(i => s"ev$i").mkString(" ")),
+      (101L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val bc = asMap(Decontaminate.flagged(train, bigEval, "doc_id", "text",
+      minShared = 1))
+    val bl = asMap(Decontaminate.flaggedBloom(train, bigEval, "doc_id", "text",
+      minShared = 1, fpp = 0.01, expectedGrams = 1L))
+    assert(bl == bc)
+  }
+
+  test("checkpointGramsWithSketch fuses materialize+count+sketch into ONE job") {
+    val grams = graft.operators.Dedup.shingles(
+      (1L to 50L).map(i => (i, s"w${i} x${i} y${i} z${i} q${i}")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .select(col("id").as("eval_id"),
+        graft.functions.TextAnalysis.wideStrHash(col("g")).as("g"))
+    var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    val (ck, n, bloom) =
+      try {
+        val r = Decontaminate.checkpointGramsWithSketch(grams, "g",
+          expectedGrams = 1L << 20, fpp = 0.01)
+        org.apache.spark.GraftTestBus.flush(spark.sparkContext)
+        r
+      } finally spark.sparkContext.removeSparkListener(l)
+    // the old shape paid three sequential jobs (eager checkpoint, count,
+    // stat.bloomFilter); the fused aggregate must pay exactly one
+    assert(jobs == 1, s"expected 1 fused job, saw $jobs")
+    // count is exact (3 distinct grams per 5-token doc, 50 docs)
+    assert(n == 150L)
+    // sketch admits every gram it folded
+    val misses = ck.collect().count(r => !bloom.mightContainLong(r.getLong(1)))
+    assert(misses == 0)
+    // and the checkpointed frame re-reads blocks, not lineage: same rows
+    assert(ck.count() == 150L)
   }
 
   test("bloom gate runs map-side: no exchange anywhere below the gate filter") {
