@@ -45,9 +45,11 @@ object Bench {
   /** `bench/bench_full_r<N>.json` with N inferred from the committed
     * official artifacts (max BENCH_r<k>.json + 1). NEVER clobbers: when
     * that name is already taken (a battery was committed earlier in the
-    * round), later runs — the driver's official rerun included — write
-    * `bench_full_r<N>_<epoch>.json` beside it, so every battery of a
-    * round survives on disk and the committed artifact is immutable. */
+    * round), later runs — the driver's official rerun included — claim
+    * `bench_full_r<N>_<k>.json` via atomic createFile (k = first free
+    * integer), so every battery of a round survives on disk even when
+    * two start in the same instant, and the committed artifact is
+    * immutable. */
   private def defaultOutPath(): java.nio.file.Path = {
     val repo = java.nio.file.Paths.get(".").toAbsolutePath.normalize
     val re = "BENCH_r(\\d+)\\.json".r
@@ -57,8 +59,20 @@ object Bench {
     val dir = repo.resolve("bench")
     val base = dir.resolve(f"bench_full_r${prev + 1}%02d.json")
     if (!java.nio.file.Files.exists(base)) base
-    else dir.resolve(
-      f"bench_full_r${prev + 1}%02d_${System.currentTimeMillis / 1000}%d.json")
+    else {
+      // claim a unique sibling via atomic createFile, not a timestamp:
+      // two batteries starting within the same second must both survive
+      var k = 1
+      var cand = dir.resolve(f"bench_full_r${prev + 1}%02d_$k%d.json")
+      java.nio.file.Files.createDirectories(dir)
+      while ({
+        try { java.nio.file.Files.createFile(cand); false }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => k += 1; true
+        }
+      }) cand = dir.resolve(f"bench_full_r${prev + 1}%02d_$k%d.json")
+      cand
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -119,16 +133,29 @@ object Bench {
         dt
       }
       spark.catalog.clearCache()
-      (name, if (failed) -1.0 else times.min, if (failed) -1L else lastRepJobs)
+      (name, if (failed) -1.0 else times.min,
+        if (failed) -1L else lastRepJobs,
+        if (failed) Seq(-1.0) else times)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val js = results.map { case (k, _, j) => "\"" + k + s"""":$j""" }
+    val js = results.map { case (k, _, j, _) => "\"" + k + s"""":$j""" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    // per-rep arrays + max/min spread: two rounds of judge time went to
+    // adjudicating 4x wall swings on sub-second queries that the rep
+    // spread makes self-evident (huge spread + identical jobs = host
+    // noise, not a plan change; jobs are the cross-round adjudicator)
+    val rts = results.map { case (k, _, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val spread = results.map { case (k, v, _, ts) =>
+      val s = if (v < 0) -1.0 else ts.max - ts.min
+      "\"" + k + f"""":$s%.3f"""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
     println(line)
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
