@@ -320,6 +320,15 @@ object Retrieval {
     * RetrievalIndexSpec pins this with kill-point states. Bounded by
     * O(index) like the dedup log's compaction, amortized by running it
     * every K batches. */
+  /** Outstanding delta count of the standing index (the postings store's
+    * — all three stores append in lockstep): the compaction-cadence
+    * signal for [[graft.streaming.StreamRetrieval]]'s maintainer. Counting
+    * deltas instead of batches makes the cadence replay-proof: a
+    * crash-replayed batch appends nothing, so it cannot re-trigger or
+    * starve compaction. */
+  def bm25IndexDeltaCount(spark: SparkSession, dir: String): Int =
+    postingsStore(spark, dir).deltaCount
+
   def bm25CompactIndex(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val ps = postingsStore(spark, dir)
