@@ -161,7 +161,12 @@ object TextQ {
   }
 
   /** q24: document fingerprinting — deterministic 31-polynomial rolling hash
-    * over the full text (SURVEY.md north-star; the expression-index analog). */
+    * over the full text (SURVEY.md north-star; the expression-index analog).
+    * The published value is the narrow 31-bit hash (the operator's
+    * contract); a consumer treating fingerprints as corpus-scale IDENTITY
+    * (exact dedup by fp) is in the global-key regime and should derive
+    * them with [[graft.functions.TextAnalysis.wideStrHash]] instead — see
+    * the hash-width policy in docs/SCALE.md. */
   val q24 = Q(
     "q24_fingerprint",
     s"""SELECT doc_id, ${sqlHash("text")} AS fp,

@@ -55,12 +55,14 @@ class VecDotRewriteSpec extends AnyFunSuite {
         "vec_dot(array(CAST(id AS DOUBLE) + 1.0D, 2.0D), array(3.0D, 4.0D)) AS direct",
         "aggregate(zip_with(array(CAST(id AS DOUBLE) + 1.0D, 2.0D), array(3.0D, 4.0D), " +
           "(x, y) -> x * y), 0.0D, (acc, v) -> acc + v) AS composed",
-        "polyhash(CAST(id AS STRING)) AS h")
+        "polyhash(CAST(id AS STRING)) AS h",
+        "wide_polyhash(CAST(id AS STRING)) AS wh")
       assert(row.queryExecution.optimizedPlan.toString.contains("vec_dot"))
       assert(!row.queryExecution.optimizedPlan.toString.contains("aggregate(zip_with"))
       val r = row.head
       assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 11.0)
       assert(r.getLong(2) == graft.functions.PolyHash.hash("0"))
+      assert(r.getLong(3) == graft.functions.PolyHash.wideHash("0"))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
