@@ -97,6 +97,16 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected extra shuffle:\n$p")
   }
 
+  test("q73 bloom decontamination: both stacked aggs ride one repartition") {
+    val p = plan("q73_decontaminate_bloom")
+    // exactly four exchanges: the two shuffle-hash join sides (gram key),
+    // the single repartition(id) that serves BOTH aggregation levels, and
+    // the final orderBy. A fifth exchange means the stacked-agg fusion
+    // regressed to two sequential aggregation shuffles.
+    assert(PlanChecks.shuffleExchanges(p) <= 4,
+      s"stacked-agg fusion regressed — extra exchange in:\n$p")
+  }
+
   test("q74 temperature mix: corpus never shuffles, rates broadcast back") {
     import org.apache.spark.sql.functions.col
     val df = graft.operators.Mixing.temperatureMix(
