@@ -166,6 +166,92 @@ object Mixing {
       .drop("wsum")
   }
 
+  /** TOKEN-budget temperature mixture — [[temperatureMix]] with the size
+    * measure real pretraining mixes on: a source's weight is
+    * sqrt(total TOKENS), the global `budget` is a token budget, and the
+    * audit reports expected-kept tokens. Document-count weighting
+    * misallocates badly when sources differ in document length (a
+    * 100-token-avg web source vs a 10k-token-avg book source: doc-count
+    * sqrt-weighting hands the book source ~100× the tokens its share
+    * intends); published mixtures (Pile, Llama, Dolma) are all stated in
+    * tokens. Membership stays DOCUMENT-granular (a training example is a
+    * document) through the same content-addressed ppm hash — the hash is
+    * independent of length, so kept tokens ≈ rate · total_tokens meets
+    * the quota in expectation.
+    *
+    * Same exactness contract as [[temperatureMix]] (IEEE-exact sqrt, then
+    * pure integer arithmetic), replayed bit-for-bit by the oracle:
+    *   T_s        = sum of per-doc token counts (in-scan TokenStats)
+    *   w_s        = floor(sqrt(T_s) * 1000)
+    *   q_s        = budget * w_s div W          (token quota)
+    *   rate_ppm_s = min(1e6, q_s * 1e6 div T_s)
+    *   keep(doc)  = ppm-hash(id) < rate_ppm_s
+    * Overflow: budget ≤ 1e9 keeps budget·w in a long for sources up to
+    * ~8e13 tokens (enforced, same bound as the doc variant).
+    *
+    * Scale shape: token counting rides the scan (codegen'd TokenStats);
+    * one map-side-combined agg derives the per-source table; the mix is
+    * a broadcast-joined map-side filter — the corpus never shuffles.
+    *
+    * Output: (groupCol, n_docs, total_tokens, w, quota_tokens, rate_ppm,
+    * n_kept, kept_tokens). Use [[temperatureMixTokensDocs]] for the rows. */
+  def temperatureMixTokens(docs: DataFrame, idCol: String, groupCol: String,
+                           textCol: String, budget: Long): DataFrame = {
+    val (base, rates) = tokenRateTables(docs, idCol, groupCol, textCol, budget)
+    base
+      .join(broadcast(rates), Seq("g"))
+      .groupBy("g", "n_docs", "total_tokens", "w", "quota_tokens", "rate_ppm")
+      .agg(sum((col("hv") < col("rate_ppm")).cast("long")).as("n_kept"),
+        sum(when(col("hv") < col("rate_ppm"), col("_nt"))
+          .otherwise(lit(0L))).as("kept_tokens"))
+      .select(col("g").as(groupCol), col("n_docs"), col("total_tokens"),
+        col("w"), col("quota_tokens"), col("rate_ppm"), col("n_kept"),
+        col("kept_tokens"))
+  }
+
+  /** The kept rows of `docs` under the [[temperatureMixTokens]] policy. */
+  def temperatureMixTokensDocs(docs: DataFrame, idCol: String,
+                               groupCol: String, textCol: String,
+                               budget: Long): DataFrame = {
+    val (_, rates) = tokenRateTables(docs, idCol, groupCol, textCol, budget)
+    docs
+      .join(broadcast(rates.select(col("g"), col("rate_ppm"))),
+        docs(groupCol) === col("g"))
+      .filter(ppmHash(idCol) % 1000000 < col("rate_ppm"))
+      .drop("g", "rate_ppm")
+  }
+
+  /** Shared derivation for the token-budget mix: the per-doc scan frame
+    * (g, token count, ppm hash) and the per-source rate table. */
+  private def tokenRateTables(docs: DataFrame, idCol: String,
+      groupCol: String, textCol: String,
+      budget: Long): (DataFrame, DataFrame) = {
+    require(budget >= 1, "budget must be >= 1")
+    require(budget <= 1000000000L,
+      "budget must be <= 1e9 (keeps budget * w inside a long for any " +
+        "source up to ~8e13 tokens)")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
+    val nTok = graft.functions.TokenStats(col(textCol))
+      .getField("n_tokens").cast("long")
+    val base = docs.select(col(groupCol).cast("string").as("g"),
+      nTok.as("_nt"), (ppmHash(idCol) % 1000000).as("hv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val rates = base
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_nt")).as("total_tokens"))
+      .withColumn("w", floor(sqrt(col("total_tokens")) * 1000).cast("long"))
+      .withColumn("wsum", sum(col("w")).over(w))
+      .withColumn("quota_tokens", expr(s"($budget * w) div wsum"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(quota_tokens * 1000000) div total_tokens")))
+      .drop("wsum")
+    (base, rates)
+  }
+
   /** Per-group audit of a [[rateMix]] decision: group, total, kept, and
     * the applied per-mille rate. One scan, one small agg. */
   def rateMixSummary(docs: DataFrame, idCol: String, groupCol: String,

@@ -892,6 +892,47 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q81: TOKEN-budget temperature mixing ([[graft.operators.Mixing
+    * .temperatureMixTokens]]) — q74's n^½ rebalance with the size measure
+    * real pretraining mixes on: source weights are sqrt(total TOKENS),
+    * the budget is a token budget, membership stays document-granular.
+    * Everything after the IEEE-exactly-rounded sqrt is integer
+    * arithmetic, so the oracle replays the whole derivation bit-for-bit:
+    * token sums, milli-sqrt weights, integer-div token quotas, ppm rates,
+    * hash keeps, and the kept-token tally. */
+  val q81 = Q(
+    "q81_token_temperature_mix",
+    s"""WITH t AS (SELECT source, doc_id,
+       |                  CAST(len($sqlToks) AS BIGINT) AS nt,
+       |                  ((${sqlHash("CAST(doc_id AS VARCHAR)")}
+       |                    * 2654435761) % $P) % 1000000 AS hv
+       |           FROM documents),
+       |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |             CAST(SUM(nt) AS BIGINT) AS total_tokens
+       |      FROM t GROUP BY source),
+       |w AS (SELECT source, n_docs, total_tokens,
+       |             CAST(floor(sqrt(total_tokens) * 1000) AS BIGINT) AS w
+       |      FROM n),
+       |tw AS (SELECT *, CAST(SUM(w) OVER () AS BIGINT) AS tws FROM w),
+       |r AS (SELECT source, n_docs, total_tokens, w,
+       |             CAST((100000 * w) // tws AS BIGINT) AS quota_tokens,
+       |             CAST(LEAST(1000000, (((100000 * w) // tws) * 1000000)
+       |                    // total_tokens) AS BIGINT) AS rate_ppm
+       |      FROM tw),
+       |k AS (SELECT t.source,
+       |             CAST(SUM(CASE WHEN t.hv < r.rate_ppm THEN 1 ELSE 0 END)
+       |                  AS BIGINT) AS n_kept,
+       |             CAST(SUM(CASE WHEN t.hv < r.rate_ppm THEN t.nt ELSE 0 END)
+       |                  AS BIGINT) AS kept_tokens
+       |      FROM t JOIN r USING (source) GROUP BY t.source)
+       |SELECT r.source, r.n_docs, r.total_tokens, r.w, r.quota_tokens,
+       |       r.rate_ppm, k.n_kept, k.kept_tokens
+       |FROM r JOIN k USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.operators.Mixing.temperatureMixTokens(Tables.documents(s, dir),
+      "doc_id", "source", "text", budget = 100000L)
+      .orderBy("source")
+  }
+
   /** q73: Bloom-gated decontamination ([[graft.operators.Decontaminate
     * .flaggedBloom]]) — the middle regime between q58's broadcast join and
     * q60's bare salted shuffle: the eval gram set folds into one Bloom
@@ -1161,5 +1202,5 @@ object TextQ {
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81)
 }

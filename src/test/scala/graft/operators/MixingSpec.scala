@@ -139,6 +139,55 @@ class MixingSpec extends AnyFunSuite {
     assert(again == kept.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("temperatureMixTokens: token-sqrt weights, exact token quotas") {
+    // two sources with EQUAL doc counts but 100x different doc lengths:
+    // doc-count weighting would split the budget 50/50; token weighting
+    // must give the long source sqrt(100) = 10x the short one's weight.
+    // short: 10 docs x 4 tokens = 40 tokens -> w = floor(sqrt(40)*1000) = 6324
+    // long: 10 docs x 400 tokens = 4000 tokens -> w = 63245; W = 69569
+    val short = (0 until 10).map(i =>
+      ("short", 1000L + i, "a b c d"))
+    val long = (0 until 10).map(i =>
+      ("long", 2000L + i, (0 until 400).map(k => s"t$k").mkString(" ")))
+    val df = (short ++ long).toDF("source", "doc_id", "text")
+    val out = Mixing.temperatureMixTokens(df, "doc_id", "source", "text",
+      budget = 1000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    val (wS, wL) = (math.sqrt(40).*(1000).floor.toLong,
+      math.sqrt(4000).*(1000).floor.toLong)
+    assert(out("short") == ((10L, 40L, wS, 1000L * wS / (wS + wL),
+      math.min(1000000L, 1000L * wS / (wS + wL) * 1000000L / 40L),
+      out("short")._6, out("short")._7)))
+    assert(out("long")._3 == wL &&
+      out("long")._4 == 1000L * wL / (wS + wL))
+    // token weighting gives the long source ~10x the short one's quota
+    // (doc-count weighting would give them equal quotas)
+    assert(out("long")._4 >= 9 * out("short")._4 &&
+      out("long")._4 <= 11 * out("short")._4)
+    // kept_tokens is exactly the token sum of kept docs: every short doc
+    // is 4 tokens, every long doc 400
+    assert(out("short")._7 == out("short")._6 * 4L)
+    assert(out("long")._7 == out("long")._6 * 400L)
+  }
+
+  test("temperatureMixTokensDocs agrees with the audit and is deterministic") {
+    val out = Mixing.temperatureMixTokens(docs, "doc_id", "source", "text",
+      budget = 50000L)
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    val kept = Mixing.temperatureMixTokensDocs(docs, "doc_id", "source",
+      "text", budget = 50000L)
+    val keptCounts = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptCounts == out.filter(_._2 > 0))
+    val again = Mixing.temperatureMixTokensDocs(docs, "doc_id", "source",
+      "text", budget = 50000L).select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+    assert(again.nonEmpty)
+  }
+
   test("invalid rates and quotas fail loud") {
     intercept[IllegalArgumentException] {
       Mixing.rateMix(docs, "doc_id", "source", Map("src0" -> 1001))
