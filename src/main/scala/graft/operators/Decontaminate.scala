@@ -222,6 +222,43 @@ object Decontaminate {
     (grams.sparkSession.createDataFrame(rowRdd, schema), n, bloom)
   }
 
+  /** Per-document contamination FRACTION — the filter-by-fraction
+    * criterion (Dolma-style) where [[flagged]]'s absolute threshold is
+    * the wrong knob: a 10k-gram document sharing 5 grams is clean noise,
+    * a 6-gram document sharing 5 is a near-copy, and only the fraction
+    * separates them. For every train document with ≥ 1 shingle: its
+    * distinct-gram count, how many of those grams occur ANYWHERE in the
+    * eval set, and the fraction (exact integer per-mille + the double
+    * derived from the same integers). Documents under 3 tokens have no
+    * shingles and produce no row (same contract as every gram consumer).
+    *
+    * Plan shape: train shingles + the per-doc distinct count ride the
+    * scan ([[Dedup.shinglesWithSize]] — `sz` on every exploded row, so no
+    * separate sizes shuffle); the eval DISTINCT gram set broadcasts
+    * (eval-is-tiny contract) into a map-side LEFT join, and the only
+    * exchange is the per-doc aggregation of (id, sz, hit-marker) rows.
+    * The corpus text never shuffles. `broadcastEval = false` flips to
+    * the shuffle-hash fallback like [[flagged]].
+    *
+    * Output: (idCol, n_grams, n_hit, hit_milli, hit_frac).
+    */
+  def overlapFraction(train: DataFrame, eval: DataFrame, idCol: String,
+                      textCol: String,
+                      broadcastEval: Boolean = true): DataFrame = {
+    val tsh = Dedup.shinglesWithSize(train, idCol, textCol)
+    val eg = Dedup.shingles(eval, idCol, textCol)
+      .select(col("g")).distinct()
+      .withColumn("_hit", lit(1L))
+    val build = if (broadcastEval) broadcast(eg) else eg.hint("shuffle_hash")
+    val probe = if (broadcastEval) tsh else tsh.hint("shuffle_hash")
+    probe.join(build, Seq("g"), "left")
+      .groupBy("id", "sz")
+      .agg(count(col("_hit")).as("n_hit"))
+      .select(col("id").as(idCol), col("sz").as("n_grams"), col("n_hit"),
+        expr("(n_hit * 1000) div sz").as("hit_milli"),
+        (col("n_hit").cast("double") / col("sz")).as("hit_frac"))
+  }
+
   /** The decontaminated corpus: `train` minus every flagged document. */
   def clean(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
             minShared: Int, broadcastEval: Boolean = true): DataFrame =

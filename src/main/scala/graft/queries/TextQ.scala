@@ -933,6 +933,36 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q82: contamination fraction ([[graft.operators.Decontaminate
+    * .overlapFraction]]) — the filter-by-fraction criterion: for every
+    * train document with at least one shingle, the fraction of its
+    * DISTINCT word-3-grams occurring anywhere in the eval set, as an
+    * exact integer per-mille plus the double derived from the same
+    * integers. The oracle re-derives the per-doc gram sets, the eval
+    * distinct-gram membership, and the integer division. */
+  val q82 = Q(
+    "q82_overlap_fraction",
+    s"""WITH ${shCte(withSource = false)},
+       |t AS (SELECT doc_id, g FROM sh WHERE doc_id % 97 <> 0),
+       |eg AS (SELECT DISTINCT g FROM sh WHERE doc_id % 97 = 0),
+       |agg AS (SELECT t.doc_id,
+       |               CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |               CAST(SUM(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END)
+       |                    AS BIGINT) AS n_hit
+       |        FROM t LEFT JOIN eg ON t.g = eg.g
+       |        GROUP BY t.doc_id)
+       |SELECT doc_id, n_grams, n_hit,
+       |       CAST((n_hit * 1000) // n_grams AS BIGINT) AS hit_milli,
+       |       CAST(n_hit AS DOUBLE) / n_grams AS hit_frac
+       |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Decontaminate.overlapFraction(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** q73: Bloom-gated decontamination ([[graft.operators.Decontaminate
     * .flaggedBloom]]) — the middle regime between q58's broadcast join and
     * q60's bare salted shuffle: the eval gram set folds into one Bloom
@@ -1202,5 +1232,5 @@ object TextQ {
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
 }

@@ -229,6 +229,43 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(run(true)(1L) == "x y")
   }
 
+  test("overlapFraction: exact per-doc gram fractions, zero-hit docs kept") {
+    // eval shingles: {"alpha beta gamma", "beta gamma delta"}
+    // train 1: 4 grams, 2 hits -> 500 milli; train 2: 2 grams, 1 hit ->
+    // 500 milli; train 3: 2 grams, 0 hits -> must still appear with 0;
+    // train 4 (2 tokens): no shingles -> no row
+    val tr = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma zzz"),
+      (3L, "nothing in common here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = Decontaminate.overlapFraction(tr, eval, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 500L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 500L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0L, 0.0)))
+    assert(!out.contains(4L))
+    // duplicate grams within one doc count once (distinct-gram contract)
+    val rep = Seq((9L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val repOut = Decontaminate.overlapFraction(rep, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    // 3 distinct grams of the repeated text ("alpha beta gamma",
+    // "beta gamma alpha", "gamma alpha beta"), 1 shared with the eval set
+    assert(repOut == ((3L, 1L)))
+  }
+
+  test("overlapFraction shuffle fallback matches the broadcast plan") {
+    val bc = Decontaminate.overlapFraction(train, eval, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sh = Decontaminate.overlapFraction(train, eval, "doc_id", "text",
+      broadcastEval = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sh == bc && bc.nonEmpty)
+  }
+
   test("clean() drops exactly the flagged documents") {
     val kept = Decontaminate.clean(train, eval, "doc_id", "text",
       minShared = 2).select("doc_id").as[Long].collect().toSet
