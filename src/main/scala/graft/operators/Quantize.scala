@@ -44,4 +44,113 @@ object Quantize {
       array_max(err).as("max_err"),
       (aggregate(err, lit(0.0), (a, x) => a + x) / size(err)).as("mean_err"))
   }
+
+  /** The PQ codebook: the `idCol % every == 0` stride subsample's rows in
+    * ascending-id order — entry `e` of subspace `j` is row e's j-th
+    * subvector, flattened `(j·k + e)·subDim + i` for [[graft.functions
+    * .PqCodes]]. A deterministic stand-in for k-means training (exactly
+    * like `Similarity`'s stride centroids): content-addressed, so the
+    * oracle re-derives it with ROW_NUMBER() in SQL. Returns (k, subDim,
+    * flat). Driver-bounded by `maxDriver` rows, the [[graft.operators
+    * .Similarity.MaxDriverCentroids]] contract. */
+  private[operators] def pqCodebook(df: DataFrame, idCol: String,
+      vecCol: String, m: Int, every: Int,
+      maxDriver: Int = Similarity.MaxDriverCentroids): (Int, Int, IndexedSeq[Double]) = {
+    require(m >= 1, "m must be >= 1")
+    require(every >= 1, "every must be >= 1")
+    val rows = df.filter(col(idCol) % every === 0)
+      .select(col(idCol), vecd(col(vecCol)).as("_v"))
+      .orderBy(col(idCol)).head(maxDriver + 1)
+    require(rows.nonEmpty,
+      s"PQ subsample is empty: no row has $idCol % $every == 0")
+    require(rows.length <= maxDriver,
+      s"PQ codebook exceeds $maxDriver entries — raise every")
+    val k = rows.length
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible by m = $m subspaces")
+    val subDim = dim / m
+    // flatten (j, e, i): entry e's j-th subvector at (j*k + e)*subDim
+    val flat = new Array[Double](m * k * subDim)
+    var e = 0
+    while (e < k) {
+      val v = rows(e).getSeq[Double](1)
+      var j = 0
+      while (j < m) {
+        var i = 0
+        while (i < subDim) {
+          flat((j * k + e) * subDim + i) = v(j * subDim + i)
+          i += 1
+        }
+        j += 1
+      }
+      e += 1
+    }
+    (k, subDim, flat.toIndexedSeq)
+  }
+
+  /** PQ-encode every vector: (all `df` columns, codes array<long> of
+    * length m) — `m` longs standing in for `dim` floats, the IVF-ADC
+    * storage layout. Encoding is fully in-scan (the codegen'd
+    * [[graft.functions.PqCodes]]); the only job is the bounded codebook
+    * collect. Malformed vectors carry NULL codes (the family contract). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, m: Int,
+               every: Int): DataFrame = {
+    graft.functions.PqCodes.ensureRegistered(df.sparkSession)
+    val (k, _, flat) = pqCodebook(df, idCol, vecCol, m, every)
+    df.withColumn("codes",
+      graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query's exact
+    * per-(subspace, entry) distance table computes on the driver (m·k
+    * doubles), and every corpus row's approximate distance is the
+    * index-ordered sum `Σ_j tab[j][code_j]` — a table lookup per
+    * subspace, never a float recomputation per row (the reason PQ search
+    * scales: at 100 TB the scan touches m bytes + m lookups per vector).
+    * The explicit left-assoc sum over j replays verbatim in SQL, so the
+    * oracle hash-checks the ranking. Output: (idCol, adc_dist rounded to
+    * 6) for the `kNN` nearest rows, ascending (dist, id), query row
+    * excluded. */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+                kNN: Int, m: Int, every: Int): DataFrame = {
+    require(kNN >= 1, "kNN must be >= 1")
+    graft.functions.PqCodes.ensureRegistered(df.sparkSession)
+    val (k, subDim, flat) = pqCodebook(df, idCol, vecCol, m, every)
+    val qv = df.filter(col(idCol) === queryId)
+      .select(vecd(col(vecCol))).head().getSeq[Double](0)
+    require(qv.length == m * subDim, s"query dim ${qv.length} != ${m * subDim}")
+    // driver distance table, index-ordered folds like the in-scan encoder
+    val tab = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var e = 0
+      while (e < k) {
+        var acc = 0.0
+        val off = (j * k + e) * subDim
+        var i = 0
+        while (i < subDim) {
+          val d = qv(j * subDim + i) - flat(off + i)
+          acc += d * d
+          i += 1
+        }
+        tab(j * k + e) = acc
+        e += 1
+      }
+      j += 1
+    }
+    val tabLit = typedlit(tab.toIndexedSeq)
+    val codes = graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat)
+    // explicit left-assoc sum over subspaces — ((d0 + d1) + d2) + ... —
+    // bitwise-identical to the oracle's textual d0 + d1 + ... + d(m-1)
+    val dist = (0 until m).map { jj =>
+      element_at(tabLit,
+        (lit(jj * k) + col("codes").getItem(jj)).cast("int") + 1)
+    }.reduce(_ + _)
+    df.withColumn("codes", codes)
+      .filter(col(idCol) =!= queryId && col("codes").isNotNull)
+      .withColumn("adc_dist", dist)
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(kNN)
+      .select(col(idCol), round(col("adc_dist"), 6).as("adc_dist"))
+  }
 }

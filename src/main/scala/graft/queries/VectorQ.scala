@@ -418,6 +418,84 @@ object VectorQ {
       nprobe1 = 3, nprobe2 = 2)
   }
 
+  /** Shared PQ constants for q83/q84: m subspaces over the 64-d vectors,
+    * codebook = the `every`-stride subsample (entry index = dense rank by
+    * vec_id, the ROW_NUMBER the oracle replays). */
+  private val PqM = 4
+  private val PqEvery = 25
+
+  /** DuckDB twin of one subspace's squared-L2 fold (subspace j is the
+    * SQL-side variable `j`, 0-based; lists are 1-based so coordinate i of
+    * subspace j is element j*subDim + i). */
+  private def sqlPqDist(v: String, cv: String, subDim: Int,
+                        jvar: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(range(1, $subDim + 1), " +
+    s"i -> (CAST($v[$jvar * $subDim + i] AS DOUBLE) - CAST($cv[$jvar * $subDim + i] AS DOUBLE))" +
+    s" * (CAST($v[$jvar * $subDim + i] AS DOUBLE) - CAST($cv[$jvar * $subDim + i] AS DOUBLE)))), " +
+    s"(x, y) -> x + y)"
+
+  private def pqCte(subDim: Int): String =
+    s"""cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS e,
+       |              embedding AS cv
+       |       FROM embeddings WHERE vec_id % $PqEvery = 0),
+       |d AS (SELECT n.vec_id, t.j AS sub, cb.e,
+       |             ${sqlPqDist("n.embedding", "cb.cv", subDim, "t.j")} AS dist
+       |      FROM embeddings n, range(0, $PqM) t(j), cb),
+       |a AS (SELECT vec_id, sub, e AS code FROM (
+       |        SELECT *, ROW_NUMBER() OVER (
+       |          PARTITION BY vec_id, sub ORDER BY dist ASC, e ASC) AS rn
+       |        FROM d) WHERE rn = 1)""".stripMargin
+
+  /** q83: product-quantization encoding ([[graft.operators.Quantize
+    * .pqEncode]]) — every 64-d vector compresses to m = 4 subspace codes
+    * against the stride-subsample codebook (the deterministic stand-in
+    * for k-means, like every centroid table in this module). The oracle
+    * re-derives the codebook (dense rank by vec_id), every per-subspace
+    * squared-L2 fold, and the lowest-index tie rule. Output exploded to
+    * (vec_id, sub, code) scalar rows for hash comparison. */
+  val q83 = Q(
+    "q83_pq_encode",
+    s"""WITH ${pqCte(64 / PqM)}
+       |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
+       |FROM a ORDER BY vec_id, sub""".stripMargin) { (s, dir) =>
+    graft.operators.Quantize.pqEncode(Tables.embeddings(s, dir),
+      "vec_id", "embedding", m = PqM, every = PqEvery)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+      .orderBy("vec_id", "sub")
+  }
+
+  /** q84: asymmetric-distance (ADC) top-k over the PQ codes
+    * ([[graft.operators.Quantize.pqAdcTopK]]) — the query's exact
+    * per-(subspace, entry) distance table, then every row scores as the
+    * left-assoc sum of m table lookups (never a per-row float
+    * recomputation — the PQ scan economics). The oracle builds the same
+    * table in SQL and sums the same m terms in the same textual order,
+    * so the approximate ranking hash-matches bit-for-bit. */
+  val q84 = Q(
+    "q84_pq_adc_topk",
+    s"""WITH ${pqCte(64 / PqM)},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |tab AS (SELECT cb.e, t.j AS sub,
+       |               ${sqlPqDist("q.qv", "cb.cv", 64 / PqM, "t.j")} AS d
+       |        FROM q, range(0, $PqM) t(j), cb),
+       |codes AS (SELECT vec_id,
+       |                 ${(0 until PqM).map(j =>
+                            s"MAX(CASE WHEN sub = $j THEN code END) AS c$j")
+                            .mkString(", ")}
+       |          FROM a GROUP BY vec_id),
+       |scored AS (SELECT codes.vec_id,
+       |                  ${(0 until PqM).map(j =>
+                             s"(SELECT d FROM tab WHERE sub = $j AND e = c$j)")
+                             .mkString(" + ")} AS adc_dist
+       |           FROM codes WHERE vec_id <> 0)
+       |SELECT vec_id, ROUND(adc_dist, 6) AS adc_dist
+       |FROM scored ORDER BY scored.adc_dist ASC, vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.operators.Quantize.pqAdcTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", queryId = 0L, kNN = 10, m = PqM, every = PqEvery)
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71)
+    q70, q71, q83, q84)
 }

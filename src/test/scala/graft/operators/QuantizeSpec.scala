@@ -41,4 +41,70 @@ class QuantizeSpec extends AnyFunSuite {
     assert(r.getDouble(2) <= scale / 127 / 2 + 1e-12) // half-step bound
     assert(r.getDouble(3) <= r.getDouble(2))
   }
+
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("pqEncode: m codes in [0, k); codebook rows encode to themselves") {
+    val m = 4
+    val every = 25
+    val k = emb.filter(org.apache.spark.sql.functions.col("vec_id") % every === 0)
+      .count().toInt
+    val out = Quantize.pqEncode(emb, "vec_id", "embedding", m, every)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out.size == emb.count())
+    assert(out.values.forall(c => c.length == m && c.forall(e => e >= 0 && e < k)))
+    // self-consistency: a codebook row's own subvectors are at distance 0
+    // from its own entry, so every subspace code must be its dense rank
+    val sampleIds = emb.filter(org.apache.spark.sql.functions.col("vec_id") % every === 0)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    sampleIds.zipWithIndex.foreach { case (id, rank) =>
+      assert(out(id) == Seq.fill(m)(rank.toLong),
+        s"codebook row $id (rank $rank) does not encode to itself: ${out(id)}")
+    }
+    // determinism
+    val again = Quantize.pqEncode(emb, "vec_id", "embedding", m, every)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == out)
+  }
+
+  test("pqEncode: malformed vectors carry NULL codes, rows survive") {
+    val bad = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),  // subsample row: dim 4, m=2 ok
+      (7L, Array(1.0f, 2.0f))               // wrong dimension -> NULL
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.pqEncode(bad, "vec_id", "embedding", m = 2, every = 2)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(0L).nonEmpty && out(7L).isEmpty)
+  }
+
+  test("pqAdcTopK matches a driver-side brute-force ADC re-ranking") {
+    val m = 4
+    val every = 25
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val cb = rows.filter(_._1 % every == 0).sortBy(_._1).map(_._2)
+    val k = cb.length
+    val subDim = 64 / m
+    val q = rows.find(_._1 == 0L).get._2
+    def sub(v: Array[Double], j: Int) = v.slice(j * subDim, (j + 1) * subDim)
+    def d2(a: Array[Double], b: Array[Double]) = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val want = rows.filter(_._1 != 0L).map { case (id, v) =>
+      val dist = (0 until m).map { j =>
+        val code = (0 until k).minBy(e => (d2(sub(v, j), sub(cb(e), j)), e))
+        d2(sub(q, j), sub(cb(code), j))
+      }.reduce(_ + _)
+      (id, dist)
+    }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSeq
+    val got = Quantize.pqAdcTopK(emb, "vec_id", "embedding", queryId = 0L,
+      kNN = 10, m = m, every = every)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
 }
