@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.operators.{Decontaminate, Dedup}
+import graft.store.Snapshots
+
+/** The curation funnel under continuous ingestion — [[graft.pipeline
+  * .Curation]]'s stages recomposed for `foreachBatch`, with the
+  * cross-batch memory each stage needs living in the same crash-safe
+  * stores the streaming dedup tier already uses:
+  *
+  *   1. quality    — the Gopher repetition predicate (stateless, the
+  *                   oracle-pinned q59 expression, unchanged)
+  *   2. exact      — first-writer-wins claims on the 62-bit wide hash of
+  *                   the normalized text (the corpus-global-identity
+  *                   regime of the hash-width policy; a claims store in
+  *                   the [[IncrementalDedup]] mold, O(batch) deltas)
+  *   3. near-dup   — [[IncrementalDedup.filterAndClaim]], unchanged
+  *   4. decontam   — [[StreamDecontam.cleaner]]'s fold-once eval probe
+  *   5. mixing     — [[graft.operators.Mixing.rateMix]] (content-
+  *                   addressed, so append-stable BY DESIGN: a document's
+  *                   keep decision never changes as batches arrive)
+  *
+  * PACKING is deliberately not a stage here: pack membership depends on
+  * every prior document's weight within a source, so packs built
+  * mid-stream would be an accident of batch boundaries. Pack the
+  * MATERIALIZED curated corpus ([[graft.operators.Packing]]) when a
+  * training run is cut — that is also what the batch funnel's audit
+  * semantics assume.
+  *
+  * Replay contract (crash between stores' commits and the sink write):
+  * every stage is either stateless (1, 4, 5) or first-writer-wins with
+  * the claimant id recorded (2, 3), so re-running a batch reproduces the
+  * same kept rows and appends no second claim — the same idempotence
+  * [[IncrementalDedup]] documents, now for the whole funnel
+  * (spec-pinned). Cross-batch semantics intentionally differ from the
+  * batch funnel's greedy near-dup drop in ONE way: claims collapse
+  * duplicate CHAINS to the earliest-seen representative (the min-id
+  * policy of offline cluster dedup), which is the only coherent policy
+  * when later batches cannot drop documents that already shipped.
+  */
+object StreamCuration {
+
+  /** Exact-dedup claims: one (wide-hash-of-normalized-text → claimant)
+    * row per distinct surviving text. The 62-bit key is mandatory here —
+    * this is corpus-global identity, where a 31-bit space manufactures
+    * false "duplicates" (dropped legitimate documents) from ~50k distinct
+    * texts; at 2⁻⁶²-per-pair the false-drop expectation stays below one
+    * document out to ~2³¹ distinct texts (docs/SCALE.md policy). */
+  private val claimsSchema = StructType(Seq(
+    StructField("bkey", LongType, nullable = false),
+    StructField("claimant", LongType, nullable = false)))
+
+  /** The per-batch funnel transform, closed over the stores and the
+    * fold-once eval materialization. Bootstrap `init()` happens here.
+    * Use as `stream.writeStream.foreachBatch(curator(...)).start()`;
+    * the binder RETURNS the curated batch for the caller's sink:
+    * {{{
+    * val curate = StreamCuration.curator(spark, evalDocs, stateDir)
+    * raw.writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+    *   sink(curate(b, id))
+    * }.start()
+    * }}}
+    */
+  def curator(spark: SparkSession, evalDocs: DataFrame, stateDir: String,
+              idCol: String = "doc_id", textCol: String = "text",
+              repetitionTopBigramMilli: Int = 100,
+              repetitionDupTrigramMilli: Int = 20,
+              decontamMinShared: Int = 2,
+              mixRatesMilli: Map[String, Int] = Map.empty,
+              mixDefaultMilli: Int = 1000,
+              sourceCol: String = "source",
+              compactEvery: Int = 16): (DataFrame, Long) => DataFrame = {
+    graft.functions.RepetitionStats.ensureRegistered(spark)
+    graft.functions.WidePolyHash.ensureRegistered(spark)
+    val exactClaims = new Snapshots(spark, s"$stateDir/exact", claimsSchema)
+    exactClaims.init()
+    val nearDup = new IncrementalDedup(spark, s"$stateDir/neardup",
+      compactEvery)
+    nearDup.init()
+    val decontam = StreamDecontam.cleaner(evalDocs, idCol, textCol,
+      decontamMinShared)
+    val mixIsNoop = mixRatesMilli.isEmpty && mixDefaultMilli == 1000
+
+    (batch: DataFrame, _: Long) => {
+      if (batch.isEmpty) batch.limit(0)
+      else {
+        // 1. quality (stateless): null-text drop + repetition predicate
+        val rs = graft.functions.RepetitionStats(col(textCol))
+        val quality = batch
+          .filter(col(textCol).isNotNull)
+          .withColumn("_rs", rs)
+          .filter(!graft.functions.RepetitionStats.repetitiveFlag(
+            col("_rs.n_bigrams"), col("_rs.top_bigram_n"),
+            col("_rs.n_trigrams"), col("_rs.n_distinct_trigrams"),
+            repetitionTopBigramMilli, repetitionDupTrigramMilli))
+          .drop("_rs")
+
+        // 2. exact: claim the wide hash of the normalized text;
+        // first-writer-wins, claimant recorded => replay-stable. Checkpoint
+        // the key frame: it feeds the drop decision AND the claim delta.
+        val keys = quality.select(col(idCol).cast("long").as("id"),
+          graft.functions.TextAnalysis.wideStrHash(
+            Dedup.normalized(col(textCol))).as("bkey"))
+          .localCheckpoint(true)
+        val storeDup = keys.join(exactClaims.read(), "bkey")
+          .filter(col("claimant") =!= col("id")).select("id")
+        val batchMin = keys.groupBy("bkey").agg(min(col("id")).as("min_id"))
+        val batchDup = keys.join(batchMin, "bkey")
+          .filter(col("id") > col("min_id")).select("id")
+        val dropIds = storeDup.unionAll(batchDup).distinct()
+          .withColumnRenamed("id", idCol)
+        val exact = quality.join(dropIds, Seq(idCol), "left_anti")
+          .localCheckpoint(true) // materialize BEFORE the store advances
+        val newClaims = keys.groupBy("bkey").agg(min(col("id")).as("claimant"))
+          .join(exactClaims.read(), Seq("bkey"), "left_anti")
+        exactClaims.appendDelta(newClaims)
+        if (exactClaims.deltaCount >= compactEvery)
+          exactClaims.replace(exactClaims.read())
+
+        // 3. near-dup claims, 4. decontam probe, 5. append-stable mixing
+        val deduped = nearDup.filterAndClaim(exact, idCol, textCol)
+        val cleaned = decontam(deduped)
+        if (mixIsNoop) cleaned
+        else graft.operators.Mixing.rateMix(cleaned, idCol, sourceCol,
+          mixRatesMilli, mixDefaultMilli)
+      }
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.operators.{Decontaminate, Dedup}
+
+/** Streaming curation funnel ([[StreamCuration]]): the batch funnel's
+  * invariants must hold over the UNION of a micro-batched stream's
+  * outputs, duplicates must be caught across batch boundaries, and a
+  * crash-replayed batch must reproduce its exact output. */
+class StreamCurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    .select("doc_id", "text", "source")
+  private def evalDocs = docs.filter(col("doc_id") % 13 === 0)
+    .select("doc_id", "text")
+  private def trainDocs = docs.filter(col("doc_id") % 13 =!= 0)
+
+  test("streamed funnel: cross-batch invariants hold over the union") {
+    val stateDir = Files.createTempDirectory("graft-scur").toString
+    val curate = StreamCuration.curator(spark, evalDocs, stateDir,
+      decontamMinShared = 2)
+    val rows = trainDocs.orderBy("doc_id").collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    def toDf(part: Array[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(part.toIndexedSeq), trainDocs.schema)
+    val out1 = curate(toDf(b1), 0L).select("doc_id", "text").collect()
+    val out2 = curate(toDf(b2), 1L).select("doc_id", "text").collect()
+    val union = spark.createDataFrame(
+      spark.sparkContext.parallelize((out1 ++ out2).toIndexedSeq),
+      trainDocs.select("doc_id", "text").schema)
+    assert(union.count() > 0)
+
+    // exact contract: no two survivors share a normalized text
+    val dupNorm = union
+      .groupBy(Dedup.normalized(col("text"))).count().filter(col("count") > 1)
+    assert(dupNorm.isEmpty, "two survivors share normalized text")
+
+    // near-dup contract: no surviving LSH-verified pair at the claim tier's
+    // banding (any shared band bucket between two survivors)
+    graft.functions.MinHashSig.ensureRegistered(spark)
+    val bands = union
+      .select(col("doc_id"), graft.functions.MinHashSig(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(array((0 until 4).map { bnd =>
+        concat_ws(",", lit(bnd) +:
+          (0 until 4).map(r => col("sig").getItem(bnd * 4 + r)): _*)
+      }: _*)).as("bkey"))
+    val sharedBucket = bands.groupBy("bkey")
+      .agg(countDistinct(col("doc_id")).as("n")).filter(col("n") > 1)
+    assert(sharedBucket.isEmpty, "two survivors share a band bucket")
+
+    // decontamination contract: no survivor overlaps the eval set at the
+    // threshold
+    val stillFlagged = Decontaminate.flagged(union, evalDocs,
+      "doc_id", "text", minShared = 2)
+    assert(stillFlagged.isEmpty, "a survivor still overlaps the eval set")
+
+    // quality contract: no repetitive survivor
+    graft.functions.RepetitionStats.ensureRegistered(spark)
+    val rs = graft.functions.RepetitionStats(col("text"))
+    val rep = union.withColumn("_rs", rs)
+      .filter(graft.functions.RepetitionStats.repetitiveFlag(
+        col("_rs.n_bigrams"), col("_rs.top_bigram_n"),
+        col("_rs.n_trigrams"), col("_rs.n_distinct_trigrams"), 100, 20))
+    assert(rep.isEmpty, "a repetitive document survived")
+  }
+
+  test("cross-batch duplicate drops; replayed batch reproduces its output") {
+    val stateDir = Files.createTempDirectory("graft-scur2").toString
+    val curate = StreamCuration.curator(spark, evalDocs, stateDir)
+    // docs must clear the repetition gate: >= 12 tokens, all bigrams and
+    // trigrams distinct (short texts trip the 10% top-bigram rule)
+    val t1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val t2 = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val t3 = "zulu one two three four five six seven eight nine ten eleven twelve"
+    val b1 = Seq((1L, t1, "s0"), (2L, t2, "s0")).toDF("doc_id", "text", "source")
+    // batch 2 repeats doc 1's text verbatim under a NEW id, and brings
+    // one genuinely new document
+    val b2 = Seq((10L, t1, "s0"), (11L, t3, "s0")).toDF("doc_id", "text", "source")
+    val out1 = curate(b1, 0L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out1 == Seq(1L, 2L))
+    val out2 = curate(b2, 1L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(11L), s"cross-batch duplicate not dropped: $out2")
+
+    // crash-replay of batch 2: same output, and the stores' decisions are
+    // unchanged (first-writer-wins claims record the claimant)
+    val replay = curate(b2, 1L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(replay == out2, "replayed batch diverged")
+
+    // empty batch is harmless and returns an empty frame of the schema
+    val empty = curate(b1.limit(0), 2L)
+    assert(empty.isEmpty && empty.columns.toSeq == b1.columns.toSeq)
+  }
+}
