@@ -101,6 +101,95 @@ object Quantize {
       graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat))
   }
 
+  /** Materialize the IVF-PQ index — the ADC layout made literal: rows
+    * live in coarse-cell partitions storing (id, codes) ONLY — m longs
+    * where the raw index stores d floats, a ~(8·d)/(8·m) storage cut
+    * (64-d → m=4: 16×) — beside the centroid sidecar (probe ranking) and
+    * the PQ codebook sidecar (distance-table build + future encodes).
+    * A probe then composes BOTH prunings: `cell IN (probed)` opens only
+    * probed directories, and within them each row costs m table lookups,
+    * never a float recomputation ([[pqAdcTopKIndexed]]). */
+  def pqWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+                   dir: String, m: Int, every: Int,
+                   centroidEvery: Int = 137): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.PqCodes.ensureRegistered(spark)
+    val base = Similarity.withNorm(df, vecCol)
+    val cents = Similarity.centroidsOf(base, idCol, centroidEvery)
+    val (k, subDim, flat) = pqCodebook(df, idCol, vecCol, m, every)
+    Similarity.assignCells(base, idCol, cents)
+      .withColumn("codes",
+        graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat))
+      .select(col(idCol), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+    cents.select(col("cent_id").as("cell"), col("cent_vec"), col("cent_norm"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((m, k, subDim, flat.toSeq))
+      .toDF("m", "k", "sub_dim", "flat")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  /** Query the materialized IVF-PQ index: rank cells from the centroid
+    * sidecar (driver, tiny), build the query's m·k distance table from
+    * the codebook sidecar (driver, tiny), then scan ONLY the probed cell
+    * partitions — unprobed directories are never opened (spec-pinned via
+    * `selectedPartitions`), and the scan reads m-byte-scale code rows,
+    * not vectors. Output: (idCol, cell, adc_dist rounded to 6), kNN
+    * rows ascending (dist, id). */
+  def pqAdcTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       idCol: String, queryVec: Seq[Double], kNN: Int,
+                       nprobe: Int = 2): DataFrame = {
+    require(kNN >= 1, "kNN must be >= 1")
+    graft.functions.VecDot.ensureRegistered(spark)
+    val qlit = array(queryVec.map(lit): _*)
+    val qnorm = math.sqrt(queryVec.map(x => x * x).sum)
+    val probed = spark.read.parquet(s"$dir/centroids")
+      .withColumn("cent_cos",
+        Similarity.dotD(col("cent_vec"), qlit) / (col("cent_norm") * qnorm))
+      .orderBy(col("cent_cos").desc, col("cell").asc)
+      .limit(nprobe)
+      .select("cell").collect().map(_.getLong(0))
+    val cbRow = spark.read.parquet(s"$dir/codebook").head()
+    val m = cbRow.getInt(0)
+    val k = cbRow.getInt(1)
+    val subDim = cbRow.getInt(2)
+    val flat = cbRow.getSeq[Double](3)
+    require(queryVec.length == m * subDim,
+      s"query dim ${queryVec.length} != ${m * subDim}")
+    val tab = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var e = 0
+      while (e < k) {
+        var acc = 0.0
+        val off = (j * k + e) * subDim
+        var i = 0
+        while (i < subDim) {
+          val d = queryVec(j * subDim + i) - flat(off + i)
+          acc += d * d
+          i += 1
+        }
+        tab(j * k + e) = acc
+        e += 1
+      }
+      j += 1
+    }
+    val tabLit = typedlit(tab.toIndexedSeq)
+    val dist = (0 until m).map { jj =>
+      element_at(tabLit,
+        (lit(jj * k) + col("codes").getItem(jj)).cast("int") + 1)
+    }.reduce(_ + _)
+    spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .withColumn("adc_dist", dist)
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+      .limit(kNN)
+      .select(col(idCol), col("cell"), round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query's exact
     * per-(subspace, entry) distance table computes on the driver (m·k
     * doubles), and every corpus row's approximate distance is the

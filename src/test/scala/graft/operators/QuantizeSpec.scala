@@ -80,6 +80,55 @@ class QuantizeSpec extends AnyFunSuite {
     assert(out(0L).nonEmpty && out(7L).isEmpty)
   }
 
+  test("IVF-PQ index: full-probe indexed ADC equals the direct operator; " +
+    "small probe prunes to exactly nprobe partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val m = 4
+    val every = 25
+    Quantize.pqWriteIndex(emb, "vec_id", "embedding", dir, m, every,
+      centroidEvery = 50)
+    // layout: cell partitions on disk, no vector column in the data
+    val cellDirs = new java.io.File(s"$dir/data").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs == 10) // 500 rows / centroidEvery 50
+    val dataCols = spark.read.parquet(s"$dir/data").columns.toSet
+    assert(dataCols == Set("vec_id", "codes", "cell"),
+      s"index must store codes, not vectors: $dataCols")
+    assert(spark.read.parquet(s"$dir/data").count() == emb.count())
+
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+    // probing EVERY cell makes the indexed ADC exact-equal to the direct
+    // operator (modulo the query row, which the direct operator excludes
+    // and the index does not — drop it before comparing)
+    val indexed = Quantize.pqAdcTopKIndexed(spark, dir, "vec_id", q,
+      kNN = 11, nprobe = cellDirs)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .filter(_._1 != 0L).take(10).toSeq
+    val direct = Quantize.pqAdcTopK(emb, "vec_id", "embedding", queryId = 0L,
+      kNN = 10, m = m, every = every)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == direct)
+
+    // pruning: a 2-cell probe opens exactly 2 partition directories
+    val res = Quantize.pqAdcTopKIndexed(spark, dir, "vec_id", q,
+      kNN = 5, nprobe = 2)
+    res.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val parts = scans(res.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("data")))
+      .map(_.selectedPartitions.partitionCount)
+    assert(parts.nonEmpty && parts.forall(_ == 2), s"scanned $parts")
+  }
+
   test("pqAdcTopK matches a driver-side brute-force ADC re-ranking") {
     val m = 4
     val every = 25
