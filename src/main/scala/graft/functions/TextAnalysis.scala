@@ -88,6 +88,22 @@ object TextAnalysis {
     55555L, 66666L, 77777L, 88888L,
     99999L, 10101L, 20202L, 30303L)
 
+  /** 32-plane random-hyperplane family for [[HyperplaneSig]]: planes
+    * 0-15 ARE [[MinhashA]]/[[MinhashB]] (so the signature's low byte is
+    * bitwise [[HyperplaneBucket]]'s 8-plane bucket — spec-pinned), planes
+    * 16-31 are 16 more arbitrary immutable constants < 2^30 (a_j·i stays
+    * < 2^36 for any realistic dimension). */
+  val HplaneA: Array[Long] = MinhashA ++ Array(
+    282475249L, 40353607L, 5764801L, 823543L,
+    594823321L, 85766121L, 12252303L, 1750329L,
+    410338673L, 24137569L, 1419857L, 83521L,
+    148035889L, 28398241L, 5452801L, 1046527L)
+  val HplaneB: Array[Long] = MinhashB ++ Array(
+    40404L, 50505L, 60606L, 70707L,
+    80808L, 90909L, 12321L, 23432L,
+    34543L, 45654L, 56765L, 67876L,
+    78987L, 89098L, 90109L, 11211L)
+
   /** Stopword lists for the language-ID heuristic (real-world lists; the
     * driver corpus is synthetic so most docs score 'en' or 'und' — the
     * operator, not the corpus, is what's under test). Kept sorted so the

@@ -82,6 +82,43 @@ object Similarity {
       when(hyperplaneDot(vecd, j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Embedding near-dup pairs at CORPUS scale — the banded-signature
+    * upgrade of q35's blocked all-pairs and q32's single 8-bit bucket:
+    * the 32-plane [[graft.functions.HyperplaneSig]] computes in-scan, the
+    * signature bands into its 4 bytes, candidate pairs share any band,
+    * and every candidate is verified by EXACT cosine ≥ `minCos` (rounded
+    * to 6, q35's convention) — so precision is exact and only recall is
+    * approximate. By pigeonhole the bands admit every pair within
+    * signature-Hamming 3 (the candidate tier is exact at that radius);
+    * per-plane disagreement is angle/π, so genuinely-near vectors
+    * (cos → 1) disagree on few planes and land inside the radius with
+    * SRP-LSH's standard odds. Candidate volume on a random corpus is
+    * ~n²/2²⁸·4 per band pair — the corpus itself never moves: only
+    * (id, band, bkey, vec refs) rows reach the band self-join, and the
+    * verify runs map-side on the join output before the dedup shuffle
+    * (the [[graft.operators.Dedup.simhashPairs]] plan, for vectors).
+    * Output: (id_a, id_b, cos_r). */
+  def hyperplaneSigPairs(df: DataFrame, idCol: String, vecCol: String,
+                         minCos: Double): DataFrame = {
+    graft.functions.HyperplaneSig.ensureRegistered(df.sparkSession)
+    val sig = withNorm(df, vecCol)
+      .select(col(idCol).as("id"), col("vecd"), col("norm"),
+        graft.functions.HyperplaneSig(col("vecd")).as("hsig"))
+      .localCheckpoint(true)
+    val bands = sig.select(col("id"), col("vecd"), col("norm"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("hsig"), b * 8) % 256): _*)).as(Seq("band", "bkey")))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        round(cosine(col("x.vecd"), col("y.vecd"),
+          col("x.norm"), col("y.norm")), 6).as("cos_r"))
+      .filter(col("cos_r") >= minCos)
+      .distinct()
+  }
+
   /** Brute-force top-k by cosine against the single row `idCol = queryId`
     * (query excluded from results). Output: (idCol, cos_r). */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,

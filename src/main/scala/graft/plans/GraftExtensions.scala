@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => VecDot(exprs(0), exprs(1))))
     e.injectFunction(fn("hyperplane_bucket", classOf[HyperplaneBucket],
       exprs => HyperplaneBucket(exprs.head)))
+    e.injectFunction(fn("hyperplane_sig", classOf[HyperplaneSig],
+      exprs => HyperplaneSig(exprs.head)))
     e.injectFunction(fn("simhash_sig", classOf[SimHashSig],
       exprs => SimHashSig(exprs.head)))
     e.injectOptimizerRule(_ => VecDotRewrite)

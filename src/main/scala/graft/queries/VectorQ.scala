@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextAnalysis
 import graft.functions.TextAnalysis.{MinhashA, MinhashB, P}
 import graft.operators.Similarity
 
@@ -418,6 +419,50 @@ object VectorQ {
       nprobe1 = 3, nprobe2 = 2)
   }
 
+  /** DuckDB twin of plane j of the 32-plane family (planes 0-15 are the
+    * [[sqlHpDot]] planes; the family extends them — generated from the
+    * same [[TextAnalysis.HplaneA]]/[[HplaneB]] constants the codegen'd
+    * expression uses, so the dialects cannot drift). */
+  private def sqlHplaneDot(j: Int, v: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(range(1, len($v) + 1), " +
+    s"i -> (CAST((${TextAnalysis.HplaneA(j)} * i + ${TextAnalysis.HplaneB(j)}) % $P AS DOUBLE) / 2147483647.0 - 0.5)" +
+    s" * CAST($v[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  private def sqlSig32(v: String): String =
+    (0 until 32).map(j =>
+      s"CASE WHEN ${sqlHplaneDot(j, v)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+
+  /** q85: banded-signature embedding near-dup pairs
+    * ([[Similarity.hyperplaneSigPairs]]) — the corpus-scale upgrade of
+    * q35's label-blocked all-pairs: 32-plane SRP signatures in-scan,
+    * 4×8-bit band candidates, exact-cosine verify (precision exact,
+    * recall the SRP-LSH contract; candidates exact within
+    * signature-Hamming 3 by pigeonhole). The oracle re-derives all 32
+    * plane folds from the same constants, the byte banding, and the
+    * rounded cosine verify. */
+  val q85 = Q(
+    "q85_hyperplane_sig_pairs",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |s AS (SELECT vec_id, embedding, nrm, ${sqlSig32("embedding")} AS hsig
+       |      FROM n),
+       |bands AS (SELECT vec_id, embedding, nrm, t.b AS band,
+       |                 (hsig >> (8 * t.b)) % 256 AS bkey
+       |          FROM s, range(0, 4) t(b)),
+       |p AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+       |             ROUND(${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cos_r
+       |      FROM bands x JOIN bands y
+       |        ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, cos_r FROM p WHERE cos_r >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Similarity.hyperplaneSigPairs(Tables.embeddings(s, dir),
+      "vec_id", "embedding", minCos = 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Shared PQ constants for q83/q84: m subspaces over the 64-d vectors,
     * codebook = the `every`-stride subsample (entry index = dense rank by
     * vec_id, the ROW_NUMBER the oracle replays). */
@@ -497,5 +542,5 @@ object VectorQ {
   }
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84)
+    q70, q71, q83, q84, q85)
 }
