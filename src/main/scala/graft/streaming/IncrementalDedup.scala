@@ -60,10 +60,26 @@ final class IncrementalDedup(spark: SparkSession, root: String,
 
   /** Filters `batch` to its novel documents and claims all of the batch's
     * buckets in a new snapshot. Returns the kept rows (original columns). */
-  def filterAndClaim(batch: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bands = bandKeys(batch, idCol, textCol).localCheckpoint(true)
+  def filterAndClaim(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    ClaimStore.filterAndClaim(snaps, compactEvery, batch,
+      bandKeys(batch, idCol, textCol), idCol)
+}
+
+/** The shared claim-store step of the incremental dedup family: given a
+  * batch and its (id, bkey) band keys, drop every row whose bucket is
+  * already claimed by another id (in the store, or by a smaller id in
+  * the same batch) and claim the batch's buckets first-writer-wins —
+  * recording the claimant, which is what makes micro-batch REPLAYS
+  * return the same rows. Keying is the caller's (MinHash bands for
+  * text, [[graft.functions.HyperplaneSig]] byte bands for embeddings);
+  * the store mechanics are identical. */
+private[streaming] object ClaimStore {
+
+  def filterAndClaim(snaps: Snapshots, compactEvery: Int, batch: DataFrame,
+                     keys: DataFrame, idCol: String): DataFrame = {
+    val bands = keys.localCheckpoint(true)
     // dropped: bucket already claimed by SOMEONE ELSE in the store…
-    val storeDup = bands.join(buckets(), "bkey")
+    val storeDup = bands.join(snaps.read(), "bkey")
       .filter(col("claimant") =!= col("id")).select("id")
     // …or a smaller id in this batch shares the bucket
     val batchMin = bands.groupBy("bkey").agg(min(col("id")).as("min_id"))
@@ -77,9 +93,51 @@ final class IncrementalDedup(spark: SparkSession, root: String,
     // against the full store, so no bucket key ever appears in two manifest
     // entries — read() needs no per-key precedence rule.
     val newClaims = bands.groupBy("bkey").agg(min(col("id")).as("claimant"))
-      .join(buckets(), Seq("bkey"), "left_anti")
+      .join(snaps.read(), Seq("bkey"), "left_anti")
     snaps.appendDelta(newClaims)
     if (snaps.deltaCount >= compactEvery) snaps.replace(snaps.read())
     kept
   }
+}
+
+/** [[IncrementalDedup]] for EMBEDDINGS: the same persistent claim store,
+  * keyed by the 4 byte bands of the 32-plane [[graft.functions
+  * .HyperplaneSig]] SRP signature — a document is dropped iff it shares
+  * a band with an earlier claimant, which by pigeonhole catches every
+  * pair within signature-Hamming 3 (genuinely-near vectors disagree on
+  * few planes; per-plane odds angle/π, the SRP-LSH contract q85's batch
+  * operator documents). Signatures compute in-scan; O(batch) claim
+  * deltas; replay-stable via the recorded claimant — all inherited from
+  * the shared [[ClaimStore]] step. */
+final class IncrementalEmbedDedup(spark: SparkSession, root: String,
+                                  compactEvery: Int = 16) {
+
+  private val schema = StructType(Seq(
+    StructField("bkey", StringType, nullable = false),
+    StructField("claimant", LongType, nullable = false)))
+  private val snaps = new Snapshots(spark, root, schema)
+
+  def init(): Unit = snaps.init()
+
+  def buckets(): DataFrame = snaps.read()
+
+  /** (id, bkey): band index prefixed onto each of the signature's 4
+    * bytes. Malformed vectors sign 0 like the batch tier — they all land
+    * in the 0-signature buckets and dedup among themselves. */
+  private def bandKeys(batch: DataFrame, idCol: String,
+                       vecCol: String): DataFrame = {
+    graft.functions.HyperplaneSig.ensureRegistered(batch.sparkSession)
+    batch
+      .select(col(idCol).as("id"),
+        graft.functions.HyperplaneSig(
+          transform(col(vecCol), _.cast("double"))).as("hsig"))
+      .select(col("id"), explode(array((0 until 4).map { bnd =>
+        concat_ws(",", lit(bnd), shiftright(col("hsig"), bnd * 8) % 256)
+      }: _*)).as("bkey"))
+  }
+
+  /** Filters `batch` to its novel rows and claims its buckets. */
+  def filterAndClaim(batch: DataFrame, idCol: String, vecCol: String): DataFrame =
+    ClaimStore.filterAndClaim(snaps, compactEvery, batch,
+      bandKeys(batch, idCol, vecCol), idCol)
 }

@@ -150,4 +150,48 @@ class IncrementalDedupSpec extends AnyFunSuite {
       assert(sink.toSet == Set(1L, 3L)) // 2 is a cross-batch near-dup of 1
     } finally q.stop()
   }
+
+  test("embedding claims: cross-batch duplicates drop, survivors share " +
+    "no band, replays are stable") {
+    val dd = new IncrementalEmbedDedup(spark,
+      Files.createTempDirectory("graft-inc-emb").toString)
+    dd.init()
+    // deterministic vectors: v1/v2 identical (all 4 bands shared), v3
+    // far away (different direction)
+    def vec(seed: Int) = Array.tabulate(16)(i =>
+      (math.sin(seed * 31 + i) * 2).toFloat)
+    val b1 = Seq((1L, vec(1)), (2L, vec(1)), (3L, vec(99)))
+      .toDF("vec_id", "embedding")
+    val kept1 = dd.filterAndClaim(b1, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept1.contains(1L) && !kept1.contains(2L),
+      s"identical vector must drop within the batch: $kept1")
+
+    val b2 = Seq((10L, vec(1)), (11L, vec(1234)))
+      .toDF("vec_id", "embedding")
+    val kept2 = dd.filterAndClaim(b2, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept2.contains(10L),
+      s"cross-batch identical vector must drop: $kept2")
+
+    // replay of batch 2: same kept rows, store decisions unchanged
+    val replay = dd.filterAndClaim(b2, "vec_id", "embedding")
+      .select("vec_id").as[Long].collect().toSet
+    assert(replay == kept2)
+
+    // union invariant: no two SURVIVORS share any signature band — the
+    // claim tier's contract (mirrors the batch operator's banding)
+    graft.functions.HyperplaneSig.ensureRegistered(spark)
+    val survivors = (kept1 ++ kept2).toSeq
+    val all = b1.unionAll(b2)
+      .filter(col("vec_id").isin(survivors: _*))
+      .select(col("vec_id"), graft.functions.HyperplaneSig(
+        transform(col("embedding"), _.cast("double"))).as("hsig"))
+      .select(col("vec_id"), explode(array((0 until 4).map(b =>
+        concat_ws(",", lit(b), shiftright(col("hsig"), b * 8) % 256)): _*))
+        .as("bkey"))
+    val shared = all.groupBy("bkey")
+      .agg(countDistinct(col("vec_id")).as("n")).filter(col("n") > 1)
+    assert(shared.isEmpty, "two surviving embeddings share a band")
+  }
 }
