@@ -182,8 +182,13 @@ object Quantize {
       element_at(tabLit,
         (lit(jj * k) + col("codes").getItem(jj)).cast("int") + 1)
     }.reduce(_ + _)
+    // malformed vectors carry NULL codes in the index (the family
+    // contract); their adc_dist would be NULL and Spark's default ASC
+    // ordering is NULLS FIRST — filter them like pqAdcTopK does, so
+    // malformed rows in probed cells can never occupy the top-k
     spark.read.parquet(s"$dir/data")
       .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .filter(col("codes").isNotNull)
       .withColumn("adc_dist", dist)
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(kNN)

@@ -308,6 +308,15 @@ object Retrieval {
       Seq((n, s, buckets)).toDF("_n", "_s", "_buckets").coalesce(1), token)
   }
 
+  /** Outstanding delta count of the standing index (the postings store's
+    * — all three stores append in lockstep): the compaction-cadence
+    * signal for [[graft.streaming.StreamRetrieval]]'s maintainer. Counting
+    * deltas instead of batches makes the cadence replay-proof: a
+    * crash-replayed batch appends nothing, so it cannot re-trigger or
+    * starve compaction. */
+  def bm25IndexDeltaCount(spark: SparkSession, dir: String): Int =
+    postingsStore(spark, dir).deltaCount
+
   /** Fold every delta into its base — `replace(read())`, the Snapshots
     * delta-log compaction, run per table. CRASH-ATOMIC: each table's swap
     * is a pointer-commit (readers resolve through the manifest, so a
@@ -320,15 +329,6 @@ object Retrieval {
     * RetrievalIndexSpec pins this with kill-point states. Bounded by
     * O(index) like the dedup log's compaction, amortized by running it
     * every K batches. */
-  /** Outstanding delta count of the standing index (the postings store's
-    * — all three stores append in lockstep): the compaction-cadence
-    * signal for [[graft.streaming.StreamRetrieval]]'s maintainer. Counting
-    * deltas instead of batches makes the cadence replay-proof: a
-    * crash-replayed batch appends nothing, so it cannot re-trigger or
-    * starve compaction. */
-  def bm25IndexDeltaCount(spark: SparkSession, dir: String): Int =
-    postingsStore(spark, dir).deltaCount
-
   def bm25CompactIndex(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val ps = postingsStore(spark, dir)

@@ -94,8 +94,16 @@ private[streaming] object ClaimStore {
     // entries — read() needs no per-key precedence rule.
     val newClaims = bands.groupBy("bkey").agg(min(col("id")).as("claimant"))
       .join(snaps.read(), Seq("bkey"), "left_anti")
-    snaps.appendDelta(newClaims)
-    if (snaps.deltaCount >= compactEvery) snaps.replace(snaps.read())
+      .localCheckpoint(true)
+    // skip empty deltas: a crash-replayed (or all-duplicate) batch claims
+    // nothing, and appending an empty delta would still advance deltaCount
+    // — letting replays re-trigger or starve the compaction cadence,
+    // against the replay-appends-nothing rationale the tokened BM25 path
+    // documents
+    if (newClaims.head(1).nonEmpty) {
+      snaps.appendDelta(newClaims)
+      if (snaps.deltaCount >= compactEvery) snaps.replace(snaps.read())
+    }
     kept
   }
 }

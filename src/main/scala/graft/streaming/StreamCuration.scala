@@ -117,9 +117,15 @@ object StreamCuration {
           .localCheckpoint(true) // materialize BEFORE the store advances
         val newClaims = keys.groupBy("bkey").agg(min(col("id")).as("claimant"))
           .join(exactClaims.read(), Seq("bkey"), "left_anti")
-        exactClaims.appendDelta(newClaims)
-        if (exactClaims.deltaCount >= compactEvery)
-          exactClaims.replace(exactClaims.read())
+          .localCheckpoint(true)
+        // skip empty deltas (replayed or all-duplicate batches): appending
+        // one would advance deltaCount and the compaction cadence, against
+        // the replay-appends-nothing rationale (same policy as ClaimStore)
+        if (newClaims.head(1).nonEmpty) {
+          exactClaims.appendDelta(newClaims)
+          if (exactClaims.deltaCount >= compactEvery)
+            exactClaims.replace(exactClaims.read())
+        }
 
         // 3. near-dup claims, 4. decontam probe, 5. append-stable mixing
         val deduped = nearDup.filterAndClaim(exact, idCol, textCol)
