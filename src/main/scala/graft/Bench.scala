@@ -203,7 +203,23 @@ object Bench {
     } catch {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
+    // Recall@k of every approximate ANN path vs the brute truth, at the
+    // oracle queries' knob settings, over a deterministic query sample —
+    // the tuning sidecar a deployment reads before changing nprobe or a
+    // codebook stride. Diagnostic — not part of the compared queries map.
+    val annRecall = try {
+      val emb = Tables.embeddings(spark, sfDir)
+      val nVec = emb.count()
+      val qids = Seq(1L, 2L, 3L, 4L).map(i => (nVec * i) / 5)
+      val rec = graft.operators.AnnRecall.audit(
+        emb, "vec_id", "embedding", qids, k = 10)
+      spark.catalog.clearCache()
+      rec.map(r => f""""${r.path}":${r.recall}%.4f""").mkString(
+        s"""{"queries":${qids.size},"k":10,""", ",", "}")
+    } catch {
+      case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":$annRecall,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
     println(line)
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")

@@ -84,19 +84,29 @@ object Similarity {
 
   /** Embedding near-dup pairs at CORPUS scale — the banded-signature
     * upgrade of q35's blocked all-pairs and q32's single 8-bit bucket:
-    * the 32-plane [[graft.functions.HyperplaneSig]] computes in-scan, the
-    * signature bands into its 4 bytes, candidate pairs share any band,
+    * the 64-plane [[graft.functions.HyperplaneSig]] computes in-scan, the
+    * signature bands into 4×16-bit keys, candidate pairs share any band,
     * and every candidate is verified by EXACT cosine ≥ `minCos` (rounded
     * to 6, q35's convention) — so precision is exact and only recall is
     * approximate. By pigeonhole the bands admit every pair within
-    * signature-Hamming 3 (the candidate tier is exact at that radius);
-    * per-plane disagreement is angle/π, so genuinely-near vectors
-    * (cos → 1) disagree on few planes and land inside the radius with
-    * SRP-LSH's standard odds. Candidate volume on a random corpus is
-    * ~n²/2²⁸·4 per band pair — the corpus itself never moves: only
-    * (id, band, bkey, vec refs) rows reach the band self-join, and the
-    * verify runs map-side on the join output before the dedup shuffle
-    * (the [[graft.operators.Dedup.simhashPairs]] plan, for vectors).
+    * signature-Hamming 3 (the candidate tier is exact at that radius,
+    * now out of 64 planes — a strictly tighter angular radius per
+    * admitted pair than the former 32-plane tier); per-plane
+    * disagreement is angle/π, so genuinely-near vectors (cos → 1)
+    * disagree on few planes and land inside the radius with SRP-LSH's
+    * standard odds. Candidate volume on a random corpus is
+    * ~4·C(n,2)·2⁻¹⁶ (4 bands × pair-collision odds 2⁻¹⁶ each; the
+    * former 8-bit bands admitted ~4·C(n,2)·2⁻⁸ — see SCALE.md's
+    * banded-tier policy).
+    *
+    * Plan shape: the band self-join is IDS-ONLY — the 4× posexplode and
+    * the band exchange carry (id, band, bkey) rows, 8-byte keys, never
+    * the vectors; the distinct dedups band collisions while the pairs
+    * are still just id pairs; and only then do the surviving candidates
+    * join back (twice) to the checkpointed signature table to fetch
+    * (vecd, norm) for the exact-cosine verify. Vectors therefore cross
+    * an exchange only once per CANDIDATE side, not 4× per corpus row —
+    * the round-8 finding on this operator's payload routing.
     * Output: (id_a, id_b, cos_r). */
   def hyperplaneSigPairs(df: DataFrame, idCol: String, vecCol: String,
                          minCos: Double): DataFrame = {
@@ -105,18 +115,25 @@ object Similarity {
       .select(col(idCol).as("id"), col("vecd"), col("norm"),
         graft.functions.HyperplaneSig(col("vecd")).as("hsig"))
       .localCheckpoint(true)
-    val bands = sig.select(col("id"), col("vecd"), col("norm"),
+    val bands = sig.select(col("id"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("hsig"), b * 8) % 256): _*)).as(Seq("band", "bkey")))
-    bands.as("x")
+        shiftright(col("hsig"), b * 16).bitwiseAND(lit(65535L))): _*))
+        .as(Seq("band", "bkey")))
+    val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        round(cosine(col("x.vecd"), col("y.vecd"),
-          col("x.norm"), col("y.norm")), 6).as("cos_r"))
-      .filter(col("cos_r") >= minCos)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+    cand
+      .join(sig.select(col("id").as("id_a"), col("vecd").as("_va"),
+        col("norm").as("_na")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("vecd").as("_vb"),
+        col("norm").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("_va"), col("_vb"), col("_na"), col("_nb")), 6)
+          .as("cos_r"))
+      .filter(col("cos_r") >= minCos)
   }
 
   /** Brute-force top-k by cosine against the single row `idCol = queryId`

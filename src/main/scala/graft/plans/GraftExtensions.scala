@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneBucket(exprs.head)))
     e.injectFunction(fn("hyperplane_sig", classOf[HyperplaneSig],
       exprs => HyperplaneSig(exprs.head)))
+    e.injectFunction(fn("hyperplane_sig_hi", classOf[HyperplaneSig],
+      exprs => HyperplaneSig(exprs.head, offset = HyperplaneSig.HiOffset)))
     e.injectFunction(fn("simhash_sig", classOf[SimHashSig],
       exprs => SimHashSig(exprs.head)))
     e.injectOptimizerRule(_ => VecDotRewrite)

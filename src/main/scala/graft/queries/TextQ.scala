@@ -258,16 +258,25 @@ object TextQ {
   }
 
   /** Shared CTE chain ending in `sig AS (doc_id[, source], simhash)` — the
-    * bit-parallel SimHash pipeline (used by q26 and q46). */
-  private def simhashCtes(withSource: Boolean): String = {
+    * bit-parallel SimHash pipeline (used by q26 and q46). Bit j's vote is
+    * the parity of the j-th universal rehash of the token hash, generated
+    * from the same [[TextAnalysis.HplaneA]]/[[HplaneB]] constants the
+    * codegen'd [[graft.functions.SimHashSig]] uses; bit 63's addend is
+    * BIGINT min, spelled `-(2^63-1) - 1` because the bare literal does
+    * not parse as BIGINT. Term order 0..63 keeps every partial sum in
+    * range (≤ 2^63-1 before the negative bit-63 term). */
+  private def simhashCtes(withSource: Boolean, from: String = "documents"): String = {
     val src = if (withSource) ", source" else ""
-    val bitSums = (0 until 32).map(j =>
-      s"SUM(((h >> $j) % 2) * cnt) AS b_$j").mkString(",\n              ")
-    val sig = (0 until 32).map(j =>
-      s"CASE WHEN b_$j * 2 > total THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-      .mkString(" + ")
+    val bitSums = (0 until 64).map(j =>
+      s"SUM((((${HplaneA(j)} * h + ${HplaneB(j)}) % $P) % 2) * cnt) AS b_$j")
+      .mkString(",\n              ")
+    val sig = (0 until 64).map { j =>
+      val bit = if (j == 63) "CAST(-9223372036854775807 AS BIGINT) - 1"
+                else s"CAST(${1L << j} AS BIGINT)"
+      s"CASE WHEN b_$j * 2 > total THEN $bit ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
     s"""tok AS (SELECT doc_id$src, w, COUNT(*) AS cnt FROM (
-       |       SELECT doc_id$src, unnest($sqlToks) AS w FROM documents) GROUP BY ALL),
+       |       SELECT doc_id$src, unnest($sqlToks) AS w FROM $from) GROUP BY ALL),
        |th AS (SELECT doc_id$src, cnt, ${sqlHash("w")} AS h FROM tok),
        |bits AS (SELECT doc_id$src,
        |              $bitSums,
@@ -276,7 +285,7 @@ object TextQ {
        |sig AS (SELECT doc_id$src, $sig AS simhash FROM bits)""".stripMargin
   }
 
-  /** q26: 32-bit SimHash signatures — bit-parallel (32 SUM aggregates in one
+  /** q26: 64-bit SimHash signatures — bit-parallel (64 SUM aggregates in one
     * groupBy, no per-bit explode). */
   val q26 = Q(
     "q26_simhash",
@@ -288,17 +297,37 @@ object TextQ {
       .orderBy("doc_id")
   }
 
-  /** q46: SimHash near-dup pairs within source blocks — byte-banding over
-    * the 32-bit signature (exact recall for hamming ≤ 3 by pigeonhole; we
-    * verify at ≤ 1) + popcount verify. The dedup family's third detector:
-    * exact (q21), Jaccard/MinHash (q22/q25), bit-distance (here). The
-    * synthetic corpus shares one vocabulary, so signatures correlate and
-    * the blocking key is what keeps the candidate volume honest — same
-    * policy knob as q22. */
+  /** Verify radius for q46 — at the 4-band pigeonhole limit, so candidate
+    * recall is exact (3 flipped bits cannot touch all 4 of the 16-bit
+    * bands). 3/64 bits is the same relative radius the former 32-bit
+    * tier's ≤1 verified at, on twice the planes. */
+  private val SimhashMaxHamming = 3
+
+  /** q46: SimHash near-dup pairs within source blocks — 4×16-bit banding
+    * over the 64-bit signature (exact recall for hamming ≤ 3 by
+    * pigeonhole) + popcount verify, exercised as a PLANTED-REWRITE
+    * recovery audit: every fifth document is re-planted with its tokens
+    * REVERSED (identical token multiset → identical signature, hamming
+    * 0) under id+10⁶ — the signature tier's signature catch, invisible
+    * to exact dedup (q21 normalizes case/punct, not order) and the
+    * standard way to smoke a near-dup detector whose honest banding
+    * admits ~4·C(n,2)·2⁻¹⁶ random candidates (the round-8 n²/128
+    * finding, fixed — on this corpus the old degenerate tier's 41
+    * accidental candidates vanish). The dedup family's third detector:
+    * exact (q21), Jaccard/MinHash (q22/q25), bit-distance (here). Band
+    * extraction masks (`& 65535`) instead of mod so the arithmetic-shift
+    * sign fill of bit-63 signatures cannot reach the key in either
+    * dialect. */
   val q46 = Q(
     "q46_simhash_neardup",
-    s"""WITH ${simhashCtes(withSource = true)},
-       |bands AS (SELECT doc_id, source, simhash, band, (simhash >> (band * 8)) % 256 AS bkey
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source,
+       |         array_to_string(list_reverse($sqlToks), ' ')
+       |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+       |${simhashCtes(withSource = true, from = "corpus")},
+       |bands AS (SELECT doc_id, source, simhash, band, (simhash >> (band * 16)) & 65535 AS bkey
        |          FROM sig, UNNEST([0, 1, 2, 3]) AS t(band)),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, x.simhash AS sim_a,
        |                y.doc_id AS id_b, y.simhash AS sim_b
@@ -307,10 +336,15 @@ object TextQ {
        |              AND x.doc_id < y.doc_id)
        |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
        |FROM cand
-       |WHERE bit_count(xor(sim_a, sim_b)) <= 1
+       |WHERE bit_count(xor(sim_a, sim_b)) <= $SimhashMaxHamming
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-      maxHamming = 1, blockCols = Seq("source"))
+    val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val planted = docs
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+        concat_ws(" ", reverse(split(trim(col("text")), "\\s+"))).as("text"))
+    Dedup.simhashPairs(docs.unionAll(planted), "doc_id", "text",
+      maxHamming = SimhashMaxHamming, blockCols = Seq("source"))
       .orderBy("id_a", "id_b")
   }
 

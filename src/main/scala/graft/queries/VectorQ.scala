@@ -419,7 +419,7 @@ object VectorQ {
       nprobe1 = 3, nprobe2 = 2)
   }
 
-  /** DuckDB twin of plane j of the 32-plane family (planes 0-15 are the
+  /** DuckDB twin of plane j of the 128-plane family (planes 0-15 are the
     * [[sqlHpDot]] planes; the family extends them — generated from the
     * same [[TextAnalysis.HplaneA]]/[[HplaneB]] constants the codegen'd
     * expression uses, so the dialects cannot drift). */
@@ -429,37 +429,69 @@ object VectorQ {
     s"i -> (CAST((${TextAnalysis.HplaneA(j)} * i + ${TextAnalysis.HplaneB(j)}) % $P AS DOUBLE) / 2147483647.0 - 0.5)" +
     s" * CAST($v[i] AS DOUBLE))), (x, y) -> x + y)"
 
-  private def sqlSig32(v: String): String =
-    (0 until 32).map(j =>
-      s"CASE WHEN ${sqlHplaneDot(j, v)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-      .mkString(" + ")
+  /** 64-plane SRP signature over the [[graft.functions.HyperplaneSig
+    * .LoOffset]] window (the degenerate hand-picked low planes are
+    * excluded — see [[TextAnalysis.HplaneA]]). Bit 63's addend is BIGINT
+    * min, spelled `-(2^63-1) - 1` because the bare literal does not
+    * parse as BIGINT; term order 0..63 keeps every partial sum in
+    * range. */
+  private def sqlSig64(v: String): String =
+    (0 until 64).map { j =>
+      val bit = if (j == 63) "CAST(-9223372036854775807 AS BIGINT) - 1"
+                else s"CAST(${1L << j} AS BIGINT)"
+      s"CASE WHEN ${sqlHplaneDot(graft.functions.HyperplaneSig.LoOffset + j, v)} > 0" +
+        s" THEN $bit ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
 
   /** q85: banded-signature embedding near-dup pairs
     * ([[Similarity.hyperplaneSigPairs]]) — the corpus-scale upgrade of
-    * q35's label-blocked all-pairs: 32-plane SRP signatures in-scan,
-    * 4×8-bit band candidates, exact-cosine verify (precision exact,
+    * q35's label-blocked all-pairs: 64-plane SRP signatures in-scan,
+    * 4×16-bit band candidates, exact-cosine verify (precision exact,
     * recall the SRP-LSH contract; candidates exact within
-    * signature-Hamming 3 by pigeonhole). The oracle re-derives all 32
-    * plane folds from the same constants, the byte banding, and the
-    * rounded cosine verify. */
+    * signature-Hamming 3 by pigeonhole), exercised as a
+    * PLANTED-DUPLICATE recovery audit: every seventh vector is
+    * re-planted scaled ×1.001 under id+10⁶ — positive scaling preserves
+    * every projection's sign (hamming 0, cosine 1), so honest banding
+    * must recover exactly the planted pairs, while the fixture's own
+    * pairs (max cosine ≈ 0.51, ~66° apart) correctly band-collide
+    * almost never (the old degenerate 8-bit tier admitted 17 of them by
+    * accident — a candidate-volume symptom, not recall). The oracle
+    * re-derives the planted corpus, all 64 plane folds from the same
+    * constants, the masked 16-bit banding, and the rounded cosine
+    * verify. */
   val q85 = Q(
     "q85_hyperplane_sig_pairs",
-    s"""WITH n AS (SELECT vec_id, embedding,
-       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-       |           FROM embeddings),
-       |s AS (SELECT vec_id, embedding, nrm, ${sqlSig32("embedding")} AS hsig
+    s"""WITH corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE))
+       |  FROM embeddings WHERE vec_id % 7 = 0),
+       |n AS (SELECT vec_id, embedding,
+       |             sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |      FROM corpus),
+       |s AS (SELECT vec_id, embedding, nrm, ${sqlSig64("embedding")} AS hsig
        |      FROM n),
        |bands AS (SELECT vec_id, embedding, nrm, t.b AS band,
-       |                 (hsig >> (8 * t.b)) % 256 AS bkey
+       |                 (hsig >> (16 * t.b)) & 65535 AS bkey
        |          FROM s, range(0, 4) t(b)),
        |p AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
        |             ROUND(${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cos_r
        |      FROM bands x JOIN bands y
        |        ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
-       |SELECT id_a, id_b, cos_r FROM p WHERE cos_r >= 0.4
+       |SELECT id_a, id_b, cos_r FROM p WHERE cos_r >= 0.9
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    Similarity.hyperplaneSigPairs(Tables.embeddings(s, dir),
-      "vec_id", "embedding", minCos = 0.4)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    val planted = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x.cast("double") * lit(1.001))
+          .as("embedding"))
+    Similarity.hyperplaneSigPairs(emb.unionAll(planted),
+      "vec_id", "embedding", minCos = 0.9)
       .orderBy("id_a", "id_b")
   }
 

@@ -198,6 +198,40 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected extra shuffle:\n$p")
   }
 
+  test("q85 band join is ids-only: no array column crosses the band " +
+    "exchange; whole query runs in <= 8 jobs") {
+    import org.apache.spark.sql.functions.col
+    var jobs = 0
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(jl)
+    try {
+      // construct INSIDE the listener scope: the signature localCheckpoint
+      // runs its jobs at construction time and counts toward the floor
+      val df = graft.operators.Similarity.hyperplaneSigPairs(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", minCos = 0.3)
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // every Exchange block that partitions on the band key must carry
+      // ids and band keys ONLY — the vectors ride the checkpointed
+      // signature table and join back to candidates, never the band
+      // explode (blocks run from an "(N) Operator" header to the next)
+      val blocks = p.split("""(?m)^(?=\(\d+\) )""").toSeq
+      val bandExchanges = blocks.filter(b =>
+        b.trim.startsWith("(") && b.linesIterator.next().contains("Exchange") &&
+          b.contains("bkey"))
+      assert(bandExchanges.nonEmpty, s"no band exchange found in plan:\n$p")
+      bandExchanges.foreach { b =>
+        assert(!b.contains("vecd") && !b.contains("embedding") && !b.contains("norm"),
+          s"array/vector column crosses the band exchange:\n$b")
+      }
+      df.orderBy(col("id_a"), col("id_b")).collect() // drive the jobs
+      org.apache.spark.GraftTestBus.flush(spark.sparkContext)
+      assert(jobs <= 8, s"q85 spent $jobs jobs (pin: <= 8)")
+    } finally spark.sparkContext.removeSparkListener(jl)
+  }
+
   test("q63 quota sampling aggregates bounded buffers — no window sort") {
     val p = plan("q63_quota_sample")
     // the whole point of the TopKAgg path: map-side partial aggregation

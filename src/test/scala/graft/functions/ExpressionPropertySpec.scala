@@ -54,14 +54,17 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("simhash_sig == majority vote over per-instance token hash bits") {
+  test("simhash_sig == majority vote over per-instance affine-parity bits") {
     samples(300).foreach { s =>
       val toks = TextAnalysis.jvmTokens(s).toSeq // Spark-semantics tokenizer
       val hs = toks.map(PolyHash.hash)
       val total = hs.length
       var expected = 0L
-      (0 until 32).foreach { j =>
-        if (hs.map(h => (h >> j) & 1L).sum * 2 > total) expected |= 1L << j
+      (0 until 64).foreach { j =>
+        val votes = hs.map(h =>
+          ((TextAnalysis.HplaneA(j) * h + TextAnalysis.HplaneB(j))
+            % TextAnalysis.P) & 1L)
+        if (votes.sum * 2 > total) expected |= 1L << j
       }
       assert(SimHashSig.compute(s) == expected, s"simhash mismatch on: ${s.take(60)}")
     }

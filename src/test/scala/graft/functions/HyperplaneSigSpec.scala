@@ -6,9 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.{Tables, TestSpark}
 import graft.operators.Similarity
 
-/** The 32-plane SRP signature ([[HyperplaneSig]]) and its banded-pairs
-  * consumer: low-byte compatibility with the 8-plane bucket, the
-  * pigeonhole candidate-exactness contract, and malformed-row semantics. */
+/** The 64-plane SRP signature ([[HyperplaneSig]]) and its banded-pairs
+  * consumer: the plane-window arithmetic against composed portable
+  * forms, the window policy (degenerate low planes excluded), the
+  * pigeonhole candidate-exactness contract, and malformed-row
+  * semantics. */
 class HyperplaneSigSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -16,50 +18,68 @@ class HyperplaneSigSpec extends AnyFunSuite {
   private def base = Similarity.withNorm(
     Tables.embeddings(spark, "/root/testdata/sf0.001"), "embedding")
 
-  test("signature low byte IS the 8-plane HyperplaneBucket, bitwise") {
-    HyperplaneSig.ensureRegistered(spark)
-    HyperplaneBucket.ensureRegistered(spark)
-    val diff = base.select(
-      (HyperplaneSig(col("vecd")) % 256).as("lo"),
-      HyperplaneBucket(col("vecd")).as("bucket"))
-      .filter(col("lo") =!= col("bucket"))
-    assert(diff.count() == 0)
+  // portable plane-j dot: the index-ordered fold of plane(i) * v(i)
+  private def planeDot(j: Int) = aggregate(
+    sequence(lit(1), size(col("vecd"))).cast("array<int>"),
+    lit(0.0),
+    (acc, i) => acc +
+      (((lit(TextAnalysis.HplaneA(j)) * i.cast("long") + lit(TextAnalysis.HplaneB(j)))
+        % TextAnalysis.P).cast("double") / TextAnalysis.P.toDouble - 0.5) *
+        element_at(col("vecd"), i))
+
+  test("windows skip the degenerate hand-picked planes and are disjoint") {
+    // the signature tiers must never touch planes 0-31 (near-constant
+    // ramps, ~220x candidate inflation — TextAnalysis.HplaneA scaladoc)
+    assert(HyperplaneSig.LoOffset >= 32)
+    assert(HyperplaneSig.HiOffset >= HyperplaneSig.LoOffset + HyperplaneSig.Bits)
+    assert(HyperplaneSig.HiOffset + HyperplaneSig.Bits <= TextAnalysis.HplaneA.length)
   }
 
-  test("matches the composed 32-fold portable form on a corpus sample") {
+  test("matches the composed 64-fold portable form on a corpus sample") {
     HyperplaneSig.ensureRegistered(spark)
-    // 32 interpreted HOF folds are slow — a 40-row sample is plenty to
+    // 64 interpreted HOF folds are slow — a 40-row sample is plenty to
     // pin the arithmetic (every plane constant participates in each row)
     val sample = base.limit(40)
-    // portable signature: per plane, the index-ordered fold of
-    // plane(i) * v(i), then the bit test
-    def planeDot(j: Int) = aggregate(
-      sequence(lit(1), size(col("vecd"))).cast("array<int>"),
-      lit(0.0),
-      (acc, i) => acc +
-        (((lit(TextAnalysis.HplaneA(j)) * i.cast("long") + lit(TextAnalysis.HplaneB(j)))
-          % TextAnalysis.P).cast("double") / TextAnalysis.P.toDouble - 0.5) *
-          element_at(col("vecd"), i))
-    val portableSig = (0 until 32).map(j =>
-      when(planeDot(j) > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val portableSig = (0 until 64).map(j =>
+      when(planeDot(HyperplaneSig.LoOffset + j) > 0, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
     val diff = sample.select(HyperplaneSig(col("vecd")).as("a"),
       portableSig.as("b")).filter(col("a") =!= col("b"))
     assert(diff.count() == 0)
   }
 
+  test("hi window == the HiOffset planes of the same composed form") {
+    HyperplaneSig.ensureRegistered(spark)
+    val sample = base.limit(12)
+    val portableHi = (0 until 64).map(j =>
+      when(planeDot(HyperplaneSig.HiOffset + j) > 0, lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val diff = sample.select(HyperplaneSig.hi(col("vecd")).as("a"),
+      portableHi.as("b")).filter(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+  }
+
   test("banded pairs: candidates are EXACT within signature-Hamming 3") {
+    // Hamming ≤ 3 out of 64 planes is a tight angular radius the random
+    // fixture alone may not populate, so plant near-duplicates: positive
+    // scaling preserves every projection's sign (hamming 0, cosine 1).
+    val minCos = 0.3
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") % 17 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.001f).as("embedding"))
+    val corpus = emb.unionAll(planted)
     // recompute signatures, enumerate every pair with Hamming <= 3 and
     // cosine >= threshold: ALL of them must be in the operator's output
-    // (pigeonhole: 3 flipped bits cannot touch all 4 bands)
-    val minCos = 0.3
-    val rows = base.select(col("vec_id"), col("vecd"), col("norm"))
+    // (pigeonhole: 3 flipped bits cannot touch all 4 of the 16-bit bands)
+    val rows = Similarity.withNorm(corpus, "embedding")
+      .select(col("vec_id"), col("vecd"), col("norm"))
       .withColumn("hsig", HyperplaneSig(col("vecd")))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
         r.getLong(3)))
-    val out = Similarity.hyperplaneSigPairs(
-      Tables.embeddings(spark, "/root/testdata/sf0.001"),
-      "vec_id", "embedding", minCos)
+    val out = Similarity.hyperplaneSigPairs(corpus, "vec_id", "embedding", minCos)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     var withinRadius = 0
@@ -91,8 +111,9 @@ class HyperplaneSigSpec extends AnyFunSuite {
       (1L, Seq[Option[Double]](Some(1.0), None, Some(2.0))),
       (2L, Seq.empty[Option[Double]])
     ).toDF("id", "vecd")
-    val got = df.select(col("id"), HyperplaneSig(col("vecd")).as("s"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 0L, 2L -> 0L))
+    val got = df.select(col("id"), HyperplaneSig(col("vecd")).as("s"),
+      HyperplaneSig.hi(col("vecd")).as("s2"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (0L, 0L), 2L -> (0L, 0L)))
   }
 }

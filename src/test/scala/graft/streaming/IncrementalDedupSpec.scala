@@ -151,8 +151,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("embedding claims: cross-batch duplicates drop, survivors share " +
-    "no band, replays are stable") {
+  test("embedding claims: cross-batch duplicates drop, survivors are " +
+    "mutually distinct, replays are stable") {
     val dd = new IncrementalEmbedDedup(spark,
       Files.createTempDirectory("graft-inc-emb").toString)
     dd.init()
@@ -179,19 +179,59 @@ class IncrementalDedupSpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(replay == kept2)
 
-    // union invariant: no two SURVIVORS share any signature band — the
-    // claim tier's contract (mirrors the batch operator's banding)
-    graft.functions.HyperplaneSig.ensureRegistered(spark)
+    // union invariant: no two SURVIVORS are near-duplicates at the
+    // store's threshold — the verified claim tier's contract (band
+    // sharing alone no longer implies a drop; the exact-cosine verify
+    // does). All-pairs here is fine at spec scale.
     val survivors = (kept1 ++ kept2).toSeq
-    val all = b1.unionAll(b2)
+    val sv = b1.unionAll(b2)
       .filter(col("vec_id").isin(survivors: _*))
-      .select(col("vec_id"), graft.functions.HyperplaneSig(
-        transform(col("embedding"), _.cast("double"))).as("hsig"))
-      .select(col("vec_id"), explode(array((0 until 4).map(b =>
-        concat_ws(",", lit(b), shiftright(col("hsig"), b * 8) % 256)): _*))
-        .as("bkey"))
-    val shared = all.groupBy("bkey")
-      .agg(countDistinct(col("vec_id")).as("n")).filter(col("n") > 1)
-    assert(shared.isEmpty, "two surviving embeddings share a band")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    for {
+      i <- sv.indices
+      j <- (i + 1) until sv.length
+    } {
+      val (va, vb) = (sv(i)._2, sv(j)._2)
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      assert(cos < 0.9,
+        s"survivors ${sv(i)._1} and ${sv(j)._1} are near-dups (cos $cos)")
+    }
+  }
+
+  test("embedding claims do NOT saturate: 5k random vectors all survive, " +
+    "exact duplicates still drop") {
+    // The round-8 tier banded 4×8-bit keys with no verify: a 1,024-key
+    // claim space saturates after a few hundred survivors and then
+    // false-drops essentially everything. This pins the rebuild — 4×32-bit
+    // bands + exact-cosine verify — by streaming 5,000 random 64-d vectors
+    // through the store in batches: every one is genuinely distinct
+    // (random 64-d directions never reach cos 0.9), so every one must
+    // survive. Under the old tier the survivor count collapses to the
+    // low hundreds.
+    val dd = new IncrementalEmbedDedup(spark,
+      Files.createTempDirectory("graft-inc-emb-sat").toString)
+    dd.init()
+    val rng = new scala.util.Random(42)
+    val vecs = Array.tabulate(5000)(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    var survivors = 0L
+    vecs.grouped(1000).foreach { chunk =>
+      val batch = chunk.toSeq.toDF("vec_id", "embedding")
+      survivors += dd.filterAndClaim(batch, "vec_id", "embedding").count()
+    }
+    assert(survivors == 5000L,
+      s"claim space falsely dropped ${5000 - survivors} of 5000 distinct vectors")
+    // recall control: replaying the same vectors under NEW ids drops all
+    // of them — each shares every band with its original's claims and the
+    // exact cosine against the stored claimant vector is 1
+    val dups = vecs.take(500).map { case (id, v) => (id + 1000000L, v) }
+      .toSeq.toDF("vec_id", "embedding")
+    val keptDups = dd.filterAndClaim(dups, "vec_id", "embedding").count()
+    assert(keptDups == 0L, s"$keptDups exact duplicates survived the claim store")
   }
 }
