@@ -212,7 +212,7 @@ object Bench {
       val nVec = emb.count()
       val qids = Seq(1L, 2L, 3L, 4L).map(i => (nVec * i) / 5)
       val rec = graft.operators.AnnRecall.audit(
-        emb, "vec_id", "embedding", qids, k = 10)
+        emb, "vec_id", "embedding", qids, k = 10, includeTrained = true)
       spark.catalog.clearCache()
       rec.map(r => f""""${r.path}":${r.recall}%.4f""").mkString(
         s"""{"queries":${qids.size},"k":10,""", ",", "}")

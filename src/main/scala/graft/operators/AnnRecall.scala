@@ -30,13 +30,18 @@ object AnnRecall {
 
   /** Audits the four approximate paths at `k` over `queryIds`. Knob
     * defaults mirror the oracle queries' (q32/q40/q71/q84) so the audited
-    * configuration IS the benched one. */
+    * configuration IS the benched one. With `includeTrained`, the
+    * Lloyd's-trained IVF centroids and PQ codebook (same sizes as their
+    * stride twins, so the comparison isolates codebook QUALITY) run as
+    * two extra paths — the measured answer to "is training worth it at
+    * these knobs". */
   def audit(df: DataFrame, idCol: String, vecCol: String,
             queryIds: Seq[Long], k: Int,
             centroidEvery: Int = 137, nprobe: Int = 2,
             every1: Int = 50, every2: Int = 37,
             nprobe1: Int = 3, nprobe2: Int = 2,
-            pqM: Int = 4, pqEvery: Int = 25): Seq[PathRecall] = {
+            pqM: Int = 4, pqEvery: Int = 25,
+            includeTrained: Boolean = false): Seq[PathRecall] = {
     require(queryIds.nonEmpty, "empty query sample")
     require(k >= 1, "k must be >= 1")
     val corpus = df.localCheckpoint(true) // one scan feeds every probe
@@ -60,7 +65,7 @@ object AnnRecall {
       PathRecall(path, queryIds.size, k, hits, possible,
         if (possible == 0) 0d else hits.toDouble / possible)
     }
-    Seq(
+    val strideTier = Seq(
       measure("lsh", qid =>
         Similarity.annTopK(corpus, idCol, vecCol, qid, k)),
       measure("ivf", qid =>
@@ -70,5 +75,20 @@ object AnnRecall {
           every1, every2, nprobe1, nprobe2)),
       measure("pq_adc", qid =>
         Quantize.pqAdcTopK(corpus, idCol, vecCol, qid, k, pqM, pqEvery)))
+    if (!includeTrained) strideTier
+    else {
+      // trained twins at the SAME codebook sizes as the stride tiers
+      val kIvf = corpus.filter(col(idCol) % centroidEvery === 0).count().toInt
+      val kPq = corpus.filter(col(idCol) % pqEvery === 0).count().toInt
+      val cents = Similarity.trainedCentroids(corpus, idCol, vecCol, kIvf)
+        .localCheckpoint(true)
+      val (pk, psub, pflat) =
+        Quantize.pqCodebookTrained(corpus, idCol, vecCol, pqM, kPq)
+      strideTier ++ Seq(
+        measure("ivf_trained", qid =>
+          Similarity.ivfTopKCents(corpus, idCol, vecCol, cents, qid, k, nprobe)),
+        measure("pq_adc_trained", qid =>
+          Quantize.pqAdcTopKWith(corpus, idCol, vecCol, qid, k, pqM, pk, psub, pflat)))
+    }
   }
 }

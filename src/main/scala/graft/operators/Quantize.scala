@@ -95,10 +95,133 @@ object Quantize {
     * collect. Malformed vectors carry NULL codes (the family contract). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, m: Int,
                every: Int): DataFrame = {
-    graft.functions.PqCodes.ensureRegistered(df.sparkSession)
     val (k, _, flat) = pqCodebook(df, idCol, vecCol, m, every)
+    pqEncodeWith(df, vecCol, m, k, flat)
+  }
+
+  /** [[pqEncode]] against an EXPLICIT codebook (any source: the stride
+    * subsample, [[pqCodebookTrained]], or a persisted sidecar). */
+  def pqEncodeWith(df: DataFrame, vecCol: String, m: Int, k: Int,
+                   flat: IndexedSeq[Double]): DataFrame = {
+    graft.functions.PqCodes.ensureRegistered(df.sparkSession)
     df.withColumn("codes",
       graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat))
+  }
+
+  /** Deterministic Lloyd's k-means over a driver array: stride init over
+    * the points (the same content-addressed discipline as the stride
+    * codebooks), squared-L2 assignment with lowest-index ties, mean
+    * update, empty clusters keep their previous centroid. Pure driver
+    * arithmetic over a BOUNDED sample — deterministic across runs, no
+    * RNG. Shared by the trained PQ and IVF codebooks. */
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int,
+                               iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means on an empty sample")
+    require(k >= 1 && iters >= 0, "k and iters must be positive")
+    val n = points.length
+    val kk = math.min(k, n)
+    val dim = points(0).length
+    var cents = Array.tabulate(kk)(c => points((c.toLong * n / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val x = v(i) - cents(c)(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict: lowest index wins ties
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val s = sums(c)
+          Array.tabulate(dim)(i => s(i) / counts(c))
+        })
+      it += 1
+    }
+    cents
+  }
+
+  /** TRAINED PQ codebook: per-subspace Lloyd's k-means over a bounded
+    * driver sample (ascending-id `TakeOrdered`, ≤ `maxSample` rows) —
+    * the quality path next to [[pqCodebook]]'s deterministic stride
+    * stand-in (which stays the ORACLE's codebook: training is
+    * data-dependent iteration, not SQL-expressible, so the trained tier
+    * is spec-verified by its measured reconstruction error and
+    * recall@k instead — QuantizeSpec / AnnRecallSpec). Real PQ trains
+    * each subspace independently; so does this. At 100 TB the sample
+    * collect is one bounded TakeOrdered and training cost is
+    * O(maxSample·k·iters·dim) on the driver — the k-means|| route only
+    * becomes necessary when the sample itself must exceed driver
+    * memory. */
+  def pqCodebookTrained(df: DataFrame, idCol: String, vecCol: String,
+                        m: Int, k: Int, iters: Int = 10,
+                        maxSample: Int = 4096): (Int, Int, IndexedSeq[Double]) = {
+    require(m >= 1 && k >= 1, "m and k must be >= 1")
+    val rows = df.select(col(idCol), vecd(col(vecCol)).as("_v"))
+      .orderBy(col(idCol)).head(maxSample)
+    require(rows.nonEmpty, "PQ training sample is empty")
+    val dim = rows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"dim $dim not divisible by m = $m subspaces")
+    val subDim = dim / m
+    val sample = rows.map(_.getSeq[Double](1).toArray)
+    val kk = math.min(k, sample.length)
+    val flat = new Array[Double](m * kk * subDim)
+    var j = 0
+    while (j < m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      val cents = lloyd(sub, kk, iters)
+      var e = 0
+      while (e < kk) {
+        var i = 0
+        while (i < subDim) {
+          flat((j * kk + e) * subDim + i) = cents(e)(i)
+          i += 1
+        }
+        e += 1
+      }
+      j += 1
+    }
+    (kk, subDim, flat.toIndexedSeq)
+  }
+
+  /** Per-row PQ reconstruction error against an explicit codebook: the
+    * squared L2 between the vector and its quantization, which for the
+    * argmin encoder is Σ_j min_e ‖sub_j − entry_{j,e}‖² — exactly the
+    * objective k-means minimizes, so `mean(pq_err)` is THE number that
+    * adjudicates codebook quality (QuantizeSpec pins trained < stride).
+    * Computed in-scan: codes from the codegen'd [[graft.functions
+    * .PqCodes]], then m index-ordered subvector folds against the
+    * broadcast codebook literal. Malformed vectors yield NULL error. */
+  def pqError(df: DataFrame, vecCol: String, m: Int, k: Int,
+              flat: IndexedSeq[Double]): DataFrame = {
+    val subDim = flat.length / (m * k)
+    val enc = pqEncodeWith(df, vecCol, m, k, flat)
+    val cb = typedlit(flat)
+    val v = vecd(col(vecCol))
+    val err = (0 until m).map { j =>
+      val off = (lit(j * k) + col("codes").getItem(j)).cast("int") * subDim
+      aggregate(sequence(lit(1), lit(subDim)), lit(0.0), (acc, i) => {
+        val d = element_at(v, lit(j * subDim) + i) -
+          element_at(cb, off + i)
+        acc + d * d
+      })
+    }.reduce(_ + _)
+    enc.withColumn("pq_err", err)
   }
 
   /** Materialize the IVF-PQ index — the ADC layout made literal: rows
@@ -207,9 +330,17 @@ object Quantize {
     * excluded. */
   def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
                 kNN: Int, m: Int, every: Int): DataFrame = {
+    val (k, subDim, flat) = pqCodebook(df, idCol, vecCol, m, every)
+    pqAdcTopKWith(df, idCol, vecCol, queryId, kNN, m, k, subDim, flat)
+  }
+
+  /** [[pqAdcTopK]] against an EXPLICIT codebook (stride or trained) —
+    * the same driver distance table + m-lookup scan economics. */
+  def pqAdcTopKWith(df: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, kNN: Int, m: Int, k: Int, subDim: Int,
+                    flat: IndexedSeq[Double]): DataFrame = {
     require(kNN >= 1, "kNN must be >= 1")
     graft.functions.PqCodes.ensureRegistered(df.sparkSession)
-    val (k, subDim, flat) = pqCodebook(df, idCol, vecCol, m, every)
     val qv = df.filter(col(idCol) === queryId)
       .select(vecd(col(vecCol))).head().getSeq[Double](0)
     require(qv.length == m * subDim, s"query dim ${qv.length} != ${m * subDim}")

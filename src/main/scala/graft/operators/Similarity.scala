@@ -393,7 +393,44 @@ object Similarity {
               queryId: Long, k: Int, centroidEvery: Int = 137,
               nprobe: Int = 2): DataFrame = {
     val base = withNorm(df, vecCol)
-    val cents = centroidsOf(base, idCol, centroidEvery)
+    ivfProbe(base, idCol, centroidsOf(base, idCol, centroidEvery),
+      queryId, k, nprobe)
+  }
+
+  /** [[ivfTopK]] with an EXPLICIT centroid table (cent_id, cent_vec,
+    * cent_norm) — any quantizer source: the stride subsample, the
+    * [[trainedCentroids]] Lloyd's path, or a persisted sidecar. */
+  def ivfTopKCents(df: DataFrame, idCol: String, vecCol: String,
+                   cents: DataFrame, queryId: Long, k: Int,
+                   nprobe: Int = 2): DataFrame =
+    ivfProbe(withNorm(df, vecCol), idCol, cents, queryId, k, nprobe)
+
+  /** TRAINED coarse centroids: Lloyd's k-means (see [[Quantize.lloyd]] —
+    * deterministic, no RNG) over a bounded ascending-id driver sample.
+    * The stride subsample stays the ORACLE quantizer (training is
+    * data-dependent iteration, not SQL-expressible); this is the quality
+    * path, adjudicated by measured recall@k ([[AnnRecall]]) and
+    * spec-pinned quantization error. Output schema matches
+    * [[centroidsOf]], so every IVF tier composes unchanged. */
+  def trainedCentroids(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int = 10,
+                       maxSample: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = withNorm(df, vecCol)
+      .select(col(idCol), col("vecd"))
+      .orderBy(col(idCol)).head(maxSample)
+    require(rows.nonEmpty, "IVF training sample is empty")
+    val sample = rows.map(_.getSeq[Double](1).toArray)
+    val cents = Quantize.lloyd(sample, k, iters)
+    cents.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        (i.toLong, c.toSeq, math.sqrt(c.map(x => x * x).sum)) }
+      .toDF("cent_id", "cent_vec", "cent_norm")
+  }
+
+  private def ivfProbe(base: DataFrame, idCol: String, cents: DataFrame,
+                       queryId: Long, k: Int, nprobe: Int): DataFrame = {
     val assigned = assignCells(base, idCol, cents)
       .select(col(idCol), col("vecd"), col("norm"), col("cell"))
     val q = base.filter(col(idCol) === queryId)

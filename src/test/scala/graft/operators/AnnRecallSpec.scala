@@ -62,4 +62,21 @@ class AnnRecallSpec extends AnyFunSuite {
       .map(r => r.path -> r.recall).toMap
     assert(again == byPath, "audit is not deterministic")
   }
+
+  test("trained codebooks measured against their stride twins") {
+    val rec = AnnRecall.audit(emb, "vec_id", "embedding", qids, k = 10,
+      includeTrained = true)
+    val byPath = rec.map(r => r.path -> r.recall).toMap
+    info(byPath.toString)
+    assert(byPath.contains("ivf_trained") && byPath.contains("pq_adc_trained"))
+    // the trained tiers exist to be MEASURED here; the floor is that
+    // training the same-size codebook does not lose recall vs the
+    // arbitrary stride placement at these knobs (QuantizeSpec pins the
+    // strict reconstruction-error win; recall inherits it on average,
+    // with per-fixture slack for probe-boundary flips)
+    assert(byPath("ivf_trained") >= byPath("ivf") - 0.1,
+      s"trained IVF recall ${byPath("ivf_trained")} far below stride ${byPath("ivf")}")
+    assert(byPath("pq_adc_trained") >= byPath("pq_adc") - 0.1,
+      s"trained PQ recall ${byPath("pq_adc_trained")} far below stride ${byPath("pq_adc")}")
+  }
 }

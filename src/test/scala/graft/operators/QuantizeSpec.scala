@@ -156,4 +156,43 @@ class QuantizeSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got == want)
   }
+
+  test("lloyd: deterministic, separates clear clusters, ties to lowest index") {
+    // two tight blobs far apart — Lloyd's from the stride init must land
+    // one centroid in each and average its members
+    val blobA = Array.tabulate(10)(i => Array(10.0 + i * 0.01, 0.0))
+    val blobB = Array.tabulate(10)(i => Array(-10.0 - i * 0.01, 5.0))
+    val pts = blobA ++ blobB
+    val cents = Quantize.lloyd(pts, 2, 8)
+    assert(cents.length == 2)
+    val (nearA, nearB) = (cents.find(_(0) > 0).get, cents.find(_(0) < 0).get)
+    assert(math.abs(nearA(0) - 10.045) < 1e-9 && nearA(1) == 0.0)
+    assert(math.abs(nearB(0) + 10.045) < 1e-9 && nearB(1) == 5.0)
+    // pure driver arithmetic, no RNG: bitwise repeatable
+    val again = Quantize.lloyd(pts, 2, 8)
+    assert(cents.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // k > n degrades to n singleton centroids, not a crash
+    assert(Quantize.lloyd(blobA.take(3), 8, 4).length == 3)
+  }
+
+  test("trained PQ codebook strictly beats the stride codebook on " +
+    "reconstruction error") {
+    // same m and k isolate codebook QUALITY — the spec-level adjudicator
+    // for the trained tier (the oracle keeps the stride codebook: Lloyd's
+    // is data-dependent iteration, not SQL-expressible)
+    val emb01 = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val m = 4
+    val (ks, _, flatS) = Quantize.pqCodebook(emb01, "vec_id", "embedding",
+      m, every = 25)
+    val (kt, _, flatT) = Quantize.pqCodebookTrained(emb01, "vec_id", "embedding",
+      m, k = ks, iters = 10)
+    assert(kt == ks, s"trained codebook size $kt != stride $ks")
+    def meanErr(k: Int, flat: IndexedSeq[Double]) =
+      Quantize.pqError(emb01, "embedding", m, k, flat)
+        .agg(org.apache.spark.sql.functions.avg("pq_err")).head().getDouble(0)
+    val (errS, errT) = (meanErr(ks, flatS), meanErr(kt, flatT))
+    info(f"stride $errS%.4f trained $errT%.4f (${errS / errT}%.2fx)")
+    assert(errT < errS,
+      f"trained codebook did not reduce reconstruction error: $errT%.4f >= $errS%.4f")
+  }
 }
