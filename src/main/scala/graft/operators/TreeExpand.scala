@@ -13,10 +13,12 @@ import org.apache.spark.storage.StorageLevel
   * Scale design:
   *  - two regimes, chosen by MEASURING the edge table (one count, which
   *    doubles as cache population). Small graphs (edge table within the
-  *    broadcast budget): every level joins by broadcast — provably safe
-  *    because no level can exceed the edge count — so a whole round runs
-  *    with zero shuffle stages and AQE (pure per-stage latency at this
-  *    size) is suspended for the expansion. Large graphs: the edge side is
+  *    broadcast budget): every level joins against ONE broadcast of the
+  *    edge table itself — the build side is the exactly-measured relation,
+  *    every in-plan level reuses the same exchange (one build job per
+  *    round, not per level — the q11 job floor), unmeasured level outputs
+  *    only stream, and AQE (pure per-stage latency at this size) is
+  *    suspended for the expansion. Large graphs: the edge side is
   *    repartitioned by parent key once and cached, deep levels shuffle-hash
   *    against it, and AQE stays per session config — the 100-TB path.
   *  - each round is `localCheckpoint`ed to cut lineage growth (otherwise the
@@ -57,11 +59,12 @@ object TreeExpand {
     * @param roots one column `idCol`: the subtree roots to expand (included
     *              in the output at depth 0)
     * @param levelsPerRound BFS levels expanded inside ONE physical plan per
-    *              driver round. Each round costs a fixed ~2 jobs
-    *              (materialize batch, fetch next frontier) regardless of
-    *              how many levels it covers, so batching divides the
-    *              dominant driver-scheduling cost by the batch size;
-    *              Catalyst's exchange reuse keeps the chained joins linear.
+    *              driver round. Each round costs a fixed handful of jobs
+    *              (edge-broadcast build, materialize batch, fetch next
+    *              frontier) regardless of how many levels it covers, so
+    *              batching divides the dominant driver-scheduling cost by
+    *              the batch size; exchange reuse of the single edge-table
+    *              broadcast keeps the chained in-plan joins to one build.
     * @param driverFrontierRows max frontier rows kept on the driver between
     *              rounds (the `driver` residency above)
     * @param broadcastFrontierRows max frontier rows joined via broadcast;
@@ -95,55 +98,17 @@ object TreeExpand {
       .select(col(idCol).as("_id"), col(parentCol).as("_parent"))
       .filter(col("_parent").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // a map-only count populates the cache and decides the regime; the
-    // per-child metadata the all-broadcast safety argument needs — max
-    // parent rows per child (>1 ⟺ DAG/duplicate edges, where (node, path)
-    // PAIR counts can compound per level) and the longest id rendering
-    // (appended to paths each level) — is consumed ONLY by the small-graph
-    // in-round cap, so its groupBy runs only when `edgeCount` already
-    // passed the broadcast budget (tiny by definition, and it reads the
-    // just-populated cache). Shuffle-regime expansions never pay it: at
-    // 100 TB that groupBy would be a full extra shuffle per expansion for
-    // numbers the regime discards. Bytes are not bounded by rows (paths
-    // grow with depth), so adopt() also measures frontier bytes each round
-    // and demotes the regime mid-flight if they blow the budget — rows are
-    // not a memory unit (same lesson as Components.of's byte gate).
-    // the optimizer's size ESTIMATE (free — no job) picks the startup shape:
-    // a plausibly-small edge table fuses count + metadata into ONE groupBy
-    // job over the just-cached rows (the estimate being wrong costs one
-    // bounded shuffle, never an unbounded broadcast — smallGraph itself is
-    // always decided from the EXACT count); a table whose estimate already
-    // dwarfs the broadcast budget pays only the map-only count, and the
-    // metadata groupBy runs after it only in the (rare) case the estimate
-    // was pessimistic and the exact count lands within the small regime.
-    val estBytes = childOf.queryExecution.optimizedPlan.stats.sizeInBytes
-    val fusedMeta = levelsPerRound > 1 &&
-      estBytes <= BigInt(8L) * BigInt(broadcastMaxBytes)
-    var maxParentsPerChild = 1L // unread unless smallGraph && levelsPerRound>1
-    var maxEdgeIdLen = 1L
-    var edgeCount = 0L
-    def metaAgg(): org.apache.spark.sql.Row = childOf.groupBy(col("_id"))
-      .agg(count(lit(1)).as("_c"),
-        max(length(col("_id").cast("string"))).as("_l"))
-      .agg(coalesce(sum(col("_c")), lit(0L)),
-        coalesce(max(col("_c")), lit(1L)),
-        coalesce(max(col("_l")), lit(1)).cast("long"))
-      .head()
-    if (fusedMeta) {
-      val em = metaAgg()
-      edgeCount = em.getLong(0)
-      maxParentsPerChild = em.getLong(1)
-      maxEdgeIdLen = em.getLong(2)
-    } else {
-      edgeCount = childOf.count()
-    }
+    // a map-only count populates the cache and decides the regime. No
+    // further edge metadata is needed: the small regime's broadcast build
+    // side is the edge table itself — the one relation this count measures
+    // EXACTLY — so there is nothing unmeasured left to cap (see step()).
+    // Frontier bytes are still not bounded by rows (paths grow with
+    // depth), so adopt() measures them each round and demotes the regime
+    // mid-flight if they blow the budget — rows are not a memory unit
+    // (same lesson as Components.of's byte gate).
+    val edgeCount = childOf.count()
     var smallGraph = edgeCount <= broadcastFrontierRows &&
       edgeCount * 48 <= broadcastMaxBytes
-    if (!fusedMeta && smallGraph && levelsPerRound > 1) {
-      val em = metaAgg() // reads the count-populated cache: tiny by the gate
-      maxParentsPerChild = em.getLong(1)
-      maxEdgeIdLen = em.getLong(2)
-    }
     // large regime only: deep levels shuffle-hash every round, so pay the
     // parent-key repartition once and reuse its partitioning each round
     var shuffledInit = false
@@ -153,11 +118,15 @@ object TreeExpand {
     }
 
     def step(level: DataFrame, mode: String): DataFrame = {
-      // small graphs broadcast EVERY in-plan level: each level's broadcast
-      // build appears once in the round plan and once under the next level,
-      // and exchange reuse dedups them — a round runs with zero shuffle
-      // stages (stage barriers dominate tiny rounds). Large graphs
-      // broadcast only a within-budget materialized frontier and
+      // Small graphs broadcast the EDGE TABLE, not the frontier: the build
+      // side is then the one relation whose size the regime gate measured
+      // EXACTLY, every in-plan level joins against the SAME broadcast
+      // (exchange reuse → ONE build job per round, where frontier-side
+      // builds cost one job PER LEVEL — the q11 job floor: 27 → ~14 jobs
+      // at sf0.1), and unmeasured level outputs only ever STREAM through
+      // the chained joins — no in-round amplification can blow up a
+      // broadcast build, so batched levels need no cap. Large graphs
+      // broadcast only a within-budget MATERIALIZED frontier and
       // shuffle-hash the lazy deeper levels: broadcasting those would risk
       // an unbounded build on a fan-out spike.
       val keyed = level.select(col("_id").as("_pid"), col("_root"),
@@ -165,6 +134,11 @@ object TreeExpand {
       if (mode == ShuffleMode)
         childOfShuffled
           .join(keyed.hint("shuffle_hash"), col("_parent") === col("_pid"))
+          .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
+            concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
+      else if (smallGraph)
+        keyed
+          .join(broadcast(childOf), col("_parent") === col("_pid"))
           .select(col("_id"), col("_root"), (col("_depth") + 1).as("_depth"),
             concat(col("_path"), lit("/"), col("_id").cast("string")).as("_path"))
       else
@@ -185,14 +159,6 @@ object TreeExpand {
     var frontier: DataFrame = null // executor-side frontier when not driver-held
     var mode: String = DriverMode
     var frontierKnownEmpty = false
-    // measured at every round boundary, for the in-round amplification cap:
-    // max (node, path) multiplicity per node id and longest path in the
-    // CURRENT frontier. Multi-parent nodes (DAG / duplicate edges) make
-    // multiplicity exceed 1 and compound by up to maxParentsPerChild per
-    // level, so a level's ROW count is no longer bounded by the edge
-    // count — the small-graph invariant only bounds distinct nodes.
-    var frontierMaxMult = 1L
-    var frontierMaxPathLen = 0L
 
     /** Measure the new frontier and pick next round's residency: one
       * `head(cap+1)` job (cheap — the source is checkpointed); a count job
@@ -227,64 +193,27 @@ object TreeExpand {
         frontier = spark.createDataFrame(
           java.util.Arrays.asList(frontierRows: _*), frontierSchema)
         frontierKnownEmpty = sample.isEmpty
-        frontierMaxMult = if (sample.isEmpty) 1L
-          else sample.iterator.map(_.get(0)).toSeq.groupBy(identity)
-            .valuesIterator.map(_.size.toLong).max
-        frontierMaxPathLen = sample.iterator
-          .map(r => if (r.isNullAt(3)) 0L else r.getString(3).length.toLong)
-          .foldLeft(0L)(math.max)
       } else {
-        // per-node multiplicity feeds ONLY the small-graph in-round cap, and
-        // even there a per-key re-measure is needed ONLY for DAGs
-        // (maxParentsPerChild > 1): with single-parent edges every frontier
-        // row inherits exactly one row from its parent, so a node's
-        // multiplicity equals its parent's and the frontier MAX is
-        // non-increasing level to level — the carried value stays a valid
-        // upper bound. So the per-key agg level runs only for small-graph
-        // DAG expansions (frontier within the broadcast budget — a tiny
-        // shuffle of map-side partials). Everything else keeps the single
-        // global agg: one map-side-combined job, no per-key exchange — at
-        // 100 TB a per-key agg here would be a full frontier shuffle per
-        // round for numbers the regime never reads (and trees never need).
-        val remeasureMult = smallGraph && maxParentsPerChild > 1
-        val m =
-          if (remeasureMult) {
-            // two-level agg, still ONE job: per-node multiplicity first, so
-            // the amplification cap sees multi-parent row counts
-            nextFrontier.groupBy(col("_id"))
-              .agg(count(lit(1)).as("_c"),
-                sum(coalesce(length(col("_path")), lit(0)) + 32L).as("_b"),
-                max(coalesce(length(col("_path")), lit(0))).as("_l"))
-              .agg(coalesce(sum(col("_c")), lit(0L)),
-                coalesce(sum(col("_b")), lit(0L)),
-                coalesce(max(col("_c")), lit(1L)),
-                coalesce(max(col("_l")), lit(0)).cast("long"))
-              .head()
-          } else {
-            nextFrontier
-              .agg(count(lit(1)),
-                coalesce(sum(coalesce(length(col("_path")), lit(0)) + 32L),
-                  lit(0L)),
-                coalesce(max(lit(1L)), lit(1L)),
-                coalesce(max(coalesce(length(col("_path")), lit(0))), lit(0))
-                  .cast("long"))
-              .head()
-          }
+        // one global map-side-combined agg: row count + payload bytes —
+        // the residency decision needs nothing per-key (at 100 TB a
+        // per-key agg here would be a full frontier shuffle per round)
+        val m = nextFrontier
+          .agg(count(lit(1)),
+            coalesce(sum(coalesce(length(col("_path")), lit(0)) + 32L),
+              lit(0L)))
+          .head()
         val (rows, bytes) = (m.getLong(0), m.getLong(1))
-        // tree + smallGraph: carry the inherited bound instead of m's lit(1)
-        frontierMaxMult = if (remeasureMult || !smallGraph) m.getLong(2)
-          else frontierMaxMult
-        frontierMaxPathLen = m.getLong(3)
         mode = if (rows <= broadcastFrontierRows && bytes <= broadcastMaxBytes)
           BroadcastMode else ShuffleMode
         if (smallGraph && (bytes > broadcastMaxBytes || rows > broadcastFrontierRows)) {
           // the frontier outgrew a broadcast budget: paths can outgrow the
           // byte cap with depth, and overlapping roots can push (node,
           // covering-root) pair counts past the row cap even though each
-          // level's NODES are a subset of the edge table. Either way the
-          // all-broadcast invariant no longer holds — demote to the shuffle
-          // regime for the rest of the expansion and give AQE back to its
-          // wide stages
+          // level's NODES are a subset of the edge table. The edge-side
+          // broadcast would still be SAFE, but the expansion is no longer
+          // the tiny all-broadcast case the AQE suspension was priced for
+          // — demote to the shuffle regime for the rest of the expansion
+          // and give AQE (and its skew handling) back to its wide stages
           smallGraph = false
           restoreAqe()
         }
@@ -308,37 +237,11 @@ object TreeExpand {
         var out = frontier
         var depth = 0
         while (depth < maxDepth && !frontierKnownEmpty) {
-          var rounds = math.min(levelsPerRound, maxDepth - depth)
-          if (smallGraph && rounds > 1) {
-            // in-round amplification cap: levels 2..rounds broadcast the
-            // UNMEASURED outputs of levels 1..rounds-1. Bound level j's
-            // build from what IS measured — multiplicity can compound by at
-            // most maxParentsPerChild per level (trees: ×1, so the bound
-            // collapses to edgeCount), rows(j) <= edgeCount * mult(j), and
-            // a row's payload <= measured longest path plus j appended
-            // edge-table ids. Keep only as many in-plan levels as provably
-            // fit the broadcast budgets; rounds=1 means every build is a
-            // frontier adopt() just measured — always safe.
-            def buildFits(j: Int): Boolean = {
-              var mult = frontierMaxMult
-              var i = 0
-              while (i < j && mult <= broadcastFrontierRows) {
-                mult *= maxParentsPerChild; i += 1
-              }
-              val rowsBound = edgeCount * mult
-              // bytes computed only under the row bound, so the product
-              // cannot overflow Long
-              mult <= broadcastFrontierRows &&
-                rowsBound <= broadcastFrontierRows &&
-                rowsBound * (33L + frontierMaxPathLen + j * (maxEdgeIdLen + 1)) <=
-                  broadcastMaxBytes
-            }
-            val capped = (1 to rounds).takeWhile(r => r == 1 || buildFits(r - 1)).last
-            if (capped < rounds) {
-              rounds = capped
-              if (modeLog != null) modeLog += s"cap$capped@$depth"
-            }
-          }
+          // no in-round cap is needed: small-graph levels build their
+          // broadcast from the MEASURED edge table (see step()), so the
+          // unmeasured in-plan level outputs only stream — batching depth
+          // is limited by maxDepth alone
+          val rounds = math.min(levelsPerRound, maxDepth - depth)
           val deeperMode = if (smallGraph) BroadcastMode else ShuffleMode
           var levels = List(step(frontier, mode))
           (2 to rounds).foreach { _ =>

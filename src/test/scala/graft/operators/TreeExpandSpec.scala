@@ -295,13 +295,14 @@ class TreeExpandSpec extends AnyFunSuite {
     }
   }
 
-  test("in-round amplification cap: multi-parent edges clamp batched levels") {
-    // duplicate (2,1) edges: each level multiplies (node, path) rows by the
-    // parent multiplicity, so levels 2..levelsPerRound inside one round
-    // would broadcast UNMEASURED builds past the row budget. With
-    // maxParentsPerChild=2 and broadcastFrontierRows=12 the worst-case
-    // bound (edgeCount * mult) admits one batched level but not two — the
-    // cap must clamp the round instead of building an unbounded broadcast
+  test("batched DAG rounds need no amplification cap: edge-side builds " +
+    "keep multi-parent expansions exact") {
+    // duplicate (2,1) edges: each level multiplies (node, path) rows by
+    // the parent multiplicity. The former frontier-side broadcasts made
+    // levels 2..levelsPerRound UNMEASURED builds (a round-capping hazard);
+    // with the edge table as the only build side, amplified level outputs
+    // just stream, so a batched round must match the one-level-per-round
+    // reference bit for bit with no cap entries in the mode log.
     val dag = Seq(
       (2L, Option(1L)), (2L, Option(1L)), // duplicate edge: multiplicity 2
       (3L, Option(2L)), (4L, Option(3L)), (5L, Option(4L)), (6L, Option(5L))
@@ -312,7 +313,7 @@ class TreeExpandSpec extends AnyFunSuite {
       modeLog = modes)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
       .sortBy(x => (x._1, x._4)).toSeq
-    // reference: one measured level per round (always safe)
+    // reference: one measured level per round
     val ref = TreeExpand.expand(dag, Seq(1L).toDF("id"),
       levelsPerRound = 1, driverFrontierRows = 12, broadcastFrontierRows = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
@@ -320,12 +321,7 @@ class TreeExpandSpec extends AnyFunSuite {
     assert(out == ref)
     // node 2's duplicate parent rows double every path below it
     assert(out.count(x => x._1 == 6L) == 2)
-    assert(modes.exists(_.startsWith("cap")), modes)
-    // trees (maxParentsPerChild=1, mult 1) must NOT trip the cap: the
-    // bound collapses to edgeCount, which the small-graph gate admitted
-    val treeModes = scala.collection.mutable.Buffer.empty[String]
-    TreeExpand.expand(edges, Seq(1L, 2L).toDF("id"), modeLog = treeModes)
-    assert(!treeModes.exists(_.startsWith("cap")), treeModes)
+    assert(!modes.exists(_.startsWith("cap")), modes)
   }
 
   test("concurrent small-graph expansions restore AQE exactly once") {
