@@ -136,3 +136,62 @@ object WidePolyHash {
       .createOrReplaceTempFunction("wide_polyhash",
         exprs => WidePolyHash(exprs.head), "built-in")
 }
+
+/** THIRD hash coordinate for the 93-bit escalation tier (SCALE.md's
+  * hash-width policy): an independent 31-bit polynomial over the string
+  * (multiplier [[WideWindowHashes.Mult3]], mod [[TextAnalysis.P]]).
+  * Composite-keying `(wide_polyhash(s), third_polyhash(s))` gives
+  * 62 + 31 = 93 key bits — per-pair collision odds 2⁻⁹³, pushing the
+  * birthday regime past ~10¹⁴ distinct values — for corpora whose
+  * GLOBAL key sets outgrow the 62-bit key's ~2³¹ regime (~10¹⁰+
+  * distinct windows/chunks). It must be a polynomial over the STRING:
+  * any affine rehash of the 62-bit value would collide exactly when the
+  * 62-bit key does, adding zero bits. Conf-gated consumers:
+  * `Dedup.spanDupStats` and `ExactSubstring.globalStats` at
+  * `hashBits = 93` (default from `GRAFT_HASH_BITS`). */
+case class ThirdPolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"third_polyhash requires STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ThirdPolyHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ThirdPolyHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): ThirdPolyHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "third_polyhash"
+}
+
+object ThirdPolyHash {
+  def hash(s: String): Long = {
+    val p = TextAnalysis.P
+    var acc = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      acc = (acc * WideWindowHashes.Mult3 + cp) % p
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def apply(c: Column): Column = call_function("third_polyhash", c)
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("third_polyhash",
+        exprs => ThirdPolyHash(exprs.head), "built-in")
+}

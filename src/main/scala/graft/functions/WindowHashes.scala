@@ -152,6 +152,10 @@ object WideWindowHashes {
     * two hash coordinates are independent. */
   val Mult2: Long = 37L
 
+  /** Third polynomial's multiplier — the 93-bit escalation coordinate
+    * ([[ThirdWindowHashes]] / [[ThirdPolyHash]]). */
+  val Mult3: Long = 41L
+
   /** One loop, two accumulators; combined key `h31 · P + h37`. Bitwise
     * equal to `poly31(w) * P + poly37(w)` over the space-joined window
     * (spec-pinned against the composed twin). */
@@ -196,4 +200,87 @@ object WideWindowHashes {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction("wide_window_hashes",
         exprs => WideWindowHashes(exprs.head, exprs(1)), "built-in")
+}
+
+/** THIRD window-hash coordinate for the 93-bit escalation tier: the
+  * [[WindowHashes]] loop with multiplier [[WideWindowHashes.Mult3]] —
+  * element k is an independent 31-bit polynomial of window k's joined
+  * tokens. Zipped positionally with [[WideWindowHashes]]' output, the
+  * pair `(h62[k], h41[k])` is a 93-bit composite window key (see
+  * [[ThirdPolyHash]] for the regime arithmetic); consumers partition
+  * and count on BOTH columns, so the extra coordinate costs one more
+  * long per window row, never a second exchange. */
+case class ThirdWindowHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"third_window_hashes requires STRING text, got ${left.dataType.catalogString}")
+    else if (right.dataType != IntegerType || !right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "third_window_hashes requires a foldable INT window width")
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    ThirdWindowHashes.compute(text.asInstanceOf[UTF8String].toString,
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.ThirdWindowHashes.compute($t.toString(), $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThirdWindowHashes =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "third_window_hashes"
+}
+
+object ThirdWindowHashes {
+
+  /** Same loop shape as [[WindowHashes.compute]], multiplier
+    * [[WideWindowHashes.Mult3]]; bitwise equal to
+    * `ThirdPolyHash.hash(tokens.slice(k, k+n).mkString(" "))`
+    * (spec-pinned). */
+  def compute(s: String, n: Int): ArrayData = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    val toks = TextAnalysis.jvmTokens(s)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val p = TextAnalysis.P
+    val mult = WideWindowHashes.Mult3
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        if (j > 0) acc = (acc * mult + ' '.toInt) % p
+        val t = toks(k + j)
+        var c = 0
+        while (c < t.length) {
+          val cp = t.codePointAt(c)
+          acc = (acc * mult + cp) % p
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(k) = acc
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(text: Column, n: Int): Column =
+    call_function("third_window_hashes", text, lit(n))
+
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("third_window_hashes",
+        exprs => ThirdWindowHashes(exprs.head, exprs(1)), "built-in")
 }

@@ -350,14 +350,23 @@ object ExactSubstring {
     * space would reach its birthday regime around ~50k distinct windows
     * — trivially exceeded by any global-scope corpus — while the 62-bit
     * key pushes it to ~2^31 windows and the oracle replays the same
-    * arithmetic exactly in BIGINT. */
+    * arithmetic exactly in BIGINT. Past ~10¹⁰ distinct windows,
+    * `hashBits = 93` (or `GRAFT_HASH_BITS=93`) escalates to the
+    * composite `(h62, h41)` window key — the [[graft.functions
+    * .ThirdWindowHashes]] coordinate zipped positionally, 2⁻⁹³ per
+    * pair — with the same single exchange now partitioned on both
+    * columns (one more long per window row; output byte-identical below
+    * either regime's birthday bound, spec-pinned). */
   def globalStats(docs: DataFrame, idCol: String, textCol: String,
-                  minTokens: Int = 8, minOcc: Int = 2): DataFrame = {
+                  minTokens: Int = 8, minOcc: Int = 2,
+                  hashBits: Int = graft.functions.TextAnalysis.defaultHashBits): DataFrame = {
     require(minTokens >= 1, "minTokens must be >= 1")
     require(minOcc >= 2, "minOcc must be >= 2")
+    require(hashBits == 62 || hashBits == 93, s"hashBits must be 62 or 93, got $hashBits")
     val L = minTokens
     val spark = docs.sparkSession
     graft.functions.WideWindowHashes.ensureRegistered(spark)
+    graft.functions.ThirdWindowHashes.ensureRegistered(spark)
     graft.functions.TokenStats.ensureRegistered(spark)
     import org.apache.spark.sql.expressions.Window
     // both passes fully codegen'd in-scan: token counts via TokenStats,
@@ -366,10 +375,20 @@ object ExactSubstring {
     val base = docs.select(col(idCol).cast("long").as("id"),
       graft.functions.TokenStats(col(textCol)).getField("n_tokens")
         .cast("int").as("_n"))
-    val wins = docs.select(col(idCol).cast("long").as("id"),
-        posexplode(graft.functions.WideWindowHashes(col(textCol), L)))
-      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
-    val wH = Window.partitionBy("h")
+    val wins =
+      if (hashBits == 93)
+        docs.select(col(idCol).cast("long").as("id"),
+            posexplode(arrays_zip(
+              graft.functions.WideWindowHashes(col(textCol), L),
+              graft.functions.ThirdWindowHashes(col(textCol), L))))
+          .select(col("id"), (col("pos") + 1).as("p"),
+            col("col.0").as("h"), col("col.1").as("h2"))
+      else
+        docs.select(col(idCol).cast("long").as("id"),
+            posexplode(graft.functions.WideWindowHashes(col(textCol), L)))
+          .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    val wH = if (hashBits == 93) Window.partitionBy("h", "h2")
+             else Window.partitionBy("h")
     val wId = Window.partitionBy("id").orderBy("p")
     val flagged = wins
       .withColumn("_c", count(lit(1)).over(wH))

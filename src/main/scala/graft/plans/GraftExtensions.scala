@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("polyhash", classOf[PolyHash], exprs => PolyHash(exprs.head)))
     e.injectFunction(fn("wide_polyhash", classOf[WidePolyHash],
       exprs => WidePolyHash(exprs.head)))
+    e.injectFunction(fn("third_polyhash", classOf[ThirdPolyHash],
+      exprs => ThirdPolyHash(exprs.head)))
+    e.injectFunction(fn("third_window_hashes", classOf[ThirdWindowHashes],
+      exprs => ThirdWindowHashes(exprs(0), exprs(1))))
     e.injectFunction(fn("word_shingles", classOf[WordShingles],
       exprs => WordShingles(exprs.head)))
     e.injectFunction(fn("word_shingle_set", classOf[WordShingleSet],
