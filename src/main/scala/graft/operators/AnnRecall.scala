@@ -68,6 +68,8 @@ object AnnRecall {
     val strideTier = Seq(
       measure("lsh", qid =>
         Similarity.annTopK(corpus, idCol, vecCol, qid, k)),
+      measure("lsh_mp1", qid =>
+        Similarity.annTopKMultiProbe(corpus, idCol, vecCol, qid, k, radius = 1)),
       measure("ivf", qid =>
         Similarity.ivfTopK(corpus, idCol, vecCol, qid, k, centroidEvery, nprobe)),
       measure("two_level", qid =>

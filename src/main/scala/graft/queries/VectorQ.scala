@@ -100,6 +100,34 @@ object VectorQ {
       queryId = 0L, k = 5)
   }
 
+  /** q86: MULTI-PROBE LSH ANN ([[Similarity.annTopKMultiProbe]]) — the
+    * recall repair for q32's single bucket (the [[graft.operators
+    * .AnnRecall]] audit measures single-probe near zero recall@10 at
+    * fixture angles): candidates live in any bucket within Hamming 1 of
+    * the query's, exact rerank on candidates. The Spark side enumerates
+    * the 9 probe buckets driver-side (partition-prunable `isin`); the
+    * oracle states the same set as `bit_count(xor(bucket, qb)) <= 1` —
+    * provably identical memberships, different plan shapes on purpose. */
+  val q86 = Q(
+    "q86_ann_lsh_multiprobe",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, embedding, nrm,
+       |             ${sqlBucket("embedding")} AS bucket
+       |      FROM n),
+       |q AS (SELECT embedding AS qv, nrm AS qn, bucket AS qb
+       |      FROM b WHERE vec_id = 0)
+       |SELECT vec_id, bucket,
+       |       ROUND(${sqlDot("embedding", "qv")} / (nrm * qn), 6) AS cos_r
+       |FROM b, q
+       |WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 5""".stripMargin) { (s, dir) =>
+    Similarity.annTopKMultiProbe(Tables.embeddings(s, dir), "vec_id",
+      "embedding", queryId = 0L, k = 5, radius = 1)
+  }
+
   /** q33: per-label centroids, long form (label, pos, centroid) — posexplode
     * + grouped average; rounding absorbs the engines' differing partial-sum
     * orders. */
@@ -574,5 +602,5 @@ object VectorQ {
   }
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84, q85)
+    q70, q71, q83, q84, q85, q86)
 }

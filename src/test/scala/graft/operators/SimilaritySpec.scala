@@ -39,4 +39,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.contains(1L)) // same direction ⇒ same hyperplane signs ⇒ same bucket
     assert(!out.contains(3L)) // opposite direction ⇒ all signs flip ⇒ different bucket
   }
+
+  test("multi-probe LSH: radius 0 is single-probe, radius 8 is brute force") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // radius 0 probes exactly the query bucket — bitwise annTopK
+    val r0 = Similarity.annTopKMultiProbe(emb, "vec_id", "embedding", 0L, 5,
+      radius = 0).collect().map(_.toSeq).toSeq
+    val single = Similarity.annTopK(emb, "vec_id", "embedding", 0L, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(r0 == single)
+    // radius 8 probes all 256 buckets — the exact cosine top-k
+    val r8 = Similarity.annTopKMultiProbe(emb, "vec_id", "embedding", 0L, 5,
+      radius = 8).collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r8 == brute)
+    // radius 1 candidates are a superset of radius 0's — recall can only rise
+    val r1 = Similarity.annTopKMultiProbe(emb, "vec_id", "embedding", 0L, 5,
+      radius = 1).collect().map(_.getLong(0)).toSet
+    assert(r1.size >= r0.size)
+  }
 }
