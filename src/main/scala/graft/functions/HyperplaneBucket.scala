@@ -90,6 +90,32 @@ object HyperplaneBucket {
     bucket
   }
 
+  /** Driver-side twin over a plain array — the SAME index-ordered IEEE
+    * arithmetic as [[compute]], for probe-time bucket derivation from a
+    * literal query vector (a materialized-index probe must know the
+    * query's bucket before any job runs, so the enumerated probe set can
+    * prune partitions). */
+  def computeJvm(v: Array[Double]): Long = {
+    val p = TextAnalysis.P
+    val pd = p.toDouble
+    val a = TextAnalysis.MinhashA
+    val b = TextAnalysis.MinhashB
+    var bucket = 0L
+    var j = 0
+    while (j < Bits) {
+      var acc = 0.0
+      var i = 1
+      while (i <= v.length) {
+        val h = ((a(j) * i + b(j)) % p).toDouble / pd - 0.5
+        acc += h * v(i - 1)
+        i += 1
+      }
+      if (acc > 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
   def apply(c: Column): Column = call_function("hyperplane_bucket", c)
 
   def ensureRegistered(spark: SparkSession): Unit =

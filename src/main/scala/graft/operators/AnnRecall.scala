@@ -70,6 +70,8 @@ object AnnRecall {
         Similarity.annTopK(corpus, idCol, vecCol, qid, k)),
       measure("lsh_mp1", qid =>
         Similarity.annTopKMultiProbe(corpus, idCol, vecCol, qid, k, radius = 1)),
+      measure("lsh_mp2", qid =>
+        Similarity.annTopKMultiProbe(corpus, idCol, vecCol, qid, k, radius = 2)),
       measure("ivf", qid =>
         Similarity.ivfTopK(corpus, idCol, vecCol, qid, k, centroidEvery, nprobe)),
       measure("two_level", qid =>

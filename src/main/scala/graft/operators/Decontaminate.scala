@@ -73,7 +73,13 @@ object Decontaminate {
     * GLOBAL scope (corpus-wide gram set), so a 31-bit key would saturate
     * by birthday around ~50k distinct grams; the wide key holds
     * 2⁻⁶²-per-pair to ~2³¹ grams, and the oracle replays the identical
-    * arithmetic. Only (id, gram-hash)
+    * arithmetic. Past ~10¹⁰ distinct grams, `hashBits = 93` (or
+    * `GRAFT_HASH_BITS=93`) escalates to the composite `(wide,
+    * third-polynomial)` two-column gram key via
+    * [[graft.operators.Salting.hotSaltedJoinKeys]] — 2⁻⁹³ per pair,
+    * same plan shape, one more long per exchange row, output
+    * byte-identical below either regime's birthday bound (spec-pinned,
+    * `WideKeyEscalationSpec`). Only (id, gram-hash)
     * pairs enter the exchange; the corpus text itself never shuffles
     * (spec-pinned in PlanSpec). Output is identical to [[flagged]] up to
     * hash collisions — the salt changes placement, never pairing.
@@ -82,12 +88,20 @@ object Decontaminate {
                     textCol: String, minShared: Int, saltR: Int = 8,
                     hotMin: Long = 64L, bloomGate: Boolean = false,
                     bloomFpp: Double = 0.01,
-                    expectedGrams: Long = 1L << 20): DataFrame = {
+                    expectedGrams: Long = 1L << 20,
+                    hashBits: Int = graft.functions.TextAnalysis.defaultHashBits): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(saltR >= 1, "saltR must be >= 1")
+    require(hashBits == 62 || hashBits == 93,
+      s"hashBits must be 62 or 93, got $hashBits")
     graft.functions.WidePolyHash.ensureRegistered(train.sparkSession)
-    val tshAll = Dedup.shingles(train, idCol, textCol)
-      .select(col("id"), wideStrHash(col("g")).as("g"))
+    graft.functions.ThirdPolyHash.ensureRegistered(train.sparkSession)
+    val keyCols = if (hashBits == 93) Seq("g", "g2") else Seq("g")
+    def hashed(sh: DataFrame, idAs: String): DataFrame =
+      sh.select(col("id").as(idAs) +: wideStrHash(col("g")).as("g") +:
+        (if (hashBits == 93)
+          Seq(graft.functions.ThirdPolyHash(col("g")).as("g2")) else Nil): _*)
+    val tshAll = hashed(Dedup.shingles(train, idCol, textCol), "id")
     // eager-materialized: hotSaltedJoin consumes the eval shingles twice
     // (hot-gram count, replicated join side). The eval lineage is the
     // expensive part here — often a join + the hot texts exploded
@@ -95,8 +109,7 @@ object Decontaminate {
     // checkpoint holds (eval_id, gram-hash) pairs only, bounded by the
     // modest eval side this path contracts for; the TRAIN corpus stays
     // lazy and in-scan.
-    val eshBase = Dedup.shingles(eval, idCol, textCol)
-      .select(col("id").as("eval_id"), wideStrHash(col("g")).as("g"))
+    val eshBase = hashed(Dedup.shingles(eval, idCol, textCol), "eval_id")
     // optional composition with the Bloom regime ([[flaggedBloom]]): the
     // sketch of the (checkpointed) eval grams gates the train side
     // in-scan, so the salted exchange carries O(matches + fpp·corpus)
@@ -123,7 +136,10 @@ object Decontaminate {
     // match longs instead of partially-aggregated pairs; matches are
     // bounded by the overlap join's output either way, and dropping a
     // whole stage boundary wins at the measured ~12-sequential-job floor.
-    Salting.hotSaltedJoin(tsh, esh, "g", col("id"), saltR, hotMin)
+    (if (keyCols.size == 1)
+      Salting.hotSaltedJoin(tsh, esh, "g", col("id"), saltR, hotMin)
+    else
+      Salting.hotSaltedJoinKeys(tsh, esh, keyCols, col("id"), saltR, hotMin))
       .repartition(col("id"))
       .groupBy("id", "eval_id").agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minShared)
@@ -154,27 +170,38 @@ object Decontaminate {
   def flaggedBloom(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, minShared: Int,
                    fpp: Double = 0.01,
-                   expectedGrams: Long = 1L << 20): DataFrame = {
+                   expectedGrams: Long = 1L << 20,
+                   hashBits: Int = graft.functions.TextAnalysis.defaultHashBits): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     require(expectedGrams >= 1, "expectedGrams must be >= 1")
+    require(hashBits == 62 || hashBits == 93,
+      s"hashBits must be 62 or 93, got $hashBits")
     val spark = train.sparkSession
     graft.functions.WidePolyHash.ensureRegistered(spark)
+    graft.functions.ThirdPolyHash.ensureRegistered(spark)
     graft.functions.BloomGate.ensureRegistered(spark)
-    val tsh = Dedup.shingles(train, idCol, textCol)
-      .select(col("id"), wideStrHash(col("g")).as("g"))
+    // 93-bit escalation (SCALE.md): the exact join keys on the composite
+    // (h62, h41) gram pair; the Bloom sketch still gates on h62 ALONE —
+    // the sketch is a volume cut whose false positives the exact join
+    // scrubs either way, so widening its key would buy nothing.
+    val keyCols = if (hashBits == 93) Seq("g", "g2") else Seq("g")
+    def hashed(sh: DataFrame, idAs: String): DataFrame =
+      sh.select(col("id").as(idAs) +: wideStrHash(col("g")).as("g") +:
+        (if (hashBits == 93)
+          Seq(graft.functions.ThirdPolyHash(col("g")).as("g2")) else Nil): _*)
+    val tsh = hashed(Dedup.shingles(train, idCol, textCol), "id")
     // ONE materializing job builds the checkpoint blocks, the exact gram
     // count, AND the Bloom sketch (vs the three sequential passes —
     // checkpoint, count, stat.bloomFilter — this fused aggregate
     // replaces; each sequential job multiplies under host load)
     val (esh, _, bloom) = checkpointGramsWithSketch(
-      Dedup.shingles(eval, idCol, textCol)
-        .select(col("id").as("eval_id"), wideStrHash(col("g")).as("g")),
+      hashed(Dedup.shingles(eval, idCol, textCol), "eval_id"),
       "g", expectedGrams, fpp)
     val gate = lit(graft.functions.BloomGate.serialize(bloom))
     tsh.filter(graft.functions.BloomGate(gate, col("g")))
       .hint("shuffle_hash")
-      .join(esh.hint("shuffle_hash"), "g")
+      .join(esh.hint("shuffle_hash"), keyCols)
       // ONE exchange for both aggregation levels — the same trade
       // [[flaggedSalted]] documents: partitioning on the train id alone
       // satisfies the pair-level AND doc-level clustering, so the two

@@ -100,6 +100,45 @@ object Salting {
     val hot = hotKeys(small, key, hotMin)
     val isHot: Column =
       if (hot.isEmpty) lit(false) else col(key).isInCollection(hot)
+    saltAndJoin(skewed, small, Seq(key), isHot, saltBy, r)
+  }
+
+  /** [[hotSaltedJoin]] over a COMPOSITE equi-join key — the shape the
+    * 93-bit hash-width escalation needs (SCALE.md): an escalated gram
+    * join keys on the `(h62, h41)` column PAIR, and the single-column
+    * machinery above cannot express it.
+    *
+    * Hot classification folds the composite key into one 64-bit
+    * `xxhash64` column and reuses the single-column [[hotKeys]] regimes
+    * verbatim — the SAME deterministic fold evaluates in-scan on both
+    * sides, so classification is consistent wherever a row lands. The
+    * fold is placement-only arithmetic: a 64-bit collision can merge two
+    * composite keys' counts and promote a cold key into the hot set
+    * (needless salting — placement changes, pairing never does), but can
+    * never DEMOTE a truly hot key (counts only merge upward), so the
+    * skew guarantee survives the fold. The join itself still matches on
+    * the exact composite columns; the fold never touches pairing.
+    *
+    * Same contract as [[saltedJoin]]: each (skewed, small) row pair
+    * meets exactly once, whatever the hot classification decided. */
+  def hotSaltedJoinKeys(skewed: DataFrame, small: DataFrame,
+                        keys: Seq[String], saltBy: Column, r: Int,
+                        hotMin: Long): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val folded: Column = xxhash64(keys.map(col): _*)
+    val hot = hotKeys(small.select(folded.as("_hk")), "_hk", hotMin)
+    val isHot: Column =
+      if (hot.isEmpty) lit(false) else folded.isInCollection(hot)
+    saltAndJoin(skewed, small, keys, isHot, saltBy, r)
+  }
+
+  /** Shared salted-join body: hot rows of `skewed` salt `r` ways on
+    * `saltBy`, hot rows of `small` replicate `r` ways, cold rows keep
+    * salt 0 with no replication; shuffle-hash pinned (a broadcast join
+    * has no per-key placement, so the salt would be pointless). */
+  private def saltAndJoin(skewed: DataFrame, small: DataFrame,
+                          keys: Seq[String], isHot: Column,
+                          saltBy: Column, r: Int): DataFrame = {
     val saltedBig = skewed
       .withColumn("_salt",
         when(isHot, pmod(hash(saltBy), lit(r))).otherwise(lit(0)))
@@ -109,6 +148,6 @@ object Salting {
         explode(when(isHot, sequence(lit(0), lit(r - 1)))
           .otherwise(array(lit(0)))))
       .hint("shuffle_hash")
-    saltedBig.join(replicated, Seq(key, "_salt")).drop("_salt")
+    saltedBig.join(replicated, keys :+ "_salt").drop("_salt")
   }
 }

@@ -671,6 +671,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialized LSH index: the corpus written to `dir` PARTITIONED BY
+    * its 8-plane bucket — [[annTopKMultiProbe]]'s partition-pruning story
+    * made literal in the storage layout, the same move [[ivfWriteIndex]]
+    * makes for cells. 256 partition directories; a radius-`r` probe
+    * opens only the Σ C(8,≤r) probed ones (9 at radius 1, 37 at radius
+    * 2), so at 100 TB a probe touches ~3.5 % / ~14 % of the corpus files
+    * and the rest are never read (plan-pinned in `LshIndexSpec`). No
+    * sidecar needed: the quantizer is the deterministic plane family,
+    * derivable from the query vector alone at probe time. */
+  def lshWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+                    dir: String): Unit = {
+    graft.functions.HyperplaneBucket.ensureRegistered(df.sparkSession)
+    withNorm(df, vecCol)
+      .withColumn("bucket", hyperplaneBucket(col("vecd")))
+      .select(col(idCol), col(vecCol), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/data")
+  }
+
+  /** Query the materialized LSH index: the query vector's bucket derives
+    * DRIVER-SIDE ([[graft.functions.HyperplaneBucket.computeJvm]], the
+    * same IEEE fold the writer ran in-scan), the Hamming-`radius` probe
+    * set enumerates into an `isin` predicate that prunes at the
+    * directory level, and only probed buckets' rows are exact-reranked.
+    * Zero jobs before the pruned scan — the probe plan is fully decided
+    * on the driver, like [[ivfTopKIndexed]] after its sidecar read. */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     idCol: String, vecCol: String, queryVec: Seq[Double],
+                     k: Int, radius: Int = 1): DataFrame = {
+    require(radius >= 0 && radius <= 8, "radius must be in [0, 8]")
+    graft.functions.VecDot.ensureRegistered(spark)
+    val qb = graft.functions.HyperplaneBucket.computeJvm(queryVec.toArray)
+    val probed = (0L until 256L)
+      .filter(b => java.lang.Long.bitCount(b ^ qb) <= radius)
+    val qlit = array(queryVec.map(lit): _*)
+    val qnorm = math.sqrt(queryVec.map(x => x * x).sum)
+    spark.read.parquet(s"$dir/data")
+      .filter(col("bucket").isin(probed: _*))
+      .withColumn("vecd", vecD(col(vecCol)))
+      .withColumn("norm", normD(col("vecd")))
+      .select(col(idCol), col("bucket"),
+        round(dotD(col("vecd"), qlit) / (col("norm") * qnorm), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int): DataFrame = {
     graft.functions.HyperplaneBucket.ensureRegistered(df.sparkSession)

@@ -19,6 +19,13 @@ import graft.store.Snapshots
   *                   regime of the hash-width policy; a claims store in
   *                   the [[IncrementalDedup]] mold, O(batch) deltas)
   *   3. near-dup   — [[IncrementalDedup.filterAndClaim]], unchanged
+  *   3b. embed     — OPTIONAL [[IncrementalEmbedDedup.filterAndClaim]]
+  *                   when the stream carries an embedding column: SRP
+  *                   band candidates with the exact-cosine verify
+  *                   against the claimed representative, so a drop is
+  *                   always certified by a real near-duplicate (never a
+  *                   band collision). NULL-vector rows pass through —
+  *                   the text stages already vetted them.
   *   4. decontam   — [[StreamDecontam.cleaner]]'s fold-once eval probe
   *   5. mixing     — [[graft.operators.Mixing.rateMix]] (content-
   *                   addressed, so append-stable BY DESIGN: a document's
@@ -73,7 +80,9 @@ object StreamCuration {
               mixRatesMilli: Map[String, Int] = Map.empty,
               mixDefaultMilli: Int = 1000,
               sourceCol: String = "source",
-              compactEvery: Int = 16): (DataFrame, Long) => DataFrame = {
+              compactEvery: Int = 16,
+              vecCol: Option[String] = None,
+              embedMinCos: Double = 0.9): (DataFrame, Long) => DataFrame = {
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.WidePolyHash.ensureRegistered(spark)
     val exactClaims = new Snapshots(spark, s"$stateDir/exact", claimsSchema)
@@ -81,6 +90,12 @@ object StreamCuration {
     val nearDup = new IncrementalDedup(spark, s"$stateDir/neardup",
       compactEvery)
     nearDup.init()
+    val embedDedup = vecCol.map { _ =>
+      val e = new IncrementalEmbedDedup(spark, s"$stateDir/embdedup",
+        compactEvery, embedMinCos)
+      e.init()
+      e
+    }
     val decontam = StreamDecontam.cleaner(evalDocs, idCol, textCol,
       decontamMinShared)
     val mixIsNoop = mixRatesMilli.isEmpty && mixDefaultMilli == 1000
@@ -127,8 +142,13 @@ object StreamCuration {
             exactClaims.replace(exactClaims.read())
         }
 
-        // 3. near-dup claims, 4. decontam probe, 5. append-stable mixing
-        val deduped = nearDup.filterAndClaim(exact, idCol, textCol)
+        // 3. near-dup claims, 3b. optional verified embed near-dup,
+        // 4. decontam probe, 5. append-stable mixing
+        val textDeduped = nearDup.filterAndClaim(exact, idCol, textCol)
+        val deduped = embedDedup match {
+          case Some(e) => e.filterAndClaim(textDeduped, idCol, vecCol.get)
+          case None => textDeduped
+        }
         val cleaned = decontam(deduped)
         if (mixIsNoop) cleaned
         else graft.operators.Mixing.rateMix(cleaned, idCol, sourceCol,

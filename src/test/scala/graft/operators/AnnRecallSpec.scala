@@ -15,9 +15,10 @@ class AnnRecallSpec extends AnyFunSuite {
   private def emb = Tables.embeddings(spark, dir)
   private val qids = Seq(100L, 200L, 300L, 400L)
 
-  test("audit shape: five paths, full truth sets, recall in [0,1]") {
+  test("audit shape: six paths, full truth sets, recall in [0,1]") {
     val rec = AnnRecall.audit(emb, "vec_id", "embedding", qids, k = 10)
-    assert(rec.map(_.path) == Seq("lsh", "lsh_mp1", "ivf", "two_level", "pq_adc"))
+    assert(rec.map(_.path) ==
+      Seq("lsh", "lsh_mp1", "lsh_mp2", "ivf", "two_level", "pq_adc"))
     rec.foreach { r =>
       assert(r.queries == 4 && r.k == 10)
       assert(r.possible == 40, s"${r.path}: truth sets incomplete (${r.possible})")
@@ -62,6 +63,8 @@ class AnnRecallSpec extends AnyFunSuite {
     // superset of candidate buckets can only add true neighbors
     assert(byPath("lsh_mp1") >= byPath("lsh"),
       s"multi-probe ${byPath("lsh_mp1")} below single-probe ${byPath("lsh")}")
+    assert(byPath("lsh_mp2") >= byPath("lsh_mp1"),
+      s"radius 2 ${byPath("lsh_mp2")} below radius 1 ${byPath("lsh_mp1")}")
     val again = AnnRecall.audit(emb, "vec_id", "embedding", qids, k = 10)
       .map(r => r.path -> r.recall).toMap
     assert(again == byPath, "audit is not deterministic")

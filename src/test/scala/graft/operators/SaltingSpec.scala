@@ -50,6 +50,33 @@ class SaltingSpec extends AnyFunSuite {
     assert(byKey(1L) == 20L * 8 && byKey(950L) == 1L)
   }
 
+  test("composite-key hot-salted join equals the plain join on skewed " +
+    "two-column keys, across both hot-detection regimes") {
+    // hot composite key (1, "a"); a DIFFERENT composite key sharing the
+    // first column, (1, "b"), stays cold — classification must fold BOTH
+    // columns, not the first alone
+    val skewed = (1L to 1000L).map { i =>
+      if (i <= 900) (1L, "a", i)
+      else if (i <= 950) (1L, "b", i)
+      else (i, s"k$i", i)
+    }.toDF("k1", "k2", "row_id")
+    val small = ((1 to 20).map(j => (1L, "a", s"hot$j")) ++
+      Seq((1L, "b", "coldB"), (960L, "k960", "coldK"))).toDF("k1", "k2", "label")
+    val plain = skewed.join(small, Seq("k1", "k2"))
+      .select("row_id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(plain.count(_._2.startsWith("hot")) == 900 * 20)
+    // hotMin values straddling the two hotKeys regimes (exact-agg vs
+    // pigeonhole floor) and the never-hot degenerate case
+    for (hotMin <- Seq(1L, 10L, 1000L); r <- Seq(1, 8)) {
+      val salted = Salting.hotSaltedJoinKeys(skewed, small,
+          Seq("k1", "k2"), col("row_id"), r = r, hotMin = hotMin)
+        .select("row_id", "label").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(salted == plain, s"hotMin=$hotMin r=$r") // multiset: pairing unchanged
+    }
+  }
+
   test("salt spreads a hot key across sub-partitions") {
     val skewed = (1L to 1000L).map(i => (1L, i)).toDF("key", "row_id")
     val salts = skewed.withColumn("_salt", pmod(hash(col("row_id")), lit(8)))

@@ -72,6 +72,35 @@ class WideKeyEscalationSpec extends AnyFunSuite {
     assert(w62.nonEmpty)
   }
 
+  test("flaggedSalted: 93-bit composite gram key is byte-identical to " +
+    "62-bit below the birthday regime (with and without the Bloom gate)") {
+    val docs = Tables.documents(spark, dir)
+    // eval = a slice of train: guaranteed gram overlap, so the parity
+    // check exercises real matches, not empty outputs
+    val evalDf = docs.filter(col("doc_id") % 50 === 0)
+    def run(bits: Int, bloom: Boolean) =
+      Decontaminate.flaggedSalted(docs, evalDf, "doc_id", "text",
+          minShared = 2, bloomGate = bloom, hashBits = bits)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val base = run(62, bloom = false)
+    assert(base.nonEmpty)
+    assert(run(93, bloom = false) == base)
+    assert(run(93, bloom = true) == base)
+  }
+
+  test("flaggedBloom: 93-bit composite gram key is byte-identical to " +
+    "62-bit below the birthday regime") {
+    val docs = Tables.documents(spark, dir)
+    val evalDf = docs.filter(col("doc_id") % 50 === 0)
+    def run(bits: Int) =
+      Decontaminate.flaggedBloom(docs, evalDf, "doc_id", "text",
+          minShared = 2, hashBits = bits)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val (w93, w62) = (run(93), run(62))
+    assert(w93 == w62)
+    assert(w62.nonEmpty)
+  }
+
   test("default width follows GRAFT_HASH_BITS (62 unless escalated)") {
     val want = if (sys.env.get("GRAFT_HASH_BITS").contains("93")) 93 else 62
     assert(TextAnalysis.defaultHashBits == want)

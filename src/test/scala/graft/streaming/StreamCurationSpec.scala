@@ -100,4 +100,48 @@ class StreamCurationSpec extends AnyFunSuite {
     val empty = curate(b1.limit(0), 2L)
     assert(empty.isEmpty && empty.columns.toSeq == b1.columns.toSeq)
   }
+
+  test("funnel composed with the VERIFIED embed tier: drops only certified " +
+    "embedding near-dups, passes NULL vectors, replays stable") {
+    val stateDir = Files.createTempDirectory("graft-scur3").toString
+    val curate = StreamCuration.curator(spark, evalDocs, stateDir,
+      vecCol = Some("vec"), embedMinCos = 0.9)
+    def words(seed: Int) = (0 until 12).map(i => s"w${seed}_$i").mkString(" ")
+    // deterministic 32-d fixtures (same dim as the random batch below,
+    // so every cross-claim cosine is well-formed)
+    val seedRnd = new scala.util.Random(42)
+    val v1 = Seq.fill(32)(seedRnd.nextGaussian())
+    val v2 = Seq.fill(32)(seedRnd.nextGaussian())
+    val v3 = Seq.fill(32)(seedRnd.nextGaussian())
+    val b1 = Seq(
+      (1L, words(1), "s0", Some(v1)),
+      (2L, words(2), "s0", Some(v2))).toDF("doc_id", "text", "source", "vec")
+    val out1 = curate(b1, 0L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out1 == Seq(1L, 2L))
+    // batch 2: doc 10 = NEW text but vector ≈ v1 (×1.001 scale, cosine 1)
+    // → the embed stage must drop it via the verified claim; doc 11 = new
+    // text + distinct vector → kept; doc 12 = new text + NULL vector →
+    // passes through; doc 14 = new text, vector ≈ doc 11's within the
+    // batch → min-id policy keeps 11, drops 14
+    val b2 = Seq(
+      (10L, words(10), "s0", Some(v1.map(_ * 1.001))),
+      (11L, words(11), "s0", Some(v3)),
+      (12L, words(12), "s0", None),
+      (14L, words(14), "s0", Some(v3.map(_ * 0.999)))
+    ).toDF("doc_id", "text", "source", "vec")
+    val out2 = curate(b2, 1L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out2 == Seq(11L, 12L), s"embed stage mis-dropped: $out2")
+    // crash-replay: identical output, stores unchanged
+    val replay = curate(b2, 1L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(replay == out2, "replayed composed batch diverged")
+    // a batch of UNRELATED vectors must not shrink (no band-collision
+    // false drops — the round-8 defect this tier's verify eliminates)
+    val rnd = new scala.util.Random(7)
+    val b3 = (100L until 140L).map { i =>
+      (i, words(i.toInt), "s0", Some(Seq.fill(32)(rnd.nextGaussian())))
+    }.toDF("doc_id", "text", "source", "vec")
+    val out3 = curate(b3, 2L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out3 == (100L until 140L).toSeq,
+      s"unrelated vectors were dropped: ${out3.size}/40 survived")
+  }
 }
