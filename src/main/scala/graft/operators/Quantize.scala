@@ -156,6 +156,56 @@ object Quantize {
     cents
   }
 
+  /** One DISTRIBUTED Lloyd update step over the WHOLE corpus — the
+    * oracle-visible tier of the trained-codebook path. [[lloyd]] trains
+    * on a bounded driver sample (data-dependent iteration, not
+    * SQL-expressible), so its quality is spec-verified; THIS operator is
+    * the single k-means iteration as a declarative plan, hash-checked
+    * against a DuckDB twin (q87): stride centroids (`idCol % every`),
+    * squared-L2 nearest assignment with the lowest-id tie-break — the
+    * same distance + tie discipline as [[lloyd]] — then the per-cell
+    * coordinate means. Cells no point assigns to (possible only when two
+    * corpus vectors are bitwise equal) simply emit no rows, determinism
+    * either way.
+    *
+    * Scale shape: the centroid table is bounded (corpus/every, capped at
+    * `maxCentroids` — the same driver-codebook ceiling as
+    * [[graft.operators.Similarity.MaxDriverCentroids]]) and rides into
+    * the scan inside the codegen'd [[graft.functions.NearestResidual]]
+    * (one zero level-1 centroid turns the residual argmin into a plain
+    * L2 argmin — no new expression needed); assignment is in-scan, so
+    * the only exchange is the (cell, pos) partial-aggregated mean — the
+    * map-side-combined rollup a distributed k-means iteration is
+    * supposed to be. At 100 TB: iterate this operator to convergence and
+    * you have k-means||'s per-round cost — one scan, one bounded agg
+    * exchange — without collecting anything but the codebook. */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
+                 every: Int, maxCentroids: Int = 65536): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    graft.functions.NearestResidual.ensureRegistered(df.sparkSession)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      vecd(col(vecCol)).as("vecd"))
+    val centRows = base.filter(col("id") % every === 0)
+      .orderBy("id").collect()
+    require(centRows.nonEmpty, "no centroids at this stride")
+    require(centRows.length <= maxCentroids,
+      s"${centRows.length} centroids exceed the driver ceiling $maxCentroids")
+    val ids = centRows.map(_.getLong(0)).toIndexedSeq
+    val dim = centRows.head.getSeq[Double](1).length
+    val flat = centRows.flatMap(_.getSeq[Double](1)).toIndexedSeq
+    val zeroCent = IndexedSeq.fill(dim)(0.0)
+    base
+      .withColumn("cell", graft.functions.NearestResidual(
+        col("vecd"), lit(0L), Seq(0L), zeroCent, ids, flat))
+      .select(col("cell"), posexplode(col("vecd")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), (col("pos") + 1).cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_assigned"),
+        round(sum(col("x")) / count(lit(1)), 6).as("centroid_r"))
+      .select(col("cell").as("cent_id"), col("pos"),
+        col("n_assigned"), col("centroid_r"))
+      .orderBy("cent_id", "pos")
+  }
+
   /** TRAINED PQ codebook: per-subspace Lloyd's k-means over a bounded
     * driver sample (ascending-id `TakeOrdered`, ≤ `maxSample` rows) —
     * the quality path next to [[pqCodebook]]'s deterministic stride

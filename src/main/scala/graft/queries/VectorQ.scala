@@ -23,6 +23,15 @@ object VectorQ {
     s"list_transform(range(1, len($a) + 1), " +
     s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
 
+  /** DuckDB twin of the whole-vector squared-L2 fold ([[graft.functions
+    * .NearestResidual]] with the zero level-1 centroid: `(v_i − 0) − c_i`
+    * is bitwise `v_i − c_i`, so the plain difference replays it). */
+  private def sqlL2(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(range(1, len($a) + 1), " +
+    s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))" +
+    s" * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (x, y) -> x + y)"
+
   /** DuckDB twin of [[Similarity.hyperplaneDot]]. */
   private def sqlHpDot(j: Int, v: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -207,6 +216,38 @@ object VectorQ {
        |LIMIT 10""".stripMargin) { (s, dir) =>
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       queryId = 0L, k = 10, centroidEvery = 50, nprobe = 3)
+  }
+
+  /** q87: one DISTRIBUTED k-means (Lloyd) update step ([[graft.operators
+    * .Quantize.kmeansStep]]) — the oracle-visible tier of the trained-
+    * codebook path: stride centroids, squared-L2 nearest assignment
+    * (lowest-id ties, [[graft.operators.Quantize.lloyd]]'s exact distance
+    * + tie discipline), per-cell coordinate means. The oracle re-derives
+    * the assignment with the same index-ordered fold and ROW_NUMBER tie
+    * rule, and the means with q33's ROUND(SUM/COUNT) convention. The
+    * Spark plan is the one a 100 TB k-means round needs: in-scan codegen'd
+    * assignment against the broadcast codebook, ONE partial-aggregated
+    * (cell, pos) exchange. */
+  val q87 = Q(
+    "q87_kmeans_step",
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv
+       |               FROM embeddings WHERE vec_id % 50 = 0),
+       |d AS (SELECT n.vec_id, cents.cent_id,
+       |             ${sqlL2("n.embedding", "cents.cv")} AS dist
+       |      FROM embeddings n, cents),
+       |a AS (SELECT vec_id, cell FROM (
+       |        SELECT vec_id, cent_id AS cell, ROW_NUMBER() OVER (
+       |          PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+       |        FROM d) WHERE rn = 1)
+       |SELECT a.cell AS cent_id, CAST(t.i AS BIGINT) AS pos,
+       |       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       |       ROUND(SUM(CAST(n.embedding[t.i] AS DOUBLE)) / COUNT(*), 6) AS centroid_r
+       |FROM a JOIN embeddings n USING (vec_id),
+       |     UNNEST(range(1, len(n.embedding) + 1)) t(i)
+       |GROUP BY a.cell, t.i
+       |ORDER BY cent_id, pos""".stripMargin) { (s, dir) =>
+    graft.operators.Quantize.kmeansStep(Tables.embeddings(s, dir),
+      "vec_id", "embedding", every = 50)
   }
 
   /** q51: per-label top-3 vectors by L2 norm through the typed [[graft
@@ -602,5 +643,5 @@ object VectorQ {
   }
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84, q85, q86)
+    q70, q71, q83, q84, q85, q86, q87)
 }

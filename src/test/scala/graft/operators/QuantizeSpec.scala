@@ -175,6 +175,53 @@ class QuantizeSpec extends AnyFunSuite {
     assert(Quantize.lloyd(blobA.take(3), 8, 4).length == 3)
   }
 
+  test("kmeansStep: one distributed Lloyd update reduces the quantization " +
+    "objective; shape and coverage pins") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val every = 50
+    val out = Quantize.kmeansStep(emb, "vec_id", "embedding", every)
+      .collect()
+    // shape: every emitted cent_id is a stride centroid; pos covers the
+    // full dimension range 1..64 per cell; n_assigned constant across a
+    // cell's coordinates
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(0) % every == 0))
+    val byCell = out.groupBy(_.getLong(0))
+    byCell.foreach { case (c, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 64L),
+        s"cell $c pos coverage broken")
+      assert(rows.map(_.getLong(2)).distinct.length == 1,
+        s"cell $c n_assigned varies across coordinates")
+    }
+    // coverage: assignments partition the corpus
+    val n = emb.count()
+    assert(byCell.values.map(_.head.getLong(2)).sum == n)
+    // Lloyd monotonicity: with the SAME assignment, the mean is the
+    // L2-optimal cell representative, so the summed squared distance to
+    // the NEW centroids cannot exceed the distance to the OLD ones
+    // (rounding to 6 decimals perturbs each coordinate by <= 5e-7 —
+    // absorbed by the strict improvement on this fixture)
+    import org.apache.spark.sql.functions._
+    val base = emb.select(col("vec_id"),
+      Similarity.vecD(col("embedding")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val oldCents = base.view.filterKeys(_ % every == 0).toMap
+    val newCents = byCell.map { case (c, rows) =>
+      c -> rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toArray
+    }
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assignTo(v: Array[Double], cents: Map[Long, Array[Double]]): Long =
+      cents.toSeq.sortBy(_._1).minBy { case (id, c) => (sq(v, c), id) }._1
+    val objOld = base.values.map(v =>
+      sq(v, oldCents(assignTo(v, oldCents)))).sum
+    val objNew = base.values.map(v =>
+      sq(v, newCents(assignTo(v, newCents)))).sum
+    info(f"objective: $objOld%.4f -> $objNew%.4f")
+    assert(objNew < objOld,
+      f"k-means step did not reduce the objective: $objNew%.4f >= $objOld%.4f")
+  }
+
   test("trained PQ codebook strictly beats the stride codebook on " +
     "reconstruction error") {
     // same m and k isolate codebook QUALITY — the spec-level adjudicator
