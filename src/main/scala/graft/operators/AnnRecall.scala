@@ -88,9 +88,15 @@ object AnnRecall {
         .localCheckpoint(true)
       val (pk, psub, pflat) =
         Quantize.pqCodebookTrained(corpus, idCol, vecCol, pqM, kPq)
+      // distributed whole-corpus training at the same stride (so codebook
+      // size matches the stride and sample-trained tiers exactly)
+      val dcents = Quantize.kmeansTrain(corpus, idCol, vecCol,
+        every = centroidEvery, iters = 10).localCheckpoint(true)
       strideTier ++ Seq(
         measure("ivf_trained", qid =>
           Similarity.ivfTopKCents(corpus, idCol, vecCol, cents, qid, k, nprobe)),
+        measure("ivf_dtrained", qid =>
+          Similarity.ivfTopKCents(corpus, idCol, vecCol, dcents, qid, k, nprobe)),
         measure("pq_adc_trained", qid =>
           Quantize.pqAdcTopKWith(corpus, idCol, vecCol, qid, k, pqM, pk, psub, pflat)))
     }

@@ -206,6 +206,70 @@ object Quantize {
       .orderBy("cent_id", "pos")
   }
 
+  /** DISTRIBUTED k-means TRAINING: [[kmeansStep]]'s scan-and-aggregate
+    * round iterated to `iters`, with the codebook as the ONLY driver
+    * state — the scale path past [[lloyd]]'s driver-sample training
+    * (which caps the training set at `maxSample` rows; this trains on
+    * the WHOLE corpus). Per round: one scan with the in-scan codegen'd
+    * L2 assignment, one partial-aggregated (cell, pos) sum/count
+    * exchange, one codebook-bounded collect (≤ k·dim rows — the same
+    * driver ceiling family as `MaxDriverCentroids`, ×dim). Cells no
+    * point assigns to keep their previous centroid, exactly [[lloyd]]'s
+    * empty-cell rule. The corpus (id, vecd) frame is localCheckpointed
+    * once so the `iters` scans re-read materialized blocks, not the
+    * source plan; at 100 TB the same loop runs over a persisted parquet
+    * projection. Deterministic throughout — stride init, strict-`<`
+    * lowest-id ties, no RNG.
+    *
+    * Output schema is [[graft.operators.Similarity.centroidsOf]]'s
+    * (cent_id, cent_vec, cent_norm), so every IVF tier composes
+    * unchanged ([[graft.operators.Similarity.ivfTopKCents]]); cent_ids
+    * are the stride ids of the initial centroids. */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
+                  every: Int, iters: Int = 10,
+                  maxCentroids: Int = 65536): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    graft.functions.NearestResidual.ensureRegistered(df.sparkSession)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      vecd(col(vecCol)).as("vecd"))
+      .localCheckpoint(true)
+    val centRows = base.filter(col("id") % every === 0)
+      .orderBy("id").collect()
+    require(centRows.nonEmpty, "no centroids at this stride")
+    require(centRows.length <= maxCentroids,
+      s"${centRows.length} centroids exceed the driver ceiling $maxCentroids")
+    val ids = centRows.map(_.getLong(0))
+    val dim = centRows.head.getSeq[Double](1).length
+    val zeroCent = IndexedSeq.fill(dim)(0.0)
+    val idToOff = ids.zipWithIndex.map { case (id, i) => id -> i * dim }.toMap
+    var flat = centRows.flatMap(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val agg = base
+        .withColumn("cell", graft.functions.NearestResidual(
+          col("vecd"), lit(0L), Seq(0L), zeroCent,
+          ids.toIndexedSeq, flat.toIndexedSeq))
+        .select(col("cell"), posexplode(col("vecd")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = flat.clone()
+      agg.foreach { r =>
+        next(idToOff(r.getLong(0)) + r.getInt(1)) =
+          r.getDouble(2) / r.getLong(3)
+      }
+      flat = next
+      it += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    ids.toIndexedSeq.zipWithIndex.map { case (id, i) =>
+      val c = flat.slice(i * dim, (i + 1) * dim)
+      (id, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+    }.toDF("cent_id", "cent_vec", "cent_norm")
+  }
+
   /** TRAINED PQ codebook: per-subspace Lloyd's k-means over a bounded
     * driver sample (ascending-id `TakeOrdered`, ≤ `maxSample` rows) —
     * the quality path next to [[pqCodebook]]'s deterministic stride

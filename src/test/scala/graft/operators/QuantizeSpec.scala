@@ -222,6 +222,40 @@ class QuantizeSpec extends AnyFunSuite {
       f"k-means step did not reduce the objective: $objNew%.4f >= $objOld%.4f")
   }
 
+  test("kmeansTrain: whole-corpus distributed training is monotone in the " +
+    "objective, keeps stride ids, and iters=0 is the stride codebook") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val every = 50
+    import org.apache.spark.sql.functions._
+    def centMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val base = emb.select(col("vec_id"),
+      Similarity.vecD(col("embedding")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def obj(cents: Map[Long, Array[Double]]): Double =
+      base.values.map { v =>
+        cents.toSeq.sortBy(_._1).map { case (_, c) => sq(v, c) }.min
+      }.sum
+    val c0 = centMap(Quantize.kmeansTrain(emb, "vec_id", "embedding", every, iters = 0))
+    // iters=0: exactly the stride vectors, under their stride ids
+    val stride = base.view.filterKeys(_ % every == 0).toMap
+    assert(c0.keySet == stride.keySet)
+    c0.foreach { case (id, c) => assert(c.toSeq == stride(id).toSeq) }
+    val c1 = centMap(Quantize.kmeansTrain(emb, "vec_id", "embedding", every, iters = 1))
+    val c3 = centMap(Quantize.kmeansTrain(emb, "vec_id", "embedding", every, iters = 3))
+    val (o0, o1, o3) = (obj(c0), obj(c1), obj(c3))
+    info(f"objective: stride $o0%.4f -> 1 iter $o1%.4f -> 3 iters $o3%.4f")
+    assert(o1 < o0, "one training round did not improve the objective")
+    assert(o3 <= o1, "objective not monotone across rounds")
+    // composes with the IVF probe unchanged
+    val res = Similarity.ivfTopKCents(emb, "vec_id", "embedding",
+      Quantize.kmeansTrain(emb, "vec_id", "embedding", every, iters = 2),
+      queryId = 0L, k = 5, nprobe = 2)
+    assert(res.count() == 5)
+  }
+
   test("trained PQ codebook strictly beats the stride codebook on " +
     "reconstruction error") {
     // same m and k isolate codebook QUALITY — the spec-level adjudicator
