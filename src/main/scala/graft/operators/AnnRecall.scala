@@ -78,7 +78,10 @@ object AnnRecall {
         Similarity.ivfTopKTwoLevel(corpus, idCol, vecCol, qid, k,
           every1, every2, nprobe1, nprobe2)),
       measure("pq_adc", qid =>
-        Quantize.pqAdcTopK(corpus, idCol, vecCol, qid, k, pqM, pqEvery)))
+        Quantize.pqAdcTopK(corpus, idCol, vecCol, qid, k, pqM, pqEvery)),
+      measure("pq_adc_rerank", qid =>
+        Quantize.pqAdcRerankTopK(corpus, idCol, vecCol, qid, k,
+          cand = 5 * k, m = pqM, every = pqEvery)))
     if (!includeTrained) strideTier
     else {
       // trained twins at the SAME codebook sizes as the stride tiers
@@ -98,7 +101,10 @@ object AnnRecall {
         measure("ivf_dtrained", qid =>
           Similarity.ivfTopKCents(corpus, idCol, vecCol, dcents, qid, k, nprobe)),
         measure("pq_adc_trained", qid =>
-          Quantize.pqAdcTopKWith(corpus, idCol, vecCol, qid, k, pqM, pk, psub, pflat)))
+          Quantize.pqAdcTopKWith(corpus, idCol, vecCol, qid, k, pqM, pk, psub, pflat)),
+        measure("pq_adc_trained_rerank", qid =>
+          Quantize.pqAdcRerankTopKWith(corpus, idCol, vecCol, qid, k,
+            cand = 5 * k, m = pqM, k = pk, subDim = psub, flat = pflat)))
     }
   }
 }

@@ -492,4 +492,50 @@ object Quantize {
       .limit(kNN)
       .select(col(idCol), round(col("adc_dist"), 6).as("adc_dist"))
   }
+
+  /** ADC + EXACT-RERANK top-k — the standard two-stage PQ search (the
+    * "refine" step of IVFADC systems): stage 1 ranks the whole corpus by
+    * the m-lookup ADC approximation and keeps the `cand` nearest ids
+    * (cand ≫ kNN); stage 2 fetches ONLY those candidates' full vectors
+    * and re-ranks them by exact cosine against the query. Recall at fixed
+    * kNN is bounded by whether the true neighbors survive the ADC cut —
+    * widening `cand` buys recall at the price of `cand` exact distances,
+    * never another corpus pass.
+    *
+    * Scale shape: stage 1 is the same m-bytes+m-lookups-per-row scan as
+    * [[pqAdcTopK]]; the candidate id set (≤ cand rows) broadcasts, so the
+    * vector fetch is a broadcast semi-join against the corpus — at 100 TB
+    * with a materialized index this is `cand` point lookups, and the full
+    * vectors never participate in stage 1 at all. Exact-cosine arithmetic
+    * and rounding follow [[Similarity.cosineTopK]] (index-ordered folds,
+    * round to 6), so the oracle hash-checks both stages end to end.
+    * Output: (idCol, cos_r) for the kNN best by (cos_r DESC, id ASC). */
+  def pqAdcRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, kNN: Int, cand: Int, m: Int,
+                      every: Int): DataFrame = {
+    val (k, subDim, flat) = pqCodebook(df, idCol, vecCol, m, every)
+    pqAdcRerankTopKWith(df, idCol, vecCol, queryId, kNN, cand, m, k,
+      subDim, flat)
+  }
+
+  /** [[pqAdcRerankTopK]] against an EXPLICIT codebook (stride or
+    * trained). */
+  def pqAdcRerankTopKWith(df: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long, kNN: Int, cand: Int, m: Int,
+                          k: Int, subDim: Int,
+                          flat: IndexedSeq[Double]): DataFrame = {
+    require(cand >= kNN, s"cand ($cand) must be >= kNN ($kNN)")
+    val candidates = pqAdcTopKWith(df, idCol, vecCol, queryId, cand, m, k,
+      subDim, flat).select(col(idCol))
+    val base = Similarity.withNorm(df, vecCol)
+    val q = base.filter(col(idCol) === queryId)
+      .select(col("vecd").as("qvec"), col("norm").as("qnorm"))
+    base.join(broadcast(candidates), idCol)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(Similarity.cosine(col("vecd"), col("qvec"), col("norm"),
+          col("qnorm")), 6).as("cos_r"))
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+      .limit(kNN)
+  }
 }

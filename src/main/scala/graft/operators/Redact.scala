@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PII redaction for training-data curation — the scrub step every corpus
+  * takes before packing: emails, North-American phone numbers, and IPv4
+  * addresses are replaced with typed placeholder tokens, and per-document
+  * match counts are emitted for the curation funnel's observability tier
+  * (counts decide whether a SOURCE is dropped wholesale; the rewrite
+  * handles the long tail).
+  *
+  * Patterns are deliberately RE2-safe (no backreferences, no lookaround)
+  * so the SAME pattern text runs under Spark's Java regex and the
+  * oracle's RE2 with identical match sets — greedy leftmost semantics
+  * coincide for these character-class/quantifier-only patterns.
+  * Replacement is sequential (email → phone → IPv4) on non-overlapping
+  * pattern families; counts are measured on the ORIGINAL text, so they
+  * are replacement-order independent.
+  *
+  * Scale shape: one in-scan projection — no shuffle, no explode; regex
+  * evaluation is codegen'd `RegExpReplace`/`RegExpExtractAll` per row.
+  * At 100 TB this runs as a map-only stage fused into whatever scan
+  * precedes it (reference scrub behavior: hnarchive.py has no PII tier —
+  * this is part of the LLM-pipeline extension surface).
+  */
+object Redact {
+
+  /** Email: local@domain.tld, ASCII. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone: 3-3-4 digit groups, dash-separated, word-bounded. */
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** Dotted-quad IPv4 (syntactic — octet range not enforced). */
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  val EmailTok = "<EMAIL>"
+  val PhoneTok = "<PHONE>"
+  val Ipv4Tok = "<IP>"
+
+  /** Output: (idCol, red_text, n_emails, n_phones, n_ips) — one row per
+    * input document; documents with no PII pass through verbatim. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, EmailTok),
+          PhoneRe, PhoneTok),
+        Ipv4Re, Ipv4Tok).as("red_text"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextAnalysis
 import graft.functions.TextAnalysis._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Redact}
 
 /** Text-analysis + deduplication queries over `documents` — the
   * training-data-pipeline operator family: token statistics, exact dedup,
@@ -1264,7 +1264,87 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q89: cross-document boilerplate REMOVAL ([[graft.operators.Dedup
+    * .scrubDupSpans]]) — the rewrite twin of q62's measurement: every
+    * 8-word chunk present in ≥ 2 distinct documents is deleted wherever
+    * it appears and each text reassembles from its surviving words. The
+    * oracle re-derives the chunk hashes with q62's exact formula, takes
+    * the SAME dup set, and rebuilds each text word-by-word with a
+    * position-ordered string_agg — so the rewritten STRINGS hash-match,
+    * not just the removal counts. */
+  val q89 = Q(
+    "q89_scrub_dup_spans",
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |base AS (SELECT doc_id, w, len(w) // 8 AS n_chunks FROM toks),
+       |ch AS (SELECT doc_id, CAST((t.i - 1) // 8 AS BIGINT) AS k,
+       |              ${sqlWideHash("array_to_string(w[t.i:t.i+7], ' ')")} AS hv
+       |       FROM base, UNNEST(range(1, 8 * n_chunks - 6, 8)) AS t(i)),
+       |dup AS (SELECT hv FROM (
+       |          SELECT hv, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY hv)
+       |        WHERE nd >= 2),
+       |rem AS (SELECT DISTINCT doc_id, k FROM ch JOIN dup USING (hv)),
+       |words AS (SELECT doc_id, t.i AS i, w[t.i] AS word
+       |          FROM base, UNNEST(range(1, len(w) + 1)) AS t(i)),
+       |kept AS (SELECT words.doc_id, i, word
+       |         FROM words LEFT JOIN rem
+       |           ON words.doc_id = rem.doc_id AND (words.i - 1) // 8 = rem.k
+       |         WHERE rem.doc_id IS NULL),
+       |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS clean_text
+       |        FROM kept GROUP BY doc_id),
+       |nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM rem GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+       |       CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed
+       |FROM documents d
+       |LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |LEFT JOIN nrem ON d.doc_id = nrem.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    Dedup.scrubDupSpans(Tables.documents(s, dir), "doc_id", "text",
+      span = 8, minDocs = 2)
+      .orderBy("doc_id")
+  }
+
+  /** q90: PII redaction ([[graft.operators.Redact.redactPii]]) — the
+    * scrub-before-packing curation step. The synthetic corpus carries no
+    * PII, so (like q46/q85) the query is a PLANTED-RECOVERY audit: both
+    * dialects deterministically append an email+phone tail to every
+    * doc_id % 7 == 0 document and an IPv4 tail to the remaining
+    * doc_id % 11 == 0 documents, then redact. The oracle runs the SAME
+    * RE2-safe pattern text under DuckDB ('g' flag = Spark's replace-all)
+    * — rewritten strings AND per-category counts hash-match. */
+  val q90 = Q(
+    "q90_pii_redact",
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 7 = 0
+       |                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |                     || '@example.com or 555-867-5309'
+       |              WHEN doc_id % 11 = 0
+       |                THEN text || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+       |                     || '.17 port 80'
+       |              ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |       regexp_replace(regexp_replace(regexp_replace(text,
+       |         '${Redact.EmailRe}', '${Redact.EmailTok}', 'g'),
+       |         '${Redact.PhoneRe}', '${Redact.PhoneTok}', 'g'),
+       |         '${Redact.Ipv4Re}', '${Redact.Ipv4Tok}', 'g') AS red_text,
+       |       CAST(len(regexp_extract_all(text, '${Redact.EmailRe}')) AS BIGINT) AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '${Redact.PhoneRe}')) AS BIGINT) AS n_phones,
+       |       CAST(len(regexp_extract_all(text, '${Redact.Ipv4Re}')) AS BIGINT) AS n_ips
+       |FROM corpus ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or 555-867-5309")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" from 192.168."),
+            (col("doc_id") % 256).cast("string"), lit(".17 port 80")))
+        .otherwise(col("text")).as("text"))
+    Redact.redactPii(planted, "doc_id", "text").orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90)
 }

@@ -642,6 +642,48 @@ object VectorQ {
       "vec_id", "embedding", queryId = 0L, kNN = 10, m = PqM, every = PqEvery)
   }
 
+  /** q88: ADC + EXACT-RERANK top-k ([[graft.operators.Quantize
+    * .pqAdcRerankTopK]]) — the "refine" stage of IVFADC-style search:
+    * the m-lookup ADC ranking keeps the 50 nearest candidate ids, then
+    * ONLY those candidates' full vectors are fetched (broadcast id
+    * semi-join — at 100 TB, 50 point lookups) and re-ranked by exact
+    * cosine. The oracle replays both stages: the unrounded ADC cut with
+    * q84's tie rule, then q35's exact-cosine convention on the
+    * survivors. Recall vs the brute oracle is measured by the
+    * `ann_recall` bench sidecar (`pq_adc_rerank`). */
+  val q88 = Q(
+    "q88_pq_adc_rerank",
+    s"""WITH ${pqCte(64 / PqM)},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |tab AS (SELECT cb.e, t.j AS sub,
+       |               ${sqlPqDist("q.qv", "cb.cv", 64 / PqM, "t.j")} AS d
+       |        FROM q, range(0, $PqM) t(j), cb),
+       |codes AS (SELECT vec_id,
+       |                 ${(0 until PqM).map(j =>
+                            s"MAX(CASE WHEN sub = $j THEN code END) AS c$j")
+                            .mkString(", ")}
+       |          FROM a GROUP BY vec_id),
+       |scored AS (SELECT codes.vec_id,
+       |                  ${(0 until PqM).map(j =>
+                             s"(SELECT d FROM tab WHERE sub = $j AND e = c$j)")
+                             .mkString(" + ")} AS adc_dist
+       |           FROM codes WHERE vec_id <> 0),
+       |cand AS (SELECT vec_id FROM scored
+       |         ORDER BY scored.adc_dist ASC, vec_id ASC LIMIT 50),
+       |n AS (SELECT vec_id, embedding,
+       |             sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |      FROM embeddings),
+       |qq AS (SELECT embedding AS qv2, sqrt(${sqlDot("embedding", "embedding")}) AS qn
+       |       FROM embeddings WHERE vec_id = 0)
+       |SELECT n.vec_id,
+       |       ROUND(${sqlDot("n.embedding", "qq.qv2")} / (n.nrm * qq.qn), 6) AS cos_r
+       |FROM cand JOIN n USING (vec_id), qq
+       |ORDER BY cos_r DESC, n.vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.operators.Quantize.pqAdcRerankTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", queryId = 0L, kNN = 10, cand = 50,
+      m = PqM, every = PqEvery)
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84, q85, q86, q87)
+    q70, q71, q83, q84, q85, q86, q87, q88)
 }

@@ -15,10 +15,11 @@ class AnnRecallSpec extends AnyFunSuite {
   private def emb = Tables.embeddings(spark, dir)
   private val qids = Seq(100L, 200L, 300L, 400L)
 
-  test("audit shape: six paths, full truth sets, recall in [0,1]") {
+  test("audit shape: seven paths, full truth sets, recall in [0,1]") {
     val rec = AnnRecall.audit(emb, "vec_id", "embedding", qids, k = 10)
     assert(rec.map(_.path) ==
-      Seq("lsh", "lsh_mp1", "lsh_mp2", "ivf", "two_level", "pq_adc"))
+      Seq("lsh", "lsh_mp1", "lsh_mp2", "ivf", "two_level", "pq_adc",
+        "pq_adc_rerank"))
     rec.foreach { r =>
       assert(r.queries == 4 && r.k == 10)
       assert(r.possible == 40, s"${r.path}: truth sets incomplete (${r.possible})")
@@ -65,6 +66,12 @@ class AnnRecallSpec extends AnyFunSuite {
       s"multi-probe ${byPath("lsh_mp1")} below single-probe ${byPath("lsh")}")
     assert(byPath("lsh_mp2") >= byPath("lsh_mp1"),
       s"radius 2 ${byPath("lsh_mp2")} below radius 1 ${byPath("lsh_mp1")}")
+    // exact re-rank of the ADC top-5k candidates DOMINATES the plain ADC
+    // top-k, provably: a true neighbor surviving the ADC top-k cut is in
+    // the top-5k candidate set, and at most k-1 other corpus rows beat it
+    // on exact cosine, so the re-rank always keeps it
+    assert(byPath("pq_adc_rerank") >= byPath("pq_adc"),
+      s"rerank ${byPath("pq_adc_rerank")} below plain ADC ${byPath("pq_adc")}")
     val again = AnnRecall.audit(emb, "vec_id", "embedding", qids, k = 10)
       .map(r => r.path -> r.recall).toMap
     assert(again == byPath, "audit is not deterministic")

@@ -134,6 +134,46 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.contains(3L), "doc 3 shares no chunk")
   }
 
+  test("scrubDupSpans: cross-doc chunks removed, tails and unique text " +
+    "kept, untouched docs pass through verbatim") {
+    // span=2: docs 1/2 share chunks [a b][c d]; doc 4 shares [a b] and has
+    // a 1-word tail "k"; doc 3 shares nothing; doc 5 repeats [m n] twice
+    // WITHIN itself only (cross-doc rule: kept).
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, "p q r s t u"),
+      (4L, "a b z w k"),
+      (5L, "m n m n")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(d, "doc_id", "text", span = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("e f", 2L)))
+    assert(out(2L) == (("x y", 2L)))
+    assert(out(3L) == (("p q r s t u", 0L)), "untouched doc passes verbatim")
+    assert(out(4L) == (("z w k", 1L)), "sub-span tail survives")
+    assert(out(5L) == (("m n m n", 0L)), "within-doc repeats are not boilerplate")
+    assert(out.size == 5, "one row per input document")
+  }
+
+  test("scrubDupSpans: fully-boilerplate doc collapses to its tail; " +
+    "removal is consistent with spanDupStats' dup set") {
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d tail"),
+      (3L, "other words here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(d, "doc_id", "text", span = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("", 2L)), "everything removed -> empty string")
+    assert(out(2L) == (("tail", 2L)))
+    assert(out(3L) == (("other words here now", 0L)))
+    // the docs spanDupStats reports are exactly the docs scrub rewrites
+    val statIds = Dedup.spanDupStats(d, "doc_id", "text", span = 2, minDocs = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2._2 > 0).keySet == statIds)
+  }
+
   test("spanDupStats: docs shorter than one span never chunk; within-doc " +
     "repetition alone is not a duplicate") {
     val d = Seq(

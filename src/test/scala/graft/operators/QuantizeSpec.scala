@@ -276,4 +276,28 @@ class QuantizeSpec extends AnyFunSuite {
     assert(errT < errS,
       f"trained codebook did not reduce reconstruction error: $errT%.4f >= $errS%.4f")
   }
+
+  test("pqAdcRerankTopK: cand = corpus size degenerates to brute cosine " +
+    "top-k; tight cand returns a re-ranked subset of the ADC candidates") {
+    val n = emb.count().toInt
+    // full-candidate control: when every row survives the ADC cut, the
+    // exact re-rank IS the brute ranking — the control that validates the
+    // two-stage composition itself
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val full = Quantize.pqAdcRerankTopK(emb, "vec_id", "embedding",
+      queryId = 0L, kNN = 10, cand = n, m = 4, every = 25)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(full == brute)
+    // tight cut: results ⊆ the ADC top-50, ordered by exact cosine
+    val adc50 = Quantize.pqAdcTopK(emb, "vec_id", "embedding", queryId = 0L,
+      kNN = 50, m = 4, every = 25)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rer = Quantize.pqAdcRerankTopK(emb, "vec_id", "embedding",
+      queryId = 0L, kNN = 10, cand = 50, m = 4, every = 25)
+      .select("vec_id", "cos_r").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rer.map(_._1).toSet.subsetOf(adc50))
+    assert(rer.map(_._2) == rer.map(_._2).sorted.reverse) // cosine-descending
+  }
 }
