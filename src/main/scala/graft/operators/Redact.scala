@@ -39,17 +39,27 @@ object Redact {
   val PhoneTok = "<PHONE>"
   val Ipv4Tok = "<IP>"
 
+  private def redExpr(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, EmailTok),
+        PhoneRe, PhoneTok),
+      Ipv4Re, Ipv4Tok)
+
+  /** In-place form for pipeline composition: rewrites `textCol` with the
+    * redacted text, preserving every other column — the shape a curation
+    * funnel stage needs (stateless, map-only, drops nothing; use
+    * [[redactPii]] when the per-category counts matter). */
+  def redactText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, redExpr(col(textCol)))
+
   /** Output: (idCol, red_text, n_emails, n_phones, n_ips) — one row per
     * input document; documents with no PII pass through verbatim. */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(
       col(idCol),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, EmailTok),
-          PhoneRe, PhoneTok),
-        Ipv4Re, Ipv4Tok).as("red_text"),
+      redExpr(t).as("red_text"),
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
       size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Decontaminate, Dedup, Mixing, Packing}
+import graft.operators.{Decontaminate, Dedup, Mixing, Packing, Redact}
 
 /** The end-to-end training-data curation pipeline, composed from the
   * operator library — the workflow a pretraining data team runs over a
@@ -23,8 +23,19 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing}
   *                         trained on the reference slice are dropped;
   *                         documents with no bigram to score survive
   *                         (nothing to judge them by)
+  *   1b. PII redaction   — OPTIONAL ([[graft.operators.Redact
+  *                         .redactText]], the q90 patterns, map-only),
+  *                         before dedup so redacted copies dedup
+  *                         together
   *   2. exact dedup      — keep one copy per normalized text
   *                         ([[Dedup.exactGroups]], keep-lowest-id)
+  *   2b. boilerplate     — OPTIONAL cross-document dup-span scrub
+  *                         ([[Dedup.scrubDupSpans]], the q89 rewrite;
+  *                         fully-boilerplate documents drop). After
+  *                         exact dedup so identical copies cannot
+  *                         boilerplate-ize each other; before near-dup
+  *                         so shared boilerplate stops inflating
+  *                         MinHash similarity
   *   3. near-dup dedup   — MinHash+LSH pairs, greedy keep-lowest-id
   *                         ([[Dedup.minhashPairs]])
   *   4. decontamination  — drop documents overlapping the eval set
@@ -60,11 +71,14 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing}
   */
 object Curation {
 
-  /** Per-stage survivor counts — the curation funnel audit. */
+  /** Per-stage survivor counts — the curation funnel audit.
+    * `nAfterBoilerplate` (the stage between exact dedup and near-dup)
+    * is -1 unless the optional boilerplate-scrub stage ran; PII
+    * redaction has no count of its own (it rewrites, never drops). */
   final case class Report(nInput: Long, nAfterQuality: Long,
                           nAfterExact: Long, nAfterNearDup: Long,
                           nAfterDecontam: Long, nAfterMix: Long,
-                          nPacks: Long)
+                          nPacks: Long, nAfterBoilerplate: Long = -1L)
 
   /** Run the full funnel. Returns the curated corpus with `n_tokens` and
     * `pack_id` appended, plus the per-stage report. Fails at call time if
@@ -76,6 +90,8 @@ object Curation {
              repetitionDupTrigramMilli: Int = 20,
              lmRefFilter: Option[org.apache.spark.sql.Column] = None,
              lmMinAvgPpm: Long = 1000L,
+             piiRedact: Boolean = false,
+             boilerplateSpan: Option[Int] = None,
              nearDupThresholdMilli: Int = 800,
              nearDupQualityCol: Option[String] = None,
              decontamMinShared: Int = 2,
@@ -130,10 +146,39 @@ object Curation {
       case None => repClean
     })
 
+    // 1b. OPTIONAL PII redaction, between quality and dedup — so that
+    // redacted copies dedup together (two documents differing only in
+    // their PII ARE duplicates after the rewrite). Map-only, drops
+    // nothing, no count of its own.
+    val redacted =
+      if (piiRedact) Redact.redactText(quality, textCol) else quality
+
     // 2. exact dedup: keep the canonical (lowest) id of each text group
-    val canon = Dedup.exactGroups(quality, idCol, textCol)
+    val canon = Dedup.exactGroups(redacted, idCol, textCol)
       .select(col("canonical_id").as(idCol))
-    val exact = stage(quality.join(canon, Seq(idCol), "left_semi"))
+    val exactDeduped = stage(redacted.join(canon, Seq(idCol), "left_semi"))
+
+    // 2b. OPTIONAL cross-document boilerplate scrub ([[Dedup
+    // .scrubDupSpans]]) — AFTER exact dedup, deliberately: scrubbing
+    // first would let two identical documents declare each other's every
+    // chunk "cross-document boilerplate" and both collapse to nothing;
+    // with duplicates already folded to one copy, a repeated chunk means
+    // genuinely shared boilerplate across distinct documents. Before
+    // near-dup, also deliberately: shared boilerplate inflates MinHash
+    // similarity between unrelated documents, so stripping it first
+    // makes the near-dup verdicts about the actual content.
+    // Fully-boilerplate documents (everything removed, no tail) drop,
+    // same rationale as the decontamination scrub's empty-text gate. The
+    // verdict frame carries only (id, text), so the join-back to the
+    // full rows is one id-keyed exchange.
+    val exact = boilerplateSpan match {
+      case Some(sp) =>
+        val scr = Dedup.scrubDupSpans(exactDeduped, idCol, textCol, span = sp)
+          .filter(!(col("clean_text") === "" && col("n_removed") > 0))
+          .select(col(idCol), col("clean_text").as(textCol))
+        stage(exactDeduped.drop(textCol).join(scr, Seq(idCol)))
+      case None => exactDeduped
+    }
 
     // 3. near-dup: by default drop the higher id of every LSH-verified
     // pair (greedy — cheaper than clustering, never keeps a flagged
@@ -211,11 +256,14 @@ object Curation {
 
     val nDecontam = n(decontam)
     val report = Report(
-      nInput = n(docs), nAfterQuality = n(quality), nAfterExact = n(exact),
+      nInput = n(docs), nAfterQuality = n(quality),
+      nAfterExact = n(exactDeduped),
       nAfterNearDup = n(nearDup), nAfterDecontam = nDecontam,
       nAfterMix = if (mixIsNoop) nDecontam else n(mixed),
       nPacks = if (audit)
-        packed.select(sourceCol, "pack_id").distinct().count() else -1L)
+        packed.select(sourceCol, "pack_id").distinct().count() else -1L,
+      nAfterBoilerplate =
+        if (boilerplateSpan.isDefined) n(exact) else -1L)
     (packed, report)
   }
 }

@@ -14,6 +14,17 @@ import graft.store.Snapshots
   *
   *   1. quality    — the Gopher repetition predicate (stateless, the
   *                   oracle-pinned q59 expression, unchanged)
+  *   1b. redact    — OPTIONAL PII redaction ([[graft.operators.Redact
+  *                   .redactText]], stateless map-only rewrite) BEFORE
+  *                   the dedup claims, so redacted copies claim the same
+  *                   key. Cross-document boilerplate scrub
+  *                   ([[graft.operators.Dedup.scrubDupSpans]]) is
+  *                   deliberately NOT a streaming stage: a chunk becomes
+  *                   boilerplate only after its Nth cross-document
+  *                   sighting, but every earlier copy has already
+  *                   shipped — the only coherent policy is a periodic
+  *                   batch re-scrub of the materialized corpus, exactly
+  *                   like packing below.
   *   2. exact      — first-writer-wins claims on the 62-bit wide hash of
   *                   the normalized text (the corpus-global-identity
   *                   regime of the hash-width policy; a claims store in
@@ -82,7 +93,8 @@ object StreamCuration {
               sourceCol: String = "source",
               compactEvery: Int = 16,
               vecCol: Option[String] = None,
-              embedMinCos: Double = 0.9): (DataFrame, Long) => DataFrame = {
+              embedMinCos: Double = 0.9,
+              piiRedact: Boolean = false): (DataFrame, Long) => DataFrame = {
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.WidePolyHash.ensureRegistered(spark)
     val exactClaims = new Snapshots(spark, s"$stateDir/exact", claimsSchema)
@@ -113,11 +125,16 @@ object StreamCuration {
             col("_rs.n_trigrams"), col("_rs.n_distinct_trigrams"),
             repetitionTopBigramMilli, repetitionDupTrigramMilli))
           .drop("_rs")
+        // 1b. optional PII redaction — stateless rewrite BEFORE the
+        // claims so redacted copies claim (and dedup on) the same key
+        val redacted =
+          if (piiRedact) graft.operators.Redact.redactText(quality, textCol)
+          else quality
 
         // 2. exact: claim the wide hash of the normalized text;
         // first-writer-wins, claimant recorded => replay-stable. Checkpoint
         // the key frame: it feeds the drop decision AND the claim delta.
-        val keys = quality.select(col(idCol).cast("long").as("id"),
+        val keys = redacted.select(col(idCol).cast("long").as("id"),
           graft.functions.TextAnalysis.wideStrHash(
             Dedup.normalized(col(textCol))).as("bkey"))
           .localCheckpoint(true)
@@ -128,7 +145,7 @@ object StreamCuration {
           .filter(col("id") > col("min_id")).select("id")
         val dropIds = storeDup.unionAll(batchDup).distinct()
           .withColumnRenamed("id", idCol)
-        val exact = quality.join(dropIds, Seq(idCol), "left_anti")
+        val exact = redacted.join(dropIds, Seq(idCol), "left_anti")
           .localCheckpoint(true) // materialize BEFORE the store advances
         val newClaims = keys.groupBy("bkey").agg(min(col("id")).as("claimant"))
           .join(exactClaims.read(), Seq("bkey"), "left_anti")

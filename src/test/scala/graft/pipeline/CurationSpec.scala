@@ -195,4 +195,49 @@ class CurationSpec extends AnyFunSuite {
     assert(kept != greedyKept,
       "quality-aware keep chose the same survivors as greedy — knob inert")
   }
+
+  test("pii redaction and boilerplate scrub slot into the funnel in the " +
+    "order that cannot self-destruct") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all content here" // 8 words
+    val custom = Seq(
+      (1L, s"$boiler apple banana cherry date", "s0"),
+      (2L, s"$boiler quick brown fox jumps", "s0"),
+      (3L, boiler, "s0"), // fully boilerplate -> must drop at 2b
+      (4L, "totally unrelated words compose this document nine ten eleven", "s0"),
+      (5L, "contact alice at a@b.co regarding quarterly report deadline", "s0"),
+      (6L, "contact alice at x@y.org regarding quarterly report deadline", "s0")
+    ).toDF("doc_id", "text", "source")
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (out, r) = Curation.curate(custom, noEval,
+      piiRedact = true, boilerplateSpan = Some(8),
+      // short fixture docs: ~7 bigrams, so one repeat is 143 milli —
+      // loosen the repetition gate (and raise the near-dup bar) to
+      // isolate the two NEW stages
+      repetitionTopBigramMilli = 500,
+      nearDupThresholdMilli = 990)
+    assert(r.nAfterQuality == 6)
+    // 1b+2: docs 5/6 become identical after redaction and FOLD AT EXACT —
+    // the reason redaction precedes dedup
+    assert(r.nAfterExact == 5, s"redacted twins did not fold (${r.nAfterExact})")
+    // 2b: doc 3 is all boilerplate and drops; 1/2 lose the shared header
+    assert(r.nAfterBoilerplate == 4,
+      s"fully-boilerplate doc survived (${r.nAfterBoilerplate})")
+    val texts = out.select("doc_id", "text").collect()
+      .map(rr => rr.getLong(0) -> rr.getString(1)).toMap
+    assert(texts(1L) == "apple banana cherry date")
+    assert(texts(2L) == "quick brown fox jumps")
+    assert(texts(5L).contains("<EMAIL>") && !texts(5L).contains("@"))
+    assert(!texts.contains(3L) && !texts.contains(6L))
+    assert(texts(4L).startsWith("totally unrelated"), "bystander rewritten")
+    // control: both knobs off — nothing folds at exact, no boilerplate
+    // count, doc 3 survives with its text intact
+    val (out0, r0) = Curation.curate(custom, noEval,
+      repetitionTopBigramMilli = 500, nearDupThresholdMilli = 990)
+    assert(r0.nAfterExact == 6 && r0.nAfterBoilerplate == -1L)
+    val t0 = out0.select("doc_id", "text").collect()
+      .map(rr => rr.getLong(0) -> rr.getString(1)).toMap
+    assert(t0(3L) == boiler)
+    assert(t0(5L).contains("a@b.co"))
+  }
 }

@@ -144,4 +144,30 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(out3 == (100L until 140L).toSeq,
       s"unrelated vectors were dropped: ${out3.size}/40 survived")
   }
+
+  test("piiRedact stage: redacted twins claim the same exact key across " +
+    "batches; output text is redacted") {
+    val stateDir = Files.createTempDirectory("graft-scur-pii").toString
+    val curate = StreamCuration.curator(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), stateDir,
+      repetitionTopBigramMilli = 500, // short fixture docs (~7 bigrams)
+      piiRedact = true)
+    val b1 = Seq(
+      (1L, "contact alice at a@b.co regarding quarterly report deadline", "s0"),
+      (2L, "totally unrelated words compose this other document now", "s0")
+    ).toDF("doc_id", "text", "source")
+    val out1 = curate(b1, 0L).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out1.keySet == Set(1L, 2L))
+    assert(out1(1L).contains("<EMAIL>") && !out1(1L).contains("@"),
+      s"PII survived: ${out1(1L)}")
+    // batch 2: same document modulo a DIFFERENT email — the redacted
+    // form is identical, so the exact-claim store must drop it
+    val b2 = Seq(
+      (3L, "contact alice at x@y.org regarding quarterly report deadline", "s0")
+    ).toDF("doc_id", "text", "source")
+    val out2 = curate(b2, 1L).select("doc_id").as[Long].collect().toSeq
+    assert(out2.isEmpty,
+      s"cross-batch redacted twin survived the claim store: $out2")
+  }
 }
