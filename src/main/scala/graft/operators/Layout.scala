@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT for scan pruning — the piece of the
+  * 100 TB story that lives in the FILES, not the plan: min/max footer
+  * statistics only skip data when values are clustered, and a linear
+  * sort clusters exactly one dimension. Z-ordering (Morton interleave)
+  * spreads locality across two dimensions, so range predicates on
+  * EITHER column touch a bounded fraction of files.
+  *
+  * Everything is built from Spark primitives in the shape a cluster
+  * needs: one bounded min/max aggregate to calibrate the value→bucket
+  * scaling, an in-scan codegen'd interleave expression (pure bit
+  * arithmetic — no UDF), `repartitionByRange` on the z-value (sampled
+  * range boundaries → equal-size files without a global sort), and
+  * `sortWithinPartitions` so row groups inside each file are clustered
+  * too. The layout cost is one shuffle of the written data — the same
+  * price as any clustered write.
+  *
+  * Equi-width bucketing (min/max scaling) is deliberate: it is
+  * deterministic and needs one cheap aggregate. Heavily skewed columns
+  * want equi-depth buckets (approxQuantile boundaries) — same interleave
+  * downstream; the calibration aggregate is the only thing that changes.
+  *
+  * Skip-ability is a property of the FILES, so [[fileStats]] measures it
+  * directly (per-file min/max of each dimension — exactly what a parquet
+  * reader's footer pruning consults), and LayoutSpec pins the contract:
+  * a range predicate on either z-ordered dimension overlaps a bounded
+  * fraction of files, where the single-dim-sorted baseline degrades to
+  * touching every file on the second dimension.
+  */
+object Layout {
+
+  /** Morton-interleave two bucket ids (each in [0, 2^bits)) into one
+    * z-value: bit i of `a` lands at bit 2i, bit i of `b` at 2i+1.
+    * Pure long arithmetic — codegen keeps it in-scan. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Equi-width bucket of `c` into [0, 2^bits) given the column's
+    * [lo, hi] range (constant column when hi == lo). */
+  private def bucket(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val n = (1L << bits) - 1L
+    if (hi <= lo) lit(0L)
+    else least(lit(n), greatest(lit(0L),
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * n).cast("long")))
+  }
+
+  /** Write `df` z-ordered on (colA, colB) into `nFiles` range partitions
+    * under `outDir`. One calibration aggregate + one range shuffle. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    outDir: String, nFiles: Int, bits: Int = 16): Unit = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val (aLo, aHi, bLo, bHi) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val z = zValue(bucket(col(colA), aLo, aHi, bits),
+      bucket(col(colB), bLo, bHi, bits), bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Single-dimension sorted baseline: the layout a plain
+    * `ORDER BY colA` write produces. */
+  def writeSorted(df: DataFrame, colA: String, outDir: String,
+                  nFiles: Int): Unit = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    df.repartitionByRange(nFiles, col(colA))
+      .sortWithinPartitions(colA)
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Per-file min/max of each given column — the footer statistics a
+    * pruning reader consults. Output: (file, <c>_min, <c>_max ...). */
+  def fileStats(spark: SparkSession, dir: String,
+                cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The fraction of files whose [min, max] interval on `c` overlaps
+    * [lo, hi] — what fraction of the table a footer-pruning scan with
+    * that predicate must actually read. */
+  def overlapFraction(stats: DataFrame, c: String, lo: Double,
+                      hi: Double): Double = {
+    val total = stats.count()
+    val hit = stats.filter(
+      col(s"${c}_max").cast("double") >= lo &&
+        col(s"${c}_min").cast("double") <= hi).count()
+    if (total == 0) 0d else hit.toDouble / total
+  }
+}
