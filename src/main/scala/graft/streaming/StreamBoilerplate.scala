@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.operators.Dedup
+import graft.store.Snapshots
+
+/** Incremental cross-document boilerplate DETECTION under continuous
+  * ingestion — the streaming half of [[graft.operators.Dedup
+  * .scrubDupSpans]], split where the semantics split:
+  *
+  *  - MEASUREMENT is incremental: each micro-batch appends its per-chunk
+  *    distinct-document counts to a crash-atomic [[Snapshots]] store.
+  *    The counts are ADDITIVE across batches with no sketch and no
+  *    approximation, because a document belongs to exactly one batch —
+  *    the per-batch `COUNT(DISTINCT id)` values for a chunk hash sum to
+  *    the global distinct count. O(batch-chunks) work per batch;
+  *    batch-id tokens make replays append nothing (the
+  *    [[StreamRetrieval]] discipline).
+  *  - REWRITE is deliberately NOT incremental: a chunk becomes
+  *    boilerplate only after its Nth cross-document sighting, but every
+  *    earlier copy has already shipped — so the scrub runs as a periodic
+  *    RE-SCRUB of the materialized corpus ([[rescrub]]), reading the dup
+  *    set the accumulator already paid for instead of recomputing it
+  *    with a corpus-wide aggregation (the expensive half of the batch
+  *    operator drops to a store read).
+  *
+  * At 100 TB: the store holds one (hv, nd) row per distinct chunk hash —
+  * bounded by the corpus's distinct-chunk count, compacted by additive
+  * merge (`compactEvery` deltas), and the re-scrub is the batch
+  * operator's rewrite half — coordinates-only shuffles, text never
+  * crossing an exchange.
+  */
+object StreamBoilerplate {
+
+  private val countsSchema = StructType(Seq(
+    StructField("hv", LongType, nullable = false),
+    StructField("nd", LongType, nullable = false)))
+
+  /** The chunk-count store + per-batch accumulator. */
+  final class ChunkCounts(spark: SparkSession, dir: String, val span: Int,
+                          compactEvery: Int = 16) {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    private val store = new Snapshots(spark, dir, countsSchema)
+    store.init()
+
+    /** Observe one micro-batch: append its per-chunk distinct-doc counts
+      * (batch-id token → replays are no-ops), compacting by additive
+      * merge every `compactEvery` deltas. */
+    def observe(batch: DataFrame, idCol: String, textCol: String,
+                batchId: Long): Unit = {
+      val counts = Dedup.chunkCoords(batch, idCol, textCol, span)
+        .groupBy("hv").agg(countDistinct(col("id")).as("nd"))
+      store.appendDelta(counts, Some(s"b$batchId"))
+      if (store.deltaCount >= compactEvery) {
+        store.replace(merged())
+      }
+    }
+
+    /** The merged (hv, nd) view across base + deltas. */
+    private def merged(): DataFrame =
+      store.read().groupBy("hv").agg(sum(col("nd")).as("nd"))
+
+    /** Chunk hashes currently at ≥ `minDocs` distinct documents. */
+    def dupChunks(minDocs: Int): DataFrame = {
+      require(minDocs >= 2, "minDocs must be >= 2")
+      merged().filter(col("nd") >= minDocs).select("hv")
+    }
+  }
+
+  /** Periodic re-scrub of a materialized corpus against the accumulated
+    * dup set: [[Dedup.scrubWithDups]] with the store's verdicts — the
+    * batch rewrite, minus the corpus-wide measurement aggregation. The
+    * span is the STORE's span (a mismatched rewrite span would hash
+    * different chunks than the accumulator counted).
+    * Output: (idCol, clean_text, n_removed), one row per document. */
+  def rescrub(docs: DataFrame, idCol: String, textCol: String,
+              counts: ChunkCounts, minDocs: Int = 2): DataFrame =
+    Dedup.scrubWithDups(docs, idCol, textCol, counts.dupChunks(minDocs),
+      counts.span)
+}

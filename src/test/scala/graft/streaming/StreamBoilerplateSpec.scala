@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.Dedup
+
+/** Incremental chunk-count accumulation + periodic re-scrub: exact
+  * batch parity (the additivity claim, proven end to end), replay
+  * idempotence, and compaction transparency. */
+class StreamBoilerplateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val boiler = "terms of service apply to all content here"
+  private def b1 = Seq(
+    (1L, s"$boiler apple banana cherry date"),
+    (2L, "totally unrelated words compose this document")
+  ).toDF("doc_id", "text")
+  private def b2 = Seq(
+    (3L, s"$boiler quick brown fox jumps"),
+    (4L, boiler),
+    (5L, "another unique document with its own words entirely")
+  ).toDF("doc_id", "text")
+
+  private def collect(df: DataFrame) =
+    df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  test("accumulated counts reproduce the batch operator exactly; the dup " +
+    "set only appears once the second batch crosses minDocs") {
+    val dir = Files.createTempDirectory("graft-sboiler").toString
+    val counts = new StreamBoilerplate.ChunkCounts(spark, dir, span = 8)
+    counts.observe(b1, "doc_id", "text", batchId = 0L)
+    // after batch 1 the boiler chunk has nd = 1: nothing is boilerplate yet
+    assert(counts.dupChunks(minDocs = 2).isEmpty)
+    val union1 = b1
+    assert(collect(StreamBoilerplate.rescrub(union1, "doc_id", "text", counts))
+      == collect(Dedup.scrubDupSpans(union1, "doc_id", "text", span = 8)))
+
+    counts.observe(b2, "doc_id", "text", batchId = 1L)
+    // cross-batch additivity: nd(boiler) = 1 + 2 = 3 >= 2 — chunks counted
+    // in different batches combine exactly
+    val union = b1.unionAll(b2)
+    val streamed = collect(
+      StreamBoilerplate.rescrub(union, "doc_id", "text", counts))
+    val batch = collect(Dedup.scrubDupSpans(union, "doc_id", "text", span = 8))
+    assert(streamed == batch,
+      s"store-driven rescrub diverged from the batch operator:\n$streamed\nvs\n$batch")
+    // and the rewrite really engaged
+    assert(streamed(1L) == (("apple banana cherry date", 1L)))
+    assert(streamed(4L) == (("", 1L)))
+    assert(streamed(5L)._2 == 0L)
+  }
+
+  test("replayed batch appends nothing; compaction preserves the counts") {
+    val dir = Files.createTempDirectory("graft-sboiler2").toString
+    val counts = new StreamBoilerplate.ChunkCounts(spark, dir, span = 8,
+      compactEvery = 2)
+    counts.observe(b1, "doc_id", "text", batchId = 0L)
+    counts.observe(b1, "doc_id", "text", batchId = 0L) // crash replay
+    // replay must not double-count: boiler chunk still nd = 1
+    assert(counts.dupChunks(minDocs = 2).isEmpty,
+      "replayed batch double-counted chunk sightings")
+    counts.observe(b2, "doc_id", "text", batchId = 1L) // triggers compaction
+    val union = b1.unionAll(b2)
+    assert(collect(StreamBoilerplate.rescrub(union, "doc_id", "text", counts))
+      == collect(Dedup.scrubDupSpans(union, "doc_id", "text", span = 8)),
+      "post-compaction counts diverged from the batch operator")
+  }
+}
