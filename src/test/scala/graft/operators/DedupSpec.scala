@@ -198,6 +198,20 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.PlanChecks.shuffleExchanges(p) <= 3,
       s"unexpected extra shuffle:\n$p")
   }
+
+  test("scrubDupSpans plan: document text never crosses an exchange — " +
+    "detection shuffles are coordinates-only, verdicts come back as arrays") {
+    val out = Dedup.scrubDupSpans(docs, "doc_id", "text", span = 2)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeLines = p.linesIterator
+      .filter(_.trim.matches("""\(\d+\) Exchange.*""")).mkString("\n")
+    assert(!exchangeLines.contains("text") && !exchangeLines.contains("_t"),
+      s"corpus text crosses an exchange:\n$exchangeLines")
+    // chunk-hash agg, dup probe, verdict agg, verdict join — bounded
+    assert(graft.PlanChecks.shuffleExchanges(p) <= 5,
+      s"unexpected extra shuffle:\n$p")
+  }
   test("keepCanonical: one survivor per cluster by quality, singletons kept") {
     // clusters {1,2,7} (via 1-2, 2-7) and {4,5}; 3 and 9 unclustered
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 5L), (4L, 8L), (5L, 8L),
