@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis.{strHash, tokens}
@@ -348,5 +349,56 @@ object Retrieval {
     val merged = (metaRows.map(_.getLong(0)).sum,
       metaRows.map(_.getLong(1)).sum, metaRows.head.getLong(2))
     ms.replace(Seq(merged).toDF("_n", "_s", "_buckets").coalesce(1))
+  }
+
+  /** Reciprocal-rank fusion of two per-query rankings — the standard
+    * hybrid-retrieval combiner (lexical BM25 + semantic ANN): each
+    * candidate scores Σ 1/(rrfK + rank) over the lists it appears in,
+    * here as EXACT integer milli-units `rrfK·1000 div (rrfK + rank)`
+    * (the engine's integer-score discipline — no float ties, oracle
+    * replays `//` verbatim). Candidates missing from one list contribute
+    * 0 from it (full-outer join). Both inputs are top-k frames — k·|Q|
+    * rows — so the fusion join and the final per-query window are
+    * trivially small at any corpus scale; the heavy lifting stays in the
+    * upstream operators' own plans.
+    *
+    * @param lex (qCol, idCol, rank) lexical ranking, rank 1-based
+    * @param sem (qCol, idCol, rank) semantic ranking, rank 1-based
+    * Output: (qCol, idCol, rrf_milli, rank) — top `k` per query by
+    * (rrf_milli DESC, idCol). */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, qCol: String, idCol: String,
+              rrfK: Int = 60, k: Int = 5): DataFrame = {
+    require(rrfK >= 1, "rrfK must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val l = lex.select(col(qCol), col(idCol), col("rank").as("_rl"))
+    val s = sem.select(col(qCol), col(idCol), col("rank").as("_rs"))
+    val w = Window.partitionBy(qCol)
+      .orderBy(col("rrf_milli").desc, col(idCol).asc)
+    l.join(s, Seq(qCol, idCol), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr(s"${rrfK * 1000} div ($rrfK + _rl)"), lit(0L)) +
+          coalesce(expr(s"${rrfK * 1000} div ($rrfK + _rs)"), lit(0L)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qCol), col(idCol), col("rrf_milli"), col("rank"))
+  }
+
+  /** HYBRID retrieval end to end: BM25 top-`kEach` over the text corpus
+    * and exact-cosine top-`kEach` over the embedding corpus for the SAME
+    * query set (shared id space), fused by [[rrfFuse]]. The lexical leg
+    * runs the q78 inverted-index economics; the semantic leg broadcasts
+    * the query vectors over one corpus scan ([[Similarity.knnJoin]]) —
+    * swap in an ANN path (IVF/PQ index probes) when the embedding corpus
+    * outgrows brute force; the fusion is agnostic to how either ranking
+    * was produced. */
+  def hybridRrfTopK(docs: DataFrame, queries: DataFrame,
+                    emb: DataFrame, qEmb: DataFrame,
+                    idCol: String, textCol: String, vecCol: String,
+                    kEach: Int = 10, rrfK: Int = 60, k: Int = 5): DataFrame = {
+    val lex = bm25TopK(docs, queries, idCol, textCol, kEach)
+      .select(col("query_id"), col("doc_id").as(idCol), col("rank"))
+    val sem = Similarity.knnJoin(emb, qEmb, idCol, vecCol, kEach)
+      .select(col("qid").as("query_id"), col(idCol), col("rank"))
+    rrfFuse(lex, sem, "query_id", idCol, rrfK, k)
   }
 }

@@ -1344,7 +1344,86 @@ object TextQ {
     Redact.redactPii(planted, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** DuckDB twin of the index-ordered double dot fold (VectorQ's
+    * convention), needed here for q91's semantic leg. */
+  private def sqlDotD(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(range(1, len($a) + 1), " +
+    s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  /** q91: HYBRID retrieval ([[graft.operators.Retrieval.hybridRrfTopK]])
+    * — BM25 top-10 (q78's integer-exact scoring, same query split) and
+    * exact-cosine top-10 over the embedding table (same id space),
+    * fused by reciprocal-rank fusion in exact integer milli-units
+    * `60000 div (60 + rank)` with full-outer candidate union. The
+    * oracle replays BOTH legs' rankings and the fusion arithmetic, so
+    * the hybrid ranking hash-matches end to end. */
+  val q91 = Q(
+    "q91_hybrid_rrf",
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl
+       |      FROM toks WHERE doc_id % 89 <> 0),
+       |ct AS (SELECT doc_id, dl, unnest(w) AS t FROM c),
+       |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf,
+       |              MIN(dl) AS dl
+       |       FROM ct GROUP BY doc_id, t),
+       |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |              CAST(SUM(dl) AS BIGINT) AS s FROM c),
+       |qt AS (SELECT DISTINCT doc_id AS qid, unnest(w) AS t
+       |       FROM toks WHERE doc_id % 89 = 0),
+       |term AS (SELECT qt.qid, tf.doc_id,
+       |                ((2*n - 2*df + 1)*1000) // (2*df + 1) AS idf_milli,
+       |                (22*tf.tf*s*1000) // (10*tf.tf*s + 3*s + 9*tf.dl*n)
+       |                  AS part_permille
+       |         FROM qt JOIN tf ON tf.t = qt.t
+       |                 JOIN dfreq ON dfreq.t = qt.t, st),
+       |sc AS (SELECT qid, doc_id,
+       |              CAST(SUM(idf_milli * part_permille) AS BIGINT) AS score
+       |       FROM term GROUP BY qid, doc_id),
+       |lex AS (SELECT qid, doc_id, rank FROM (
+       |          SELECT *, ROW_NUMBER() OVER (
+       |            PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |          FROM sc) WHERE rank <= 10),
+       |nv AS (SELECT vec_id, embedding,
+       |              sqrt(${sqlDotD("embedding", "embedding")}) AS nrm
+       |       FROM embeddings),
+       |qv AS (SELECT vec_id AS qid, embedding AS qe, nrm AS qn
+       |       FROM nv WHERE vec_id % 89 = 0),
+       |semsc AS (SELECT qv.qid, nv.vec_id AS doc_id,
+       |                 ROUND(${sqlDotD("nv.embedding", "qv.qe")}
+       |                       / (nv.nrm * qv.qn), 6) AS cos_r
+       |          FROM nv, qv
+       |          WHERE nv.vec_id % 89 <> 0 AND nv.vec_id <> qv.qid),
+       |sem AS (SELECT qid, doc_id, rank FROM (
+       |          SELECT qid, doc_id, ROW_NUMBER() OVER (
+       |            PARTITION BY qid ORDER BY cos_r DESC, doc_id) AS rank
+       |          FROM semsc) WHERE rank <= 10),
+       |f AS (SELECT COALESCE(lex.qid, sem.qid) AS query_id,
+       |             COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       |             CAST(COALESCE(60000 // (60 + lex.rank), 0)
+       |                + COALESCE(60000 // (60 + sem.rank), 0) AS BIGINT)
+       |               AS rrf_milli
+       |      FROM lex FULL JOIN sem
+       |        ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id)
+       |SELECT query_id, doc_id, rrf_milli, CAST(rank AS BIGINT) AS rank
+       |FROM (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY query_id ORDER BY rrf_milli DESC, doc_id) AS rank
+       |      FROM f) WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    graft.operators.Retrieval.hybridRrfTopK(
+      docs.filter(col("doc_id") % 89 =!= 0),
+      docs.filter(col("doc_id") % 89 === 0),
+      emb.filter(col("doc_id") % 89 =!= 0),
+      emb.filter(col("doc_id") % 89 === 0),
+      "doc_id", "text", "embedding", kEach = 10, rrfK = 60, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91)
 }

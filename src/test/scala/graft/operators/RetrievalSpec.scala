@@ -96,4 +96,29 @@ class RetrievalSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$plan")
   }
+
+  test("rrfFuse: hand-computed fusion — both-list docs dominate, " +
+    "single-list docs score one term, integer milli arithmetic exact") {
+    import spark.implicits._
+    // query 7: doc 1 ranks 1 lexically and 2 semantically; doc 2 only
+    // lexical rank 2; doc 3 only semantic rank 1
+    val lex = Seq((7L, 1L, 1L), (7L, 2L, 2L)).toDF("q", "id", "rank")
+    val sem = Seq((7L, 3L, 1L), (7L, 1L, 2L)).toDF("q", "id", "rank")
+    val out = Retrieval.rrfFuse(lex, sem, "q", "id", rrfK = 60, k = 3)
+      .collect().map(r => (r.getLong(3), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // 60000 div 61 = 983, div 62 = 967
+    // doc 1: 983 + 967 = 1950; doc 3: 0 + 983 = 983; doc 2: 967 + 0 = 967
+    assert(out == Seq((1L, 1L, 1950L), (2L, 3L, 983L), (3L, 2L, 967L)),
+      s"got $out")
+  }
+
+  test("rrfFuse: ties break by ascending id; k truncates per query") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q", "id", "rank")
+    val sem = Seq((1L, 11L, 1L), (1L, 10L, 2L)).toDF("q", "id", "rank")
+    // both docs score 983 + 967 = 1950: tie -> id 10 first
+    val out = Retrieval.rrfFuse(lex, sem, "q", "id", rrfK = 60, k = 1)
+      .collect().map(r => (r.getLong(3), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 10L)))
+  }
 }
