@@ -72,6 +72,38 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** EQUI-DEPTH calibration for skewed dimensions: bucket boundaries are
+    * approxQuantile cuts (driver-bounded: 2^bits − 1 doubles), so every
+    * bucket holds ~equal row mass wherever the values pile up — the
+    * equi-width scaler collapses a heavy-tailed dimension into a handful
+    * of buckets and the interleave loses that dimension's locality.
+    * Bucket lookup is a fold over the broadcast boundary array (count of
+    * boundaries ≤ value — 2^bits comparisons per row, which is why
+    * `bits` defaults to 8 here, 256 buckets: plenty for file-level
+    * pruning, cheap per row). The interleave itself is [[zValue]],
+    * unchanged. */
+  def writeZOrderedByQuantile(df: DataFrame, colA: String, colB: String,
+                              outDir: String, nFiles: Int,
+                              bits: Int = 8): Unit = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    require(bits >= 1 && bits <= 12, "quantile mode: bits must be in [1, 12]")
+    val nCuts = (1 << bits) - 1
+    val probs = (1 to nCuts).map(_.toDouble / (1 << bits)).toArray
+    val d = df.withColumn("_a", col(colA).cast("double"))
+      .withColumn("_b", col(colB).cast("double"))
+    val Array(aCuts, bCuts) =
+      d.stat.approxQuantile(Array("_a", "_b"), probs, 0.001)
+    def qBucket(c: Column, cuts: Array[Double]): Column =
+      aggregate(typedlit(cuts.toIndexedSeq), lit(0L),
+        (acc, b) => acc + when(c >= b, 1L).otherwise(0L))
+    val z = zValue(qBucket(col("_a"), aCuts), qBucket(col("_b"), bCuts), bits)
+    d.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z", "_a", "_b")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Single-dimension sorted baseline: the layout a plain
     * `ORDER BY colA` write produces. */
   def writeSorted(df: DataFrame, colA: String, outDir: String,

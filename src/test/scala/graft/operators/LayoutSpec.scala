@@ -81,4 +81,35 @@ class LayoutSpec extends AnyFunSuite {
     // and the second dim strictly beats the sorted baseline's full scan
     assert(zPk < sPk, s"z-order dim-2 ($zPk) not better than sorted ($sPk)")
   }
+
+  test("quantile calibration keeps locality on a heavy-tailed dimension " +
+    "where equi-width collapses") {
+    // 90% of `b` mass in [0, 100), 10% five orders of magnitude out:
+    // equi-width scaling maps ALL the dense mass to bucket 0, so the
+    // interleave carries no b-information and dense-range queries read
+    // everything; equi-depth cuts keep ~equal mass per bucket
+    val rows = (0 until 4096).map { i =>
+      val a = (i * 2654435761L) % 10000
+      val b = if (i % 10 == 0) 1000000L + i * 997L else (i % 100).toLong
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val wDir = Files.createTempDirectory("graft-zw").toString
+    val qDir = Files.createTempDirectory("graft-zq").toString
+    Layout.writeZOrdered(df, "a", "b", wDir, nFiles = 16)
+    Layout.writeZOrderedByQuantile(df, "a", "b", qDir, nFiles = 16)
+    assert(spark.read.parquet(qDir).count() == rows.length)
+    val wStats = Layout.fileStats(spark, wDir, Seq("a", "b"))
+      .localCheckpoint(true)
+    val qStats = Layout.fileStats(spark, qDir, Seq("a", "b"))
+      .localCheckpoint(true)
+    // dense-range query: b in [10, 20] — ~10% of the rows
+    val wOv = Layout.overlapFraction(wStats, "b", 10, 20)
+    val qOv = Layout.overlapFraction(qStats, "b", 10, 20)
+    info(f"dense-slab overlap: equi-width $wOv%.3f equi-depth $qOv%.3f")
+    assert(wOv >= 0.9,
+      s"fixture surprise: equi-width pruned the heavy-tailed dim ($wOv)")
+    assert(qOv <= 0.75, s"equi-depth overlap too high ($qOv)")
+    assert(qOv < wOv)
+  }
 }
