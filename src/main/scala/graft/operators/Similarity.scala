@@ -172,7 +172,7 @@ object Similarity {
     * row (sparse or non-dense id space): a silent empty centroid set would
     * otherwise drop every corpus row through the assignment cross-join and
     * write/return an empty result — contrary to the repo's fail-loud policy. */
-  private[operators] def centroidsOf(base: DataFrame, idCol: String,
+  private[graft] def centroidsOf(base: DataFrame, idCol: String,
                                      centroidEvery: Int): DataFrame = {
     val cents = base.filter(col(idCol) % centroidEvery === 0)
       .select(col(idCol).as("cent_id"), col("vecd").as("cent_vec"),
