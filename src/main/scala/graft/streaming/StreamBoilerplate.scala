@@ -53,9 +53,16 @@ object StreamBoilerplate {
                 batchId: Long): Unit = {
       val counts = Dedup.chunkCoords(batch, idCol, textCol, span)
         .groupBy("hv").agg(countDistinct(col("id")).as("nd"))
-      store.appendDelta(counts, Some(s"b$batchId"))
-      if (store.deltaCount >= compactEvery) {
-        store.replace(merged())
+        .localCheckpoint(true)
+      // replays are no-ops via the batch-id token; this guard is for the
+      // other empty case — a real batch whose documents are all shorter
+      // than one span contributes no counts, and an empty delta would
+      // still advance the compaction cadence (the ClaimStore discipline)
+      if (counts.head(1).nonEmpty) {
+        store.appendDelta(counts, Some(s"b$batchId"))
+        if (store.deltaCount >= compactEvery) {
+          store.replace(merged())
+        }
       }
     }
 
