@@ -61,6 +61,18 @@ class WideKeyEscalationSpec extends AnyFunSuite {
     assert(run(93) == run(62))
   }
 
+  test("scrubDupSpans: 93-bit composite chunk key is byte-identical to " +
+    "62-bit below the birthday regime (deleted spans are the worst case)") {
+    val docs = Tables.documents(spark, dir)
+    def run(bits: Int) = Dedup.scrubDupSpans(docs, "doc_id", "text",
+        hashBits = bits)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val r93 = run(93)
+    assert(r93 == run(62))
+    // the fixture really has dup spans to scrub (q62's corpus)
+    assert(r93.exists(_.last.asInstanceOf[Long] > 0L))
+  }
+
   test("globalStats: 93-bit composite window key is byte-identical to " +
     "62-bit below the birthday regime") {
     val docs = Tables.documents(spark, dir)
