@@ -1423,7 +1423,35 @@ object TextQ {
       .orderBy("query_id", "rank")
   }
 
+  /** q92: vocabulary drift between two corpus slices ([[graft.operators
+    * .Drift.topDrift]]) — the distribution-shift monitor a pipeline runs
+    * between crawls. Per-term probability drift in exact integer ppm
+    * (floor-division both sides, the integer-score discipline), union
+    * vocabulary via full-outer join, top-20 by (drift DESC, term). */
+  val q92 = Q(
+    "q92_vocab_drift",
+    s"""WITH ta AS (SELECT unnest($sqlToks) AS term FROM documents
+       |            WHERE doc_id % 2 = 0),
+       |tb AS (SELECT unnest($sqlToks) AS term FROM documents
+       |       WHERE doc_id % 2 = 1),
+       |ca AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ca FROM ta GROUP BY term),
+       |cb AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cb FROM tb GROUP BY term),
+       |na AS (SELECT CAST(SUM(ca) AS BIGINT) AS n FROM ca),
+       |nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n FROM cb),
+       |d AS (SELECT COALESCE(ca.term, cb.term) AS term,
+       |             CAST(COALESCE(ca.ca, 0) * 1000000 // na.n AS BIGINT) AS a_ppm,
+       |             CAST(COALESCE(cb.cb, 0) * 1000000 // nb.n AS BIGINT) AS b_ppm
+       |      FROM ca FULL JOIN cb ON ca.term = cb.term, na, nb)
+       |SELECT term, a_ppm, b_ppm,
+       |       CAST(ABS(a_ppm - b_ppm) AS BIGINT) AS drift_ppm
+       |FROM d ORDER BY drift_ppm DESC, term LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Drift.topDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), "text", k = 20)
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92)
 }

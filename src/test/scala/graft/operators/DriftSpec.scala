@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Vocabulary-drift semantics: hand-computed ppm values, union
+  * vocabulary, identical corpora at zero, TV bounds and direction. */
+class DriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("hand-computed drift: shared, a-only, and b-only terms") {
+    // A: 4 tokens — x x y z ; B: 4 tokens — x w w w
+    val out = Drift.vocabDrift(df("x x y z"), df("x w w w"), "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("x") == ((500000L, 250000L, 250000L)))
+    assert(out("y") == ((250000L, 0L, 250000L)))
+    assert(out("z") == ((250000L, 0L, 250000L)))
+    assert(out("w") == ((0L, 750000L, 750000L)))
+    assert(out.size == 4, "union vocabulary")
+  }
+
+  test("identical corpora drift zero; TV is bounded and floors downward") {
+    val a = df("alpha beta gamma", "delta epsilon zeta")
+    assert(Drift.totalVariationPpm(a, a, "text") == 0L)
+    // disjoint corpora: exact TV is 10^6; the floor-division bound stays
+    // at or below it (never above — the alert never cries wolf)
+    val tv = Drift.totalVariationPpm(df("p q r"), df("s t u"), "text")
+    assert(tv <= 1000000L && tv >= 900000L, s"disjoint TV $tv")
+  }
+
+  test("topDrift ranks by drift then term, truncates to k") {
+    val out = Drift.topDrift(df("x x y z"), df("x w w w"), "text", k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("w", "x"), s"got $out") // 750k, then x<y<z tie at 250k
+  }
+}
