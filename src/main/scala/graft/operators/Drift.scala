@@ -19,37 +19,39 @@ import graft.functions.TextAnalysis.tokens
   * engine's integer-score discipline, same as BM25/TF-IDF). Missing
   * terms count 0 on their side (full-outer union of the vocabularies).
   *
-  * Scale shape: each side is one in-scan token explode into a
-  * map-side-combined (term, count) aggregate — vocab-sized, orders of
-  * magnitude under the token stream; the drift join is vocab×vocab on
-  * the term key, and both inputs arrive already partitioned by that
-  * key, so the join reuses the aggregation exchanges. Totals ride as
-  * two scalar literals (one `head()` each, computed from the same
-  * aggregates). Top-k is a TakeOrderedAndProject, never a full sort.
+  * Scale shape: ONE pass — both sides union with a side tag, tokens
+  * explode in-scan, and a single map-side-combined (term) aggregate
+  * emits both counts per term via conditional sums, so there is no
+  * vocabulary join at all and exactly one exchange (vocab-sized,
+  * orders of magnitude under the token stream). The two totals come
+  * off the checkpointed vocab in one scalar read and ride as literals.
+  * Top-k is a TakeOrderedAndProject, never a full sort.
   */
 object Drift {
 
-  /** Per-term counts + the corpus's total token count. */
-  private def termCounts(df: DataFrame, textCol: String): (DataFrame, Long) = {
-    val counts = df
-      .select(explode(tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // feeds the total AND the drift join
-    val total = counts.agg(sum(col("c"))).head().getLong(0)
-    (counts, total)
-  }
-
   /** Full per-term drift table: (term, a_ppm, b_ppm, drift_ppm), one row
-    * per term of the union vocabulary. */
+    * per term of the union vocabulary.
+    *
+    * ONE pass over both corpora: the sides union with a tag, one
+    * map-side-combined (term) aggregate emits both counts per term
+    * (conditional sums — no join, no second exchange), and the two
+    * totals come off the checkpointed vocab in a single scalar read. */
   def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
-    val (ca, na) = termCounts(a, textCol)
-    val (cb, nb) = termCounts(b, textCol)
+    val tagged = a.select(explode(tokens(col(textCol))).as("term"),
+        lit(1L).as("_sa"))
+      .unionAll(b.select(explode(tokens(col(textCol))).as("term"),
+        lit(0L).as("_sa")))
+    val counts = tagged.groupBy("term")
+      .agg(sum(col("_sa")).as("ca"),
+        sum(lit(1L) - col("_sa")).as("cb"))
+      .localCheckpoint(true) // feeds the totals AND the drift projection
+    val t = counts.agg(sum(col("ca")), sum(col("cb"))).head()
+    val (na, nb) = (t.getLong(0), t.getLong(1))
     require(na > 0 && nb > 0, "both corpora must contain tokens")
-    ca.withColumnRenamed("c", "ca")
-      .join(cb.withColumnRenamed("c", "cb"), Seq("term"), "full_outer")
+    counts
       .select(col("term"),
-        expr(s"coalesce(ca, 0L) * 1000000L div ${na}L").as("a_ppm"),
-        expr(s"coalesce(cb, 0L) * 1000000L div ${nb}L").as("b_ppm"))
+        expr(s"ca * 1000000L div ${na}L").as("a_ppm"),
+        expr(s"cb * 1000000L div ${nb}L").as("b_ppm"))
       .withColumn("drift_ppm", abs(col("a_ppm") - col("b_ppm")))
   }
 
