@@ -73,4 +73,46 @@ object Drift {
   def totalVariationPpm(a: DataFrame, b: DataFrame, textCol: String): Long =
     vocabDrift(a, b, textCol)
       .agg(sum(col("drift_ppm"))).head().getLong(0) / 2
+
+  /** EMBEDDING-space drift: per label, the cosine between the two
+    * slices' centroid vectors — the vector-side counterpart of
+    * [[vocabDrift]] (an embedding pipeline watches this to catch an
+    * encoder change or a population shift between snapshots; cos → 1
+    * means the label's mass did not move). Centroid coordinates round
+    * to 6 before the cosine (q33's centroid convention), and the cosine
+    * itself is the index-ordered [[Similarity]] fold rounded to 6, so
+    * the whole statistic is oracle-replayable.
+    *
+    * Scale shape: one tagged union + in-scan posexplode into a
+    * map-side-combined (side, label, pos) mean — bounded by
+    * sides×labels×dim, not by corpus size; array assembly and the
+    * per-label A×B join happen on that bounded relation. Output:
+    * (labelCol, n_a, n_b, cos_r), one row per label present in BOTH
+    * slices. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame = {
+    graft.functions.VecDot.ensureRegistered(a.sparkSession)
+    def tagged(df: DataFrame, side: Int) =
+      df.select(col(labelCol), lit(side).as("_side"),
+        posexplode(transform(col(vecCol), _.cast("double")))
+          .as(Seq("pos", "v")))
+    val means = tagged(a, 0).unionAll(tagged(b, 1))
+      .groupBy(col(labelCol), col("_side"), col("pos"))
+      .agg(round(sum(col("v")) / count(lit(1)), 6).as("cv"),
+        count(lit(1)).as("n"))
+    val cents = means
+      .groupBy(col(labelCol), col("_side"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        e => e.getField("cv")).as("cent"),
+        max(col("n")).as("n"))
+    val ca = cents.filter(col("_side") === 0)
+      .select(col(labelCol), col("cent").as("_ca"), col("n").as("n_a"))
+    val cb = cents.filter(col("_side") === 1)
+      .select(col(labelCol), col("cent").as("_cb"), col("n").as("n_b"))
+    ca.join(cb, Seq(labelCol))
+      .select(col(labelCol), col("n_a"), col("n_b"),
+        round(Similarity.dotD(col("_ca"), col("_cb")) /
+          (Similarity.normD(col("_ca")) * Similarity.normD(col("_cb"))), 6)
+          .as("cos_r"))
+  }
 }

@@ -684,6 +684,37 @@ object VectorQ {
       m = PqM, every = PqEvery)
   }
 
+  /** q93: embedding-space drift ([[graft.operators.Drift
+    * .embeddingDrift]]) — per label, the cosine between the even- and
+    * odd-slice centroid vectors (q33's rounded-centroid convention, then
+    * the index-ordered cosine fold) — the vector-side counterpart of
+    * q92's vocabulary drift. */
+  val q93 = Q(
+    "q93_embedding_drift",
+    s"""WITH e AS (SELECT vec_id % 2 AS side, label, embedding FROM embeddings),
+       |m AS (SELECT side, label, CAST(t.i AS BIGINT) AS pos,
+       |             ROUND(SUM(CAST(embedding[t.i] AS DOUBLE)) / COUNT(*), 6) AS cv,
+       |             CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM e, UNNEST(range(1, len(embedding) + 1)) t(i)
+       |      GROUP BY side, label, t.i),
+       |c AS (SELECT side, label, list(cv ORDER BY pos) AS cent, MAX(n) AS n
+       |      FROM m GROUP BY side, label),
+       |j AS (SELECT a.label, a.n AS n_a, b.n AS n_b,
+       |             a.cent AS cva, b.cent AS cvb
+       |      FROM c a JOIN c b ON a.label = b.label
+       |      WHERE a.side = 0 AND b.side = 1)
+       |SELECT label, n_a, n_b,
+       |       ROUND(${sqlDot("cva", "cvb")} /
+       |             (sqrt(${sqlDot("cva", "cva")}) * sqrt(${sqlDot("cvb", "cvb")})),
+       |             6) AS cos_r
+       |FROM j ORDER BY label""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Drift.embeddingDrift(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1), "label", "embedding")
+      .orderBy("label")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84, q85, q86, q87, q88)
+    q70, q71, q83, q84, q85, q86, q87, q88, q93)
 }

@@ -36,6 +36,26 @@ class DriftSpec extends AnyFunSuite {
     assert(tv <= 1000000L && tv >= 900000L, s"disjoint TV $tv")
   }
 
+  test("embeddingDrift: identical slices score cos 1; an axis flip is " +
+    "caught; labels missing a side drop") {
+    val a = Seq(
+      ("l0", Array(1.0f, 0.0f)), ("l0", Array(1.0f, 0.2f)),
+      ("l1", Array(0.0f, 1.0f)),
+      ("l2", Array(1.0f, 1.0f)) // only in slice A
+    ).toDF("label", "vec")
+    val b = Seq(
+      ("l0", Array(1.0f, 0.0f)), ("l0", Array(1.0f, 0.2f)),
+      ("l1", Array(0.0f, -1.0f)) // flipped
+    ).toDF("label", "vec")
+    val out = Drift.embeddingDrift(a, b, "label", "vec")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("l0") == ((2L, 2L, 1.0)))
+    assert(out("l1") == ((1L, 1L, -1.0)), "axis flip must score cos -1")
+    assert(!out.contains("l2"), "one-sided label must drop")
+  }
+
   test("topDrift ranks by drift then term, truncates to k") {
     val out = Drift.topDrift(df("x x y z"), df("x w w w"), "text", k = 2)
       .collect().map(_.getString(0)).toSeq
