@@ -36,11 +36,21 @@ object Drift {
     * map-side-combined (term) aggregate emits both counts per term
     * (conditional sums — no join, no second exchange), and the two
     * totals come off the checkpointed vocab in a single scalar read. */
-  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
-    val tagged = a.select(explode(tokens(col(textCol))).as("term"),
-        lit(1L).as("_sa"))
-      .unionAll(b.select(explode(tokens(col(textCol))).as("term"),
-        lit(0L).as("_sa")))
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    keyDrift(a, b, explode(tokens(col(textCol))))
+
+  /** [[vocabDrift]] over a CATEGORICAL column instead of tokens — the
+    * source-mix / language-mix monitor ("did the crawl's composition
+    * shift"), same one-pass plan and integer-ppm discipline. */
+  def categoryDrift(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    keyDrift(a, b, col(keyCol))
+
+  /** Shared one-pass drift core over an arbitrary per-row (or exploded)
+    * key expression. */
+  private def keyDrift(a: DataFrame, b: DataFrame,
+                       key: org.apache.spark.sql.Column): DataFrame = {
+    val tagged = a.select(key.as("term"), lit(1L).as("_sa"))
+      .unionAll(b.select(key.as("term"), lit(0L).as("_sa")))
     val counts = tagged.groupBy("term")
       .agg(sum(col("_sa")).as("ca"),
         sum(lit(1L) - col("_sa")).as("cb"))

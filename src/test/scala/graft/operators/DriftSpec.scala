@@ -36,6 +36,17 @@ class DriftSpec extends AnyFunSuite {
     assert(tv <= 1000000L && tv >= 900000L, s"disjoint TV $tv")
   }
 
+  test("categoryDrift: source-mix shift in ppm over a categorical column") {
+    val a = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"), (4L, "s1"))
+      .toDF("doc_id", "source")
+    val b = Seq((5L, "s0"), (6L, "s1"), (7L, "s1"), (8L, "s2"))
+      .toDF("doc_id", "source")
+    val out = Drift.categoryDrift(a, b, "source")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // A: s0 50%, s1 50%; B: s0 25%, s1 50%, s2 25%
+    assert(out == Map("s0" -> 250000L, "s1" -> 0L, "s2" -> 250000L))
+  }
+
   test("embeddingDrift: identical slices score cos 1; an axis flip is " +
     "caught; labels missing a side drop") {
     val a = Seq(
