@@ -36,11 +36,23 @@ object Layout {
   /** Morton-interleave two bucket ids (each in [0, 2^bits)) into one
     * z-value: bit i of `a` lands at bit 2i, bit i of `b` at 2i+1.
     * Pure long arithmetic — codegen keeps it in-scan. */
-  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    zValueN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave: bit i of dimension j lands at bit
+    * i·N + j. The locality budget is SHARED: with F files, each of the
+    * N dims gets roughly the pruning a single-dim layout with F^(1/N)
+    * files would give — two or three dims is the practical sweet spot;
+    * past that, partition on the extra columns instead (SCALE.md). */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, "need at least 2 dimensions")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n dims x $bits bits exceeds the 63-bit z budget")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+      }
     }.reduce(_ + _)
   }
 
@@ -56,15 +68,20 @@ object Layout {
   /** Write `df` z-ordered on (colA, colB) into `nFiles` range partitions
     * under `outDir`. One calibration aggregate + one range shuffle. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
-                    outDir: String, nFiles: Int, bits: Int = 16): Unit = {
+                    outDir: String, nFiles: Int, bits: Int = 16): Unit =
+    writeZOrderedN(df, Seq(colA, colB), outDir, nFiles, bits)
+
+  /** [[writeZOrdered]] over N dimensions (see [[zValueN]] for the shared
+    * locality budget). */
+  def writeZOrderedN(df: DataFrame, colNames: Seq[String], outDir: String,
+                     nFiles: Int, bits: Int = 16): Unit = {
     require(nFiles >= 1, "nFiles must be >= 1")
-    val r = df.agg(
-      min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-    val (aLo, aHi, bLo, bHi) =
-      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-    val z = zValue(bucket(col(colA), aLo, aHi, bits),
-      bucket(col(colB), bLo, bHi, bits), bits)
+    val aggs = colNames.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val z = zValueN(colNames.zipWithIndex.map { case (c, j) =>
+      bucket(col(c), r.getDouble(2 * j), r.getDouble(2 * j + 1), bits)
+    }, bits)
     df.withColumn("_z", z)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")

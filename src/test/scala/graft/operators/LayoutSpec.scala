@@ -82,6 +82,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(zPk < sPk, s"z-order dim-2 ($zPk) not better than sorted ($sPk)")
   }
 
+  test("three-dim z-order: every dim keeps bounded overlap (shared " +
+    "locality budget), second/third dims beat the sorted baseline") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+    val dir3 = Files.createTempDirectory("graft-z3").toString
+    Layout.writeZOrderedN(li, cols, dir3, nFiles = 16)
+    val stats = Layout.fileStats(spark, dir3, cols).localCheckpoint(true)
+    assert(spark.read.parquet(dir3).count() == li.count())
+    cols.foreach { c =>
+      val r = li.agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+        .head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      // aligned 1/8 slab; with 16 files over 3 dims each dim only gets
+      // ~16^(1/3) files' worth of pruning — the shared-budget trade —
+      // but every dim must still prune SOMETHING (< 1.0)
+      val ov = Layout.overlapFraction(stats, c,
+        lo + (hi - lo) * 2 / 8, lo + (hi - lo) * 3 / 8)
+      info(f"$c overlap $ov%.3f")
+      assert(ov <= 0.8, s"$c: 3-dim z-order pruned nothing ($ov)")
+    }
+  }
+
   test("quantile calibration keeps locality on a heavy-tailed dimension " +
     "where equi-width collapses") {
     // 90% of `b` mass in [0, 100), 10% five orders of magnitude out:
