@@ -121,6 +121,30 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** POINT-LOOKUP layout: write with parquet BLOOM FILTERS on the given
+    * columns — the complement of z-order's range pruning. Min/max
+    * footer stats cannot serve equality probes on a high-cardinality
+    * column unless the file is sorted by it, and a file can only be
+    * sorted by one thing; a per-row-group bloom filter answers
+    * "definitely absent" for ANY column at ~10 bits/distinct-value, so
+    * a point lookup opens only the row groups whose filter admits the
+    * key (at 100 TB: a needle query touches a handful of row groups
+    * instead of every file the partition pruner kept). `ndv` sizes the
+    * filter (expected distinct values per row group); false positives
+    * cost a wasted row-group read, never a wrong answer. Composes with
+    * [[writeZOrderedN]]'s clustering — pass the z-written frame through
+    * with bloom columns for the NON-z point-lookup keys. */
+  def writeWithBloom(df: DataFrame, bloomCols: Seq[String], outDir: String,
+                     ndv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "need at least one bloom column")
+    require(ndv >= 1, "ndv must be >= 1")
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.parquet(outDir)
+  }
+
   /** Single-dimension sorted baseline: the layout a plain
     * `ORDER BY colA` write produces. */
   def writeSorted(df: DataFrame, colA: String, outDir: String,
