@@ -151,6 +151,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: per query row, the
+    * `k` nearest corpus rows whose LABEL DIFFERS from the query's — the
+    * highest-similarity wrong-label examples are exactly the negatives
+    * a contrastive objective learns most from (easy random negatives
+    * teach nothing at scale). Same plan economics as [[knnJoin]] (query
+    * set broadcasts, corpus never shuffles, per-query bounded window);
+    * the label-mismatch predicate evaluates map-side before the window,
+    * so same-label mass never enters the rank. Output:
+    * (qid, rank, idCol, cos_r). Swap the crossJoin stage for an ANN
+    * probe (IVF/LSH index) at corpus scale — the mining contract is
+    * unchanged, recall of the true hardest negatives follows the
+    * `ann_recall` numbers. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, vecCol)
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("qid"), col(labelCol).as("_qlabel"),
+        col("vecd").as("qvec"), col("norm").as("qnorm"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col(idCol).asc)
+    c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("qid") && col(labelCol) =!= col("_qlabel"))
+      .select(col("qid"), col(idCol),
+        round(cosine(col("vecd"), col("qvec"), col("norm"), col("qnorm")), 6).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** k-NN join: per query row (small set, broadcast), the top-k corpus
     * neighbors by cosine. Output: (qid, rank, idCol, cos_r). */
   def knnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -715,6 +715,36 @@ object VectorQ {
       .orderBy("label")
   }
 
+  /** q94: hard-negative mining ([[Similarity.hardNegatives]]) — per
+    * query, the 5 nearest corpus vectors with a DIFFERENT label: the
+    * contrastive-training pair generator (the highest-similarity
+    * wrong-label rows are the negatives the objective learns from). The
+    * oracle replays the label-mismatch predicate before the rank, so
+    * same-label mass provably never enters the window. */
+  val q94 = Q(
+    "q94_hard_negatives",
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv, nrm AS qn
+       |      FROM n WHERE vec_id % 100 = 0),
+       |sc AS (SELECT qid, vec_id,
+       |              ROUND(${sqlDot("embedding", "qv")} / (nrm * qn), 6) AS cos_r
+       |       FROM n, q WHERE vec_id <> qid AND label <> qlabel),
+       |r AS (SELECT qid, vec_id, cos_r,
+       |             CAST(ROW_NUMBER() OVER (
+       |               PARTITION BY qid ORDER BY cos_r DESC, vec_id) AS BIGINT) AS rank
+       |      FROM sc)
+       |SELECT qid, rank, vec_id, cos_r FROM r
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", "label", k = 5)
+      .select("qid", "rank", "vec_id", "cos_r")
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84, q85, q86, q87, q88, q93)
+    q70, q71, q83, q84, q85, q86, q87, q88, q93, q94)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -58,5 +59,32 @@ class SimilaritySpec extends AnyFunSuite {
     val r1 = Similarity.annTopKMultiProbe(emb, "vec_id", "embedding", 0L, 5,
       radius = 1).collect().map(_.getLong(0)).toSet
     assert(r1.size >= r0.size)
+  }
+
+  test("hardNegatives: no same-label row ever ranks; equals knnJoin over " +
+    "the pre-filtered corpus") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val out = Similarity.hardNegatives(emb, queries, "vec_id", "embedding",
+      "label", k = 5)
+      .select("qid", "rank", "vec_id", "cos_r").collect()
+    assert(out.nonEmpty)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    out.foreach { r =>
+      assert(labels(r.getLong(0)) != labels(r.getLong(2)),
+        s"same-label negative ${r.getLong(2)} for query ${r.getLong(0)}")
+    }
+    // parity: per query, mining == knnJoin over the corpus with that
+    // query's label removed (the per-query filter composed differently)
+    val qids = queries.select("vec_id").collect().map(_.getLong(0))
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = qids.flatMap { qid =>
+      Similarity.knnJoin(emb.filter(col("label") =!= labels(qid)),
+          queries.filter(col("vec_id") === qid), "vec_id", "embedding", 5)
+        .select("qid", "rank", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(got == want)
   }
 }
