@@ -53,6 +53,36 @@ object Redact {
   def redactText(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol, redExpr(col(textCol)))
 
+  /** The SOURCE-level decision table the per-document counts feed: per
+    * source, document count, PII-carrying document count and rate
+    * (exact integer milli), and per-family match totals. A curation
+    * policy drops or quarantines a whole source when its PII rate says
+    * the scrape is systematically dirty — the long tail goes through
+    * [[redactText]] row-by-row. One in-scan projection + one
+    * source-keyed map-side-combined aggregate; at 100 TB the exchange
+    * carries one row per source. Output: (sourceCol, n_docs,
+    * n_pii_docs, pii_rate_milli, n_emails, n_phones, n_ips). */
+  def piiSourceStats(df: DataFrame, sourceCol: String,
+                     textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ne = size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long")
+    val np = size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long")
+    val ni = size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long")
+    df.select(col(sourceCol), ne.as("_ne"), np.as("_np"), ni.as("_ni"))
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_ne") + col("_np") + col("_ni") > 0, 1L)
+          .otherwise(0L)).as("n_pii_docs"),
+        sum(col("_ne")).as("n_emails"),
+        sum(col("_np")).as("n_phones"),
+        sum(col("_ni")).as("n_ips"))
+      .withColumn("pii_rate_milli",
+        expr("n_pii_docs * 1000 div n_docs"))
+      .select(col(sourceCol), col("n_docs"), col("n_pii_docs"),
+        col("pii_rate_milli"), col("n_emails"), col("n_phones"),
+        col("n_ips"))
+  }
+
   /** Output: (idCol, red_text, n_emails, n_phones, n_ips) — one row per
     * input document; documents with no PII pass through verbatim. */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -1451,7 +1451,49 @@ object TextQ {
       docs.filter(col("doc_id") % 2 === 1), "text", k = 20)
   }
 
+  /** q95: per-source PII rates ([[graft.operators.Redact
+    * .piiSourceStats]]) — the drop/quarantine decision table over q90's
+    * planted corpus (same plants, so rates are non-vacuous): exact
+    * integer-milli PII rate + per-family totals per source. */
+  val q95 = Q(
+    "q95_pii_source_stats",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source,
+       |         CASE WHEN doc_id % 7 = 0
+       |                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |                     || '@example.com or 555-867-5309'
+       |              WHEN doc_id % 11 = 0
+       |                THEN text || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+       |                     || '.17 port 80'
+       |              ELSE text END AS text
+       |  FROM documents),
+       |c AS (SELECT source,
+       |             len(regexp_extract_all(text, '${Redact.EmailRe}')) AS ne,
+       |             len(regexp_extract_all(text, '${Redact.PhoneRe}')) AS np,
+       |             len(regexp_extract_all(text, '${Redact.Ipv4Re}')) AS ni
+       |      FROM corpus)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pii_docs,
+       |       CAST(SUM(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END) * 1000
+       |            // COUNT(*) AS BIGINT) AS pii_rate_milli,
+       |       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       |       CAST(SUM(np) AS BIGINT) AS n_phones,
+       |       CAST(SUM(ni) AS BIGINT) AS n_ips
+       |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val planted = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or 555-867-5309")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" from 192.168."),
+            (col("doc_id") % 256).cast("string"), lit(".17 port 80")))
+        .otherwise(col("text")).as("text"))
+    Redact.piiSourceStats(planted, "source", "text").orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95)
 }

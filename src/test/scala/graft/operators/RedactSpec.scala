@@ -35,6 +35,23 @@ class RedactSpec extends AnyFunSuite {
     assert(out(1L) == (("<EMAIL> dialed <PHONE> from <IP>", 1L, 1L, 1L)))
   }
 
+  test("piiSourceStats: rates and per-family totals, clean sources zero") {
+    val df = Seq(
+      (1L, "s0", "mail a@b.co and c@d.org now"),
+      (2L, "s0", "clean words only here"),
+      (3L, "s1", "clean text in this source"),
+      (4L, "s1", "also clean over here today"),
+      (5L, "s2", "call 555-867-5309 from 10.0.0.1")
+    ).toDF("doc_id", "source", "text")
+    val out = Redact.piiSourceStats(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out("s0") == ((2L, 1L, 500L, 2L, 0L, 0L)))
+    assert(out("s1") == ((2L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out("s2") == ((1L, 1L, 1000L, 0L, 1L, 1L)))
+  }
+
   test("word boundaries hold: longer digit runs are not phones/IPs") {
     val out = run(Seq(
       (1L, "serial 1555-123-45678 stays"), // 4-3-5 digits: \b kills both ends
