@@ -25,6 +25,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == 1L)
   }
 
+  test("exactGroupsHashed: identical output to string grouping on the " +
+    "real corpus; the verify pass reports zero collisions") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaString = canon(Dedup.exactGroups(corpus, "doc_id", "text"))
+    val viaHash = canon(Dedup.exactGroupsHashed(corpus, "doc_id", "text"))
+    assert(viaHash == viaString)
+    assert(Dedup.verifyHashGroups(corpus, "text") == 0L)
+    // and on the constructed dup fixture too (case/punct variants fold)
+    assert(canon(Dedup.exactGroupsHashed(docs, "doc_id", "text")) ==
+      canon(Dedup.exactGroups(docs, "doc_id", "text")))
+  }
+
   test("ngramJaccardPairs finds near-dups, respects blocking") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockCols = Seq("source"), thresholdMilli = 500)
