@@ -268,4 +268,38 @@ object Mixing {
       .select(col("g").as(groupCol), col("rate_milli"), col("n_total"),
         col("n_kept"))
   }
+
+  /** LEAKAGE-SAFE train/val split: a near-duplicate cluster is assigned
+    * to a split ATOMICALLY, so no near-dup pair ever straddles the
+    * boundary — the failure mode a plain per-document hash split cannot
+    * rule out (a val document's near-twin in train is silent
+    * contamination of the eval signal). Clusters come from the
+    * LSH-verified pair graph ([[Dedup.minhashPairs]] →
+    * [[Components.of]]); unpaired documents are their own cluster. The
+    * split key is the 31-bit content hash of the cluster REPRESENTATIVE
+    * (placement-only arithmetic per the hash-width policy, q49's
+    * convention), so assignment is content-addressed and append-stable:
+    * re-running with more documents never flips an existing cluster
+    * whose representative survived. Output: (idCol, rep, split).
+    *
+    * Scale shape: the pair graph and union-find touch only near-dup
+    * CANDIDATES (the LSH economics); the split itself is one broadcast
+    * or id-keyed join of the (small) component map plus an in-scan hash
+    * — the corpus never shuffles for placement. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       valMilli: Int = 100,
+                       thresholdMilli: Int = 800): DataFrame = {
+    require(valMilli >= 0 && valMilli <= 1000, "valMilli must be in [0, 1000]")
+    val pairs = Dedup.minhashPairs(docs, idCol, textCol, thresholdMilli)
+    val comp = Components.of(pairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("component"))
+    docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("rep",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("split",
+        when(strHash(col("rep").cast("string")) % 1000 < valMilli, lit("val"))
+          .otherwise(lit("train")))
+      .select(col(idCol), col("rep"), col("split"))
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextAnalysis
 import graft.functions.TextAnalysis._
-import graft.operators.{Dedup, Redact}
+import graft.operators.{Dedup, Mixing, Redact}
 
 /** Text-analysis + deduplication queries over `documents` — the
   * training-data-pipeline operator family: token statistics, exact dedup,
@@ -1493,7 +1493,39 @@ object TextQ {
     Redact.piiSourceStats(planted, "source", "text").orderBy("source")
   }
 
+  /** q96: LEAKAGE-SAFE train/val split ([[graft.operators.Mixing
+    * .leakageSafeSplit]]) — near-dup clusters (q41's component map)
+    * assign to splits atomically by the content hash of the cluster
+    * representative (q49's placement convention), so no verified
+    * near-dup pair ever straddles the boundary. The oracle replays the
+    * pair graph, the recursive closure, the representative fallback,
+    * and the hash placement. */
+  val q96 = Q(
+    "q96_leakage_safe_split",
+    s"""WITH RECURSIVE ${minhashPairsCtes(500)},
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |cnodes AS (SELECT DISTINCT a AS id FROM edges),
+       |closure AS (
+       |  SELECT id, id AS r FROM cnodes
+       |  UNION
+       |  SELECT c.id, e.b FROM closure c JOIN edges e ON e.a = c.r
+       |),
+       |comp AS (SELECT id, MIN(r) AS component FROM closure GROUP BY id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(comp.component, d.doc_id) AS BIGINT) AS rep,
+       |       CASE WHEN ${sqlHash("CAST(COALESCE(comp.component, d.doc_id) AS VARCHAR)")}
+       |                 % 1000 < 100
+       |            THEN 'val' ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    Mixing.leakageSafeSplit(Tables.documents(s, dir), "doc_id", "text",
+      valMilli = 100, thresholdMilli = 500)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
+    q96)
 }

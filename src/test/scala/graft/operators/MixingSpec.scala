@@ -196,4 +196,37 @@ class MixingSpec extends AnyFunSuite {
       Mixing.quotaSample(docs, "doc_id", "source", quota = 0)
     }
   }
+
+  test("leakageSafeSplit: no near-dup pair straddles the split; unpaired " +
+    "docs are their own cluster; assignment is deterministic") {
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Mixing.leakageSafeSplit(corpus, "doc_id", "text",
+      valMilli = 100, thresholdMilli = 500)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.size == corpus.count())
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      thresholdMilli = 500)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture needs near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 == out(b)._2,
+        s"near-dup pair ($a, $b) straddles the split")
+      assert(out(a)._1 == out(b)._1, "pair in different clusters")
+    }
+    // unpaired docs: rep == own id
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.filterNot { case (id, _) => paired(id) }.foreach { case (id, (rep, _)) =>
+      assert(rep == id, s"unpaired doc $id got rep $rep")
+    }
+    // both splits populated at these knobs
+    assert(out.values.map(_._2).toSet == Set("train", "val"))
+    // deterministic
+    val again = Mixing.leakageSafeSplit(corpus, "doc_id", "text",
+      valMilli = 100, thresholdMilli = 500)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(again == out)
+  }
 }
