@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Dedup, Redact}
+
+/** The DATA CARD — the quantitative half of a dataset release note,
+  * composed from the operator library's own audited statistics: scale
+  * (documents / tokens / chars), composition (language and source
+  * distributions), hygiene (PII incidence, exact-duplicate groups,
+  * near-duplicate clusters, cross-document duplicate-span mass). Every
+  * number is the SAME statistic the corresponding oracle-checked query
+  * computes (q20 tokens, q23 langs, q95 PII, q21 exact groups, q41
+  * clusters, q62 span mass), so the card cannot drift from the engine's
+  * verified semantics — the spec pins each field against its component
+  * operator on the fixture.
+  *
+  * Scale shape: scalars and the distributions come from a handful of
+  * map-side-combined aggregates over in-scan expressions; the near-dup
+  * cluster count is the one genuinely pair-driven number (LSH
+  * candidates only, the [[Dedup.minhashPairs]] economics). Everything
+  * returned is driver-small by construction — a card is a report, not a
+  * relation.
+  */
+object DataCard {
+
+  final case class Card(
+      nDocs: Long, nTokens: Long, nChars: Long,
+      langDocs: Map[String, Long], sourceDocs: Map[String, Long],
+      piiDocs: Long, piiRateMilli: Long,
+      exactDupGroups: Long, nearDupClusters: Long, nearDupDocs: Long,
+      dupChunkDocs: Long)
+
+  /** Build the card. `thresholdMilli` is the near-dup bar (q41's
+    * convention); `span`/`minDocs` the duplicate-span knobs (q62's). */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            langCol: String, sourceCol: String,
+            thresholdMilli: Int = 800, span: Int = 8,
+            minDocs: Int = 2): Card = {
+    graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
+    val base = docs.localCheckpoint(true) // one scan feeds every stat
+    val scale = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.functions.TokenStats(col(textCol)).getField("n_tokens")
+        .cast("long")).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars")).head()
+    val langDocs = base.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sourceDocs = base.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pii = Redact.piiSourceStats(base, sourceCol, textCol)
+      .agg(sum(col("n_pii_docs")), sum(col("n_docs"))).head()
+    val piiDocs = pii.getLong(0)
+    val exactDupGroups = Dedup.exactGroups(base, idCol, textCol)
+      .filter(col("n_copies") > 1).count()
+    val pairs = Dedup.minhashPairs(base, idCol, textCol, thresholdMilli)
+      .localCheckpoint(true)
+    val comp = Components.of(pairs, "id_a", "id_b")
+    val nearDupDocs = comp.count()
+    val nearDupClusters = comp.select("component").distinct().count()
+    val dupChunkDocs = Dedup.spanDupStats(base, idCol, textCol, span,
+      minDocs).count()
+    Card(
+      nDocs = scale.getLong(0), nTokens = scale.getLong(1),
+      nChars = scale.getLong(2),
+      langDocs = langDocs, sourceDocs = sourceDocs,
+      piiDocs = piiDocs,
+      piiRateMilli =
+        if (scale.getLong(0) == 0) 0L else piiDocs * 1000 / scale.getLong(0),
+      exactDupGroups = exactDupGroups,
+      nearDupClusters = nearDupClusters, nearDupDocs = nearDupDocs,
+      dupChunkDocs = dupChunkDocs)
+  }
+
+  /** The card as a tall (metric, value) frame for sinks/rendering —
+    * distributions flatten as `lang_docs.<k>` / `source_docs.<k>`. */
+  def toDF(spark: org.apache.spark.sql.SparkSession, card: Card): DataFrame = {
+    import spark.implicits._
+    val rows = Seq(
+      "n_docs" -> card.nDocs, "n_tokens" -> card.nTokens,
+      "n_chars" -> card.nChars, "pii_docs" -> card.piiDocs,
+      "pii_rate_milli" -> card.piiRateMilli,
+      "exact_dup_groups" -> card.exactDupGroups,
+      "near_dup_clusters" -> card.nearDupClusters,
+      "near_dup_docs" -> card.nearDupDocs,
+      "dup_chunk_docs" -> card.dupChunkDocs) ++
+      card.langDocs.toSeq.sortBy(_._1).map { case (k, v) => s"lang_docs.$k" -> v } ++
+      card.sourceDocs.toSeq.sortBy(_._1).map { case (k, v) => s"source_docs.$k" -> v }
+    rows.toDF("metric", "value")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.operators.{Components, Dedup}
+
+/** The data card's every field must equal the component operator it
+  * claims to summarize — computed independently here on the fixture. */
+class DataCardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("card fields match their component operators on the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val card = DataCard.build(docs, "doc_id", "text", "lang", "source",
+      thresholdMilli = 500)
+    assert(card.nDocs == docs.count())
+    assert(card.nChars == docs.agg(sum(length(col("text")))).head().getLong(0))
+    assert(card.langDocs == docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(card.sourceDocs.values.sum == card.nDocs)
+    // near-dup numbers against the operators directly
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      thresholdMilli = 500)
+    val comp = Components.of(pairs, "id_a", "id_b")
+    assert(card.nearDupDocs == comp.count())
+    assert(card.nearDupClusters ==
+      comp.select("component").distinct().count())
+    assert(card.nearDupClusters > 0, "fixture needs clusters")
+    assert(card.dupChunkDocs ==
+      Dedup.spanDupStats(docs, "doc_id", "text").count())
+    // the synthetic corpus has no PII and no exact dups
+    assert(card.piiDocs == 0L && card.piiRateMilli == 0L)
+    assert(card.exactDupGroups == 0L)
+    assert(card.nTokens > 0)
+  }
+
+  test("toDF flattens every field; value column totals are consistent") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val card = DataCard.build(docs, "doc_id", "text", "lang", "source",
+      thresholdMilli = 500)
+    val df = DataCard.toDF(spark, card)
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_docs") == card.nDocs)
+    assert(m.keys.count(_.startsWith("lang_docs.")) == card.langDocs.size)
+    assert(m.filter(_._1.startsWith("source_docs.")).values.sum == card.nDocs)
+  }
+}
