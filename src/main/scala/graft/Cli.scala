@@ -66,6 +66,7 @@ object Cli {
   def run(spark: SparkSession, cmd: String, rest: Array[String]): Unit = {
     if (cmd == "query") { runQuery(spark, rest); return }
     if (cmd == "trending") { runTrending(spark, rest); return }
+    if (cmd == "datacard") { runDataCard(spark, rest); return }
     val db = opt(rest, "db").getOrElse(sys.error("--db required"))
     val store = new ItemStore(spark, db,
       buckets = opt(rest, "buckets").map(_.toInt).getOrElse(0),
@@ -167,6 +168,23 @@ object Cli {
         org.apache.spark.sql.functions.col("rank").asc)
     println(s"[trending] store=$storeRoot windows committed:")
     trends.show(opt(rest, "limit").map(_.toInt).getOrElse(20), truncate = false)
+  }
+
+  /** `datacard --sf DIR [--threshold_milli N] [--out DIR]` — build the
+    * release data card ([[graft.pipeline.DataCard]]) over the documents
+    * table and print (or write) the tall metric frame. */
+  private def runDataCard(spark: SparkSession, rest: Array[String]): Unit = {
+    val sf = opt(rest, "sf").getOrElse("/root/testdata/sf0.01")
+    val card = graft.pipeline.DataCard.build(
+      Tables.documents(spark, sf), "doc_id", "text", "lang", "source",
+      thresholdMilli = opt(rest, "threshold_milli").map(_.toInt).getOrElse(800))
+    val df = graft.pipeline.DataCard.toDF(spark, card)
+    opt(rest, "out") match {
+      case Some(dir) =>
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        println(s"[datacard] -> $dir")
+      case None => df.show(100, truncate = false)
+    }
   }
 
   private def runQuery(spark: SparkSession, rest: Array[String]): Unit = {

@@ -76,4 +76,15 @@ class CliSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown query"))
   }
+
+  test("datacard verb writes the tall metric frame") {
+    val out = Files.createTempDirectory("graft-cli-card").toString + "/card"
+    Cli.run(spark, "datacard", Array("--sf", "/root/testdata/sf0.001",
+      "--threshold_milli", "500", "--out", out))
+    val res = spark.read.parquet(out)
+    val m = res.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("n_docs") == 500L)
+    assert(m("near_dup_clusters") > 0L)
+    assert(m.keys.exists(_.startsWith("lang_docs.")))
+  }
 }
