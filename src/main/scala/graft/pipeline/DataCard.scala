@@ -39,7 +39,11 @@ object DataCard {
             thresholdMilli: Int = 800, span: Int = 8,
             minDocs: Int = 2): Card = {
     graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
-    val base = docs.localCheckpoint(true) // one scan feeds every stat
+    // checkpoint ONLY the columns the card reads — a bare
+    // docs.localCheckpoint would materialize every caller column
+    // (corpus-sized payload for fields the card never touches)
+    val base = docs.select(col(idCol), col(textCol), col(langCol),
+      col(sourceCol)).localCheckpoint(true)
     val scale = base.agg(
       count(lit(1)).as("n_docs"),
       sum(graft.functions.TokenStats(col(textCol)).getField("n_tokens")
