@@ -41,7 +41,10 @@ object StreamDrift {
       .select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cr"))
       .localCheckpoint(true) // fold once; every batch probes this
-    val nRef = refCounts.agg(sum(col("cr"))).head().getLong(0)
+    val nRef = refCounts.agg(sum(col("cr"))).head() match {
+      case r if r.isNullAt(0) => 0L // empty reference: sum is NULL
+      case r => r.getLong(0)
+    }
     require(nRef > 0, "reference corpus must contain tokens")
 
     (batch: DataFrame, batchId: Long) => {

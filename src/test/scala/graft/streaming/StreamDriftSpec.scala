@@ -39,4 +39,11 @@ class StreamDriftSpec extends AnyFunSuite {
     val alert = mon(docs().limit(0), 7L)
     assert(alert == StreamDrift.Alert(7L, 0L, 1000000L, Seq.empty))
   }
+
+  test("an empty reference corpus fails loud at binder creation") {
+    val e = intercept[IllegalArgumentException] {
+      StreamDrift.monitor(spark, docs(), "text")
+    }
+    assert(e.getMessage.contains("reference corpus must contain tokens"))
+  }
 }
