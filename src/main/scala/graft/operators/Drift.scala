@@ -56,7 +56,10 @@ object Drift {
         sum(lit(1L) - col("_sa")).as("cb"))
       .localCheckpoint(true) // feeds the totals AND the drift projection
     val t = counts.agg(sum(col("ca")), sum(col("cb"))).head()
-    val (na, nb) = (t.getLong(0), t.getLong(1))
+    // empty side: its sum aggregates to NULL — report the misuse loudly
+    // instead of NPEing on getLong
+    val na = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val nb = if (t.isNullAt(1)) 0L else t.getLong(1)
     require(na > 0 && nb > 0, "both corpora must contain tokens")
     counts
       .select(col("term"),

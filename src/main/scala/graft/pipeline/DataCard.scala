@@ -46,9 +46,12 @@ object DataCard {
       col(sourceCol)).localCheckpoint(true)
     val scale = base.agg(
       count(lit(1)).as("n_docs"),
-      sum(graft.functions.TokenStats(col(textCol)).getField("n_tokens")
-        .cast("long")).as("n_tokens"),
-      sum(length(col(textCol)).cast("long")).as("n_chars")).head()
+      // coalesce: an empty (or all-null-text) corpus sums to NULL and a
+      // card over it should read 0, not NPE
+      coalesce(sum(graft.functions.TokenStats(col(textCol))
+        .getField("n_tokens").cast("long")), lit(0L)).as("n_tokens"),
+      coalesce(sum(length(col(textCol)).cast("long")), lit(0L))
+        .as("n_chars")).head()
     val langDocs = base.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val sourceDocs = base.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))

@@ -36,6 +36,13 @@ class DriftSpec extends AnyFunSuite {
     assert(tv <= 1000000L && tv >= 900000L, s"disjoint TV $tv")
   }
 
+  test("an empty side fails loud, not with an NPE") {
+    val e = intercept[IllegalArgumentException] {
+      Drift.vocabDrift(df(), df("some words here"), "text").collect()
+    }
+    assert(e.getMessage.contains("both corpora must contain tokens"))
+  }
+
   test("categoryDrift: source-mix shift in ppm over a categorical column") {
     val a = Seq((1L, "s0"), (2L, "s0"), (3L, "s1"), (4L, "s1"))
       .toDF("doc_id", "source")
