@@ -118,14 +118,26 @@ object Decontaminate {
     // VOLUME, the salt fixes PLACEMENT — and the exact join still scrubs
     // the sketch's false positives, so output is unchanged (spec-pinned).
     // With the gate on, the checkpoint materialization and the sketch
-    // build fuse into one job ([[checkpointGramsWithSketch]]).
-    val (esh, tsh) = if (!bloomGate) (eshBase.localCheckpoint(true), tshAll)
-    else {
+    // build fuse into one job ([[checkpointGramsWithSketch]]). Without
+    // it, the checkpoint fuses with the HOT-KEY measurement instead
+    // ([[Salting.checkpointWithHotKeys]]) — same one-job discipline, so
+    // neither regime pays a second sequential pass over the eval grams.
+    // `hotPre` is the pre-measured hot set for [[Salting
+    // .hotSaltedJoinWith]]; None = the join measures for itself (Bloom
+    // regime, whose fused pass builds the sketch).
+    val (esh, tsh, hotPre) = if (!bloomGate) {
+      val keyed =
+        if (keyCols.size == 1) eshBase
+        else eshBase.withColumn("_hk", xxhash64(keyCols.map(col): _*))
+      val (e, hot) = Salting.checkpointWithHotKeys(keyed,
+        if (keyCols.size == 1) "g" else "_hk", hotMin)
+      (e.drop("_hk"), tshAll, Some(hot))
+    } else {
       graft.functions.BloomGate.ensureRegistered(train.sparkSession)
       val (e, _, bloom) =
         checkpointGramsWithSketch(eshBase, "g", expectedGrams, bloomFpp)
       (e, tshAll.filter(graft.functions.BloomGate(
-        lit(graft.functions.BloomGate.serialize(bloom)), col("g"))))
+        lit(graft.functions.BloomGate.serialize(bloom)), col("g"))), None)
     }
     // ONE exchange for both aggregation levels: hash-partitioning on the
     // train id alone satisfies the pair-level grouping's (id, eval_id)
@@ -136,10 +148,14 @@ object Decontaminate {
     // match longs instead of partially-aggregated pairs; matches are
     // bounded by the overlap join's output either way, and dropping a
     // whole stage boundary wins at the measured ~12-sequential-job floor.
-    (if (keyCols.size == 1)
-      Salting.hotSaltedJoin(tsh, esh, "g", col("id"), saltR, hotMin)
-    else
-      Salting.hotSaltedJoinKeys(tsh, esh, keyCols, col("id"), saltR, hotMin))
+    (hotPre match {
+      case Some(hot) =>
+        Salting.hotSaltedJoinWith(tsh, esh, keyCols, hot, col("id"), saltR)
+      case None if keyCols.size == 1 =>
+        Salting.hotSaltedJoin(tsh, esh, "g", col("id"), saltR, hotMin)
+      case None =>
+        Salting.hotSaltedJoinKeys(tsh, esh, keyCols, col("id"), saltR, hotMin)
+    })
       .repartition(col("id"))
       .groupBy("id", "eval_id").agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minShared)

@@ -103,6 +103,59 @@ object Salting {
     saltAndJoin(skewed, small, Seq(key), isHot, saltBy, r)
   }
 
+  /** Checkpoint `small` AND measure its hot keys in ONE job — the
+    * fusion [[graft.operators.Decontaminate]]'s Bloom path already uses
+    * for its sketch build (`checkpointGramsWithSketch`): the RDD
+    * localCheckpoint is LAZY, so the hot-key partials pass doubles as
+    * the materialization action, where the eager DataFrame checkpoint
+    * followed by [[hotKeys]] costs two sequential jobs over the same
+    * rows. Fast regime only (hotMin > partitions — the pigeonhole
+    * partials bound); the exact regime keeps its own aggregation job,
+    * whose exchange cannot ride a checkpoint pass anyway. Returns the
+    * checkpointed frame + the hot set for [[hotSaltedJoinWith]]. */
+  def checkpointWithHotKeys(small: DataFrame, keyCol: String,
+                            hotMin: Long): (DataFrame, Seq[Any]) = {
+    val schema = small.schema
+    val idx = schema.fieldIndex(keyCol)
+    val rdd = small.rdd
+    rdd.localCheckpoint()
+    val nPart = rdd.getNumPartitions
+    val df = small.sparkSession.createDataFrame(rdd, schema)
+    if (hotMin <= nPart) {
+      // exact regime: first action below materializes the checkpoint
+      (df, hotKeys(df, keyCol, hotMin))
+    } else {
+      val partials = rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[Any, Long]
+        it.foreach { row =>
+          val k = row.get(idx)
+          if (k != null) m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        m.iterator.filter(_._2 >= 2L)
+      }.collect() // one job: checkpoint materialization + partials
+      val sums = scala.collection.mutable.HashMap.empty[Any, Long]
+      partials.foreach { case (k, c) =>
+        sums.update(k, sums.getOrElse(k, 0L) + c)
+      }
+      val thr = math.max(1L, hotMin - nPart)
+      (df, sums.iterator.filter(_._2 >= thr).map(_._1).toSeq)
+    }
+  }
+
+  /** [[hotSaltedJoin]]/[[hotSaltedJoinKeys]] with a PRE-MEASURED hot set
+    * (from [[checkpointWithHotKeys]]): same fold, same InSet predicate,
+    * same pairing contract — only the measurement job is gone. */
+  def hotSaltedJoinWith(skewed: DataFrame, small: DataFrame,
+                        keys: Seq[String], hot: Seq[Any], saltBy: Column,
+                        r: Int): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val folded: Column =
+      if (keys.size == 1) col(keys.head) else xxhash64(keys.map(col): _*)
+    val isHot: Column =
+      if (hot.isEmpty) lit(false) else folded.isInCollection(hot)
+    saltAndJoin(skewed, small, keys, isHot, saltBy, r)
+  }
+
   /** [[hotSaltedJoin]] over a COMPOSITE equi-join key — the shape the
     * 93-bit hash-width escalation needs (SCALE.md): an escalated gram
     * join keys on the `(h62, h41)` column PAIR, and the single-column

@@ -162,4 +162,32 @@ class SaltingSpec extends AnyFunSuite {
     // branch leaked into the pigeonhole regime
     assert(jobs == 1 && stages == 1, s"expected 1 job / 1 stage, got $jobs / $stages")
   }
+
+  test("checkpointWithHotKeys: fused measurement equals hotKeys in both " +
+    "regimes; hotSaltedJoinWith reproduces the self-measuring join") {
+    val skewed = (1L to 1000L)
+      .map(i => (if (i <= 900) 1L else i, i)).toDF("key", "row_id")
+    val small = ((1 to 20).map(j => (1L, s"hot$j")) :+ ((950L, "cold")))
+      .toDF("key", "label")
+    // fast regime (hotMin > partitions after parallelize default)
+    val (ck, hot) = Salting.checkpointWithHotKeys(small, "key", hotMin = 40L)
+    assert(ck.collect().length == small.count(), "checkpoint lost rows")
+    val viaSelf = Salting.hotSaltedJoin(skewed, small, "key",
+      col("row_id"), r = 8, hotMin = 40L)
+      .select("row_id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaPre = Salting.hotSaltedJoinWith(skewed, ck, Seq("key"), hot,
+      col("row_id"), r = 8)
+      .select("row_id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaPre == viaSelf)
+    // exact regime (hotMin <= nPart): delegates to the aggregation path
+    val (ck2, hot2) = Salting.checkpointWithHotKeys(small, "key", hotMin = 2L)
+    assert(ck2.count() == small.count())
+    val viaPre2 = Salting.hotSaltedJoinWith(skewed, ck2, Seq("key"), hot2,
+      col("row_id"), r = 8)
+      .select("row_id", "label").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaPre2 == viaSelf)
+  }
 }
