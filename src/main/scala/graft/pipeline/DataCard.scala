@@ -80,6 +80,35 @@ object DataCard {
       dupChunkDocs = dupChunkDocs)
   }
 
+  /** Release-over-release card DIFF — the drift section of a dataset
+    * changelog, computed from two cards' own numbers (driver-side pure
+    * arithmetic, no corpus re-scan): scalar deltas, plus the lang- and
+    * source-mix total-variation drift in exact integer ppm
+    * ([[graft.operators.Drift]]'s floor-division discipline applied to
+    * the cards' distribution maps). For content-level drift (vocab /
+    * embedding space) run the [[graft.operators.Drift]] operators over
+    * the corpora themselves — the card diff is the cheap first gate. */
+  final case class CardDiff(
+      docsDelta: Long, tokensDelta: Long,
+      langTvPpm: Long, sourceTvPpm: Long,
+      piiRateDeltaMilli: Long)
+
+  def diff(a: Card, b: Card): CardDiff = {
+    def tvPpm(ma: Map[String, Long], na: Long,
+              mb: Map[String, Long], nb: Long): Long =
+      if (na == 0 || nb == 0) 1000000L
+      else (ma.keySet ++ mb.keySet).toSeq.map { k =>
+        math.abs(ma.getOrElse(k, 0L) * 1000000L / na -
+          mb.getOrElse(k, 0L) * 1000000L / nb)
+      }.sum / 2
+    CardDiff(
+      docsDelta = b.nDocs - a.nDocs,
+      tokensDelta = b.nTokens - a.nTokens,
+      langTvPpm = tvPpm(a.langDocs, a.nDocs, b.langDocs, b.nDocs),
+      sourceTvPpm = tvPpm(a.sourceDocs, a.nDocs, b.sourceDocs, b.nDocs),
+      piiRateDeltaMilli = b.piiRateMilli - a.piiRateMilli)
+  }
+
   /** The card as a tall (metric, value) frame for sinks/rendering —
     * distributions flatten as `lang_docs.<k>` / `source_docs.<k>`. */
   def toDF(spark: org.apache.spark.sql.SparkSession, card: Card): DataFrame = {

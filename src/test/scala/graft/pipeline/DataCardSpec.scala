@@ -36,6 +36,23 @@ class DataCardSpec extends AnyFunSuite {
     assert(card.nTokens > 0)
   }
 
+  test("card diff: identity is all-zero; a composition shift shows up in " +
+    "the mix TV and nowhere else") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val card = DataCard.build(docs, "doc_id", "text", "lang", "source",
+      thresholdMilli = 500)
+    val same = DataCard.diff(card, card)
+    assert(same == DataCard.CardDiff(0L, 0L, 0L, 0L, 0L))
+    // release B drops one language entirely: doc/token deltas negative,
+    // lang TV positive, PII rate unchanged
+    val cardB = DataCard.build(docs.filter(col("lang") =!= "zh"),
+      "doc_id", "text", "lang", "source", thresholdMilli = 500)
+    val d = DataCard.diff(card, cardB)
+    assert(d.docsDelta < 0 && d.tokensDelta < 0)
+    assert(d.langTvPpm > 0, "dropping a language must move the lang mix")
+    assert(d.piiRateDeltaMilli == 0L)
+  }
+
   test("toDF flattens every field; value column totals are consistent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val card = DataCard.build(docs, "doc_id", "text", "lang", "source",
