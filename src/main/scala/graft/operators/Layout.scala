@@ -79,6 +79,13 @@ object Layout {
     val aggs = colNames.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
+    // fail loud (repo policy) instead of an opaque NPE: min/max come back
+    // NULL when the input is empty or a dimension is all-null
+    colNames.zipWithIndex.foreach { case (c, j) =>
+      require(!r.isNullAt(2 * j) && !r.isNullAt(2 * j + 1),
+        s"z-order calibration found no values for dimension '$c' " +
+          "(empty input or all-null column) — nothing to lay out")
+    }
     val z = zValueN(colNames.zipWithIndex.map { case (c, j) =>
       bucket(col(c), r.getDouble(2 * j), r.getDouble(2 * j + 1), bits)
     }, bits)

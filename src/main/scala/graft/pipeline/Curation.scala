@@ -31,7 +31,10 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing, Redact}
   *                         ([[Dedup.exactGroups]], keep-lowest-id)
   *   2b. boilerplate     — OPTIONAL cross-document dup-span scrub
   *                         ([[Dedup.scrubDupSpans]], the q89 rewrite;
-  *                         fully-boilerplate documents drop). After
+  *                         fully-boilerplate documents drop; documents
+  *                         losing a chunk are token-rebuilt with single
+  *                         spaces, untouched documents stay
+  *                         byte-identical). After
   *                         exact dedup so identical copies cannot
   *                         boilerplate-ize each other; before near-dup
   *                         so shared boilerplate stops inflating

@@ -56,8 +56,12 @@ object DataCard {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val sourceDocs = base.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // coalesce like the scale aggregate above: an empty corpus yields zero
+    // per-source rows, so the sums come back NULL and the card should read
+    // 0, not NPE
     val pii = Redact.piiSourceStats(base, sourceCol, textCol)
-      .agg(sum(col("n_pii_docs")), sum(col("n_docs"))).head()
+      .agg(coalesce(sum(col("n_pii_docs")), lit(0L)),
+        coalesce(sum(col("n_docs")), lit(0L))).head()
     val piiDocs = pii.getLong(0)
     val exactDupGroups = Dedup.exactGroups(base, idCol, textCol)
       .filter(col("n_copies") > 1).count()

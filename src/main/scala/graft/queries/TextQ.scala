@@ -1292,7 +1292,9 @@ object TextQ {
        |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS clean_text
        |        FROM kept GROUP BY doc_id),
        |nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM rem GROUP BY doc_id)
-       |SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+       |SELECT d.doc_id,
+       |       CASE WHEN nrem.doc_id IS NULL THEN d.text
+       |            ELSE COALESCE(agg.clean_text, '') END AS clean_text,
        |       CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed
        |FROM documents d
        |LEFT JOIN agg ON d.doc_id = agg.doc_id
@@ -1303,26 +1305,38 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q90/q95's SHARED planted-PII fixture (the synthetic corpus carries
+    * no PII): an email+phone tail on every doc_id % 7 == 0 document, an
+    * IPv4 tail on the remaining doc_id % 11 == 0 ones. ONE helper per
+    * dialect so the two planted-recovery audits can never drift apart. */
+  private val sqlPiiPlant: String =
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || " +
+      "CAST(doc_id AS VARCHAR) || '@example.com or 555-867-5309' " +
+      "WHEN doc_id % 11 = 0 THEN text || ' from 192.168.' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.17 port 80' ELSE text END"
+
+  /** Spark twin of [[sqlPiiPlant]] (byte-identical planted strings). */
+  private def piiPlantCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"),
+        lit("@example.com or 555-867-5309")))
+      .when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" from 192.168."),
+          (col("doc_id") % 256).cast("string"), lit(".17 port 80")))
+      .otherwise(col("text"))
+
   /** q90: PII redaction ([[graft.operators.Redact.redactPii]]) — the
     * scrub-before-packing curation step. The synthetic corpus carries no
     * PII, so (like q46/q85) the query is a PLANTED-RECOVERY audit: both
-    * dialects deterministically append an email+phone tail to every
-    * doc_id % 7 == 0 document and an IPv4 tail to the remaining
-    * doc_id % 11 == 0 documents, then redact. The oracle runs the SAME
-    * RE2-safe pattern text under DuckDB ('g' flag = Spark's replace-all)
-    * — rewritten strings AND per-category counts hash-match. */
+    * dialects plant [[sqlPiiPlant]]'s deterministic tails, then redact.
+    * The oracle runs the SAME RE2-safe pattern text under DuckDB ('g'
+    * flag = Spark's replace-all) — rewritten strings AND per-category
+    * counts hash-match. */
   val q90 = Q(
     "q90_pii_redact",
     s"""WITH corpus AS (
-       |  SELECT doc_id,
-       |         CASE WHEN doc_id % 7 = 0
-       |                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-       |                     || '@example.com or 555-867-5309'
-       |              WHEN doc_id % 11 = 0
-       |                THEN text || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
-       |                     || '.17 port 80'
-       |              ELSE text END AS text
-       |  FROM documents)
+       |  SELECT doc_id, $sqlPiiPlant AS text FROM documents)
        |SELECT doc_id,
        |       regexp_replace(regexp_replace(regexp_replace(text,
        |         '${Redact.EmailRe}', '${Redact.EmailTok}', 'g'),
@@ -1332,15 +1346,8 @@ object TextQ {
        |       CAST(len(regexp_extract_all(text, '${Redact.PhoneRe}')) AS BIGINT) AS n_phones,
        |       CAST(len(regexp_extract_all(text, '${Redact.Ipv4Re}')) AS BIGINT) AS n_ips
        |FROM corpus ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val planted = Tables.documents(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 7 === 0,
-        concat(col("text"), lit(" contact user"),
-          col("doc_id").cast("string"),
-          lit("@example.com or 555-867-5309")))
-        .when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" from 192.168."),
-            (col("doc_id") % 256).cast("string"), lit(".17 port 80")))
-        .otherwise(col("text")).as("text"))
+    val planted = Tables.documents(s, dir)
+      .select(col("doc_id"), piiPlantCol.as("text"))
     Redact.redactPii(planted, "doc_id", "text").orderBy("doc_id")
   }
 
@@ -1458,15 +1465,7 @@ object TextQ {
   val q95 = Q(
     "q95_pii_source_stats",
     s"""WITH corpus AS (
-       |  SELECT doc_id, source,
-       |         CASE WHEN doc_id % 7 = 0
-       |                THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-       |                     || '@example.com or 555-867-5309'
-       |              WHEN doc_id % 11 = 0
-       |                THEN text || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
-       |                     || '.17 port 80'
-       |              ELSE text END AS text
-       |  FROM documents),
+       |  SELECT doc_id, source, $sqlPiiPlant AS text FROM documents),
        |c AS (SELECT source,
        |             len(regexp_extract_all(text, '${Redact.EmailRe}')) AS ne,
        |             len(regexp_extract_all(text, '${Redact.PhoneRe}')) AS np,
@@ -1481,15 +1480,8 @@ object TextQ {
        |       CAST(SUM(np) AS BIGINT) AS n_phones,
        |       CAST(SUM(ni) AS BIGINT) AS n_ips
        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-    val planted = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-      when(col("doc_id") % 7 === 0,
-        concat(col("text"), lit(" contact user"),
-          col("doc_id").cast("string"),
-          lit("@example.com or 555-867-5309")))
-        .when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" from 192.168."),
-            (col("doc_id") % 256).cast("string"), lit(".17 port 80")))
-        .otherwise(col("text")).as("text"))
+    val planted = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), piiPlantCol.as("text"))
     Redact.piiSourceStats(planted, "source", "text").orderBy("source")
   }
 

@@ -12,11 +12,10 @@ import graft.store.Snapshots
   * streaming twin of [[graft.operators.Mixing.leakageSafeSplit]] (q96):
   * every arriving document is assigned a cluster REPRESENTATIVE and a
   * split immediately, never dropped, and the split is the content hash
-  * of the representative (q49/q96's placement convention) — so two
-  * near-duplicates detected together can never straddle the train/val
-  * boundary, and a document's split NEVER changes after it ships
-  * (claims are first-writer-wins, appends are batch-tokened, replays
-  * reproduce the assignment bit-for-bit).
+  * of the representative (q49/q96's placement convention) — so a
+  * document's split NEVER changes after it ships (claims are
+  * first-writer-wins, appends are batch-tokened, replays reproduce the
+  * assignment bit-for-bit).
   *
   * Representative resolution per batch: (1) batch-local connected
   * components over shared MinHash band buckets (the q41 closure, on the
@@ -29,16 +28,27 @@ import graft.store.Snapshots
   * singleton cluster, like the dedup tier's pass-through.
   *
   * HONEST CONTRACT (weaker than the batch q96 closure, necessarily):
-  * every near-dup pair DETECTED at assignment time — batch-local, or
-  * via a claimed bucket — shares a split. A late merge of two clusters
-  * that already shipped under different representatives cannot be
-  * repaired (shipped splits are immutable by design); the batch
+  * every document shares a split with the MINIMUM-REP cluster among its
+  * detected near-dups — batch-local, or via a claimed bucket. That is
+  * NOT "every detected pair shares a split": when a document BRIDGES
+  * two clusters that already shipped under different representatives
+  * (its claimed buckets carry > 1 distinct rep), or when a batch-local
+  * component's min id undercuts a claimed rep, the losing shipped
+  * cluster keeps its old (now divergent) split — shipped splits are
+  * immutable by design and cannot be repaired in-stream. Each such
+  * SHIPPED-CLUSTER MERGE is therefore RECORDED per batch as a
+  * (rep_kept, rep_lost, bridge id) row under `root/merges`
+  * ([[mergeEvents]]) — the divergence is measurable, never silent —
+  * and [[StreamSplit.reconcile]] is the batch repair: diff the shipped
+  * assignment against q96 ground truth and emit corrections. The batch
   * operator remains the ground truth for a from-scratch re-split.
   *
   * Scale shape: candidates and claims ride the [[IncrementalDedup]]
   * economics (ids-only band keys, ~124-bit buckets where collision ⇒
   * near-duplication, O(batch) deltas, additive-merge-free first-writer
-  * store with tokened replays and periodic compaction).
+  * store with tokened replays and periodic compaction). Merge-event
+  * rows are bounded by the batch's bridge count (rare by construction:
+  * they need two independently-shipped clusters to collide later).
   */
 final class StreamSplit(spark: SparkSession, root: String,
                         valMilli: Int = 100, compactEvery: Int = 16) {
@@ -69,6 +79,21 @@ final class StreamSplit(spark: SparkSession, root: String,
       }: _*)).as("bkey"))
   }
 
+  /** Shipped-cluster merge events recorded so far: (batch_id, id,
+    * rep_kept, rep_lost) — one row per (bridge document, losing shipped
+    * rep). Empty DataFrame when no merge has ever been observed. */
+  def mergeEvents(): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/merges")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
+      spark.read.parquet(s"$root/merges/*")
+    else {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("batch_id", "id", "rep_kept", "rep_lost")
+    }
+  }
+
   /** Assign reps and splits to one micro-batch. Returns the batch rows
     * plus (rep, split); never drops a row. */
   def assign(batch: DataFrame, idCol: String, textCol: String,
@@ -89,8 +114,12 @@ final class StreamSplit(spark: SparkSession, root: String,
     val docIds = batch.select(col(idCol).cast("long").as("id")).distinct()
     val batchRep = docIds.join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("brep"))
-    val claimedRep = bands.join(snaps.read(), "bkey")
-      .groupBy("id").agg(min(col("rep")).as("crep"))
+    // per-bucket claims kept un-aggregated: the distinct claimed reps per
+    // doc both resolve the rep (min) and detect shipped-cluster merges
+    val claims = bands.join(snaps.read(), "bkey")
+      .select(col("id"), col("rep").as("crep")).distinct()
+      .localCheckpoint(true)
+    val claimedRep = claims.groupBy("id").agg(min(col("crep")).as("crep"))
     val cand = batchRep.join(claimedRep, Seq("id"), "left")
       .select(col("id"), col("brep"),
         least(col("brep"), coalesce(col("crep"), col("brep"))).as("cand"))
@@ -99,6 +128,17 @@ final class StreamSplit(spark: SparkSession, root: String,
         .over(org.apache.spark.sql.expressions.Window.partitionBy("brep")))
       .select(col("id"), col("rep"))
       .localCheckpoint(true) // feeds the output AND the claim delta
+    // 2b. RECORD shipped-cluster merges (HONEST-CONTRACT divergence): a
+    // claimed rep that is not the resolved rep names a cluster that
+    // already shipped under a different split than this document gets.
+    // Written per batch token (overwrite) so replays are idempotent.
+    val merges = claims.join(finalRep, "id")
+      .filter(col("crep") =!= col("rep"))
+      .select(lit(batchId).as("batch_id"), col("id"),
+        col("rep").as("rep_kept"), col("crep").as("rep_lost"))
+      .distinct()
+    if (merges.head(1).nonEmpty)
+      merges.write.mode("overwrite").parquet(s"$root/merges/b$batchId")
     // 3. claim unclaimed buckets with the resolved rep (unique per
     // bucket within a batch: sharing a bucket implies one component)
     val newClaims = bands.join(finalRep, "id")
@@ -117,5 +157,47 @@ final class StreamSplit(spark: SparkSession, root: String,
       .withColumn("split",
         when(strHash(col("rep").cast("string")) % 1000 < valMilli, lit("val"))
           .otherwise(lit("train")))
+  }
+}
+
+object StreamSplit {
+
+  /** BATCH RECONCILE against q96 ground truth — the repair bound on the
+    * streaming contract's shipped-cluster divergence: re-split the full
+    * shipped corpus with [[graft.operators.Mixing.leakageSafeSplit]]
+    * (the from-scratch closure over verified near-dup pairs) and emit a
+    * correction row for every document whose shipped split disagrees.
+    * Run it periodically (or when [[StreamSplit#mergeEvents]] shows
+    * bridges accumulating); applying the corrections restores exact q96
+    * equality, so the streaming tier's divergence is bounded by the
+    * reconcile cadence instead of only documented.
+    *
+    * `assigned` must carry (idCol, textCol, splitCol) — the shipped
+    * output. Output: (idCol, old_split, new_split), empty when the
+    * shipped assignment already matches ground truth. Scale shape is
+    * [[graft.operators.Mixing.leakageSafeSplit]]'s (banded candidates,
+    * component map join, in-scan placement) plus one id-keyed join of
+    * the shipped splits. */
+  def reconcile(assigned: DataFrame, idCol: String, textCol: String,
+                splitCol: String = "split", valMilli: Int = 100,
+                thresholdMilli: Int = 800): DataFrame = {
+    val truth = graft.operators.Mixing.leakageSafeSplit(
+      assigned, idCol, textCol, valMilli, thresholdMilli)
+      .select(col(idCol), col("split").as("new_split"))
+    assigned.select(col(idCol), col(splitCol).as("old_split"))
+      .join(truth, Seq(idCol))
+      .filter(col("old_split") =!= col("new_split"))
+      .select(col(idCol), col("old_split"), col("new_split"))
+  }
+
+  /** [[reconcile]]'s summary: (n_docs, n_corrections, divergence_milli)
+    * — the measured divergence fraction in exact integer per-mille. */
+  def reconcileSummary(assigned: DataFrame, idCol: String, textCol: String,
+                       splitCol: String = "split", valMilli: Int = 100,
+                       thresholdMilli: Int = 800): (Long, Long, Long) = {
+    val n = assigned.count()
+    val c = reconcile(assigned, idCol, textCol, splitCol, valMilli,
+      thresholdMilli).count()
+    (n, c, if (n == 0) 0L else c * 1000 / n)
   }
 }

@@ -170,6 +170,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.size == 5, "one row per input document")
   }
 
+  test("scrubDupSpans: untouched docs keep newlines/indentation BYTE-identical; " +
+    "only docs losing a chunk are token-rebuilt") {
+    val structured = "def f(x):\n    return x\n\n# comment"
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, structured),                 // nothing removed: must survive verbatim
+      (4L, "a b \n  c d   kept\ttail")  // loses [a b][c d]: token-rebuilt
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(d, "doc_id", "text", span = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(3L) == ((structured, 0L)),
+      "doc with no removals must pass through byte-identical, whitespace included")
+    assert(out(4L) == (("kept tail", 2L)),
+      "doc losing chunks is rebuilt from surviving tokens")
+  }
+
   test("scrubDupSpans: fully-boilerplate doc collapses to its tail; " +
     "removal is consistent with spanDupStats' dup set") {
     val d = Seq(

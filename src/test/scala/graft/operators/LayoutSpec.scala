@@ -135,4 +135,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(qOv <= 0.75, s"equi-depth overlap too high ($qOv)")
     assert(qOv < wOv)
   }
+
+  test("z-order calibration fails LOUD on empty input and all-null dims, " +
+    "naming the dimension") {
+    val dir = Files.createTempDirectory("graft-zempty").toString
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(empty, "a", "b", dir, nFiles = 4)
+    }
+    assert(e1.getMessage.contains("'a'"), e1.getMessage)
+    val allNullB = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(allNullB, "a", "b", dir, nFiles = 4)
+    }
+    assert(e2.getMessage.contains("'b'"), e2.getMessage)
+  }
 }

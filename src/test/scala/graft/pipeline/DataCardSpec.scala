@@ -53,6 +53,17 @@ class DataCardSpec extends AnyFunSuite {
     assert(d.piiRateDeltaMilli == 0L)
   }
 
+  test("card over an EMPTY corpus reads all-zero, no NPE (pii sums included)") {
+    val empty = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 0)
+    val card = DataCard.build(empty, "doc_id", "text", "lang", "source",
+      thresholdMilli = 500)
+    assert(card.nDocs == 0L && card.nTokens == 0L && card.nChars == 0L)
+    assert(card.piiDocs == 0L && card.piiRateMilli == 0L)
+    assert(card.langDocs.isEmpty && card.sourceDocs.isEmpty)
+    assert(card.exactDupGroups == 0L && card.nearDupDocs == 0L)
+  }
+
   test("toDF flattens every field; value column totals are consistent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val card = DataCard.build(docs, "doc_id", "text", "lang", "source",

@@ -58,6 +58,85 @@ class StreamSplitSpec extends AnyFunSuite {
     assert(o3(30L)._1 == 1L && o3(30L)._2 == o1(1L)._2)
   }
 
+  test("ADVERSARIAL late merge: a shipped cluster undercut by a later " +
+    "batch-local min id diverges, the merge is RECORDED, and the batch " +
+    "reconcile emits exactly the corrections that restore q96 equality") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // choose valMilli so rep 3 and rep 10 land in DIFFERENT splits: the
+    // divergence must be observable, not hash-coincidentally hidden
+    graft.functions.PolyHash.ensureRegistered(spark)
+    val hs = Seq("3", "10").toDF("s")
+      .select(graft.functions.TextAnalysis.strHash(col("s")) % 1000)
+      .collect().map(_.getLong(0))
+    assert(hs(0) != hs(1), "pick different ids: rep hashes collide mod 1000")
+    val valMilli = math.max(hs(0), hs(1)).toInt // smaller-hash rep -> val
+    val dir = Files.createTempDirectory("graft-ssplit3").toString
+    val split = new StreamSplit(spark, dir, valMilli = valMilli)
+    split.init()
+    // batch 0 ships doc 10 alone; batch 1 brings two exact twins whose
+    // batch-local component min (3) UNDERCUTS the claimed rep 10 — docs
+    // 3/5 ship under rep 3 while shipped doc 10 keeps rep 10: a detected
+    // pair (3,10) now straddles the boundary (the honest contract's
+    // documented divergence)
+    val o0 = collect(split.assign(dfOf(10L -> base), "doc_id", "text", 0L))
+    val o1 = collect(split.assign(dfOf(3L -> base, 5L -> base),
+      "doc_id", "text", 1L))
+    assert(o0(10L)._1 == 10L && o1(3L)._1 == 3L && o1(5L)._1 == 3L)
+    assert(o0(10L)._2 != o1(3L)._2,
+      "fixture must exhibit the divergence (rep hashes chosen to differ)")
+    // the merge is recorded, not silent: both bridge docs name the
+    // losing shipped rep
+    val ev = split.mergeEvents()
+      .select("batch_id", "id", "rep_kept", "rep_lost").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ev == Set((1L, 3L, 3L, 10L), (1L, 5L, 3L, 10L)),
+      s"merge events wrong: $ev")
+    // replaying the batch is idempotent for assignments AND events
+    val o1r = collect(split.assign(dfOf(3L -> base, 5L -> base),
+      "doc_id", "text", 1L))
+    assert(o1r == o1, "replayed batch diverged")
+    assert(split.mergeEvents().count() == 2, "replay duplicated merge events")
+    // reconcile: ground truth merges all three under rep 3; the single
+    // correction is shipped doc 10, and applying it restores equality
+    val assigned = Seq(
+      (10L, base, o0(10L)._2), (3L, base, o1(3L)._2), (5L, base, o1(5L)._2))
+      .toDF("doc_id", "text", "split")
+    val corr = StreamSplit.reconcile(assigned, "doc_id", "text",
+      valMilli = valMilli).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(corr.toSeq == Seq((10L, o0(10L)._2, o1(3L)._2)),
+      s"corrections wrong: ${corr.toSeq}")
+    val (n, c, milli) = StreamSplit.reconcileSummary(assigned, "doc_id",
+      "text", valMilli = valMilli)
+    assert((n, c, milli) == ((3L, 1L, 333L)))
+    // applying the corrections == the from-scratch q96 split, exactly
+    val corrected = assigned.join(
+      StreamSplit.reconcile(assigned, "doc_id", "text", valMilli = valMilli)
+        .select(col("doc_id"), col("new_split")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("new_split"),
+          col("split")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = graft.operators.Mixing.leakageSafeSplit(
+      assigned, "doc_id", "text", valMilli = valMilli)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(corrected == truth, "corrections did not restore q96 equality")
+  }
+
+  test("no merge events on a bridge that CONVERGES (claimed rep wins)") {
+    val dir = Files.createTempDirectory("graft-ssplit4").toString
+    val split = new StreamSplit(spark, dir)
+    split.init()
+    split.assign(dfOf(1L -> base), "doc_id", "text", 0L).collect()
+    // 20 inherits rep 1 via the claimed bucket: no shipped cluster loses
+    val o = collect(split.assign(dfOf(20L -> base), "doc_id", "text", 1L))
+    assert(o(20L)._1 == 1L)
+    assert(split.mergeEvents().count() == 0,
+      "a converging inheritance must not be recorded as a merge")
+  }
+
   test("signatureless short docs pass through as their own singletons") {
     val dir = Files.createTempDirectory("graft-ssplit2").toString
     val split = new StreamSplit(spark, dir)
