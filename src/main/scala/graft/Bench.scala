@@ -207,10 +207,14 @@ object Bench {
     // oracle queries' knob settings, over a deterministic query sample —
     // the tuning sidecar a deployment reads before changing nprobe or a
     // codebook stride. Diagnostic — not part of the compared queries map.
+    // 64 queries (640 possible @ k=10): per-path binomial noise ~±0.02,
+    // vs ±0.08 at the former 4-query sample — the round-9 trained-vs-
+    // distributed "gap" was exactly that noise. Affordable because every
+    // path now serves the whole sample from ONE plan (AnnRecall batching).
     val annRecall = try {
       val emb = Tables.embeddings(spark, sfDir)
       val nVec = emb.count()
-      val qids = Seq(1L, 2L, 3L, 4L).map(i => (nVec * i) / 5)
+      val qids = (1 to 64).map(i => (nVec * i.toLong) / 65).distinct
       val rec = graft.operators.AnnRecall.audit(
         emb, "vec_id", "embedding", qids, k = 10, includeTrained = true)
       spark.catalog.clearCache()

@@ -4,21 +4,33 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Recall@k audit for the approximate ANN paths — the tuning number a
-  * deployment actually watches. The repo ships four approximate
-  * similarity paths (q32 hyperplane-LSH bucket, q40 IVF, q71 two-level
-  * IVF, q84 PQ-ADC); each trades recall for scan volume through its
-  * knobs (nprobe, codebook sizes, m). This harness measures every path's
-  * recall@k against the BRUTE cosine truth (q30's semantics) over a
-  * sampled query set, so nprobe/codebook changes are tuned against a
+  * deployment actually watches. The repo ships several approximate
+  * similarity paths (q32/q86 hyperplane-LSH, q40 IVF, q71 two-level IVF,
+  * q84/q88 PQ-ADC); each trades recall for scan volume through its knobs
+  * (radius, nprobe, codebook sizes, m). This harness measures every
+  * path's recall@k against the BRUTE cosine truth (q30's semantics) over
+  * a sampled query set, so nprobe/codebook changes are tuned against a
   * measured number, not a hunch — at 100 TB you run it over a few
   * hundred sampled queries before rolling an index parameter change.
   *
-  * Scale shape: the corpus is checkpointed once (one scan feeds every
-  * probe); ground truth for ALL queries computes in ONE broadcast
-  * [[Similarity.knnJoin]] (corpus never shuffles); each approximate path
-  * then runs per query — bounded driver loop over the SAMPLE, each
-  * iteration a probe-pruned query, never a corpus sweep. Emitted as a
+  * Scale shape: the corpus is checkpointed once; ground truth for ALL
+  * queries computes in ONE broadcast [[Similarity.knnJoin]]; and every
+  * approximate path serves the WHOLE sample from one plan — the BATCH
+  * probe operators ([[Similarity.annTopKMultiProbeBatch]] family), so
+  * audit wall-time is per-PATH, not per-(query × path). The round-9
+  * audit looped one Spark query per (sampled query × path): thousands of
+  * sequential scheduler round-trips at realistic sample sizes — the
+  * difference between a 30-second and a multi-hour audit. Emitted as a
   * bench sidecar (`ann_recall`) beside the per-query seconds.
+  *
+  * SAMPLE SIZE IS PART OF THE MEASUREMENT: with Q queries the possible
+  * mass is Q·k, and per-path recall carries binomial noise
+  * ~sqrt(r(1−r)/(Q·k)) — at the round-9 sidecar's 4 queries (40
+  * possible) that is ±0.08 per path, wide enough to read a 0.5-gap
+  * between two statistically EQUAL codebooks (the round-9 ivf_dtrained
+  * 0.35-vs-0.85 artifact: re-measured at 50 queries the trained tiers
+  * agree within noise). The batched paths make a properly-sized sample
+  * cheap; the bench sidecar now runs 64 queries (640 possible, ±0.02).
   */
 object AnnRecall {
 
@@ -28,13 +40,16 @@ object AnnRecall {
   case class PathRecall(path: String, queries: Int, k: Int,
                         hits: Long, possible: Long, recall: Double)
 
-  /** Audits the four approximate paths at `k` over `queryIds`. Knob
-    * defaults mirror the oracle queries' (q32/q40/q71/q84) so the audited
+  /** Audits the approximate paths at `k` over `queryIds`. Knob defaults
+    * mirror the oracle queries' (q32/q40/q71/q84) so the audited
     * configuration IS the benched one. With `includeTrained`, the
-    * Lloyd's-trained IVF centroids and PQ codebook (same sizes as their
-    * stride twins, so the comparison isolates codebook QUALITY) run as
-    * two extra paths — the measured answer to "is training worth it at
-    * these knobs". */
+    * trained tiers run too (same codebook sizes as their stride twins,
+    * so the comparison isolates codebook QUALITY): `ivf_trained` =
+    * driver-sample Lloyd's ([[Similarity.trainedCentroids]]),
+    * `ivf_dtrained` = the whole-corpus distributed refinement
+    * warm-started FROM that sample codebook ([[Quantize.kmeansTrain]]
+    * with `init` — the composition the scaladoc recommends at 100 TB),
+    * plus the sample-trained PQ codebook with and without rerank. */
   def audit(df: DataFrame, idCol: String, vecCol: String,
             queryIds: Seq[Long], k: Int,
             centroidEvery: Int = 137, nprobe: Int = 2,
@@ -46,42 +61,48 @@ object AnnRecall {
     require(k >= 1, "k must be >= 1")
     val corpus = df.localCheckpoint(true) // one scan feeds every probe
     val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+      .localCheckpoint(true)
     val truth: Map[Long, Set[Long]] =
       Similarity.knnJoin(corpus, queries, idCol, vecCol, k)
         .select(col("qid"), col(idCol))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
-    def measure(path: String, run: Long => DataFrame): PathRecall = {
+    // one plan per path: collect its (qid, id) top-k for ALL queries
+    def measure(path: String, res: DataFrame): PathRecall = {
+      val got: Map[Long, Set[Long]] = res
+        .select(col("qid").cast("long"), col(idCol).cast("long"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
       var hits = 0L
       var possible = 0L
       queryIds.foreach { qid =>
         val t = truth.getOrElse(qid, Set.empty)
         possible += t.size
-        val got = run(qid).select(col(idCol)).collect()
-          .map(_.getLong(0)).toSet
-        hits += got.intersect(t).size
+        hits += got.getOrElse(qid, Set.empty).intersect(t).size
       }
       PathRecall(path, queryIds.size, k, hits, possible,
         if (possible == 0) 0d else hits.toDouble / possible)
     }
+    val (pk, psub, pflat) = Quantize.pqCodebook(corpus, idCol, vecCol,
+      pqM, pqEvery)
     val strideTier = Seq(
-      measure("lsh", qid =>
-        Similarity.annTopK(corpus, idCol, vecCol, qid, k)),
-      measure("lsh_mp1", qid =>
-        Similarity.annTopKMultiProbe(corpus, idCol, vecCol, qid, k, radius = 1)),
-      measure("lsh_mp2", qid =>
-        Similarity.annTopKMultiProbe(corpus, idCol, vecCol, qid, k, radius = 2)),
-      measure("ivf", qid =>
-        Similarity.ivfTopK(corpus, idCol, vecCol, qid, k, centroidEvery, nprobe)),
-      measure("two_level", qid =>
-        Similarity.ivfTopKTwoLevel(corpus, idCol, vecCol, qid, k,
-          every1, every2, nprobe1, nprobe2)),
-      measure("pq_adc", qid =>
-        Quantize.pqAdcTopK(corpus, idCol, vecCol, qid, k, pqM, pqEvery)),
-      measure("pq_adc_rerank", qid =>
-        Quantize.pqAdcRerankTopK(corpus, idCol, vecCol, qid, k,
-          cand = 5 * k, m = pqM, every = pqEvery)))
+      measure("lsh", Similarity.annTopKMultiProbeBatch(
+        corpus, queries, idCol, vecCol, k, radius = 0)),
+      measure("lsh_mp1", Similarity.annTopKMultiProbeBatch(
+        corpus, queries, idCol, vecCol, k, radius = 1)),
+      measure("lsh_mp2", Similarity.annTopKMultiProbeBatch(
+        corpus, queries, idCol, vecCol, k, radius = 2)),
+      measure("ivf", Similarity.ivfTopKBatch(
+        corpus, queries, idCol, vecCol, k, centroidEvery, nprobe)),
+      measure("two_level", Similarity.ivfTopKTwoLevelBatch(
+        corpus, queries, idCol, vecCol, k, every1, every2, nprobe1, nprobe2)),
+      measure("pq_adc", Quantize.pqAdcTopKBatchWith(
+        corpus, queries, idCol, vecCol, k, pqM, pk, psub, pflat)),
+      measure("pq_adc_rerank", Quantize.pqAdcRerankTopKBatchWith(
+        corpus, queries, idCol, vecCol, k, cand = 5 * k, m = pqM, k = pk,
+        subDim = psub, flat = pflat)))
     if (!includeTrained) strideTier
     else {
       // trained twins at the SAME codebook sizes as the stride tiers
@@ -89,22 +110,23 @@ object AnnRecall {
       val kPq = corpus.filter(col(idCol) % pqEvery === 0).count().toInt
       val cents = Similarity.trainedCentroids(corpus, idCol, vecCol, kIvf)
         .localCheckpoint(true)
-      val (pk, psub, pflat) =
+      val (tk, tsub, tflat) =
         Quantize.pqCodebookTrained(corpus, idCol, vecCol, pqM, kPq)
-      // distributed whole-corpus training at the same stride (so codebook
-      // size matches the stride and sample-trained tiers exactly)
+      // whole-corpus distributed refinement warm-started from the sample
+      // codebook (same size, same knobs — the recommended scale path)
       val dcents = Quantize.kmeansTrain(corpus, idCol, vecCol,
-        every = centroidEvery, iters = 10).localCheckpoint(true)
+        every = centroidEvery, iters = 10, init = Some(cents))
+        .localCheckpoint(true)
       strideTier ++ Seq(
-        measure("ivf_trained", qid =>
-          Similarity.ivfTopKCents(corpus, idCol, vecCol, cents, qid, k, nprobe)),
-        measure("ivf_dtrained", qid =>
-          Similarity.ivfTopKCents(corpus, idCol, vecCol, dcents, qid, k, nprobe)),
-        measure("pq_adc_trained", qid =>
-          Quantize.pqAdcTopKWith(corpus, idCol, vecCol, qid, k, pqM, pk, psub, pflat)),
-        measure("pq_adc_trained_rerank", qid =>
-          Quantize.pqAdcRerankTopKWith(corpus, idCol, vecCol, qid, k,
-            cand = 5 * k, m = pqM, k = pk, subDim = psub, flat = pflat)))
+        measure("ivf_trained", Similarity.ivfTopKCentsBatch(
+          corpus, queries, idCol, vecCol, cents, k, nprobe)),
+        measure("ivf_dtrained", Similarity.ivfTopKCentsBatch(
+          corpus, queries, idCol, vecCol, dcents, k, nprobe)),
+        measure("pq_adc_trained", Quantize.pqAdcTopKBatchWith(
+          corpus, queries, idCol, vecCol, k, pqM, tk, tsub, tflat)),
+        measure("pq_adc_trained_rerank", Quantize.pqAdcRerankTopKBatchWith(
+          corpus, queries, idCol, vecCol, k, cand = 5 * k, m = pqM, k = tk,
+          subDim = tsub, flat = tflat)))
     }
   }
 }

@@ -221,21 +221,54 @@ object Quantize {
     * projection. Deterministic throughout — stride init, strict-`<`
     * lowest-id ties, no RNG.
     *
+    * RECOMMENDED USE (measured): WARM-START from the driver-sample
+    * Lloyd's codebook via `init = Some(trainedCentroids(...))` — the
+    * standard sample-train / whole-corpus-refine composition. With raw
+    * stride init this trainer converges to a DIFFERENT local optimum
+    * than the sample-Lloyd's codebook — equal on every aggregate the
+    * suite measures (quantization cosine 0.2745 vs 0.2755, same cell
+    * balance on the sf0.1 fixture) but a different partition of the
+    * space, so IVF recall@10 lands wherever that basin happens to cut
+    * the probe boundaries (0.368 stride-init vs 0.406 sample-Lloyd's at
+    * a 50-query sample; the round-9 sidecar's "0.35 vs 0.85" was the
+    * same comparison under a 4-query sample's ±0.08 noise). Warm-started,
+    * the refinement descends from the sample optimum and holds its
+    * recall (AnnRecallSpec pins `ivf_dtrained ≥ ivf_trained − 0.05` and
+    * ≥ the untrained stride codebook; the `ann_recall` bench sidecar
+    * publishes the numbers every round).
+    *
     * Output schema is [[graft.operators.Similarity.centroidsOf]]'s
     * (cent_id, cent_vec, cent_norm), so every IVF tier composes
     * unchanged ([[graft.operators.Similarity.ivfTopKCents]]); cent_ids
-    * are the stride ids of the initial centroids. */
+    * are the stride ids of the initial centroids (or `init`'s). */
   def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
                   every: Int, iters: Int = 10,
-                  maxCentroids: Int = 65536): DataFrame = {
+                  maxCentroids: Int = 65536,
+                  init: Option[DataFrame] = None): DataFrame = {
     require(every >= 1, "every must be >= 1")
     require(iters >= 0, "iters must be >= 0")
     graft.functions.NearestResidual.ensureRegistered(df.sparkSession)
     val base = df.select(col(idCol).cast("long").as("id"),
       vecd(col(vecCol)).as("vecd"))
       .localCheckpoint(true)
-    val centRows = base.filter(col("id") % every === 0)
-      .orderBy("id").collect()
+    // init quality decides the basin: raw stride lands the whole-corpus
+    // refinement in a DIFFERENT (equally deep, equally balanced) local
+    // optimum than the driver-sample Lloyd's codebook — measured
+    // equivalent on every aggregate (quantization cosine, cell balance)
+    // but a different partition of the space. `init` warm-starts from an
+    // explicit (cent_id, cent_vec, cent_norm) codebook — canonically
+    // [[graft.operators.Similarity.trainedCentroids]], the sample-train /
+    // corpus-refine composition that is standard k-means practice at
+    // scale — so the distributed refinement DESCENDS FROM the sample
+    // optimum instead of re-deriving a stride-basin one.
+    val centRows = init match {
+      case Some(cb) => cb
+        .select(col("cent_id").cast("long"), col("cent_vec")
+          .cast("array<double>"))
+        .orderBy("cent_id").collect()
+      case None => base.filter(col("id") % every === 0)
+        .orderBy("id").collect()
+    }
     require(centRows.nonEmpty, "no centroids at this stride")
     require(centRows.length <= maxCentroids,
       s"${centRows.length} centroids exceed the driver ceiling $maxCentroids")
@@ -537,5 +570,93 @@ object Quantize {
           col("qnorm")), 6).as("cos_r"))
       .orderBy(col("cos_r").desc, col(idCol).asc)
       .limit(kNN)
+  }
+
+  /** BATCH [[pqAdcTopKWith]] — the deployment/audit shape (see
+    * [[Similarity.annTopKMultiProbeBatch]]'s section comment): every
+    * query's m·k ADC distance table computes on the driver with the
+    * single-query loops (bounded: the query set broadcasts), the tables
+    * ship as ONE broadcast (qid, tab) relation, and the corpus codes
+    * scan ONCE — each (row, query) approximate distance is the same
+    * left-assoc m-lookup sum, now against the query's tab ARRAY instead
+    * of a per-plan literal. Output: (qid, idCol, adc_dist, rank),
+    * per-query ascending (dist, id). */
+  def pqAdcTopKBatchWith(df: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, kNN: Int, m: Int, k: Int,
+                         subDim: Int, flat: IndexedSeq[Double]): DataFrame = {
+    require(kNN >= 1, "kNN must be >= 1")
+    val spark = df.sparkSession
+    graft.functions.PqCodes.ensureRegistered(spark)
+    val qRows = queries
+      .select(col(idCol).cast("long"), vecd(col(vecCol))).collect()
+    val tabs = qRows.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      require(qv.length == m * subDim,
+        s"query dim ${qv.length} != ${m * subDim}")
+      val tab = new Array[Double](m * k)
+      var j = 0
+      while (j < m) {
+        var e = 0
+        while (e < k) {
+          var acc = 0.0
+          val off = (j * k + e) * subDim
+          var i = 0
+          while (i < subDim) {
+            val d = qv(j * subDim + i) - flat(off + i)
+            acc += d * d
+            i += 1
+          }
+          tab(j * k + e) = acc
+          e += 1
+        }
+        j += 1
+      }
+      (qid, tab.toSeq)
+    }.toIndexedSeq
+    import spark.implicits._
+    val tabsDf = tabs.toDF("qid", "tab")
+    val codes = graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat)
+    val dist = (0 until m).map { jj =>
+      element_at(col("tab"),
+        (lit(jj * k) + col("codes").getItem(jj)).cast("int") + 1)
+    }.reduce(_ + _)
+    val cand = df.withColumn("codes", codes)
+      .filter(col("codes").isNotNull)
+      .crossJoin(broadcast(tabsDf))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), dist.as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNN)
+      .select(col("qid"), col(idCol),
+        round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+  }
+
+  /** BATCH [[pqAdcRerankTopKWith]]: stage 1 is [[pqAdcTopKBatchWith]] at
+    * `cand` (one scan for all queries), stage 2 fetches only the
+    * surviving (qid, id) candidates' vectors (one broadcast semi-join)
+    * and exact-reranks per query. Output: (qid, idCol, cos_r, rank). */
+  def pqAdcRerankTopKBatchWith(df: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, kNN: Int,
+                               cand: Int, m: Int, k: Int, subDim: Int,
+                               flat: IndexedSeq[Double]): DataFrame = {
+    require(cand >= kNN, s"cand ($cand) must be >= kNN ($kNN)")
+    val stage1 = pqAdcTopKBatchWith(df, queries, idCol, vecCol, cand, m, k,
+      subDim, flat).select(col("qid"), col(idCol))
+    val base = Similarity.withNorm(df, vecCol)
+    val q = Similarity.withNorm(queries, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("vecd").as("qvec"),
+        col("norm").as("qnorm"))
+    val scored = base.join(broadcast(stage1), Seq(idCol))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        round(Similarity.cosine(col("vecd"), col("qvec"), col("norm"),
+          col("qnorm")), 6).as("cos_r"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNN)
   }
 }

@@ -759,4 +759,156 @@ object Similarity {
       .orderBy(col("cos_r").desc, col(idCol).asc)
       .limit(k)
   }
+
+  // -------------------------------------------------------------------
+  // BATCH ANN — the deployment shape of the probe tiers. A real serving
+  // or audit workload carries a QUERY TABLE, not one id: running the
+  // per-query operators in a driver loop costs one scheduler round-trip
+  // per (query, path) — the round-9 audit finding — where one plan per
+  // path serves every query at once. Each batch operator below is the
+  // EXACT batched twin of its single-query operator (same probe
+  // enumeration arithmetic, same rounded-cosine ranking, same
+  // (score DESC, id ASC) tie-break, pinned by AnnBatchParitySpec): the
+  // corpus scans ONCE for all queries, the per-query top-k is one
+  // qid-partitioned window over candidates, and the query set broadcasts
+  // like [[knnJoin]]'s. Output everywhere: (qid, idCol, ..., rank).
+  // -------------------------------------------------------------------
+
+  /** Window-rank helper shared by the batch tiers: per-qid `rank` by
+    * (score DESC, idCol ASC), kept rows rank <= k. */
+  private def perQueryTopK(cand: DataFrame, idCol: String, scoreCol: String,
+                           k: Int, asc: Boolean = false): DataFrame = {
+    val ord = if (asc) Seq(col(scoreCol).asc, col(idCol).asc)
+      else Seq(col(scoreCol).desc, col(idCol).asc)
+    val w = Window.partitionBy("qid").orderBy(ord: _*)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Batch [[annTopKMultiProbe]] (radius 0 = batch [[annTopK]]): each
+    * query row's Hamming-`radius` probe set enumerates from ITS in-scan
+    * bucket (the same deterministic plane family), explodes to
+    * (qid, bucket) probe pairs — Σ C(8,≤r) rows per query — and
+    * candidate generation is the bucket EQUI-join against the one
+    * bucketed corpus scan: hash-lookup per corpus row, never a
+    * nested-loop over queries, pruning-shaped like the single-query
+    * `isin`. Exact rerank touches candidates only. */
+  def annTopKMultiProbeBatch(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             radius: Int = 1): DataFrame = {
+    require(radius >= 0 && radius <= 8, "radius must be in [0, 8]")
+    graft.functions.HyperplaneBucket.ensureRegistered(corpus.sparkSession)
+    val base = withNorm(corpus, vecCol)
+      .withColumn("bucket", hyperplaneBucket(col("vecd")))
+    val q = withNorm(queries, vecCol)
+      .withColumn("qbucket", hyperplaneBucket(col("vecd")))
+      .select(col(idCol).as("qid"), col("vecd").as("qvec"),
+        col("norm").as("qnorm"), col("qbucket"))
+    // per-query probe set: all 256 buckets filtered to Hamming <= radius
+    // of the query's own bucket (tiny interpreted HOF on the query side)
+    val probes = q.select(col("qid"), col("qvec"), col("qnorm"),
+      explode(filter(sequence(lit(0L), lit(255L)),
+        b => bit_count(b.bitwiseXOR(col("qbucket"))) <= radius)).as("bucket"))
+    val cand = base.join(broadcast(probes), Seq("bucket"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), col("bucket"),
+        round(cosine(col("vecd"), col("qvec"), col("norm"), col("qnorm")), 6)
+          .as("cos_r"))
+    perQueryTopK(cand, idCol, "cos_r", k)
+  }
+
+  /** Batch [[ivfTopKCents]] against an explicit centroid table (stride,
+    * Lloyd's-trained, or distributed-trained): ONE cell assignment scan
+    * serves every query; per-query probe ranking is a window over the
+    * (tiny) centroids × queries cross — the same cosine/tie-break as the
+    * single-query probe — and candidates are the probed-cell equi-join. */
+  def ivfTopKCentsBatch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, cents: DataFrame, k: Int,
+                        nprobe: Int = 2): DataFrame = {
+    val base = withNorm(corpus, vecCol)
+    val assigned = assignCells(base, idCol, cents)
+      .select(col(idCol), col("vecd"), col("norm"), col("cell"))
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("qid"), col("vecd").as("qvec"),
+        col("norm").as("qnorm"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("cent_cos",
+        cosine(col("qvec"), col("cent_vec"), col("qnorm"), col("cent_norm")))
+      .withColumn("_pr", row_number().over(wProbe))
+      .filter(col("_pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qnorm"),
+        col("cent_id").as("cell"))
+    val cand = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol), col("cell"),
+        round(cosine(col("vecd"), col("qvec"), col("norm"), col("qnorm")), 6)
+          .as("cos_r"))
+    perQueryTopK(cand, idCol, "cos_r", k)
+  }
+
+  /** Batch [[ivfTopK]] (stride quantizer). */
+  def ivfTopKBatch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, centroidEvery: Int = 137,
+                   nprobe: Int = 2): DataFrame = {
+    val base = withNorm(corpus, vecCol)
+    ivfTopKCentsBatch(corpus, queries, idCol, vecCol,
+      centroidsOf(base, idCol, centroidEvery), k, nprobe)
+  }
+
+  /** Batch [[ivfTopKTwoLevel]]: both codebooks are driver arrays already
+    * (the shipping budget), so each query's (cell1, cell2) probe pairs
+    * compute with the single-query operator's exact JVM loops — one
+    * bounded collect of the QUERY vectors (the query set broadcasts
+    * anyway), then one assignment scan + one probe-pair equi-join serves
+    * the whole batch. */
+  def ivfTopKTwoLevelBatch(corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           every1: Int, every2: Int, nprobe1: Int = 2,
+                           nprobe2: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = withNorm(corpus, vecCol)
+    val cb = buildCodebooks(base, idCol, every1, every2, MaxDriverCentroids)
+    val assigned = assignWith(base, cb)
+      .select(col(idCol), col("vecd"), col("norm"), col("cell1"), col("cell2"))
+    val dim = cb.dim
+    val qRows = withNorm(queries, vecCol)
+      .select(col(idCol).cast("long"), col("vecd"), col("norm")).collect()
+    val probeRows = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      val qn = r.getDouble(2)
+      val probed1 = cb.ids1.indices.map { c =>
+        val off = c * dim
+        var acc = 0.0; var i = 0
+        while (i < dim) { acc += qv(i) * cb.flat1(off + i); i += 1 }
+        (cb.ids1(c), off, acc / (qn * cb.norms1(c)))
+      }.sortBy { case (id, _, cos) => (-cos, id) }.take(nprobe1)
+      probed1.flatMap { case (cid1, off1, _) =>
+        cb.ids2.indices.map { c =>
+          val off2 = c * dim
+          var acc = 0.0; var i = 0
+          while (i < dim) {
+            val d = (qv(i) - cb.flat1(off1 + i)) - cb.flat2(off2 + i)
+            acc += d * d; i += 1
+          }
+          (cb.ids2(c), acc)
+        }.sortBy { case (id, dist) => (dist, id) }.take(nprobe2)
+          .map { case (cid2, _) => (qid, cid1, cid2) }
+      }
+    }.toIndexedSeq
+    import spark.implicits._
+    val pairsDf = probeRows.toDF("qid", "cell1", "cell2")
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("qid"), col("vecd").as("qvec"),
+        col("norm").as("qnorm"))
+    val cand = assigned.join(broadcast(pairsDf), Seq("cell1", "cell2"))
+      .filter(col(idCol) =!= col("qid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col(idCol), col("cell1"), col("cell2"),
+        round(cosine(col("vecd"), col("qvec"), col("norm"), col("qnorm")), 6)
+          .as("cos_r"))
+    perQueryTopK(cand, idCol, "cos_r", k)
+  }
 }
