@@ -55,7 +55,7 @@ object AnnRecall {
             centroidEvery: Int = 137, nprobe: Int = 2,
             every1: Int = 50, every2: Int = 37,
             nprobe1: Int = 3, nprobe2: Int = 2,
-            pqM: Int = 4, pqEvery: Int = 25,
+            pqM: Int = 8, pqEvery: Int = 25, pqCand: Int = 200,
             includeTrained: Boolean = false): Seq[PathRecall] = {
     require(queryIds.nonEmpty, "empty query sample")
     require(k >= 1, "k must be >= 1")
@@ -101,7 +101,7 @@ object AnnRecall {
       measure("pq_adc", Quantize.pqAdcTopKBatchWith(
         corpus, queries, idCol, vecCol, k, pqM, pk, psub, pflat)),
       measure("pq_adc_rerank", Quantize.pqAdcRerankTopKBatchWith(
-        corpus, queries, idCol, vecCol, k, cand = 5 * k, m = pqM, k = pk,
+        corpus, queries, idCol, vecCol, k, cand = pqCand, m = pqM, k = pk,
         subDim = psub, flat = pflat)))
     if (!includeTrained) strideTier
     else {
@@ -125,7 +125,7 @@ object AnnRecall {
         measure("pq_adc_trained", Quantize.pqAdcTopKBatchWith(
           corpus, queries, idCol, vecCol, k, pqM, tk, tsub, tflat)),
         measure("pq_adc_trained_rerank", Quantize.pqAdcRerankTopKBatchWith(
-          corpus, queries, idCol, vecCol, k, cand = 5 * k, m = pqM, k = tk,
+          corpus, queries, idCol, vecCol, k, cand = pqCand, m = pqM, k = tk,
           subDim = tsub, flat = tflat)))
     }
   }

@@ -564,11 +564,21 @@ object VectorQ {
       .orderBy("id_a", "id_b")
   }
 
-  /** Shared PQ constants for q83/q84: m subspaces over the 64-d vectors,
-    * codebook = the `every`-stride subsample (entry index = dense rank by
-    * vec_id, the ROW_NUMBER the oracle replays). */
-  private val PqM = 4
+  /** Shared PQ constants for q83/q84/q88: m subspaces over the 64-d
+    * vectors, codebook = the `every`-stride subsample (entry index =
+    * dense rank by vec_id, the ROW_NUMBER the oracle replays).
+    *
+    * m = 8 and rerank cand = 200 are the KNEE of the measured
+    * recall-vs-cost curve (64-query batch sweep at sf0.1, recall@10 vs
+    * brute truth): m=4 read adc 0.12 / rerank200 0.59; m=8 reads adc
+    * 0.19 / rerank50 0.50 / RERANK200 0.84 (0.94 with the trained
+    * codebook) at 8 codes per 64-d row (32× compression); m=16 buys
+    * 0.98 at halved compression. Past cand=200 the curve flattens
+    * (rerank1000 ≈ 1.0 at every m) — that is candidate-volume spend,
+    * not codebook quality. The full knob table lives in SCALE.md. */
+  private val PqM = 8
   private val PqEvery = 25
+  private val PqRerankCand = 200
 
   /** DuckDB twin of one subspace's squared-L2 fold (subspace j is the
     * SQL-side variable `j`, 0-based; lists are 1-based so coordinate i of
@@ -644,13 +654,14 @@ object VectorQ {
 
   /** q88: ADC + EXACT-RERANK top-k ([[graft.operators.Quantize
     * .pqAdcRerankTopK]]) — the "refine" stage of IVFADC-style search:
-    * the m-lookup ADC ranking keeps the 50 nearest candidate ids, then
-    * ONLY those candidates' full vectors are fetched (broadcast id
-    * semi-join — at 100 TB, 50 point lookups) and re-ranked by exact
-    * cosine. The oracle replays both stages: the unrounded ADC cut with
-    * q84's tie rule, then q35's exact-cosine convention on the
-    * survivors. Recall vs the brute oracle is measured by the
-    * `ann_recall` bench sidecar (`pq_adc_rerank`). */
+    * the m-lookup ADC ranking keeps the `PqRerankCand` (200, the
+    * measured knee — see [[PqM]]) nearest candidate ids, then ONLY
+    * those candidates' full vectors are fetched (broadcast id semi-join
+    * — at 100 TB, 200 point lookups) and re-ranked by exact cosine. The
+    * oracle replays both stages: the unrounded ADC cut with q84's tie
+    * rule, then q35's exact-cosine convention on the survivors. Recall
+    * vs the brute oracle is measured by the `ann_recall` bench sidecar
+    * (`pq_adc_rerank`). */
   val q88 = Q(
     "q88_pq_adc_rerank",
     s"""WITH ${pqCte(64 / PqM)},
@@ -669,7 +680,7 @@ object VectorQ {
                              .mkString(" + ")} AS adc_dist
        |           FROM codes WHERE vec_id <> 0),
        |cand AS (SELECT vec_id FROM scored
-       |         ORDER BY scored.adc_dist ASC, vec_id ASC LIMIT 50),
+       |         ORDER BY scored.adc_dist ASC, vec_id ASC LIMIT $PqRerankCand),
        |n AS (SELECT vec_id, embedding,
        |             sqrt(${sqlDot("embedding", "embedding")}) AS nrm
        |      FROM embeddings),
@@ -680,7 +691,7 @@ object VectorQ {
        |FROM cand JOIN n USING (vec_id), qq
        |ORDER BY cos_r DESC, n.vec_id ASC LIMIT 10""".stripMargin) { (s, dir) =>
     graft.operators.Quantize.pqAdcRerankTopK(Tables.embeddings(s, dir),
-      "vec_id", "embedding", queryId = 0L, kNN = 10, cand = 50,
+      "vec_id", "embedding", queryId = 0L, kNN = 10, cand = PqRerankCand,
       m = PqM, every = PqEvery)
   }
 
