@@ -303,6 +303,83 @@ object Quantize {
     }.toDF("cent_id", "cent_vec", "cent_norm")
   }
 
+  /** EXACT-REPLAY distributed k-means — [[kmeansTrain]]'s verification
+    * twin, every arithmetic step bitwise-reproducible cross-engine so an
+    * ITERATED training run can sit under the DuckDB oracle gate (q97):
+    * where [[kmeansTrain]]'s per-cell means ride a partial-aggregated
+    * `sum` (summation order = partitioning, the right plan for
+    * production), THIS tier computes each (cell, pos) mean as an
+    * id-ORDERED sequential fold (`sort_array(collect_list(struct(id,
+    * x)))` → `aggregate`), the exact IEEE sequence DuckDB replays with
+    * `list_reduce(list_prepend(0.0, list(x ORDER BY id)))`. Intermediate
+    * centroids therefore stay in bitwise lockstep across engines for any
+    * number of iterations — no rounding firewall needed between rounds —
+    * and the final codebook feeds the q40-proven IVF probe SQL
+    * unchanged.
+    *
+    * Assignment, ties, empty cells, init and output schema are
+    * [[kmeansTrain]]'s exactly (in-scan [[graft.functions
+    * .NearestResidual]] L2 argmin, strict-`<` lowest-id ties, stride
+    * init, keep-previous empty cells; QuantizeSpec pins the two trainers
+    * within 1e-9 per coordinate — same math, different summation order).
+    * Scale shape: the ordered fold gives up map-side combine — the
+    * (cell, pos) exchange carries (id, x) pairs, n·dim rows per round,
+    * vs [[kmeansTrain]]'s pre-combined partials — the price of
+    * cross-engine bitwise determinism. Audit/verification tier; train
+    * production codebooks with [[kmeansTrain]] (warm-started). */
+  def kmeansTrainExact(df: DataFrame, idCol: String, vecCol: String,
+                       every: Int, iters: Int = 3,
+                       maxCentroids: Int = 65536): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    graft.functions.NearestResidual.ensureRegistered(df.sparkSession)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      vecd(col(vecCol)).as("vecd"))
+      .localCheckpoint(true)
+    val centRows = base.filter(col("id") % every === 0)
+      .orderBy("id").collect()
+    require(centRows.nonEmpty, "no centroids at this stride")
+    require(centRows.length <= maxCentroids,
+      s"${centRows.length} centroids exceed the driver ceiling $maxCentroids")
+    val ids = centRows.map(_.getLong(0))
+    val dim = centRows.head.getSeq[Double](1).length
+    val zeroCent = IndexedSeq.fill(dim)(0.0)
+    val idToOff = ids.zipWithIndex.map { case (id, i) => id -> i * dim }.toMap
+    var flat = centRows.flatMap(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      // id-ordered sequential fold per (cell, pos): ((0 + x_id1) + x_id2)
+      // + ... — the replayable IEEE sequence
+      val orderedSum = aggregate(
+        transform(
+          sort_array(collect_list(struct(col("id"), col("x")))),
+          s => s.getField("x")),
+        lit(0.0), (acc, x) => acc + x)
+      val agg = base
+        .withColumn("cell", graft.functions.NearestResidual(
+          col("vecd"), lit(0L), Seq(0L), zeroCent,
+          ids.toIndexedSeq, flat.toIndexedSeq))
+        .select(col("id"), col("cell"),
+          posexplode(col("vecd")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(orderedSum.as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = flat.clone()
+      agg.foreach { r =>
+        next(idToOff(r.getLong(0)) + r.getInt(1)) =
+          r.getDouble(2) / r.getLong(3)
+      }
+      flat = next
+      it += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    ids.toIndexedSeq.zipWithIndex.map { case (id, i) =>
+      val c = flat.slice(i * dim, (i + 1) * dim)
+      (id, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+    }.toDF("cent_id", "cent_vec", "cent_norm")
+  }
+
   /** TRAINED PQ codebook: per-subspace Lloyd's k-means over a bounded
     * driver sample (ascending-id `TakeOrdered`, ≤ `maxSample` rows) —
     * the quality path next to [[pqCodebook]]'s deterministic stride

@@ -695,6 +695,95 @@ object VectorQ {
       m = PqM, every = PqEvery)
   }
 
+  /** Per-iteration CTE blocks of the EXACT distributed k-means replay
+    * (q97): iteration i assigns every vector to its nearest c{i}
+    * centroid (q87's squared-L2 fold + lowest-id tie), then c{i+1} is
+    * the per-(cell, pos) mean computed as an id-ORDERED sequential fold
+    * — `list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)))`, the
+    * bitwise mirror of the Spark side's sorted-collect fold — with
+    * keep-previous for empty cells (per-pos COALESCE; an assigned cell
+    * has every pos, an unassigned one has none). Unrolled textually
+    * (iters is a fixed constant), so no recursive-CTE aggregation is
+    * needed and every intermediate centroid stays in cross-engine
+    * lockstep UNROUNDED. */
+  private def sqlKmeansIters(every: Int, iters: Int): String = {
+    val blocks = (0 until iters).map { i =>
+      s"""d$i AS (SELECT e.vec_id, c.cent_id,
+         |             ${sqlL2("e.embedding", "c.cv")} AS dist
+         |      FROM embeddings e, c$i c),
+         |a$i AS (SELECT vec_id, cell FROM (
+         |        SELECT vec_id, cent_id AS cell, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+         |        FROM d$i) WHERE rn = 1),
+         |m$i AS (SELECT cell, pos,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               list(x ORDER BY vec_id)), (p, q) -> p + q)
+         |               / COUNT(*) AS v
+         |      FROM (SELECT a.vec_id, a.cell, t.i AS pos,
+         |                   CAST(e.embedding[t.i] AS DOUBLE) AS x
+         |            FROM a$i a JOIN embeddings e USING (vec_id),
+         |                 UNNEST(range(1, len(e.embedding) + 1)) t(i)) s$i
+         |      GROUP BY cell, pos),
+         |c${i + 1} AS (SELECT g.cent_id,
+         |             list(COALESCE(m.v, g.x0) ORDER BY g.pos) AS cv
+         |      FROM (SELECT c.cent_id, t.i AS pos, c.cv[t.i] AS x0
+         |            FROM c$i c, UNNEST(range(1, len(c.cv) + 1)) t(i)) g
+         |      LEFT JOIN m$i m ON m.cell = g.cent_id AND m.pos = g.pos
+         |      GROUP BY g.cent_id)""".stripMargin
+    }
+    s"""c0 AS (SELECT vec_id AS cent_id,
+       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |      FROM embeddings WHERE vec_id % $every = 0),
+       |${blocks.mkString(",\n")}""".stripMargin
+  }
+
+  /** q97: TRAINED-codebook IVF ANN under the oracle gate — the quality
+    * configuration a deployment actually runs (trained centroids, probed
+    * IVF, exact rerank), hash-checked end to end. Training is
+    * [[graft.operators.Quantize.kmeansTrainExact]]: three distributed
+    * Lloyd rounds whose per-cell means are id-ordered folds, so the
+    * oracle replays the ENTIRE training run bit-for-bit ([[
+    * sqlKmeansIters]], unrolled CTEs) — no rounding firewall, no
+    * fixture-pinned centroid table — then q40's proven probe tail
+    * (cosine cell assignment, 3-cell probe, exact rerank) runs against
+    * the trained codebook on both engines. The production trainer
+    * ([[graft.operators.Quantize.kmeansTrain]], warm-started partial-agg
+    * means) is pinned to this exact tier within 1e-9/coordinate by
+    * QuantizeSpec; recall vs stride at these knobs is pinned by
+    * AnnRecallSpec and published in the `ann_recall` sidecar. */
+  val q97 = Q(
+    "q97_ann_ivf_trained",
+    s"""WITH ${sqlKmeansIters(50, 3)},
+       |n AS (SELECT vec_id, embedding,
+       |             sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |      FROM embeddings),
+       |cents AS (SELECT cent_id, cv, sqrt(${sqlDot("cv", "cv")}) AS cn
+       |          FROM c3),
+       |scored AS (SELECT vec_id, embedding, nrm, cent_id,
+       |                  ${sqlDot("embedding", "cv")} / (nrm * cn) AS cent_cos
+       |           FROM n, cents),
+       |assigned AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+       |probed AS (SELECT cent_id AS cell
+       |           FROM cents, q
+       |           ORDER BY ${sqlDot("cv", "qv")} / (cn * qn) DESC, cent_id
+       |           LIMIT 3)
+       |SELECT vec_id, cell,
+       |       ROUND(${sqlDot("embedding", "qv")} / (nrm * qn), 6) AS cos_r
+       |FROM assigned JOIN probed USING (cell), q
+       |WHERE vec_id <> 0
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.operators.Quantize.kmeansTrainExact(
+      emb, "vec_id", "embedding", every = 50, iters = 3)
+    Similarity.ivfTopKCents(emb, "vec_id", "embedding", cents,
+      queryId = 0L, k = 10, nprobe = 3)
+  }
+
   /** q93: embedding-space drift ([[graft.operators.Drift
     * .embeddingDrift]]) — per label, the cosine between the even- and
     * odd-slice centroid vectors (q33's rounded-centroid convention, then
@@ -757,5 +846,5 @@ object VectorQ {
   }
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84, q85, q86, q87, q88, q93, q94)
+    q70, q71, q83, q84, q85, q86, q87, q88, q93, q94, q97)
 }

@@ -256,6 +256,38 @@ class QuantizeSpec extends AnyFunSuite {
     assert(res.count() == 5)
   }
 
+  test("kmeansTrainExact: the ordered-fold (oracle-replayable) trainer " +
+    "equals the partial-agg production trainer within 1e-9/coordinate at " +
+    "q97's knobs, and warm-start init is honored") {
+    // same data, same assignment, same math — ONLY the per-cell mean's
+    // summation order differs (sorted sequential fold vs partitioned
+    // partial aggregation), so the codebooks must agree to fp-noise;
+    // this is the cross-implementation pin that lets q97's oracle row
+    // stand in for the production trainer's semantics
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    def centMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val exact = centMap(Quantize.kmeansTrainExact(
+      emb, "vec_id", "embedding", every = 50, iters = 3))
+    val prod = centMap(Quantize.kmeansTrain(
+      emb, "vec_id", "embedding", every = 50, iters = 3))
+    assert(exact.keySet == prod.keySet)
+    val maxDiff = exact.toSeq.flatMap { case (id, c) =>
+      c.zip(prod(id)).map { case (a, b) => math.abs(a - b) }.toSeq }.max
+    info(f"max per-coordinate trainer divergence: $maxDiff%.2e")
+    assert(maxDiff < 1e-9,
+      f"trainers diverged beyond summation-order noise: $maxDiff%.2e")
+    // warm start from an explicit codebook: iters=0 returns it verbatim
+    val seed = Quantize.kmeansTrain(emb, "vec_id", "embedding", every = 50,
+      iters = 1)
+    val warm = centMap(Quantize.kmeansTrain(emb, "vec_id", "embedding",
+      every = 50, iters = 0, init = Some(seed)))
+    val seedMap = centMap(seed)
+    assert(warm.keySet == seedMap.keySet)
+    warm.foreach { case (id, c) => assert(c.toSeq == seedMap(id).toSeq,
+      s"warm start with iters=0 must return the init codebook (cent $id)") }
+  }
+
   test("trained PQ codebook strictly beats the stride codebook on " +
     "reconstruction error") {
     // same m and k isolate codebook QUALITY — the spec-level adjudicator
