@@ -98,6 +98,10 @@ object AnnRecall {
         corpus, queries, idCol, vecCol, k, centroidEvery, nprobe)),
       measure("two_level", Similarity.ivfTopKTwoLevelBatch(
         corpus, queries, idCol, vecCol, k, every1, every2, nprobe1, nprobe2)),
+      measure("graph_ef64", GraphAnn.graphTopKBatch(
+        queries, idCol, vecCol,
+        GraphAnn.buildGraph(corpus, idCol, vecCol, m = 16,
+          efConstruction = 64), k, ef = 64)),
       measure("pq_adc", Quantize.pqAdcTopKBatchWith(
         corpus, queries, idCol, vecCol, k, pqM, pk, psub, pflat)),
       measure("pq_adc_rerank", Quantize.pqAdcRerankTopKBatchWith(

@@ -15,11 +15,11 @@ class AnnRecallSpec extends AnyFunSuite {
   private def emb = Tables.embeddings(spark, dir)
   private val qids = Seq(100L, 200L, 300L, 400L)
 
-  test("audit shape: seven paths, full truth sets, recall in [0,1]") {
+  test("audit shape: eight paths, full truth sets, recall in [0,1]") {
     val rec = AnnRecall.audit(emb, "vec_id", "embedding", qids, k = 10)
     assert(rec.map(_.path) ==
-      Seq("lsh", "lsh_mp1", "lsh_mp2", "ivf", "two_level", "pq_adc",
-        "pq_adc_rerank"))
+      Seq("lsh", "lsh_mp1", "lsh_mp2", "ivf", "two_level", "graph_ef64",
+        "pq_adc", "pq_adc_rerank"))
     rec.foreach { r =>
       assert(r.queries == 4 && r.k == 10)
       assert(r.possible == 40, s"${r.path}: truth sets incomplete (${r.possible})")
