@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * never scanned at query time at all). This serves the ≤10⁶-vector
   * regime (e.g. a deduplicated centroid/entry table, a hot working
   * set); past the driver ceiling, the IVF/PQ tiers with their
-  * partitioned indexes remain the corpus-scale path, with this tier as
-  * the reranker over their shortlists.
+  * partitioned indexes remain the corpus-scale path — composed with
+  * this tier via [[ivfGraphProbeBatch]], where the graph serves the
+  * CENTROID table (always driver-bounded) and cuts the per-query cell
+  * ranking from |C| to ~ef·M distance evaluations.
   *
   * Determinism: insertion in ascending id order, ties broken by id
   * everywhere (candidate ranking, neighbor pruning, beam pops), entry
@@ -135,29 +137,87 @@ object GraphAnn {
     }
     val nbrs = Array.fill(n)(Array.empty[Int])
     val g = Graph(ids, dim, vecs, norms, nbrs)
+    insertRange(g, 1, m, efConstruction)
+    g
+  }
+
+  /** The shared NSW insertion loop: nodes [start, g.size) link into the
+    * graph-so-far in index order (beam at efC, bidirectional links,
+    * prune-back to m). Indices below `start` must already form the
+    * existing graph; new nodes' adjacency must be empty. Mutates
+    * `g.nbrs` slots only (inner arrays are replaced, never mutated, so
+    * a copied outer array fully isolates an old graph). */
+  private def insertRange(g: Graph, start: Int, m: Int, efC: Int): Unit = {
     def prune(node: Int): Unit =
-      if (nbrs(node).length > m) {
-        val q = new Array[Double](dim)
-        System.arraycopy(vecs, node * dim, q, 0, dim)
-        nbrs(node) = nbrs(node)
-          .map(nb => (nb, cosAt(g, nb, q, norms(node))))
-          .sortBy { case (nb, s) => (-s, ids(nb)) }
+      if (g.nbrs(node).length > m) {
+        val q = new Array[Double](g.dim)
+        System.arraycopy(g.vecs, node * g.dim, q, 0, g.dim)
+        g.nbrs(node) = g.nbrs(node)
+          .map(nb => (nb, cosAt(g, nb, q, g.norms(node))))
+          .sortBy { case (nb, s) => (-s, g.ids(nb)) }
           .take(m).map(_._1)
       }
-    i = 1
-    while (i < n) {
-      val q = new Array[Double](dim)
-      System.arraycopy(vecs, i * dim, q, 0, dim)
-      val found = beam(g, q, norms(i), entry = 0, ef = efConstruction)
+    var i = math.max(start, 1) // node 0 is the entry: nothing to link to
+    while (i < g.size) {
+      val q = new Array[Double](g.dim)
+      System.arraycopy(g.vecs, i * g.dim, q, 0, g.dim)
+      val found = beam(g, q, g.norms(i), entry = 0, ef = efC)
       val chosen = found.take(m).map(_._1)
-      nbrs(i) = chosen
+      g.nbrs(i) = chosen
       chosen.foreach { nb =>
-        nbrs(nb) = nbrs(nb) :+ i
+        g.nbrs(nb) = g.nbrs(nb) :+ i
         prune(nb)
       }
       i += 1
     }
-    g
+  }
+
+  /** INCREMENTAL insert — the NSW build IS a sequence of inserts, so a
+    * standing graph absorbs new vectors with the exact construction
+    * rule the bootstrap used (beam, bidirectional link, prune-back):
+    * new rows insert in ascending id order AFTER everything already
+    * present; rows whose id is already in the graph are SKIPPED
+    * (content-addressed idempotence — a replayed batch inserts
+    * nothing). The input graph is never mutated (outer adjacency array
+    * copied; inner arrays are replace-only). Graph structure therefore
+    * depends on ARRIVAL order across batches — inherent to incremental
+    * NSW and fine for serving: search quality is pinned by measured
+    * recall, and replays reproduce the structure bit-for-bit
+    * (StreamGraphIndexSpec). */
+  def insertVectors(g: Graph, df: DataFrame, idCol: String, vecCol: String,
+                    m: Int = 16, efConstruction: Int = 64,
+                    maxVectors: Int = MaxGraphVectors): Graph = {
+    require(m >= 1 && efConstruction >= m, "need efConstruction >= m >= 1")
+    val existing = g.ids.toSet
+    val rows = df
+      .select(col(idCol).cast("long"), Similarity.vecD(col(vecCol)))
+      .orderBy(col(idCol)).head(maxVectors + 1)
+      .filter(r => !existing.contains(r.getLong(0)))
+    if (rows.isEmpty) return g
+    val n = g.size + rows.length
+    require(n <= maxVectors,
+      s"graph would grow to $n vectors: past the driver-graph ceiling")
+    val ids = java.util.Arrays.copyOf(g.ids, n)
+    val vecs = java.util.Arrays.copyOf(g.vecs, n * g.dim)
+    val norms = java.util.Arrays.copyOf(g.norms, n)
+    val nbrs = java.util.Arrays.copyOf(g.nbrs, n)
+    var i = g.size
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Double](1)
+      require(v.length == g.dim, s"ragged vector at id $id")
+      var acc = 0.0
+      var d = 0
+      while (d < g.dim) { val x = v(d); vecs(i * g.dim + d) = x; acc += x * x; d += 1 }
+      ids(i) = id
+      norms(i) = math.sqrt(acc)
+      require(norms(i) > 0, s"zero-norm vector at id $id (cosine undefined)")
+      nbrs(i) = Array.empty[Int]
+      i += 1
+    }
+    val g2 = Graph(ids, g.dim, vecs, norms, nbrs)
+    insertRange(g2, g.size, m, efConstruction)
+    g2
   }
 
   /** Search for ONE query vector: beam at `ef`, exact top-`k` of the
@@ -184,7 +244,8 @@ object GraphAnn {
     * [[Similarity]]'s rounding/tie conventions; self-matches excluded
     * like every ANN path here. */
   def graphTopKBatch(queries: DataFrame, idCol: String, vecCol: String,
-                     g: Graph, k: Int, ef: Int): DataFrame = {
+                     g: Graph, k: Int, ef: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1 && ef >= k, "need ef >= k >= 1")
     val spark = queries.sparkSession
     import spark.implicits._
@@ -198,7 +259,7 @@ object GraphAnn {
         val q = qv.toArray
         val qn = math.sqrt(q.map(x => x * x).sum)
         beam(gg, q, qn, entry = 0, ef = ef)
-          .filter { case (i, _) => gg.ids(i) != qid }
+          .filter { case (i, _) => !excludeSelf || gg.ids(i) != qid }
           .sortBy { case (i, s) => (-s, gg.ids(i)) }
           .take(k)
           .zipWithIndex
@@ -210,6 +271,83 @@ object GraphAnn {
     }.toDF("qid", idCol, "cos_r", "rank")
   }
 
+  /** HARD-NEGATIVE mining served by the graph tier — the ANN-probe swap
+    * [[Similarity.hardNegatives]]'s scaladoc promises at corpus scale,
+    * implemented: the beam OVER-FETCHES (`ef` candidates ≫ k), corpus
+    * labels join onto the bounded candidate set (|Q|·ef rows — never a
+    * corpus crossJoin), same-label rows filter out, and the per-query
+    * top-k of the survivors are the mined negatives. Recall of the TRUE
+    * hardest negatives follows the graph tier's measured recall
+    * (`ann_recall` graph_ef64 ≈ 0.98) times the over-fetch slack —
+    * GraphAnnSpec measures it against the exact miner on the fixture.
+    * Output: (qid, rank, idCol, cos_r) — [[Similarity.hardNegatives]]'s
+    * schema, so the two tiers swap freely. */
+  def hardNegativesGraph(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, labelCol: String,
+                         k: Int, g: Graph, ef: Int): DataFrame = {
+    require(ef >= k, "over-fetch ef must be >= k")
+    val beamHits = graphTopKBatch(queries, idCol, vecCol, g, k = ef, ef = ef)
+      .select(col("qid"), col(idCol), col("cos_r"))
+    val labels = corpus.select(col(idCol), col(labelCol))
+    val qLabels = queries.select(col(idCol).cast("long").as("qid"),
+      col(labelCol).as("_qlabel"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+    labels.join(broadcast(beamHits), Seq(idCol))
+      .join(broadcast(qLabels), Seq("qid"))
+      .filter(col(labelCol) =!= col("_qlabel"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("cos_r"))
+  }
+
+  /** IVF with a GRAPH-PROBED quantizer — the composition that carries
+    * the graph tier past its driver ceiling (the faiss IVF-HNSW
+    * pattern): the corpus stays in its partitioned IVF cells (corpus
+    * scale, unchanged), but the per-query CELL RANKING — brute |C| dot
+    * products per query in [[Similarity.ivfTopKCentsBatch]], the term
+    * that hurts at 64k+ centroids — becomes a beam walk over a graph
+    * built on the CENTROID TABLE (bounded by construction: centroids
+    * are a driver artifact already). Probe cost per query drops from
+    * |C| to ~ef·M distance evaluations; everything downstream
+    * (assignment scan, probed-cell equi-join, exact rerank) is the
+    * batch IVF plan verbatim. With `ef ≥ |C|` the beam saturates the
+    * complete centroid graph and the whole operator equals
+    * [[Similarity.ivfTopKCentsBatch]] exactly (GraphAnnSpec's control);
+    * at scale the probe becomes approximate with the graph tier's
+    * measured recall. */
+  def ivfGraphProbeBatch(corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, cents: DataFrame,
+                         k: Int, nprobe: Int = 2, m: Int = 16,
+                         efConstruction: Int = 64, ef: Int = 64): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cg = buildGraph(
+      cents.select(col("cent_id").as(idCol), col("cent_vec").as(vecCol)),
+      idCol, vecCol, m, efConstruction)
+    // rank cells by walking the centroid graph; self-exclusion OFF:
+    // cent_ids and query ids are different id spaces, and a query row
+    // IS allowed to probe the cell of the centroid sharing its raw id
+    val probed = graphTopKBatch(queries, idCol, vecCol, cg,
+      k = nprobe, ef = ef, excludeSelf = false)
+      .select(col("qid"), col(idCol).as("cell"))
+    val base = Similarity.withNorm(corpus, vecCol)
+    val assigned = Similarity.assignCells(base, idCol, cents)
+      .select(col(idCol), col("vecd"), col("norm"), col("cell"))
+    val q = Similarity.withNorm(queries, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("vecd").as("qvec"),
+        col("norm").as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col(idCol), col("cell"),
+        round(Similarity.cosine(col("vecd"), col("qvec"), col("norm"),
+          col("qnorm")), 6).as("cos_r"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Materialize the graph beside the data (the LSH/IVF index-sidecar
     * discipline): one parquet of (id, vec, neighbor ids). [[loadIndex]]
     * rebuilds the SAME artifact (adjacency preserved verbatim, no
@@ -217,14 +355,18 @@ object GraphAnn {
   def writeIndex(g: Graph, spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     g.ids.indices.map { i =>
-      (g.ids(i), g.vecs.slice(i * g.dim, (i + 1) * g.dim).toSeq,
+      // ord preserves INSERTION order: node 0 is the beam entry point,
+      // and an incrementally-grown graph is not id-sorted — the loader
+      // must reconstruct the same node indexing, not a re-sorted one
+      (i.toLong, g.ids(i), g.vecs.slice(i * g.dim, (i + 1) * g.dim).toSeq,
         g.nbrs(i).map(g.ids(_)).toSeq)
-    }.toDF("id", "vec", "nbr_ids")
+    }.toDF("ord", "id", "vec", "nbr_ids")
       .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   def loadIndex(spark: SparkSession, dir: String): Graph = {
-    val rows = spark.read.parquet(dir).orderBy("id").collect()
+    val rows = spark.read.parquet(dir).orderBy("ord")
+      .select("id", "vec", "nbr_ids").collect()
     require(rows.nonEmpty, "empty graph index")
     val n = rows.length
     val ids = rows.map(_.getLong(0))

@@ -159,10 +159,11 @@ object Similarity {
     * set broadcasts, corpus never shuffles, per-query bounded window);
     * the label-mismatch predicate evaluates map-side before the window,
     * so same-label mass never enters the rank. Output:
-    * (qid, rank, idCol, cos_r). Swap the crossJoin stage for an ANN
-    * probe (IVF/LSH index) at corpus scale — the mining contract is
-    * unchanged, recall of the true hardest negatives follows the
-    * `ann_recall` numbers. */
+    * (qid, rank, idCol, cos_r). The ANN-probe swap for scale is
+    * IMPLEMENTED as [[GraphAnn.hardNegativesGraph]] (same output
+    * schema, beam over-fetch + label filter; measured agreement with
+    * this exact miner pinned in GraphAnnSpec) — the exact tier here
+    * stays the ground truth. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
     val c = withNorm(corpus, vecCol)

@@ -94,6 +94,54 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("zero-norm"), e2.getMessage)
   }
 
+  test("IVF with graph-probed quantizer: at saturating ef (complete " +
+    "centroid graph, beam covers all cells) the composition EQUALS the " +
+    "brute-probed batch IVF exactly") {
+    val base = Similarity.withNorm(emb, "embedding")
+    val cents = Similarity.centroidsOf(base, "vec_id", 137)
+      .localCheckpoint(true) // 4 centroids at this fixture
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "cell", "cos_r", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSet
+    val brute = rows(Similarity.ivfTopKCentsBatch(
+      emb, queries, "vec_id", "embedding", cents, k = 10, nprobe = 2))
+    val graphProbed = rows(GraphAnn.ivfGraphProbeBatch(
+      emb, queries, "vec_id", "embedding", cents, k = 10, nprobe = 2,
+      m = 16, efConstruction = 16, ef = 16))
+    assert(graphProbed == brute,
+      "saturated graph probe must equal the brute centroid ranking")
+  }
+
+  test("hard negatives via the graph tier: never a same-label row, and " +
+    "measured agreement with the exact miner at over-fetch ef") {
+    val g = GraphAnn.buildGraph(emb, "vec_id", "embedding", 16, 64)
+    val mined = GraphAnn.hardNegativesGraph(emb, queries, "vec_id",
+      "embedding", "label", k = 5, g, ef = 128).localCheckpoint(true)
+    // contract: label mismatch is absolute
+    val labels = emb.select(col("vec_id"), col("label").as("_clabel"))
+    val qLabels = emb.select(col("vec_id").as("qid"),
+      col("label").as("_qlabel"))
+    assert(mined.join(labels, "vec_id").join(qLabels, "qid")
+      .filter(col("_clabel") === col("_qlabel")).count() == 0,
+      "a same-label row was mined as a negative")
+    // measured agreement with the exact miner (the ANN-probe swap the
+    // exact operator's scaladoc promises)
+    val exact = Similarity.hardNegatives(emb, queries, "vec_id",
+      "embedding", "label", k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(1)).toSet }
+    val got = mined.select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, r) => q -> r.map(_.getLong(1)).toSet }
+    val (h, p) = qids.foldLeft((0, 0)) { case ((h, p), q) =>
+      (h + got.getOrElse(q, Set.empty).intersect(exact.getOrElse(q, Set.empty)).size,
+        p + exact.getOrElse(q, Set.empty).size)
+    }
+    val agree = h.toDouble / p
+    info(f"graph-mined negative agreement with exact miner: $agree%.3f ($h/$p)")
+    assert(agree >= 0.8, f"graph miner diverged from exact: $agree%.3f")
+  }
+
   test("index sidecar roundtrip: write + load preserves adjacency and " +
     "search results verbatim") {
     val g = GraphAnn.buildGraph(emb, "vec_id", "embedding", 16, 64)
