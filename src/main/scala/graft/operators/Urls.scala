@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL curation for web corpora: extraction, canonicalization,
+  * registered-domain derivation, per-doc link stats, per-domain rollups
+  * and blocklist filtering — the link-hygiene tier of a crawl pipeline
+  * (domain blocklists, link-farm detection by link density, per-domain
+  * caps via the existing quota machinery on `registeredDomain`).
+  *
+  * Everything is IN-SCAN column arithmetic (regexp extraction + string
+  * surgery; no UDF, no join until an explicit rollup), so the tier
+  * rides the scan like the text-analysis family, and every
+  * transformation is expressed identically in the DuckDB oracle (q98 —
+  * a planted-recovery audit like q90: the synthetic corpus carries no
+  * URLs, both dialects plant the same deterministic tails).
+  *
+  * Canonicalization contract (the dedup-safe subset every crawler
+  * agrees on): scheme and host lowercase; `:80`/`:443`/any explicit
+  * port dropped (path-less ports are out of the planted contract);
+  * fragment dropped; `utm_*` tracking parameters dropped (other params
+  * kept in order); a query left empty by stripping drops its `?`. Path
+  * case is preserved. Extraction takes maximal non-SPACE runs after
+  * `http(s)://` (case-insensitive scheme) — the escape-free pattern
+  * that parses identically as a Spark SQL and DuckDB string literal
+  * (a `\s` class would be escape-processed by Spark's SQL parser);
+  * trailing-punctuation trimming is out of contract. */
+object Urls {
+
+  /** RE2-safe, escape-free extraction pattern, shared verbatim with
+    * the oracle. */
+  val UrlRe: String = "[Hh][Tt][Tt][Pp][Ss]?://[^ ]+"
+
+  /** (idCol, url) — one row per extracted raw URL, array-order stable. */
+  def extractUrls(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      explode(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")).as("url"))
+
+  /** Canonical form of a raw URL column (see the object contract).
+    * Pure Column string surgery — every step replays verbatim in the
+    * oracle dialect. */
+  def canonicalize(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = noFrag.substr(length(scheme) + lit(4), length(noFrag)) // after '://'
+    val hostPort = substring_index(substring_index(rest, "/", 1), "?", 1)
+    val host = lower(substring_index(hostPort, ":", 1))
+    val tail = rest.substr(length(hostPort) + lit(1), length(rest)) // '/p?q', '?q' or ''
+    val path = substring_index(tail, "?", 1)
+    val query = when(tail.contains("?"),
+      tail.substr(length(path) + lit(2), length(tail)))
+      .otherwise(lit(""))
+    val keptParams = filter(split(query, "&"),
+      p => substring(p, 1, 4) =!= "utm_" && p =!= "")
+    val canonQuery = array_join(keptParams, "&")
+    concat(scheme, lit("://"), host, path,
+      when(canonQuery =!= "", concat(lit("?"), canonQuery)).otherwise(lit("")))
+  }
+
+  /** Registered domain (last two host labels — the eTLD+1 stand-in of
+    * the planted contract; a real deployment swaps in a PSL table). */
+  def registeredDomain(url: Column): Column = {
+    val host = lower(substring_index(substring_index(
+      substring_index(substring_index(url, "://", -1), "/", 1), "?", 1),
+      ":", 1))
+    val parts = split(host, "\\.")
+    when(size(parts) < 2, host)
+      .otherwise(array_join(slice(parts, -2, 2), "."))
+  }
+
+  /** (idCol, url_canon, domain) — extraction + canonicalization, one
+    * row per URL, ready for the q98 gate or a domain rollup. */
+  def canonicalUrls(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    extractUrls(docs, idCol, textCol)
+      .select(col(idCol), canonicalize(col("url")).as("url_canon"),
+        registeredDomain(col("url")).as("domain"))
+
+  /** Per-doc link stats: URL count, DISTINCT canonical URL count,
+    * distinct registered domains, and link density in exact integer
+    * per-mille of whitespace tokens — the link-farm signal. One scan,
+    * no explode-shuffle (aggregation is per-row over the extracted
+    * array). */
+  def linkStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val urls = expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")
+    graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
+    val nTok = graft.functions.TokenStats(col(textCol))
+      .getField("n_tokens").cast("long")
+    docs.select(col(idCol),
+      size(urls).cast("long").as("n_urls"),
+      size(array_distinct(transform(urls, canonicalize _))).cast("long")
+        .as("n_canon"),
+      size(array_distinct(transform(urls, registeredDomain _))).cast("long")
+        .as("n_domains"),
+      nTok.as("_nt"))
+      .withColumn("link_density_milli",
+        when(col("_nt") === 0, lit(0L))
+          .otherwise(expr("n_urls * 1000 div _nt"))) // exact integer milli
+      .drop("_nt")
+  }
+
+  /** Per-domain rollup: (domain, n_urls, n_docs) over the corpus — the
+    * table a blocklist decision reads. One explode + one hash agg on
+    * the (id, domain) pairs; text never leaves the scan. */
+  def domainStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    canonicalUrls(docs, idCol, textCol)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+
+  /** Drop every document containing a link to a BLOCKED registered
+    * domain. The blocklist is a broadcast-scale set evaluated IN-SCAN
+    * (`exists` over the extracted array against an array literal) — no
+    * join, no shuffle; the decision is per-row like the quality
+    * filters. */
+  def dropBlockedDomains(docs: DataFrame, idCol: String, textCol: String,
+                         blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist: nothing to do — " +
+      "call sites should skip the stage instead of no-op filtering")
+    val urls = expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")
+    val blockedLit = typedlit(blocked.map(_.toLowerCase))
+    docs.filter(!exists(transform(urls, registeredDomain _),
+      d => array_contains(blockedLit, d)))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextAnalysis
 import graft.functions.TextAnalysis._
-import graft.operators.{Dedup, Mixing, Redact}
+import graft.operators.{Dedup, Mixing, Redact, Urls}
 
 /** Text-analysis + deduplication queries over `documents` — the
   * training-data-pipeline operator family: token statistics, exact dedup,
@@ -1516,8 +1516,131 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q98: URL extraction + canonicalization + registered domains
+    * ([[graft.operators.Urls.canonicalUrls]]) — the link-hygiene tier
+    * of a crawl pipeline. Planted-recovery audit (q90's discipline: the
+    * synthetic corpus carries no URLs): both dialects append the same
+    * deterministic URL tails — mixed-case scheme/host, an explicit
+    * port, utm_* tracking params around a kept param, a fragment, and a
+    * second URL on a different registered domain — then extract with
+    * the SHARED escape-free pattern and replay the canonicalization
+    * string surgery step for step, so the canonical STRINGS and domains
+    * hash-match. */
+  val q98 = Q(
+    "q98_url_canonicalize",
+    s"""WITH corpus AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0
+       |                THEN text || ' see HTTPS://News.Site'
+       |                     || CAST(doc_id % 20 AS VARCHAR)
+       |                     || '.Example.COM:443/Article/a'
+       |                     || CAST(doc_id AS VARCHAR)
+       |                     || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+       |                     || '&utm_campaign=x#frag'
+       |              WHEN doc_id % 7 = 0
+       |                THEN text || ' ref http://cdn.mirror'
+       |                     || CAST(doc_id % 10 AS VARCHAR)
+       |                     || '.example.org/asset?id=' || CAST(doc_id AS VARCHAR)
+       |                     || ' also http://Blocked.Spam.example.net/x'
+       |              ELSE text END AS text
+       |  FROM documents),
+       |u AS (SELECT doc_id,
+       |             unnest(regexp_extract_all(text, '${Urls.UrlRe}', 0)) AS url
+       |      FROM corpus),
+       |c1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
+       |c2 AS (SELECT doc_id, nofrag,
+       |              lower(split_part(nofrag, '://', 1)) AS scheme FROM c1),
+       |c3 AS (SELECT doc_id, scheme,
+       |              substr(nofrag, length(scheme) + 4) AS rest FROM c2),
+       |c4 AS (SELECT doc_id, scheme, rest,
+       |              split_part(split_part(rest, '/', 1), '?', 1) AS hostport
+       |       FROM c3),
+       |c5 AS (SELECT doc_id, scheme,
+       |              lower(split_part(hostport, ':', 1)) AS host,
+       |              substr(rest, length(hostport) + 1) AS tail FROM c4),
+       |c6 AS (SELECT doc_id, scheme, host, tail,
+       |              split_part(tail, '?', 1) AS path FROM c5),
+       |c7 AS (SELECT doc_id, scheme, host, path,
+       |              CASE WHEN contains(tail, '?')
+       |                   THEN substr(tail, length(path) + 2) ELSE '' END AS q
+       |       FROM c6),
+       |c8 AS (SELECT doc_id, scheme, host, path,
+       |              array_to_string(list_filter(str_split(q, '&'),
+       |                p -> substr(p, 1, 4) <> 'utm_' AND p <> ''), '&') AS cq
+       |       FROM c7)
+       |SELECT doc_id,
+       |       scheme || '://' || host || path ||
+       |         CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS url_canon,
+       |       CASE WHEN len(str_split(host, '.')) < 2 THEN host
+       |            ELSE str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]
+       |            END AS domain
+       |FROM c8 ORDER BY doc_id, url_canon""".stripMargin) { (s, dir) =>
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" see HTTPS://News.Site"),
+          (col("doc_id") % 20).cast("string"), lit(".Example.COM:443/Article/a"),
+          col("doc_id").cast("string"), lit("?utm_source=feed&id="),
+          col("doc_id").cast("string"), lit("&utm_campaign=x#frag")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" ref http://cdn.mirror"),
+            (col("doc_id") % 10).cast("string"), lit(".example.org/asset?id="),
+            col("doc_id").cast("string"),
+            lit(" also http://Blocked.Spam.example.net/x")))
+        .otherwise(col("text")).as("text"))
+    Urls.canonicalUrls(planted, "doc_id", "text")
+      .orderBy("doc_id", "url_canon")
+  }
+
+  /** q99: DSIR-style importance weights ([[graft.operators.Mixing
+    * .dsirWeights]]) — hashed-unigram bucket ppm of the RAW corpus vs
+    * the TARGET slice (lang = 'en'), per-bucket ratio `(t_ppm + 1) /
+    * (r_ppm + 1)` as one double division, per-doc weight = the
+    * ascending-bucket product fold over ≤ 64 distinct feature buckets.
+    * The oracle re-derives both integer-ppm distributions, the ratio
+    * list, and the exact `list_reduce` product — transcendental-free,
+    * so the weights hash-match bitwise at 6 dp. */
+  val q99 = Q(
+    "q99_dsir_weights",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |tw AS (SELECT doc_id, w, ${sqlHash("w")} % 1024 AS b
+       |       FROM tok WHERE w <> ''),
+       |rawb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw GROUP BY b),
+       |rawt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM rawb),
+       |ttok AS (SELECT unnest($sqlToks) AS w FROM documents WHERE lang = 'en'),
+       |ttw AS (SELECT ${sqlHash("w")} % 1024 AS b FROM ttok WHERE w <> ''),
+       |tgtb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM ttw GROUP BY b),
+       |tgtt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tgtb),
+       |grid AS (SELECT CAST(g.b AS BIGINT) AS b FROM range(0, 1024) g(b)),
+       |ratio AS (SELECT grid.b,
+       |                 CAST(COALESCE(tgtb.c, 0) * 1000000 // tgtt.t + 1 AS DOUBLE)
+       |               / CAST(COALESCE(rawb.c, 0) * 1000000 // rawt.t + 1 AS DOUBLE)
+       |                 AS rr
+       |          FROM grid
+       |          LEFT JOIN rawb ON rawb.b = grid.b
+       |          LEFT JOIN tgtb ON tgtb.b = grid.b, rawt, tgtt),
+       |rlist AS (SELECT list(rr ORDER BY b) AS arr FROM ratio),
+       |feats AS (SELECT doc_id, list_sort(list(DISTINCT b)) AS fb
+       |          FROM tw GROUP BY doc_id),
+       |capped AS (SELECT doc_id, fb[1:64] AS fb FROM feats),
+       |scored AS (SELECT doc_id, CAST(len(fb) AS BIGINT) AS n_feat,
+       |                  ROUND(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+       |                    list_transform(fb, x -> arr[CAST(x AS INTEGER) + 1])),
+       |                    (p, q) -> p * q), 6) AS weight_r
+       |           FROM capped, rlist)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(scored.n_feat, 0) AS BIGINT) AS n_feat,
+       |       COALESCE(scored.weight_r, 1.0) AS weight_r
+       |FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Mixing.dsirWeights(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text",
+      buckets = 1024, maxFeatures = 64)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96)
+    q96, q98, q99)
 }

@@ -229,4 +229,47 @@ class MixingSpec extends AnyFunSuite {
       .toMap
     assert(again == out)
   }
+
+  test("dsirWeights: target-like docs score above off-target docs, the " +
+    "weight direction follows the target distribution, empty docs score " +
+    "1, and the plan scores in-scan") {
+    // raw corpus: half "alpha"-vocabulary, half "zeta"-vocabulary;
+    // target: alpha only — alpha docs must out-weigh zeta docs
+    val raw = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, "alpha beta gamma delta alpha beta")
+      else (i, "zeta eta theta iota zeta eta")
+    }.toDF("doc_id", "text")
+      .union(Seq((100L, "   ")).toDF("doc_id", "text"))
+    val target = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Mixing.dsirWeights(raw, "doc_id", "text", target, "text",
+      buckets = 256, maxFeatures = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out.size == 21, "a row was dropped")
+    assert(out(100L) == ((0L, 1.0)), "token-free doc must score weight 1")
+    val alphaW = out(0L)._2
+    val zetaW = out(1L)._2
+    assert(alphaW > 1.0, s"target-vocabulary doc should up-weight ($alphaW)")
+    assert(zetaW < 1.0, s"off-target doc should down-weight ($zetaW)")
+    assert(alphaW > zetaW * 10,
+      s"separation too weak: alpha $alphaW vs zeta $zetaW")
+    // deterministic
+    val again = Mixing.dsirWeights(raw, "doc_id", "text", target, "text",
+      buckets = 256, maxFeatures = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(again == out)
+    // scoring is in-scan: zero shuffles (the two ppm aggregations are
+    // separate bounded jobs; the returned plan itself only scans)
+    val p = Mixing.dsirWeights(raw, "doc_id", "text", target, "text",
+      buckets = 256).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(p) == 0,
+      s"dsir scoring should not shuffle:\n$p")
+    // empty target fails loud
+    intercept[IllegalArgumentException] {
+      Mixing.dsirWeights(raw, "doc_id", "text",
+        raw.filter(col("doc_id") < 0), "text")
+    }
+  }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** URL curation: canonicalization contract cases (case, port, fragment,
+  * tracking params, empty query collapse, path-less and query-less
+  * shapes), registered domains, per-doc link stats, per-domain rollups,
+  * and blocklist filtering semantics. */
+class UrlsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canonOf(url: String): String =
+    Seq(url).toDF("u").select(Urls.canonicalize(col("u"))).head().getString(0)
+
+  private def domainOf(url: String): String =
+    Seq(url).toDF("u").select(Urls.registeredDomain(col("u"))).head().getString(0)
+
+  test("canonicalize: hand-computed contract cases") {
+    assert(canonOf("HTTPS://Www.Example.COM:443/Path/A?utm_source=x&id=7&utm_b=y#frag")
+      == "https://www.example.com/Path/A?id=7")
+    assert(canonOf("http://example.org") == "http://example.org")
+    assert(canonOf("http://example.org/") == "http://example.org/")
+    assert(canonOf("http://Example.org?a=1") == "http://example.org?a=1")
+    assert(canonOf("http://example.org/p?utm_only=1") == "http://example.org/p",
+      "a query left empty by stripping must drop its '?'")
+    assert(canonOf("http://example.org:8080/p") == "http://example.org/p")
+    assert(canonOf("https://a.b.c.example.net/Deep/Path")
+      == "https://a.b.c.example.net/Deep/Path", "path case preserved")
+  }
+
+  test("registered domain: last two labels; single-label host unchanged") {
+    assert(domainOf("https://news.site3.Example.COM:443/x") == "example.com")
+    assert(domainOf("http://example.org/a") == "example.org")
+    assert(domainOf("http://localhost/x") == "localhost")
+  }
+
+  test("linkStats: counts, distinct canon collapse, link density") {
+    val d = Seq(
+      (1L, "plain text no links at all"),
+      // two raw urls that CANONICALIZE to the same thing + one other domain
+      (2L, "a http://X.Example.com/p?utm_s=1 b http://x.example.com/p c " +
+        "http://other.org/q"),
+      (3L, "http://a.com/1 http://a.com/2 http://a.com/3 http://a.com/4")
+    ).toDF("doc_id", "text")
+    val out = Urls.linkStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(out(1L) == ((0L, 0L, 0L, 0L)))
+    assert(out(2L)._1 == 3L, "three raw urls")
+    assert(out(2L)._2 == 2L, "utm variant collapses with its clean twin")
+    assert(out(2L)._3 == 2L, "two registered domains")
+    assert(out(3L) == ((4L, 4L, 1L, 4L * 1000 / 4)),
+      "4 urls over 4 tokens -> density 1000")
+  }
+
+  test("domainStats: per-domain url and doc counts") {
+    val d = Seq(
+      (1L, "x http://a.example.com/1 y http://b.example.com/2"),
+      (2L, "z http://c.example.com/3 w http://other.org/4")
+    ).toDF("doc_id", "text")
+    val out = Urls.domainStats(d, "doc_id", "text").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("example.com") == ((3L, 2L)))
+    assert(out("other.org") == ((1L, 1L)))
+  }
+
+  test("dropBlockedDomains: any blocked link drops the doc; clean and " +
+    "link-free docs survive; matching is by REGISTERED domain, " +
+    "case-insensitive") {
+    val d = Seq(
+      (1L, "no links here"),
+      (2L, "ok http://fine.example.com/x"),
+      (3L, "bad http://Sub.SPAM.net/x plus http://fine.example.com/y"),
+      (4L, "http://spam.net/direct")
+    ).toDF("doc_id", "text")
+    val kept = Urls.dropBlockedDomains(d, "doc_id", "text", Seq("Spam.NET"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Urls.dropBlockedDomains(d, "doc_id", "text", Seq.empty)
+    }
+  }
+
+  test("plans stay in-scan: linkStats and dropBlockedDomains take zero " +
+    "shuffles; domainStats shuffles only (id, domain) pairs") {
+    val d = Seq((1L, "x http://a.example.com/1")).toDF("doc_id", "text")
+    val p1 = Urls.linkStats(d, "doc_id", "text").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(p1) == 0, p1)
+    val p2 = Urls.dropBlockedDomains(d, "doc_id", "text", Seq("spam.net"))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(p2) == 0, p2)
+    val p3 = Urls.domainStats(d, "doc_id", "text").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeLines = p3.linesIterator
+      .filter(_.trim.matches("""\(\d+\) Exchange.*""")).mkString("\n")
+    assert(!exchangeLines.contains("text"),
+      s"document text crosses the domain-rollup exchange:\n$exchangeLines")
+  }
+}
