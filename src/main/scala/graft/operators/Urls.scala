@@ -84,19 +84,25 @@ object Urls {
   def linkStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val urls = expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")
     graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
-    val nTok = graft.functions.TokenStats(col(textCol))
-      .getField("n_tokens").cast("long")
     docs.select(col(idCol),
       size(urls).cast("long").as("n_urls"),
       size(array_distinct(transform(urls, canonicalize _))).cast("long")
         .as("n_canon"),
       size(array_distinct(transform(urls, registeredDomain _))).cast("long")
         .as("n_domains"),
-      nTok.as("_nt"))
-      .withColumn("link_density_milli",
-        when(col("_nt") === 0, lit(0L))
-          .otherwise(expr("n_urls * 1000 div _nt"))) // exact integer milli
-      .drop("_nt")
+      linkDensityMilli(textCol).as("link_density_milli"))
+  }
+
+  /** In-scan link density (integer per-mille of whitespace tokens) —
+    * the expression form, for filter predicates that should not pay a
+    * stats join ([[graft.pipeline.Curation]]'s URL gate). Caller must
+    * have [[graft.functions.TokenStats]] registered. */
+  def linkDensityMilli(textCol: String): Column = {
+    val urls = expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")
+    val nTok = graft.functions.TokenStats(col(textCol))
+      .getField("n_tokens").cast("long")
+    when(nTok === 0, lit(0L))
+      .otherwise(call_function("div", size(urls).cast("long") * 1000, nTok))
   }
 
   /** Per-domain rollup: (domain, n_urls, n_docs) over the corpus — the

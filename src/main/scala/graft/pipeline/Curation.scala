@@ -12,6 +12,12 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing, Redact}
   *   0. drop null-text rows (they can be neither scored nor packed —
   *      counted as `nInput - nAfterQuality` alongside the quality drops,
   *      applied explicitly so three-valued logic never hides them)
+  *   0b. URL gate        — OPTIONAL, first of the drop stages
+  *                         ([[graft.operators.Urls]]): domain-blocklist
+  *                         hits (`urlBlocklist`) and link-farm densities
+  *                         (`maxLinkDensityMilli`) reject with map-only
+  *                         in-scan predicates before any token-level
+  *                         quality work is spent
   *   1. quality filter   — drop repetitive documents
   *                         ([[graft.functions.RepetitionStats
   *                         .repetitiveFlag]], the same oracle-pinned
@@ -76,12 +82,14 @@ object Curation {
 
   /** Per-stage survivor counts — the curation funnel audit.
     * `nAfterBoilerplate` (the stage between exact dedup and near-dup)
-    * is -1 unless the optional boilerplate-scrub stage ran; PII
-    * redaction has no count of its own (it rewrites, never drops). */
+    * is -1 unless the optional boilerplate-scrub stage ran; likewise
+    * `nAfterUrlGate` for the optional URL gate. PII redaction has no
+    * count of its own (it rewrites, never drops). */
   final case class Report(nInput: Long, nAfterQuality: Long,
                           nAfterExact: Long, nAfterNearDup: Long,
                           nAfterDecontam: Long, nAfterMix: Long,
-                          nPacks: Long, nAfterBoilerplate: Long = -1L)
+                          nPacks: Long, nAfterBoilerplate: Long = -1L,
+                          nAfterUrlGate: Long = -1L)
 
   /** Run the full funnel. Returns the curated corpus with `n_tokens` and
     * `pack_id` appended, plus the per-stage report. Fails at call time if
@@ -89,6 +97,8 @@ object Curation {
   def curate(docs: DataFrame, evalDocs: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
              sourceCol: String = "source",
+             urlBlocklist: Seq[String] = Seq.empty,
+             maxLinkDensityMilli: Option[Int] = None,
              repetitionTopBigramMilli: Int = 100,
              repetitionDupTrigramMilli: Int = 20,
              lmRefFilter: Option[org.apache.spark.sql.Column] = None,
@@ -125,15 +135,37 @@ object Curation {
     val rsCol = fresh("_rs")
     val tokCol = fresh("_tok")
 
-    // 0+1. null-text drop (explicit) + quality: Gopher repetition
+    // 0a. null-text drop (explicit) + the OPTIONAL URL GATE, first of
+    // the drop stages on purpose — a domain-blocklist hit or a
+    // link-farm density is the cheapest, highest-precision rejection in
+    // a web pipeline (both are map-only in-scan predicates:
+    // [[graft.operators.Urls.dropBlockedDomains]] /
+    // [[graft.operators.Urls.linkDensityMilli]]), so it runs before any
+    // token-level quality work is spent on documents it would discard.
+    val urlGateOn = urlBlocklist.nonEmpty || maxLinkDensityMilli.isDefined
+    val nonNull = docs.filter(col(textCol).isNotNull)
+    val urlGated = {
+      val afterBlock =
+        if (urlBlocklist.nonEmpty)
+          graft.operators.Urls.dropBlockedDomains(nonNull, idCol, textCol,
+            urlBlocklist)
+        else nonNull
+      val afterDensity = maxLinkDensityMilli match {
+        case Some(mx) => afterBlock.filter(
+          graft.operators.Urls.linkDensityMilli(textCol) <= mx)
+        case None => afterBlock
+      }
+      if (urlGateOn) stage(afterDensity) else afterDensity
+    }
+
+    // 0b+1. quality: Gopher repetition
     // predicate, then the optional LM-likelihood drop (q77 regime). The
     // model trains on the reference slice of the repetition-clean corpus
     // — training on documents the funnel already rejected would teach the
     // model the garbage it exists to catch. Documents with nothing to
     // score (< 2 tokens) survive: the anti-join only removes LOW scorers.
     val rs = graft.functions.RepetitionStats(col(textCol))
-    val repClean = docs
-      .filter(col(textCol).isNotNull)
+    val repClean = urlGated
       .withColumn(rsCol, rs)
       .filter(!graft.functions.RepetitionStats.repetitiveFlag(
         col(s"$rsCol.n_bigrams"), col(s"$rsCol.top_bigram_n"),
@@ -266,7 +298,8 @@ object Curation {
       nPacks = if (audit)
         packed.select(sourceCol, "pack_id").distinct().count() else -1L,
       nAfterBoilerplate =
-        if (boilerplateSpan.isDefined) n(exact) else -1L)
+        if (boilerplateSpan.isDefined) n(exact) else -1L,
+      nAfterUrlGate = if (urlGateOn) n(urlGated) else -1L)
     (packed, report)
   }
 }

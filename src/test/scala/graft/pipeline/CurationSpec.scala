@@ -240,4 +240,29 @@ class CurationSpec extends AnyFunSuite {
     assert(t0(3L) == boiler)
     assert(t0(5L).contains("a@b.co"))
   }
+
+  test("URL gate: blocklist hits and link-farm densities drop FIRST; " +
+    "gate off by default; bystanders with clean links survive") {
+    import spark.implicits._
+    val custom = Seq(
+      (1L, "clean document with plain words one two three four", "s0"),
+      (2L, "see http://fine.example.com/page for useful details here", "s0"),
+      (3L, "spam here http://track.SPAM.net/x buy now cheap stuff", "s0"),
+      // 4 urls / 5 tokens -> density 800
+      (4L, "http://a.io/1 http://a.io/2 http://a.io/3 http://a.io/4 x", "s0")
+    ).toDF("doc_id", "text", "source")
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (out, r) = Curation.curate(custom, noEval,
+      urlBlocklist = Seq("spam.net"), maxLinkDensityMilli = Some(500),
+      repetitionTopBigramMilli = 1000)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"URL gate kept wrong docs: $kept")
+    assert(r.nAfterUrlGate == 2, s"gate count wrong (${r.nAfterUrlGate})")
+    // gate off: everything flows through and no count is reported
+    val (out0, r0) = Curation.curate(custom, noEval,
+      repetitionTopBigramMilli = 1000)
+    assert(out0.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L, 4L))
+    assert(r0.nAfterUrlGate == -1L)
+  }
 }
