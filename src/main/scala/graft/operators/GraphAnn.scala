@@ -105,7 +105,12 @@ object GraphAnn {
     * its `m` best-found neighbors BIDIRECTIONALLY, and any overflowing
     * neighbor list prunes back to its `m` best (sim DESC, id ASC) — the
     * standard NSW construction, deterministic throughout. One bounded
-    * collect of (id, vec); O(n · efConstruction · M · dim) driver work. */
+    * collect of (id, vec); O(n · efConstruction · M · dim) driver work
+    * — measured ~0.4 s at 2000×64-d (default knobs), which
+    * extrapolates to tens of minutes single-threaded at the 2^20
+    * ceiling: budget the bootstrap accordingly (it is a ONE-time cost;
+    * [[graft.streaming.StreamGraphIndex]] amortizes growth as per-batch
+    * incremental inserts, and serving cost is independent of build). */
   def buildGraph(df: DataFrame, idCol: String, vecCol: String,
                  m: Int = 16, efConstruction: Int = 64,
                  maxVectors: Int = MaxGraphVectors): Graph = {

@@ -12,6 +12,9 @@ import graft.store.Snapshots
   * cross-batch memory each stage needs living in the same crash-safe
   * stores the streaming dedup tier already uses:
   *
+  *   0b. URL gate  — OPTIONAL blocklist + link-density rejection
+  *                   ([[graft.operators.Urls]], stateless map-only —
+  *                   the batch funnel's first drop stage, unchanged)
   *   1. quality    — the Gopher repetition predicate (stateless, the
   *                   oracle-pinned q59 expression, unchanged)
   *   1b. redact    — OPTIONAL PII redaction ([[graft.operators.Redact
@@ -94,9 +97,13 @@ object StreamCuration {
               compactEvery: Int = 16,
               vecCol: Option[String] = None,
               embedMinCos: Double = 0.9,
-              piiRedact: Boolean = false): (DataFrame, Long) => DataFrame = {
+              piiRedact: Boolean = false,
+              urlBlocklist: Seq[String] = Seq.empty,
+              maxLinkDensityMilli: Option[Int] = None)
+      : (DataFrame, Long) => DataFrame = {
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.WidePolyHash.ensureRegistered(spark)
+    graft.functions.TokenStats.ensureRegistered(spark)
     val exactClaims = new Snapshots(spark, s"$stateDir/exact", claimsSchema)
     exactClaims.init()
     val nearDup = new IncrementalDedup(spark, s"$stateDir/neardup",
@@ -115,10 +122,24 @@ object StreamCuration {
     (batch: DataFrame, _: Long) => {
       if (batch.isEmpty) batch.limit(0)
       else {
-        // 1. quality (stateless): null-text drop + repetition predicate
+        // 0b. optional URL gate (stateless, the batch funnel's stage 0b:
+        // blocklist + link-density, map-only in-scan predicates)
+        val nonNull = batch.filter(col(textCol).isNotNull)
+        val urlGated = {
+          val afterBlock =
+            if (urlBlocklist.nonEmpty)
+              graft.operators.Urls.dropBlockedDomains(nonNull, idCol,
+                textCol, urlBlocklist)
+            else nonNull
+          maxLinkDensityMilli match {
+            case Some(mx) => afterBlock.filter(
+              graft.operators.Urls.linkDensityMilli(textCol) <= mx)
+            case None => afterBlock
+          }
+        }
+        // 1. quality (stateless): repetition predicate
         val rs = graft.functions.RepetitionStats(col(textCol))
-        val quality = batch
-          .filter(col(textCol).isNotNull)
+        val quality = urlGated
           .withColumn("_rs", rs)
           .filter(!graft.functions.RepetitionStats.repetitiveFlag(
             col("_rs.n_bigrams"), col("_rs.top_bigram_n"),

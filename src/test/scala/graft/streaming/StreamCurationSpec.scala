@@ -170,4 +170,21 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(out2.isEmpty,
       s"cross-batch redacted twin survived the claim store: $out2")
   }
+
+  test("URL gate: blocklisted and link-farm docs drop per micro-batch " +
+    "exactly like the batch funnel's stage 0b") {
+    val stateDir = Files.createTempDirectory("graft-scur-url").toString
+    val curate = StreamCuration.curator(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), stateDir,
+      repetitionTopBigramMilli = 1000,
+      urlBlocklist = Seq("spam.net"), maxLinkDensityMilli = Some(500))
+    val b1 = Seq(
+      (1L, "clean document with plain words one two three four", "s0"),
+      (2L, "see http://fine.example.com/page for useful details here", "s0"),
+      (3L, "spam here http://track.SPAM.net/x buy now cheap stuff", "s0"),
+      (4L, "http://a.io/1 http://a.io/2 http://a.io/3 http://a.io/4 x", "s0")
+    ).toDF("doc_id", "text", "source")
+    val out = curate(b1, 0L).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L), s"URL gate kept wrong docs: $out")
+  }
 }
