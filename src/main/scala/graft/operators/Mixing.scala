@@ -269,6 +269,48 @@ object Mixing {
         col("n_kept"))
   }
 
+  /** Deterministic EPOCH SHUFFLE — the training-data ORDERING step: a
+    * dataloader wants each epoch to visit documents in a different
+    * pseudo-random order, reproducibly (job restarts resume mid-epoch
+    * at a (shard, pos) address) and without coordination (any worker
+    * can recompute any document's position). The shuffle key is the
+    * Knuth-mixed content hash of `seed ++ ":" ++ id` (the [[ppmHash]]
+    * lesson applies with full force here: the raw polyhash of
+    * same-length id strings is nearly MONOTONE in the id and spans a
+    * tiny window, which would make the "shuffle" the identity order in
+    * one shard; `h · K mod P` is a bijection that scatters it across
+    * the full range, pure integer arithmetic, oracle-replayable) —
+    * change `seed` per epoch for a fresh permutation, keep it for
+    * bit-identical replay — documents land in `nShards` shards by key
+    * range-arithmetic (shard = key · nShards div 2³¹: contiguous key
+    * ranges, so shard files are key-sorted slices of ONE global
+    * permutation, not nShards unrelated ones), and `pos` is the rank
+    * within the shard by (key, id).
+    *
+    * This is the library's one DELIBERATELY-shuffling operator: its
+    * output IS a global reordering, so the per-shard window exchange is
+    * the operator's essential cost, not overhead — one hash-partitioned
+    * window over (shard, key, id) triples; text/payload columns ride
+    * exactly one exchange. NOT append-stable by design (inserting a
+    * document shifts positions after it — an epoch order is a frozen
+    * artifact; re-derive it per corpus release, like a pack index).
+    * Output: every input column plus (shard, pos). */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val key = (strHash(concat(lit(seed.toString), lit(":"),
+      col(idCol).cast("string"))) * lit(MixK)) %
+      lit(graft.functions.TextAnalysis.P)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shard")
+      .orderBy(col("_ek").asc, col(idCol).asc)
+    docs.withColumn("_ek", key)
+      .withColumn("shard", call_function("div",
+        col("_ek") * nShards, lit(graft.functions.TextAnalysis.P.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_ek")
+  }
+
   /** DSIR-style IMPORTANCE WEIGHTS (Xie et al.'s data-selection-with-
     * importance-resampling shape on hashed features): score every raw
     * document by how target-like its hashed-unigram profile is —

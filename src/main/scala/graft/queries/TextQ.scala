@@ -1639,8 +1639,30 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q100: deterministic EPOCH SHUFFLE ([[graft.operators.Mixing
+    * .epochShuffle]]) — the dataloader-ordering artifact: content-hash
+    * key over `seed:id`, contiguous-key-range shards (one GLOBAL
+    * permutation sliced into files), per-shard rank. The oracle replays
+    * the hash, the integer shard arithmetic, and the window rank. */
+  val q100 = Q(
+    "q100_epoch_shuffle",
+    s"""WITH k AS (SELECT doc_id,
+       |                 (${sqlHash("'7:' || CAST(doc_id AS VARCHAR)")}
+       |                  * 2654435761) % 2147483647 AS ek
+       |           FROM documents),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard FROM k)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       |       CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY shard ORDER BY ek, doc_id) AS BIGINT) AS pos
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Mixing.epochShuffle(Tables.documents(s, dir).select(col("doc_id")),
+      "doc_id", seed = 7L, nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99)
+    q96, q98, q99, q100)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{Tables, TestSpark}
@@ -270,6 +270,44 @@ class MixingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Mixing.dsirWeights(raw, "doc_id", "text",
         raw.filter(col("doc_id") < 0), "text")
+    }
+  }
+
+  test("epochShuffle: reproducible per seed, fresh permutation per seed, " +
+    "shards are contiguous key-range slices of ONE global permutation, " +
+    "positions dense per shard") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id")
+    def run(seed: Long) = Mixing.epochShuffle(docs, "doc_id", seed, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val e1 = run(7L)
+    assert(run(7L) == e1, "same seed must reproduce the epoch order")
+    val e2 = run(8L)
+    assert(e1 != e2, "a new seed must produce a fresh permutation")
+    assert(e1.keySet == e2.keySet, "no document may be lost or invented")
+    // positions dense 1..n_i within every shard
+    e1.values.groupBy(_._1).foreach { case (sh, rows) =>
+      val ps = rows.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.length).toSeq, s"shard $sh positions not dense")
+    }
+    // global-permutation property: shards are CONTIGUOUS key ranges —
+    // every key in shard i sorts before every key in shard i+1
+    import graft.functions.TextAnalysis.strHash
+    val keys = docs
+      .select(col("doc_id"),
+        ((strHash(concat(lit("7"), lit(":"), col("doc_id").cast("string")))
+          * lit(2654435761L)) % lit(graft.functions.TextAnalysis.P))
+          .as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byShard = e1.toSeq.groupBy(_._2._1).view
+      .mapValues(_.map { case (id, _) => keys(id) }).toMap
+    val shards = byShard.keys.toSeq.sorted
+    shards.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(byShard(a).max < byShard(b).min,
+          s"shards $a and $b overlap in key space — not one global permutation")
+      case _ =>
     }
   }
 }
