@@ -286,7 +286,10 @@ object GraphAnn {
     * (`ann_recall` graph_ef64 ≈ 0.98) times the over-fetch slack —
     * GraphAnnSpec measures it against the exact miner on the fixture.
     * Output: (qid, rank, idCol, cos_r) — [[Similarity.hardNegatives]]'s
-    * schema, so the two tiers swap freely. */
+    * schema, so the two tiers swap freely. A query whose beam holds
+    * fewer than `k` wrong-label survivors returns fewer rows — widen
+    * `ef` (the over-fetch) when same-label mass dominates the
+    * neighborhoods. */
   def hardNegativesGraph(corpus: DataFrame, queries: DataFrame,
                          idCol: String, vecCol: String, labelCol: String,
                          k: Int, g: Graph, ef: Int): DataFrame = {
@@ -325,10 +328,33 @@ object GraphAnn {
                          idCol: String, vecCol: String, cents: DataFrame,
                          k: Int, nprobe: Int = 2, m: Int = 16,
                          efConstruction: Int = 64, ef: Int = 64): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1")
     val cg = buildGraph(
       cents.select(col("cent_id").as(idCol), col("cent_vec").as(vecCol)),
       idCol, vecCol, m, efConstruction)
+    ivfGraphProbeBatchWith(corpus, queries, idCol, vecCol, cents, cg, k,
+      nprobe, ef)
+  }
+
+  /** [[ivfGraphProbeBatch]] with a PREBUILT centroid graph — the serving
+    * shape: the centroid graph is a standing artifact (build once, or
+    * maintain it with [[graft.streaming.StreamGraphIndex]] as the
+    * centroid book evolves), so repeated query batches pay only the
+    * probe walk, never a rebuild. */
+  def ivfGraphProbeBatchWith(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String,
+                             cents: DataFrame, cg: Graph, k: Int,
+                             nprobe: Int = 2, ef: Int = 64): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    // a STALE graph would rank cells the assignment no longer produces
+    // and silently drop every row at the cell join — fail loud instead
+    // (the centroid table is driver-bounded by contract, so the id
+    // check is one bounded collect)
+    val centIds = cents.select(col("cent_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val orphan = cg.ids.find(!centIds.contains(_))
+    require(orphan.isEmpty,
+      s"centroid graph is stale: graph node ${orphan.get} is not a " +
+        "cent_id of the given centroid table — rebuild the graph")
     // rank cells by walking the centroid graph; self-exclusion OFF:
     // cent_ids and query ids are different id spaces, and a query row
     // IS allowed to probe the cell of the centroid sharing its raw id

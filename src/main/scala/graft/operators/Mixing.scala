@@ -361,9 +361,12 @@ object Mixing {
     val ratio = Array.tabulate(buckets)(b =>
       (tgtPpm(b) + 1).toDouble / (rawPpm(b) + 1).toDouble)
     val ratioLit = typedlit(ratio.toIndexedSeq)
+    // NULL text folds like the empty doc (weight 1, zero features) —
+    // coalesced so three-valued logic cannot emit NULL weights
     val feats = slice(
       array_sort(array_distinct(transform(
-        filter(graft.functions.TextAnalysis.tokens(col(textCol)),
+        filter(coalesce(graft.functions.TextAnalysis.tokens(col(textCol)),
+          array().cast("array<string>")),
           w => w =!= ""),
         w => strHash(w) % buckets))),
       1, maxFeatures)

@@ -82,7 +82,10 @@ object Urls {
     * no explode-shuffle (aggregation is per-row over the extracted
     * array). */
   def linkStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val urls = expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")
+    // NULL text = no links (coalesce, not null-propagation): a stats row
+    // per input row, zeros for the unscannable
+    val urls = coalesce(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)"),
+      array().cast("array<string>"))
     graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
     docs.select(col(idCol),
       size(urls).cast("long").as("n_urls"),
@@ -98,9 +101,10 @@ object Urls {
     * stats join ([[graft.pipeline.Curation]]'s URL gate). Caller must
     * have [[graft.functions.TokenStats]] registered. */
   def linkDensityMilli(textCol: String): Column = {
-    val urls = expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")
-    val nTok = graft.functions.TokenStats(col(textCol))
-      .getField("n_tokens").cast("long")
+    val urls = coalesce(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)"),
+      array().cast("array<string>"))
+    val nTok = coalesce(graft.functions.TokenStats(col(textCol))
+      .getField("n_tokens").cast("long"), lit(0L))
     when(nTok === 0, lit(0L))
       .otherwise(call_function("div", size(urls).cast("long") * 1000, nTok))
   }
@@ -118,12 +122,15 @@ object Urls {
     * domain. The blocklist is a broadcast-scale set evaluated IN-SCAN
     * (`exists` over the extracted array against an array literal) — no
     * join, no shuffle; the decision is per-row like the quality
-    * filters. */
+    * filters. NULL-text rows SURVIVE (nothing to block — coalesced, so
+    * three-valued logic cannot silently drop them; the null-drop
+    * decision belongs to the quality stage, not a link filter). */
   def dropBlockedDomains(docs: DataFrame, idCol: String, textCol: String,
                          blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist: nothing to do — " +
       "call sites should skip the stage instead of no-op filtering")
-    val urls = expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")
+    val urls = coalesce(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)"),
+      array().cast("array<string>"))
     val blockedLit = typedlit(blocked.map(_.toLowerCase))
     docs.filter(!exists(transform(urls, registeredDomain _),
       d => array_contains(blockedLit, d)))

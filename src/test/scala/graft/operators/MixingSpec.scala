@@ -247,6 +247,13 @@ class MixingSpec extends AnyFunSuite {
       .toMap
     assert(out.size == 21, "a row was dropped")
     assert(out(100L) == ((0L, 1.0)), "token-free doc must score weight 1")
+    // NULL text folds like the empty doc, never a NULL weight
+    val withNull = raw.union(Seq((101L, Option.empty[String]))
+      .toDF("doc_id", "text"))
+    val nw = Mixing.dsirWeights(withNull, "doc_id", "text", target, "text",
+      buckets = 256).filter(col("doc_id") === 101L).collect()(0)
+    assert(nw.getLong(1) == 0L && nw.getDouble(2) == 1.0,
+      "null-text doc must score (0 features, weight 1)")
     val alphaW = out(0L)._2
     val zetaW = out(1L)._2
     assert(alphaW > 1.0, s"target-vocabulary doc should up-weight ($alphaW)")

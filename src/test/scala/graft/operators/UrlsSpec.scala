@@ -85,6 +85,18 @@ class UrlsSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL text: blocklist keeps the row (nothing to block), stats read " +
+    "all-zero — three-valued logic never silently drops or nulls") {
+    val d = Seq((1L, Some("x http://spam.net/a")), (2L, None))
+      .toDF("doc_id", "text")
+    val kept = Urls.dropBlockedDomains(d, "doc_id", "text", Seq("spam.net"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"null-text row must survive the blocklist: $kept")
+    val stats = Urls.linkStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    assert(stats(2L) == ((0L, 0L)), "null text must read zero links/density")
+  }
+
   test("plans stay in-scan: linkStats and dropBlockedDomains take zero " +
     "shuffles; domainStats shuffles only (id, domain) pairs") {
     val d = Seq((1L, "x http://a.example.com/1")).toDF("doc_id", "text")
