@@ -218,12 +218,18 @@ object Bench {
       val rec = graft.operators.AnnRecall.audit(
         emb, "vec_id", "embedding", qids, k = 10, includeTrained = true)
       spark.catalog.clearCache()
-      rec.map(r => f""""${r.path}":${r.recall}%.4f""").mkString(
+      val recall = rec.map(r => f""""${r.path}":${r.recall}%.4f""").mkString(
         s"""{"queries":${qids.size},"k":10,""", ",", "}")
+      // the scan-cost axis beside recall: mean rows scored by each
+      // path's final ranking stage per query (see AnnRecall.PathRecall)
+      val cost = rec.map(r => f""""${r.path}":${r.candPerQuery}%.1f""")
+        .mkString("{", ",", "}")
+      (recall, cost)
     } catch {
-      case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+      case e: Throwable =>
+        (s"""{"error":"${e.getClass.getSimpleName}"}""", "{}")
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":$annRecall,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
     println(line)
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")

@@ -36,9 +36,17 @@ object AnnRecall {
 
   /** One path's aggregate over the query sample. `possible` is the truth
     * set's size (k per query when the corpus has at least k neighbors);
-    * `recall` = hits / possible. */
+    * `recall` = hits / possible. `candPerQuery` is the SCAN-COST axis —
+    * mean rows scored by the path's final ranking stage per query
+    * (exact cosines for the probed/graph tiers, ADC m-lookup rows for
+    * pq_adc, exact rerank rows for the rerank stage-2) — measured by
+    * running the path's OWN plan unbounded and counting, never derived
+    * from the probe-set arithmetic it is supposed to check; the graph
+    * path counts beam-visited nodes. Recall without this number is half
+    * a tuning decision. */
   case class PathRecall(path: String, queries: Int, k: Int,
-                        hits: Long, possible: Long, recall: Double)
+                        hits: Long, possible: Long, recall: Double,
+                        candPerQuery: Double)
 
   /** Audits the approximate paths at `k` over `queryIds`. Knob defaults
     * mirror the oracle queries' (q32/q40/q71/q84) so the audited
@@ -68,8 +76,14 @@ object AnnRecall {
         .collect()
         .groupBy(_.getLong(0))
         .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
-    // one plan per path: collect its (qid, id) top-k for ALL queries
-    def measure(path: String, res: DataFrame): PathRecall = {
+    val nQ = queryIds.size
+    // one plan per path for the TOP-K, one unbounded run of the SAME
+    // plan for the scan-cost count (k = corpus size keeps every
+    // candidate through the rank — the count IS the rows the path
+    // scored, by construction, not a re-derivation of its probe math)
+    val nAll = corpus.count().toInt
+    def measure(path: String, res: DataFrame,
+                candTotal: => Long): PathRecall = {
       val got: Map[Long, Set[Long]] = res
         .select(col("qid").cast("long"), col(idCol).cast("long"))
         .collect()
@@ -82,31 +96,47 @@ object AnnRecall {
         possible += t.size
         hits += got.getOrElse(qid, Set.empty).intersect(t).size
       }
-      PathRecall(path, queryIds.size, k, hits, possible,
-        if (possible == 0) 0d else hits.toDouble / possible)
+      PathRecall(path, nQ, k, hits, possible,
+        if (possible == 0) 0d else hits.toDouble / possible,
+        candTotal.toDouble / nQ)
     }
     val (pk, psub, pflat) = Quantize.pqCodebook(corpus, idCol, vecCol,
       pqM, pqEvery)
+    val graph = GraphAnn.buildGraph(corpus, idCol, vecCol, m = 16,
+      efConstruction = 64)
+    // graph cost: beam-visited nodes, measured per query driver-side
+    // (the walk is driver-replayable; one cosine per visited node)
+    lazy val graphCost: Long = {
+      val qRows = queries
+        .select(col(idCol).cast("long"), Similarity.vecD(col(vecCol)))
+        .collect()
+      qRows.map { r =>
+        GraphAnn.searchGraphWithCost(graph, r.getSeq[Double](1), k,
+          ef = 64)._2
+      }.sum
+    }
+    def mp(kk: Int, r: Int) = Similarity.annTopKMultiProbeBatch(
+      corpus, queries, idCol, vecCol, kk, radius = r)
+    def ivf(kk: Int) = Similarity.ivfTopKBatch(
+      corpus, queries, idCol, vecCol, kk, centroidEvery, nprobe)
+    def twoLevel(kk: Int) = Similarity.ivfTopKTwoLevelBatch(
+      corpus, queries, idCol, vecCol, kk, every1, every2, nprobe1, nprobe2)
+    def adc(kk: Int) = Quantize.pqAdcTopKBatchWith(
+      corpus, queries, idCol, vecCol, kk, pqM, pk, psub, pflat)
+    def rerank(kk: Int) = Quantize.pqAdcRerankTopKBatchWith(
+      corpus, queries, idCol, vecCol, kk, cand = pqCand, m = pqM, k = pk,
+      subDim = psub, flat = pflat)
     val strideTier = Seq(
-      measure("lsh", Similarity.annTopKMultiProbeBatch(
-        corpus, queries, idCol, vecCol, k, radius = 0)),
-      measure("lsh_mp1", Similarity.annTopKMultiProbeBatch(
-        corpus, queries, idCol, vecCol, k, radius = 1)),
-      measure("lsh_mp2", Similarity.annTopKMultiProbeBatch(
-        corpus, queries, idCol, vecCol, k, radius = 2)),
-      measure("ivf", Similarity.ivfTopKBatch(
-        corpus, queries, idCol, vecCol, k, centroidEvery, nprobe)),
-      measure("two_level", Similarity.ivfTopKTwoLevelBatch(
-        corpus, queries, idCol, vecCol, k, every1, every2, nprobe1, nprobe2)),
+      measure("lsh", mp(k, 0), mp(nAll, 0).count()),
+      measure("lsh_mp1", mp(k, 1), mp(nAll, 1).count()),
+      measure("lsh_mp2", mp(k, 2), mp(nAll, 2).count()),
+      measure("ivf", ivf(k), ivf(nAll).count()),
+      measure("two_level", twoLevel(k), twoLevel(nAll).count()),
       measure("graph_ef64", GraphAnn.graphTopKBatch(
-        queries, idCol, vecCol,
-        GraphAnn.buildGraph(corpus, idCol, vecCol, m = 16,
-          efConstruction = 64), k, ef = 64)),
-      measure("pq_adc", Quantize.pqAdcTopKBatchWith(
-        corpus, queries, idCol, vecCol, k, pqM, pk, psub, pflat)),
-      measure("pq_adc_rerank", Quantize.pqAdcRerankTopKBatchWith(
-        corpus, queries, idCol, vecCol, k, cand = pqCand, m = pqM, k = pk,
-        subDim = psub, flat = pflat)))
+        queries, idCol, vecCol, graph, k, ef = 64), graphCost),
+      measure("pq_adc", adc(k), adc(nAll).count()),
+      // stage-2 rows == cand by construction; count the plan anyway
+      measure("pq_adc_rerank", rerank(k), rerank(pqCand).count()))
     if (!includeTrained) strideTier
     else {
       // trained twins at the SAME codebook sizes as the stride tiers
@@ -121,16 +151,18 @@ object AnnRecall {
       val dcents = Quantize.kmeansTrain(corpus, idCol, vecCol,
         every = centroidEvery, iters = 10, init = Some(cents))
         .localCheckpoint(true)
+      def ivfW(kk: Int, cb: DataFrame) = Similarity.ivfTopKCentsBatch(
+        corpus, queries, idCol, vecCol, cb, kk, nprobe)
+      def adcT(kk: Int) = Quantize.pqAdcTopKBatchWith(
+        corpus, queries, idCol, vecCol, kk, pqM, tk, tsub, tflat)
+      def rerankT(kk: Int) = Quantize.pqAdcRerankTopKBatchWith(
+        corpus, queries, idCol, vecCol, kk, cand = pqCand, m = pqM, k = tk,
+        subDim = tsub, flat = tflat)
       strideTier ++ Seq(
-        measure("ivf_trained", Similarity.ivfTopKCentsBatch(
-          corpus, queries, idCol, vecCol, cents, k, nprobe)),
-        measure("ivf_dtrained", Similarity.ivfTopKCentsBatch(
-          corpus, queries, idCol, vecCol, dcents, k, nprobe)),
-        measure("pq_adc_trained", Quantize.pqAdcTopKBatchWith(
-          corpus, queries, idCol, vecCol, k, pqM, tk, tsub, tflat)),
-        measure("pq_adc_trained_rerank", Quantize.pqAdcRerankTopKBatchWith(
-          corpus, queries, idCol, vecCol, k, cand = pqCand, m = pqM, k = tk,
-          subDim = tsub, flat = tflat)))
+        measure("ivf_trained", ivfW(k, cents), ivfW(nAll, cents).count()),
+        measure("ivf_dtrained", ivfW(k, dcents), ivfW(nAll, dcents).count()),
+        measure("pq_adc_trained", adcT(k), adcT(nAll).count()),
+        measure("pq_adc_trained_rerank", rerankT(k), rerankT(pqCand).count()))
     }
   }
 }

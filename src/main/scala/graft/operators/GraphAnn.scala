@@ -97,7 +97,25 @@ object GraphAnn {
       }
     }
     val drained: Seq[(Double, Long, Int)] = results.dequeueAll
+    lastBeamVisited.set(visited.size())
     drained.reverse.map { case (s, _, i) => (i, s) }.toArray
+  }
+
+  /** Distance evaluations of the MOST RECENT [[beam]] call on this
+    * thread (== visited nodes: one cosine per visit) — the walk's
+    * measured cost, read by the [[AnnRecall]] scan-cost audit right
+    * after a driver-side search. Thread-local so concurrent executor
+    * walks cannot race it. */
+  private val lastBeamVisited = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** One driver-side search's cost: (top-k ids, distance evaluations).
+    * Same beam as [[searchGraph]], cost attached. */
+  def searchGraphWithCost(g: Graph, queryVec: Seq[Double], k: Int,
+                          ef: Int): (Seq[(Long, Double)], Long) = {
+    val res = searchGraph(g, queryVec, k, ef)
+    (res, lastBeamVisited.get().toLong)
   }
 
   /** Build the NSW graph: nodes insert in ascending id order; each new

@@ -15,11 +15,28 @@ class AnnRecallSpec extends AnyFunSuite {
   private def emb = Tables.embeddings(spark, dir)
   private val qids = Seq(100L, 200L, 300L, 400L)
 
-  test("audit shape: eight paths, full truth sets, recall in [0,1]") {
+  test("audit shape: eight paths, full truth sets, recall in [0,1], " +
+    "scan costs measured and controlled") {
     val rec = AnnRecall.audit(emb, "vec_id", "embedding", qids, k = 10)
     assert(rec.map(_.path) ==
       Seq("lsh", "lsh_mp1", "lsh_mp2", "ivf", "two_level", "graph_ef64",
         "pq_adc", "pq_adc_rerank"))
+    val cost = rec.map(r => r.path -> r.candPerQuery).toMap
+    info(cost.toString)
+    val n = 500.0 // fixture corpus
+    // cost CONTROLS — the numbers that prove the metric counts what it
+    // claims: plain ADC scores every other row; rerank's stage 2 scores
+    // exactly cand rows; probes scan strict subsets that widen with the
+    // probe set; the beam visits at most the corpus
+    assert(cost("pq_adc") == n - 1, s"ADC must score n-1 rows: $cost")
+    assert(cost("pq_adc_rerank") == 200.0,
+      s"rerank stage-2 must score exactly cand rows: $cost")
+    assert(cost("lsh") <= cost("lsh_mp1") && cost("lsh_mp1") <= cost("lsh_mp2"),
+      s"probe widening must not shrink the scan: $cost")
+    assert(cost("lsh_mp2") < n - 1 && cost("ivf") < n - 1,
+      s"probed tiers must scan a strict subset: $cost")
+    assert(cost("graph_ef64") >= 10 && cost("graph_ef64") <= n,
+      s"beam visit count out of range: $cost")
     rec.foreach { r =>
       assert(r.queries == 4 && r.k == 10)
       assert(r.possible == 40, s"${r.path}: truth sets incomplete (${r.possible})")
