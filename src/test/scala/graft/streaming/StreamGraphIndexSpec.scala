@@ -72,6 +72,36 @@ class StreamGraphIndexSpec extends AnyFunSuite {
     assert(recall >= 0.85, f"streamed graph recall collapsed: $recall%.3f")
   }
 
+  test("ADVERSARIAL arrival order: bootstrap on the HIGH-id half, stream " +
+    "the low half — recall still holds (graph structure depends on " +
+    "arrival order, quality must not)") {
+    val dir = Files.createTempDirectory("graft-gidx-adv").toString
+    StreamGraphIndex.bootstrap(spark, dir,
+      emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
+    val maintain = StreamGraphIndex.maintainer(spark, dir,
+      "vec_id", "embedding")
+    // stream the low half in two reverse-ordered slices
+    maintain(emb.filter(col("vec_id") >= 125 && col("vec_id") < 250), 1L)
+    maintain(emb.filter(col("vec_id") < 125), 2L)
+    val g = StreamGraphIndex.loadLatest(spark, dir)
+    assert(g.ids.toSet == emb.select("vec_id").as[Long].collect().toSet)
+    val truth = Similarity.knnJoin(emb, queries, "vec_id", "embedding", 10)
+      .select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).map { case (k, r) => k -> r.map(_.getLong(1)).toSet }
+    val got = GraphAnn.graphTopKBatch(queries, "vec_id", "embedding", g,
+      k = 10, ef = 64)
+      .select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).map { case (k, r) => k -> r.map(_.getLong(1)).toSet }
+    val (h, p) = qids.foldLeft((0, 0)) { case ((h, p), k) =>
+      (h + got.getOrElse(k, Set.empty).intersect(truth.getOrElse(k, Set.empty)).size,
+        p + truth.getOrElse(k, Set.empty).size)
+    }
+    val recall = h.toDouble / p
+    info(f"adversarial-order graph recall@10: $recall%.3f ($h/$p)")
+    assert(recall >= 0.85,
+      f"arrival order degraded recall beyond tolerance: $recall%.3f")
+  }
+
   test("replayed batch is a no-op: same adjacency, same marker; empty " +
     "and fully-replayed batches leave the marker untouched") {
     val dir = Files.createTempDirectory("graft-gidx-replay").toString
