@@ -64,6 +64,7 @@ object AnnRecall {
             every1: Int = 50, every2: Int = 37,
             nprobe1: Int = 3, nprobe2: Int = 2,
             pqM: Int = 8, pqEvery: Int = 25, pqCand: Int = 200,
+            trainedNprobe1: Int = 6, trainedNprobe2: Int = 20,
             includeTrained: Boolean = false): Seq[PathRecall] = {
     require(queryIds.nonEmpty, "empty query sample")
     require(k >= 1, "k must be >= 1")
@@ -158,9 +159,26 @@ object AnnRecall {
       def rerankT(kk: Int) = Quantize.pqAdcRerankTopKBatchWith(
         corpus, queries, idCol, vecCol, kk, cand = pqCand, m = pqM, k = tk,
         subDim = tsub, flat = tflat)
+      // trained two-level codebooks (same SIZES as the stride twins) at
+      // their own probe knobs: training makes the composite cells far
+      // FINER, so the stride np collapses the scan (measured 134 → 5.7
+      // rows/query at (3,2)) and a fixed-np comparison is an
+      // apples-to-oranges scan collapse, not a codebook judgment. The
+      // defaults (6, 20) are the measured MATCHED-COST point — ~116
+      // rows/query vs stride two-level's 134 — where recall reads
+      // 0.40 vs stride 0.29 (sf0.1, 64 queries), equal to trained
+      // single-level IVF at 2.3× less scan; `ann_cost` publishes both
+      // axes so the comparison stays honest.
+      val cb2 = Similarity.buildCodebooksTrained(
+        Similarity.withNorm(corpus, vecCol), idCol, every1, every2,
+        Similarity.MaxDriverCentroids)
+      def twoLevelT(kk: Int) = Similarity.ivfTopKTwoLevelBatchWith(
+        corpus, queries, idCol, vecCol, cb2, kk, trainedNprobe1,
+        trainedNprobe2)
       strideTier ++ Seq(
         measure("ivf_trained", ivfW(k, cents), ivfW(nAll, cents).count()),
         measure("ivf_dtrained", ivfW(k, dcents), ivfW(nAll, dcents).count()),
+        measure("two_level_trained", twoLevelT(k), twoLevelT(nAll).count()),
         measure("pq_adc_trained", adcT(k), adcT(nAll).count()),
         measure("pq_adc_trained_rerank", rerankT(k), rerankT(pqCand).count()))
     }

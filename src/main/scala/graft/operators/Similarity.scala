@@ -339,6 +339,65 @@ object Similarity {
     TwoLevelCodebooks(ids1, flat1, norms1, ids2, flat2)
   }
 
+  /** TRAINED two-level codebooks at the SAME sizes as the stride
+    * derivation (so comparisons isolate codebook QUALITY): level 1 is
+    * driver-sample Lloyd's k-means ([[Quantize.lloyd]] — deterministic,
+    * no RNG) with k = the `every1`-stride count; level 2 is Lloyd's
+    * over the SAMPLE'S RESIDUALS against their own trained level-1
+    * cells (cosine argmax with the in-scan expression's strict-
+    * improvement tie rule, replayed driver-side) with k = the
+    * `every2`-stride count — where the stride derivation takes each
+    * sampled residual AS an entry, this trains entries on a
+    * `maxSample`-row residual population. The recall lift is measured
+    * in the `ann_recall` sidecar (`two_level_trained`) at the SAME
+    * `ann_cost` scan economics; the stride codebooks stay the oracle
+    * quantizer (training is data-dependent iteration). */
+  private[operators] def buildCodebooksTrained(
+      base: DataFrame, idCol: String, every1: Int, every2: Int,
+      maxDriver: Int, iters: Int = 10,
+      maxSample: Int = 4096): TwoLevelCodebooks = {
+    graft.functions.NearestCentroid.ensureRegistered(base.sparkSession)
+    graft.functions.NearestResidual.ensureRegistered(base.sparkSession)
+    val k1 = base.filter(col(idCol) % every1 === 0).count().toInt
+    val k2 = base.filter(col(idCol) % every2 === 0).count().toInt
+    require(k1 > 0, s"no row has $idCol % $every1 == 0 — pass a smaller every1")
+    require(k2 > 0, s"no row has $idCol % $every2 == 0 — pass a smaller every2")
+    require(k1 <= maxDriver && k2 <= maxDriver,
+      s"codebook sizes $k1/$k2 exceed $maxDriver — raise the strides")
+    val sRows = base.select(col(idCol), col("vecd"))
+      .orderBy(col(idCol)).head(maxSample)
+    require(sRows.nonEmpty, "two-level training sample is empty")
+    val sample = sRows.map(_.getSeq[Double](1).toArray)
+    val dim = sample(0).length
+    val cents1 = Quantize.lloyd(sample, k1, iters)
+    val kk1 = cents1.length
+    val norms1 = cents1.map(c => math.sqrt(c.map(x => x * x).sum))
+    // residuals against the trained level-1 cells — the same cosine
+    // argmax + strict-improvement-ascending-id rule as the in-scan
+    // NearestCentroid, replayed on the driver
+    val residuals = sample.map { v =>
+      val vn = math.sqrt(v.map(x => x * x).sum)
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < kk1) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += v(i) * cents1(c)(i); i += 1 }
+        val cos = acc / (vn * norms1(c))
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      Array.tabulate(dim)(i => v(i) - cents1(best)(i))
+    }
+    val cents2 = Quantize.lloyd(residuals, k2, iters)
+    TwoLevelCodebooks(
+      (0 until kk1).map(_.toLong),
+      cents1.flatten.toIndexedSeq, norms1.toIndexedSeq,
+      (0 until cents2.length).map(_.toLong),
+      cents2.flatten.toIndexedSeq)
+  }
+
   /** (cell1, cell2) in-scan assignment against pre-collected codebooks. */
   private def assignWith(base: DataFrame, cb: TwoLevelCodebooks): DataFrame =
     base
@@ -868,9 +927,20 @@ object Similarity {
                            idCol: String, vecCol: String, k: Int,
                            every1: Int, every2: Int, nprobe1: Int = 2,
                            nprobe2: Int = 2): DataFrame = {
+    val base = withNorm(corpus, vecCol)
+    ivfTopKTwoLevelBatchWith(corpus, queries, idCol, vecCol,
+      buildCodebooks(base, idCol, every1, every2, MaxDriverCentroids),
+      k, nprobe1, nprobe2)
+  }
+
+  /** [[ivfTopKTwoLevelBatch]] against EXPLICIT codebooks — any quantizer
+    * source: the stride derivation or [[buildCodebooksTrained]]. */
+  private[operators] def ivfTopKTwoLevelBatchWith(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      cb: TwoLevelCodebooks, k: Int, nprobe1: Int,
+      nprobe2: Int): DataFrame = {
     val spark = corpus.sparkSession
     val base = withNorm(corpus, vecCol)
-    val cb = buildCodebooks(base, idCol, every1, every2, MaxDriverCentroids)
     val assigned = assignWith(base, cb)
       .select(col(idCol), col("vecd"), col("norm"), col("cell1"), col("cell2"))
     val dim = cb.dim
