@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis.strHash
@@ -336,21 +336,59 @@ object Mixing {
     * — no join, no shuffle). `maxFeatures` bounds the fold and keeps
     * long documents from saturating double range. Docs with no tokens
     * score weight 1 (nothing to judge them by — the LM-quality
-    * convention). Output: (idCol, n_feat, weight_r). */
+    * convention). `ngram` selects the feature order: 1 = hashed
+    * unigrams (q99's oracle contract), 2/3 = hashed word n-grams — the
+    * DSIR paper's features, which separate corpora whose unigram
+    * PROFILES are identical but whose word ORDER differs (spec-pinned).
+    * Output: (idCol, n_feat, weight_r). */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   target: DataFrame, targetTextCol: String,
-                  buckets: Int = 1024, maxFeatures: Int = 64): DataFrame = {
+                  buckets: Int = 1024, maxFeatures: Int = 64,
+                  ngram: Int = 1): DataFrame = {
+    val ratio = dsirRatio(docs, textCol, target, targetTextCol, buckets,
+      ngram)
+    dsirScoreWith(docs, idCol, textCol, ratio, maxFeatures, ngram)
+  }
+
+  /** Feature strings of a text column: the non-empty tokens (ngram=1)
+    * or their space-joined n-grams — the DSIR paper's hashed n-gram
+    * features; `ngram = 2` separates corpora whose UNIGRAM profiles are
+    * identical but whose word order differs (MixingSpec pins the case).
+    * NULL text yields the empty feature array. */
+  private[operators] def dsirFeatStrings(tcol: Column, ngram: Int): Column = {
+    val toks = filter(
+      coalesce(graft.functions.TextAnalysis.tokens(tcol),
+        array().cast("array<string>")),
+      w => w =!= "")
+    if (ngram == 1) toks
+    else
+      // guard: sequence(1, 0) would generate DESCENDING — short docs
+      // (< ngram tokens) have no n-gram features at all
+      when(size(toks) < ngram, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (ngram - 1)),
+          i => concat_ws(" ",
+            (0 until ngram).map(j => element_at(toks, i + lit(j))): _*)))
+  }
+
+  /** The per-bucket importance-ratio table (target_ppm + 1) / (raw_ppm
+    * + 1) — [[dsirWeights]]' DISTRIBUTION stage, exposed so the books
+    * can be FROZEN and reused ([[graft.streaming.StreamDsir]]): two
+    * bounded bucket aggregations, each output ≤ `buckets` rows. */
+  def dsirRatio(docs: DataFrame, textCol: String, target: DataFrame,
+                targetTextCol: String, buckets: Int = 1024,
+                ngram: Int = 1): IndexedSeq[Double] = {
     require(buckets >= 2, "need at least 2 feature buckets")
-    require(maxFeatures >= 1, "maxFeatures must be >= 1")
+    require(ngram >= 1 && ngram <= 3, "ngram must be in [1, 3]")
     graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
     def ppmOf(df: DataFrame, tcol: String, what: String): Array[Long] = {
       val rows = df
-        .select(explode(graft.functions.TextAnalysis.tokens(col(tcol))).as("w"))
-        .filter(col("w") =!= "")
+        .select(explode(dsirFeatStrings(col(tcol), ngram)).as("w"))
         .select((strHash(col("w")) % buckets).as("b"))
         .groupBy("b").agg(count(lit(1)).as("c"))
         .collect()
-      require(rows.nonEmpty, s"$what corpus has no tokens — nothing to model")
+      require(rows.nonEmpty,
+        s"$what corpus has no $ngram-gram features — nothing to model")
       val counts = new Array[Long](buckets)
       rows.foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
       val total = counts.sum
@@ -358,16 +396,30 @@ object Mixing {
     }
     val rawPpm = ppmOf(docs, textCol, "raw")
     val tgtPpm = ppmOf(target, targetTextCol, "target")
-    val ratio = Array.tabulate(buckets)(b =>
+    IndexedSeq.tabulate(buckets)(b =>
       (tgtPpm(b) + 1).toDouble / (rawPpm(b) + 1).toDouble)
-    val ratioLit = typedlit(ratio.toIndexedSeq)
+  }
+
+  /** [[dsirWeights]]' SCORING stage against an EXPLICIT per-bucket
+    * ratio table — the entry point for FROZEN distribution books
+    * ([[graft.streaming.StreamDsir]]: books derive once from a seed
+    * corpus + reference slice, then every micro-batch scores against
+    * them statelessly). `ratio.length` is the bucket count. In-scan,
+    * zero shuffles; NULL/token-free docs score (0 features, weight 1). */
+  def dsirScoreWith(docs: DataFrame, idCol: String, textCol: String,
+                    ratio: IndexedSeq[Double], maxFeatures: Int = 64,
+                    ngram: Int = 1): DataFrame = {
+    require(ratio.length >= 2, "ratio table needs at least 2 buckets")
+    require(maxFeatures >= 1, "maxFeatures must be >= 1")
+    require(ngram >= 1 && ngram <= 3, "ngram must be in [1, 3]")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val buckets = ratio.length
+    val ratioLit = typedlit(ratio)
     // NULL text folds like the empty doc (weight 1, zero features) —
     // coalesced so three-valued logic cannot emit NULL weights
     val feats = slice(
       array_sort(array_distinct(transform(
-        filter(coalesce(graft.functions.TextAnalysis.tokens(col(textCol)),
-          array().cast("array<string>")),
-          w => w =!= ""),
+        dsirFeatStrings(col(textCol), ngram),
         w => strHash(w) % buckets))),
       1, maxFeatures)
     docs.select(col(idCol), feats.as("_fb"))

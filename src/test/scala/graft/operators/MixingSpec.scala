@@ -280,6 +280,38 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirWeights ngram=2: separates corpora with IDENTICAL unigram " +
+    "profiles by word order, where the unigram scorer is blind") {
+    // both styles use the tokens {a, b, c} with identical unigram
+    // counts, but their adjacency is REVERSED, so the bigram sets are
+    // disjoint ({a b, b c, c a} vs {c b, b a, a c}) — only word order
+    // carries the signal
+    val raw = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, "a b c a b c a b c")
+      else (i, "c b a c b a c b a")
+    }.toDF("doc_id", "text")
+    val target = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    def weights(n: Int) = Mixing.dsirWeights(raw, "doc_id", "text",
+      target, "text", buckets = 256, maxFeatures = 64, ngram = n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uni = weights(1)
+    // unigram scorer: both styles carry {x, y} — weights equal (blind)
+    assert(uni(0L) == uni(1L),
+      s"unigram scorer should not separate order-only styles: $uni")
+    val bi = weights(2)
+    assert(bi(0L) > 1.0 && bi(1L) < bi(0L),
+      s"bigram scorer must separate word-order styles: $bi")
+    assert(bi(0L) > bi(1L) * 10,
+      s"bigram separation too weak: ${bi(0L)} vs ${bi(1L)}")
+    // short docs (< ngram tokens) carry no n-gram features: weight 1
+    val short = raw.union(Seq((50L, "x")).toDF("doc_id", "text"))
+    val sw = Mixing.dsirWeights(short, "doc_id", "text", target, "text",
+      buckets = 256, ngram = 2)
+      .filter(col("doc_id") === 50L).collect()(0)
+    assert(sw.getLong(1) == 0L && sw.getDouble(2) == 1.0,
+      "sub-ngram doc must score (0 features, weight 1)")
+  }
+
   test("epochShuffle: reproducible per seed, fresh permutation per seed, " +
     "shards are contiguous key-range slices of ONE global permutation, " +
     "positions dense per shard") {
