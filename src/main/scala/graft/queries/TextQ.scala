@@ -1526,25 +1526,37 @@ object TextQ {
     * the SHARED escape-free pattern and replay the canonicalization
     * string surgery step for step, so the canonical STRINGS and domains
     * hash-match. */
-  val q98 = Q(
-    "q98_url_canonicalize",
-    s"""WITH corpus AS (
-       |  SELECT doc_id,
-       |         CASE WHEN doc_id % 5 = 0
-       |                THEN text || ' see HTTPS://News.Site'
-       |                     || CAST(doc_id % 20 AS VARCHAR)
-       |                     || '.Example.COM:443/Article/a'
-       |                     || CAST(doc_id AS VARCHAR)
-       |                     || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
-       |                     || '&utm_campaign=x#frag'
-       |              WHEN doc_id % 7 = 0
-       |                THEN text || ' ref http://cdn.mirror'
-       |                     || CAST(doc_id % 10 AS VARCHAR)
-       |                     || '.example.org/asset?id=' || CAST(doc_id AS VARCHAR)
-       |                     || ' also http://Blocked.Spam.example.net/x'
-       |              ELSE text END AS text
-       |  FROM documents),
-       |u AS (SELECT doc_id,
+  /** q98/q101's SHARED planted-URL fixture (the q90 discipline: the
+    * synthetic corpus carries no URLs) — one constant pair per dialect. */
+  private val sqlUrlPlant: String =
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' see HTTPS://News.Site' || " +
+      "CAST(doc_id % 20 AS VARCHAR) || '.Example.COM:443/Article/a' || " +
+      "CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' || " +
+      "CAST(doc_id AS VARCHAR) || '&utm_campaign=x#frag' " +
+      "WHEN doc_id % 7 = 0 THEN text || ' ref http://cdn.mirror' || " +
+      "CAST(doc_id % 10 AS VARCHAR) || '.example.org/asset?id=' || " +
+      "CAST(doc_id AS VARCHAR) || " +
+      "' also http://Blocked.Spam.example.net/x' ELSE text END"
+
+  /** Spark twin of [[sqlUrlPlant]] (byte-identical planted strings). */
+  private def urlPlantCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" see HTTPS://News.Site"),
+        (col("doc_id") % 20).cast("string"), lit(".Example.COM:443/Article/a"),
+        col("doc_id").cast("string"), lit("?utm_source=feed&id="),
+        col("doc_id").cast("string"), lit("&utm_campaign=x#frag")))
+      .when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" ref http://cdn.mirror"),
+          (col("doc_id") % 10).cast("string"), lit(".example.org/asset?id="),
+          col("doc_id").cast("string"),
+          lit(" also http://Blocked.Spam.example.net/x")))
+      .otherwise(col("text"))
+
+  /** The DuckDB replay of [[graft.operators.Urls.canonicalize]] /
+    * `registeredDomain` over a `corpus(doc_id, text)` CTE — ends in a
+    * `canon(doc_id, url_canon, domain)` CTE shared by q98 and q101. */
+  private val sqlUrlCanonCtes: String =
+    s"""u AS (SELECT doc_id,
        |             unnest(regexp_extract_all(text, '${Urls.UrlRe}', 0)) AS url
        |      FROM corpus),
        |c1 AS (SELECT doc_id, split_part(url, '#', 1) AS nofrag FROM u),
@@ -1567,28 +1579,57 @@ object TextQ {
        |c8 AS (SELECT doc_id, scheme, host, path,
        |              array_to_string(list_filter(str_split(q, '&'),
        |                p -> substr(p, 1, 4) <> 'utm_' AND p <> ''), '&') AS cq
-       |       FROM c7)
-       |SELECT doc_id,
+       |       FROM c7),
+       |canon AS (SELECT doc_id,
        |       scheme || '://' || host || path ||
        |         CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS url_canon,
        |       CASE WHEN len(str_split(host, '.')) < 2 THEN host
        |            ELSE str_split(host, '.')[-2] || '.' || str_split(host, '.')[-1]
        |            END AS domain
-       |FROM c8 ORDER BY doc_id, url_canon""".stripMargin) { (s, dir) =>
-    val planted = Tables.documents(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 5 === 0,
-        concat(col("text"), lit(" see HTTPS://News.Site"),
-          (col("doc_id") % 20).cast("string"), lit(".Example.COM:443/Article/a"),
-          col("doc_id").cast("string"), lit("?utm_source=feed&id="),
-          col("doc_id").cast("string"), lit("&utm_campaign=x#frag")))
-        .when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" ref http://cdn.mirror"),
-            (col("doc_id") % 10).cast("string"), lit(".example.org/asset?id="),
-            col("doc_id").cast("string"),
-            lit(" also http://Blocked.Spam.example.net/x")))
-        .otherwise(col("text")).as("text"))
+       |       FROM c8)""".stripMargin
+
+  val q98 = Q(
+    "q98_url_canonicalize",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, $sqlUrlPlant AS text FROM documents),
+       |$sqlUrlCanonCtes
+       |SELECT doc_id, url_canon, domain
+       |FROM canon ORDER BY doc_id, url_canon""".stripMargin) { (s, dir) =>
+    val planted = Tables.documents(s, dir)
+      .select(col("doc_id"), urlPlantCol.as("text"))
     Urls.canonicalUrls(planted, "doc_id", "text")
       .orderBy("doc_id", "url_canon")
+  }
+
+  /** q101: per-document link statistics ([[graft.operators.Urls
+    * .linkStats]]) over q98's planted corpus — URL count, DISTINCT
+    * canonical count (the utm-variant collapse), distinct registered
+    * domains, and exact integer-milli link density (the link-farm
+    * signal). The oracle replays the canonicalization chain, both
+    * DISTINCT rollups, the whitespace token count, and the integer
+    * division. */
+  val q101 = Q(
+    "q101_link_stats",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, $sqlUrlPlant AS text FROM documents),
+       |$sqlUrlCanonCtes,
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       |               CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_canon,
+       |               CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains
+       |        FROM canon GROUP BY doc_id),
+       |tok AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS nt FROM corpus)
+       |SELECT t.doc_id,
+       |       COALESCE(a.n_urls, 0) AS n_urls,
+       |       COALESCE(a.n_canon, 0) AS n_canon,
+       |       COALESCE(a.n_domains, 0) AS n_domains,
+       |       CAST(CASE WHEN t.nt = 0 THEN 0
+       |            ELSE COALESCE(a.n_urls, 0) * 1000 // t.nt END AS BIGINT)
+       |         AS link_density_milli
+       |FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    val planted = Tables.documents(s, dir)
+      .select(col("doc_id"), urlPlantCol.as("text"))
+    Urls.linkStats(planted, "doc_id", "text").orderBy("doc_id")
   }
 
   /** q99: DSIR-style importance weights ([[graft.operators.Mixing
@@ -1664,5 +1705,5 @@ object TextQ {
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99, q100)
+    q96, q98, q99, q100, q101)
 }
