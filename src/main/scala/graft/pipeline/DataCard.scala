@@ -9,10 +9,11 @@ import graft.operators.{Components, Dedup, Redact}
   * composed from the operator library's own audited statistics: scale
   * (documents / tokens / chars), composition (language and source
   * distributions), hygiene (PII incidence, exact-duplicate groups,
-  * near-duplicate clusters, cross-document duplicate-span mass). Every
+  * near-duplicate clusters, cross-document duplicate-span mass, and
+  * link hygiene: URL-bearing docs + corpus link density). Every
   * number is the SAME statistic the corresponding oracle-checked query
   * computes (q20 tokens, q23 langs, q95 PII, q21 exact groups, q41
-  * clusters, q62 span mass), so the card cannot drift from the engine's
+  * clusters, q62 span mass, q101 link stats), so the card cannot drift from the engine's
   * verified semantics — the spec pins each field against its component
   * operator on the fixture.
   *
@@ -30,7 +31,7 @@ object DataCard {
       langDocs: Map[String, Long], sourceDocs: Map[String, Long],
       piiDocs: Long, piiRateMilli: Long,
       exactDupGroups: Long, nearDupClusters: Long, nearDupDocs: Long,
-      dupChunkDocs: Long)
+      dupChunkDocs: Long, urlDocs: Long = 0L, linkDensityMilli: Long = 0L)
 
   /** Build the card. `thresholdMilli` is the near-dup bar (q41's
     * convention); `span`/`minDocs` the duplicate-span knobs (q62's). */
@@ -51,7 +52,18 @@ object DataCard {
       coalesce(sum(graft.functions.TokenStats(col(textCol))
         .getField("n_tokens").cast("long")), lit(0L)).as("n_tokens"),
       coalesce(sum(length(col(textCol)).cast("long")), lit(0L))
-        .as("n_chars")).head()
+        .as("n_chars"),
+      // link hygiene rides the SAME scan (q101's expressions): docs
+      // carrying at least one URL, and the total URL count for the
+      // corpus-level density
+      coalesce(sum((size(coalesce(
+        expr(s"regexp_extract_all($textCol, '${graft.operators.Urls.UrlRe}', 0)"),
+        array().cast("array<string>"))) > 0).cast("long")), lit(0L))
+        .as("url_docs"),
+      coalesce(sum(size(coalesce(
+        expr(s"regexp_extract_all($textCol, '${graft.operators.Urls.UrlRe}', 0)"),
+        array().cast("array<string>"))).cast("long")), lit(0L))
+        .as("n_urls")).head()
     val langDocs = base.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val sourceDocs = base.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
@@ -81,7 +93,11 @@ object DataCard {
         if (scale.getLong(0) == 0) 0L else piiDocs * 1000 / scale.getLong(0),
       exactDupGroups = exactDupGroups,
       nearDupClusters = nearDupClusters, nearDupDocs = nearDupDocs,
-      dupChunkDocs = dupChunkDocs)
+      dupChunkDocs = dupChunkDocs,
+      urlDocs = scale.getLong(3),
+      linkDensityMilli =
+        if (scale.getLong(1) == 0) 0L
+        else scale.getLong(4) * 1000 / scale.getLong(1))
   }
 
   /** Release-over-release card DIFF — the drift section of a dataset
@@ -124,7 +140,9 @@ object DataCard {
       "exact_dup_groups" -> card.exactDupGroups,
       "near_dup_clusters" -> card.nearDupClusters,
       "near_dup_docs" -> card.nearDupDocs,
-      "dup_chunk_docs" -> card.dupChunkDocs) ++
+      "dup_chunk_docs" -> card.dupChunkDocs,
+      "url_docs" -> card.urlDocs,
+      "link_density_milli" -> card.linkDensityMilli) ++
       card.langDocs.toSeq.sortBy(_._1).map { case (k, v) => s"lang_docs.$k" -> v } ++
       card.sourceDocs.toSeq.sortBy(_._1).map { case (k, v) => s"source_docs.$k" -> v }
     rows.toDF("metric", "value")

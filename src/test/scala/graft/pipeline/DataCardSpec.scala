@@ -53,6 +53,33 @@ class DataCardSpec extends AnyFunSuite {
     assert(d.piiRateDeltaMilli == 0L)
   }
 
+  test("link-hygiene fields match Urls.linkStats on a planted corpus; " +
+    "URL-free corpus reads zero") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "plain words only here", "en", "s0"),
+      (2L, "see http://a.example.com/x and http://b.org/y now", "en", "s0"),
+      (3L, "one http://c.net/z link", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val card = DataCard.build(planted, "doc_id", "text", "lang", "source",
+      thresholdMilli = 500)
+    assert(card.urlDocs == 2L, s"urlDocs ${card.urlDocs}")
+    // 3 urls over (4 + 8 + 4) = 16 tokens -> 187 milli
+    val stats = graft.operators.Urls.linkStats(planted, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.sum("n_urls")).head().getLong(0)
+    assert(card.linkDensityMilli == stats * 1000 / card.nTokens,
+      s"density ${card.linkDensityMilli} inconsistent with linkStats")
+    // the real (URL-free) corpus reads zero on both fields
+    val real = DataCard.build(
+      Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", "lang", "source", thresholdMilli = 500)
+    assert(real.urlDocs == 0L && real.linkDensityMilli == 0L)
+    val m = DataCard.toDF(spark, card).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("url_docs") == card.urlDocs &&
+      m("link_density_milli") == card.linkDensityMilli)
+  }
+
   test("card over an EMPTY corpus reads all-zero, no NPE (pii sums included)") {
     val empty = Tables.documents(spark, "/root/testdata/sf0.001")
       .filter(col("doc_id") < 0)
