@@ -111,7 +111,7 @@ object DataCard {
   final case class CardDiff(
       docsDelta: Long, tokensDelta: Long,
       langTvPpm: Long, sourceTvPpm: Long,
-      piiRateDeltaMilli: Long)
+      piiRateDeltaMilli: Long, linkDensityDeltaMilli: Long = 0L)
 
   def diff(a: Card, b: Card): CardDiff = {
     def tvPpm(ma: Map[String, Long], na: Long,
@@ -126,7 +126,8 @@ object DataCard {
       tokensDelta = b.nTokens - a.nTokens,
       langTvPpm = tvPpm(a.langDocs, a.nDocs, b.langDocs, b.nDocs),
       sourceTvPpm = tvPpm(a.sourceDocs, a.nDocs, b.sourceDocs, b.nDocs),
-      piiRateDeltaMilli = b.piiRateMilli - a.piiRateMilli)
+      piiRateDeltaMilli = b.piiRateMilli - a.piiRateMilli,
+      linkDensityDeltaMilli = b.linkDensityMilli - a.linkDensityMilli)
   }
 
   /** The card as a tall (metric, value) frame for sinks/rendering —
