@@ -201,7 +201,10 @@ object GraphAnn {
     * new rows insert in ascending id order AFTER everything already
     * present; rows whose id is already in the graph are SKIPPED
     * (content-addressed idempotence — a replayed batch inserts
-    * nothing). The input graph is never mutated (outer adjacency array
+    * nothing). The driver ceiling applies to DISTINCT NEW ids (the
+    * replayed/duplicate prefix of a mixed batch cannot eat the fetch
+    * window): either every new vector inserts, or the ceiling require
+    * fails loud — never a silently incomplete graph. The input graph is never mutated (outer adjacency array
     * copied; inner arrays are replace-only). Graph structure therefore
     * depends on ARRIVAL order across batches — inherent to incremental
     * NSW and fine for serving: search quality is pinned by measured
@@ -211,11 +214,24 @@ object GraphAnn {
                     m: Int = 16, efConstruction: Int = 64,
                     maxVectors: Int = MaxGraphVectors): Graph = {
     require(m >= 1 && efConstruction >= m, "need efConstruction >= m >= 1")
-    val existing = g.ids.toSet
+    val spark = df.sparkSession
+    import spark.implicits._
+    // already-present ids anti-filter and per-id dedup BEFORE the
+    // driver-side cap: the sentinel fetch must count DISTINCT NEW ids
+    // only, or an oversized mixed batch (replayed low ids + new high
+    // ids, possibly with duplicate rows) inflates the fetch window and
+    // truncates the new tail while the ceiling require still passes —
+    // a silently incomplete serving index. The graph id table is
+    // driver-bounded (≤ maxVectors longs), so the broadcast anti-join
+    // is cheap; within-batch duplicate ids collapse deterministically
+    // (lexicographically-least vector — identical payloads under
+    // content-addressed replay, so normally a no-op choice).
+    val existDf = spark.createDataset(g.ids.toIndexedSeq).toDF("_gid")
     val rows = df
-      .select(col(idCol).cast("long"), Similarity.vecD(col(vecCol)))
-      .orderBy(col(idCol)).head(maxVectors + 1)
-      .filter(r => !existing.contains(r.getLong(0)))
+      .select(col(idCol).cast("long").as("_nid"), Similarity.vecD(col(vecCol)).as("_nvec"))
+      .join(broadcast(existDf), col("_nid") === col("_gid"), "left_anti")
+      .groupBy(col("_nid")).agg(min(col("_nvec")).as("_nvec"))
+      .orderBy(col("_nid")).head(maxVectors + 1)
     if (rows.isEmpty) return g
     val n = g.size + rows.length
     require(n <= maxVectors,
@@ -373,6 +389,16 @@ object GraphAnn {
     require(orphan.isEmpty,
       s"centroid graph is stale: graph node ${orphan.get} is not a " +
         "cent_id of the given centroid table — rebuild the graph")
+    // the converse hole is just as silent: a centroid with NO graph
+    // node can never be ranked, so every corpus row assigned to its
+    // cell becomes unreachable at the cell join — fail loud and tell
+    // the caller to grow the graph
+    val gset = cg.ids.toSet
+    val unserved = centIds.find(!gset.contains(_))
+    require(unserved.isEmpty,
+      s"centroid graph is incomplete: cent_id ${unserved.get} has no " +
+        "graph node, so its cell is unprobeable — insertVectors the new " +
+        "centroids into the graph before probing")
     // rank cells by walking the centroid graph; self-exclusion OFF:
     // cent_ids and query ids are different id spaces, and a query row
     // IS allowed to probe the cell of the centroid sharing its raw id

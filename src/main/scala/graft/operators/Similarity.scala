@@ -862,7 +862,10 @@ object Similarity {
       .withColumn("bucket", hyperplaneBucket(col("vecd")))
     val q = withNorm(queries, vecCol)
       .withColumn("qbucket", hyperplaneBucket(col("vecd")))
-      .select(col(idCol).as("qid"), col("vecd").as("qvec"),
+      // qid casts to long like every sibling batch operator — the batch
+      // family's outputs are advertised interchangeable, so the schema
+      // must agree across paths
+      .select(col(idCol).cast("long").as("qid"), col("vecd").as("qvec"),
         col("norm").as("qnorm"), col("qbucket"))
     // per-query probe set: all 256 buckets filtered to Hamming <= radius
     // of the query's own bucket (tiny interpreted HOF on the query side)

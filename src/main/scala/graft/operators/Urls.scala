@@ -32,10 +32,18 @@ object Urls {
     * the oracle. */
   val UrlRe: String = "[Hh][Tt][Tt][Pp][Ss]?://[^ ]+"
 
+  /** The extracted-URL array via the Column API (NOT `expr` string
+    * interpolation: a column name needing backticks must not break, and
+    * a column-name parameter must never be an SQL injection point);
+    * NULLs coalesce to the empty array so stats rows survive. */
+  private def urlArray(textCol: String): Column =
+    coalesce(regexp_extract_all(col(textCol), lit(UrlRe), lit(0)),
+      array().cast("array<string>"))
+
   /** (idCol, url) — one row per extracted raw URL, array-order stable. */
   def extractUrls(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
-      explode(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)")).as("url"))
+      explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
 
   /** Canonical form of a raw URL column (see the object contract).
     * Pure Column string surgery — every step replays verbatim in the
@@ -84,8 +92,7 @@ object Urls {
   def linkStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // NULL text = no links (coalesce, not null-propagation): a stats row
     // per input row, zeros for the unscannable
-    val urls = coalesce(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)"),
-      array().cast("array<string>"))
+    val urls = urlArray(textCol)
     graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
     docs.select(col(idCol),
       size(urls).cast("long").as("n_urls"),
@@ -101,8 +108,7 @@ object Urls {
     * stats join ([[graft.pipeline.Curation]]'s URL gate). Caller must
     * have [[graft.functions.TokenStats]] registered. */
   def linkDensityMilli(textCol: String): Column = {
-    val urls = coalesce(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)"),
-      array().cast("array<string>"))
+    val urls = urlArray(textCol)
     val nTok = coalesce(graft.functions.TokenStats(col(textCol))
       .getField("n_tokens").cast("long"), lit(0L))
     when(nTok === 0, lit(0L))
@@ -129,8 +135,7 @@ object Urls {
                          blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist: nothing to do — " +
       "call sites should skip the stage instead of no-op filtering")
-    val urls = coalesce(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)"),
-      array().cast("array<string>"))
+    val urls = urlArray(textCol)
     val blockedLit = typedlit(blocked.map(_.toLowerCase))
     docs.filter(!exists(transform(urls, registeredDomain _),
       d => array_contains(blockedLit, d)))

@@ -142,6 +142,53 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(agree >= 0.8, f"graph miner diverged from exact: $agree%.3f")
   }
 
+  test("insertVectors: an oversized mixed batch (duplicated replayed " +
+    "rows + new tail) either inserts COMPLETELY or fails loud — the " +
+    "ceiling counts distinct NEW ids, never the raw fetch window") {
+    def vecs(ids: Seq[Long]) =
+      ids.map(i => (i, Seq(1.0, i.toDouble))).toDF("vec_id", "embedding")
+    val g = GraphAnn.buildGraph(vecs(0L to 5L), "vec_id", "embedding",
+      m = 4, efConstruction = 4, maxVectors = 12)
+    // 18 pre-filter rows (> maxVectors + 1 = 13): replayed ids 0..5
+    // twice each, then new ids 6..11. Pre-fix, the head(13) window held
+    // 12 replayed rows + id 6 only — ids 7..11 truncated, require still
+    // passed, and an incomplete graph committed silently.
+    val mixed = vecs((0L to 5L) ++ (0L to 5L) ++ (6L to 11L))
+    val g2 = GraphAnn.insertVectors(g, mixed, "vec_id", "embedding",
+      m = 4, efConstruction = 4, maxVectors = 12)
+    assert(g2.ids.sorted.toSeq == (0L to 11L),
+      s"incomplete insert: ${g2.ids.sorted.toSeq}")
+    // replay idempotence survives the fix: the same batch inserts nothing
+    val g3 = GraphAnn.insertVectors(g2, mixed, "vec_id", "embedding",
+      m = 4, efConstruction = 4, maxVectors = 12)
+    assert(g3.ids.toSeq == g2.ids.toSeq &&
+      g3.nbrs.map(_.toSeq).toSeq == g2.nbrs.map(_.toSeq).toSeq)
+    // genuinely past the ceiling → loud, never a truncated commit
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.insertVectors(g, vecs((0L to 5L) ++ (6L to 12L)),
+        "vec_id", "embedding", m = 4, efConstruction = 4, maxVectors = 10)
+    }
+    assert(e.getMessage.contains("ceiling"), e.getMessage)
+  }
+
+  test("ivfGraphProbeBatchWith fails loud when a centroid has no graph " +
+    "node (its cell would be silently unprobeable)") {
+    val base = Similarity.withNorm(emb, "embedding")
+    val cents = Similarity.centroidsOf(base, "vec_id", 137)
+      .localCheckpoint(true)
+    // graph over a STRICT SUBSET of the centroids: rows assigned to the
+    // dropped centroid's cell could never be reached through the probe
+    val sub = cents.orderBy("cent_id").limit(2)
+    val cg = GraphAnn.buildGraph(
+      sub.select(col("cent_id").as("vec_id"), col("cent_vec").as("embedding")),
+      "vec_id", "embedding", m = 4, efConstruction = 4)
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.ivfGraphProbeBatchWith(emb, queries, "vec_id", "embedding",
+        cents, cg, k = 10, nprobe = 2, ef = 16)
+    }
+    assert(e.getMessage.contains("unprobeable"), e.getMessage)
+  }
+
   test("index sidecar roundtrip: write + load preserves adjacency and " +
     "search results verbatim") {
     val g = GraphAnn.buildGraph(emb, "vec_id", "embedding", 16, 64)
