@@ -175,10 +175,20 @@ object AnnRecall {
       def twoLevelT(kk: Int) = Similarity.ivfTopKTwoLevelBatchWith(
         corpus, queries, idCol, vecCol, cb2, kk, trainedNprobe1,
         trainedNprobe2)
+      // the ORACLE-GATED two-level derivation (q102's exact-replay
+      // corpus trainer, both books) at the same matched-cost knobs —
+      // the configuration the CORRECTNESS gate hash-checks, measured on
+      // the same two axes as its sample-trained sibling
+      val cb2x = Quantize.twoLevelTrainExact(corpus, idCol, vecCol,
+        every1, every2)
+      def twoLevelX(kk: Int) = Similarity.ivfTopKTwoLevelBatchWith(
+        corpus, queries, idCol, vecCol, cb2x, kk, trainedNprobe1,
+        trainedNprobe2)
       strideTier ++ Seq(
         measure("ivf_trained", ivfW(k, cents), ivfW(nAll, cents).count()),
         measure("ivf_dtrained", ivfW(k, dcents), ivfW(nAll, dcents).count()),
         measure("two_level_trained", twoLevelT(k), twoLevelT(nAll).count()),
+        measure("two_level_dtrained", twoLevelX(k), twoLevelX(nAll).count()),
         measure("pq_adc_trained", adcT(k), adcT(nAll).count()),
         measure("pq_adc_trained_rerank", rerankT(k), rerankT(pqCand).count()))
     }

@@ -380,6 +380,75 @@ object Quantize {
     }.toDF("cent_id", "cent_vec", "cent_norm")
   }
 
+  /** EXACT-REPLAY trained TWO-LEVEL codebooks — [[kmeansTrainExact]]'s
+    * discipline extended to the RESIDUAL book, so the full two-level
+    * quantizer a deployment serves (q71's shape at the trained-quality
+    * point) sits under the DuckDB oracle gate (q102): level 1 is
+    * `iters1` exact-replay Lloyd rounds over the corpus (stride-`every1`
+    * init, id-ordered mean folds); every row then takes its SERVING
+    * cell1 (cosine argmax against the trained book — the in-scan
+    * [[graft.functions.NearestCentroid]], q70/q71-proven) and its
+    * residual `v − c1[cell1]` rides a broadcast join with one zip_with
+    * subtraction — bitwise `CAST(v[i] AS DOUBLE) − cv[i]`, the exact
+    * expression the oracle replays; level 2 is `iters2` exact-replay
+    * rounds over THAT residual table (stride-`every2` init on the
+    * original ids — [[kmeansTrainExact]] reused verbatim, its zero-
+    * centroid L2 argmin being precisely the residual-book assignment).
+    * Intermediate centroids of BOTH books stay in cross-engine bitwise
+    * lockstep for any iteration counts — no rounding firewall anywhere.
+    *
+    * Scale shape: two exact-replay training runs (each one scan + one
+    * ordered-fold exchange per round — the audit tier's documented
+    * price vs [[kmeansTrain]]'s partial-agg means) plus one broadcast
+    * residual join; both books stay driver-bounded. Serve through
+    * [[graft.operators.Similarity.ivfTopKTwoLevelWith]] /
+    * `ivfTopKTwoLevelBatchWith` — [[ivfTopKTwoLevelTrained]] composes
+    * the single-query shape q102 pins. */
+  def twoLevelTrainExact(df: DataFrame, idCol: String, vecCol: String,
+                         every1: Int, every2: Int,
+                         iters1: Int = 2, iters2: Int = 2,
+                         maxCentroids: Int = 65536): Similarity.TwoLevelCodebooks = {
+    graft.functions.NearestCentroid.ensureRegistered(df.sparkSession)
+    val cents1 = kmeansTrainExact(df, idCol, vecCol, every1, iters1,
+      maxCentroids).localCheckpoint(true)
+    val c1 = cents1.orderBy("cent_id").collect()
+    val ids1 = c1.map(_.getLong(0)).toIndexedSeq
+    val flat1 = c1.flatMap(_.getSeq[Double](1)).toIndexedSeq
+    val norms1 = c1.map(_.getDouble(2)).toIndexedSeq
+    val resid = Similarity.withNorm(df, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("vecd"), col("norm"))
+      .withColumn("cell1", graft.functions.NearestCentroid(
+        col("vecd"), col("norm"), ids1, flat1, norms1))
+      .join(broadcast(cents1.select(col("cent_id").as("cell1"),
+        col("cent_vec"))), Seq("cell1"))
+      .select(col("id"),
+        zip_with(col("vecd"), col("cent_vec"), (x, c) => x - c).as("rv"))
+    val c2 = kmeansTrainExact(resid, "id", "rv", every2, iters2,
+      maxCentroids).orderBy("cent_id").collect()
+    Similarity.TwoLevelCodebooks(ids1, flat1, norms1,
+      c2.map(_.getLong(0)).toIndexedSeq,
+      c2.flatMap(_.getSeq[Double](1)).toIndexedSeq)
+  }
+
+  /** q102's operator: the trained two-level quantizer end to end —
+    * [[twoLevelTrainExact]] books, then [[graft.operators.Similarity
+    * .ivfTopKTwoLevel]]'s hierarchical probe + exact rerank against
+    * them. The (nprobe1, nprobe2) defaults are the measured MATCHED-COST
+    * knobs from the `ann_recall`/`ann_cost` sidecar (≈116 rows/query vs
+    * stride two-level's 134 at (3,2), recall 0.40 vs 0.29 at sf0.1/64
+    * queries) — the best probed operating point on the frontier, now
+    * oracle-gated. */
+  def ivfTopKTwoLevelTrained(df: DataFrame, idCol: String, vecCol: String,
+                             queryId: Long, k: Int,
+                             every1: Int, every2: Int,
+                             iters1: Int = 2, iters2: Int = 2,
+                             nprobe1: Int = 6, nprobe2: Int = 20): DataFrame = {
+    val cb = twoLevelTrainExact(df, idCol, vecCol, every1, every2,
+      iters1, iters2)
+    Similarity.ivfTopKTwoLevelWith(df, idCol, vecCol, queryId, k, cb,
+      nprobe1, nprobe2)
+  }
+
   /** TRAINED PQ codebook: per-subspace Lloyd's k-means over a bounded
     * driver sample (ascending-id `TakeOrdered`, ≤ `maxSample` rows) —
     * the quality path next to [[pqCodebook]]'s deterministic stride

@@ -597,9 +597,21 @@ object Similarity {
   def ivfTopKTwoLevel(df: DataFrame, idCol: String, vecCol: String,
                       queryId: Long, k: Int, every1: Int, every2: Int,
                       nprobe1: Int = 2, nprobe2: Int = 2): DataFrame = {
+    val cb = buildCodebooks(withNorm(df, vecCol), idCol, every1, every2,
+      MaxDriverCentroids)
+    ivfTopKTwoLevelWith(df, idCol, vecCol, queryId, k, cb, nprobe1, nprobe2)
+  }
+
+  /** [[ivfTopKTwoLevel]] against EXPLICIT codebooks — any quantizer
+    * derivation (stride, sample-trained, or the exact-replay
+    * [[Quantize.twoLevelTrainExact]] the q102 oracle replays) probes
+    * through the same plan. */
+  private[operators] def ivfTopKTwoLevelWith(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, cb: TwoLevelCodebooks,
+      nprobe1: Int, nprobe2: Int): DataFrame = {
     val spark = df.sparkSession
     val base = withNorm(df, vecCol)
-    val cb = buildCodebooks(base, idCol, every1, every2, MaxDriverCentroids)
     val assigned = assignWith(base, cb)
       .select(col(idCol), col("vecd"), col("norm"), col("cell1"), col("cell2"))
     val qRow = base.filter(col(idCol) === queryId)

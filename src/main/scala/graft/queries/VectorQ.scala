@@ -706,34 +706,43 @@ object VectorQ {
     * (iters is a fixed constant), so no recursive-CTE aggregation is
     * needed and every intermediate centroid stays in cross-engine
     * lockstep UNROUNDED. */
-  private def sqlKmeansIters(every: Int, iters: Int): String = {
+  private def sqlKmeansIters(every: Int, iters: Int): String =
+    sqlKmeansItersOn("embeddings", "embedding", "", every, iters)
+
+  /** The same unrolled exact-replay training over ANY (vec_id, `vcol`)
+    * source CTE, with every derived CTE name prefixed `p` — the
+    * generalization that lets q102 train the RESIDUAL book (source =
+    * the residual table, prefix `r`) with the identical id-ordered
+    * arithmetic. `${p}c$iters` is the trained codebook. */
+  private def sqlKmeansItersOn(src: String, vcol: String, p: String,
+                               every: Int, iters: Int): String = {
     val blocks = (0 until iters).map { i =>
-      s"""d$i AS (SELECT e.vec_id, c.cent_id,
-         |             ${sqlL2("e.embedding", "c.cv")} AS dist
-         |      FROM embeddings e, c$i c),
-         |a$i AS (SELECT vec_id, cell FROM (
+      s"""${p}d$i AS (SELECT e.vec_id, c.cent_id,
+         |             ${sqlL2(s"e.$vcol", "c.cv")} AS dist
+         |      FROM $src e, ${p}c$i c),
+         |${p}a$i AS (SELECT vec_id, cell FROM (
          |        SELECT vec_id, cent_id AS cell, ROW_NUMBER() OVER (
          |          PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
-         |        FROM d$i) WHERE rn = 1),
-         |m$i AS (SELECT cell, pos,
+         |        FROM ${p}d$i) WHERE rn = 1),
+         |${p}m$i AS (SELECT cell, pos,
          |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |               list(x ORDER BY vec_id)), (p, q) -> p + q)
          |               / COUNT(*) AS v
          |      FROM (SELECT a.vec_id, a.cell, t.i AS pos,
-         |                   CAST(e.embedding[t.i] AS DOUBLE) AS x
-         |            FROM a$i a JOIN embeddings e USING (vec_id),
-         |                 UNNEST(range(1, len(e.embedding) + 1)) t(i)) s$i
+         |                   CAST(e.$vcol[t.i] AS DOUBLE) AS x
+         |            FROM ${p}a$i a JOIN $src e USING (vec_id),
+         |                 UNNEST(range(1, len(e.$vcol) + 1)) t(i)) ${p}s$i
          |      GROUP BY cell, pos),
-         |c${i + 1} AS (SELECT g.cent_id,
+         |${p}c${i + 1} AS (SELECT g.cent_id,
          |             list(COALESCE(m.v, g.x0) ORDER BY g.pos) AS cv
          |      FROM (SELECT c.cent_id, t.i AS pos, c.cv[t.i] AS x0
-         |            FROM c$i c, UNNEST(range(1, len(c.cv) + 1)) t(i)) g
-         |      LEFT JOIN m$i m ON m.cell = g.cent_id AND m.pos = g.pos
+         |            FROM ${p}c$i c, UNNEST(range(1, len(c.cv) + 1)) t(i)) g
+         |      LEFT JOIN ${p}m$i m ON m.cell = g.cent_id AND m.pos = g.pos
          |      GROUP BY g.cent_id)""".stripMargin
     }
-    s"""c0 AS (SELECT vec_id AS cent_id,
-       |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-       |      FROM embeddings WHERE vec_id % $every = 0),
+    s"""${p}c0 AS (SELECT vec_id AS cent_id,
+       |             list_transform($vcol, x -> CAST(x AS DOUBLE)) AS cv
+       |      FROM $src WHERE vec_id % $every = 0),
        |${blocks.mkString(",\n")}""".stripMargin
   }
 
@@ -782,6 +791,80 @@ object VectorQ {
       emb, "vec_id", "embedding", every = 50, iters = 3)
     Similarity.ivfTopKCents(emb, "vec_id", "embedding", cents,
       queryId = 0L, k = 10, nprobe = 3)
+  }
+
+  /** DuckDB twin of the residual squared-L2 fold against a TRAINED
+    * (already-DOUBLE) centroid list: ((CAST(v[i]) − cv[i]) − rv[i])²
+    * summed index-ordered — [[graft.functions.NearestResidual]]'s exact
+    * arithmetic when level-1 centroids are trained doubles. */
+  private def sqlResDistT(emb: String, cv: String, rv: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+    s"list_transform(range(1, len($emb) + 1), " +
+    s"i -> ((CAST($emb[i] AS DOUBLE) - $cv[i]) - $rv[i])" +
+    s" * ((CAST($emb[i] AS DOUBLE) - $cv[i]) - $rv[i]))), " +
+    s"(x, y) -> x + y)"
+
+  /** q102: the TRAINED two-level quantizer under the oracle gate —
+    * q97's exact-replay discipline extended to BOTH codebook levels
+    * ([[graft.operators.Quantize.twoLevelTrainExact]]): the oracle
+    * replays two full Lloyd rounds over the corpus for the level-1 book
+    * ([[sqlKmeansItersOn]], unrolled), the serving cosine cell1
+    * assignment, the residual table `v − c1[cell1]`, two MORE Lloyd
+    * rounds over those residuals for the level-2 book, both
+    * assignments, and q71's hierarchical probe + exact rerank — at the
+    * measured matched-cost knobs (nprobe 6/20, the best probed
+    * operating point on the recall-vs-cost frontier). Codebook SIZES
+    * match the q70/q71 stride twins (every 50/37), so the green row
+    * pins codebook QUALITY, not configuration drift. */
+  val q102 = Q(
+    "q102_ann_2level_trained",
+    s"""WITH ${sqlKmeansItersOn("embeddings", "embedding", "k", 50, 2)},
+       |n AS (SELECT vec_id, embedding,
+       |             sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |      FROM embeddings),
+       |tc1 AS (SELECT cent_id, cv, sqrt(${sqlDot("cv", "cv")}) AS cn
+       |        FROM kc2),
+       |s1 AS (SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+       |              ${sqlDot("n.embedding", "c.cv")} / (n.nrm * c.cn) AS cent_cos
+       |       FROM n, tc1 c),
+       |a1 AS (SELECT vec_id, embedding, nrm, cent_id AS cell1 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn
+       |    FROM s1) WHERE rn = 1),
+       |res AS (SELECT a.vec_id,
+       |               list_transform(range(1, len(a.embedding) + 1),
+       |                 i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS rvec
+       |        FROM a1 a JOIN tc1 c ON c.cent_id = a.cell1),
+       |${sqlKmeansItersOn("res", "rvec", "r", 37, 2)},
+       |rb AS (SELECT cent_id AS cent2_id, cv AS rv FROM rc2),
+       |d2 AS (SELECT a.vec_id, a.cell1, rb.cent2_id,
+       |              ${sqlResDistT("a.embedding", "c.cv", "rb.rv")} AS dist
+       |       FROM a1 a JOIN tc1 c ON c.cent_id = a.cell1, rb),
+       |a2 AS (SELECT vec_id, cent2_id AS cell2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY dist ASC, cent2_id) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |asg AS (SELECT a1.vec_id, a1.embedding, a1.nrm, a1.cell1, a2.cell2
+       |        FROM a1 JOIN a2 USING (vec_id)),
+       |q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+       |p1 AS (SELECT cent_id, cv FROM tc1, q
+       |       ORDER BY ${sqlDot("cv", "qv")} / (cn * qn) DESC, cent_id
+       |       LIMIT 6),
+       |pp AS (SELECT cell1, cell2 FROM (
+       |    SELECT p1.cent_id AS cell1, rb.cent2_id AS cell2,
+       |           ROW_NUMBER() OVER (PARTITION BY p1.cent_id ORDER BY
+       |             ${sqlResDistT("q.qv", "p1.cv", "rb.rv")} ASC, rb.cent2_id) AS rn
+       |    FROM p1, rb, q) WHERE rn <= 20)
+       |SELECT vec_id, cell1, cell2,
+       |       ROUND(${sqlDot("asg.embedding", "q.qv")} / (asg.nrm * q.qn), 6) AS cos_r
+       |FROM asg JOIN pp USING (cell1, cell2), q
+       |WHERE vec_id <> 0
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.operators.Quantize.ivfTopKTwoLevelTrained(
+      Tables.embeddings(s, dir), "vec_id", "embedding", queryId = 0L,
+      k = 10, every1 = 50, every2 = 37, iters1 = 2, iters2 = 2,
+      nprobe1 = 6, nprobe2 = 20)
   }
 
   /** q93: embedding-space drift ([[graft.operators.Drift
@@ -846,5 +929,5 @@ object VectorQ {
   }
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84, q85, q86, q87, q88, q93, q94, q97)
+    q70, q71, q83, q84, q85, q86, q87, q88, q93, q94, q97, q102)
 }

@@ -93,6 +93,30 @@ class TwoLevelQuantizerSpec extends AnyFunSuite {
     assert(ann == brute)
   }
 
+  test("exact-replay trained books (q102's trainer): deterministic, and " +
+      "the saturating probe through them equals brute-force top-k") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def train() = Quantize.twoLevelTrainExact(emb, "vec_id", "embedding",
+      every1 = 10, every2 = 7)
+    val cb = train()
+    val cb2 = train()
+    // bitwise-identical books across runs — the property the DuckDB
+    // oracle replay (q102) depends on
+    assert(cb.ids1 == cb2.ids1 && cb.flat1 == cb2.flat1 &&
+      cb.norms1 == cb2.norms1 && cb.ids2 == cb2.ids2 && cb.flat2 == cb2.flat2,
+      "exact-replay trainer diverged across runs")
+    // probing every composite cell degrades ANN to exact — validates the
+    // trained books + With-plumbing end to end against the brute oracle
+    val ann = Similarity.ivfTopKTwoLevelWith(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, cb,
+      nprobe1 = cb.ids1.length, nprobe2 = cb.ids2.length)
+      .select("vec_id", "cos_r").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ann == brute)
+  }
+
   test("two-level index materializes nested cell1/cell2 partitions with " +
       "both codebook sidecars") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
