@@ -65,6 +65,7 @@ object AnnRecall {
             nprobe1: Int = 3, nprobe2: Int = 2,
             pqM: Int = 8, pqEvery: Int = 25, pqCand: Int = 200,
             trainedNprobe1: Int = 6, trainedNprobe2: Int = 20,
+            shardedNprobe: Int = 4, shardedEf: Int = 32,
             includeTrained: Boolean = false): Seq[PathRecall] = {
     require(queryIds.nonEmpty, "empty query sample")
     require(k >= 1, "k must be >= 1")
@@ -127,6 +128,23 @@ object AnnRecall {
     def rerank(kk: Int) = Quantize.pqAdcRerankTopKBatchWith(
       corpus, queries, idCol, vecCol, kk, cand = pqCand, m = pqM, k = pk,
       subDim = psub, flat = pflat)
+    // the sharded graph tier (per-cell NSW over the SAME stride
+    // quantizer as the ivf path, so the nprobe axes compare): its knob
+    // trade is MORE probed cells per scan budget — each walk costs
+    // ~beam visits instead of the whole cell's exact scan
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-shards").toString
+    GraphShards.buildShardedIndex(corpus, idCol, vecCol,
+      Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
+        centroidEvery), shardDir)
+    def sharded(kk: Int) = GraphShards.shardedTopKBatch(
+      queries, idCol, vecCol, shardDir, kk, shardedNprobe, shardedEf)
+    // cost: the measured beam visits of every (query, probed cell) walk
+    lazy val shardedCost: Long = GraphShards.shardedCandidates(
+      queries, idCol, vecCol, shardDir, shardedNprobe, shardedEf,
+      excludeSelf = true)
+      .groupBy("qid", "cell").agg(first("visits").as("v"))
+      .agg(sum("v")).head.getLong(0)
     val strideTier = Seq(
       measure("lsh", mp(k, 0), mp(nAll, 0).count()),
       measure("lsh_mp1", mp(k, 1), mp(nAll, 1).count()),
@@ -135,6 +153,7 @@ object AnnRecall {
       measure("two_level", twoLevel(k), twoLevel(nAll).count()),
       measure("graph_ef64", GraphAnn.graphTopKBatch(
         queries, idCol, vecCol, graph, k, ef = 64), graphCost),
+      measure("graph_sharded", sharded(k), shardedCost),
       measure("pq_adc", adc(k), adc(nAll).count()),
       // stage-2 rows == cand by construction; count the plan anyway
       measure("pq_adc_rerank", rerank(k), rerank(pqCand).count()))

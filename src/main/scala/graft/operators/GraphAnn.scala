@@ -110,6 +110,11 @@ object GraphAnn {
     override def initialValue(): Integer = 0
   }
 
+  /** The most recent [[beam]]'s visit count on this thread — the
+    * executor-side reader ([[GraphShards]] attaches it to each walk's
+    * candidate rows; driver callers use [[searchGraphWithCost]]). */
+  private[operators] def lastVisited(): Long = lastBeamVisited.get().toLong
+
   /** One driver-side search's cost: (top-k ids, distance evaluations).
     * Same beam as [[searchGraph]], cost attached. */
   def searchGraphWithCost(g: Graph, queryVec: Seq[Double], k: Int,
@@ -140,16 +145,28 @@ object GraphAnn {
     require(rows.nonEmpty, "graph build over an empty corpus")
     require(rows.length <= maxVectors,
       s"more than $maxVectors vectors: past the driver-graph ceiling — " +
-        "shard by IVF cell or raise maxVectors with the memory arithmetic " +
-        "in the scaladoc")
+        "shard by IVF cell ([[GraphShards]]) or raise maxVectors with " +
+        "the memory arithmetic in the scaladoc")
+    buildGraphFromRows(
+      rows.map(r => (r.getLong(0), r.getSeq[Double](1))), m, efConstruction)
+  }
+
+  /** The construction core on in-memory (id, vec) rows, ASCENDING-id
+    * sorted by the caller — shared by the driver [[buildGraph]] and the
+    * per-cell executor builds ([[GraphShards]]): array fill + validation
+    * + the deterministic NSW insertion loop. Runs wherever the rows
+    * already are; does no Spark work. */
+  private[operators] def buildGraphFromRows(rows: Seq[(Long, Seq[Double])],
+                                            m: Int, efC: Int): Graph = {
+    require(rows.nonEmpty, "graph build over an empty row set")
     val n = rows.length
-    val ids = rows.map(_.getLong(0))
-    val dim = rows.head.getSeq[Double](1).length
+    val ids = rows.map(_._1).toArray
+    val dim = rows.head._2.length
     val vecs = new Array[Double](n * dim)
     val norms = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val v = rows(i).getSeq[Double](1)
+      val v = rows(i)._2
       require(v.length == dim, s"ragged vector at id ${ids(i)}")
       var acc = 0.0
       var d = 0
@@ -160,7 +177,7 @@ object GraphAnn {
     }
     val nbrs = Array.fill(n)(Array.empty[Int])
     val g = Graph(ids, dim, vecs, norms, nbrs)
-    insertRange(g, 1, m, efConstruction)
+    insertRange(g, 1, m, efC)
     g
   }
 
