@@ -66,15 +66,39 @@ object Urls {
       when(canonQuery =!= "", concat(lit("?"), canonQuery)).otherwise(lit("")))
   }
 
-  /** Registered domain (last two host labels — the eTLD+1 stand-in of
-    * the planted contract; a real deployment swaps in a PSL table). */
+  /** Registered domain (eTLD+1), PSL-backed: the host's longest
+    * matching public suffix from the [[PublicSuffix]] snapshot plus one
+    * registrant label — so `www.bbc.co.uk` → `bbc.co.uk`, not the
+    * meaningless `co.uk` a naive last-2 rule yields (which would merge
+    * every UK site into one "domain" for blocklists and per-domain
+    * caps). Precedence mirrors the PSL algorithm: exception rules, then
+    * 3-label suffixes, then 2-label suffixes and wildcard TLDs, then
+    * the default rule (`*` — last label is the suffix), which IS the
+    * last-2-label fallback; hosts that ARE a public suffix (no
+    * registrant label) return themselves. The suffix tables ride the
+    * plan as typed literals — broadcast-lookup semantics with zero
+    * joins, the derivation stays one in-scan Column expression
+    * (q98/q101's planted `.com/.org/.net` hosts take the default rule,
+    * so the oracle contract is unchanged). */
   def registeredDomain(url: Column): Column = {
     val host = lower(substring_index(substring_index(
       substring_index(substring_index(url, "://", -1), "/", 1), "?", 1),
       ":", 1))
     val parts = split(host, "\\.")
-    when(size(parts) < 2, host)
-      .otherwise(array_join(slice(parts, -2, 2), "."))
+    val np = size(parts)
+    val last1 = element_at(parts, -1)
+    val last2 = array_join(slice(parts, -2, 2), ".")
+    val last3 = array_join(slice(parts, -3, 3), ".")
+    when(np < 2, host)
+      .when(array_contains(typedlit(PublicSuffix.Exceptions), last2), last2)
+      .when(np >= 4 &&
+        array_contains(typedlit(PublicSuffix.ThreeLabel), last3),
+        array_join(slice(parts, -4, 4), "."))
+      .when(np >= 3 &&
+        (array_contains(typedlit(PublicSuffix.TwoLabel), last2) ||
+          array_contains(typedlit(PublicSuffix.WildcardTlds), last1)),
+        array_join(slice(parts, -3, 3), "."))
+      .otherwise(last2)
   }
 
   /** (idCol, url_canon, domain) — extraction + canonicalization, one

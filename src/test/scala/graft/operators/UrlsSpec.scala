@@ -32,10 +32,33 @@ class UrlsSpec extends AnyFunSuite {
       == "https://a.b.c.example.net/Deep/Path", "path case preserved")
   }
 
-  test("registered domain: last two labels; single-label host unchanged") {
+  test("registered domain: default rule (unknown TLD = last two labels); " +
+    "single-label host unchanged") {
     assert(domainOf("https://news.site3.Example.COM:443/x") == "example.com")
     assert(domainOf("http://example.org/a") == "example.org")
     assert(domainOf("http://localhost/x") == "localhost")
+  }
+
+  test("registered domain is PSL-backed eTLD+1: ccTLD registries, " +
+    "private registries, wildcards and exceptions resolve correctly") {
+    // 2-label public suffixes: the naive last-2 rule would return the
+    // registry itself ("co.uk") and merge every UK site into one domain
+    assert(domainOf("http://www.bbc.co.uk/news") == "bbc.co.uk")
+    assert(domainOf("https://shop.Example.COM.AU:8080/x?a=1") == "example.com.au")
+    assert(domainOf("http://a.deep.sub.gov.br/x") == "sub.gov.br")
+    // host IS the registry: no registrant label to add
+    assert(domainOf("http://co.uk/") == "co.uk")
+    // private registries are registrant boundaries too
+    assert(domainOf("http://user.github.io/repo") == "user.github.io")
+    assert(domainOf("http://a.b.user.github.io/x") == "user.github.io")
+    // 3-label suffix
+    assert(domainOf("http://bucket.s3.amazonaws.com/key") == "bucket.s3.amazonaws.com")
+    // wildcard TLD (*.ck): any second-level label is itself a suffix
+    assert(domainOf("http://shop.foo.ck/x") == "shop.foo.ck")
+    // exception rule (!www.ck) overrides the wildcard
+    assert(domainOf("http://www.ck/x") == "www.ck")
+    // deep subdomains of a default-rule TLD still collapse to eTLD+1
+    assert(domainOf("http://a.b.c.d.example.com/x") == "example.com")
   }
 
   test("linkStats: counts, distinct canon collapse, link density") {
