@@ -111,38 +111,96 @@ class StreamGraphIndexSpec extends AnyFunSuite {
     val maintain = StreamGraphIndex.maintainer(spark, dir,
       "vec_id", "embedding")
     maintain(batch, 7L)
-    assert(marker(dir) == "b7")
+    assert(marker(dir) == "d-b7")
     val a1 = adjacency(StreamGraphIndex.loadLatest(spark, dir))
     // crash-replay of the same epoch: all ids already present
     maintain(batch, 7L)
-    assert(marker(dir) == "b7", "replay moved the marker")
+    assert(marker(dir) == "d-b7", "replay moved the marker")
     assert(adjacency(StreamGraphIndex.loadLatest(spark, dir)) == a1,
       "replay changed the graph")
     // empty batch: nothing happens
     maintain(emb.filter(col("vec_id") < 0), 8L)
-    assert(marker(dir) == "b7")
+    assert(marker(dir) == "d-b7")
   }
 
   test("crash between sidecar write and marker swap: readers stay on the " +
-    "previous version; the replay repairs the orphan and commits") {
+    "previous version; the replay repairs the orphan delta and commits") {
     val dir = Files.createTempDirectory("graft-gidx-crash").toString
     StreamGraphIndex.bootstrap(spark, dir,
       emb.filter(col("vec_id") < 300), "vec_id", "embedding")
     val before = adjacency(StreamGraphIndex.loadLatest(spark, dir))
-    // simulate the torn write: the sidecar directory for batch 9 exists
-    // (with GARBAGE — a stale copy of the bootstrap graph) but the
-    // marker never swapped
+    // simulate the torn DELTA write: d-b9/nodes exists with GARBAGE (a
+    // stale copy of the whole bootstrap graph), no parent pointer, and
+    // the marker never swapped
+    GraphAnn.writeIndex(StreamGraphIndex.loadLatest(spark, dir), spark,
+      s"$dir/d-b9/nodes")
+    // ...and a torn COMPACTION too: an orphan FULL directory that a
+    // bare-token marker scheme could have mistaken for a version
     GraphAnn.writeIndex(StreamGraphIndex.loadLatest(spark, dir), spark,
       s"$dir/g-b9")
-    assert(marker(dir) == "boot", "crash simulation must not move the marker")
+    assert(marker(dir) == "g-boot", "crash simulation must not move the marker")
     assert(adjacency(StreamGraphIndex.loadLatest(spark, dir)) == before,
       "a torn write leaked into the served version")
     // replay of epoch 9 overwrites the orphan and commits atomically
     val batch = emb.filter(col("vec_id") >= 300)
     StreamGraphIndex.maintainer(spark, dir, "vec_id", "embedding")(batch, 9L)
-    assert(marker(dir) == "b9")
+    assert(marker(dir) == "d-b9")
     val g = StreamGraphIndex.loadLatest(spark, dir)
     assert(g.ids.toSet == emb.select("vec_id").as[Long].collect().toSet,
       "replay did not absorb the batch after the simulated crash")
+  }
+
+  test("delta sidecars are O(batch*M), and the chain roundtrip rebuilds " +
+    "the in-memory graph EXACTLY") {
+    val dir = Files.createTempDirectory("graft-gidx-delta").toString
+    val seed = emb.filter(col("vec_id") < 400)
+    StreamGraphIndex.bootstrap(spark, dir, seed, "vec_id", "embedding")
+    val boot = StreamGraphIndex.loadLatest(spark, dir)
+    val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    StreamGraphIndex.maintainer(spark, dir, "vec_id", "embedding")(batch, 1L)
+    assert(marker(dir) == "d-b1")
+    // write volume: the inserted tail + the touched adjacency rows only
+    val nNodes = spark.read.parquet(s"$dir/d-b1/nodes").count()
+    val nTouched = spark.read.parquet(s"$dir/d-b1/touched").count()
+    val full = boot.size + 20
+    info(s"delta rows: $nNodes nodes + $nTouched touched vs $full full")
+    assert(nNodes == 20, s"delta must carry exactly the inserted tail: $nNodes")
+    assert(nTouched <= 20L * 16,
+      s"touched rows $nTouched exceed the batch*M bound (${20 * 16})")
+    assert(nNodes + nTouched < full,
+      "the delta wrote more rows than a full sidecar would")
+    // EXACT equivalence: chain-resolved graph == the in-memory insert
+    val ref = GraphAnn.insertVectors(boot, batch, "vec_id", "embedding")
+    val got = StreamGraphIndex.loadLatest(spark, dir)
+    assert(got.ids.toSeq == ref.ids.toSeq &&
+      adjacency(got) == adjacency(ref),
+      "delta roundtrip diverged from the in-memory insert")
+  }
+
+  test("depth-triggered compaction folds the chain into a full sidecar; " +
+    "mixed full+delta chains keep serving the exact graph") {
+    val dir = Files.createTempDirectory("graft-gidx-compact").toString
+    StreamGraphIndex.bootstrap(spark, dir,
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding")
+    val maintain = StreamGraphIndex.maintainer(spark, dir,
+      "vec_id", "embedding", compactEvery = 2)
+    def slice(lo: Long, hi: Long) =
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    maintain(slice(200, 300), 1L)
+    assert(marker(dir) == "d-b1", "first batch should be a delta")
+    maintain(slice(300, 400), 2L)
+    assert(marker(dir) == "g-b2",
+      "second batch should have compacted (depth reached compactEvery)")
+    assert(Files.exists(Paths.get(dir, "g-b2")))
+    maintain(slice(400, 500), 3L)
+    assert(marker(dir) == "d-b3", "post-compaction batch chains off the full")
+    // the served graph equals the sequential in-memory reference
+    var ref = GraphAnn.buildGraph(
+      emb.filter(col("vec_id") < 200), "vec_id", "embedding")
+    for ((lo, hi) <- Seq((200L, 300L), (300L, 400L), (400L, 500L)))
+      ref = GraphAnn.insertVectors(ref, slice(lo, hi), "vec_id", "embedding")
+    val got = StreamGraphIndex.loadLatest(spark, dir)
+    assert(got.ids.toSeq == ref.ids.toSeq && adjacency(got) == adjacency(ref),
+      "mixed full+delta chain diverged from the sequential reference")
   }
 }
