@@ -158,6 +158,13 @@ object GraphAnn {
     * already are; does no Spark work. */
   private[operators] def buildGraphFromRows(rows: Seq[(Long, Seq[Double])],
                                             m: Int, efC: Int): Graph = {
+    val g = allocGraph(rows)
+    insertRange(g, 1, m, efC)
+    g
+  }
+
+  /** Array fill + validation shared by every construction path. */
+  private def allocGraph(rows: Seq[(Long, Seq[Double])]): Graph = {
     require(rows.nonEmpty, "graph build over an empty row set")
     val n = rows.length
     val ids = rows.map(_._1).toArray
@@ -175,10 +182,7 @@ object GraphAnn {
       require(norms(i) > 0, s"zero-norm vector at id ${ids(i)} (cosine undefined)")
       i += 1
     }
-    val nbrs = Array.fill(n)(Array.empty[Int])
-    val g = Graph(ids, dim, vecs, norms, nbrs)
-    insertRange(g, 1, m, efC)
-    g
+    Graph(ids, dim, vecs, norms, Array.fill(n)(Array.empty[Int]))
   }
 
   /** The shared NSW insertion loop: nodes [start, g.size) link into the
@@ -187,16 +191,17 @@ object GraphAnn {
     * existing graph; new nodes' adjacency must be empty. Mutates
     * `g.nbrs` slots only (inner arrays are replaced, never mutated, so
     * a copied outer array fully isolates an old graph). */
+  private def pruneNode(g: Graph, node: Int, m: Int): Unit =
+    if (g.nbrs(node).length > m) {
+      val q = new Array[Double](g.dim)
+      System.arraycopy(g.vecs, node * g.dim, q, 0, g.dim)
+      g.nbrs(node) = g.nbrs(node)
+        .map(nb => (nb, cosAt(g, nb, q, g.norms(node))))
+        .sortBy { case (nb, s) => (-s, g.ids(nb)) }
+        .take(m).map(_._1)
+    }
+
   private def insertRange(g: Graph, start: Int, m: Int, efC: Int): Unit = {
-    def prune(node: Int): Unit =
-      if (g.nbrs(node).length > m) {
-        val q = new Array[Double](g.dim)
-        System.arraycopy(g.vecs, node * g.dim, q, 0, g.dim)
-        g.nbrs(node) = g.nbrs(node)
-          .map(nb => (nb, cosAt(g, nb, q, g.norms(node))))
-          .sortBy { case (nb, s) => (-s, g.ids(nb)) }
-          .take(m).map(_._1)
-      }
     var i = math.max(start, 1) // node 0 is the entry: nothing to link to
     while (i < g.size) {
       val q = new Array[Double](g.dim)
@@ -206,10 +211,105 @@ object GraphAnn {
       g.nbrs(i) = chosen
       chosen.foreach { nb =>
         g.nbrs(nb) = g.nbrs(nb) :+ i
-        prune(nb)
+        pruneNode(g, nb, m)
       }
       i += 1
     }
+  }
+
+  /** BATCH-SYNCHRONOUS insertion — [[insertRange]]'s parallel twin for
+    * the bootstrap: nodes insert in DOUBLING GENERATIONS [n, 2n). Within
+    * a generation every node's beam search runs CONCURRENTLY against the
+    * FROZEN graph of all previous generations (pure reads — generation
+    * nodes have no incoming edges yet, so no beam can reach them and no
+    * thread observes a partial write); the chosen links then APPLY
+    * sequentially in index order (bidirectional link + prune-back, the
+    * construction rule unchanged). Deterministic by construction: each
+    * beam depends only on the frozen prefix and writes only its own
+    * result slot, and the apply phase is single-threaded in a fixed
+    * order — thread scheduling cannot reach the output
+    * (GraphParallelSpec pins build-for-build identity).
+    *
+    * Doubling keeps the frozen prefix ≥ the generation size, so every
+    * node still chooses from a graph at least half its final index —
+    * the quality cost vs the strictly-sequential build is that
+    * same-generation nodes cannot link to each other directly (reverse
+    * links from later generations repair most of it; the recall floor
+    * is spec-pinned on the real fixture). Wall-clock: the beam phase —
+    * all of the construction's distance work — parallelizes across
+    * cores; the apply phase is O(gen·m) list surgery. */
+  private def insertRangeBatched(g: Graph, start: Int, m: Int,
+                                 efC: Int): Unit = {
+    var lo = math.max(start, 1)
+    while (lo < g.size) {
+      val hi = math.min(math.max(lo * 2, lo + 1), g.size)
+      val chosen = new Array[Array[Int]](hi - lo)
+      java.util.stream.IntStream.range(lo, hi).parallel().forEach { i =>
+        val q = new Array[Double](g.dim)
+        System.arraycopy(g.vecs, i * g.dim, q, 0, g.dim)
+        chosen(i - lo) = beam(g, q, g.norms(i), entry = 0, ef = efC)
+          .take(m).map(_._1)
+      }
+      // apply: each new node takes its chosen list (disjoint slots),
+      // and the generation's REVERSE links aggregate per target first —
+      // one bulk extend + at most one SLACK prune (2m → m) per touched
+      // node per generation, instead of a copying append + sort per
+      // edge. Slack keeps the top-m of a LARGER candidate pool, so
+      // quality is preserved (recall floor spec-pinned); the final pass
+      // below restores the exact ≤m serving invariant. Determinism:
+      // backlink buffers fill in ascending inserter order, and each
+      // target's extend+prune is independent of every other's, so the
+      // parallel application cannot reorder anything observable.
+      val extra = new java.util.HashMap[Integer,
+        scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = lo
+      while (i < hi) {
+        val ch = chosen(i - lo)
+        g.nbrs(i) = ch
+        ch.foreach { nb =>
+          extra.computeIfAbsent(nb,
+            _ => new scala.collection.mutable.ArrayBuffer[Int]) += i
+        }
+        i += 1
+      }
+      val targets = extra.keySet().toArray(Array.empty[Integer])
+      java.util.Arrays.stream(targets).parallel().forEach { nb =>
+        g.nbrs(nb.intValue) =
+          g.nbrs(nb.intValue) ++ extra.get(nb)
+        if (g.nbrs(nb.intValue).length > 2 * m)
+          pruneNode(g, nb.intValue, m)
+      }
+      lo = hi
+    }
+    // final prune to the serving degree bound — each node's prune only
+    // touches its own list, so the pass parallelizes safely
+    java.util.stream.IntStream.range(0, g.size).parallel()
+      .forEach { i => pruneNode(g, i, m) }
+  }
+
+  /** [[buildGraph]] with the batch-synchronous PARALLEL construction —
+    * the bootstrap path for large graphs (the sequential build
+    * extrapolates to tens of minutes at the 2^20 ceiling; this one
+    * divides the distance work by the core count). Same validation,
+    * ceiling, and serving artifact; adjacency differs from the
+    * sequential build (a different — equally deterministic —
+    * insertion schedule), so recall is pinned by its own measured
+    * floor, not by structural equality. */
+  def buildGraphParallel(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int = 16, efConstruction: Int = 64,
+                         maxVectors: Int = MaxGraphVectors): Graph = {
+    require(m >= 1, "m must be >= 1")
+    require(efConstruction >= m, "efConstruction must be >= m")
+    val rows = df
+      .select(col(idCol).cast("long"), Similarity.vecD(col(vecCol)))
+      .orderBy(col(idCol)).head(maxVectors + 1)
+    require(rows.nonEmpty, "graph build over an empty corpus")
+    require(rows.length <= maxVectors,
+      s"more than $maxVectors vectors: past the driver-graph ceiling — " +
+        "shard by IVF cell ([[GraphShards]]) or raise maxVectors")
+    val g = allocGraph(rows.map(r => (r.getLong(0), r.getSeq[Double](1))))
+    insertRangeBatched(g, 1, m, efConstruction)
+    g
   }
 
   /** INCREMENTAL insert — the NSW build IS a sequence of inserts, so a
