@@ -413,22 +413,101 @@ object Mixing {
     require(maxFeatures >= 1, "maxFeatures must be >= 1")
     require(ngram >= 1 && ngram <= 3, "ngram must be in [1, 3]")
     graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
-    val buckets = ratio.length
-    val ratioLit = typedlit(ratio)
-    // NULL text folds like the empty doc (weight 1, zero features) —
-    // coalesced so three-valued logic cannot emit NULL weights
-    val feats = slice(
+    val feats = dsirFeatsCol(textCol, ratio.length, maxFeatures, ngram)
+    docs.select(col(idCol), feats.as("_fb"))
+      .select(col(idCol),
+        size(col("_fb")).cast("long").as("n_feat"),
+        dsirWeightOf(col("_fb"), ratio).as("weight_r"))
+  }
+
+  /** The capped distinct-feature-bucket array of a text column — the
+    * expression [[dsirScoreWith]] and [[dsirRateMixDocs]] share, so the
+    * sampler's weights are bitwise the q99 weights. NULL text folds
+    * like the empty doc (weight 1, zero features). */
+  private def dsirFeatsCol(textCol: String, buckets: Int,
+                           maxFeatures: Int, ngram: Int): Column =
+    slice(
       array_sort(array_distinct(transform(
         dsirFeatStrings(col(textCol), ngram),
         w => strHash(w) % buckets))),
       1, maxFeatures)
-    docs.select(col(idCol), feats.as("_fb"))
-      .select(col(idCol),
-        size(col("_fb")).cast("long").as("n_feat"),
-        round(aggregate(col("_fb"), lit(1.0),
-          (acc, b) => acc * element_at(ratioLit, b.cast("int") + 1)), 6)
-          .as("weight_r"))
+
+  /** The 6-dp ascending-bucket product fold over a feature array. */
+  private def dsirWeightOf(featsCol: Column,
+                           ratio: IndexedSeq[Double]): Column = {
+    val ratioLit = typedlit(ratio)
+    round(aggregate(featsCol, lit(1.0),
+      (acc, b) => acc * element_at(ratioLit, b.cast("int") + 1)), 6)
   }
+
+  /** DSIR-WEIGHTED SAMPLING — the importance weights composed with the
+    * content-addressed ppm gate the rate/temperature mixers use: each
+    * document keeps with probability PROPORTIONAL to its (clipped) DSIR
+    * weight, normalized so the EXPECTED kept count equals `budget`
+    * documents — importance resampling as one in-scan filter, the DSIR
+    * paper's sampling step on the mixers' exact-integer machinery.
+    *
+    * Exactness contract (oracle-replayable end to end, q103):
+    *   w_milli   = floor(min(weight_r, maxW) · 1000)      BIGINT
+    *   W         = Σ w_milli                              integer sum
+    *   base      = budget · 10⁹ div W                     driver Long
+    *   rate_ppm  = min(10⁶, base · w_milli div 1000)
+    *   keep(doc) = ((hash(id) · K) mod P) mod 10⁶ < rate_ppm
+    * The only floating-point inputs are the 6-dp-rounded q99 weights
+    * (bitwise cross-engine); floor/min and every division are integer.
+    * Up-weighted documents sample proportionally more at the SAME
+    * budget — MixingSpec pins the ≥10× direction property — and the
+    * clip (`maxW`) is the DSIR practice that stops one outlier document
+    * from eating the whole budget.
+    *
+    * Scale shape: one map-side-combined scalar agg (W), then one
+    * in-scan filter — the corpus never shuffles; the ratio table rides
+    * the scan as a literal like [[dsirScoreWith]]. Output: every input
+    * column plus (n_feat, weight_r, rate_ppm) for the kept rows. */
+  def dsirRateMixDocs(docs: DataFrame, idCol: String, textCol: String,
+                      ratio: IndexedSeq[Double], budget: Long,
+                      maxFeatures: Int = 64, ngram: Int = 1,
+                      maxW: Double = 1000.0): DataFrame = {
+    require(ratio.length >= 2, "ratio table needs at least 2 buckets")
+    require(budget >= 1 && budget <= 1000000000L,
+      "budget must be in [1, 1e9] documents")
+    require(maxW >= 0.001 && maxW <= 1000000.0,
+      "maxW must be in [0.001, 1e6]")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val feats = dsirFeatsCol(textCol, ratio.length, maxFeatures, ngram)
+    val wMilli = floor(least(dsirWeightOf(feats, ratio), lit(maxW)) * 1000)
+      .cast("long")
+    val wRow = docs.select(sum(wMilli).as("w")).head()
+    require(!wRow.isNullAt(0), "empty corpus: nothing to sample")
+    val totalW = wRow.getLong(0)
+    require(totalW >= 1,
+      "every document's weight clipped to zero — the ratio table says " +
+        "nothing in this corpus resembles the target")
+    val basePpm = budget * 1000000000L / totalW
+    require(basePpm <= Long.MaxValue / math.max(1L, (maxW * 1000).toLong),
+      "budget/weight combination overflows the ppm arithmetic — lower " +
+        "maxW or the budget")
+    val scored = docs
+      .withColumn("n_feat", size(feats).cast("long"))
+      .withColumn("weight_r", dsirWeightOf(feats, ratio))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        call_function("div",
+          lit(basePpm) * floor(least(col("weight_r"), lit(maxW)) * 1000)
+            .cast("long"),
+          lit(1000L))))
+    scored.filter(ppmHash(idCol) % 1000000 < col("rate_ppm"))
+  }
+
+  /** [[dsirRateMixDocs]] with the ratio table derived in place (the
+    * [[dsirWeights]] composition): model the raw corpus against the
+    * target slice, then sample weight-proportionally at `budget`. */
+  def dsirRateMix(docs: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String, budget: Long,
+                  buckets: Int = 1024, maxFeatures: Int = 64,
+                  ngram: Int = 1, maxW: Double = 1000.0): DataFrame =
+    dsirRateMixDocs(docs, idCol, textCol,
+      dsirRatio(docs, textCol, target, targetTextCol, buckets, ngram),
+      budget, maxFeatures, ngram, maxW)
 
   /** LEAKAGE-SAFE train/val split: a near-duplicate cluster is assigned
     * to a split ATOMICALLY, so no near-dup pair ever straddles the

@@ -349,4 +349,36 @@ class MixingSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("dsirRateMix: the DIRECTION property — at the same rate budget, " +
+    "target-like documents sample >= 10x more often than off-target; " +
+    "total kept tracks the budget; zero shuffles past the weight agg") {
+    // 200 docs: even ids speak the target's vocabulary, odd ids a
+    // disjoint one — the weights separate hard, so the ppm gate must
+    // convert nearly the whole budget into target-like rows
+    val corpus = (0L until 200L).map { i =>
+      val t = if (i % 2 == 0) s"alpha beta gamma delta epsilon v$i"
+              else s"zulu yankee xray whiskey victor v$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") % 2 === 0)
+    val kept = Mixing.dsirRateMix(corpus, "doc_id", "text", target, "text",
+      budget = 50L, buckets = 256, maxFeatures = 16)
+      .select("doc_id").collect().map(_.getLong(0))
+    val keptOn = kept.count(_ % 2 == 0)
+    val keptOff = kept.count(_ % 2 == 1)
+    info(s"kept $keptOn target-like / $keptOff off-target of 100+100 " +
+      s"at budget 50")
+    assert(keptOn >= 10 * math.max(1, keptOff),
+      s"direction property failed: $keptOn on-target vs $keptOff off")
+    // equal-budget property: expected kept == budget (ppm-gate variance
+    // allows slack; clipping is inactive at these rates)
+    assert(math.abs(kept.length - 50) <= 25,
+      s"kept ${kept.length} strays too far from the budget of 50")
+    // determinism: the same call keeps the same ids
+    val again = Mixing.dsirRateMix(corpus, "doc_id", "text", target, "text",
+      budget = 50L, buckets = 256, maxFeatures = 16)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(again.sorted.toSeq == kept.sorted.toSeq)
+  }
 }
