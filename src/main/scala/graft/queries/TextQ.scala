@@ -1632,6 +1632,83 @@ object TextQ {
     Urls.linkStats(planted, "doc_id", "text").orderBy("doc_id")
   }
 
+  /** DuckDB list literal from a Scala suffix table — q104's oracle
+    * consumes the SAME [[graft.operators.PublicSuffix]] constants the
+    * Spark expression ships, so the two dialects cannot drift. */
+  private def sqlStrList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** q104: PSL-backed registered-domain rollup ([[graft.operators.Urls
+    * .domainStats]]) — the planted-recovery audit for the eTLD+1 logic
+    * itself: both dialects plant hosts that exercise every PSL branch
+    * (ccTLD 2-label registries under extra subdomains, private
+    * registries, a 3-label suffix, the `*.ck` wildcard, the `!www.ck`
+    * exception, mixed case), and the oracle replays extraction, host
+    * derivation, and the full precedence CASE against the SAME
+    * snapshot tables inlined as list literals. */
+  private val sqlPslPlant: String =
+    "CASE WHEN doc_id % 5 = 0 THEN text || ' see http://WWW.BBC.co.uk/news/a' || " +
+      "CAST(doc_id AS VARCHAR) || ' and https://Shop' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || '.Example.COM.AU/x' " +
+      "WHEN doc_id % 7 = 0 THEN text || ' ref http://user' || " +
+      "CAST(doc_id % 3 AS VARCHAR) || '.github.io/r also " +
+      "http://sub.foo.ck/z plus http://www.ck/x' " +
+      "WHEN doc_id % 11 = 0 THEN text || ' data http://b' || " +
+      "CAST(doc_id % 2 AS VARCHAR) || '.s3.amazonaws.com/key' || " +
+      "CAST(doc_id AS VARCHAR) ELSE text END"
+
+  /** Spark twin of [[sqlPslPlant]] (byte-identical planted strings). */
+  private def pslPlantCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" see http://WWW.BBC.co.uk/news/a"),
+        col("doc_id").cast("string"), lit(" and https://Shop"),
+        (col("doc_id") % 3).cast("string"), lit(".Example.COM.AU/x")))
+      .when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" ref http://user"),
+          (col("doc_id") % 3).cast("string"),
+          lit(".github.io/r also http://sub.foo.ck/z plus http://www.ck/x")))
+      .when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" data http://b"),
+          (col("doc_id") % 2).cast("string"), lit(".s3.amazonaws.com/key"),
+          col("doc_id").cast("string")))
+      .otherwise(col("text"))
+
+  val q104 = Q(
+    "q104_psl_domain_rollup",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, $sqlPslPlant AS text FROM documents),
+       |u AS (SELECT doc_id,
+       |             unnest(regexp_extract_all(text, '${graft.operators.Urls.UrlRe}', 0)) AS url
+       |      FROM corpus),
+       |h AS (SELECT doc_id,
+       |             lower(split_part(split_part(split_part(split_part(
+       |               url, '://', 2), '/', 1), '?', 1), ':', 1)) AS host
+       |      FROM u),
+       |parts AS (SELECT doc_id, host, str_split(host, '.') AS p FROM h),
+       |lbl AS (SELECT doc_id, host, p, len(p) AS np,
+       |               p[-2] || '.' || p[-1] AS l2,
+       |               p[-3] || '.' || p[-2] || '.' || p[-1] AS l3
+       |        FROM parts),
+       |dom AS (SELECT doc_id,
+       |   CASE WHEN np < 2 THEN host
+       |        WHEN list_contains(${sqlStrList(graft.operators.PublicSuffix.Exceptions)}, l2)
+       |             THEN l2
+       |        WHEN np >= 4 AND list_contains(${sqlStrList(graft.operators.PublicSuffix.ThreeLabel)}, l3)
+       |             THEN p[-4] || '.' || l3
+       |        WHEN np >= 3 AND (list_contains(${sqlStrList(graft.operators.PublicSuffix.TwoLabel)}, l2)
+       |                          OR list_contains(${sqlStrList(graft.operators.PublicSuffix.WildcardTlds)}, p[-1]))
+       |             THEN p[-3] || '.' || l2
+       |        ELSE l2 END AS domain
+       |   FROM lbl)
+       |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM dom GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+    val planted = Tables.documents(s, dir)
+      .select(col("doc_id"), pslPlantCol.as("text"))
+    graft.operators.Urls.domainStats(planted, "doc_id", "text")
+      .orderBy("domain")
+  }
+
   /** q99: DSIR-style importance weights ([[graft.operators.Mixing
     * .dsirWeights]]) — hashed-unigram bucket ppm of the RAW corpus vs
     * the TARGET slice (lang = 'en'), per-bucket ratio `(t_ppm + 1) /
@@ -1766,5 +1843,5 @@ object TextQ {
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99, q100, q101, q103)
+    q96, q98, q99, q100, q101, q103, q104)
 }
