@@ -156,8 +156,8 @@ object GraphAnn {
     * per-cell executor builds ([[GraphShards]]): array fill + validation
     * + the deterministic NSW insertion loop. Runs wherever the rows
     * already are; does no Spark work. */
-  private[operators] def buildGraphFromRows(rows: Seq[(Long, Seq[Double])],
-                                            m: Int, efC: Int): Graph = {
+  private[graft] def buildGraphFromRows(rows: Seq[(Long, Seq[Double])],
+                                        m: Int, efC: Int): Graph = {
     val g = allocGraph(rows)
     insertRange(g, 1, m, efC)
     g
@@ -350,17 +350,30 @@ object GraphAnn {
       .groupBy(col("_nid")).agg(min(col("_nvec")).as("_nvec"))
       .orderBy(col("_nid")).head(maxVectors + 1)
     if (rows.isEmpty) return g
-    val n = g.size + rows.length
-    require(n <= maxVectors,
-      s"graph would grow to $n vectors: past the driver-graph ceiling")
+    require(g.size + rows.length <= maxVectors,
+      s"graph would grow to ${g.size + rows.length} vectors: past the " +
+        "driver-graph ceiling")
+    insertVectorsLocal(g,
+      rows.map(r => (r.getLong(0), r.getSeq[Double](1))), m, efConstruction)
+  }
+
+  /** The incremental-insert core on in-memory rows — NEW ids only,
+    * ascending-id sorted and deduplicated by the caller (ceiling checks
+    * are the caller's too): grow the arrays, validate, run the
+    * insertion loop. Shared by the driver [[insertVectors]] and the
+    * per-cell executor maintenance ([[graft.streaming
+    * .StreamGraphShards]]). The input graph is never mutated. */
+  private[graft] def insertVectorsLocal(g: Graph,
+                                        newRows: Seq[(Long, Seq[Double])],
+                                        m: Int, efC: Int): Graph = {
+    if (newRows.isEmpty) return g
+    val n = g.size + newRows.length
     val ids = java.util.Arrays.copyOf(g.ids, n)
     val vecs = java.util.Arrays.copyOf(g.vecs, n * g.dim)
     val norms = java.util.Arrays.copyOf(g.norms, n)
     val nbrs = java.util.Arrays.copyOf(g.nbrs, n)
     var i = g.size
-    rows.foreach { r =>
-      val id = r.getLong(0)
-      val v = r.getSeq[Double](1)
+    newRows.foreach { case (id, v) =>
       require(v.length == g.dim, s"ragged vector at id $id")
       var acc = 0.0
       var d = 0
@@ -372,7 +385,7 @@ object GraphAnn {
       i += 1
     }
     val g2 = Graph(ids, g.dim, vecs, norms, nbrs)
-    insertRange(g2, g.size, m, efConstruction)
+    insertRange(g2, g.size, m, efC)
     g2
   }
 

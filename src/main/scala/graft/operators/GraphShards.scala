@@ -95,14 +95,22 @@ object GraphShards {
       nprobe: Int, ef: Int, excludeSelf: Boolean): DataFrame = {
     require(nprobe >= 1 && ef >= 1, "need nprobe >= 1 and ef >= 1")
     val spark = queries.sparkSession
-    import spark.implicits._
     val cents = spark.read.parquet(s"$dir/centroids")
+    val probed = bruteProbe(queries, idCol, vecCol, cents, nprobe)
+    walkCandidates(probed, idCol, dir, ef, excludeSelf)
+  }
+
+  /** Per-query brute cell ranking against an explicit centroid table —
+    * (cell, qid, qvec), checkpointed so the probe computes once. */
+  private[graft] def bruteProbe(queries: DataFrame, idCol: String,
+                                vecCol: String, cents: DataFrame,
+                                nprobe: Int): DataFrame = {
     val q = Similarity.withNorm(queries, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("vecd").as("qvec"),
         col("norm").as("qnorm"))
     val wProbe = Window.partitionBy("qid")
       .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val probed = cents.crossJoin(broadcast(q))
+    cents.crossJoin(broadcast(q))
       .withColumn("cent_cos", Similarity.cosine(
         col("qvec"), col("cent_vec"), col("qnorm"), col("cent_norm")))
       .withColumn("_pr", row_number().over(wProbe))
@@ -110,6 +118,15 @@ object GraphShards {
       .select(col("cent_id").cast("long").as("cell"), col("qid"),
         col("qvec"))
       .localCheckpoint(true)
+  }
+
+  /** The WALK stage against an explicit (cell, qid, qvec) probe table —
+    * shared by the brute-probed [[shardedCandidates]] and the
+    * graph-probed [[shardedTopKBatchGraphProbe]]. */
+  private def walkCandidates(probed: DataFrame, idCol: String,
+                             dir: String, ef: Int,
+                             excludeSelf: Boolean): DataFrame = {
+    val spark = probed.sparkSession
     // probed cells are driver-bounded (≤ |C|): collect them so the
     // shard read PRUNES to probed partitions — the unprobed corpus is
     // never read
@@ -117,6 +134,44 @@ object GraphShards {
       .collect().map(_.getLong(0)).toSeq
     val shards = spark.read.parquet(s"$dir/graphs")
       .filter(col("cell").isin(cells: _*))
+    walkShards(probed, idCol, shards, ef, excludeSelf)
+  }
+
+  /** Reconstruct one cell's graph from its (ord-sorted) shard rows —
+    * [[GraphAnn.loadIndex]]'s rule, shared with the streaming
+    * maintenance tier. */
+  private[graft] def graphOfShardRows(
+      sorted: Array[(Long, Long, Long, Seq[Double], Seq[Long])])
+      : GraphAnn.Graph = {
+    val n = sorted.length
+    val ids = sorted.map(_._3)
+    val idToIdx = ids.zipWithIndex.toMap
+    val dim = sorted(0)._4.length
+    val vecs = new Array[Double](n * dim)
+    val norms = new Array[Double](n)
+    val nbrs = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val v = sorted(i)._4
+      var acc = 0.0
+      var d = 0
+      while (d < dim) { val x = v(d); vecs(i * dim + d) = x; acc += x * x; d += 1 }
+      norms(i) = math.sqrt(acc)
+      nbrs(i) = sorted(i)._5.map(idToIdx).toArray
+      i += 1
+    }
+    GraphAnn.Graph(ids, dim, vecs, norms, nbrs)
+  }
+
+  /** The walk against an EXPLICIT shard-row frame (cell, ord, id, vec,
+    * nbr_ids) — the manifest-versioned streaming tier supplies its own
+    * pruned union here ([[graft.streaming.StreamGraphShards]]). */
+  private[graft] def walkShards(probed: DataFrame, idCol: String,
+                                shardRows: DataFrame, ef: Int,
+                                excludeSelf: Boolean): DataFrame = {
+    val spark = probed.sparkSession
+    import spark.implicits._
+    val shards = shardRows
       .select(col("cell").cast("long"), col("ord").cast("long"),
         col("id").cast("long"), col("vec"), col("nbr_ids"))
       .as[(Long, Long, Long, Seq[Double], Seq[Long])]
@@ -133,24 +188,7 @@ object GraphShards {
           // loadIndex's rule, per cell
           val sorted = rows.sortBy(_._2)
           val cellId = sorted(0)._1
-          val n = sorted.length
-          val ids = sorted.map(_._3)
-          val idToIdx = ids.zipWithIndex.toMap
-          val dim = rows(0)._4.length
-          val vecs = new Array[Double](n * dim)
-          val norms = new Array[Double](n)
-          val nbrs = new Array[Array[Int]](n)
-          var i = 0
-          while (i < n) {
-            val v = sorted(i)._4
-            var acc = 0.0
-            var d = 0
-            while (d < dim) { val x = v(d); vecs(i * dim + d) = x; acc += x * x; d += 1 }
-            norms(i) = math.sqrt(acc)
-            nbrs(i) = sorted(i)._5.map(idToIdx).toArray
-            i += 1
-          }
-          val g = GraphAnn.Graph(ids, dim, vecs, norms, nbrs)
+          val g = graphOfShardRows(sorted)
           qs.iterator.flatMap { case (_, qid, qv) =>
             val qarr = qv.toArray
             val qn = math.sqrt(qarr.map(x => x * x).sum)
@@ -179,6 +217,60 @@ object GraphShards {
     require(k >= 1 && ef >= k, "need ef >= k >= 1")
     val cand = shardedCandidates(queries, idCol, vecCol, dir, nprobe, ef,
       excludeSelf)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_r").desc, col(idCol).asc)
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("cos_r"), col("rank"))
+  }
+
+  /** [[shardedTopKBatch]] with the CENTROID ranking itself served by a
+    * graph — the faiss IVF-HNSW shape at BOTH levels: the bounded
+    * centroid table gets a beam walk ([[GraphAnn.graphTopKBatch]] over
+    * `cg`, cutting the per-query cell ranking from |C| to ~ef·M at
+    * 64k+ centroids), and the probed cells' corpora get beam walks
+    * through their shard graphs. With `efProbe ≥ |C|` the centroid beam
+    * saturates and the operator EQUALS [[shardedTopKBatch]] exactly
+    * (GraphShardsSpec's control); at scale the probe becomes
+    * approximate with the graph tier's measured recall. The same
+    * bidirectional staleness guards as
+    * [[GraphAnn.ivfGraphProbeBatchWith]] apply: the centroid graph and
+    * the index's centroid sidecar must name the same cells, both ways,
+    * or cells would silently vanish from every probe. */
+  def shardedTopKBatchGraphProbe(queries: DataFrame, idCol: String,
+                                 vecCol: String, dir: String,
+                                 cg: GraphAnn.Graph, k: Int,
+                                 nprobe: Int = 2, ef: Int = 64,
+                                 efProbe: Int = 64,
+                                 excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && ef >= k, "need ef >= k >= 1")
+    require(nprobe >= 1 && efProbe >= nprobe, "need efProbe >= nprobe >= 1")
+    val spark = queries.sparkSession
+    val centIds = spark.read.parquet(s"$dir/centroids")
+      .select(col("cent_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val orphan = cg.ids.find(!centIds.contains(_))
+    require(orphan.isEmpty,
+      s"centroid graph is stale: graph node ${orphan.get} is not a " +
+        "cent_id of this index's centroid sidecar — rebuild the graph")
+    val gset = cg.ids.toSet
+    val unserved = centIds.find(!gset.contains(_))
+    require(unserved.isEmpty,
+      s"centroid graph is incomplete: cent_id ${unserved.get} has no " +
+        "graph node, so its cell is unprobeable — insertVectors the new " +
+        "centroids into the graph before probing")
+    // rank cells by walking the centroid graph (self-exclusion OFF:
+    // cent_ids and query ids are different id spaces), then attach the
+    // query vectors for the shard walks
+    val probedCells = GraphAnn.graphTopKBatch(queries, idCol, vecCol, cg,
+      k = nprobe, ef = efProbe, excludeSelf = false)
+      .select(col("qid"), col(idCol).as("cell"))
+    val q = Similarity.withNorm(queries, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("vecd").as("qvec"))
+    val probed = probedCells.join(broadcast(q), Seq("qid"))
+      .select(col("cell"), col("qid"), col("qvec"))
+      .localCheckpoint(true)
+    val cand = walkCandidates(probed, idCol, dir, ef, excludeSelf)
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_r").desc, col(idCol).asc)
     cand.withColumn("rank", row_number().over(w).cast("long"))

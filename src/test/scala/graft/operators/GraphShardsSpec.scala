@@ -106,6 +106,38 @@ class GraphShardsSpec extends AnyFunSuite {
       "search touched an unprobed cell's shard (no partition pruning)")
   }
 
+  test("graph-probed cell ranking: at saturating efProbe the two-level " +
+    "graph composition EQUALS the brute-probed sharded search; an " +
+    "incomplete centroid graph fails loud") {
+    val idx = tmp()
+    val cts = cents.localCheckpoint(true)
+    GraphShards.buildShardedIndex(emb, "vec_id", "embedding", cts, idx)
+    val cg = GraphAnn.buildGraph(
+      cts.select(col("cent_id").as("vec_id"), col("cent_vec").as("embedding")),
+      "vec_id", "embedding", m = 4, efConstruction = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val brute = rows(GraphShards.shardedTopKBatch(queries, "vec_id",
+      "embedding", idx, k = 10, nprobe = 2, ef = 32))
+    val graphProbed = rows(GraphShards.shardedTopKBatchGraphProbe(queries,
+      "vec_id", "embedding", idx, cg, k = 10, nprobe = 2, ef = 32,
+      efProbe = 4))
+    assert(graphProbed == brute,
+      "saturated centroid beam must equal the brute centroid ranking")
+    // a centroid missing from the graph would silently lose its cell —
+    // the guard must refuse instead
+    val sub = GraphAnn.buildGraph(
+      cts.orderBy("cent_id").limit(2)
+        .select(col("cent_id").as("vec_id"), col("cent_vec").as("embedding")),
+      "vec_id", "embedding", m = 2, efConstruction = 2)
+    val e = intercept[IllegalArgumentException] {
+      GraphShards.shardedTopKBatchGraphProbe(queries, "vec_id",
+        "embedding", idx, sub, k = 10, nprobe = 2, ef = 32, efProbe = 4)
+    }
+    assert(e.getMessage.contains("unprobeable"), e.getMessage)
+  }
+
   test("measured frontier: at large cells (the regime the tier exists " +
     "for) a beam walk of MORE cells beats exact-scan IVF on BOTH axes") {
     // coarse quantizer over the sf0.1 corpus: 4 cells of ~1250 rows —

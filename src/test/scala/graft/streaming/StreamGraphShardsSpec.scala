@@ -1,0 +1,133 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+import graft.operators.Similarity
+
+/** The manifest-versioned sharded graph tier under ingestion
+  * ([[StreamGraphShards]]): streamed vectors become searchable, the
+  * saturating probe stays EXACT over the union, untouched cells keep
+  * their old shard files (the O(touched) write property), replays are
+  * no-ops, crashes leave readers on the previous manifest, and the
+  * per-shard ceiling stays loud. */
+class StreamGraphShardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+  private def cents = Similarity.centroidsOf(
+    Similarity.withNorm(emb, "embedding"), "vec_id", 137)
+
+  private def marker(dir: String): String =
+    new String(Files.readAllBytes(Paths.get(dir, "current"))).trim
+
+  private def brute(qid: Long) =
+    Similarity.cosineTopK(emb, "vec_id", "embedding", qid, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("a micro-batched stream of vectors: every id searchable, and the " +
+    "saturating probe over the grown index IS brute top-k over the union") {
+    val dir = Files.createTempDirectory("graft-sgs").toString
+    StreamGraphShards.bootstrap(spark, dir,
+      emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      cents.localCheckpoint(true))
+    val maintain = StreamGraphShards.maintainer(spark, dir,
+      "vec_id", "embedding")
+    maintain(emb.filter(col("vec_id") >= 250 && col("vec_id") < 400), 1L)
+    maintain(emb.filter(col("vec_id") >= 400), 2L)
+    // every streamed id is present in some cell's shard
+    val manifest = StreamGraphShards.readManifest(dir)
+    val allIds = manifest.toSeq.flatMap { case (_, rel) =>
+      spark.read.parquet(s"$dir/$rel").select("id").as[Long].collect()
+    }.toSet
+    assert(allIds == emb.select("vec_id").as[Long].collect().toSet,
+      "a streamed vector is missing from the sharded index")
+    // saturating probe + beam = exact, ordering and rounding included
+    for (qid <- Seq(0L, 300L, 499L)) {
+      val got = StreamGraphShards.topKBatch(
+        emb.filter(col("vec_id") === qid), "vec_id", "embedding", dir,
+        k = 10, nprobe = 4, ef = 300)
+        .orderBy("rank")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == brute(qid), s"qid=$qid: grown index diverged from brute")
+    }
+  }
+
+  test("O(touched) writes: a batch landing in a strict subset of cells " +
+    "repoints ONLY those cells; replay is a marker-stable no-op") {
+    val dir = Files.createTempDirectory("graft-sgs-touch").toString
+    StreamGraphShards.bootstrap(spark, dir, emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", cents.localCheckpoint(true))
+    val m0 = StreamGraphShards.readManifest(dir)
+    assert(marker(dir) == "manifest-boot")
+    val batch = emb.filter(col("vec_id") >= 400) // 100 rows
+    StreamGraphShards.maintainer(spark, dir, "vec_id", "embedding")(batch, 5L)
+    assert(marker(dir) == "manifest-b5")
+    val m5 = StreamGraphShards.readManifest(dir)
+    val repointed = m5.filter { case (c, p) => m0.get(c) != Some(p) }
+    assert(repointed.nonEmpty, "the batch touched no cell?")
+    assert(repointed.forall(_._2.startsWith("graphs-b5/")))
+    // cells the batch did not change keep their ORIGINAL files
+    val untouched = m5.keySet -- repointed.keySet
+    assert(untouched.forall(c => m5(c) == m0(c)),
+      "an untouched cell's shard was rewritten")
+    // write volume on disk: only the repointed cells appear under b5
+    val b5cells = new java.io.File(s"$dir/graphs-b5").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.stripPrefix("cell=").toLong).toSet
+    assert(b5cells == repointed.keySet)
+    // replay: all ids already present -> nothing written, marker stable
+    StreamGraphShards.maintainer(spark, dir, "vec_id", "embedding")(batch, 5L)
+    assert(marker(dir) == "manifest-b5", "replay moved the marker")
+    assert(StreamGraphShards.readManifest(dir) == m5,
+      "replay changed the manifest")
+  }
+
+  test("crash between shard write and marker swap: readers stay on the " +
+    "previous manifest; the replay overwrites the orphan and commits") {
+    val dir = Files.createTempDirectory("graft-sgs-crash").toString
+    StreamGraphShards.bootstrap(spark, dir, emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", cents.localCheckpoint(true))
+    val before = StreamGraphShards.topKBatch(
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", dir,
+      k = 5, nprobe = 2, ef = 32)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // torn write: garbage shard data under graphs-b9, no manifest swap
+    emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("long").as("cell"), col("vec_id")
+        .cast("long").as("ord"), col("vec_id").cast("long").as("id"))
+      .write.mode("overwrite").parquet(s"$dir/graphs-b9")
+    assert(marker(dir) == "manifest-boot")
+    val after = StreamGraphShards.topKBatch(
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding", dir,
+      k = 5, nprobe = 2, ef = 32)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before, "a torn write leaked into the served version")
+    // replay of epoch 9 overwrites the orphan and commits
+    StreamGraphShards.maintainer(spark, dir, "vec_id", "embedding")(
+      emb.filter(col("vec_id") >= 400), 9L)
+    assert(marker(dir) == "manifest-b9")
+    val allIds = StreamGraphShards.readManifest(dir).toSeq
+      .flatMap { case (_, rel) =>
+        spark.read.parquet(s"$dir/$rel").select("id").as[Long].collect()
+      }.toSet
+    assert(allIds == emb.select("vec_id").as[Long].collect().toSet)
+  }
+
+  test("per-shard ceiling stays loud under streaming growth") {
+    val dir = Files.createTempDirectory("graft-sgs-ceil").toString
+    StreamGraphShards.bootstrap(spark, dir, emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", cents.localCheckpoint(true))
+    val e = intercept[Exception] {
+      StreamGraphShards.maintainer(spark, dir, "vec_id", "embedding",
+        maxPerShard = 100)(emb.filter(col("vec_id") >= 400), 3L)
+    }
+    assert(e.getMessage.contains("per-shard"), e.getMessage)
+    // the failed batch must not have committed
+    assert(marker(dir) == "manifest-boot")
+  }
+}
