@@ -381,4 +381,18 @@ class MixingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0))
     assert(again.sorted.toSeq == kept.sorted.toSeq)
   }
+
+  test("dsirRateMix kept-rows plan is IN-SCAN: zero exchanges (the one " +
+    "weight agg happens before the filter plan, not inside it)") {
+    val corpus = (0L until 100L).map(i => (i, s"alpha beta v$i"))
+      .toDF("doc_id", "text")
+    val ratio = Mixing.dsirRatio(corpus, "text",
+      corpus.filter(col("doc_id") % 2 === 0), "text", buckets = 64)
+    val out = Mixing.dsirRateMixDocs(corpus, "doc_id", "text", ratio,
+      budget = 20L, maxFeatures = 16)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(plan) == 0,
+      s"the sampling filter must ride the scan:\n$plan")
+  }
 }
