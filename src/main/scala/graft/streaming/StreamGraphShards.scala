@@ -185,10 +185,53 @@ object StreamGraphShards {
                 excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1 && ef >= k, "need ef >= k >= 1")
     val spark = queries.sparkSession
-    val manifest = readManifest(dir)
     val cents = spark.read.parquet(s"$dir/boot/centroids")
     val probed = GraphShards.bruteProbe(queries, idCol, vecCol, cents,
       nprobe)
+    serveProbed(probed, idCol, dir, k, ef, excludeSelf)
+  }
+
+  /** [[topKBatch]] with the centroid ranking served by a GRAPH over the
+    * centroid table ([[GraphShards.shardedTopKBatchGraphProbe]]'s
+    * composition for the streaming tier) — same staleness guards, same
+    * saturating-efProbe equality with the brute probe. */
+  def topKBatchGraphProbe(queries: DataFrame, idCol: String,
+                          vecCol: String, dir: String,
+                          cg: GraphAnn.Graph, k: Int, nprobe: Int = 2,
+                          ef: Int = 64, efProbe: Int = 64,
+                          excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && ef >= k, "need ef >= k >= 1")
+    require(nprobe >= 1 && efProbe >= nprobe, "need efProbe >= nprobe >= 1")
+    val spark = queries.sparkSession
+    val centIds = spark.read.parquet(s"$dir/boot/centroids")
+      .select(col("cent_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val orphan = cg.ids.find(!centIds.contains(_))
+    require(orphan.isEmpty,
+      s"centroid graph is stale: graph node ${orphan.get} is not a " +
+        "cent_id of this index's centroid sidecar — rebuild the graph")
+    val gset = cg.ids.toSet
+    val unserved = centIds.find(!gset.contains(_))
+    require(unserved.isEmpty,
+      s"centroid graph is incomplete: cent_id ${unserved.get} has no " +
+        "graph node, so its cell is unprobeable — insertVectors the new " +
+        "centroids into the graph before probing")
+    val probedCells = GraphAnn.graphTopKBatch(queries, idCol, vecCol, cg,
+      k = nprobe, ef = efProbe, excludeSelf = false)
+      .select(col("qid"), col(idCol).as("cell"))
+    val q = Similarity.withNorm(queries, vecCol)
+      .select(col(idCol).cast("long").as("qid"), col("vecd").as("qvec"))
+    val probed = probedCells.join(broadcast(q), Seq("qid"))
+      .select(col("cell"), col("qid"), col("qvec"))
+      .localCheckpoint(true)
+    serveProbed(probed, idCol, dir, k, ef, excludeSelf)
+  }
+
+  private def serveProbed(probed: DataFrame, idCol: String, dir: String,
+                          k: Int, ef: Int,
+                          excludeSelf: Boolean): DataFrame = {
+    val spark = probed.sparkSession
+    val manifest = readManifest(dir)
     val cells = probed.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val cand = GraphShards.walkShards(probed, idCol,
@@ -198,5 +241,37 @@ object StreamGraphShards {
     cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col(idCol), col("cos_r"), col("rank"))
+  }
+
+  /** VACUUM: delete version roots (`graphs-b*`) no cell of the CURRENT
+    * manifest references, plus superseded manifest files — the storage
+    * GC the manifest chain needs (every repointed cell strands its old
+    * shard file; a root whose every cell is superseded is dead weight).
+    * Partially-referenced roots are kept whole (their live cells still
+    * serve). Never touches `boot/` (centroid sidecar lives there), the
+    * current manifest, or the marker; safe to run any time between
+    * commits — readers resolve only through the manifest, so deleting
+    * unreferenced roots cannot disturb a search (spec-pinned). Returns
+    * the deleted root names. */
+  def vacuum(dir: String): Seq[String] = {
+    val p = markerPath(dir)
+    require(Files.exists(p), s"no sharded index at $dir — bootstrap first")
+    val currentManifest = new String(Files.readAllBytes(p)).trim
+    val manifest = readManifest(dir)
+    val liveRoots = manifest.values.map(_.split("/")(0)).toSet
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val deadDirs = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graphs-b") &&
+        !liveRoots.contains(f.getName))
+      .map { f => rm(f); f.getName }.toSeq
+    root.listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("manifest-") &&
+        f.getName != currentManifest)
+      .foreach(_.delete())
+    deadDirs.sorted
   }
 }

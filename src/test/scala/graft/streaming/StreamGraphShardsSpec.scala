@@ -130,4 +130,60 @@ class StreamGraphShardsSpec extends AnyFunSuite {
     // the failed batch must not have committed
     assert(marker(dir) == "manifest-boot")
   }
+
+  test("vacuum deletes fully-superseded version roots and stale " +
+    "manifests; serving is undisturbed (readers resolve only through " +
+    "the current manifest)") {
+    val dir = Files.createTempDirectory("graft-sgs-vac").toString
+    StreamGraphShards.bootstrap(spark, dir, emb.filter(col("vec_id") < 400),
+      "vec_id", "embedding", cents.localCheckpoint(true))
+    val maintain = StreamGraphShards.maintainer(spark, dir,
+      "vec_id", "embedding")
+    val b5 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .localCheckpoint(true)
+    maintain(b5, 5L)
+    // batch 6 carries the SAME vectors under shifted ids: it lands in
+    // exactly batch 5's cells, so every graphs-b5 shard is superseded
+    maintain(b5.withColumn("vec_id", col("vec_id") + 300), 6L)
+    val q0 = emb.filter(col("vec_id") === 0)
+    val before = StreamGraphShards.topKBatch(q0, "vec_id", "embedding",
+      dir, k = 5, nprobe = 2, ef = 32)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val deleted = StreamGraphShards.vacuum(dir)
+    assert(deleted == Seq("graphs-b5"),
+      s"expected exactly the superseded root, got $deleted")
+    assert(!new java.io.File(s"$dir/graphs-b5").exists())
+    assert(new java.io.File(s"$dir/graphs-b6").exists())
+    // stale manifests pruned, current kept
+    val manifests = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("manifest-")).map(_.getName).toSet
+    assert(manifests == Set("manifest-b6"), manifests.toString)
+    assert(marker(dir) == "manifest-b6")
+    val after = StreamGraphShards.topKBatch(q0, "vec_id", "embedding",
+      dir, k = 5, nprobe = 2, ef = 32)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before, "vacuum disturbed a search")
+  }
+
+  test("graph-probed serving over the streamed index: saturating " +
+    "efProbe equals the brute-probed search") {
+    val dir = Files.createTempDirectory("graft-sgs-gp").toString
+    val cts = cents.localCheckpoint(true)
+    StreamGraphShards.bootstrap(spark, dir, emb.filter(col("vec_id") < 300),
+      "vec_id", "embedding", cts)
+    StreamGraphShards.maintainer(spark, dir, "vec_id", "embedding")(
+      emb.filter(col("vec_id") >= 300), 1L)
+    val cg = graft.operators.GraphAnn.buildGraph(
+      cts.select(col("cent_id").as("vec_id"), col("cent_vec").as("embedding")),
+      "vec_id", "embedding", m = 4, efConstruction = 4)
+    val queries = emb.filter(col("vec_id").isin(0L, 250L, 499L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val brute = rows(StreamGraphShards.topKBatch(queries, "vec_id",
+      "embedding", dir, k = 10, nprobe = 2, ef = 32))
+    val gp = rows(StreamGraphShards.topKBatchGraphProbe(queries, "vec_id",
+      "embedding", dir, cg, k = 10, nprobe = 2, ef = 32, efProbe = 4))
+    assert(gp == brute)
+  }
 }
