@@ -468,6 +468,21 @@ object Mixing {
                       ratio: IndexedSeq[Double], budget: Long,
                       maxFeatures: Int = 64, ngram: Int = 1,
                       maxW: Double = 1000.0): DataFrame = {
+    dsirSampleWith(docs, idCol, textCol, ratio,
+      dsirBasePpm(docs, textCol, ratio, budget, maxFeatures, ngram, maxW),
+      maxFeatures, ngram, maxW)
+  }
+
+  /** The normalization base of the weight-proportional gate:
+    * `budget · 10⁹ div Σ w_milli` over `docs` — one map-side-combined
+    * scalar agg. Exposed separately so a STREAM can freeze the base
+    * over its seed corpus ([[graft.streaming.StreamDsir]]'s frozen-book
+    * discipline applied to the sampling RATE): the rate function then
+    * never depends on arrival time, so replays keep identical rows. */
+  private[graft] def dsirBasePpm(docs: DataFrame, textCol: String,
+                                 ratio: IndexedSeq[Double], budget: Long,
+                                 maxFeatures: Int, ngram: Int,
+                                 maxW: Double): Long = {
     require(ratio.length >= 2, "ratio table needs at least 2 buckets")
     require(budget >= 1 && budget <= 1000000000L,
       "budget must be in [1, 1e9] documents")
@@ -487,7 +502,19 @@ object Mixing {
     require(basePpm <= Long.MaxValue / math.max(1L, (maxW * 1000).toLong),
       "budget/weight combination overflows the ppm arithmetic — lower " +
         "maxW or the budget")
-    val scored = docs
+    basePpm
+  }
+
+  /** The keep-filter at an EXPLICIT base — pure (no aggregation), so a
+    * stream can apply it per micro-batch against a frozen base. */
+  private[graft] def dsirSampleWith(docs: DataFrame, idCol: String,
+                                    textCol: String,
+                                    ratio: IndexedSeq[Double],
+                                    basePpm: Long, maxFeatures: Int,
+                                    ngram: Int, maxW: Double): DataFrame = {
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val feats = dsirFeatsCol(textCol, ratio.length, maxFeatures, ngram)
+    docs
       .withColumn("n_feat", size(feats).cast("long"))
       .withColumn("weight_r", dsirWeightOf(feats, ratio))
       .withColumn("rate_ppm", least(lit(1000000L),
@@ -495,7 +522,7 @@ object Mixing {
           lit(basePpm) * floor(least(col("weight_r"), lit(maxW)) * 1000)
             .cast("long"),
           lit(1000L))))
-    scored.filter(ppmHash(idCol) % 1000000 < col("rate_ppm"))
+      .filter(ppmHash(idCol) % 1000000 < col("rate_ppm"))
   }
 
   /** [[dsirRateMixDocs]] with the ratio table derived in place (the

@@ -113,6 +113,9 @@ object Curation {
              decontamBloomFpp: Option[Double] = None,
              decontamScrubSpans: Option[Int] = None,
              temperatureBudget: Option[Long] = None,
+             dsirTarget: Option[DataFrame] = None,
+             dsirBudget: Long = 0L,
+             dsirMaxW: Double = 1000.0,
              packBudget: Long = 2048,
              audit: Boolean = true): (DataFrame, Report) = {
     val outClash = docs.columns.filter(Seq("n_tokens", "pack_id").contains)
@@ -266,20 +269,36 @@ object Curation {
       }
     })
 
-    // 5. mixing: static per-source rates, or — when `temperatureBudget`
-    // is set — the n^(1/2) temperature rebalance ([[Mixing
-    // .temperatureMixDocs]]), which derives the rates from the surviving
-    // corpus itself instead of a fixed table. Temperature wins if both
-    // are given (a fixed table AND a budget is a contradiction — the
-    // budget IS the rate policy).
-    val mixIsNoop = temperatureBudget.isEmpty &&
+    // 5. mixing: static per-source rates; the n^(1/2) temperature
+    // rebalance when `temperatureBudget` is set; or — when `dsirTarget`
+    // is set — DSIR-WEIGHTED sampling ([[Mixing.dsirRateMix]]): keep
+    // probability proportional to the document's importance weight
+    // against the target slice, normalized to `dsirBudget` expected
+    // documents. Precedence dsir > temperature > rates (each stronger
+    // policy subsumes the weaker one's intent — a content-aware budget
+    // beats a per-source budget beats a fixed table); the sampler runs
+    // over the DECONTAMINATED pool, the DSIR paper's placement (score
+    // clean data, then sample).
+    val mixIsNoop = dsirTarget.isEmpty && temperatureBudget.isEmpty &&
       mixRatesMilli.isEmpty && mixDefaultMilli == 1000
-    val mixed = temperatureBudget match {
-      case Some(b) => stage(Mixing.temperatureMixDocs(decontam, idCol,
-        sourceCol, b))
-      case None if mixIsNoop => decontam
-      case None => stage(Mixing.rateMix(decontam, idCol, sourceCol,
-        mixRatesMilli, mixDefaultMilli))
+    val mixed = dsirTarget match {
+      case Some(tgt) =>
+        require(dsirBudget >= 1, "dsirTarget needs dsirBudget >= 1")
+        val clash = docs.columns
+          .filter(Seq("n_feat", "weight_r", "rate_ppm").contains)
+        require(clash.isEmpty,
+          s"input already has DSIR audit column(s) ${clash.mkString(", ")}" +
+            " — rename them before curation")
+        stage(Mixing.dsirRateMix(decontam, idCol, textCol, tgt, textCol,
+          dsirBudget, maxW = dsirMaxW)
+          .drop("n_feat", "weight_r", "rate_ppm"))
+      case None => temperatureBudget match {
+        case Some(b) => stage(Mixing.temperatureMixDocs(decontam, idCol,
+          sourceCol, b))
+        case None if mixIsNoop => decontam
+        case None => stage(Mixing.rateMix(decontam, idCol, sourceCol,
+          mixRatesMilli, mixDefaultMilli))
+      }
     }
 
     // 6. packing: token budget per source shard

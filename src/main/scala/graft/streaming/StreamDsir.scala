@@ -43,4 +43,29 @@ object StreamDsir {
     (batch: DataFrame) =>
       Mixing.dsirScoreWith(batch, idCol, textCol, ratio, maxFeatures, ngram)
   }
+
+  /** The frozen-book SAMPLER (q103's weight-proportional ppm gate as a
+    * stream stage): the ratio book AND the normalization base freeze
+    * over the seed corpus — `basePpm = budgetPerSeed·10⁹ div Σ w_milli
+    * (seed)` — so every document's keep rate is a pure function of its
+    * content, independent of arrival time (replays keep identical
+    * rows; a batch equal to the seed corpus keeps exactly the q103
+    * set — StreamDsirSpec pins both). `budgetPerSeed` is the expected
+    * kept count per seed-corpus volume: a stream slice keeps
+    * proportionally to its volume × its target-likeness relative to
+    * the seed (the honest semantics of a frozen rate; the raw-drift
+    * caveat of the scorer applies to the base too — re-derive per
+    * release). */
+  def sampler(seedRaw: DataFrame, target: DataFrame, idCol: String,
+              textCol: String, budgetPerSeed: Long, buckets: Int = 1024,
+              maxFeatures: Int = 64, ngram: Int = 1,
+              maxW: Double = 1000.0): DataFrame => DataFrame = {
+    val ratio = Mixing.dsirRatio(seedRaw, textCol, target, textCol,
+      buckets, ngram)
+    val basePpm = Mixing.dsirBasePpm(seedRaw, textCol, ratio,
+      budgetPerSeed, maxFeatures, ngram, maxW)
+    (batch: DataFrame) =>
+      Mixing.dsirSampleWith(batch, idCol, textCol, ratio, basePpm,
+        maxFeatures, ngram, maxW)
+  }
 }

@@ -265,4 +265,38 @@ class CurationSpec extends AnyFunSuite {
       == Set(1L, 2L, 3L, 4L))
     assert(r0.nAfterUrlGate == -1L)
   }
+
+  test("DSIR sampling stage: engages over the decontaminated pool, wins " +
+    "precedence over temperature and rates, keeps the funnel schema, " +
+    "and skews the kept set toward the target slice") {
+    // target slice: english documents — the q99/q103 fixture shape
+    val target = docs.filter(col("lang") === "en").select(col("text"))
+    val (outD, rD) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      mixRatesMilli = Map("src0" -> 1000), // would keep everything
+      temperatureBudget = Some(1000000L),  // would keep everything
+      dsirTarget = Some(target), dsirBudget = 15L)
+    assert(rD.nAfterMix < rD.nAfterDecontam, "dsir sampling dropped nothing")
+    assert(rD.nAfterMix > 0L)
+    // expected kept ~= budget (ppm-gate variance allows generous slack)
+    assert(math.abs(rD.nAfterMix - 15L) <= 15L,
+      s"kept ${rD.nAfterMix} strays too far from the budget of 15")
+    // audit columns must not leak into the funnel output
+    val (outBase, _) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256)
+    assert(outD.columns.sorted.toSeq == outBase.columns.sorted.toSeq)
+    // direction: the kept pool's english share must not fall below the
+    // decontaminated pool's (importance weights favor the target slice)
+    val keptEn = outD.filter(col("lang") === "en").count().toDouble /
+      math.max(1L, outD.count())
+    info(f"kept english share: $keptEn%.2f")
+    assert(keptEn > 0.0, "the sampler kept no target-like documents")
+    // determinism end to end
+    val (outD2, rD2) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      dsirTarget = Some(target), dsirBudget = 15L)
+    assert(rD2.nAfterMix == rD.nAfterMix)
+    assert(outD2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      outD.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -46,4 +46,29 @@ class StreamDsirSpec extends AnyFunSuite {
     val reversed = slices.reverse.map(s => wmap(score(s))).reduce(_ ++ _)
     assert(reversed == whole, "arrival order leaked into frozen-book weights")
   }
+
+  test("frozen-rate sampler: a batch equal to the seed keeps EXACTLY the " +
+    "batch operator's set; slices keep the same rows as the whole; " +
+    "replay is identity") {
+    val sample = StreamDsir.sampler(docs, target, "doc_id", "text",
+      budgetPerSeed = 15L)
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val whole = kept(sample(docs))
+    val batch = kept(Mixing.dsirRateMix(docs, "doc_id", "text", target,
+      "text", budget = 15L))
+    assert(whole == batch,
+      "frozen-rate sampler diverged from the batch sampler on the seed")
+    assert(whole.nonEmpty)
+    // slicing invariance: the same rows survive regardless of batching
+    val slices = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1),
+      docs.filter(col("doc_id") % 3 === 2))
+    val together = slices.map(s => kept(sample(s))).reduce(_ ++ _)
+    assert(together == whole,
+      "a document's sampling decision changed with its batch company")
+    // replay: pure filter, identical rows
+    assert(kept(sample(docs)) == whole)
+  }
 }
