@@ -323,6 +323,38 @@ object Multimodal {
     }
   }
 
+  /** Unified MEDIA inspection — [[inspectImages]] widened to the video
+    * containers: stills and WAV parse through [[ImageHeader]] (width/
+    * height/bit depth, no duration), MP4 and WebM through
+    * [[VideoHeader]] (pure byte-walk of the container — REAL format,
+    * dimensions and duration without any codec; frame decode remains
+    * the labeled stub elsewhere). Unrecognized payloads keep their row
+    * with null metadata — filtering is the caller's policy. */
+  def inspectMedia(df: DataFrame, bytesCol: String, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("bit_depth", IntegerType),
+      StructField("duration_ms", LongType)))
+    decodePartitions(df, bytesCol, idCol, outSchema) { (id, bytes) =>
+      val nb = if (bytes == null) 0 else bytes.length
+      ImageHeader.parse(bytes) match {
+        case Some(m) => Row(id, nb, m.format, m.width, m.height,
+          m.bitDepth, null)
+        case None => VideoHeader.parse(bytes) match {
+          case Some(v) => Row(id, nb, v.format,
+            if (v.width > 0) v.width else null,
+            if (v.height > 0) v.height else null, null,
+            if (v.durationMs >= 0) v.durationMs else null)
+          case None => Row(id, nb, null, null, null, null, null)
+        }
+      }
+    }
+  }
+
   /** FALLBACK for payloads [[resizeImage]] cannot read: samples
     * `outW*outH*3` bytes from the payload on a fixed stride (same
     * 3-bytes-per-pixel shape as the real path), keeping the pipeline
