@@ -536,6 +536,75 @@ object Mixing {
       dsirRatio(docs, textCol, target, targetTextCol, buckets, ngram),
       budget, maxFeatures, ngram, maxW)
 
+  /** [[dsirRateMixDocs]] in TOKEN units — the doc/token duality the
+    * temperature mixers already have ([[temperatureMix]] vs
+    * [[temperatureMixTokens]]), applied to importance resampling: the
+    * keep rate is still weight-proportional per DOCUMENT (membership
+    * stays document-granular), but the normalization targets an
+    * EXPECTED KEPT TOKEN total — `base = budgetTokens·10⁹ div
+    * Σ(w_milli·n_tok)`, so E[Σ kept tokens] = budgetTokens. The right
+    * unit when sources differ in document length: a doc-budget sampler
+    * hands long books and short web pages the same budget share per
+    * DOCUMENT, silently skewing the trained-token mixture toward
+    * whichever length class the weights favor. Token counts ride the
+    * scan (codegen'd [[graft.functions.TokenStats]], the engine-wide
+    * whitespace convention the oracle replays as `len(tokens)`); all
+    * other arithmetic is [[dsirRateMixDocs]]' integer contract, q105's
+    * oracle replays it end to end. */
+  def dsirRateMixTokensDocs(docs: DataFrame, idCol: String,
+                            textCol: String, ratio: IndexedSeq[Double],
+                            budgetTokens: Long, maxFeatures: Int = 64,
+                            ngram: Int = 1,
+                            maxW: Double = 1000.0): DataFrame =
+    dsirSampleWith(docs, idCol, textCol, ratio,
+      dsirBaseTokPpm(docs, textCol, ratio, budgetTokens, maxFeatures,
+        ngram, maxW),
+      maxFeatures, ngram, maxW)
+
+  /** Token-unit normalization base: `budgetTokens·10⁹ div Σ(w_milli ·
+    * n_tok)` — one map-side-combined scalar agg, integer throughout.
+    * Token-free (or NULL-text) documents contribute nothing to the
+    * denominator: they consume no token budget, though their (weight-1)
+    * keep rate still applies — membership stays document-granular. */
+  private[graft] def dsirBaseTokPpm(docs: DataFrame, textCol: String,
+                                    ratio: IndexedSeq[Double],
+                                    budgetTokens: Long, maxFeatures: Int,
+                                    ngram: Int, maxW: Double): Long = {
+    require(ratio.length >= 2, "ratio table needs at least 2 buckets")
+    require(budgetTokens >= 1 && budgetTokens <= 1000000000000L,
+      "token budget must be in [1, 1e12]")
+    require(maxW >= 0.001 && maxW <= 1000000.0,
+      "maxW must be in [0.001, 1e6]")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
+    val feats = dsirFeatsCol(textCol, ratio.length, maxFeatures, ngram)
+    val wMilli = floor(least(dsirWeightOf(feats, ratio), lit(maxW)) * 1000)
+      .cast("long")
+    val nTok = coalesce(graft.functions.TokenStats(col(textCol))
+      .getField("n_tokens").cast("long"), lit(0L))
+    val wRow = docs.select(sum(wMilli * nTok).as("w")).head()
+    require(!wRow.isNullAt(0), "empty corpus: nothing to sample")
+    val totalW = wRow.getLong(0)
+    require(totalW >= 1,
+      "zero weighted token mass — every document is token-free or " +
+        "weight-clipped to zero")
+    val basePpm = budgetTokens * 1000000000L / totalW
+    require(basePpm <= Long.MaxValue / math.max(1L, (maxW * 1000).toLong),
+      "budget/weight combination overflows the ppm arithmetic — lower " +
+        "maxW or the budget")
+    basePpm
+  }
+
+  /** [[dsirRateMixTokensDocs]] with the ratio table derived in place. */
+  def dsirRateMixTokens(docs: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame, targetTextCol: String,
+                        budgetTokens: Long, buckets: Int = 1024,
+                        maxFeatures: Int = 64, ngram: Int = 1,
+                        maxW: Double = 1000.0): DataFrame =
+    dsirRateMixTokensDocs(docs, idCol, textCol,
+      dsirRatio(docs, textCol, target, targetTextCol, buckets, ngram),
+      budgetTokens, maxFeatures, ngram, maxW)
+
   /** LEAKAGE-SAFE train/val split: a near-duplicate cluster is assigned
     * to a split ATOMICALLY, so no near-dup pair ever straddles the
     * boundary — the failure mode a plain per-document hash split cannot

@@ -1840,8 +1840,72 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q105: DSIR resampling in TOKEN units ([[graft.operators.Mixing
+    * .dsirRateMixTokens]]) — q103's weight-proportional gate normalized
+    * to an expected kept-TOKEN total (the doc/token duality q74/q81
+    * established for temperature mixing): `base = budget·10⁹ div
+    * Σ(w_milli·n_tok)`. The oracle replays the q99 weight chain, the
+    * whitespace token counts, the weighted token mass, and the gate. */
+  val q105 = Q(
+    "q105_dsir_token_mix",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |tw AS (SELECT doc_id, w, ${sqlHash("w")} % 1024 AS b
+       |       FROM tok WHERE w <> ''),
+       |rawb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw GROUP BY b),
+       |rawt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM rawb),
+       |ttok AS (SELECT unnest($sqlToks) AS w FROM documents WHERE lang = 'en'),
+       |ttw AS (SELECT ${sqlHash("w")} % 1024 AS b FROM ttok WHERE w <> ''),
+       |tgtb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM ttw GROUP BY b),
+       |tgtt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tgtb),
+       |grid AS (SELECT CAST(g.b AS BIGINT) AS b FROM range(0, 1024) g(b)),
+       |ratio AS (SELECT grid.b,
+       |                 CAST(COALESCE(tgtb.c, 0) * 1000000 // tgtt.t + 1 AS DOUBLE)
+       |               / CAST(COALESCE(rawb.c, 0) * 1000000 // rawt.t + 1 AS DOUBLE)
+       |                 AS rr
+       |          FROM grid
+       |          LEFT JOIN rawb ON rawb.b = grid.b
+       |          LEFT JOIN tgtb ON tgtb.b = grid.b, rawt, tgtt),
+       |rlist AS (SELECT list(rr ORDER BY b) AS arr FROM ratio),
+       |feats AS (SELECT doc_id, list_sort(list(DISTINCT b)) AS fb
+       |          FROM tw GROUP BY doc_id),
+       |capped AS (SELECT doc_id, fb[1:64] AS fb FROM feats),
+       |scored AS (SELECT doc_id, CAST(len(fb) AS BIGINT) AS n_feat,
+       |                  ROUND(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+       |                    list_transform(fb, x -> arr[CAST(x AS INTEGER) + 1])),
+       |                    (p, q) -> p * q), 6) AS weight_r
+       |           FROM capped, rlist),
+       |tk AS (SELECT doc_id, CAST(COALESCE(len($sqlToks), 0) AS BIGINT) AS nt
+       |       FROM documents),
+       |allw AS (SELECT d.doc_id, tk.nt,
+       |                CAST(COALESCE(scored.n_feat, 0) AS BIGINT) AS n_feat,
+       |                COALESCE(scored.weight_r, 1.0) AS weight_r
+       |         FROM documents d
+       |         JOIN tk ON tk.doc_id = d.doc_id
+       |         LEFT JOIN scored ON d.doc_id = scored.doc_id),
+       |wm AS (SELECT doc_id, n_feat, weight_r, nt,
+       |              CAST(floor(least(weight_r, 1000.0) * 1000) AS BIGINT)
+       |                AS wmilli
+       |       FROM allw),
+       |tot AS (SELECT CAST(SUM(wmilli * nt) AS BIGINT) AS w FROM wm),
+       |base AS (SELECT CAST(5000000000000 AS BIGINT) // w AS bp FROM tot)
+       |SELECT doc_id, n_feat, weight_r,
+       |       CAST(least(1000000, base.bp * wm.wmilli // 1000) AS BIGINT)
+       |         AS rate_ppm
+       |FROM wm, base
+       |WHERE ((${sqlHash("CAST(doc_id AS VARCHAR)")} * 2654435761)
+       |       % $P) % 1000000
+       |      < least(1000000, base.bp * wm.wmilli // 1000)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    Mixing.dsirRateMixTokens(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text", budgetTokens = 5000L,
+      buckets = 1024, maxFeatures = 64)
+      .select("doc_id", "n_feat", "weight_r", "rate_ppm")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99, q100, q101, q103, q104)
+    q96, q98, q99, q100, q101, q103, q104, q105)
 }

@@ -395,4 +395,35 @@ class MixingSpec extends AnyFunSuite {
     assert(graft.PlanChecks.shuffleExchanges(plan) == 0,
       s"the sampling filter must ride the scan:\n$plan")
   }
+
+  test("dsirRateMixTokens: kept TOKEN mass tracks the token budget, and " +
+    "target-like token mass dominates at the same budget") {
+    // even ids speak the target vocabulary, odd ids a disjoint one;
+    // token counts vary 2..8 so the doc/token unit difference is real
+    val corpus = (0L until 200L).map { i =>
+      val n = (i % 7 + 2).toInt
+      val w = if (i % 2 == 0) "alpha" else "zulu"
+      (i, (Seq.fill(n)(w) :+ s"v$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") % 2 === 0)
+    val kept = Mixing.dsirRateMixTokens(corpus, "doc_id", "text", target,
+      "text", budgetTokens = 200L, buckets = 256, maxFeatures = 16)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+    val total = kept.map(_._2).sum
+    val onTok = kept.filter(_._1 % 2 == 0).map(_._2).sum
+    val offTok = kept.filter(_._1 % 2 == 1).map(_._2).sum
+    info(s"kept token mass: $total (on-target $onTok / off-target $offTok) " +
+      "at budget 200")
+    // expectation equals the budget; ppm-gate + short-corpus variance
+    assert(math.abs(total - 200L) <= 150L,
+      s"kept token mass $total strays too far from the 200-token budget")
+    assert(onTok >= 5 * math.max(1L, offTok),
+      s"token mass direction failed: $onTok on vs $offTok off")
+    // determinism
+    val again = Mixing.dsirRateMixTokens(corpus, "doc_id", "text", target,
+      "text", budgetTokens = 200L, buckets = 256, maxFeatures = 16)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+  }
 }
