@@ -145,6 +145,40 @@ object AnnRecall {
       excludeSelf = true)
       .groupBy("qid", "cell").agg(first("visits").as("v"))
       .agg(sum("v")).head.getLong(0)
+    // the STREAMED-GROWN twin of the sharded tier: SAME quantizer and
+    // serving knobs, but the index bootstraps on the id-ordered first
+    // half of the corpus and absorbs the rest through the streaming
+    // maintainer in three micro-batches — so the row isolates what
+    // continuous ingestion (incremental per-cell inserts in arrival
+    // order instead of one ascending-id batch build) does to the
+    // SERVED recall/cost point. The saturating probe is exactness-
+    // pinned on both indexes (StreamGraphShardsSpec); this row
+    // measures the production knobs.
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-stream-shards").toString
+    locally {
+      val cuts = corpus.stat.approxQuantile(idCol,
+        Array(0.5, 0.75, 0.875), 0.0).map(_.toLong)
+      val idL = col(idCol).cast("long")
+      val sgs = graft.streaming.StreamGraphShards
+      sgs.bootstrap(corpus.sparkSession, streamDir,
+        corpus.filter(idL < cuts(0)), idCol, vecCol,
+        Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
+          centroidEvery))
+      val maint = sgs.maintainer(corpus.sparkSession, streamDir, idCol,
+        vecCol)
+      maint(corpus.filter(idL >= cuts(0) && idL < cuts(1)), 1L)
+      maint(corpus.filter(idL >= cuts(1) && idL < cuts(2)), 2L)
+      maint(corpus.filter(idL >= cuts(2)), 3L)
+    }
+    def streamSharded(kk: Int) = graft.streaming.StreamGraphShards
+      .topKBatch(queries, idCol, vecCol, streamDir, kk, shardedNprobe,
+        shardedEf)
+    lazy val streamShardedCost: Long = graft.streaming.StreamGraphShards
+      .candidates(queries, idCol, vecCol, streamDir, shardedNprobe,
+        shardedEf, excludeSelf = true)
+      .groupBy("qid", "cell").agg(first("visits").as("v"))
+      .agg(sum("v")).head.getLong(0)
     val strideTier = Seq(
       measure("lsh", mp(k, 0), mp(nAll, 0).count()),
       measure("lsh_mp1", mp(k, 1), mp(nAll, 1).count()),
@@ -154,6 +188,7 @@ object AnnRecall {
       measure("graph_ef64", GraphAnn.graphTopKBatch(
         queries, idCol, vecCol, graph, k, ef = 64), graphCost),
       measure("graph_sharded", sharded(k), shardedCost),
+      measure("graph_stream_sharded", streamSharded(k), streamShardedCost),
       measure("pq_adc", adc(k), adc(nAll).count()),
       // stage-2 rows == cand by construction; count the plan anyway
       measure("pq_adc_rerank", rerank(k), rerank(pqCand).count()))

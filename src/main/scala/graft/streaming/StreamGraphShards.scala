@@ -227,6 +227,28 @@ object StreamGraphShards {
     serveProbed(probed, idCol, dir, k, ef, excludeSelf)
   }
 
+  /** Candidate stage with the measured walk cost attached — the
+    * streamed tier's [[GraphShards.shardedCandidates]]: one row per
+    * beam hit (qid, id, cos_r, cell, visits), `visits` constant across
+    * a (qid, cell) walk's rows. [[graft.operators.AnnRecall]] reads
+    * the cost axis of the STREAMED-GROWN index from here, so the
+    * sidecar's `graph_stream_sharded` row measures the same two axes
+    * as its batch-built twin. */
+  def candidates(queries: DataFrame, idCol: String, vecCol: String,
+                 dir: String, nprobe: Int, ef: Int,
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && ef >= 1, "need nprobe >= 1 and ef >= 1")
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$dir/boot/centroids")
+    val probed = GraphShards.bruteProbe(queries, idCol, vecCol, cents,
+      nprobe)
+    val manifest = readManifest(dir)
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    GraphShards.walkShards(probed, idCol,
+      loadShardRows(spark, dir, manifest, cells), ef, excludeSelf)
+  }
+
   private def serveProbed(probed: DataFrame, idCol: String, dir: String,
                           k: Int, ef: Int,
                           excludeSelf: Boolean): DataFrame = {

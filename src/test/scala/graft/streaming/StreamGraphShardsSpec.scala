@@ -165,6 +165,54 @@ class StreamGraphShardsSpec extends AnyFunSuite {
     assert(after == before, "vacuum disturbed a search")
   }
 
+  test("streamed-grown index vs batch-built index: saturating knobs " +
+    "serve IDENTICAL results (the audit's graph_stream_sharded row " +
+    "measures pure insertion-order effects, not a different operator); " +
+    "candidates exposes the per-walk visit cost") {
+    val dir = Files.createTempDirectory("graft-sgs-twin").toString
+    val cts = cents.localCheckpoint(true)
+    // streamed: bootstrap on the first half, absorb the rest in batches
+    StreamGraphShards.bootstrap(spark, dir, emb.filter(col("vec_id") < 250),
+      "vec_id", "embedding", cts)
+    val maintain = StreamGraphShards.maintainer(spark, dir,
+      "vec_id", "embedding")
+    maintain(emb.filter(col("vec_id") >= 250 && col("vec_id") < 375), 1L)
+    maintain(emb.filter(col("vec_id") >= 375), 2L)
+    // batch: one ascending-id build over the SAME corpus and quantizer
+    val batchDir = Files.createTempDirectory("graft-sgs-twin-b").toString
+    graft.operators.GraphShards.buildShardedIndex(emb, "vec_id",
+      "embedding", cts, batchDir)
+    val queries = emb.filter(col("vec_id").isin(1L, 200L, 450L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    // saturating ef: every walk visits its whole cell, so BOTH indexes
+    // equal the exact scan of the probed cells — adjacency differences
+    // from insertion history cannot show, which is the control that the
+    // two paths serve the same SEARCH (recall differences at production
+    // ef are then attributable to insertion order alone)
+    val streamed = rows(StreamGraphShards.topKBatch(queries, "vec_id",
+      "embedding", dir, k = 10, nprobe = 3, ef = 300))
+    val batch = rows(graft.operators.GraphShards.shardedTopKBatch(queries,
+      "vec_id", "embedding", batchDir, k = 10, nprobe = 3, ef = 300))
+    assert(streamed == batch,
+      "streamed-grown index diverged from the batch build at saturation")
+    // the cost surface: one row per beam hit, visits constant per
+    // (qid, cell) walk and >= the hits that walk emitted
+    val cand = StreamGraphShards.candidates(queries, "vec_id", "embedding",
+      dir, nprobe = 2, ef = 16)
+    val perWalk = cand.groupBy("qid", "cell")
+      .agg(org.apache.spark.sql.functions.countDistinct("visits").as("nv"),
+        org.apache.spark.sql.functions.count("*").as("hits"),
+        org.apache.spark.sql.functions.max("visits").as("v"))
+      .collect()
+    assert(perWalk.nonEmpty)
+    assert(perWalk.forall(_.getLong(2) == 1L),
+      "visits must be constant across one (qid, cell) walk's rows")
+    assert(perWalk.forall(r => r.getLong(4) >= r.getLong(3)),
+      "a walk cannot emit more hits than it visited")
+  }
+
   test("graph-probed serving over the streamed index: saturating " +
     "efProbe equals the brute-probed search") {
     val dir = Files.createTempDirectory("graft-sgs-gp").toString
