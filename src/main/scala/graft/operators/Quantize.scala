@@ -406,7 +406,7 @@ object Quantize {
     * the single-query shape q102 pins. */
   def twoLevelTrainExact(df: DataFrame, idCol: String, vecCol: String,
                          every1: Int, every2: Int,
-                         iters1: Int = 2, iters2: Int = 2,
+                         iters1: Int = 6, iters2: Int = 6,
                          maxCentroids: Int = 65536): Similarity.TwoLevelCodebooks = {
     graft.functions.NearestCentroid.ensureRegistered(df.sparkSession)
     val cents1 = kmeansTrainExact(df, idCol, vecCol, every1, iters1,
@@ -434,14 +434,18 @@ object Quantize {
     * [[twoLevelTrainExact]] books, then [[graft.operators.Similarity
     * .ivfTopKTwoLevel]]'s hierarchical probe + exact rerank against
     * them. The (nprobe1, nprobe2) defaults are the measured MATCHED-COST
-    * knobs from the `ann_recall`/`ann_cost` sidecar (≈116 rows/query vs
-    * stride two-level's 134 at (3,2), recall 0.40 vs 0.29 at sf0.1/64
+    * knobs from the `ann_recall`/`ann_cost` sidecar (≈111 rows/query vs
+    * stride two-level's 134 at (3,2), recall 0.41 vs 0.29 at sf0.1/64
     * queries) — the best probed operating point on the frontier, now
-    * oracle-gated. */
+    * oracle-gated. The iteration defaults (6+6) are the measured knee
+    * where this replayable trainer MATCHES driver-sample Lloyd's at
+    * equal serving cost (0.408 vs 0.403 @ ~5 fewer rows/query; 2+2 had
+    * paid −0.05 recall for replayability, and the sweep 2→3→4→6 read
+    * 0.356/0.377/0.370/0.408 ±0.02). */
   def ivfTopKTwoLevelTrained(df: DataFrame, idCol: String, vecCol: String,
                              queryId: Long, k: Int,
                              every1: Int, every2: Int,
-                             iters1: Int = 2, iters2: Int = 2,
+                             iters1: Int = 6, iters2: Int = 6,
                              nprobe1: Int = 6, nprobe2: Int = 20): DataFrame = {
     val cb = twoLevelTrainExact(df, idCol, vecCol, every1, every2,
       iters1, iters2)

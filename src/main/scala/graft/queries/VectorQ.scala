@@ -713,7 +713,13 @@ object VectorQ {
     * source CTE, with every derived CTE name prefixed `p` — the
     * generalization that lets q102 train the RESIDUAL book (source =
     * the residual table, prefix `r`) with the identical id-ordered
-    * arithmetic. `${p}c$iters` is the trained codebook. */
+    * arithmetic. `${p}c$iters` is the trained codebook. The codebook
+    * CTEs are `AS MATERIALIZED`: DuckDB inlines plain CTEs per
+    * REFERENCE, and each round references the previous codebook twice,
+    * so an unrolled chain re-expands exponentially in `iters` (at 6
+    * rounds the inlined plan exhausted a 20k fd limit re-opening the
+    * source parquet); materialization makes the replay linear, exactly
+    * one evaluation per round — semantics unchanged. */
   private def sqlKmeansItersOn(src: String, vcol: String, p: String,
                                every: Int, iters: Int): String = {
     val blocks = (0 until iters).map { i =>
@@ -733,14 +739,14 @@ object VectorQ {
          |            FROM ${p}a$i a JOIN $src e USING (vec_id),
          |                 UNNEST(range(1, len(e.$vcol) + 1)) t(i)) ${p}s$i
          |      GROUP BY cell, pos),
-         |${p}c${i + 1} AS (SELECT g.cent_id,
+         |${p}c${i + 1} AS MATERIALIZED (SELECT g.cent_id,
          |             list(COALESCE(m.v, g.x0) ORDER BY g.pos) AS cv
          |      FROM (SELECT c.cent_id, t.i AS pos, c.cv[t.i] AS x0
          |            FROM ${p}c$i c, UNNEST(range(1, len(c.cv) + 1)) t(i)) g
          |      LEFT JOIN ${p}m$i m ON m.cell = g.cent_id AND m.pos = g.pos
          |      GROUP BY g.cent_id)""".stripMargin
     }
-    s"""${p}c0 AS (SELECT vec_id AS cent_id,
+    s"""${p}c0 AS MATERIALIZED (SELECT vec_id AS cent_id,
        |             list_transform($vcol, x -> CAST(x AS DOUBLE)) AS cv
        |      FROM $src WHERE vec_id % $every = 0),
        |${blocks.mkString(",\n")}""".stripMargin
@@ -807,23 +813,26 @@ object VectorQ {
   /** q102: the TRAINED two-level quantizer under the oracle gate —
     * q97's exact-replay discipline extended to BOTH codebook levels
     * ([[graft.operators.Quantize.twoLevelTrainExact]]): the oracle
-    * replays two full Lloyd rounds over the corpus for the level-1 book
+    * replays SIX full Lloyd rounds over the corpus for the level-1 book
     * ([[sqlKmeansItersOn]], unrolled), the serving cosine cell1
-    * assignment, the residual table `v − c1[cell1]`, two MORE Lloyd
+    * assignment, the residual table `v − c1[cell1]`, six MORE Lloyd
     * rounds over those residuals for the level-2 book, both
     * assignments, and q71's hierarchical probe + exact rerank — at the
     * measured matched-cost knobs (nprobe 6/20, the best probed
-    * operating point on the recall-vs-cost frontier). Codebook SIZES
-    * match the q70/q71 stride twins (every 50/37), so the green row
-    * pins codebook QUALITY, not configuration drift. */
+    * operating point on the recall-vs-cost frontier; 6+6 is the
+    * measured iteration knee where the replayable trainer matches
+    * driver-sample Lloyd's recall at equal scan cost — see
+    * [[graft.operators.Quantize.ivfTopKTwoLevelTrained]]). Codebook
+    * SIZES match the q70/q71 stride twins (every 50/37), so the green
+    * row pins codebook QUALITY, not configuration drift. */
   val q102 = Q(
     "q102_ann_2level_trained",
-    s"""WITH ${sqlKmeansItersOn("embeddings", "embedding", "k", 50, 2)},
+    s"""WITH ${sqlKmeansItersOn("embeddings", "embedding", "k", 50, 6)},
        |n AS (SELECT vec_id, embedding,
        |             sqrt(${sqlDot("embedding", "embedding")}) AS nrm
        |      FROM embeddings),
        |tc1 AS (SELECT cent_id, cv, sqrt(${sqlDot("cv", "cv")}) AS cn
-       |        FROM kc2),
+       |        FROM kc6),
        |s1 AS (SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
        |              ${sqlDot("n.embedding", "c.cv")} / (n.nrm * c.cn) AS cent_cos
        |       FROM n, tc1 c),
@@ -831,12 +840,12 @@ object VectorQ {
        |    SELECT *, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn
        |    FROM s1) WHERE rn = 1),
-       |res AS (SELECT a.vec_id,
+       |res AS MATERIALIZED (SELECT a.vec_id,
        |               list_transform(range(1, len(a.embedding) + 1),
        |                 i -> CAST(a.embedding[i] AS DOUBLE) - c.cv[i]) AS rvec
        |        FROM a1 a JOIN tc1 c ON c.cent_id = a.cell1),
-       |${sqlKmeansItersOn("res", "rvec", "r", 37, 2)},
-       |rb AS (SELECT cent_id AS cent2_id, cv AS rv FROM rc2),
+       |${sqlKmeansItersOn("res", "rvec", "r", 37, 6)},
+       |rb AS (SELECT cent_id AS cent2_id, cv AS rv FROM rc6),
        |d2 AS (SELECT a.vec_id, a.cell1, rb.cent2_id,
        |              ${sqlResDistT("a.embedding", "c.cv", "rb.rv")} AS dist
        |       FROM a1 a JOIN tc1 c ON c.cent_id = a.cell1, rb),
@@ -863,7 +872,7 @@ object VectorQ {
        |LIMIT 10""".stripMargin) { (s, dir) =>
     graft.operators.Quantize.ivfTopKTwoLevelTrained(
       Tables.embeddings(s, dir), "vec_id", "embedding", queryId = 0L,
-      k = 10, every1 = 50, every2 = 37, iters1 = 2, iters2 = 2,
+      k = 10, every1 = 50, every2 = 37, iters1 = 6, iters2 = 6,
       nprobe1 = 6, nprobe2 = 20)
   }
 
