@@ -148,6 +148,60 @@ object Urls {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Per-domain document cap — the host-level crowding control of the
+    * crawl pipelines (keep at most `cap` pages per registered domain,
+    * so link farms and mirrors cannot crowd the long tail out of a
+    * token budget): each document's HOME domain is the registered
+    * domain of its FIRST extracted URL (the crawl-source stand-in for
+    * a corpus whose provenance URL rides in the text), and within a
+    * domain the survivors are chosen CONTENT-ADDRESSED — smallest
+    * polyhash(id), ascending-id ties, the q53 discipline — so the kept
+    * set is a deterministic function of the corpus, never of
+    * partitioning or arrival order. Documents with NO URL are EXEMPT
+    * (kept, NULL domain/pick): they have no host identity to crowd on,
+    * and silently capping the no-URL group would conflate unrelated
+    * documents under one key.
+    *
+    * Scale shape: the domain derivation rides the scan (in-scan Column
+    * arithmetic, no UDF); the per-domain selection is the [[TopKAgg]]
+    * shape, NOT a window sort — map-side partial aggregation keeps
+    * ≤ cap (hash, id) pairs per domain per partition, so the exchange
+    * carries O(domains · cap · partitions) rows and a mega-domain (the
+    * exact skew the cap exists to suppress) never sorts its full row
+    * set. The smallest-hash order rides the bounded MAX-heap as the
+    * bitwise complement `~hash` — an overflow-free order-reversing
+    * bijection on Long (unary negation would misplace Long.MinValue).
+    * Output is the ids-only selection table (idCol, domain, pick) with
+    * `pick` the 1-based hash rank inside the domain; callers rejoin
+    * the corpus by id, so document text never crosses the exchange. */
+  def perDomainCap(docs: DataFrame, idCol: String, textCol: String,
+                   cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.PolyHash.ensureRegistered(spark)
+    val urls = urlArray(textCol)
+    val withDom = docs.select(col(idCol).cast("long").as("_id"),
+      when(size(urls) > 0, registeredDomain(element_at(urls, 1)))
+        .as("domain"))
+    val linked = withDom.filter(col("domain").isNotNull)
+      .select(col("domain"),
+        bitwise_not(graft.functions.TextAnalysis.strHash(
+          col("_id").cast("string"))).as("s"),
+        col("_id"))
+      .as[(String, Long, Long)]
+    val kept = linked.groupByKey(_._1)
+      .agg(TopKAgg.topKLong(cap)((t: (String, Long, Long)) =>
+        (t._2, t._3)).toColumn.name("picks"))
+      .toDF("domain", "picks")
+      .select(col("domain"), posexplode(col("picks")))
+      .select(col("col._2").as("_id"), col("domain"),
+        (col("pos") + 1).cast("long").as("pick"))
+    val exempt = withDom.filter(col("domain").isNull)
+      .select(col("_id"), col("domain"), lit(null).cast("long").as("pick"))
+    kept.unionByName(exempt).withColumnRenamed("_id", idCol)
+  }
+
   /** Drop every document containing a link to a BLOCKED registered
     * domain. The blocklist is a broadcast-scale set evaluated IN-SCAN
     * (`exists` over the extracted array against an array literal) — no

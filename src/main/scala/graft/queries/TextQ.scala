@@ -1632,11 +1632,27 @@ object TextQ {
     Urls.linkStats(planted, "doc_id", "text").orderBy("doc_id")
   }
 
-  /** DuckDB list literal from a Scala suffix table — q104's oracle
-    * consumes the SAME [[graft.operators.PublicSuffix]] constants the
-    * Spark expression ships, so the two dialects cannot drift. */
+  /** DuckDB list literal from a Scala suffix table — the q104/q106
+    * oracles consume the SAME [[graft.operators.PublicSuffix]]
+    * constants the Spark expression ships, so the two dialects cannot
+    * drift. */
   private def sqlStrList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** The PSL precedence CASE over prepared (host, p, np, l2, l3)
+    * columns — the DuckDB twin of [[graft.operators.Urls
+    * .registeredDomain]], shared by the q104 rollup and the q106
+    * per-domain cap so the eTLD+1 replay is written once. */
+  private val sqlPslCase: String =
+    s"""CASE WHEN np < 2 THEN host
+       |        WHEN list_contains(${sqlStrList(graft.operators.PublicSuffix.Exceptions)}, l2)
+       |             THEN l2
+       |        WHEN np >= 4 AND list_contains(${sqlStrList(graft.operators.PublicSuffix.ThreeLabel)}, l3)
+       |             THEN p[-4] || '.' || l3
+       |        WHEN np >= 3 AND (list_contains(${sqlStrList(graft.operators.PublicSuffix.TwoLabel)}, l2)
+       |                          OR list_contains(${sqlStrList(graft.operators.PublicSuffix.WildcardTlds)}, p[-1]))
+       |             THEN p[-3] || '.' || l2
+       |        ELSE l2 END""".stripMargin
 
   /** q104: PSL-backed registered-domain rollup ([[graft.operators.Urls
     * .domainStats]]) — the planted-recovery audit for the eTLD+1 logic
@@ -1689,16 +1705,7 @@ object TextQ {
        |               p[-2] || '.' || p[-1] AS l2,
        |               p[-3] || '.' || p[-2] || '.' || p[-1] AS l3
        |        FROM parts),
-       |dom AS (SELECT doc_id,
-       |   CASE WHEN np < 2 THEN host
-       |        WHEN list_contains(${sqlStrList(graft.operators.PublicSuffix.Exceptions)}, l2)
-       |             THEN l2
-       |        WHEN np >= 4 AND list_contains(${sqlStrList(graft.operators.PublicSuffix.ThreeLabel)}, l3)
-       |             THEN p[-4] || '.' || l3
-       |        WHEN np >= 3 AND (list_contains(${sqlStrList(graft.operators.PublicSuffix.TwoLabel)}, l2)
-       |                          OR list_contains(${sqlStrList(graft.operators.PublicSuffix.WildcardTlds)}, p[-1]))
-       |             THEN p[-3] || '.' || l2
-       |        ELSE l2 END AS domain
+       |dom AS (SELECT doc_id, $sqlPslCase AS domain
        |   FROM lbl)
        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -1707,6 +1714,52 @@ object TextQ {
       .select(col("doc_id"), pslPlantCol.as("text"))
     graft.operators.Urls.domainStats(planted, "doc_id", "text")
       .orderBy("domain")
+  }
+
+  /** q106: per-domain document cap ([[graft.operators.Urls
+    * .perDomainCap]]) — the host-level crowding control (≤ cap docs
+    * per registered domain, content-addressed survivor choice). The
+    * oracle replays first-URL extraction, the full PSL precedence
+    * ([[sqlPslCase]] — same planted hosts as q104, so every eTLD+1
+    * branch feeds the cap key), the q53 hash order, and the window
+    * rank; no-URL docs come back EXEMPT with NULL domain/pick. The
+    * Spark side serves the same selection through the bounded
+    * [[graft.operators.TopKAgg]] shape (map-side ≤ cap rows per domain
+    * per partition), so the green row pins that the skew-proof
+    * aggregator IS the window semantics. */
+  val q106 = Q(
+    "q106_domain_cap",
+    s"""WITH corpus AS (SELECT doc_id, $sqlPslPlant AS text FROM documents),
+       |f AS (SELECT doc_id,
+       |             regexp_extract(text, '${graft.operators.Urls.UrlRe}', 0) AS url
+       |      FROM corpus),
+       |h AS (SELECT doc_id,
+       |             lower(split_part(split_part(split_part(split_part(
+       |               url, '://', 2), '/', 1), '?', 1), ':', 1)) AS host
+       |      FROM f WHERE url IS NOT NULL AND url <> ''),
+       |lbl AS (SELECT doc_id, host, p, len(p) AS np,
+       |               p[-2] || '.' || p[-1] AS l2,
+       |               p[-3] || '.' || p[-2] || '.' || p[-1] AS l3
+       |        FROM (SELECT doc_id, host, str_split(host, '.') AS p FROM h)),
+       |dom AS (SELECT doc_id, $sqlPslCase AS domain FROM lbl),
+       |hv AS (SELECT doc_id, domain,
+       |              ${sqlHash("CAST(doc_id AS VARCHAR)")} AS hv
+       |       FROM dom),
+       |r AS (SELECT doc_id, domain, ROW_NUMBER() OVER (
+       |        PARTITION BY domain ORDER BY hv, doc_id) AS rn
+       |      FROM hv),
+       |kept AS (SELECT doc_id, domain, CAST(rn AS BIGINT) AS pick
+       |         FROM r WHERE rn <= 3),
+       |exempt AS (SELECT doc_id, CAST(NULL AS VARCHAR) AS domain,
+       |                  CAST(NULL AS BIGINT) AS pick
+       |           FROM f WHERE url IS NULL OR url = '')
+       |SELECT doc_id, domain, pick FROM kept
+       |UNION ALL SELECT doc_id, domain, pick FROM exempt
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val planted = Tables.documents(s, dir)
+      .select(col("doc_id"), pslPlantCol.as("text"))
+    Urls.perDomainCap(planted, "doc_id", "text", cap = 3)
+      .orderBy("doc_id")
   }
 
   /** q99: DSIR-style importance weights ([[graft.operators.Mixing
@@ -1907,5 +1960,5 @@ object TextQ {
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99, q100, q101, q103, q104, q105)
+    q96, q98, q99, q100, q101, q103, q104, q105, q106)
 }

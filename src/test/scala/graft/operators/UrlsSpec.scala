@@ -120,6 +120,53 @@ class UrlsSpec extends AnyFunSuite {
     assert(stats(2L) == ((0L, 0L)), "null text must read zero links/density")
   }
 
+  test("perDomainCap: bounded-aggregator selection equals the window " +
+    "reference, no-URL docs exempt, kept set invariant to partitioning") {
+    // 12 docs on example.com, 2 on mirror.co.uk (PSL branch), 3 no-URL
+    val docs = ((1L to 12L).map(i =>
+      (i, s"see http://example.com/p$i and more")) ++
+      Seq((20L, "a http://www.mirror.co.uk/x"),
+        (21L, "b http://sub.mirror.co.uk/y"),
+        (30L, "plain text"), (31L, "no links here"), (32L, "")))
+      .toDF("doc_id", "text")
+    val got = Urls.perDomainCap(docs, "doc_id", "text", cap = 3)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    // window reference: rank by (polyhash(id), id) within domain
+    val ref = docs.select(col("doc_id"),
+        when(size(regexp_extract_all(col("text"), lit(Urls.UrlRe), lit(0))) > 0,
+          Urls.registeredDomain(element_at(
+            regexp_extract_all(col("text"), lit(Urls.UrlRe), lit(0)), 1)))
+          .as("domain"),
+        graft.functions.TextAnalysis.strHash(col("doc_id").cast("string"))
+          .as("hv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy(col("hv"), col("doc_id"))
+    val refKept = ref.filter(col("domain").isNotNull)
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= 3)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(3))).toSet
+    val refExempt = ref.filter(col("domain").isNull)
+      .collect().map(r => (r.getLong(0), Option.empty[String], -1L)).toSet
+    assert(got == refKept ++ refExempt,
+      s"aggregator selection diverged from the window reference:\n$got")
+    // cap enforced; PSL key separates registrants under co.uk
+    val byDom = got.toSeq.flatMap(t => t._2.map(_ -> t._1)).groupBy(_._1)
+    assert(byDom("example.com").size == 3)
+    assert(byDom("mirror.co.uk").size == 2, // both fit under the cap
+      s"www./sub. mirror.co.uk must share one eTLD+1 key: $byDom")
+    assert(got.count(_._2.isEmpty) == 3, "no-URL docs must all survive")
+    // content-addressed: the kept set ignores partitioning/arrival order
+    val shuffled = Urls.perDomainCap(
+      docs.orderBy(col("doc_id").desc).repartition(7), "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(shuffled == got, "kept set depends on partitioning")
+  }
+
   test("plans stay in-scan: linkStats and dropBlockedDomains take zero " +
     "shuffles; domainStats shuffles only (id, domain) pairs") {
     val d = Seq((1L, "x http://a.example.com/1")).toDF("doc_id", "text")
