@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed LINEAR text classification — the fastText-shaped quality
+  * classifier of the crawl pipelines (CCNet/RefinedWeb/FineWeb-edu all
+  * gate on a cheap linear model over hashed bag-of-words features
+  * before anything expensive runs; reference `hnarchive.py` has no
+  * model tier at all, this is pipeline-extension surface). The design
+  * splits the fastText shape the way PQ split training from serving:
+  *
+  *   - INFERENCE is the product: a document's score is the sum of a
+  *     fixed integer weight table over its hashed token buckets —
+  *     one in-scan `aggregate` fold against a `buckets`-length typed
+  *     literal (the codebook discipline), zero joins, zero shuffles,
+  *     zero UDFs. The weight table is an ARTIFACT parameter, exactly
+  *     like a PQ codebook: train it anywhere, serve it here.
+  *   - The bundled TRAINER is count-derived — per-bucket evidence
+  *     weights `pos_ppm[b] − neg_ppm[b]` (multinomial-naive-Bayes
+  *     shaped, but ADDITIVE integer evidence instead of log-likelihood:
+  *     libm-free, so the whole train+score path replays bitwise in the
+  *     DuckDB oracle, q107). Two bounded bucket aggregations total.
+  *     Gradient-trained weights (the real fastText) drop into the same
+  *     serving path as an opaque artifact.
+  *
+  * Distinct from the DSIR tier ([[Mixing.dsirWeights]]): DSIR computes
+  * MULTIPLICATIVE importance ratios for resampling toward a target
+  * distribution; this tier computes ADDITIVE classification evidence
+  * for a keep/drop gate. Same hashed-feature space (shared
+  * [[Mixing.bucketPpm]] distribution stage), different decisions.
+  *
+  * Integer discipline end to end: ppm weights are |w| ≤ 1e6, so a doc
+  * of 1e9 tokens stays within 1e15 « 2^63 — no overflow at any
+  * realistic document length. Thresholding MULTIPLIES the token count
+  * instead of dividing the score (`score ≥ thr · n_tok`), so the
+  * per-token decision never touches integer-division sign conventions
+  * (trunc vs floor differ across engines on negatives). */
+object Classify {
+
+  /** Count-derived evidence weight table: w[b] = pos_ppm[b] −
+    * neg_ppm[b] over hashed `ngram` features, exact integers in
+    * [−1e6, 1e6]. The positive/negative corpora are the labeled
+    * training slices (e.g. a curated reference vs the raw crawl). */
+  def evidenceWeights(pos: DataFrame, posTextCol: String,
+                      neg: DataFrame, negTextCol: String,
+                      buckets: Int = 1024,
+                      ngram: Int = 1): IndexedSeq[Long] = {
+    require(buckets >= 2, "need at least 2 feature buckets")
+    require(ngram >= 1 && ngram <= 3, "ngram must be in [1, 3]")
+    val p = Mixing.bucketPpm(pos, posTextCol, buckets, ngram, "positive")
+    val n = Mixing.bucketPpm(neg, negTextCol, buckets, ngram, "negative")
+    IndexedSeq.tabulate(buckets)(b => p(b) - n(b))
+  }
+
+  /** The in-scan score expression: Σ over the text's (non-empty,
+    * [[Mixing.dsirFeatStrings]]-contract) features of
+    * `weights[hash(feat) % B]`. Exposed for filter predicates that
+    * should not pay a scoring join. Caller must have
+    * [[graft.functions.PolyHash]] registered. */
+  def scoreExpr(textCol: Column, weights: IndexedSeq[Long],
+                ngram: Int = 1): Column = {
+    val wl = typedlit(weights)
+    aggregate(Mixing.dsirFeatStrings(textCol, ngram), lit(0L),
+      (acc, w) => acc + element_at(wl,
+        (graft.functions.TextAnalysis.strHash(w) % weights.length).cast("int")
+          + 1))
+  }
+
+  /** Score every document against an explicit weight table:
+    * (idCol, n_feat, score_ppm, pred) — `n_feat` the feature count
+    * (tokens for ngram=1), `score_ppm` the integer evidence sum,
+    * `pred` 1 when the evidence is non-negative (the positive class).
+    * Feature-free docs (NULL/empty text) score 0 with pred 1 — nothing
+    * to judge them by, the LM-quality convention; a length gate is the
+    * right tool for empties, not a classifier. One scan, no exchange:
+    * the weight table rides the plan as a literal. */
+  def linearScore(docs: DataFrame, idCol: String, textCol: String,
+                  weights: IndexedSeq[Long], ngram: Int = 1): DataFrame = {
+    require(weights.length >= 2, "weight table needs at least 2 buckets")
+    require(ngram >= 1 && ngram <= 3, "ngram must be in [1, 3]")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol),
+      size(Mixing.dsirFeatStrings(col(textCol), ngram)).cast("long")
+        .as("n_feat"),
+      scoreExpr(col(textCol), weights, ngram).as("score_ppm"))
+      .withColumn("pred",
+        when(col("score_ppm") >= 0, 1L).otherwise(0L))
+  }
+
+  /** Keep documents whose MEAN per-feature evidence clears
+    * `minPerFeatPpm` — the quality gate. The comparison is
+    * `score ≥ thr · n_feat` (multiplication, not division — exact and
+    * sign-convention-free). Feature-free docs pass (see
+    * [[linearScore]]). */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  weights: IndexedSeq[Long], minPerFeatPpm: Long,
+                  ngram: Int = 1): DataFrame = {
+    require(weights.length >= 2, "weight table needs at least 2 buckets")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val nf = size(Mixing.dsirFeatStrings(col(textCol), ngram)).cast("long")
+    docs.filter(
+      scoreExpr(col(textCol), weights, ngram) >= lit(minPerFeatPpm) * nf)
+  }
+}

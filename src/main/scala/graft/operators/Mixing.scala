@@ -380,24 +380,33 @@ object Mixing {
                 ngram: Int = 1): IndexedSeq[Double] = {
     require(buckets >= 2, "need at least 2 feature buckets")
     require(ngram >= 1 && ngram <= 3, "ngram must be in [1, 3]")
-    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
-    def ppmOf(df: DataFrame, tcol: String, what: String): Array[Long] = {
-      val rows = df
-        .select(explode(dsirFeatStrings(col(tcol), ngram)).as("w"))
-        .select((strHash(col("w")) % buckets).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c"))
-        .collect()
-      require(rows.nonEmpty,
-        s"$what corpus has no $ngram-gram features — nothing to model")
-      val counts = new Array[Long](buckets)
-      rows.foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
-      val total = counts.sum
-      counts.map(c => c * 1000000L / total)
-    }
-    val rawPpm = ppmOf(docs, textCol, "raw")
-    val tgtPpm = ppmOf(target, targetTextCol, "target")
+    val rawPpm = bucketPpm(docs, textCol, buckets, ngram, "raw")
+    val tgtPpm = bucketPpm(target, targetTextCol, buckets, ngram, "target")
     IndexedSeq.tabulate(buckets)(b =>
       (tgtPpm(b) + 1).toDouble / (rawPpm(b) + 1).toDouble)
+  }
+
+  /** Hashed-feature bucket distribution of a corpus in integer PPM —
+    * ONE bounded bucket aggregation (output ≤ `buckets` rows), the
+    * distribution stage shared by the DSIR ratio books and the
+    * [[Classify]] evidence weights. ppm values are exact integer
+    * `count · 1e6 / total` (floor), the cross-engine-replayable
+    * arithmetic every oracle twin re-derives. */
+  private[operators] def bucketPpm(df: DataFrame, tcol: String,
+                                   buckets: Int, ngram: Int,
+                                   what: String): Array[Long] = {
+    graft.functions.PolyHash.ensureRegistered(df.sparkSession)
+    val rows = df
+      .select(explode(dsirFeatStrings(col(tcol), ngram)).as("w"))
+      .select((strHash(col("w")) % buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect()
+    require(rows.nonEmpty,
+      s"$what corpus has no $ngram-gram features — nothing to model")
+    val counts = new Array[Long](buckets)
+    rows.foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    val total = counts.sum
+    counts.map(c => c * 1000000L / total)
   }
 
   /** [[dsirWeights]]' SCORING stage against an EXPLICIT per-bucket

@@ -1762,6 +1762,53 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q107: hashed linear quality-classifier inference
+    * ([[graft.operators.Classify]]) — the fastText-shaped gate: a
+    * count-derived integer evidence table (per-bucket
+    * `pos_ppm − neg_ppm`, trained on the lang='en' slice vs the rest)
+    * scored as one in-scan fold per document. The oracle re-derives
+    * BOTH class distributions, the 1024-entry weight list, and every
+    * per-token lookup-sum — transcendental-free, integer end to end,
+    * so train + inference hash-match exactly. The Spark plan scores
+    * with zero joins (the weight table rides as a literal); the
+    * oracle's join formulation is the same arithmetic. */
+  val q107 = Q(
+    "q107_quality_classifier",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |tw AS (SELECT doc_id, w, ${sqlHash("w")} % 1024 AS b
+       |       FROM tok WHERE w <> ''),
+       |posb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw
+       |         JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+       |post AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM posb),
+       |negb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw
+       |         JOIN documents USING (doc_id) WHERE lang <> 'en' GROUP BY b),
+       |negt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM negb),
+       |grid AS (SELECT CAST(g.b AS BIGINT) AS b FROM range(0, 1024) g(b)),
+       |wt AS (SELECT grid.b,
+       |              CAST(COALESCE(posb.c, 0) * 1000000 // post.t AS BIGINT)
+       |            - CAST(COALESCE(negb.c, 0) * 1000000 // negt.t AS BIGINT)
+       |              AS w
+       |       FROM grid
+       |       LEFT JOIN posb ON posb.b = grid.b
+       |       LEFT JOIN negb ON negb.b = grid.b, post, negt),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+       |              CAST(SUM(wt.w) AS BIGINT) AS score_ppm
+       |       FROM tw JOIN wt ON wt.b = tw.b GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(sc.n_feat, 0) AS BIGINT) AS n_feat,
+       |       CAST(COALESCE(sc.score_ppm, 0) AS BIGINT) AS score_ppm,
+       |       CAST(CASE WHEN COALESCE(sc.score_ppm, 0) >= 0
+       |            THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val w = graft.operators.Classify.evidenceWeights(
+      docs.filter(col("lang") === "en"), "text",
+      docs.filter(col("lang") =!= "en"), "text", buckets = 1024)
+    graft.operators.Classify.linearScore(docs, "doc_id", "text", w)
+      .orderBy("doc_id")
+  }
+
   /** q99: DSIR-style importance weights ([[graft.operators.Mixing
     * .dsirWeights]]) — hashed-unigram bucket ppm of the RAW corpus vs
     * the TARGET slice (lang = 'en'), per-bucket ratio `(t_ppm + 1) /
@@ -1960,5 +2007,5 @@ object TextQ {
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99, q100, q101, q103, q104, q105, q106)
+    q96, q98, q99, q100, q101, q103, q104, q105, q106, q107)
 }
