@@ -21,8 +21,16 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing, Redact}
   *   1. quality filter   — drop repetitive documents
   *                         ([[graft.functions.RepetitionStats
   *                         .repetitiveFlag]], the same oracle-pinned
-  *                         predicate as q59), plus — when `lmRefFilter`
-  *                         is set — the LM-likelihood drop
+  *                         predicate as q59); then — when
+  *                         `classifierWeights` is set — the hashed
+  *                         linear classifier gate
+  *                         ([[graft.operators.Classify.qualityGate]],
+  *                         the q107 fastText-shaped model): a FROZEN
+  *                         integer weight artifact scored as one
+  *                         in-scan fold, placed before the LM filter
+  *                         because it needs no training pass; then —
+  *                         when `lmRefFilter` is set — the
+  *                         LM-likelihood drop
   *                         ([[graft.operators.LmQuality.score]], the
   *                         q77 CCNet-style filter): documents scoring
   *                         below `lmMinAvgPpm` under the bigram model
@@ -89,7 +97,8 @@ object Curation {
                           nAfterExact: Long, nAfterNearDup: Long,
                           nAfterDecontam: Long, nAfterMix: Long,
                           nPacks: Long, nAfterBoilerplate: Long = -1L,
-                          nAfterUrlGate: Long = -1L)
+                          nAfterUrlGate: Long = -1L,
+                          nAfterClassifier: Long = -1L)
 
   /** Run the full funnel. Returns the curated corpus with `n_tokens` and
     * `pack_id` appended, plus the per-stage report. Fails at call time if
@@ -103,6 +112,9 @@ object Curation {
              repetitionDupTrigramMilli: Int = 20,
              lmRefFilter: Option[org.apache.spark.sql.Column] = None,
              lmMinAvgPpm: Long = 1000L,
+             classifierWeights: Option[IndexedSeq[Long]] = None,
+             classifierMinPerFeatPpm: Long = 0L,
+             classifierNgram: Int = 1,
              piiRedact: Boolean = false,
              boilerplateSpan: Option[Int] = None,
              nearDupThresholdMilli: Int = 800,
@@ -175,13 +187,25 @@ object Curation {
         col(s"$rsCol.n_trigrams"), col(s"$rsCol.n_distinct_trigrams"),
         repetitionTopBigramMilli, repetitionDupTrigramMilli))
       .drop(rsCol)
+    // 1a'. OPTIONAL hashed-classifier gate (q107 regime): a FROZEN
+    // integer weight artifact, one in-scan fold per document — placed
+    // before the LM filter because it costs no training pass here (the
+    // artifact trained offline, [[graft.operators.Classify
+    // .evidenceWeights]] or any external linear model), and the
+    // cheaper model should spend first.
+    val clsGated = classifierWeights match {
+      case Some(w) => stage(graft.operators.Classify.qualityGate(
+        repClean, idCol, textCol, w, classifierMinPerFeatPpm,
+        classifierNgram))
+      case None => repClean
+    }
     val quality = stage(lmRefFilter match {
       case Some(pred) =>
-        val low = graft.operators.LmQuality.score(repClean, pred, idCol, textCol)
+        val low = graft.operators.LmQuality.score(clsGated, pred, idCol, textCol)
           .filter(col("n_bigrams") > 0 && col("avg_p_ppm") < lmMinAvgPpm)
           .select(col(idCol))
-        repClean.join(low, Seq(idCol), "left_anti")
-      case None => repClean
+        clsGated.join(low, Seq(idCol), "left_anti")
+      case None => clsGated
     })
 
     // 1b. OPTIONAL PII redaction, between quality and dedup — so that
@@ -318,7 +342,9 @@ object Curation {
         packed.select(sourceCol, "pack_id").distinct().count() else -1L,
       nAfterBoilerplate =
         if (boilerplateSpan.isDefined) n(exact) else -1L,
-      nAfterUrlGate = if (urlGateOn) n(urlGated) else -1L)
+      nAfterUrlGate = if (urlGateOn) n(urlGated) else -1L,
+      nAfterClassifier =
+        if (classifierWeights.isDefined) n(clsGated) else -1L)
     (packed, report)
   }
 }

@@ -16,7 +16,14 @@ import graft.store.Snapshots
   *                   ([[graft.operators.Urls]], stateless map-only —
   *                   the batch funnel's first drop stage, unchanged)
   *   1. quality    — the Gopher repetition predicate (stateless, the
-  *                   oracle-pinned q59 expression, unchanged)
+  *                   oracle-pinned q59 expression, unchanged), plus the
+  *                   OPTIONAL hashed-classifier gate
+  *                   ([[graft.operators.Classify.qualityGate]]) against
+  *                   a FROZEN integer weight artifact — the
+  *                   [[StreamDsir]] frozen-book pattern: weights derive
+  *                   once offline, every batch scores statelessly, so
+  *                   the kept set is batch-slicing- and
+  *                   arrival-order-invariant by construction
   *   1b. redact    — OPTIONAL PII redaction ([[graft.operators.Redact
   *                   .redactText]], stateless map-only rewrite) BEFORE
   *                   the dedup claims, so redacted copies claim the same
@@ -99,7 +106,10 @@ object StreamCuration {
               embedMinCos: Double = 0.9,
               piiRedact: Boolean = false,
               urlBlocklist: Seq[String] = Seq.empty,
-              maxLinkDensityMilli: Option[Int] = None)
+              maxLinkDensityMilli: Option[Int] = None,
+              classifierWeights: Option[IndexedSeq[Long]] = None,
+              classifierMinPerFeatPpm: Long = 0L,
+              classifierNgram: Int = 1)
       : (DataFrame, Long) => DataFrame = {
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.WidePolyHash.ensureRegistered(spark)
@@ -146,11 +156,20 @@ object StreamCuration {
             col("_rs.n_trigrams"), col("_rs.n_distinct_trigrams"),
             repetitionTopBigramMilli, repetitionDupTrigramMilli))
           .drop("_rs")
+        // 1a'. optional frozen-weight classifier gate — stateless like
+        // the batch funnel's stage: the artifact never updates
+        // mid-stream, so replay keeps the exact same rows
+        val clsGated = classifierWeights match {
+          case Some(w) => graft.operators.Classify.qualityGate(
+            quality, idCol, textCol, w, classifierMinPerFeatPpm,
+            classifierNgram)
+          case None => quality
+        }
         // 1b. optional PII redaction — stateless rewrite BEFORE the
         // claims so redacted copies claim (and dedup on) the same key
         val redacted =
-          if (piiRedact) graft.operators.Redact.redactText(quality, textCol)
-          else quality
+          if (piiRedact) graft.operators.Redact.redactText(clsGated, textCol)
+          else clsGated
 
         // 2. exact: claim the wide hash of the normalized text;
         // first-writer-wins, claimant recorded => replay-stable. Checkpoint

@@ -266,6 +266,44 @@ class CurationSpec extends AnyFunSuite {
     assert(r0.nAfterUrlGate == -1L)
   }
 
+  test("classifier gate: frozen-weight drop in the quality stage, " +
+    "counted in the report; off by default") {
+    import spark.implicits._
+    val custom = Seq(
+      (1L, "alpha beta gamma alpha beta words", "s0"),
+      (2L, "uno dos tres cuatro uno dos", "s0"),
+      (3L, "alpha uno beta dos gamma tres", "s0")) // balanced -> 0
+      .toDF("doc_id", "text", "source")
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // weight artifact through the operator's own hash: the es-like
+    // vocabulary is negative evidence, the en-like one positive
+    val b = 1024
+    val bkt = Seq("alpha", "beta", "gamma", "uno", "dos", "tres", "cuatro")
+      .toDF("w")
+      .select(col("w"),
+        (graft.functions.TextAnalysis.strHash(col("w")) % b).cast("int")
+          .as("bb"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val w = IndexedSeq.tabulate(b) { i =>
+      if (Seq("alpha", "beta", "gamma").exists(bkt(_) == i)) 500L
+      else if (Seq("uno", "dos", "tres", "cuatro").exists(bkt(_) == i)) -500L
+      else 0L
+    }
+    val (out, r) = Curation.curate(custom, noEval,
+      classifierWeights = Some(w), repetitionTopBigramMilli = 1000)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc2 is pure negative evidence -> drops; doc3 balances to 0 -> keeps
+    assert(kept == Set(1L, 3L), s"classifier gate kept wrong docs: $kept")
+    assert(r.nAfterClassifier == 2,
+      s"classifier count wrong (${r.nAfterClassifier})")
+    // gate off: everything flows, no count reported
+    val (out0, r0) = Curation.curate(custom, noEval,
+      repetitionTopBigramMilli = 1000)
+    assert(out0.select("doc_id").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    assert(r0.nAfterClassifier == -1L)
+  }
+
   test("DSIR sampling stage: engages over the decontaminated pool, wins " +
     "precedence over temperature and rates, keeps the funnel schema, " +
     "and skews the kept set toward the target slice") {

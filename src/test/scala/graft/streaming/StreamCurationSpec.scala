@@ -187,4 +187,41 @@ class StreamCurationSpec extends AnyFunSuite {
     val out = curate(b1, 0L).select("doc_id").as[Long].collect().toSet
     assert(out == Set(1L, 2L), s"URL gate kept wrong docs: $out")
   }
+
+  test("classifier gate: the frozen weight artifact drops per " +
+    "micro-batch exactly like the batch funnel's stage, and slicing " +
+    "cannot change a verdict (stateless scoring)") {
+    val stateDir = Files.createTempDirectory("graft-scur-cls").toString
+    val b = 1024
+    val bkt = Seq("alpha", "beta", "uno", "dos").toDF("w")
+      .select(col("w"),
+        (graft.functions.TextAnalysis.strHash(col("w")) % b).cast("int")
+          .as("bb"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val w = IndexedSeq.tabulate(b) { i =>
+      if (Seq("alpha", "beta").exists(bkt(_) == i)) 500L
+      else if (Seq("uno", "dos").exists(bkt(_) == i)) -500L else 0L
+    }
+    val curate = StreamCuration.curator(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), stateDir,
+      repetitionTopBigramMilli = 1000, classifierWeights = Some(w))
+    val rows = Seq(
+      (1L, "alpha beta alpha words here", "s0"),
+      (2L, "uno dos uno dos uno", "s0"),
+      (3L, "different clean text entirely", "s0"),
+      (4L, "dos uno dos flood spam", "s0"))
+    val oneShot = curate(rows.toDF("doc_id", "text", "source"), 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(oneShot == Set(1L, 3L), s"gate kept wrong docs: $oneShot")
+    // a different slicing over a FRESH state dir: same verdicts per doc
+    val stateDir2 = Files.createTempDirectory("graft-scur-cls2").toString
+    val curate2 = StreamCuration.curator(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), stateDir2,
+      repetitionTopBigramMilli = 1000, classifierWeights = Some(w))
+    val sliced = curate2(rows.take(2).toDF("doc_id", "text", "source"), 0L)
+      .select("doc_id").as[Long].collect().toSet ++
+      curate2(rows.drop(2).toDF("doc_id", "text", "source"), 1L)
+        .select("doc_id").as[Long].collect().toSet
+    assert(sliced == oneShot, "batch slicing changed a classifier verdict")
+  }
 }
