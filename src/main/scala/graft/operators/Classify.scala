@@ -88,6 +88,33 @@ object Classify {
         when(col("score_ppm") >= 0, 1L).otherwise(0L))
   }
 
+  /** Per-source quality rollup — the data-card-grade audit a
+    * deployment reads before trusting (or cutting) a source: for each
+    * source, the document count, the scoreable count, how many of the
+    * scoreable score non-negative, and the integer evidence totals. All
+    * sums and counts, never means — integer-exact and free of the
+    * cross-engine division-sign trap, so the whole table sits under
+    * the oracle gate (q108); a reader derives any mean it wants.
+    * One in-scan scoring pass + one hash aggregation on the source
+    * key. Output: (sourceCol, n_docs, n_scored, n_pos, sum_score_ppm,
+    * sum_feat). */
+  def sourceReport(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, weights: IndexedSeq[Long],
+                   ngram: Int = 1): DataFrame = {
+    require(weights.length >= 2, "weight table needs at least 2 buckets")
+    require(ngram >= 1 && ngram <= 3, "ngram must be in [1, 3]")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val nf = size(Mixing.dsirFeatStrings(col(textCol), ngram)).cast("long")
+    docs.select(col(sourceCol), nf.as("_nf"),
+      scoreExpr(col(textCol), weights, ngram).as("_s"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("_nf") > 0).cast("long")).as("n_scored"),
+        sum((col("_nf") > 0 && col("_s") >= 0).cast("long")).as("n_pos"),
+        sum(col("_s")).as("sum_score_ppm"),
+        sum(col("_nf")).as("sum_feat"))
+  }
+
   /** Keep documents whose MEAN per-feature evidence clears
     * `minPerFeatPpm` — the quality gate. The comparison is
     * `score ≥ thr · n_feat` (multiplication, not division — exact and

@@ -56,12 +56,17 @@ object DataCard {
       // link hygiene rides the SAME scan (q101's expressions): docs
       // carrying at least one URL, and the total URL count for the
       // corpus-level density
+      // Column API like the Urls operators (never raw expr
+      // interpolation of a column name — backtick-needing names must
+      // work and a name parameter is not an SQL surface)
       coalesce(sum((size(coalesce(
-        expr(s"regexp_extract_all($textCol, '${graft.operators.Urls.UrlRe}', 0)"),
+        regexp_extract_all(col(textCol),
+          lit(graft.operators.Urls.UrlRe), lit(0)),
         array().cast("array<string>"))) > 0).cast("long")), lit(0L))
         .as("url_docs"),
       coalesce(sum(size(coalesce(
-        expr(s"regexp_extract_all($textCol, '${graft.operators.Urls.UrlRe}', 0)"),
+        regexp_extract_all(col(textCol),
+          lit(graft.operators.Urls.UrlRe), lit(0)),
         array().cast("array<string>"))).cast("long")), lit(0L))
         .as("n_urls")).head()
     val langDocs = base.groupBy(col(langCol)).agg(count(lit(1)).as("n"))

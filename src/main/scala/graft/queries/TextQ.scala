@@ -1809,6 +1809,55 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q108: per-source classifier quality rollup ([[graft.operators
+    * .Classify.sourceReport]]) — the data-card audit over the q107
+    * model: same evidence derivation, then per-source counts and
+    * integer evidence TOTALS (sums, never means — division-sign-free,
+    * so the whole table hash-matches). Feature-free docs count in
+    * n_docs but not n_scored/n_pos. */
+  val q108 = Q(
+    "q108_classifier_sources",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |tw AS (SELECT doc_id, w, ${sqlHash("w")} % 1024 AS b
+       |       FROM tok WHERE w <> ''),
+       |posb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw
+       |         JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+       |post AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM posb),
+       |negb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw
+       |         JOIN documents USING (doc_id) WHERE lang <> 'en' GROUP BY b),
+       |negt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM negb),
+       |grid AS (SELECT CAST(g.b AS BIGINT) AS b FROM range(0, 1024) g(b)),
+       |wt AS (SELECT grid.b,
+       |              CAST(COALESCE(posb.c, 0) * 1000000 // post.t AS BIGINT)
+       |            - CAST(COALESCE(negb.c, 0) * 1000000 // negt.t AS BIGINT)
+       |              AS w
+       |       FROM grid
+       |       LEFT JOIN posb ON posb.b = grid.b
+       |       LEFT JOIN negb ON negb.b = grid.b, post, negt),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+       |              CAST(SUM(wt.w) AS BIGINT) AS score_ppm
+       |       FROM tw JOIN wt ON wt.b = tw.b GROUP BY doc_id)
+       |SELECT d.source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN COALESCE(sc.n_feat, 0) > 0
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+       |       CAST(SUM(CASE WHEN COALESCE(sc.n_feat, 0) > 0
+       |                     AND COALESCE(sc.score_ppm, 0) >= 0
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |       CAST(SUM(COALESCE(sc.score_ppm, 0)) AS BIGINT) AS sum_score_ppm,
+       |       CAST(SUM(COALESCE(sc.n_feat, 0)) AS BIGINT) AS sum_feat
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val w = graft.operators.Classify.evidenceWeights(
+      docs.filter(col("lang") === "en"), "text",
+      docs.filter(col("lang") =!= "en"), "text", buckets = 1024)
+    graft.operators.Classify.sourceReport(docs, "doc_id", "text",
+      "source", w)
+      .orderBy("source")
+  }
+
   /** q99: DSIR-style importance weights ([[graft.operators.Mixing
     * .dsirWeights]]) — hashed-unigram bucket ppm of the RAW corpus vs
     * the TARGET slice (lang = 'en'), per-bucket ratio `(t_ppm + 1) /
@@ -2007,5 +2056,5 @@ object TextQ {
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99, q100, q101, q103, q104, q105, q106, q107)
+    q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108)
 }

@@ -83,6 +83,32 @@ class ClassifySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
   }
 
+  test("sourceReport: per-source totals reconcile exactly with the " +
+    "per-doc scores, and the rollup never joins") {
+    val w = enWeights()
+    val rep = Classify.sourceReport(docs, "doc_id", "text", "source", w)
+    val rows = rep.collect()
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1),
+        s"counts must nest: $r")
+    }
+    // exact reconciliation against the scored-per-doc view
+    val perDoc = Classify.linearScore(docs, "doc_id", "text", w)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(sum(col("score_ppm")).as("s"), sum(col("n_feat")).as("f"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { r =>
+      assert((r.getLong(4), r.getLong(5)) == perDoc(r.getString(0)),
+        s"rollup totals diverged for ${r.getString(0)}")
+    }
+    val plan = rep.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), s"sourceReport must not join:\n$plan")
+  }
+
   test("qualityGate thresholds the per-feature mean by MULTIPLICATION " +
     "and keeps feature-free docs") {
     val d = Seq(
