@@ -133,7 +133,7 @@ object NearestCentroid {
 
   private def doubles(e: Expression): IndexedSeq[Double] = e match {
     case Literal(a: ArrayData, ArrayType(DoubleType, _)) =>
-      a.toDoubleArray.toIndexedSeq
+      a.toDoubleArray().toIndexedSeq
     case other =>
       throw new IllegalArgumentException(
         s"nearest_centroid centroid args must be ARRAY<DOUBLE> literals, got $other")
@@ -141,7 +141,7 @@ object NearestCentroid {
 
   private def longs(e: Expression): IndexedSeq[Long] = e match {
     case Literal(a: ArrayData, ArrayType(org.apache.spark.sql.types.LongType, _)) =>
-      a.toLongArray.toIndexedSeq
+      a.toLongArray().toIndexedSeq
     case other =>
       throw new IllegalArgumentException(
         s"nearest_centroid id arg must be an ARRAY<BIGINT> literal, got $other")

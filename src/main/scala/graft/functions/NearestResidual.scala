@@ -146,7 +146,7 @@ object NearestResidual {
 
   private def doubles(e: Expression): IndexedSeq[Double] = e match {
     case Literal(a: ArrayData, ArrayType(DoubleType, _)) =>
-      a.toDoubleArray.toIndexedSeq
+      a.toDoubleArray().toIndexedSeq
     case other =>
       throw new IllegalArgumentException(
         s"nearest_residual codebook args must be ARRAY<DOUBLE> literals, got $other")
@@ -154,7 +154,7 @@ object NearestResidual {
 
   private def longs(e: Expression): IndexedSeq[Long] = e match {
     case Literal(a: ArrayData, ArrayType(LongType, _)) =>
-      a.toLongArray.toIndexedSeq
+      a.toLongArray().toIndexedSeq
     case other =>
       throw new IllegalArgumentException(
         s"nearest_residual id args must be ARRAY<BIGINT> literals, got $other")

@@ -124,7 +124,7 @@ object PqCodes {
 
   private def doubles(e: Expression): IndexedSeq[Double] = e match {
     case Literal(a: ArrayData, ArrayType(DoubleType, _)) =>
-      a.toDoubleArray.toIndexedSeq
+      a.toDoubleArray().toIndexedSeq
     case other =>
       throw new IllegalArgumentException(
         s"pq_codes codebook must be an ARRAY<DOUBLE> literal, got $other")

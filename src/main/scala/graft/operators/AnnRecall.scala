@@ -144,7 +144,7 @@ object AnnRecall {
       queries, idCol, vecCol, shardDir, shardedNprobe, shardedEf,
       excludeSelf = true)
       .groupBy("qid", "cell").agg(first("visits").as("v"))
-      .agg(sum("v")).head.getLong(0)
+      .agg(sum("v")).head().getLong(0)
     // the STREAMED-GROWN twin of the sharded tier: SAME quantizer and
     // serving knobs, but the index bootstraps on the id-ordered first
     // half of the corpus and absorbs the rest through the streaming
@@ -178,7 +178,7 @@ object AnnRecall {
       .candidates(queries, idCol, vecCol, streamDir, shardedNprobe,
         shardedEf, excludeSelf = true)
       .groupBy("qid", "cell").agg(first("visits").as("v"))
-      .agg(sum("v")).head.getLong(0)
+      .agg(sum("v")).head().getLong(0)
     val strideTier = Seq(
       measure("lsh", mp(k, 0), mp(nAll, 0).count()),
       measure("lsh_mp1", mp(k, 1), mp(nAll, 1).count()),
