@@ -53,6 +53,71 @@ object Classify {
     IndexedSeq.tabulate(buckets)(b => p(b) - n(b))
   }
 
+  /** GRADIENT-trained weight artifact for the SAME serving path — an
+    * averaged integer perceptron, the discriminative upgrade next to
+    * the replayable count-derived stand-in (the PQ-trainer discipline:
+    * [[evidenceWeights]] stays the ORACLE's table, this trainer
+    * populates the identical artifact shape with a higher-fit model;
+    * q107's green row is unaffected because the artifact is a
+    * parameter). Training is driver-side over a BOUNDED ascending-id
+    * sample per class (two `TakeOrdered` plans, ≤ `maxPerClass` rows
+    * each — the sample-Lloyd economics: at 100 TB a linear text model
+    * saturates long before the driver bound does), feature bucketing
+    * rides the SAME in-plan expressions the scorer uses, and the loop
+    * is DETERMINISTIC integer arithmetic: fixed epochs, ascending-id
+    * order, mistake-driven `w += y·x` updates, with the running sum of
+    * every intermediate w as the output (the averaged-perceptron
+    * stabilizer, left unnormalized — predictions threshold at 0, which
+    * is scale-free; unlike the evidence table these weights are NOT in
+    * ppm units, so pick [[qualityGate]] thresholds for this artifact
+    * by measurement, not by ppm intuition).
+    *
+    * Measured on the shared-vocabulary fixture (sf0.01, en vs rest):
+    * in the UNIGRAM space both trainers sit at the space's own fit
+    * ceiling (~0.61 perceptron vs 0.63 evidence — no linear model can
+    * separate a shared bag-of-words further); in the BIGRAM space the
+    * mistake-driven fit pulls clearly ahead of counting — 0.95 at the
+    * 10-epoch default (0.74/0.88/0.93/0.95/0.96 at 1/3/5/10/20 epochs)
+    * vs 0.81 evidence — the reason to pay for training at all
+    * (ClassifySpec pins the margin). */
+  def perceptronWeights(docs: DataFrame, idCol: String, textCol: String,
+                        positive: Column, buckets: Int = 1024,
+                        ngram: Int = 1, epochs: Int = 10,
+                        maxPerClass: Int = 4096): IndexedSeq[Long] = {
+    require(buckets >= 2, "need at least 2 feature buckets")
+    require(ngram >= 1 && ngram <= 3, "ngram must be in [1, 3]")
+    require(epochs >= 1 && maxPerClass >= 1, "need epochs, maxPerClass >= 1")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      positive.cast("boolean").as("y"),
+      transform(Mixing.dsirFeatStrings(col(textCol), ngram),
+        w => (graft.functions.TextAnalysis.strHash(w) % buckets)
+          .cast("int")).as("bs"))
+    def sampled(flag: Boolean) = base.filter(col("y") === flag)
+      .orderBy("id").limit(maxPerClass).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getSeq[Int](2)))
+    val pos = sampled(true)
+    val neg = sampled(false)
+    require(pos.nonEmpty && neg.nonEmpty,
+      "perceptron training needs both classes in the sample")
+    val rows = (pos ++ neg).sortBy(_._1)
+    val w = new Array[Long](buckets)
+    val acc = new Array[Long](buckets)
+    var e = 0
+    while (e < epochs) {
+      rows.foreach { case (_, y, bs) =>
+        var s = 0L
+        bs.foreach(b => s += w(b))
+        val yy = if (y) 1L else -1L
+        if (s * yy <= 0L) bs.foreach(b => w(b) += yy)
+        var i = 0
+        while (i < buckets) { acc(i) += w(i); i += 1 }
+      }
+      e += 1
+    }
+    IndexedSeq.tabulate(buckets)(acc(_))
+  }
+
   /** The in-scan score expression: Σ over the text's (non-empty,
     * [[Mixing.dsirFeatStrings]]-contract) features of
     * `weights[hash(feat) % B]`. Exposed for filter predicates that

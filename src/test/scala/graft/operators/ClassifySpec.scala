@@ -83,6 +83,53 @@ class ClassifySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
   }
 
+  private def accOf(w: IndexedSeq[Long], ngram: Int): Double = {
+    val scored = Classify.linearScore(docs, "doc_id", "text", w, ngram)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .filter(col("n_feat") > 0)
+      .select(col("pred"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .collect()
+    scored.count(r => r.getLong(0) == r.getLong(1)).toDouble / scored.length
+  }
+
+  test("perceptron trainer: deterministic, perfect on disjoint " +
+    "vocabularies, and in the bigram space the mistake-driven fit " +
+    "clearly beats count-derived evidence (measured 0.95 vs 0.81)") {
+    // mechanism control — disjoint vocabularies must fit exactly
+    val d = ((1L to 20L).map(i => (i, s"alpha beta gamma delta w$i", "en"))
+      ++ (21L to 40L).map(i => (i, s"uno dos tres cuatro w$i", "es")))
+      .toDF("doc_id", "text", "lang")
+    val wd = Classify.perceptronWeights(d, "doc_id", "text",
+      col("lang") === "en")
+    val scored = Classify.linearScore(d, "doc_id", "text", wd)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("pred"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .collect()
+    assert(scored.forall(r => r.getLong(0) == r.getLong(1)),
+      "disjoint vocabularies must fit exactly")
+    // determinism: bounded ascending-id sample + fixed loop
+    val w2a = Classify.perceptronWeights(docs, "doc_id", "text",
+      col("lang") === "en", ngram = 2)
+    val w2b = Classify.perceptronWeights(docs, "doc_id", "text",
+      col("lang") === "en", ngram = 2)
+    assert(w2a == w2b, "perceptron training diverged across runs")
+    // the discriminative win lives in the bigram space: the unigram
+    // bag is SHARED across the fixture's langs (both trainers sit at
+    // that space's ~0.62 ceiling), but word-order features separate,
+    // and mistake-driven fitting exploits them far past counting
+    val evid2 = Classify.evidenceWeights(
+      docs.filter(col("lang") === "en"), "text",
+      docs.filter(col("lang") =!= "en"), "text", buckets = 1024,
+      ngram = 2)
+    val accP = accOf(w2a, 2)
+    val accE = accOf(evid2, 2)
+    assert(accP >= accE + 0.1,
+      s"perceptron bigram fit $accP should clearly beat evidence $accE")
+    assert(accP >= 0.9, s"bigram perceptron fit $accP below measured 0.95")
+  }
+
   test("sourceReport: per-source totals reconcile exactly with the " +
     "per-doc scores, and the rollup never joins") {
     val w = enWeights()
