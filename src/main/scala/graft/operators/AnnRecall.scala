@@ -66,6 +66,7 @@ object AnnRecall {
             pqM: Int = 8, pqEvery: Int = 25, pqCand: Int = 200,
             trainedNprobe1: Int = 6, trainedNprobe2: Int = 20,
             shardedNprobe: Int = 4, shardedEf: Int = 32,
+            lcEvery: Int = 500, lcNprobe: Int = 2,
             includeTrained: Boolean = false): Seq[PathRecall] = {
     require(queryIds.nonEmpty, "empty query sample")
     require(k >= 1, "k must be >= 1")
@@ -179,6 +180,29 @@ object AnnRecall {
         shardedEf, excludeSelf = true)
       .groupBy("qid", "cell").agg(first("visits").as("v"))
       .agg(sum("v")).head().getLong(0)
+    // LARGE-CELL sharded twin + its exact-scan IVF control at the SAME
+    // coarse quantizer: recall factors probe-recall(nprobe) ×
+    // walk-recall(ef), and BIGGER cells shift the budget from the probe
+    // axis (where stride quantizers are weak) to the walk axis (where
+    // the graph's measured ~0.95+ lives) — the gap-opener GraphShardsSpec
+    // pins on its 4×1250 fixture, published here on the audit corpus so
+    // the frontier table carries the cell-size axis too. The ivf_lc row
+    // probes HALF the cells (nprobe 1 vs 2) and still scans MORE rows —
+    // the exact-scan cost of a big cell is the point.
+    val shardLcDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-shards-lc").toString
+    GraphShards.buildShardedIndex(corpus, idCol, vecCol,
+      Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
+        lcEvery), shardLcDir)
+    def shardedLc(kk: Int) = GraphShards.shardedTopKBatch(
+      queries, idCol, vecCol, shardLcDir, kk, lcNprobe, shardedEf)
+    lazy val shardedLcCost: Long = GraphShards.shardedCandidates(
+      queries, idCol, vecCol, shardLcDir, lcNprobe, shardedEf,
+      excludeSelf = true)
+      .groupBy("qid", "cell").agg(first("visits").as("v"))
+      .agg(sum("v")).head().getLong(0)
+    def ivfLc(kk: Int) = Similarity.ivfTopKBatch(
+      corpus, queries, idCol, vecCol, kk, lcEvery, 1)
     val strideTier = Seq(
       measure("lsh", mp(k, 0), mp(nAll, 0).count()),
       measure("lsh_mp1", mp(k, 1), mp(nAll, 1).count()),
@@ -189,6 +213,8 @@ object AnnRecall {
         queries, idCol, vecCol, graph, k, ef = 64), graphCost),
       measure("graph_sharded", sharded(k), shardedCost),
       measure("graph_stream_sharded", streamSharded(k), streamShardedCost),
+      measure("graph_sharded_lc", shardedLc(k), shardedLcCost),
+      measure("ivf_lc", ivfLc(k), ivfLc(nAll).count()),
       measure("pq_adc", adc(k), adc(nAll).count()),
       // stage-2 rows == cand by construction; count the plan anyway
       measure("pq_adc_rerank", rerank(k), rerank(pqCand).count()))
