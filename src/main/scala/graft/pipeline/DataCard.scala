@@ -13,9 +13,10 @@ import graft.operators.{Components, Dedup, Redact}
   * link hygiene: URL-bearing docs + corpus link density). Every
   * number is the SAME statistic the corresponding oracle-checked query
   * computes (q20 tokens, q23 langs, q95 PII, q21 exact groups, q41
-  * clusters, q62 span mass, q101 link stats), so the card cannot drift from the engine's
-  * verified semantics — the spec pins each field against its component
-  * operator on the fixture.
+  * clusters, q62 span mass, q101 link stats, q108 classifier quality
+  * — optional, against a frozen weight artifact), so the card cannot
+  * drift from the engine's verified semantics — the spec pins each
+  * field against its component operator on the fixture.
   *
   * Scale shape: scalars and the distributions come from a handful of
   * map-side-combined aggregates over in-scan expressions; the near-dup
@@ -31,14 +32,18 @@ object DataCard {
       langDocs: Map[String, Long], sourceDocs: Map[String, Long],
       piiDocs: Long, piiRateMilli: Long,
       exactDupGroups: Long, nearDupClusters: Long, nearDupDocs: Long,
-      dupChunkDocs: Long, urlDocs: Long = 0L, linkDensityMilli: Long = 0L)
+      dupChunkDocs: Long, urlDocs: Long = 0L, linkDensityMilli: Long = 0L,
+      qualityPosMilli: Long = -1L,
+      sourceQualityMilli: Map[String, Long] = Map.empty)
 
   /** Build the card. `thresholdMilli` is the near-dup bar (q41's
     * convention); `span`/`minDocs` the duplicate-span knobs (q62's). */
   def build(docs: DataFrame, idCol: String, textCol: String,
             langCol: String, sourceCol: String,
             thresholdMilli: Int = 800, span: Int = 8,
-            minDocs: Int = 2): Card = {
+            minDocs: Int = 2,
+            classifierWeights: Option[IndexedSeq[Long]] = None,
+            classifierNgram: Int = 1): Card = {
     graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
     // checkpoint ONLY the columns the card reads — a bare
     // docs.localCheckpoint would materialize every caller column
@@ -89,6 +94,23 @@ object DataCard {
     val nearDupClusters = comp.select("component").distinct().count()
     val dupChunkDocs = Dedup.spanDupStats(base, idCol, textCol, span,
       minDocs).count()
+    // OPTIONAL quality section — q108's per-source rollup
+    // ([[graft.operators.Classify.sourceReport]]) against a FROZEN
+    // weight artifact, folded to integer-milli positive rates among the
+    // SCOREABLE docs (feature-free docs are a length-gate concern, not
+    // a model verdict — excluding them keeps the rate about the model)
+    val quality = classifierWeights.map { w =>
+      val rep = graft.operators.Classify.sourceReport(base, idCol,
+        textCol, sourceCol, w, classifierNgram).collect()
+      val nScored = rep.map(_.getLong(2)).sum
+      val nPos = rep.map(_.getLong(3)).sum
+      val corpusMilli = if (nScored == 0) 0L else nPos * 1000 / nScored
+      val perSource = rep.map { r =>
+        r.getString(0) ->
+          (if (r.getLong(2) == 0) 0L else r.getLong(3) * 1000 / r.getLong(2))
+      }.toMap
+      (corpusMilli, perSource)
+    }
     Card(
       nDocs = scale.getLong(0), nTokens = scale.getLong(1),
       nChars = scale.getLong(2),
@@ -102,7 +124,9 @@ object DataCard {
       urlDocs = scale.getLong(3),
       linkDensityMilli =
         if (scale.getLong(1) == 0) 0L
-        else scale.getLong(4) * 1000 / scale.getLong(1))
+        else scale.getLong(4) * 1000 / scale.getLong(1),
+      qualityPosMilli = quality.map(_._1).getOrElse(-1L),
+      sourceQualityMilli = quality.map(_._2).getOrElse(Map.empty))
   }
 
   /** Release-over-release card DIFF — the drift section of a dataset
@@ -116,7 +140,8 @@ object DataCard {
   final case class CardDiff(
       docsDelta: Long, tokensDelta: Long,
       langTvPpm: Long, sourceTvPpm: Long,
-      piiRateDeltaMilli: Long, linkDensityDeltaMilli: Long = 0L)
+      piiRateDeltaMilli: Long, linkDensityDeltaMilli: Long = 0L,
+      qualityPosDeltaMilli: Long = 0L)
 
   def diff(a: Card, b: Card): CardDiff = {
     def tvPpm(ma: Map[String, Long], na: Long,
@@ -132,7 +157,14 @@ object DataCard {
       langTvPpm = tvPpm(a.langDocs, a.nDocs, b.langDocs, b.nDocs),
       sourceTvPpm = tvPpm(a.sourceDocs, a.nDocs, b.sourceDocs, b.nDocs),
       piiRateDeltaMilli = b.piiRateMilli - a.piiRateMilli,
-      linkDensityDeltaMilli = b.linkDensityMilli - a.linkDensityMilli)
+      linkDensityDeltaMilli = b.linkDensityMilli - a.linkDensityMilli,
+      // only meaningful when BOTH releases carried the quality section
+      // (same artifact assumed — comparing rates across different
+      // weight tables is the caller's judgment call)
+      qualityPosDeltaMilli =
+        if (a.qualityPosMilli >= 0 && b.qualityPosMilli >= 0)
+          b.qualityPosMilli - a.qualityPosMilli
+        else 0L)
   }
 
   /** The card as a tall (metric, value) frame for sinks/rendering —
@@ -149,8 +181,12 @@ object DataCard {
       "dup_chunk_docs" -> card.dupChunkDocs,
       "url_docs" -> card.urlDocs,
       "link_density_milli" -> card.linkDensityMilli) ++
+      (if (card.qualityPosMilli >= 0)
+        Seq("quality_pos_milli" -> card.qualityPosMilli) else Seq.empty) ++
       card.langDocs.toSeq.sortBy(_._1).map { case (k, v) => s"lang_docs.$k" -> v } ++
-      card.sourceDocs.toSeq.sortBy(_._1).map { case (k, v) => s"source_docs.$k" -> v }
+      card.sourceDocs.toSeq.sortBy(_._1).map { case (k, v) => s"source_docs.$k" -> v } ++
+      card.sourceQualityMilli.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"source_quality_milli.$k" -> v }
     rows.toDF("metric", "value")
   }
 }

@@ -100,5 +100,44 @@ class DataCardSpec extends AnyFunSuite {
     assert(m("n_docs") == card.nDocs)
     assert(m.keys.count(_.startsWith("lang_docs.")) == card.langDocs.size)
     assert(m.filter(_._1.startsWith("source_docs.")).values.sum == card.nDocs)
+    // quality section absent when no artifact was supplied
+    assert(!m.contains("quality_pos_milli"))
+    assert(!m.keys.exists(_.startsWith("source_quality_milli.")))
+  }
+
+  test("quality section: rates re-derive exactly from the q108 rollup, " +
+    "off by default, and the diff only engages when both cards have it") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = graft.operators.Classify.evidenceWeights(
+      docs.filter(col("lang") === "en"), "text",
+      docs.filter(col("lang") =!= "en"), "text", buckets = 1024)
+    val card = DataCard.build(docs, "doc_id", "text", "lang", "source",
+      thresholdMilli = 500, classifierWeights = Some(w))
+    val rep = graft.operators.Classify.sourceReport(docs, "doc_id",
+      "text", "source", w).collect()
+    val nScored = rep.map(_.getLong(2)).sum
+    val nPos = rep.map(_.getLong(3)).sum
+    assert(nScored > 0)
+    assert(card.qualityPosMilli == nPos * 1000 / nScored)
+    assert(card.sourceQualityMilli == rep.map { r =>
+      r.getString(0) ->
+        (if (r.getLong(2) == 0) 0L else r.getLong(3) * 1000 / r.getLong(2))
+    }.toMap)
+    // off by default
+    val plain = DataCard.build(docs, "doc_id", "text", "lang", "source",
+      thresholdMilli = 500)
+    assert(plain.qualityPosMilli == -1L &&
+      plain.sourceQualityMilli.isEmpty)
+    // diff: engages between two quality-bearing cards, stays 0 against
+    // a card without the section (no artifact = no claim)
+    val d = DataCard.diff(card, card)
+    assert(d.qualityPosDeltaMilli == 0L)
+    assert(DataCard.diff(plain, card).qualityPosDeltaMilli == 0L)
+    // toDF carries the section
+    val m = DataCard.toDF(spark, card).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("quality_pos_milli") == card.qualityPosMilli)
+    assert(m.keys.count(_.startsWith("source_quality_milli.")) ==
+      card.sourceQualityMilli.size)
   }
 }
