@@ -57,6 +57,16 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing, Redact}
   *                         ([[Dedup.minhashPairs]])
   *   4. decontamination  — drop documents overlapping the eval set
   *                         ([[Decontaminate.clean]])
+  *   4b. domain cap      — OPTIONAL host-level crowding control
+  *                         ([[graft.operators.Urls.perDomainCap]], the
+  *                         q106 semantics): ≤ `domainCap` docs per
+  *                         registered domain, content-addressed
+  *                         survivors, no-URL docs exempt. AFTER dedup
+  *                         and decontamination so the cap budget counts
+  *                         only documents that will actually ship;
+  *                         BEFORE mixing because the cap is a crowding
+  *                         control and the mixer should sample the
+  *                         already-decrowded pool
   *   5. mixing           — per-source static rates ([[Mixing.rateMix]])
   *   6. packing          — fixed-token-budget packs per source
   *                         ([[Packing.packByBudget]])
@@ -98,7 +108,8 @@ object Curation {
                           nAfterDecontam: Long, nAfterMix: Long,
                           nPacks: Long, nAfterBoilerplate: Long = -1L,
                           nAfterUrlGate: Long = -1L,
-                          nAfterClassifier: Long = -1L)
+                          nAfterClassifier: Long = -1L,
+                          nAfterDomainCap: Long = -1L)
 
   /** Run the full funnel. Returns the curated corpus with `n_tokens` and
     * `pack_id` appended, plus the per-stage report. Fails at call time if
@@ -120,6 +131,7 @@ object Curation {
              nearDupThresholdMilli: Int = 800,
              nearDupQualityCol: Option[String] = None,
              decontamMinShared: Int = 2,
+             domainCap: Option[Int] = None,
              mixRatesMilli: Map[String, Int] = Map.empty,
              mixDefaultMilli: Int = 1000,
              decontamBloomFpp: Option[Double] = None,
@@ -293,6 +305,19 @@ object Curation {
       }
     })
 
+    // 4b. OPTIONAL per-domain cap (q106 semantics) over the
+    // decontaminated pool: the cap budget should count only documents
+    // that will actually ship, and the mixer below should sample the
+    // already-decrowded pool. Ids-only semi-join — the selection table
+    // carries no text.
+    val capped = domainCap match {
+      case Some(cp) =>
+        val keep = graft.operators.Urls.perDomainCap(decontam, idCol,
+          textCol, cp).select(col(idCol))
+        stage(decontam.join(keep, Seq(idCol), "left_semi"))
+      case None => decontam
+    }
+
     // 5. mixing: static per-source rates; the n^(1/2) temperature
     // rebalance when `temperatureBudget` is set; or — when `dsirTarget`
     // is set — DSIR-WEIGHTED sampling ([[Mixing.dsirRateMix]]): keep
@@ -313,14 +338,14 @@ object Curation {
         require(clash.isEmpty,
           s"input already has DSIR audit column(s) ${clash.mkString(", ")}" +
             " — rename them before curation")
-        stage(Mixing.dsirRateMix(decontam, idCol, textCol, tgt, textCol,
+        stage(Mixing.dsirRateMix(capped, idCol, textCol, tgt, textCol,
           dsirBudget, maxW = dsirMaxW)
           .drop("n_feat", "weight_r", "rate_ppm"))
       case None => temperatureBudget match {
-        case Some(b) => stage(Mixing.temperatureMixDocs(decontam, idCol,
+        case Some(b) => stage(Mixing.temperatureMixDocs(capped, idCol,
           sourceCol, b))
-        case None if mixIsNoop => decontam
-        case None => stage(Mixing.rateMix(decontam, idCol, sourceCol,
+        case None if mixIsNoop => capped
+        case None => stage(Mixing.rateMix(capped, idCol, sourceCol,
           mixRatesMilli, mixDefaultMilli))
       }
     }
@@ -333,18 +358,20 @@ object Curation {
       .withColumnRenamed(tokCol, "n_tokens")
 
     val nDecontam = n(decontam)
+    val nCapped = if (domainCap.isDefined) n(capped) else nDecontam
     val report = Report(
       nInput = n(docs), nAfterQuality = n(quality),
       nAfterExact = n(exactDeduped),
       nAfterNearDup = n(nearDup), nAfterDecontam = nDecontam,
-      nAfterMix = if (mixIsNoop) nDecontam else n(mixed),
+      nAfterMix = if (mixIsNoop) nCapped else n(mixed),
       nPacks = if (audit)
         packed.select(sourceCol, "pack_id").distinct().count() else -1L,
       nAfterBoilerplate =
         if (boilerplateSpan.isDefined) n(exact) else -1L,
       nAfterUrlGate = if (urlGateOn) n(urlGated) else -1L,
       nAfterClassifier =
-        if (classifierWeights.isDefined) n(clsGated) else -1L)
+        if (classifierWeights.isDefined) n(clsGated) else -1L,
+      nAfterDomainCap = if (domainCap.isDefined) nCapped else -1L)
     (packed, report)
   }
 }

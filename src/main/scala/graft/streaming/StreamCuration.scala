@@ -48,6 +48,19 @@ import graft.store.Snapshots
   *                   band collision). NULL-vector rows pass through —
   *                   the text stages already vetted them.
   *   4. decontam   — [[StreamDecontam.cleaner]]'s fold-once eval probe
+  *   4b. domain cap — OPTIONAL host-level crowding control under
+  *                   ingestion: a CLAIMS store of (domain, claimant id)
+  *                   caps each registered domain at `domainCap` docs
+  *                   across the whole stream. Within a batch the
+  *                   survivors are content-addressed (the q106 hash
+  *                   order); ACROSS batches the policy is necessarily
+  *                   first-come (earlier batches' claims stand — a
+  *                   later, smaller-hash arrival cannot evict a doc
+  *                   that already shipped), the same earliest-seen
+  *                   divergence-from-batch the dedup claims document.
+  *                   Replayed claimants pass through and never
+  *                   double-claim. No-URL docs are exempt (q106's
+  *                   convention).
   *   5. mixing     — [[graft.operators.Mixing.rateMix]] (content-
   *                   addressed, so append-stable BY DESIGN: a document's
   *                   keep decision never changes as batches arrive)
@@ -82,6 +95,13 @@ object StreamCuration {
     StructField("bkey", LongType, nullable = false),
     StructField("claimant", LongType, nullable = false)))
 
+  /** Domain-cap claims: one (registered domain → claimant id) row per
+    * document that has shipped under the cap. */
+  private val capSchema = StructType(Seq(
+    StructField("domain", org.apache.spark.sql.types.StringType,
+      nullable = false),
+    StructField("claimant", LongType, nullable = false)))
+
   /** The per-batch funnel transform, closed over the stores and the
     * fold-once eval materialization. Bootstrap `init()` happens here.
     * Use as `stream.writeStream.foreachBatch(curator(...)).start()`;
@@ -109,7 +129,8 @@ object StreamCuration {
               maxLinkDensityMilli: Option[Int] = None,
               classifierWeights: Option[IndexedSeq[Long]] = None,
               classifierMinPerFeatPpm: Long = 0L,
-              classifierNgram: Int = 1)
+              classifierNgram: Int = 1,
+              domainCap: Option[Int] = None)
       : (DataFrame, Long) => DataFrame = {
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.WidePolyHash.ensureRegistered(spark)
@@ -127,6 +148,11 @@ object StreamCuration {
     }
     val decontam = StreamDecontam.cleaner(evalDocs, idCol, textCol,
       decontamMinShared)
+    val capClaims = domainCap.map { _ =>
+      val s = new Snapshots(spark, s"$stateDir/domaincap", capSchema)
+      s.init()
+      s
+    }
     val mixIsNoop = mixRatesMilli.isEmpty && mixDefaultMilli == 1000
 
     (batch: DataFrame, _: Long) => {
@@ -207,8 +233,59 @@ object StreamCuration {
           case None => textDeduped
         }
         val cleaned = decontam(deduped)
-        if (mixIsNoop) cleaned
-        else graft.operators.Mixing.rateMix(cleaned, idCol, sourceCol,
+
+        // 4b. optional domain cap: batch-local content-addressed rank +
+        // cross-batch first-come claims. Replayed claimants pass and
+        // never re-claim; fresh docs claim only the headroom their
+        // domain has left.
+        val capped = (capClaims, domainCap) match {
+          case (Some(store), Some(cp)) =>
+            val urls = org.apache.spark.sql.functions.coalesce(
+              regexp_extract_all(col(textCol),
+                lit(graft.operators.Urls.UrlRe), lit(0)),
+              array().cast("array<string>"))
+            val wd = cleaned.withColumn("_dom",
+              when(size(urls) > 0, graft.operators.Urls.registeredDomain(
+                element_at(urls, 1))))
+            val exempt = wd.filter(col("_dom").isNull).drop("_dom")
+            val linked = wd.filter(col("_dom").isNotNull)
+              .withColumn("_id", col(idCol).cast("long"))
+              .localCheckpoint(true)
+            val prior = store.read()
+            val replayed = linked.join(prior,
+              linked("_dom") === prior("domain") &&
+                linked("_id") === prior("claimant"), "left_semi")
+            val fresh = linked.join(prior,
+              linked("_dom") === prior("domain") &&
+                linked("_id") === prior("claimant"), "left_anti")
+            val counts = prior.groupBy("domain")
+              .agg(count(lit(1)).as("_prior_n"))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("_dom")
+              .orderBy(col("_hv"), col("_id"))
+            val freshKept = fresh
+              .withColumn("_hv", graft.functions.TextAnalysis.strHash(
+                col("_id").cast("string")))
+              .withColumn("_rk", row_number().over(w).cast("long"))
+              .join(counts, col("_dom") === col("domain"), "left")
+              .filter(col("_rk") +
+                coalesce(col("_prior_n"), lit(0L)) <= cp)
+              .drop("domain", "_prior_n", "_hv", "_rk")
+              .localCheckpoint(true) // materialize BEFORE the store advances
+            val newClaims = freshKept
+              .select(col("_dom").as("domain"), col("_id").as("claimant"))
+            if (newClaims.head(1).nonEmpty) {
+              store.appendDelta(newClaims)
+              if (store.deltaCount >= compactEvery)
+                store.replace(store.read())
+            }
+            replayed.drop("_dom", "_id")
+              .unionByName(freshKept.drop("_dom", "_id"))
+              .unionByName(exempt)
+          case _ => cleaned
+        }
+        if (mixIsNoop) capped
+        else graft.operators.Mixing.rateMix(capped, idCol, sourceCol,
           mixRatesMilli, mixDefaultMilli)
       }
     }

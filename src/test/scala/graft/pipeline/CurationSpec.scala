@@ -304,6 +304,31 @@ class CurationSpec extends AnyFunSuite {
     assert(r0.nAfterClassifier == -1L)
   }
 
+  test("domain cap stage: caps per registered domain over the " +
+    "decontaminated pool; no-URL docs exempt; off by default") {
+    import spark.implicits._
+    val custom = ((1L to 8L).map(i =>
+      (i, s"completely distinct content number $i about topic$i " +
+        s"widget${i * 7} gizmo${i * 13} http://big.example.com/page$i",
+        "s0")) ++ Seq((20L, "plain document with no links at all", "s0")))
+      .toDF("doc_id", "text", "source")
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (out, r) = Curation.curate(custom, noEval,
+      domainCap = Some(3), repetitionTopBigramMilli = 1000)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 4, s"3 capped + 1 exempt expected, got $kept")
+    assert(kept.contains(20L), "the no-URL doc must be exempt")
+    assert(r.nAfterDomainCap == 4, s"cap count ${r.nAfterDomainCap}")
+    // the survivors are exactly the operator's own selection
+    val sel = graft.operators.Urls.perDomainCap(custom, "doc_id", "text", 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == sel, "funnel stage diverged from the q106 operator")
+    // off by default
+    val (out0, r0) = Curation.curate(custom, noEval,
+      repetitionTopBigramMilli = 1000)
+    assert(out0.count() == 9 && r0.nAfterDomainCap == -1L)
+  }
+
   test("DSIR sampling stage: engages over the decontaminated pool, wins " +
     "precedence over temperature and rates, keeps the funnel schema, " +
     "and skews the kept set toward the target slice") {
