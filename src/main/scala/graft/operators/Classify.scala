@@ -180,6 +180,45 @@ object Classify {
         sum(col("_nf")).as("sum_feat"))
   }
 
+  /** Threshold CALIBRATION sweep — the tuning table a deployment reads
+    * before picking [[qualityGate]]'s `minPerFeatPpm`: for each
+    * candidate threshold, how many scoreable documents survive
+    * (`score ≥ thr · n_feat`, the gate's own multiplication-form
+    * predicate) and the integer-milli kept fraction. One scan computes
+    * every threshold's count as a conditional sum in a single
+    * aggregate row (the thresholds are a driver literal — no explode,
+    * no per-threshold rescan, no join); the 11-or-so-row result frame
+    * is then built driver-side. Output: (thr_ppm, n_scored, n_kept,
+    * kept_milli) ascending — monotone non-increasing in thr_ppm by
+    * construction. */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+                     weights: IndexedSeq[Long], thresholds: Seq[Long],
+                     ngram: Int = 1): DataFrame = {
+    require(weights.length >= 2, "weight table needs at least 2 buckets")
+    require(thresholds.nonEmpty, "empty threshold ladder")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds in the ladder")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val ts = thresholds.sorted
+    val nf = size(Mixing.dsirFeatStrings(col(textCol), ngram)).cast("long")
+    val scored = docs
+      .select(nf.as("_nf"), scoreExpr(col(textCol), weights, ngram).as("_s"))
+      .filter(col("_nf") > 0)
+    val aggCols = count(lit(1)).as("_n") +:
+      ts.zipWithIndex.map { case (t, i) =>
+        sum((col("_s") >= lit(t) * col("_nf")).cast("long")).as(s"_k$i")
+      }
+    val row = scored.agg(aggCols.head, aggCols.tail: _*).head()
+    val nScored = row.getLong(0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    ts.zipWithIndex.map { case (t, i) =>
+      val kept = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+      (t, nScored, kept,
+        if (nScored == 0) 0L else kept * 1000 / nScored)
+    }.toDF("thr_ppm", "n_scored", "n_kept", "kept_milli")
+  }
+
   /** Keep documents whose MEAN per-feature evidence clears
     * `minPerFeatPpm` — the quality gate. The comparison is
     * `score ≥ thr · n_feat` (multiplication, not division — exact and

@@ -1858,6 +1858,56 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q109: classifier threshold-calibration sweep ([[graft.operators
+    * .Classify.thresholdSweep]]) — the q107 model swept over a ladder
+    * of per-feature thresholds with the gate's own
+    * multiplication-form predicate; per threshold, the scoreable
+    * survivor count and integer-milli kept fraction. Counts and floor
+    * divisions of non-negatives only — hash-exact. */
+  val q109 = Q(
+    "q109_classifier_sweep",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |tw AS (SELECT doc_id, w, ${sqlHash("w")} % 1024 AS b
+       |       FROM tok WHERE w <> ''),
+       |posb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw
+       |         JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+       |post AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM posb),
+       |negb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw
+       |         JOIN documents USING (doc_id) WHERE lang <> 'en' GROUP BY b),
+       |negt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM negb),
+       |grid AS (SELECT CAST(g.b AS BIGINT) AS b FROM range(0, 1024) g(b)),
+       |wt AS (SELECT grid.b,
+       |              CAST(COALESCE(posb.c, 0) * 1000000 // post.t AS BIGINT)
+       |            - CAST(COALESCE(negb.c, 0) * 1000000 // negt.t AS BIGINT)
+       |              AS w
+       |       FROM grid
+       |       LEFT JOIN posb ON posb.b = grid.b
+       |       LEFT JOIN negb ON negb.b = grid.b, post, negt),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+       |              CAST(SUM(wt.w) AS BIGINT) AS score_ppm
+       |       FROM tw JOIN wt ON wt.b = tw.b GROUP BY doc_id),
+       |thr AS (SELECT CAST(unnest([-500, -400, -300, -200, -100, 0,
+       |                            100, 200, 300, 400, 500]) AS BIGINT)
+       |               AS thr_ppm)
+       |SELECT thr_ppm,
+       |       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |       CAST(SUM(CASE WHEN score_ppm >= thr_ppm * n_feat
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN score_ppm >= thr_ppm * n_feat
+       |                THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT)
+       |         AS kept_milli
+       |FROM sc, thr
+       |GROUP BY thr_ppm
+       |ORDER BY thr_ppm""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val w = graft.operators.Classify.evidenceWeights(
+      docs.filter(col("lang") === "en"), "text",
+      docs.filter(col("lang") =!= "en"), "text", buckets = 1024)
+    graft.operators.Classify.thresholdSweep(docs, "doc_id", "text", w,
+      thresholds = (-5L to 5L).map(_ * 100))
+      .orderBy("thr_ppm")
+  }
+
   /** q99: DSIR-style importance weights ([[graft.operators.Mixing
     * .dsirWeights]]) — hashed-unigram bucket ppm of the RAW corpus vs
     * the TARGET slice (lang = 'en'), per-bucket ratio `(t_ppm + 1) /
@@ -2056,5 +2106,5 @@ object TextQ {
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108)
+    q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109)
 }

@@ -156,6 +156,31 @@ class ClassifySpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"sourceReport must not join:\n$plan")
   }
 
+  test("thresholdSweep: monotone non-increasing survivors, constant " +
+    "scoreable base, exact agreement with the gate at each rung, and " +
+    "no per-threshold rescan (single-aggregate plan, no explode)") {
+    val w = enWeights()
+    val ts = (-5L to 5L).map(_ * 100)
+    val sweep = Classify.thresholdSweep(docs, "doc_id", "text", w, ts)
+      .orderBy("thr_ppm").collect()
+    assert(sweep.map(_.getLong(0)).toSeq == ts)
+    assert(sweep.map(_.getLong(1)).distinct.length == 1,
+      "n_scored must be constant across thresholds")
+    val kept = sweep.map(_.getLong(2))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b },
+      s"survivors must be monotone non-increasing: ${kept.toSeq}")
+    // each rung IS the gate's own count (restricted to scoreable docs)
+    for (t <- Seq(-200L, 0L, 300L)) {
+      val gateN = Classify.qualityGate(docs, "doc_id", "text", w, t)
+        .filter(org.apache.spark.sql.functions.size(
+          Mixing.dsirFeatStrings(col("text"), 1)) > 0) // scoreable only
+        .count()
+      val row = sweep.find(_.getLong(0) == t).get
+      assert(row.getLong(2) == gateN,
+        s"sweep rung $t (${row.getLong(2)}) != gate count ($gateN)")
+    }
+  }
+
   test("qualityGate thresholds the per-feature mean by MULTIPLICATION " +
     "and keeps feature-free docs") {
     val d = Seq(
