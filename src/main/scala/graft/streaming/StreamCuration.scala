@@ -102,6 +102,17 @@ object StreamCuration {
       nullable = false),
     StructField("claimant", LongType, nullable = false)))
 
+  /** Per-BATCH funnel counts — [[graft.pipeline.Curation.Report]]'s
+    * streaming twin, emitted through the `onReport` callback when a
+    * deployment opts into funnel observability. Optional stages that
+    * are OFF report -1, exactly like the batch report. Monotone
+    * non-increasing along the declared stage order (spec-pinned). */
+  final case class BatchReport(batchId: Long, nBatch: Long,
+                               nAfterUrlGate: Long, nAfterQuality: Long,
+                               nAfterClassifier: Long, nAfterExact: Long,
+                               nAfterNearDup: Long, nAfterDecontam: Long,
+                               nAfterDomainCap: Long, nOut: Long)
+
   /** The per-batch funnel transform, closed over the stores and the
     * fold-once eval materialization. Bootstrap `init()` happens here.
     * Use as `stream.writeStream.foreachBatch(curator(...)).start()`;
@@ -130,7 +141,8 @@ object StreamCuration {
               classifierWeights: Option[IndexedSeq[Long]] = None,
               classifierMinPerFeatPpm: Long = 0L,
               classifierNgram: Int = 1,
-              domainCap: Option[Int] = None)
+              domainCap: Option[Int] = None,
+              onReport: Option[BatchReport => Unit] = None)
       : (DataFrame, Long) => DataFrame = {
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.WidePolyHash.ensureRegistered(spark)
@@ -155,7 +167,13 @@ object StreamCuration {
     }
     val mixIsNoop = mixRatesMilli.isEmpty && mixDefaultMilli == 1000
 
-    (batch: DataFrame, _: Long) => {
+    // funnel observability: counts only when a report sink opted in
+    // (each count is an action; un-checkpointed stages re-run their
+    // lineage for it — the audit=true economics of the batch funnel)
+    def rc(df: DataFrame): Long =
+      if (onReport.isDefined) df.count() else -1L
+
+    (batch: DataFrame, batchId: Long) => {
       if (batch.isEmpty) batch.limit(0)
       else {
         // 0b. optional URL gate (stateless, the batch funnel's stage 0b:
@@ -271,7 +289,15 @@ object StreamCuration {
               .filter(col("_rk") +
                 coalesce(col("_prior_n"), lit(0L)) <= cp)
               .drop("domain", "_prior_n", "_hv", "_rk")
-              .localCheckpoint(true) // materialize BEFORE the store advances
+              .localCheckpoint(true)
+            // materialize the WHOLE result (the replayed leg reads the
+            // store's current manifest) BEFORE the store advances —
+            // compaction may retire the very directories that plan
+            // references, and the caller's sink evaluates after us
+            val result = replayed.drop("_dom", "_id")
+              .unionByName(freshKept.drop("_dom", "_id"))
+              .unionByName(exempt)
+              .localCheckpoint(true)
             val newClaims = freshKept
               .select(col("_dom").as("domain"), col("_id").as("claimant"))
             if (newClaims.head(1).nonEmpty) {
@@ -279,14 +305,28 @@ object StreamCuration {
               if (store.deltaCount >= compactEvery)
                 store.replace(store.read())
             }
-            replayed.drop("_dom", "_id")
-              .unionByName(freshKept.drop("_dom", "_id"))
-              .unionByName(exempt)
+            result
           case _ => cleaned
         }
-        if (mixIsNoop) capped
-        else graft.operators.Mixing.rateMix(capped, idCol, sourceCol,
-          mixRatesMilli, mixDefaultMilli)
+        val out =
+          if (mixIsNoop) capped
+          else graft.operators.Mixing.rateMix(capped, idCol, sourceCol,
+            mixRatesMilli, mixDefaultMilli)
+        onReport.foreach { sink =>
+          sink(BatchReport(batchId,
+            nBatch = batch.count(),
+            nAfterUrlGate = if (urlBlocklist.nonEmpty ||
+              maxLinkDensityMilli.isDefined) rc(urlGated) else -1L,
+            nAfterQuality = rc(quality),
+            nAfterClassifier =
+              if (classifierWeights.isDefined) rc(clsGated) else -1L,
+            nAfterExact = rc(exact),
+            nAfterNearDup = rc(deduped),
+            nAfterDecontam = rc(cleaned),
+            nAfterDomainCap = if (domainCap.isDefined) rc(capped) else -1L,
+            nOut = rc(out)))
+        }
+        out
       }
     }
   }

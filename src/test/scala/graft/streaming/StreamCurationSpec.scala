@@ -223,6 +223,45 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(out2r == out2, "replay reopened claimed headroom")
   }
 
+  test("per-batch funnel report: counts monotone along the stage " +
+    "order, off stages read -1, nOut matches the shipped batch") {
+    val stateDir = Files.createTempDirectory("graft-scur-rep").toString
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[StreamCuration.BatchReport]
+    val curate = StreamCuration.curator(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), stateDir,
+      repetitionTopBigramMilli = 1000,
+      urlBlocklist = Seq("spam.net"), domainCap = Some(2),
+      onReport = Some(buf += _))
+    def doc(i: Long, dom: String) =
+      (i, s"alpha$i bravo$i charlie$i delta$i echo$i " +
+        s"foxtrot$i golf$i http://$dom/page$i", "s0")
+    val b = (Seq(doc(1, "big.example.com"), doc(2, "big.example.com"),
+      doc(3, "big.example.com"), doc(4, "track.spam.net")) :+
+      ((10L, "no links in this one", "s0")))
+      .toDF("doc_id", "text", "source")
+    val shipped = curate(b, 7L).select("doc_id").as[Long].collect().toSet
+    assert(buf.size == 1)
+    val r = buf.head
+    assert(r.batchId == 7L && r.nBatch == 5L)
+    assert(r.nAfterUrlGate == 4L, s"blocklist drop not counted: $r")
+    assert(r.nAfterClassifier == -1L, "off stage must report -1")
+    assert(r.nAfterDomainCap == 3L, s"cap count wrong: $r")
+    assert(r.nOut == shipped.size.toLong, s"nOut != shipped: $r")
+    val funnel = Seq(r.nBatch, r.nAfterUrlGate, r.nAfterQuality,
+      r.nAfterExact, r.nAfterNearDup, r.nAfterDecontam,
+      r.nAfterDomainCap, r.nOut).filter(_ >= 0)
+    assert(funnel.zip(funnel.tail).forall { case (a, c) => a >= c },
+      s"funnel counts must be monotone non-increasing: $funnel")
+    // off by default: no counting, no callbacks
+    val stateDir2 = Files.createTempDirectory("graft-scur-rep2").toString
+    val silent = StreamCuration.curator(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), stateDir2,
+      repetitionTopBigramMilli = 1000)
+    silent(b, 0L).count()
+    assert(buf.size == 1, "a curator without a sink must not report")
+  }
+
   test("classifier gate: the frozen weight artifact drops per " +
     "micro-batch exactly like the batch funnel's stage, and slicing " +
     "cannot change a verdict (stateless scoring)") {
