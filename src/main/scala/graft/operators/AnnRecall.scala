@@ -203,6 +203,40 @@ object AnnRecall {
       .agg(sum("v")).head().getLong(0)
     def ivfLc(kk: Int) = Similarity.ivfTopKBatch(
       corpus, queries, idCol, vecCol, kk, lcEvery, 1)
+    // the STREAMED twin at the LARGE-CELL quantizer — the cell-size
+    // axis measured under continuous ingestion. The small-cell streamed
+    // row already pins that arrival order costs nothing at the
+    // production knobs; this row asks the same question where the walk
+    // axis carries most of the recall (big cells = long in-cell walks
+    // on graphs grown INCREMENTALLY instead of batch-built, the one
+    // regime where insert order could plausibly bite). Same bootstrap
+    // surface — the coarse quantizer is just the centroid table handed
+    // to bootstrap.
+    val streamLcDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-stream-shards-lc").toString
+    locally {
+      val cuts = corpus.stat.approxQuantile(idCol,
+        Array(0.5, 0.75, 0.875), 0.0).map(_.toLong)
+      val idL = col(idCol).cast("long")
+      val sgs = graft.streaming.StreamGraphShards
+      sgs.bootstrap(corpus.sparkSession, streamLcDir,
+        corpus.filter(idL < cuts(0)), idCol, vecCol,
+        Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
+          lcEvery))
+      val maint = sgs.maintainer(corpus.sparkSession, streamLcDir, idCol,
+        vecCol)
+      maint(corpus.filter(idL >= cuts(0) && idL < cuts(1)), 1L)
+      maint(corpus.filter(idL >= cuts(1) && idL < cuts(2)), 2L)
+      maint(corpus.filter(idL >= cuts(2)), 3L)
+    }
+    def streamShardedLc(kk: Int) = graft.streaming.StreamGraphShards
+      .topKBatch(queries, idCol, vecCol, streamLcDir, kk, lcNprobe,
+        shardedEf)
+    lazy val streamShardedLcCost: Long = graft.streaming.StreamGraphShards
+      .candidates(queries, idCol, vecCol, streamLcDir, lcNprobe,
+        shardedEf, excludeSelf = true)
+      .groupBy("qid", "cell").agg(first("visits").as("v"))
+      .agg(sum("v")).head().getLong(0)
     val strideTier = Seq(
       measure("lsh", mp(k, 0), mp(nAll, 0).count()),
       measure("lsh_mp1", mp(k, 1), mp(nAll, 1).count()),
@@ -214,6 +248,8 @@ object AnnRecall {
       measure("graph_sharded", sharded(k), shardedCost),
       measure("graph_stream_sharded", streamSharded(k), streamShardedCost),
       measure("graph_sharded_lc", shardedLc(k), shardedLcCost),
+      measure("graph_stream_sharded_lc", streamShardedLc(k),
+        streamShardedLcCost),
       measure("ivf_lc", ivfLc(k), ivfLc(nAll).count()),
       measure("pq_adc", adc(k), adc(nAll).count()),
       // stage-2 rows == cand by construction; count the plan anyway

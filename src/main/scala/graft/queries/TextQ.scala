@@ -2103,8 +2103,83 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q110: GRADIENT-trained classifier under the oracle gate
+    * ([[graft.operators.Classify.perceptronWeights]]) — the averaged
+    * integer perceptron's training LOOP replayed bitwise in DuckDB via
+    * a RECURSIVE CTE that carries the weight vector and its running
+    * sum as integer lists and steps ONE training example per
+    * iteration, exactly the trainer's arithmetic: ascending-id sample
+    * of ≤ 64 docs per class, epochs × n sequential mistake-driven
+    * `w += y·x` updates (x = the doc's per-bucket feature counts),
+    * `acc += w` after EVERY example, final artifact = the unnormalized
+    * sum. The q97/q102 exact-replay discipline extended from
+    * round-synchronous Lloyd iterations to a PER-EXAMPLE sequential
+    * learner — the state row is the whole model. Knobs are small
+    * (B=128, 2 epochs, 64/class → 256 steps) because the replay cost
+    * is the oracle's, not Spark's: the Spark trainer collects the same
+    * bounded sample regardless of corpus scale. Inference is q107's
+    * zero-join in-scan fold against the trained literal. */
+  val q110 = Q(
+    "q110_perceptron_replay",
+    s"""WITH RECURSIVE
+       |tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |tw AS MATERIALIZED (SELECT doc_id, w, ${sqlHash("w")} % 128 AS b
+       |      FROM tok WHERE w <> ''),
+       |samp AS MATERIALIZED (
+       |  (SELECT doc_id, CAST(1 AS BIGINT) AS yy FROM documents
+       |   WHERE lang = 'en' ORDER BY doc_id LIMIT 64)
+       |  UNION ALL
+       |  (SELECT doc_id, CAST(-1 AS BIGINT) AS yy FROM documents
+       |   WHERE lang <> 'en' ORDER BY doc_id LIMIT 64)),
+       |ex AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY s.doc_id) - 1 AS rn, s.yy,
+       |         COALESCE(g.bsl, []) AS bsl,
+       |         list_transform(range(128),
+       |           j -> CAST(COALESCE(len(list_filter(g.bsl, b -> b = j)), 0)
+       |                AS BIGINT)) AS cnt
+       |  FROM samp s LEFT JOIN (SELECT doc_id, list(b) AS bsl FROM tw
+       |                         JOIN samp USING (doc_id) GROUP BY doc_id) g
+       |    ON s.doc_id = g.doc_id),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM ex),
+       |steps AS (
+       |  SELECT CAST(0 AS BIGINT) AS i,
+       |         list_transform(range(128), j -> CAST(0 AS BIGINT)) AS w,
+       |         list_transform(range(128), j -> CAST(0 AS BIGINT)) AS acc
+       |  UNION ALL
+       |  SELECT s.i + 1,
+       |         list_transform(range(128), j -> s.w[j+1] +
+       |           CASE WHEN COALESCE(list_sum(
+       |                  list_transform(e.bsl, b -> s.w[b+1])), 0) * e.yy <= 0
+       |                THEN e.yy * e.cnt[j+1] ELSE 0 END),
+       |         list_transform(range(128), j -> s.acc[j+1] + s.w[j+1] +
+       |           CASE WHEN COALESCE(list_sum(
+       |                  list_transform(e.bsl, b -> s.w[b+1])), 0) * e.yy <= 0
+       |                THEN e.yy * e.cnt[j+1] ELSE 0 END)
+       |  FROM steps s, nn JOIN ex e ON e.rn = s.i % nn.n
+       |  WHERE s.i < 2 * nn.n),
+       |fin AS (SELECT acc FROM steps, nn WHERE i = 2 * nn.n),
+       |wt AS (SELECT CAST(g.j AS BIGINT) AS b, f.acc[g.j + 1] AS w
+       |       FROM fin f, range(0, 128) g(j)),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+       |              CAST(SUM(wt.w) AS BIGINT) AS score_ppm
+       |       FROM tw JOIN wt ON wt.b = tw.b GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(sc.n_feat, 0) AS BIGINT) AS n_feat,
+       |       CAST(COALESCE(sc.score_ppm, 0) AS BIGINT) AS score_ppm,
+       |       CAST(CASE WHEN COALESCE(sc.score_ppm, 0) >= 0
+       |            THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val w = graft.operators.Classify.perceptronWeights(docs, "doc_id",
+      "text", positive = col("lang") === "en", buckets = 128, ngram = 1,
+      epochs = 2, maxPerClass = 64)
+    graft.operators.Classify.linearScore(docs, "doc_id", "text", w)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109)
+    q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110)
 }
