@@ -732,6 +732,66 @@ object Similarity {
     df.join(semDedup(df, idCol, vecCol, minCos, centroidEvery)
       .select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** DENSITY-BASED PRUNING rank table (the SSL-prototypes method of
+    * Sorscher et al. 2022, "Beyond neural scaling laws": when data is
+    * abundant, dropping the most PROTOTYPICAL examples — the ones
+    * closest to their cluster centroid — beats random pruning, because
+    * the prototypical core is the most redundant). Complementary to
+    * [[semDedup]]: SemDeDup drops near-DUPLICATE pairs wherever they
+    * sit; density pruning thins the cluster CORE by a per-cell fraction
+    * regardless of pairwise similarity.
+    *
+    * Method: nearest-centroid cell assignment (the deterministic stride
+    * quantizer shared with [[ivfTopK]]/[[semDedup]], in-scan argmax,
+    * ZERO corpus exchanges), prototypicality = rounded cosine to the
+    * ASSIGNED centroid (one broadcast join against the bounded centroid
+    * table recovers the centroid vector — assignment itself stays
+    * in-scan), rank within the cell by cosine DESC (id ASC tie-break:
+    * rank 1 = most prototypical), and the kept flag drops the
+    * prototypical HEAD: kept ⇔ `1000·rank > dropMilli·n_cell` —
+    * multiplication form, so the per-cell drop count is exactly
+    * `floor(dropMilli·n_cell / 1000)` with no division-sign or
+    * float-fraction trap, and `dropMilli` 0/1000 are exact keep-all /
+    * drop-all. Output: (idCol, cell, cent_cos_r, rank, n_cell, kept) —
+    * the audit table; [[densityPruneKeep]] applies it.
+    *
+    * Scale: the only corpus exchange is the per-cell window shuffle —
+    * the ranking IS the operator (same essential cost as q100's epoch
+    * shuffle); everything else is in-scan or broadcast. Cell counts are
+    * bounded by the quantizer, and a skewed mega-cell is an AQE
+    * skew-split like any other window partition. */
+  def densityRank(df: DataFrame, idCol: String, vecCol: String,
+                  dropMilli: Long, centroidEvery: Int = 137): DataFrame = {
+    require(dropMilli >= 0 && dropMilli <= 1000,
+      s"dropMilli must be in [0, 1000], got $dropMilli")
+    val base = withNorm(df, vecCol)
+    val cents = centroidsOf(base, idCol, centroidEvery)
+    val assigned = assignCells(base, idCol, cents)
+      .select(col(idCol), col("vecd"), col("norm"), col("cell"))
+    val w = Window.partitionBy("cell")
+    val ord = w.orderBy(col("cent_cos_r").desc, col(idCol).asc)
+    assigned
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .withColumn("cent_cos_r",
+        round(cosine(col("vecd"), col("cent_vec"), col("norm"),
+          col("cent_norm")), 6))
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .withColumn("kept",
+        (lit(1000L) * col("rank") > lit(dropMilli) * col("n_cell"))
+          .cast("long"))
+      .select(col(idCol), col("cell"), col("cent_cos_r"), col("rank"),
+        col("n_cell"), col("kept"))
+  }
+
+  /** The density-pruned corpus: `df` minus the prototypical head of
+    * every cell — [[densityRank]]'s kept=1 rows, applied as an ids-only
+    * semi-join so the corpus text/vector payload crosses no exchange. */
+  def densityPruneKeep(df: DataFrame, idCol: String, vecCol: String,
+                       dropMilli: Long, centroidEvery: Int = 137): DataFrame =
+    df.join(densityRank(df, idCol, vecCol, dropMilli, centroidEvery)
+      .filter(col("kept") === 1L).select(col(idCol)), Seq(idCol), "left_semi")
+
   /** LSH-bucketed ANN top-k: candidates share the query's 8-bit bucket;
     * exact cosine rerank on candidates only. */
   /** MULTI-PROBE [[annTopK]]: candidates live in ANY bucket within

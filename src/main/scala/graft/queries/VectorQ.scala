@@ -937,6 +937,47 @@ object VectorQ {
       .orderBy("qid", "rank")
   }
 
+  /** q111: density-based pruning rank table ([[Similarity.densityRank]],
+    * the SSL-prototypes method — drop the most prototypical `dropMilli`‰
+    * of every cluster, keep the hard tail): q61's deterministic stride
+    * quantizer and cosine-argmax assignment, prototypicality = rounded
+    * cosine to the ASSIGNED centroid, per-cell rank (cos DESC, id ASC),
+    * kept ⇔ `1000·rank > 300·n_cell` (multiplication form — the exact
+    * floor semantics with no division). The oracle re-derives
+    * assignment, the assigned-centroid cosine, both window columns, and
+    * the kept predicate. */
+  val q111 = Q(
+    "q111_density_prune",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+       |          FROM n WHERE vec_id % 50 = 0),
+       |scored AS (SELECT vec_id, embedding, nrm, cent_id, cv, cn,
+       |                  ${sqlDot("embedding", "cv")} / (nrm * cn) AS cent_cos
+       |           FROM n, cents),
+       |assigned AS (SELECT vec_id, cent_id AS cell,
+       |                    ROUND(cent_cos, 6) AS cent_cos_r FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |ranked AS (SELECT vec_id, cell, cent_cos_r,
+       |                  CAST(ROW_NUMBER() OVER (
+       |                    PARTITION BY cell
+       |                    ORDER BY cent_cos_r DESC, vec_id) AS BIGINT) AS rank,
+       |                  CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT)
+       |                    AS n_cell
+       |           FROM assigned)
+       |SELECT vec_id, cell, cent_cos_r, rank, n_cell,
+       |       CAST(CASE WHEN 1000 * rank > 300 * n_cell THEN 1 ELSE 0 END
+       |            AS BIGINT) AS kept
+       |FROM ranked
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Similarity.densityRank(Tables.embeddings(s, dir), "vec_id", "embedding",
+      dropMilli = 300, centroidEvery = 50)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84, q85, q86, q87, q88, q93, q94, q97, q102)
+    q70, q71, q83, q84, q85, q86, q87, q88, q93, q94, q97, q102, q111)
 }
