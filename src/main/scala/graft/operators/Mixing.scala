@@ -311,6 +311,58 @@ object Mixing {
       .drop("_ek")
   }
 
+  /** CURRICULUM schedule — [[epochShuffle]] composed with the
+    * classifier tier: the training order most quality-curriculum
+    * recipes want is "highest-quality documents first, random order
+    * WITHIN a quality band", and this operator makes that a frozen,
+    * coordination-free artifact. `tier` counts the rungs of the
+    * threshold ladder the document's per-feature evidence clears
+    * (`score ≥ thr·n_feat`, the [[Classify.qualityGate]]
+    * multiplication-form predicate at every rung — q109's calibration
+    * table is how a deployment picks the ladder); within a tier the
+    * order is the deterministic Knuth-mixed shuffle key, sliced into
+    * `nShards` contiguous-key-range shards exactly like the epoch
+    * shuffle — so a dataloader walks (tier DESC, shard ASC, pos ASC)
+    * and gets tiers in quality order, each tier internally a single
+    * global permutation sliced into shard files.
+    *
+    * Feature-free documents clear EVERY rung by the same arithmetic
+    * (score 0 ≥ thr·0) and so land in the TOP tier — consistent with
+    * the gate convention (nothing to judge them by; length-gate
+    * empties upstream if that is wrong for the run). One scan computes
+    * score and tier (the weight table rides as a literal); the one
+    * exchange is the (tier, shard) window — the operator's output IS
+    * an ordering, q100's essential-cost argument. Output: every input
+    * column plus (tier, shard, pos). */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+                      weights: IndexedSeq[Long], thresholds: Seq[Long],
+                      seed: Long, nShards: Int,
+                      ngram: Int = 1): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    require(thresholds.nonEmpty, "empty threshold ladder")
+    require(thresholds.distinct.size == thresholds.size,
+      "duplicate thresholds in the ladder")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val nf = size(dsirFeatStrings(col(textCol), ngram)).cast("long")
+    val score = Classify.scoreExpr(col(textCol), weights, ngram)
+    val tier = thresholds.sorted
+      .map(t => (col("_sc") >= lit(t) * col("_nf")).cast("long"))
+      .reduce(_ + _)
+    val key = (strHash(concat(lit(seed.toString), lit(":"),
+      col(idCol).cast("string"))) * lit(MixK)) %
+      lit(graft.functions.TextAnalysis.P)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tier", "shard")
+      .orderBy(col("_ek").asc, col(idCol).asc)
+    docs.withColumn("_nf", nf).withColumn("_sc", score)
+      .withColumn("tier", tier)
+      .withColumn("_ek", key)
+      .withColumn("shard", call_function("div",
+        col("_ek") * nShards, lit(graft.functions.TextAnalysis.P.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_nf", "_sc", "_ek")
+  }
+
   /** DSIR-style IMPORTANCE WEIGHTS (Xie et al.'s data-selection-with-
     * importance-resampling shape on hashed features): score every raw
     * document by how target-like its hashed-unigram profile is —

@@ -2178,8 +2178,69 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q112: CURRICULUM schedule ([[graft.operators.Mixing
+    * .curriculumOrder]]) — the classifier tier composed with the epoch
+    * shuffle: tier = rungs of the threshold ladder cleared
+    * (multiplication-form, q109's semantics on q107's evidence model),
+    * order within a tier = the Knuth-mixed shuffle key sliced into
+    * contiguous-key-range shards (q100's artifact, per tier). The
+    * oracle re-derives the weight table, every rung predicate, the
+    * mixed key, the shard arithmetic, and the (tier, shard) window
+    * rank. */
+  val q112 = Q(
+    "q112_curriculum",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+       |tw AS (SELECT doc_id, w, ${sqlHash("w")} % 1024 AS b
+       |       FROM tok WHERE w <> ''),
+       |posb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw
+       |         JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b),
+       |post AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM posb),
+       |negb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw
+       |         JOIN documents USING (doc_id) WHERE lang <> 'en' GROUP BY b),
+       |negt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM negb),
+       |grid AS (SELECT CAST(g.b AS BIGINT) AS b FROM range(0, 1024) g(b)),
+       |wt AS (SELECT grid.b,
+       |              CAST(COALESCE(posb.c, 0) * 1000000 // post.t AS BIGINT)
+       |            - CAST(COALESCE(negb.c, 0) * 1000000 // negt.t AS BIGINT)
+       |              AS w
+       |       FROM grid
+       |       LEFT JOIN posb ON posb.b = grid.b
+       |       LEFT JOIN negb ON negb.b = grid.b, post, negt),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+       |              CAST(SUM(wt.w) AS BIGINT) AS score_ppm
+       |       FROM tw JOIN wt ON wt.b = tw.b GROUP BY doc_id),
+       |alld AS (SELECT d.doc_id,
+       |                CAST(COALESCE(sc.n_feat, 0) AS BIGINT) AS nf,
+       |                CAST(COALESCE(sc.score_ppm, 0) AS BIGINT) AS s
+       |         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |t AS (SELECT doc_id,
+       |             CAST(CASE WHEN s >= -1000 * nf THEN 1 ELSE 0 END
+       |                + CASE WHEN s >= 0 THEN 1 ELSE 0 END
+       |                + CASE WHEN s >= 1000 * nf THEN 1 ELSE 0 END
+       |               AS BIGINT) AS tier,
+       |             (${sqlHash("'5:' || CAST(doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM alld),
+       |s AS (SELECT doc_id, tier, ek,
+       |             (ek * 8) // 2147483647 AS shard FROM t)
+       |SELECT doc_id, tier, CAST(shard AS BIGINT) AS shard,
+       |       CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY tier, shard ORDER BY ek, doc_id) AS BIGINT)
+       |         AS pos
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val w = graft.operators.Classify.evidenceWeights(
+      docs.filter(col("lang") === "en"), "text",
+      docs.filter(col("lang") =!= "en"), "text", buckets = 1024)
+    graft.operators.Mixing.curriculumOrder(docs, "doc_id", "text", w,
+      thresholds = Seq(-1000L, 0L, 1000L), seed = 5L, nShards = 8)
+      .select("doc_id", "tier", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
-    q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110)
+    q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
+    q112)
 }

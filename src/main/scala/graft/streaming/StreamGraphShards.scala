@@ -35,6 +35,13 @@ object StreamGraphShards {
 
   private def markerPath(dir: String) = Paths.get(dir, "current")
 
+  /** Manifest header line naming the LIVE centroid sidecar — the
+    * quantizer is versioned WITH the shard map in the one atomically
+    * swapped file, so a [[splitCell]] can never leave serving reading
+    * new cells against an old quantizer (or vice versa). Manifests
+    * without the header (pre-split indexes) read as `boot/centroids`. */
+  private val CentroidsKey = "#centroids"
+
   /** Bootstrap: build every cell's graph (executors), write the
     * centroid sidecar and the initial manifest. */
   def bootstrap(spark: SparkSession, dir: String, corpus: DataFrame,
@@ -48,7 +55,7 @@ object StreamGraphShards {
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .map(_.getName.stripPrefix("cell=").toLong)
     commitManifest(dir, "manifest-boot",
-      cells.map(c => c -> s"boot/graphs/cell=$c").toMap)
+      cells.map(c => c -> s"boot/graphs/cell=$c").toMap, "boot/centroids")
   }
 
   /** cell → relative shard path of the version named by `current`. */
@@ -57,17 +64,34 @@ object StreamGraphShards {
     require(Files.exists(p), s"no sharded index at $dir — bootstrap first")
     val mf = new String(Files.readAllBytes(p)).trim
     new String(Files.readAllBytes(Paths.get(dir, mf))).linesIterator
-      .filter(_.nonEmpty).map { line =>
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(c, path) = line.split("\t", 2)
         c.toLong -> path
       }.toMap
   }
 
+  /** Relative path of the centroid sidecar the CURRENT manifest serves
+    * with — `boot/centroids` until a [[splitCell]] commits a revision. */
+  private[streaming] def readCentroidsRel(dir: String): String = {
+    val p = markerPath(dir)
+    require(Files.exists(p), s"no sharded index at $dir — bootstrap first")
+    val mf = new String(Files.readAllBytes(p)).trim
+    new String(Files.readAllBytes(Paths.get(dir, mf))).linesIterator
+      .find(_.startsWith(CentroidsKey + "\t"))
+      .map(_.split("\t", 2)(1))
+      .getOrElse("boot/centroids")
+  }
+
+  private def currentCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/${readCentroidsRel(dir)}")
+
   private def commitManifest(dir: String, name: String,
-                             entries: Map[Long, String]): Unit = {
+                             entries: Map[Long, String],
+                             centroidsRel: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val body = entries.toSeq.sortBy(_._1)
-      .map { case (c, p) => s"$c\t$p" }.mkString("\n")
+    val body = (s"$CentroidsKey\t$centroidsRel" +:
+      entries.toSeq.sortBy(_._1).map { case (c, p) => s"$c\t$p" })
+      .mkString("\n")
     Files.write(Paths.get(dir, name), body.getBytes)
     val tmp = Paths.get(dir, "current.tmp")
     Files.write(tmp, name.getBytes)
@@ -95,87 +119,244 @@ object StreamGraphShards {
     }
   }
 
-  /** The `foreachBatch` binder: assign the micro-batch to cells, grow
-    * ONLY the touched cells' graphs (executors — one task per cell,
-    * the exact incremental-insert rule), write the changed shards under
-    * `graphs-b<id>`, and commit a manifest that repoints just those
-    * cells. Fully-replayed or empty batches leave the marker alone. */
+  /** The grow step shared by the maintainer and [[splitCell]]: cogroup
+    * existing shard rows with fresh (cell, id, vecd) rows and emit the
+    * grown graphs — per cell, new-only with per-id dedup
+    * (lexicographically-least vector, insertVectors' rule), ascending-id
+    * incremental insert, LOUD per-shard ceiling. */
+  private def growCells(spark: SparkSession, existingRows: DataFrame,
+                        freshRows: DataFrame, m: Int, efConstruction: Int,
+                        maxPerShard: Int): DataFrame = {
+    import spark.implicits._
+    val shardRows = existingRows
+      .select(col("cell").cast("long"), col("ord").cast("long"),
+        col("id").cast("long"), col("vec"), col("nbr_ids"))
+      .as[(Long, Long, Long, Seq[Double], Seq[Long])]
+      .groupByKey(_._1)
+    val batchRows = freshRows
+      .select(col("cell").cast("long"), col("id").cast("long"), col("vecd"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+    shardRows.cogroup(batchRows) { (cell, sIt, bIt) =>
+      val news = bIt.map { case (_, id, v) => (id, v) }.toArray
+      val old = sIt.toArray
+      if (news.isEmpty && old.isEmpty) Iterator.empty
+      else {
+        val g0 =
+          if (old.isEmpty) null
+          else GraphShards.graphOfShardRows(old.sortBy(_._2))
+        val existIds: Set[Long] =
+          if (g0 == null) Set.empty else g0.ids.toSet
+        val fresh = news.filter(t => !existIds.contains(t._1))
+          .groupBy(_._1).view
+          .mapValues(vs => vs.map(_._2).min(Ordering.Implicits
+            .seqOrdering[Seq, Double])).toArray
+          .sortBy(_._1)
+        val n0 = if (g0 == null) 0 else g0.size
+        require(n0 + fresh.length <= maxPerShard,
+          s"cell $cell would grow to ${n0 + fresh.length} vectors: " +
+            s"past the per-shard graph ceiling $maxPerShard — " +
+            "refine the quantizer, raise maxPerShard, or splitCell")
+        val g2 =
+          if (g0 == null)
+            GraphAnn.buildGraphFromRows(fresh.toIndexedSeq, m,
+              efConstruction)
+          else GraphAnn.insertVectorsLocal(g0, fresh.toIndexedSeq, m,
+            efConstruction)
+        g2.ids.indices.iterator.map { i =>
+          (cell, i.toLong, g2.ids(i),
+            g2.vecs.slice(i * g2.dim, (i + 1) * g2.dim).toSeq,
+            g2.nbrs(i).map(g2.ids(_)).toSeq)
+        }
+      }
+    }.toDF("cell", "ord", "id", "vec", "nbr_ids")
+  }
+
+  /** The `foreachBatch` binder: assign the micro-batch to cells (against
+    * the manifest's CURRENT quantizer), grow ONLY the touched cells'
+    * graphs (executors — one task per cell, the exact incremental-insert
+    * rule), write the changed shards under `graphs-b<id>`, and commit a
+    * manifest that repoints just those cells. Fully-replayed or empty
+    * batches leave the marker alone.
+    *
+    * `autoSplit = true` turns the per-shard ceiling from a loud stop
+    * into ONLINE MAINTENANCE: any cell the batch would push past
+    * `maxPerShard` is [[splitCell]]-dissolved FIRST (deterministic
+    * member-seeded sub-cells, global reassignment), then the batch
+    * re-assigns against the revised quantizer and the grow step runs as
+    * usual. Bounded at 16 split rounds per batch (a cell of
+    * indistinguishable vectors cannot split apart — that still fails
+    * loud rather than looping). Off by default: an unexpected overflow
+    * should stop a pipeline that has not opted into online resharding. */
   def maintainer(spark: SparkSession, dir: String, idCol: String,
                  vecCol: String, m: Int = 16, efConstruction: Int = 64,
-                 maxPerShard: Int = GraphShards.MaxShardVectors)
+                 maxPerShard: Int = GraphShards.MaxShardVectors,
+                 autoSplit: Boolean = false)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => if (!batch.isEmpty) {
-      import spark.implicits._
-      val manifest = readManifest(dir)
-      val cents = spark.read.parquet(s"$dir/boot/centroids")
-      val assigned = Similarity.assignCells(
-        Similarity.withNorm(batch, vecCol), idCol, cents)
-        .filter(col("cell").isNotNull)
-        .select(col("cell").cast("long"), col(idCol).cast("long").as("id"),
-          col("vecd"))
+      val base = Similarity.withNorm(batch, vecCol)
+        .select(col(idCol).cast("long").as("id"), col("vecd"), col("norm"))
         .localCheckpoint(true)
-      val touched = assigned.select("cell").distinct()
-        .collect().map(_.getLong(0)).toSeq
-      // content-addressed newness: cells whose batch rows are ALL
-      // already present insert nothing and must not be rewritten
-      val existing = loadShardRows(spark, dir, manifest, touched)
-        .select(col("cell"), col("id"))
-      val changed = assigned
-        .join(existing, Seq("cell", "id"), "left_anti")
-        .select("cell").distinct().collect().map(_.getLong(0)).toSet
-      if (changed.nonEmpty) {
-        val changedSeq = changed.toSeq.sorted
-        val shardRows = loadShardRows(spark, dir, manifest, changedSeq)
-          .select(col("cell").cast("long"), col("ord").cast("long"),
-            col("id").cast("long"), col("vec"), col("nbr_ids"))
-          .as[(Long, Long, Long, Seq[Double], Seq[Long])]
-          .groupByKey(_._1)
-        val batchRows = assigned
-          .filter(col("cell").isin(changedSeq: _*))
-          .as[(Long, Long, Seq[Double])]
-          .groupByKey(_._1)
-        val grown = shardRows.cogroup(batchRows) { (cell, sIt, bIt) =>
-          val news = bIt.map { case (_, id, v) => (id, v) }.toArray
-          val old = sIt.toArray
-          if (news.isEmpty && old.isEmpty) Iterator.empty
-          else {
-            val g0 =
-              if (old.isEmpty) null
-              else GraphShards.graphOfShardRows(old.sortBy(_._2))
-            val existIds: Set[Long] =
-              if (g0 == null) Set.empty else g0.ids.toSet
-            // new-only, per-id dedup (lexicographically-least vector —
-            // insertVectors' rule), ascending id
-            val fresh = news.filter(t => !existIds.contains(t._1))
-              .groupBy(_._1).view
-              .mapValues(vs => vs.map(_._2).min(Ordering.Implicits
-                .seqOrdering[Seq, Double])).toArray
-              .sortBy(_._1)
-            val n0 = if (g0 == null) 0 else g0.size
-            require(n0 + fresh.length <= maxPerShard,
-              s"cell $cell would grow to ${n0 + fresh.length} vectors: " +
-                s"past the per-shard graph ceiling $maxPerShard — " +
-                "refine the quantizer or raise maxPerShard")
-            val g2 =
-              if (g0 == null)
-                GraphAnn.buildGraphFromRows(fresh.toIndexedSeq, m,
-                  efConstruction)
-              else GraphAnn.insertVectorsLocal(g0, fresh.toIndexedSeq, m,
-                efConstruction)
-            g2.ids.indices.iterator.map { i =>
-              (cell, i.toLong, g2.ids(i),
-                g2.vecs.slice(i * g2.dim, (i + 1) * g2.dim).toSeq,
-                g2.nbrs(i).map(g2.ids(_)).toSeq)
-            }
+      var round = 0
+      var done = false
+      while (!done) {
+        val manifest = readManifest(dir)
+        val cents = currentCentroids(spark, dir)
+        val assigned = Similarity.assignCells(base, "id", cents)
+          .filter(col("cell").isNotNull)
+          .select(col("cell").cast("long"), col("id"), col("vecd"))
+          .localCheckpoint(true)
+        val touched = assigned.select("cell").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        // content-addressed newness: cells whose batch rows are ALL
+        // already present insert nothing and must not be rewritten
+        val existing = loadShardRows(spark, dir, manifest, touched)
+          .select(col("cell"), col("id"))
+        val freshOnly = assigned
+          .join(existing, Seq("cell", "id"), "left_anti")
+          .localCheckpoint(true)
+        val changed = freshOnly
+          .select("cell").distinct().collect().map(_.getLong(0)).toSet
+        // cells this batch would push past the ceiling (existing + the
+        // deduped fresh count — one bounded aggregation, split targets)
+        val overflow = if (!autoSplit) Seq.empty[Long] else {
+          val ex = existing.groupBy("cell")
+            .agg(count(lit(1)).as("nOld"))
+          freshOnly.dropDuplicates("cell", "id").groupBy("cell")
+            .agg(count(lit(1)).as("nNew"))
+            .join(ex, Seq("cell"), "left")
+            .filter(coalesce(col("nOld"), lit(0L)) + col("nNew")
+              > maxPerShard)
+            .select("cell").collect().map(_.getLong(0)).toSeq.sorted
+        }
+        if (overflow.nonEmpty) {
+          require(round < 16,
+            s"autoSplit did not converge after 16 rounds (cells " +
+              s"${overflow.mkString(",")} still past $maxPerShard — " +
+              "indistinguishable vectors cannot split apart)")
+          overflow.foreach { c =>
+            splitCell(spark, dir, c, s"b$batchId-r$round-c$c", m,
+              efConstruction, maxPerShard)
           }
-        }.toDF("cell", "ord", "id", "vec", "nbr_ids")
-        grown.write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$dir/graphs-b$batchId")
-        val updated = manifest ++
-          changedSeq.map(c => c -> s"graphs-b$batchId/cell=$c")
-        commitManifest(dir, s"manifest-b$batchId", updated)
+          round += 1
+        } else {
+          if (changed.nonEmpty) {
+            val changedSeq = changed.toSeq.sorted
+            val grown = growCells(spark,
+              loadShardRows(spark, dir, manifest, changedSeq),
+              assigned.filter(col("cell").isin(changedSeq: _*)),
+              m, efConstruction, maxPerShard)
+            grown.write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$dir/graphs-b$batchId")
+            val updated = manifest ++
+              changedSeq.map(c => c -> s"graphs-b$batchId/cell=$c")
+            commitManifest(dir, s"manifest-b$batchId", updated,
+              readCentroidsRel(dir))
+          }
+          done = true
+        }
       }
     }
+
+  /** SPLIT an oversized cell ONLINE — the maintenance operation that
+    * makes the sharded tier's capacity truly unbounded: where the
+    * per-shard ceiling says "refine the quantizer", this IS the
+    * refinement, committed with the same atomic-manifest discipline as
+    * a grow batch. The quantizer revision rides INSIDE the manifest
+    * (header line), so serving can never pair new cells with an old
+    * centroid table.
+    *
+    * Method, fully deterministic:
+    *   1. SEEDS: two members of the cell become the new centroids —
+    *      the lowest-id member, and the member LEAST like the old
+    *      centroid (minimum cosine, lowest-id tie-break): maximally
+    *      spread apart along the axis the old cell failed to resolve.
+    *      Members whose id is already a cent_id of ANOTHER live cell
+    *      are ineligible (cent_ids must stay unique); fails loud if
+    *      fewer than two eligible members exist (a 1-member cell has
+    *      nothing to split).
+    *   2. QUANTIZER REVISION: old table minus the split cell plus the
+    *      two seeds, written whole (the centroid table is bounded by
+    *      contract — rewriting it is O(|C|), not O(corpus)).
+    *   3. GLOBAL REASSIGNMENT of the cell's members against the FULL
+    *      revised table — NOT confined to the two sub-cells: a member
+    *      that is now globally closest to some other cell MIGRATES
+    *      there. Confinement would break the tier's core invariant
+    *      (every row sits in its global-argmax cell), which both the
+    *      maintainer's content-addressed replay dedup and the probe's
+    *      recall math rely on.
+    *   4. GROW: sub-cells build fresh graphs, migration targets absorb
+    *      their arrivals incrementally — [[growCells]], the maintainer's
+    *      own step, per-shard ceiling still loud.
+    *
+    * Cost: O(split cell + migration targets), never O(index). Returns
+    * the two seed cent_ids. */
+  def splitCell(spark: SparkSession, dir: String, cell: Long, tag: String,
+                m: Int = 16, efConstruction: Int = 64,
+                maxPerShard: Int = GraphShards.MaxShardVectors)
+      : (Long, Long) = {
+    val manifest = readManifest(dir)
+    require(manifest.contains(cell),
+      s"cell $cell is not in the current manifest — nothing to split")
+    val cents = currentCentroids(spark, dir)
+    val centRows = cents
+      .select(col("cent_id").cast("long"), col("cent_vec"), col("cent_norm"))
+      .collect()
+    val centIds = centRows.map(_.getLong(0)).toSet
+    require(centIds.contains(cell),
+      s"manifest names cell $cell but the centroid sidecar does not — " +
+        "corrupt index")
+    val old = centRows.find(_.getLong(0) == cell).get
+    val members = loadShardRows(spark, dir, manifest, Seq(cell))
+      .select(col("id").cast("long"), col("vec"))
+      .withColumn("norm", Similarity.normD(col("vec")))
+      .localCheckpoint(true)
+    // seed election: bounded driver fetch of exactly two rows — the
+    // shard is ≤ maxPerShard by construction, but only (id, cos) orderings
+    // travel, never the member set
+    val otherCentIds = centIds - cell
+    val eligible = members.filter(!col("id").isin(otherCentIds.toSeq: _*))
+      .withColumn("cos_old", Similarity.cosine(col("vec"),
+        typedlit(old.getSeq[Double](1)), col("norm"),
+        lit(old.getDouble(2))))
+    val seed1Row = eligible.orderBy(col("id").asc).head(1)
+    require(seed1Row.nonEmpty, s"cell $cell has no eligible members")
+    val seed1 = seed1Row(0).getLong(0)
+    val seed2Row = eligible.filter(col("id") =!= seed1)
+      .orderBy(col("cos_old").asc, col("id").asc).head(1)
+    require(seed2Row.nonEmpty,
+      s"cell $cell has only one eligible member — nothing to split " +
+        "apart; raise maxPerShard instead")
+    val seed2 = seed2Row(0).getLong(0)
+    // quantizer revision: bounded table, rewritten whole
+    val seeds = members.filter(col("id").isin(seed1, seed2))
+      .select(col("id").as("cent_id"), col("vec").as("cent_vec"),
+        col("norm").as("cent_norm"))
+    val revised = cents
+      .select(col("cent_id").cast("long"), col("cent_vec"),
+        col("cent_norm"))
+      .filter(col("cent_id") =!= cell)
+      .unionByName(seeds)
+    revised.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/centroids-$tag")
+    val revisedCents = spark.read.parquet(s"$dir/centroids-$tag")
+    // global reassignment of the dissolved cell's members
+    val reassigned = Similarity.assignCells(
+      members.select(col("id"), col("vec").as("vecd"), col("norm")),
+      "id", revisedCents)
+      .select(col("cell").cast("long"), col("id"), col("vecd"))
+    val targets = reassigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val grown = growCells(spark,
+      loadShardRows(spark, dir, manifest, targets.filter(_ != cell)),
+      reassigned, m, efConstruction, maxPerShard)
+    grown.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/graphs-$tag")
+    val updated = (manifest - cell) ++
+      targets.map(c => c -> s"graphs-$tag/cell=$c")
+    commitManifest(dir, s"manifest-$tag", updated, s"centroids-$tag")
+    (seed1, seed2)
+  }
 
   /** BATCH search against the CURRENT manifest: rank cells, walk only
     * the probed cells' shard files. Output (qid, idCol, cos_r, rank) —
@@ -185,7 +366,7 @@ object StreamGraphShards {
                 excludeSelf: Boolean = true): DataFrame = {
     require(k >= 1 && ef >= k, "need ef >= k >= 1")
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$dir/boot/centroids")
+    val cents = currentCentroids(spark, dir)
     val probed = GraphShards.bruteProbe(queries, idCol, vecCol, cents,
       nprobe)
     serveProbed(probed, idCol, dir, k, ef, excludeSelf)
@@ -203,7 +384,7 @@ object StreamGraphShards {
     require(k >= 1 && ef >= k, "need ef >= k >= 1")
     require(nprobe >= 1 && efProbe >= nprobe, "need efProbe >= nprobe >= 1")
     val spark = queries.sparkSession
-    val centIds = spark.read.parquet(s"$dir/boot/centroids")
+    val centIds = currentCentroids(spark, dir)
       .select(col("cent_id").cast("long"))
       .collect().map(_.getLong(0)).toSet
     val orphan = cg.ids.find(!centIds.contains(_))
@@ -239,7 +420,7 @@ object StreamGraphShards {
                  excludeSelf: Boolean = true): DataFrame = {
     require(nprobe >= 1 && ef >= 1, "need nprobe >= 1 and ef >= 1")
     val spark = queries.sparkSession
-    val cents = spark.read.parquet(s"$dir/boot/centroids")
+    val cents = currentCentroids(spark, dir)
     val probed = GraphShards.bruteProbe(queries, idCol, vecCol, cents,
       nprobe)
     val manifest = readManifest(dir)
@@ -265,29 +446,34 @@ object StreamGraphShards {
       .select(col("qid"), col(idCol), col("cos_r"), col("rank"))
   }
 
-  /** VACUUM: delete version roots (`graphs-b*`) no cell of the CURRENT
-    * manifest references, plus superseded manifest files — the storage
-    * GC the manifest chain needs (every repointed cell strands its old
-    * shard file; a root whose every cell is superseded is dead weight).
-    * Partially-referenced roots are kept whole (their live cells still
-    * serve). Never touches `boot/` (centroid sidecar lives there), the
-    * current manifest, or the marker; safe to run any time between
-    * commits — readers resolve only through the manifest, so deleting
-    * unreferenced roots cannot disturb a search (spec-pinned). Returns
-    * the deleted root names. */
+  /** VACUUM: delete version roots (`graphs-*`, and `centroids-*`
+    * quantizer revisions) that the CURRENT manifest references nowhere,
+    * plus superseded manifest files — the storage GC the manifest chain
+    * needs (every repointed cell strands its old shard file; a root
+    * whose every cell is superseded is dead weight; every [[splitCell]]
+    * strands the previous quantizer revision). Partially-referenced
+    * roots are kept whole (their live cells still serve). Never touches
+    * `boot/` (the original build, including the pre-split centroid
+    * sidecar), the current manifest, or the marker; safe to run any
+    * time between commits — readers resolve only through the manifest,
+    * so deleting unreferenced roots cannot disturb a search
+    * (spec-pinned). Returns the deleted root names. */
   def vacuum(dir: String): Seq[String] = {
     val p = markerPath(dir)
     require(Files.exists(p), s"no sharded index at $dir — bootstrap first")
     val currentManifest = new String(Files.readAllBytes(p)).trim
     val manifest = readManifest(dir)
-    val liveRoots = manifest.values.map(_.split("/")(0)).toSet
+    val liveRoots = manifest.values.map(_.split("/")(0)).toSet +
+      readCentroidsRel(dir).split("/")(0)
     val root = new java.io.File(dir)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
     val deadDirs = root.listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("graphs-b") &&
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("graphs-") ||
+          f.getName.startsWith("centroids-")) &&
         !liveRoots.contains(f.getName))
       .map { f => rm(f); f.getName }.toSeq
     root.listFiles()

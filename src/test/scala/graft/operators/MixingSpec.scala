@@ -350,6 +350,56 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumOrder: tier agrees with qualityGate at every rung, " +
+    "and WITHIN a tier the schedule IS epochShuffle of that tier's " +
+    "subset (the composition is exact); one-shuffle plan") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = Classify.evidenceWeights(
+      docs.filter(col("lang") === "en"), "text",
+      docs.filter(col("lang") =!= "en"), "text", buckets = 256)
+    val thr = Seq(-1000L, 0L, 1000L)
+    val cur = Mixing.curriculumOrder(docs, "doc_id", "text", w, thr,
+      seed = 5L, nShards = 8)
+      .select("doc_id", "tier", "shard", "pos")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(cur.keySet == docs.select("doc_id").collect()
+      .map(_.getLong(0)).toSet, "a document was lost or invented")
+    // tier == rungs cleared, exactly qualityGate's verdicts
+    val cleared = thr.map { t =>
+      Classify.qualityGate(docs, "doc_id", "text", w, t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    cur.foreach { case (id, (tier, _, _)) =>
+      val expect = cleared.count(_.contains(id)).toLong
+      assert(tier == expect, s"doc $id: tier $tier != $expect rungs cleared")
+    }
+    // composition exactness: per tier, (shard, pos) is epochShuffle of
+    // that tier's subset — the curriculum is literally "epoch shuffle
+    // within quality band"
+    cur.values.map(_._1).toSet.foreach { (t: Long) =>
+      val ids = cur.filter(_._2._1 == t).keySet
+      val sub = Mixing.epochShuffle(
+        docs.filter(col("doc_id").isin(ids.toSeq: _*)), "doc_id",
+        seed = 5L, nShards = 8)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      ids.foreach { id =>
+        assert((cur(id)._2, cur(id)._3) == sub(id),
+          s"tier $t doc $id: curriculum diverged from the tier's own " +
+            "epoch shuffle")
+      }
+    }
+    // the one exchange is the (tier, shard) window — scoring and the
+    // key ride the scan
+    val plan = Mixing.curriculumOrder(docs, "doc_id", "text", w, thr,
+      seed = 5L, nShards = 8)
+      .queryExecution.explainString(org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(plan) == 1, plan)
+  }
+
   test("dsirRateMix: the DIRECTION property — at the same rate budget, " +
     "target-like documents sample >= 10x more often than off-target; " +
     "total kept tracks the budget; zero shuffles past the weight agg") {
