@@ -252,6 +252,105 @@ object Mixing {
     (base, rates)
   }
 
+  /** WATER-FILLING mixture plan — an EXPLICIT target recipe (source →
+    * weight, the published sampling-proportion table every pretraining
+    * run is configured with) honored against per-source token
+    * AVAILABILITY under a global token budget. The temperature mixers
+    * derive weights from sizes and CLIP an oversubscribed source at
+    * rate 1.0, silently losing its unfilled share of the budget; this
+    * solver REDISTRIBUTES it — the standard water-filling iteration,
+    * round-synchronous and integer end to end so the whole plan replays
+    * in the oracle:
+    *
+    *   round k: every unresolved source is offered
+    *   `desired = remB · w div sumw` (remB = budget minus all fixed
+    *   takes, sumw = unresolved weight mass; 0 when sumw = 0). Sources
+    *   whose offer covers their whole stock SATURATE (take = avail,
+    *   their unfilled share returns to the pool); a round with no new
+    *   saturation fixes every remaining source at its offer.
+    *
+    * Terminates in ≤ |sources|+1 rounds (each non-final round saturates
+    * ≥ 1 source). Per-source floors may strand a few tokens of budget —
+    * exact integer semantics beat chasing the last ulp of a double.
+    * The one distributed step is the per-source token aggregation (one
+    * scan, map-side combined); the solver runs on the bounded
+    * per-source table driver-side, like the codebook trainers. Every
+    * source must appear in the recipe (a source the recipe never heard
+    * of is a data bug — loud), and `avail = 0` sources saturate at
+    * take 0 in round 1 by the same arithmetic.
+    *
+    * Output: (sourceCol, avail_tokens, weight_ppm, take_tokens,
+    * rate_ppm, round_fixed) — `rate_ppm = take·10⁶ div avail` is the
+    * knob for the content-addressed ppm gate ([[mixturePlanDocs]]),
+    * `round_fixed` pins WHICH round resolved each source (the
+    * algorithm's structure, not just its answer). */
+  def mixturePlan(docs: DataFrame, idCol: String, sourceCol: String,
+                  textCol: String, weightsPpm: Map[String, Long],
+                  budget: Long): DataFrame = {
+    require(budget >= 1 && budget <= 1000000000L,
+      "budget must be in [1, 1e9] (keeps budget * w inside a long)")
+    require(weightsPpm.values.forall(w => w >= 0 && w <= 1000000L),
+      "recipe weights must be in [0, 1e6] ppm")
+    graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
+    val nTok = graft.functions.TokenStats(col(textCol))
+      .getField("n_tokens").cast("long")
+    val totals = docs
+      .select(col(sourceCol).cast("string").as("g"), nTok.as("_nt"))
+      .groupBy("g").agg(sum(col("_nt")).as("avail"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val missing = totals.map(_._1).filterNot(weightsPpm.contains)
+    require(missing.isEmpty,
+      s"recipe has no weight for sources: ${missing.mkString(", ")}")
+    val n = totals.length
+    val avail = totals.map(_._2)
+    val w = totals.map(t => weightsPpm(t._1))
+    val take = Array.fill(n)(-1L)
+    val rnd = Array.fill(n)(-1L)
+    var k = 1L
+    while (take.contains(-1L)) {
+      val remB = budget - take.filter(_ >= 0).sum
+      val sumw = (0 until n).filter(take(_) < 0).map(w(_)).sum
+      val des = (0 until n).map { i =>
+        if (take(i) >= 0) -1L
+        else if (sumw == 0) 0L
+        else remB * w(i) / sumw
+      }
+      val anySat = (0 until n)
+        .exists(i => take(i) < 0 && des(i) >= avail(i))
+      (0 until n).foreach { i =>
+        if (take(i) < 0) {
+          if (des(i) >= avail(i)) { take(i) = avail(i); rnd(i) = k }
+          else if (!anySat) { take(i) = des(i); rnd(i) = k }
+        }
+      }
+      k += 1
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    totals.indices.map { i =>
+      (totals(i)._1, avail(i), w(i), take(i),
+        if (avail(i) == 0) 0L else take(i) * 1000000L / avail(i), rnd(i))
+    }.toDF(sourceCol, "avail_tokens", "weight_ppm", "take_tokens",
+      "rate_ppm", "round_fixed")
+  }
+
+  /** The kept rows of `docs` under a [[mixturePlan]] — per-source
+    * rate_ppm applied as the content-addressed ppm-hash gate (the
+    * temperature mixers' membership rule: deterministic, join is a
+    * broadcast of the bounded plan, corpus never shuffles). */
+  def mixturePlanDocs(docs: DataFrame, idCol: String, sourceCol: String,
+                      textCol: String, weightsPpm: Map[String, Long],
+                      budget: Long): DataFrame = {
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val plan = mixturePlan(docs, idCol, sourceCol, textCol, weightsPpm,
+      budget)
+    docs
+      .join(broadcast(plan.select(col(sourceCol).as("_g"),
+        col("rate_ppm"))), docs(sourceCol) === col("_g"))
+      .filter(ppmHash(idCol) % 1000000 < col("rate_ppm"))
+      .drop("_g", "rate_ppm")
+  }
+
   /** Per-group audit of a [[rateMix]] decision: group, total, kept, and
     * the applied per-mille rate. One scan, one small agg. */
   def rateMixSummary(docs: DataFrame, idCol: String, groupCol: String,

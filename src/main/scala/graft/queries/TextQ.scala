@@ -2238,9 +2238,81 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** The q113 recipe: an explicit target mixture over the fixture's 20
+    * sources — src0/src1 deliberately oversubscribed (40%/30% of the
+    * budget against ~1.4k-token stocks at sf0.01) so the water-filling
+    * redistribution actually fires in the oracle-checked run. */
+  private val MixRecipe: Seq[(String, Long)] =
+    Seq("src0" -> 400000L, "src1" -> 300000L) ++
+      (2 to 19).map(i => s"src$i" -> 16667L)
+
+  /** One water-filling round as materialized CTEs (the q102 unrolling
+    * discipline — DuckDB inlines plain CTEs per reference, exponential
+    * in rounds): from `r{k-1}` derive the pool aggregates, the offers,
+    * the any-new-saturation flag, and `r{k}`. */
+  private def sqlMixRound(k: Int, budget: Long): String =
+    s"""agg$k AS MATERIALIZED (
+       |  SELECT CAST($budget - COALESCE(SUM(take), 0) AS BIGINT) AS remb,
+       |         CAST(COALESCE(SUM(CASE WHEN take IS NULL THEN w END), 0)
+       |              AS BIGINT) AS sumw
+       |  FROM r${k - 1}),
+       |des$k AS MATERIALIZED (
+       |  SELECT source, avail, w, take, rnd,
+       |         CASE WHEN take IS NOT NULL THEN NULL
+       |              WHEN sumw = 0 THEN 0
+       |              ELSE remb * w // sumw END AS des
+       |  FROM r${k - 1}, agg$k),
+       |sat$k AS MATERIALIZED (
+       |  SELECT COALESCE(MAX(CASE WHEN take IS NULL AND des >= avail
+       |                       THEN 1 ELSE 0 END), 0) AS anysat
+       |  FROM des$k),
+       |r$k AS MATERIALIZED (
+       |  SELECT source, avail, w,
+       |         CASE WHEN take IS NOT NULL THEN take
+       |              WHEN des >= avail THEN avail
+       |              WHEN anysat = 0 THEN des
+       |              ELSE NULL END AS take,
+       |         CASE WHEN take IS NOT NULL THEN rnd
+       |              WHEN des >= avail OR anysat = 0 THEN $k
+       |              ELSE NULL END AS rnd
+       |  FROM des$k, sat$k)""".stripMargin
+
+  /** q113: WATER-FILLING mixture plan ([[graft.operators.Mixing
+    * .mixturePlan]]) — an explicit target recipe honored against
+    * per-source token availability under a global budget, with
+    * saturated sources' unfilled shares REDISTRIBUTED (where the
+    * temperature mixers just clip). The oracle unrolls every
+    * round-synchronous water-filling iteration as materialized CTEs
+    * (21 = |sources|+1, always enough: each non-final round saturates
+    * at least one source) and replays the offers, the saturation set,
+    * the fixing round, and the final rates — integer end to end. */
+  val q113 = Q(
+    "q113_mixture_plan",
+    s"""WITH tok AS (SELECT source, CAST(len($sqlToks) AS BIGINT) AS nt
+       |            FROM documents),
+       |n AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS avail
+       |      FROM tok GROUP BY source),
+       |wmap(source, w) AS (VALUES ${MixRecipe.map { case (s, w) =>
+          s"('$s', CAST($w AS BIGINT))" }.mkString(", ")}),
+       |r0 AS (SELECT n.source, n.avail, wmap.w,
+       |              CAST(NULL AS BIGINT) AS take,
+       |              CAST(NULL AS BIGINT) AS rnd
+       |       FROM n JOIN wmap USING (source)),
+       |${(1 to 21).map(sqlMixRound(_, 10000L)).mkString(",\n")}
+       |SELECT source, avail AS avail_tokens, w AS weight_ppm,
+       |       CAST(take AS BIGINT) AS take_tokens,
+       |       CAST(CASE WHEN avail = 0 THEN 0
+       |            ELSE take * 1000000 // avail END AS BIGINT) AS rate_ppm,
+       |       rnd AS round_fixed
+       |FROM r21 ORDER BY source""".stripMargin) { (s, dir) =>
+    graft.operators.Mixing.mixturePlan(Tables.documents(s, dir),
+      "doc_id", "source", "text", MixRecipe.toMap, budget = 10000L)
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112)
+    q112, q113)
 }

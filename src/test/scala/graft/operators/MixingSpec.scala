@@ -400,6 +400,53 @@ class MixingSpec extends AnyFunSuite {
     assert(graft.PlanChecks.shuffleExchanges(plan) == 1, plan)
   }
 
+  test("mixturePlan: water-filling redistributes a saturated source's " +
+    "unfilled share (where clipping would strand it), rounds and rates " +
+    "are exact, and the plan-applied gate keeps saturated sources whole") {
+    // A wants 80% of the budget but holds 10 tokens; B and C split the
+    // redistributed mass equally. Naive clipping would take 10+10+10.
+    val docs = (
+      (1 to 1) .map(i => (i.toLong,       "A", Seq.fill(10)("t").mkString(" "))) ++
+      (1 to 10).map(i => (100L + i, "B", Seq.fill(100)("t").mkString(" "))) ++
+      (1 to 10).map(i => (200L + i, "C", Seq.fill(100)("t").mkString(" ")))
+    ).toDF("doc_id", "source", "text")
+    val recipe = Map("A" -> 800000L, "B" -> 100000L, "C" -> 100000L)
+    val plan = Mixing.mixturePlan(docs, "doc_id", "source", "text",
+      recipe, budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (avail, take, rate_ppm, round): A saturates round 1 at its whole
+    // stock; B and C each get (100-10)*0.1/0.2 = 45 in round 2
+    assert(plan("A") == ((10L, 10L, 1000000L, 1L)), plan.toString)
+    assert(plan("B") == ((1000L, 45L, 45000L, 2L)), plan.toString)
+    assert(plan("C") == ((1000L, 45L, 45000L, 2L)))
+    assert(plan.values.map(_._2).sum == 100L,
+      "redistribution must spend the whole budget here")
+    // no-saturation recipe: everything fixes in round 1 at its share
+    val flat = Mixing.mixturePlan(docs, "doc_id", "source", "text",
+      Map("A" -> 10000L, "B" -> 495000L, "C" -> 495000L), budget = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(flat.values.forall(_._2 == 1L), s"no source saturates: $flat")
+    assert(flat("A")._1 == 1L && flat("B")._1 == 49L && flat("C")._1 == 49L)
+    // a source the recipe never heard of fails loud
+    val e = intercept[IllegalArgumentException] {
+      Mixing.mixturePlan(docs, "doc_id", "source", "text",
+        Map("A" -> 500000L, "B" -> 500000L), budget = 100L)
+    }
+    assert(e.getMessage.contains("no weight for sources"), e.getMessage)
+    // the applied gate: rate 1e6 keeps EVERY doc of a saturated source;
+    // kept set is deterministic
+    val kept = Mixing.mixturePlanDocs(docs, "doc_id", "source", "text",
+      recipe, budget = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L), "the saturated source's doc must be kept")
+    val again = Mixing.mixturePlanDocs(docs, "doc_id", "source", "text",
+      recipe, budget = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept, "plan-applied gate is not deterministic")
+  }
+
   test("dsirRateMix: the DIRECTION property — at the same rate budget, " +
     "target-like documents sample >= 10x more often than off-target; " +
     "total kept tracks the budget; zero shuffles past the weight agg") {
