@@ -237,6 +237,44 @@ object AnnRecall {
         shardedEf, excludeSelf = true)
       .groupBy("qid", "cell").agg(first("visits").as("v"))
       .agg(sum("v")).head().getLong(0)
+    // the AUTO-SPLIT streamed row: same quantizer as the sharded tiers,
+    // but a per-shard cap SMALL enough that absorbing the stream forces
+    // online cell splits — the frontier point for an index that
+    // resharded itself mid-ingestion. At the same nprobe the split
+    // index probes a SMALLER corpus fraction (more, smaller cells), so
+    // this row publishes the resharding trade the operator's spec pins
+    // only at saturating knobs: what production probing pays (or not)
+    // after the quantizer refined itself online.
+    val streamSplitDir = java.nio.file.Files
+      .createTempDirectory("graft-ann-stream-split").toString
+    locally {
+      val cuts = corpus.stat.approxQuantile(idCol,
+        Array(0.5, 0.75, 0.875), 0.0).map(_.toLong)
+      val idL = col(idCol).cast("long")
+      val sgs = graft.streaming.StreamGraphShards
+      // cap at 3/4 of the MEAN cell so the absorbed stream must split
+      // (the bootstrap itself runs uncapped — a skewed half-corpus cell
+      // is not this row's subject; the maintainer's cap + autoSplit
+      // then reshards any cell already past it on first touch)
+      val splitCap = math.max(8, nAll / (nAll / centroidEvery + 1) * 3 / 4)
+      sgs.bootstrap(corpus.sparkSession, streamSplitDir,
+        corpus.filter(idL < cuts(0)), idCol, vecCol,
+        Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
+          centroidEvery))
+      val maint = sgs.maintainer(corpus.sparkSession, streamSplitDir,
+        idCol, vecCol, maxPerShard = splitCap, autoSplit = true)
+      maint(corpus.filter(idL >= cuts(0) && idL < cuts(1)), 1L)
+      maint(corpus.filter(idL >= cuts(1) && idL < cuts(2)), 2L)
+      maint(corpus.filter(idL >= cuts(2)), 3L)
+    }
+    def streamSplit(kk: Int) = graft.streaming.StreamGraphShards
+      .topKBatch(queries, idCol, vecCol, streamSplitDir, kk,
+        shardedNprobe, shardedEf)
+    lazy val streamSplitCost: Long = graft.streaming.StreamGraphShards
+      .candidates(queries, idCol, vecCol, streamSplitDir, shardedNprobe,
+        shardedEf, excludeSelf = true)
+      .groupBy("qid", "cell").agg(first("visits").as("v"))
+      .agg(sum("v")).head().getLong(0)
     val strideTier = Seq(
       measure("lsh", mp(k, 0), mp(nAll, 0).count()),
       measure("lsh_mp1", mp(k, 1), mp(nAll, 1).count()),
@@ -250,6 +288,7 @@ object AnnRecall {
       measure("graph_sharded_lc", shardedLc(k), shardedLcCost),
       measure("graph_stream_sharded_lc", streamShardedLc(k),
         streamShardedLcCost),
+      measure("graph_stream_split", streamSplit(k), streamSplitCost),
       measure("ivf_lc", ivfLc(k), ivfLc(nAll).count()),
       measure("pq_adc", adc(k), adc(nAll).count()),
       // stage-2 rows == cand by construction; count the plan anyway

@@ -279,16 +279,27 @@ object Mixing {
     * of is a data bug — loud), and `avail = 0` sources saturate at
     * take 0 in round 1 by the same arithmetic.
     *
+    * `maxEpochs` is the DATA-CONSTRAINED knob (the Muennighoff et al.
+    * 2023 regime: scarce high-quality sources repeat for several
+    * epochs before the recipe gives up their share): a source's
+    * effective stock becomes `avail · maxEpochs`, so `take` may exceed
+    * one pass and `rate_ppm = take·10⁶ div avail` goes PAST 10⁶ —
+    * read it as micro-epochs (2.5e6 = 2.5 passes). Repetition is the
+    * packing/shuffle stage's job; [[mixturePlanDocs]] keeps every doc
+    * of a source at rate ≥ 10⁶ and cannot express the extra passes.
+    *
     * Output: (sourceCol, avail_tokens, weight_ppm, take_tokens,
-    * rate_ppm, round_fixed) — `rate_ppm = take·10⁶ div avail` is the
-    * knob for the content-addressed ppm gate ([[mixturePlanDocs]]),
-    * `round_fixed` pins WHICH round resolved each source (the
-    * algorithm's structure, not just its answer). */
+    * rate_ppm, round_fixed) — `rate_ppm` is the knob for the
+    * content-addressed ppm gate ([[mixturePlanDocs]]), `round_fixed`
+    * pins WHICH round resolved each source (the algorithm's structure,
+    * not just its answer). */
   def mixturePlan(docs: DataFrame, idCol: String, sourceCol: String,
                   textCol: String, weightsPpm: Map[String, Long],
-                  budget: Long): DataFrame = {
+                  budget: Long, maxEpochs: Long = 1L): DataFrame = {
     require(budget >= 1 && budget <= 1000000000L,
       "budget must be in [1, 1e9] (keeps budget * w inside a long)")
+    require(maxEpochs >= 1 && maxEpochs <= 100L,
+      "maxEpochs must be in [1, 100]")
     require(weightsPpm.values.forall(w => w >= 0 && w <= 1000000L),
       "recipe weights must be in [0, 1e6] ppm")
     graft.functions.TokenStats.ensureRegistered(docs.sparkSession)
@@ -302,7 +313,10 @@ object Mixing {
     require(missing.isEmpty,
       s"recipe has no weight for sources: ${missing.mkString(", ")}")
     val n = totals.length
-    val avail = totals.map(_._2)
+    // the solver fills against the EFFECTIVE stock (epoch-capped);
+    // reporting stays in single-pass avail so rate_ppm reads as
+    // micro-epochs
+    val avail = totals.map(_._2 * maxEpochs)
     val w = totals.map(t => weightsPpm(t._1))
     val take = Array.fill(n)(-1L)
     val rnd = Array.fill(n)(-1L)
@@ -328,8 +342,9 @@ object Mixing {
     val spark = docs.sparkSession
     import spark.implicits._
     totals.indices.map { i =>
-      (totals(i)._1, avail(i), w(i), take(i),
-        if (avail(i) == 0) 0L else take(i) * 1000000L / avail(i), rnd(i))
+      (totals(i)._1, totals(i)._2, w(i), take(i),
+        if (totals(i)._2 == 0) 0L
+        else take(i) * 1000000L / totals(i)._2, rnd(i))
     }.toDF(sourceCol, "avail_tokens", "weight_ppm", "take_tokens",
       "rate_ppm", "round_fixed")
   }

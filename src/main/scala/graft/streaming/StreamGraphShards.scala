@@ -267,95 +267,190 @@ object StreamGraphShards {
     * centroid table.
     *
     * Method, fully deterministic:
-    *   1. SEEDS: two members of the cell become the new centroids —
-    *      the lowest-id member, and the member LEAST like the old
-    *      centroid (minimum cosine, lowest-id tie-break): maximally
-    *      spread apart along the axis the old cell failed to resolve.
-    *      Members whose id is already a cent_id of ANOTHER live cell
-    *      are ineligible (cent_ids must stay unique); fails loud if
-    *      fewer than two eligible members exist (a 1-member cell has
-    *      nothing to split).
+    *   1. SEEDS: members of the cell become the new centroids — the
+    *      lowest-id member plus the member LEAST like the old centroid
+    *      (minimum cosine, lowest-id tie-break), with farthest-point
+    *      additions until every sub-cell fits the cap (two seeds
+    *      cannot absorb a cell far past it). Members whose id is
+    *      already a cent_id of ANOTHER live cell are ineligible
+    *      (cent_ids must stay unique); fails loud with fewer than two
+    *      eligible members.
     *   2. QUANTIZER REVISION: old table minus the split cell plus the
-    *      two seeds, written whole (the centroid table is bounded by
+    *      seeds, written whole (the centroid table is bounded by
     *      contract — rewriting it is O(|C|), not O(corpus)).
-    *   3. GLOBAL REASSIGNMENT of the cell's members against the FULL
-    *      revised table — NOT confined to the two sub-cells: a member
-    *      that is now globally closest to some other cell MIGRATES
-    *      there. Confinement would break the tier's core invariant
-    *      (every row sits in its global-argmax cell), which both the
-    *      maintainer's content-addressed replay dedup and the probe's
-    *      recall math rely on.
-    *   4. GROW: sub-cells build fresh graphs, migration targets absorb
-    *      their arrivals incrementally — [[growCells]], the maintainer's
-    *      own step, per-shard ceiling still loud.
+    *   3. WHOLE-INDEX REASSIGNMENT — the exactness price a quantizer
+    *      revision cannot dodge: adding centroids can steal the argmax
+    *      of rows in UNSPLIT cells, and a row left at a stale placement
+    *      breaks the tier's core invariant (every row sits in its
+    *      global-argmax cell) that both the maintainer's
+    *      content-addressed replay dedup and the probe's recall math
+    *      rely on. One map-only SCAN of the index through the very
+    *      in-scan assignment expression future batches will use
+    *      ([[Similarity.assignCells]] — bitwise the same rule, so
+    *      replays after the split content-address correctly by
+    *      construction); rows whose argmax moved migrate. Non-members
+    *      can only move TO a seed (their old cell was their old argmax,
+    *      so only a new centroid can beat it); the dissolved cell's own
+    *      members go wherever the revised argmax says.
+    *   4. REBUILD every affected cell (lost or gained any row) from its
+    *      new membership — deterministic ascending-id executor builds,
+    *      per-shard ceiling still loud; a migration target the split
+    *      would overflow is PRE-SPLIT recursively first (depth-bounded,
+    *      loud past 16).
     *
-    * Cost: O(split cell + migration targets), never O(index). Returns
-    * the two seed cent_ids. */
+    * Cost: one O(index) assignment SCAN (map-only, pruned columns, no
+    * payload shuffle) + O(affected cells) rebuild/write — the scan is
+    * the honest price of exact placement under a revised quantizer; the
+    * write volume stays bounded by what actually changed. Returns the
+    * seed cent_ids. */
   def splitCell(spark: SparkSession, dir: String, cell: Long, tag: String,
                 m: Int = 16, efConstruction: Int = 64,
-                maxPerShard: Int = GraphShards.MaxShardVectors)
-      : (Long, Long) = {
+                maxPerShard: Int = GraphShards.MaxShardVectors,
+                depth: Int = 0): Seq[Long] = {
+    import spark.implicits._
+    require(depth < 16,
+      s"splitCell recursion past depth 16 at cell $cell — migrations " +
+        "keep overflowing neighbors; the data is pathologically " +
+        "concentrated for this maxPerShard")
     val manifest = readManifest(dir)
     require(manifest.contains(cell),
       s"cell $cell is not in the current manifest — nothing to split")
-    val cents = currentCentroids(spark, dir)
-    val centRows = cents
+    val centRows = currentCentroids(spark, dir)
       .select(col("cent_id").cast("long"), col("cent_vec"), col("cent_norm"))
       .collect()
-    val centIds = centRows.map(_.getLong(0)).toSet
-    require(centIds.contains(cell),
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    require(centRows.exists(_._1 == cell),
       s"manifest names cell $cell but the centroid sidecar does not — " +
         "corrupt index")
-    val old = centRows.find(_.getLong(0) == cell).get
+    val old = centRows.find(_._1 == cell).get
+    // seed election runs on the split cell's members, DRIVER-side (the
+    // shard fits one task by construction; only (id, vec) travel)
     val members = loadShardRows(spark, dir, manifest, Seq(cell))
       .select(col("id").cast("long"), col("vec"))
-      .withColumn("norm", Similarity.normD(col("vec")))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        (r.getLong(0), v, math.sqrt(acc))
+      }.sortBy(_._1)
+    def cosTo(v: Array[Double], n: Double,
+              c: Array[Double], cn: Double): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i) * c(i); i += 1 }
+      acc / (n * cn)
+    }
+    val otherCents = centRows.filter(_._1 != cell)
+    val otherIds = otherCents.map(_._1).toSet
+    val eligible = members.filter(t => !otherIds.contains(t._1))
+    require(eligible.length >= 2,
+      s"cell $cell has fewer than two eligible members — nothing to " +
+        "split apart; raise maxPerShard instead")
+    // every (cell, id, vec) row of the index, the whole-index
+    // reassignment's input — read once, reused per seed iteration
+    val allRows = loadShardRows(spark, dir, manifest,
+      manifest.keys.toSeq.sorted)
+      .select(col("cell").cast("long").as("old_cell"),
+        col("id").cast("long"), col("vec").as("vecd"),
+        Similarity.normD(col("vec")).as("norm"))
       .localCheckpoint(true)
-    // seed election: bounded driver fetch of exactly two rows — the
-    // shard is ≤ maxPerShard by construction, but only (id, cos) orderings
-    // travel, never the member set
-    val otherCentIds = centIds - cell
-    val eligible = members.filter(!col("id").isin(otherCentIds.toSeq: _*))
-      .withColumn("cos_old", Similarity.cosine(col("vec"),
-        typedlit(old.getSeq[Double](1)), col("norm"),
-        lit(old.getDouble(2))))
-    val seed1Row = eligible.orderBy(col("id").asc).head(1)
-    require(seed1Row.nonEmpty, s"cell $cell has no eligible members")
-    val seed1 = seed1Row(0).getLong(0)
-    val seed2Row = eligible.filter(col("id") =!= seed1)
-      .orderBy(col("cos_old").asc, col("id").asc).head(1)
-    require(seed2Row.nonEmpty,
-      s"cell $cell has only one eligible member — nothing to split " +
-        "apart; raise maxPerShard instead")
-    val seed2 = seed2Row(0).getLong(0)
-    // quantizer revision: bounded table, rewritten whole
-    val seeds = members.filter(col("id").isin(seed1, seed2))
-      .select(col("id").as("cent_id"), col("vec").as("cent_vec"),
-        col("norm").as("cent_norm"))
-    val revised = cents
-      .select(col("cent_id").cast("long"), col("cent_vec"),
-        col("cent_norm"))
-      .filter(col("cent_id") =!= cell)
-      .unionByName(seeds)
-    revised.coalesce(1).write.mode("overwrite")
+    // seed growth loop: start with lowest-id + least-like-the-old-
+    // centroid; if the revised quantizer would overfill a SEED cell,
+    // add the member most dissimilar from every chosen seed (min of
+    // max-cosine, lowest-id tie-break) and reassign
+    var seeds = Vector(eligible.head,
+      eligible.tail.minBy(t => (cosTo(t._2, t._3, old._2, old._3), t._1)))
+    def reassign(): DataFrame = {
+      val table = (otherCents.map(t => (t._1, t._2.toSeq, t._3)) ++
+        seeds.map(t => (t._1, t._2.toSeq, t._3))).toSeq
+        .toDF("cent_id", "cent_vec", "cent_norm")
+      Similarity.assignCells(allRows, "id", table)
+        .select(col("old_cell"), col("id"), col("vecd"),
+          col("cell").cast("long").as("new_cell"))
+        .localCheckpoint(true)
+    }
+    var assigned = reassign()
+    var iters = 0
+    var done = false
+    while (!done) {
+      require(iters < 8,
+        s"cell $cell cannot split under $maxPerShard within 8 seed " +
+          "additions — indistinguishable vectors cannot split apart")
+      val seedIds = seeds.map(_._1).toSet
+      val counts = assigned.groupBy("new_cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val overSeed = counts.exists { case (c, n) =>
+        seedIds.contains(c) && n > maxPerShard }
+      if (overSeed) {
+        val cands = eligible.filter(t => !seedIds.contains(t._1))
+        require(cands.nonEmpty,
+          s"cell $cell cannot split under $maxPerShard: every eligible " +
+            "member is already a seed (indistinguishable vectors?)")
+        seeds = seeds :+ cands.minBy(t =>
+          (seeds.map(s => cosTo(t._2, t._3, s._2, s._3)).max, t._1))
+        assigned = reassign()
+        iters += 1
+      } else {
+        // a NON-seed cell the dissolved cell's members would overfill
+        // is pre-split recursively, then this split restarts clean
+        val overfull = counts.filter { case (c, n) =>
+          !seedIds.contains(c) && c != cell && n > maxPerShard }
+          .keys.toSeq.sorted
+        if (overfull.nonEmpty) {
+          overfull.foreach { c =>
+            splitCell(spark, dir, c, s"$tag-m$c", m, efConstruction,
+              maxPerShard, depth + 1)
+          }
+          return splitCell(spark, dir, cell, s"$tag-r", m,
+            efConstruction, maxPerShard, depth + 1)
+        }
+        done = true
+      }
+    }
+    // commit: revised quantizer + a full deterministic rebuild of every
+    // AFFECTED cell (lost or gained a row) from its new membership
+    val affected = assigned
+      .filter(col("old_cell") =!= col("new_cell"))
+      .select(explode(array(col("old_cell"), col("new_cell"))).as("c"))
+      .distinct().collect().map(_.getLong(0)).toSet + cell
+    val affectedSeq = affected.toSeq.sorted
+    (otherCents.map(t => (t._1, t._2.toSeq, t._3)) ++
+      seeds.map(t => (t._1, t._2.toSeq, t._3))).toSeq
+      .toDF("cent_id", "cent_vec", "cent_norm")
+      .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/centroids-$tag")
-    val revisedCents = spark.read.parquet(s"$dir/centroids-$tag")
-    // global reassignment of the dissolved cell's members
-    val reassigned = Similarity.assignCells(
-      members.select(col("id"), col("vec").as("vecd"), col("norm")),
-      "id", revisedCents)
-      .select(col("cell").cast("long"), col("id"), col("vecd"))
-    val targets = reassigned.select("cell").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    val grown = growCells(spark,
-      loadShardRows(spark, dir, manifest, targets.filter(_ != cell)),
-      reassigned, m, efConstruction, maxPerShard)
-    grown.write.mode("overwrite").partitionBy("cell")
+    val rebuilt = assigned
+      .filter(col("new_cell").isin(affectedSeq: _*))
+      .select(col("new_cell").as("cell"), col("id"), col("vecd"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (c, it) =>
+        val rows = it.map { case (_, id, v) => (id, v) }.toArray
+        require(rows.length <= maxPerShard,
+          s"cell $c holds ${rows.length} rows past $maxPerShard after " +
+            "the split — capacity check missed it (bug)")
+        val g = GraphAnn.buildGraphFromRows(rows.sortBy(_._1).toIndexedSeq,
+          m, efConstruction)
+        g.ids.indices.iterator.map { i =>
+          (c, i.toLong, g.ids(i),
+            g.vecs.slice(i * g.dim, (i + 1) * g.dim).toSeq,
+            g.nbrs(i).map(g.ids(_)).toSeq)
+        }
+      }.toDF("cell", "ord", "id", "vec", "nbr_ids")
+    rebuilt.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/graphs-$tag")
-    val updated = (manifest - cell) ++
-      targets.map(c => c -> s"graphs-$tag/cell=$c")
+    // affected cells that end EMPTY (every row left) drop out of the
+    // manifest entirely; the rest repoint at the rebuild
+    val nonEmpty = assigned.filter(col("new_cell").isin(affectedSeq: _*))
+      .select("new_cell").distinct().collect().map(_.getLong(0)).toSet
+    val updated = (manifest -- affected) ++
+      affectedSeq.filter(nonEmpty.contains)
+        .map(c => c -> s"graphs-$tag/cell=$c")
     commitManifest(dir, s"manifest-$tag", updated, s"centroids-$tag")
-    (seed1, seed2)
+    seeds.map(_._1)
   }
 
   /** BATCH search against the CURRENT manifest: rank cells, walk only

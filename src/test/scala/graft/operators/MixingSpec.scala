@@ -435,6 +435,18 @@ class MixingSpec extends AnyFunSuite {
         Map("A" -> 500000L, "B" -> 500000L), budget = 100L)
     }
     assert(e.getMessage.contains("no weight for sources"), e.getMessage)
+    // the data-constrained knob: at maxEpochs = 4, A's effective stock
+    // is 40 — it still saturates (desired 80 ≥ 40) but now absorbs four
+    // passes (rate_ppm 4e6 = 4 micro-epochs over its 10 real tokens),
+    // and B/C split the remaining 60
+    val epochs = Mixing.mixturePlan(docs, "doc_id", "source", "text",
+      recipe, budget = 100L, maxEpochs = 4L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(epochs("A") == ((10L, 40L, 4000000L, 1L)), epochs.toString)
+    assert(epochs("B") == ((1000L, 30L, 30000L, 2L)))
+    assert(epochs("C") == ((1000L, 30L, 30000L, 2L)))
+    assert(epochs.values.map(_._2).sum == 100L)
     // the applied gate: rate 1e6 keeps EVERY doc of a saturated source;
     // kept set is deterministic
     val kept = Mixing.mixturePlanDocs(docs, "doc_id", "source", "text",

@@ -46,8 +46,9 @@ class StreamShardSplitSpec extends AnyFunSuite {
     val biggest = StreamGraphShards.readManifest(dir).toSeq.map {
       case (c, rel) => c -> spark.read.parquet(s"$dir/$rel").count()
     }.maxBy(_._2)._1
-    val (s1, s2) = StreamGraphShards.splitCell(spark, dir, biggest, "t0")
-    assert(s1 != s2)
+    val seeds = StreamGraphShards.splitCell(spark, dir, biggest, "t0")
+    assert(seeds.distinct.size == seeds.size && seeds.size >= 2)
+    val Seq(s1, s2) = seeds.take(2)
     // the quantizer revision is live: old cell gone (unless re-seeded by
     // its own centroid row), both seeds present, |C| grew by one
     val rel = StreamGraphShards.readCentroidsRel(dir)
@@ -118,6 +119,20 @@ class StreamShardSplitSpec extends AnyFunSuite {
           .select(col("cent_id").cast("long")).as[Long].collect().toSet)
     }
     val (dir, cellsOf, centIds) = run()
+    // REPLAY across the splits: a batch whose rows are all present must
+    // be a marker-stable no-op — this is the pin that the split's
+    // DRIVER-side argmax (which placed migrated rows) agrees bitwise
+    // with the maintainer's IN-SCAN assignment (which content-addresses
+    // the replay); any divergence would re-insert a migrated row into
+    // its in-scan cell as a duplicate
+    val markerBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "current"))).trim
+    StreamGraphShards.maintainer(spark, dir, "vec_id", "embedding",
+      maxPerShard = 150, autoSplit = true)(
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 250), 9L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "current"))).trim == markerBefore,
+      "a fully-replayed batch moved the marker after splits")
     // every ceiling holds and the index grew past one cell
     val perCell = cellsOf.groupBy(_._1).view.mapValues(_.size)
     assert(perCell.values.forall(_ <= 150),
