@@ -234,7 +234,20 @@ object StreamGraphShards {
             s"autoSplit did not converge after 16 rounds (cells " +
               s"${overflow.mkString(",")} still past $maxPerShard — " +
               "indistinguishable vectors cannot split apart)")
-          overflow.foreach { c =>
+          // a cell with NO standing shard that the batch alone would
+          // overfill cannot be split (there are no members to seed
+          // from); split the splittable overflow — the revised
+          // quantizer may pull rows away from the empty cell — and
+          // fail loud only when no progress is possible at all: that
+          // is a batch-vs-cap sizing error, not an index state
+          // splitting can repair
+          val splittable = overflow.filter(manifest.contains)
+          require(splittable.nonEmpty,
+            s"batch $batchId alone would push empty cell(s) " +
+              s"${overflow.mkString(",")} past $maxPerShard — " +
+              "autoSplit cannot help (nothing to split); use smaller " +
+              "micro-batches or raise maxPerShard")
+          splittable.foreach { c =>
             splitCell(spark, dir, c, s"b$batchId-r$round-c$c", m,
               efConstruction, maxPerShard)
           }
