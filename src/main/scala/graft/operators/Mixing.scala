@@ -366,6 +366,39 @@ object Mixing {
       .drop("_g", "rate_ppm")
   }
 
+  /** The REPETITION-EXPANDED corpus of an epoch-capped [[mixturePlan]] —
+    * what a data-constrained recipe actually feeds the dataloader: each
+    * document of a source at `rate_ppm` appears `rate div 10⁶` times
+    * (the full micro-epochs) plus once more under the content-addressed
+    * ppm gate at `rate mod 10⁶` (the partial epoch — per-DOCUMENT
+    * sampling, the same membership rule every mixer here uses, so the
+    * expected emitted token mass per source is its `take_tokens`).
+    * Output: every input column plus `epoch_no` (1-based; the partial
+    * epoch is the LAST number). Compose downstream with
+    * [[epochShuffle]]/[[curriculumOrder]] keyed on (idCol, epoch_no) so
+    * repeated copies scatter instead of clustering. One broadcast of
+    * the bounded plan + an in-scan explode — the corpus never shuffles
+    * here. */
+  def mixtureEpochsDocs(docs: DataFrame, idCol: String, sourceCol: String,
+                        textCol: String, weightsPpm: Map[String, Long],
+                        budget: Long, maxEpochs: Long = 1L): DataFrame = {
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val plan = mixturePlan(docs, idCol, sourceCol, textCol, weightsPpm,
+      budget, maxEpochs)
+    val nFull = (col("rate_ppm") / 1000000L).cast("long")
+    val partial = col("rate_ppm") % 1000000L
+    val nCopies = nFull +
+      (ppmHash(idCol) % 1000000 < partial).cast("long")
+    docs
+      .join(broadcast(plan.select(col(sourceCol).as("_g"),
+        col("rate_ppm"))), docs(sourceCol) === col("_g"))
+      .withColumn("_nc", nCopies)
+      .withColumn("epoch_no", explode(when(col("_nc") >= 1,
+        sequence(lit(1L), col("_nc")))
+        .otherwise(array().cast("array<long>"))))
+      .drop("_g", "rate_ppm", "_nc")
+  }
+
   /** Per-group audit of a [[rateMix]] decision: group, total, kept, and
     * the applied per-mille rate. One scan, one small agg. */
   def rateMixSummary(docs: DataFrame, idCol: String, groupCol: String,

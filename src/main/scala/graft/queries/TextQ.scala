@@ -2310,9 +2310,55 @@ object TextQ {
       .orderBy("source")
   }
 
+  /** q114: REPETITION-EXPANDED mixture corpus ([[graft.operators.Mixing
+    * .mixtureEpochsDocs]]) — the data-constrained plan made consumable:
+    * at budget 30000 over ~27k available tokens with maxEpochs = 3, the
+    * oversubscribed src0/src1 saturate at THREE full micro-epochs
+    * (every doc emitted 3×) while the rest land on a sub-1.0 rate
+    * (partial epoch only, ppm-gated per doc). The oracle re-derives the
+    * epoch-capped water-filling plan (21 unrolled rounds on the
+    * tripled stocks), the per-source micro-epoch rates, the full-epoch
+    * expansion, and the partial-epoch hash gate. */
+  val q114 = Q(
+    "q114_mixture_epochs",
+    s"""WITH tok AS (SELECT source, CAST(len($sqlToks) AS BIGINT) AS nt
+       |            FROM documents),
+       |n AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS avail
+       |      FROM tok GROUP BY source),
+       |wmap(source, w) AS (VALUES ${MixRecipe.map { case (s, w) =>
+          s"('$s', CAST($w AS BIGINT))" }.mkString(", ")}),
+       |r0 AS (SELECT n.source, n.avail * 3 AS avail, wmap.w,
+       |              CAST(NULL AS BIGINT) AS take,
+       |              CAST(NULL AS BIGINT) AS rnd
+       |       FROM n JOIN wmap USING (source)),
+       |${(1 to 21).map(sqlMixRound(_, 30000L)).mkString(",\n")},
+       |rate AS (SELECT n.source,
+       |                CAST(r.take * 1000000 // n.avail AS BIGINT)
+       |                  AS rate_ppm
+       |         FROM n JOIN r21 r USING (source)),
+       |sel AS (SELECT d.doc_id,
+       |               CAST(r.rate_ppm // 1000000 AS BIGINT) AS nfull,
+       |               CASE WHEN ((${sqlHash("CAST(doc_id AS VARCHAR)")}
+       |                          * 2654435761) % $P) % 1000000
+       |                         < r.rate_ppm % 1000000
+       |                    THEN 1 ELSE 0 END AS part
+       |        FROM documents d JOIN rate r USING (source))
+       |SELECT doc_id, CAST(epoch_no AS BIGINT) AS epoch_no FROM (
+       |  SELECT doc_id,
+       |         unnest(range(1, CAST(nfull + part AS INTEGER) + 1))
+       |           AS epoch_no
+       |  FROM sel)
+       |ORDER BY doc_id, epoch_no""".stripMargin) { (s, dir) =>
+    graft.operators.Mixing.mixtureEpochsDocs(Tables.documents(s, dir),
+      "doc_id", "source", "text", MixRecipe.toMap, budget = 30000L,
+      maxEpochs = 3L)
+      .select(col("doc_id"), col("epoch_no"))
+      .orderBy("doc_id", "epoch_no")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113)
+    q112, q113, q114)
 }

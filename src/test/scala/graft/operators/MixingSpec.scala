@@ -447,6 +447,23 @@ class MixingSpec extends AnyFunSuite {
     assert(epochs("B") == ((1000L, 30L, 30000L, 2L)))
     assert(epochs("C") == ((1000L, 30L, 30000L, 2L)))
     assert(epochs.values.map(_._2).sum == 100L)
+    // the repetition-expanded corpus: A's doc appears EXACTLY 4 times
+    // (rate 4e6 = 4 full micro-epochs, no partial), epoch_nos dense
+    // 1..4; B/C docs at rate 0.03e6 appear 0 or 1 times; deterministic
+    val rep = Mixing.mixtureEpochsDocs(docs, "doc_id", "source", "text",
+      recipe, budget = 100L, maxEpochs = 4L)
+      .select("doc_id", "epoch_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.filter(_._1 == 1L).map(_._2).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L), s"saturated doc must repeat exactly 4x: " +
+      rep.filter(_._1 == 1L).toSeq)
+    assert(rep.filterNot(_._1 == 1L).forall(_._2 == 1L),
+      "sub-1.0-rate docs may only appear in epoch 1")
+    val rep2 = Mixing.mixtureEpochsDocs(docs, "doc_id", "source", "text",
+      recipe, budget = 100L, maxEpochs = 4L)
+      .select("doc_id", "epoch_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rep.toSet == rep2.toSet, "expansion is not deterministic")
     // the applied gate: rate 1e6 keeps EVERY doc of a saturated source;
     // kept set is deterministic
     val kept = Mixing.mixturePlanDocs(docs, "doc_id", "source", "text",
