@@ -355,10 +355,10 @@ object Mixing {
     * broadcast of the bounded plan, corpus never shuffles). */
   def mixturePlanDocs(docs: DataFrame, idCol: String, sourceCol: String,
                       textCol: String, weightsPpm: Map[String, Long],
-                      budget: Long): DataFrame = {
+                      budget: Long, maxEpochs: Long = 1L): DataFrame = {
     graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
     val plan = mixturePlan(docs, idCol, sourceCol, textCol, weightsPpm,
-      budget)
+      budget, maxEpochs)
     docs
       .join(broadcast(plan.select(col(sourceCol).as("_g"),
         col("rate_ppm"))), docs(sourceCol) === col("_g"))

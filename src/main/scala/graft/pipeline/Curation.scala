@@ -67,7 +67,11 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing, Redact}
   *                         BEFORE mixing because the cap is a crowding
   *                         control and the mixer should sample the
   *                         already-decrowded pool
-  *   5. mixing           — per-source static rates ([[Mixing.rateMix]])
+  *   5. mixing           — per-source static rates ([[Mixing.rateMix]]),
+  *                         temperature/DSIR budgets, or the explicit
+  *                         recipe ([[Mixing.mixturePlanDocs]], the
+  *                         water-filling plan) — precedence
+  *                         recipe > dsir > temperature > rates
   *   6. packing          — fixed-token-budget packs per source
   *                         ([[Packing.packByBudget]])
   *
@@ -140,6 +144,9 @@ object Curation {
              dsirTarget: Option[DataFrame] = None,
              dsirBudget: Long = 0L,
              dsirMaxW: Double = 1000.0,
+             mixRecipe: Option[Map[String, Long]] = None,
+             mixBudgetTokens: Long = 0L,
+             mixMaxEpochs: Long = 1L,
              packBudget: Long = 2048,
              audit: Boolean = true): (DataFrame, Report) = {
     val outClash = docs.columns.filter(Seq("n_tokens", "pack_id").contains)
@@ -319,18 +326,28 @@ object Curation {
     }
 
     // 5. mixing: static per-source rates; the n^(1/2) temperature
-    // rebalance when `temperatureBudget` is set; or — when `dsirTarget`
-    // is set — DSIR-WEIGHTED sampling ([[Mixing.dsirRateMix]]): keep
-    // probability proportional to the document's importance weight
-    // against the target slice, normalized to `dsirBudget` expected
-    // documents. Precedence dsir > temperature > rates (each stronger
-    // policy subsumes the weaker one's intent — a content-aware budget
-    // beats a per-source budget beats a fixed table); the sampler runs
-    // over the DECONTAMINATED pool, the DSIR paper's placement (score
-    // clean data, then sample).
-    val mixIsNoop = dsirTarget.isEmpty && temperatureBudget.isEmpty &&
+    // rebalance when `temperatureBudget` is set; DSIR-WEIGHTED sampling
+    // when `dsirTarget` is set; or — strongest — the EXPLICIT RECIPE
+    // ([[Mixing.mixturePlanDocs]]) when `mixRecipe` is set: the
+    // published per-source proportion table honored against the pool's
+    // actual token availability under `mixBudgetTokens`, saturated
+    // sources' shares water-filled to the rest (and `mixMaxEpochs`
+    // letting scarce sources saturate past one pass — the gate keeps
+    // those sources whole; emit repetition downstream with
+    // [[Mixing.mixtureEpochsDocs]] if the run wants the copies
+    // materialized). Precedence recipe > dsir > temperature > rates
+    // (explicit human intent beats a content-aware budget beats a
+    // per-source heuristic beats a fixed table); every sampler runs
+    // over the DECONTAMINATED pool (score clean data, then sample).
+    val mixIsNoop = mixRecipe.isEmpty && dsirTarget.isEmpty &&
+      temperatureBudget.isEmpty &&
       mixRatesMilli.isEmpty && mixDefaultMilli == 1000
-    val mixed = dsirTarget match {
+    val mixed = mixRecipe match {
+      case Some(recipe) =>
+        require(mixBudgetTokens >= 1, "mixRecipe needs mixBudgetTokens >= 1")
+        stage(Mixing.mixturePlanDocs(capped, idCol, sourceCol, textCol,
+          recipe, mixBudgetTokens, mixMaxEpochs))
+      case None => dsirTarget match {
       case Some(tgt) =>
         require(dsirBudget >= 1, "dsirTarget needs dsirBudget >= 1")
         val clash = docs.columns
@@ -347,6 +364,7 @@ object Curation {
         case None if mixIsNoop => capped
         case None => stage(Mixing.rateMix(capped, idCol, sourceCol,
           mixRatesMilli, mixDefaultMilli))
+      }
       }
     }
 

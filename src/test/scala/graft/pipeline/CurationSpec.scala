@@ -362,4 +362,41 @@ class CurationSpec extends AnyFunSuite {
     assert(outD2.select("doc_id").collect().map(_.getLong(0)).toSet ==
       outD.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("recipe mixing stage: the explicit water-filling plan wins " +
+    "precedence over every other mixer, keeps an oversubscribed " +
+    "source WHOLE (rate saturates at 1.0), and stays deterministic") {
+    // src0 wants half the token budget against a stock the budget
+    // exceeds — it must saturate (every surviving src0 doc kept); the
+    // other 19 sources split the redistributed remainder thinly
+    val recipe: Map[String, Long] = Map("src0" -> 500000L) ++
+      (1 to 19).map(i => s"src$i" -> 26316L)
+    val target = docs.filter(col("lang") === "en").select(col("text"))
+    val (outR, rR) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      mixRatesMilli = Map("src0" -> 1000), // would keep everything
+      temperatureBudget = Some(1000000L),  // would keep everything
+      dsirTarget = Some(target), dsirBudget = 1000000L, // ditto
+      mixRecipe = Some(recipe), mixBudgetTokens = 4000L)
+    assert(rR.nAfterMix < rR.nAfterDecontam,
+      "the recipe gate dropped nothing — precedence did not engage")
+    assert(rR.nAfterMix > 0L)
+    // the saturated source survives whole: every src0 doc alive after
+    // the cap stage is in the output
+    val (outBase, _) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256)
+    val src0Pool = outBase.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val src0Kept = outR.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(src0Kept == src0Pool,
+      s"saturated src0 lost docs: kept ${src0Kept.size} of ${src0Pool.size}")
+    assert(outR.columns.sorted.toSeq == outBase.columns.sorted.toSeq)
+    val (outR2, rR2) = Curation.curate(docs, evalDocs,
+      nearDupThresholdMilli = 500, packBudget = 256,
+      mixRecipe = Some(recipe), mixBudgetTokens = 4000L)
+    assert(rR2.nAfterMix == rR.nAfterMix)
+    assert(outR2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      outR.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
