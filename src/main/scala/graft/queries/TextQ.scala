@@ -2356,9 +2356,102 @@ object TextQ {
       .orderBy("doc_id", "epoch_no")
   }
 
+  /** q115/q116's shared MULTI-LINE fixture: the synthetic corpus is
+    * single-line, so both line-dedup queries first re-chunk each document
+    * into 3-word lines (the q90 planted-fixture discipline — derive the
+    * shape the operator needs DETERMINISTICALLY from the real table, with
+    * the identical expression on both sides). Width 3 is the measured
+    * sweet spot at sf0.01: ~9.2k lines / ~7.5k distinct — ~19% duplicated
+    * mass for keep-first, a small ≥8-occurrence head for the frequency
+    * scrub, and plenty of untouched docs to pin byte-identity. */
+  private def lineFixture(s: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) === lit(0), lit(""))
+          .otherwise(concat_ws("\n",
+            transform(sequence(lit(1), size(col("w")), lit(3)),
+              i => concat_ws(" ", slice(col("w"), i, lit(3))))))
+          .as("text"))
+
+  private val lineFixtureCte: String =
+    s"""toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |rel AS (SELECT doc_id, CASE WHEN len(w) = 0 THEN '' ELSE
+       |          array_to_string(list_transform(range(1, len(w) + 1, 3),
+       |            i -> array_to_string(w[i:i+2], ' ')), chr(10)) END AS text
+       |        FROM toks),
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM rel),
+       |lines AS (SELECT doc_id, CAST(t.i - 1 AS INT) AS p, ls[t.i] AS l
+       |          FROM ls, UNNEST(range(1, len(ls) + 1)) AS t(i)),
+       |ne AS (SELECT doc_id, p, ${sqlWideHash("trim(l)")} AS k
+       |       FROM lines WHERE trim(l) <> '')""".stripMargin
+
+  /** The shared rebuild tail: every line except the flagged positions,
+    * position-ordered, untouched docs verbatim — mirrors
+    * [[graft.operators.Dedup.dedupLinesKeepFirst]]'s rewrite half. */
+  private val lineRebuildSql: String =
+    s"""kept AS (SELECT lines.doc_id, lines.p, lines.l FROM lines
+       |         LEFT JOIN rem ON lines.doc_id = rem.doc_id
+       |           AND lines.p = rem.p
+       |         WHERE rem.doc_id IS NULL),
+       |agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY p)
+       |          AS clean_text FROM kept GROUP BY doc_id),
+       |nrem AS (SELECT doc_id, COUNT(*) AS n_removed FROM rem
+       |         GROUP BY doc_id)
+       |SELECT rel.doc_id,
+       |       CASE WHEN nrem.doc_id IS NULL THEN rel.text
+       |            ELSE COALESCE(agg.clean_text, '') END AS clean_text,
+       |       CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed
+       |FROM rel
+       |LEFT JOIN agg ON rel.doc_id = agg.doc_id
+       |LEFT JOIN nrem ON rel.doc_id = nrem.doc_id
+       |ORDER BY rel.doc_id""".stripMargin
+
+  /** q115: CORPUS-WIDE LINE DEDUP, keep-first
+    * ([[graft.operators.Dedup.dedupLinesKeepFirst]]) — the CCNet/Dolma
+    * paragraph-dedup primitive: a (trimmed) line occurring ≥ 2 times
+    * across the corpus keeps only its global first occurrence (smallest
+    * `(doc_id, position)`), every later copy is deleted and each document
+    * reassembles from its surviving lines. The oracle re-derives the
+    * trimmed-line hash with the operator's exact 62-bit polynomial,
+    * replays the keep-first window (`ROW_NUMBER` over the hash ordered by
+    * `(doc_id, p)`), and rebuilds the STRINGS — so the rewritten texts
+    * hash-match, not just the counts. */
+  val q115 = Q(
+    "q115_line_dedup",
+    s"""WITH $lineFixtureCte,
+       |wnd AS (SELECT doc_id, p,
+       |          ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, p)
+       |            AS rn,
+       |          COUNT(*) OVER (PARTITION BY k) AS cnt
+       |        FROM ne),
+       |rem AS (SELECT doc_id, p FROM wnd WHERE cnt >= 2 AND rn > 1),
+       |$lineRebuildSql""".stripMargin) { (s, dir) =>
+    Dedup.dedupLinesKeepFirst(lineFixture(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** q116: HIGH-FREQUENCY LINE SCRUB
+    * ([[graft.operators.Dedup.scrubFreqLines]]) — the boilerplate policy:
+    * a line occurring ≥ 8 times corpus-wide is deleted EVERYWHERE (no
+    * copy survives — nav/footer chrome where even the first occurrence is
+    * noise). Same fixture, hash, and string-rebuild oracle as q115; the
+    * verdict differs (count threshold, no keep-first window). */
+  val q116 = Q(
+    "q116_line_freq_scrub",
+    s"""WITH $lineFixtureCte,
+       |cnts AS (SELECT doc_id, p,
+       |           COUNT(*) OVER (PARTITION BY k) AS cnt FROM ne),
+       |rem AS (SELECT doc_id, p FROM cnts WHERE cnt >= 8),
+       |$lineRebuildSql""".stripMargin) { (s, dir) =>
+    Dedup.scrubFreqLines(lineFixture(s, dir), "doc_id", "text", minReps = 8)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113, q114)
+    q112, q113, q114, q115, q116)
 }
