@@ -48,7 +48,11 @@ import graft.operators.{Decontaminate, Dedup, Mixing, Packing, Redact}
   *                         fully-boilerplate documents drop; documents
   *                         losing a chunk are token-rebuilt with single
   *                         spaces, untouched documents stay
-  *                         byte-identical). After
+  *                         byte-identical) and/or the LINE-frequency
+  *                         scrub ([[Dedup.scrubFreqLines]], the q116
+  *                         rewrite, `boilerplateLineReps`) for
+  *                         nav/footer chrome that repeats as whole
+  *                         lines. After
   *                         exact dedup so identical copies cannot
   *                         boilerplate-ize each other; before near-dup
   *                         so shared boilerplate stops inflating
@@ -132,6 +136,7 @@ object Curation {
              classifierNgram: Int = 1,
              piiRedact: Boolean = false,
              boilerplateSpan: Option[Int] = None,
+             boilerplateLineReps: Option[Int] = None,
              nearDupThresholdMilli: Int = 800,
              nearDupQualityCol: Option[String] = None,
              decontamMinShared: Int = 2,
@@ -252,14 +257,31 @@ object Curation {
     // same rationale as the decontamination scrub's empty-text gate. The
     // verdict frame carries only (id, text), so the join-back to the
     // full rows is one id-keyed exchange.
-    val exact = boilerplateSpan match {
-      case Some(sp) =>
-        val scr = Dedup.scrubDupSpans(exactDeduped, idCol, textCol, span = sp)
-          .filter(!(col("clean_text") === "" && col("n_removed") > 0))
-          .select(col(idCol), col("clean_text").as(textCol))
-        stage(exactDeduped.drop(textCol).join(scr, Seq(idCol)))
+    // Two scrub granularities compose in one stage: the token-window span
+    // scrub, then — `boilerplateLineReps` — the LINE-frequency scrub
+    // ([[Dedup.scrubFreqLines]], the q116 rewrite): a trimmed line
+    // occurring ≥ reps times corpus-wide is nav/footer chrome and dies
+    // EVERYWHERE. Line scrub runs second so chrome the span scrub already
+    // consumed costs nothing, with the same empty-survivor drop gate.
+    val boilerplateOn = boilerplateSpan.isDefined || boilerplateLineReps.isDefined
+    def scrubStage(in: DataFrame,
+                   verdict: DataFrame => DataFrame): DataFrame = {
+      val scr = verdict(in)
+        .filter(!(col("clean_text") === "" && col("n_removed") > 0))
+        .select(col(idCol), col("clean_text").as(textCol))
+      in.drop(textCol).join(scr, Seq(idCol))
+    }
+    val afterSpan = boilerplateSpan match {
+      case Some(sp) => scrubStage(exactDeduped,
+        Dedup.scrubDupSpans(_, idCol, textCol, span = sp))
       case None => exactDeduped
     }
+    val afterLines = boilerplateLineReps match {
+      case Some(reps) => scrubStage(afterSpan,
+        Dedup.scrubFreqLines(_, idCol, textCol, minReps = reps))
+      case None => afterSpan
+    }
+    val exact = if (boilerplateOn) stage(afterLines) else afterLines
 
     // 3. near-dup: by default drop the higher id of every LSH-verified
     // pair (greedy — cheaper than clustering, never keeps a flagged
@@ -384,8 +406,7 @@ object Curation {
       nAfterMix = if (mixIsNoop) nCapped else n(mixed),
       nPacks = if (audit)
         packed.select(sourceCol, "pack_id").distinct().count() else -1L,
-      nAfterBoilerplate =
-        if (boilerplateSpan.isDefined) n(exact) else -1L,
+      nAfterBoilerplate = if (boilerplateOn) n(exact) else -1L,
       nAfterUrlGate = if (urlGateOn) n(urlGated) else -1L,
       nAfterClassifier =
         if (classifierWeights.isDefined) n(clsGated) else -1L,

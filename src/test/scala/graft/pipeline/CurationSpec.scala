@@ -241,6 +241,48 @@ class CurationSpec extends AnyFunSuite {
     assert(t0(5L).contains("a@b.co"))
   }
 
+  test("line-frequency boilerplate knob: whole-line nav chrome dies " +
+    "everywhere, fully-chrome docs drop, bystanders stay byte-identical, " +
+    "and the knob composes with the span scrub") {
+    import spark.implicits._
+    val nav = "home about contact" // the repeated whole-line chrome
+    val custom = Seq(
+      (1L, s"$nav\nalpha beta gamma delta", "s0"),
+      (2L, s"$nav\nepsilon zeta eta theta", "s0"),
+      (3L, s"$nav\niota kappa lambda mu", "s0"),
+      (4L, nav, "s0"), // fully chrome -> must drop at 2b
+      (5L, "nu xi omicron pi rho", "s0")
+    ).toDF("doc_id", "text", "source")
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (out, r) = Curation.curate(custom, noEval,
+      boilerplateLineReps = Some(3),
+      repetitionTopBigramMilli = 600, nearDupThresholdMilli = 990)
+    assert(r.nAfterExact == 5)
+    assert(r.nAfterBoilerplate == 4,
+      s"fully-chrome doc survived (${r.nAfterBoilerplate})")
+    val texts = out.select("doc_id", "text").collect()
+      .map(rr => rr.getLong(0) -> rr.getString(1)).toMap
+    assert(texts(1L) == "alpha beta gamma delta")
+    assert(texts(2L) == "epsilon zeta eta theta")
+    assert(texts(3L) == "iota kappa lambda mu")
+    assert(!texts.contains(4L))
+    assert(texts(5L) == "nu xi omicron pi rho") // bystander verbatim
+    // both scrub knobs on: the span scrub has no 8-token dup chunk to
+    // find here, so the composed stage equals the line-only result
+    val (out2, r2) = Curation.curate(custom, noEval,
+      boilerplateSpan = Some(8), boilerplateLineReps = Some(3),
+      repetitionTopBigramMilli = 600, nearDupThresholdMilli = 990)
+    assert(r2.nAfterBoilerplate == 4)
+    val t2 = out2.select("doc_id", "text").collect()
+      .map(rr => rr.getLong(0) -> rr.getString(1)).toMap
+    assert(t2 == texts)
+    // knob off: the chrome survives everywhere, no boilerplate count
+    val (out0, r0) = Curation.curate(custom, noEval,
+      repetitionTopBigramMilli = 600, nearDupThresholdMilli = 990)
+    assert(r0.nAfterBoilerplate == -1L)
+    assert(out0.filter(col("doc_id") === 4L).count() == 1)
+  }
+
   test("URL gate: blocklist hits and link-farm densities drop FIRST; " +
     "gate off by default; bystanders with clean links survive") {
     import spark.implicits._
