@@ -111,6 +111,79 @@ object Packing {
       .select((df.columns.map(col) ++ outCols.map(col)).toIndexedSeq: _*)
   }
 
+  /** Bounded-cardinality ceiling for [[packGlobalByBudget]]'s driver-side
+    * shard-prefix table — a fail-loud guard, not a tuning knob: a million
+    * shards of offsets is a 16 MB driver artifact; past that the caller's
+    * shard column is not a shard column. */
+  val MaxGlobalShards: Int = 1 << 20
+
+  /** GLOBAL contiguous packing over a SHARDED total order — the training-
+    * file writer's plan: documents ordered by `(shardCol, orderCol)` across
+    * the WHOLE corpus are cut into fixed-`budget` packs whose ids run
+    * globally (a pack may straddle a shard boundary; no shard ends with an
+    * underfull pack the way per-partition packing forces). Composed with
+    * [[Mixing.epochShuffle]]'s (shard, pos) this yields token-balanced
+    * training files over one global permutation.
+    *
+    * Same contiguous-cumulative semantics as [[packByBudget]] — pack =
+    * `exclusive_global_prefix_sum(weight) div budget`, exact integer
+    * arithmetic, oversize documents overflow rather than split — but the
+    * prefix sum is GLOBAL, equal to one window over `ORDER BY (shard,
+    * order)` without paying a single-partition sort: pass 1 aggregates one
+    * bounded subtotal per shard (≤ [[MaxGlobalShards]], fail-loud) and
+    * prefixes them on the driver; pass 2 broadcast-joins the offsets back
+    * and runs the per-shard cumulative window. One shard-keyed exchange
+    * total, O(nShards) driver state — the standard two-pass parallel
+    * prefix sum.
+    *
+    * Determinism contract as [[packByBudget]] (orderCol a total order
+    * WITHIN each shard, non-negative integral weights); `shardCol` must be
+    * integral. Output: `df`'s columns + `pack_id`. */
+  def packGlobalByBudget(df: DataFrame, shardCol: String, orderCol: String,
+                         weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    for ((c, what) <- Seq(shardCol -> "shardCol", weightCol -> "weightCol")) {
+      val t = df.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(t),
+        s"$what '$c' must be an integral type, got $t")
+    }
+    require(!df.columns.contains("pack_id"),
+      "input already has pack_id — rename it before packing")
+    // pass 1: one bounded row per shard, prefixed on the driver
+    val totals = df.groupBy(col(shardCol).cast("long").as("_shard"))
+      .agg(sum(col(weightCol).cast("long")).as("_w"))
+      .head(MaxGlobalShards + 1)
+    require(totals.length <= MaxGlobalShards,
+      s"more than $MaxGlobalShards distinct '$shardCol' values — that is " +
+        "not a shard column; pre-bucket it or raise a real shard key")
+    require(totals.forall(!_.isNullAt(0)),
+      s"'$shardCol' contains NULLs — every row needs a shard")
+    var acc = 0L
+    val offRows = totals.map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .map { case (s, w) => val row = (s, acc); acc += w; row }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offRows.toSeq.toDF("_shard", "_off"))
+    // pass 2: per-shard cumulative window + the broadcast prefix
+    val cum = Iterator.from(0)
+      .map(i => if (i == 0) "_cum" else s"_cum$i")
+      .find(n => !df.columns.contains(n)).get
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    df.join(offDf, col(shardCol).cast("long") === col("_shard"))
+      .drop("_shard")
+      .withColumn(cum,
+        col("_off") + sum(col(weightCol).cast("long")).over(w))
+      .withColumn("pack_id",
+        expr(s"(${q(cum)} - cast(${q(weightCol)} as bigint)) div ${budget}L"))
+      .drop(cum, "_off")
+  }
+
   /** Per-pack summary: (partCols..., pack_id, n_docs, pack_weight). */
   def packSummary(df: DataFrame, orderCol: String, weightCol: String,
                   partCols: Seq[String], budget: Long): DataFrame =

@@ -2449,9 +2449,44 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q117: GLOBAL TOKEN-BALANCED TRAINING FILES
+    * ([[graft.operators.Packing.packGlobalByBudget]] over
+    * [[graft.operators.Mixing.epochShuffle]]) — the shard-writer plan: the
+    * q100 global permutation cut into fixed-500-token packs whose ids run
+    * GLOBALLY across shard boundaries (per-partition packing would end
+    * every shard on an underfull file). The Spark side computes the global
+    * prefix sum as bounded per-shard subtotals prefixed on the driver plus
+    * a per-shard window (never a single-partition sort); the oracle states
+    * the SAME quantity as one global window over `(shard, ek, doc_id)` —
+    * hash-matching pack ids prove the two-pass decomposition exact. */
+  val q117 = Q(
+    "q117_global_token_packs",
+    s"""WITH k AS (SELECT doc_id, text,
+       |                 (${sqlHash("'7:' || CAST(doc_id AS VARCHAR)")}
+       |                  * 2654435761) % 2147483647 AS ek FROM documents),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard,
+       |             CAST(len($sqlToks) AS BIGINT) AS n_tok FROM k),
+       |w AS (SELECT doc_id, shard, n_tok,
+       |        SUM(n_tok) OVER (ORDER BY shard, ek, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM s)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+       |       CAST((cum - n_tok) // 500 AS BIGINT) AS pack_id
+       |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val e = Mixing.epochShuffle(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", seed = 7L, nShards = 8)
+      .withColumn("n_tok", graft.functions.TokenStats(col("text"))
+        .getField("n_tokens").cast("long"))
+    graft.operators.Packing
+      .packGlobalByBudget(e, "shard", "pos", "n_tok", budget = 500L)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113, q114, q115, q116)
+    q112, q113, q114, q115, q116, q117)
 }

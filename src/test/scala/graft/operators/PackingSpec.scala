@@ -115,4 +115,60 @@ class PackingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("end_off"))
   }
+
+  test("packGlobalByBudget: pack ids run globally — equal to single-key " +
+    "packing of the concatenated order, packs straddle shard boundaries") {
+    // shards 0/1/2 in shard order carry weights (4,4) (4,12) (3,3);
+    // global exclusive prefixes 0,4 | 8,12 | 24,27 -> packs 0,0 | 0,1 | 2,2
+    // — doc 3 lands in pack 0 WITH docs from shard 0 (the straddle), and
+    // shard 1 does not end on an underfull file
+    val docs = Seq(
+      (0L, 1L, 1L, 4L), (0L, 2L, 2L, 4L),
+      (1L, 3L, 1L, 4L), (1L, 4L, 2L, 12L),
+      (2L, 5L, 1L, 3L), (2L, 6L, 2L, 3L)
+    ).toDF("shard", "doc_id", "pos", "tok")
+    val global = Packing.packGlobalByBudget(docs, "shard", "pos", "tok", 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(global == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L))
+    // control: packByBudget under ONE key over the (shard, pos) total
+    // order produces the identical assignment — the two-pass prefix
+    // decomposition is exact
+    val flat = docs.withColumn("one", org.apache.spark.sql.functions.lit(0))
+      .withColumn("ord", org.apache.spark.sql.functions
+        .expr("shard * 1000 + pos"))
+    val single = Packing.packByBudget(flat, "ord", "tok", Seq("one"), 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(6)).toMap
+    assert(single == global)
+  }
+
+  test("packGlobalByBudget: empty-shard gaps cost nothing, and the guards " +
+    "fail loud (budget, pack_id clash, NULL shard, fractional types)") {
+    import org.apache.spark.sql.functions._
+    // shard ids 0 and 5 — the sparse numbering must not mint offsets for
+    // the holes
+    val sparse = Seq((0L, 1L, 1L, 7L), (5L, 2L, 1L, 7L))
+      .toDF("shard", "doc_id", "pos", "tok")
+    val out = Packing.packGlobalByBudget(sparse, "shard", "pos", "tok", 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L)) // prefixes 0 and 7, one pack
+    intercept[IllegalArgumentException] {
+      Packing.packGlobalByBudget(sparse, "shard", "pos", "tok", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packGlobalByBudget(sparse.withColumn("pack_id", lit(1L)),
+        "shard", "pos", "tok", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packGlobalByBudget(
+        sparse.withColumn("shard",
+          when(col("doc_id") === 1L, lit(null).cast("long"))
+            .otherwise(col("shard"))),
+        "shard", "pos", "tok", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packGlobalByBudget(sparse.withColumn("tok", col("tok") * 0.5),
+        "shard", "pos", "tok", 10L)
+    }
+  }
 }
