@@ -27,7 +27,7 @@ import graft.store.Snapshots
   *   1b. redact    — OPTIONAL PII redaction ([[graft.operators.Redact
   *                   .redactText]], stateless map-only rewrite) BEFORE
   *                   the dedup claims, so redacted copies claim the same
-  *                   key. Cross-document boilerplate scrub
+  *                   key. Cross-document SPAN boilerplate scrub
   *                   ([[graft.operators.Dedup.scrubDupSpans]]) is
   *                   deliberately NOT a streaming stage: a chunk becomes
   *                   boilerplate only after its Nth cross-document
@@ -35,6 +35,19 @@ import graft.store.Snapshots
   *                   shipped — the only coherent policy is a periodic
   *                   batch re-scrub of the materialized corpus, exactly
   *                   like packing below.
+  *   2b. line scrub — OPTIONAL keep-first LINE dedup
+  *                   ([[IncrementalLineDedup]], `lineScrub = true`):
+  *                   unlike the frequency-threshold span policy, the
+  *                   keep-first line policy IS streaming-compatible by
+  *                   construction — the first copy of a line ships
+  *                   intact and every later copy scrubs, so no shipped
+  *                   document is ever retroactively wrong. After exact
+  *                   claims (identical copies fold to one before their
+  *                   lines can claim), before near-dup (scrubbed chrome
+  *                   stops inflating MinHash similarity — the batch
+  *                   funnel's stage-2b rationale). Fully-scrubbed
+  *                   documents drop, the batch funnel's empty-survivor
+  *                   gate.
   *   2. exact      — first-writer-wins claims on the 62-bit wide hash of
   *                   the normalized text (the corpus-global-identity
   *                   regime of the hash-width policy; a claims store in
@@ -111,7 +124,8 @@ object StreamCuration {
                                nAfterUrlGate: Long, nAfterQuality: Long,
                                nAfterClassifier: Long, nAfterExact: Long,
                                nAfterNearDup: Long, nAfterDecontam: Long,
-                               nAfterDomainCap: Long, nOut: Long)
+                               nAfterDomainCap: Long, nOut: Long,
+                               nAfterLineScrub: Long = -1L)
 
   /** The per-batch funnel transform, closed over the stores and the
     * fold-once eval materialization. Bootstrap `init()` happens here.
@@ -142,6 +156,7 @@ object StreamCuration {
               classifierMinPerFeatPpm: Long = 0L,
               classifierNgram: Int = 1,
               domainCap: Option[Int] = None,
+              lineScrub: Boolean = false,
               onReport: Option[BatchReport => Unit] = None)
       : (DataFrame, Long) => DataFrame = {
     graft.functions.RepetitionStats.ensureRegistered(spark)
@@ -158,6 +173,13 @@ object StreamCuration {
       e.init()
       e
     }
+    val lineDedup =
+      if (lineScrub) {
+        val ld = new IncrementalLineDedup(spark, s"$stateDir/linededup",
+          compactEvery)
+        ld.init()
+        Some(ld)
+      } else None
     val decontam = StreamDecontam.cleaner(evalDocs, idCol, textCol,
       decontamMinShared)
     val capClaims = domainCap.map { _ =>
@@ -243,9 +265,22 @@ object StreamCuration {
             exactClaims.replace(exactClaims.read())
         }
 
+        // 2b. optional keep-first line scrub (IncrementalLineDedup —
+        // claims-store stage, replay-stable via the recorded claimant):
+        // scrubbed text feeds near-dup so chrome stops inflating MinHash
+        // similarity; fully-scrubbed docs drop (the batch empty gate)
+        val lineScrubbed = lineDedup match {
+          case Some(ld) =>
+            val scr = ld.scrubAndClaim(exact, idCol, textCol)
+              .filter(!(col("clean_text") === "" && col("n_removed") > 0))
+              .select(col(idCol), col("clean_text").as(textCol))
+            exact.drop(textCol).join(scr, Seq(idCol))
+          case None => exact
+        }
+
         // 3. near-dup claims, 3b. optional verified embed near-dup,
         // 4. decontam probe, 5. append-stable mixing
-        val textDeduped = nearDup.filterAndClaim(exact, idCol, textCol)
+        val textDeduped = nearDup.filterAndClaim(lineScrubbed, idCol, textCol)
         val deduped = embedDedup match {
           case Some(e) => e.filterAndClaim(textDeduped, idCol, vecCol.get)
           case None => textDeduped
@@ -321,6 +356,7 @@ object StreamCuration {
             nAfterClassifier =
               if (classifierWeights.isDefined) rc(clsGated) else -1L,
             nAfterExact = rc(exact),
+            nAfterLineScrub = if (lineScrub) rc(lineScrubbed) else -1L,
             nAfterNearDup = rc(deduped),
             nAfterDecontam = rc(cleaned),
             nAfterDomainCap = if (domainCap.isDefined) rc(capped) else -1L,

@@ -101,6 +101,42 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(empty.isEmpty && empty.columns.toSeq == b1.columns.toSeq)
   }
 
+  test("line-scrub stage: later copies of a claimed line scrub across " +
+    "batches, fully-chrome docs drop, replay reproduces, report wired") {
+    val stateDir = Files.createTempDirectory("graft-scur-line").toString
+    var reports = Vector.empty[StreamCuration.BatchReport]
+    val curate = StreamCuration.curator(spark, evalDocs.limit(0), stateDir,
+      lineScrub = true,
+      // tiny hand docs: disable the top-bigram rule (any 1-bigram doc
+      // scores 1000 milli) to isolate the stage under test
+      repetitionTopBigramMilli = 1001,
+      onReport = Some(r => reports :+= r))
+    def texts(df: DataFrame) = df.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b1 = Seq((1L, "nav home\nalpha beta gamma", "s0"),
+                 (2L, "delta epsilon zeta", "s0"))
+      .toDF("doc_id", "text", "source")
+    val t1 = texts(curate(b1, 0L))
+    assert(t1 == Map(1L -> "nav home\nalpha beta gamma",
+      2L -> "delta epsilon zeta"), "batch 1 must ship intact (novel lines)")
+    val b2 = Seq((3L, "nav home\ntheta iota kappa", "s0"),
+                 (4L, "nav home", "s0")) // fully chrome -> must drop
+      .toDF("doc_id", "text", "source")
+    val t2 = texts(curate(b2, 1L))
+    assert(t2 == Map(3L -> "theta iota kappa"),
+      s"chrome line must scrub and the all-chrome doc must drop: $t2")
+    // crash-replay: the claimant (id,p) is recorded, so the same rows
+    // with the same rewrites come back
+    val t2r = texts(curate(b2, 1L))
+    assert(t2r == t2, "replayed batch diverged under the line stage")
+    // report: the stage count sits between exact and near-dup and only
+    // engages when the knob is on
+    val r2 = reports(1)
+    assert(r2.nAfterExact == 2 && r2.nAfterLineScrub == 1 &&
+      r2.nAfterNearDup == 1, s"report miswired: $r2")
+    assert(reports(0).nAfterLineScrub == 2)
+  }
+
   test("funnel composed with the VERIFIED embed tier: drops only certified " +
     "embedding near-dups, passes NULL vectors, replays stable") {
     val stateDir = Files.createTempDirectory("graft-scur3").toString
