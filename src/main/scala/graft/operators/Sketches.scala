@@ -68,6 +68,47 @@ object Sketches {
           col(numCol))).cast("long").as("exact_median_low"))
   }
 
+  /** EXACT global quantiles by DISTRIBUTION COMPRESSION — the scale path
+    * for exact percentiles over low-cardinality numerics (token counts,
+    * scores, lengths): instead of sorting the corpus (what a naive exact
+    * quantile costs) or accepting sketch error (`percentile_approx`),
+    * aggregate the VALUE HISTOGRAM first — one map-side-combining groupBy
+    * whose output is bounded by the number of DISTINCT VALUES, not rows —
+    * then rank the histogram. The only ordered pass runs over that bounded
+    * table (same economics as the repo's ≤-`buckets` aggregations), so
+    * 100 TB of documents with token counts under a million compresses to a
+    * sub-million-row histogram before anything sorts.
+    *
+    * Quantile definition: type-1 / lower quantile — the smallest value v
+    * with `cum_count(v) ≥ ⌈pct·n/100⌉`, stated in multiplication form
+    * (`100·cum ≥ pct·n`) so the arithmetic is integer-exact and
+    * engine-portable (no float ranks, no interpolation averaging two
+    * values). NULL values are excluded (they have no rank); `valueCol`
+    * must be integral-castable. Output: (pct, value), one row per
+    * requested percentile. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty, "pass at least one percentile")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $pcts")
+    require(pcts.distinct.size == pcts.size, s"duplicate percentiles: $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // the single-partition window and both cross joins run over the
+    // BOUNDED histogram / scalar total / pct literals — never corpus rows
+    hist.withColumn("cc", sum(col("c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      .crossJoin(broadcast(pcts.toDF("pct")))
+      .filter(col("cc") * 100 >= col("pct") * col("n"))
+      .groupBy(col("pct")).agg(min(col("v")).as("value"))
+  }
+
   /** Count-Min point estimates for a candidate item set: ONE pass builds
     * the fixed-size sketch (no per-key shuffle state), the driver reads
     * the (tiny) sketch and answers each candidate. Estimates are

@@ -2484,9 +2484,38 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q118: EXACT TOKEN-COUNT QUANTILES by distribution compression
+    * ([[graft.operators.Sketches.exactQuantiles]]) — the corpus
+    * length-distribution telemetry every curation run publishes, computed
+    * EXACTLY at histogram cost: one value-keyed groupBy bounded by
+    * distinct token counts, then rank arithmetic over that bounded table
+    * (type-1 lower quantile in multiplication form — `100·cum ≥ pct·n`,
+    * integer-exact on both engines). The oracle states the identical
+    * histogram-rank derivation. */
+  val q118 = Q(
+    "q118_token_quantiles",
+    s"""WITH t AS (SELECT CAST(len($sqlToks) AS BIGINT) AS v FROM documents),
+       |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY v),
+       |cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cc FROM h),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+       |p AS (SELECT * FROM (VALUES (10),(25),(50),(75),(90),(99))
+       |      AS p(pct))
+       |SELECT pct, CAST(MIN(v) AS BIGINT) AS value
+       |FROM p, cum, n WHERE cc * 100 >= pct * n
+       |GROUP BY pct ORDER BY pct""".stripMargin) { (s, dir) =>
+    graft.operators.Sketches.exactQuantiles(
+      Tables.documents(s, dir).select(
+        graft.functions.TokenStats(col("text")).getField("n_tokens")
+          .cast("long").as("n_tok")),
+      "n_tok", Seq(10, 25, 50, 75, 90, 99))
+      .orderBy("pct")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113, q114, q115, q116, q117)
+    q112, q113, q114, q115, q116, q117, q118)
 }

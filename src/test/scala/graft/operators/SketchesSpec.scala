@@ -97,4 +97,33 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("STRING"))
   }
+
+  test("exactQuantiles: type-1 lower quantiles on a hand distribution — " +
+    "ties, boundary ranks, null exclusion, and the guards") {
+    import spark.implicits._
+    // values 1,2,2,3,10 (n=5): ranks ceil(pct*5/100) -> p20 rank 1 = 1,
+    // p40 rank 2 = 2, p60 rank 3 = 2 (the tie), p80 rank 4 = 3,
+    // p100 rank 5 = 10; p1 rank 1 = 1
+    val vals = Seq[java.lang.Long](1L, 2L, 2L, 3L, 10L, null)
+      .toDF("v")
+    val out = Sketches.exactQuantiles(vals, "v",
+      Seq(1, 20, 40, 60, 80, 100))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(1 -> 1L, 20 -> 1L, 40 -> 2L, 60 -> 2L, 80 -> 3L,
+      100 -> 10L))
+    // exact boundary: pct*n/100 integral — p40 of n=5 is rank 2 exactly,
+    // NOT rank 3 (>= in multiplication form, never strict)
+    intercept[IllegalArgumentException] {
+      Sketches.exactQuantiles(vals, "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.exactQuantiles(vals, "v", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.exactQuantiles(vals, "v", Seq(101))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.exactQuantiles(vals, "v", Seq(50, 50))
+    }
+  }
 }
