@@ -34,7 +34,8 @@ object DataCard {
       exactDupGroups: Long, nearDupClusters: Long, nearDupDocs: Long,
       dupChunkDocs: Long, urlDocs: Long = 0L, linkDensityMilli: Long = 0L,
       qualityPosMilli: Long = -1L,
-      sourceQualityMilli: Map[String, Long] = Map.empty)
+      sourceQualityMilli: Map[String, Long] = Map.empty,
+      tokenQuantiles: Map[Int, Long] = Map.empty)
 
   /** Build the card. `thresholdMilli` is the near-dup bar (q41's
     * convention); `span`/`minDocs` the duplicate-span knobs (q62's). */
@@ -111,6 +112,16 @@ object DataCard {
       }.toMap
       (corpusMilli, perSource)
     }
+    // length-distribution section (q118's derivation): exact token-count
+    // quantiles at histogram cost — the groupBy is bounded by distinct
+    // token counts, so this rides as one more bounded aggregation
+    val tokenQuantiles =
+      if (scale.getLong(0) == 0) Map.empty[Int, Long]
+      else graft.operators.Sketches.exactQuantiles(
+        base.select(graft.functions.TokenStats(col(textCol))
+          .getField("n_tokens").cast("long").as("_ntok")),
+        "_ntok", Seq(10, 25, 50, 75, 90, 99))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     Card(
       nDocs = scale.getLong(0), nTokens = scale.getLong(1),
       nChars = scale.getLong(2),
@@ -126,7 +137,8 @@ object DataCard {
         if (scale.getLong(1) == 0) 0L
         else scale.getLong(4) * 1000 / scale.getLong(1),
       qualityPosMilli = quality.map(_._1).getOrElse(-1L),
-      sourceQualityMilli = quality.map(_._2).getOrElse(Map.empty))
+      sourceQualityMilli = quality.map(_._2).getOrElse(Map.empty),
+      tokenQuantiles = tokenQuantiles)
   }
 
   /** Release-over-release card DIFF — the drift section of a dataset
@@ -141,7 +153,7 @@ object DataCard {
       docsDelta: Long, tokensDelta: Long,
       langTvPpm: Long, sourceTvPpm: Long,
       piiRateDeltaMilli: Long, linkDensityDeltaMilli: Long = 0L,
-      qualityPosDeltaMilli: Long = 0L)
+      qualityPosDeltaMilli: Long = 0L, medianTokensDelta: Long = 0L)
 
   def diff(a: Card, b: Card): CardDiff = {
     def tvPpm(ma: Map[String, Long], na: Long,
@@ -164,7 +176,14 @@ object DataCard {
       qualityPosDeltaMilli =
         if (a.qualityPosMilli >= 0 && b.qualityPosMilli >= 0)
           b.qualityPosMilli - a.qualityPosMilli
-        else 0L)
+        else 0L,
+      // length-distribution shift: the median token count's move between
+      // releases (0 when either card predates the section)
+      medianTokensDelta =
+        (a.tokenQuantiles.get(50), b.tokenQuantiles.get(50)) match {
+          case (Some(x), Some(y)) => y - x
+          case _ => 0L
+        })
   }
 
   /** The card as a tall (metric, value) frame for sinks/rendering —
@@ -186,7 +205,9 @@ object DataCard {
       card.langDocs.toSeq.sortBy(_._1).map { case (k, v) => s"lang_docs.$k" -> v } ++
       card.sourceDocs.toSeq.sortBy(_._1).map { case (k, v) => s"source_docs.$k" -> v } ++
       card.sourceQualityMilli.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"source_quality_milli.$k" -> v }
+        .map { case (k, v) => s"source_quality_milli.$k" -> v } ++
+      card.tokenQuantiles.toSeq.sortBy(_._1)
+        .map { case (p, v) => s"token_quantiles.p$p" -> v }
     rows.toDF("metric", "value")
   }
 }

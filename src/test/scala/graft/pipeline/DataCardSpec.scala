@@ -34,6 +34,14 @@ class DataCardSpec extends AnyFunSuite {
     assert(card.piiDocs == 0L && card.piiRateMilli == 0L)
     assert(card.exactDupGroups == 0L)
     assert(card.nTokens > 0)
+    // length-distribution section: the q118 derivation, re-derived here
+    val q = graft.operators.Sketches.exactQuantiles(
+      docs.select(graft.functions.TokenStats(col("text"))
+        .getField("n_tokens").cast("long").as("v")),
+      "v", Seq(10, 25, 50, 75, 90, 99))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(card.tokenQuantiles == q && q.size == 6)
+    assert(q(10) <= q(50) && q(50) <= q(99), "quantiles must be monotone")
   }
 
   test("card diff: identity is all-zero; a composition shift shows up in " +
@@ -89,6 +97,8 @@ class DataCardSpec extends AnyFunSuite {
     assert(card.piiDocs == 0L && card.piiRateMilli == 0L)
     assert(card.langDocs.isEmpty && card.sourceDocs.isEmpty)
     assert(card.exactDupGroups == 0L && card.nearDupDocs == 0L)
+    assert(card.tokenQuantiles.isEmpty,
+      "an empty corpus has no length distribution")
   }
 
   test("toDF flattens every field; value column totals are consistent") {
@@ -103,6 +113,9 @@ class DataCardSpec extends AnyFunSuite {
     // quality section absent when no artifact was supplied
     assert(!m.contains("quality_pos_milli"))
     assert(!m.keys.exists(_.startsWith("source_quality_milli.")))
+    // length-distribution section rides along, one row per percentile
+    assert(m.keys.count(_.startsWith("token_quantiles.p")) == 6)
+    assert(m("token_quantiles.p50") == card.tokenQuantiles(50))
   }
 
   test("quality section: rates re-derive exactly from the q108 rollup, " +
