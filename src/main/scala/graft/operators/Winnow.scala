@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis._
+
+/** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+  * MOSS algorithm): from each document's sequence of token k-gram hashes,
+  * select the minimum of every w-wide sliding window (ties to the RIGHTMOST
+  * minimal hash, the paper's robust-winnowing rule). The selected set is a
+  * position-robust fingerprint with the paper's guarantee: any shared token
+  * run of length ≥ w + k − 1 between two documents yields at least one
+  * shared selected hash — which makes the selections joinable evidence for
+  * LOCAL overlap (plagiarism-style partial copies) where whole-document
+  * MinHash dilutes and exact substring tiers pay a suffix structure.
+  *
+  * Density contract: winnowing selects ~2/(w+1) of all grams — the
+  * storage/recall knob. Documents with fewer than k tokens have no grams
+  * and emit nothing; documents with 1 ≤ m < w grams emit the single
+  * whole-document window's minimum (so every fingerprintable document
+  * fingerprints).
+  *
+  * Scale shape: grams hash IN-SCAN (31-bit polynomial, the shingle tier's
+  * family); the one exchange is the per-document window partitioning, and
+  * what crosses it is (id, p, hash) coordinates — never text. The
+  * tie-to-rightmost rule is integer arithmetic, not a sort: each gram packs
+  * as `h·2²⁴ + (2²⁴−1−p)`, so the frame's plain MIN is "smallest hash,
+  * rightmost position" in one codegen'd aggregate (positions past the 2²⁴
+  * per-document gram ceiling fail loud in-scan — no silent wraparound).
+  * Output: (idCol, pos, fp) — one row per distinct selection, where `pos`
+  * is the selected gram's 0-based token offset.
+  */
+object Winnow {
+
+  /** Per-document gram ceiling for the pack arithmetic: 2²⁴ grams ≈ a
+    * 16M-token document — far past any sane training document; beyond it
+    * the packed key would collide across positions, so it fails loud. */
+  val MaxGramsPerDoc: Int = (1 << 24) - 1
+
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    val grams = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => strHash(concat_ws(" ", slice(col("t"), i, lit(k))))))
+        .as(Seq("p", "h")))
+    val packed = grams.withColumn("_pk",
+      when(col("p") > MaxGramsPerDoc, raise_error(concat(
+        lit(s"winnow: document "), col("id").cast("string"),
+        lit(s" exceeds $MaxGramsPerDoc grams — the pack arithmetic " +
+          "would collide; split the document upstream"))))
+        .otherwise(col("h") * (MaxGramsPerDoc + 1) +
+          (lit(MaxGramsPerDoc) - col("p"))))
+    val frame = Window.partitionBy("id").orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    packed
+      .withColumn("_mk", min(col("_pk")).over(frame))
+      .withColumn("_cnt", count(lit(1)).over(frame))
+      // full windows only — except the whole-document window of a short
+      // doc (fewer than w grams), which starts at p = 0 and spans all
+      .filter(col("_cnt") === w || (col("p") === 0 && col("_cnt") < w))
+      .select(col("id"), col("_mk")).distinct()
+      .select(col("id").as(idCol),
+        (lit(MaxGramsPerDoc) - col("_mk") % (MaxGramsPerDoc + 1))
+          .cast("long").as("pos"),
+        call_function("div", col("_mk"),
+          lit((MaxGramsPerDoc + 1).toLong)).as("fp"))
+  }
+}

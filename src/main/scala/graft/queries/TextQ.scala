@@ -2513,9 +2513,42 @@ object TextQ {
       .orderBy("pct")
   }
 
+  /** q119: WINNOWING FINGERPRINTS ([[graft.operators.Winnow
+    * .fingerprints]], Schleimer et al. 2003 / MOSS) — min-of-each-window
+    * selection over token 3-gram hashes at w = 4, ties to the rightmost
+    * minimal hash via the integer pack (`h·2²⁴ + (2²⁴−1−p)`, plain MIN,
+    * no sort). The oracle replays the gram hash, the pack, the windowed
+    * MIN with the full-window/short-doc rule, and the unpack — every
+    * selected (pos, fp) hash-matched. */
+  val q119 = Q(
+    "q119_winnow_fingerprints",
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |g AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS p,
+       |             ${sqlHash("array_to_string(w[t.i:t.i + 2], ' ')")} AS h
+       |      FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+       |      WHERE len(w) >= 3),
+       |pk AS (SELECT doc_id, p,
+       |              h * 16777216 + (16777215 - p) AS pkv FROM g),
+       |wnd AS (SELECT doc_id, p,
+       |          MIN(pkv) OVER (PARTITION BY doc_id ORDER BY p
+       |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+       |          COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+       |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+       |        FROM pk),
+       |sel AS (SELECT DISTINCT doc_id, mk FROM wnd
+       |        WHERE cnt = 4 OR (p = 0 AND cnt < 4))
+       |SELECT doc_id,
+       |       CAST(16777215 - (mk % 16777216) AS BIGINT) AS pos,
+       |       CAST(mk // 16777216 AS BIGINT) AS fp
+       |FROM sel ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    graft.operators.Winnow.fingerprints(
+      Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
+      .orderBy("doc_id", "pos")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113, q114, q115, q116, q117, q118)
+    q112, q113, q114, q115, q116, q117, q118, q119)
 }

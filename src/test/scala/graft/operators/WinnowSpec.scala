@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Winnowing fingerprints ([[Winnow.fingerprints]]): the MOSS selection
+  * rule, its detection guarantee, the tie-to-rightmost convention, and the
+  * coordinates-only scale shape. */
+class WinnowSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("detection guarantee: documents sharing a run of >= w+k-1 tokens " +
+    "share at least one selected fingerprint (k=3, w=4 -> run 6)") {
+    val run = "q1 q2 q3 q4 q5 q6"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"one two $run three four five six seven"),
+      (3L, "totally different content with no shared run at all here")
+    ).toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def fps(id: Long) = fp.filter(_._1 == id).map(_._2)
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "shared 6-token run must yield a shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "no shared grams -> no shared fingerprints on this fixture")
+  }
+
+  test("ties select the RIGHTMOST minimal hash: a window of identical " +
+    "grams fingerprints its last position") {
+    // k=1, w=4 over four identical tokens: one full window, all four
+    // grams hash equal -> the pack picks p=3
+    val docs = Seq((1L, "x x x x")).toDF("doc_id", "text")
+    val out = Winnow.fingerprints(docs, "doc_id", "text", k = 1, w = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.length == 1 && out.head._1 == 3L,
+      s"rightmost-minimal rule violated: ${out.toSeq}")
+  }
+
+  test("short documents still fingerprint (whole-document window); " +
+    "sub-k documents emit nothing; every fingerprintable doc appears") {
+    val docs = Seq(
+      (1L, "a b c"),          // 3 grams at k=1 < w=10 -> 1 selection
+      (2L, "a b"),            // k=3: too short -> nothing
+      (3L, "p q r s t u v w") // >= k -> appears
+    ).toDF("doc_id", "text")
+    val short = Winnow.fingerprints(docs.filter(col("doc_id") === 1L),
+      "doc_id", "text", k = 1, w = 10).collect()
+    assert(short.length == 1)
+    val dflt = Winnow.fingerprints(docs, "doc_id", "text")
+    val ids = dflt.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L), s"got $ids")
+  }
+
+  test("deterministic and partitioning-invariant; selection density is " +
+    "bounded by full windows") {
+    val docs = (1L to 30L)
+      .map(i => (i, (1 to 40).map(j => s"w${(i * 7 + j * 13) % 17}")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Winnow.fingerprints(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = run(docs)
+    assert(run(docs.repartition(7, col("text"))) == base)
+    // 40 tokens -> 38 grams -> 35 full windows; distinct selections per
+    // doc can never exceed that
+    assert(base.groupBy(_._1).forall(_._2.size <= 35))
+    assert(base.nonEmpty)
+  }
+
+  test("plan shape: the per-document window sees coordinates only — " +
+    "text never crosses the exchange") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val plan = Winnow.fingerprints(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val inputs = w.child.output.map(_.name)
+      assert(!inputs.exists(n => n == "text" || n == "t"),
+        s"window input carries text: $inputs")
+    }
+  }
+}
