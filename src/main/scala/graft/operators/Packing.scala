@@ -142,6 +142,56 @@ object Packing {
   def packGlobalByBudget(df: DataFrame, shardCol: String, orderCol: String,
                          weightCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(!df.columns.contains("pack_id"),
+      "input already has pack_id — rename it before packing")
+    val (cum, withCum) = withGlobalCum(df, shardCol, orderCol, weightCol)
+    def q(name: String) = "`" + name.replace("`", "``") + "`"
+    withCum
+      .withColumn("pack_id",
+        expr(s"(${q(cum)} - cast(${q(weightCol)} as bigint)) div ${budget}L"))
+      .drop(cum)
+  }
+
+  /** [[concatChunkIndex]] with GLOBAL offsets over a sharded total order —
+    * the GPT-style concat-everything loader's index when the corpus is one
+    * global permutation in (shard, order) files: token offsets and chunk
+    * ids run across shard boundaries (a chunk may straddle two shard
+    * files), via the same two-pass prefix sum as [[packGlobalByBudget]].
+    * Same output contract as [[concatChunkIndex]]. */
+  def concatChunkIndexGlobal(df: DataFrame, shardCol: String,
+                             orderCol: String, weightCol: String,
+                             chunkTokens: Long): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val outCols = Seq("start_off", "end_off", "first_chunk", "last_chunk",
+      "n_chunks")
+    val clash = df.columns.filter(outCols.contains)
+    require(clash.isEmpty,
+      s"input already has output column(s) ${clash.mkString(", ")} — rename " +
+        "them before chunk indexing")
+    val (cum, withCum) = withGlobalCum(df, shardCol, orderCol, weightCol)
+    withCum
+      .withColumn("end_off", col(cum))
+      .withColumn("start_off",
+        col("end_off") - col(weightCol).cast("long"))
+      .withColumn("first_chunk",
+        when(col(weightCol) > 0, expr(s"start_off div ${chunkTokens}L")))
+      .withColumn("last_chunk",
+        when(col(weightCol) > 0, expr(s"(end_off - 1) div ${chunkTokens}L")))
+      .withColumn("n_chunks",
+        coalesce(col("last_chunk") - col("first_chunk") + 1, lit(0L)))
+      .select((df.columns.map(col) ++ outCols.map(col)).toIndexedSeq: _*)
+  }
+
+  /** The shared two-pass GLOBAL prefix sum: returns the fresh cumulative
+    * column's name and `df` with that column = inclusive global prefix sum
+    * of `weightCol` under the (shardCol, orderCol) total order. Pass 1
+    * aggregates one bounded subtotal per shard (≤ [[MaxGlobalShards]],
+    * fail-loud; NULL shards loud) and prefixes them on the driver; pass 2
+    * broadcast-joins the offsets and runs the per-shard cumulative window
+    * — one shard-keyed exchange, the window reuses its partitioning. */
+  private def withGlobalCum(df: DataFrame, shardCol: String,
+                            orderCol: String,
+                            weightCol: String): (String, DataFrame) = {
     for ((c, what) <- Seq(shardCol -> "shardCol", weightCol -> "weightCol")) {
       val t = df.schema(c).dataType
       require(Seq(org.apache.spark.sql.types.ByteType,
@@ -150,8 +200,6 @@ object Packing {
           org.apache.spark.sql.types.LongType).contains(t),
         s"$what '$c' must be an integral type, got $t")
     }
-    require(!df.columns.contains("pack_id"),
-      "input already has pack_id — rename it before packing")
     // pass 1: one bounded row per shard, prefixed on the driver
     val totals = df.groupBy(col(shardCol).cast("long").as("_shard"))
       .agg(sum(col(weightCol).cast("long")).as("_w"))
@@ -174,14 +222,12 @@ object Packing {
       .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def q(name: String) = "`" + name.replace("`", "``") + "`"
-    df.join(offDf, col(shardCol).cast("long") === col("_shard"))
+    val out = df.join(offDf, col(shardCol).cast("long") === col("_shard"))
       .drop("_shard")
       .withColumn(cum,
         col("_off") + sum(col(weightCol).cast("long")).over(w))
-      .withColumn("pack_id",
-        expr(s"(${q(cum)} - cast(${q(weightCol)} as bigint)) div ${budget}L"))
-      .drop(cum, "_off")
+      .drop("_off")
+    (cum, out)
   }
 
   /** Per-pack summary: (partCols..., pack_id, n_docs, pack_weight). */

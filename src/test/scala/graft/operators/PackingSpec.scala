@@ -142,6 +142,36 @@ class PackingSpec extends AnyFunSuite {
     assert(single == global)
   }
 
+  test("concatChunkIndexGlobal: token offsets and chunk ids run across " +
+    "shard boundaries, equal to single-key indexing of the flat order") {
+    val docs = Seq(
+      (0L, 1L, 1L, 4L), (0L, 2L, 2L, 4L),
+      (1L, 3L, 1L, 4L), (1L, 4L, 2L, 12L),
+      (2L, 5L, 1L, 0L), // zero-weight doc: occupies no tokens, no chunks
+      (2L, 6L, 2L, 3L)
+    ).toDF("shard", "doc_id", "pos", "tok")
+    def key(r: org.apache.spark.sql.Row) = r.getLong(1)
+    def span(r: org.apache.spark.sql.Row, base: Int) =
+      (r.getLong(base), r.getLong(base + 1),
+        if (r.isNullAt(base + 2)) -1L else r.getLong(base + 2),
+        if (r.isNullAt(base + 3)) -1L else r.getLong(base + 3),
+        r.getLong(base + 4))
+    val global = Packing
+      .concatChunkIndexGlobal(docs, "shard", "pos", "tok", 10L)
+      .collect().map(r => key(r) -> span(r, 4)).toMap
+    // doc 3 spans [8,12): chunks 0..1 — it STRADDLES the shard-0/1 token
+    // boundary's chunk; doc 6 spans [24,27): chunk 2
+    assert(global(3L) == ((8L, 12L, 0L, 1L, 2L)))
+    assert(global(5L) == ((24L, 24L, -1L, -1L, 0L)))
+    assert(global(6L) == ((24L, 27L, 2L, 2L, 1L)))
+    val flat = docs.withColumn("one", org.apache.spark.sql.functions.lit(0))
+      .withColumn("ord", org.apache.spark.sql.functions
+        .expr("shard * 1000 + pos"))
+    val single = Packing.concatChunkIndex(flat, "ord", "tok", Seq("one"), 10L)
+      .collect().map(r => key(r) -> span(r, 6)).toMap
+    assert(single == global)
+  }
+
   test("packGlobalByBudget: empty-shard gaps cost nothing, and the guards " +
     "fail loud (budget, pack_id clash, NULL shard, fractional types)") {
     import org.apache.spark.sql.functions._
