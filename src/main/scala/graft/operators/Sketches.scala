@@ -87,21 +87,28 @@ object Sketches {
     * must be integral-castable. Output: (pct, value), one row per
     * requested percentile. */
   def exactQuantiles(df: DataFrame, valueCol: String,
-                     pcts: Seq[Int]): DataFrame = {
+                     pcts: Seq[Int]): DataFrame =
+    quantilesOfHist(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).cast("long").as("v"))
+        .agg(count(lit(1)).as("c")),
+      pcts)
+
+  /** The rank half of [[exactQuantiles]], reusable over any (v, c) value
+    * histogram (the streaming additive store hands its merged view here).
+    * The single-partition window and both cross joins run over the
+    * BOUNDED histogram / scalar total / pct literals — never corpus
+    * rows. */
+  def quantilesOfHist(hist: DataFrame, pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty, "pass at least one percentile")
     require(pcts.forall(p => p >= 1 && p <= 100),
       s"percentiles must be in [1,100], got $pcts")
     require(pcts.distinct.size == pcts.size, s"duplicate percentiles: $pcts")
-    val spark = df.sparkSession
+    val spark = hist.sparkSession
     import spark.implicits._
-    val hist = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    // the single-partition window and both cross joins run over the
-    // BOUNDED histogram / scalar total / pct literals — never corpus rows
     hist.withColumn("cc", sum(col("c")).over(w))
       .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
       .crossJoin(broadcast(pcts.toDF("pct")))
