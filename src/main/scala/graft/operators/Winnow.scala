@@ -39,6 +39,36 @@ object Winnow {
     * the packed key would collide across positions, so it fails loud. */
   val MaxGramsPerDoc: Int = (1 << 24) - 1
 
+  /** Winnow-gated overlap flagging — the LOCAL-overlap decontamination
+    * probe: a `train` document is flagged when it shares ≥ `minShared`
+    * DISTINCT selected fingerprints with the `eval` corpus. Because both
+    * sides winnow with the same (k, w), the selection guarantee transfers:
+    * any train document containing an eval run of ≥ w + k − 1 tokens
+    * shares at least one fingerprint — a provable detection floor at
+    * ~2/(w+1) of the gram-join volume the full-shingle probe
+    * ([[Decontaminate]]) pays. The complement does NOT hold (a shared
+    * fingerprint is one shared k-gram, not a long run), so `minShared`
+    * is the precision knob exactly like the shingle tier's.
+    *
+    * Scale: eval fingerprints aggregate to a DISTINCT (fp) set that
+    * broadcasts (eval corpora are bounded by contract across the
+    * decontamination family); train fingerprints come off
+    * [[fingerprints]]' coordinates-only window and semi-join in place —
+    * corpus text never crosses an exchange. Output: (idCol, n_shared),
+    * flagged train documents only. */
+  def flaggedOverlap(train: DataFrame, eval: DataFrame, idCol: String,
+                     textCol: String, k: Int = 3, w: Int = 4,
+                     minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val evalFp = broadcast(
+      fingerprints(eval, idCol, textCol, k, w).select("fp").distinct())
+    fingerprints(train, idCol, textCol, k, w)
+      .join(evalFp, "fp")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

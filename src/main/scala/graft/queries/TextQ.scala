@@ -2520,9 +2520,11 @@ object TextQ {
     * no sort). The oracle replays the gram hash, the pack, the windowed
     * MIN with the full-window/short-doc rule, and the unpack — every
     * selected (pos, fp) hash-matched. */
-  val q119 = Q(
-    "q119_winnow_fingerprints",
-    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+  /** q119/q120's shared winnowing CTE chain: token 3-grams, the
+    * h·2²⁴+(2²⁴−1−p) pack, the w = 4 windowed MIN with the
+    * full-window/short-doc rule — ends at `sel(doc_id, mk)`. */
+  private val winnowSelCte: String =
+    s"""toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
        |g AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS p,
        |             ${sqlHash("array_to_string(w[t.i:t.i + 2], ' ')")} AS h
        |      FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
@@ -2536,7 +2538,11 @@ object TextQ {
        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
        |        FROM pk),
        |sel AS (SELECT DISTINCT doc_id, mk FROM wnd
-       |        WHERE cnt = 4 OR (p = 0 AND cnt < 4))
+       |        WHERE cnt = 4 OR (p = 0 AND cnt < 4))""".stripMargin
+
+  val q119 = Q(
+    "q119_winnow_fingerprints",
+    s"""WITH $winnowSelCte
        |SELECT doc_id,
        |       CAST(16777215 - (mk % 16777216) AS BIGINT) AS pos,
        |       CAST(mk // 16777216 AS BIGINT) AS fp
@@ -2546,9 +2552,35 @@ object TextQ {
       .orderBy("doc_id", "pos")
   }
 
+  /** q120: WINNOW-GATED OVERLAP FLAGGING ([[graft.operators.Winnow
+    * .flaggedOverlap]]) — local-overlap decontamination at ~2/(w+1) of
+    * the shingle probe's join volume with the selection guarantee as the
+    * detection floor: train docs (doc_id % 97 ≠ 0, the q58 split
+    * convention) sharing ≥ 2 distinct selected fingerprints with the
+    * eval slice (doc_id % 97 = 0). The oracle replays the whole
+    * selection chain for BOTH sides and the distinct-fp overlap count. */
+  val q120 = Q(
+    "q120_winnow_decontam",
+    s"""WITH $winnowSelCte,
+       |fps AS (SELECT doc_id, mk // 16777216 AS fp FROM sel),
+       |ev AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id, fp FROM fps WHERE doc_id % 97 <> 0)
+       |SELECT tr.doc_id,
+       |       CAST(COUNT(DISTINCT tr.fp) AS BIGINT) AS n_shared
+       |FROM tr JOIN ev ON tr.fp = ev.fp
+       |GROUP BY tr.doc_id HAVING COUNT(DISTINCT tr.fp) >= 2
+       |ORDER BY tr.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Winnow.flaggedOverlap(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", k = 3, w = 4, minShared = 2)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113, q114, q115, q116, q117, q118, q119)
+    q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

@@ -73,6 +73,30 @@ class WinnowSpec extends AnyFunSuite {
     assert(base.nonEmpty)
   }
 
+  test("flaggedOverlap: the detection floor transfers — a train doc " +
+    "containing an eval run of >= w+k-1 tokens is flagged; bystanders " +
+    "are not; minShared gates") {
+    val run = "e1 e2 e3 e4 e5 e6" // w+k-1 = 6 at defaults
+    val eval = Seq((100L, s"$run tail piece here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words $run suffix words"),  // contains the run
+      (2L, "no overlap with anything evaluated here at all today"),
+      (3L, s"only e1 e2 e3 partially shared")   // 3-token sub-run: may
+    ).toDF("doc_id", "text")                    // share a gram, not the run
+    val flagged = Winnow.flaggedOverlap(train, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L), "guarantee: the full-run doc must flag")
+    assert(!flagged.contains(2L), "clean bystander flagged")
+    // a high bar unflags the partial sharer but keeps the full run iff
+    // it selected that many distinct shared fps — only assert monotone
+    val strict = Winnow.flaggedOverlap(train, eval, "doc_id", "text",
+      minShared = 100).collect()
+    assert(strict.isEmpty, "no doc shares 100 fingerprints here")
+    intercept[IllegalArgumentException] {
+      Winnow.flaggedOverlap(train, eval, "doc_id", "text", minShared = 0)
+    }
+  }
+
   test("plan shape: the per-document window sees coordinates only — " +
     "text never crosses the exchange") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
