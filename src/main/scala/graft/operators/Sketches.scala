@@ -116,6 +116,35 @@ object Sketches {
       .groupBy(col("pct")).agg(min(col("v")).as("value"))
   }
 
+  /** Per-GROUP [[exactQuantiles]] — the same distribution compression,
+    * partitioned: the histogram groups by (group, value) and the rank
+    * windows partition by group, so nothing is single-partition at any
+    * group count and the one exchange is the (group, value) groupBy
+    * (both windows reuse its partitioning on the group prefix). Output:
+    * (groupCol, pct, value). Same type-1/multiplication-form/NULL
+    * contract as the global operator. */
+  def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                          pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty, "pass at least one percentile")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $pcts")
+    require(pcts.distinct.size == pcts.size, s"duplicate percentiles: $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val w = byG.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist.withColumn("cc", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(byG))
+      .crossJoin(broadcast(pcts.toDF("pct")))
+      .filter(col("cc") * 100 >= col("pct") * col("n"))
+      .groupBy(col(groupCol), col("pct")).agg(min(col("v")).as("value"))
+  }
+
   /** Count-Min point estimates for a candidate item set: ONE pass builds
     * the fixed-size sketch (no per-key shuffle state), the driver reads
     * the (tiny) sketch and answers each candidate. Estimates are

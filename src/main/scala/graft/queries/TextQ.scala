@@ -2578,9 +2578,38 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q121: PER-SOURCE token-count quartiles ([[graft.operators.Sketches
+    * .exactGroupQuantiles]]) — q118's distribution compression
+    * partitioned by group: the rank windows partition by source, so
+    * nothing is single-partition at any group count. The per-source
+    * length profile a mixing recipe is tuned against. */
+  val q121 = Q(
+    "q121_source_quantiles",
+    s"""WITH t AS (SELECT source, CAST(len($sqlToks) AS BIGINT) AS v
+       |           FROM documents),
+       |h AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM t GROUP BY source, v),
+       |cum AS (SELECT source, v,
+       |          CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS cc,
+       |          CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+       |        FROM h),
+       |p AS (SELECT * FROM (VALUES (25),(50),(75)) AS p(pct))
+       |SELECT source, pct, CAST(MIN(v) AS BIGINT) AS value
+       |FROM p, cum WHERE cc * 100 >= pct * n
+       |GROUP BY source, pct ORDER BY source, pct""".stripMargin) { (s, dir) =>
+    graft.operators.Sketches.exactGroupQuantiles(
+      Tables.documents(s, dir).select(col("source"),
+        graft.functions.TokenStats(col("text")).getField("n_tokens")
+          .cast("long").as("n_tok")),
+      "source", "n_tok", Seq(25, 50, 75))
+      .orderBy("source", "pct")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 }

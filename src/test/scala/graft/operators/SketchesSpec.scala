@@ -126,4 +126,26 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.exactQuantiles(vals, "v", Seq(50, 50))
     }
   }
+
+  test("exactGroupQuantiles: each group's rows equal the global operator " +
+    "run on that group's subset") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 2L), ("a", 9L),
+      ("b", 5L), ("b", 7L),
+      ("c", 4L)
+    ).toDF("g", "v")
+    val pcts = Seq(25, 50, 75, 100)
+    val grouped = Sketches.exactGroupQuantiles(df, "g", "v", pcts)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    for (g <- Seq("a", "b", "c")) {
+      val solo = Sketches.exactQuantiles(
+        df.filter(org.apache.spark.sql.functions.col("g") === g), "v", pcts)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(pcts.forall(p => grouped((g, p)) == solo(p)),
+        s"group $g diverged: ${pcts.map(p => (p, grouped((g, p)), solo(p)))}")
+    }
+    assert(grouped.size == 12)
+  }
 }
