@@ -119,10 +119,12 @@ object Sketches {
   /** Per-GROUP [[exactQuantiles]] — the same distribution compression,
     * partitioned: the histogram groups by (group, value) and the rank
     * windows partition by group, so nothing is single-partition at any
-    * group count and the one exchange is the (group, value) groupBy
-    * (both windows reuse its partitioning on the group prefix). Output:
-    * (groupCol, pct, value). Same type-1/multiplication-form/NULL
-    * contract as the global operator. */
+    * group count. Two exchanges — the (group, value) groupBy and a
+    * group-keyed repartition for the windows (hash(g, v) cannot serve
+    * `partitionBy(g)`; both windows share the second partitioning) —
+    * but BOTH move histogram rows, bounded by groups × distinct values,
+    * never corpus rows. Output: (groupCol, pct, value). Same
+    * type-1/multiplication-form/NULL contract as the global operator. */
   def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                           pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty, "pass at least one percentile")
