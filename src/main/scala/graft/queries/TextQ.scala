@@ -2607,9 +2607,52 @@ object TextQ {
       .orderBy("source", "pct")
   }
 
+  /** q122: GLOBAL CONCAT-CHUNK INDEX ([[graft.operators.Packing
+    * .concatChunkIndexGlobal]]) — q117's two-pass global prefix sum
+    * serving the OTHER loader policy: the q100 permutation conceptually
+    * concatenated, token offsets and 512-token chunk ids running across
+    * shard boundaries (straddling sequences included). The oracle states
+    * the offsets as one global window; zero-token docs take the NULL
+    * first/last chunk contract. */
+  val q122 = Q(
+    "q122_global_chunk_index",
+    s"""WITH k AS (SELECT doc_id, text,
+       |                 (${sqlHash("'7:' || CAST(doc_id AS VARCHAR)")}
+       |                  * 2654435761) % 2147483647 AS ek FROM documents),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard,
+       |             CAST(len($sqlToks) AS BIGINT) AS n_tok FROM k),
+       |w AS (SELECT doc_id, n_tok,
+       |        CAST(SUM(n_tok) OVER (ORDER BY shard, ek, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS end_off
+       |      FROM s)
+       |SELECT doc_id, end_off - n_tok AS start_off, end_off,
+       |       CASE WHEN n_tok > 0
+       |            THEN CAST((end_off - n_tok) // 512 AS BIGINT) END
+       |         AS first_chunk,
+       |       CASE WHEN n_tok > 0
+       |            THEN CAST((end_off - 1) // 512 AS BIGINT) END
+       |         AS last_chunk,
+       |       CASE WHEN n_tok > 0
+       |            THEN CAST((end_off - 1) // 512 - (end_off - n_tok) // 512
+       |                      + 1 AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS n_chunks
+       |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val e = Mixing.epochShuffle(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", seed = 7L, nShards = 8)
+      .withColumn("n_tok", graft.functions.TokenStats(col("text"))
+        .getField("n_tokens").cast("long"))
+    graft.operators.Packing
+      .concatChunkIndexGlobal(e, "shard", "pos", "n_tok", chunkTokens = 512L)
+      .select(col("doc_id"), col("start_off"), col("end_off"),
+        col("first_chunk"), col("last_chunk"), col("n_chunks"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }

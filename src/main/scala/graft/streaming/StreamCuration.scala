@@ -157,6 +157,7 @@ object StreamCuration {
               classifierNgram: Int = 1,
               domainCap: Option[Int] = None,
               lineScrub: Boolean = false,
+              lengthHist: Boolean = false,
               onReport: Option[BatchReport => Unit] = None)
       : (DataFrame, Long) => DataFrame = {
     graft.functions.RepetitionStats.ensureRegistered(spark)
@@ -179,6 +180,17 @@ object StreamCuration {
           compactEvery)
         ld.init()
         Some(ld)
+      } else None
+    // opt-in EXACT length telemetry of the SHIPPED corpus: the additive
+    // token-count histogram ([[StreamValueHist]]) observed on each
+    // batch's out rows — a deployment reads exact quantiles of
+    // everything curated so far from the same state dir
+    val lenHist =
+      if (lengthHist) {
+        val h = new StreamValueHist(spark, s"$stateDir/lenhist",
+          compactEvery)
+        h.init()
+        Some(h)
       } else None
     val decontam = StreamDecontam.cleaner(evalDocs, idCol, textCol,
       decontamMinShared)
@@ -347,6 +359,11 @@ object StreamCuration {
           if (mixIsNoop) capped
           else graft.operators.Mixing.rateMix(capped, idCol, sourceCol,
             mixRatesMilli, mixDefaultMilli)
+        lenHist.foreach { h =>
+          h.observe(out.select(graft.functions.TokenStats(col(textCol))
+            .getField("n_tokens").cast("long").as("_ntok")),
+            "_ntok", batchId)
+        }
         onReport.foreach { sink =>
           sink(BatchReport(batchId,
             nBatch = batch.count(),

@@ -137,6 +137,31 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(reports(0).nAfterLineScrub == 2)
   }
 
+  test("lengthHist telemetry: the state dir accumulates the exact token " +
+    "histogram of the SHIPPED corpus across batches") {
+    val stateDir = Files.createTempDirectory("graft-scur-hist").toString
+    val curate = StreamCuration.curator(spark, evalDocs.limit(0), stateDir,
+      lengthHist = true, repetitionTopBigramMilli = 1001)
+    val b1 = Seq((1L, "a b c", "s0"), (2L, "d e", "s0"))
+      .toDF("doc_id", "text", "source")
+    val b2 = Seq((3L, "f g h i", "s0"), (4L, "a b c", "s0")) // dup of 1
+      .toDF("doc_id", "text", "source")
+    val out1 = curate(b1, 0L).collect()
+    val out2 = curate(b2, 1L).collect()
+    assert(out1.length == 2 && out2.length == 1, "doc 4 must exact-dedup")
+    // shipped token counts: 3, 2, 4 -> histogram {2:1, 3:1, 4:1}
+    val h = new StreamValueHist(spark, s"$stateDir/lenhist")
+    h.init()
+    val hist = h.hist().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(2L -> 1L, 3L -> 1L, 4L -> 1L), s"got $hist")
+    // replayed batch leaves the histogram untouched (batch-id token)
+    curate(b2, 1L).count()
+    val h2 = new StreamValueHist(spark, s"$stateDir/lenhist")
+    h2.init()
+    assert(h2.hist().agg(sum(col("c"))).head().getLong(0) == 3L)
+  }
+
   test("funnel composed with the VERIFIED embed tier: drops only certified " +
     "embedding near-dups, passes NULL vectors, replays stable") {
     val stateDir = Files.createTempDirectory("graft-scur3").toString
