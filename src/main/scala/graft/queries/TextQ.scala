@@ -2187,9 +2187,11 @@ object TextQ {
     * oracle re-derives the weight table, every rung predicate, the
     * mixed key, the shard arithmetic, and the (tier, shard) window
     * rank. */
-  val q112 = Q(
-    "q112_curriculum",
-    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
+  /** q112/q123's shared curriculum CTE chain: the q107 evidence model
+    * re-derived, the 3-rung ladder tier, the seed-5 mixed key, the
+    * 8-shard slice — ends at `s(doc_id, tier, ek, shard)`. */
+  private val curriculumChainCte: String =
+    s"""tok AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents),
        |tw AS (SELECT doc_id, w, ${sqlHash("w")} % 1024 AS b
        |       FROM tok WHERE w <> ''),
        |posb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tw
@@ -2222,18 +2224,30 @@ object TextQ {
        |              * 2654435761) % 2147483647 AS ek
        |      FROM alld),
        |s AS (SELECT doc_id, tier, ek,
-       |             (ek * 8) // 2147483647 AS shard FROM t)
-       |SELECT doc_id, tier, CAST(shard AS BIGINT) AS shard,
-       |       CAST(ROW_NUMBER() OVER (
-       |         PARTITION BY tier, shard ORDER BY ek, doc_id) AS BIGINT)
-       |         AS pos
-       |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |             (ek * 8) // 2147483647 AS shard FROM t)""".stripMargin
+
+  /** The q112/q123 Spark-side curriculum frame: the trained evidence
+    * model + [[graft.operators.Mixing.curriculumOrder]] at the fixture
+    * knobs. */
+  private def curriculumFrame(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, dir)
     val w = graft.operators.Classify.evidenceWeights(
       docs.filter(col("lang") === "en"), "text",
       docs.filter(col("lang") =!= "en"), "text", buckets = 1024)
     graft.operators.Mixing.curriculumOrder(docs, "doc_id", "text", w,
       thresholds = Seq(-1000L, 0L, 1000L), seed = 5L, nShards = 8)
+  }
+
+  val q112 = Q(
+    "q112_curriculum",
+    s"""WITH $curriculumChainCte
+       |SELECT doc_id, tier, CAST(shard AS BIGINT) AS shard,
+       |       CAST(ROW_NUMBER() OVER (
+       |         PARTITION BY tier, shard ORDER BY ek, doc_id) AS BIGINT)
+       |         AS pos
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    curriculumFrame(s, dir)
       .select("doc_id", "tier", "shard", "pos")
       .orderBy("doc_id")
   }
@@ -2650,9 +2664,45 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q123: CURRICULUM-ORDERED GLOBAL TRAINING FILES — the full artifact
+    * a quality-curriculum run consumes: the q112 order (tier DESC, then
+    * the per-tier global permutation) folded into ONE total order via the
+    * composite shard key `(maxTier − tier)·nShards + shard`, then cut
+    * into 500-token packs whose ids run globally ([[graft.operators
+    * .Packing.packGlobalByBudget]]) — so file 0 starts with the
+    * highest-quality tier and no tier boundary strands an underfull
+    * file. The oracle re-derives the whole q112 chain and states the
+    * packing as one global window over the composite order. */
+  val q123 = Q(
+    "q123_curriculum_packs",
+    s"""WITH $curriculumChainCte,
+       |ntok AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tok
+       |         FROM documents),
+       |w2 AS (SELECT s.doc_id, s.tier,
+       |              CAST((3 - s.tier) * 8 + s.shard AS BIGINT) AS gshard,
+       |              ntok.n_tok,
+       |              SUM(ntok.n_tok) OVER (
+       |                ORDER BY (3 - s.tier) * 8 + s.shard, s.ek, s.doc_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                AS cum
+       |       FROM s JOIN ntok USING (doc_id))
+       |SELECT doc_id, tier, gshard, n_tok,
+       |       CAST((cum - n_tok) // 500 AS BIGINT) AS pack_id
+       |FROM w2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val cur = curriculumFrame(s, dir)
+      .withColumn("gshard", (lit(3L) - col("tier")) * 8 + col("shard"))
+      .withColumn("n_tok", graft.functions.TokenStats(col("text"))
+        .getField("n_tokens").cast("long"))
+    graft.operators.Packing
+      .packGlobalByBudget(cur, "gshard", "pos", "n_tok", budget = 500L)
+      .select(col("doc_id"), col("tier"), col("gshard"), col("n_tok"),
+        col("pack_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }
