@@ -78,17 +78,25 @@ class LineDedupSpec extends AnyFunSuite {
     assert(shuffled == base)
   }
 
-  test("plan shape: the line-identity window sees coordinates only — no " +
-    "text column crosses the lhv exchange") {
+  test("plan shape: detection is an aggregate, never a window sort, and " +
+    "the line-identity aggregate sees coordinates only") {
     val plan = Dedup.dedupLinesKeepFirst(docs, "doc_id", "text")
       .queryExecution.optimizedPlan
-    val windows = plan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-    assert(windows.nonEmpty)
-    windows.foreach { w =>
-      val inputs = w.child.output.map(_.name)
+    // no window anywhere: the skew-robust formulation is aggregate+join
+    // (a window would sort a 10^9-repeat line inside one partition)
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "line detection regressed to a window sort")
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.exists(_.references.exists(
+          _.name == "lhv")) => a
+    }
+    assert(aggs.nonEmpty, "expected the per-line aggregate")
+    aggs.foreach { a =>
+      val inputs = a.child.output.map(_.name)
       assert(!inputs.exists(n => n == "l" || n == "_t" || n == "text"),
-        s"window input carries text: $inputs")
+        s"line aggregate input carries text: $inputs")
     }
   }
 }
