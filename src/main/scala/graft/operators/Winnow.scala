@@ -58,12 +58,25 @@ object Winnow {
     * flagged train documents only. */
   def flaggedOverlap(train: DataFrame, eval: DataFrame, idCol: String,
                      textCol: String, k: Int = 3, w: Int = 4,
-                     minShared: Int = 1): DataFrame = {
+                     minShared: Int = 1): DataFrame =
+    flaggedOverlapWith(train,
+      evalFingerprintSet(eval, idCol, textCol, k, w), idCol, textCol,
+      k, w, minShared)
+
+  /** The eval side's DISTINCT fingerprint set — compute ONCE and reuse
+    * across probes (the fold-once discipline of the streaming funnel:
+    * the eval corpus is frozen, so its selections are too). */
+  def evalFingerprintSet(eval: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame =
+    fingerprints(eval, idCol, textCol, k, w).select("fp").distinct()
+
+  /** [[flaggedOverlap]] against a precomputed [[evalFingerprintSet]]. */
+  def flaggedOverlapWith(train: DataFrame, evalFp: DataFrame, idCol: String,
+                         textCol: String, k: Int = 3, w: Int = 4,
+                         minShared: Int = 1): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val evalFp = broadcast(
-      fingerprints(eval, idCol, textCol, k, w).select("fp").distinct())
     fingerprints(train, idCol, textCol, k, w)
-      .join(evalFp, "fp")
+      .join(broadcast(evalFp), "fp")
       .groupBy(col(idCol))
       .agg(countDistinct(col("fp")).as("n_shared"))
       .filter(col("n_shared") >= minShared)

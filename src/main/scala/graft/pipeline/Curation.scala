@@ -145,6 +145,7 @@ object Curation {
              mixDefaultMilli: Int = 1000,
              decontamBloomFpp: Option[Double] = None,
              decontamScrubSpans: Option[Int] = None,
+             decontamWinnowShared: Option[Int] = None,
              temperatureBudget: Option[Long] = None,
              dsirTarget: Option[DataFrame] = None,
              dsirBudget: Long = 0L,
@@ -318,19 +319,32 @@ object Curation {
     //    it. Audit columns are dropped after the gate (packing recomputes
     //    token counts on the scrubbed text). Scrub wins if combined with
     //    the others — it subsumes the drop decision.
+    //  - `decontamWinnowShared = Some(m)`: drop via the WINNOW probe
+    //    ([[graft.operators.Winnow.flaggedOverlap]]) — ~2/(w+1) of the
+    //    shingle probe's join volume with the ≥ w+k−1-run detection
+    //    floor; a RECALL/COST trade vs the exact-shingle regimes (a
+    //    shared run shorter than the guarantee can be missed), which is
+    //    why it is an explicit knob, never the default.
+    //    Precedence: scrub > winnow > bloom > broadcast.
     val decontam = stage(decontamScrubSpans match {
       case Some(l) =>
         Decontaminate.scrubSpans(nearDup, evalDocs, idCol, textCol,
             minTokens = l)
           .filter(col("removed_tokens") < col("n_tokens"))
           .drop("n_tokens", "removed_tokens", "n_spans")
-      case None => decontamBloomFpp match {
-        case Some(fpp) => nearDup.join(
-          Decontaminate.flaggedBloom(nearDup, evalDocs, idCol, textCol,
-            minShared = decontamMinShared, fpp = fpp),
+      case None => decontamWinnowShared match {
+        case Some(m) => nearDup.join(
+          graft.operators.Winnow.flaggedOverlap(nearDup, evalDocs, idCol,
+            textCol, minShared = m).select(col(idCol)),
           Seq(idCol), "left_anti")
-        case None => Decontaminate.clean(nearDup, evalDocs, idCol,
-          textCol, minShared = decontamMinShared)
+        case None => decontamBloomFpp match {
+          case Some(fpp) => nearDup.join(
+            Decontaminate.flaggedBloom(nearDup, evalDocs, idCol, textCol,
+              minShared = decontamMinShared, fpp = fpp),
+            Seq(idCol), "left_anti")
+          case None => Decontaminate.clean(nearDup, evalDocs, idCol,
+            textCol, minShared = decontamMinShared)
+        }
       }
     })
 

@@ -143,6 +143,7 @@ object StreamCuration {
               repetitionTopBigramMilli: Int = 100,
               repetitionDupTrigramMilli: Int = 20,
               decontamMinShared: Int = 2,
+              decontamWinnowShared: Option[Int] = None,
               mixRatesMilli: Map[String, Int] = Map.empty,
               mixDefaultMilli: Int = 1000,
               sourceCol: String = "source",
@@ -192,8 +193,25 @@ object StreamCuration {
         h.init()
         Some(h)
       } else None
-    val decontam = StreamDecontam.cleaner(evalDocs, idCol, textCol,
-      decontamMinShared)
+    // decontamination probe: the exact-shingle cleaner (default) or —
+    // `decontamWinnowShared` — the winnow probe, its eval fingerprint
+    // set folded ONCE per stream exactly like the cleaner's shingle set
+    // (the trade is the batch funnel's: ~2/(w+1) join volume, ≥ w+k−1
+    // detection floor, sub-guarantee runs can be missed)
+    val winnowEvalFp = decontamWinnowShared.map { _ =>
+      graft.operators.Winnow
+        .evalFingerprintSet(evalDocs, idCol, textCol)
+        .localCheckpoint(true)
+    }
+    val decontam: DataFrame => DataFrame = (winnowEvalFp,
+        decontamWinnowShared) match {
+      case (Some(fp), Some(m)) => batch =>
+        batch.join(graft.operators.Winnow.flaggedOverlapWith(
+          batch, fp, idCol, textCol, minShared = m).select(col(idCol)),
+          Seq(idCol), "left_anti")
+      case _ => StreamDecontam.cleaner(evalDocs, idCol, textCol,
+        decontamMinShared)
+    }
     val capClaims = domainCap.map { _ =>
       val s = new Snapshots(spark, s"$stateDir/domaincap", capSchema)
       s.init()

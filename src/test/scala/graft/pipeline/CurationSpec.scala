@@ -283,6 +283,32 @@ class CurationSpec extends AnyFunSuite {
     assert(out0.filter(col("doc_id") === 4L).count() == 1)
   }
 
+  test("winnow decontamination regime: docs containing an eval run drop, " +
+    "clean docs survive, scrub wins the precedence when both are set") {
+    import spark.implicits._
+    val run = "w1 w2 w3 w4 w5 w6" // >= w+k-1 at the winnow defaults
+    val custom = Seq(
+      (1L, s"prefix tokens here $run and a suffix", "s0"),
+      (2L, "completely unrelated document content nine ten eleven twelve", "s0")
+    ).toDF("doc_id", "text", "source")
+    val eval = Seq((100L, s"$run extra tail")).toDF("doc_id", "text")
+    val (out, r) = Curation.curate(custom, eval,
+      decontamWinnowShared = Some(1),
+      repetitionTopBigramMilli = 600, nearDupThresholdMilli = 990)
+    assert(r.nAfterDecontam == 1, s"winnow probe missed (${r.nAfterDecontam})")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // precedence: the scrub regime subsumes the drop decision — doc 1
+    // survives SCRUBBED (the run masked) instead of dropping
+    val (outS, rS) = Curation.curate(custom, eval,
+      decontamWinnowShared = Some(1), decontamScrubSpans = Some(6),
+      repetitionTopBigramMilli = 600, nearDupThresholdMilli = 990)
+    assert(rS.nAfterDecontam == 2, "scrub must win the precedence")
+    val t1 = outS.filter(col("doc_id") === 1L).select("text")
+      .head().getString(0)
+    assert(!t1.contains("w1") && t1.contains("prefix"),
+      s"run not masked under scrub: $t1")
+  }
+
   test("URL gate: blocklist hits and link-farm densities drop FIRST; " +
     "gate off by default; bystanders with clean links survive") {
     import spark.implicits._

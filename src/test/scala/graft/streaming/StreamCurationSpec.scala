@@ -162,6 +162,27 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(h2.hist().agg(sum(col("c"))).head().getLong(0) == 3L)
   }
 
+  test("winnow decontamination probe: the fold-once eval fingerprint set " +
+    "drops run-carrying docs in every batch; replay reproduces") {
+    val stateDir = Files.createTempDirectory("graft-scur-win").toString
+    val run = "w1 w2 w3 w4 w5 w6"
+    val eval = Seq((100L, s"$run extra tail")).toDF("doc_id", "text")
+    val curate = StreamCuration.curator(spark, eval, stateDir,
+      decontamWinnowShared = Some(1), repetitionTopBigramMilli = 1001)
+    val b1 = Seq((1L, s"alpha beta $run gamma", "s0"),
+                 (2L, "clean one two three", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out1 = curate(b1, 0L).select("doc_id").as[Long].collect().toSet
+    assert(out1 == Set(2L), s"batch-1 run carrier survived: $out1")
+    val b2 = Seq((3L, s"$run again later batch", "s0"),
+                 (4L, "still clean four five six", "s0"))
+      .toDF("doc_id", "text", "source")
+    val out2 = curate(b2, 1L).select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(4L), s"batch-2 run carrier survived: $out2")
+    assert(curate(b2, 1L).select("doc_id").as[Long].collect().toSet == out2,
+      "replay diverged under the winnow probe")
+  }
+
   test("funnel composed with the VERIFIED embed tier: drops only certified " +
     "embedding near-dups, passes NULL vectors, replays stable") {
     val stateDir = Files.createTempDirectory("graft-scur3").toString
