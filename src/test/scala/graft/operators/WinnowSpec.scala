@@ -97,6 +97,22 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("measured density on the real corpus: selections land near the " +
+    "paper's 2/(w+1) of grams (w=4 -> 40%), never above full windows") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val grams = docs
+      .select(graft.functions.TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .agg(sum(size(col("t")) - 2)).head().getLong(0)
+    val sels = Winnow.fingerprints(docs, "doc_id", "text").count()
+    val density = sels.toDouble / grams
+    // the 2/(w+1) expectation is for random hashes; real token streams
+    // repeat grams (repeated minima dedup), so allow a wide band around
+    // 0.4 and pin both directions
+    assert(density > 0.25 && density < 0.55,
+      s"density $density ($sels/$grams) outside the winnowing regime")
+  }
+
   test("plan shape: the per-document window sees coordinates only — " +
     "text never crosses the exchange") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
