@@ -82,6 +82,41 @@ object Winnow {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The MOSS MATCH step — positional alignment of the shared
+    * fingerprints between flagged `train` documents and the `eval`
+    * documents they overlap: one row per (train doc, eval doc, shared
+    * fingerprint) with BOTH token offsets, the evidence a reviewer reads
+    * to see WHERE the copy sits (each shared fp pins a k-gram at
+    * `t_pos` in the train doc and `e_pos` in the eval doc; a run of
+    * aligned rows with a constant offset delta is a copied span).
+    * Pairs are gated to ≥ `minShared` distinct shared fingerprints
+    * FIRST (the [[flaggedOverlap]] bar), so a single ubiquitous gram
+    * cannot fan out the alignment join.
+    *
+    * Scale: both sides reduce to selections (coordinates only); the
+    * pair gate aggregates before the position join back, and the eval
+    * side is bounded by the decontamination-family contract. Output:
+    * (train_id, eval_id, fp, t_pos, e_pos). */
+  def overlapSpans(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, k: Int = 3, w: Int = 4,
+                   minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val tFp = fingerprints(train, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("train_id"),
+        col("pos").as("t_pos"), col("fp"))
+    val eFp = broadcast(fingerprints(eval, idCol, textCol, k, w)
+      .select(col(idCol).cast("long").as("eval_id"),
+        col("pos").as("e_pos"), col("fp")))
+    val aligned = tFp.join(eFp, "fp")
+    val pairs = aligned.groupBy("train_id", "eval_id")
+      .agg(countDistinct(col("fp")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("train_id", "eval_id")
+    aligned.join(pairs, Seq("train_id", "eval_id"), "left_semi")
+      .select(col("train_id"), col("eval_id"), col("fp"),
+        col("t_pos"), col("e_pos"))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

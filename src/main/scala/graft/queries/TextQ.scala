@@ -2700,9 +2700,44 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q124: OVERLAP ALIGNMENT ([[graft.operators.Winnow.overlapSpans]]) —
+    * the MOSS match step on the q120 split: for every (train, eval) pair
+    * sharing ≥ 2 distinct selected fingerprints, one row per shared
+    * fingerprint with BOTH token offsets — the reviewer-readable
+    * evidence of WHERE the overlap sits. The oracle replays the
+    * selection chain for both sides, the pair gate, and the aligned
+    * offsets. */
+  val q124 = Q(
+    "q124_winnow_alignment",
+    s"""WITH $winnowSelCte,
+       |fps AS (SELECT doc_id,
+       |               CAST(16777215 - (mk % 16777216) AS BIGINT) AS pos,
+       |               CAST(mk // 16777216 AS BIGINT) AS fp FROM sel),
+       |ev AS (SELECT doc_id AS eval_id, pos AS e_pos, fp FROM fps
+       |       WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id AS train_id, pos AS t_pos, fp FROM fps
+       |       WHERE doc_id % 97 <> 0),
+       |al AS (SELECT train_id, eval_id, tr.fp AS fp, t_pos, e_pos
+       |       FROM tr JOIN ev ON tr.fp = ev.fp),
+       |pr AS (SELECT train_id, eval_id FROM al
+       |       GROUP BY train_id, eval_id
+       |       HAVING COUNT(DISTINCT fp) >= 2)
+       |SELECT al.train_id, al.eval_id, al.fp, al.t_pos, al.e_pos
+       |FROM al JOIN pr USING (train_id, eval_id)
+       |ORDER BY train_id, eval_id, fp, t_pos, e_pos""".stripMargin) {
+    (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Winnow.overlapSpans(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", k = 3, w = 4, minShared = 2)
+      .orderBy("train_id", "eval_id", "fp", "t_pos", "e_pos")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
-    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
+    q124)
 }

@@ -97,6 +97,29 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("overlapSpans: aligned offsets carry a constant delta across a " +
+    "planted copied run; below-bar pairs emit nothing") {
+    val run = "e1 e2 e3 e4 e5 e6 e7 e8" // long run -> several shared fps
+    val eval = Seq((100L, s"$run closing words here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"aa bb $run cc dd"),   // the run sits at token offset 2
+      (2L, "nothing shared at all in this one today")
+    ).toDF("doc_id", "text")
+    val rows = Winnow.overlapSpans(train, eval, "doc_id", "text",
+      minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "planted run produced no alignment")
+    assert(rows.forall(_._1 == 1L) && rows.forall(_._2 == 100L))
+    // every aligned fingerprint inside the run sits exactly 2 tokens
+    // later in the train doc — the constant delta IS the copied span
+    assert(rows.forall { case (_, _, t, e) => t - e == 2L },
+      s"non-constant alignment delta: ${rows.toSeq}")
+    // a bar above the pair's shared count silences it
+    assert(Winnow.overlapSpans(train, eval, "doc_id", "text",
+      minShared = 100).isEmpty)
+  }
+
   test("measured density on the real corpus: selections land near the " +
     "paper's 2/(w+1) of grams (w=4 -> 40%), never above full windows") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
