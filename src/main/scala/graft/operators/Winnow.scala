@@ -117,6 +117,26 @@ object Winnow {
         col("t_pos"), col("e_pos"))
   }
 
+  /** [[overlapSpans]] collapsed to MATCHED SPANS — the MOSS report line:
+    * aligned fingerprints sharing one offset delta (`t_pos − e_pos`)
+    * belong to the same copied region, so per (train, eval, delta) the
+    * span is `[min(t_pos), max(t_pos) + k − 1]` in train coordinates
+    * (subtract delta for the eval twin). `n_fps` counts the supporting
+    * fingerprints — the span's evidence weight; winnowing guarantees
+    * ≥ 1 per w + k − 1 copied tokens, so long copies accumulate many.
+    * One bounded aggregate over the alignment rows; same gating and
+    * scale shape as [[overlapSpans]]. Output: (train_id, eval_id,
+    * delta, t_start, t_end, n_fps). */
+  def matchedSpans(train: DataFrame, eval: DataFrame, idCol: String,
+                   textCol: String, k: Int = 3, w: Int = 4,
+                   minShared: Int = 1): DataFrame =
+    overlapSpans(train, eval, idCol, textCol, k, w, minShared)
+      .groupBy(col("train_id"), col("eval_id"),
+        (col("t_pos") - col("e_pos")).as("delta"))
+      .agg(min(col("t_pos")).as("t_start"),
+        (max(col("t_pos")) + (k - 1)).as("t_end"),
+        countDistinct(col("fp")).as("n_fps"))
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -2734,10 +2734,43 @@ object TextQ {
       .orderBy("train_id", "eval_id", "fp", "t_pos", "e_pos")
   }
 
+  /** q125: MATCHED SPANS ([[graft.operators.Winnow.matchedSpans]]) — the
+    * MOSS report line: q124's alignment collapsed per (pair, offset
+    * delta) into `[min(t_pos), max(t_pos)+k−1]` train-coordinate spans
+    * with their supporting-fingerprint counts. */
+  val q125 = Q(
+    "q125_winnow_spans",
+    s"""WITH $winnowSelCte,
+       |fps AS (SELECT doc_id,
+       |               CAST(16777215 - (mk % 16777216) AS BIGINT) AS pos,
+       |               CAST(mk // 16777216 AS BIGINT) AS fp FROM sel),
+       |ev AS (SELECT doc_id AS eval_id, pos AS e_pos, fp FROM fps
+       |       WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id AS train_id, pos AS t_pos, fp FROM fps
+       |       WHERE doc_id % 97 <> 0),
+       |al AS (SELECT train_id, eval_id, tr.fp AS fp, t_pos, e_pos
+       |       FROM tr JOIN ev ON tr.fp = ev.fp),
+       |pr AS (SELECT train_id, eval_id FROM al
+       |       GROUP BY train_id, eval_id
+       |       HAVING COUNT(DISTINCT fp) >= 2)
+       |SELECT al.train_id, al.eval_id, t_pos - e_pos AS delta,
+       |       MIN(t_pos) AS t_start, MAX(t_pos) + 2 AS t_end,
+       |       CAST(COUNT(DISTINCT al.fp) AS BIGINT) AS n_fps
+       |FROM al JOIN pr USING (train_id, eval_id)
+       |GROUP BY al.train_id, al.eval_id, delta
+       |ORDER BY train_id, eval_id, delta""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Winnow.matchedSpans(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", k = 3, w = 4, minShared = 2)
+      .orderBy("train_id", "eval_id", "delta")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124)
+    q124, q125)
 }

@@ -120,6 +120,24 @@ class WinnowSpec extends AnyFunSuite {
       minShared = 100).isEmpty)
   }
 
+  test("matchedSpans: a planted copied run collapses to one span at its " +
+    "delta, inside the run's token range, with multi-fp support") {
+    val run = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val eval = Seq((100L, s"$run closing words here")).toDF("doc_id", "text")
+    val train = Seq((1L, s"aa bb $run cc dd")).toDF("doc_id", "text")
+    val spans = Winnow.matchedSpans(train, eval, "doc_id", "text",
+      minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(spans.length == 1, s"expected one span: ${spans.toSeq}")
+    val (tid, eid, delta, t0, t1, nf) = spans.head
+    assert(tid == 1L && eid == 100L && delta == 2L)
+    // the run occupies train tokens [2, 9]; the span (selected grams
+    // + k-1 tail) must sit inside it and carry >= 2 fingerprints
+    assert(t0 >= 2L && t1 <= 9L && t0 <= t1, s"span [$t0,$t1] escapes run")
+    assert(nf >= 2L)
+  }
+
   test("measured density on the real corpus: selections land near the " +
     "paper's 2/(w+1) of grams (w=4 -> 40%), never above full windows") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
