@@ -107,7 +107,11 @@ object Winnow {
     val eFp = broadcast(fingerprints(eval, idCol, textCol, k, w)
       .select(col(idCol).cast("long").as("eval_id"),
         col("pos").as("e_pos"), col("fp")))
-    val aligned = tFp.join(eFp, "fp")
+    // materialize the alignment once (minhashPairs' precedent): it feeds
+    // BOTH the pair gate and the position join, and recomputing it would
+    // run the corpus-side selection window twice; the set is bounded by
+    // the eval overlap, not the corpus
+    val aligned = tFp.join(eFp, "fp").localCheckpoint(true)
     val pairs = aligned.groupBy("train_id", "eval_id")
       .agg(countDistinct(col("fp")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
