@@ -67,15 +67,24 @@ object VideoHeader {
       case (s, e) =>
         if (e - s < 4) None
         else {
+          // ISO-BMFF "unknown duration" sentinel is all-ones
+          // (0xFFFFFFFF / 2^64-1) → report -1, never a huge fake
+          // duration; and a crafted 64-bit duration must not overflow
+          // the *1000 — bounds-check and report -1 (crafted-input
+          // hardening: this parser never throws, never fabricates)
+          def ms(duration: Long, timescale: Long): Option[Long] =
+            if (timescale <= 0 || duration < 0 ||
+              duration > Long.MaxValue / 1000L) None
+            else Some(duration * 1000L / timescale)
           val version = u8(b, s)
           if (version == 0 && e - s >= 24) {
             val timescale = be32(b, s + 12)
             val duration = be32(b, s + 16)
-            if (timescale > 0) Some(duration * 1000L / timescale) else None
+            if (duration == 0xFFFFFFFFL) None else ms(duration, timescale)
           } else if (version == 1 && e - s >= 32) {
             val timescale = be32(b, s + 20)
             val duration = be64(b, s + 24)
-            if (timescale > 0) Some(duration * 1000L / timescale) else None
+            if (duration == -1L) None else ms(duration, timescale)
           } else None
         }
     }.getOrElse(-1L)

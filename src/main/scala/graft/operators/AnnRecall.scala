@@ -34,6 +34,33 @@ import org.apache.spark.sql.functions._
   */
 object AnnRecall {
 
+  /** Scratch index dirs created by [[audit]] — each holds a full corpus
+    * copy as parquet shard graphs, so leaving them behind leaks a
+    * corpus copy per benchmark invocation. Deleted explicitly at the
+    * end of every audit; the JVM shutdown hook is the backstop for
+    * audits that die mid-flight. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => cleanScratch()))
+
+  private def scratchDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(tag).toString
+    scratchDirs.add(p)
+    p
+  }
+
+  private def cleanScratch(): Unit = {
+    var d = scratchDirs.poll()
+    while (d != null) {
+      val root = java.nio.file.Paths.get(d)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      d = scratchDirs.poll()
+    }
+  }
+
   /** One path's aggregate over the query sample. `possible` is the truth
     * set's size (k per query when the corpus has at least k neighbors);
     * `recall` = hits / possible. `candPerQuery` is the SCAN-COST axis —
@@ -133,8 +160,7 @@ object AnnRecall {
     // quantizer as the ivf path, so the nprobe axes compare): its knob
     // trade is MORE probed cells per scan budget — each walk costs
     // ~beam visits instead of the whole cell's exact scan
-    val shardDir = java.nio.file.Files
-      .createTempDirectory("graft-ann-shards").toString
+    val shardDir = scratchDir("graft-ann-shards")
     GraphShards.buildShardedIndex(corpus, idCol, vecCol,
       Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
         centroidEvery), shardDir)
@@ -155,8 +181,7 @@ object AnnRecall {
     // SERVED recall/cost point. The saturating probe is exactness-
     // pinned on both indexes (StreamGraphShardsSpec); this row
     // measures the production knobs.
-    val streamDir = java.nio.file.Files
-      .createTempDirectory("graft-ann-stream-shards").toString
+    val streamDir = scratchDir("graft-ann-stream-shards")
     locally {
       val cuts = corpus.stat.approxQuantile(idCol,
         Array(0.5, 0.75, 0.875), 0.0).map(_.toLong)
@@ -189,8 +214,7 @@ object AnnRecall {
     // the frontier table carries the cell-size axis too. The ivf_lc row
     // probes HALF the cells (nprobe 1 vs 2) and still scans MORE rows —
     // the exact-scan cost of a big cell is the point.
-    val shardLcDir = java.nio.file.Files
-      .createTempDirectory("graft-ann-shards-lc").toString
+    val shardLcDir = scratchDir("graft-ann-shards-lc")
     GraphShards.buildShardedIndex(corpus, idCol, vecCol,
       Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
         lcEvery), shardLcDir)
@@ -212,8 +236,7 @@ object AnnRecall {
     // regime where insert order could plausibly bite). Same bootstrap
     // surface — the coarse quantizer is just the centroid table handed
     // to bootstrap.
-    val streamLcDir = java.nio.file.Files
-      .createTempDirectory("graft-ann-stream-shards-lc").toString
+    val streamLcDir = scratchDir("graft-ann-stream-shards-lc")
     locally {
       val cuts = corpus.stat.approxQuantile(idCol,
         Array(0.5, 0.75, 0.875), 0.0).map(_.toLong)
@@ -245,8 +268,7 @@ object AnnRecall {
     // this row publishes the resharding trade the operator's spec pins
     // only at saturating knobs: what production probing pays (or not)
     // after the quantizer refined itself online.
-    val streamSplitDir = java.nio.file.Files
-      .createTempDirectory("graft-ann-stream-split").toString
+    val streamSplitDir = scratchDir("graft-ann-stream-split")
     locally {
       val cuts = corpus.stat.approxQuantile(idCol,
         Array(0.5, 0.75, 0.875), 0.0).map(_.toLong)
@@ -293,6 +315,10 @@ object AnnRecall {
       measure("pq_adc", adc(k), adc(nAll).count()),
       // stage-2 rows == cand by construction; count the plan anyway
       measure("pq_adc_rerank", rerank(k), rerank(pqCand).count()))
+    // every scratch read above is already forced (the measure() calls
+    // in strideTier are eager; the trained tier below reads no scratch
+    // index) — free the corpus-copy index dirs before returning
+    cleanScratch()
     if (!includeTrained) strideTier
     else {
       // trained twins at the SAME codebook sizes as the stride tiers

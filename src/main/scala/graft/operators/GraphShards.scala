@@ -107,7 +107,13 @@ object GraphShards {
                                 nprobe: Int): DataFrame = {
     val q = Similarity.withNorm(queries, vecCol)
       .select(col(idCol).cast("long").as("qid"), col("vecd").as("qvec"),
-        col("norm").as("qnorm"))
+        // zero-norm queries fail LOUD in-plan (the corpus-side
+        // 'cosine undefined' contract) — NaN centroid cosines would
+        // silently rank garbage cells
+        when(col("norm") > 0, col("norm"))
+          .otherwise(raise_error(concat(
+            lit("zero-norm query vector qid="), col(idCol).cast("string"),
+            lit(": cosine undefined")))).as("qnorm"))
     val wProbe = Window.partitionBy("qid")
       .orderBy(col("cent_cos").desc, col("cent_id").asc)
     cents.crossJoin(broadcast(q))
@@ -192,6 +198,11 @@ object GraphShards {
           qs.iterator.flatMap { case (_, qid, qv) =>
             val qarr = qv.toArray
             val qn = math.sqrt(qarr.map(x => x * x).sum)
+            // mirror the corpus-side 'cosine undefined' contract
+            // (GraphAnn.allocGraph/insertVectorsLocal require norm > 0):
+            // a zero-norm query fails LOUD, never NaN-beams to garbage
+            require(qn > 0, s"zero-norm query vector qid=$qid: " +
+              "cosine undefined")
             val hits = GraphAnn.beam(g, qarr, qn, entry = 0, ef = ef)
             val visits = GraphAnn.lastVisited()
             hits.iterator

@@ -202,20 +202,45 @@ object Urls {
     kept.unionByName(exempt).withColumnRenamed("_id", idCol)
   }
 
-  /** Drop every document containing a link to a BLOCKED registered
-    * domain. The blocklist is a broadcast-scale set evaluated IN-SCAN
-    * (`exists` over the extracted array against an array literal) — no
-    * join, no shuffle; the decision is per-row like the quality
-    * filters. NULL-text rows SURVIVE (nothing to block — coalesced, so
-    * three-valued logic cannot silently drop them; the null-drop
-    * decision belongs to the quality stage, not a link filter). */
+  /** Every dot-suffix of a URL's host, longest first: for
+    * `a.user.github.io` → `[a.user.github.io, user.github.io,
+    * github.io, io]`. Pure in-scan arithmetic (`sequence` +
+    * column-`slice`); the blocklist match walks this chain so a
+    * platform-level entry matches every subdomain regardless of where
+    * the PSL places the registrant cut. */
+  private[graft] def hostSuffixes(url: Column): Column = {
+    val host = lower(substring_index(substring_index(
+      substring_index(substring_index(url, "://", -1), "/", 1), "?", 1),
+      ":", 1))
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      k => array_join(slice(parts, -k, k), "."))
+  }
+
+  /** Drop every document containing a link to a BLOCKED domain. An
+    * entry matches when it equals ANY dot-suffix of a linked host —
+    * not just the PSL registered domain — so `github.io` (a
+    * private-registry suffix, where `registeredDomain` returns
+    * `user.github.io`) still blocks every `*.github.io` page, and
+    * `bbc.co.uk` blocks `www.bbc.co.uk` exactly as before. Suffix
+    * matching is the blocklist contract crawl pipelines expect
+    * (an entry blocks the whole subtree under it); the PSL upgrade
+    * must not silently un-block platform-level entries.
+    *
+    * The blocklist is a broadcast-scale set evaluated IN-SCAN
+    * (`exists` over the host's suffix chain against an array
+    * literal) — no join, no shuffle; the decision is per-row like the
+    * quality filters. NULL-text rows SURVIVE (nothing to block —
+    * coalesced, so three-valued logic cannot silently drop them; the
+    * null-drop decision belongs to the quality stage, not a link
+    * filter). */
   def dropBlockedDomains(docs: DataFrame, idCol: String, textCol: String,
                          blocked: Seq[String]): DataFrame = {
     require(blocked.nonEmpty, "empty blocklist: nothing to do — " +
       "call sites should skip the stage instead of no-op filtering")
     val urls = urlArray(textCol)
     val blockedLit = typedlit(blocked.map(_.toLowerCase))
-    docs.filter(!exists(transform(urls, registeredDomain _),
-      d => array_contains(blockedLit, d)))
+    docs.filter(!exists(urls, u =>
+      exists(hostSuffixes(u), s => array_contains(blockedLit, s))))
   }
 }

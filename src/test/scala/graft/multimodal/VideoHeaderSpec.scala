@@ -107,6 +107,34 @@ class VideoHeaderSpec extends AnyFunSuite {
       VideoHeader.VideoMeta("mp4", 0, 0, 5000))
   }
 
+  test("mvhd hardening: the all-ones 'unknown duration' sentinel reads " +
+    "-1 (v0 and v1), and a crafted v1 duration that would overflow " +
+    "*1000 reads -1 instead of a bogus huge number") {
+    def be64b(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xFFFFFFFFL)
+    def mvhdV1(timescale: Long, duration: Long): Array[Byte] =
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ Array.fill[Byte](16)(0) ++
+        be32(timescale) ++ be64b(duration) ++ Array.fill[Byte](80)(0))
+    def mp4WithMvhd(mvhd: Array[Byte]): Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII")) ++
+        box("moov", mvhd ++ box("trak", tkhdV0(64, 48)))
+    // v0 sentinel: 0xFFFFFFFF
+    assert(VideoHeader.parse(mp4WithMvhd(mvhdV0(600, 0xFFFFFFFFL))).get
+      .durationMs == -1L)
+    // v1 sentinel: 2^64-1 (all bits)
+    assert(VideoHeader.parse(mp4WithMvhd(mvhdV1(600, -1L))).get
+      .durationMs == -1L)
+    // v1 overflow: duration*1000 would wrap
+    assert(VideoHeader.parse(
+      mp4WithMvhd(mvhdV1(600, Long.MaxValue / 1000L + 1))).get
+      .durationMs == -1L)
+    // v1 high-bit-set (negative as signed): unknown, not garbage
+    assert(VideoHeader.parse(
+      mp4WithMvhd(mvhdV1(600, Long.MinValue))).get.durationMs == -1L)
+    // v1 sane large duration still reads exactly
+    assert(VideoHeader.parse(mp4WithMvhd(mvhdV1(1000, 5000000L))).get
+      .durationMs == 5000000L)
+  }
+
   test("inspectMedia: one surface for stills, audio and video " +
     "containers; unrecognized rows keep nulls") {
     val rows = Seq(

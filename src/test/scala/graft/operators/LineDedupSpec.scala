@@ -39,6 +39,20 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out(4L) == (("", 1L)))                 // " x" folds onto "x"
   }
 
+  test("keep-first with STRING-typed ids: 'global first occurrence' is " +
+    "decided on the long-cast id (the family's long-castable contract, " +
+    "matching IncrementalLineDedup), never lexicographically — a raw " +
+    "string min(struct) would call \"10\" < \"9\"") {
+    // dup line "d" lives in docs "9" and "10": numeric order keeps 9's
+    // copy; lexicographic order would wrongly keep 10's
+    val sdocs = Seq(("9", "d\nkeep9"), ("10", "d\nkeep10"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupLinesKeepFirst(sdocs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(9L) == "d\nkeep9", s"doc 9 must keep the first copy: $out")
+    assert(out(10L) == "keep10", s"doc 10 must lose the later copy: $out")
+  }
+
   test("keep-first honors minReps: lines under the occurrence floor are " +
     "untouched even when duplicated") {
     // "y" occurs twice — under minReps=3 it survives everywhere; "x"

@@ -92,7 +92,7 @@ class UrlsSpec extends AnyFunSuite {
   }
 
   test("dropBlockedDomains: any blocked link drops the doc; clean and " +
-    "link-free docs survive; matching is by REGISTERED domain, " +
+    "link-free docs survive; matching is by HOST SUFFIX chain, " +
     "case-insensitive") {
     val d = Seq(
       (1L, "no links here"),
@@ -106,6 +106,22 @@ class UrlsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Urls.dropBlockedDomains(d, "doc_id", "text", Seq.empty)
     }
+  }
+
+  test("dropBlockedDomains: a platform-level entry on a PSL private-" +
+    "registry suffix (github.io) blocks every subdomain — the PSL " +
+    "upgrade must not un-block platform entries (registeredDomain " +
+    "returns user.github.io, the blocklist still matches the suffix)") {
+    val d = Seq(
+      (1L, "see http://alice.github.io/post"),
+      (2L, "see http://deep.sub.blogspot.com/x"),
+      (3L, "fine http://github.com/org/repo"), // github.COM is not blocked
+      (4L, "fine http://iogames.example.org/x") // 'io' label only as prefix
+    ).toDF("doc_id", "text")
+    val kept = Urls.dropBlockedDomains(d, "doc_id", "text",
+      Seq("github.io", "blogspot.com"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), s"suffix-chain blocklist broke: $kept")
   }
 
   test("NULL text: blocklist keeps the row (nothing to block), stats read " +
