@@ -169,6 +169,132 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Codepoint-lexicographic string comparison — identical to DuckDB's
+    * binary (UTF-8 byte order) VARCHAR collation, which Java's UTF-16
+    * `compareTo` is NOT: a supplementary code point (surrogate pair,
+    * U+10000+) compares BELOW U+E000..U+FFFF under UTF-16 unit order but
+    * ABOVE under code-point order. Vocabulary ids are assigned in this
+    * order so the oracle's `ORDER BY piece` replays them exactly. */
+  private[graft] def cpCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** [[cpCompare]] as an Ordering. */
+  val cpOrder: Ordering[String] = (x: String, y: String) => cpCompare(x, y)
+
+  /** The corpus ALPHABET: every distinct initial symbol (code point or
+    * the end-of-word marker) across the whitespace tokens of `textCol`.
+    * Distributed with a per-partition distinct set — bounded by the
+    * charset, not the vocabulary (a partition's set holds single code
+    * points plus `</w>`, ≤ ~1.1M entries worst-case, typically tiny) —
+    * then a distinct whose exchange carries only per-partition-distinct
+    * symbols. Returned sorted by [[cpOrder]] (the id-assignment order).
+    * NULL-text rows contribute nothing. */
+  def alphabetOf(docs: DataFrame, textCol: String): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol).cast("string")).na.drop()
+      .as[String]
+      .mapPartitions { it =>
+        val seen = mutable.HashSet.empty[String]
+        it.foreach { t =>
+          TextAnalysis.jvmTokens(t).foreach(w => initial(w).foreach(seen += _))
+        }
+        seen.iterator
+      }
+      .distinct()
+      .collect()
+      .sorted(cpOrder)
+      .toSeq
+  }
+
+  /** The PIECE VOCABULARY under a trained merge list: ids `0..A-1` for
+    * the alphabet in [[cpOrder]], id `A + r` for merge `r`'s product
+    * (0-based rank). Ids are STABLE, never compacted: a product string
+    * that collides with an earlier piece (possible — two merge paths can
+    * build the same string) resolves to the EARLIER id via [[vocabIds]]'
+    * first-wins map while its own slot stays allocated, so adding merges
+    * never renumbers existing pieces (the property a trainer's embedding
+    * table depends on). */
+  def vocabOf(alphabet: Seq[String], merges: Seq[Merge]): IndexedSeq[String] =
+    (alphabet.sorted(cpOrder) ++ merges.map(m => m._1 + m._2)).toIndexedSeq
+
+  /** piece → id, first occurrence wins (see [[vocabOf]]). */
+  def vocabIds(vocab: Seq[String]): Map[String, Long] =
+    vocab.iterator.zipWithIndex
+      .foldLeft(Map.empty[String, Long]) { case (m, (p, i)) =>
+        if (m.contains(p)) m else m + (p -> i.toLong)
+      }
+
+  /** Per-document BPE ENCODING — the operator that turns text into the
+    * unit a training run consumes: (idCol, pieces, token_ids, n_tokens),
+    * one output row per non-NULL-text input row, token ids against
+    * [[vocabOf]]'s stable id space (pieces absent from `vocab` — only
+    * possible when encoding NEW text under a frozen vocabulary whose
+    * alphabet misses some of its code points — get `unkId`).
+    *
+    * Scale shape is [[pieceCounts]]': the merge-rank map and the id map
+    * broadcast (O(numMerges + |vocab|), driver artifacts by
+    * construction), each scan task tokenizes with the exact
+    * [[TextAnalysis.jvmTokens]] twin and segments through a
+    * per-partition memo capped at [[MemoCap]] distinct words, and the
+    * output rides the scan — the corpus text crosses no exchange and the
+    * driver collects nothing. The `pieces` column exists for audit
+    * joins; a loader that selects only `token_ids` prunes it at the
+    * scan. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge], vocab: Seq[String],
+             unkId: Long = -1L): DataFrame = {
+    val spark = docs.sparkSession
+    val rankB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val idsB = spark.sparkContext.broadcast(vocabIds(vocab))
+    val idField = docs.schema(docs.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("pieces",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
+      StructField("token_ids",
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)),
+      StructField("n_tokens", LongType, nullable = false)))
+    docs.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val rank = rankB.value
+        val ids = idsB.value
+        val memo = new java.util.HashMap[String, Array[String]](1 << 12)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) None
+          else {
+            val toks = TextAnalysis.jvmTokens(r.getString(1))
+            val pieces = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < toks.length) {
+              val w = toks(i)
+              var p = memo.get(w)
+              if (p == null) {
+                p = segmentRanked(w, rank).toArray
+                if (memo.size < MemoCap) memo.put(w, p)
+              }
+              pieces ++= p
+              i += 1
+            }
+            val tids = pieces.map(pc => ids.getOrElse(pc, unkId))
+            Some(Row(r.get(0), pieces.toSeq, tids.toSeq,
+              pieces.length.toLong))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Per-document piece counts under a trained merge table, computed
     * entirely in executors: the merge-rank map (O(numMerges)) broadcasts,
     * each scan task tokenizes with [[TextAnalysis.jvmTokens]] (the exact

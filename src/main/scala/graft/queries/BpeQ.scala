@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Bpe, Mixing, Packing}
+
+/** BPE tokenization under the ORACLE GATE — the queries that close the
+  * "every loader artifact is denominated in whitespace tokens" gap: the
+  * trained merge table's application is replayed bitwise in DuckDB, so
+  * per-document token-id sequences (q126) and BPE-denominated packs
+  * (q127) hash-match the oracle, and q80's training loop itself (long
+  * held "not SQL-expressible") gets a real oracle too.
+  *
+  * Two replays, each twinning one Scala code path exactly:
+  *
+  * 1. TRAINING ([[Bpe.trainFromVocab]]) — `numMerges` rounds unrolled as
+  *    MATERIALIZED CTEs (the q102 Lloyd discipline). Each round counts
+  *    adjacent symbol pairs over the word-frequency table (SUM(freq),
+  *    the per-occurrence weighting of the Scala loop), picks the
+  *    highest-count pair with the (count DESC, left ASC, right ASC)
+  *    tie-break, and applies it EXHAUSTIVELY LEFT-TO-RIGHT to every
+  *    word. The left-to-right walk (`i += 2` on match, over the round's
+  *    ORIGINAL symbols) is restated non-iteratively: match positions
+  *    grouped into consecutive runs (`i − row_number()` trick), every
+  *    ODD-ranked position within a run selected — exactly the greedy
+  *    pairing ("aaaa" under (a,a) → positions {1,2,3} → select {1,3} →
+  *    [aa, aa]). A round whose best pair falls under `minPairCount`
+  *    selects nothing and every later round replays the same no-op —
+  *    the Scala early-stop, shape-stable.
+  *
+  * 2. ENCODING ([[Bpe.segmentRanked]]) — a RECURSIVE CTE (the q110
+  *    per-step discipline) over the corpus's distinct words: each step
+  *    finds the LOWEST-ranKED mergeable adjacent pair (first position on
+  *    ties — `list_position` of `list_min`) via a rank MAP keyed by
+  *    [left, right] symbol lists (no delimiter collisions), merges that
+  *    one occurrence, and stops when no pair has a rank. Training's
+  *    exhaustive-by-round application and encoding's greedy re-scan are
+  *    DIFFERENT procedures that agree except in pathological
+  *    string-collision vocabularies — the oracle replays each against
+  *    its own Scala twin, so the gate would catch a divergence instead
+  *    of assuming it away.
+  *
+  * Vocabulary ids replay [[Bpe.vocabOf]]: alphabet pieces get
+  * `row_number() OVER (ORDER BY piece) − 1` (DuckDB's binary collation =
+  * [[Bpe.cpOrder]] by construction), merge `r`'s product gets `A + r − 1`,
+  * and first-wins collision resolution is `MIN(vid)` per piece.
+  *
+  * Scale: the oracle's cost is DuckDB's, not Spark's — the Spark side
+  * trains on the bounded word-frequency table and encodes in-scan with a
+  * broadcast rank map ([[Bpe.encode]]); nothing here changes the 100 TB
+  * shape. The replay is exact because the chain operates on the same
+  * bounded vocabulary (`minFreq` = 1, cap non-binding at oracle scale;
+  * the generator replays only the uncapped regime).
+  */
+object BpeQ {
+
+  import TextQ.{sqlHash, sqlToks}
+
+  /** One unrolled training round: pair counts over `w{r-1}`, the argmax
+    * pick `m{r}`, run-parity selection `sl{r}`, the rewritten `w{r}`. */
+  private def roundCtes(r: Int, minPairCount: Long): String = {
+    val prev = s"w${r - 1}"
+    s"""pc$r AS (
+       |  SELECT a, b, c FROM (
+       |    SELECT syms[i] AS a, syms[i + 1] AS b,
+       |           CAST(SUM(freq) AS BIGINT) AS c
+       |    FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+       |          FROM $prev)
+       |    GROUP BY 1, 2) WHERE c >= $minPairCount),
+       |m$r AS (SELECT a, b FROM pc$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+       |sl$r AS (
+       |  SELECT word, list(i ORDER BY i) AS sels FROM (
+       |    SELECT word, i,
+       |           row_number() OVER (PARTITION BY word, grp ORDER BY i) AS k
+       |    FROM (
+       |      SELECT word, i,
+       |             i - row_number() OVER (PARTITION BY word ORDER BY i)
+       |               AS grp
+       |      FROM (SELECT t.word, t.i FROM
+       |              (SELECT word, syms, unnest(range(1, len(syms))) AS i
+       |               FROM $prev) t, m$r
+       |            WHERE t.syms[i] = m$r.a AND t.syms[i + 1] = m$r.b)))
+       |  WHERE k % 2 = 1 GROUP BY word),
+       |w$r AS MATERIALIZED (
+       |  SELECT w.word, w.freq,
+       |    CASE WHEN s.sels IS NULL THEN w.syms ELSE
+       |      list_filter(list_transform(range(1, len(w.syms) + 1),
+       |        j -> CASE WHEN list_contains(s.sels, j)
+       |                  THEN w.syms[j] || w.syms[j + 1]
+       |                  WHEN list_contains(s.sels, j - 1) THEN NULL
+       |                  ELSE w.syms[j] END), x -> x IS NOT NULL) END AS syms
+       |  FROM $prev w LEFT JOIN sl$r s USING (word))""".stripMargin
+  }
+
+  /** The full replay chain (requires a `WITH RECURSIVE` prefix). Ends at:
+    * `wf(word, freq)`, `mg(r, a, b)` — the trained merges in rank order,
+    * `fin(word, syms)` — every distinct corpus word's greedy
+    * segmentation, `voc(piece, vid)` — the stable-id vocabulary. */
+  private[queries] def bpeChainCtes(numMerges: Int,
+                                    minPairCount: Long = 2L): String = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val rounds = (1 to numMerges).map(roundCtes(_, minPairCount))
+      .mkString(",\n")
+    val mgUnion = (1 to numMerges)
+      .map(r => s"SELECT $r AS r, a, b FROM m$r").mkString(" UNION ALL ")
+    s"""wf AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($sqlToks) AS w FROM documents) GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    list_append(list_transform(range(1, length(word) + 1),
+       |      i -> substring(word, CAST(i AS INTEGER), 1)), '</w>') AS syms
+       |  FROM wf),
+       |$rounds,
+       |mg AS MATERIALIZED ($mgUnion),
+       |rk AS (SELECT map(list(k ORDER BY rr), list(rr ORDER BY rr)) AS m
+       |       FROM (SELECT [a, b] AS k, CAST(MAX(r) AS BIGINT) AS rr
+       |             FROM mg GROUP BY 1)),
+       |w0e AS (SELECT word, syms FROM w0),
+       |seg AS (
+       |  SELECT word, syms, 0 AS step FROM w0e
+       |  UNION ALL
+       |  SELECT word,
+       |    list_filter(list_transform(range(1, len(syms) + 1),
+       |      j -> CASE WHEN j = p THEN syms[j] || syms[j + 1]
+       |                WHEN j = p + 1 THEN NULL ELSE syms[j] END),
+       |      x -> x IS NOT NULL),
+       |    step + 1
+       |  FROM (
+       |    SELECT word, syms, step, list_min(rks) AS bb,
+       |           list_position(rks, list_min(rks)) AS p
+       |    FROM (
+       |      SELECT g.word, g.syms, g.step,
+       |        list_transform(range(1, len(g.syms)),
+       |          i -> COALESCE(
+       |                 map_extract(rk.m, [g.syms[i], g.syms[i + 1]])[1],
+       |                 9223372036854775807)) AS rks
+       |      FROM seg g, rk))
+       |  WHERE bb < 9223372036854775807),
+       |fin AS MATERIALIZED (
+       |  SELECT word, syms FROM (
+       |    SELECT word, syms,
+       |           row_number() OVER (PARTITION BY word ORDER BY step DESC)
+       |             AS rn
+       |    FROM seg) WHERE rn = 1),
+       |alpha AS (SELECT DISTINCT unnest(syms) AS piece FROM w0),
+       |av AS (SELECT piece,
+       |              CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT)
+       |                AS vid FROM alpha),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM av),
+       |voc AS (SELECT piece, CAST(MIN(vid) AS BIGINT) AS vid FROM (
+       |          SELECT piece, vid FROM av
+       |          UNION ALL
+       |          SELECT a || b AS piece, na.n + r - 1 AS vid FROM mg, na)
+       |        GROUP BY piece)""".stripMargin
+  }
+
+  /** The q80 pieces-per-document tail, shared by q80's upgraded oracle
+    * and q127's denomination: `cnt(doc_id, n_words, n_pieces)`. */
+  private val cntCte: String =
+    s"""tokp AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents),
+       |cnt AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |               CAST(SUM(len(f.syms)) AS BIGINT) AS n_pieces
+       |        FROM tokp t JOIN fin f USING (word) GROUP BY t.doc_id)"""
+      .stripMargin
+
+  /** q126: per-document BPE ENCODING to token ids ([[Bpe.encode]]) — 30
+    * merges trained from the corpus (q80's knobs), the vocabulary built
+    * from the corpus alphabet + merge products with stable first-wins
+    * ids, every document's piece sequence and id sequence emitted
+    * position by position. The oracle replays training (unrolled CTEs),
+    * greedy segmentation (recursive CTE), id assignment, and the
+    * per-document flatten — the whole path from raw text to the unit a
+    * trainer consumes, hash-checked. */
+  val q126 = Q(
+    "q126_bpe_encode",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM documents),
+       |pcs AS (SELECT t.doc_id, t.tp, f.syms
+       |        FROM tokq t JOIN fin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(syms) AS piece,
+       |                unnest(range(1, len(syms) + 1)) AS sp FROM pcs),
+       |outp AS (SELECT doc_id,
+       |                CAST(row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tp, sp) - 1 AS BIGINT) AS pos,
+       |                piece FROM flat)
+       |SELECT o.doc_id, o.pos, o.piece, v.vid AS token_id
+       |FROM outp o JOIN voc v ON v.piece = o.piece
+       |ORDER BY o.doc_id, o.pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
+    Bpe.encode(docs, "doc_id", "text", merges, vocab)
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("pieces"), col("token_ids"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.pieces").as("piece"), col("col.token_ids").as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** q127: GLOBAL TOKEN-BALANCED PACKS DENOMINATED IN BPE TOKENS —
+    * q117's two-pass global packing with the weight column re-based from
+    * whitespace `n_tokens` to the trained tokenizer's exact piece count
+    * ([[Bpe.pieceCounts]]), i.e. the unit a training run actually
+    * consumes per sequence. Same epoch-shuffle order (seed 7, 8 shards),
+    * budget 700 BPE tokens; the oracle re-derives the merge table, every
+    * word's segmentation, the per-document piece count, the mixed key,
+    * and the global running sum. */
+  val q127 = Q(
+    "q127_bpe_token_packs",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |$cntCte,
+       |k AS (SELECT d.doc_id, c.n_pieces AS n_tok,
+       |             (${sqlHash("'7:' || CAST(d.doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM documents d JOIN cnt c ON c.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard, n_tok
+       |      FROM k),
+       |w AS (SELECT doc_id, shard, n_tok,
+       |        SUM(n_tok) OVER (ORDER BY shard, ek, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM s)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+       |       CAST((cum - n_tok) // 700 AS BIGINT) AS pack_id
+       |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val counts = Bpe.pieceCounts(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_pieces").as("n_tok"))
+    val e = Mixing.epochShuffle(
+      docs.select("doc_id").join(counts, Seq("doc_id")),
+      "doc_id", seed = 7L, nShards = 8)
+    Packing.packGlobalByBudget(e, "shard", "pos", "n_tok", budget = 700L)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  /** q80's REAL oracle (the round-11 "not SQL-expressible" claim,
+    * falsified): training + per-document piece counts, the chain above. */
+  private[queries] val q80OracleSql: String =
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |$cntCte
+       |SELECT doc_id, n_words, n_pieces
+       |FROM cnt ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(q126, q127)
+}

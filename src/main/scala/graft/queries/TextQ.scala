@@ -20,12 +20,12 @@ object TextQ {
 
   /** DuckDB twin of [[TextAnalysis.strHash]] — `(?s)` so '.' also matches
     * newlines, like PolyHash's every-code-point loop. */
-  private def sqlHashM(c: String, mult: Int): String =
+  private[queries] def sqlHashM(c: String, mult: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
     s"list_transform(regexp_extract_all($c, '(?s).'), ch -> CAST(unicode(ch) AS BIGINT))), " +
     s"(a, b) -> (a * $mult + b) % $P)"
 
-  private def sqlHash(c: String): String = sqlHashM(c, 31)
+  private[queries] def sqlHash(c: String): String = sqlHashM(c, 31)
 
   /** DuckDB twin of [[graft.functions.WideWindowHashes]]' 62-bit key:
     * two independent 31-bit polynomials (multipliers 31 and 37) combined
@@ -33,7 +33,7 @@ object TextQ {
   private def sqlWideHash(c: String): String =
     s"(${sqlHashM(c, 31)} * $P + ${sqlHashM(c, 37)})"
 
-  private val sqlToks = """string_split_regex(trim(text), '\s+')"""
+  private[queries] val sqlToks = """string_split_regex(trim(text), '\s+')"""
 
   /** Shared CTE prefix: tokens + distinct 3-gram shingles (with source for
     * blocked variants). DuckDB lists are 1-based; range(1, len-1) is empty
@@ -1251,13 +1251,14 @@ object TextQ {
   /** q80: BPE tokenizer training + application ([[graft.operators.Bpe]])
     * — learn 30 merges from the corpus word-frequency table (distributed
     * pass; driver merge loop is vocab-sized), then count each document's
-    * BPE pieces under the trained table. Rows-only by construction: the
-    * data-dependent iterative merge loop is not SQL-expressible, so
-    * correctness is spec-pinned instead (BpeSpec: the hand-computable
-    * Sennrich example, train/apply rank parity over the real vocabulary,
-    * determinism/prefix/monotonicity, and a collections brute-force twin
-    * of this exact query). */
-  val q80 = Q.noOracle("q80_bpe_train") { (s, dir) =>
+    * BPE pieces under the trained table. Rows-only through round 11; now
+    * under the REAL oracle gate — [[BpeQ.bpeChainCtes]] replays the
+    * training loop as unrolled materialized CTEs and the per-word
+    * segmentation bitwise (the q102/q110 exact-replay discipline), so
+    * the per-document piece counts hash-match. The spec suite (BpeSpec:
+    * the hand-computable Sennrich example, rank parity, determinism,
+    * brute-force twin) still pins the Scala path independently. */
+  val q80 = Q("q80_bpe_train", BpeQ.q80OracleSql) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val merges = graft.operators.Bpe.train(docs, "text", numMerges = 30)
     graft.operators.Bpe.pieceCounts(docs, "doc_id", "text", merges)

@@ -132,6 +132,76 @@ class BpeSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 3L))) // [x, y, </w>]
   }
 
+  test("cpCompare is code-point (UTF-8 byte) order, not UTF-16 unit " +
+    "order: a supplementary code point sorts ABOVE U+E000..U+FFFF") {
+    val supp = new String(Character.toChars(0x10000)) // surrogate pair
+    val bmp = "�"
+    assert(Bpe.cpCompare(bmp, supp) < 0, "U+FFFD must sort below U+10000")
+    // Java's UTF-16 compareTo gets this one backwards
+    assert(bmp.compareTo(supp) > 0, "precondition: UTF-16 order differs")
+    assert(Bpe.cpCompare("a", "ab") < 0 && Bpe.cpCompare("ab", "ab") == 0)
+    assert(Seq("b", "a", "</w>").sorted(Bpe.cpOrder) ==
+      Seq("</w>", "a", "b"))
+  }
+
+  test("alphabetOf: distinct initial symbols sorted by cpOrder; NULL " +
+    "text contributes nothing; the end-of-word marker is present") {
+    val d = Seq((1L, Some("ba ab")), (2L, Some("cb")), (3L, None))
+      .toDF("doc_id", "text")
+    assert(Bpe.alphabetOf(d, "text") == Seq("</w>", "a", "b", "c"))
+  }
+
+  test("vocabOf/vocabIds: alphabet ids 0..A-1 in cpOrder, merge products " +
+    "A+r; collision resolves FIRST-WINS without renumbering later slots") {
+    // merges (a,b)->'ab' and (ab,c)->'abc', plus a deliberate duplicate
+    // product: (a,bc) would also yield 'abc' — ids must stay stable
+    val alphabet = Seq("c", "a", "b", "</w>")
+    val merges = Seq(("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc"))
+    val vocab = Bpe.vocabOf(alphabet, merges)
+    assert(vocab == IndexedSeq("</w>", "a", "b", "c", // sorted alphabet
+      "ab", "bc", "abc", "abc")) // merge products, duplicate kept in place
+    val ids = Bpe.vocabIds(vocab)
+    assert(ids("a") == 1L && ids("ab") == 4L && ids("bc") == 5L)
+    assert(ids("abc") == 6L, "first occurrence must win")
+    assert(ids.size == 7, "the duplicate slot maps nowhere new")
+  }
+
+  test("encode: hand fixture — pieces match segment(), ids match the " +
+    "stable vocabulary, n_tokens = |pieces|, NULL text absent, and a " +
+    "frozen vocab missing the new text's alphabet yields unkId") {
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val vocab = Bpe.vocabOf(Seq("a", "b", "x", "</w>"), merges)
+    // vocab: </w>=0, a=1, b=2, x=3, ab=4, ab</w>=5
+    val d = Seq((1L, Some("ab xab")), (2L, None), (3L, Some("q")))
+      .toDF("doc_id", "text")
+    val out = Bpe.encode(d, "doc_id", "text", merges, vocab)
+      .as[(Long, Seq[String], Seq[Long], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(!out.contains(2L), "null-text doc must be absent")
+    assert(out(1L) == ((Seq("ab</w>", "x", "ab</w>"), Seq(5L, 3L, 5L), 3L)))
+    // 'q' is not in the frozen alphabet: its pieces miss the vocab
+    assert(out(3L) == ((Seq("q", "</w>"), Seq(-1L, 0L), 2L)))
+  }
+
+  test("encode rides the scan: zero shuffle exchanges in the plan, and " +
+    "n_tokens agrees with pieceCounts' n_pieces on the corpus") {
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
+    val plan = enc.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(plan) == 0, plan)
+    val nt = enc.select("doc_id", "n_tokens").as[(Long, Long)]
+      .collect().toMap
+    val pc = Bpe.pieceCounts(docs, "doc_id", "text", merges)
+      .select("doc_id", "n_pieces").as[(Long, Long)].collect().toMap
+    assert(nt == pc, "encode token counts must equal pieceCounts")
+    // no unk ids on the training corpus itself: its alphabet built them
+    val unk = enc.select(org.apache.spark.sql.functions.explode(
+      col("token_ids")).as("t")).filter(col("t") < 0).count()
+    assert(unk == 0L, s"$unk unknown ids on the vocab's own corpus")
+  }
+
   test("pieceCounts: corpus-scale counts agree with per-word segmentation") {
     val merges = Bpe.train(docs, "text", numMerges = 30)
     val out = Bpe.pieceCounts(docs, "doc_id", "text", merges)
