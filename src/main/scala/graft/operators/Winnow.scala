@@ -22,13 +22,16 @@ import graft.functions.TextAnalysis._
   * whole-document window's minimum (so every fingerprintable document
   * fingerprints).
   *
-  * Scale shape: grams hash IN-SCAN (31-bit polynomial, the shingle tier's
-  * family); the one exchange is the per-document window partitioning, and
-  * what crosses it is (id, p, hash) coordinates — never text. The
-  * tie-to-rightmost rule is integer arithmetic, not a sort: each gram packs
-  * as `h·2²⁴ + (2²⁴−1−p)`, so the frame's plain MIN is "smallest hash,
-  * rightmost position" in one codegen'd aggregate (positions past the 2²⁴
-  * per-document gram ceiling fail loud in-scan — no silent wraparound).
+  * Scale shape: grams hash IN-SCAN (the 62-bit WidePolyHash family by
+  * default — see [[fingerprints]]' width contract; 31-bit available for
+  * bounded scopes); the one exchange is the per-document window
+  * partitioning, and what crosses it is (id, p, hash) coordinates — never
+  * text. The tie-to-rightmost rule is integer arithmetic, not a sort: each
+  * gram packs as `h·2²⁴ + (2²⁴−1−p)` (as a long at 31 bits; as the
+  * equivalent lexicographic (h, 2²⁴−1−p) struct at 62, where the product
+  * would overflow), so the frame's plain MIN is "smallest hash, rightmost
+  * position" in one aggregate (positions past the 2²⁴ per-document gram
+  * ceiling fail loud in-scan — no silent wraparound).
   * Output: (idCol, pos, fp) — one row per distinct selection, where `pos`
   * is the selected gram's 0-based token offset.
   */
@@ -58,24 +61,26 @@ object Winnow {
     * flagged train documents only. */
   def flaggedOverlap(train: DataFrame, eval: DataFrame, idCol: String,
                      textCol: String, k: Int = 3, w: Int = 4,
-                     minShared: Int = 1): DataFrame =
+                     minShared: Int = 1, hashBits: Int = 62): DataFrame =
     flaggedOverlapWith(train,
-      evalFingerprintSet(eval, idCol, textCol, k, w), idCol, textCol,
-      k, w, minShared)
+      evalFingerprintSet(eval, idCol, textCol, k, w, hashBits), idCol,
+      textCol, k, w, minShared, hashBits)
 
   /** The eval side's DISTINCT fingerprint set — compute ONCE and reuse
     * across probes (the fold-once discipline of the streaming funnel:
     * the eval corpus is frozen, so its selections are too). */
   def evalFingerprintSet(eval: DataFrame, idCol: String, textCol: String,
-                         k: Int = 3, w: Int = 4): DataFrame =
-    fingerprints(eval, idCol, textCol, k, w).select("fp").distinct()
+                         k: Int = 3, w: Int = 4,
+                         hashBits: Int = 62): DataFrame =
+    fingerprints(eval, idCol, textCol, k, w, hashBits)
+      .select("fp").distinct()
 
   /** [[flaggedOverlap]] against a precomputed [[evalFingerprintSet]]. */
   def flaggedOverlapWith(train: DataFrame, evalFp: DataFrame, idCol: String,
                          textCol: String, k: Int = 3, w: Int = 4,
-                         minShared: Int = 1): DataFrame = {
+                         minShared: Int = 1, hashBits: Int = 62): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    fingerprints(train, idCol, textCol, k, w)
+    fingerprints(train, idCol, textCol, k, w, hashBits)
       .join(broadcast(evalFp), "fp")
       .groupBy(col(idCol))
       .agg(countDistinct(col("fp")).as("n_shared"))
@@ -99,12 +104,12 @@ object Winnow {
     * (train_id, eval_id, fp, t_pos, e_pos). */
   def overlapSpans(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, k: Int = 3, w: Int = 4,
-                   minShared: Int = 1): DataFrame = {
+                   minShared: Int = 1, hashBits: Int = 62): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val tFp = fingerprints(train, idCol, textCol, k, w)
+    val tFp = fingerprints(train, idCol, textCol, k, w, hashBits)
       .select(col(idCol).cast("long").as("train_id"),
         col("pos").as("t_pos"), col("fp"))
-    val eFp = broadcast(fingerprints(eval, idCol, textCol, k, w)
+    val eFp = broadcast(fingerprints(eval, idCol, textCol, k, w, hashBits)
       .select(col(idCol).cast("long").as("eval_id"),
         col("pos").as("e_pos"), col("fp")))
     // materialize the alignment once (minhashPairs' precedent): it feeds
@@ -133,46 +138,136 @@ object Winnow {
     * delta, t_start, t_end, n_fps). */
   def matchedSpans(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, k: Int = 3, w: Int = 4,
-                   minShared: Int = 1): DataFrame =
-    overlapSpans(train, eval, idCol, textCol, k, w, minShared)
+                   minShared: Int = 1, hashBits: Int = 62): DataFrame =
+    overlapSpans(train, eval, idCol, textCol, k, w, minShared, hashBits)
       .groupBy(col("train_id"), col("eval_id"),
         (col("t_pos") - col("e_pos")).as("delta"))
       .agg(min(col("t_pos")).as("t_start"),
         (max(col("t_pos")) + (k - 1)).as("t_end"),
         countDistinct(col("fp")).as("n_fps"))
 
+  /** DECONTAMINATION BY REWRITE at winnow cost — mask [[matchedSpans]]'
+    * matched token ranges out of each train document instead of dropping
+    * the document (the RefinedWeb-style policy of
+    * [[Decontaminate.scrubSpans]], bought at ~2/(w+1) of the shingle
+    * probe's join volume and with the winnow tier's ≥ w + k − 1-run
+    * detection floor instead of the exact-window guarantee — the same
+    * recall/cost trade as [[flaggedOverlap]] vs the exact probe, which
+    * is why it is an explicit regime, never the default).
+    *
+    * Rewrite contract (the [[Dedup.scrubWithDups]] discipline): a train
+    * document with NO matched span passes through BYTE-IDENTICAL
+    * (whitespace, newlines and all); a document with spans is rebuilt
+    * from its surviving tokens by the codegen'd
+    * [[graft.functions.ScrubTokens]] merge-walk — spans from different
+    * eval documents or offset deltas may OVERLAP, which the walk handles
+    * exactly (aligned struct-sorted intervals; coverage is the union).
+    *
+    * Scale: the span table is bounded by the eval overlap (it rides
+    * [[overlapSpans]]' gated alignment) and BROADCASTS back onto the
+    * corpus scan — corpus text still crosses no exchange. Output: every
+    * `train` column with `textCol` rewritten, plus `n_tokens` (original
+    * whitespace count), `removed_tokens`, and `n_spans` — the
+    * [[Decontaminate.scrubSpans]] audit contract, so the two scrub
+    * regimes swap freely in the funnel. */
+  def scrubMatchedSpans(train: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, k: Int = 3, w: Int = 4,
+                        minShared: Int = 1, hashBits: Int = 62): DataFrame = {
+    graft.functions.ScrubTokens.ensureRegistered(train.sparkSession)
+    graft.functions.TokenStats.ensureRegistered(train.sparkSession)
+    val spans = matchedSpans(train, eval, idCol, textCol, k, w, minShared,
+        hashBits)
+      .groupBy(col("train_id"))
+      .agg(sort_array(collect_list(struct(
+        col("t_start").cast("int").as("s"),
+        col("t_end").cast("int").as("e")))).as("_sp"))
+    val passthrough = train.columns.filter(_ != textCol).map(col).toSeq
+    val starts = transform(col("_sp"),
+      x => (x.getField("s") + 1).cast("int")) // 1-based inclusive
+    val ends = transform(col("_sp"), x => (x.getField("e") + 1).cast("int"))
+    val empty = array().cast("array<int>")
+    train
+      .join(broadcast(spans),
+        train(idCol).cast("long") === spans("train_id"), "left")
+      .withColumn("_n", graft.functions.TokenStats(col(textCol))
+        .getField("n_tokens").cast("int"))
+      .withColumn("_sc", graft.functions.ScrubTokens(col(textCol),
+        coalesce(starts, empty), coalesce(ends, empty)))
+      .select(passthrough
+        :+ when(col("_sp").isNull, col(textCol))
+          .otherwise(col("_sc").getField("text")).as(textCol)
+        :+ col("_n").cast("long").as("n_tokens")
+        :+ when(col("_sp").isNull, lit(0L))
+          .otherwise((col("_n") - col("_sc").getField("kept")).cast("long"))
+          .as("removed_tokens")
+        :+ coalesce(size(col("_sp")).cast("long"), lit(0L))
+          .as("n_spans"): _*)
+  }
+
+  /** Gram-hash width. The DEFAULT is the 62-bit
+    * [[graft.functions.WidePolyHash]] family (`hashBits = 62`) — the
+    * selected fingerprints feed GLOBAL-scope joins ([[flaggedOverlap]]'s
+    * probe, [[overlapSpans]]' alignment), where a 31-bit key saturates by
+    * birthday around ~50k distinct grams and produces false-aligned rows
+    * at corpus scale, exactly like the chunk keys of
+    * [[Dedup.spanDupStats]]. `hashBits = 31` remains available as the
+    * cheap single-long tier for bounded scopes. The 93-bit composite
+    * escalation does NOT apply here: `fp` is the single joinable output
+    * column the whole family's contract is built on, and 2⁻⁶² per pair
+    * holds to ~2³¹ distinct grams — far past any eval-overlap join. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, w: Int = 4): DataFrame = {
+                   k: Int = 3, w: Int = 4, hashBits: Int = 62): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
+    require(hashBits == 31 || hashBits == 62,
+      s"hashBits must be 31 or 62, got $hashBits")
     graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    graft.functions.WidePolyHash.ensureRegistered(docs.sparkSession)
+    val wide = hashBits == 62
+    val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (wide) wideStrHash else strHash
     val grams = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= k)
       .select(col("id"), posexplode(
         transform(sequence(lit(1), size(col("t")) - (k - 1)),
-          i => strHash(concat_ws(" ", slice(col("t"), i, lit(k))))))
+          i => hashFn(concat_ws(" ", slice(col("t"), i, lit(k))))))
         .as(Seq("p", "h")))
-    val packed = grams.withColumn("_pk",
-      when(col("p") > MaxGramsPerDoc, raise_error(concat(
-        lit(s"winnow: document "), col("id").cast("string"),
-        lit(s" exceeds $MaxGramsPerDoc grams — the pack arithmetic " +
-          "would collide; split the document upstream"))))
+    val guard = col("p") > MaxGramsPerDoc
+    val boom = raise_error(concat(
+      lit(s"winnow: document "), col("id").cast("string"),
+      lit(s" exceeds $MaxGramsPerDoc grams — the pack arithmetic " +
+        "would collide; split the document upstream")))
+    // the tie-to-rightmost key: "smallest hash, then rightmost position"
+    // as ONE plain MIN. 31-bit: the h·2²⁴ + (2²⁴−1−p) packed long
+    // (31+24 < 63 bits). 62-bit: the same product overflows a long, so
+    // the carrier widens to a (h, inv_p) STRUCT — struct MIN is
+    // lexicographic, which equals the packed ordering exactly because
+    // inv_p < 2²⁴ (the oracle replays the arithmetic form in HUGEINT).
+    val packed =
+      if (wide) grams.withColumn("_pk", when(guard, boom)
+        .otherwise(struct(col("h").as("h"),
+          (lit(MaxGramsPerDoc) - col("p")).as("ip"))))
+      else grams.withColumn("_pk", when(guard, boom)
         .otherwise(col("h") * (MaxGramsPerDoc + 1) +
           (lit(MaxGramsPerDoc) - col("p"))))
     val frame = Window.partitionBy("id").orderBy(col("p"))
       .rowsBetween(Window.currentRow, w - 1)
-    packed
+    val selected = packed
       .withColumn("_mk", min(col("_pk")).over(frame))
       .withColumn("_cnt", count(lit(1)).over(frame))
       // full windows only — except the whole-document window of a short
       // doc (fewer than w grams), which starts at p = 0 and spans all
       .filter(col("_cnt") === w || (col("p") === 0 && col("_cnt") < w))
       .select(col("id"), col("_mk")).distinct()
-      .select(col("id").as(idCol),
-        (lit(MaxGramsPerDoc) - col("_mk") % (MaxGramsPerDoc + 1))
-          .cast("long").as("pos"),
-        call_function("div", col("_mk"),
-          lit((MaxGramsPerDoc + 1).toLong)).as("fp"))
+    if (wide) selected.select(col("id").as(idCol),
+      (lit(MaxGramsPerDoc) - col("_mk").getField("ip")).cast("long")
+        .as("pos"),
+      col("_mk").getField("h").as("fp"))
+    else selected.select(col("id").as(idCol),
+      (lit(MaxGramsPerDoc) - col("_mk") % (MaxGramsPerDoc + 1))
+        .cast("long").as("pos"),
+      call_function("div", col("_mk"),
+        lit((MaxGramsPerDoc + 1).toLong)).as("fp"))
   }
 }

@@ -146,6 +146,7 @@ object Curation {
              decontamBloomFpp: Option[Double] = None,
              decontamScrubSpans: Option[Int] = None,
              decontamWinnowShared: Option[Int] = None,
+             decontamWinnowScrub: Option[Int] = None,
              temperatureBudget: Option[Long] = None,
              dsirTarget: Option[DataFrame] = None,
              dsirBudget: Long = 0L,
@@ -325,25 +326,42 @@ object Curation {
     //    floor; a RECALL/COST trade vs the exact-shingle regimes (a
     //    shared run shorter than the guarantee can be missed), which is
     //    why it is an explicit knob, never the default.
-    //    Precedence: scrub > winnow > bloom > broadcast.
+    //  - `decontamWinnowScrub = Some(m)`: REWRITE via the winnow probe
+    //    ([[graft.operators.Winnow.scrubMatchedSpans]]) — the masking
+    //    policy at the winnow tier's join volume: matched spans are
+    //    scrubbed out, the document survives unless fully consumed
+    //    (same kept-==-0 drop as the shingle scrub), untouched
+    //    documents pass byte-identical. Winnow's detection floor
+    //    applies to WHAT gets masked, so this is the cheapest rewrite
+    //    regime, not the most complete one.
+    //    Precedence: scrub > winnow-scrub > winnow-drop > bloom >
+    //    broadcast (rewrite beats drop at equal evidence; exact-window
+    //    evidence beats winnow evidence).
     val decontam = stage(decontamScrubSpans match {
       case Some(l) =>
         Decontaminate.scrubSpans(nearDup, evalDocs, idCol, textCol,
             minTokens = l)
           .filter(col("removed_tokens") < col("n_tokens"))
           .drop("n_tokens", "removed_tokens", "n_spans")
-      case None => decontamWinnowShared match {
-        case Some(m) => nearDup.join(
-          graft.operators.Winnow.flaggedOverlap(nearDup, evalDocs, idCol,
-            textCol, minShared = m).select(col(idCol)),
-          Seq(idCol), "left_anti")
-        case None => decontamBloomFpp match {
-          case Some(fpp) => nearDup.join(
-            Decontaminate.flaggedBloom(nearDup, evalDocs, idCol, textCol,
-              minShared = decontamMinShared, fpp = fpp),
+      case None => decontamWinnowScrub match {
+        case Some(m) =>
+          graft.operators.Winnow.scrubMatchedSpans(nearDup, evalDocs,
+              idCol, textCol, minShared = m)
+            .filter(col("removed_tokens") < col("n_tokens"))
+            .drop("n_tokens", "removed_tokens", "n_spans")
+        case None => decontamWinnowShared match {
+          case Some(m) => nearDup.join(
+            graft.operators.Winnow.flaggedOverlap(nearDup, evalDocs, idCol,
+              textCol, minShared = m).select(col(idCol)),
             Seq(idCol), "left_anti")
-          case None => Decontaminate.clean(nearDup, evalDocs, idCol,
-            textCol, minShared = decontamMinShared)
+          case None => decontamBloomFpp match {
+            case Some(fpp) => nearDup.join(
+              Decontaminate.flaggedBloom(nearDup, evalDocs, idCol, textCol,
+                minShared = decontamMinShared, fpp = fpp),
+              Seq(idCol), "left_anti")
+            case None => Decontaminate.clean(nearDup, evalDocs, idCol,
+              textCol, minShared = decontamMinShared)
+          }
         }
       }
     })

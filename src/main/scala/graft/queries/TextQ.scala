@@ -2535,17 +2535,22 @@ object TextQ {
     * no sort). The oracle replays the gram hash, the pack, the windowed
     * MIN with the full-window/short-doc rule, and the unpack — every
     * selected (pos, fp) hash-matched. */
-  /** q119/q120's shared winnowing CTE chain: token 3-grams, the
-    * h·2²⁴+(2²⁴−1−p) pack, the w = 4 windowed MIN with the
+  /** q119/q120's shared winnowing CTE chain: token 3-grams hashed with
+    * the 62-BIT wide family (the operator's default since round 12 — a
+    * 31-bit gram key false-aligns by birthday at corpus scale), the
+    * h·2²⁴+(2²⁴−1−p) pack carried in HUGEINT (62+24 bits overflow
+    * BIGINT; the Spark side carries the equivalent lexicographic
+    * (h, 2²⁴−1−p) struct), the w = 4 windowed MIN with the
     * full-window/short-doc rule — ends at `sel(doc_id, mk)`. */
   private val winnowSelCte: String =
     s"""toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
        |g AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS p,
-       |             ${sqlHash("array_to_string(w[t.i:t.i + 2], ' ')")} AS h
+       |             ${sqlWideHash("array_to_string(w[t.i:t.i + 2], ' ')")} AS h
        |      FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
        |      WHERE len(w) >= 3),
        |pk AS (SELECT doc_id, p,
-       |              h * 16777216 + (16777215 - p) AS pkv FROM g),
+       |              CAST(h AS HUGEINT) * 16777216 + (16777215 - p)
+       |                AS pkv FROM g),
        |wnd AS (SELECT doc_id, p,
        |          MIN(pkv) OVER (PARTITION BY doc_id ORDER BY p
        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
@@ -2768,10 +2773,78 @@ object TextQ {
       .orderBy("train_id", "eval_id", "delta")
   }
 
+  /** q128: DECONTAMINATION BY REWRITE at winnow cost
+    * ([[graft.operators.Winnow.scrubMatchedSpans]]) — q125's matched
+    * spans masked OUT of the train documents instead of dropping them
+    * (the RefinedWeb policy at the winnow tier's join volume). The
+    * oracle rebuilds the STRINGS (the q89/q115 discipline): per-token
+    * union coverage over the span table, surviving tokens reassembled
+    * in order; train documents with no span keep their text verbatim
+    * (BYTE-identical, whitespace included). */
+  val q128 = Q(
+    "q128_winnow_scrub",
+    s"""WITH $winnowSelCte,
+       |fps AS (SELECT doc_id,
+       |               CAST(16777215 - (mk % 16777216) AS BIGINT) AS pos,
+       |               CAST(mk // 16777216 AS BIGINT) AS fp FROM sel),
+       |ev AS (SELECT doc_id AS eval_id, pos AS e_pos, fp FROM fps
+       |       WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id AS train_id, pos AS t_pos, fp FROM fps
+       |       WHERE doc_id % 97 <> 0),
+       |al AS (SELECT train_id, eval_id, tr.fp AS fp, t_pos, e_pos
+       |       FROM tr JOIN ev ON tr.fp = ev.fp),
+       |pr AS (SELECT train_id, eval_id FROM al
+       |       GROUP BY train_id, eval_id
+       |       HAVING COUNT(DISTINCT fp) >= 2),
+       |sp AS (SELECT al.train_id, al.eval_id, t_pos - e_pos AS delta,
+       |              MIN(t_pos) AS t_start, MAX(t_pos) + 2 AS t_end
+       |       FROM al JOIN pr USING (train_id, eval_id)
+       |       GROUP BY al.train_id, al.eval_id, delta),
+       |nsp AS (SELECT train_id AS doc_id,
+       |               CAST(COUNT(*) AS BIGINT) AS n_spans
+       |        FROM sp GROUP BY train_id),
+       |ttok AS (SELECT doc_id, unnest($sqlToks) AS wd,
+       |                unnest(range(1, len($sqlToks) + 1)) AS p
+       |         FROM documents WHERE doc_id % 97 <> 0),
+       |cov AS (SELECT DISTINCT t.doc_id, t.p FROM ttok t
+       |        JOIN sp ON sp.train_id = t.doc_id
+       |               AND t.p - 1 BETWEEN sp.t_start AND sp.t_end),
+       |reb AS (SELECT t.doc_id,
+       |               array_to_string(list(t.wd ORDER BY t.p), ' ') AS ct,
+       |               CAST(COUNT(*) AS BIGINT) AS kept
+       |        FROM ttok t LEFT JOIN cov c
+       |          ON c.doc_id = t.doc_id AND c.p = t.p
+       |        WHERE c.p IS NULL GROUP BY t.doc_id),
+       |ntk AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+       |        FROM documents WHERE doc_id % 97 <> 0)
+       |SELECT d.doc_id,
+       |       CASE WHEN n.n_spans IS NULL THEN d.text
+       |            ELSE COALESCE(r.ct, '') END AS clean_text,
+       |       k.n_tokens,
+       |       CAST(CASE WHEN n.n_spans IS NULL THEN 0
+       |            ELSE k.n_tokens - COALESCE(r.kept, 0) END AS BIGINT)
+       |         AS removed_tokens,
+       |       CAST(COALESCE(n.n_spans, 0) AS BIGINT) AS n_spans
+       |FROM documents d
+       |JOIN ntk k ON k.doc_id = d.doc_id
+       |LEFT JOIN nsp n ON n.doc_id = d.doc_id
+       |LEFT JOIN reb r ON r.doc_id = d.doc_id
+       |WHERE d.doc_id % 97 <> 0
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Winnow.scrubMatchedSpans(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", k = 3, w = 4, minShared = 2)
+      .select(col("doc_id"), col("text").as("clean_text"),
+        col("n_tokens"), col("removed_tokens"), col("n_spans"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125)
+    q124, q125, q128)
 }

@@ -154,6 +154,121 @@ class WinnowSpec extends AnyFunSuite {
       s"density $density ($sels/$grams) outside the winnowing regime")
   }
 
+  // JVM twins of the 31-bit polynomial family (PolyHashSpec pins the
+  // column expressions to this arithmetic)
+  private def poly(mult: Int)(s: String): Long = {
+    var x = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      x = (x * mult + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    x
+  }
+
+  test("hash-width parity: the planted-copy detection verdicts agree " +
+    "between the 31-bit tier and the 62-bit default — flagged sets " +
+    "equal, both spans inside the planted run") {
+    val run = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val eval = Seq((100L, s"$run closing words here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"aa bb $run cc dd"),
+      (2L, "nothing shared at all in this one today")
+    ).toDF("doc_id", "text")
+    def flagged(bits: Int) = Winnow.flaggedOverlap(train, eval, "doc_id",
+      "text", minShared = 2, hashBits = bits)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged(31) == Set(1L) && flagged(62) == Set(1L))
+    def span(bits: Int) = Winnow.matchedSpans(train, eval, "doc_id",
+      "text", minShared = 2, hashBits = bits)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    Seq(31, 62).foreach { bits =>
+      val sp = span(bits)
+      assert(sp.length == 1, s"$bits-bit: ${sp.toSeq}")
+      val (delta, t0, t1) = sp.head
+      // selections differ between hash families (selection is
+      // hash-value-dependent), but both spans must sit inside the
+      // planted run at its delta — the guarantee is family-independent
+      assert(delta == 2L && t0 >= 2L && t1 <= 9L,
+        s"$bits-bit span [$t0,$t1]@$delta escapes the planted run")
+    }
+  }
+
+  test("the 62-bit default fixes a REAL 31-bit birthday collision: two " +
+    "different tokens with equal 31-bit polyhash false-share a " +
+    "fingerprint at 31 bits and do not at 62") {
+    // search the token family 'tN' for a genuine 31-bit collision pair
+    val h31 = poly(31) _
+    val seen = scala.collection.mutable.HashMap.empty[Long, String]
+    var pair: Option[(String, String)] = None
+    var i = 0
+    while (pair.isEmpty) { // birthday on 2^31: expected ~2^16 draws
+      val t = "t" + java.lang.Long.toString(i.toLong, 36)
+      val h = h31(t)
+      seen.get(h) match {
+        case Some(prev) if prev != t => pair = Some((prev, t))
+        case _ => seen(h) = t
+      }
+      i += 1
+    }
+    val (a, b) = pair.get
+    assert(h31(a) == h31(b) && a != b)
+    // precondition: the wide key separates them (h37 differs)
+    assert(poly(37)(a) != poly(37)(b), "pathological double collision")
+    val train = Seq((1L, a)).toDF("doc_id", "text")
+    val eval = Seq((100L, b)).toDF("doc_id", "text")
+    // k=1 (single-token grams), w=1 (every gram selected)
+    def shared(bits: Int) = Winnow.flaggedOverlap(train, eval, "doc_id",
+      "text", k = 1, w = 1, minShared = 1, hashBits = bits).count()
+    assert(shared(31) == 1L,
+      s"collision pair ($a,$b) must false-flag at 31 bits")
+    assert(shared(62) == 0L,
+      s"the wide key must separate the collision pair ($a,$b)")
+  }
+
+  test("scrubMatchedSpans: the planted copy is masked out, the " +
+    "bystander doc passes BYTE-identical (odd whitespace included), a " +
+    "fully-contaminated doc scrubs to empty, overlapping spans from " +
+    "two eval docs union correctly") {
+    val run = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val eval = Seq(
+      (100L, s"$run closing words here"),
+      (101L, "e5 e6 e7 e8 x1 x2 x3 x4") // overlaps 100's tail in doc 1
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"aa bb $run cc dd"),
+      (2L, "nothing  shared\tat all\nin this one today"), // odd whitespace
+      (3L, run) // the whole doc IS the run
+    ).toDF("doc_id", "text")
+    val out = Winnow.scrubMatchedSpans(train, eval, "doc_id", "text",
+      minShared = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3), r.getLong(4)))).toMap
+    // bystander: byte-identical, zero removals, zero spans
+    assert(out(2L) ==
+      (("nothing  shared\tat all\nin this one today", 0L, 0L)))
+    // doc 1: the run (and anything the overlapping eval 101 adds) is
+    // masked; the surrounding tokens survive in order
+    val (t1, rm1, sp1) = out(1L)
+    assert(sp1 >= 1L && rm1 >= 6L, s"doc 1 under-scrubbed: $rm1/$sp1")
+    assert(!t1.contains("e3") && !t1.contains("e6"), s"run survived: $t1")
+    assert(t1.startsWith("aa bb") && t1.endsWith("cc dd"),
+      s"bystander tokens lost: $t1")
+    // doc 3 (the whole doc IS the run): the evidence span is
+    // [min selected fp, max selected fp + k - 1] — boundary tokens
+    // OUTSIDE the selected fingerprints may survive (the winnow tier's
+    // detection-floor semantics; the exact-window scrub is the
+    // full-extent regime). The interior must go; survivors can only be
+    // run-boundary tokens.
+    val (t3, rm3, _) = out(3L)
+    val survivors3 = graft.functions.TextAnalysis.jvmTokens(t3)
+      .filter(_.nonEmpty).toSet
+    assert(rm3 >= 6L, s"full-copy doc under-scrubbed: removed=$rm3")
+    assert(survivors3.subsetOf(Set("e1", "e2", "e7", "e8")),
+      s"interior tokens survived the span: '$t3'")
+  }
+
   test("plan shape: the per-document window sees coordinates only — " +
     "text never crosses the exchange") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")

@@ -309,6 +309,41 @@ class CurationSpec extends AnyFunSuite {
       s"run not masked under scrub: $t1")
   }
 
+  test("winnow-SCRUB decontamination regime: the matched span is masked " +
+    "and the doc survives; bystander byte-identical; precedence sits " +
+    "between the exact-window scrub and the winnow drop") {
+    import spark.implicits._
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val custom = Seq(
+      (1L, s"prefix tokens here $run and a suffix", "s0"),
+      (2L, "completely unrelated document content nine ten eleven twelve", "s0")
+    ).toDF("doc_id", "text", "source")
+    val eval = Seq((100L, s"$run extra tail")).toDF("doc_id", "text")
+    val (out, r) = Curation.curate(custom, eval,
+      decontamWinnowScrub = Some(1),
+      repetitionTopBigramMilli = 600, nearDupThresholdMilli = 990)
+    assert(r.nAfterDecontam == 2,
+      s"winnow scrub must keep the rewritten doc (${r.nAfterDecontam})")
+    val t = out.select("doc_id", "text").collect()
+      .map(rr => rr.getLong(0) -> rr.getString(1)).toMap
+    assert(!t(1L).contains("w3") && t(1L).startsWith("prefix"),
+      s"run interior not masked: ${t(1L)}")
+    assert(t(2L) ==
+      "completely unrelated document content nine ten eleven twelve")
+    // precedence: winnow-scrub beats winnow-drop when both are set
+    val (_, r2) = Curation.curate(custom, eval,
+      decontamWinnowScrub = Some(1), decontamWinnowShared = Some(1),
+      repetitionTopBigramMilli = 600, nearDupThresholdMilli = 990)
+    assert(r2.nAfterDecontam == 2, "winnow-scrub must win over the drop")
+    // ...and the exact-window scrub beats winnow-scrub
+    val (outS, _) = Curation.curate(custom, eval,
+      decontamWinnowScrub = Some(1), decontamScrubSpans = Some(6),
+      repetitionTopBigramMilli = 600, nearDupThresholdMilli = 990)
+    val t1 = outS.filter(col("doc_id") === 1L).select("text")
+      .head().getString(0)
+    assert(!t1.contains("w1"), s"exact scrub must mask the full run: $t1")
+  }
+
   test("URL gate: blocklist hits and link-farm densities drop FIRST; " +
     "gate off by default; bystanders with clean links survive") {
     import spark.implicits._
