@@ -229,7 +229,47 @@ object Bench {
       case e: Throwable =>
         (s"""{"error":"${e.getClass.getSimpleName}"}""", "{}")
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
+    // Image near-dup tier audit: planted triples (png / jpeg / rescale)
+    // through the real banded plan — recall AND false-positive axes
+    // beside the wall (see ImageAudit). Diagnostic sidecar.
+    val multimodal = try {
+      val out = graft.multimodal.ImageAudit.run(spark)
+      spark.catalog.clearCache()
+      out
+    } catch {
+      case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
+    // End-to-end Curation funnel wall with EVERY optional stage on (the
+    // round-11 receipt promoted to a tracked sidecar): URL gate,
+    // classifier gate, PII redaction, boilerplate scrub (span + line),
+    // near-dup, decontamination, domain cap, DSIR sampling, packing —
+    // so cross-round regressions in STAGE COMPOSITION surface
+    // automatically, not just per-operator ones. Diagnostic sidecar.
+    val funnel = try {
+      val docs = Tables.documents(spark, sfDir).localCheckpoint(true)
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      val weights = graft.operators.Classify.perceptronWeights(
+        docs, "doc_id", "text", positive = col("lang") === "en",
+        buckets = 128, ngram = 1, epochs = 2, maxPerClass = 64)
+      val t0 = System.nanoTime()
+      val (out, r) = graft.pipeline.Curation.curate(docs, eval,
+        urlBlocklist = Seq("blocked.example"),
+        maxLinkDensityMilli = Some(900),
+        classifierWeights = Some(weights),
+        classifierMinPerFeatPpm = -1000000L,
+        piiRedact = true,
+        boilerplateSpan = Some(8), boilerplateLineReps = Some(3),
+        domainCap = Some(50),
+        dsirTarget = Some(eval), dsirBudget = 200000L,
+        packBudget = 512)
+      runFully(out)
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      f"""{"docs":${r.nInput},"wall_sec":$wall%.3f,"n_url_gate":${r.nAfterUrlGate},"n_quality":${r.nAfterQuality},"n_classifier":${r.nAfterClassifier},"n_exact":${r.nAfterExact},"n_boilerplate":${r.nAfterBoilerplate},"n_near_dup":${r.nAfterNearDup},"n_decontam":${r.nAfterDecontam},"n_domain_cap":${r.nAfterDomainCap},"n_mixed":${r.nAfterMix},"n_packs":${r.nPacks}}"""
+    } catch {
+      case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"multimodal":$multimodal,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
     println(line)
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")

@@ -172,6 +172,32 @@ object AnnRecall {
       excludeSelf = true)
       .groupBy("qid", "cell").agg(first("visits").as("v"))
       .agg(sum("v")).head().getLong(0)
+    // the PRODUCTION operating point of the sharded tier: the audit's
+    // default cells are deliberately SMALL (centroidEvery-stride, so the
+    // nprobe axes compare against IVF) — a deployment sizes cells by
+    // shard capacity (4 × n/4-row cells here). On THIS corpus the
+    // synthetic embeddings carry no cluster structure, so probe-pruning
+    // recall saturates near nprobe/cells regardless of the beam (the
+    // knob sweep reads 0.65 @ np2, 0.87 @ np3, 1.00 @ np4 over 64
+    // queries); the honest high-recall point is therefore the
+    // SATURATING probe — every cell walked, recall = the per-cell beam's
+    // (~monolithic-graph quality), capacity still unbounded past the
+    // driver ceiling. Deployments with genuinely clustered embeddings
+    // operate at np << cells; GraphShardsSpec pins that pruning is real
+    // (behavioral partition-pruning proof), this row publishes the
+    // recall a deployment gets when it refuses to trade recall at all.
+    val shardProdDir = scratchDir("graft-ann-shards-prod")
+    val prodEvery = math.max(1, nAll / 4)
+    GraphShards.buildShardedIndex(corpus, idCol, vecCol,
+      Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
+        prodEvery), shardProdDir)
+    def shardedProd(kk: Int) = GraphShards.shardedTopKBatch(
+      queries, idCol, vecCol, shardProdDir, kk, nprobe = 4, ef = 64)
+    lazy val shardedProdCost: Long = GraphShards.shardedCandidates(
+      queries, idCol, vecCol, shardProdDir, nprobe = 4, ef = 64,
+      excludeSelf = true)
+      .groupBy("qid", "cell").agg(first("visits").as("v"))
+      .agg(sum("v")).head().getLong(0)
     // the STREAMED-GROWN twin of the sharded tier: SAME quantizer and
     // serving knobs, but the index bootstraps on the id-ordered first
     // half of the corpus and absorbs the rest through the streaming
@@ -306,6 +332,7 @@ object AnnRecall {
       measure("graph_ef64", GraphAnn.graphTopKBatch(
         queries, idCol, vecCol, graph, k, ef = 64), graphCost),
       measure("graph_sharded", sharded(k), shardedCost),
+      measure("graph_sharded_prod", shardedProd(k), shardedProdCost),
       measure("graph_stream_sharded", streamSharded(k), streamShardedCost),
       measure("graph_sharded_lc", shardedLc(k), shardedLcCost),
       measure("graph_stream_sharded_lc", streamShardedLc(k),
