@@ -155,6 +155,7 @@ object Curation {
              mixBudgetTokens: Long = 0L,
              mixMaxEpochs: Long = 1L,
              packBudget: Long = 2048,
+             bpeMerges: Option[Seq[graft.operators.Bpe.Merge]] = None,
              audit: Boolean = true): (DataFrame, Report) = {
     val outClash = docs.columns.filter(Seq("n_tokens", "pack_id").contains)
     require(outClash.isEmpty,
@@ -422,9 +423,21 @@ object Curation {
       }
     }
 
-    // 6. packing: token budget per source shard
-    val weighted = mixed.withColumn(tokCol,
-      graft.functions.TokenStats(col(textCol)).getField("n_tokens").cast("long"))
+    // 6. packing: token budget per source shard. With `bpeMerges` the
+    // budget is denominated in EXACT BPE piece counts under the trained
+    // merge table (q127's denomination — the unit a training run
+    // actually consumes per sequence) instead of whitespace tokens:
+    // counts compute in-scan with the broadcast rank map
+    // ([[graft.operators.Bpe.pieceCounts]]) and join back by id — an
+    // ids-only exchange over the post-funnel survivors, never text.
+    val weighted = bpeMerges match {
+      case Some(ms) =>
+        mixed.join(graft.operators.Bpe.pieceCounts(mixed, idCol, textCol, ms)
+          .select(col(idCol), col("n_pieces").as(tokCol)), Seq(idCol))
+      case None => mixed.withColumn(tokCol,
+        graft.functions.TokenStats(col(textCol)).getField("n_tokens")
+          .cast("long"))
+    }
     val packed = Packing.packByBudget(weighted, idCol, tokCol,
       Seq(sourceCol), packBudget)
       .withColumnRenamed(tokCol, "n_tokens")

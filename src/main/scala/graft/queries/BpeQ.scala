@@ -249,5 +249,36 @@ object BpeQ {
        |SELECT doc_id, n_words, n_pieces
        |FROM cnt ORDER BY doc_id""".stripMargin
 
-  val all: Seq[Q] = Seq(q126, q127)
+  /** q129: EXACT BPE-token quantiles — q118's distribution-compression
+    * rank arithmetic over the trained tokenizer's piece counts instead
+    * of whitespace counts: the corpus length telemetry in the unit the
+    * context window is actually budgeted in. Histogram bounded by
+    * distinct piece counts; type-1 lower quantile in multiplication
+    * form, integer-exact on both engines. */
+  val q129 = Q(
+    "q129_bpe_token_quantiles",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |$cntCte,
+       |h AS (SELECT n_pieces AS v, CAST(COUNT(*) AS BIGINT) AS c
+       |      FROM cnt GROUP BY 1),
+       |cum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          AS BIGINT) AS cc FROM h),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+       |p AS (SELECT * FROM (VALUES (10),(25),(50),(75),(90),(99))
+       |      AS p(pct))
+       |SELECT pct, CAST(MIN(v) AS BIGINT) AS value
+       |FROM p, cum, n WHERE cc * 100 >= pct * n
+       |GROUP BY pct ORDER BY pct""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    graft.operators.Sketches.exactQuantiles(
+      Bpe.pieceCounts(docs, "doc_id", "text", merges)
+        .select(col("n_pieces")),
+      "n_pieces", Seq(10, 25, 50, 75, 90, 99))
+      .orderBy("pct")
+  }
+
+  val all: Seq[Q] = Seq(q126, q127, q129)
 }

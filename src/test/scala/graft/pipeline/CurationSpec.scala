@@ -344,6 +344,34 @@ class CurationSpec extends AnyFunSuite {
     assert(!t1.contains("w1"), s"exact scrub must mask the full run: $t1")
   }
 
+  test("BPE-denominated packing: with bpeMerges the funnel's n_tokens " +
+    "and pack budget count exact BPE pieces (the trainer's unit), not " +
+    "whitespace tokens") {
+    import spark.implicits._
+    val custom = Seq(
+      (1L, "aa bb cc dd", "s0"),
+      (2L, "ee ff gg", "s0"),
+      (3L, "aa cc ee gg bb ff", "s0")
+    ).toDF("doc_id", "text", "source")
+    val noEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(custom, "text", numMerges = 8)
+    val want = graft.operators.Bpe.pieceCounts(custom, "doc_id", "text",
+      merges).select("doc_id", "n_pieces").as[(Long, Long)].collect().toMap
+    val (out, _) = Curation.curate(custom, noEval,
+      repetitionTopBigramMilli = 1001, repetitionDupTrigramMilli = 1001,
+      nearDupThresholdMilli = 999,
+      bpeMerges = Some(merges), packBudget = 4)
+    val got = out.select("doc_id", "n_tokens").as[(Long, Long)]
+      .collect().toMap
+    assert(got == want, s"funnel n_tokens not BPE-denominated: $got vs $want")
+    // pack assignment follows the BPE cumulative sum at budget 4
+    val packs = out.select("doc_id", "pack_id").as[(Long, Long)]
+      .collect().toMap
+    val order = out.select("doc_id").collect().map(_.getLong(0))
+    assert(packs.values.toSet.size >= 2,
+      s"BPE budget 4 must split ${want.values.sum} pieces into packs: $packs")
+  }
+
   test("URL gate: blocklist hits and link-farm densities drop FIRST; " +
     "gate off by default; bystanders with clean links survive") {
     import spark.implicits._
