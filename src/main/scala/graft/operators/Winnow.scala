@@ -102,16 +102,35 @@ object Winnow {
     * pair gate aggregates before the position join back, and the eval
     * side is bounded by the decontamination-family contract. Output:
     * (train_id, eval_id, fp, t_pos, e_pos). */
+  /** The eval side's POSITIONED fingerprint table
+    * ((eval_id, e_pos, fp)) — fold ONCE per stream/run and reuse across
+    * [[overlapSpansWith]] / [[scrubMatchedSpansWith]] probes, exactly
+    * like [[evalFingerprintSet]] for the flag-only probe. */
+  def evalPosFingerprints(eval: DataFrame, idCol: String, textCol: String,
+                          k: Int = 3, w: Int = 4,
+                          hashBits: Int = 62): DataFrame =
+    fingerprints(eval, idCol, textCol, k, w, hashBits)
+      .select(col(idCol).cast("long").as("eval_id"),
+        col("pos").as("e_pos"), col("fp"))
+
   def overlapSpans(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, k: Int = 3, w: Int = 4,
-                   minShared: Int = 1, hashBits: Int = 62): DataFrame = {
+                   minShared: Int = 1, hashBits: Int = 62): DataFrame =
+    overlapSpansWith(train,
+      evalPosFingerprints(eval, idCol, textCol, k, w, hashBits),
+      idCol, textCol, k, w, minShared, hashBits)
+
+  /** [[overlapSpans]] against a precomputed [[evalPosFingerprints]]
+    * table (the streaming funnel folds it once per stream). */
+  def overlapSpansWith(train: DataFrame, evalPosFp: DataFrame,
+                       idCol: String, textCol: String, k: Int = 3,
+                       w: Int = 4, minShared: Int = 1,
+                       hashBits: Int = 62): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val tFp = fingerprints(train, idCol, textCol, k, w, hashBits)
       .select(col(idCol).cast("long").as("train_id"),
         col("pos").as("t_pos"), col("fp"))
-    val eFp = broadcast(fingerprints(eval, idCol, textCol, k, w, hashBits)
-      .select(col(idCol).cast("long").as("eval_id"),
-        col("pos").as("e_pos"), col("fp")))
+    val eFp = broadcast(evalPosFp)
     // materialize the alignment once (minhashPairs' precedent): it feeds
     // BOTH the pair gate and the position join, and recomputing it would
     // run the corpus-side selection window twice; the set is bounded by
@@ -139,7 +158,17 @@ object Winnow {
   def matchedSpans(train: DataFrame, eval: DataFrame, idCol: String,
                    textCol: String, k: Int = 3, w: Int = 4,
                    minShared: Int = 1, hashBits: Int = 62): DataFrame =
-    overlapSpans(train, eval, idCol, textCol, k, w, minShared, hashBits)
+    matchedSpansWith(train,
+      evalPosFingerprints(eval, idCol, textCol, k, w, hashBits),
+      idCol, textCol, k, w, minShared, hashBits)
+
+  /** [[matchedSpans]] against a precomputed [[evalPosFingerprints]]. */
+  def matchedSpansWith(train: DataFrame, evalPosFp: DataFrame,
+                       idCol: String, textCol: String, k: Int = 3,
+                       w: Int = 4, minShared: Int = 1,
+                       hashBits: Int = 62): DataFrame =
+    overlapSpansWith(train, evalPosFp, idCol, textCol, k, w, minShared,
+        hashBits)
       .groupBy(col("train_id"), col("eval_id"),
         (col("t_pos") - col("e_pos")).as("delta"))
       .agg(min(col("t_pos")).as("t_start"),
@@ -172,11 +201,23 @@ object Winnow {
     * regimes swap freely in the funnel. */
   def scrubMatchedSpans(train: DataFrame, eval: DataFrame, idCol: String,
                         textCol: String, k: Int = 3, w: Int = 4,
-                        minShared: Int = 1, hashBits: Int = 62): DataFrame = {
+                        minShared: Int = 1, hashBits: Int = 62): DataFrame =
+    scrubMatchedSpansWith(train,
+      evalPosFingerprints(eval, idCol, textCol, k, w, hashBits),
+      idCol, textCol, k, w, minShared, hashBits)
+
+  /** [[scrubMatchedSpans]] against a precomputed
+    * [[evalPosFingerprints]] — the streaming funnel's form (fold the
+    * eval side once, scrub every micro-batch against it; stateless per
+    * batch, so replay rewrites identically). */
+  def scrubMatchedSpansWith(train: DataFrame, evalPosFp: DataFrame,
+                            idCol: String, textCol: String, k: Int = 3,
+                            w: Int = 4, minShared: Int = 1,
+                            hashBits: Int = 62): DataFrame = {
     graft.functions.ScrubTokens.ensureRegistered(train.sparkSession)
     graft.functions.TokenStats.ensureRegistered(train.sparkSession)
-    val spans = matchedSpans(train, eval, idCol, textCol, k, w, minShared,
-        hashBits)
+    val spans = matchedSpansWith(train, evalPosFp, idCol, textCol, k, w,
+        minShared, hashBits)
       .groupBy(col("train_id"))
       .agg(sort_array(collect_list(struct(
         col("t_start").cast("int").as("s"),

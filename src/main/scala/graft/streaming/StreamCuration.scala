@@ -144,6 +144,7 @@ object StreamCuration {
               repetitionDupTrigramMilli: Int = 20,
               decontamMinShared: Int = 2,
               decontamWinnowShared: Option[Int] = None,
+              decontamWinnowScrub: Option[Int] = None,
               mixRatesMilli: Map[String, Int] = Map.empty,
               mixDefaultMilli: Int = 1000,
               sourceCol: String = "source",
@@ -193,25 +194,42 @@ object StreamCuration {
         h.init()
         Some(h)
       } else None
-    // decontamination probe: the exact-shingle cleaner (default) or —
-    // `decontamWinnowShared` — the winnow probe, its eval fingerprint
-    // set folded ONCE per stream exactly like the cleaner's shingle set
-    // (the trade is the batch funnel's: ~2/(w+1) join volume, ≥ w+k−1
-    // detection floor, sub-guarantee runs can be missed)
-    val winnowEvalFp = decontamWinnowShared.map { _ =>
+    // decontamination probe: the exact-shingle cleaner (default),
+    // `decontamWinnowShared` — the winnow DROP probe, or
+    // `decontamWinnowScrub` — the winnow REWRITE (matched spans masked,
+    // documents survive unless fully consumed; stateless per batch, so
+    // replay rewrites identically). Eval-side artifacts fold ONCE per
+    // stream exactly like the cleaner's shingle set (the trade is the
+    // batch funnel's: ~2/(w+1) join volume, ≥ w+k−1 detection floor,
+    // sub-guarantee runs can be missed). Precedence mirrors the batch
+    // funnel: winnow-scrub > winnow-drop > exact cleaner.
+    val winnowEvalFp =
+      if (decontamWinnowScrub.isEmpty) decontamWinnowShared.map { _ =>
+        graft.operators.Winnow
+          .evalFingerprintSet(evalDocs, idCol, textCol)
+          .localCheckpoint(true)
+      } else None
+    val winnowEvalPosFp = decontamWinnowScrub.map { _ =>
       graft.operators.Winnow
-        .evalFingerprintSet(evalDocs, idCol, textCol)
+        .evalPosFingerprints(evalDocs, idCol, textCol)
         .localCheckpoint(true)
     }
-    val decontam: DataFrame => DataFrame = (winnowEvalFp,
-        decontamWinnowShared) match {
-      case (Some(fp), Some(m)) => batch =>
-        batch.join(graft.operators.Winnow.flaggedOverlapWith(
-          batch, fp, idCol, textCol, minShared = m).select(col(idCol)),
-          Seq(idCol), "left_anti")
-      case _ => StreamDecontam.cleaner(evalDocs, idCol, textCol,
-        decontamMinShared)
-    }
+    val decontam: DataFrame => DataFrame =
+      (winnowEvalPosFp, decontamWinnowScrub) match {
+        case (Some(pfp), Some(m)) => batch =>
+          graft.operators.Winnow.scrubMatchedSpansWith(
+              batch, pfp, idCol, textCol, minShared = m)
+            .filter(col("removed_tokens") < col("n_tokens"))
+            .drop("n_tokens", "removed_tokens", "n_spans")
+        case _ => (winnowEvalFp, decontamWinnowShared) match {
+          case (Some(fp), Some(m)) => batch =>
+            batch.join(graft.operators.Winnow.flaggedOverlapWith(
+              batch, fp, idCol, textCol, minShared = m).select(col(idCol)),
+              Seq(idCol), "left_anti")
+          case _ => StreamDecontam.cleaner(evalDocs, idCol, textCol,
+            decontamMinShared)
+        }
+      }
     val capClaims = domainCap.map { _ =>
       val s = new Snapshots(spark, s"$stateDir/domaincap", capSchema)
       s.init()

@@ -15,12 +15,13 @@ class AnnRecallSpec extends AnyFunSuite {
   private def emb = Tables.embeddings(spark, dir)
   private val qids = Seq(100L, 200L, 300L, 400L)
 
-  test("audit shape: fourteen paths, full truth sets, recall in [0,1], " +
+  test("audit shape: fifteen paths, full truth sets, recall in [0,1], " +
     "scan costs measured and controlled") {
     val rec = AnnRecall.audit(emb, "vec_id", "embedding", qids, k = 10)
     assert(rec.map(_.path) ==
       Seq("lsh", "lsh_mp1", "lsh_mp2", "ivf", "two_level", "graph_ef64",
-        "graph_sharded", "graph_stream_sharded", "graph_sharded_lc",
+        "graph_sharded", "graph_sharded_prod", "graph_stream_sharded",
+        "graph_sharded_lc",
         "graph_stream_sharded_lc", "graph_stream_split", "ivf_lc",
         "pq_adc", "pq_adc_rerank"))
     val cost = rec.map(r => r.path -> r.candPerQuery).toMap

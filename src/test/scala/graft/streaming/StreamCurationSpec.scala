@@ -183,6 +183,38 @@ class StreamCurationSpec extends AnyFunSuite {
       "replay diverged under the winnow probe")
   }
 
+  test("winnow-SCRUB decontamination probe: the fold-once positioned " +
+    "fingerprint set masks matched spans per batch, bystanders " +
+    "byte-identical, replay reproduces; precedence over winnow-drop") {
+    val stateDir = Files.createTempDirectory("graft-scur-wscrub").toString
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val eval = Seq((100L, s"$run extra tail")).toDF("doc_id", "text")
+    val curate = StreamCuration.curator(spark, eval, stateDir,
+      decontamWinnowScrub = Some(1), repetitionTopBigramMilli = 1001)
+    val b1 = Seq((1L, s"alpha beta $run gamma", "s0"),
+                 (2L, "clean\tone  two three", "s0")) // odd whitespace
+      .toDF("doc_id", "text", "source")
+    val out1 = curate(b1, 0L).select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(out1.keySet == Set(1L, 2L),
+      s"scrub must keep the rewritten carrier: ${out1.keySet}")
+    assert(!out1(1L).contains("w3") && out1(1L).startsWith("alpha beta"),
+      s"run interior not masked: ${out1(1L)}")
+    assert(out1(2L) == "clean\tone  two three",
+      s"bystander not byte-identical: '${out1(2L)}'")
+    // replay: stateless rewrite, identical output
+    val replay = curate(b1, 0L).select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(replay == out1, "replay diverged under the winnow scrub")
+    // precedence: scrub wins when the drop knob is also set
+    val stateDir2 = Files.createTempDirectory("graft-scur-wprec").toString
+    val curate2 = StreamCuration.curator(spark, eval, stateDir2,
+      decontamWinnowScrub = Some(1), decontamWinnowShared = Some(1),
+      repetitionTopBigramMilli = 1001)
+    val both = curate2(b1, 0L).select("doc_id").as[Long].collect().toSet
+    assert(both == Set(1L, 2L), s"scrub must win over the drop: $both")
+  }
+
   test("funnel composed with the VERIFIED embed tier: drops only certified " +
     "embedding near-dups, passes NULL vectors, replays stable") {
     val stateDir = Files.createTempDirectory("graft-scur3").toString
