@@ -295,6 +295,36 @@ object Bpe {
       }(Encoders.row(outSchema))
   }
 
+  /** Persist a trained tokenizer (ordered merges + the stable-id
+    * vocabulary) as two parquet tables under `dir` — the FROZEN artifact
+    * a deployment ships to every encode job (and to the trainer's
+    * embedding-table build): `merges` (rank, left, right) and `vocab`
+    * (vid, piece). Ids are positions in [[vocabOf]]'s sequence, so the
+    * roundtrip preserves first-wins collision semantics exactly. */
+  def saveTokenizer(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    merges: Seq[Merge], vocab: Seq[String]): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/merges")
+    vocab.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("vid", "piece")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  /** Load a [[saveTokenizer]] artifact: (merges in rank order, vocab in
+    * id order). Both tables are tokenizer-sized driver artifacts by
+    * construction. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): (Seq[Merge], IndexedSeq[String]) = {
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = spark.read.parquet(s"$dir/vocab")
+      .orderBy("vid").collect().map(_.getString(1)).toIndexedSeq
+    (merges, vocab)
+  }
+
   /** Per-document piece counts under a trained merge table, computed
     * entirely in executors: the merge-rank map (O(numMerges)) broadcasts,
     * each scan task tokenizes with [[TextAnalysis.jvmTokens]] (the exact

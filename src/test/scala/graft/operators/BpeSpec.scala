@@ -202,6 +202,23 @@ class BpeSpec extends AnyFunSuite {
     assert(unk == 0L, s"$unk unknown ids on the vocab's own corpus")
   }
 
+  test("tokenizer persistence: save/load roundtrips merges in rank " +
+    "order and vocab in id order; an encode under the LOADED artifact " +
+    "is bitwise the trained one's") {
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Bpe.saveTokenizer(spark, dir, merges, vocab)
+    val (m2, v2) = Bpe.loadTokenizer(spark, dir)
+    assert(m2 == merges, "merge order must survive the roundtrip")
+    assert(v2 == vocab, "vocab ids must survive the roundtrip")
+    val a = Bpe.encode(docs, "doc_id", "text", merges, vocab)
+      .select("doc_id", "token_ids").as[(Long, Seq[Long])].collect().toMap
+    val b = Bpe.encode(docs, "doc_id", "text", m2, v2)
+      .select("doc_id", "token_ids").as[(Long, Seq[Long])].collect().toMap
+    assert(a == b, "loaded tokenizer must encode bitwise-identically")
+  }
+
   test("pieceCounts: corpus-scale counts agree with per-word segmentation") {
     val merges = Bpe.train(docs, "text", numMerges = 30)
     val out = Bpe.pieceCounts(docs, "doc_id", "text", merges)
