@@ -256,6 +256,51 @@ object Winnow {
     * escalation does NOT apply here: `fp` is the single joinable output
     * column the whole family's contract is built on, and 2⁻⁶² per pair
     * holds to ~2³¹ distinct grams — far past any eval-overlap join. */
+  /** EVAL-SIDE contamination report — the governance number an eval-set
+    * owner reads: per eval document, how many train documents carry a
+    * matched span of it and what fraction of its tokens those spans
+    * cover. Spans come from [[matchedSpans]] translated into EVAL
+    * coordinates (`[t_start − delta, t_end − delta]`); coverage is the
+    * UNION over all matching train documents, counted exactly by
+    * joining the eval corpus's token positions against the span table
+    * (both bounded: eval corpora are bounded by the decontamination
+    * family's contract, spans by the eval overlap). Coverage is
+    * integer per-mille — the family's division-free cross-engine form.
+    * Output: (eval_id, n_train_docs, n_spans, covered_tokens,
+    * n_tokens, covered_milli), one row per eval document with at least
+    * one matched span. */
+  def evalContamination(train: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String, k: Int = 3, w: Int = 4,
+                        minShared: Int = 1, hashBits: Int = 62): DataFrame = {
+    val spans = matchedSpans(train, eval, idCol, textCol, k, w, minShared,
+        hashBits)
+      .select(col("train_id"), col("eval_id"),
+        (col("t_start") - col("delta")).as("e_start"),
+        (col("t_end") - col("delta")).as("e_end"))
+      .localCheckpoint(true) // feeds the doc rollup AND the coverage join
+    val perDoc = spans.groupBy("eval_id")
+      .agg(countDistinct(col("train_id")).as("n_train_docs"),
+        count(lit(1)).as("n_spans"))
+    val evalToks = eval
+      .select(col(idCol).cast("long").as("eval_id"),
+        posexplode(tokens(col(textCol))).as(Seq("p", "_w")))
+      .select(col("eval_id"), col("p"))
+    val covered = evalToks.join(broadcast(spans), Seq("eval_id"))
+      .filter(col("p") >= col("e_start") && col("p") <= col("e_end"))
+      .select(col("eval_id"), col("p")).distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("covered_tokens"))
+    graft.functions.TokenStats.ensureRegistered(eval.sparkSession)
+    val evalN = eval.select(col(idCol).cast("long").as("eval_id"),
+      graft.functions.TokenStats(col(textCol)).getField("n_tokens")
+        .cast("long").as("n_tokens"))
+    perDoc.join(covered, Seq("eval_id"))
+      .join(evalN, Seq("eval_id"))
+      .select(col("eval_id"), col("n_train_docs"), col("n_spans"),
+        col("covered_tokens"), col("n_tokens"),
+        call_function("div", col("covered_tokens") * 1000L,
+          col("n_tokens")).as("covered_milli"))
+  }
+
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, w: Int = 4, hashBits: Int = 62): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

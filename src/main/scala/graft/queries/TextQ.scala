@@ -2841,10 +2841,68 @@ object TextQ {
       .orderBy("doc_id")
   }
 
+  /** q130: EVAL-SIDE contamination governance
+    * ([[graft.operators.Winnow.evalContamination]]) — q125's matched
+    * spans rolled up per EVAL document: how many train documents carry
+    * a copy, and what fraction of the eval document's tokens the span
+    * UNION covers (exact token-position coverage, integer per-mille).
+    * The report an eval-set owner reads before trusting a benchmark
+    * number. */
+  val q130 = Q(
+    "q130_eval_contamination",
+    s"""WITH $winnowSelCte,
+       |fps AS (SELECT doc_id,
+       |               CAST(16777215 - (mk % 16777216) AS BIGINT) AS pos,
+       |               CAST(mk // 16777216 AS BIGINT) AS fp FROM sel),
+       |ev AS (SELECT doc_id AS eval_id, pos AS e_pos, fp FROM fps
+       |       WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id AS train_id, pos AS t_pos, fp FROM fps
+       |       WHERE doc_id % 97 <> 0),
+       |al AS (SELECT train_id, eval_id, tr.fp AS fp, t_pos, e_pos
+       |       FROM tr JOIN ev ON tr.fp = ev.fp),
+       |pr AS (SELECT train_id, eval_id FROM al
+       |       GROUP BY train_id, eval_id
+       |       HAVING COUNT(DISTINCT fp) >= 2),
+       |sp AS (SELECT al.train_id, al.eval_id, t_pos - e_pos AS delta,
+       |              MIN(t_pos) AS t_start, MAX(t_pos) + 2 AS t_end
+       |       FROM al JOIN pr USING (train_id, eval_id)
+       |       GROUP BY al.train_id, al.eval_id, delta),
+       |spe AS (SELECT train_id, eval_id, t_start - delta AS e_start,
+       |               t_end - delta AS e_end FROM sp),
+       |pd AS (SELECT eval_id,
+       |              CAST(COUNT(DISTINCT train_id) AS BIGINT)
+       |                AS n_train_docs,
+       |              CAST(COUNT(*) AS BIGINT) AS n_spans
+       |       FROM spe GROUP BY eval_id),
+       |etok AS (SELECT doc_id AS eval_id,
+       |                unnest(range(0, len($sqlToks))) AS p
+       |         FROM documents WHERE doc_id % 97 = 0),
+       |cov AS (SELECT DISTINCT t.eval_id, t.p FROM etok t
+       |        JOIN spe s ON s.eval_id = t.eval_id
+       |               AND t.p BETWEEN s.e_start AND s.e_end),
+       |cv AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS covered_tokens
+       |       FROM cov GROUP BY eval_id),
+       |en AS (SELECT doc_id AS eval_id, CAST(len($sqlToks) AS BIGINT)
+       |         AS n_tokens
+       |       FROM documents WHERE doc_id % 97 = 0)
+       |SELECT pd.eval_id, pd.n_train_docs, pd.n_spans, cv.covered_tokens,
+       |       en.n_tokens,
+       |       CAST(cv.covered_tokens * 1000 // en.n_tokens AS BIGINT)
+       |         AS covered_milli
+       |FROM pd JOIN cv USING (eval_id) JOIN en USING (eval_id)
+       |ORDER BY eval_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.Winnow.evalContamination(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", k = 3, w = 4, minShared = 2)
+      .orderBy("eval_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q128)
+    q124, q125, q128, q130)
 }

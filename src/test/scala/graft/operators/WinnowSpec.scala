@@ -269,6 +269,35 @@ class WinnowSpec extends AnyFunSuite {
       s"interior tokens survived the span: '$t3'")
   }
 
+  test("evalContamination: per-eval rollup counts the copying train " +
+    "docs and the exact token-coverage of the span UNION; clean eval " +
+    "docs are absent") {
+    val run = "e1 e2 e3 e4 e5 e6 e7 e8"
+    val eval = Seq(
+      (100L, s"$run closing words here"), // 11 tokens, run at [0,7]
+      (101L, "totally clean eval document nothing copies")
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"aa bb $run cc dd"),
+      (2L, s"$run tail"), // a second copier of the same eval run
+      (3L, "nothing shared at all in this one today")
+    ).toDF("doc_id", "text")
+    val out = Winnow.evalContamination(train, eval, "doc_id", "text",
+      minShared = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(out.keySet == Set(100L), s"clean eval doc must be absent: $out")
+    val (nTrain, nSpans, covered, nTok, milli) = out(100L)
+    assert(nTrain == 2L, s"both copiers must count: $nTrain")
+    assert(nSpans >= 2L)
+    assert(nTok == 11L)
+    // the span union sits inside the run's eval range [0, 7]
+    assert(covered >= 4L && covered <= 8L,
+      s"coverage $covered escapes the run")
+    assert(milli == covered * 1000 / 11, s"per-mille arithmetic: $milli")
+  }
+
   test("plan shape: the per-document window sees coordinates only — " +
     "text never crosses the exchange") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
