@@ -160,6 +160,8 @@ object StreamCuration {
               domainCap: Option[Int] = None,
               lineScrub: Boolean = false,
               lengthHist: Boolean = false,
+              bpeTokenizer: Option[(Seq[graft.operators.Bpe.Merge],
+                Seq[String])] = None,
               onReport: Option[BatchReport => Unit] = None)
       : (DataFrame, Long) => DataFrame = {
     graft.functions.RepetitionStats.ensureRegistered(spark)
@@ -391,10 +393,24 @@ object StreamCuration {
             result
           case _ => cleaned
         }
-        val out =
+        val mixedOut =
           if (mixIsNoop) capped
           else graft.operators.Mixing.rateMix(capped, idCol, sourceCol,
             mixRatesMilli, mixDefaultMilli)
+        // optional trainer-ready ENCODE of the shipped rows: token ids
+        // under a FROZEN tokenizer artifact ([[graft.operators.Bpe
+        // .saveTokenizer]]'s shape — frozen, so replay encodes
+        // identically), appended as token_ids + n_bpe_tokens via an
+        // ids-only join back onto the curated batch
+        val out = bpeTokenizer match {
+          case Some((ms, vocab)) =>
+            val enc = graft.operators.Bpe.encode(mixedOut, idCol, textCol,
+              ms, vocab)
+              .select(col(idCol), col("token_ids"),
+                col("n_tokens").as("n_bpe_tokens"))
+            mixedOut.join(enc, Seq(idCol))
+          case None => mixedOut
+        }
         lenHist.foreach { h =>
           h.observe(out.select(graft.functions.TokenStats(col(textCol))
             .getField("n_tokens").cast("long").as("_ntok")),

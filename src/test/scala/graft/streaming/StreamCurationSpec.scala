@@ -215,6 +215,32 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(both == Set(1L, 2L), s"scrub must win over the drop: $both")
   }
 
+  test("bpeTokenizer knob: shipped rows carry token_ids + n_bpe_tokens " +
+    "under the frozen artifact, bitwise equal to a direct encode; " +
+    "replay identical") {
+    val stateDir = Files.createTempDirectory("graft-scur-bpe").toString
+    val b1 = Seq((1L, "aa bb aa cc", "s0"), (2L, "dd ee", "s0"))
+      .toDF("doc_id", "text", "source")
+    val merges = graft.operators.Bpe.train(b1, "text", numMerges = 6)
+    val vocab = graft.operators.Bpe.vocabOf(
+      graft.operators.Bpe.alphabetOf(b1, "text"), merges)
+    val curate = StreamCuration.curator(spark, evalDocs.limit(0), stateDir,
+      bpeTokenizer = Some((merges, vocab)),
+      repetitionTopBigramMilli = 1001)
+    val out = curate(b1, 0L)
+    assert(out.columns.contains("token_ids") &&
+      out.columns.contains("n_bpe_tokens"))
+    val got = out.select("doc_id", "token_ids").as[(Long, Seq[Long])]
+      .collect().toMap
+    val want = graft.operators.Bpe.encode(b1, "doc_id", "text", merges,
+      vocab).select("doc_id", "token_ids").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(got == want, s"stream encode diverged: $got vs $want")
+    val replay = curate(b1, 0L).select("doc_id", "token_ids")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(replay == got, "replay diverged under the frozen tokenizer")
+  }
+
   test("funnel composed with the VERIFIED embed tier: drops only certified " +
     "embedding near-dups, passes NULL vectors, replays stable") {
     val stateDir = Files.createTempDirectory("graft-scur3").toString
