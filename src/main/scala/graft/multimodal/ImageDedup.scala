@@ -79,24 +79,8 @@ object ImageDedup {
     * (id_a, id_b, hamming), id_a < id_b. Exact recall for
     * `maxHamming ≤ 3` by pigeonhole. */
   def nearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 64,
-      s"maxHamming must be in [0, 64], got $maxHamming")
-    val sig = imageHashes(df, bytesCol, idCol).localCheckpoint(true)
-    val bands = sig.select(col("id"), col("dhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("dhash"), b * 16).bitwiseAND(lit(65535L))): _*))
-        .as(Seq("band", "bkey")))
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+                   maxHamming: Int = 3): DataFrame =
+    Banded64.pairs(imageHashes(df, bytesCol, idCol), "dhash", maxHamming)
 
   /** Near-dup KEEP-ONE over an image corpus — [[nearDupPairs]] composed
     * with the text tier's canonical-keep ([[graft.operators.Dedup
