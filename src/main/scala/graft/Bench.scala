@@ -233,9 +233,10 @@ object Bench {
     // through the real banded plan — recall AND false-positive axes
     // beside the wall (see ImageAudit). Diagnostic sidecar.
     val multimodal = try {
-      val out = graft.multimodal.ImageAudit.run(spark)
+      val img = graft.multimodal.ImageAudit.run(spark)
+      val aud = graft.multimodal.ImageAudit.runAudio(spark)
       spark.catalog.clearCache()
-      out
+      s"""{"image":$img,"audio":$aud}"""
     } catch {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }

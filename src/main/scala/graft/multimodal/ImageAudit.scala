@@ -64,6 +64,53 @@ object ImageAudit {
     dst
   }
 
+  /** Audio twin of the image audit: `nBase` distinct envelopes × three
+    * encodings (16 kHz original, 8 kHz resample, 0.7× amplitude) through
+    * [[AudioDedup]] at the production knobs. */
+  def runAudio(spark: SparkSession, nBase: Int = 160): String = {
+    import spark.implicits._
+    def wavBytes(rate: Int, samples: Seq[Short]): Array[Byte] = {
+      val data = new java.io.ByteArrayOutputStream()
+      def le16(v: Int): Unit = {
+        data.write(v & 0xff); data.write((v >> 8) & 0xff)
+      }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+      def ascii(s: String): Unit = data.write(s.getBytes("US-ASCII"))
+      val dataLen = samples.length * 2
+      ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+      ascii("fmt "); le32(16); le16(1); le16(1)
+      le32(rate); le32(rate * 2); le16(2); le16(16)
+      ascii("data"); le32(dataLen)
+      samples.foreach(s => le16(s & 0xffff))
+      data.toByteArray
+    }
+    def clip(seed: Int, rate: Int, gain: Double): Array[Byte] = {
+      val rnd = new java.util.Random(seed * 104729L + 7)
+      val env = Array.fill(65)(0.1 + 0.9 * rnd.nextDouble())
+      val n = rate / 4 // 250 ms
+      wavBytes(rate, (0 until n).map { i =>
+        val slot = ((i.toLong * 65) / n).toInt
+        (gain * env(slot) *
+          math.sin(2 * math.Pi * 440 * i / rate) * 16384).toShort
+      })
+    }
+    val rows = (0 until nBase).flatMap { i =>
+      Seq((3L * i, clip(i, 16000, 1.0)),
+        (3L * i + 1, clip(i, 8000, 1.0)),
+        (3L * i + 2, clip(i, 16000, 0.7)))
+    }
+    val df = rows.toDF("media_id", "media").repartition(8)
+      .localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val pairs = AudioDedup.nearDupPairs(df, "media", "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairSec = (System.nanoTime() - t0) / 1e9
+    val intra = pairs.count { case (a, b) => a / 3 == b / 3 }
+    val cross = pairs.length - intra
+    val possible = 3L * nBase
+    f"""{"clips":${rows.size},"planted_pairs":$possible,"intra_pairs":$intra,"intra_recall":${intra.toDouble / possible}%.4f,"cross_pairs":$cross,"pair_sec":$pairSec%.3f}"""
+  }
+
   /** One JSON object (no outer braces handled by the caller). */
   def run(spark: SparkSession, nBase: Int = 160): String = {
     import spark.implicits._
