@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Media curation funnel ([[MediaCuration]]): each stage engages on a
+  * mixed frame (image triples, audio triples, garbage, empty), counts
+  * are monotone, and the recognition gate's default keeps unknowns. */
+class MediaCurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def png(seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        img.setRGB(x, y, (((x * 255 / 64 + seed * 37) % 256) << 16) |
+          (((y * 255 / 64 + seed * 73) % 256) << 8) |
+          (((x + y) * 255 / 128 + seed * 11) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def jpg(seed: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png(seed))), "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def wav(seed: Int, rate: Int): Array[Byte] = {
+    val data = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { data.write(v & 0xff); data.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    def ascii(s: String): Unit = data.write(s.getBytes("US-ASCII"))
+    val rnd = new java.util.Random(seed * 104729L + 7)
+    val env = Array.fill(65)(0.1 + 0.9 * rnd.nextDouble())
+    val n = rate / 4
+    val samples = (0 until n).map { i =>
+      (env(((i.toLong * 65) / n).toInt) *
+        math.sin(2 * math.Pi * 440 * i / rate) * 16384).toShort
+    }
+    ascii("RIFF"); le32(36 + samples.length * 2); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1)
+    le32(rate); le32(rate * 2); le16(2); le16(16)
+    ascii("data"); le32(samples.length * 2)
+    samples.foreach(s => le16(s & 0xffff))
+    data.toByteArray
+  }
+
+  test("funnel: size gate drops empties, image and audio tiers each " +
+    "keep one per component, unknown bytes survive by default and drop " +
+    "under the recognition gate; counts monotone") {
+    val rows = Seq(
+      (1L, png(1)), (2L, jpg(1)),           // image pair -> keep larger
+      (3L, png(2)),                         // distinct image
+      (10L, wav(5, 16000)), (11L, wav(5, 8000)), // audio pair
+      (12L, wav(6, 16000)),                 // distinct audio
+      (20L, Array.fill[Byte](200)(42)),     // unrecognized bytes
+      (21L, Array.empty[Byte])              // empty -> size gate
+    ).toDF("media_id", "media")
+    val (out, r) = MediaCuration.curate(rows, "media", "media_id")
+    val kept = out.select("media_id").as[Long].collect().toSet
+    assert(r.nInput == 8 && r.nAfterSize == 7)
+    assert(r.nAfterSize >= r.nAfterImageDedup &&
+      r.nAfterImageDedup >= r.nAfterAudioDedup &&
+      r.nAfterAudioDedup >= r.nOut)
+    assert(!kept.contains(21L), "empty payload must drop at the gate")
+    assert(kept.intersect(Set(1L, 2L)).size == 1,
+      s"image pair must keep exactly one: $kept")
+    assert(kept.contains(3L))
+    assert(kept.intersect(Set(10L, 11L)) == Set(10L),
+      s"audio pair must keep the larger payload: $kept")
+    assert(kept.contains(12L))
+    assert(kept.contains(20L), "unknown bytes must SURVIVE by default")
+    // recognition gate on: the unknown row drops, nothing else changes
+    val (out2, _) = MediaCuration.curate(rows, "media", "media_id",
+      dropUnrecognized = true)
+    val kept2 = out2.select("media_id").as[Long].collect().toSet
+    assert(kept2 == kept - 20L, s"gate must drop only the unknown: $kept2")
+  }
+}
