@@ -105,10 +105,45 @@ object ImageAudit {
     val pairs = AudioDedup.nearDupPairs(df, "media", "media_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val pairSec = (System.nanoTime() - t0) / 1e9
-    val intra = pairs.count { case (a, b) => a / 3 == b / 3 }
-    val cross = pairs.length - intra
+    val (intra, cross) = connectivity(pairs, nBase)
     val possible = 3L * nBase
     f"""{"clips":${rows.size},"planted_pairs":$possible,"intra_pairs":$intra,"intra_recall":${intra.toDouble / possible}%.4f,"cross_pairs":$cross,"pair_sec":$pairSec%.3f}"""
+  }
+
+  /** Recall bookkeeping at the CONNECTIVITY level — the level the keep
+    * tier consumes: since the banded tier's identical-signature
+    * pre-collapse, the pair output is a connectivity-EQUIVALENT edge
+    * set (star edges inside identical-signature groups, not the
+    * C(m,2) clique), so a planted pair counts as recovered when both
+    * endpoints share a connected component of the edge set. `cross` is
+    * still the raw count of edges joining different triples (the
+    * false-positive axis). Driver-side union-find over 3·nBase ids. */
+  private def connectivity(pairs: Array[(Long, Long)],
+                           nBase: Int): (Long, Long) = {
+    val parent = Array.tabulate(3 * nBase)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val cross = pairs.count { case (a, b) => a / 3 != b / 3 }.toLong
+    pairs.foreach { case (a, b) =>
+      val ra = find(a.toInt)
+      val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    var intra = 0L
+    var i = 0
+    while (i < nBase) {
+      val b = 3 * i
+      if (find(b) == find(b + 1)) intra += 1
+      if (find(b) == find(b + 2)) intra += 1
+      if (find(b + 1) == find(b + 2)) intra += 1
+      i += 1
+    }
+    (intra, cross)
   }
 
   /** One JSON object (no outer braces handled by the caller). */
@@ -127,8 +162,7 @@ object ImageAudit {
     val pairs = ImageDedup.nearDupPairs(df, "media", "media_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val pairSec = (System.nanoTime() - t0) / 1e9
-    val intra = pairs.count { case (a, b) => a / 3 == b / 3 }
-    val cross = pairs.length - intra
+    val (intra, cross) = connectivity(pairs, nBase)
     val possible = 3L * nBase // 3 unordered pairs per triple
     val t1 = System.nanoTime()
     val kept = ImageDedup.dedupImages(df, "media", "media_id")

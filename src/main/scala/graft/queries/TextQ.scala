@@ -303,21 +303,25 @@ object TextQ {
     * tier's ≤1 verified at, on twice the planes. */
   private val SimhashMaxHamming = 3
 
-  /** q46: SimHash near-dup pairs within source blocks — 4×16-bit banding
-    * over the 64-bit signature (exact recall for hamming ≤ 3 by
-    * pigeonhole) + popcount verify, exercised as a PLANTED-REWRITE
-    * recovery audit: every fifth document is re-planted with its tokens
-    * REVERSED (identical token multiset → identical signature, hamming
-    * 0) under id+10⁶ — the signature tier's signature catch, invisible
-    * to exact dedup (q21 normalizes case/punct, not order) and the
-    * standard way to smoke a near-dup detector whose honest banding
-    * admits ~4·C(n,2)·2⁻¹⁶ random candidates (the round-8 n²/128
-    * finding, fixed — on this corpus the old degenerate tier's 41
-    * accidental candidates vanish). The dedup family's third detector:
-    * exact (q21), Jaccard/MinHash (q22/q25), bit-distance (here). Band
-    * extraction masks (`& 65535`) instead of mod so the arithmetic-shift
-    * sign fill of bit-63 signatures cannot reach the key in either
-    * dialect. */
+  /** q46: SimHash near-dup EDGE SET within source blocks — identical
+    * (source, signature) groups collapse to a min-id representative
+    * (star edges at hamming 0, the quadratic-skew guard for the 100 TB
+    * boilerplate regime), then 4×16-bit banding over the DISTINCT
+    * signatures (exact recall for hamming ≤ 3 by pigeonhole) + popcount
+    * verify — the oracle replays BOTH halves (grp/star CTEs twin the
+    * collapse, bands/cand twin the banding), exercised as a
+    * PLANTED-REWRITE recovery audit: every fifth document is re-planted
+    * with its tokens REVERSED (identical token multiset → identical
+    * signature, hamming 0) under id+10⁶ — the signature tier's
+    * signature catch, invisible to exact dedup (q21 normalizes
+    * case/punct, not order) and the standard way to smoke a near-dup
+    * detector whose honest banding admits ~4·C(d,2)·2⁻¹⁶ random
+    * candidates (the round-8 n²/128 finding, fixed — on this corpus the
+    * old degenerate tier's 41 accidental candidates vanish). The dedup
+    * family's third detector: exact (q21), Jaccard/MinHash (q22/q25),
+    * bit-distance (here). Band extraction masks (`& 65535`) instead of
+    * mod so the arithmetic-shift sign fill of bit-63 signatures cannot
+    * reach the key in either dialect. */
   val q46 = Q(
     "q46_simhash_neardup",
     s"""WITH corpus AS (
@@ -327,13 +331,21 @@ object TextQ {
        |         array_to_string(list_reverse($sqlToks), ' ')
        |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
        |${simhashCtes(withSource = true, from = "corpus")},
-       |bands AS (SELECT doc_id, source, simhash, band, (simhash >> (band * 16)) & 65535 AS bkey
-       |          FROM sig, UNNEST([0, 1, 2, 3]) AS t(band)),
+       |grp AS (SELECT source, simhash, MIN(doc_id) AS rep
+       |        FROM sig GROUP BY source, simhash),
+       |star AS (SELECT g.rep AS id_a, s.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+       |         FROM sig s JOIN grp g
+       |           ON s.source = g.source AND s.simhash = g.simhash
+       |         WHERE s.doc_id <> g.rep),
+       |bands AS (SELECT rep AS doc_id, source, simhash, band, (simhash >> (band * 16)) & 65535 AS bkey
+       |          FROM grp, UNNEST([0, 1, 2, 3]) AS t(band)),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, x.simhash AS sim_a,
        |                y.doc_id AS id_b, y.simhash AS sim_b
        |         FROM bands x JOIN bands y
        |           ON x.band = y.band AND x.bkey = y.bkey AND x.source = y.source
        |              AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, hamming FROM star
+       |UNION ALL
        |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
        |FROM cand
        |WHERE bit_count(xor(sim_a, sim_b)) <= $SimhashMaxHamming

@@ -57,35 +57,60 @@ class MediaCurationSpec extends AnyFunSuite {
     data.toByteArray
   }
 
-  test("funnel: size gate drops empties, image and audio tiers each " +
-    "keep one per component, unknown bytes survive by default and drop " +
-    "under the recognition gate; counts monotone") {
+  test("funnel: size gate drops empties, exact-bytes dedup collapses " +
+    "byte-identical copies to the lowest id before any decode, image " +
+    "and audio tiers each keep one per component, unknown bytes survive " +
+    "by default and drop under the recognition gate; counts monotone") {
     val rows = Seq(
       (1L, png(1)), (2L, jpg(1)),           // image pair -> keep larger
       (3L, png(2)),                         // distinct image
+      (4L, png(2)),                         // BYTE-identical copy of 3 -> exact stage
       (10L, wav(5, 16000)), (11L, wav(5, 8000)), // audio pair
       (12L, wav(6, 16000)),                 // distinct audio
+      (13L, wav(6, 16000)),                 // BYTE-identical copy of 12 -> exact stage
       (20L, Array.fill[Byte](200)(42)),     // unrecognized bytes
       (21L, Array.empty[Byte])              // empty -> size gate
     ).toDF("media_id", "media")
     val (out, r) = MediaCuration.curate(rows, "media", "media_id")
     val kept = out.select("media_id").as[Long].collect().toSet
-    assert(r.nInput == 8 && r.nAfterSize == 7)
-    assert(r.nAfterSize >= r.nAfterImageDedup &&
+    assert(r.nInput == 10 && r.nAfterSize == 9 && r.nAfterExact == 7)
+    assert(r.nAfterSize >= r.nAfterExact &&
+      r.nAfterExact >= r.nAfterImageDedup &&
       r.nAfterImageDedup >= r.nAfterAudioDedup &&
       r.nAfterAudioDedup >= r.nOut)
     assert(!kept.contains(21L), "empty payload must drop at the gate")
+    assert(!kept.contains(4L) && kept.contains(3L),
+      s"exact stage must keep the LOWEST id of byte-identical copies: $kept")
+    assert(!kept.contains(13L) && kept.contains(12L),
+      s"exact stage must collapse the identical clip: $kept")
     assert(kept.intersect(Set(1L, 2L)).size == 1,
       s"image pair must keep exactly one: $kept")
-    assert(kept.contains(3L))
     assert(kept.intersect(Set(10L, 11L)) == Set(10L),
       s"audio pair must keep the larger payload: $kept")
-    assert(kept.contains(12L))
     assert(kept.contains(20L), "unknown bytes must SURVIVE by default")
     // recognition gate on: the unknown row drops, nothing else changes
     val (out2, _) = MediaCuration.curate(rows, "media", "media_id",
       dropUnrecognized = true)
     val kept2 = out2.select("media_id").as[Long].collect().toSet
     assert(kept2 == kept - 20L, s"gate must drop only the unknown: $kept2")
+  }
+
+  test("decode-once: one probe pass per exact-surviving payload per " +
+    "funnel run, recognition gate included") {
+    val rows = Seq(
+      (1L, png(1)), (2L, jpg(1)), (3L, png(2)), (4L, png(2)),
+      (10L, wav(5, 16000)), (11L, wav(5, 8000)),
+      (20L, Array.fill[Byte](200)(42)), (21L, Array.empty[Byte])
+    ).toDF("media_id", "media").localCheckpoint(true)
+    // exact survivors: 7 rows pass the size gate, {3,4} collapse -> 6
+    val before = MediaCuration.probedPayloads.sum()
+    val (out, r) = MediaCuration.curate(rows, "media", "media_id",
+      dropUnrecognized = true)
+    out.count()
+    assert(r.nAfterExact == 6)
+    val probed = MediaCuration.probedPayloads.sum() - before
+    assert(probed == r.nAfterExact,
+      s"expected exactly ${r.nAfterExact} probes (one decode pass per " +
+        s"payload), got $probed")
   }
 }
