@@ -129,9 +129,136 @@ object Bpe {
   }
 
   /** The merge loop itself, pure and testable: greedy highest-count pair,
-    * lexicographic tie-break, early stop under `minPairCount`. */
+    * code-point-lexicographic tie-break ([[cpOrder]] — DuckDB's binary
+    * collation, so the oracle's `ORDER BY a, b` replays the pick even
+    * for tied pairs involving supplementary code points), early stop
+    * under `minPairCount`.
+    *
+    * INCREMENTAL bookkeeping (the classic trainer optimization): pair
+    * counts are built once, then each round updates counts only for the
+    * words that actually CONTAIN the merged pair (tracked by an
+    * occurrence index), with a lazy-invalidation max-heap serving the
+    * argmax — per-round cost is O(affected-word symbols + log-heap), not
+    * O(all corpus-vocab symbols), which at 50k merges × 4M words is the
+    * difference between minutes and a multi-hour driver loop. Merges are
+    * bitwise-identical to the full-recount reference
+    * ([[trainFromVocabRecount]], spec-pinned). */
   def trainFromVocab(vocab: Seq[(String, Long)], numMerges: Int,
                      minPairCount: Long = 2L): Seq[Merge] = {
+    val syms = vocab.map { case (w, _) => initial(w).toArray }.toArray
+    val freqs = vocab.map(_._2).toArray
+    val counts = mutable.HashMap.empty[Merge, Long]
+    val occur = mutable.HashMap.empty[Merge, mutable.ArrayBuffer[Int]]
+    // max-heap: highest count first, ties to the cp-SMALLEST (left,
+    // right); entries are lazily invalidated (valid iff stored count ==
+    // current count — every count change pushes a fresh entry)
+    val entryOrd = new Ordering[(Long, Merge)] {
+      def compare(x: (Long, Merge), y: (Long, Merge)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = cpCompare(y._2._1, x._2._1)
+          if (a != 0) a else cpCompare(y._2._2, x._2._2)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, Merge)](entryOrd)
+    // batch-apply a word's pair-count delta: -f on its old adjacencies,
+    // +f on its new ones, one heap push per net-changed pair
+    def applyDeltas(deltas: mutable.HashMap[Merge, Long]): Unit =
+      deltas.foreach { case (p, d) =>
+        if (d != 0L) {
+          val c = counts.getOrElse(p, 0L) + d
+          if (c <= 0L) counts.remove(p)
+          else {
+            counts(p) = c
+            heap.enqueue((c, p))
+          }
+        }
+      }
+    def addWord(deltas: mutable.HashMap[Merge, Long], wi: Int,
+                sign: Long): Unit = {
+      val s = syms(wi)
+      val f = freqs(wi) * sign
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        deltas(p) = deltas.getOrElse(p, 0L) + f
+        if (sign > 0L)
+          occur.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += wi
+        i += 1
+      }
+    }
+    val init = mutable.HashMap.empty[Merge, Long]
+    var wi = 0
+    while (wi < syms.length) { addWord(init, wi, 1L); wi += 1 }
+    applyDeltas(init)
+
+    val merges = mutable.ArrayBuffer.empty[Merge]
+    var rounds = 0
+    var exhausted = false
+    while (rounds < numMerges && !exhausted) {
+      // pop to the first VALID entry — the true argmax, since every
+      // pair's latest count has an entry and stale ones rank no lower
+      var best: Merge = null
+      while (best == null && !exhausted) {
+        if (heap.isEmpty) exhausted = true
+        else {
+          val (c, p) = heap.dequeue()
+          if (counts.getOrElse(p, 0L) == c) {
+            if (c >= minPairCount) best = p
+            else exhausted = true
+          }
+        }
+      }
+      if (!exhausted && best != null) {
+        merges += best
+        // best stays selectable later if new occurrences arise: its
+        // count fell to 0 here (L2R application leaves no adjacency),
+        // and future rewrites push fresh entries
+        counts.remove(best)
+        val affected = occur.remove(best).getOrElse(mutable.ArrayBuffer.empty)
+        val seen = mutable.HashSet.empty[Int]
+        val deltas = mutable.HashMap.empty[Merge, Long]
+        affected.foreach { i =>
+          if (seen.add(i)) {
+            val s = syms(i)
+            var has = false
+            var j = 0
+            while (!has && j < s.length - 1) {
+              has = s(j) == best._1 && s(j + 1) == best._2
+              j += 1
+            }
+            if (has) {
+              addWord(deltas, i, -1L)
+              val out = mutable.ArrayBuffer.empty[String]
+              var k = 0
+              while (k < s.length) {
+                if (k < s.length - 1 &&
+                    s(k) == best._1 && s(k + 1) == best._2) {
+                  out += s(k) + s(k + 1); k += 2
+                } else { out += s(k); k += 1 }
+              }
+              syms(i) = out.toArray
+              addWord(deltas, i, 1L)
+            }
+          }
+        }
+        deltas.remove(best) // removed above; its own -delta is settled
+        applyDeltas(deltas)
+      }
+      rounds += 1
+    }
+    merges.toSeq
+  }
+
+  /** The full-recount reference trainer — the pre-optimization loop kept
+    * as the parity oracle for [[trainFromVocab]] (recounts ALL pairs
+    * every round; O(rounds × corpus-vocab symbols), driver-side). Same
+    * determinism contract, including the [[cpOrder]] tie-break. */
+  private[graft] def trainFromVocabRecount(vocab: Seq[(String, Long)],
+                                           numMerges: Int,
+                                           minPairCount: Long = 2L): Seq[Merge] = {
     var words: Seq[(Vector[String], Long)] =
       vocab.map { case (w, f) => (initial(w), f) }
     val merges = mutable.ArrayBuffer.empty[Merge]
@@ -150,7 +277,14 @@ object Bpe {
       val eligible = counts.filter(_._2 >= minPairCount)
       if (eligible.isEmpty) exhausted = true
       else {
-        val best = eligible.minBy { case ((a, b), c) => (-c, a, b) }._1
+        var best: Merge = null
+        var bc = 0L
+        eligible.foreach { case (p, c) =>
+          if (best == null || c > bc || (c == bc && {
+            val ca = cpCompare(p._1, best._1)
+            ca < 0 || (ca == 0 && cpCompare(p._2, best._2) < 0)
+          })) { best = p; bc = c }
+        }
         merges += best
         words = words.map { case (syms, f) =>
           val out = mutable.ArrayBuffer.empty[String]
@@ -217,6 +351,22 @@ object Bpe {
       .toSeq
   }
 
+  /** The 256 byte pieces backing [[encode]]'s byte-level fallback —
+    * SentencePiece's convention (`<0x00>`..`<0xFF>`): synthetic piece
+    * strings that can never collide with a real piece (real alphabet
+    * symbols are single code points or `</w>`; merge products
+    * concatenate them). */
+  val ByteSymbols: IndexedSeq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>")
+
+  /** A piece's byte-level decomposition: its UTF-8 bytes as
+    * [[ByteSymbols]] pieces. Total — every string decomposes, so an
+    * encoder whose vocabulary carries the byte pieces can NEVER emit
+    * unk on any input. */
+  def byteFallbackPieces(piece: String): Seq[String] =
+    piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toSeq.map(b => ByteSymbols(b & 0xff))
+
   /** The PIECE VOCABULARY under a trained merge list: ids `0..A-1` for
     * the alphabet in [[cpOrder]], id `A + r` for merge `r`'s product
     * (0-based rank). Ids are STABLE, never compacted: a product string
@@ -224,9 +374,19 @@ object Bpe {
     * build the same string) resolves to the EARLIER id via [[vocabIds]]'
     * first-wins map while its own slot stays allocated, so adding merges
     * never renumbers existing pieces (the property a trainer's embedding
-    * table depends on). */
-  def vocabOf(alphabet: Seq[String], merges: Seq[Merge]): IndexedSeq[String] =
-    (alphabet.sorted(cpOrder) ++ merges.map(m => m._1 + m._2)).toIndexedSeq
+    * table depends on).
+    *
+    * `byteFallback = true` folds the 256 [[ByteSymbols]] into the
+    * alphabet (same [[cpOrder]] id assignment — they are ordinary
+    * pieces, so the oracle's `ORDER BY piece` replays the ids), making
+    * the vocabulary TOTAL: [[encode]] can decompose any out-of-alphabet
+    * piece to byte pieces instead of emitting unk. */
+  def vocabOf(alphabet: Seq[String], merges: Seq[Merge],
+              byteFallback: Boolean = false): IndexedSeq[String] = {
+    val alpha =
+      if (byteFallback) (alphabet ++ ByteSymbols).distinct else alphabet
+    (alpha.sorted(cpOrder) ++ merges.map(m => m._1 + m._2)).toIndexedSeq
+  }
 
   /** piece → id, first occurrence wins (see [[vocabOf]]). */
   def vocabIds(vocab: Seq[String]): Map[String, Long] =
@@ -236,11 +396,28 @@ object Bpe {
       }
 
   /** Per-document BPE ENCODING — the operator that turns text into the
-    * unit a training run consumes: (idCol, pieces, token_ids, n_tokens),
-    * one output row per non-NULL-text input row, token ids against
-    * [[vocabOf]]'s stable id space (pieces absent from `vocab` — only
-    * possible when encoding NEW text under a frozen vocabulary whose
-    * alphabet misses some of its code points — get `unkId`).
+    * unit a training run consumes: (idCol, pieces, token_ids, n_tokens,
+    * n_unk), one output row per non-NULL-text input row, token ids
+    * against [[vocabOf]]'s stable id space.
+    *
+    * A piece absent from `vocab` — only possible when encoding NEW text
+    * under a frozen vocabulary whose alphabet misses some of its code
+    * points (at crawl scale a certainty: one emoji) — resolves by
+    * policy, strictest first:
+    *  - `byteFallback = true` (requires the [[ByteSymbols]] pieces in
+    *    `vocab`, see [[vocabOf]]): the piece decomposes to its UTF-8
+    *    byte pieces — encoding is TOTAL, unk is unrepresentable, and
+    *    `pieces`/`token_ids` stay position-aligned (the byte pieces
+    *    replace the unknown piece in both).
+    *  - `failOnUnk = true`: the encode job fails loud (an
+    *    IllegalStateException naming the piece) instead of shipping a
+    *    poisoned id into a trainer.
+    *  - otherwise: the piece keeps its slot and `unkId` rides
+    *    `token_ids` — and `n_unk` counts it, so a funnel can gate on
+    *    `n_unk > 0` instead of discovering −1 in an embedding lookup.
+    * `n_unk` counts out-of-vocabulary pieces under EVERY policy (with
+    * fallback it counts byte-decomposed pieces), so the column is the
+    * frozen-tokenizer drift telemetry either way.
     *
     * Scale shape is [[pieceCounts]]': the merge-rank map and the id map
     * broadcast (O(numMerges + |vocab|), driver artifacts by
@@ -253,8 +430,15 @@ object Bpe {
     * scan. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge], vocab: Seq[String],
-             unkId: Long = -1L): DataFrame = {
+             unkId: Long = -1L, byteFallback: Boolean = false,
+             failOnUnk: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
+    if (byteFallback) {
+      val vs = vocab.toSet
+      require(ByteSymbols.forall(vs.contains),
+        "byteFallback requires the 256 byte pieces in the vocabulary — " +
+          "build it with vocabOf(alphabet, merges, byteFallback = true)")
+    }
     val rankB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
     val idsB = spark.sparkContext.broadcast(vocabIds(vocab))
     val idField = docs.schema(docs.schema.fieldIndex(idCol))
@@ -265,7 +449,8 @@ object Bpe {
           org.apache.spark.sql.types.StringType, containsNull = false)),
       StructField("token_ids",
         org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)),
-      StructField("n_tokens", LongType, nullable = false)))
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_unk", LongType, nullable = false)))
     docs.select(col(idCol), col(textCol).cast("string"))
       .mapPartitions { rows =>
         val rank = rankB.value
@@ -275,7 +460,7 @@ object Bpe {
           if (r.isNullAt(1)) None
           else {
             val toks = TextAnalysis.jvmTokens(r.getString(1))
-            val pieces = mutable.ArrayBuffer.empty[String]
+            val segd = mutable.ArrayBuffer.empty[String]
             var i = 0
             while (i < toks.length) {
               val w = toks(i)
@@ -284,12 +469,29 @@ object Bpe {
                 p = segmentRanked(w, rank).toArray
                 if (memo.size < MemoCap) memo.put(w, p)
               }
-              pieces ++= p
+              segd ++= p
               i += 1
             }
-            val tids = pieces.map(pc => ids.getOrElse(pc, unkId))
+            val pieces = mutable.ArrayBuffer.empty[String]
+            val tids = mutable.ArrayBuffer.empty[Long]
+            var nUnk = 0L
+            segd.foreach { pc =>
+              ids.get(pc) match {
+                case Some(v) => pieces += pc; tids += v
+                case None =>
+                  nUnk += 1
+                  if (byteFallback) byteFallbackPieces(pc).foreach { bp =>
+                    pieces += bp; tids += ids(bp)
+                  }
+                  else if (failOnUnk) throw new IllegalStateException(
+                    s"BPE encode: piece '$pc' is not in the frozen " +
+                      "vocabulary (failOnUnk policy; enable byteFallback " +
+                      "for total encoding)")
+                  else { pieces += pc; tids += unkId }
+              }
+            }
             Some(Row(r.get(0), pieces.toSeq, tids.toSeq,
-              pieces.length.toLong))
+              tids.length.toLong, nUnk))
           }
         }
       }(Encoders.row(outSchema))

@@ -430,10 +430,15 @@ object Curation {
     // counts compute in-scan with the broadcast rank map
     // ([[graft.operators.Bpe.pieceCounts]]) and join back by id — an
     // ids-only exchange over the post-funnel survivors, never text.
+    // LEFT join + coalesce-to-0: pieceCounts emits no row for NULL-text
+    // input, and the funnel must not silently DROP such a row here when
+    // the whitespace path would keep it (null text normally dies at
+    // stage 1, but callers can disable stages)
     val weighted = bpeMerges match {
       case Some(ms) =>
         mixed.join(graft.operators.Bpe.pieceCounts(mixed, idCol, textCol, ms)
-          .select(col(idCol), col("n_pieces").as(tokCol)), Seq(idCol))
+          .select(col(idCol), col("n_pieces").as(tokCol)), Seq(idCol), "left")
+          .withColumn(tokCol, coalesce(col(tokCol), lit(0L)))
       case None => mixed.withColumn(tokCol,
         graft.functions.TokenStats(col(textCol)).getField("n_tokens")
           .cast("long"))

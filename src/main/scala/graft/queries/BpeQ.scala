@@ -95,10 +95,15 @@ object BpeQ {
 
   /** The full replay chain (requires a `WITH RECURSIVE` prefix). Ends at:
     * `wf(word, freq)`, `mg(r, a, b)` — the trained merges in rank order,
-    * `fin(word, syms)` — every distinct corpus word's greedy
-    * segmentation, `voc(piece, vid)` — the stable-id vocabulary. */
+    * `fin(word, syms)` — every distinct word of `encodeFrom`'s greedy
+    * segmentation under the trained table, `voc(piece, vid)` — the
+    * stable-id vocabulary. Training always reads `documents`;
+    * `encodeFrom` (any earlier CTE or table with doc_id/text) is the
+    * corpus being ENCODED — the frozen-tokenizer-on-new-text regime when
+    * it differs. */
   private[queries] def bpeChainCtes(numMerges: Int,
-                                    minPairCount: Long = 2L): String = {
+                                    minPairCount: Long = 2L,
+                                    encodeFrom: String = "documents"): String = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val rounds = (1 to numMerges).map(roundCtes(_, minPairCount))
       .mkString(",\n")
@@ -117,7 +122,12 @@ object BpeQ {
        |rk AS (SELECT map(list(k ORDER BY rr), list(rr ORDER BY rr)) AS m
        |       FROM (SELECT [a, b] AS k, CAST(MAX(r) AS BIGINT) AS rr
        |             FROM mg GROUP BY 1)),
-       |w0e AS (SELECT word, syms FROM w0),
+       |w0e AS (SELECT word,
+       |          list_append(list_transform(range(1, length(word) + 1),
+       |            i -> substring(word, CAST(i AS INTEGER), 1)), '</w>')
+       |            AS syms
+       |        FROM (SELECT DISTINCT unnest($sqlToks) AS word
+       |              FROM $encodeFrom)),
        |seg AS (
        |  SELECT word, syms, 0 AS step FROM w0e
        |  UNION ALL
@@ -280,5 +290,88 @@ object BpeQ {
       .orderBy("pct")
   }
 
-  val all: Seq[Q] = Seq(q126, q127, q129)
+  /** q131: BYTE-LEVEL FALLBACK ENCODING under a FROZEN tokenizer — the
+    * regime [[Bpe.encode]]'s `byteFallback` exists for: new text under a
+    * vocabulary whose training alphabet misses some of its code points
+    * (every seventh document is re-planted under id+10⁶ with appended
+    * CJK + emoji words — code points no training document contains).
+    * The vocabulary folds the 256 `<0xNN>` byte pieces into the
+    * alphabet ([[Bpe.vocabOf]] with `byteFallback`), unknown pieces
+    * decompose to their UTF-8 byte pieces IN PLACE (positions expand),
+    * and NO unk id can exist. The oracle replays training, frozen
+    * segmentation over the PLANTED corpus's words, the byte-piece
+    * decomposition (`hex(encode(piece))` — DuckDB's UTF-8 bytes — cut
+    * into `<0xNN>` pieces), the stable ids over the widened alphabet,
+    * and the per-document `n_unk` telemetry; every token position
+    * hash-checked. */
+  /** [[bpeChainCtes]] with the 256 byte pieces folded into the alphabet
+    * CTE — the oracle twin of `vocabOf(..., byteFallback = true)`. */
+  private def byteFallbackChain(numMerges: Int, encodeFrom: String): String = {
+    val plainAlpha = "alpha AS (SELECT DISTINCT unnest(syms) AS piece FROM w0)"
+    val chain = bpeChainCtes(numMerges, encodeFrom = encodeFrom)
+    require(chain.contains(plainAlpha), "alpha CTE shape changed")
+    chain.replace(plainAlpha,
+      """alpha AS (SELECT DISTINCT unnest(syms) AS piece FROM w0
+        |          UNION
+        |          SELECT '<0x' || printf('%02X', CAST(i AS INTEGER)) || '>'
+        |          FROM range(0, 256) t(i))""".stripMargin)
+  }
+
+  val q131 = Q(
+    "q131_bpe_byte_fallback",
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' 世界 😀tok'
+       |  FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL),
+       |${byteFallbackChain(30, "corpus")},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM corpus),
+       |pcs AS (SELECT t.doc_id, t.tp, f.syms
+       |        FROM tokq t JOIN fin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(syms) AS piece,
+       |                unnest(range(1, len(syms) + 1)) AS sp FROM pcs),
+       |expd AS (SELECT fl.doc_id, fl.tp, fl.sp,
+       |                (v.vid IS NULL) AS was_unk,
+       |                CASE WHEN v.vid IS NOT NULL THEN [fl.piece]
+       |                     ELSE list_transform(
+       |                       range(octet_length(encode(fl.piece))),
+       |                       i -> '<0x' || substr(hex(encode(fl.piece)),
+       |                              CAST(2 * i + 1 AS INTEGER), 2) || '>')
+       |                END AS outp
+       |         FROM flat fl LEFT JOIN voc v ON v.piece = fl.piece),
+       |unkc AS (SELECT doc_id,
+       |                CAST(COALESCE(SUM(CASE WHEN was_unk THEN 1 ELSE 0
+       |                  END), 0) AS BIGINT) AS n_unk
+       |         FROM expd GROUP BY doc_id),
+       |flat2 AS (SELECT doc_id, tp, sp, unnest(outp) AS piece,
+       |                 unnest(range(1, len(outp) + 1)) AS bp FROM expd),
+       |outp AS (SELECT doc_id,
+       |                CAST(row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tp, sp, bp) - 1 AS BIGINT) AS pos,
+       |                piece FROM flat2)
+       |SELECT o.doc_id, o.pos, o.piece, v.vid AS token_id, u.n_unk
+       |FROM outp o JOIN voc v ON v.piece = o.piece
+       |JOIN unkc u ON u.doc_id = o.doc_id
+       |ORDER BY o.doc_id, o.pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val planted = docs
+      .filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" 世界 😀tok")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionAll(planted)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges,
+      byteFallback = true)
+    Bpe.encode(corpus, "doc_id", "text", merges, vocab, byteFallback = true)
+      .select(col("doc_id"), col("n_unk"),
+        posexplode(arrays_zip(col("pieces"), col("token_ids"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.pieces").as("piece"), col("col.token_ids").as("token_id"),
+        col("n_unk"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q131)
 }

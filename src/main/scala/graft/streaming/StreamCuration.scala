@@ -402,13 +402,23 @@ object StreamCuration {
         // .saveTokenizer]]'s shape — frozen, so replay encodes
         // identically), appended as token_ids + n_bpe_tokens via an
         // ids-only join back onto the curated batch
+        // LEFT join + coalesce: encode emits no row for NULL-text input,
+        // and a null-text row that survived the funnel must pass through
+        // with an empty id sequence, not silently vanish from the
+        // shipped output; n_bpe_unk rides along so a consumer can gate
+        // frozen-tokenizer drift (unknown pieces) per batch
         val out = bpeTokenizer match {
           case Some((ms, vocab)) =>
             val enc = graft.operators.Bpe.encode(mixedOut, idCol, textCol,
               ms, vocab)
               .select(col(idCol), col("token_ids"),
-                col("n_tokens").as("n_bpe_tokens"))
-            mixedOut.join(enc, Seq(idCol))
+                col("n_tokens").as("n_bpe_tokens"),
+                col("n_unk").as("n_bpe_unk"))
+            mixedOut.join(enc, Seq(idCol), "left")
+              .withColumn("token_ids",
+                coalesce(col("token_ids"), array().cast("array<long>")))
+              .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+              .withColumn("n_bpe_unk", coalesce(col("n_bpe_unk"), lit(0L)))
           case None => mixedOut
         }
         lenHist.foreach { h =>

@@ -168,19 +168,100 @@ class BpeSpec extends AnyFunSuite {
 
   test("encode: hand fixture — pieces match segment(), ids match the " +
     "stable vocabulary, n_tokens = |pieces|, NULL text absent, and a " +
-    "frozen vocab missing the new text's alphabet yields unkId") {
+    "frozen vocab missing the new text's alphabet yields unkId with " +
+    "n_unk counting it") {
     val merges = Seq(("a", "b"), ("ab", "</w>"))
     val vocab = Bpe.vocabOf(Seq("a", "b", "x", "</w>"), merges)
     // vocab: </w>=0, a=1, b=2, x=3, ab=4, ab</w>=5
     val d = Seq((1L, Some("ab xab")), (2L, None), (3L, Some("q")))
       .toDF("doc_id", "text")
     val out = Bpe.encode(d, "doc_id", "text", merges, vocab)
-      .as[(Long, Seq[String], Seq[Long], Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      .as[(Long, Seq[String], Seq[Long], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(!out.contains(2L), "null-text doc must be absent")
-    assert(out(1L) == ((Seq("ab</w>", "x", "ab</w>"), Seq(5L, 3L, 5L), 3L)))
+    assert(out(1L) == ((Seq("ab</w>", "x", "ab</w>"), Seq(5L, 3L, 5L), 3L, 0L)))
     // 'q' is not in the frozen alphabet: its pieces miss the vocab
-    assert(out(3L) == ((Seq("q", "</w>"), Seq(-1L, 0L), 2L)))
+    assert(out(3L) == ((Seq("q", "</w>"), Seq(-1L, 0L), 2L, 1L)))
+  }
+
+  test("encode byte fallback: a frozen vocab with the byte pieces NEVER " +
+    "emits unk — unknown pieces decompose to UTF-8 byte pieces (emoji, " +
+    "CJK included), pieces/token_ids stay aligned, n_unk still counts; " +
+    "failOnUnk fails loud without fallback") {
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val vocab = Bpe.vocabOf(Seq("a", "b", "x", "</w>"), merges,
+      byteFallback = true)
+    val ids = Bpe.vocabIds(vocab)
+    // code points the training alphabet never saw: ASCII 'q', CJK, emoji
+    val d = Seq((1L, "ab"), (3L, "q"), (4L, "世"), (5L, "😀"))
+      .toDF("doc_id", "text")
+    val out = Bpe.encode(d, "doc_id", "text", merges, vocab,
+      byteFallback = true)
+      .as[(Long, Seq[String], Seq[Long], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // no unk id anywhere, every id resolves in the vocab
+    out.values.foreach { case (pieces, tids, n, _) =>
+      assert(tids.forall(_ >= 0L), s"unk id leaked: $tids")
+      assert(pieces.length == tids.length && n == tids.length)
+      pieces.zip(tids).foreach { case (p, t) => assert(ids(p) == t) }
+    }
+    assert(out(1L)._4 == 0L, "in-vocab text has n_unk 0")
+    // 'q' (1 byte) -> <0x71>; </w> is in vocab
+    assert(out(3L)._1 == Seq("<0x71>", "</w>") && out(3L)._4 == 1L)
+    // U+4E16 is 3 UTF-8 bytes: E4 B8 96
+    assert(out(4L)._1 == Seq("<0xE4>", "<0xB8>", "<0x96>", "</w>"))
+    // U+1F600 (emoji, supplementary) is 4 bytes: F0 9F 98 80
+    assert(out(5L)._1 == Seq("<0xF0>", "<0x9F>", "<0x98>", "<0x80>", "</w>"))
+    // failOnUnk without fallback: loud executor failure, not a -1 id
+    val ex = intercept[org.apache.spark.SparkException] {
+      Bpe.encode(d, "doc_id", "text", merges,
+        Bpe.vocabOf(Seq("a", "b", "x", "</w>"), merges),
+        failOnUnk = true).collect()
+    }
+    assert(ex.getMessage.contains("not in the frozen vocabulary") ||
+      Option(ex.getCause).exists(_.getMessage
+        .contains("not in the frozen vocabulary")))
+    // byteFallback against a vocab WITHOUT byte pieces refuses at call time
+    intercept[IllegalArgumentException] {
+      Bpe.encode(d, "doc_id", "text", merges,
+        Bpe.vocabOf(Seq("a", "b", "x", "</w>"), merges),
+        byteFallback = true)
+    }
+  }
+
+  test("trainFromVocab: incremental pair bookkeeping is bitwise the " +
+    "full-recount reference, including cp-order ties and early stop") {
+    val fixtures = Seq(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)),
+      Seq(("aaaa", 3L), ("aaab", 2L), ("abab", 4L)),
+      // cp-order tie: U+FF01 (BMP, high UTF-16 unit) vs U+10000
+      // (supplementary) — UTF-16 unit order would pick the opposite
+      Seq(("！z", 2L), ("𐀀z", 2L)),
+      Seq(("solo", 1L)) // nothing reaches minPairCount = 2 -> empty
+    )
+    for (v <- fixtures; n <- Seq(0, 1, 3, 10, 50)) {
+      val fast = Bpe.trainFromVocab(v, n)
+      val slow = Bpe.trainFromVocabRecount(v, n)
+      assert(fast == slow, s"divergence on $v at numMerges=$n")
+    }
+    // the tie itself resolves in CODE-POINT order (DuckDB's collation):
+    // U+FF01 sorts below the supplementary U+10000, though its UTF-16
+    // unit 0xFF01 sorts above the surrogate 0xD800
+    assert(Bpe.trainFromVocab(fixtures(2), 2) ==
+      Seq(("z", "</w>"), ("！", "z</w>")),
+      "tied pair must resolve by code-point order, not UTF-16 units")
+    // deterministic random fixtures: many words, overlapping pairs
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcde"
+    val randVocab = (0 until 300).map { _ =>
+      (Seq.fill(1 + rnd.nextInt(8))(alpha(rnd.nextInt(5))).mkString,
+        (1 + rnd.nextInt(9)).toLong)
+    }.distinct
+    for (n <- Seq(5, 25, 100)) {
+      assert(Bpe.trainFromVocab(randVocab, n) ==
+        Bpe.trainFromVocabRecount(randVocab, n),
+        s"random-vocab divergence at numMerges=$n")
+    }
   }
 
   test("encode rides the scan: zero shuffle exchanges in the plan, and " +
