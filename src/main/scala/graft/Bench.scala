@@ -229,6 +229,21 @@ object Bench {
       case e: Throwable =>
         (s"""{"error":"${e.getClass.getSimpleName}"}""", "{}")
     }
+    // Clustered-corpus probe regime (np << cells): planted Gaussian
+    // blobs, one quantizer cell per blob — the regime deployments run
+    // at, unmeasurable on the structureless synthetic embeddings (see
+    // AnnRecall.clusteredAudit). Publishes recall AND beam visits per
+    // query at np = 1, 2, 4 over 40 cells. Diagnostic sidecar.
+    val annClustered = try {
+      val rec = graft.operators.AnnRecall.clusteredAudit(spark)
+      spark.catalog.clearCache()
+      rec.map(r =>
+        f""""${r.path}":{"recall":${r.recall}%.4f,"cand":${r.candPerQuery}%.1f}""")
+        .mkString(s"""{"cells":40,"queries":${rec.head.queries},"k":10,""",
+          ",", "}")
+    } catch {
+      case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
     // Image near-dup tier audit: planted triples (png / jpeg / rescale)
     // through the real banded plan — recall AND false-positive axes
     // beside the wall (see ImageAudit). Diagnostic sidecar.
@@ -270,7 +285,7 @@ object Bench {
     } catch {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"multimodal":$multimodal,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
     println(line)
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")

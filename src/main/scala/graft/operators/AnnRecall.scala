@@ -36,29 +36,41 @@ object AnnRecall {
 
   /** Scratch index dirs created by [[audit]] — each holds a full corpus
     * copy as parquet shard graphs, so leaving them behind leaks a
-    * corpus copy per benchmark invocation. Deleted explicitly at the
-    * end of every audit; the JVM shutdown hook is the backstop for
-    * audits that die mid-flight. */
+    * corpus copy per benchmark invocation. Each audit tracks ITS OWN
+    * dirs in a local list and deletes exactly those at the end — a
+    * second audit running concurrently in the same JVM never has its
+    * live indexes deleted mid-flight. The global queue exists solely
+    * for the JVM shutdown hook (the backstop for audits that die
+    * mid-flight); cleaned dirs are removed from it. */
   private val scratchDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() => cleanScratch()))
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    scratchDirs.forEach(d => deleteDir(d))
+    scratchDirs.clear()
+  }))
 
-  private def scratchDir(tag: String): String = {
+  private def scratchDir(tag: String,
+                         owned: scala.collection.mutable.Buffer[String]): String = {
     val p = java.nio.file.Files.createTempDirectory(tag).toString
     scratchDirs.add(p)
+    owned += p
     p
   }
 
-  private def cleanScratch(): Unit = {
-    var d = scratchDirs.poll()
-    while (d != null) {
-      val root = java.nio.file.Paths.get(d)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      d = scratchDirs.poll()
+  private def deleteDir(d: String): Unit = {
+    val root = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
+  private def cleanScratch(owned: scala.collection.mutable.Buffer[String]): Unit = {
+    owned.foreach { d =>
+      deleteDir(d)
+      scratchDirs.remove(d)
     }
+    owned.clear()
   }
 
   /** One path's aggregate over the query sample. `possible` is the truth
@@ -97,6 +109,7 @@ object AnnRecall {
             includeTrained: Boolean = false): Seq[PathRecall] = {
     require(queryIds.nonEmpty, "empty query sample")
     require(k >= 1, "k must be >= 1")
+    val ownedScratch = scala.collection.mutable.ArrayBuffer.empty[String]
     val corpus = df.localCheckpoint(true) // one scan feeds every probe
     val queries = corpus.filter(col(idCol).isin(queryIds: _*))
       .localCheckpoint(true)
@@ -160,7 +173,7 @@ object AnnRecall {
     // quantizer as the ivf path, so the nprobe axes compare): its knob
     // trade is MORE probed cells per scan budget — each walk costs
     // ~beam visits instead of the whole cell's exact scan
-    val shardDir = scratchDir("graft-ann-shards")
+    val shardDir = scratchDir("graft-ann-shards", ownedScratch)
     GraphShards.buildShardedIndex(corpus, idCol, vecCol,
       Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
         centroidEvery), shardDir)
@@ -186,7 +199,7 @@ object AnnRecall {
     // operate at np << cells; GraphShardsSpec pins that pruning is real
     // (behavioral partition-pruning proof), this row publishes the
     // recall a deployment gets when it refuses to trade recall at all.
-    val shardProdDir = scratchDir("graft-ann-shards-prod")
+    val shardProdDir = scratchDir("graft-ann-shards-prod", ownedScratch)
     val prodEvery = math.max(1, nAll / 4)
     GraphShards.buildShardedIndex(corpus, idCol, vecCol,
       Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
@@ -207,7 +220,7 @@ object AnnRecall {
     // SERVED recall/cost point. The saturating probe is exactness-
     // pinned on both indexes (StreamGraphShardsSpec); this row
     // measures the production knobs.
-    val streamDir = scratchDir("graft-ann-stream-shards")
+    val streamDir = scratchDir("graft-ann-stream-shards", ownedScratch)
     locally {
       val cuts = corpus.stat.approxQuantile(idCol,
         Array(0.5, 0.75, 0.875), 0.0).map(_.toLong)
@@ -240,7 +253,7 @@ object AnnRecall {
     // the frontier table carries the cell-size axis too. The ivf_lc row
     // probes HALF the cells (nprobe 1 vs 2) and still scans MORE rows —
     // the exact-scan cost of a big cell is the point.
-    val shardLcDir = scratchDir("graft-ann-shards-lc")
+    val shardLcDir = scratchDir("graft-ann-shards-lc", ownedScratch)
     GraphShards.buildShardedIndex(corpus, idCol, vecCol,
       Similarity.centroidsOf(Similarity.withNorm(corpus, vecCol), idCol,
         lcEvery), shardLcDir)
@@ -262,7 +275,7 @@ object AnnRecall {
     // regime where insert order could plausibly bite). Same bootstrap
     // surface — the coarse quantizer is just the centroid table handed
     // to bootstrap.
-    val streamLcDir = scratchDir("graft-ann-stream-shards-lc")
+    val streamLcDir = scratchDir("graft-ann-stream-shards-lc", ownedScratch)
     locally {
       val cuts = corpus.stat.approxQuantile(idCol,
         Array(0.5, 0.75, 0.875), 0.0).map(_.toLong)
@@ -294,7 +307,7 @@ object AnnRecall {
     // this row publishes the resharding trade the operator's spec pins
     // only at saturating knobs: what production probing pays (or not)
     // after the quantizer refined itself online.
-    val streamSplitDir = scratchDir("graft-ann-stream-split")
+    val streamSplitDir = scratchDir("graft-ann-stream-split", ownedScratch)
     locally {
       val cuts = corpus.stat.approxQuantile(idCol,
         Array(0.5, 0.75, 0.875), 0.0).map(_.toLong)
@@ -345,7 +358,7 @@ object AnnRecall {
     // every scratch read above is already forced (the measure() calls
     // in strideTier are eager; the trained tier below reads no scratch
     // index) — free the corpus-copy index dirs before returning
-    cleanScratch()
+    cleanScratch(ownedScratch)
     if (!includeTrained) strideTier
     else {
       // trained twins at the SAME codebook sizes as the stride tiers
@@ -400,5 +413,78 @@ object AnnRecall {
         measure("pq_adc_trained", adcT(k), adcT(nAll).count()),
         measure("pq_adc_trained_rerank", rerankT(k), rerankT(pqCand).count()))
     }
+  }
+
+  /** CLUSTERED-corpus probe-regime audit — the np ≪ cells regime real
+    * deployments run at, unmeasurable on the structureless synthetic
+    * embeddings (there, probe recall caps ≈ nprobe/cells because a
+    * query's neighbors scatter uniformly over cells; the
+    * `graph_sharded_prod` row documents the saturating-probe workaround).
+    * This plants the structure: `nClusters` Gaussian blobs (unit-normal
+    * centers, per-dim σ `sigma` — tight, so a query's true top-k lives
+    * in its OWN blob) with ids laid out cluster-major, so the stride
+    * quantizer's sample (`every = perCluster`) lands exactly one
+    * centroid per planted blob — the audit isolates the PROBE regime,
+    * not codebook training (the trained tiers cover that axis).
+    * Publishes one [[PathRecall]] per `nprobes` entry
+    * (`graph_sharded_np<n>`), recall beside measured beam visits per
+    * query — the number that shows np=1-2 reaching ~full recall at a
+    * small fraction of the saturating probe's scan cost. */
+  def clusteredAudit(spark: org.apache.spark.sql.SparkSession,
+                     nClusters: Int = 40, perCluster: Int = 50,
+                     dim: Int = 32, k: Int = 10, nQueries: Int = 64,
+                     nprobes: Seq[Int] = Seq(1, 2, 4),
+                     ef: Int = 32, sigma: Double = 0.08): Seq[PathRecall] = {
+    require(nClusters >= 2 && perCluster > k,
+      "need >= 2 clusters and more points per cluster than k")
+    import spark.implicits._
+    val rnd = new java.util.Random(42)
+    def gauss(): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    val centers = Array.fill(nClusters)(gauss())
+    val rows = for (c <- 0 until nClusters; i <- 0 until perCluster) yield {
+      val g = gauss()
+      ((c * perCluster + i).toLong,
+        centers(c).indices.map(d => (centers(c)(d) + sigma * g(d)).toFloat))
+    }
+    val ownedScratch = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val corpus = rows.toDF("vec_id", "embedding").repartition(8)
+        .localCheckpoint(true)
+      val total = nClusters.toLong * perCluster
+      val qids = (1 to nQueries).map(i => (total * i) / (nQueries + 1))
+        .distinct
+      val queries = corpus.filter(col("vec_id").isin(qids: _*))
+        .localCheckpoint(true)
+      val truth: Map[Long, Set[Long]] =
+        Similarity.knnJoin(corpus, queries, "vec_id", "embedding", k)
+          .select(col("qid"), col("vec_id")).collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val dir = scratchDir("graft-ann-clustered", ownedScratch)
+      GraphShards.buildShardedIndex(corpus, "vec_id", "embedding",
+        Similarity.centroidsOf(Similarity.withNorm(corpus, "embedding"),
+          "vec_id", perCluster), dir)
+      nprobes.map { np =>
+        val got = GraphShards.shardedTopKBatch(queries, "vec_id",
+          "embedding", dir, k, nprobe = np, ef = ef)
+          .select(col("qid").cast("long"), col("vec_id").cast("long"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        var hits = 0L
+        var possible = 0L
+        qids.foreach { q =>
+          val t = truth.getOrElse(q, Set.empty)
+          possible += t.size
+          hits += got.getOrElse(q, Set.empty).intersect(t).size
+        }
+        val cost = GraphShards.shardedCandidates(queries, "vec_id",
+          "embedding", dir, nprobe = np, ef = ef, excludeSelf = true)
+          .groupBy("qid", "cell").agg(first("visits").as("v"))
+          .agg(coalesce(sum("v"), lit(0L))).head().getLong(0)
+        PathRecall(s"graph_sharded_np$np", qids.size, k, hits, possible,
+          if (possible == 0) 0d else hits.toDouble / possible,
+          cost.toDouble / qids.size)
+      }
+    } finally cleanScratch(ownedScratch)
   }
 }

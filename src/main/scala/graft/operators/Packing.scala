@@ -230,6 +230,55 @@ object Packing {
     (cum, out)
   }
 
+  /** PER-PACK CONCATENATED TOKEN STREAMS — the tensor-shaped artifact a
+    * dataloader actually reads, not just the pack ASSIGNMENT: documents
+    * are packed by [[packGlobalByBudget]]'s global contiguous policy
+    * (weight = |ids| + 1, counting each document's trailing separator),
+    * then every pack materializes ONE row whose `token_ids` is the
+    * in-order concatenation of its member documents' ids, each followed
+    * by `sepId` (the EOS/document-separator id — by convention one past
+    * the vocabulary, the slot a trainer's embedding table appends; it
+    * must not collide with a real id).
+    *
+    * Output: (pack_id, token_ids, n_docs, n_tokens), n_tokens =
+    * |token_ids| including separators. Determinism: `(shardCol,
+    * orderCol)` must be a global total order (the [[packGlobalByBudget]]
+    * contract) — it orders both the packing prefix sum and the
+    * concatenation.
+    *
+    * Scale shape: the ids cross exactly TWO exchanges — the shard-keyed
+    * window (reused by the join) and the pack groupBy — which is the
+    * irreducible cost of writing training files (the artifact IS the
+    * token stream); each output row is ~budget ids (an oversize
+    * document overflows its pack rather than splitting, same as the
+    * assignment operator), so per-row memory is bounded by budget +
+    * max-document, never by corpus. */
+  def packTokenStreams(encoded: DataFrame, shardCol: String,
+                       orderCol: String, idsCol: String, budget: Long,
+                       sepId: Long): DataFrame = {
+    val wCol = Iterator.from(0)
+      .map(i => if (i == 0) "_w" else s"_w$i")
+      .find(n => !encoded.columns.contains(n)).get
+    val weighted = encoded.withColumn(wCol,
+      (coalesce(size(col(idsCol)), lit(0)) + 1).cast("long"))
+    val packed = packGlobalByBudget(weighted, shardCol, orderCol, wCol,
+      budget)
+    packed
+      .groupBy(col("pack_id"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(
+            col(shardCol).as("s"),
+            col(orderCol).as("o"),
+            concat(coalesce(col(idsCol), array().cast("array<long>")),
+              array(lit(sepId))).as("t")))),
+          x => x.getField("t"))).as("token_ids"),
+        count(lit(1)).as("n_docs"),
+        sum(col(wCol)).as("n_tokens"))
+      .select(col("pack_id"), col("token_ids"), col("n_docs"),
+        col("n_tokens"))
+  }
+
   /** Per-pack summary: (partCols..., pack_id, n_docs, pack_weight). */
   def packSummary(df: DataFrame, orderCol: String, weightCol: String,
                   partCols: Seq[String], budget: Long): DataFrame =

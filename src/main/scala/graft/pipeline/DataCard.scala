@@ -27,6 +27,25 @@ import graft.operators.{Components, Dedup, Redact}
   */
 object DataCard {
 
+  /** MEDIA section — [[MediaCuration.Report]]'s per-stage counts carried
+    * verbatim (each field IS the audited funnel stage's count), plus the
+    * survivor rate in integer milli. A multimodal release card without
+    * the byte-column funnel's numbers is incomplete. */
+  final case class MediaSection(
+      nInput: Long, nAfterSize: Long, nAfterExact: Long,
+      nAfterImageDedup: Long, nAfterAudioDedup: Long, nOut: Long) {
+    def keepRateMilli: Long = if (nInput <= 0) 0L else nOut * 1000 / nInput
+  }
+
+  /** TOKENIZER section — the frozen artifact's shape
+    * ([[graft.operators.Bpe.saveTokenizer]]'s tables: merge count, vocab
+    * size) plus the drift telemetry OBSERVED when encoding this corpus
+    * under it ([[graft.operators.Bpe.encode]]'s n_unk / n_tokens sums):
+    * a release note must say which tokenizer the token counts are
+    * denominated in and whether any text fell outside its vocabulary. */
+  final case class TokenizerSection(
+      nMerges: Long, vocabSize: Long, nBpeTokens: Long, nUnkPieces: Long)
+
   final case class Card(
       nDocs: Long, nTokens: Long, nChars: Long,
       langDocs: Map[String, Long], sourceDocs: Map[String, Long],
@@ -35,7 +54,36 @@ object DataCard {
       dupChunkDocs: Long, urlDocs: Long = 0L, linkDensityMilli: Long = 0L,
       qualityPosMilli: Long = -1L,
       sourceQualityMilli: Map[String, Long] = Map.empty,
-      tokenQuantiles: Map[Int, Long] = Map.empty)
+      tokenQuantiles: Map[Int, Long] = Map.empty,
+      media: Option[MediaSection] = None,
+      tokenizer: Option[TokenizerSection] = None)
+
+  /** Attach the media funnel's numbers — the report is already the
+    * audited statistic, so the card carries it field for field. */
+  def withMedia(card: Card, report: MediaCuration.Report): Card =
+    card.copy(media = Some(MediaSection(
+      nInput = report.nInput, nAfterSize = report.nAfterSize,
+      nAfterExact = report.nAfterExact,
+      nAfterImageDedup = report.nAfterImageDedup,
+      nAfterAudioDedup = report.nAfterAudioDedup, nOut = report.nOut)))
+
+  /** Compute and attach the tokenizer section: artifact shape from the
+    * merge/vocab tables themselves, observed totals from ONE
+    * [[graft.operators.Bpe.encode]] aggregate over the corpus (in-scan,
+    * two longs shuffle). */
+  def withTokenizer(card: Card, docs: DataFrame, idCol: String,
+                    textCol: String,
+                    merges: Seq[graft.operators.Bpe.Merge],
+                    vocab: Seq[String],
+                    byteFallback: Boolean = false): Card = {
+    val enc = graft.operators.Bpe.encode(docs, idCol, textCol, merges,
+      vocab, byteFallback = byteFallback)
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)),
+        coalesce(sum(col("n_unk")), lit(0L))).head()
+    card.copy(tokenizer = Some(TokenizerSection(
+      nMerges = merges.size.toLong, vocabSize = vocab.size.toLong,
+      nBpeTokens = enc.getLong(0), nUnkPieces = enc.getLong(1))))
+  }
 
   /** Build the card. `thresholdMilli` is the near-dup bar (q41's
     * convention); `span`/`minDocs` the duplicate-span knobs (q62's). */
@@ -207,7 +255,21 @@ object DataCard {
       card.sourceQualityMilli.toSeq.sortBy(_._1)
         .map { case (k, v) => s"source_quality_milli.$k" -> v } ++
       card.tokenQuantiles.toSeq.sortBy(_._1)
-        .map { case (p, v) => s"token_quantiles.p$p" -> v }
+        .map { case (p, v) => s"token_quantiles.p$p" -> v } ++
+      card.media.toSeq.flatMap { m =>
+        Seq("media.n_input" -> m.nInput, "media.n_after_size" -> m.nAfterSize,
+          "media.n_after_exact" -> m.nAfterExact,
+          "media.n_after_image_dedup" -> m.nAfterImageDedup,
+          "media.n_after_audio_dedup" -> m.nAfterAudioDedup,
+          "media.n_out" -> m.nOut,
+          "media.keep_rate_milli" -> m.keepRateMilli)
+      } ++
+      card.tokenizer.toSeq.flatMap { t =>
+        Seq("tokenizer.n_merges" -> t.nMerges,
+          "tokenizer.vocab_size" -> t.vocabSize,
+          "tokenizer.n_bpe_tokens" -> t.nBpeTokens,
+          "tokenizer.n_unk_pieces" -> t.nUnkPieces)
+      }
     rows.toDF("metric", "value")
   }
 }

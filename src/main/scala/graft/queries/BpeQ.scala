@@ -373,5 +373,75 @@ object BpeQ {
       .orderBy("doc_id", "pos")
   }
 
-  val all: Seq[Q] = Seq(q126, q127, q129, q131)
+  /** q132: PER-PACK CONCATENATED TOKEN STREAMS
+    * ([[Packing.packTokenStreams]]) — the tensor-shaped loader artifact
+    * q127 stopped short of: q127's BPE-budgeted global pack ASSIGNMENT
+    * (same epoch shuffle seed 7 / 8 shards, weight = n_pieces + 1
+    * counting each document's trailing separator, budget 700) with every
+    * pack's actual token-id stream materialized — member documents
+    * concatenated in the global (shard, ek, doc_id) order, each followed
+    * by the separator id (one past the vocabulary: |alphabet| +
+    * |trained merges|). The oracle replays training, segmentation, ids,
+    * the shuffle key, the global prefix sum AND the concatenation,
+    * position by position. */
+  val q132 = Q(
+    "q132_bpe_pack_streams",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM documents),
+       |pcs AS (SELECT t.doc_id, t.tp, f.syms
+       |        FROM tokq t JOIN fin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(syms) AS piece,
+       |                unnest(range(1, len(syms) + 1)) AS sp FROM pcs),
+       |docids AS (SELECT f.doc_id, v.vid,
+       |                  row_number() OVER (PARTITION BY f.doc_id
+       |                    ORDER BY f.tp, f.sp) AS dp
+       |           FROM flat f JOIN voc v ON v.piece = f.piece),
+       |$cntCte,
+       |sepv AS (SELECT na.n + (SELECT CAST(COUNT(*) AS BIGINT) FROM mg)
+       |           AS sep FROM na),
+       |k AS (SELECT d.doc_id, c.n_pieces + 1 AS w,
+       |             (${sqlHash("'7:' || CAST(d.doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM documents d JOIN cnt c ON c.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard, w
+       |      FROM k),
+       |ww AS (SELECT doc_id, ek, shard, w,
+       |         SUM(w) OVER (ORDER BY shard, ek, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM s),
+       |pk AS (SELECT doc_id, ek, shard, w,
+       |              CAST((cum - w) // 700 AS BIGINT) AS pack_id FROM ww),
+       |tok2 AS (SELECT doc_id, vid, dp FROM docids
+       |         UNION ALL
+       |         SELECT p.doc_id, (SELECT sep FROM sepv) AS vid,
+       |                p.w AS dp
+       |         FROM pk p),
+       |expl AS (SELECT p.pack_id, p.shard, p.ek, t.doc_id, t.dp, t.vid
+       |         FROM tok2 t JOIN pk p USING (doc_id)),
+       |outp AS (SELECT pack_id,
+       |                CAST(row_number() OVER (PARTITION BY pack_id
+       |                  ORDER BY shard, ek, doc_id, dp) - 1 AS BIGINT)
+       |                  AS pos,
+       |                vid AS token_id FROM expl)
+       |SELECT pack_id, pos, token_id FROM outp
+       |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
+      .select(col("doc_id"), col("token_ids"))
+    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
+      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    Packing.packTokenStreams(e, "shard", "pos", "token_ids",
+      budget = 700L, sepId = vocab.length.toLong)
+      .select(col("pack_id"), posexplode(col("token_ids")))
+      .select(col("pack_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+      .orderBy("pack_id", "pos")
+  }
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q131, q132)
 }

@@ -10,10 +10,18 @@ import graft.store.Snapshots
   * ([[IncrementalImageDedup]], [[IncrementalAudioDedup]]): band a
   * (id, hash) signature table 4×16, drop rows whose bucket is claimed by
   * ANOTHER id whose stored hash verifies at `maxHamming` (or by a
-  * smaller near id within the batch), then claim the batch's unclaimed
-  * buckets first-writer-wins with the claimant's hash attached —
-  * replay-stable, O(batch) deltas, depth-triggered compaction. The
-  * modality owns only the DECODE + HASH step. */
+  * SMALLER NEAR id within the batch — any smaller id whose hash
+  * verifies, not merely the bucket minimum, so a chance band collision
+  * parking an unrelated minimum in the bucket cannot hide a real
+  * near-dup pair behind it), then claim the batch's unclaimed buckets
+  * first-writer-wins with the claimant's hash attached — replay-stable,
+  * O(batch) deltas, depth-triggered compaction. The within-batch check
+  * runs collapsed (identical hashes fold to their min-id representative
+  * first; only DISTINCT hashes meet in the pairwise bucket probe), so
+  * the single-batch survivor set matches the batch tier
+  * ([[graft.multimodal.Banded64.pairs]] + min-id keep) at linear cost
+  * even when one signature floods a bucket. The modality owns only the
+  * DECODE + HASH step. */
 private[streaming] final class IncrementalBanded64(
     spark: SparkSession, root: String, compactEvery: Int, maxHamming: Int) {
   require(maxHamming >= 0 && maxHamming <= 64,
@@ -46,12 +54,31 @@ private[streaming] final class IncrementalBanded64(
     val storeDup = bands.join(snaps.read(), "bkey")
       .filter(col("claimant") =!= col("id") && near(col("h"), col("chash")))
       .select("id")
+    // within-batch: smallest NEAR id wins. Identical hashes collapse to
+    // their min-id representative (hamming 0 — every non-rep drops);
+    // DISTINCT hashes probe buckets pairwise among representatives only,
+    // so an unrelated bucket minimum can never mask a real pair and the
+    // m-copy pileup stays linear (the Banded64 pre-collapse discipline).
+    // Completeness of the rep-only probe: a near smaller NON-rep y has
+    // rep(y) ≤ y with the SAME hash — same distance, same buckets — so
+    // rep(y) already witnesses the drop.
+    val reps = hashes.groupBy("h").agg(min(col("id")).as("_rep"))
+      .localCheckpoint(true)
+    val sameHashDup = hashes.join(reps, "h")
+      .filter(col("id") =!= col("_rep")).select("id")
+    val repBands = bands.join(
+      reps.select(col("_rep").as("id")), Seq("id"), "left_semi")
+    val crossDup = repBands.as("x")
+      .join(repBands.as("y"),
+        col("x.bkey") === col("y.bkey") && col("y.id") < col("x.id"))
+      .filter(near(col("x.h"), col("y.h")))
+      .select(col("x.id").as("id"))
+    val batchDup = sameHashDup.unionAll(crossDup)
+    // claims stay one-per-bucket, keyed by the bucket's min id (with its
+    // hash) — the cross-batch single-claimant semantics, unchanged
     val batchMin = bands.groupBy("bkey")
       .agg(min_by(struct(col("id"), col("h")), col("id")).as("m"))
       .select(col("bkey"), col("m.id").as("min_id"), col("m.h").as("mhash"))
-    val batchDup = bands.join(batchMin, "bkey")
-      .filter(col("id") > col("min_id") && near(col("h"), col("mhash")))
-      .select("id")
     val dropIds = storeDup.unionAll(batchDup).distinct()
       .withColumnRenamed("id", "_drop_id")
     val kept = batch.join(dropIds,

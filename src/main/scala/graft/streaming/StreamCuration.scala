@@ -162,8 +162,12 @@ object StreamCuration {
               lengthHist: Boolean = false,
               bpeTokenizer: Option[(Seq[graft.operators.Bpe.Merge],
                 Seq[String])] = None,
+              bpePackBudget: Option[Long] = None,
+              onPackStreams: Option[(DataFrame, Long) => Unit] = None,
               onReport: Option[BatchReport => Unit] = None)
       : (DataFrame, Long) => DataFrame = {
+    require(bpePackBudget.isEmpty || bpeTokenizer.isDefined,
+      "bpePackBudget requires bpeTokenizer (the ids being packed)")
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.WidePolyHash.ensureRegistered(spark)
     graft.functions.TokenStats.ensureRegistered(spark)
@@ -420,6 +424,18 @@ object StreamCuration {
               .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
               .withColumn("n_bpe_unk", coalesce(col("n_bpe_unk"), lit(0L)))
           case None => mixedOut
+        }
+        // per-batch PACK STREAM emission — [[graft.operators.Packing
+        // .packTokenStreams]] over the batch's shipped ids (one shard,
+        // id order: a micro-batch is one training-file segment), fed to
+        // the sink like the report; replay-stable because the batch's
+        // survivor set and ids are
+        for (budget <- bpePackBudget; sink <- onPackStreams;
+             (_, vocab) <- bpeTokenizer) {
+          val enc = out.select(col(idCol), col("token_ids"))
+            .withColumn("_pack_shard", lit(0L))
+          sink(graft.operators.Packing.packTokenStreams(enc, "_pack_shard",
+            idCol, "token_ids", budget, vocab.length.toLong), batchId)
         }
         lenHist.foreach { h =>
           h.observe(out.select(graft.functions.TokenStats(col(textCol))

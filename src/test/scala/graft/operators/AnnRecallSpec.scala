@@ -126,4 +126,24 @@ class AnnRecallSpec extends AnyFunSuite {
       s"distributed-trained recall ${byPath("ivf_dtrained")} below the " +
         s"UNTRAINED stride codebook ${byPath("ivf")} — training bought nothing")
   }
+
+  test("clustered corpus: np << cells reaches >= 0.9 recall at a " +
+    "fraction of the all-cells scan cost — the probe regime the " +
+    "structureless corpus cannot measure") {
+    val rec = graft.operators.AnnRecall.clusteredAudit(spark,
+      nClusters = 12, perCluster = 30, dim = 16, k = 5, nQueries = 24,
+      nprobes = Seq(1, 2, 12), ef = 16)
+    val byPath = rec.map(r => r.path -> r).toMap
+    val np1 = byPath("graph_sharded_np1")
+    val np2 = byPath("graph_sharded_np2")
+    val sat = byPath("graph_sharded_np12") // every cell probed
+    assert(np1.recall >= 0.9,
+      s"np=1 over 12 planted clusters must find the home blob: $np1")
+    assert(np2.recall >= 0.95, s"np=2: $np2")
+    assert(np1.candPerQuery * 3 < sat.candPerQuery,
+      s"np=1 must cost well under the saturating probe: " +
+        s"${np1.candPerQuery} vs ${sat.candPerQuery}")
+    assert(sat.recall >= np1.recall - 1e-9,
+      "probing every cell can only help recall")
+  }
 }

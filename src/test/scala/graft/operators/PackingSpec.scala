@@ -201,4 +201,42 @@ class PackingSpec extends AnyFunSuite {
         "shard", "pos", "tok", 10L)
     }
   }
+
+  test("packTokenStreams: per-pack concatenated ids in global order, a " +
+    "separator after every document, weights count the separator, " +
+    "oversize docs overflow without splitting") {
+    import org.apache.spark.sql.functions.col
+    // shard 0: docs a(3 ids), b(2), c(5); shard 1: d(1), e(9 — oversize)
+    val rows = Seq(
+      (0L, 1L, Seq(10L, 11L, 12L)),
+      (0L, 2L, Seq(20L, 21L)),
+      (0L, 3L, Seq(30L, 31L, 32L, 33L, 34L)),
+      (1L, 1L, Seq(40L)),
+      (1L, 2L, (0 until 9).map(i => 50L + i))
+    ).toDF("shard", "pos", "token_ids")
+    // weights (incl. separator 99): 4, 3, 6, 2, 10; global prefix:
+    // 0,4,7,13,15 -> budget 8 packs: 0,0,0,1,1
+    val out = Packing.packTokenStreams(rows, "shard", "pos", "token_ids",
+      budget = 8L, sepId = 99L)
+      .orderBy("pack_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 2)
+    assert(out(0) == ((0L,
+      Seq(10L, 11L, 12L, 99L, 20L, 21L, 99L, 30L, 31L, 32L, 33L, 34L, 99L),
+      3L, 13L)), s"pack 0 stream wrong: ${out(0)}")
+    assert(out(1) == ((1L,
+      Seq(40L, 99L) ++ (0 until 9).map(i => 50L + i) :+ 99L,
+      2L, 12L)), s"pack 1 stream wrong: ${out(1)}")
+    // parity with the assignment operator: same docs per pack_id
+    val assign = Packing.packGlobalByBudget(
+      rows.withColumn("_w",
+        (org.apache.spark.sql.functions.size(col("token_ids")) + 1)
+          .cast("long")),
+      "shard", "pos", "_w", 8L)
+      .select("shard", "pos", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(assign == Map((0L, 1L) -> 0L, (0L, 2L) -> 0L, (0L, 3L) -> 0L,
+      (1L, 1L) -> 1L, (1L, 2L) -> 1L))
+  }
 }

@@ -153,4 +153,65 @@ class DataCardSpec extends AnyFunSuite {
     assert(m.keys.count(_.startsWith("source_quality_milli.")) ==
       card.sourceQualityMilli.size)
   }
+
+  test("media + tokenizer sections: every field pins to its component " +
+    "operator (MediaCuration.Report verbatim; Bpe.encode totals), off " +
+    "by default, flattened by toDF") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = DataCard.build(docs, "doc_id", "text", "lang", "source",
+      thresholdMilli = 500)
+    assert(base.media.isEmpty && base.tokenizer.isEmpty,
+      "sections must be opt-in")
+    // media: the report IS the operator's audited output — field-for-field
+    def png(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.setRGB(x, y, ((x * 8 + seed * 37) % 256) << 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, png(1)), (2L, png(1)), (3L, png(2)),
+      (4L, Array.empty[Byte])).toDF("media_id", "media")
+    val (_, report) = MediaCuration.curate(media, "media", "media_id")
+    val withM = DataCard.withMedia(base, report)
+    val ms = withM.media.get
+    assert(ms.nInput == report.nInput && ms.nAfterSize == report.nAfterSize &&
+      ms.nAfterExact == report.nAfterExact &&
+      ms.nAfterImageDedup == report.nAfterImageDedup &&
+      ms.nAfterAudioDedup == report.nAfterAudioDedup &&
+      ms.nOut == report.nOut)
+    assert(ms.keepRateMilli == report.nOut * 1000 / report.nInput)
+    // tokenizer: artifact shape + observed encode totals, re-derived here
+    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 10)
+    val vocab = graft.operators.Bpe.vocabOf(
+      graft.operators.Bpe.alphabetOf(docs, "text"), merges)
+    val card = DataCard.withTokenizer(withM, docs, "doc_id", "text",
+      merges, vocab)
+    val ts = card.tokenizer.get
+    assert(ts.nMerges == merges.size.toLong &&
+      ts.vocabSize == vocab.size.toLong)
+    val direct = graft.operators.Bpe.encode(docs, "doc_id", "text",
+      merges, vocab)
+      .agg(sum(col("n_tokens")), sum(col("n_unk"))).head()
+    assert(ts.nBpeTokens == direct.getLong(0) && ts.nBpeTokens > 0)
+    assert(ts.nUnkPieces == direct.getLong(1) && ts.nUnkPieces == 0L,
+      "the training corpus encodes unk-free under its own vocab")
+    // toDF flattens both sections; absent on the base card
+    val flat = DataCard.toDF(spark, card).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("media.n_input") == ms.nInput &&
+      flat("media.n_after_exact") == ms.nAfterExact &&
+      flat("media.n_out") == ms.nOut &&
+      flat("media.keep_rate_milli") == ms.keepRateMilli)
+    assert(flat("tokenizer.n_merges") == ts.nMerges &&
+      flat("tokenizer.vocab_size") == ts.vocabSize &&
+      flat("tokenizer.n_bpe_tokens") == ts.nBpeTokens &&
+      flat("tokenizer.n_unk_pieces") == ts.nUnkPieces)
+    val flatBase = DataCard.toDF(spark, base).collect().map(_.getString(0))
+    assert(!flatBase.exists(k => k.startsWith("media.") ||
+      k.startsWith("tokenizer.")))
+  }
 }

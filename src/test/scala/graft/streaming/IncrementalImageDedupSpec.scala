@@ -116,4 +116,41 @@ class IncrementalImageDedupSpec extends AnyFunSuite {
       s"survivor counts diverge: streamed $streamed vs batch $batch")
     assert(streamed == Set(1L, 4L, 5L), s"streamed keep set: $streamed")
   }
+
+  test("within-batch: an unrelated bucket MINIMUM cannot mask a real " +
+    "near-dup pair (smallest NEAR id wins), and an identical-hash " +
+    "pileup collapses linearly to its representative") {
+    val root = Files.createTempDirectory("graft-banded-mask").toString
+    val core = new IncrementalBanded64(spark, root, compactEvery = 16,
+      maxHamming = 3)
+    core.init()
+    // a / a2: hamming 3 (one flipped bit in each of bands 1, 2, 3) —
+    // they share ONLY the band-0 bucket. m: same band-0 key, 8 flipped
+    // band-3 bits (unrelated to both), SMALLER id — the old per-bucket
+    // min test verified 2 and 3 against m alone and kept both.
+    val a = 0x1234L
+    val a2 = a ^ (1L << 20) ^ (1L << 36) ^ (1L << 52)
+    val m = a ^ (0xFFL << 48)
+    val kept = core.filterAndClaim(
+      Seq(1L, 2L, 3L).toDF("media_id"),
+      Seq((1L, m), (2L, a), (3L, a2)).toDF("id", "h"),
+      "media_id").select("media_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L),
+      s"3 near-dups 2 and must drop despite the unrelated bucket min: $kept")
+
+    val root2 = Files.createTempDirectory("graft-banded-pile").toString
+    val core2 = new IncrementalBanded64(spark, root2, compactEvery = 16,
+      maxHamming = 3)
+    core2.init()
+    val n = 10000
+    val pile = (0 until n).map(i => (100L + i, 0x5a5aL)) :+
+      ((900000L, 0x5a5aL ^ 3L)) // hamming-2 near variant
+    val kept2 = core2.filterAndClaim(
+      pile.map(_._1).toDF("media_id"),
+      pile.toDF("id", "h"),
+      "media_id").select("media_id").as[Long].collect().toSet
+    assert(kept2 == Set(100L),
+      s"pile must collapse to its min-id rep and catch the variant: " +
+        s"${kept2.take(5)}... (${kept2.size})")
+  }
 }

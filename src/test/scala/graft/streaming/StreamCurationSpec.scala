@@ -241,6 +241,46 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(replay == got, "replay diverged under the frozen tokenizer")
   }
 
+  test("bpePackBudget twin: per-batch pack streams match a direct " +
+    "packTokenStreams over the shipped ids (separator = |vocab|), and " +
+    "replay emits identical streams") {
+    val stateDir = Files.createTempDirectory("graft-scur-pack").toString
+    val b1 = Seq((1L, "aa bb aa cc", "s0"), (2L, "dd ee", "s0"),
+      (3L, "aa aa bb bb cc", "s0")).toDF("doc_id", "text", "source")
+    val merges = graft.operators.Bpe.train(b1, "text", numMerges = 6)
+    val vocab = graft.operators.Bpe.vocabOf(
+      graft.operators.Bpe.alphabetOf(b1, "text"), merges)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[Long, (Seq[Long], Long, Long)])]
+    val curate = StreamCuration.curator(spark, evalDocs.limit(0), stateDir,
+      bpeTokenizer = Some((merges, vocab)),
+      bpePackBudget = Some(9L),
+      onPackStreams = Some((df, bid) => emitted +=
+        bid -> df.collect().map(r => r.getLong(0) ->
+          ((r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap),
+      repetitionTopBigramMilli = 1001)
+    val shipped = curate(b1, 0L).localCheckpoint(true)
+    assert(emitted.size == 1 && emitted.head._1 == 0L)
+    // direct twin over the SHIPPED rows, same shard/order/sep convention
+    val want = graft.operators.Packing.packTokenStreams(
+      shipped.select(col("doc_id"), col("token_ids"))
+        .withColumn("_pack_shard", org.apache.spark.sql.functions.lit(0L)),
+      "_pack_shard", "doc_id", "token_ids", 9L, vocab.length.toLong)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+    assert(emitted.head._2 == want, s"${emitted.head._2} vs $want")
+    assert(emitted.head._2.values.exists(_._1.contains(vocab.length.toLong)),
+      "separator id must appear in the streams")
+    curate(b1, 0L).count()
+    assert(emitted.size == 2 && emitted(1)._2 == emitted.head._2,
+      "replayed batch must emit identical pack streams")
+    // budget without tokenizer refuses at construction
+    intercept[IllegalArgumentException] {
+      StreamCuration.curator(spark, evalDocs.limit(0), stateDir + "x",
+        bpePackBudget = Some(9L))
+    }
+  }
+
   test("funnel composed with the VERIFIED embed tier: drops only certified " +
     "embedding near-dups, passes NULL vectors, replays stable") {
     val stateDir = Files.createTempDirectory("graft-scur3").toString
