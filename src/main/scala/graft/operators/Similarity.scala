@@ -95,9 +95,12 @@ object Similarity {
     * disagreement is angle/π, so genuinely-near vectors (cos → 1)
     * disagree on few planes and land inside the radius with SRP-LSH's
     * standard odds. Candidate volume on a random corpus is
-    * ~4·C(n,2)·2⁻¹⁶ (4 bands × pair-collision odds 2⁻¹⁶ each; the
-    * former 8-bit bands admitted ~4·C(n,2)·2⁻⁸ — see SCALE.md's
-    * banded-tier policy).
+    * ~4·C(d,2)·2⁻¹⁶ across d DISTINCT signatures plus m−1 star
+    * candidates per identical-signature group (4 bands ×
+    * pair-collision odds 2⁻¹⁶ each; the former 8-bit bands admitted
+    * ~4·C(n,2)·2⁻⁸ — see SCALE.md's banded-tier policy; the
+    * identical-signature pre-collapse is the same policy's
+    * quadratic-skew guard).
     *
     * Plan shape: the band self-join is IDS-ONLY — the 4× posexplode and
     * the band exchange carry (id, band, bkey) rows, 8-byte keys, never
@@ -115,16 +118,35 @@ object Similarity {
       .select(col(idCol).as("id"), col("vecd"), col("norm"),
         graft.functions.HyperplaneSig(col("vecd")).as("hsig"))
       .localCheckpoint(true)
-    val bands = sig.select(col("id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("hsig"), b * 16).bitwiseAND(lit(65535L))): _*))
-        .as(Seq("band", "bkey")))
+    // identical-signature pre-collapse (the Banded64 discipline): m
+    // copies of one embedding share one 64-plane signature and would
+    // pile C(m,2) candidates — each paying a VECTOR fetch — into the
+    // same four buckets. Members route through their min-id
+    // representative as star candidates (m−1, linear); only DISTINCT
+    // signatures band. Every candidate still passes the exact-cosine
+    // verify, so precision is untouched; the edge set routes
+    // identical-signature groups through their rep.
+    // one window exchange on the signature assigns every row its
+    // group's min-id representative in place (no agg-join round trip):
+    // non-reps become star candidates map-side, reps alone feed the
+    // banding
+    val withRep = sig.select(col("id"), col("hsig"))
+      .withColumn("_rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("hsig"))))
+    val starCand = withRep.filter(col("id") =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col("id").as("id_b"))
+    val bands = withRep.filter(col("id") === col("_rep"))
+      .select(col("id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("hsig"), b * 16).bitwiseAND(lit(65535L))): _*))
+          .as(Seq("band", "bkey")))
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      .unionAll(starCand)
     cand
       .join(sig.select(col("id").as("id_a"), col("vecd").as("_va"),
         col("norm").as("_na")), "id_a")

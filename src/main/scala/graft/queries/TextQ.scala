@@ -191,22 +191,31 @@ object TextQ {
     val sigAggs = (0 until 16).map(k =>
       s"MIN((${MinhashA(k)} * h + ${MinhashB(k)}) % $P) AS sig_$k")
       .mkString(",\n              ")
+    val sigCols = (0 until 16).map(k => s"sig_$k").mkString(", ")
+    val sigEq = (0 until 16).map(k => s"s.sig_$k = gp.sig_$k")
+      .mkString(" AND ")
     val bandSelects = (0 until 4).map { b =>
       val key = (0 until 4).map(r => s"CAST(sig_${b * 4 + r} AS VARCHAR)")
         .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+      s"SELECT rep AS doc_id, $b AS band, $key AS bkey FROM grp"
     }.mkString("\n  UNION ALL\n  ")
     s"""${shCte(withSource = false)},
        |gh AS (SELECT doc_id, ${sqlHash("g")} AS h FROM sh),
        |sig AS (SELECT doc_id,
        |              $sigAggs
        |        FROM gh GROUP BY doc_id),
+       |grp AS (SELECT $sigCols, MIN(doc_id) AS rep
+       |        FROM sig GROUP BY $sigCols),
        |bands AS (
        |  $bandSelects
        |),
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |         FROM bands x JOIN bands y
-       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |         UNION
+       |         SELECT gp.rep AS id_a, s.doc_id AS id_b
+       |         FROM sig s JOIN grp gp ON $sigEq
+       |         WHERE s.doc_id <> gp.rep),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS common
        |           FROM cand c

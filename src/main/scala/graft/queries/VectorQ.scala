@@ -542,13 +542,22 @@ object VectorQ {
        |      FROM corpus),
        |s AS (SELECT vec_id, embedding, nrm, ${sqlSig64("embedding")} AS hsig
        |      FROM n),
+       |grp AS (SELECT hsig, MIN(vec_id) AS rep FROM s GROUP BY hsig),
+       |reps AS (SELECT s.vec_id, s.embedding, s.nrm, s.hsig
+       |         FROM s JOIN grp ON s.hsig = grp.hsig AND s.vec_id = grp.rep),
+       |star AS (SELECT grp.rep AS id_a, s.vec_id AS id_b,
+       |                ROUND(${sqlDot("s.embedding", "r.embedding")} / (s.nrm * r.nrm), 6) AS cos_r
+       |         FROM s JOIN grp ON s.hsig = grp.hsig AND s.vec_id <> grp.rep
+       |         JOIN s r ON r.vec_id = grp.rep),
        |bands AS (SELECT vec_id, embedding, nrm, t.b AS band,
        |                 (hsig >> (16 * t.b)) & 65535 AS bkey
-       |          FROM s, range(0, 4) t(b)),
+       |          FROM reps, range(0, 4) t(b)),
        |p AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
        |             ROUND(${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm), 6) AS cos_r
        |      FROM bands x JOIN bands y
-       |        ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+       |        ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+       |      UNION ALL
+       |      SELECT id_a, id_b, cos_r FROM star)
        |SELECT id_a, id_b, cos_r FROM p WHERE cos_r >= 0.9
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)

@@ -228,7 +228,10 @@ class PlanSpec extends AnyFunSuite {
       }
       df.orderBy(col("id_a"), col("id_b")).collect() // drive the jobs
       org.apache.spark.GraftTestBus.flush(spark.sparkContext)
-      assert(jobs <= 8, s"q85 spent $jobs jobs (pin: <= 8)")
+      // 9, was 8 before the identical-signature pre-collapse: the one
+      // extra job is the collapse's window exchange on hsig — the
+      // linear cost that replaces the m-copy C(m,2) bucket pileup
+      assert(jobs <= 9, s"q85 spent $jobs jobs (pin: <= 9)")
     } finally spark.sparkContext.removeSparkListener(jl)
   }
 

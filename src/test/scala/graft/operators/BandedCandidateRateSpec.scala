@@ -49,4 +49,42 @@ class BandedCandidateRateSpec extends AnyFunSuite {
         s"$expected — banding regressed toward the old quadratic regime")
     assert(got > 0, "no candidates at all — banding is vacuously narrow")
   }
+
+  test("minhashPairs pileup: 10^4 copies of one page emit m-1 star " +
+    "edges, not the C(m,2) bucket clique") {
+    val m = 10000
+    val page = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"
+    val docs = ((0 until m).map(i => (i.toLong, page)) :+
+      ((500000L, "zulu yankee xray whiskey victor uniform tango sierra " +
+        "romeo quebec papa oscar november mike lima kilo")))
+      .toDF("doc_id", "text").repartition(16)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      thresholdMilli = 500).localCheckpoint(true)
+    // identical texts: every star edge verifies at jaccard 1.0; the
+    // distinct page never pairs
+    assert(pairs.count() == m - 1,
+      s"want ${m - 1} verified star edges, got ${pairs.count()}")
+    import org.apache.spark.sql.functions.col
+    assert(pairs.filter(col("id_a") =!= 0L).isEmpty,
+      "every edge must route through the min-id representative")
+    assert(pairs.filter(col("jaccard") < 1.0).isEmpty)
+  }
+
+  test("hyperplaneSigPairs pileup: 10^4 identical embeddings emit m-1 " +
+    "star edges through the representative") {
+    val m = 10000
+    val rng = new scala.util.Random(3)
+    val v = Array.fill(32)(rng.nextGaussian().toFloat)
+    val other = Array.fill(32)(rng.nextGaussian().toFloat)
+    val corpus = ((0 until m).map(i => (i.toLong, v)) :+
+      ((500000L, other))).toDF("vec_id", "embedding").repartition(16)
+    val pairs = Similarity.hyperplaneSigPairs(corpus, "vec_id",
+      "embedding", minCos = 0.99).localCheckpoint(true)
+    import org.apache.spark.sql.functions.col
+    assert(pairs.count() == m - 1,
+      s"want ${m - 1} verified star edges, got ${pairs.count()}")
+    assert(pairs.filter(col("id_a") =!= 0L).isEmpty,
+      "every edge must route through the min-id representative")
+  }
 }
