@@ -201,7 +201,11 @@ object DataCard {
       docsDelta: Long, tokensDelta: Long,
       langTvPpm: Long, sourceTvPpm: Long,
       piiRateDeltaMilli: Long, linkDensityDeltaMilli: Long = 0L,
-      qualityPosDeltaMilli: Long = 0L, medianTokensDelta: Long = 0L)
+      qualityPosDeltaMilli: Long = 0L, medianTokensDelta: Long = 0L,
+      // media/tokenizer drift — 0 when either card lacks the section
+      // (same both-releases convention as the quality delta)
+      mediaKeepRateDeltaMilli: Long = 0L,
+      unkRatePpmDelta: Long = 0L)
 
   def diff(a: Card, b: Card): CardDiff = {
     def tvPpm(ma: Map[String, Long], na: Long,
@@ -231,7 +235,26 @@ object DataCard {
         (a.tokenQuantiles.get(50), b.tokenQuantiles.get(50)) match {
           case (Some(x), Some(y)) => y - x
           case _ => 0L
-        })
+        },
+      // media funnel drift: the survivor rate's move between releases —
+      // a crawl whose duplicate mass shifted shows up here before
+      // anything downstream does
+      mediaKeepRateDeltaMilli = (a.media, b.media) match {
+        case (Some(x), Some(y)) => y.keepRateMilli - x.keepRateMilli
+        case _ => 0L
+      },
+      // tokenizer drift: observed out-of-vocabulary pieces per million
+      // BPE tokens — a rising rate means the frozen tokenizer is aging
+      // against the corpus (only meaningful when both releases encoded
+      // under a tokenizer; comparing different artifacts is the
+      // caller's judgment call, same as the quality delta)
+      unkRatePpmDelta = (a.tokenizer, b.tokenizer) match {
+        case (Some(x), Some(y)) =>
+          def ppm(t: TokenizerSection): Long =
+            if (t.nBpeTokens <= 0) 0L else t.nUnkPieces * 1000000L / t.nBpeTokens
+          ppm(y) - ppm(x)
+        case _ => 0L
+      })
   }
 
   /** The card as a tall (metric, value) frame for sinks/rendering —

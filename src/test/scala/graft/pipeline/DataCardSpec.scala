@@ -213,5 +213,24 @@ class DataCardSpec extends AnyFunSuite {
     val flatBase = DataCard.toDF(spark, base).collect().map(_.getString(0))
     assert(!flatBase.exists(k => k.startsWith("media.") ||
       k.startsWith("tokenizer.")))
+    // diff: media keep-rate and unk-ppm drift engage only when BOTH
+    // cards carry the section; identity is zero
+    val idDiff = DataCard.diff(card, card)
+    assert(idDiff.mediaKeepRateDeltaMilli == 0L && idDiff.unkRatePpmDelta == 0L)
+    assert(DataCard.diff(base, card).mediaKeepRateDeltaMilli == 0L,
+      "one-sided media section must not fabricate drift")
+    val shifted = card.copy(
+      media = card.media.map(m => m.copy(nOut = m.nOut - 1)),
+      tokenizer = card.tokenizer.map(t =>
+        t.copy(nUnkPieces = t.nUnkPieces + t.nBpeTokens / 100)))
+    val d = DataCard.diff(card, shifted)
+    assert(d.mediaKeepRateDeltaMilli ==
+      shifted.media.get.keepRateMilli - card.media.get.keepRateMilli &&
+      d.mediaKeepRateDeltaMilli < 0L)
+    assert(d.unkRatePpmDelta ==
+      (shifted.tokenizer.get.nUnkPieces * 1000000L /
+        shifted.tokenizer.get.nBpeTokens) -
+      (card.tokenizer.get.nUnkPieces * 1000000L /
+        card.tokenizer.get.nBpeTokens) && d.unkRatePpmDelta > 0L)
   }
 }
