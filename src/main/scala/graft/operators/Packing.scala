@@ -279,6 +279,125 @@ object Packing {
         col("n_tokens"))
   }
 
+  /** Row ceiling per shard for [[packBestFit]] — the whole shard is
+    * buffered (BFD is inherently sequential over its shard), so the
+    * shard column must be a real sharding: fail loud past this, never
+    * spill-or-crash silently. 2²² rows ≈ a few hundred MB of (id,
+    * weight) state per task. */
+  val MaxBestFitShardRows: Int = 1 << 22
+
+  /** BEST-FIT-DECREASING pack assignment — the PADDING-efficiency
+    * policy: where [[packByBudget]] concatenates in stream order (one
+    * window, oracle-cheap, but a long document straddling a boundary
+    * leaves the pack underfull and the trainer pads the gap), BFD sorts
+    * each shard's documents by weight DESC (ties: id ASC) and places
+    * each into the fullest open pack that still fits (ties: lowest
+    * pack id), opening pack `n_open` when none fits — the classic
+    * offline bin-packing heuristic (≤ 11/9·OPT + 4 bins), typically
+    * recovering most of the contiguous policy's padding waste.
+    * Oversize documents (weight > budget) open their own pack and
+    * never receive a second document (nothing fits beside them).
+    *
+    * Determinism: total within-shard order (weight DESC, id ASC) and a
+    * total bin-choice order — the assignment is a pure function of the
+    * shard's (id, weight) multiset, replayed step by step by the q133
+    * oracle's recursive CTE.
+    *
+    * Scale shape: one exchange on the shard key, then each shard packs
+    * INSIDE one task (a TreeMap of open-pack residuals, O(n log n)) —
+    * BFD needs the whole shard's state, so the shard is the
+    * parallelism unit exactly like a production file writer; rows per
+    * shard are capped loud at [[MaxBestFitShardRows]]. Pack ids are
+    * LOCAL to the shard (a training file is a (shard, pack) pair) —
+    * globalize by prefixing the shard id if needed.
+    *
+    * Output: (shardCol, idCol, weightCol, pack_id). */
+  def packBestFit(df: DataFrame, shardCol: String, idCol: String,
+                  weightCol: String, budget: Long,
+                  maxShardRows: Int = MaxBestFitShardRows): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    for ((c, what) <- Seq(shardCol -> "shardCol", idCol -> "idCol",
+        weightCol -> "weightCol")) {
+      val t = df.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(t),
+        s"$what '$c' must be an integral type, got $t")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = df
+      .select(col(shardCol).cast("long"), col(idCol).cast("long"),
+        col(weightCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val rows = it.map(r => (r._2, r._3)).toArray
+        require(rows.length <= maxShardRows,
+          s"shard $shard holds ${rows.length} rows — past the " +
+            s"$maxShardRows best-fit buffer ceiling; use more shards")
+        // weight DESC, id ASC — the BFD order
+        java.util.Arrays.sort(rows, new java.util.Comparator[(Long, Long)] {
+          def compare(a: (Long, Long), b: (Long, Long)): Int = {
+            val c = java.lang.Long.compare(b._2, a._2)
+            if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+          }
+        })
+        // open packs keyed by residual capacity -> min-id packs at that
+        // residual: best fit = smallest residual >= w, ties lowest id
+        val byResidual =
+          new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
+        val used = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def place(res: Long, p: Int): Unit = {
+          var set = byResidual.get(res)
+          if (set == null) {
+            set = new java.util.TreeSet[Integer]()
+            byResidual.put(res, set)
+          }
+          set.add(p); ()
+        }
+        rows.iterator.map { case (id, w) =>
+          // best fit = the open pack with the SMALLEST residual that
+          // still fits (ceiling lookup), ties to the lowest pack id;
+          // exactly-full packs leave the map (nothing but a w=0 doc
+          // could join, and those go to the fullest NON-full pack)
+          val e = byResidual.ceilingEntry(math.max(w, 0L))
+          val pack =
+            if (w <= budget && e != null) {
+              val p = e.getValue.pollFirst().intValue()
+              if (e.getValue.isEmpty) byResidual.remove(e.getKey)
+              used(p) += w
+              val r = budget - used(p)
+              if (r > 0) place(r, p)
+              p
+            } else {
+              val p = used.length
+              used += w
+              if (budget - w > 0) place(budget - w, p)
+              p
+            }
+          (shard, id, w, pack.toLong)
+        }
+      }
+      .toDF(shardCol, idCol, weightCol, "pack_id")
+    out
+  }
+
+  /** Pack FILL report for any assignment — the padding-waste number a
+    * policy is judged by: per (partCols..., pack_id), the doc count,
+    * total weight, and fill rate in integer ppm of `budget` (oversize
+    * packs read > 10⁶). */
+  def packFill(assigned: DataFrame, partCols: Seq[String],
+               weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    assigned.groupBy((partCols :+ "pack_id").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(weightCol).cast("long")).as("pack_weight"))
+      .withColumn("fill_ppm",
+        expr(s"pack_weight * 1000000L div ${budget}L"))
+  }
+
   /** Per-pack summary: (partCols..., pack_id, n_docs, pack_weight). */
   def packSummary(df: DataFrame, orderCol: String, weightCol: String,
                   partCols: Seq[String], budget: Long): DataFrame =

@@ -443,5 +443,86 @@ object BpeQ {
       .orderBy("pack_id", "pos")
   }
 
-  val all: Seq[Q] = Seq(q126, q127, q129, q131, q132)
+  /** q133: BEST-FIT-DECREASING pack assignment
+    * ([[Packing.packBestFit]]) — the padding-efficiency policy: per
+    * shard (q127's epoch shuffle), documents in weight-DESC/id-ASC
+    * order each land in the FULLEST open pack that still fits (ties:
+    * lowest pack id), new pack otherwise. The oracle replays the
+    * sequential heuristic STEP BY STEP: a recursive CTE whose working
+    * row per shard carries the open-pack state (a struct list) and the
+    * accumulated assignments, one recursion step per document — the
+    * q110/q126 state-threading discipline applied to bin packing. The
+    * `x.u < budget` guard twins the Scala tier's exactly-full-packs-
+    * leave-the-map rule (reachable only by weight-0 documents). */
+  val q133 = Q(
+    "q133_bestfit_packs",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |$cntCte,
+       |k AS (SELECT d.doc_id, c.n_pieces AS w,
+       |             (${sqlHash("'7:' || CAST(d.doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM documents d JOIN cnt c ON c.doc_id = d.doc_id),
+       |docs2 AS (SELECT doc_id, w, (ek * 8) // 2147483647 AS shard,
+       |                 row_number() OVER (
+       |                   PARTITION BY (ek * 8) // 2147483647
+       |                   ORDER BY w DESC, doc_id ASC) AS rn
+       |          FROM k),
+       |bfd AS (
+       |  SELECT shard, 0 AS i,
+       |         CAST([] AS STRUCT(p BIGINT, u BIGINT)[]) AS bins,
+       |         CAST([] AS STRUCT(id BIGINT, p BIGINT)[]) AS asg
+       |  FROM (SELECT DISTINCT shard FROM docs2)
+       |  UNION ALL
+       |  SELECT shard, i,
+       |         CASE WHEN newp
+       |              THEN list_append(bins, {'p': np, 'u': w})
+       |              ELSE list_transform(bins,
+       |                x -> CASE WHEN x.p = cp
+       |                          THEN {'p': x.p, 'u': x.u + w}
+       |                          ELSE x END) END AS bins,
+       |         list_append(asg,
+       |           {'id': did, 'p': CASE WHEN newp THEN np ELSE cp END})
+       |           AS asg
+       |  FROM (
+       |    SELECT shard, i, bins, asg, did, w, np,
+       |           (NOT (w <= 700 AND len(fl) > 0)) AS newp,
+       |           CASE WHEN len(fl) > 0 THEN
+       |             list_min(list_transform(
+       |               list_filter(fl, x -> x.u = mx), x -> x.p))
+       |           ELSE CAST(-1 AS BIGINT) END AS cp
+       |    FROM (
+       |      SELECT shard, i, bins, asg, did, w, np, fl,
+       |             list_max(list_transform(fl, x -> x.u)) AS mx
+       |      FROM (
+       |        SELECT b.shard, b.i + 1 AS i, b.bins, b.asg,
+       |               d.doc_id AS did, d.w,
+       |               CAST(len(b.bins) AS BIGINT) AS np,
+       |               list_filter(b.bins,
+       |                 x -> x.u + d.w <= 700 AND x.u < 700) AS fl
+       |        FROM bfd b JOIN docs2 d
+       |          ON d.shard = b.shard AND d.rn = b.i + 1)))),
+       |fin2 AS (SELECT shard, asg FROM (
+       |           SELECT shard, asg,
+       |                  row_number() OVER (PARTITION BY shard
+       |                    ORDER BY i DESC) AS r
+       |           FROM bfd) WHERE r = 1),
+       |outa AS (SELECT shard, unnest(asg) AS a FROM fin2)
+       |SELECT d.shard, o.a.id AS doc_id, d.w AS n_tok,
+       |       CAST(o.a.p AS BIGINT) AS pack_id
+       |FROM outa o JOIN docs2 d ON d.shard = o.shard AND d.doc_id = o.a.id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val counts = Bpe.pieceCounts(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_pieces").as("n_tok"))
+    val e = Mixing.epochShuffle(
+      docs.select("doc_id").join(counts, Seq("doc_id")),
+      "doc_id", seed = 7L, nShards = 8)
+    Packing.packBestFit(e, "shard", "doc_id", "n_tok", budget = 700L)
+      .select(col("shard"), col("doc_id"), col("n_tok"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q131, q132, q133)
 }

@@ -202,6 +202,71 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packBestFit: fullest-that-fits placement (weight DESC, ties " +
+    "id ASC; pack ties to the lowest id), oversize docs isolate, " +
+    "zero-weight docs join the fullest non-full pack, and BFD beats " +
+    "the contiguous policy's padding on the classic fixture") {
+    import org.apache.spark.sql.functions.col
+    // budget 10; weights 7,6,4,3,2,2 -> BFD packs {7,3} {6,4} {2,2}:
+    // zero padding waste in the first two bins. Contiguous order (by
+    // id: 7,6,4,3,2,2) packs {7} {6,4} wait exclusive-prefix: cum
+    // 0,7,13,17,20,22 -> ids at packs 0,0,1,1,2,2 = {7,6} overflow...
+    // the point stays: BFD fill is exact, measured below.
+    val rows = Seq((0L, 1L, 7L), (0L, 2L, 6L), (0L, 3L, 4L),
+      (0L, 4L, 3L), (0L, 5L, 2L), (0L, 6L, 2L),
+      (0L, 7L, 15L), // oversize: own pack, never joined
+      (0L, 8L, 0L),  // zero-weight: fullest NON-full pack
+      (1L, 1L, 5L), (1L, 2L, 5L)) // second shard: ids restart at pack 0
+      .toDF("shard", "doc_id", "n_tok")
+    val out = Packing.packBestFit(rows, "shard", "doc_id", "n_tok",
+      budget = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // shard 0 processing order: 15(id7), 7(id1), 6(id2), 4(id3),
+    // 3(id4), 2(id5), 2(id6), 0(id8)
+    // 15 -> pack 0 (oversize). 7 -> pack 1. 6 -> pack 2. 4 -> fits
+    // pack 2 (u=6, fullest that fits) -> {6,4} full. 3 -> pack 1
+    // (u=7) -> full. 2 -> pack 3. 2 -> pack 3 (u=2). 0 -> fullest
+    // non-full = pack 3 (u=4).
+    assert(out == Map(
+      (0L, 7L) -> 0L, (0L, 1L) -> 1L, (0L, 2L) -> 2L, (0L, 3L) -> 2L,
+      (0L, 4L) -> 1L, (0L, 5L) -> 3L, (0L, 6L) -> 3L, (0L, 8L) -> 3L,
+      (1L, 1L) -> 0L, (1L, 2L) -> 0L), s"assignment: $out")
+    // fill report: packs 1 and 2 read exactly 10^6 ppm; the BFD fill
+    // strictly beats contiguous packing of the same shard-0 list
+    val bfdFill = Packing.packFill(
+      Packing.packBestFit(rows.filter(col("shard") === 0 &&
+        col("doc_id") =!= 7L && col("doc_id") =!= 8L),
+        "shard", "doc_id", "n_tok", 10L),
+      Seq("shard"), "n_tok", 10L)
+      .select("pack_id", "fill_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfdFill == Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 400000L),
+      s"BFD fill: $bfdFill")
+    val contFill = Packing.packFill(
+      Packing.packByBudget(rows.filter(col("shard") === 0 &&
+        col("doc_id") =!= 7L && col("doc_id") =!= 8L),
+        "doc_id", "n_tok", Seq("shard"), 10L),
+      Seq("shard"), "n_tok", 10L)
+      .select("pack_id", "fill_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contiguous: cum-exclusive 0,7,13,17,20,22 -> packs 0,0,1,1,2,2
+    // with fills 13,7,4 -> one overflowing, one underfull
+    assert(contFill == Map(0L -> 1300000L, 1L -> 700000L, 2L -> 400000L),
+      s"contiguous fill: $contFill")
+    // determinism: a reshuffled input assigns identically
+    val again = Packing.packBestFit(rows.orderBy(col("n_tok")), "shard",
+      "doc_id", "n_tok", budget = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(again == out, "assignment must be order-independent")
+    // loud shard ceiling
+    intercept[org.apache.spark.SparkException] {
+      Packing.packBestFit(rows, "shard", "doc_id", "n_tok", 10L,
+        maxShardRows = 3).collect()
+    }
+  }
+
   test("packTokenStreams: per-pack concatenated ids in global order, a " +
     "separator after every document, weights count the separator, " +
     "oversize docs overflow without splitting") {
