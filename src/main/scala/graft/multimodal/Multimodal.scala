@@ -435,6 +435,35 @@ object Multimodal {
         .getOrElse(0 until total))
       .map(_.map(_._2).toIndexedSeq)
 
+  /** Evenly-sampled composited frames of a MULTI-sample plan — the
+    * video-fingerprint decode: `n` frame indices on the
+    * [[sampleFramesDecoded]] stride (`k·total/n`, duplicates folded),
+    * returned with the container's total frame count. Canvas gated at
+    * `maxCanvasPixels` BEFORE any decode (the GIF header's logical
+    * screen via [[ImageHeader]]) — the sampled snapshots peak at
+    * n × canvas bytes of task memory, so the fingerprint path bounds
+    * the canvas far below [[MaxGifPixels]]' single-frame bound.
+    * None when not a readable GIF or past a bound. */
+  private[multimodal] def gifSampledFrames(bytes: Array[Byte], n: Int,
+      maxCanvasPixels: Long = 1L << 20): Option[(Int, IndexedSeq[Pixels])] = {
+    require(n >= 1, "sample count must be >= 1")
+    if (bytes == null) return None
+    val headOk = ImageHeader.parse(bytes).exists(m =>
+      m.format == "gif" && m.width.toLong * m.height <= maxCanvasPixels)
+    if (!headOk) None
+    else {
+      var total = 0
+      decodeGif(bytes, t => {
+        total = t
+        (0 until n).map(k => (k.toLong * t / n).toInt).distinct
+      }).map { frames =>
+        val byIndex = frames.toMap
+        (total, (0 until n)
+          .map(k => byIndex((k.toLong * total / n).toInt)).toIndexedSeq)
+      }
+    }
+  }
+
   /** Single-parse core shared by [[decodeGifFrames]] and
     * [[sampleFramesDecoded]]: one container scan yields the frame count,
     * `plan(total)` picks the indices to materialize (must be sorted,

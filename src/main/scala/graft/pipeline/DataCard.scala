@@ -33,7 +33,8 @@ object DataCard {
     * the byte-column funnel's numbers is incomplete. */
   final case class MediaSection(
       nInput: Long, nAfterSize: Long, nAfterExact: Long,
-      nAfterImageDedup: Long, nAfterAudioDedup: Long, nOut: Long) {
+      nAfterImageDedup: Long, nAfterAudioDedup: Long, nOut: Long,
+      nAfterVideoDedup: Long = -1L) {
     def keepRateMilli: Long = if (nInput <= 0) 0L else nOut * 1000 / nInput
   }
 
@@ -65,7 +66,8 @@ object DataCard {
       nInput = report.nInput, nAfterSize = report.nAfterSize,
       nAfterExact = report.nAfterExact,
       nAfterImageDedup = report.nAfterImageDedup,
-      nAfterAudioDedup = report.nAfterAudioDedup, nOut = report.nOut)))
+      nAfterAudioDedup = report.nAfterAudioDedup, nOut = report.nOut,
+      nAfterVideoDedup = report.nAfterVideoDedup)))
 
   /** Compute and attach the tokenizer section: artifact shape from the
     * merge/vocab tables themselves, observed totals from ONE
@@ -283,6 +285,7 @@ object DataCard {
         Seq("media.n_input" -> m.nInput, "media.n_after_size" -> m.nAfterSize,
           "media.n_after_exact" -> m.nAfterExact,
           "media.n_after_image_dedup" -> m.nAfterImageDedup,
+          "media.n_after_video_dedup" -> m.nAfterVideoDedup,
           "media.n_after_audio_dedup" -> m.nAfterAudioDedup,
           "media.n_out" -> m.nOut,
           "media.keep_rate_milli" -> m.keepRateMilli)

@@ -8,12 +8,15 @@ import graft.multimodal.{AudioDedup, Banded64, ImageDedup, ImageHeader, VideoHea
 
 /** The CURATION funnel for BYTE-COLUMN corpora — [[Curation]]'s sibling
   * for media frames (`media_id`, `media: binary`): size gate →
-  * exact-bytes dedup → image near-dup keep-one → audio near-dup
-  * keep-one → optional drop-unrecognized, each stage the
-  * already-audited operator composed unchanged. Every tier only
-  * examines what it can decode (non-images emit no dHash, non-WAV no
-  * energy hash), so the stages are independent and garbage flows
-  * through to the recognition gate.
+  * exact-bytes dedup → image near-dup keep-one → video (multi-frame
+  * clip) near-dup keep-one → audio near-dup keep-one → optional
+  * drop-unrecognized, each stage the already-audited operator composed
+  * unchanged. Every tier only examines what it can decode (non-images
+  * emit no dHash, non-clips no frame vector, non-WAV no energy hash),
+  * so the stages are independent and garbage flows through to the
+  * recognition gate. Multi-frame clips are the VIDEO tier's alone —
+  * the probe withholds their first-frame dHash so two animations
+  * sharing a title card cannot false-collapse in the image tier.
   *
   * Exact-bytes dedup runs FIRST (after the size gate): byte-identical
   * blobs — the dominant duplication mode in a crawl (the same meme
@@ -33,11 +36,12 @@ import graft.multimodal.{AudioDedup, Banded64, ImageDedup, ImageHeader, VideoHea
   * must not silently delete it.
   *
   * Decode-once: ONE `mapPartitions` probe scan over the exact-dedup
-  * survivors computes (dhash, ahash, header format, payload length)
-  * per payload; the probe sidecar (ids + longs + a short format
-  * string, always locally checkpointed — that IS the decode-once
-  * guarantee) then serves the image tier, the audio tier AND the
-  * recognition gate without ever re-reading payload bytes.
+  * survivors computes (dhash, vhash, ahash, header format, payload
+  * length) per payload; the probe sidecar (ids + longs + a short
+  * format string, always locally checkpointed — that IS the
+  * decode-once guarantee) then serves the image, video and audio
+  * tiers AND the recognition gate without ever re-reading payload
+  * bytes.
   *
   * Scale shape: only (id, digest/hash/metadata) columns cross any
   * exchange — media bytes ride the scans; the verdict joins are
@@ -46,7 +50,7 @@ object MediaCuration {
 
   final case class Report(nInput: Long, nAfterSize: Long, nAfterExact: Long,
                           nAfterImageDedup: Long, nAfterAudioDedup: Long,
-                          nOut: Long)
+                          nOut: Long, nAfterVideoDedup: Long = -1L)
 
   /** Payloads probed (decoded) since JVM start — test instrumentation
     * for the decode-once guarantee (a [[java.util.concurrent.atomic.LongAdder]]
@@ -58,12 +62,20 @@ object MediaCuration {
     StructField("n_bytes", LongType, nullable = false),
     StructField("dhash", LongType),
     StructField("ahash", LongType),
-    StructField("format", StringType)))
+    StructField("format", StringType),
+    StructField("vhash",
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))))
 
-  /** The one decode pass: (id, n_bytes, dhash?, ahash?, format?) per
-    * row — dHash via full image decode, energy hash via PCM decode,
-    * format via the header byte-walk (image headers first, then the
-    * video containers), all against bytes read ONCE per payload. */
+  /** The one decode pass: (id, n_bytes, dhash?, ahash?, format?,
+    * vhash?) per row — dHash via full image decode, energy hash via PCM
+    * decode, format via the header byte-walk (image headers first, then
+    * the video containers), frame-fingerprint vector via the sampled
+    * GIF decode, all against bytes read ONCE per payload. A MULTI-frame
+    * clip carries `vhash` and NO `dhash` — its identity is the frame
+    * vote ([[graft.multimodal.VideoDedup]]), not the first frame the
+    * image tier would otherwise hash (two animations sharing a title
+    * card must not collapse). Single-frame GIFs stay the image tier's
+    * (the clip probe costs them one extra cheap parse). */
   private[graft] def probe(df: DataFrame, bytesCol: String,
                            idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"), col(bytesCol))
@@ -75,10 +87,13 @@ object MediaCuration {
             probedPayloads.increment()
             val fmt = ImageHeader.parse(bytes).map(_.format)
               .orElse(VideoHeader.parse(bytes).map(_.format))
+            val clip = graft.multimodal.VideoDedup.clipHashes(bytes)
             Some(Row(r.getLong(0), bytes.length.toLong,
-              ImageDedup.dHash(bytes).map(Long.box).orNull,
+              if (clip.isDefined) null
+              else ImageDedup.dHash(bytes).map(Long.box).orNull,
               AudioDedup.aHash(bytes).map(Long.box).orNull,
-              fmt.orNull))
+              fmt.orNull,
+              clip.map(_.toSeq).orNull))
           }
         }
       }(Encoders.row(probeSchema))
@@ -86,6 +101,8 @@ object MediaCuration {
   def curate(df: DataFrame, bytesCol: String, idCol: String,
              minBytes: Long = 1L, maxBytes: Long = Long.MaxValue,
              imageMaxHamming: Int = 3, audioMaxHamming: Int = 3,
+             videoMaxHamming: Int = 3,
+             videoMinMatch: Int = graft.multimodal.VideoDedup.DefaultMinMatch,
              dropUnrecognized: Boolean = false,
              audit: Boolean = true): (DataFrame, Report) = {
     def stage(d: DataFrame): DataFrame =
@@ -125,18 +142,34 @@ object MediaCuration {
     val probesImg = probes.join(imgDrop.withColumnRenamed("_did", "id"),
       Seq("id"), "left_anti")
 
-    // 4. audio near-dup keep-one (non-audio never hashes -> untouched)
+    // 4. video (multi-frame clip) near-dup keep-one — frame-fingerprint
+    // voting over the probe's vhash vectors ([[graft.multimodal
+    // .VideoDedup]]); stills/audio/garbage carry no vhash -> untouched
+    val vidPairs = graft.multimodal.VideoDedup.pairsFromHashes(
+      probesImg.filter(col("vhash").isNotNull)
+        .select(col("id"), posexplode(col("vhash")).as(Seq("pos", "fhash"))),
+      videoMaxHamming, videoMinMatch)
+    val vidDrop = graft.operators.Dedup
+      .keepCanonical(probesImg.select(col("id"), col("n_bytes")), "id",
+        "n_bytes", vidPairs)
+      .filter(!col("kept")).select(col("id").as("_did"))
+    val afterVid = stage(afterImg.join(vidDrop, idL === col("_did"),
+      "left_anti"))
+    val probesVid = probesImg.join(vidDrop.withColumnRenamed("_did", "id"),
+      Seq("id"), "left_anti")
+
+    // 5. audio near-dup keep-one (non-audio never hashes -> untouched)
     val audPairs = Banded64.pairs(
-      probesImg.filter(col("ahash").isNotNull).select(col("id"), col("ahash")),
+      probesVid.filter(col("ahash").isNotNull).select(col("id"), col("ahash")),
       "ahash", audioMaxHamming)
     val audDrop = graft.operators.Dedup
-      .keepCanonical(probesImg.select(col("id"), col("n_bytes")), "id",
+      .keepCanonical(probesVid.select(col("id"), col("n_bytes")), "id",
         "n_bytes", audPairs)
       .filter(!col("kept")).select(col("id").as("_did"))
-    val afterAud = stage(afterImg.join(audDrop, idL === col("_did"),
+    val afterAud = stage(afterVid.join(audDrop, idL === col("_did"),
       "left_anti"))
 
-    // 5. optional recognition gate: keep rows with SOME parseable media
+    // 6. optional recognition gate: keep rows with SOME parseable media
     // identity — an image/video header (the metadata walk) or decodable
     // PCM audio; the verdict reuses the probe sidecar (no re-decode)
     val out =
@@ -149,6 +182,7 @@ object MediaCuration {
       }
     (out, Report(nInput = n(df), nAfterSize = n(sized),
       nAfterExact = n(afterExact), nAfterImageDedup = n(afterImg),
-      nAfterAudioDedup = n(afterAud), nOut = n(out)))
+      nAfterAudioDedup = n(afterAud), nOut = n(out),
+      nAfterVideoDedup = n(afterVid)))
   }
 }

@@ -125,7 +125,8 @@ object StreamCuration {
                                nAfterClassifier: Long, nAfterExact: Long,
                                nAfterNearDup: Long, nAfterDecontam: Long,
                                nAfterDomainCap: Long, nOut: Long,
-                               nAfterLineScrub: Long = -1L)
+                               nAfterLineScrub: Long = -1L,
+                               nBpeUnk: Long = -1L)
 
   /** The per-batch funnel transform, closed over the stores and the
     * fold-once eval materialization. Bootstrap `init()` happens here.
@@ -455,7 +456,16 @@ object StreamCuration {
             nAfterNearDup = rc(deduped),
             nAfterDecontam = rc(cleaned),
             nAfterDomainCap = if (domainCap.isDefined) rc(capped) else -1L,
-            nOut = rc(out)))
+            nOut = rc(out),
+            // frozen-tokenizer drift per batch: total out-of-vocabulary
+            // pieces over the SHIPPED rows — the number a deployment
+            // alarms on before a -1 (or a byte-fallback flood) reaches
+            // a trainer
+            nBpeUnk =
+              if (bpeTokenizer.isDefined)
+                out.agg(coalesce(sum(col("n_bpe_unk")), lit(0L)))
+                  .head().getLong(0)
+              else -1L))
         }
         out
       }

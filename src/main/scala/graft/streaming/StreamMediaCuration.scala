@@ -33,7 +33,15 @@ import graft.store.Snapshots
   * Keep policy is the streaming one (first-seen / min id — the
   * replayable policy), where the batch funnel's perceptual tiers keep
   * the largest payload: the same documented divergence as
-  * [[IncrementalImageDedup]]. Replay contract: every stage is
+  * [[IncrementalImageDedup]].
+  *
+  * MULTI-frame clips (the batch funnel's video tier): the shared probe
+  * withholds their first-frame dHash here too — an animation must not
+  * false-collapse against a still or another animation's title card —
+  * but a streaming CLAIMS twin of the frame-vote tier does not exist
+  * yet, so clips dedupe EXACT-ONLY in the stream (the digest stage);
+  * run the batch [[MediaCuration]] over the materialized corpus for
+  * perceptual clip dedup. Documented divergence, not an accident. Replay contract: every stage is
   * stateless or first-writer-wins with the claimant recorded, so a
   * crash-replayed batch reproduces its exact output and never
   * double-claims. */

@@ -181,6 +181,7 @@ class DataCardSpec extends AnyFunSuite {
     assert(ms.nInput == report.nInput && ms.nAfterSize == report.nAfterSize &&
       ms.nAfterExact == report.nAfterExact &&
       ms.nAfterImageDedup == report.nAfterImageDedup &&
+      ms.nAfterVideoDedup == report.nAfterVideoDedup &&
       ms.nAfterAudioDedup == report.nAfterAudioDedup &&
       ms.nOut == report.nOut)
     assert(ms.keepRateMilli == report.nOut * 1000 / report.nInput)
@@ -204,6 +205,7 @@ class DataCardSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(flat("media.n_input") == ms.nInput &&
       flat("media.n_after_exact") == ms.nAfterExact &&
+      flat("media.n_after_video_dedup") == ms.nAfterVideoDedup &&
       flat("media.n_out") == ms.nOut &&
       flat("media.keep_rate_milli") == ms.keepRateMilli)
     assert(flat("tokenizer.n_merges") == ts.nMerges &&

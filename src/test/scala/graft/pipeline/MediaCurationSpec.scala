@@ -57,10 +57,52 @@ class MediaCurationSpec extends AnyFunSuite {
     data.toByteArray
   }
 
+  private def frame(seed: Int, idx: Int): java.awt.image.BufferedImage = {
+    val rnd = new java.util.Random(seed * 7919L + idx * 104729L + 1)
+    val levels = Array.fill(8, 9)(if (rnd.nextBoolean()) 224 else 32)
+    val img = new java.awt.image.BufferedImage(
+      72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 72) {
+      val v = levels(y / 8)(x / 8)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def scaledImg(img: java.awt.image.BufferedImage, w: Int,
+                        h: Int): java.awt.image.BufferedImage = {
+    val dst = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    dst
+  }
+
   test("funnel: size gate drops empties, exact-bytes dedup collapses " +
-    "byte-identical copies to the lowest id before any decode, image " +
-    "and audio tiers each keep one per component, unknown bytes survive " +
-    "by default and drop under the recognition gate; counts monotone") {
+    "byte-identical copies to the lowest id before any decode, image, " +
+    "video and audio tiers each keep one per component, unknown bytes " +
+    "survive by default and drop under the recognition gate; counts " +
+    "monotone") {
+    def clip(seed: Int) = (0 until 9).map(i => frame(seed, i))
     val rows = Seq(
       (1L, png(1)), (2L, jpg(1)),           // image pair -> keep larger
       (3L, png(2)),                         // distinct image
@@ -69,14 +111,18 @@ class MediaCurationSpec extends AnyFunSuite {
       (12L, wav(6, 16000)),                 // distinct audio
       (13L, wav(6, 16000)),                 // BYTE-identical copy of 12 -> exact stage
       (20L, Array.fill[Byte](200)(42)),     // unrecognized bytes
-      (21L, Array.empty[Byte])              // empty -> size gate
+      (21L, Array.empty[Byte]),             // empty -> size gate
+      (30L, gif(clip(30))),                 // animated clip
+      (31L, gif(clip(30).map(scaledImg(_, 54, 48)))), // rescaled copy -> video tier
+      (32L, gif(clip(31)))                  // distinct animation
     ).toDF("media_id", "media")
     val (out, r) = MediaCuration.curate(rows, "media", "media_id")
     val kept = out.select("media_id").as[Long].collect().toSet
-    assert(r.nInput == 10 && r.nAfterSize == 9 && r.nAfterExact == 7)
+    assert(r.nInput == 13 && r.nAfterSize == 12 && r.nAfterExact == 10)
     assert(r.nAfterSize >= r.nAfterExact &&
       r.nAfterExact >= r.nAfterImageDedup &&
-      r.nAfterImageDedup >= r.nAfterAudioDedup &&
+      r.nAfterImageDedup >= r.nAfterVideoDedup &&
+      r.nAfterVideoDedup >= r.nAfterAudioDedup &&
       r.nAfterAudioDedup >= r.nOut)
     assert(!kept.contains(21L), "empty payload must drop at the gate")
     assert(!kept.contains(4L) && kept.contains(3L),
@@ -87,8 +133,14 @@ class MediaCurationSpec extends AnyFunSuite {
       s"image pair must keep exactly one: $kept")
     assert(kept.intersect(Set(10L, 11L)) == Set(10L),
       s"audio pair must keep the larger payload: $kept")
+    assert(kept.contains(30L) && !kept.contains(31L),
+      s"video tier must keep the larger clip of the rescaled pair: $kept")
+    assert(kept.contains(32L), "distinct animation must survive")
+    assert(r.nAfterImageDedup - r.nAfterVideoDedup == 1,
+      s"exactly the rescaled clip drops at the video stage: $r")
     assert(kept.contains(20L), "unknown bytes must SURVIVE by default")
     // recognition gate on: the unknown row drops, nothing else changes
+    // (animated GIFs carry a parseable header -> recognized)
     val (out2, _) = MediaCuration.curate(rows, "media", "media_id",
       dropUnrecognized = true)
     val kept2 = out2.select("media_id").as[Long].collect().toSet

@@ -239,6 +239,31 @@ class StreamCurationSpec extends AnyFunSuite {
     val replay = curate(b1, 0L).select("doc_id", "token_ids")
       .as[(Long, Seq[Long])].collect().toMap
     assert(replay == got, "replay diverged under the frozen tokenizer")
+    // frozen-tokenizer drift telemetry: the batch report's nBpeUnk
+    // reads 0 on the vocab's own corpus and the exact OOV-piece total
+    // when new text carries unseen code points
+    var reports = Vector.empty[StreamCuration.BatchReport]
+    val curate2 = StreamCuration.curator(spark, evalDocs.limit(0),
+      stateDir + "-unk", bpeTokenizer = Some((merges, vocab)),
+      repetitionTopBigramMilli = 1001,
+      onReport = Some(r => reports :+= r))
+    curate2(b1, 0L).count()
+    assert(reports.head.nBpeUnk == 0L,
+      s"own-corpus batch must report 0 unk: ${reports.head}")
+    val drift = Seq((9L, "aa 世界", "s0")).toDF("doc_id", "text", "source")
+    curate2(drift, 1L).count()
+    val direct = graft.operators.Bpe.encode(drift, "doc_id", "text",
+      merges, vocab).agg(org.apache.spark.sql.functions.sum("n_unk"))
+      .head().getLong(0)
+    assert(direct > 0L && reports(1).nBpeUnk == direct,
+      s"drift batch must report the exact OOV total: ${reports(1)} vs $direct")
+    // report field stays -1 when no tokenizer is attached
+    var r3 = Vector.empty[StreamCuration.BatchReport]
+    val curate3 = StreamCuration.curator(spark, evalDocs.limit(0),
+      stateDir + "-notok", repetitionTopBigramMilli = 1001,
+      onReport = Some(r => r3 :+= r))
+    curate3(b1, 0L).count()
+    assert(r3.head.nBpeUnk == -1L)
   }
 
   test("bpePackBudget twin: per-batch pack streams match a direct " +
