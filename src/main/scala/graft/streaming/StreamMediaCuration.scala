@@ -21,8 +21,10 @@ import graft.store.Snapshots
   *      stage-2 rationale under ingestion
   *   3. image near-dup — the banded dHash claims core
   *      ([[IncrementalBanded64]], [[IncrementalImageDedup]]'s mechanics)
-  *   4. audio near-dup — same core over the energy-delta hash
-  *   5. optional recognition gate — stateless, reusing the probe
+  *   4. video near-dup — the frame-vote claims twin
+  *      ([[IncrementalVideoDedup]])
+  *   5. audio near-dup — the banded core over the energy-delta hash
+  *   6. optional recognition gate — stateless, reusing the probe
   *
   * Decode-once carries over from the batch funnel: ONE
   * [[MediaCuration.probe]] scan per batch computes (dhash, ahash,
@@ -35,13 +37,12 @@ import graft.store.Snapshots
   * the largest payload: the same documented divergence as
   * [[IncrementalImageDedup]].
   *
-  * MULTI-frame clips (the batch funnel's video tier): the shared probe
-  * withholds their first-frame dHash here too — an animation must not
-  * false-collapse against a still or another animation's title card —
-  * but a streaming CLAIMS twin of the frame-vote tier does not exist
-  * yet, so clips dedupe EXACT-ONLY in the stream (the digest stage);
-  * run the batch [[MediaCuration]] over the materialized corpus for
-  * perceptual clip dedup. Documented divergence, not an accident. Replay contract: every stage is
+  * MULTI-frame clips run the frame-vote claims twin
+  * ([[IncrementalVideoDedup]]) between the image and audio tiers: the
+  * shared probe withholds their first-frame dHash (an animation must
+  * not false-collapse against a still or another animation's title
+  * card), and cross-batch drops require ≥ minMatch POSITIONS verifying
+  * against the same stored claimant. Replay contract: every stage is
   * stateless or first-writer-wins with the claimant recorded, so a
   * crash-replayed batch reproduces its exact output and never
   * double-claims. */
@@ -57,12 +58,16 @@ object StreamMediaCuration {
   final case class BatchReport(batchId: Long, nBatch: Long,
                                nAfterSize: Long, nAfterExact: Long,
                                nAfterImageDedup: Long,
-                               nAfterAudioDedup: Long, nOut: Long)
+                               nAfterAudioDedup: Long, nOut: Long,
+                               nAfterVideoDedup: Long = -1L)
 
   def curator(spark: SparkSession, stateDir: String,
               idCol: String = "media_id", bytesCol: String = "media",
               minBytes: Long = 1L, maxBytes: Long = Long.MaxValue,
               imageMaxHamming: Int = 3, audioMaxHamming: Int = 3,
+              videoMaxHamming: Int = 3,
+              videoMinMatch: Int =
+                graft.multimodal.VideoDedup.DefaultMinMatch,
               dropUnrecognized: Boolean = false, compactEvery: Int = 16,
               onReport: Option[BatchReport => Unit] = None)
       : (DataFrame, Long) => DataFrame = {
@@ -74,6 +79,9 @@ object StreamMediaCuration {
     val audCore = new IncrementalBanded64(spark, s"$stateDir/audio",
       compactEvery, audioMaxHamming)
     audCore.init()
+    val vidCore = new IncrementalVideoDedup(spark, s"$stateDir/video",
+      compactEvery, videoMaxHamming, videoMinMatch)
+    vidCore.init()
 
     (batch: DataFrame, batchId: Long) => {
       val idL = col(idCol).cast("long")
@@ -120,13 +128,21 @@ object StreamMediaCuration {
         probes.filter(col("dhash").isNotNull)
           .select(col("id"), col("dhash").as("h")), idCol)
 
-      // 4. audio near-dup claims — only over the image tier's survivors
+      // 4. video (multi-frame clip) frame-vote claims — over the image
+      // tier's survivors
+      val vidHashes = probes.filter(col("vhash").isNotNull)
+        .select(col("id"),
+          posexplode(col("vhash")).as(Seq("pos", "fhash")))
+        .join(afterImg.select(idL.as("id")), Seq("id"), "left_semi")
+      val afterVid = vidCore.filterAndClaim(afterImg, vidHashes, idCol)
+
+      // 5. audio near-dup claims — only over the video tier's survivors
       val audHashes = probes.filter(col("ahash").isNotNull)
         .select(col("id"), col("ahash").as("h"))
-        .join(afterImg.select(idL.as("id")), Seq("id"), "left_semi")
-      val afterAud = audCore.filterAndClaim(afterImg, audHashes, idCol)
+        .join(afterVid.select(idL.as("id")), Seq("id"), "left_semi")
+      val afterAud = audCore.filterAndClaim(afterVid, audHashes, idCol)
 
-      // 5. optional recognition gate (stateless, probe reuse)
+      // 6. optional recognition gate (stateless, probe reuse)
       val out =
         if (!dropUnrecognized) afterAud
         else {
@@ -138,7 +154,8 @@ object StreamMediaCuration {
       onReport.foreach { sink =>
         sink(BatchReport(batchId, nBatch = n(batch), nAfterSize = n(sized),
           nAfterExact = n(afterExact), nAfterImageDedup = n(afterImg),
-          nAfterAudioDedup = n(afterAud), nOut = n(out)))
+          nAfterAudioDedup = n(afterAud), nOut = n(out),
+          nAfterVideoDedup = n(afterVid)))
       }
       out
     }

@@ -72,39 +72,83 @@ class StreamMediaCurationSpec extends AnyFunSuite {
     data.toByteArray
   }
 
-  test("cross-batch drops: byte-identical, recompressed image and " +
-    "resampled audio copies die in LATER batches; unknown bytes " +
-    "survive; replay reproduces; report monotone and exact") {
+  private def frame(seed: Int, idx: Int): java.awt.image.BufferedImage = {
+    val rnd = new java.util.Random(seed * 7919L + idx * 104729L + 1)
+    val levels = Array.fill(8, 9)(if (rnd.nextBoolean()) 224 else 32)
+    val img = new java.awt.image.BufferedImage(
+      72, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 64; x <- 0 until 72) {
+      val v = levels(y / 8)(x / 8)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def gif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(
+        new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def clip(seed: Int): Seq[java.awt.image.BufferedImage] =
+    (0 until 9).map(i => frame(seed, i))
+
+  test("cross-batch drops: byte-identical, recompressed image, rescaled " +
+    "clip and resampled audio copies die in LATER batches; a shared " +
+    "title card alone does NOT collapse clips across batches; unknown " +
+    "bytes survive; replay reproduces; report monotone and exact") {
     val stateDir = Files.createTempDirectory("graft-smedia").toString
     var reports = Vector.empty[StreamMediaCuration.BatchReport]
     val curate = StreamMediaCuration.curator(spark, stateDir,
       onReport = Some(r => reports :+= r))
     val b1 = Seq(
       (1L, encode(pattern(1), "png")),
+      (5L, gif(clip(50))),                // animated clip
       (10L, wav(5, 16000)),
       (20L, Array.fill[Byte](200)(42)),   // unknown bytes
       (21L, Array.empty[Byte])            // empty -> size gate
     ).toDF("media_id", "media")
     val out1 = curate(b1, 0L).select("media_id").as[Long].collect().toSet
-    assert(out1 == Set(1L, 10L, 20L), s"batch 1: $out1")
-    assert(reports(0) == StreamMediaCuration.BatchReport(0L, 4, 3, 3, 3, 3, 3))
-    val b2 = Seq(
+    assert(out1 == Set(1L, 5L, 10L, 20L), s"batch 1: $out1")
+    assert(reports(0) == StreamMediaCuration.BatchReport(0L,
+      nBatch = 5, nAfterSize = 4, nAfterExact = 4, nAfterImageDedup = 4,
+      nAfterAudioDedup = 4, nOut = 4, nAfterVideoDedup = 4))
+    val b2fixed = Seq(
       (30L, encode(pattern(1), "png")),   // byte-identical to 1 -> exact
       (31L, encode(pattern(1), "jpg")),   // recompression of 1 -> image
       (32L, wav(5, 8000)),                // resample of 10 -> audio
       (33L, encode(pattern(2), "png")),   // genuinely new
-      (34L, Array.fill[Byte](200)(42))    // byte-identical unknown -> exact
+      (34L, Array.fill[Byte](200)(42)),   // byte-identical unknown -> exact
+      (35L, gif(clip(50).map(scaled(_, 54, 48)))), // rescaled clip -> video
+      // shares ONLY the title frame with batch-1's clip: 1 vote < 7
+      (36L, gif(frame(50, 0) +: (1 until 9).map(i => frame(60, i))))
     ).toDF("media_id", "media")
-    val out2 = curate(b2, 1L).select("media_id").as[Long].collect().toSet
-    assert(out2 == Set(33L), s"batch 2 must keep only the new image: $out2")
+    val out2 = curate(b2fixed, 1L).select("media_id").as[Long]
+      .collect().toSet
+    assert(out2 == Set(33L, 36L),
+      s"batch 2 must keep the new image and the title-card-only clip: $out2")
     val r2 = reports(1)
-    assert(r2 == StreamMediaCuration.BatchReport(1L, 5, 5, 3, 2, 1, 1),
+    assert(r2 == StreamMediaCuration.BatchReport(1L,
+      nBatch = 7, nAfterSize = 7, nAfterExact = 5, nAfterImageDedup = 4,
+      nAfterAudioDedup = 2, nOut = 2, nAfterVideoDedup = 3),
       s"report miscounted: $r2")
-    val replay = curate(b2, 1L).select("media_id").as[Long].collect().toSet
+    val replay = curate(b2fixed, 1L).select("media_id").as[Long]
+      .collect().toSet
     assert(replay == out2, s"replayed batch diverged: $replay")
-    // reopened store keeps the claims
+    // reopened store keeps the claims (incl. the video tier's)
     val curate2 = StreamMediaCuration.curator(spark, stateDir)
-    val out3 = curate2(Seq((40L, encode(pattern(1), "png")))
+    val out3 = curate2(Seq(
+      (40L, encode(pattern(1), "png")),
+      (41L, gif(clip(50)))) // byte-identical clip -> exact claims
       .toDF("media_id", "media"), 2L).count()
     assert(out3 == 0L, "reopened store must still hold prior claims")
   }
