@@ -255,6 +255,17 @@ object Bench {
     } catch {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
+    // End-to-end MEDIA funnel wall + per-stage counts on a planted
+    // corpus (exact copies, recompressed/rescaled images, rescaled
+    // clips, resampled audio, garbage) — funnel_full's byte-column
+    // sibling. Diagnostic sidecar.
+    val mediaFunnel = try {
+      val m = graft.multimodal.MediaAudit.run(spark)
+      spark.catalog.clearCache()
+      m
+    } catch {
+      case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
     // End-to-end Curation funnel wall with EVERY optional stage on (the
     // round-11 receipt promoted to a tracked sidecar): URL gate,
     // classifier gate, PII redaction, boilerplate scrub (span + line),
@@ -285,7 +296,7 @@ object Bench {
     } catch {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"media_funnel":$mediaFunnel,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
     println(line)
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
