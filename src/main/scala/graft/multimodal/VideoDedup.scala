@@ -123,7 +123,16 @@ object VideoDedup {
   /** Near-dup clip pairs from a long-format hash table (id, pos, fhash)
     * — the composition entry the media funnel's probe sidecar feeds.
     * Output: (id_a, id_b, n_match), id_a < id_b, n_match = positions
-    * agreeing within `maxHamming`, ≥ `minMatch`. */
+    * agreeing within `maxHamming`, ≥ `minMatch`.
+    *
+    * CONSTRAINT: `minMatch` must not exceed the number of positions per
+    * clip in `fh` — an unsatisfiable threshold (e.g. 5 sampled frames
+    * under the default `minMatch = 7`) would make the tier silently
+    * inert (even byte-identical clips score n_match = n < minMatch).
+    * This long-format entry cannot see the sampling width statically,
+    * so [[nearDupPairs]] / [[dedupClips]] enforce `minMatch <= n` loud
+    * at the call boundary; callers feeding `fh` directly (the media
+    * funnel probe) own the same invariant. */
   def pairsFromHashes(fh: DataFrame, maxHamming: Int = 3,
                       minMatch: Int = DefaultMinMatch): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64, "maxHamming in [0,64]")
@@ -165,12 +174,20 @@ object VideoDedup {
     star.unionByName(cross).filter(col("n_match") >= minMatch)
   }
 
-  /** Near-dup clip pairs straight from payloads. */
+  /** Near-dup clip pairs straight from payloads. Fails loud on an
+    * unsatisfiable vote threshold (`minMatch > n` can never fire — the
+    * tier would silently detect nothing, against the engine's
+    * fail-loud contract). */
   def nearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
                    maxHamming: Int = 3, minMatch: Int = DefaultMinMatch,
-                   n: Int = FrameSamples): DataFrame =
+                   n: Int = FrameSamples): DataFrame = {
+    require(minMatch <= n,
+      s"minMatch=$minMatch exceeds the $n sampled positions per clip — " +
+        "no pair could ever reach the vote threshold; lower minMatch or " +
+        "sample more frames")
     pairsFromHashes(frameHashes(df, bytesCol, idCol, n), maxHamming,
       minMatch)
+  }
 
   /** Keep-one over a clip corpus ([[ImageDedup.dedupImages]]' contract):
     * one survivor per near-dup component — the largest payload, ties to

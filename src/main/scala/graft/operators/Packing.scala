@@ -337,6 +337,14 @@ object Packing {
         require(rows.length <= maxShardRows,
           s"shard $shard holds ${rows.length} rows — past the " +
             s"$maxShardRows best-fit buffer ceiling; use more shards")
+        // a negative weight would DECREASE a pack's used() and re-place
+        // it under a residual exceeding budget — silently over-budget
+        // bin states; fail loud per shard (the row-ceiling policy)
+        rows.foreach { case (id, w) =>
+          require(w >= 0L,
+            s"shard $shard document $id has negative weight $w — " +
+              "best-fit packing needs non-negative weights")
+        }
         // weight DESC, id ASC — the BFD order
         java.util.Arrays.sort(rows, new java.util.Comparator[(Long, Long)] {
           def compare(a: (Long, Long), b: (Long, Long)): Int = {

@@ -124,8 +124,15 @@ object Similarity {
     // same four buckets. Members route through their min-id
     // representative as star candidates (m−1, linear); only DISTINCT
     // signatures band. Every candidate still passes the exact-cosine
-    // verify, so precision is untouched; the edge set routes
-    // identical-signature groups through their rep.
+    // verify, so precision is untouched. RECALL corner (minhashPairs'
+    // note, mirrored — unlike SimHash, an identical 64-plane signature
+    // does NOT certify cos >= threshold): routing a group through its
+    // rep means a member-member pair that WOULD pass exact-cosine can
+    // be lost when both of its rep edges fail the verify. That needs
+    // two vectors equal on all 64 random hyperplane signs yet far in
+    // cosine from a third equal-signed vector that is near both — a
+    // measure-zero corner of an already-approximate candidate tier,
+    // traded for killing the quadratic pileup.
     // one window exchange on the signature assigns every row its
     // group's min-id representative in place (no agg-join round trip):
     // non-reps become star candidates map-side, reps alone feed the

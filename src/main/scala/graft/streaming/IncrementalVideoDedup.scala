@@ -22,6 +22,18 @@ import graft.store.Snapshots
   * store semantics the image/audio twins document: a bucket's claimant
   * is the one identity later arrivals can vote against.
   *
+  * Claim-identity semantics (shared with the image/audio twins, explicit
+  * here): new claims are drawn from ALL of the batch's bands — including
+  * clips this very batch DROPPED (store or batch duplicates) — so a
+  * dropped clip can become the first-writer claimant of buckets its
+  * survivor never touched, and a future arrival may drop by voting
+  * against an identity that never shipped. This TRANSITIVE drop is
+  * correct by the vote's construction: ≥ `minMatch` positions verifying
+  * against the dropped claimant certify near-duplication with IT, and it
+  * in turn was certified against an earlier survivor — the duplicate
+  * CHAIN collapses to the earliest-seen representative, exactly the
+  * min-id chain policy the streaming funnel documents for text claims.
+  *
   * Scale shape: only (bucket key, id, hash) rows cross exchanges —
   * bytes stay in the caller's probe scan; O(batch) claim deltas,
   * depth-triggered compaction, replay-stable (a replayed claimant
@@ -33,6 +45,14 @@ final class IncrementalVideoDedup(spark: SparkSession, root: String,
                                     graft.multimodal.VideoDedup.DefaultMinMatch) {
   require(maxHamming >= 0 && maxHamming <= 64, "maxHamming in [0,64]")
   require(minMatch >= 1, "minMatch must be >= 1")
+  // the probe side samples [[graft.multimodal.VideoDedup.FrameSamples]]
+  // positions per clip; a vote threshold past that can never fire and
+  // the tier would be silently inert — fail loud (the batch tier's
+  // nearDupPairs guard, mirrored)
+  require(minMatch <= graft.multimodal.VideoDedup.FrameSamples,
+    s"minMatch=$minMatch exceeds the " +
+      s"${graft.multimodal.VideoDedup.FrameSamples} sampled positions " +
+      "per clip — no arrival could ever reach the vote threshold")
 
   private val schema = StructType(Seq(
     StructField("bkey", StringType, nullable = false),

@@ -121,4 +121,19 @@ class VideoDedupSpec extends AnyFunSuite {
     // equal-size, the rescale is smaller -> ties to lowest id = 0)
     assert(kept == Set(0L, 9001L), s"kept: $kept")
   }
+
+  test("an unsatisfiable vote threshold fails loud, never silently " +
+    "detects nothing (minMatch > sampled positions)") {
+    val rows = Seq((1L, gif(clip(3))), (2L, gif(clip(3))))
+      .toDF("media_id", "media")
+    // n = 5 sampled frames under the default minMatch = 7: even
+    // byte-identical clips would score n_match = 5 < 7 — inert
+    val e = intercept[IllegalArgumentException] {
+      VideoDedup.nearDupPairs(rows, "media", "media_id", n = 5)
+    }
+    assert(e.getMessage.contains("minMatch"), e.getMessage)
+    // satisfiable thresholds at the same width still work
+    assert(VideoDedup.nearDupPairs(rows, "media", "media_id",
+      minMatch = 5, n = 5).count() == 1L)
+  }
 }

@@ -265,6 +265,14 @@ class PackingSpec extends AnyFunSuite {
       Packing.packBestFit(rows, "shard", "doc_id", "n_tok", 10L,
         maxShardRows = 3).collect()
     }
+    // a negative weight fails loud per shard — it would decrease
+    // used() and silently re-open an over-budget pack otherwise
+    val neg = intercept[org.apache.spark.SparkException] {
+      Packing.packBestFit(
+        Seq((0L, 1L, 5L), (0L, 2L, -3L)).toDF("shard", "doc_id", "n_tok"),
+        "shard", "doc_id", "n_tok", 10L).collect()
+    }
+    assert(neg.getMessage.contains("negative weight"), neg.getMessage)
   }
 
   test("packTokenStreams: per-pack concatenated ids in global order, a " +

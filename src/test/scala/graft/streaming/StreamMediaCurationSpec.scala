@@ -177,4 +177,13 @@ class StreamMediaCurationSpec extends AnyFunSuite {
         s"$streamed vs $batch")
     assert(streamed == Set(1L, 3L, 10L), s"survivors: $streamed")
   }
+
+  test("video claims: an unsatisfiable vote threshold fails loud at " +
+    "construction (minMatch > sampled positions)") {
+    val dir = Files.createTempDirectory("graft-ivd-guard").toString
+    val e = intercept[IllegalArgumentException] {
+      new IncrementalVideoDedup(spark, dir, minMatch = 10)
+    }
+    assert(e.getMessage.contains("minMatch"), e.getMessage)
+  }
 }
