@@ -497,6 +497,151 @@ object Bpe {
       }(Encoders.row(outSchema))
   }
 
+  /** Reverse byte-symbol lookup for [[decodeTokens]]: `<0xNN>` → NN. */
+  private val ByteSymbolValue: Map[String, Int] =
+    ByteSymbols.zipWithIndex.toMap
+
+  /** DETOKENIZE one id sequence — [[encode]]'s inverse: ids → pieces →
+    * text, with `<0xNN>` byte-piece RUNS reassembled as UTF-8. Returns
+    * (text, n_invalid).
+    *
+    * Inverse contract (the roundtrip spec pins it): `decodeTokens ∘
+    * encode` reproduces the WHITESPACE-NORMALIZED text — the token list
+    * joined by single spaces (`jvmTokens(text).mkString(" ")`, exactly
+    * DuckDB's `array_to_string(string_split_regex(trim(text),'\s+'),' ')`)
+    * — because the `</w>` marker records word boundaries, not which
+    * whitespace drew them. Word boundaries are resolved PER PIECE (a
+    * piece that IS or ENDS WITH the marker closes a word), never by
+    * string-replacing the concatenation, so literal `<`,`/`,`w`,`>`
+    * characters in the corpus cannot fabricate boundaries. The one
+    * irreducible ambiguity is [[vocabOf]]'s documented first-wins
+    * collision: a merge product SPELLED exactly like the marker (or like
+    * a `<0xNN>` symbol under byte fallback) aliases that piece's id and
+    * decodes as it — the price of a string-keyed vocabulary, absent
+    * until a trainer actually learns those merges.
+    *
+    * Invalid byte sequences (a byte-piece run that is not valid UTF-8 —
+    * possible in hand-built or corrupted streams, never produced by
+    * [[encode]]'s own byte decomposition): each malformed sequence
+    * becomes one U+FFFD replacement and counts in `n_invalid`, or fails
+    * loud under `failOnInvalid`. Ids outside `[0, |vocab|)` — an unk id
+    * or a pack separator — ALWAYS fail loud: gate on `n_unk` upstream
+    * and split pack streams on `sepId` ([[decodePack]]) first. */
+  def decodeTokens(ids: Seq[Long], vocab: IndexedSeq[String],
+                   failOnInvalid: Boolean = false): (String, Long) = {
+    val sb = new java.lang.StringBuilder
+    val run = new java.io.ByteArrayOutputStream
+    var nInvalid = 0L
+    def flushRun(): Unit = if (run.size > 0) {
+      val arr = run.toByteArray
+      run.reset()
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val in = java.nio.ByteBuffer.wrap(arr)
+      // ≤ 1 char out per byte in (replacements consume ≥ 1 byte too)
+      val out = java.nio.CharBuffer.allocate(arr.length)
+      var done = false
+      while (!done) {
+        val r = dec.decode(in, out, true)
+        if (r.isMalformed || r.isUnmappable) {
+          if (failOnInvalid) throw new IllegalStateException(
+            s"BPE decode: byte-piece run is not valid UTF-8 at byte " +
+              s"offset ${in.position()} (failOnInvalid policy)")
+          nInvalid += 1
+          out.put('�')
+          in.position(in.position() + r.length)
+        } else {
+          dec.flush(out)
+          done = true
+        }
+      }
+      out.flip()
+      sb.append(out)
+    }
+    ids.foreach { id =>
+      require(id >= 0L && id < vocab.length,
+        s"token id $id is outside the vocabulary [0, ${vocab.length}) — " +
+          "an unk id (or a pack-stream separator) cannot decode; gate on " +
+          "n_unk upstream, or split the stream on sepId (decodePack) first")
+      val piece = vocab(id.toInt)
+      ByteSymbolValue.get(piece) match {
+        case Some(b) => run.write(b)
+        case None =>
+          flushRun()
+          if (piece == EndOfWord) sb.append(' ')
+          else if (piece.endsWith(EndOfWord)) {
+            sb.append(piece, 0, piece.length - EndOfWord.length)
+            sb.append(' ')
+          } else sb.append(piece)
+      }
+    }
+    flushRun()
+    // the FINAL token's boundary marker draws no space in the
+    // space-joined normal form — drop exactly one trailing space
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    (sb.toString, nInvalid)
+  }
+
+  /** Per-document DETOKENIZATION over a frame of id sequences — the
+    * first tool anyone reaches for when debugging a training corpus:
+    * (idCol, text, n_invalid), one row per input row, text per
+    * [[decodeTokens]]' contract (the whitespace-normalized inverse).
+    * NULL id sequences pass through as NULL text (the encode side never
+    * emits them, but a left-joined loader artifact can).
+    *
+    * Scale shape mirrors [[encode]]: the vocabulary broadcasts (a
+    * tokenizer-sized driver artifact by construction), decoding rides
+    * the scan, and nothing collects — the ids cross no exchange. */
+  def decode(encoded: DataFrame, idCol: String, idsCol: String,
+             vocab: Seq[String],
+             failOnInvalid: Boolean = false): DataFrame = {
+    val spark = encoded.sparkSession
+    val vocabB = spark.sparkContext.broadcast(vocab.toIndexedSeq)
+    val idField = encoded.schema(encoded.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("text", org.apache.spark.sql.types.StringType),
+      StructField("n_invalid", LongType, nullable = false)))
+    encoded.select(col(idCol), col(idsCol))
+      .mapPartitions { rows =>
+        val v = vocabB.value
+        rows.map { r =>
+          if (r.isNullAt(1)) Row(r.get(0), null, 0L)
+          else {
+            val (text, nInv) =
+              decodeTokens(r.getSeq[Long](1), v, failOnInvalid)
+            Row(r.get(0), text, nInv)
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Split one PACK token stream ([[Packing.packTokenStreams]]'s
+    * `token_ids`) on its separator id back into member-document id
+    * sequences. Every document in a pack ends with `sepId` by
+    * construction, so a well-formed stream ends with one and yields
+    * exactly `n_docs` sequences; a trailing unterminated run (a
+    * truncated stream) is returned too rather than silently dropped. */
+  def splitPack(ids: Seq[Long], sepId: Long): Seq[Seq[Long]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ids.foreach { id =>
+      if (id == sepId) { out += cur.toSeq; cur.clear() }
+      else cur += id
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.toSeq
+  }
+
+  /** Decode one pack row for HUMAN INSPECTION — [[splitPack]] +
+    * [[decodeTokens]] per member document: Seq of (text, n_invalid) in
+    * pack order. Driver-side by design (a pack is ~budget ids). */
+  def decodePack(ids: Seq[Long], vocab: IndexedSeq[String], sepId: Long,
+                 failOnInvalid: Boolean = false): Seq[(String, Long)] =
+    splitPack(ids, sepId).map(decodeTokens(_, vocab, failOnInvalid))
+
   /** Persist a trained tokenizer (ordered merges + the stable-id
     * vocabulary) as two parquet tables under `dir` — the FROZEN artifact
     * a deployment ships to every encode job (and to the trainer's

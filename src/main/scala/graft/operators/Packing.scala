@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -215,18 +215,23 @@ object Packing {
       .map { case (s, w) => val row = (s, acc); acc += w; row }
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = broadcast(offRows.toSeq.toDF("_shard", "_off"))
-    // pass 2: per-shard cumulative window + the broadcast prefix
-    val cum = Iterator.from(0)
-      .map(i => if (i == 0) "_cum" else s"_cum$i")
+    // fresh internal names — a caller column literally named _shard or
+    // _off must not make the offset join ambiguous
+    def fresh(base: String): String = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
       .find(n => !df.columns.contains(n)).get
+    val shardN = fresh("_shard")
+    val offN = fresh("_off")
+    val offDf = broadcast(offRows.toSeq.toDF(shardN, offN))
+    // pass 2: per-shard cumulative window + the broadcast prefix
+    val cum = fresh("_cum")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = df.join(offDf, col(shardCol).cast("long") === col("_shard"))
-      .drop("_shard")
+    val out = df.join(offDf, col(shardCol).cast("long") === col(shardN))
+      .drop(shardN)
       .withColumn(cum,
-        col("_off") + sum(col(weightCol).cast("long")).over(w))
-      .drop("_off")
+        col(offN) + sum(col(weightCol).cast("long")).over(w))
+      .drop(offN)
     (cum, out)
   }
 
@@ -240,11 +245,19 @@ object Packing {
     * the vocabulary, the slot a trainer's embedding table appends; it
     * must not collide with a real id).
     *
-    * Output: (pack_id, token_ids, n_docs, n_tokens), n_tokens =
-    * |token_ids| including separators. Determinism: `(shardCol,
-    * orderCol)` must be a global total order (the [[packGlobalByBudget]]
-    * contract) — it orders both the packing prefix sum and the
-    * concatenation.
+    * Output: (pack_id, token_ids, n_docs, n_tokens, doc_offsets[,
+    * doc_ids]), n_tokens = |token_ids| including separators.
+    * `doc_offsets` is each member document's START offset within
+    * `token_ids` (in concatenation order) — the attention-mask /
+    * sample-boundary artifact a trainer otherwise re-derives by
+    * scanning for separators; member k spans
+    * `[doc_offsets[k], doc_offsets[k+1])` including its trailing
+    * separator (the last member ends at n_tokens). `docIdCol`
+    * additionally emits `doc_ids`, the member ids position-aligned
+    * with `doc_offsets` (long-castable, the dedup-family contract).
+    * Determinism: `(shardCol, orderCol)` must be a global total order
+    * (the [[packGlobalByBudget]] contract) — it orders the packing
+    * prefix sum, the concatenation, and the offsets alike.
     *
     * Scale shape: the ids cross exactly TWO exchanges — the shard-keyed
     * window (reused by the join) and the pack groupBy — which is the
@@ -252,10 +265,12 @@ object Packing {
     * token stream); each output row is ~budget ids (an oversize
     * document overflows its pack rather than splitting, same as the
     * assignment operator), so per-row memory is bounded by budget +
-    * max-document, never by corpus. */
+    * max-document, never by corpus; the offsets fold (one running sum
+    * over the already-collected member list) adds no exchange. */
   def packTokenStreams(encoded: DataFrame, shardCol: String,
                        orderCol: String, idsCol: String, budget: Long,
-                       sepId: Long): DataFrame = {
+                       sepId: Long,
+                       docIdCol: Option[String] = None): DataFrame = {
     val wCol = Iterator.from(0)
       .map(i => if (i == 0) "_w" else s"_w$i")
       .find(n => !encoded.columns.contains(n)).get
@@ -263,20 +278,36 @@ object Packing {
       (coalesce(size(col(idsCol)), lit(0)) + 1).cast("long"))
     val packed = packGlobalByBudget(weighted, shardCol, orderCol, wCol,
       budget)
+    val memberStruct = struct(Seq(
+      col(shardCol).as("s"),
+      col(orderCol).as("o"),
+      concat(coalesce(col(idsCol), array().cast("array<long>")),
+        array(lit(sepId))).as("t")) ++
+      docIdCol.map(c => col(c).cast("long").as("d")): _*)
+    val members = array_sort(collect_list(memberStruct))
+    // exclusive prefix sum of member lengths — a linear fold over the
+    // collected list, no extra exchange
+    def offsets(ms: Column): Column = aggregate(
+      ms,
+      struct(array().cast("array<long>").as("offs"), lit(0L).as("cum")),
+      (acc, x) => struct(
+        concat(acc.getField("offs"), array(acc.getField("cum"))).as("offs"),
+        (acc.getField("cum") + size(x.getField("t")).cast("long"))
+          .as("cum")),
+      acc => acc.getField("offs"))
+    val aggCols = Seq(
+      flatten(transform(members, x => x.getField("t"))).as("token_ids"),
+      count(lit(1)).as("n_docs"),
+      sum(col(wCol)).as("n_tokens"),
+      offsets(members).as("doc_offsets")) ++
+      docIdCol.map(_ =>
+        transform(members, x => x.getField("d")).as("doc_ids"))
+    val outCols = Seq("pack_id", "token_ids", "n_docs", "n_tokens",
+      "doc_offsets") ++ docIdCol.map(_ => "doc_ids")
     packed
       .groupBy(col("pack_id"))
-      .agg(
-        flatten(transform(
-          array_sort(collect_list(struct(
-            col(shardCol).as("s"),
-            col(orderCol).as("o"),
-            concat(coalesce(col(idsCol), array().cast("array<long>")),
-              array(lit(sepId))).as("t")))),
-          x => x.getField("t"))).as("token_ids"),
-        count(lit(1)).as("n_docs"),
-        sum(col(wCol)).as("n_tokens"))
-      .select(col("pack_id"), col("token_ids"), col("n_docs"),
-        col("n_tokens"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(outCols.map(col): _*)
   }
 
   /** Row ceiling per shard for [[packBestFit]] — the whole shard is

@@ -524,5 +524,99 @@ object BpeQ {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q126, q127, q129, q131, q132, q133)
+  /** q134: DECODE ROUNDTRIP under byte fallback ([[Bpe.decode]] —
+    * encode's inverse): q131's planted corpus (every seventh document
+    * re-planted with CJK + emoji words no training document contains)
+    * encodes under the frozen byte-fallback vocabulary, then DECODES
+    * back — `<0xNN>` byte-piece runs reassembled as UTF-8 — and the
+    * oracle asserts the roundtrip CONTRACT itself: decode ∘ encode
+    * equals the whitespace-normalized text (tokens joined by single
+    * spaces), with zero invalid sequences, for every document
+    * including the planted ones whose CJK/emoji words exist ONLY as
+    * byte pieces. A decoder bug anywhere — byte reassembly, word
+    * boundaries, piece lookup — breaks the hash. */
+  val q134 = Q(
+    "q134_bpe_decode_roundtrip",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' 世界 😀tok'
+       |  FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL)
+       |SELECT doc_id,
+       |       array_to_string($sqlToks, ' ') AS text_rt,
+       |       CAST(0 AS BIGINT) AS n_invalid
+       |FROM corpus WHERE text IS NOT NULL
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val planted = docs
+      .filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" 世界 😀tok")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionAll(planted)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges,
+      byteFallback = true)
+    val enc = Bpe.encode(corpus, "doc_id", "text", merges, vocab,
+      byteFallback = true)
+    Bpe.decode(enc, "doc_id", "token_ids", vocab)
+      .select(col("doc_id"), col("text").as("text_rt"), col("n_invalid"))
+      .orderBy("doc_id")
+  }
+
+  /** q135: PER-PACK DOCUMENT BOUNDARY OFFSETS — q132's pack streams
+    * with the sample-boundary artifact materialized: each pack's member
+    * doc_ids and their START offsets within `token_ids` (the
+    * attention-mask input a trainer otherwise re-derives by scanning
+    * for separators). The oracle replays q132's whole chain — training,
+    * segmentation, the shuffle key, the global prefix sum — then the
+    * WITHIN-pack exclusive prefix sum of member weights (n_pieces + 1,
+    * the separator counted), which IS the offset arithmetic
+    * [[Packing.packTokenStreams]]' fold computes over the collected
+    * member list; every (pack, member) row hash-checked. */
+  val q135 = Q(
+    "q135_bpe_pack_offsets",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |$cntCte,
+       |k AS (SELECT d.doc_id, c.n_pieces + 1 AS w,
+       |             (${sqlHash("'7:' || CAST(d.doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM documents d JOIN cnt c ON c.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard, w
+       |      FROM k),
+       |ww AS (SELECT doc_id, ek, shard, w,
+       |         SUM(w) OVER (ORDER BY shard, ek, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM s),
+       |pk AS (SELECT doc_id, ek, shard, w,
+       |              CAST((cum - w) // 700 AS BIGINT) AS pack_id FROM ww),
+       |offs AS (SELECT pack_id, doc_id,
+       |                row_number() OVER (PARTITION BY pack_id
+       |                  ORDER BY shard, ek, doc_id) - 1 AS idx,
+       |                SUM(w) OVER (PARTITION BY pack_id
+       |                  ORDER BY shard, ek, doc_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                  - w AS off
+       |         FROM pk)
+       |SELECT pack_id, CAST(idx AS BIGINT) AS idx, doc_id,
+       |       CAST(off AS BIGINT) AS off
+       |FROM offs ORDER BY pack_id, idx""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
+      .select(col("doc_id"), col("token_ids"))
+    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
+      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    Packing.packTokenStreams(e, "shard", "pos", "token_ids",
+      budget = 700L, sepId = vocab.length.toLong,
+      docIdCol = Some("doc_id"))
+      .select(col("pack_id"),
+        posexplode(arrays_zip(col("doc_ids"), col("doc_offsets"))))
+      .select(col("pack_id"), col("pos").cast("long").as("idx"),
+        col("col.doc_ids").as("doc_id"), col("col.doc_offsets").as("off"))
+      .orderBy("pack_id", "idx")
+  }
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q131, q132, q133, q134, q135)
 }

@@ -435,8 +435,11 @@ object StreamCuration {
              (_, vocab) <- bpeTokenizer) {
           val enc = out.select(col(idCol), col("token_ids"))
             .withColumn("_pack_shard", lit(0L))
+          // doc_ids + doc_offsets ride along — the streaming twin ships
+          // the same sample-boundary artifact the batch packer emits
           sink(graft.operators.Packing.packTokenStreams(enc, "_pack_shard",
-            idCol, "token_ids", budget, vocab.length.toLong), batchId)
+            idCol, "token_ids", budget, vocab.length.toLong,
+            docIdCol = Some(idCol)), batchId)
         }
         lenHist.foreach { h =>
           h.observe(out.select(graft.functions.TokenStats(col(textCol))

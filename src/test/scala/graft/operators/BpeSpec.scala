@@ -320,4 +320,87 @@ class BpeSpec extends AnyFunSuite {
         .map(w => w.codePointCount(0, w.length).toLong + 1L).sum).sum
     assert(totalPieces < naive, "training produced no compression")
   }
+
+  test("decode ∘ encode = whitespace-normalized identity on the corpus, " +
+    "including planted CJK/emoji words that exist only as byte pieces") {
+    val planted = docs
+      .filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        org.apache.spark.sql.functions.concat(col("text"),
+          org.apache.spark.sql.functions.lit(" 世界 😀tok")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionAll(planted)
+      .localCheckpoint(true)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges,
+      byteFallback = true)
+    val enc = Bpe.encode(corpus, "doc_id", "text", merges, vocab,
+      byteFallback = true)
+    val out = Bpe.decode(enc, "doc_id", "token_ids", vocab)
+      .as[(Long, String, Long)].collect()
+    val want = corpus.filter(col("text").isNotNull)
+      .as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> graft.functions.TextAnalysis.jvmTokens(t).mkString(" ")
+      }.toMap
+    assert(out.length == want.size)
+    out.foreach { case (id, text, nInv) =>
+      assert(nInv == 0L, s"doc $id: $nInv invalid sequences")
+      assert(text == want(id), s"doc $id roundtrip: '$text' != '${want(id)}'")
+    }
+  }
+
+  test("decode: literal </w> CHARACTERS in text do not fabricate word " +
+    "boundaries (boundaries resolve per piece, not by string replace)") {
+    val rows = Seq((1L, "a</w>b c"), (2L, "x</w>")).toDF("doc_id", "text")
+    val alpha = Bpe.alphabetOf(rows, "text")
+    val vocab = Bpe.vocabOf(alpha, Seq.empty)
+    val enc = Bpe.encode(rows, "doc_id", "text", Seq.empty, vocab)
+    val out = Bpe.decode(enc, "doc_id", "token_ids", vocab)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out == Map(1L -> "a</w>b c", 2L -> "x</w>"), s"got $out")
+  }
+
+  test("decode: invalid UTF-8 byte runs — replacement + n_invalid by " +
+    "default, fail-loud on policy; out-of-range ids always fail loud") {
+    val vocab = Bpe.vocabOf(Seq("a", Bpe.EndOfWord), Seq.empty,
+      byteFallback = true)
+    val ids = Bpe.vocabIds(vocab)
+    val lone80 = ids("<0x80>") // a lone continuation byte: malformed
+    val aId = ids("a")
+    val eow = ids(Bpe.EndOfWord)
+    val (text, nInv) = Bpe.decodeTokens(Seq(aId, lone80, eow), vocab)
+    assert(text == "a�" && nInv == 1L, s"got ('$text', $nInv)")
+    intercept[IllegalStateException] {
+      Bpe.decodeTokens(Seq(lone80), vocab, failOnInvalid = true)
+    }
+    // a well-formed multi-byte run still reassembles exactly
+    val bytes = "世".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val runIds = bytes.map(b => ids(f"<0x${b & 0xff}%02X>")).toSeq
+    assert(Bpe.decodeTokens(runIds :+ eow, vocab) == (("世", 0L)))
+    // unk / separator ids cannot decode — fail loud, never garbage
+    intercept[IllegalArgumentException] {
+      Bpe.decodeTokens(Seq(-1L), vocab)
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.decodeTokens(Seq(vocab.length.toLong), vocab)
+    }
+  }
+
+  test("splitPack/decodePack: a pack stream splits on the separator " +
+    "into member documents and decodes each for inspection") {
+    val rows = Seq((1L, "the cat"), (2L, "sat")).toDF("doc_id", "text")
+    val merges = Seq.empty[Bpe.Merge]
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(rows, "text"), merges)
+    val enc = Bpe.encode(rows, "doc_id", "text", merges, vocab)
+      .withColumn("_shard", org.apache.spark.sql.functions.lit(0L))
+    val sep = vocab.length.toLong
+    val pack = graft.operators.Packing.packTokenStreams(enc, "_shard",
+      "doc_id", "token_ids", budget = 1000L, sepId = sep)
+      .select("token_ids").as[Seq[Long]].head()
+    val docsOut = Bpe.decodePack(pack, vocab.toIndexedSeq, sep)
+    assert(docsOut == Seq(("the cat", 0L), ("sat", 0L)), s"got $docsOut")
+    // a truncated (separator-less tail) stream surfaces the tail
+    assert(Bpe.splitPack(Seq(1L, 9L, 2L), 9L) == Seq(Seq(1L), Seq(2L)))
+  }
 }

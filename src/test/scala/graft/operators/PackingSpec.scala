@@ -311,5 +311,31 @@ class PackingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(assign == Map((0L, 1L) -> 0L, (0L, 2L) -> 0L, (0L, 3L) -> 0L,
       (1L, 1L) -> 1L, (1L, 2L) -> 1L))
+    // doc_offsets (always) and doc_ids (with docIdCol): member k's
+    // slice [off_k, off_{k+1}) of token_ids is doc k's ids + separator
+    val withOffs = Packing.packTokenStreams(
+      rows.withColumnRenamed("pos", "doc_pos"), "shard", "doc_pos",
+      "token_ids", budget = 8L, sepId = 99L, docIdCol = Some("doc_pos"))
+      .orderBy("pack_id")
+      .select("pack_id", "token_ids", "doc_offsets", "doc_ids", "n_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getSeq[Long](3), r.getLong(4)))
+    assert(withOffs(0)._3 == Seq(0L, 4L, 7L) &&
+      withOffs(0)._4 == Seq(1L, 2L, 3L), s"pack 0: ${withOffs(0)}")
+    assert(withOffs(1)._3 == Seq(0L, 2L) &&
+      withOffs(1)._4 == Seq(1L, 2L), s"pack 1: ${withOffs(1)}")
+    val docIds = Map((0L, 1L) -> Seq(10L, 11L, 12L),
+      (0L, 2L) -> Seq(20L, 21L),
+      (0L, 3L) -> Seq(30L, 31L, 32L, 33L, 34L),
+      (1L, 1L) -> Seq(40L), (1L, 2L) -> (0 until 9).map(i => 50L + i))
+    withOffs.foreach { case (pid, toks, offs, ids, nTok) =>
+      val bounds = offs :+ nTok
+      offs.indices.foreach { k =>
+        val slice = toks.slice(bounds(k).toInt, bounds(k + 1).toInt)
+        assert(slice == docIds((pid, ids(k))) :+ 99L,
+          s"pack $pid member $k slice $slice")
+      }
+    }
   }
 }
