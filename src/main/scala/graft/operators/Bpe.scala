@@ -44,6 +44,79 @@ object Bpe {
 
   type Merge = (String, String)
 
+  /** PRE-TOKENIZATION policy — how text becomes the "words" the trainer
+    * counts and the encoder segments. [[PreTok.Whitespace]] (the default
+    * everywhere, and what every existing oracle replays) treats each
+    * whitespace token as one word; [[PreTok.CpClass]] further splits
+    * every whitespace token into maximal CODE-POINT-CLASS runs —
+    * letters (`\p{L}+`), numbers (`\p{N}+`), everything else
+    * (`[^\p{L}\p{N}]+`) — the GPT-2-style pre-split. The multilingual
+    * rationale: under whitespace, a CJK sentence (no spaces) is ONE
+    * word, so each distinct sentence lands in the frequency table once
+    * (below any sane `minFreq`) and the trainer never learns merges
+    * inside script runs — then under a frozen vocabulary every unseen
+    * CJK "word" byte-fallback-encodes at ~3 pieces per character
+    * forever. CpClass separates the letter run from adjoining
+    * digits/punctuation, so recurring runs accumulate frequency and
+    * merges are learned INSIDE them (spec-pinned: pieces/char drops
+    * measurably vs the byte-fallback floor on a planted mixed-script
+    * corpus).
+    *
+    * Both sides of every policy are exact cross-engine twins: the JVM
+    * split and the column/oracle split share one regex (`\p{L}`/`\p{N}`
+    * are the same Unicode general categories in java.util.regex and
+    * DuckDB's RE2), and the empty token — whitespace keeps `""`
+    * (`"foo \n"` tokenizes `[foo, ""]`), CpClass drops it (no run
+    * matches in an empty string) — agrees by construction.
+    *
+    * DETOKENIZATION caveat: the end-of-word marker lands after every
+    * CpClass RUN, so [[decodeTokens]] under a CpClass-trained
+    * vocabulary reconstructs the run-split normal form ("ab1" decodes
+    * "ab 1") — the boundary information GPT-2 keeps via byte-level
+    * space prefixes is traded here for the oracle-replayable marker
+    * scheme. Exact decode roundtrips are the Whitespace policy's
+    * contract (q134). */
+  sealed trait PreTok extends Serializable {
+    private[graft] def jvmSplit(s: String): Array[String]
+    private[graft] def wordsCol(text: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column
+  }
+
+  object PreTok {
+    /** One word per whitespace token (the [[TextAnalysis.jvmTokens]] /
+      * `tokens` twin pair) — the default policy. */
+    case object Whitespace extends PreTok {
+      private[graft] def jvmSplit(s: String): Array[String] =
+        TextAnalysis.jvmTokens(s)
+      private[graft] def wordsCol(text: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column = tokens(text)
+    }
+
+    /** GPT-2-style code-point-class runs within whitespace tokens. */
+    case object CpClass extends PreTok {
+      /** The shared run regex — identical semantics in java.util.regex
+        * (JVM split), Spark's codegen'd regexp_extract_all (column
+        * split) and DuckDB's RE2 (oracle split). */
+      val RunRe: String = "[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}]+"
+      @transient private lazy val pat =
+        java.util.regex.Pattern.compile(RunRe)
+      private[graft] def jvmSplit(s: String): Array[String] = {
+        val out = mutable.ArrayBuffer.empty[String]
+        TextAnalysis.jvmTokens(s).foreach { w =>
+          if (!w.isEmpty) {
+            val m = pat.matcher(w)
+            while (m.find()) out += m.group()
+          }
+        }
+        out.toArray
+      }
+      private[graft] def wordsCol(text: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        flatten(transform(tokens(text),
+          w => regexp_extract_all(w, lit(RunRe), lit(0))))
+    }
+  }
+
   /** Default cap on the word-frequency rows `train` may collect. 4M
     * entries ≈ a few hundred MB of driver heap at web-scale word lengths
     * — far above any real tokenizer vocabulary (GPT-2: 50k merges), far
@@ -100,10 +173,11 @@ object Bpe {
     syms
   }
 
-  /** The distributed corpus pass: (word, frequency) over the whitespace
-    * tokens of `textCol`. */
-  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(tokens(col(textCol))).as("word"))
+  /** The distributed corpus pass: (word, frequency) over `preTok`'s
+    * words of `textCol` (whitespace tokens by default). */
+  def wordFrequencies(docs: DataFrame, textCol: String,
+                      preTok: PreTok = PreTok.Whitespace): DataFrame =
+    docs.select(explode(preTok.wordsCol(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Train `numMerges` BPE merges from the word-frequency table. The
@@ -116,10 +190,11 @@ object Bpe {
     * cap does not bind the merges are identical to an uncapped train. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             minPairCount: Long = 2L, minFreq: Long = 1L,
-            maxVocab: Int = DefaultMaxVocab): Seq[Merge] = {
+            maxVocab: Int = DefaultMaxVocab,
+            preTok: PreTok = PreTok.Whitespace): Seq[Merge] = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(maxVocab > 0, "maxVocab must be > 0")
-    val vocab = wordFrequencies(docs, textCol)
+    val vocab = wordFrequencies(docs, textCol, preTok)
       .filter(col("freq") >= minFreq)
       .orderBy(col("freq").desc, col("word").asc)
       .limit(maxVocab)
@@ -333,7 +408,8 @@ object Bpe {
     * then a distinct whose exchange carries only per-partition-distinct
     * symbols. Returned sorted by [[cpOrder]] (the id-assignment order).
     * NULL-text rows contribute nothing. */
-  def alphabetOf(docs: DataFrame, textCol: String): Seq[String] = {
+  def alphabetOf(docs: DataFrame, textCol: String,
+                 preTok: PreTok = PreTok.Whitespace): Seq[String] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(textCol).cast("string")).na.drop()
@@ -341,7 +417,7 @@ object Bpe {
       .mapPartitions { it =>
         val seen = mutable.HashSet.empty[String]
         it.foreach { t =>
-          TextAnalysis.jvmTokens(t).foreach(w => initial(w).foreach(seen += _))
+          preTok.jvmSplit(t).foreach(w => initial(w).foreach(seen += _))
         }
         seen.iterator
       }
@@ -431,7 +507,8 @@ object Bpe {
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge], vocab: Seq[String],
              unkId: Long = -1L, byteFallback: Boolean = false,
-             failOnUnk: Boolean = false): DataFrame = {
+             failOnUnk: Boolean = false,
+             preTok: PreTok = PreTok.Whitespace): DataFrame = {
     val spark = docs.sparkSession
     if (byteFallback) {
       val vs = vocab.toSet
@@ -459,7 +536,7 @@ object Bpe {
         rows.flatMap { r =>
           if (r.isNullAt(1)) None
           else {
-            val toks = TextAnalysis.jvmTokens(r.getString(1))
+            val toks = preTok.jvmSplit(r.getString(1))
             val segd = mutable.ArrayBuffer.empty[String]
             var i = 0
             while (i < toks.length) {
@@ -686,7 +763,8 @@ object Bpe {
     * piece). Documents with a NULL `textCol` are absent from the output,
     * matching the previous explode-based form. */
   def pieceCounts(docs: DataFrame, idCol: String, textCol: String,
-                  merges: Seq[Merge]): DataFrame = {
+                  merges: Seq[Merge],
+                  preTok: PreTok = PreTok.Whitespace): DataFrame = {
     val spark = docs.sparkSession
     val rankB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
     val idField = docs.schema(docs.schema.fieldIndex(idCol))
@@ -701,7 +779,7 @@ object Bpe {
         rows.flatMap { r =>
           if (r.isNullAt(1)) None
           else {
-            val toks = TextAnalysis.jvmTokens(r.getString(1))
+            val toks = preTok.jvmSplit(r.getString(1))
             var pieces = 0L
             var i = 0
             while (i < toks.length) {

@@ -103,7 +103,9 @@ object BpeQ {
     * it differs. */
   private[queries] def bpeChainCtes(numMerges: Int,
                                     minPairCount: Long = 2L,
-                                    encodeFrom: String = "documents"): String = {
+                                    encodeFrom: String = "documents",
+                                    trainFrom: String = "documents",
+                                    toks: String = sqlToks): String = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val rounds = (1 to numMerges).map(roundCtes(_, minPairCount))
       .mkString(",\n")
@@ -111,7 +113,7 @@ object BpeQ {
       .map(r => s"SELECT $r AS r, a, b FROM m$r").mkString(" UNION ALL ")
     s"""wf AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest($sqlToks) AS w FROM documents) GROUP BY w),
+       |  FROM (SELECT unnest($toks) AS w FROM $trainFrom) GROUP BY w),
        |w0 AS MATERIALIZED (
        |  SELECT word, freq,
        |    list_append(list_transform(range(1, length(word) + 1),
@@ -126,7 +128,7 @@ object BpeQ {
        |          list_append(list_transform(range(1, length(word) + 1),
        |            i -> substring(word, CAST(i AS INTEGER), 1)), '</w>')
        |            AS syms
-       |        FROM (SELECT DISTINCT unnest($sqlToks) AS word
+       |        FROM (SELECT DISTINCT unnest($toks) AS word
        |              FROM $encodeFrom)),
        |seg AS (
        |  SELECT word, syms, 0 AS step FROM w0e
@@ -618,5 +620,70 @@ object BpeQ {
       .orderBy("pack_id", "idx")
   }
 
-  val all: Seq[Q] = Seq(q126, q127, q129, q131, q132, q133, q134, q135)
+  /** DuckDB twin of [[Bpe.PreTok.CpClass]]'s split: whitespace tokens
+    * further cut into maximal letter/number/other code-point-class runs
+    * (RE2's `\p{L}`/`\p{N}` are the same Unicode general categories the
+    * JVM split matches). */
+  private[queries] val sqlToksCp: String =
+    """flatten(list_transform(string_split_regex(trim(text), '\s+'),
+      |  w -> regexp_extract_all(w,
+      |         '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}]+')))"""
+      .stripMargin.replace("\n", " ")
+
+  /** q136: CP-CLASS PRE-TOKENIZED BPE ([[Bpe.PreTok.CpClass]] — the
+    * GPT-2-style letter/number/punct run pre-split, opt-in beside the
+    * whitespace default): every fifth document is re-planted with a
+    * mixed-script word (`v<id>世界算法7!`) that whitespace tokenization
+    * would keep as ONE unique word — under CpClass it splits into runs,
+    * the recurring CJK run accumulates corpus frequency, and training +
+    * encoding operate on runs. The oracle replays the PRE-SPLIT itself
+    * (the `regexp_extract_all` twin of the JVM split) plus the whole
+    * q126 chain — training rounds, greedy segmentation, stable ids,
+    * per-document flatten — over the run vocabulary; every token
+    * position hash-checked. q126/q131/q132 stay on the whitespace
+    * default, untouched. */
+  val q136 = Q(
+    "q136_bpe_cpclass_encode",
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' v' || CAST(doc_id AS VARCHAR)
+       |           || '世界算法7!'
+       |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+       |${bpeChainCtes(30, encodeFrom = "corpus", trainFrom = "corpus",
+          toks = sqlToksCp)},
+       |tokq AS (SELECT doc_id, unnest($sqlToksCp) AS word,
+       |                unnest(range(1, len($sqlToksCp) + 1)) AS tp
+       |         FROM corpus),
+       |pcs AS (SELECT t.doc_id, t.tp, f.syms
+       |        FROM tokq t JOIN fin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(syms) AS piece,
+       |                unnest(range(1, len(syms) + 1)) AS sp FROM pcs),
+       |outp AS (SELECT doc_id,
+       |                CAST(row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tp, sp) - 1 AS BIGINT) AS pos,
+       |                piece FROM flat)
+       |SELECT o.doc_id, o.pos, o.piece, v.vid AS token_id
+       |FROM outp o JOIN voc v ON v.piece = o.piece
+       |ORDER BY o.doc_id, o.pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val planted = docs
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" v"), col("doc_id").cast("string"),
+          lit("世界算法7!")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionAll(planted)
+    val cp = Bpe.PreTok.CpClass
+    val merges = Bpe.train(corpus, "text", numMerges = 30, preTok = cp)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(corpus, "text", cp), merges)
+    Bpe.encode(corpus, "doc_id", "text", merges, vocab, preTok = cp)
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("pieces"), col("token_ids"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.pieces").as("piece"), col("col.token_ids").as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val all: Seq[Q] = Seq(q126, q127, q129, q131, q132, q133, q134, q135,
+    q136)
 }

@@ -387,6 +387,75 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("cp-class pre-tokenization: runs split exactly like the column/" +
+    "oracle twin, CJK merges are learned INSIDE runs, and pieces/char " +
+    "drops measurably below the byte-fallback floor") {
+    val cp = Bpe.PreTok.CpClass
+    // JVM split vs the column twin on the traps: mixed runs, empty
+    // trailing token (kept by whitespace, dropped by cp-class), CJK+digit
+    val tricky = Seq("v7世界算法9!", "foo bar\n", "  ", "a1b2", "世界 x")
+    val colSplit = tricky.toDF("text")
+      .select(org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.explode_outer(
+          cp.wordsCol(org.apache.spark.sql.functions.col("text")))
+          .as("w"))
+      .as[(String, String)].collect().groupBy(_._1)
+      .map { case (t, ws) => t -> ws.map(_._2).filter(_ != null).toSeq }
+    tricky.foreach { t =>
+      assert(colSplit(t) == cp.jvmSplit(t).toSeq,
+        s"'$t': column ${colSplit(t)} != jvm ${cp.jvmSplit(t).toSeq}")
+    }
+    assert(cp.jvmSplit("v7世界算法9!").toSeq ==
+      Seq("v", "7", "世界算法", "9", "!"))
+
+    // the mixed-script corpus: the CJK phrase rides INSIDE unique
+    // whitespace words — under the whitespace policy each is one
+    // frequency-1 word that the production `minFreq` floor filters
+    // BEFORE its pairs can count (at web scale distinct sentence-words
+    // are unbounded; the floor is what keeps the driver table bounded),
+    // so the trainer never sees the script run. CpClass separates the
+    // run, which accumulates corpus frequency and survives the floor.
+    val mixed = (0 until 200)
+      .map(i => (i.toLong, s"doc$i shared text v${i}世界算法$i!"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    // (a) the byte-fallback floor: whitespace policy, vocabulary frozen
+    // on a CJK-free corpus — the q131 regime every CJK word pays forever
+    val cjkFree = (0 until 200)
+      .map(i => (i.toLong, s"doc$i shared text v$i!"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val mergesWs = Bpe.train(cjkFree, "text", numMerges = 60, minFreq = 2L)
+    val vocabWs = Bpe.vocabOf(Bpe.alphabetOf(cjkFree, "text"), mergesWs,
+      byteFallback = true)
+    // (b) cp-class policy trained on the mixed corpus itself
+    val mergesCp = Bpe.train(mixed, "text", numMerges = 60, minFreq = 2L,
+      preTok = cp)
+    val vocabCp = Bpe.vocabOf(Bpe.alphabetOf(mixed, "text", cp), mergesCp)
+    // CJK merges ARE learned inside the run (both sides of some merge
+    // are ideographs — impossible under whitespace at the same floor,
+    // where every CJK-bearing word is frequency-1 and filtered)
+    def cjk(s: String): Boolean = s.codePoints().toArray
+      .forall(c => c >= 0x4E00 && c <= 0x9FFF)
+    assert(mergesCp.exists(m => cjk(m._1) && cjk(m._2)),
+      s"no in-run CJK merge learned: $mergesCp")
+    val wsOnly = Bpe.train(mixed, "text", numMerges = 60, minFreq = 2L)
+    assert(!wsOnly.exists(m => cjk(m._1) && cjk(m._2)),
+      "fixture check: whitespace policy at the same minFreq floor must " +
+        "NOT learn in-run CJK merges")
+    // pieces/char on the CJK phrase: byte fallback pays 3 byte pieces
+    // per character (+ the word marker); cp-class reads it as a learned
+    // run — measurably under one piece per character
+    val probe = Seq((1L, "世界算法")).toDF("doc_id", "text")
+    val floor = Bpe.encode(probe, "doc_id", "text", mergesWs, vocabWs,
+      byteFallback = true)
+      .select("n_tokens").as[Long].head() / 4.0
+    val learned = Bpe.encode(probe, "doc_id", "text", mergesCp, vocabCp,
+      preTok = cp)
+      .select("n_tokens").as[Long].head() / 4.0
+    assert(floor >= 3.0, s"byte-fallback floor: $floor pieces/char")
+    assert(learned < 1.0,
+      s"cp-class pieces/char $learned not below 1 (floor $floor)")
+  }
+
   test("splitPack/decodePack: a pack stream splits on the separator " +
     "into member documents and decodes each for inspection") {
     val rows = Seq((1L, "the cat"), (2L, "sat")).toDF("doc_id", "text")
