@@ -37,6 +37,12 @@ private[streaming] final class IncrementalBanded64(
 
   def buckets(): DataFrame = snaps.read()
 
+  /** Retract DELETED claimants ([[graft.store.ClaimRetraction]]'s
+    * contract): their buckets clear, the next arrival claims them.
+    * Returns the number of claims removed. */
+  def retract(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.retract(snaps, ids)
+
   /** `hashes` is (id: long, h: long) — the batch's decodable signatures;
     * rows of `batch` without one pass through unexamined. */
   def filterAndClaim(batch: DataFrame, hashes: DataFrame,
@@ -110,6 +116,9 @@ final class IncrementalAudioDedup(spark: SparkSession, root: String,
   def init(): Unit = core.init()
 
   def buckets(): DataFrame = core.buckets()
+
+  /** Retract deleted claimants' buckets (the family contract). */
+  def retract(ids: Seq[Long]): Long = core.retract(ids)
 
   def filterAndClaim(batch: DataFrame, bytesCol: String,
                      idCol: String): DataFrame =

@@ -43,6 +43,12 @@ final class IncrementalDedup(spark: SparkSession, root: String,
 
   def buckets(): DataFrame = snaps.read()
 
+  /** Retract DELETED claimants ([[graft.store.ClaimRetraction]]'s
+    * contract): their buckets clear, the next arrival claims them.
+    * Returns the number of claims removed. */
+  def retract(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.retract(snaps, ids)
+
   /** (id, bkey) band-bucket keys per document: band index prefixed onto the
     * 4-row signature slice, same banding as [[graft.operators.Dedup
     * .minhashPairs]]. Docs with < 3 tokens have no signature and pass
@@ -206,6 +212,12 @@ final class IncrementalEmbedDedup(spark: SparkSession, root: String,
   def init(): Unit = snaps.init()
 
   def buckets(): DataFrame = snaps.read()
+
+  /** Retract DELETED claimants ([[graft.store.ClaimRetraction]]'s
+    * contract): their buckets (and stored vectors) clear, the next
+    * arrival claims them. Returns the number of claims removed. */
+  def retract(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.retract(snaps, ids)
 
   /** (id, vecd, norm, bkey): band index prefixed onto each 32-bit
     * signature slice — `b0/b1` from the low-window signature, `b2/b3`

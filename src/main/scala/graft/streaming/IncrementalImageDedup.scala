@@ -29,6 +29,9 @@ final class IncrementalImageDedup(spark: SparkSession, root: String,
 
   def buckets(): DataFrame = core.buckets()
 
+  /** Retract deleted claimants' buckets (the family contract). */
+  def retract(ids: Seq[Long]): Long = core.retract(ids)
+
   /** Filters `batch` to rows that are NOT certified near-duplicates of
     * an earlier claimant (across all prior batches and within this one),
     * then claims the batch's unclaimed buckets. Returns the kept rows

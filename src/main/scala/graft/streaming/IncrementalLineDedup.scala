@@ -58,6 +58,13 @@ final class IncrementalLineDedup(spark: SparkSession, root: String,
     * ever seen, claimed by its global first occurrence. */
   def lines(): DataFrame = snaps.read()
 
+  /** Retract DELETED claimant documents ([[graft.store.ClaimRetraction]]'s
+    * contract): every line THEY claimed clears, so the next document
+    * carrying it keeps its copy. Returns the number of line claims
+    * removed. */
+  def retract(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.retract(snaps, ids, "cid")
+
   /** Rewrites `batch` with every already-claimed line removed and claims
     * the batch's novel lines. Returns (idCol, clean_text, n_removed), one
     * row per input document. Doc ids must be unique within a batch (the

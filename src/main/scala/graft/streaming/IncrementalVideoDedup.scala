@@ -65,6 +65,12 @@ final class IncrementalVideoDedup(spark: SparkSession, root: String,
 
   def buckets(): DataFrame = snaps.read()
 
+  /** Retract DELETED claimants ([[graft.store.ClaimRetraction]]'s
+    * contract): all their (bucket, position) claims clear, the next
+    * clip claims them. Returns the number of claims removed. */
+  def retract(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.retract(snaps, ids)
+
   /** `fh` is (id: long, pos: int, fhash: long) — the batch's sampled
     * frame hashes (the probe sidecar's `vhash`, exploded); rows of
     * `batch` without any pass through unexamined. */

@@ -128,6 +128,36 @@ object StreamCuration {
                                nAfterLineScrub: Long = -1L,
                                nBpeUnk: Long = -1L)
 
+  /** RETRACT deleted documents from every claim store under `stateDir`
+    * ([[graft.store.ClaimRetraction]]'s contract — the recrawl-deletion
+    * event's entry point): exact-text claims, near-dup bands, verified
+    * embed bands, line claims, and domain-cap slots held by any of
+    * `ids` all clear, so future arrivals can claim them instead of
+    * dropping against an identity that no longer ships. Only stores
+    * that exist on disk are touched (optional stages may never have
+    * been enabled). Returns total claims removed across stores. */
+  def retract(spark: SparkSession, stateDir: String,
+              ids: Seq[Long]): Long = {
+    def has(sub: String): Boolean = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))
+    var n = 0L
+    if (has("exact"))
+      n += graft.store.ClaimRetraction.retract(
+        new Snapshots(spark, s"$stateDir/exact", claimsSchema), ids)
+    if (has("neardup"))
+      n += new IncrementalDedup(spark, s"$stateDir/neardup").retract(ids)
+    if (has("embdedup"))
+      n += new IncrementalEmbedDedup(spark, s"$stateDir/embdedup")
+        .retract(ids)
+    if (has("linededup"))
+      n += new IncrementalLineDedup(spark, s"$stateDir/linededup")
+        .retract(ids)
+    if (has("domaincap"))
+      n += graft.store.ClaimRetraction.retract(
+        new Snapshots(spark, s"$stateDir/domaincap", capSchema), ids)
+    n
+  }
+
   /** The per-batch funnel transform, closed over the stores and the
     * fold-once eval materialization. Bootstrap `init()` happens here.
     * Use as `stream.writeStream.foreachBatch(curator(...)).start()`;

@@ -61,6 +61,30 @@ object StreamMediaCuration {
                                nAfterAudioDedup: Long, nOut: Long,
                                nAfterVideoDedup: Long = -1L)
 
+  /** RETRACT deleted payloads from every media claim store under
+    * `stateDir` ([[StreamCuration.retract]]'s byte-column twin): digest
+    * claims, image/audio band claims and video frame-vote claims held
+    * by any of `ids` clear; only stores that exist on disk are touched.
+    * Returns total claims removed. */
+  def retract(spark: SparkSession, stateDir: String,
+              ids: Seq[Long]): Long = {
+    def has(sub: String): Boolean = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))
+    var n = 0L
+    if (has("exact"))
+      n += graft.store.ClaimRetraction.retract(
+        new Snapshots(spark, s"$stateDir/exact", exactSchema), ids)
+    if (has("image"))
+      n += new IncrementalBanded64(spark, s"$stateDir/image", 16, 3)
+        .retract(ids)
+    if (has("audio"))
+      n += new IncrementalBanded64(spark, s"$stateDir/audio", 16, 3)
+        .retract(ids)
+    if (has("video"))
+      n += new IncrementalVideoDedup(spark, s"$stateDir/video").retract(ids)
+    n
+  }
+
   def curator(spark: SparkSession, stateDir: String,
               idCol: String = "media_id", bytesCol: String = "media",
               minBytes: Long = 1L, maxBytes: Long = Long.MaxValue,

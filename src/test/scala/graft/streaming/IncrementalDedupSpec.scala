@@ -234,4 +234,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val keptDups = dd.filterAndClaim(dups, "vec_id", "embedding").count()
     assert(keptDups == 0L, s"$keptDups exact duplicates survived the claim store")
   }
+
+  test("retraction: a deleted claimant's buckets clear, the replayed dup " +
+    "survives and becomes the new claimant; persists across reopen") {
+    val dir = Files.createTempDirectory("graft-inc-retract").toString
+    val dd = new IncrementalDedup(spark, dir)
+    dd.init()
+    val other = "completely different words compose this other sentence here now ok"
+    // claim: doc 1 claims base's buckets; doc 3 claims other's
+    assert(dd.filterAndClaim(Seq((1L, base), (3L, other))
+      .toDF("doc_id", "text"), "doc_id", "text").count() == 2)
+    // drop a dup against the live claimant
+    assert(dd.filterAndClaim(Seq((4L, base)).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    // delete the claimant (recrawl tombstone) — its claims clear, doc
+    // 3's are untouched
+    val removed = dd.retract(Seq(1L))
+    assert(removed == 4L, s"removed $removed claims (want 4 bands)")
+    assert(dd.buckets().filter(col("claimant") === 1L).count() == 0)
+    assert(dd.buckets().filter(col("claimant") === 3L).count() == 4)
+    // the replayed dup now SURVIVES and becomes the new claimant…
+    assert(dd.filterAndClaim(Seq((4L, base)).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 1)
+    // …and its claim is live: a later copy drops against id 4, also
+    // through a REOPENED store (persistence)
+    val dd2 = new IncrementalDedup(spark, dir)
+    dd2.init()
+    assert(dd2.filterAndClaim(Seq((5L, base)).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    assert(dd2.buckets().filter(col("claimant") === 4L).count() == 4)
+    // empty / no-match retractions are free no-ops
+    assert(dd2.retract(Seq.empty) == 0L)
+    assert(dd2.retract(Seq(999L)) == 0L)
+  }
 }

@@ -503,4 +503,27 @@ class StreamCurationSpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().toSet
     assert(sliced == oneShot, "batch slicing changed a classifier verdict")
   }
+
+  test("retraction: deleting a claimant document clears its exact AND " +
+    "near-dup claims through the funnel entry point; the recrawled copy " +
+    "ships again") {
+    val stateDir = Files.createTempDirectory("graft-scur-retract").toString
+    val curate = StreamCuration.curator(spark, evalDocs.limit(0), stateDir,
+      repetitionTopBigramMilli = 1000)
+    val text = "the quick brown fox jumps over the lazy dog again today fine"
+    val other = "completely different words compose this other sentence here ok"
+    assert(curate(Seq((1L, text, "a"), (2L, other, "a"))
+      .toDF("doc_id", "text", "source"), 0L).count() == 2)
+    // exact copy and near-dup copy both drop against claimant 1
+    assert(curate(Seq((11L, text, "a"))
+      .toDF("doc_id", "text", "source"), 1L).count() == 0)
+    // takedown of doc 1: exact + near-dup claims clear; doc 2's stand
+    val removed = StreamCuration.retract(spark, stateDir, Seq(1L))
+    assert(removed == 5L, s"removed $removed (want 1 exact + 4 bands)")
+    // the recrawled copy ships and re-claims; a later copy drops again
+    assert(curate(Seq((21L, text, "a"))
+      .toDF("doc_id", "text", "source"), 2L).count() == 1)
+    assert(curate(Seq((31L, text, "a"))
+      .toDF("doc_id", "text", "source"), 3L).count() == 0)
+  }
 }

@@ -186,4 +186,32 @@ class StreamMediaCurationSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("minMatch"), e.getMessage)
   }
+
+  test("retraction: deleting a claimant payload clears its digest, band " +
+    "and frame-vote claims across the funnel's stores — the recrawled " +
+    "copy survives and re-claims") {
+    val stateDir = Files.createTempDirectory("graft-smc-retract").toString
+    val curate = StreamMediaCuration.curator(spark, stateDir)
+    val png = encode(pattern(31), "png")
+    val vid = gif(clip(32))
+    val aud = wav(33, 16000)
+    // batch 0: payloads 1 (image), 2 (clip), 3 (audio) claim
+    assert(curate(Seq((1L, png), (2L, vid), (3L, aud))
+      .toDF("media_id", "media"), 0L).count() == 3)
+    // batch 1: exact + perceptual copies all drop against the claimants
+    assert(curate(Seq((11L, png), (12L, gif(clip(32).map(scaled(_, 54, 48)))),
+      (13L, wav(33, 8000))).toDF("media_id", "media"), 1L).count() == 0)
+    // delete payloads 1 and 2 (takedown) — digest, dHash band and
+    // frame-vote claims clear; payload 3's audio claims stay
+    val removed = StreamMediaCuration.retract(spark, stateDir, Seq(1L, 2L))
+    assert(removed > 0L, "no claims removed")
+    // the recrawled copies now survive and re-claim first-writer-wins;
+    // the audio claimant was NOT retracted, so its copy still drops
+    assert(curate(Seq((21L, png), (22L, vid), (23L, wav(33, 8000)))
+      .toDF("media_id", "media"), 2L)
+      .select("media_id").as[Long].collect().toSet == Set(21L, 22L))
+    // and the new claims are live: the next copies drop again
+    assert(curate(Seq((31L, png), (32L, vid))
+      .toDF("media_id", "media"), 3L).count() == 0)
+  }
 }
