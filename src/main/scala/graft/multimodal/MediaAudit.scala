@@ -90,9 +90,28 @@ object MediaAudit {
     })
   }
 
-  /** One JSON object: funnel wall + per-stage counts. */
+  /** One JSON object: funnel wall + per-stage counts + the DECODE COUNT
+    * (distinct payloads probed — the decode-once receipt, measured per
+    * run from the funnel's own [[graft.pipeline.MediaCuration
+    * .probedPayloads]] counter, valid in local mode where executors
+    * share the JVM).
+    *
+    * Beyond the base per-modality trios, the corpus plants the two
+    * crawl-scale duplication regimes the engine's pre-collapse and
+    * decode-once guarantees exist for, so their wins are MEASURED
+    * numbers cross-round, not spec-only: `exactPile` byte-identical
+    * copies of ONE image (the mirrored-meme regime — must collapse on
+    * the digest hash-agg at ~zero decode cost: the whole pile costs ONE
+    * probe) and `percPile` DISTINCT re-encodes of one image at stepped
+    * sizes (a quality ladder — every variant decodes once, the banded
+    * tier's identical-signature pre-collapse keeps the bucket linear).
+    * Default totals: 10,081 payloads, 8,901 distinct after the exact
+    * stage — and the published `decoded` count must EQUAL that distinct
+    * count (decode cost scales with DISTINCT payloads: the decode-once
+    * guarantee as a cross-round measured number, not spec-only). */
   def run(spark: SparkSession, nImg: Int = 100, nAud: Int = 50,
-          nVid: Int = 30, nGarbage: Int = 40): String = {
+          nVid: Int = 30, nGarbage: Int = 40, exactPile: Int = 1000,
+          percPile: Int = 100, nDistinct: Int = 8400): String = {
     import spark.implicits._
     val imgs = (0 until nImg).flatMap { i =>
       val base = pattern(i)
@@ -120,14 +139,37 @@ object MediaAudit {
       rnd.nextBytes(b)
       (40000L + i, b)
     } :+ ((50000L, Array.empty[Byte]))
-    val rows = imgs ++ auds ++ vids ++ junk
+    // the 10^3-copy EXACT pile: one meme mirrored exactPile times —
+    // one encode driver-side, one decode in the funnel, m−1 drops in
+    // the digest hash-agg before any perceptual tier sees it
+    val pileBytes = encode(pattern(5000), "png")
+    val exacts = (0 until exactPile).map(i => (60000L + i, pileBytes))
+    // the 10^2-variant PERCEPTUAL pile: DISTINCT re-encodes of one
+    // image at stepped sizes — every variant decodes (distinct bytes),
+    // the dHash band tier collapses the bucket linearly
+    val percBase = pattern(6000)
+    val percs = (0 until percPile).map { i =>
+      (70000L + i, encode(scaled(percBase, 172 - i, 150 - i), "png"))
+    }
+    // distinct random-byte payloads pad the corpus to ~10^4 rows
+    // without driver-side image-encode cost (they exercise the size
+    // gate + probe + recognition path, not the decoders)
+    val pad = (0 until nDistinct).map { i =>
+      val rnd = new java.util.Random(i * 31337L + 11)
+      val b = new Array[Byte](128)
+      rnd.nextBytes(b)
+      (80000L + i, b)
+    }
+    val rows = imgs ++ auds ++ vids ++ junk ++ exacts ++ percs ++ pad
     val df = rows.toDF("media_id", "media").repartition(16)
       .localCheckpoint(true)
+    graft.pipeline.MediaCuration.probedPayloads.reset()
     val t0 = System.nanoTime()
     val (out, r) = graft.pipeline.MediaCuration.curate(df, "media",
       "media_id")
     out.count()
     val wall = (System.nanoTime() - t0) / 1e9
-    f"""{"payloads":${rows.size},"wall_sec":$wall%.3f,"n_size":${r.nAfterSize},"n_exact":${r.nAfterExact},"n_image":${r.nAfterImageDedup},"n_video":${r.nAfterVideoDedup},"n_audio":${r.nAfterAudioDedup},"n_out":${r.nOut}}"""
+    val decoded = graft.pipeline.MediaCuration.probedPayloads.sum()
+    f"""{"payloads":${rows.size},"wall_sec":$wall%.3f,"n_size":${r.nAfterSize},"n_exact":${r.nAfterExact},"n_image":${r.nAfterImageDedup},"n_video":${r.nAfterVideoDedup},"n_audio":${r.nAfterAudioDedup},"n_out":${r.nOut},"decoded":$decoded}"""
   }
 }

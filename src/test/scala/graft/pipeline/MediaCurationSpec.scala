@@ -165,4 +165,27 @@ class MediaCurationSpec extends AnyFunSuite {
       s"expected exactly ${r.nAfterExact} probes (one decode pass per " +
         s"payload), got $probed")
   }
+
+  test("media_funnel sidecar accounting is exact at scaled-down knobs: " +
+    "the 10^3-copy exact pile collapses at ONE decode, the perceptual " +
+    "pile keeps one survivor, decoded == distinct payloads") {
+    val json = graft.multimodal.MediaAudit.run(spark, nImg = 20,
+      nAud = 10, nVid = 5, nGarbage = 10, exactPile = 200, percPile = 50,
+      nDistinct = 300)
+    def field(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    // payloads = 3*20+3*10+3*5+11+200+50+300; the empty payload drops
+    // at the size gate; exact collapses each trio to 2 and the whole
+    // pile to 1; image drops one per trio + all but one perc variant;
+    // video/audio drop one per trio
+    assert(field("payloads") == 666L, json)
+    assert(field("n_size") == 665L, json)
+    assert(field("n_exact") == 431L, json)
+    assert(field("decoded") == 431L,
+      s"decode count must equal distinct payloads: $json")
+    assert(field("n_image") == 362L, json)
+    assert(field("n_video") == 357L, json)
+    assert(field("n_audio") == 347L, json)
+    assert(field("n_out") == 347L, json)
+  }
 }
