@@ -351,6 +351,57 @@ object Retrieval {
     ms.replace(Seq(merged).toDF("_n", "_s", "_buckets").coalesce(1))
   }
 
+  /** DELETE documents from the standing index — the retrieval twin of
+    * the claim stores' retraction ([[graft.store.ClaimRetraction]]):
+    * recrawl deletions (DMCA, robots, tombstones) must leave the index
+    * scoring EXACTLY as if the documents had never been indexed, or
+    * retrieval keeps surfacing (and idf keeps discounting against)
+    * documents that no longer exist. Removes the ids' postings, then
+    * recomputes df and meta (N, S) FROM the surviving postings — not by
+    * decrementing — so the operation is IDEMPOTENT and crash-retryable:
+    * a crash between the three table swaps is healed by re-running the
+    * same call (the recompute path is unconditional), and the result is
+    * bitwise the index a fresh [[bm25WriteIndex]] over the surviving
+    * corpus would build (spec-pinned parity). Deltas outstanding at
+    * call time fold in (replace(read()) — deletion doubles as a
+    * compaction). Cost: one O(index) rewrite per deletion BATCH, the
+    * compaction economics; bounded loud at
+    * [[graft.store.ClaimRetraction.MaxRetractIds]] ids. Returns the
+    * number of documents whose postings were removed. */
+  def bm25DeleteIndex(spark: SparkSession, dir: String,
+                      ids: Seq[Long]): Long = {
+    import spark.implicits._
+    require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
+      s"${ids.size} deletion ids exceed the " +
+        s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling — " +
+        "rebuild the index from the surviving corpus instead")
+    if (ids.isEmpty) 0L
+    else {
+      val ps = postingsStore(spark, dir)
+      ps.init()
+      val dead = col("_id").isin(ids.map(Long.box): _*)
+      val nDocs = ps.read().filter(dead).select("_id").distinct().count()
+      ps.replace(ps.read().filter(!dead))
+      // df and meta REBUILD from the surviving postings (never
+      // decremented): idempotent, so a crash between table swaps is
+      // healed by retrying the same deletion
+      val post = ps.read()
+      val ms = metaStore(spark, dir)
+      ms.init()
+      val buckets = ms.readBase().head().getLong(2)
+      val b = pmod(strHash(col("_t")), lit(buckets)).as("_b")
+      val ds = dfStore(spark, dir)
+      ds.init()
+      ds.replace(post.groupBy("_t").agg(count(lit(1)).as("_df"))
+        .select(col("_t"), col("_df"), b))
+      val docs = post.select("_id", "_dl").distinct()
+        .agg(count(lit(1)), coalesce(sum(col("_dl")), lit(0L))).head()
+      ms.replace(Seq((docs.getLong(0), docs.getLong(1), buckets))
+        .toDF("_n", "_s", "_buckets").coalesce(1))
+      nDocs
+    }
+  }
+
   /** Reciprocal-rank fusion of two per-query rankings — the standard
     * hybrid-retrieval combiner (lexical BM25 + semantic ANN): each
     * candidate scores Σ 1/(rrfK + rank) over the lists it appears in,

@@ -97,6 +97,31 @@ object VectorIndex {
   def indexDeltaCount(spark: SparkSession, dir: String): Int =
     dataStore(spark, dir).deltaCount
 
+  /** DELETE vectors from the standing index — the ANN twin of the
+    * claim stores' retraction: a probe must stop returning ids whose
+    * payloads were deleted from the corpus. One filtered
+    * `replace(read())` (folds outstanding deltas too — deletion doubles
+    * as a compaction), idempotent and crash-retryable; the result
+    * equals an index rebuilt from the surviving corpus under the same
+    * frozen quantizer (spec-pinned). Bounded loud at
+    * [[graft.store.ClaimRetraction.MaxRetractIds]] ids per batch.
+    * Returns the number of vectors removed. */
+  def deleteIndex(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
+      s"${ids.size} deletion ids exceed the " +
+        s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling — " +
+        "rebuild the index from the surviving corpus instead")
+    if (ids.isEmpty) 0L
+    else {
+      val store = dataStore(spark, dir)
+      store.init()
+      val dead = col("id").isin(ids.map(Long.box): _*)
+      val n = store.read().filter(dead).count()
+      if (n > 0L) store.replace(store.read().filter(!dead))
+      n
+    }
+  }
+
   /** Fold the delta log back into one partitioned base. CRASH-ATOMIC:
     * pointer-commit swap; a killed compaction leaves the old manifest
     * live and its half-written snapshot is swept by the next `init()`. */

@@ -92,6 +92,64 @@ object StreamGraphIndex {
   def loadLatest(spark: SparkSession, dir: String): GraphAnn.Graph =
     loadChain(spark, dir)._1
 
+  private def tombPath(dir: String) = Paths.get(dir, "tombstones")
+
+  /** Ids tombstoned since the last compaction ([[delete]]). */
+  def tombstones(dir: String): Set[Long] =
+    if (!Files.exists(tombPath(dir))) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(tombPath(dir)).asScala
+        .filter(_.nonEmpty).map(_.toLong).toSet
+    }
+
+  /** DELETE vectors from the standing graph — the graph tier's
+    * retraction, with the MARK-DELETE discipline every production HNSW
+    * deployment uses (a node cannot simply vanish from an NSW graph:
+    * its adjacency rows are other nodes' traversal waypoints):
+    * tombstoned ids are filtered from every [[searchLatest]] RESULT
+    * immediately but remain as waypoints until the next depth-triggered
+    * compaction PHYSICALLY drops them (the maintainer rebuilds the full
+    * sidecar from the survivors — compaction was already the O(graph)
+    * event). Atomic rewrite of the tombstone file; idempotent (already-
+    * tombstoned or absent ids count 0). Returns newly tombstoned ids. */
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
+      s"${ids.size} deletion ids exceed the " +
+        s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling")
+    if (ids.isEmpty) 0L
+    else {
+      val g = loadLatest(spark, dir)
+      val present = g.ids.toSet
+      val existing = tombstones(dir)
+      val fresh = ids.toSet.filter(present).diff(existing)
+      if (fresh.nonEmpty) {
+        val merged = (existing ++ fresh).toSeq.sorted
+        val tmp = Paths.get(dir, "tombstones.tmp")
+        Files.write(tmp, merged.mkString("\n").getBytes)
+        Files.move(tmp, tombPath(dir), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      fresh.size.toLong
+    }
+  }
+
+  /** Search the standing graph with tombstones filtered from the
+    * results (deleted ids still serve as traversal waypoints — the
+    * mark-delete contract): over-fetches by the live tombstone count
+    * (bounded — the graph is a driver artifact) so k survivors come
+    * back whenever the graph holds them. */
+  def searchLatest(spark: SparkSession, dir: String,
+                   queryVec: Seq[Double], k: Int,
+                   efSearch: Int = 64): Seq[(Long, Double)] = {
+    val g = loadLatest(spark, dir)
+    val tombs = tombstones(dir)
+    val kk = math.min(k + tombs.size, g.size)
+    val res = GraphAnn.searchGraph(g, queryVec, kk,
+      math.max(efSearch, kk))
+    res.filterNot { case (id, _) => tombs(id) }.take(k)
+  }
+
   private def swapMarker(dir: String, token: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, "current.tmp")
@@ -181,9 +239,30 @@ object StreamGraphIndex {
         val g2 = GraphAnn.insertVectors(g, batch, idCol, vecCol, m,
           efConstruction)
         if (!(g2 eq g)) {
-          if (depth + 1 >= compactEvery)
-            commitFull(spark, dir, g2, s"g-b$batchId")
-          else commitDelta(spark, dir, g, g2, s"d-b$batchId", parent)
+          if (depth + 1 >= compactEvery) {
+            // compaction PHYSICALLY drops tombstoned nodes: rebuild the
+            // full sidecar from the survivors (ascending-id, the
+            // deterministic construction order) — compaction was
+            // already the O(graph) event, the rebuild rides it
+            val tombs = tombstones(dir)
+            val gFull =
+              if (tombs.isEmpty) g2
+              else {
+                val rows = (0 until g2.size).filterNot(i => tombs(g2.ids(i)))
+                  .map(i => (g2.ids(i),
+                    g2.vecs.slice(i * g2.dim, (i + 1) * g2.dim).toSeq))
+                  .sortBy(_._1)
+                require(rows.nonEmpty,
+                  "every vector in the graph is tombstoned — an empty " +
+                    "graph cannot serve; bootstrap a fresh index instead")
+                GraphAnn.buildGraphFromRows(rows, m, efConstruction)
+              }
+            commitFull(spark, dir, gFull, s"g-b$batchId")
+            // clear AFTER the swap: a crash in between leaves tombstones
+            // listing absent ids — the filter is a harmless no-op and
+            // the next compaction clears them
+            Files.deleteIfExists(tombPath(dir))
+          } else commitDelta(spark, dir, g, g2, s"d-b$batchId", parent)
         }
       }
     }

@@ -174,4 +174,33 @@ class RetrievalIndexSpec extends AnyFunSuite {
     assert(scanned.nonEmpty && scanned.forall(_ == 1), s"scanned $scanned")
     assert(rows.length == 2 && rows.forall(_.getLong(3) > 0))
   }
+
+  test("deletion equals an index built from the surviving corpus " +
+    "(postings, df AND idf/meta), is idempotent, and folds deltas") {
+    val dir = Files.createTempDirectory("graft-bm25-del").toString
+    val ids = corpus.select("doc_id").as[Long].collect().sorted
+    val cut = ids(ids.length / 2)
+    val a = corpus.filter(col("doc_id") <= cut)
+    val b = corpus.filter(col("doc_id") > cut)
+    Retrieval.bm25WriteIndex(a, "doc_id", "text", dir, buckets = 16)
+    Retrieval.bm25AppendIndex(b, "doc_id", "text", dir, batchId = 1L)
+    // delete every third doc — WITH a delta outstanding
+    val toDelete = ids.filter(_ % 3 == 0).toSeq
+    val removed = Retrieval.bm25DeleteIndex(spark, dir, toDelete)
+    assert(removed == toDelete.size, s"removed $removed")
+    def res(d: String) = Retrieval.bm25TopKIndexed(spark, d, queries,
+      "doc_id", "text", k = 3).collect().toSeq
+    // parity: scores (idf, avgdl — N and S included) must be BITWISE
+    // the index a fresh build over the surviving corpus produces
+    val survDir = Files.createTempDirectory("graft-bm25-del-want").toString
+    Retrieval.bm25WriteIndex(corpus.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", survDir, buckets = 16)
+    assert(res(dir) == res(survDir),
+      "deleted index must equal a rebuild from the surviving corpus")
+    // idempotent retry (the crash-heal contract): same call, no change
+    assert(Retrieval.bm25DeleteIndex(spark, dir, toDelete) == 0L)
+    assert(res(dir) == res(survDir))
+    // no-ops
+    assert(Retrieval.bm25DeleteIndex(spark, dir, Seq.empty) == 0L)
+  }
 }

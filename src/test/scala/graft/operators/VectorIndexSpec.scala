@@ -102,4 +102,28 @@ class VectorIndexSpec extends AnyFunSuite {
       "replay after compaction re-appended a folded delta")
     assert(preCompact.nonEmpty)
   }
+
+  test("deletion: a probe stops returning deleted ids and equals an " +
+    "index rebuilt from the survivors under the same frozen quantizer") {
+    val dir = Files.createTempDirectory("graft-vidx-del").toString
+    VectorIndex.writeIndex(emb, "vec_id", "embedding", dir,
+      centroidEvery = 50)
+    val top = probe(dir).collect().map(_.getLong(0)).toSeq
+    assert(top.head == 0L) // the query vector's own id leads
+    val removed = VectorIndex.deleteIndex(spark, dir, Seq(0L, top(1)))
+    assert(removed == 2L, s"removed $removed")
+    val after = probe(dir).collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(0L) && !after.contains(top(1)), s"$after")
+    // parity with a rebuild from the survivors, same quantizer
+    val survDir = Files.createTempDirectory("graft-vidx-del-want").toString
+    val cents = Similarity.centroidsOf(
+      Similarity.withNorm(emb, "embedding"), "vec_id", 50)
+    VectorIndex.writeIndexWith(
+      emb.filter(!col("vec_id").isin(0L, top(1))), "vec_id", "embedding",
+      survDir, cents)
+    assert(probe(dir).collect().toSeq == probe(survDir).collect().toSeq)
+    // idempotent retry + no-op
+    assert(VectorIndex.deleteIndex(spark, dir, Seq(0L, top(1))) == 0L)
+    assert(VectorIndex.deleteIndex(spark, dir, Seq.empty) == 0L)
+  }
 }

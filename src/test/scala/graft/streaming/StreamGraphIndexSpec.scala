@@ -203,4 +203,47 @@ class StreamGraphIndexSpec extends AnyFunSuite {
     assert(got.ids.toSeq == ref.ids.toSeq && adjacency(got) == adjacency(ref),
       "mixed full+delta chain diverged from the sequential reference")
   }
+
+  test("deletion: tombstoned ids vanish from search results immediately " +
+    "(mark-delete), are physically dropped at the next compaction, and " +
+    "deletes are idempotent") {
+    val dir = Files.createTempDirectory("graft-gidx-del").toString
+    StreamGraphIndex.bootstrap(spark, dir,
+      emb.filter(col("vec_id") < 300), "vec_id", "embedding")
+    val qvec = emb.filter(col("vec_id") === 40L)
+      .select(Similarity.vecD(col("embedding"))).head().getSeq[Double](0)
+    val before = StreamGraphIndex.searchLatest(spark, dir, qvec, k = 5)
+    assert(before.head._1 == 40L) // its own id leads
+    // tombstone the top two — results filter immediately, waypoints stay
+    val removed = StreamGraphIndex.delete(spark, dir,
+      Seq(before.head._1, before(1)._1, 999999L))
+    assert(removed == 2L, s"removed $removed")
+    val after = StreamGraphIndex.searchLatest(spark, dir, qvec, k = 5)
+    assert(after.size == 5 &&
+      !after.exists(r => r._1 == before.head._1 || r._1 == before(1)._1),
+      s"$after")
+    // idempotent
+    assert(StreamGraphIndex.delete(spark, dir,
+      Seq(before.head._1)) == 0L)
+    // the graph still CONTAINS the nodes until compaction…
+    assert(StreamGraphIndex.loadLatest(spark, dir).ids.contains(40L))
+    // …which physically drops them: force a compaction via the
+    // maintainer at compactEvery = 1
+    val maintain = StreamGraphIndex.maintainer(spark, dir,
+      "vec_id", "embedding", compactEvery = 1)
+    maintain(emb.filter(col("vec_id") >= 300 && col("vec_id") < 320), 0L)
+    val g = StreamGraphIndex.loadLatest(spark, dir)
+    assert(!g.ids.contains(40L) && !g.ids.contains(before(1)._1))
+    assert(StreamGraphIndex.tombstones(dir).isEmpty,
+      "tombstones must clear after the physical drop")
+    // post-compaction search parity: equals a fresh bootstrap over the
+    // survivors (ascending-id rebuild, the deterministic construction)
+    val survDir = Files.createTempDirectory("graft-gidx-del-want").toString
+    StreamGraphIndex.bootstrap(spark, survDir,
+      emb.filter(col("vec_id") < 320 &&
+        !col("vec_id").isin(before.head._1, before(1)._1)),
+      "vec_id", "embedding")
+    assert(StreamGraphIndex.searchLatest(spark, dir, qvec, k = 5) ==
+      StreamGraphIndex.searchLatest(spark, survDir, qvec, k = 5))
+  }
 }
