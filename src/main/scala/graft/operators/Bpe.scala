@@ -83,6 +83,25 @@ object Bpe {
   }
 
   object PreTok {
+    /** Stable artifact name per policy ([[Bpe.saveTokenizer]] records
+      * it; [[Bpe.loadTokenizer]] resolves it back). */
+    def nameOf(p: PreTok): String = p match {
+      case Whitespace => "whitespace"
+      case CpClass => "cpclass"
+    }
+
+    /** Inverse of [[nameOf]] — fails loud on an unknown policy name (an
+      * artifact from a newer engine must not silently load under the
+      * wrong split). */
+    def fromName(name: String): PreTok = name match {
+      case "whitespace" => Whitespace
+      case "cpclass" => CpClass
+      case other => throw new IllegalStateException(
+        s"unknown pre-tokenization policy '$other' in tokenizer " +
+          "artifact — written by a newer engine? refusing to encode " +
+          "under the wrong split")
+    }
+
     /** One word per whitespace token (the [[TextAnalysis.jvmTokens]] /
       * `tokens` twin pair) — the default policy. */
     case object Whitespace extends PreTok {
@@ -720,13 +739,18 @@ object Bpe {
     splitPack(ids, sepId).map(decodeTokens(_, vocab, failOnInvalid))
 
   /** Persist a trained tokenizer (ordered merges + the stable-id
-    * vocabulary) as two parquet tables under `dir` — the FROZEN artifact
-    * a deployment ships to every encode job (and to the trainer's
-    * embedding-table build): `merges` (rank, left, right) and `vocab`
-    * (vid, piece). Ids are positions in [[vocabOf]]'s sequence, so the
-    * roundtrip preserves first-wins collision semantics exactly. */
+    * vocabulary + the PRE-TOKENIZATION POLICY) as parquet tables under
+    * `dir` — the FROZEN artifact a deployment ships to every encode job
+    * (and to the trainer's embedding-table build): `merges` (rank,
+    * left, right), `vocab` (vid, piece), `meta` (key, value — records
+    * `pretok`). Ids are positions in [[vocabOf]]'s sequence, so the
+    * roundtrip preserves first-wins collision semantics exactly. The
+    * policy is PART of the artifact because encoding under a different
+    * split than the trainer's silently produces different tokens —
+    * exactly the class of drift a frozen artifact exists to prevent. */
   def saveTokenizer(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    merges: Seq[Merge], vocab: Seq[String]): Unit = {
+                    merges: Seq[Merge], vocab: Seq[String],
+                    preTok: PreTok = PreTok.Whitespace): Unit = {
     import spark.implicits._
     merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
       .toDF("rank", "left", "right")
@@ -734,19 +758,32 @@ object Bpe {
     vocab.zipWithIndex.map { case (p, i) => (i.toLong, p) }
       .toDF("vid", "piece")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    Seq(("pretok", PreTok.nameOf(preTok)))
+      .toDF("key", "value")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Load a [[saveTokenizer]] artifact: (merges in rank order, vocab in
-    * id order). Both tables are tokenizer-sized driver artifacts by
-    * construction. */
+    * id order, pre-tokenization policy). Artifacts written before the
+    * policy existed (no `meta` table) load as [[PreTok.Whitespace]] —
+    * the split they were trained under; an UNKNOWN recorded policy
+    * fails loud ([[PreTok.fromName]]). All tables are tokenizer-sized
+    * driver artifacts by construction. */
   def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): (Seq[Merge], IndexedSeq[String]) = {
+                    dir: String): (Seq[Merge], IndexedSeq[String], PreTok) = {
     val merges = spark.read.parquet(s"$dir/merges")
       .orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val vocab = spark.read.parquet(s"$dir/vocab")
       .orderBy("vid").collect().map(_.getString(1)).toIndexedSeq
-    (merges, vocab)
+    val preTok =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "meta")))
+        PreTok.Whitespace
+      else spark.read.parquet(s"$dir/meta").collect()
+        .collectFirst { case r if r.getString(0) == "pretok" =>
+          PreTok.fromName(r.getString(1))
+        }.getOrElse(PreTok.Whitespace)
+    (merges, vocab, preTok)
   }
 
   /** Per-document piece counts under a trained merge table, computed

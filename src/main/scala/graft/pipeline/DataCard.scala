@@ -77,9 +77,11 @@ object DataCard {
                     textCol: String,
                     merges: Seq[graft.operators.Bpe.Merge],
                     vocab: Seq[String],
-                    byteFallback: Boolean = false): Card = {
+                    byteFallback: Boolean = false,
+                    preTok: graft.operators.Bpe.PreTok =
+                      graft.operators.Bpe.PreTok.Whitespace): Card = {
     val enc = graft.operators.Bpe.encode(docs, idCol, textCol, merges,
-      vocab, byteFallback = byteFallback)
+      vocab, byteFallback = byteFallback, preTok = preTok)
       .agg(coalesce(sum(col("n_tokens")), lit(0L)),
         coalesce(sum(col("n_unk")), lit(0L))).head()
     card.copy(tokenizer = Some(TokenizerSection(

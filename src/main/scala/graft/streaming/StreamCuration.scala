@@ -193,6 +193,8 @@ object StreamCuration {
               lengthHist: Boolean = false,
               bpeTokenizer: Option[(Seq[graft.operators.Bpe.Merge],
                 Seq[String])] = None,
+              bpePreTok: graft.operators.Bpe.PreTok =
+                graft.operators.Bpe.PreTok.Whitespace,
               bpePackBudget: Option[Long] = None,
               onPackStreams: Option[(DataFrame, Long) => Unit] = None,
               onReport: Option[BatchReport => Unit] = None)
@@ -444,8 +446,11 @@ object StreamCuration {
         // frozen-tokenizer drift (unknown pieces) per batch
         val out = bpeTokenizer match {
           case Some((ms, vocab)) =>
+            // bpePreTok must be the ARTIFACT's recorded policy
+            // (loadTokenizer returns it) — encoding under a different
+            // split than the trainer's silently drifts
             val enc = graft.operators.Bpe.encode(mixedOut, idCol, textCol,
-              ms, vocab)
+              ms, vocab, preTok = bpePreTok)
               .select(col(idCol), col("token_ids"),
                 col("n_tokens").as("n_bpe_tokens"),
                 col("n_unk").as("n_bpe_unk"))

@@ -290,14 +290,45 @@ class BpeSpec extends AnyFunSuite {
     val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
     Bpe.saveTokenizer(spark, dir, merges, vocab)
-    val (m2, v2) = Bpe.loadTokenizer(spark, dir)
+    val (m2, v2, p2) = Bpe.loadTokenizer(spark, dir)
     assert(m2 == merges, "merge order must survive the roundtrip")
     assert(v2 == vocab, "vocab ids must survive the roundtrip")
+    assert(p2 == Bpe.PreTok.Whitespace)
     val a = Bpe.encode(docs, "doc_id", "text", merges, vocab)
       .select("doc_id", "token_ids").as[(Long, Seq[Long])].collect().toMap
-    val b = Bpe.encode(docs, "doc_id", "text", m2, v2)
+    val b = Bpe.encode(docs, "doc_id", "text", m2, v2, preTok = p2)
       .select("doc_id", "token_ids").as[(Long, Seq[Long])].collect().toMap
     assert(a == b, "loaded tokenizer must encode bitwise-identically")
+  }
+
+  test("the artifact records its pre-tokenization policy: cp-class " +
+    "roundtrips, legacy artifacts (no meta) load as whitespace, unknown " +
+    "policies fail loud") {
+    val rows = Seq((1L, "ab1 cd2")).toDF("doc_id", "text")
+    val cp = Bpe.PreTok.CpClass
+    val merges = Bpe.train(rows, "text", numMerges = 2, preTok = cp)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(rows, "text", cp), merges)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-pt").toString
+    Bpe.saveTokenizer(spark, dir, merges, vocab, preTok = cp)
+    val (_, _, p) = Bpe.loadTokenizer(spark, dir)
+    assert(p == cp, s"policy lost in roundtrip: $p")
+    // a round-13 artifact has no meta table — it was trained under the
+    // whitespace split and must load as such
+    val legacy = java.nio.file.Files.createTempDirectory("graft-bpe-leg")
+    Bpe.saveTokenizer(spark, legacy.toString, merges, vocab)
+    def rmMeta(d: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val meta = d.resolve("meta")
+      java.nio.file.Files.walk(meta).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    rmMeta(legacy)
+    assert(Bpe.loadTokenizer(spark, legacy.toString)._3 ==
+      Bpe.PreTok.Whitespace)
+    // forward compat is a loud failure, never the wrong split
+    intercept[IllegalStateException] {
+      Bpe.PreTok.fromName("bytelevel")
+    }
   }
 
   test("pieceCounts: corpus-scale counts agree with per-word segmentation") {
