@@ -377,6 +377,11 @@ object Retrieval {
         "rebuild the index from the surviving corpus instead")
     if (ids.isEmpty) 0L
     else {
+      // init() on a missing store would silently BOOTSTRAP an empty
+      // index — deleting from a nonexistent index must fail loud
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "postings", "current")),
+        s"no BM25 index at $dir — nothing to delete from")
       val ps = postingsStore(spark, dir)
       ps.init()
       val dead = col("_id").isin(ids.map(Long.box): _*)

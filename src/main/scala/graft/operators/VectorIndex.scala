@@ -113,6 +113,11 @@ object VectorIndex {
         "rebuild the index from the surviving corpus instead")
     if (ids.isEmpty) 0L
     else {
+      // init() on a missing store would silently BOOTSTRAP an empty
+      // index — deleting from a nonexistent index must fail loud
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "data", "current")),
+        s"no vector index at $dir — nothing to delete from")
       val store = dataStore(spark, dir)
       store.init()
       val dead = col("id").isin(ids.map(Long.box): _*)

@@ -684,6 +684,48 @@ object BpeQ {
       .orderBy("doc_id", "pos")
   }
 
+  /** q137: DECODE ROUNDTRIP under CP-CLASS pre-tokenization AND byte
+    * fallback together — the two newest encode regimes composed: the
+    * vocabulary trains on the BASE corpus under [[Bpe.PreTok.CpClass]]
+    * (its alphabet has no CJK) with the byte pieces folded in, the
+    * PLANTED corpus (q136's mixed-script words) encodes under it —
+    * every CJK run decomposes to UTF-8 byte pieces — and decode
+    * reassembles. The oracle is the policy's documented normal form:
+    * the code-point-class RUNS joined by single spaces (`</w>` lands
+    * after every run, so "v7!" decodes "v 7 !" — the boundary trade
+    * [[Bpe.PreTok]] documents), zero invalid sequences, every document
+    * hash-checked. */
+  val q137 = Q(
+    "q137_bpe_cpclass_decode",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' v' || CAST(doc_id AS VARCHAR)
+       |           || '世界算法7!'
+       |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL)
+       |SELECT doc_id,
+       |       array_to_string($sqlToksCp, ' ') AS text_rt,
+       |       CAST(0 AS BIGINT) AS n_invalid
+       |FROM corpus WHERE text IS NOT NULL
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val planted = docs
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" v"), col("doc_id").cast("string"),
+          lit("世界算法7!")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionAll(planted)
+    val cp = Bpe.PreTok.CpClass
+    val merges = Bpe.train(docs, "text", numMerges = 30, preTok = cp)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text", cp), merges,
+      byteFallback = true)
+    val enc = Bpe.encode(corpus, "doc_id", "text", merges, vocab,
+      byteFallback = true, preTok = cp)
+    Bpe.decode(enc, "doc_id", "token_ids", vocab)
+      .select(col("doc_id"), col("text").as("text_rt"), col("n_invalid"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q126, q127, q129, q131, q132, q133, q134, q135,
-    q136)
+    q136, q137)
 }

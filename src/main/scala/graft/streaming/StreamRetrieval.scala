@@ -39,6 +39,10 @@ import graft.operators.Retrieval
   * base index is never rewritten outside compaction, which is bounded by
   * O(index) and amortized to O(index / compactEvery) per batch, exactly
   * the [[IncrementalDedup]] delta-log economics.
+  *
+  * Deletions (recrawl tombstones): [[Retrieval.bm25DeleteIndex]] — an
+  * administrative O(index) rewrite that leaves the index exactly as if
+  * the documents had never been indexed (df and idf included).
   */
 object StreamRetrieval {
 

@@ -30,6 +30,9 @@ import graft.operators.VectorIndex
   * vector; compaction cadence follows the OUTSTANDING delta count, which
   * replays cannot advance. Spec-pinned incl. replay-after-compaction
   * (`VectorIndexSpec`).
+  *
+  * Deletions (recrawl tombstones): [[VectorIndex.deleteIndex]] — one
+  * filtered replace, probe parity with a rebuild from the survivors.
   */
 object StreamVectorIndex {
 

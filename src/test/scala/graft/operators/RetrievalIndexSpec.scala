@@ -202,5 +202,11 @@ class RetrievalIndexSpec extends AnyFunSuite {
     assert(res(dir) == res(survDir))
     // no-ops
     assert(Retrieval.bm25DeleteIndex(spark, dir, Seq.empty) == 0L)
+    // deleting from a nonexistent index fails loud (init() must not
+    // silently bootstrap an empty store)
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25DeleteIndex(spark,
+        Files.createTempDirectory("graft-bm25-none").toString, Seq(1L))
+    }
   }
 }

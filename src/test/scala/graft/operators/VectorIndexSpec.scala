@@ -125,5 +125,11 @@ class VectorIndexSpec extends AnyFunSuite {
     // idempotent retry + no-op
     assert(VectorIndex.deleteIndex(spark, dir, Seq(0L, top(1))) == 0L)
     assert(VectorIndex.deleteIndex(spark, dir, Seq.empty) == 0L)
+    // deleting from a nonexistent index fails loud (init() must not
+    // silently bootstrap an empty store)
+    intercept[IllegalArgumentException] {
+      VectorIndex.deleteIndex(spark,
+        Files.createTempDirectory("graft-vidx-none").toString, Seq(1L))
+    }
   }
 }
