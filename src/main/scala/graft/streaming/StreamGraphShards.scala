@@ -466,6 +466,115 @@ object StreamGraphShards {
     seeds.map(_._1)
   }
 
+  private def tombPath(dir: String) = Paths.get(dir, "tombstones")
+
+  /** Ids tombstoned since the last [[vacuumDeleted]]. */
+  def tombstones(dir: String): Set[Long] =
+    if (!Files.exists(tombPath(dir))) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(tombPath(dir)).asScala
+        .filter(_.nonEmpty).map(_.toLong).toSet
+    }
+
+  /** DELETE vectors from the sharded tier — [[StreamGraphIndex.delete]]'s
+    * corpus-scale twin, same MARK-DELETE discipline: tombstoned ids are
+    * filtered from every serve path's results immediately (deleted
+    * nodes remain traversal waypoints), and [[vacuumDeleted]] later
+    * drops them physically at per-cell cost. Presence is NOT checked
+    * (that would cost an O(index) scan per call); absent ids filter
+    * nothing and the vacuum clears them. Atomic tombstone-file rewrite;
+    * idempotent. Returns newly recorded ids. */
+  def delete(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
+      s"${ids.size} deletion ids exceed the " +
+        s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling")
+    require(Files.exists(markerPath(dir)),
+      s"no sharded index at $dir — nothing to delete from")
+    val existing = tombstones(dir)
+    val fresh = ids.toSet.diff(existing)
+    if (fresh.nonEmpty) {
+      val merged = (existing ++ fresh).toSeq.sorted
+      val tmp = Paths.get(dir, "tombstones.tmp")
+      Files.write(tmp, merged.mkString("\n").getBytes)
+      Files.move(tmp, tombPath(dir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    fresh.size.toLong
+  }
+
+  /** Filter a candidate frame to live ids — the serve paths' mark-delete
+    * gate (a no-op when nothing is tombstoned). Broadcast anti-join, not
+    * an in-list: the tombstone set is bounded by the retraction ceiling,
+    * far past what an expression tree should carry. */
+  private def dropTombstoned(dir: String, cand: DataFrame,
+                             idCol: String): DataFrame = {
+    val tombs = tombstones(dir)
+    if (tombs.isEmpty) cand
+    else {
+      val spark = cand.sparkSession
+      import spark.implicits._
+      cand.join(broadcast(tombs.toSeq.toDF("_tid")),
+        cand(idCol) === col("_tid"), "left_anti")
+    }
+  }
+
+  /** PHYSICALLY drop tombstoned vectors: rebuild ONLY the cells that
+    * contain them (deterministic ascending-id executor rebuilds from
+    * the survivors — the bootstrap's own construction), repoint those
+    * cells in a fresh manifest (cells whose every member died drop from
+    * the manifest entirely), and clear the tombstone file. Cost is
+    * O(touched cells) rebuild + one pruned id-column scan to find them
+    * — never an O(index) rewrite; a crash between the manifest commit
+    * and the tombstone clear leaves only absent-id tombstones (harmless
+    * filters, cleared by the next vacuum). Returns the rebuilt (or
+    * dropped) cell ids. */
+  def vacuumDeleted(spark: SparkSession, dir: String, tag: String,
+                    m: Int = 16, efConstruction: Int = 64): Seq[Long] = {
+    import spark.implicits._
+    val tombs = tombstones(dir)
+    if (tombs.isEmpty) Seq.empty
+    else {
+      val manifest = readManifest(dir)
+      val tombsDf = broadcast(tombs.toSeq.toDF("_tid"))
+      val all = loadShardRows(spark, dir, manifest,
+        manifest.keys.toSeq.sorted)
+      val hit = all.select(col("cell"), col("id"))
+        .join(tombsDf, col("id") === col("_tid"), "left_semi")
+        .select("cell").distinct().collect().map(_.getLong(0)).toSeq.sorted
+      if (hit.nonEmpty) {
+        val rebuilt = loadShardRows(spark, dir, manifest, hit)
+          .join(tombsDf, col("id") === col("_tid"), "left_anti")
+          .select(col("cell").cast("long"), col("id").cast("long"),
+            col("vec"))
+          .as[(Long, Long, Seq[Double])]
+          .groupByKey(_._1)
+          .flatMapGroups { (cell, it) =>
+            val rows = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+            val g = GraphAnn.buildGraphFromRows(rows.toIndexedSeq, m,
+              efConstruction)
+            g.ids.indices.iterator.map { i =>
+              (cell, i.toLong, g.ids(i),
+                g.vecs.slice(i * g.dim, (i + 1) * g.dim).toSeq,
+                g.nbrs(i).map(g.ids(_)).toSeq)
+            }
+          }.toDF("cell", "ord", "id", "vec", "nbr_ids")
+          .localCheckpoint(true)
+        val alive = rebuilt.select("cell").distinct()
+          .collect().map(_.getLong(0)).toSet
+        if (alive.nonEmpty)
+          rebuilt.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$dir/graphs-$tag")
+        val updated = (manifest -- hit) ++
+          hit.filter(alive).map(c => c -> s"graphs-$tag/cell=$c")
+        commitManifest(dir, s"manifest-$tag", updated,
+          readCentroidsRel(dir))
+      }
+      Files.deleteIfExists(tombPath(dir))
+      hit
+    }
+  }
+
   /** BATCH search against the CURRENT manifest: rank cells, walk only
     * the probed cells' shard files. Output (qid, idCol, cos_r, rank) —
     * the batch family's schema. */
@@ -534,8 +643,8 @@ object StreamGraphShards {
     val manifest = readManifest(dir)
     val cells = probed.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    GraphShards.walkShards(probed, idCol,
-      loadShardRows(spark, dir, manifest, cells), ef, excludeSelf)
+    dropTombstoned(dir, GraphShards.walkShards(probed, idCol,
+      loadShardRows(spark, dir, manifest, cells), ef, excludeSelf), idCol)
   }
 
   private def serveProbed(probed: DataFrame, idCol: String, dir: String,
@@ -545,8 +654,10 @@ object StreamGraphShards {
     val manifest = readManifest(dir)
     val cells = probed.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cand = GraphShards.walkShards(probed, idCol,
-      loadShardRows(spark, dir, manifest, cells), ef, excludeSelf)
+    // tombstones filter BEFORE the rank window: each walk returns ef
+    // candidates, so survivors fill the top-k naturally (mark-delete)
+    val cand = dropTombstoned(dir, GraphShards.walkShards(probed, idCol,
+      loadShardRows(spark, dir, manifest, cells), ef, excludeSelf), idCol)
     val w = Window.partitionBy("qid")
       .orderBy(col("cos_r").desc, col(idCol).asc)
     cand.withColumn("rank", row_number().over(w).cast("long"))

@@ -234,4 +234,40 @@ class StreamGraphShardsSpec extends AnyFunSuite {
       "embedding", dir, cg, k = 10, nprobe = 2, ef = 32, efProbe = 4))
     assert(gp == brute)
   }
+
+  test("deletion: tombstoned ids vanish from serve results immediately; " +
+    "vacuumDeleted rebuilds ONLY the touched cells, drops all-dead " +
+    "cells from the manifest, and clears the tombstones") {
+    val dir = Files.createTempDirectory("graft-gshard-del").toString
+    StreamGraphShards.bootstrap(spark, dir, emb, "vec_id", "embedding",
+      cents)
+    val queries = emb.filter(col("vec_id") === 42L)
+    def top() = StreamGraphShards.topKBatch(queries, "vec_id",
+      "embedding", dir, k = 5, nprobe = 2, ef = 32)
+      .collect().map(_.getLong(1)).toSeq
+    val before = top() // self-match excluded: nearest OTHER ids lead
+    assert(before.size == 5)
+    // mark-delete: gone from results at once, graph files untouched
+    val manifestBefore = marker(dir)
+    assert(StreamGraphShards.delete(spark, dir,
+      Seq(before.head, before(1))) == 2L)
+    assert(StreamGraphShards.delete(spark, dir, Seq(before.head)) == 0L)
+    val after = top()
+    assert(after.size == 5 && !after.contains(before.head) &&
+      !after.contains(before(1)), s"$after")
+    assert(marker(dir) == manifestBefore, "mark-delete must not commit")
+    // physical drop: only the cells holding the two ids rebuild
+    val manifest0 = StreamGraphShards.readManifest(dir)
+    val hit = StreamGraphShards.vacuumDeleted(spark, dir, "del1")
+    assert(hit.nonEmpty && hit.size <= 2, s"rebuilt cells: $hit")
+    assert(StreamGraphShards.tombstones(dir).isEmpty)
+    val manifest1 = StreamGraphShards.readManifest(dir)
+    assert((manifest0.keySet -- manifest1.keySet).forall(hit.contains))
+    assert(manifest1.filter { case (c, p) => manifest0.get(c) != Some(p) }
+      .keySet.subsetOf(hit.toSet),
+      "only hit cells may repoint")
+    // search parity after the drop, and idempotent vacuum
+    assert(top() == after)
+    assert(StreamGraphShards.vacuumDeleted(spark, dir, "del2").isEmpty)
+  }
 }
