@@ -443,4 +443,158 @@ object Packing {
     packByBudget(df, orderCol, weightCol, partCols, budget)
       .groupBy((partCols :+ "pack_id").map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("pack_weight"))
+
+  /** RIGHT-TO-BE-FORGOTTEN over MATERIALIZED pack streams — the last
+    * mile of a deletion cascade: the claims stores retract
+    * ([[graft.store.ClaimRetraction]]), the standing indexes delete
+    * ([[Retrieval.bm25DeleteIndex]] family), but the training shards a
+    * deleted document was already packed into still CONTAIN its tokens.
+    * `forgetPacks` masks them out SHAPE-STABLY: every token position in
+    * a deleted member's span `[doc_offsets[k], doc_offsets[k+1])`
+    * (separator included — the span is the member's whole footprint)
+    * becomes `padId`, and the member's entry in `doc_ids` becomes -1
+    * (identity scrubbed); `n_tokens`, `doc_offsets` and every other
+    * member's positions are BYTE-IDENTICAL, so file sizes, pack ids and
+    * sample boundaries never shift and a trainer's prebuilt index maps
+    * stay valid — it already skips pad runs via the attention mask the
+    * offsets encode. `padId` must not collide with a real vocabulary id
+    * or the separator (by convention vocab size + 1, one past the
+    * separator slot).
+    *
+    * Input: a [[packTokenStreams]] output WITH `doc_ids` (fail loud
+    * without — positions cannot be attributed to members otherwise);
+    * `deleted` is the deletion batch (one long-castable id column,
+    * administrative-sized — the [[graft.store.ClaimRetraction]]
+    * ceiling is the intended contract, hence the broadcast).
+    *
+    * Output: the input columns plus `n_forgotten` (masked members in
+    * this pack) and `n_masked_tokens` (positions rewritten). Packs with
+    * no deleted member pass through with 0/0 — in a deployment, write
+    * back only `n_forgotten > 0` rows (the touched packs), which is the
+    * O(touched) rewrite a deletion event should cost, never O(corpus).
+    *
+    * Scale shape: one broadcast semi-probe of the (small) deletion list
+    * against the member lists (explode is O(members), not O(tokens)),
+    * one pack-keyed join back, then the mask itself is a per-row
+    * Catalyst HOF — token arrays never cross an exchange. `packs` is
+    * referenced TWICE (member probe + mask): pass the materialized
+    * artifact (the training-file read — column pruning makes the probe
+    * scan read only `pack_id`/`doc_ids`), not a live computation, or
+    * the upstream chain executes twice. */
+  def forgetPacks(packs: DataFrame, deleted: DataFrame,
+                  deletedIdCol: String, padId: Long): DataFrame = {
+    Seq("pack_id", "token_ids", "n_tokens", "doc_offsets", "doc_ids")
+      .foreach(c => require(packs.columns.contains(c),
+        s"forgetPacks needs column '$c' — pack with " +
+          "packTokenStreams(docIdCol = Some(...))"))
+    val dead = deleted
+      .select(col(deletedIdCol).cast("long").as("_fp_dead")).distinct()
+    val deadIdx = packs
+      .select(col("pack_id").as("_fp_pack"),
+        posexplode(col("doc_ids")).as(Seq("_fp_idx", "_fp_doc")))
+      .join(broadcast(dead), col("_fp_doc") === col("_fp_dead"))
+      .groupBy(col("_fp_pack"))
+      .agg(sort_array(collect_list(col("_fp_idx"))).as("_fp_dead_idx"))
+    val spans = transform(col("_fp_dead_idx"), k => struct(
+      element_at(col("doc_offsets"), k + 1).as("s"),
+      when(k + 2 <= size(col("doc_offsets")),
+        element_at(col("doc_offsets"), k + 2))
+        .otherwise(col("n_tokens").cast("long")).as("e")))
+    val keep = packs.columns.map(col).toSeq
+    packs
+      .join(deadIdx, col("pack_id") === col("_fp_pack"), "left")
+      .withColumn("_fp_dead_idx",
+        coalesce(col("_fp_dead_idx"), array().cast("array<int>")))
+      .withColumn("_fp_spans", spans)
+      .withColumn("token_ids", when(size(col("_fp_dead_idx")) === 0,
+        col("token_ids")).otherwise(
+        transform(col("token_ids"),
+          (x, i) => when(exists(col("_fp_spans"),
+            sp => i.cast("long") >= sp.getField("s") &&
+              i.cast("long") < sp.getField("e")),
+            lit(padId)).otherwise(x))))
+      .withColumn("doc_ids", when(size(col("_fp_dead_idx")) === 0,
+        col("doc_ids")).otherwise(
+        transform(col("doc_ids"),
+          (d, i) => when(array_contains(col("_fp_dead_idx"), i),
+            lit(-1L)).otherwise(d))))
+      .withColumn("n_forgotten", size(col("_fp_dead_idx")).cast("long"))
+      .withColumn("n_masked_tokens", aggregate(col("_fp_spans"), lit(0L),
+        (acc, sp) => acc + sp.getField("e") - sp.getField("s")))
+      .select(keep ++ Seq(col("n_forgotten"), col("n_masked_tokens")): _*)
+  }
+
+  /** [[forgetPacks]]'s SPACE-RECLAIMING sibling — the right variant
+    * BEFORE training has indexed the shards: deleted members are REMOVED
+    * from their packs (surviving members' token slices re-concatenate in
+    * order, `doc_offsets`/`doc_ids`/`n_docs`/`n_tokens` recompute), so
+    * the trainer never pays attention-masked pad runs for forgotten
+    * documents. Pack ids are PRESERVED (only touched packs shrink — the
+    * O(touched) rewrite discipline); a pack whose every member died
+    * drops from the output entirely. Once shards are written and
+    * index-mapped, use [[forgetPacks]] instead — removal shifts every
+    * later offset in the file.
+    *
+    * Output: the input columns (recomputed) plus `n_forgotten` (members
+    * removed from this pack) and `n_freed_tokens` (positions
+    * reclaimed). Same input contract and scale shape as
+    * [[forgetPacks]]: one broadcast probe of the deletion list against
+    * the member lists, one pack-keyed join back, per-row Catalyst HOF
+    * folds — token arrays never cross an exchange. */
+  def repackForgotten(packs: DataFrame, deleted: DataFrame,
+                      deletedIdCol: String): DataFrame = {
+    Seq("pack_id", "token_ids", "n_docs", "n_tokens", "doc_offsets",
+      "doc_ids").foreach(c => require(packs.columns.contains(c),
+      s"repackForgotten needs column '$c' — pack with " +
+        "packTokenStreams(docIdCol = Some(...))"))
+    val dead = deleted
+      .select(col(deletedIdCol).cast("long").as("_fp_dead")).distinct()
+    val deadIdx = packs
+      .select(col("pack_id").as("_fp_pack"),
+        posexplode(col("doc_ids")).as(Seq("_fp_idx", "_fp_doc")))
+      .join(broadcast(dead), col("_fp_doc") === col("_fp_dead"))
+      .groupBy(col("_fp_pack"))
+      .agg(sort_array(collect_list(col("_fp_idx"))).as("_fp_dead_idx"))
+    // surviving members as (d, s, e) slices of the original stream
+    val aliveSlices = filter(
+      transform(col("doc_ids"), (d, k) => struct(
+        d.as("d"),
+        element_at(col("doc_offsets"), k + 1).as("s"),
+        when(k + 2 <= size(col("doc_offsets")),
+          element_at(col("doc_offsets"), k + 2))
+          .otherwise(col("n_tokens").cast("long")).as("e"),
+        k.as("k"))),
+      x => !array_contains(col("_fp_dead_idx"), x.getField("k")))
+    val keep = packs.columns.map(col).toSeq
+    packs
+      .join(deadIdx, col("pack_id") === col("_fp_pack"), "left")
+      .withColumn("_fp_dead_idx",
+        coalesce(col("_fp_dead_idx"), array().cast("array<int>")))
+      .withColumn("_fp_alive", aliveSlices)
+      .withColumn("n_forgotten", size(col("_fp_dead_idx")).cast("long"))
+      .filter(size(col("_fp_alive")) > 0)
+      .withColumn("_fp_old_n", col("n_tokens").cast("long"))
+      .withColumn("token_ids", when(col("n_forgotten") === 0,
+        col("token_ids")).otherwise(
+        flatten(transform(col("_fp_alive"), x => slice(col("token_ids"),
+          (x.getField("s") + 1L).cast("int"),
+          (x.getField("e") - x.getField("s")).cast("int"))))))
+      .withColumn("doc_ids",
+        transform(col("_fp_alive"), _.getField("d")))
+      .withColumn("doc_offsets", aggregate(
+        col("_fp_alive"),
+        struct(array().cast("array<long>").as("offs"),
+          lit(0L).as("cum")),
+        (acc, x) => struct(
+          concat(acc.getField("offs"),
+            array(acc.getField("cum"))).as("offs"),
+          (acc.getField("cum") + x.getField("e") - x.getField("s"))
+            .as("cum")),
+        acc => acc.getField("offs")))
+      .withColumn("n_docs", size(col("_fp_alive")).cast("long"))
+      .withColumn("n_tokens", aggregate(col("_fp_alive"), lit(0L),
+        (acc, x) => acc + x.getField("e") - x.getField("s")))
+      .withColumn("n_freed_tokens", col("_fp_old_n") - col("n_tokens"))
+      .select(keep ++ Seq(col("n_forgotten"), col("n_freed_tokens")): _*)
+  }
 }

@@ -726,6 +726,160 @@ object BpeQ {
       .orderBy("doc_id")
   }
 
+  /** q139: RIGHT-TO-BE-FORGOTTEN over materialized pack streams
+    * ([[Packing.forgetPacks]]) — q132's packs with every seventh-ish
+    * document (`doc_id % 7 = 3`) DELETED after the fact: all its token
+    * positions (separator included) are masked to the pad id (one past
+    * the separator slot), everything else — pack ids, positions, other
+    * members' tokens — BYTE-IDENTICAL to q132 (the shape-stable
+    * contract: a deletion event must not shift sample boundaries in
+    * shards a trainer already indexed). The oracle replays q132's whole
+    * chain and applies the mask per position via the member identity the
+    * concatenation already tracks; a mask that leaks one position (or
+    * bleeds into a neighbor member) breaks the hash. */
+  val q139 = Q(
+    "q139_pack_forget",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM documents),
+       |pcs AS (SELECT t.doc_id, t.tp, f.syms
+       |        FROM tokq t JOIN fin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(syms) AS piece,
+       |                unnest(range(1, len(syms) + 1)) AS sp FROM pcs),
+       |docids AS (SELECT f.doc_id, v.vid,
+       |                  row_number() OVER (PARTITION BY f.doc_id
+       |                    ORDER BY f.tp, f.sp) AS dp
+       |           FROM flat f JOIN voc v ON v.piece = f.piece),
+       |$cntCte,
+       |sepv AS (SELECT na.n + (SELECT CAST(COUNT(*) AS BIGINT) FROM mg)
+       |           AS sep FROM na),
+       |k AS (SELECT d.doc_id, c.n_pieces + 1 AS w,
+       |             (${sqlHash("'7:' || CAST(d.doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM documents d JOIN cnt c ON c.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard, w
+       |      FROM k),
+       |ww AS (SELECT doc_id, ek, shard, w,
+       |         SUM(w) OVER (ORDER BY shard, ek, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM s),
+       |pk AS (SELECT doc_id, ek, shard, w,
+       |              CAST((cum - w) // 700 AS BIGINT) AS pack_id FROM ww),
+       |tok2 AS (SELECT doc_id, vid, dp FROM docids
+       |         UNION ALL
+       |         SELECT p.doc_id, (SELECT sep FROM sepv) AS vid,
+       |                p.w AS dp
+       |         FROM pk p),
+       |expl AS (SELECT p.pack_id, p.shard, p.ek, t.doc_id, t.dp, t.vid
+       |         FROM tok2 t JOIN pk p USING (doc_id)),
+       |outp AS (SELECT pack_id,
+       |                CAST(row_number() OVER (PARTITION BY pack_id
+       |                  ORDER BY shard, ek, doc_id, dp) - 1 AS BIGINT)
+       |                  AS pos,
+       |                CASE WHEN doc_id % 7 = 3
+       |                     THEN (SELECT sep FROM sepv) + 1
+       |                     ELSE vid END AS token_id FROM expl)
+       |SELECT pack_id, pos, token_id FROM outp
+       |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
+      .select(col("doc_id"), col("token_ids"))
+    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
+      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    // the pack artifact is MATERIALIZED in production (training files on
+    // disk); the checkpoint stands in for that file read — forgetPacks /
+    // repackForgotten reference their input twice (member probe + mask)
+    val packs = Packing.packTokenStreams(e, "shard", "pos", "token_ids",
+      budget = 700L, sepId = vocab.length.toLong,
+      docIdCol = Some("doc_id")).localCheckpoint(true)
+    val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    Packing.forgetPacks(packs, dead, "doc_id",
+      padId = vocab.length.toLong + 1L)
+      .select(col("pack_id"), posexplode(col("token_ids")))
+      .select(col("pack_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+      .orderBy("pack_id", "pos")
+  }
+
+  /** q141: PACK REPAIR after deletion ([[Packing.repackForgotten]] —
+    * [[Packing.forgetPacks]]'s space-reclaiming sibling, the
+    * before-training variant): q139's deletion set REMOVED from the
+    * packs instead of masked — surviving members re-concatenate in the
+    * original global order under their ORIGINAL pack ids, fully-deleted
+    * packs vanish. The oracle replays q132's chain minus the deleted
+    * documents' token rows, with positions renumbered per pack — an
+    * off-by-one in the slice re-concatenation or a shifted survivor
+    * breaks the hash. */
+  val q141 = Q(
+    "q141_pack_repair",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM documents),
+       |pcs AS (SELECT t.doc_id, t.tp, f.syms
+       |        FROM tokq t JOIN fin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(syms) AS piece,
+       |                unnest(range(1, len(syms) + 1)) AS sp FROM pcs),
+       |docids AS (SELECT f.doc_id, v.vid,
+       |                  row_number() OVER (PARTITION BY f.doc_id
+       |                    ORDER BY f.tp, f.sp) AS dp
+       |           FROM flat f JOIN voc v ON v.piece = f.piece),
+       |$cntCte,
+       |sepv AS (SELECT na.n + (SELECT CAST(COUNT(*) AS BIGINT) FROM mg)
+       |           AS sep FROM na),
+       |k AS (SELECT d.doc_id, c.n_pieces + 1 AS w,
+       |             (${sqlHash("'7:' || CAST(d.doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM documents d JOIN cnt c ON c.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard, w
+       |      FROM k),
+       |ww AS (SELECT doc_id, ek, shard, w,
+       |         SUM(w) OVER (ORDER BY shard, ek, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM s),
+       |pk AS (SELECT doc_id, ek, shard, w,
+       |              CAST((cum - w) // 700 AS BIGINT) AS pack_id FROM ww),
+       |tok2 AS (SELECT doc_id, vid, dp FROM docids
+       |         UNION ALL
+       |         SELECT p.doc_id, (SELECT sep FROM sepv) AS vid,
+       |                p.w AS dp
+       |         FROM pk p),
+       |expl AS (SELECT p.pack_id, p.shard, p.ek, t.doc_id, t.dp, t.vid
+       |         FROM tok2 t JOIN pk p USING (doc_id)),
+       |outp AS (SELECT pack_id,
+       |                CAST(row_number() OVER (PARTITION BY pack_id
+       |                  ORDER BY shard, ek, doc_id, dp) - 1 AS BIGINT)
+       |                  AS pos,
+       |                vid AS token_id
+       |         FROM expl WHERE doc_id % 7 <> 3)
+       |SELECT pack_id, pos, token_id FROM outp
+       |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
+      .select(col("doc_id"), col("token_ids"))
+    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
+      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    // the pack artifact is MATERIALIZED in production (training files on
+    // disk); the checkpoint stands in for that file read — forgetPacks /
+    // repackForgotten reference their input twice (member probe + mask)
+    val packs = Packing.packTokenStreams(e, "shard", "pos", "token_ids",
+      budget = 700L, sepId = vocab.length.toLong,
+      docIdCol = Some("doc_id")).localCheckpoint(true)
+    val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    Packing.repackForgotten(packs, dead, "doc_id")
+      .select(col("pack_id"), posexplode(col("token_ids")))
+      .select(col("pack_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+      .orderBy("pack_id", "pos")
+  }
+
   val all: Seq[Q] = Seq(q126, q127, q129, q131, q132, q133, q134, q135,
-    q136, q137)
+    q136, q137, q139, q141)
 }

@@ -338,4 +338,77 @@ class PackingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("forgetPacks: deleted members' whole spans (separator included) " +
+    "mask to padId, identities scrub to -1, every other position and " +
+    "the pack shape are byte-identical; untouched packs read 0/0") {
+    // globally unique doc ids; budget 8, sep 99 -> packs: shard 0 docs
+    // 1,2,3 = pack 0; shard 1 docs 4,5 (5 oversize) = pack 1; shard 2
+    // doc 6 = pack 2 (untouched by the deletion)
+    val rows = Seq(
+      (0L, 1L, Seq(10L, 11L, 12L)),
+      (0L, 2L, Seq(20L, 21L)),
+      (0L, 3L, Seq(30L, 31L, 32L, 33L, 34L)),
+      (1L, 4L, Seq(40L)),
+      (1L, 5L, (0 until 9).map(i => 50L + i)),
+      (2L, 6L, Seq(60L, 61L))
+    ).toDF("shard", "pos", "token_ids")
+    val packs = Packing.packTokenStreams(rows, "shard", "pos",
+      "token_ids", budget = 8L, sepId = 99L, docIdCol = Some("pos"))
+    val dead = Seq(2L, 5L, 4242L).toDF("doc_id") // 4242: never packed
+    val out = Packing.forgetPacks(packs, dead, "doc_id", padId = 88L)
+      .orderBy("pack_id")
+      .select("pack_id", "token_ids", "doc_offsets", "doc_ids",
+        "n_tokens", "n_forgotten", "n_masked_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getSeq[Long](3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // pack 0: member 2 spans [4,7) -> its 2 ids + separator masked
+    assert(out(0) == ((0L,
+      Seq(10L, 11L, 12L, 99L, 88L, 88L, 88L,
+        30L, 31L, 32L, 33L, 34L, 99L),
+      Seq(0L, 4L, 7L), Seq(1L, -1L, 3L), 13L, 1L, 3L)),
+      s"pack 0: ${out(0)}")
+    // pack 1: LAST member deleted -> span closes at n_tokens
+    assert(out(1) == ((1L,
+      Seq(40L, 99L) ++ Seq.fill(10)(88L),
+      Seq(0L, 2L), Seq(4L, -1L), 12L, 1L, 10L)),
+      s"pack 1: ${out(1)}")
+    // global prefix 25 div 8 -> pack id 3: untouched — byte-identical
+    // passthrough, 0/0
+    assert(out(2) == ((3L, Seq(60L, 61L, 99L), Seq(0L), Seq(6L),
+      3L, 0L, 0L)), s"pack 3: ${out(2)}")
+    // shape stability: offsets and n_tokens of every pack unchanged
+    val before = packs.orderBy("pack_id")
+      .select("doc_offsets", "n_tokens").collect()
+      .map(r => (r.getSeq[Long](0), r.getLong(1)))
+    assert(out.map(o => (o._3, o._5)).toSeq == before.toSeq)
+    // fail loud without member identities
+    val e = intercept[IllegalArgumentException] {
+      Packing.forgetPacks(packs.drop("doc_ids"), dead, "doc_id", 88L)
+    }
+    assert(e.getMessage.contains("doc_ids"))
+
+    // repackForgotten: same deletion REMOVES the members — surviving
+    // slices re-concatenate, offsets/counts recompute, pack ids hold
+    val rep = Packing.repackForgotten(packs, dead, "doc_id")
+      .orderBy("pack_id")
+      .select("pack_id", "token_ids", "doc_offsets", "doc_ids",
+        "n_docs", "n_tokens", "n_forgotten", "n_freed_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2),
+        r.getSeq[Long](3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))
+    assert(rep(0) == ((0L,
+      Seq(10L, 11L, 12L, 99L, 30L, 31L, 32L, 33L, 34L, 99L),
+      Seq(0L, 4L), Seq(1L, 3L), 2L, 10L, 1L, 3L)), s"pack 0: ${rep(0)}")
+    assert(rep(1) == ((1L, Seq(40L, 99L), Seq(0L), Seq(4L),
+      1L, 2L, 1L, 10L)), s"pack 1: ${rep(1)}")
+    assert(rep(2) == ((3L, Seq(60L, 61L, 99L), Seq(0L), Seq(6L),
+      1L, 3L, 0L, 0L)), s"pack 3: ${rep(2)}")
+    // a pack whose every member died vanishes from the output
+    val gone = Packing.repackForgotten(packs, Seq(6L).toDF("doc_id"),
+      "doc_id").select("pack_id").as[Long].collect().toSet
+    assert(gone == Set(0L, 1L))
+  }
 }
