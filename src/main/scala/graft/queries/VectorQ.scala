@@ -987,6 +987,76 @@ object VectorQ {
       .orderBy("vec_id")
   }
 
+  /** q140: IVF STANDING-INDEX DELETION under the oracle gate — q138's
+    * lifecycle discipline applied to [[graft.operators.VectorIndex]]:
+    * each fresh run bootstraps a real index in owned scratch (the
+    * `% 8 = 1` eighth of the `% 4 = 1` corpus quarter, stride-7
+    * quantizer), APPENDS the `% 8 = 5` eighth as a tokened delta,
+    * DELETES every third corpus vector with the delta still outstanding
+    * (deletion doubles as a compaction), then probes top-10 at
+    * nprobe 3. The oracle is q40's exact replay over the SURVIVING
+    * vectors under the UNCHANGED quantizer — the frozen-quantizer
+    * contract: deleting a centroid's source vector removes it from
+    * results but never from the codebook (centroid 105 is exactly that
+    * row), and a delete that dropped a cell directory or resurrected a
+    * delta row breaks the hash. Memoized per (JVM, sfDir) like q138:
+    * the correctness gate's fresh JVM always runs the full
+    * bootstrap/append/delete path once; bench reps time the indexed
+    * probe. */
+  private val q140IdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  val q140 = Q(
+    "q140_ivf_delete",
+    s"""WITH n AS (SELECT vec_id, embedding,
+       |                  sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |corp AS (SELECT * FROM n WHERE vec_id % 4 = 1),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+       |          FROM corp WHERE vec_id % 8 = 1 AND vec_id % 7 = 0),
+       |live AS (SELECT * FROM corp WHERE vec_id % 3 <> 0),
+       |scored AS (SELECT vec_id, embedding, nrm, cent_id,
+       |                  ${sqlDot("embedding", "cv")} / (nrm * cn) AS cent_cos
+       |           FROM live, cents),
+       |assigned AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |q AS (SELECT embedding AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+       |probed AS (SELECT cent_id AS cell
+       |           FROM cents, q
+       |           ORDER BY ${sqlDot("cv", "qv")} / (cn * qn) DESC, cent_id
+       |           LIMIT 3)
+       |SELECT vec_id, cell,
+       |       ROUND(${sqlDot("embedding", "qv")} / (nrm * qn), 6) AS cos_r
+       |FROM assigned JOIN probed USING (cell), q
+       |ORDER BY cos_r DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(s, dir)
+    val idx = q140IdxCache.computeIfAbsent(dir, { d: String =>
+      val corp = emb.filter(col("vec_id") % 4 === 1)
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-q140-idx").toString
+      graft.operators.VectorIndex.writeIndex(
+        corp.filter(col("vec_id") % 8 === 1), "vec_id", "embedding",
+        scratch, centroidEvery = 7)
+      graft.operators.VectorIndex.appendIndex(
+        corp.filter(col("vec_id") % 8 === 5), "vec_id", "embedding",
+        scratch, batchId = 1L)
+      val dead = corp.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq
+      graft.operators.VectorIndex.deleteIndex(s, scratch, dead)
+      scratch
+    })
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    graft.operators.VectorIndex.topKIndexed(s, idx, qv, k = 10, nprobe = 3)
+      .select(col("id").as("vec_id"), col("cell"), col("cos_r"))
+  }
+
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q35, q40, q51, q57, q61, q67,
-    q70, q71, q83, q84, q85, q86, q87, q88, q93, q94, q97, q102, q111)
+    q70, q71, q83, q84, q85, q86, q87, q88, q93, q94, q97, q102, q111,
+    q140)
 }
