@@ -66,14 +66,44 @@ object StreamBoilerplate {
       }
     }
 
-    /** The merged (hv, nd) view across base + deltas. */
+    /** RETRACT deleted documents' chunk contributions — the forget
+      * cascade's boilerplate leg: a chunk whose every carrier was
+      * deleted must stop being scrubbed from future documents (stale
+      * counts would keep masking text that is no longer duplicated
+      * anywhere in the surviving corpus). `deleted` is the deleted
+      * documents' ORIGINAL rows (same text the accumulator counted);
+      * their per-chunk counts fold in NEGATED under the deletion
+      * event's replay token. Over-retraction fails loud at the next
+      * [[dupChunks]] read. */
+    def retract(deleted: DataFrame, idCol: String, textCol: String,
+                token: String): Unit = {
+      val counts = Dedup.chunkCoords(deleted, idCol, textCol, span)
+        .groupBy("hv").agg((-countDistinct(col("id"))).as("nd"))
+        .localCheckpoint(true)
+      if (counts.head(1).nonEmpty) {
+        store.appendDelta(counts, Some(token))
+        if (store.deltaCount >= compactEvery) store.replace(merged())
+      }
+    }
+
+    /** The merged (hv, nd) view across base + deltas; fully-retracted
+      * chunks (nd = 0) leave the view. */
     private def merged(): DataFrame =
       store.read().groupBy("hv").agg(sum(col("nd")).as("nd"))
+        .filter(col("nd") =!= 0)
 
-    /** Chunk hashes currently at ≥ `minDocs` distinct documents. */
+    /** Chunk hashes currently at ≥ `minDocs` distinct documents. Fails
+      * loud on a negative count (a retraction of documents never
+      * observed). */
     def dupChunks(minDocs: Int): DataFrame = {
       require(minDocs >= 2, "minDocs must be >= 2")
-      merged().filter(col("nd") >= minDocs).select("hv")
+      val m = merged().localCheckpoint(true)
+      val neg = m.filter(col("nd") < 0).head(1)
+      require(neg.isEmpty,
+        s"chunk-count store holds a negative count " +
+          s"(${neg.headOption.getOrElse("")}) — a retraction exceeded " +
+          "what was observed")
+      m.filter(col("nd") >= minDocs).select("hv")
     }
   }
 

@@ -73,20 +73,20 @@ final class StreamDataCard(spark: SparkSession, root: String,
     }
   }
 
-  /** The merged (metric, value) totals across base + deltas. */
+  /** The merged (metric, value) totals across base + deltas;
+    * fully-retracted metrics (value 0) leave the table, so a lang or
+    * source whose every document was deleted vanishes from the card the
+    * way it is absent from a batch card over the survivors. */
   def totals(): DataFrame =
     counters.read().groupBy("metric").agg(sum(col("value")).as("value"))
+      .filter(col("value") =!= 0)
 
-  /** Observe one batch of SHIPPED rows: one aggregate with the batch
-    * card's exact expressions + the two distribution groupBys + the
-    * token-count histogram. When the batch carries the funnel's
-    * `n_bpe_tokens`/`n_bpe_unk` columns, the tokenizer drift totals
-    * ride the same fold. Replays are no-ops via the batch-id token. */
-  def observe(batch: DataFrame, batchId: Long,
-              textCol: String = "text", langCol: String = "lang",
-              sourceCol: String = "source"): Unit = {
+  /** The batch card's exact additive metrics for one batch — shared by
+    * [[observe]] (positive fold) and [[retract]] (negated fold). */
+  private def batchMetrics(batch: DataFrame, textCol: String,
+                           langCol: String,
+                           sourceCol: String): Seq[(String, Long)] = {
     graft.functions.TokenStats.ensureRegistered(spark)
-    import spark.implicits._
     val t = col(textCol)
     val urls = size(coalesce(
       regexp_extract_all(t, lit(graft.operators.Urls.UrlRe), lit(0)),
@@ -119,10 +119,50 @@ final class StreamDataCard(spark: SparkSession, root: String,
       .collect().map(r => s"lang_docs.${r.getString(0)}" -> r.getLong(1))
     val sources = batch.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => s"source_docs.${r.getString(0)}" -> r.getLong(1))
-    fold((scalars ++ Seq("pii_docs" -> pii) ++ langs ++ sources)
+    scalars ++ Seq("pii_docs" -> pii) ++ langs ++ sources
+  }
+
+  private def tokenCounts(batch: DataFrame, textCol: String): DataFrame =
+    batch.select(graft.functions.TokenStats(col(textCol))
+      .getField("n_tokens").cast("long").as("_ntok"))
+
+  /** Observe one batch of SHIPPED rows: one aggregate with the batch
+    * card's exact expressions + the two distribution groupBys + the
+    * token-count histogram. When the batch carries the funnel's
+    * `n_bpe_tokens`/`n_bpe_unk` columns, the tokenizer drift totals
+    * ride the same fold. Replays are no-ops via the batch-id token. */
+  def observe(batch: DataFrame, batchId: Long,
+              textCol: String = "text", langCol: String = "lang",
+              sourceCol: String = "source"): Unit = {
+    import spark.implicits._
+    fold(batchMetrics(batch, textCol, langCol, sourceCol)
       .toDF("metric", "value"), s"b$batchId")
-    lenHist.observe(batch.select(graft.functions.TokenStats(t)
-      .getField("n_tokens").cast("long").as("_ntok")), "_ntok", batchId)
+    lenHist.observe(tokenCounts(batch, textCol), "_ntok", batchId)
+  }
+
+  /** RETRACT deleted documents from the cumulative card — the forget
+    * cascade's telemetry leg: after a deletion event (DMCA, robots,
+    * recrawl tombstones), the release card must describe the SURVIVING
+    * corpus. `deleted` is the deleted documents' ORIGINAL shipped rows
+    * (read from the materialized corpus before removing them — the
+    * same rows [[observe]] folded, including `n_bpe_tokens`/`n_bpe_unk`
+    * when the funnel shipped them); every additive metric folds in
+    * negated, and the token-count histogram subtracts exactly.
+    * `eventId` is the deletion event's replay token — a crash-replayed
+    * retraction folds nothing twice. Retracting rows that were never
+    * observed fails loud at the next [[card]] (negative scalar) or
+    * quantile read (negative histogram count). The funnel/media
+    * throughput counters (`funnel.*`, `media.*`) are deliberately NOT
+    * retracted: they record what the funnel PROCESSED, not what ships
+    * now. */
+  def retract(deleted: DataFrame, eventId: Long,
+              textCol: String = "text", langCol: String = "lang",
+              sourceCol: String = "source"): Unit = {
+    import spark.implicits._
+    fold(batchMetrics(deleted, textCol, langCol, sourceCol)
+      .map { case (k, v) => (k, -v) }
+      .toDF("metric", "value"), s"r$eventId")
+    lenHist.retract(tokenCounts(deleted, textCol), "_ntok", s"r$eventId")
   }
 
   /** Fold one media-funnel batch report into the cumulative media
@@ -163,6 +203,10 @@ final class StreamDataCard(spark: SparkSession, root: String,
   def card(tokenizerShape: Option[(Long, Long)] = None): DataCard.Card = {
     val m = totals().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val neg = m.filter(_._2 < 0)
+    require(neg.isEmpty,
+      s"cumulative card at $root went negative on ${neg.keys.toSeq.sorted
+        .mkString(", ")} — a retraction exceeded what was observed")
     def g(k: String): Long = m.getOrElse(k, 0L)
     val quantiles =
       if (g("n_docs") == 0L) Map.empty[Int, Long]

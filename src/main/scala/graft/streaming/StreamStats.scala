@@ -51,12 +51,40 @@ final class StreamValueHist(spark: SparkSession, root: String,
     }
   }
 
-  /** The merged (v, c) histogram across base + deltas. */
+  /** RETRACT one deletion batch: append its (value, count) histogram as
+    * NEGATIVE deltas — the forget cascade's telemetry leg: after a
+    * corpus deletion, the quantiles must describe the SURVIVING corpus,
+    * not history. `token` is the deletion event's replay token (the
+    * observe side's batch-id discipline); retracting values that were
+    * never observed is a caller error surfaced loud by the next
+    * [[quantiles]] call. */
+  def retract(batch: DataFrame, valueCol: String, token: String): Unit = {
+    val counts = batch.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg((-count(lit(1))).as("c"))
+      .localCheckpoint(true)
+    if (counts.head(1).nonEmpty) {
+      store.appendDelta(counts, Some(token))
+      if (store.deltaCount >= compactEvery) store.replace(hist())
+    }
+  }
+
+  /** The merged (v, c) histogram across base + deltas; fully-retracted
+    * values (c = 0) leave the histogram. */
   def hist(): DataFrame =
     store.read().groupBy("v").agg(sum(col("c")).as("c"))
+      .filter(col("c") =!= 0)
 
   /** Exact type-1 quantiles of everything observed so far — the q118
-    * rank arithmetic over the merged histogram. */
-  def quantiles(pcts: Seq[Int]): DataFrame =
-    graft.operators.Sketches.quantilesOfHist(hist(), pcts)
+    * rank arithmetic over the merged histogram. Fails loud on a
+    * negative count (a retraction of values never observed). */
+  def quantiles(pcts: Seq[Int]): DataFrame = {
+    val h = hist().localCheckpoint(true)
+    val neg = h.filter(col("c") < 0).head(1)
+    require(neg.isEmpty,
+      s"value histogram at $root holds a negative count " +
+        s"(${neg.headOption.getOrElse("")}) — a retraction exceeded " +
+        "what was observed")
+    graft.operators.Sketches.quantilesOfHist(h, pcts)
+  }
 }

@@ -70,4 +70,33 @@ class StreamBoilerplateSpec extends AnyFunSuite {
       == collect(Dedup.scrubDupSpans(union, "doc_id", "text", span = 8)),
       "post-compaction counts diverged from the batch operator")
   }
+
+  test("retraction: deleting a chunk's carriers stops the scrub — counts " +
+    "equal the batch operator over the SURVIVORS; replays fold nothing " +
+    "twice; over-retraction fails loud") {
+    val dir = Files.createTempDirectory("graft-sboiler3").toString
+    val counts = new StreamBoilerplate.ChunkCounts(spark, dir, span = 8)
+    counts.observe(b1, "doc_id", "text", batchId = 0L)
+    counts.observe(b2, "doc_id", "text", batchId = 1L)
+    // delete docs 3 and 4: the boiler chunk drops from nd=3 to nd=1 —
+    // no longer boilerplate; the surviving corpus scrubs nothing
+    val deleted = b2.filter($"doc_id".isin(3L, 4L))
+    counts.retract(deleted, "doc_id", "text", token = "r0")
+    counts.retract(deleted, "doc_id", "text", token = "r0") // crash replay
+    val survivors = b1.unionAll(b2.filter($"doc_id" === 5L))
+    val streamed = collect(
+      StreamBoilerplate.rescrub(survivors, "doc_id", "text", counts))
+    val batch = collect(
+      Dedup.scrubDupSpans(survivors, "doc_id", "text", span = 8))
+    assert(streamed == batch,
+      s"post-retraction rescrub diverged:\n$streamed\nvs\n$batch")
+    assert(streamed(1L)._2 == 0L, "boiler chunk still scrubbed after its " +
+      "other carriers were deleted")
+    // over-retraction: doc 5's unique chunk observed once, retracted
+    // twice — goes negative, loud
+    counts.retract(b2.filter($"doc_id" === 5L), "doc_id", "text", "r1")
+    counts.retract(b2.filter($"doc_id" === 5L), "doc_id", "text", "r2")
+    val e = intercept[IllegalArgumentException](counts.dupChunks(2))
+    assert(e.getMessage.contains("negative"))
+  }
 }

@@ -103,4 +103,52 @@ class StreamDataCardSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(totals("funnel.n_out") == 6L && totals("funnel.n_batch") == 10L)
   }
+
+  test("retraction: card after observe(all) + retract(deleted) ≡ batch " +
+    "card over the SURVIVORS on every additive field; replays fold " +
+    "nothing twice; a fully-retracted lang vanishes from the card") {
+    val root = Files.createTempDirectory("graft-scard-forget").toString
+    val card = new StreamDataCard(spark, root)
+    card.init()
+    val rows = docs.orderBy("doc_id").collect()
+    rows.grouped((rows.length / 3) + 1).zipWithIndex.foreach {
+      case (b, i) => card.observe(spark.createDataFrame(
+        spark.sparkContext.parallelize(b.toIndexedSeq), docs.schema),
+        i.toLong)
+    }
+    val deleted = docs.filter(col("doc_id") % 3 === 0)
+    card.retract(deleted, eventId = 100L)
+    card.retract(deleted, eventId = 100L) // crash-replayed retraction
+    val streamed = card.card()
+    val survivors = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = DataCard.build(survivors, "doc_id", "text", "lang",
+      "source")
+    assert(streamed.nDocs == batch.nDocs && streamed.nDocs > 0L)
+    assert(streamed.nTokens == batch.nTokens)
+    assert(streamed.nChars == batch.nChars)
+    assert(streamed.langDocs == batch.langDocs)
+    assert(streamed.sourceDocs == batch.sourceDocs)
+    assert(streamed.piiDocs == batch.piiDocs)
+    assert(streamed.urlDocs == batch.urlDocs)
+    assert(streamed.linkDensityMilli == batch.linkDensityMilli)
+    assert(streamed.tokenQuantiles == batch.tokenQuantiles,
+      s"${streamed.tokenQuantiles} != ${batch.tokenQuantiles}")
+    // a lang observed only once vanishes entirely when its doc is
+    // retracted (no zero-count residue)
+    val root2 = Files.createTempDirectory("graft-scard-vanish").toString
+    val c2 = new StreamDataCard(spark, root2)
+    c2.init()
+    val b = Seq((1L, "alpha beta", "en", "web"),
+      (2L, "delta", "xx", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    c2.observe(b, 0L)
+    c2.retract(b.filter(col("doc_id") === 2L), eventId = 1L)
+    val after = c2.card()
+    assert(after.langDocs == Map("en" -> 1L), s"${after.langDocs}")
+    assert(after.nDocs == 1L && after.tokenQuantiles(50) == 2L)
+    // over-retraction fails loud at card() — never a silent negative
+    c2.retract(b.filter(col("doc_id") === 2L), eventId = 2L)
+    val e = intercept[IllegalArgumentException](c2.card())
+    assert(e.getMessage.contains("negative"))
+  }
 }
