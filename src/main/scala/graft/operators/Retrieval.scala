@@ -368,6 +368,21 @@ object Retrieval {
     * compaction economics; bounded loud at
     * [[graft.store.ClaimRetraction.MaxRetractIds]] ids. Returns the
     * number of documents whose postings were removed. */
+  /** Audit read for [[bm25DeleteIndex]]: documents among `ids` that
+    * still have postings in the standing index — 0 after a completed
+    * deletion (the takedown verification
+    * [[graft.pipeline.Forget.verify]] reads). */
+  def bm25Held(spark: SparkSession, dir: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "postings", "current")),
+        s"no BM25 index at $dir — nothing to audit")
+      val ps = postingsStore(spark, dir)
+      ps.read().filter(col("_id").isin(ids.map(Long.box): _*))
+        .select("_id").distinct().count()
+    }
+
   def bm25DeleteIndex(spark: SparkSession, dir: String,
                       ids: Seq[Long]): Long = {
     import spark.implicits._

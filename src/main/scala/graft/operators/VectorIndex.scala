@@ -127,6 +127,18 @@ object VectorIndex {
     }
   }
 
+  /** Audit read for [[deleteIndex]]: vectors among `ids` still present
+    * (base + outstanding deltas) — 0 after a completed deletion. */
+  def indexHeld(spark: SparkSession, dir: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "data", "current")),
+        s"no vector index at $dir — nothing to audit")
+      dataStore(spark, dir).read()
+        .filter(col("id").isin(ids.map(Long.box): _*)).count()
+    }
+
   /** Fold the delta log back into one partitioned base. CRASH-ATOMIC:
     * pointer-commit swap; a killed compaction leaves the old manifest
     * live and its half-written snapshot is swept by the next `init()`. */

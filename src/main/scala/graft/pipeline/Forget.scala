@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamBoilerplate, StreamCuration, StreamDataCard, StreamGraphIndex, StreamGraphShards, StreamMediaCuration}
+
+/** THE DELETION EVENT, end to end — one call that cascades a takedown
+  * (DMCA, robots, recrawl tombstones; the reference's own deleted-item
+  * reality, `/root/reference/hnarchive.py:123-130`) through every piece
+  * of STANDING STATE a curation deployment accumulates around a
+  * document, with a per-component receipt. Round 14 built the legs —
+  * claim-store retraction ([[graft.store.ClaimRetraction]]), standing
+  * BM25 / IVF / graph index deletion, pack-stream masking
+  * ([[graft.operators.Packing.forgetPacks]]), card decrement
+  * ([[StreamDataCard.retract]]) — this composes them, because a partial
+  * deletion is the failure mode that matters: state legs forgotten by a
+  * hand-rolled cascade keep serving (an index still returning the doc)
+  * or keep suppressing (a claim store still dropping recrawled copies
+  * against the dead id) long after the corpus row is gone.
+  *
+  * Every target is opt-in (a deployment enables the stages it runs);
+  * each leg is idempotent — a crash-retried cascade re-runs all legs,
+  * and replay tokens (card) / tombstone sets (graph) / filtered
+  * replaces (claims, BM25, IVF) make the second pass a no-op. Order:
+  * claims first (so a concurrent recrawl arriving mid-cascade can
+  * re-claim instead of dropping), then indexes, then telemetry.
+  *
+  * What this does NOT do, by design: rewrite the materialized corpus
+  * (the caller's storage layer owns row deletion) or the pack shards —
+  * [[graft.operators.Packing.forgetPacks]] RETURNS the masked packs
+  * because writing training files back is the caller's sink; run it on
+  * the `n_forgotten > 0` rows alongside this cascade.
+  */
+object Forget {
+
+  /** One leg's receipt: how many claims / postings / vectors / nodes /
+    * card documents the takedown removed there. */
+  final case class Receipt(component: String, removed: Long)
+
+  /** The card leg's handle: the cumulative card, the deleted documents'
+    * ORIGINAL shipped rows (read from the materialized corpus BEFORE
+    * the storage layer drops them — the rows `observe` folded), the id
+    * column those rows carry, and the deletion event's replay token. */
+  final case class CardTarget(card: StreamDataCard, deletedRows: DataFrame,
+                              idCol: String, eventId: Long)
+
+  /** The boilerplate leg's handle: the chunk-count accumulator and the
+    * deleted documents' ORIGINAL rows (the text the accumulator
+    * counted) — a chunk whose every carrier died must stop being
+    * scrubbed from future documents. */
+  final case class BoilerTarget(counts: StreamBoilerplate.ChunkCounts,
+                                deletedRows: DataFrame, idCol: String,
+                                textCol: String, eventId: Long)
+
+  /** Cascade the takedown of `ids` through every enabled target.
+    * Returns one [[Receipt]] per enabled leg (enabled-but-empty legs
+    * report 0 — the audit artifact must show the leg RAN). Fails loud
+    * if the card leg's rows carry an id outside `ids` (retracting a
+    * surviving document corrupts the card silently otherwise). */
+  def cascade(spark: SparkSession, ids: Seq[Long],
+              textClaimsDir: Option[String] = None,
+              mediaClaimsDir: Option[String] = None,
+              bm25IndexDir: Option[String] = None,
+              vectorIndexDir: Option[String] = None,
+              graphIndexDir: Option[String] = None,
+              graphShardsDir: Option[String] = None,
+              card: Option[CardTarget] = None,
+              boiler: Option[BoilerTarget] = None): Seq[Receipt] = {
+    require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
+      s"${ids.size} deletion ids exceed the " +
+        s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling")
+    val b = Seq.newBuilder[Receipt]
+    textClaimsDir.foreach(d => b += Receipt("text_claims",
+      StreamCuration.retract(spark, d, ids)))
+    mediaClaimsDir.foreach(d => b += Receipt("media_claims",
+      StreamMediaCuration.retract(spark, d, ids)))
+    bm25IndexDir.foreach(d => b += Receipt("bm25_index",
+      graft.operators.Retrieval.bm25DeleteIndex(spark, d, ids)))
+    vectorIndexDir.foreach(d => b += Receipt("vector_index",
+      graft.operators.VectorIndex.deleteIndex(spark, d, ids)))
+    graphIndexDir.foreach(d => b += Receipt("graph_index",
+      StreamGraphIndex.delete(spark, d, ids)))
+    graphShardsDir.foreach(d => b += Receipt("graph_shards",
+      StreamGraphShards.delete(spark, d, ids)))
+    card.foreach { t =>
+      val rows = t.deletedRows.localCheckpoint(true)
+      val stray = rows
+        .filter(!col(t.idCol).cast("long").isin(ids.map(Long.box): _*))
+        .head(1)
+      require(stray.isEmpty,
+        s"card retraction rows carry ids outside the deletion batch " +
+          s"(first: ${stray.headOption.getOrElse("")})")
+      t.card.retract(rows, t.eventId)
+      b += Receipt("data_card", rows.count())
+    }
+    boiler.foreach { t =>
+      val rows = t.deletedRows.localCheckpoint(true)
+      t.counts.retract(rows, t.idCol, t.textCol, s"r${t.eventId}")
+      b += Receipt("boiler_counts", rows.count())
+    }
+    b.result()
+  }
+
+  /** The POST-CASCADE AUDIT — the read that makes a takedown receipt
+    * trustworthy: for each enabled target, how many of `ids` are STILL
+    * referenced there (claims held, postings present, vectors indexed,
+    * graph nodes servable). After a completed [[cascade]] every leg
+    * must read 0; a non-zero row names the leg a hand-rolled deletion
+    * forgot (the failure mode the cascade exists to prevent) or a new
+    * store the deployment added without wiring it here. The card has no
+    * per-id state to audit — its guarantee is the negative-total
+    * fail-loud in [[graft.streaming.StreamDataCard.card]]. */
+  def verify(spark: SparkSession, ids: Seq[Long],
+             textClaimsDir: Option[String] = None,
+             mediaClaimsDir: Option[String] = None,
+             bm25IndexDir: Option[String] = None,
+             vectorIndexDir: Option[String] = None,
+             graphIndexDir: Option[String] = None,
+             graphShardsDir: Option[String] = None): Seq[Receipt] = {
+    require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
+      s"${ids.size} audit ids exceed the " +
+        s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling")
+    val b = Seq.newBuilder[Receipt]
+    textClaimsDir.foreach(d => b += Receipt("text_claims",
+      StreamCuration.held(spark, d, ids)))
+    mediaClaimsDir.foreach(d => b += Receipt("media_claims",
+      StreamMediaCuration.held(spark, d, ids)))
+    bm25IndexDir.foreach(d => b += Receipt("bm25_index",
+      graft.operators.Retrieval.bm25Held(spark, d, ids)))
+    vectorIndexDir.foreach(d => b += Receipt("vector_index",
+      graft.operators.VectorIndex.indexHeld(spark, d, ids)))
+    graphIndexDir.foreach(d => b += Receipt("graph_index",
+      StreamGraphIndex.held(spark, d, ids)))
+    graphShardsDir.foreach(d => b += Receipt("graph_shards",
+      StreamGraphShards.held(spark, d, ids)))
+    b.result()
+  }
+}

@@ -32,6 +32,16 @@ object ClaimRetraction {
     * past any real deletion event's size. */
   val MaxRetractIds: Int = 1 << 20
 
+  /** COUNT the claims whose `claimantCol` is in `ids` without touching
+    * the store — the post-cascade audit read ("did the takedown
+    * actually clear everything?"): after [[retract]] over the same ids
+    * this must read 0. */
+  def held(snaps: Snapshots, ids: Seq[Long],
+           claimantCol: String = "claimant"): Long =
+    if (ids.isEmpty) 0L
+    else snaps.read()
+      .filter(col(claimantCol).isin(ids.map(Long.box): _*)).count()
+
   /** Delete every claim whose `claimantCol` is in `ids`; returns the
     * number of claims removed (0 on an empty list or no matches — the
     * store is untouched and not rewritten in either case). */

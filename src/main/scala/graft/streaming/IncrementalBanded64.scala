@@ -43,6 +43,10 @@ private[streaming] final class IncrementalBanded64(
   def retract(ids: Seq[Long]): Long =
     graft.store.ClaimRetraction.retract(snaps, ids)
 
+  /** Audit read: claims still held by `ids` (0 after [[retract]]). */
+  def held(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.held(snaps, ids)
+
   /** `hashes` is (id: long, h: long) — the batch's decodable signatures;
     * rows of `batch` without one pass through unexamined. */
   def filterAndClaim(batch: DataFrame, hashes: DataFrame,
@@ -119,6 +123,9 @@ final class IncrementalAudioDedup(spark: SparkSession, root: String,
 
   /** Retract deleted claimants' buckets (the family contract). */
   def retract(ids: Seq[Long]): Long = core.retract(ids)
+
+  /** Audit read: claims still held by `ids` (0 after [[retract]]). */
+  def held(ids: Seq[Long]): Long = core.held(ids)
 
   def filterAndClaim(batch: DataFrame, bytesCol: String,
                      idCol: String): DataFrame =

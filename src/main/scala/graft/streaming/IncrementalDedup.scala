@@ -49,6 +49,10 @@ final class IncrementalDedup(spark: SparkSession, root: String,
   def retract(ids: Seq[Long]): Long =
     graft.store.ClaimRetraction.retract(snaps, ids)
 
+  /** Audit read: claims still held by `ids` (0 after [[retract]]). */
+  def held(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.held(snaps, ids)
+
   /** (id, bkey) band-bucket keys per document: band index prefixed onto the
     * 4-row signature slice, same banding as [[graft.operators.Dedup
     * .minhashPairs]]. Docs with < 3 tokens have no signature and pass
@@ -218,6 +222,10 @@ final class IncrementalEmbedDedup(spark: SparkSession, root: String,
     * arrival claims them. Returns the number of claims removed. */
   def retract(ids: Seq[Long]): Long =
     graft.store.ClaimRetraction.retract(snaps, ids)
+
+  /** Audit read: claims still held by `ids` (0 after [[retract]]). */
+  def held(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.held(snaps, ids)
 
   /** (id, vecd, norm, bkey): band index prefixed onto each 32-bit
     * signature slice — `b0/b1` from the low-window signature, `b2/b3`

@@ -65,6 +65,10 @@ final class IncrementalLineDedup(spark: SparkSession, root: String,
   def retract(ids: Seq[Long]): Long =
     graft.store.ClaimRetraction.retract(snaps, ids, "cid")
 
+  /** Audit read: line claims still held by `ids` (0 after [[retract]]). */
+  def held(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.held(snaps, ids, "cid")
+
   /** Rewrites `batch` with every already-claimed line removed and claims
     * the batch's novel lines. Returns (idCol, clean_text, n_removed), one
     * row per input document. Doc ids must be unique within a batch (the

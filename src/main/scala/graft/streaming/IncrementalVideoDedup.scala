@@ -71,6 +71,10 @@ final class IncrementalVideoDedup(spark: SparkSession, root: String,
   def retract(ids: Seq[Long]): Long =
     graft.store.ClaimRetraction.retract(snaps, ids)
 
+  /** Audit read: claims still held by `ids` (0 after [[retract]]). */
+  def held(ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.held(snaps, ids)
+
   /** `fh` is (id: long, pos: int, fhash: long) — the batch's sampled
     * frame hashes (the probe sidecar's `vhash`, exploded); rows of
     * `batch` without any pass through unexamined. */

@@ -158,6 +158,30 @@ object StreamCuration {
     n
   }
 
+  /** Audit read for [[retract]]: claims still held by `ids` across every
+    * store under `stateDir` — 0 after a completed retraction (the
+    * takedown verification [[graft.pipeline.Forget.verify]] reads). */
+  def held(spark: SparkSession, stateDir: String, ids: Seq[Long]): Long = {
+    def has(sub: String): Boolean = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))
+    var n = 0L
+    if (has("exact"))
+      n += graft.store.ClaimRetraction.held(
+        new Snapshots(spark, s"$stateDir/exact", claimsSchema), ids)
+    if (has("neardup"))
+      n += new IncrementalDedup(spark, s"$stateDir/neardup").held(ids)
+    if (has("embdedup"))
+      n += new IncrementalEmbedDedup(spark, s"$stateDir/embdedup")
+        .held(ids)
+    if (has("linededup"))
+      n += new IncrementalLineDedup(spark, s"$stateDir/linededup")
+        .held(ids)
+    if (has("domaincap"))
+      n += graft.store.ClaimRetraction.held(
+        new Snapshots(spark, s"$stateDir/domaincap", capSchema), ids)
+    n
+  }
+
   /** The per-batch funnel transform, closed over the stores and the
     * fold-once eval materialization. Bootstrap `init()` happens here.
     * Use as `stream.writeStream.foreachBatch(curator(...)).start()`;

@@ -134,6 +134,16 @@ object StreamGraphIndex {
     }
   }
 
+  /** Audit read for [[delete]]: ids among `ids` still SERVABLE — in the
+    * current graph AND not tombstoned (0 after a completed delete). */
+  def held(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) 0L
+    else {
+      val present = loadLatest(spark, dir).ids.toSet
+      ids.toSet.diff(tombstones(dir)).count(present).toLong
+    }
+  }
+
   /** Search the standing graph with tombstones filtered from the
     * results (deleted ids still serve as traversal waypoints — the
     * mark-delete contract): over-fetches by the live tombstone count

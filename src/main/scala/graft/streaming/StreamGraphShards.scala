@@ -503,6 +503,24 @@ object StreamGraphShards {
     fresh.size.toLong
   }
 
+  /** Audit read for [[delete]]: ids among `ids` still SERVABLE — stored
+    * in some cell AND not tombstoned (0 after a completed delete; the
+    * takedown verification [[graft.pipeline.Forget.verify]] reads).
+    * Costs one pruned id-column scan over the manifest cells — the
+    * audit is a rare administrative event. */
+  def held(spark: SparkSession, dir: String, ids: Seq[Long]): Long = {
+    require(Files.exists(markerPath(dir)),
+      s"no sharded index at $dir — nothing to audit")
+    val live = ids.toSet.diff(tombstones(dir))
+    if (live.isEmpty) 0L
+    else {
+      val manifest = readManifest(dir)
+      loadShardRows(spark, dir, manifest, manifest.keys.toSeq)
+        .filter(col("id").isin(live.toSeq.map(Long.box): _*))
+        .select("id").distinct().count()
+    }
+  }
+
   /** Filter a candidate frame to live ids — the serve paths' mark-delete
     * gate (a no-op when nothing is tombstoned). Broadcast anti-join, not
     * an in-list: the tombstone set is bounded by the retraction ceiling,

@@ -85,6 +85,26 @@ object StreamMediaCuration {
     n
   }
 
+  /** Audit read for [[retract]]: media claims still held by `ids` across
+    * every store under `stateDir` — 0 after a completed retraction. */
+  def held(spark: SparkSession, stateDir: String, ids: Seq[Long]): Long = {
+    def has(sub: String): Boolean = java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))
+    var n = 0L
+    if (has("exact"))
+      n += graft.store.ClaimRetraction.held(
+        new Snapshots(spark, s"$stateDir/exact", exactSchema), ids)
+    if (has("image"))
+      n += new IncrementalBanded64(spark, s"$stateDir/image", 16, 3)
+        .held(ids)
+    if (has("audio"))
+      n += new IncrementalBanded64(spark, s"$stateDir/audio", 16, 3)
+        .held(ids)
+    if (has("video"))
+      n += new IncrementalVideoDedup(spark, s"$stateDir/video").held(ids)
+    n
+  }
+
   def curator(spark: SparkSession, stateDir: String,
               idCol: String = "media_id", bytesCol: String = "media",
               minBytes: Long = 1L, maxBytes: Long = Long.MaxValue,

@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.{StreamCuration, StreamDataCard}
+
+/** The deletion event end to end ([[Forget.cascade]]): one takedown
+  * call clears the funnel's claims (the recrawled copy ships again),
+  * removes the document from the standing BM25 and IVF indexes (it
+  * stops being retrievable), and decrements the cumulative card (the
+  * release card describes the survivors) — with a per-leg receipt and
+  * idempotent re-runs. */
+class ForgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("one cascade call clears claims, indexes and the card; receipts " +
+    "per leg; a crash-retried cascade is a no-op") {
+    val base = Files.createTempDirectory("graft-forget").toString
+    val text = "the quick brown fox jumps over the lazy dog again today fine"
+    val other = "completely different words compose this other sentence here ok"
+    val corpus = Seq((1L, text, "a"), (2L, other, "a"))
+      .toDF("doc_id", "text", "source")
+
+    // text-claims funnel: docs 1 and 2 ship, an exact copy of 1 drops
+    val claimsDir = s"$base/claims"
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val curate = StreamCuration.curator(spark, emptyEval, claimsDir,
+      repetitionTopBigramMilli = 1000)
+    assert(curate(corpus, 0L).count() == 2)
+    assert(curate(Seq((11L, text, "a"))
+      .toDF("doc_id", "text", "source"), 1L).count() == 0)
+
+    // standing BM25 index over both docs: "fox" retrieves doc 1
+    val bm25Dir = s"$base/bm25"
+    graft.operators.Retrieval.bm25WriteIndex(corpus, "doc_id", "text",
+      bm25Dir, buckets = 4)
+    def bm25Hits(): Set[Long] = graft.operators.Retrieval.bm25TopKIndexed(
+      spark, bm25Dir, Seq((100L, "quick fox")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bm25Hits() == Set(1L))
+
+    // standing IVF index: doc 1's vector is the query's nearest
+    val ivfDir = s"$base/ivf"
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)), (3L, Seq(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    graft.operators.VectorIndex.writeIndex(vecs, "vec_id", "embedding",
+      ivfDir, centroidEvery = 2)
+    def ivfHits(): Set[Long] = graft.operators.VectorIndex.topKIndexed(
+      spark, ivfDir, Seq(1.0, 0.0, 0.0), k = 4, nprobe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(ivfHits().contains(1L))
+
+    // cumulative card over the shipped corpus
+    val cardRoot = s"$base/card"
+    val card = new StreamDataCard(spark, cardRoot)
+    card.init()
+    card.observe(corpus.withColumn("lang", lit("en"))
+      .select("doc_id", "text", "lang", "source"), 0L)
+    assert(card.card().nDocs == 2L)
+
+    // boilerplate chunk-count accumulator over the shipped corpus
+    val boiler = new graft.streaming.StreamBoilerplate.ChunkCounts(
+      spark, s"$base/boiler", span = 8)
+    boiler.observe(corpus, "doc_id", "text", batchId = 0L)
+
+    // THE TAKEDOWN of doc 1, one call — and the pre-audit shows every
+    // leg still references it
+    def audit() = Forget.verify(spark, Seq(1L),
+      textClaimsDir = Some(claimsDir),
+      bm25IndexDir = Some(bm25Dir),
+      vectorIndexDir = Some(ivfDir))
+      .map(r => r.component -> r.removed).toMap
+    val before = audit()
+    assert(before("text_claims") > 0L && before("bm25_index") == 1L &&
+      before("vector_index") == 1L, s"$before")
+    val deletedRows = corpus.filter(col("doc_id") === 1L)
+      .withColumn("lang", lit("en"))
+      .select("doc_id", "text", "lang", "source")
+    def run() = Forget.cascade(spark, Seq(1L),
+      textClaimsDir = Some(claimsDir),
+      bm25IndexDir = Some(bm25Dir),
+      vectorIndexDir = Some(ivfDir),
+      card = Some(Forget.CardTarget(card, deletedRows, "doc_id",
+        eventId = 7L)),
+      boiler = Some(Forget.BoilerTarget(boiler,
+        corpus.filter(col("doc_id") === 1L), "doc_id", "text",
+        eventId = 7L)))
+    val receipts = run().map(r => r.component -> r.removed).toMap
+    assert(receipts("boiler_counts") == 1L, s"$receipts")
+    // the post-audit reads 0 on every leg
+    assert(audit().values.forall(_ == 0L), s"${audit()}")
+    assert(receipts("text_claims") > 0L, s"$receipts")
+    assert(receipts("bm25_index") > 0L, s"$receipts")
+    assert(receipts("vector_index") == 1L, s"$receipts")
+    assert(receipts("data_card") == 1L, s"$receipts")
+
+    // every leg forgot: recrawl ships again, indexes stop returning 1,
+    // the card describes the survivor
+    assert(curate(Seq((21L, text, "a"))
+      .toDF("doc_id", "text", "source"), 2L).count() == 1)
+    assert(bm25Hits().isEmpty) // "quick"/"fox" appear only in doc 1
+    assert(!ivfHits().contains(1L) && ivfHits().contains(0L))
+    val c = card.card()
+    assert(c.nDocs == 1L && c.nTokens == 9L, s"$c")
+
+    // crash-retried cascade: claims/indexes already clear, the card's
+    // replay token folds nothing twice
+    val again = run().map(r => r.component -> r.removed).toMap
+    assert(again("text_claims") == 0L && again("bm25_index") == 0L &&
+      again("vector_index") == 0L, s"$again")
+    assert(card.card() == c)
+
+    // rows outside the deletion batch fail loud before touching the card
+    val e = intercept[IllegalArgumentException] {
+      Forget.cascade(spark, Seq(1L),
+        card = Some(Forget.CardTarget(card,
+          corpus.withColumn("lang", lit("en"))
+            .select("doc_id", "text", "lang", "source"), "doc_id", 8L)))
+    }
+    assert(e.getMessage.contains("outside the deletion batch"))
+  }
+}
