@@ -53,6 +53,14 @@ object Forget {
                                 deletedRows: DataFrame, idCol: String,
                                 textCol: String, eventId: Long)
 
+  /** The corpus leg's handle: the materialized parquet dataset and its
+    * id column — [[graft.store.CorpusForget]] rewrites only the files
+    * that contain deleted rows. Runs LAST (the card/boiler legs read
+    * the deleted rows first; their inputs are materialized up front
+    * regardless, so a caller-supplied view over this same corpus stays
+    * valid). */
+  final case class CorpusTarget(dir: String, idCol: String)
+
   /** Cascade the takedown of `ids` through every enabled target.
     * Returns one [[Receipt]] per enabled leg (enabled-but-empty legs
     * report 0 — the audit artifact must show the leg RAN). Fails loud
@@ -66,10 +74,15 @@ object Forget {
               graphIndexDir: Option[String] = None,
               graphShardsDir: Option[String] = None,
               card: Option[CardTarget] = None,
-              boiler: Option[BoilerTarget] = None): Seq[Receipt] = {
+              boiler: Option[BoilerTarget] = None,
+              corpus: Option[CorpusTarget] = None): Seq[Receipt] = {
     require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
       s"${ids.size} deletion ids exceed the " +
         s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling")
+    // materialize the telemetry legs' deleted-row inputs BEFORE any leg
+    // mutates state, so a view over the corpus target stays valid
+    val cardRows = card.map(t => t.deletedRows.localCheckpoint(true))
+    val boilerRows = boiler.map(t => t.deletedRows.localCheckpoint(true))
     val b = Seq.newBuilder[Receipt]
     textClaimsDir.foreach(d => b += Receipt("text_claims",
       StreamCuration.retract(spark, d, ids)))
@@ -84,7 +97,7 @@ object Forget {
     graphShardsDir.foreach(d => b += Receipt("graph_shards",
       StreamGraphShards.delete(spark, d, ids)))
     card.foreach { t =>
-      val rows = t.deletedRows.localCheckpoint(true)
+      val rows = cardRows.get
       val stray = rows
         .filter(!col(t.idCol).cast("long").isin(ids.map(Long.box): _*))
         .head(1)
@@ -95,9 +108,14 @@ object Forget {
       b += Receipt("data_card", rows.count())
     }
     boiler.foreach { t =>
-      val rows = t.deletedRows.localCheckpoint(true)
+      val rows = boilerRows.get
       t.counts.retract(rows, t.idCol, t.textCol, s"r${t.eventId}")
       b += Receipt("boiler_counts", rows.count())
+    }
+    corpus.foreach { t =>
+      b += Receipt("corpus_files",
+        graft.store.CorpusForget.forget(spark, t.dir, t.idCol, ids)
+          .rowsRemoved)
     }
     b.result()
   }
@@ -117,7 +135,8 @@ object Forget {
              bm25IndexDir: Option[String] = None,
              vectorIndexDir: Option[String] = None,
              graphIndexDir: Option[String] = None,
-             graphShardsDir: Option[String] = None): Seq[Receipt] = {
+             graphShardsDir: Option[String] = None,
+             corpus: Option[CorpusTarget] = None): Seq[Receipt] = {
     require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
       s"${ids.size} audit ids exceed the " +
         s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling")
@@ -134,6 +153,8 @@ object Forget {
       StreamGraphIndex.held(spark, d, ids)))
     graphShardsDir.foreach(d => b += Receipt("graph_shards",
       StreamGraphShards.held(spark, d, ids)))
+    corpus.foreach(t => b += Receipt("corpus_files",
+      graft.store.CorpusForget.held(spark, t.dir, t.idCol, ids)))
     b.result()
   }
 }

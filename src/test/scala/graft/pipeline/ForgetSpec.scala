@@ -71,16 +71,22 @@ class ForgetSpec extends AnyFunSuite {
       spark, s"$base/boiler", span = 8)
     boiler.observe(corpus, "doc_id", "text", batchId = 0L)
 
+    // the materialized corpus itself (the caller's parquet sink)
+    val corpusDir = s"$base/corpus"
+    corpus.repartitionByRange(2, col("doc_id")).write.parquet(corpusDir)
+
     // THE TAKEDOWN of doc 1, one call — and the pre-audit shows every
     // leg still references it
     def audit() = Forget.verify(spark, Seq(1L),
       textClaimsDir = Some(claimsDir),
       bm25IndexDir = Some(bm25Dir),
-      vectorIndexDir = Some(ivfDir))
+      vectorIndexDir = Some(ivfDir),
+      corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")))
       .map(r => r.component -> r.removed).toMap
     val before = audit()
     assert(before("text_claims") > 0L && before("bm25_index") == 1L &&
-      before("vector_index") == 1L, s"$before")
+      before("vector_index") == 1L && before("corpus_files") == 1L,
+      s"$before")
     val deletedRows = corpus.filter(col("doc_id") === 1L)
       .withColumn("lang", lit("en"))
       .select("doc_id", "text", "lang", "source")
@@ -92,9 +98,14 @@ class ForgetSpec extends AnyFunSuite {
         eventId = 7L)),
       boiler = Some(Forget.BoilerTarget(boiler,
         corpus.filter(col("doc_id") === 1L), "doc_id", "text",
-        eventId = 7L)))
+        eventId = 7L)),
+      corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")))
     val receipts = run().map(r => r.component -> r.removed).toMap
     assert(receipts("boiler_counts") == 1L, s"$receipts")
+    assert(receipts("corpus_files") == 1L, s"$receipts")
+    // the materialized corpus itself holds only the survivor
+    assert(spark.read.parquet(corpusDir).select("doc_id")
+      .as[Long].collect().toSeq == Seq(2L))
     // the post-audit reads 0 on every leg
     assert(audit().values.forall(_ == 0L), s"${audit()}")
     assert(receipts("text_claims") > 0L, s"$receipts")
