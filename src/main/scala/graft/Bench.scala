@@ -266,6 +266,18 @@ object Bench {
     } catch {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
+    // The forget cascade measured end to end: real standing state
+    // (curation claims, BM25, IVF, card, 16-file id-clustered corpus),
+    // one scattered ~1% takedown through Forget.cascade + verify, and
+    // the corpus-file locality contrast (clustered vs scattered touched
+    // files — the O(touched files) claim's number). Diagnostic sidecar.
+    val forgetCascade = try {
+      val m = graft.pipeline.ForgetAudit.run(spark, sfDir)
+      spark.catalog.clearCache()
+      m
+    } catch {
+      case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
     // End-to-end Curation funnel wall with EVERY optional stage on (the
     // round-11 receipt promoted to a tracked sidecar): URL gate,
     // classifier gate, PII redaction, boilerplate scrub (span + line),
@@ -296,7 +308,7 @@ object Bench {
     } catch {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"media_funnel":$mediaFunnel,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"media_funnel":$mediaFunnel,"forget_cascade":$forgetCascade,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
     println(line)
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")

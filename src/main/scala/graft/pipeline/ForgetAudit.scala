@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.{StreamCuration, StreamDataCard}
+
+/** Bench sidecar for the FORGET CASCADE — the deletion family's claims
+  * measured, not asserted (the media funnel's discipline): builds real
+  * standing state over the bench corpus in per-audit owned scratch
+  * (curation claims via one funnel batch, a BM25 index, an IVF index, a
+  * cumulative card, the corpus parquet itself range-partitioned by id),
+  * runs ONE `Forget.cascade` over a scattered ~1% takedown list, then
+  * `Forget.verify` — published: the cascade wall, per-leg removal
+  * receipts, and whether every post-audit leg reads zero.
+  *
+  * The corpus-file locality claim gets its own measurement: a CLUSTERED
+  * takedown (one contiguous id range) against the same 16-file
+  * id-range-partitioned corpus touches ~1 file where the scattered list
+  * touches most — `touched_clustered` vs `touched_scattered` is the
+  * number the O(touched files) story rests on. */
+object ForgetAudit {
+
+  def run(spark: SparkSession, sfDir: String): String = {
+    val base = Files.createTempDirectory("graft-forget-audit").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+      .filter(col("text").isNotNull)
+      .localCheckpoint(true)
+    val nDocs = docs.count()
+
+    // the materialized corpus: 16 id-range files (the clustered layout)
+    val corpusDir = s"$base/corpus"
+    docs.repartitionByRange(16, col("doc_id")).write.parquet(corpusDir)
+
+    // curation claims via one real funnel batch
+    val claimsDir = s"$base/claims"
+    val curate = StreamCuration.curator(spark,
+      docs.limit(0).select("doc_id", "text"), claimsDir,
+      repetitionTopBigramMilli = 1000)
+    graft.Bench.runFully(curate(docs.select("doc_id", "text", "source"), 0L))
+
+    // standing BM25 + IVF indexes and the cumulative card
+    val bm25Dir = s"$base/bm25"
+    graft.operators.Retrieval.bm25WriteIndex(docs, "doc_id", "text",
+      bm25Dir, buckets = 8)
+    val ivfDir = s"$base/ivf"
+    graft.operators.VectorIndex.writeIndex(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", ivfDir, centroidEvery = 50)
+    val card = new StreamDataCard(spark, s"$base/card")
+    card.init()
+    card.observe(docs, 0L)
+
+    // the scattered ~1% takedown (also hits vec_ids < 500 in the IVF)
+    val deadDf = docs.filter(col("doc_id") % 101 === 3)
+      .select("doc_id").localCheckpoint(true)
+    val dead = deadDf.collect().map(_.getLong(0)).toSeq
+    val t0 = System.nanoTime()
+    val receipts = Forget.cascade(spark, dead,
+      textClaimsDir = Some(claimsDir),
+      bm25IndexDir = Some(bm25Dir),
+      vectorIndexDir = Some(ivfDir),
+      card = Some(Forget.CardTarget(card,
+        docs.filter(col("doc_id") % 101 === 3), "doc_id", eventId = 1L)),
+      corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")))
+    val cascadeSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val audit = Forget.verify(spark, dead,
+      textClaimsDir = Some(claimsDir),
+      bm25IndexDir = Some(bm25Dir),
+      vectorIndexDir = Some(ivfDir),
+      corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")))
+    val verifySec = (System.nanoTime() - t1) / 1e9
+    val allZero = audit.forall(_.removed == 0L)
+    // scattered locality: replacements carry the deterministic name
+    val scatteredTouched = {
+      val s = Files.walk(java.nio.file.Paths.get(corpusDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(
+          _.getFileName.toString.endsWith(".forget.parquet")).toLong
+      } finally s.close()
+    }
+
+    // locality: a CLUSTERED takedown of the same size touches ~1 of the
+    // 16 id-range files; the scattered list above touched most
+    val lo = nDocs / 2
+    val clustered = (lo until math.min(lo + dead.size, nDocs)).toSeq
+    val rClustered = graft.store.CorpusForget.forget(spark, corpusDir,
+      "doc_id", clustered)
+    val rec = receipts.map(r => s""""${r.component}":${r.removed}""")
+      .mkString(",")
+    spark.catalog.clearCache()
+    f"""{"docs":$nDocs,"files":16,"deleted":${dead.size},""" +
+      f""""cascade_sec":$cascadeSec%.3f,"verify_sec":$verifySec%.3f,""" +
+      f""""audit_zero":$allZero,"receipts":{$rec},""" +
+      f""""touched_scattered":$scatteredTouched,""" +
+      f""""clustered_deleted":${clustered.size},""" +
+      f""""touched_clustered":${rClustered.filesTouched}}"""
+  }
+}
