@@ -837,4 +837,41 @@ object Bpe {
     perDoc.groupBy(col(idCol))
       .agg(sum("n_words").as("n_words"), sum("n_pieces").as("n_pieces"))
   }
+
+  /** Tokenizer FERTILITY by group — the number tokenizer teams watch
+    * per language: how many pieces the frozen merge table spends per
+    * 1000 characters (and per word, in milli) of each `groupCol`
+    * slice. A language pinned at the one-piece-per-char ceiling
+    * (≈1000+/kchar plus the end-of-word marker overhead — what a
+    * whitespace-trained table does to CJK, since every CJK-bearing
+    * word is unique and learns no merges; each of those pieces then
+    * costs ~3 byte-fallback ids at encode time) is the signal to
+    * retrain with [[PreTok.CpClass]] — the q136 fix, here as a
+    * monitored number instead of a planted spec. Exact integer
+    * arithmetic throughout (scaled div, no floats), so the report is
+    * oracle-checkable bit for bit.
+    *
+    * Output: (groupCol, n_docs, n_words, n_pieces, n_chars,
+    * pieces_per_kchar, pieces_per_word_milli). NULL-text documents are
+    * absent (the [[pieceCounts]] contract). Scale shape: rides
+    * [[pieceCounts]]'s in-scan segmentation (text crosses no exchange);
+    * one groupBy on the bounded group key. */
+  def fertility(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String, merges: Seq[Merge],
+                preTok: PreTok = PreTok.Whitespace): DataFrame = {
+    val pc = pieceCounts(docs, idCol, textCol, merges, preTok)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        length(col(textCol)).cast("long").as("_fr_chars"))
+      .join(pc, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum("_fr_chars").as("n_chars"))
+      .withColumn("pieces_per_kchar",
+        expr("n_pieces * 1000L div n_chars"))
+      .withColumn("pieces_per_word_milli",
+        expr("n_pieces * 1000L div n_words"))
+  }
 }

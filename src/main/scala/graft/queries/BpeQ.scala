@@ -880,6 +880,37 @@ object BpeQ {
       .orderBy("pack_id", "pos")
   }
 
+  /** q142: TOKENIZER FERTILITY by language ([[Bpe.fertility]]) — the
+    * pieces-per-1000-chars (and pieces-per-word milli) each language
+    * slice pays under the frozen merge table, exact-integer scaled
+    * division. The oracle replays the whole segmentation chain (the
+    * q80/q127 cnt CTE) grouped by `lang` with HUGEINT-safe sums — the
+    * monitored form of q136's multilingual finding: a language near the
+    * byte-fallback floor is the retrain-with-CpClass signal. */
+  val q142 = Q(
+    "q142_bpe_fertility",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |$cntCte,
+       |g AS (SELECT d.lang, c.n_words, c.n_pieces,
+       |             CAST(length(d.text) AS BIGINT) AS nc
+       |      FROM documents d JOIN cnt c ON c.doc_id = d.doc_id)
+       |SELECT lang,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |       CAST(SUM(n_pieces) * 1000 // SUM(nc) AS BIGINT)
+       |         AS pieces_per_kchar,
+       |       CAST(SUM(n_pieces) * 1000 // SUM(n_words) AS BIGINT)
+       |         AS pieces_per_word_milli
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    Bpe.fertility(docs, "doc_id", "text", "lang", merges)
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(q126, q127, q129, q131, q132, q133, q134, q135,
-    q136, q137, q139, q141)
+    q136, q137, q139, q141, q142)
 }

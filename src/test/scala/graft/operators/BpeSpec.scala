@@ -503,4 +503,27 @@ class BpeSpec extends AnyFunSuite {
     // a truncated (separator-less tail) stream surfaces the tail
     assert(Bpe.splitPack(Seq(1L, 9L, 2L), 9L) == Seq(Seq(1L), Seq(2L)))
   }
+
+  test("fertility: exact per-group scaled integers; a no-merge script " +
+    "slice reads the one-piece-per-char ceiling while the trained slice " +
+    "compresses below it") {
+    // 'en': one 8-char word repeated enough to learn full-word merges;
+    // 'zh': unique CJK-bearing words — whitespace training learns
+    // nothing inside them (each is freq-1)
+    val corpus = (
+      (0L until 8L).map(i => (i, "windmill windmill windmill", "en")) ++
+        Seq((100L, "你好世界", "zh"), (101L, "算法模型", "zh"))
+      ).toDF("doc_id", "text", "lang")
+    val merges = Bpe.train(corpus, "text", numMerges = 40)
+    val out = Bpe.fertility(corpus, "doc_id", "text", "lang", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // en: 8 docs x 3 words x 1 piece (full-word merge) = 24 pieces over
+    // 8 x 26 chars -> 24*1000 div 208 = 115 pieces/kchar; 1000 milli/word
+    assert(out("en") == ((8L, 24L, 24L, 208L, 115L, 1000L)), s"$out")
+    // zh: no merges learned inside freq-1 CJK words -> chars+marker
+    // pieces: 2 docs x (4+1) = 10 pieces over 8 chars -> 1250/kchar
+    assert(out("zh") == ((2L, 2L, 10L, 8L, 1250L, 5000L)), s"$out")
+  }
 }
