@@ -2993,10 +2993,154 @@ object TextQ {
       .orderBy("query_id", "rank")
   }
 
+  /** Shared CTE chain for the CDC tier (q143/q144): boundaries where
+    * the 8-token window hash ≡ 0 mod 32, spans between consecutive
+    * boundaries plus the trailing chunk, 62-bit chunk identity. Ends at
+    * `cdc(doc_id, cno, s, e, n, h)`. */
+  private def cdcCtes: String =
+    s"""toks AS (SELECT doc_id, $sqlToks AS w FROM documents
+       |         WHERE text IS NOT NULL),
+       |bnd AS (SELECT doc_id, i + 7 AS e
+       |        FROM (SELECT doc_id, i,
+       |                ${sqlHash("array_to_string(w[i:i+7], ' ')")} AS h
+       |              FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i))
+       |        WHERE h % 32 = 0),
+       |bn AS (SELECT doc_id, e,
+       |              LAG(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY e)
+       |                AS pe,
+       |              row_number() OVER (PARTITION BY doc_id ORDER BY e)
+       |                - 1 AS cno
+       |       FROM bnd),
+       |tails AS (SELECT t.doc_id, COALESCE(b.n, 0) AS cno,
+       |                 COALESCE(b.me, 0) + 1 AS s, len(t.w) AS e
+       |          FROM toks t LEFT JOIN (
+       |            SELECT doc_id, MAX(e) AS me, COUNT(*) AS n
+       |            FROM bnd GROUP BY doc_id) b USING (doc_id)
+       |          WHERE COALESCE(b.me, 0) < len(t.w)),
+       |spans AS (SELECT doc_id, cno, pe + 1 AS s, e FROM bn
+       |          UNION ALL SELECT doc_id, cno, s, e FROM tails),
+       |cdc AS (SELECT sp.doc_id, sp.cno, sp.s, sp.e,
+       |               sp.e - sp.s + 1 AS n,
+       |               ${sqlWideHash("array_to_string(t.w[sp.s:sp.e], ' ')")}
+       |                 AS h
+       |        FROM spans sp JOIN toks t USING (doc_id))"""
+      .stripMargin
+
+  /** q143: CONTENT-DEFINED CHUNK inventory ([[graft.operators.Dedup
+    * .cdcChunks]] / the codegen'd [[graft.functions.CdcChunks]]) — the
+    * shift-robust chunking tier: boundaries fall where the 8-token
+    * window's 31-bit hash ≡ 0 mod 32 (expected chunk ≈ 32 tokens), so
+    * an edit invalidates only the chunk it lands in. Every chunk's
+    * (position, length, 62-bit identity) hash-checked against the SQL
+    * replay — boundary rule, span assembly, trailing-chunk policy and
+    * the wide hash all re-derived. */
+  val q143 = Q(
+    "q143_cdc_chunks",
+    s"""WITH $cdcCtes
+       |SELECT doc_id, CAST(cno AS BIGINT) AS chunk_no,
+       |       CAST(s AS BIGINT) AS tok_start,
+       |       CAST(n AS BIGINT) AS n_tokens, h
+       |FROM cdc ORDER BY doc_id, chunk_no""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.cdcChunks(
+      Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("chunk_no"),
+        col("start").as("tok_start"), col("n_tokens"), col("h"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  /** q144: per-document CDC DUPLICATION stats ([[graft.operators.Dedup
+    * .cdcDupStats]]) — how much of each document is chunks shared with
+    * OTHER documents (distinct-doc count ≥ 2 on the 62-bit identity):
+    * the shifted-boilerplate signal exact dedup misses. Integer-ppm
+    * exact division; the oracle replays the global distinct-doc count
+    * and the per-document rollup. */
+  /** q145: CDC near-dup PAIR edges ([[graft.operators.Dedup.cdcPairs]])
+    * — the partial-overlap tier under the engine-wide pre-collapse
+    * discipline: per shared chunk hash, min-id star edges (m carriers
+    * cost m−1 edges, connectivity-exact for keep-one). One lifted
+    * paragraph connects two documents the whole-doc MinHash tier never
+    * pairs; sharing is exact content identity, nothing to verify. The
+    * oracle replays the chunk chain, the per-hash min-id election and
+    * the star emission. */
+  val q145 = Q(
+    "q145_cdc_pairs",
+    s"""WITH $cdcCtes,
+       |dh AS (SELECT DISTINCT doc_id, h FROM cdc),
+       |rep AS (SELECT h, MIN(doc_id) AS a FROM dh GROUP BY h)
+       |SELECT DISTINCT rep.a, dh.doc_id AS b, dh.h
+       |FROM dh JOIN rep USING (h)
+       |WHERE dh.doc_id <> rep.a
+       |ORDER BY a, b, h""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.cdcPairs(
+      Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("a", "b", "h")
+  }
+
+  /** q146: CDC SCRUB ([[graft.operators.Dedup.scrubCdcChunks]]) — the
+    * boilerplate policy at content-defined granularity: chunks carried
+    * by ≥ 2 distinct documents die in EVERY carrier; rewritten docs
+    * come back whitespace-normalized ([[graft.functions.ScrubTokens]]),
+    * untouched docs BYTE-identical (the oracle's CASE keeps the raw
+    * text for n_removed = 0, so an odd-whitespace bystander that was
+    * wrongly rewritten breaks the hash). The oracle replays the chunk
+    * chain, the global dup set, and the token-index rebuild. */
+  val q146 = Q(
+    "q146_cdc_scrub",
+    s"""WITH $cdcCtes,
+       |g AS (SELECT h FROM (
+       |        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM cdc GROUP BY h)
+       |      WHERE nd >= 2),
+       |rs AS (SELECT c.doc_id,
+       |              list({'s': c.s, 'e': c.e} ORDER BY c.s) AS rs,
+       |              CAST(COUNT(*) AS BIGINT) AS n_removed,
+       |              CAST(SUM(c.n) AS BIGINT) AS removed_tokens
+       |       FROM cdc c JOIN g USING (h) GROUP BY c.doc_id),
+       |kept AS (SELECT t.doc_id,
+       |                list_filter(t.w, (tok, i) -> NOT COALESCE(
+       |                  list_aggregate(list_transform(r.rs,
+       |                    x -> i BETWEEN x.s AND x.e), 'bool_or'),
+       |                  FALSE)) AS kw,
+       |                COALESCE(r.n_removed, 0) AS n_removed,
+       |                COALESCE(r.removed_tokens, 0) AS removed_tokens
+       |         FROM toks t LEFT JOIN rs r USING (doc_id))
+       |SELECT k.doc_id,
+       |       CASE WHEN k.n_removed = 0 THEN d.text
+       |            ELSE COALESCE(array_to_string(k.kw, ' '), '')
+       |       END AS clean_text,
+       |       k.n_removed, k.removed_tokens
+       |FROM kept k JOIN documents d USING (doc_id)
+       |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.scrubCdcChunks(
+      Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select("doc_id", "text"),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q144 = Q(
+    "q144_cdc_dup",
+    s"""WITH $cdcCtes,
+       |g AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM cdc GROUP BY h),
+       |agg AS (SELECT c.doc_id,
+       |               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |               CAST(SUM(c.n) AS BIGINT) AS n_tokens,
+       |               CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END)
+       |                 AS BIGINT) AS dup_chunks,
+       |               CAST(SUM(CASE WHEN g.nd >= 2 THEN c.n ELSE 0 END)
+       |                 AS BIGINT) AS dup_tokens
+       |        FROM cdc c JOIN g USING (h) GROUP BY c.doc_id)
+       |SELECT doc_id, n_chunks, n_tokens, dup_chunks, dup_tokens,
+       |       CAST(dup_tokens * 1000000 // n_tokens AS BIGINT) AS dup_ppm
+       |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.cdcDupStats(
+      Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q41, q46, q47,
     q48, q49, q53, q56, q58, q59, q60, q62, q63, q64, q65, q66, q68, q69, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q89, q90, q91, q92, q95,
     q96, q98, q99, q100, q101, q103, q104, q105, q106, q107, q108, q109, q110,
     q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123,
-    q124, q125, q128, q130, q138)
+    q124, q125, q128, q130, q138, q143, q144, q145, q146)
 }

@@ -117,4 +117,76 @@ object StreamBoilerplate {
               counts: ChunkCounts, minDocs: Int = 2): DataFrame =
     Dedup.scrubWithDups(docs, idCol, textCol, counts.dupChunks(minDocs),
       counts.span)
+
+  /** [[ChunkCounts]]' CONTENT-DEFINED twin — the same incremental
+    * measurement discipline over [[Dedup.cdcChunks]] identities, so the
+    * accumulated dup set catches templated chrome that SHIFTS with its
+    * page (the fixed grid only counts grid-aligned copies). Identical
+    * additivity argument (a doc lives in one batch; per-batch distinct
+    * counts per 62-bit chunk hash sum to the global count), identical
+    * replay/compaction/retraction story. The chunking knobs are the
+    * STORE's — a mismatched re-scrub would hash different chunks than
+    * the accumulator counted. */
+  final class CdcCounts(spark: SparkSession, dir: String,
+                        val window: Int = 8, val maskBits: Int = 5,
+                        compactEvery: Int = 16) {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    private val schema = StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("nd", LongType, nullable = false)))
+    private val store = new Snapshots(spark, dir, schema)
+    store.init()
+
+    def observe(batch: DataFrame, idCol: String, textCol: String,
+                batchId: Long): Unit = {
+      val counts = Dedup.cdcChunks(batch, idCol, textCol, window,
+        maskBits)
+        .groupBy("h").agg(countDistinct(col(idCol)).as("nd"))
+        .localCheckpoint(true)
+      if (counts.head(1).nonEmpty) {
+        store.appendDelta(counts, Some(s"b$batchId"))
+        if (store.deltaCount >= compactEvery) store.replace(merged())
+      }
+    }
+
+    /** The forget cascade's leg (the [[ChunkCounts.retract]]
+      * contract): deleted carriers' chunk contributions fold in
+      * negated under the event's replay token. */
+    def retract(deleted: DataFrame, idCol: String, textCol: String,
+                token: String): Unit = {
+      val counts = Dedup.cdcChunks(deleted, idCol, textCol, window,
+        maskBits)
+        .groupBy("h").agg((-countDistinct(col(idCol))).as("nd"))
+        .localCheckpoint(true)
+      if (counts.head(1).nonEmpty) {
+        store.appendDelta(counts, Some(token))
+        if (store.deltaCount >= compactEvery) store.replace(merged())
+      }
+    }
+
+    private def merged(): DataFrame =
+      store.read().groupBy("h").agg(sum(col("nd")).as("nd"))
+        .filter(col("nd") =!= 0)
+
+    /** Chunk hashes currently at ≥ `minDocs` distinct documents; loud
+      * on a negative count (over-retraction). */
+    def dupChunks(minDocs: Int): DataFrame = {
+      require(minDocs >= 2, "minDocs must be >= 2")
+      val m = merged().localCheckpoint(true)
+      val neg = m.filter(col("nd") < 0).head(1)
+      require(neg.isEmpty,
+        s"CDC chunk-count store holds a negative count " +
+          s"(${neg.headOption.getOrElse("")}) — a retraction exceeded " +
+          "what was observed")
+      m.filter(col("nd") >= minDocs).select("h")
+    }
+  }
+
+  /** Periodic CDC re-scrub against the accumulated dup set —
+    * [[rescrub]]'s content-defined twin via
+    * [[Dedup.scrubCdcWithDups]]. */
+  def rescrubCdc(docs: DataFrame, idCol: String, textCol: String,
+                 counts: CdcCounts, minDocs: Int = 2): DataFrame =
+    Dedup.scrubCdcWithDups(docs, idCol, textCol,
+      counts.dupChunks(minDocs), counts.window, counts.maskBits)
 }

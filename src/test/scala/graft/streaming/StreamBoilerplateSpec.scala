@@ -99,4 +99,38 @@ class StreamBoilerplateSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](counts.dupChunks(2))
     assert(e.getMessage.contains("negative"))
   }
+
+  test("CdcCounts: cross-batch additive CDC counts reproduce the batch " +
+    "operator; replay appends nothing; retraction returns the scrub to " +
+    "the survivors' verdicts") {
+    val para = (1 to 400).map(i => s"w${i % 37}x${(i * 31) % 101}")
+      .mkString(" ")
+    val d1 = Seq((1L, s"v1 $para")).toDF("doc_id", "text")
+    val d2 = Seq((2L, s"v2 $para"),
+      (3L, (1 to 200).map(i => s"own$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-cdccounts").toString
+    val counts = new StreamBoilerplate.CdcCounts(spark, dir)
+    counts.observe(d1, "doc_id", "text", batchId = 0L)
+    counts.observe(d1, "doc_id", "text", batchId = 0L) // crash replay
+    // after batch 1 alone nothing is boilerplate yet
+    assert(counts.dupChunks(minDocs = 2).isEmpty)
+    counts.observe(d2, "doc_id", "text", batchId = 1L)
+    val union = d1.unionAll(d2)
+    val streamed = collect(StreamBoilerplate.rescrubCdc(
+      union, "doc_id", "text", counts))
+    val batch = collect(Dedup.scrubCdcChunks(union, "doc_id", "text"))
+    assert(streamed == batch,
+      s"store-driven CDC rescrub diverged:\n$streamed\nvs\n$batch")
+    assert(streamed(1L)._2 > 0L && streamed(2L)._2 > 0L &&
+      streamed(3L)._2 == 0L, s"$streamed")
+    // retract doc 2: the shared chunks drop to one carrier — the
+    // survivors scrub NOTHING (stale counts must not keep masking)
+    counts.retract(d2.filter($"doc_id" === 2L), "doc_id", "text", "r0")
+    val survivors = d1.unionAll(d2.filter($"doc_id" === 3L))
+    val after = collect(StreamBoilerplate.rescrubCdc(
+      survivors, "doc_id", "text", counts))
+    assert(after.values.forall(_._2 == 0L), s"$after")
+    assert(after(1L)._1 == s"v1 $para", "survivor was rewritten")
+  }
 }
