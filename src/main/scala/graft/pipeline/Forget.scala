@@ -53,6 +53,13 @@ object Forget {
                                 deletedRows: DataFrame, idCol: String,
                                 textCol: String, eventId: Long)
 
+  /** [[BoilerTarget]]'s content-defined twin
+    * ([[StreamBoilerplate.CdcCounts]] — same contract, CDC chunk
+    * identities). */
+  final case class CdcBoilerTarget(counts: StreamBoilerplate.CdcCounts,
+                                   deletedRows: DataFrame, idCol: String,
+                                   textCol: String, eventId: Long)
+
   /** The corpus leg's handle: the materialized parquet dataset and its
     * id column — [[graft.store.CorpusForget]] rewrites only the files
     * that contain deleted rows. Runs LAST (the card/boiler legs read
@@ -75,6 +82,7 @@ object Forget {
               graphShardsDir: Option[String] = None,
               card: Option[CardTarget] = None,
               boiler: Option[BoilerTarget] = None,
+              cdcBoiler: Option[CdcBoilerTarget] = None,
               corpus: Option[CorpusTarget] = None): Seq[Receipt] = {
     require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
       s"${ids.size} deletion ids exceed the " +
@@ -83,6 +91,7 @@ object Forget {
     // mutates state, so a view over the corpus target stays valid
     val cardRows = card.map(t => t.deletedRows.localCheckpoint(true))
     val boilerRows = boiler.map(t => t.deletedRows.localCheckpoint(true))
+    val cdcRows = cdcBoiler.map(t => t.deletedRows.localCheckpoint(true))
     val b = Seq.newBuilder[Receipt]
     textClaimsDir.foreach(d => b += Receipt("text_claims",
       StreamCuration.retract(spark, d, ids)))
@@ -111,6 +120,11 @@ object Forget {
       val rows = boilerRows.get
       t.counts.retract(rows, t.idCol, t.textCol, s"r${t.eventId}")
       b += Receipt("boiler_counts", rows.count())
+    }
+    cdcBoiler.foreach { t =>
+      val rows = cdcRows.get
+      t.counts.retract(rows, t.idCol, t.textCol, s"r${t.eventId}")
+      b += Receipt("cdc_counts", rows.count())
     }
     corpus.foreach { t =>
       b += Receipt("corpus_files",

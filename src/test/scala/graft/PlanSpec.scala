@@ -260,4 +260,30 @@ class PlanSpec extends AnyFunSuite {
     assert(executed.contains("* Project"),
       s"metric projection not codegen'd:\n$executed")
   }
+
+  test("q144 CDC dup stats: text never crosses an exchange (only " +
+    "id/hash/count longs), chunker codegen'd in the scan stage") {
+    val p = plan("q144_cdc_dup")
+    // the chunker expression sits scan-side; the exchanges that follow
+    // carry (doc_id, h, n_tokens) longs only. Readable signal: every
+    // Exchange hashpartitioning in the plan keys on h or doc_id, and no
+    // Exchange line's schema mentions the text column
+    val exchangeDetails = p.linesIterator.filter(_.contains("Arguments: hashpartitioning"))
+      .toSeq
+    assert(exchangeDetails.nonEmpty, s"no exchanges found:\n$p")
+    assert(exchangeDetails.forall(l => !l.contains("text#")),
+      s"document text crosses an exchange:\n${exchangeDetails.mkString("\n")}")
+    assert(p.contains("cdc_chunks"), s"chunker missing from the plan:\n$p")
+  }
+
+  test("q145 CDC pairs: the star emission is ids-only — no text past " +
+    "the scan, bounded exchange count") {
+    val p = plan("q145_cdc_pairs")
+    val exchangeDetails = p.linesIterator
+      .filter(_.contains("Arguments: hashpartitioning")).toSeq
+    assert(exchangeDetails.forall(l => !l.contains("text#")),
+      s"document text crosses an exchange:\n${exchangeDetails.mkString("\n")}")
+    assert(PlanChecks.shuffleExchanges(p) <= 6,
+      s"unexpected exchange growth:\n$p")
+  }
 }

@@ -66,10 +66,13 @@ class ForgetSpec extends AnyFunSuite {
       .select("doc_id", "text", "lang", "source"), 0L)
     assert(card.card().nDocs == 2L)
 
-    // boilerplate chunk-count accumulator over the shipped corpus
+    // boilerplate chunk-count accumulators (fixed-span + CDC twins)
     val boiler = new graft.streaming.StreamBoilerplate.ChunkCounts(
       spark, s"$base/boiler", span = 8)
     boiler.observe(corpus, "doc_id", "text", batchId = 0L)
+    val cdcCounts = new graft.streaming.StreamBoilerplate.CdcCounts(
+      spark, s"$base/cdc")
+    cdcCounts.observe(corpus, "doc_id", "text", batchId = 0L)
 
     // the materialized corpus itself (the caller's parquet sink)
     val corpusDir = s"$base/corpus"
@@ -99,9 +102,13 @@ class ForgetSpec extends AnyFunSuite {
       boiler = Some(Forget.BoilerTarget(boiler,
         corpus.filter(col("doc_id") === 1L), "doc_id", "text",
         eventId = 7L)),
+      cdcBoiler = Some(Forget.CdcBoilerTarget(cdcCounts,
+        corpus.filter(col("doc_id") === 1L), "doc_id", "text",
+        eventId = 7L)),
       corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")))
     val receipts = run().map(r => r.component -> r.removed).toMap
     assert(receipts("boiler_counts") == 1L, s"$receipts")
+    assert(receipts("cdc_counts") == 1L, s"$receipts")
     assert(receipts("corpus_files") == 1L, s"$receipts")
     // the materialized corpus itself holds only the survivor
     assert(spark.read.parquet(corpusDir).select("doc_id")
