@@ -76,10 +76,36 @@ object Bench {
     }
   }
 
+  /** 1-minute system load average (the host-noise indicator two rounds
+    * of judge adjudication keyed on) — −1.0 where the platform has
+    * none. */
+  private def loadAvg1m(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // LOAD GUARD: wall times on this host swing ~2x with ambient load at
+    // IDENTICAL per-query job counts (the r14 adjudication), so the
+    // artifact records the 1-min loadavg at start and end — the reader's
+    // noise gate. Optionally (SPARK_GRAFT_MAX_START_LOAD) the run WAITS
+    // for a quiet window before starting, up to SPARK_GRAFT_LOAD_WAIT_SEC
+    // (default 600): ambient load is only meaningful BEFORE our own 32
+    // threads pollute the 1-min average, so the guard runs once, here.
+    val maxStartLoad =
+      sys.env.get("SPARK_GRAFT_MAX_START_LOAD").flatMap(_.toDoubleOption)
+    val loadWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC")
+      .flatMap(_.toIntOption).getOrElse(600)
+    var loadWaited = 0
+    maxStartLoad.foreach { cap =>
+      while (loadAvg1m() > cap && loadWaited < loadWaitSec) {
+        Thread.sleep(15000L)
+        loadWaited += 15
+      }
+    }
+    val loadStart = loadAvg1m()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -308,7 +334,8 @@ object Bench {
     } catch {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"media_funnel":$mediaFunnel,"forget_cascade":$forgetCascade,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts}"""
+    val loadEnd = loadAvg1m()
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"media_funnel":$mediaFunnel,"forget_cascade":$forgetCascade,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaited}"""
     println(line)
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")

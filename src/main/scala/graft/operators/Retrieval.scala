@@ -379,7 +379,7 @@ object Retrieval {
         java.nio.file.Paths.get(dir, "postings", "current")),
         s"no BM25 index at $dir — nothing to audit")
       val ps = postingsStore(spark, dir)
-      ps.read().filter(col("_id").isin(ids.map(Long.box): _*))
+      graft.store.ClaimRetraction.among(ps.read(), col("_id"), ids)
         .select("_id").distinct().count()
     }
 
@@ -399,9 +399,11 @@ object Retrieval {
         s"no BM25 index at $dir — nothing to delete from")
       val ps = postingsStore(spark, dir)
       ps.init()
-      val dead = col("_id").isin(ids.map(Long.box): _*)
-      val nDocs = ps.read().filter(dead).select("_id").distinct().count()
-      ps.replace(ps.read().filter(!dead))
+      val nDocs = graft.store.ClaimRetraction
+        .among(ps.read(), col("_id"), ids)
+        .select("_id").distinct().count()
+      ps.replace(graft.store.ClaimRetraction
+        .excluding(ps.read(), col("_id"), ids))
       // df and meta REBUILD from the surviving postings (never
       // decremented): idempotent, so a crash between table swaps is
       // healed by retrying the same deletion

@@ -120,9 +120,10 @@ object VectorIndex {
         s"no vector index at $dir — nothing to delete from")
       val store = dataStore(spark, dir)
       store.init()
-      val dead = col("id").isin(ids.map(Long.box): _*)
-      val n = store.read().filter(dead).count()
-      if (n > 0L) store.replace(store.read().filter(!dead))
+      val n = graft.store.ClaimRetraction
+        .among(store.read(), col("id"), ids).count()
+      if (n > 0L) store.replace(graft.store.ClaimRetraction
+        .excluding(store.read(), col("id"), ids))
       n
     }
   }
@@ -135,8 +136,8 @@ object VectorIndex {
       require(java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "data", "current")),
         s"no vector index at $dir — nothing to audit")
-      dataStore(spark, dir).read()
-        .filter(col("id").isin(ids.map(Long.box): _*)).count()
+      graft.store.ClaimRetraction
+        .among(dataStore(spark, dir).read(), col("id"), ids).count()
     }
 
   /** Fold the delta log back into one partitioned base. CRASH-ATOMIC:

@@ -107,8 +107,8 @@ object Forget {
       StreamGraphShards.delete(spark, d, ids)))
     card.foreach { t =>
       val rows = cardRows.get
-      val stray = rows
-        .filter(!col(t.idCol).cast("long").isin(ids.map(Long.box): _*))
+      val stray = graft.store.ClaimRetraction
+        .excluding(rows, col(t.idCol).cast("long"), ids)
         .head(1)
       require(stray.isEmpty,
         s"card retraction rows carry ids outside the deletion batch " +
@@ -127,9 +127,10 @@ object Forget {
       b += Receipt("cdc_counts", rows.count())
     }
     corpus.foreach { t =>
-      b += Receipt("corpus_files",
-        graft.store.CorpusForget.forget(spark, t.dir, t.idCol, ids)
-          .rowsRemoved)
+      val r = graft.store.CorpusForget.forget(spark, t.dir, t.idCol, ids)
+      // both numbers, each under the name that says what it counts
+      b += Receipt("corpus_rows", r.rowsRemoved)
+      b += Receipt("corpus_files", r.filesTouched)
     }
     b.result()
   }
@@ -167,7 +168,7 @@ object Forget {
       StreamGraphIndex.held(spark, d, ids)))
     graphShardsDir.foreach(d => b += Receipt("graph_shards",
       StreamGraphShards.held(spark, d, ids)))
-    corpus.foreach(t => b += Receipt("corpus_files",
+    corpus.foreach(t => b += Receipt("corpus_rows",
       graft.store.CorpusForget.held(spark, t.dir, t.idCol, ids)))
     b.result()
   }

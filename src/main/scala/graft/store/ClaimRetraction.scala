@@ -1,6 +1,7 @@
 package graft.store
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** RETRACTION for first-writer-wins claim stores — the recrawl-reality
   * API the streaming dedup family needs: when a claimant payload is
@@ -28,9 +29,47 @@ import org.apache.spark.sql.functions.col
   * surviving corpus instead). */
 object ClaimRetraction {
 
-  /** Ceiling on one retraction batch — a broadcastable in-list, far
-    * past any real deletion event's size. */
+  /** Ceiling on one retraction batch — a broadcastable deletion LIST
+    * (it rides the plan as a broadcast relation past [[MaxInListIds]],
+    * never as 2^20 boxed literals), far past any real deletion event's
+    * size. */
   val MaxRetractIds: Int = 1 << 20
+
+  /** Probe-shape split point: at or below this many ids the deletion
+    * probe is a Catalyst in-list — an `In` predicate PUSHES DOWN into
+    * the parquet scan, so footer statistics prune row groups on the id
+    * column (the read [[CorpusForget]]'s O(touched files) discovery
+    * rests on); past it, the probe becomes a broadcast hash join (the
+    * honest shape at the [[MaxRetractIds]] ceiling — an expression tree
+    * should not carry a million boxed literals into analysis, codegen
+    * and every task binary). Both shapes assume a NON-NULL id column
+    * (they differ on null ids: `!isin` drops them, left-anti keeps
+    * them — every id column probed here is non-null by schema). */
+  val MaxInListIds: Int = 1 << 12
+
+  private def probe(df: DataFrame, idCol: Column, ids: Seq[Long],
+                    keep: Boolean): DataFrame =
+    if (ids.size <= MaxInListIds) {
+      val in = idCol.isin(ids.map(Long.box): _*)
+      df.filter(if (keep) in else !in)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toDF("_graft_dead_id")),
+        idCol === col("_graft_dead_id"),
+        if (keep) "left_semi" else "left_anti")
+    }
+
+  /** Rows of `df` whose `idCol` is in the deletion list — in-list
+    * (pushdown-friendly) below [[MaxInListIds]], broadcast semi-join
+    * above it. The one probe every deletion leg shares. */
+  def among(df: DataFrame, idCol: Column, ids: Seq[Long]): DataFrame =
+    probe(df, idCol, ids, keep = true)
+
+  /** Rows of `df` whose `idCol` is NOT in the deletion list — the
+    * survivor filter, same shape split as [[among]]. */
+  def excluding(df: DataFrame, idCol: Column, ids: Seq[Long]): DataFrame =
+    probe(df, idCol, ids, keep = false)
 
   /** COUNT the claims whose `claimantCol` is in `ids` without touching
     * the store — the post-cascade audit read ("did the takedown
@@ -39,8 +78,7 @@ object ClaimRetraction {
   def held(snaps: Snapshots, ids: Seq[Long],
            claimantCol: String = "claimant"): Long =
     if (ids.isEmpty) 0L
-    else snaps.read()
-      .filter(col(claimantCol).isin(ids.map(Long.box): _*)).count()
+    else among(snaps.read(), col(claimantCol), ids).count()
 
   /** Delete every claim whose `claimantCol` is in `ids`; returns the
     * number of claims removed (0 on an empty list or no matches — the
@@ -52,9 +90,9 @@ object ClaimRetraction {
         "ceiling — rebuild the store from the surviving corpus instead")
     if (ids.isEmpty) 0L
     else {
-      val dead = col(claimantCol).isin(ids.map(Long.box): _*)
-      val n = snaps.read().filter(dead).count()
-      if (n > 0L) snaps.replace(snaps.read().filter(!dead))
+      val n = among(snaps.read(), col(claimantCol), ids).count()
+      if (n > 0L)
+        snaps.replace(excluding(snaps.read(), col(claimantCol), ids))
       n
     }
   }

@@ -57,13 +57,14 @@ object CorpusForget {
     val root = Paths.get(dir)
     if (Files.exists(root)) {
       // collect BEFORE deleting — a walk must not mutate under itself
-      val pending = {
+      val (pending, staleTmp) = {
         val s = Files.walk(root)
         try {
           import scala.jdk.CollectionConverters._
-          s.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".forget.parquet"))
-            .toList
+          val all = s.iterator().asScala.toList
+          (all.filter(_.getFileName.toString.endsWith(".forget.parquet")),
+            all.filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith(StagePrefix)))
         } finally s.close()
       }
       pending.foreach { p =>
@@ -71,7 +72,36 @@ object CorpusForget {
           .stripSuffix(".forget.parquet") + ".parquet")
         Files.deleteIfExists(orig); ()
       }
+      // a crash mid-stage leaves a dot-prefixed staging dir (invisible
+      // to Spark readers — Hadoop listing skips '.'-named paths);
+      // sweep it so retries start clean
+      staleTmp.foreach(deleteRecursively)
     }
+  }
+
+  /** Staging dirs live INSIDE the partition dir (same filesystem →
+    * `ATOMIC_MOVE` is a rename, so the deterministic `.forget.parquet`
+    * name only ever appears fully written) and are dot-prefixed so
+    * Spark's listing never sees them. */
+  private val StagePrefix = ".graft-forget-stage-"
+
+  /** Data files of the dataset (hidden '_'/'.' paths excluded — the
+    * same filter Spark's own listing applies). Empty after a takedown
+    * that killed every row: readers must report 0, not throw on schema
+    * inference over a bare `_SUCCESS`. */
+  private def dataFiles(dir: String): Seq[Path] = {
+    val s = Files.walk(Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          !p.iterator().asScala.exists(seg => {
+            val sn = seg.getFileName.toString
+            sn.startsWith(StagePrefix)
+          })
+      }.toList
+    } finally s.close()
   }
 
   /** Ids among `ids` still present in the dataset — the corpus leg of
@@ -81,8 +111,8 @@ object CorpusForget {
     if (ids.isEmpty) 0L
     else {
       healPending(dir)
-      spark.read.parquet(dir)
-        .filter(col(idCol).isin(ids.map(Long.box): _*))
+      if (dataFiles(dir).isEmpty) 0L // fully-forgotten corpus
+      else ClaimRetraction.among(spark.read.parquet(dir), col(idCol), ids)
         .select(idCol).distinct().count()
     }
 
@@ -99,42 +129,50 @@ object CorpusForget {
     if (ids.isEmpty) Report(0L, 0L)
     else {
       healPending(dir)
-      val dead = col(idCol).isin(ids.map(Long.box): _*)
-      val touched = spark.read.parquet(dir)
-        .filter(dead)
-        .select(col("_metadata.file_path").as("f"))
-        .groupBy("f").agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      touched.foreach { case (uri, _) =>
-        val p = Paths.get(java.net.URI.create(uri))
-        val survivors = spark.read.parquet(p.toString).filter(!dead)
-          .localCheckpoint(true)
-        if (survivors.head(1).nonEmpty) {
-          val tmp = Files.createTempDirectory("graft-forget")
-          survivors.coalesce(1).write
-            .mode("overwrite").parquet(tmp.toString)
-          val one = {
-            val s = Files.list(tmp)
-            try {
-              import scala.jdk.CollectionConverters._
-              s.iterator().asScala
-                .filter(_.getFileName.toString.endsWith(".parquet"))
-                .toSeq
-            } finally s.close()
+      if (dataFiles(dir).isEmpty) Report(0L, 0L) // fully forgotten
+      else {
+        val touched = ClaimRetraction
+          .among(spark.read.parquet(dir), col(idCol), ids)
+          .select(col("_metadata.file_path").as("f"))
+          .groupBy("f").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        touched.foreach { case (uri, _) =>
+          val p = Paths.get(java.net.URI.create(uri))
+          val survivors = ClaimRetraction
+            .excluding(spark.read.parquet(p.toString), col(idCol), ids)
+            .localCheckpoint(true)
+          if (survivors.head(1).nonEmpty) {
+            // stage NEXT TO the target (same filesystem) so the final
+            // rename is ATOMIC_MOVE — a crash mid-write leaves only the
+            // dot-hidden staging dir, never a truncated .forget.parquet
+            // for healPending to trust over the intact original
+            val tmp = Files.createTempDirectory(p.getParent, StagePrefix)
+            survivors.coalesce(1).write
+              .mode("overwrite").parquet(tmp.toString)
+            val one = {
+              val s = Files.list(tmp)
+              try {
+                import scala.jdk.CollectionConverters._
+                s.iterator().asScala
+                  .filter(_.getFileName.toString.endsWith(".parquet"))
+                  .toSeq
+              } finally s.close()
+            }
+            require(one.size == 1, s"expected one part file, got $one")
+            val target: Path = p.getParent.resolve(
+              p.getFileName.toString.stripSuffix(".parquet")
+                + ".forget.parquet")
+            Files.move(one.head, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            deleteRecursively(tmp)
           }
-          require(one.size == 1, s"expected one part file, got $one")
-          val target: Path = p.getParent.resolve(
-            p.getFileName.toString.stripSuffix(".parquet")
-              + ".forget.parquet")
-          Files.move(one.head, target,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          deleteRecursively(tmp)
+          // deterministic-name replacement is in place (or the file died
+          // whole) — dropping the original completes this file
+          Files.deleteIfExists(p); ()
         }
-        // deterministic-name replacement is in place (or the file died
-        // whole) — dropping the original completes this file
-        Files.deleteIfExists(p); ()
+        Report(touched.length.toLong, touched.map(_._2).sum)
       }
-      Report(touched.length.toLong, touched.map(_._2).sum)
     }
   }
 }

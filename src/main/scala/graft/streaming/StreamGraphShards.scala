@@ -515,8 +515,9 @@ object StreamGraphShards {
     if (live.isEmpty) 0L
     else {
       val manifest = readManifest(dir)
-      loadShardRows(spark, dir, manifest, manifest.keys.toSeq)
-        .filter(col("id").isin(live.toSeq.map(Long.box): _*))
+      graft.store.ClaimRetraction.among(
+        loadShardRows(spark, dir, manifest, manifest.keys.toSeq),
+        col("id"), live.toSeq)
         .select("id").distinct().count()
     }
   }

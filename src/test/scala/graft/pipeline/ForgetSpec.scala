@@ -88,7 +88,7 @@ class ForgetSpec extends AnyFunSuite {
       .map(r => r.component -> r.removed).toMap
     val before = audit()
     assert(before("text_claims") > 0L && before("bm25_index") == 1L &&
-      before("vector_index") == 1L && before("corpus_files") == 1L,
+      before("vector_index") == 1L && before("corpus_rows") == 1L,
       s"$before")
     val deletedRows = corpus.filter(col("doc_id") === 1L)
       .withColumn("lang", lit("en"))
@@ -109,6 +109,7 @@ class ForgetSpec extends AnyFunSuite {
     val receipts = run().map(r => r.component -> r.removed).toMap
     assert(receipts("boiler_counts") == 1L, s"$receipts")
     assert(receipts("cdc_counts") == 1L, s"$receipts")
+    assert(receipts("corpus_rows") == 1L, s"$receipts")
     assert(receipts("corpus_files") == 1L, s"$receipts")
     // the materialized corpus itself holds only the survivor
     assert(spark.read.parquet(corpusDir).select("doc_id")

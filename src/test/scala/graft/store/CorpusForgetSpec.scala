@@ -89,5 +89,55 @@ class CorpusForgetSpec extends AnyFunSuite {
       CorpusForget.forget(spark, "/nonexistent/graft-x", "id", Seq(1L))
     }
     assert(e.getMessage.contains("nothing to forget"))
+
+    // BROADCAST probe shape (list past MaxInListIds): same semantics —
+    // the list carries two present ids among thousands of absent ones
+    val bigList = Seq(60L, 61L) ++
+      (1000000L until (1000000L + ClaimRetraction.MaxInListIds + 7))
+    assert(bigList.size > ClaimRetraction.MaxInListIds)
+    assert(CorpusForget.held(spark, dir, "id", bigList) == 2L)
+    val r3 = CorpusForget.forget(spark, dir, "id", bigList)
+    assert(r3.rowsRemoved == 2L, s"$r3")
+    assert(CorpusForget.held(spark, dir, "id", bigList) == 0L)
+
+    // FULLY-FORGOTTEN corpus: kill every remaining row — readers must
+    // report 0 (not throw on schema inference over a bare _SUCCESS) and
+    // a retry is a clean no-op
+    val everything = (0L until 100L).toSeq
+    CorpusForget.forget(spark, dir, "id", everything)
+    assert(listFiles(dir).isEmpty)
+    assert(CorpusForget.held(spark, dir, "id", Seq(5L)) == 0L)
+    assert(CorpusForget.forget(spark, dir, "id", Seq(5L))
+      == CorpusForget.Report(0L, 0L))
+
+    // no staging residue anywhere under the dataset
+    val stray = {
+      val s = Files.walk(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".graft-forget-stage-"))
+          .toList
+      } finally s.close()
+    }
+    assert(stray.isEmpty, s"$stray")
+  }
+
+  test("probe shapes agree: among/excluding give identical rows via " +
+    "in-list and broadcast join") {
+    val df = spark.range(0, 500).select(col("id"), (col("id") % 7).as("v"))
+    val smallList = Seq(3L, 141L, 499L, 9999L)
+    val bigList = smallList ++
+      (2000000L until (2000000L + ClaimRetraction.MaxInListIds)).toSeq
+    val amongSmall = ClaimRetraction.among(df, col("id"), smallList)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val amongBig = ClaimRetraction.among(df, col("id"), bigList)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(amongSmall == Seq((3L, 3L), (141L, 1L), (499L, 2L)))
+    assert(amongBig == amongSmall)
+    val exSmall = ClaimRetraction.excluding(df, col("id"), smallList)
+      .count()
+    val exBig = ClaimRetraction.excluding(df, col("id"), bigList).count()
+    assert(exSmall == 497L && exBig == 497L)
   }
 }
