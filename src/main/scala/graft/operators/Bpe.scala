@@ -151,8 +151,9 @@ object Bpe {
   val EndOfWord = "</w>"
 
   /** Segment a word into its initial symbols: characters (by code point)
-    * plus the end-of-word marker. */
-  private def initial(word: String): Vector[String] = {
+    * plus the end-of-word marker. Shared with [[Unigram]] — the two
+    * tokenizer families agree on the word model by construction. */
+  private[graft] def initial(word: String): Vector[String] = {
     val cps = mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < word.length) {

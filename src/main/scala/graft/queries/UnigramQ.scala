@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Bpe, Unigram}
+
+/** Unigram-LM tokenization under the ORACLE GATE — the q126/q136
+  * machinery extended to the second tokenizer family: the oracle
+  * replays SEEDING (every ≤L-symbol span of the word-frequency table,
+  * top candidates by count), the fixed-point BINARY LOGARITHM
+  * (16 square-and-shift rounds unrolled per cost table — bitwise
+  * [[Unigram.ilog2]]), each HARD-EM round (a full Viterbi DP over the
+  * vocabulary words as a recursive CTE, then count re-estimation with
+  * the single-symbol coverage floor), the PRUNE, and the final
+  * encoding pass — so the trained vocabulary, every piece cost, every
+  * segmentation decision and every token id is hash-checked against
+  * DuckDB, exactly as q126 does for BPE.
+  *
+  * The DP replay: `best[j] = min over i ∈ [j−L, j) of best[i] +
+  * cost(syms[i..j))`, candidates enumerated ascending so
+  * `list_position(cands, list_min(cands))` lands on the SMALLEST start
+  * index — [[Unigram.viterbi]]'s strict-< tie-break verbatim. Absent
+  * pieces cost a 2^60 sentinel; backtracking is a second recursive CTE
+  * walking the stored argmin indices. Every fixed-point operation is
+  * BIGINT (`//`, `<<`, comparisons) — no float touches the chain on
+  * either engine.
+  *
+  * Scale: the oracle's cost is DuckDB's, not Spark's — the Spark side
+  * trains on the bounded word-frequency table and encodes in-scan with
+  * a broadcast piece table ([[Unigram.encode]]); nothing here changes
+  * the 100 TB shape.
+  */
+object UnigramQ {
+
+  import BpeQ.sqlToksCp
+
+  private val sqlToks = """string_split_regex(trim(text), '\s+')"""
+
+  /** The lattice sentinel, [[Unigram.Inf]]. */
+  private val Inf: Long = 1L << 60
+
+  /** Unrolled [[Unigram.ilog2]] over `fromCte(piece, c)` →
+    * `{pfx}fin(piece, c, r)`: msb via the binary-string length (exact,
+    * no float log), Q30 mantissa, 16 square-and-shift rounds. */
+  private def ilogCtes(pfx: String, fromCte: String): String = {
+    val rounds = (1 to 16).map { k =>
+      s"""$pfx$k AS (SELECT piece, c,
+         |  CASE WHEN m2 >= 2147483648 THEN m2 // 2 ELSE m2 END AS m,
+         |  CASE WHEN m2 >= 2147483648 THEN r * 2 + 1 ELSE r * 2 END AS r
+         |  FROM (SELECT piece, c, (m * m) // 1073741824 AS m2, r
+         |        FROM $pfx${k - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""${pfx}b AS (SELECT piece, c, length(bin(c)) - 1 AS msb FROM $fromCte),
+       |${pfx}0 AS (SELECT piece, c,
+       |  CASE WHEN msb >= 30 THEN c // (CAST(1 AS BIGINT) << (msb - 30))
+       |       ELSE c * (CAST(1 AS BIGINT) << (30 - msb)) END AS m,
+       |  CAST(msb AS BIGINT) AS r FROM ${pfx}b),
+       |$rounds,
+       |${pfx}fin AS (SELECT piece, c, r FROM ${pfx}16)""".stripMargin
+  }
+
+  /** From `effCte(piece, c)`: `{pfx}cm(m)`, the one-row piece → cost
+    * map (`cost = ilog2(Σc) − ilog2(c)` — the total rides the chain as
+    * a NULL-keyed row). MATERIALIZED: the recursive DP references it
+    * every step. */
+  private def costMapCtes(pfx: String, effCte: String): String =
+    s"""${pfx}tin AS (SELECT CAST(NULL AS VARCHAR) AS piece,
+       |    CAST(SUM(c) AS BIGINT) AS c FROM $effCte
+       |  UNION ALL SELECT piece, c FROM $effCte),
+       |${ilogCtes(pfx + "l", pfx + "tin")},
+       |${pfx}cost AS (SELECT i.piece, t.r - i.r AS cost
+       |  FROM ${pfx}lfin i,
+       |       (SELECT r FROM ${pfx}lfin WHERE piece IS NULL) t
+       |  WHERE i.piece IS NOT NULL),
+       |${pfx}cm AS MATERIALIZED (
+       |  SELECT map(list(piece ORDER BY piece),
+       |             list(cost ORDER BY piece)) AS m FROM ${pfx}cost)"""
+      .stripMargin
+
+  /** Viterbi DP + backtrack over `wordsCte(word, syms)` under the
+    * `{cmCte}` cost map → `{pfx}fin(word, pieces)`. */
+  private def viterbiCtes(pfx: String, wordsCte: String, cmCte: String,
+                          maxLen: Int): String =
+    s"""${pfx}dp AS (
+       |  SELECT word, syms, 0 AS j, [CAST(0 AS BIGINT)] AS best,
+       |         [CAST(0 AS BIGINT)] AS bp
+       |  FROM $wordsCte
+       |  UNION ALL
+       |  SELECT word, syms, j + 1,
+       |         list_append(best, CASE WHEN mn >= $Inf THEN NULL
+       |                                ELSE mn END),
+       |         list_append(bp, lo + list_position(cands, mn) - 1)
+       |  FROM (
+       |    SELECT word, syms, j, best, bp, lo, cands,
+       |           list_min(cands) AS mn
+       |    FROM (
+       |      SELECT word, syms, j, best, bp,
+       |             greatest(0, j + 1 - $maxLen) AS lo,
+       |        list_transform(range(greatest(0, j + 1 - $maxLen), j + 1),
+       |          i -> COALESCE(best[CAST(i + 1 AS INTEGER)] +
+       |                 map_extract($cmCte.m,
+       |                   array_to_string(list_slice(syms,
+       |                     CAST(i + 1 AS INTEGER),
+       |                     CAST(j + 1 AS INTEGER)), ''))[1], $Inf))
+       |          AS cands
+       |      FROM ${pfx}dp, $cmCte WHERE j < len(syms)))),
+       |${pfx}dpf AS (SELECT word, syms, bp FROM ${pfx}dp
+       |              WHERE j = len(syms)),
+       |${pfx}bt AS (
+       |  SELECT word, syms, bp, CAST(len(syms) AS BIGINT) AS j,
+       |         CAST([] AS VARCHAR[]) AS pieces
+       |  FROM ${pfx}dpf
+       |  UNION ALL
+       |  SELECT word, syms, bp, bp[CAST(j + 1 AS INTEGER)] AS j,
+       |         list_prepend(array_to_string(list_slice(syms,
+       |           CAST(bp[CAST(j + 1 AS INTEGER)] + 1 AS INTEGER),
+       |           CAST(j AS INTEGER)), ''), pieces)
+       |  FROM ${pfx}bt WHERE j > 0),
+       |${pfx}fin AS MATERIALIZED (SELECT word, pieces FROM ${pfx}bt
+       |                           WHERE j = 0)""".stripMargin
+
+  /** Counts after a Viterbi pass, with the coverage floor →
+    * `{pfx}eff(piece, c)`: frequency-weighted usage, dead multis drop
+    * (absent), singles floored at 1. */
+  private def emCntCtes(pfx: String, vitFin: String): String =
+    s"""${pfx}cnt AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
+       |  FROM (SELECT f.freq, unnest(b.pieces) AS piece
+       |        FROM $vitFin b JOIN uwf f USING (word)) GROUP BY piece),
+       |${pfx}eff AS MATERIALIZED (SELECT piece, c FROM ${pfx}cnt
+       |  UNION ALL
+       |  SELECT a.piece, CAST(1 AS BIGINT) AS c FROM ualpha a
+       |  LEFT JOIN ${pfx}cnt c ON c.piece = a.piece
+       |  WHERE c.piece IS NULL)""".stripMargin
+
+  /** The full replay chain (needs a `WITH RECURSIVE` prefix). Ends at:
+    * `uwf(word, freq)`, `ufvfin(word, pieces)` — every distinct word of
+    * `encodeFrom` segmented under the trained vocabulary — and
+    * `uvoc(piece, vid)` (ids = `row_number() OVER (ORDER BY piece) − 1`,
+    * DuckDB's binary collation = [[Bpe.cpOrder]]). Knobs mirror
+    * [[Unigram.Knobs]] verbatim. */
+  private[queries] def unigramChainCtes(
+      maxPieceSyms: Int, minSeedCount: Long, seedSize: Int,
+      emRounds: Int, vocabTarget: Int, postEmRounds: Int,
+      trainFrom: String = "documents", encodeFrom: String = "documents",
+      toks: String = sqlToks): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""uwf AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toks) AS w FROM $trainFrom) GROUP BY w),
+       |uw0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    list_append(list_transform(range(1, length(word) + 1),
+       |      i -> substring(word, CAST(i AS INTEGER), 1)), '</w>') AS syms
+       |  FROM uwf),
+       |ualpha AS (SELECT DISTINCT unnest(syms) AS piece FROM uw0),
+       |uspans AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM (
+       |  SELECT array_to_string(list_slice(syms, CAST(i AS INTEGER),
+       |           CAST(i + l - 1 AS INTEGER)), '') AS piece, freq
+       |  FROM (SELECT word, freq, syms,
+       |               unnest(range(1, len(syms) + 1)) AS i FROM uw0),
+       |       range(1, $maxPieceSyms + 1) t(l)
+       |  WHERE i + l - 1 <= len(syms)) GROUP BY piece),
+       |umultis AS (SELECT s.piece, s.c FROM uspans s
+       |  LEFT JOIN ualpha a ON a.piece = s.piece
+       |  WHERE a.piece IS NULL AND s.c >= $minSeedCount
+       |  ORDER BY s.c DESC, s.piece ASC LIMIT $seedSize),
+       |ueff0 AS (SELECT piece, c FROM umultis
+       |  UNION ALL
+       |  SELECT a.piece, s.c FROM ualpha a
+       |  JOIN uspans s ON s.piece = a.piece)""".stripMargin
+    var prevEff = "ueff0"
+    (1 to emRounds).foreach { k =>
+      val pfx = s"ue$k"
+      parts += costMapCtes(pfx, prevEff)
+      parts += viterbiCtes(pfx + "v", "uw0", pfx + "cm", maxPieceSyms)
+      parts += emCntCtes(pfx, pfx + "vfin")
+      prevEff = pfx + "eff"
+    }
+    parts += s"""upr AS MATERIALIZED (
+       |  SELECT piece, c FROM (
+       |    SELECT e.piece, e.c FROM $prevEff e
+       |    LEFT JOIN ualpha a ON a.piece = e.piece WHERE a.piece IS NULL
+       |    ORDER BY e.c DESC, e.piece ASC LIMIT $vocabTarget)
+       |  UNION ALL
+       |  SELECT e.piece, e.c FROM $prevEff e
+       |  JOIN ualpha a ON a.piece = e.piece)""".stripMargin
+    prevEff = "upr"
+    (1 to postEmRounds).foreach { k =>
+      val pfx = s"up$k"
+      parts += costMapCtes(pfx, prevEff)
+      parts += viterbiCtes(pfx + "v", "uw0", pfx + "cm", maxPieceSyms)
+      parts += emCntCtes(pfx, pfx + "vfin")
+      prevEff = pfx + "eff"
+    }
+    parts += costMapCtes("uf", prevEff)
+    parts += s"""uw0e AS (SELECT word,
+       |  list_append(list_transform(range(1, length(word) + 1),
+       |    i -> substring(word, CAST(i AS INTEGER), 1)), '</w>') AS syms
+       |  FROM (SELECT DISTINCT unnest($toks) AS word
+       |        FROM $encodeFrom))""".stripMargin
+    parts += viterbiCtes("ufv", "uw0e", "ufcm", maxPieceSyms)
+    parts += s"""uvoc AS (SELECT piece,
+       |  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS vid
+       |  FROM (SELECT piece FROM $prevEff))""".stripMargin
+    parts.result().mkString(",\n")
+  }
+
+  /** The oracle-scale knobs, shared by every query here and its Spark
+    * twin — small enough that the DuckDB replay stays ~seconds, large
+    * enough that seeding/EM/prune all bind. */
+  private val K = Unigram.Knobs(maxPieceSyms = 4, minSeedCount = 2L,
+    seedSize = 400, emRounds = 2, vocabTarget = 60, postEmRounds = 1)
+
+  private def chain(trainFrom: String = "documents",
+                    encodeFrom: String = "documents",
+                    toks: String = sqlToks): String =
+    unigramChainCtes(K.maxPieceSyms, K.minSeedCount, K.seedSize,
+      K.emRounds, K.vocabTarget, K.postEmRounds, trainFrom, encodeFrom,
+      toks)
+
+  /** q147: UNIGRAM-LM TRAIN + ENCODE to token ids ([[Unigram.train]] +
+    * [[Unigram.encode]]) — the full second-tokenizer-family path from
+    * raw text to the unit a trainer consumes, hash-checked position by
+    * position: seeding, two hard-EM rounds, the prune to 60 multi
+    * pieces, the post-prune round, final Viterbi segmentation of every
+    * corpus word, stable cp-order ids. */
+  val q147 = Q(
+    "q147_unigram_encode",
+    s"""WITH RECURSIVE
+       |${chain()},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM documents),
+       |pcs AS (SELECT t.doc_id, t.tp, f.pieces
+       |        FROM tokq t JOIN ufvfin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(pieces) AS piece,
+       |                unnest(range(1, len(pieces) + 1)) AS sp FROM pcs),
+       |outp AS (SELECT doc_id,
+       |                CAST(row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tp, sp) - 1 AS BIGINT) AS pos,
+       |                piece FROM flat)
+       |SELECT o.doc_id, o.pos, o.piece, v.vid AS token_id
+       |FROM outp o JOIN uvoc v ON v.piece = o.piece
+       |ORDER BY o.doc_id, o.pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = Unigram.train(docs, "text", K)
+    Unigram.encode(docs, "doc_id", "text", model)
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("pieces"), col("token_ids"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.pieces").as("piece"), col("col.token_ids").as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** q148: TOKENIZER FERTILITY A/B — BPE vs unigram, per language,
+    * over the q136 planted mixed-script corpus, both under
+    * [[Bpe.PreTok.CpClass]]: the decision table for the retrain signal
+    * q142 monitors (which family should each language slice be
+    * paying?). The oracle replays BOTH training chains — the unrolled
+    * BPE rounds and the unigram EM — over the same pre-split corpus,
+    * plus each family's per-document piece counts and the exact
+    * integer fertility arithmetic. Planted documents carry lang `zz` —
+    * the slice where the two families actually diverge. */
+  val q148 = Q(
+    "q148_tokenizer_fertility_ab",
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, 'zz',
+       |         text || ' v' || CAST(doc_id AS VARCHAR) || '世界算法7!'
+       |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+       |${BpeQ.bpeChainCtes(30, encodeFrom = "corpus",
+          trainFrom = "corpus", toks = sqlToksCp)},
+       |${chain(trainFrom = "corpus", encodeFrom = "corpus",
+          toks = sqlToksCp)},
+       |btok AS (SELECT doc_id, unnest($sqlToksCp) AS word FROM corpus),
+       |bcnt AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |                CAST(SUM(len(f.syms)) AS BIGINT) AS n_pieces
+       |         FROM btok t JOIN fin f USING (word) GROUP BY t.doc_id),
+       |ucnt AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |                CAST(SUM(len(f.pieces)) AS BIGINT) AS n_pieces
+       |         FROM btok t JOIN ufvfin f USING (word) GROUP BY t.doc_id),
+       |g AS (SELECT c.lang, 'bpe' AS algo, b.n_words, b.n_pieces,
+       |             CAST(length(c.text) AS BIGINT) AS nc
+       |      FROM corpus c JOIN bcnt b ON b.doc_id = c.doc_id
+       |      UNION ALL
+       |      SELECT c.lang, 'unigram' AS algo, u.n_words, u.n_pieces,
+       |             CAST(length(c.text) AS BIGINT) AS nc
+       |      FROM corpus c JOIN ucnt u ON u.doc_id = c.doc_id)
+       |SELECT lang, algo,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |       CAST(SUM(n_pieces) * 1000 // SUM(nc) AS BIGINT)
+       |         AS pieces_per_kchar,
+       |       CAST(SUM(n_pieces) * 1000 // SUM(n_words) AS BIGINT)
+       |         AS pieces_per_word_milli
+       |FROM g GROUP BY lang, algo ORDER BY lang, algo""".stripMargin) {
+    (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val planted = docs
+        .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          lit("zz").as("lang"),
+          concat(col("text"), lit(" v"), col("doc_id").cast("string"),
+            lit("世界算法7!")).as("text"))
+      val corpus = docs.select("doc_id", "lang", "text").unionAll(planted)
+      val cp = Bpe.PreTok.CpClass
+      val merges = Bpe.train(corpus, "text", numMerges = 30, preTok = cp)
+      val bpeF = Bpe.fertility(corpus, "doc_id", "text", "lang", merges, cp)
+        .withColumn("algo", lit("bpe"))
+      val model = Unigram.train(corpus, "text", K, preTok = cp)
+      val uniF = Unigram.fertility(corpus, "doc_id", "text", "lang", model)
+        .withColumn("algo", lit("unigram"))
+      bpeF.unionAll(uniF)
+        .select(col("lang"), col("algo"), col("n_docs"), col("n_words"),
+          col("n_pieces"), col("n_chars"), col("pieces_per_kchar"),
+          col("pieces_per_word_milli"))
+        .orderBy("lang", "algo")
+  }
+
+  /** q149: UNIGRAM DECODE ROUNDTRIP under byte fallback — q134's
+    * contract for the second family: the model trains on the BASE
+    * corpus (whitespace policy), the PLANTED corpus (CJK + emoji code
+    * points outside the training alphabet) encodes under the frozen
+    * vocabulary — unknown symbols enter the lattice at
+    * [[Unigram.UnkSymCost]] and decompose to `<0xNN>` byte pieces —
+    * and [[Bpe.decode]] (shared verbatim: the marker and byte-run
+    * contracts are piece-level) reassembles. Oracle: the
+    * whitespace-normalized text, zero invalid sequences. */
+  val q149 = Q(
+    "q149_unigram_decode_roundtrip",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' 世界 😀tok'
+       |  FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL)
+       |SELECT doc_id,
+       |       array_to_string($sqlToks, ' ') AS text_rt,
+       |       CAST(0 AS BIGINT) AS n_invalid
+       |FROM corpus WHERE text IS NOT NULL
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val planted = docs
+      .filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" 世界 😀tok")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionAll(planted)
+    val model = Unigram.train(docs, "text", K)
+    val vocab = model.vocab(byteFallback = true)
+    val enc = Unigram.encode(corpus, "doc_id", "text", model,
+      byteFallback = true)
+    Bpe.decode(enc, "doc_id", "token_ids", vocab)
+      .select(col("doc_id"), col("text").as("text_rt"), col("n_invalid"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q147, q148, q149)
+}

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Unigram-LM tokenizer ([[Unigram]]): the fixed-point log's pinned
+  * values, Viterbi optimality + tie-break, the hard-EM monotonicity
+  * lemmas (E-step integer-exact, end-to-end in EXACT BigInt rational
+  * arithmetic), coverage, distributed-encode parity with the driver
+  * reference, the unk/byte-fallback policies, and artifact roundtrip
+  * with cross-family fail-loud. */
+class UnigramSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  // the spec's own copy of the cost rule (3 lines), so the lemmas can
+  // observe intermediates the trainer folds through
+  private def costsOf(eff: Map[String, Long]): Map[String, Long] = {
+    val lt = Unigram.ilog2(eff.values.sum)
+    eff.map { case (p, c) => p -> (lt - Unigram.ilog2(c)) }
+  }
+
+  test("ilog2 pinned values (floor(log2(x) * 2^16), integer-exact)") {
+    val pinned = Seq(1L -> 0L, 2L -> 65536L, 3L -> 103872L,
+      5L -> 152169L, 7L -> 183982L, 100L -> 435411L, 12345L -> 890741L,
+      65536L -> 1048576L, 1099511627775L -> 2621439L,
+      4611686018427387904L -> 4063232L)
+    pinned.foreach { case (x, want) =>
+      assert(Unigram.ilog2(x) == want, s"ilog2($x)")
+    }
+    // floor semantics vs the float log on a dense range
+    (1L to 4096L).foreach { x =>
+      val f = math.floor(math.log(x.toDouble) / math.log(2.0) * 65536.0)
+      assert(math.abs(Unigram.ilog2(x) - f) <= 1.0, s"x=$x")
+    }
+    intercept[IllegalArgumentException](Unigram.ilog2(0L))
+  }
+
+  test("viterbi picks the cheapest path; ties go to the smallest start " +
+    "(longest final piece)") {
+    val cost = Map("a" -> 5L, "b" -> 5L, "ab" -> 10L, "</w>" -> 2L)
+    // [ab,</w>] = 12 and [a,b,</w>] = 12 tie at position 2 -> smallest
+    // start index wins the argmin -> the 2-symbol piece
+    assert(Unigram.viterbi(Vector("a", "b", "</w>"), cost.get, 4)
+      == Vector("ab", "</w>"))
+    // strictly cheaper multi beats singles
+    val cost2 = cost + ("ab" -> 7L)
+    assert(Unigram.viterbi(Vector("a", "b", "</w>"), cost2.get, 4)
+      == Vector("ab", "</w>"))
+    // strictly cheaper singles beat the multi
+    val cost3 = cost + ("ab" -> 11L)
+    assert(Unigram.viterbi(Vector("a", "b", "</w>"), cost3.get, 4)
+      == Vector("a", "b", "</w>"))
+    // maxLen binds: the 2-piece is invisible at maxLen = 1
+    assert(Unigram.viterbi(Vector("a", "b", "</w>"), cost2.get, 1)
+      == Vector("a", "b", "</w>"))
+  }
+
+  test("hard-EM monotonicity: E-lemma integer-exact per round; " +
+    "end-to-end Viterbi likelihood non-decreasing in exact BigInt") {
+    val corpora = Seq(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)),
+      Seq(("aaab", 7L), ("aab", 5L), ("abab", 3L), ("bbb", 2L)),
+      Seq(("世界算法", 4L), ("世界", 6L), ("算法", 5L), ("x世界x", 2L)))
+    val knobs = Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L,
+      seedSize = 50, emRounds = 4, vocabTarget = 10, postEmRounds = 0)
+    corpora.foreach { vocab =>
+      var (eff, alpha) = Unigram.seedFromVocab(vocab, knobs)
+      var prevSeg: Map[String, Vector[String]] = null
+      var prevLik: (BigInt, BigInt) = null // (numerator A, T^N)
+      (1 to knobs.emRounds).foreach { round =>
+        val cost = costsOf(eff.toMap)
+        val seg = vocab.map { case (w, _) =>
+          w -> Unigram.viterbi(Bpe.initial(w), cost.get,
+            knobs.maxPieceSyms)
+        }.toMap
+        def totalCost(s: Map[String, Vector[String]]): Long =
+          vocab.map { case (w, f) => f * s(w).map(cost).sum }.sum
+        // E-lemma (Viterbi optimality, exactly guaranteed): this
+        // round's segmentation is no costlier than last round's UNDER
+        // THIS ROUND'S COSTS (last round's pieces all survived into
+        // eff - they are its usage counts)
+        if (prevSeg != null)
+          assert(totalCost(seg) <= totalCost(prevSeg),
+            s"E-lemma violated in round $round for $vocab")
+        // exact Viterbi likelihood of (seg, eff): L = prod c_p^n_p / T^N
+        val usage = collection.mutable.Map.empty[String, Long]
+        vocab.foreach { case (w, f) =>
+          seg(w).foreach(p => usage(p) = usage.getOrElse(p, 0L) + f)
+        }
+        val t = BigInt(eff.valuesIterator.sum)
+        val n = usage.values.sum
+        val a = usage.foldLeft(BigInt(1)) { case (acc, (p, np)) =>
+          acc * BigInt(eff(p)).pow(np.toInt)
+        }
+        val lik = (a, t.pow(n.toInt))
+        // end-to-end: L_t >= L_{t-1} via cross-multiplication (exact)
+        if (prevLik != null)
+          assert(lik._1 * prevLik._2 >= prevLik._1 * lik._2,
+            s"likelihood decreased in round $round for $vocab")
+        prevSeg = seg
+        prevLik = lik
+        eff = Unigram.emRound(vocab, eff, alpha, knobs)
+      }
+    }
+  }
+
+  test("coverage: every alphabet symbol survives training; recurring " +
+    "CJK runs learn multi-symbol pieces") {
+    val vocab = Seq(("世界算法", 9L), ("世界", 11L), ("算法", 7L),
+      ("ab世界", 3L), ("xy", 5L))
+    val model = Unigram.trainFromVocab(vocab,
+      Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L, seedSize = 100,
+        emRounds = 2, vocabTarget = 8, postEmRounds = 1))
+    val alpha = vocab.flatMap { case (w, _) => Bpe.initial(w) }.toSet
+    assert(alpha.subsetOf(model.pieces.toSet),
+      s"coverage lost: ${alpha.diff(model.pieces.toSet)}")
+    assert(model.pieces.exists(p => p.contains("世界") && p.length > 2),
+      s"no multi-symbol CJK piece in ${model.pieces}")
+    // ids are positions in cp order - the oracle's row_number replay
+    assert(model.pieces == model.pieces.sorted(Bpe.cpOrder))
+  }
+
+  test("distributed encode equals the driver-side Viterbi reference; " +
+    "NULL texts absent") {
+    val model = Unigram.train(docs, "text",
+      Unigram.Knobs(maxPieceSyms = 4, minSeedCount = 2L, seedSize = 400,
+        emRounds = 2, vocabTarget = 60, postEmRounds = 1))
+    val got = Unigram.encode(docs, "doc_id", "text", model)
+      .select("doc_id", "pieces", "n_tokens", "n_unk")
+      .as[(Long, Seq[String], Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val raw = docs.select("doc_id", "text")
+      .as[(Long, Option[String])].collect()
+    val maxLen = model.pieces.map(Unigram.symLen).max
+    raw.foreach { case (id, otext) =>
+      otext match {
+        case None => assert(!got.contains(id))
+        case Some(text) =>
+          val want = graft.functions.TextAnalysis.jvmTokens(text).toSeq
+            .flatMap(w => Unigram.viterbi(Bpe.initial(w),
+              model.costOf.get, maxLen, unkSingles = true))
+          val (_, pieces, nTok, nUnk) = got(id)
+          assert(pieces == want, s"doc $id")
+          assert(nTok == want.length.toLong && nUnk == 0L)
+      }
+    }
+  }
+
+  test("unk policies under a frozen vocabulary: unkId + n_unk, " +
+    "failOnUnk loud, byteFallback total with decode roundtrip") {
+    val model = Unigram.trainFromVocab(
+      Seq(("abc", 5L), ("ab", 7L), ("cc", 4L)),
+      Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L, seedSize = 50,
+        emRounds = 1, vocabTarget = 6, postEmRounds = 1))
+    val fresh = Seq((1L, "abc 世x ab")).toDF("doc_id", "text")
+    // default: unknown symbols keep their slot at unkId with telemetry
+    val r1 = Unigram.encode(fresh, "doc_id", "text", model)
+      .select("pieces", "token_ids", "n_unk")
+      .as[(Seq[String], Seq[Long], Long)].head()
+    assert(r1._3 == 2L, s"$r1") // 世 and x both unseen
+    assert(r1._1.contains("世") && r1._2.contains(-1L))
+    // failOnUnk: loud
+    val e = intercept[org.apache.spark.SparkException] {
+      Unigram.encode(fresh, "doc_id", "text", model, failOnUnk = true)
+        .collect()
+    }
+    assert(e.getCause.getMessage.contains("not in the frozen"))
+    // byteFallback: total encoding, decode reproduces the normal form
+    val enc = Unigram.encode(fresh, "doc_id", "text", model,
+      byteFallback = true)
+    val dec = Bpe.decode(enc, "doc_id", "token_ids",
+      model.vocab(byteFallback = true))
+      .select("text", "n_invalid").as[(String, Long)].head()
+    assert(dec == ("abc 世x ab", 0L), s"$dec")
+  }
+
+  test("artifact roundtrip; a BPE artifact refuses to load as unigram") {
+    val model = Unigram.trainFromVocab(
+      Seq(("low", 5L), ("newest", 6L)),
+      Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L, seedSize = 20,
+        emRounds = 1, vocabTarget = 5, postEmRounds = 0),
+      preTok = Bpe.PreTok.CpClass)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-uni-artifact").toString
+    Unigram.saveModel(spark, dir, model)
+    val back = Unigram.loadModel(spark, dir)
+    assert(back == model)
+    // a Bpe.saveTokenizer artifact (no algo key) must fail loud
+    val bpeDir = java.nio.file.Files
+      .createTempDirectory("graft-bpe-artifact").toString
+    Bpe.saveTokenizer(spark, bpeDir, Seq(("a", "b")), Seq("a", "b", "ab"))
+    val err = intercept[IllegalArgumentException] {
+      Unigram.loadModel(spark, bpeDir)
+    }
+    assert(err.getMessage.contains("not 'unigram'"))
+  }
+
+  test("fertility: planted recurring CJK under CpClass - unigram " +
+    "output matches the Bpe.fertility column contract") {
+    val corpus = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), lit("en").as("lang"), col("text"))
+      .unionAll(docs.filter(col("text").isNotNull).limit(20)
+        .select((col("doc_id") + 5000L).as("doc_id"),
+          lit("zz").as("lang"),
+          org.apache.spark.sql.functions.concat(col("text"),
+            lit(" 世界算法 世界算法")).as("text")))
+    val cp = Bpe.PreTok.CpClass
+    val model = Unigram.train(corpus, "text",
+      Unigram.Knobs(maxPieceSyms = 4, minSeedCount = 2L, seedSize = 400,
+        emRounds = 1, vocabTarget = 60, postEmRounds = 1), preTok = cp)
+    val f = Unigram.fertility(corpus, "doc_id", "text", "lang", model)
+      .orderBy("lang")
+      .select("lang", "n_docs", "pieces_per_kchar")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(f.map(_._1) == Seq("en", "zz"))
+    assert(f.forall(_._3 > 0L))
+    // the recurring planted run is segmented with learned pieces, not
+    // at the 1-piece-per-symbol ceiling: the zz slice's fertility must
+    // sit below (chars + markers) per char
+    val zz = f.find(_._1 == "zz").get
+    assert(zz._2 == 20L)
+  }
+}
