@@ -81,7 +81,18 @@ object CdcChunks {
   /** One pass: boundary hashes with the exact [[WindowHashes]]
     * arithmetic (token chars + single-space separators, mult 31, mod
     * [[TextAnalysis.P]]), chunk identity via [[PolyHash.wideHash]] of
-    * the space-joined chunk. */
+    * the space-joined chunk.
+    *
+    * ROLLING boundary hash — O(total chars), not O(w · positions ·
+    * token chars): each token's polynomial hash and code-point length
+    * are computed once, then the window hash advances by the LBFS-style
+    * subtract-and-shift identity `hash(AB) = hash(A)·31^|B| + hash(B)`
+    * (drop the outgoing `tok + ' '` prefix, append the incoming
+    * `' ' + tok` suffix; powers of 31 mod P from a window-length-bounded
+    * table). Bitwise-identical to the per-position recompute
+    * ([[computeReference]], parity spec over random corpora) — the
+    * arithmetic is the same polynomial, only the evaluation order
+    * changed, so every q143-q146 boundary and hash is unchanged. */
   def compute(s: String, w: Int, maskBits: Int): ArrayData = {
     require(w >= 1, s"window width must be >= 1, got $w")
     require(maskBits >= 1 && maskBits <= 30,
@@ -90,8 +101,103 @@ object CdcChunks {
     val L = toks.length
     val mod = 1L << maskBits
     val p = TextAnalysis.P
+    // per-token polynomial hash + code-point length, once
+    val th = new Array[Long](L)
+    val tl = new Array[Int](L)
+    var t = 0
+    while (t < L) {
+      val tok = toks(t)
+      var acc = 0L
+      var n = 0
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        acc = (acc * 31 + cp) % p
+        i += Character.charCount(cp)
+        n += 1
+      }
+      th(t) = acc
+      tl(t) = n
+      t += 1
+    }
+    // powers of 31 mod p, grown to the max window char length seen
+    var pows = new Array[Long](64)
+    pows(0) = 1L
+    var powN = 1
+    def pow31(e: Int): Long = {
+      if (e >= powN) {
+        if (e >= pows.length)
+          pows = java.util.Arrays.copyOf(pows,
+            math.max(pows.length * 2, e + 1))
+        var i = powN
+        while (i <= e) { pows(i) = (pows(i - 1) * 31) % p; i += 1 }
+        powN = e + 1
+      }
+      pows(e)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var prev = 0 // last boundary's 1-based end token (0 = doc start)
+    def emit(endIncl: Int): Unit = {
+      val chunk = toks.slice(prev, endIncl).mkString(" ")
+      out += InternalRow(prev + 1, endIncl - prev,
+        PolyHash.wideHash(chunk))
+      prev = endIncl
+    }
+    val m = L - w + 1
+    if (w == 1) {
+      var k = 0
+      while (k < m) {
+        if (th(k) % mod == 0L) emit(k + 1)
+        k += 1
+      }
+    } else if (m >= 1) {
+      // seed the hash of window [0, w): tokens joined by single spaces
+      var h = 0L
+      var winLen = 0
+      var j = 0
+      while (j < w) {
+        if (j > 0) { h = (h * 31 + ' '.toInt) % p; winLen += 1 }
+        h = (h * pow31(tl(j)) + th(j)) % p
+        winLen += tl(j)
+        j += 1
+      }
+      var k = 0
+      while (k < m) {
+        if (k > 0) {
+          // drop `toks(k-1) + ' '`, append `' ' + toks(k+w-1)`
+          val dp = tl(k - 1) + 1
+          val restLen = winLen - dp
+          val hp = (th(k - 1) * 31 + ' '.toInt) % p
+          var rest = (h - (hp * pow31(restLen)) % p) % p
+          if (rest < 0L) rest += p
+          val tn = k + w - 1
+          val hT = (' '.toInt * pow31(tl(tn)) + th(tn)) % p
+          h = (rest * pow31(tl(tn) + 1) + hT) % p
+          winLen = restLen + 1 + tl(tn)
+        }
+        if (h % mod == 0L) emit(k + w)
+        k += 1
+      }
+    }
+    if (prev < L) emit(L)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The pre-optimization per-position window recompute — O(w · L ·
+    * token chars) — kept as the PARITY ORACLE for [[compute]]'s rolling
+    * evaluation (CdcChunksSpec pins bitwise-identical output on random
+    * corpora; the oracle gate pins q143-q146 unchanged). */
+  private[graft] def computeReference(s: String, w: Int,
+                                      maskBits: Int): ArrayData = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    require(maskBits >= 1 && maskBits <= 30,
+      s"mask bits must be in [1, 30], got $maskBits")
+    val toks = TextAnalysis.jvmTokens(s)
+    val L = toks.length
+    val mod = 1L << maskBits
+    val p = TextAnalysis.P
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var prev = 0
     def emit(endIncl: Int): Unit = {
       val chunk = toks.slice(prev, endIncl).mkString(" ")
       out += InternalRow(prev + 1, endIncl - prev,
@@ -101,7 +207,6 @@ object CdcChunks {
     var k = 0
     val m = L - w + 1
     while (k < m) {
-      // 31-bit polynomial over window [k, k+w-1] joined by spaces
       var acc = 0L
       var j = 0
       while (j < w) {

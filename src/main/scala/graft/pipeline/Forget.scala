@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamBoilerplate, StreamCuration, StreamDataCard, StreamGraphIndex, StreamGraphShards, StreamMediaCuration}
+import graft.streaming.{StreamBoilerplate, StreamCuration, StreamDataCard, StreamGraphIndex, StreamGraphShards, StreamMediaCuration, StreamSplit}
 
 /** THE DELETION EVENT, end to end — one call that cascades a takedown
   * (DMCA, robots, recrawl tombstones; the reference's own deleted-item
@@ -26,11 +26,51 @@ import graft.streaming.{StreamBoilerplate, StreamCuration, StreamDataCard, Strea
   * claims first (so a concurrent recrawl arriving mid-cascade can
   * re-claim instead of dropping), then indexes, then telemetry.
   *
-  * What this does NOT do, by design: rewrite the materialized corpus
-  * (the caller's storage layer owns row deletion) or the pack shards —
-  * [[graft.operators.Packing.forgetPacks]] RETURNS the masked packs
-  * because writing training files back is the caller's sink; run it on
-  * the `n_forgotten > 0` rows alongside this cascade.
+  * The two plain-parquet legs — the materialized corpus
+  * ([[graft.store.CorpusForget]]) and the materialized pack shards
+  * ([[graft.store.PackForget]], composing
+  * [[graft.operators.Packing.forgetPacks]] with the same O(touched
+  * files) surgery) — rewrite ONLY the files a deleted id touches. A
+  * deployment whose sink is not a plain parquet dir can still run
+  * `forgetPacks` itself on the `n_forgotten > 0` rows.
+  *
+  * ==Deletion coverage: every standing store in `graft.streaming`==
+  *
+  * Per-document state, RETRACTABLE and wired (or wireable) here:
+  *  - `IncrementalDedup` / `IncrementalBanded64` / `IncrementalLineDedup`
+  *    / `IncrementalImageDedup` / `IncrementalVideoDedup` and the
+  *    curation funnels ([[StreamCuration]]/[[StreamMediaCuration]], the
+  *    `textClaimsDir`/`mediaClaimsDir` legs): first-writer claim
+  *    stores — [[graft.store.ClaimRetraction]] clears the dead
+  *    claimant's buckets.
+  *  - [[StreamSplit]] (`splitClaimsDir`): bucket → representative
+  *    claims + the merge audit log — `StreamSplit.retract` (shipped
+  *    splits stay immutable; `reconcile` is the repair).
+  *  - [[StreamGraphIndex]] / [[StreamGraphShards]] (`graphIndexDir`/
+  *    `graphShardsDir`): tombstone-then-vacuum deletion.
+  *  - `StreamRetrieval` / `StreamVectorIndex` maintain the standing
+  *    BM25 / IVF indexes (`bm25IndexDir`/`vectorIndexDir` legs).
+  *  - [[StreamDataCard]] / `StreamValueHist` (StreamStats) /
+  *    [[StreamBoilerplate]] counts: additive accumulators with exact
+  *    `retract` decrements (`card`/`boiler`/`cdcBoiler` legs; a
+  *    ValueHist is retracted through its own `retract` — it tracks
+  *    whatever value column the deployment feeds it, so the caller
+  *    supplies the deleted rows' values the same way the card leg
+  *    does).
+  *
+  * NO per-document standing state — deletion waiver, with the reason:
+  *  - `StreamDrift` / `StreamDsir` / `StreamDecontam`: binder-frozen
+  *    BOOKS (reference term counts, DSIR ratio books, eval n-gram
+  *    sets) + stateless per-batch scoring. Nothing per-document to
+  *    clear; if a deleted document was part of the frozen reference/
+  *    seed corpus, the remedy is re-deriving the binder from the
+  *    surviving corpus — already the prescribed per-release discipline
+  *    in each class's contract.
+  *  - `Trending` / `SessionPipeline` / `EventJobs` /
+  *    `LivestreamRunner`: the reference's ITEM domain — their state is
+  *    the item store itself, whose deletion story is the reference's
+  *    own tombstone semantics ([[graft.operators.Merge]] keep-old +
+  *    `deleted` flags), not this cascade.
   */
 object Forget {
 
@@ -68,6 +108,13 @@ object Forget {
     * valid). */
   final case class CorpusTarget(dir: String, idCol: String)
 
+  /** The pack-stream leg's handle: a materialized
+    * [[graft.operators.Packing.packTokenStreams]] parquet dataset (with
+    * `doc_ids`) and the pad id its maskings write —
+    * [[graft.store.PackForget]] masks deleted members' footprints in
+    * place, rewriting only touched files. */
+  final case class PackTarget(dir: String, padId: Long)
+
   /** Cascade the takedown of `ids` through every enabled target.
     * Returns one [[Receipt]] per enabled leg (enabled-but-empty legs
     * report 0 — the audit artifact must show the leg RAN). Fails loud
@@ -76,6 +123,7 @@ object Forget {
   def cascade(spark: SparkSession, ids: Seq[Long],
               textClaimsDir: Option[String] = None,
               mediaClaimsDir: Option[String] = None,
+              splitClaimsDir: Option[String] = None,
               bm25IndexDir: Option[String] = None,
               vectorIndexDir: Option[String] = None,
               graphIndexDir: Option[String] = None,
@@ -83,7 +131,8 @@ object Forget {
               card: Option[CardTarget] = None,
               boiler: Option[BoilerTarget] = None,
               cdcBoiler: Option[CdcBoilerTarget] = None,
-              corpus: Option[CorpusTarget] = None): Seq[Receipt] = {
+              corpus: Option[CorpusTarget] = None,
+              packs: Option[PackTarget] = None): Seq[Receipt] = {
     require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
       s"${ids.size} deletion ids exceed the " +
         s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling")
@@ -97,6 +146,8 @@ object Forget {
       StreamCuration.retract(spark, d, ids)))
     mediaClaimsDir.foreach(d => b += Receipt("media_claims",
       StreamMediaCuration.retract(spark, d, ids)))
+    splitClaimsDir.foreach(d => b += Receipt("split_claims",
+      StreamSplit.retract(spark, d, ids)))
     bm25IndexDir.foreach(d => b += Receipt("bm25_index",
       graft.operators.Retrieval.bm25DeleteIndex(spark, d, ids)))
     vectorIndexDir.foreach(d => b += Receipt("vector_index",
@@ -126,6 +177,11 @@ object Forget {
       t.counts.retract(rows, t.idCol, t.textCol, s"r${t.eventId}")
       b += Receipt("cdc_counts", rows.count())
     }
+    packs.foreach { t =>
+      val r = graft.store.PackForget.forget(spark, t.dir, ids, t.padId)
+      b += Receipt("pack_members", r.membersMasked)
+      b += Receipt("pack_files", r.filesTouched)
+    }
     corpus.foreach { t =>
       val r = graft.store.CorpusForget.forget(spark, t.dir, t.idCol, ids)
       // both numbers, each under the name that says what it counts
@@ -147,11 +203,13 @@ object Forget {
   def verify(spark: SparkSession, ids: Seq[Long],
              textClaimsDir: Option[String] = None,
              mediaClaimsDir: Option[String] = None,
+             splitClaimsDir: Option[String] = None,
              bm25IndexDir: Option[String] = None,
              vectorIndexDir: Option[String] = None,
              graphIndexDir: Option[String] = None,
              graphShardsDir: Option[String] = None,
-             corpus: Option[CorpusTarget] = None): Seq[Receipt] = {
+             corpus: Option[CorpusTarget] = None,
+             packs: Option[PackTarget] = None): Seq[Receipt] = {
     require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
       s"${ids.size} audit ids exceed the " +
         s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling")
@@ -160,6 +218,8 @@ object Forget {
       StreamCuration.held(spark, d, ids)))
     mediaClaimsDir.foreach(d => b += Receipt("media_claims",
       StreamMediaCuration.held(spark, d, ids)))
+    splitClaimsDir.foreach(d => b += Receipt("split_claims",
+      StreamSplit.held(spark, d, ids)))
     bm25IndexDir.foreach(d => b += Receipt("bm25_index",
       graft.operators.Retrieval.bm25Held(spark, d, ids)))
     vectorIndexDir.foreach(d => b += Receipt("vector_index",
@@ -170,6 +230,8 @@ object Forget {
       StreamGraphShards.held(spark, d, ids)))
     corpus.foreach(t => b += Receipt("corpus_rows",
       graft.store.CorpusForget.held(spark, t.dir, t.idCol, ids)))
+    packs.foreach(t => b += Receipt("pack_members",
+      graft.store.PackForget.held(spark, t.dir, ids)))
     b.result()
   }
 }

@@ -43,6 +43,26 @@ object ForgetAudit {
       repetitionTopBigramMilli = 1000)
     graft.Bench.runFully(curate(docs.select("doc_id", "text", "source"), 0L))
 
+    // the materialized pack-stream dataset (q132's shape: BPE-encoded
+    // docs, epoch-shuffled, token-budget packs with doc_ids) — the
+    // cascade's in-place mask leg works against this
+    val packsDir = s"$base/packs"
+    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 30)
+    val vocab = graft.operators.Bpe.vocabOf(
+      graft.operators.Bpe.alphabetOf(docs, "text"), merges)
+    val encTok = graft.operators.Bpe
+      .encode(docs, "doc_id", "text", merges, vocab)
+      .select(col("doc_id"), col("token_ids"))
+    val eps = graft.operators.Mixing.epochShuffle(
+      docs.select("doc_id").join(encTok, Seq("doc_id")),
+      "doc_id", seed = 7L, nShards = 8)
+    graft.operators.Packing.packTokenStreams(eps, "shard", "pos",
+      "token_ids", budget = 700L, sepId = vocab.length.toLong,
+      docIdCol = Some("doc_id"))
+      .repartitionByRange(16, col("pack_id"))
+      .write.parquet(packsDir)
+    val padId = vocab.length.toLong + 1L
+
     // standing BM25 + IVF indexes and the cumulative card
     val bm25Dir = s"$base/bm25"
     graft.operators.Retrieval.bm25WriteIndex(docs, "doc_id", "text",
@@ -65,14 +85,16 @@ object ForgetAudit {
       vectorIndexDir = Some(ivfDir),
       card = Some(Forget.CardTarget(card,
         docs.filter(col("doc_id") % 101 === 3), "doc_id", eventId = 1L)),
-      corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")))
+      corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")),
+      packs = Some(Forget.PackTarget(packsDir, padId)))
     val cascadeSec = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val audit = Forget.verify(spark, dead,
       textClaimsDir = Some(claimsDir),
       bm25IndexDir = Some(bm25Dir),
       vectorIndexDir = Some(ivfDir),
-      corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")))
+      corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")),
+      packs = Some(Forget.PackTarget(packsDir, padId)))
     val verifySec = (System.nanoTime() - t1) / 1e9
     val allZero = audit.forall(_.removed == 0L)
     // scattered locality: replacements carry the deterministic name

@@ -194,6 +194,7 @@ object UnigramQ {
       prevEff = pfx + "eff"
     }
     parts += costMapCtes("uf", prevEff)
+    parts += s"ufeff AS (SELECT piece, c FROM $prevEff)"
     parts += s"""uw0e AS (SELECT word,
        |  list_append(list_transform(range(1, length(word) + 1),
        |    i -> substring(word, CAST(i AS INTEGER), 1)), '</w>') AS syms
@@ -357,5 +358,115 @@ object UnigramQ {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q147, q148, q149)
+  /** q150: GLOBAL TOKEN-BALANCED PACK STREAMS DENOMINATED IN UNIGRAM
+    * TOKENS — q132's loader artifact with the weight, ids and
+    * separator re-based from the BPE tokenizer to the trained unigram
+    * vocabulary: proof the two families are interchangeable in the
+    * packing pipeline (same epoch-shuffle seed 7 / 8 shards, budget
+    * 700, weight = n_pieces + 1 counting the trailing separator,
+    * separator id one past the vocabulary). The oracle replays
+    * training, Viterbi segmentation, ids, the shuffle key, the global
+    * prefix sum AND the concatenation, position by position. */
+  val q150 = Q(
+    "q150_unigram_pack_streams",
+    s"""WITH RECURSIVE
+       |${chain()},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM documents),
+       |pcs AS (SELECT t.doc_id, t.tp, f.pieces
+       |        FROM tokq t JOIN ufvfin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(pieces) AS piece,
+       |                unnest(range(1, len(pieces) + 1)) AS sp FROM pcs),
+       |docids AS (SELECT f.doc_id, v.vid,
+       |                  row_number() OVER (PARTITION BY f.doc_id
+       |                    ORDER BY f.tp, f.sp) AS dp
+       |           FROM flat f JOIN uvoc v ON v.piece = f.piece),
+       |ucnt AS (SELECT t.doc_id,
+       |                CAST(SUM(len(f.pieces)) AS BIGINT) AS n_pieces
+       |         FROM tokq t JOIN ufvfin f USING (word)
+       |         GROUP BY t.doc_id),
+       |usepv AS (SELECT CAST(COUNT(*) AS BIGINT) AS sep FROM uvoc),
+       |k AS (SELECT d.doc_id, c.n_pieces + 1 AS w,
+       |             (${TextQ.sqlHash("'7:' || CAST(d.doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM documents d JOIN ucnt c ON c.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard, w
+       |      FROM k),
+       |ww AS (SELECT doc_id, ek, shard, w,
+       |         SUM(w) OVER (ORDER BY shard, ek, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM s),
+       |pk AS (SELECT doc_id, ek, shard, w,
+       |              CAST((cum - w) // 700 AS BIGINT) AS pack_id FROM ww),
+       |tok2 AS (SELECT doc_id, vid, dp FROM docids
+       |         UNION ALL
+       |         SELECT p.doc_id, (SELECT sep FROM usepv) AS vid,
+       |                p.w AS dp
+       |         FROM pk p),
+       |expl AS (SELECT p.pack_id, p.shard, p.ek, t.doc_id, t.dp, t.vid
+       |         FROM tok2 t JOIN pk p USING (doc_id)),
+       |outp AS (SELECT pack_id,
+       |                CAST(row_number() OVER (PARTITION BY pack_id
+       |                  ORDER BY shard, ek, doc_id, dp) - 1 AS BIGINT)
+       |                  AS pos,
+       |                vid AS token_id FROM expl)
+       |SELECT pack_id, pos, token_id FROM outp
+       |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = Unigram.train(docs, "text", K)
+    val enc = Unigram.encode(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("token_ids"))
+    val e = graft.operators.Mixing.epochShuffle(
+      docs.select("doc_id").join(enc, Seq("doc_id")),
+      "doc_id", seed = 7L, nShards = 8)
+    graft.operators.Packing.packTokenStreams(e, "shard", "pos",
+      "token_ids", budget = 700L, sepId = model.pieces.length.toLong)
+      .select(col("pack_id"), posexplode(col("token_ids")))
+      .select(col("pack_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+      .orderBy("pack_id", "pos")
+  }
+
+  /** q151: VOCABULARY UTILIZATION — the per-piece table tokenizer
+    * teams audit before shipping an embedding matrix: every piece's
+    * stable id, TRAINED count, fixed-point cost, and its ACTUAL usage
+    * under the final segmentation of the corpus (Σ word-frequency ×
+    * occurrences). Pieces the corpus never uses (singles kept only by
+    * the coverage floor) read 0 — the dead-slot count in the embedding
+    * table. The oracle replays the trained counts, the cost chain and
+    * the usage fold directly — the cost table itself goes under the
+    * hash gate, not just the segmentations it induces. */
+  val q151 = Q(
+    "q151_unigram_vocab_stats",
+    s"""WITH RECURSIVE
+       |${chain()},
+       |uses AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS n_uses
+       |         FROM (SELECT f.freq, unnest(b.pieces) AS piece
+       |               FROM ufvfin b JOIN uwf f USING (word))
+       |         GROUP BY piece)
+       |SELECT v.vid, v.piece, e.c AS train_count, co.cost,
+       |       COALESCE(u.n_uses, CAST(0 AS BIGINT)) AS n_uses
+       |FROM uvoc v
+       |JOIN ufeff e ON e.piece = v.piece
+       |JOIN ufcost co ON co.piece = v.piece
+       |LEFT JOIN uses u ON u.piece = v.piece
+       |ORDER BY v.vid""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val model = Unigram.train(docs, "text", K)
+    val stats = model.pieces.indices
+      .map(i => (i.toLong, model.pieces(i), model.counts(i),
+        model.costs(i)))
+      .toDF("vid", "piece", "train_count", "cost")
+    val uses = Unigram.encode(docs, "doc_id", "text", model)
+      .select(explode(col("pieces")).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("n_uses"))
+    stats.join(uses, Seq("piece"), "left")
+      .select(col("vid"), col("piece"), col("train_count"), col("cost"),
+        coalesce(col("n_uses"), lit(0L)).as("n_uses"))
+      .orderBy("vid")
+  }
+
+  val all: Seq[Q] = Seq(q147, q148, q149, q150, q151)
 }

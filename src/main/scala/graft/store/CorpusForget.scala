@@ -45,64 +45,7 @@ object CorpusForget {
 
   final case class Report(filesTouched: Long, rowsRemoved: Long)
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try s.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { Files.deleteIfExists(f); () })
-      finally s.close()
-    }
-
-  private def healPending(dir: String): Unit = {
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      // collect BEFORE deleting — a walk must not mutate under itself
-      val (pending, staleTmp) = {
-        val s = Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          val all = s.iterator().asScala.toList
-          (all.filter(_.getFileName.toString.endsWith(".forget.parquet")),
-            all.filter(p => Files.isDirectory(p) &&
-              p.getFileName.toString.startsWith(StagePrefix)))
-        } finally s.close()
-      }
-      pending.foreach { p =>
-        val orig = p.getParent.resolve(p.getFileName.toString
-          .stripSuffix(".forget.parquet") + ".parquet")
-        Files.deleteIfExists(orig); ()
-      }
-      // a crash mid-stage leaves a dot-prefixed staging dir (invisible
-      // to Spark readers — Hadoop listing skips '.'-named paths);
-      // sweep it so retries start clean
-      staleTmp.foreach(deleteRecursively)
-    }
-  }
-
-  /** Staging dirs live INSIDE the partition dir (same filesystem →
-    * `ATOMIC_MOVE` is a rename, so the deterministic `.forget.parquet`
-    * name only ever appears fully written) and are dot-prefixed so
-    * Spark's listing never sees them. */
-  private val StagePrefix = ".graft-forget-stage-"
-
-  /** Data files of the dataset (hidden '_'/'.' paths excluded — the
-    * same filter Spark's own listing applies). Empty after a takedown
-    * that killed every row: readers must report 0, not throw on schema
-    * inference over a bare `_SUCCESS`. */
-  private def dataFiles(dir: String): Seq[Path] = {
-    val s = Files.walk(Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-          !p.iterator().asScala.exists(seg => {
-            val sn = seg.getFileName.toString
-            sn.startsWith(StagePrefix)
-          })
-      }.toList
-    } finally s.close()
-  }
+  import ParquetSurgery.{dataFiles, healPending}
 
   /** Ids among `ids` still present in the dataset — the corpus leg of
     * [[graft.pipeline.Forget.verify]]: one pruned id-column scan. */
@@ -138,38 +81,8 @@ object CorpusForget {
           .collect().map(r => (r.getString(0), r.getLong(1)))
         touched.foreach { case (uri, _) =>
           val p = Paths.get(java.net.URI.create(uri))
-          val survivors = ClaimRetraction
-            .excluding(spark.read.parquet(p.toString), col(idCol), ids)
-            .localCheckpoint(true)
-          if (survivors.head(1).nonEmpty) {
-            // stage NEXT TO the target (same filesystem) so the final
-            // rename is ATOMIC_MOVE — a crash mid-write leaves only the
-            // dot-hidden staging dir, never a truncated .forget.parquet
-            // for healPending to trust over the intact original
-            val tmp = Files.createTempDirectory(p.getParent, StagePrefix)
-            survivors.coalesce(1).write
-              .mode("overwrite").parquet(tmp.toString)
-            val one = {
-              val s = Files.list(tmp)
-              try {
-                import scala.jdk.CollectionConverters._
-                s.iterator().asScala
-                  .filter(_.getFileName.toString.endsWith(".parquet"))
-                  .toSeq
-              } finally s.close()
-            }
-            require(one.size == 1, s"expected one part file, got $one")
-            val target: Path = p.getParent.resolve(
-              p.getFileName.toString.stripSuffix(".parquet")
-                + ".forget.parquet")
-            Files.move(one.head, target,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            deleteRecursively(tmp)
-          }
-          // deterministic-name replacement is in place (or the file died
-          // whole) — dropping the original completes this file
-          Files.deleteIfExists(p); ()
+          ParquetSurgery.replaceFile(spark, p, ClaimRetraction
+            .excluding(spark.read.parquet(p.toString), col(idCol), ids))
         }
         Report(touched.length.toLong, touched.map(_._2).sum)
       }

@@ -55,10 +55,7 @@ final class StreamSplit(spark: SparkSession, root: String,
   require(valMilli >= 0 && valMilli <= 1000, "valMilli must be in [0, 1000]")
   require(compactEvery >= 1, "compactEvery must be >= 1")
 
-  private val schema = StructType(Seq(
-    StructField("bkey", StringType, nullable = false),
-    StructField("rep", LongType, nullable = false)))
-  private val snaps = new Snapshots(spark, root, schema)
+  private val snaps = new Snapshots(spark, root, StreamSplit.claimsSchema)
 
   def init(): Unit = {
     graft.functions.PolyHash.ensureRegistered(spark) // strHash placement
@@ -161,6 +158,79 @@ final class StreamSplit(spark: SparkSession, root: String,
 }
 
 object StreamSplit {
+
+  private[streaming] val claimsSchema = StructType(Seq(
+    StructField("bkey", StringType, nullable = false),
+    StructField("rep", LongType, nullable = false)))
+
+  /** RETRACTION — the split tier's leg of a deletion cascade
+    * ([[graft.pipeline.Forget.cascade]] wires it as `splitClaimsDir`):
+    * a DELETED document's id must not keep governing future placements
+    * (its claimed buckets would keep assigning arriving near-dups the
+    * dead id's split forever), so every claim whose representative is
+    * in `ids` is dropped — the next arrival in those buckets claims
+    * them first-writer-wins, exactly the
+    * [[graft.store.ClaimRetraction]] semantics — and the merge audit
+    * log's rows naming a dead id are scrubbed. SHIPPED splits are NOT
+    * repaired (immutable by design — the class contract);
+    * [[reconcile]] over the surviving corpus is the repair, as for
+    * every other divergence. Buckets claimed by SURVIVING reps stay:
+    * a shared band bucket is equally the survivor's content
+    * fingerprint (collision ⇒ near-duplication). Returns claims
+    * dropped. */
+  def retract(spark: SparkSession, root: String, ids: Seq[Long]): Long = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "current")),
+      s"no split-claim store at $root — nothing to retract from")
+    val snaps = new Snapshots(spark, root, claimsSchema)
+    val n = graft.store.ClaimRetraction.retract(snaps, ids, "rep")
+    // scrub merge-event audit rows that name a dead id (numeric ids
+    // only, but a takedown receipt should not keep citing them)
+    val mergesDir = new org.apache.hadoop.fs.Path(s"$root/merges")
+    val fs = mergesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mergesDir) && fs.listStatus(mergesDir).nonEmpty) {
+      import graft.store.ClaimRetraction.excluding
+      val all = spark.read.parquet(s"$root/merges/*")
+      val alive = excluding(excluding(excluding(all,
+        col("id"), ids), col("rep_kept"), ids), col("rep_lost"), ids)
+        .localCheckpoint(true)
+      if (alive.count() != all.count()) {
+        // the log is a bounded audit artifact (one row per rare bridge
+        // event) — a whole-log rewrite is the simple correct move; a
+        // crash between delete and rename leaves the filtered log at
+        // merges-retract-tmp (an audit-log-only window, retryable)
+        val tmp = s"$root/merges-retract-tmp"
+        alive.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fs.delete(mergesDir, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), mergesDir)
+        ()
+      }
+    }
+    n
+  }
+
+  /** Audit read for [[retract]]: claims still held by `ids` plus merge
+    * rows still naming them — 0 after a completed retraction. */
+  def held(spark: SparkSession, root: String, ids: Seq[Long]): Long =
+    if (ids.isEmpty) 0L
+    else {
+      require(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "current")),
+        s"no split-claim store at $root — nothing to audit")
+      val snaps = new Snapshots(spark, root, claimsSchema)
+      var n = graft.store.ClaimRetraction.held(snaps, ids, "rep")
+      val mergesDir = new org.apache.hadoop.fs.Path(s"$root/merges")
+      val fs = mergesDir.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(mergesDir) && fs.listStatus(mergesDir).nonEmpty) {
+        import graft.store.ClaimRetraction.among
+        val all = spark.read.parquet(s"$root/merges/*")
+        n += among(all, col("id"), ids)
+          .unionAll(among(all, col("rep_kept"), ids))
+          .unionAll(among(all, col("rep_lost"), ids)).count()
+      }
+      n
+    }
 
   /** BATCH RECONCILE against q96 ground truth — the repair bound on the
     * streaming contract's shipped-cluster divergence: re-split the full

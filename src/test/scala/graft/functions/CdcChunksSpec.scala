@@ -81,6 +81,28 @@ class CdcChunksSpec extends AnyFunSuite {
       s"fixed grid kept $fixedShared >= CDC's $shared — fixture too easy")
   }
 
+  test("rolling boundary hash is bitwise-identical to the per-position " +
+    "recompute on random corpora, across window widths and masks") {
+    def render(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+        : Seq[(Int, Int, Long)] =
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3)
+        (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "bb", "ccc", "xy1", "-", "世界", "😀", "e",
+      "tok", "q9", "", "zz world")
+    val corpora = (1 to 40).map { _ =>
+      (0 until (1 + rnd.nextInt(600)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString(" ")
+    } ++ Seq("", "one", "a  b\t c\n", base)
+    for (text <- corpora; w <- Seq(1, 2, 3, 8, 13); b <- Seq(1, 4, 5)) {
+      val fast = render(CdcChunks.compute(text, w, b))
+      val slow = render(CdcChunks.computeReference(text, w, b))
+      assert(fast == slow, s"divergence at w=$w b=$b on '${text.take(40)}'")
+    }
+  }
+
   test("short and empty documents are one whole-document chunk") {
     assert(opChunks("only three tokens") ==
       Seq((1, 3, PolyHash.wideHash("only three tokens"))))

@@ -137,6 +137,34 @@ class StreamSplitSpec extends AnyFunSuite {
       "a converging inheritance must not be recorded as a merge")
   }
 
+  test("retraction: a deleted representative stops governing future " +
+    "placements; the next arrival re-claims; merge log is scrubbed") {
+    val dir = Files.createTempDirectory("graft-ssplit-ret").toString
+    val split = new StreamSplit(spark, dir, valMilli = 500, compactEvery = 8)
+    split.init()
+    val o1 = collect(split.assign(dfOf(5L -> base), "doc_id", "text", 0L))
+    assert(o1(5L)._1 == 5L)
+    // a twin inherits rep 5 while the claim stands
+    val o2 = collect(split.assign(
+      dfOf(20L -> base.replace("today", "tomorrow")), "doc_id", "text", 1L))
+    assert(o2(20L)._1 == 5L)
+    // the takedown: doc 5 deleted — its claims must clear
+    assert(StreamSplit.held(spark, dir, Seq(5L)) > 0L)
+    assert(StreamSplit.retract(spark, dir, Seq(5L)) > 0L)
+    assert(StreamSplit.held(spark, dir, Seq(5L)) == 0L)
+    // the next twin claims fresh: it no longer inherits the dead id.
+    // (doc 20's own claims from batch 1 still stand — it SHIPPED and
+    // survives — so the new arrival inherits 20 where buckets overlap,
+    // never 5.)
+    val o3 = collect(split.assign(dfOf(30L -> base), "doc_id", "text", 2L))
+    assert(o3(30L)._1 != 5L, s"dead rep still governs: ${o3(30L)}")
+    // shipped assignments were NOT rewritten (immutability contract):
+    // reconcile over the shipped corpus is the repair path, unchanged
+    val merged = split.mergeEvents().collect()
+    assert(!merged.exists(r => r.getLong(2) == 5L || r.getLong(3) == 5L),
+      "merge log still names the retracted id")
+  }
+
   test("signatureless short docs pass through as their own singletons") {
     val dir = Files.createTempDirectory("graft-ssplit2").toString
     val split = new StreamSplit(spark, dir)
