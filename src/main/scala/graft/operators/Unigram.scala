@@ -104,6 +104,24 @@ object Unigram {
     r
   }
 
+  /** Prune policy. [[PruneBy.Count]] (default, and what every oracle
+    * row replays): keep the `vocabTarget` multis with the highest
+    * usage counts — cheap, SQL-replayable, and what frequency-ranked
+    * trainers ship. [[PruneBy.Loss]] (the SentencePiece discipline,
+    * Kudo 2018 §3.2): keep the multis whose REMOVAL costs the corpus
+    * most — each candidate's loss is the exact integer cost increase
+    * when its words re-segment without it — which protects
+    * low-frequency pieces with no cheap decomposition (rare-script
+    * runs) over high-frequency pieces whose halves are nearly free.
+    * Loss pruning is deliberately NOT oracle-replayed (it would double
+    * the DP machinery per candidate inside the SQL chain); UnigramSpec
+    * pins its semantics against a brute-force reference instead. */
+  sealed trait PruneBy extends Serializable
+  object PruneBy {
+    case object Count extends PruneBy
+    case object Loss extends PruneBy
+  }
+
   /** Training knobs — every one replayed verbatim by the oracle chain.
     * `maxPieceSyms` bounds a piece's SYMBOL span (the lattice fan-in);
     * `seedSize` bounds the multi-symbol seed candidates (top by count,
@@ -112,7 +130,8 @@ object Unigram {
     * (coverage). */
   final case class Knobs(maxPieceSyms: Int = 6, minSeedCount: Long = 2L,
                          seedSize: Int = 1 << 20, emRounds: Int = 2,
-                         vocabTarget: Int = 1 << 15, postEmRounds: Int = 1) {
+                         vocabTarget: Int = 1 << 15, postEmRounds: Int = 1,
+                         pruneBy: PruneBy = PruneBy.Count) {
     require(maxPieceSyms >= 1 && seedSize >= 0 && emRounds >= 0 &&
       vocabTarget >= 0 && postEmRounds >= 0, s"bad knobs: $this")
   }
@@ -200,6 +219,158 @@ object Unigram {
     out.reverseIterator.toVector
   }
 
+  /** Total order on (cost, piece path): cost ascending, then the piece
+    * list element-wise by [[Bpe.cpCompare]] with a shorter prefix
+    * first — EXACTLY DuckDB's natural sort on `STRUCT(c, ps)` (BIGINT
+    * asc, then list-of-VARCHAR comparison under binary collation), so
+    * the oracle's `list_sort` replays the ranking bit for bit. */
+  private[graft] def pathLt(a: (Long, Vector[String]),
+                            b: (Long, Vector[String])): Boolean =
+    if (a._1 != b._1) a._1 < b._1
+    else {
+      val (pa, pb) = (a._2, b._2)
+      var i = 0
+      while (i < pa.length && i < pb.length) {
+        val c = Bpe.cpCompare(pa(i), pb(i))
+        if (c != 0) return c < 0
+        i += 1
+      }
+      pa.length < pb.length
+    }
+
+  /** The K CHEAPEST segmentations of one symbol sequence, in
+    * [[pathLt]] order — exact k-best min-plus DP (per-position top-k
+    * truncation is exact: costs are non-negative and appending a
+    * suffix never changes which of two prefixes is lexicographically
+    * first, so a global top-k path's every prefix ranks top-k at its
+    * position). The lattice for `encode`'s unk regime prices unknown
+    * single symbols at [[UnkSymCost]] when `unkSingles`. */
+  private[graft] def kbestViterbi(syms: IndexedSeq[String],
+                                  cost: String => Option[Long],
+                                  maxLen: Int, k: Int,
+                                  unkSingles: Boolean = false)
+      : Vector[(Long, Vector[String])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = syms.length
+    val hist = new Array[Vector[(Long, Vector[String])]](n + 1)
+    hist(0) = Vector((0L, Vector.empty))
+    var j = 1
+    while (j <= n) {
+      val cands = mutable.ArrayBuffer.empty[(Long, Vector[String])]
+      var i = math.max(0, j - maxLen)
+      while (i < j) {
+        val piece = syms.slice(i, j).mkString
+        val c = cost(piece) match {
+          case Some(v) => v
+          case None => if (unkSingles && j - i == 1) UnkSymCost else Inf
+        }
+        if (c < Inf) hist(i).foreach { case (pc, ps) =>
+          cands += ((pc + c, ps :+ piece))
+        }
+        i += 1
+      }
+      hist(j) = cands.sortWith(pathLt).take(k).toVector
+      j += 1
+    }
+    require(hist(n).nonEmpty,
+      s"unsegmentable symbol sequence ${syms.mkString("[", ",", "]")}")
+    hist(n)
+  }
+
+  /** SUBWORD REGULARIZATION (Kudo 2018 §3) — the training-data op that
+    * exposes a model to segmentation variants instead of one frozen
+    * argmax — as a DETERMINISTIC, oracle-replayable variant: each word
+    * OCCURRENCE picks among its [[kbestViterbi]] paths by a
+    * hash-geometric draw. `draw = polyhash(salt:id:tp) mod (2^m − 1)`
+    * (m = paths found, tp = the occurrence's 1-based pre-tok position),
+    * `pick = m − bitlength(draw + 1)` — the argmax gets ~1/2 the mass,
+    * rank r gets ~2^−(r+1) (the α-style bias toward the best path),
+    * and everything is pure integer arithmetic on both engines. Same
+    * salt + corpus ⇒ the same stream bit for bit (replayable shards);
+    * a NEW salt per epoch gives fresh diversity — exactly the
+    * epoch-shuffle discipline, applied to segmentation.
+    *
+    * Output contract, unk policy and scale shape are [[encode]]'s
+    * (broadcast model, per-partition word memo over the k-best lists,
+    * text crosses no exchange); the id participates in the draw via
+    * its STRING form (the oracle's `CAST(id AS VARCHAR)`). */
+  def encodeSampled(docs: DataFrame, idCol: String, textCol: String,
+                    model: Model, k: Int = 4, salt: String = "e1",
+                    unkId: Long = -1L, byteFallback: Boolean = false,
+                    failOnUnk: Boolean = false): DataFrame = {
+    require(k >= 1 && k <= 62,
+      s"k must be in [1, 62] (the draw is a 2^m − 1 modulus), got $k")
+    val spark = docs.sparkSession
+    val vocabSeq = model.vocab(byteFallback)
+    if (byteFallback) {
+      val vs = vocabSeq.toSet
+      require(Bpe.ByteSymbols.forall(vs.contains),
+        "byteFallback requires the 256 byte pieces in the vocabulary")
+    }
+    val costB = spark.sparkContext.broadcast(model.costOf)
+    val idsB = spark.sparkContext.broadcast(Bpe.vocabIds(vocabSeq))
+    val maxLen = math.max(1, model.pieces.iterator.map(symLen).max)
+    val preTok = model.preTok
+    val idField = docs.schema(docs.schema.fieldIndex(idCol))
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("pieces", ArrayType(StringType, containsNull = false)),
+      StructField("token_ids", ArrayType(LongType, containsNull = false)),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_unk", LongType, nullable = false)))
+    docs.select(col(idCol), col(textCol).cast("string"))
+      .mapPartitions { rows =>
+        val cost = costB.value
+        val ids = idsB.value
+        val memo = new java.util.HashMap[String, Array[Array[String]]](1 << 12)
+        rows.flatMap { r =>
+          if (r.isNullAt(1)) None
+          else {
+            val idStr = String.valueOf(r.get(0))
+            val toks = preTok.jvmSplit(r.getString(1))
+            val segd = mutable.ArrayBuffer.empty[String]
+            var tp = 1
+            while (tp <= toks.length) {
+              val w = toks(tp - 1)
+              var kb = memo.get(w)
+              if (kb == null) {
+                kb = kbestViterbi(Bpe.initial(w), cost.get, maxLen, k,
+                  unkSingles = true).map(_._2.toArray).toArray
+                if (memo.size < Bpe.MemoCap) memo.put(w, kb)
+              }
+              val m = kb.length
+              val draw = graft.functions.PolyHash
+                .hash(s"$salt:$idStr:$tp") % ((1L << m) - 1L)
+              val pick = m - (64 - java.lang.Long
+                .numberOfLeadingZeros(draw + 1L))
+              segd ++= kb(pick)
+              tp += 1
+            }
+            val pieces = mutable.ArrayBuffer.empty[String]
+            val tids = mutable.ArrayBuffer.empty[Long]
+            var nUnk = 0L
+            segd.foreach { pc =>
+              ids.get(pc) match {
+                case Some(v) => pieces += pc; tids += v
+                case None =>
+                  nUnk += 1
+                  if (byteFallback) Bpe.byteFallbackPieces(pc).foreach { bp =>
+                    pieces += bp; tids += ids(bp)
+                  }
+                  else if (failOnUnk) throw new IllegalStateException(
+                    s"unigram encodeSampled: piece '$pc' is not in the " +
+                      "frozen vocabulary (failOnUnk policy; enable " +
+                      "byteFallback for total encoding)")
+                  else { pieces += pc; tids += unkId }
+              }
+            }
+            Some(Row(r.get(0), pieces.toSeq, tids.toSeq,
+              tids.length.toLong, nUnk))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** SEED candidates from the word-frequency table: every symbol span
     * of ≤ `maxPieceSyms` symbols, counted per occurrence (overlapping
     * spans count; frequency-weighted), grouped by CONCATENATED STRING.
@@ -281,14 +452,60 @@ object Unigram {
     out
   }
 
+  /** [[PruneBy.Loss]]: each multi-symbol piece's EXACT integer corpus
+    * loss — Σ over words whose Viterbi path uses it of freq × (cost of
+    * the cheapest segmentation WITHOUT the piece − current cost),
+    * under the current cost table — then keep the `vocabTarget` multis
+    * with the LARGEST loss (count DESC then [[Bpe.cpOrder]] on ties).
+    * Always well-defined: singles survive every prune, so the
+    * alternative path exists. Driver cost: one extra Viterbi per
+    * (word, distinct multi piece in its path) — bounded by the vocab
+    * table, the trainer economics. */
+  private[graft] def pruneEffByLoss(vocab: Seq[(String, Long)],
+                                    eff: mutable.LinkedHashMap[String, Long],
+                                    alpha: Set[String], knobs: Knobs)
+      : mutable.LinkedHashMap[String, Long] = {
+    val cost = costsOf(eff)
+    val loss = mutable.HashMap.empty[String, Long]
+    vocab.foreach { case (w, f) =>
+      val syms = Bpe.initial(w)
+      val seg = viterbi(syms, cost.get, knobs.maxPieceSyms)
+      val base = seg.map(cost).sum
+      seg.distinct.filterNot(alpha.contains).foreach { p =>
+        val alt = viterbi(syms,
+          q => if (q == p) None else cost.get(q), knobs.maxPieceSyms)
+          .map(cost).sum
+        loss(p) = loss.getOrElse(p, 0L) + f * (alt - base)
+      }
+    }
+    val out = mutable.LinkedHashMap.empty[String, Long]
+    eff.foreach { case (p, c) => if (alpha.contains(p)) out(p) = c }
+    eff.iterator.filter { case (p, _) => !alpha.contains(p) }
+      .toArray
+      .sortWith { case ((pa, ca), (pb, cb)) =>
+        val la = loss.getOrElse(pa, 0L)
+        val lb = loss.getOrElse(pb, 0L)
+        if (la != lb) la > lb
+        else if (ca != cb) ca > cb
+        else Bpe.cpCompare(pa, pb) < 0
+      }
+      .take(knobs.vocabTarget)
+      .foreach { case (p, c) => out(p) = c }
+    out
+  }
+
   /** The full training loop over a collected word-frequency table,
-    * pure and spec-testable: seed → `emRounds` hard-EM rounds → prune →
-    * `postEmRounds` more → final costs. */
+    * pure and spec-testable: seed → `emRounds` hard-EM rounds → prune
+    * (by count or by loss, [[PruneBy]]) → `postEmRounds` more → final
+    * costs. */
   def trainFromVocab(vocab: Seq[(String, Long)], knobs: Knobs = Knobs(),
                      preTok: Bpe.PreTok = Bpe.PreTok.Whitespace): Model = {
     var (eff, alpha) = seedFromVocab(vocab, knobs)
     (1 to knobs.emRounds).foreach(_ => eff = emRound(vocab, eff, alpha, knobs))
-    eff = pruneEff(eff, alpha, knobs)
+    eff = knobs.pruneBy match {
+      case PruneBy.Count => pruneEff(eff, alpha, knobs)
+      case PruneBy.Loss => pruneEffByLoss(vocab, eff, alpha, knobs)
+    }
     (1 to knobs.postEmRounds)
       .foreach(_ => eff = emRound(vocab, eff, alpha, knobs))
     val cost = costsOf(eff)

@@ -468,5 +468,87 @@ object UnigramQ {
       .orderBy("vid")
   }
 
-  val all: Seq[Q] = Seq(q147, q148, q149, q150, q151)
+  /** K-best Viterbi DP + per-occurrence path table →
+    * `{pfx}fin(word, kb)` where `kb` is the [[Unigram.pathLt]]-ordered
+    * top-k `STRUCT(c, ps)` list (DuckDB's natural struct/list sort IS
+    * that order). */
+  private def kbestCtes(pfx: String, wordsCte: String, cmCte: String,
+                        maxLen: Int, k: Int): String = {
+    val empty = "CAST([] AS STRUCT(c BIGINT, ps VARCHAR[])[])"
+    val piece = s"""array_to_string(list_slice(syms,
+       |                   CAST(i + 1 AS INTEGER),
+       |                   CAST(j + 1 AS INTEGER)), '')""".stripMargin
+    s"""${pfx}dp AS (
+       |  SELECT word, syms, 0 AS j,
+       |         [[{'c': CAST(0 AS BIGINT), 'ps': CAST([] AS VARCHAR[])}]]
+       |           AS hist
+       |  FROM $wordsCte
+       |  UNION ALL
+       |  SELECT word, syms, j + 1, list_append(hist, topk)
+       |  FROM (
+       |    SELECT word, syms, j, hist,
+       |      list_slice(list_sort(flatten(
+       |        list_transform(range(greatest(0, j + 1 - $maxLen), j + 1),
+       |          i -> CASE WHEN map_extract($cmCte.m, $piece)[1] IS NULL
+       |               THEN $empty
+       |               ELSE list_transform(hist[CAST(i + 1 AS INTEGER)],
+       |                 cand -> {'c': cand.c +
+       |                            map_extract($cmCte.m, $piece)[1],
+       |                          'ps': list_append(cand.ps, $piece)})
+       |          END))), 1, $k) AS topk
+       |    FROM ${pfx}dp, $cmCte WHERE j < len(syms))),
+       |${pfx}fin AS MATERIALIZED (
+       |  SELECT word, hist[CAST(len(syms) + 1 AS INTEGER)] AS kb
+       |  FROM ${pfx}dp WHERE j = len(syms))""".stripMargin
+  }
+
+  /** q152: SUBWORD REGULARIZATION ([[Unigram.encodeSampled]], Kudo
+    * 2018 §3 made deterministic) — each word occurrence picks among
+    * its k-best segmentations by a hash-geometric draw (the argmax
+    * gets ~1/2 the mass, rank r ~2^−(r+1)), so a trainer sees
+    * segmentation VARIANTS while every shard stays bit-replayable
+    * (same salt ⇒ same stream; new salt per epoch ⇒ fresh diversity —
+    * the epoch-shuffle discipline applied to segmentation). The oracle
+    * replays the k-best DP (per-position top-k truncation is exact:
+    * costs non-negative, suffixes never flip a prefix's lex rank), the
+    * `2^m − 1` modulus, the bit-length pick and the flatten — every
+    * sampled token position hash-checked. */
+  val q152 = Q(
+    "q152_unigram_sampled_encode",
+    s"""WITH RECURSIVE
+       |${chain()},
+       |${kbestCtes("usmp", "uw0e", "ufcm", K.maxPieceSyms, 4)},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM documents),
+       |pick AS (SELECT doc_id, tp,
+       |                kb[CAST(len(kb) - (length(bin(
+       |                  (${TextQ.sqlHash(
+                            "'e1:' || CAST(doc_id AS VARCHAR) || ':' || " +
+                              "CAST(tp AS VARCHAR)")})
+       |                   % ((CAST(1 AS BIGINT) << len(kb)) - 1) + 1
+       |                  )) - 1) AS INTEGER)].ps AS pieces
+       |         FROM (SELECT t.doc_id, t.tp, f.kb
+       |               FROM tokq t JOIN usmpfin f USING (word))),
+       |flat AS (SELECT doc_id, tp, unnest(pieces) AS piece,
+       |                unnest(range(1, len(pieces) + 1)) AS sp FROM pick),
+       |outp AS (SELECT doc_id,
+       |                CAST(row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tp, sp) - 1 AS BIGINT) AS pos,
+       |                piece FROM flat)
+       |SELECT o.doc_id, o.pos, o.piece, v.vid AS token_id
+       |FROM outp o JOIN uvoc v ON v.piece = o.piece
+       |ORDER BY o.doc_id, o.pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = Unigram.train(docs, "text", K)
+    Unigram.encodeSampled(docs, "doc_id", "text", model, k = 4,
+      salt = "e1")
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("pieces"), col("token_ids"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.pieces").as("piece"), col("col.token_ids").as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val all: Seq[Q] = Seq(q147, q148, q149, q150, q151, q152)
 }

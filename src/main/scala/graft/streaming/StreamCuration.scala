@@ -219,12 +219,20 @@ object StreamCuration {
                 Seq[String])] = None,
               bpePreTok: graft.operators.Bpe.PreTok =
                 graft.operators.Bpe.PreTok.Whitespace,
+              unigramTokenizer: Option[graft.operators.Unigram.Model] = None,
               bpePackBudget: Option[Long] = None,
               onPackStreams: Option[(DataFrame, Long) => Unit] = None,
               onReport: Option[BatchReport => Unit] = None)
       : (DataFrame, Long) => DataFrame = {
-    require(bpePackBudget.isEmpty || bpeTokenizer.isDefined,
-      "bpePackBudget requires bpeTokenizer (the ids being packed)")
+    // ONE tokenizer family per funnel: the shipped token_ids column is
+    // a single id space (the unigram model carries its own PreTok; the
+    // output/report columns keep their historical bpe-prefixed names —
+    // they denote "the frozen tokenizer", whichever family)
+    require(bpeTokenizer.isEmpty || unigramTokenizer.isEmpty,
+      "bpeTokenizer and unigramTokenizer are mutually exclusive")
+    require(bpePackBudget.isEmpty ||
+      bpeTokenizer.isDefined || unigramTokenizer.isDefined,
+      "bpePackBudget requires a tokenizer (the ids being packed)")
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.WidePolyHash.ensureRegistered(spark)
     graft.functions.TokenStats.ensureRegistered(spark)
@@ -468,16 +476,22 @@ object StreamCuration {
         // with an empty id sequence, not silently vanish from the
         // shipped output; n_bpe_unk rides along so a consumer can gate
         // frozen-tokenizer drift (unknown pieces) per batch
-        val out = bpeTokenizer match {
+        val encoded = bpeTokenizer match {
           case Some((ms, vocab)) =>
             // bpePreTok must be the ARTIFACT's recorded policy
             // (loadTokenizer returns it) — encoding under a different
             // split than the trainer's silently drifts
-            val enc = graft.operators.Bpe.encode(mixedOut, idCol, textCol,
-              ms, vocab, preTok = bpePreTok)
-              .select(col(idCol), col("token_ids"),
-                col("n_tokens").as("n_bpe_tokens"),
-                col("n_unk").as("n_bpe_unk"))
+            Some(graft.operators.Bpe.encode(mixedOut, idCol, textCol,
+              ms, vocab, preTok = bpePreTok))
+          case None => unigramTokenizer.map(model =>
+            // the unigram model RECORDS its policy — no drift seam
+            graft.operators.Unigram.encode(mixedOut, idCol, textCol, model))
+        }
+        val out = encoded match {
+          case Some(encRaw) =>
+            val enc = encRaw.select(col(idCol), col("token_ids"),
+              col("n_tokens").as("n_bpe_tokens"),
+              col("n_unk").as("n_bpe_unk"))
             mixedOut.join(enc, Seq(idCol), "left")
               .withColumn("token_ids",
                 coalesce(col("token_ids"), array().cast("array<long>")))
@@ -490,14 +504,16 @@ object StreamCuration {
         // id order: a micro-batch is one training-file segment), fed to
         // the sink like the report; replay-stable because the batch's
         // survivor set and ids are
+        val sepIdOpt = bpeTokenizer.map(_._2.length.toLong)
+          .orElse(unigramTokenizer.map(_.pieces.length.toLong))
         for (budget <- bpePackBudget; sink <- onPackStreams;
-             (_, vocab) <- bpeTokenizer) {
+             sepId <- sepIdOpt) {
           val enc = out.select(col(idCol), col("token_ids"))
             .withColumn("_pack_shard", lit(0L))
           // doc_ids + doc_offsets ride along — the streaming twin ships
           // the same sample-boundary artifact the batch packer emits
           sink(graft.operators.Packing.packTokenStreams(enc, "_pack_shard",
-            idCol, "token_ids", budget, vocab.length.toLong,
+            idCol, "token_ids", budget, sepId,
             docIdCol = Some(idCol)), batchId)
         }
         lenHist.foreach { h =>
@@ -524,7 +540,7 @@ object StreamCuration {
             // alarms on before a -1 (or a byte-fallback flood) reaches
             // a trainer
             nBpeUnk =
-              if (bpeTokenizer.isDefined)
+              if (bpeTokenizer.isDefined || unigramTokenizer.isDefined)
                 out.agg(coalesce(sum(col("n_bpe_unk")), lit(0L)))
                   .head().getLong(0)
               else -1L))

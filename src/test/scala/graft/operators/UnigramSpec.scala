@@ -151,6 +151,23 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("plan pins: encode and pieceCounts ride the scan — the corpus " +
+    "text crosses no exchange") {
+    val model = Unigram.train(docs, "text",
+      Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L, seedSize = 100,
+        emRounds = 1, vocabTarget = 30, postEmRounds = 0))
+    val enc = Unigram.encode(docs, "doc_id", "text", model)
+    val plan = enc.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(plan) == 0, plan)
+    // pieceCounts: the one exchange is the per-id aggregation of
+    // (id, n_words, n_pieces) longs — the text itself never shuffles
+    val pc = Unigram.pieceCounts(docs, "doc_id", "text", model)
+    val pcPlan = pc.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(pcPlan) <= 1, pcPlan)
+  }
+
   test("unk policies under a frozen vocabulary: unkId + n_unk, " +
     "failOnUnk loud, byteFallback total with decode roundtrip") {
     val model = Unigram.trainFromVocab(
@@ -177,6 +194,78 @@ class UnigramSpec extends AnyFunSuite {
       model.vocab(byteFallback = true))
       .select("text", "n_invalid").as[(String, Long)].head()
     assert(dec == ("abc 世x ab", 0L), s"$dec")
+  }
+
+  test("subword regularization: k=1 sampling IS the argmax encode; " +
+    "same salt replays bitwise; a new salt diversifies; the " +
+    "distributed pick matches the driver reference") {
+    val model = Unigram.train(docs, "text",
+      Unigram.Knobs(maxPieceSyms = 4, minSeedCount = 2L, seedSize = 400,
+        emRounds = 2, vocabTarget = 60, postEmRounds = 1))
+    def flatten(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "pieces").as[(Long, Seq[String])]
+        .collect().sortBy(_._1).toSeq
+    // k = 1: the only path is the argmax — equals encode exactly
+    assert(flatten(Unigram.encodeSampled(docs, "doc_id", "text", model,
+        k = 1, salt = "x"))
+      == flatten(Unigram.encode(docs, "doc_id", "text", model)))
+    // same salt bit-replays; a new salt actually changes the stream
+    val e1a = flatten(Unigram.encodeSampled(docs, "doc_id", "text",
+      model, k = 4, salt = "e1"))
+    val e1b = flatten(Unigram.encodeSampled(docs, "doc_id", "text",
+      model, k = 4, salt = "e1"))
+    val e2 = flatten(Unigram.encodeSampled(docs, "doc_id", "text",
+      model, k = 4, salt = "e2"))
+    assert(e1a == e1b, "same salt diverged")
+    assert(e1a != e2, "new salt produced the identical stream")
+    // driver reference: per-occurrence hash-geometric pick over k-best
+    val maxLen = model.pieces.map(Unigram.symLen).max
+    val raw = docs.filter(col("text").isNotNull)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = raw.map { case (id, text) =>
+      val pieces = graft.functions.TextAnalysis.jvmTokens(text).toSeq
+        .zipWithIndex.flatMap { case (w, i) =>
+          val kb = Unigram.kbestViterbi(Bpe.initial(w), model.costOf.get,
+            maxLen, 4, unkSingles = true)
+          val m = kb.length
+          val draw = graft.functions.PolyHash
+            .hash(s"e1:$id:${i + 1}") % ((1L << m) - 1L)
+          kb(m - (64 - java.lang.Long.numberOfLeadingZeros(draw + 1L)))._2
+        }
+      id -> pieces
+    }.sortBy(_._1).toSeq
+    assert(e1a == want)
+  }
+
+  test("loss-aware prune keeps the piece whose removal hurts most, " +
+    "where count pruning keeps the popular-but-cheap one") {
+    // hand-built state: "ab" words are frequent but decompose almost
+    // freely ("ab" + a near-free marker); "xy" words are rare but their
+    // only alternative spells out two RARE singles — SentencePiece's
+    // case for loss pruning over frequency pruning
+    val vocab = Seq(("ab", 900L), ("xy", 40L))
+    val alpha = Set("a", "b", "x", "y", "</w>")
+    def eff() = {
+      val m = collection.mutable.LinkedHashMap.empty[String, Long]
+      m("a") = 1000L; m("b") = 1000L; m("x") = 2L; m("y") = 2L
+      m("</w>") = 50000L
+      m("ab") = 900L; m("ab</w>") = 900L; m("xy</w>") = 40L
+      m
+    }
+    val knobs = Unigram.Knobs(maxPieceSyms = 3, vocabTarget = 1)
+    val byCount = Unigram.pruneEff(eff(), alpha, knobs)
+    val byLoss = Unigram.pruneEffByLoss(vocab, eff(), alpha, knobs)
+    def multis(m: collection.mutable.LinkedHashMap[String, Long]) =
+      m.keySet.diff(alpha)
+    assert(multis(byCount) == Set("ab"), s"$byCount")
+    assert(multis(byLoss) == Set("xy</w>"), s"$byLoss")
+    // end to end: loss mode trains a usable, covered model
+    val model = Unigram.trainFromVocab(vocab,
+      Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L, seedSize = 50,
+        emRounds = 1, vocabTarget = 2, postEmRounds = 1,
+        pruneBy = Unigram.PruneBy.Loss))
+    val segAlpha = vocab.flatMap { case (w, _) => Bpe.initial(w) }.toSet
+    assert(segAlpha.subsetOf(model.pieces.toSet))
   }
 
   test("artifact roundtrip; a BPE artifact refuses to load as unigram") {

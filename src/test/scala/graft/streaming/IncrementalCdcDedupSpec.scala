@@ -108,6 +108,17 @@ class IncrementalCdcDedupSpec extends AnyFunSuite {
       "doc_id", "text").count() == 0L)
   }
 
+  test("plan pin: the chunk relation the claims probe consumes carries " +
+    "only (id, n_tokens, h) longs — the text never leaves the scan") {
+    val batch = Seq((1L, para)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(batch, "doc_id", "text", W, B)
+      .select(col("doc_id").cast("long").as("id"), col("n_tokens"),
+        col("h"))
+    val plan = ch.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(plan) == 0, plan)
+  }
+
   test("NULL-text rows pass unexamined; store persists across reopen") {
     val root = Files.createTempDirectory("graft-cdc-claims2").toString
     val d = new IncrementalCdcDedup(spark, root, window = W, maskBits = B)

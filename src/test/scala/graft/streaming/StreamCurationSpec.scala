@@ -266,6 +266,48 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(r3.head.nBpeUnk == -1L)
   }
 
+  test("unigramTokenizer knob: the funnel ships unigram ids through " +
+    "the same seam — bitwise equal to a direct encode, pack separator " +
+    "= |pieces|, families mutually exclusive") {
+    val stateDir = Files.createTempDirectory("graft-scur-uni").toString
+    val b1 = Seq((1L, "aa bb aa cc", "s0"), (2L, "dd ee aa", "s0"))
+      .toDF("doc_id", "text", "source")
+    val model = graft.operators.Unigram.train(b1, "text",
+      graft.operators.Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L,
+        seedSize = 50, emRounds = 1, vocabTarget = 10, postEmRounds = 1))
+    var packs = Vector.empty[(Long, Seq[Long])]
+    val curate = StreamCuration.curator(spark, evalDocs.limit(0), stateDir,
+      unigramTokenizer = Some(model),
+      bpePackBudget = Some(8L),
+      onPackStreams = Some((df, _) => packs = df
+        .select("pack_id", "token_ids").as[(Long, Seq[Long])]
+        .collect().toVector),
+      repetitionTopBigramMilli = 1001)
+    val out = curate(b1, 0L)
+    val got = out.select("doc_id", "token_ids").as[(Long, Seq[Long])]
+      .collect().toMap
+    val want = graft.operators.Unigram.encode(b1, "doc_id", "text", model)
+      .select("doc_id", "token_ids").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(got == want, s"stream unigram encode diverged: $got vs $want")
+    // the emitted pack streams use |pieces| as the separator id
+    val sep = model.pieces.length.toLong
+    assert(packs.nonEmpty && packs.flatMap(_._2).contains(sep),
+      s"pack stream missing the unigram separator $sep: $packs")
+    packs.flatMap(_._2).foreach(t => assert(t <= sep, s"id $t past sep"))
+    // one family per funnel
+    val merges = graft.operators.Bpe.train(b1, "text", numMerges = 3)
+    val vocab = graft.operators.Bpe.vocabOf(
+      graft.operators.Bpe.alphabetOf(b1, "text"), merges)
+    val e = intercept[IllegalArgumentException] {
+      StreamCuration.curator(spark, evalDocs.limit(0), stateDir + "-x",
+        bpeTokenizer = Some((merges, vocab)),
+        unigramTokenizer = Some(model),
+        repetitionTopBigramMilli = 1001)
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("bpePackBudget twin: per-batch pack streams match a direct " +
     "packTokenStreams over the shipped ids (separator = |vocab|), and " +
     "replay emits identical streams") {
