@@ -123,13 +123,15 @@ object UnigramQ {
   /** Counts after a Viterbi pass, with the coverage floor →
     * `{pfx}eff(piece, c)`: frequency-weighted usage, dead multis drop
     * (absent), singles floored at 1. */
-  private def emCntCtes(pfx: String, vitFin: String): String =
+  private def emCntCtes(pfx: String, vitFin: String,
+                        wfCte: String = "uwf",
+                        alphaCte: String = "ualpha"): String =
     s"""${pfx}cnt AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
        |  FROM (SELECT f.freq, unnest(b.pieces) AS piece
-       |        FROM $vitFin b JOIN uwf f USING (word)) GROUP BY piece),
+       |        FROM $vitFin b JOIN $wfCte f USING (word)) GROUP BY piece),
        |${pfx}eff AS MATERIALIZED (SELECT piece, c FROM ${pfx}cnt
        |  UNION ALL
-       |  SELECT a.piece, CAST(1 AS BIGINT) AS c FROM ualpha a
+       |  SELECT a.piece, CAST(1 AS BIGINT) AS c FROM $alphaCte a
        |  LEFT JOIN ${pfx}cnt c ON c.piece = a.piece
        |  WHERE c.piece IS NULL)""".stripMargin
 
@@ -143,65 +145,70 @@ object UnigramQ {
       maxPieceSyms: Int, minSeedCount: Long, seedSize: Int,
       emRounds: Int, vocabTarget: Int, postEmRounds: Int,
       trainFrom: String = "documents", encodeFrom: String = "documents",
-      toks: String = sqlToks): String = {
+      toks: String = sqlToks, name: String = "u"): String = {
     val parts = Seq.newBuilder[String]
-    parts += s"""uwf AS MATERIALIZED (
+    parts += s"""${name}wf AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest($toks) AS w FROM $trainFrom) GROUP BY w),
-       |uw0 AS MATERIALIZED (
+       |${name}w0 AS MATERIALIZED (
        |  SELECT word, freq,
        |    list_append(list_transform(range(1, length(word) + 1),
        |      i -> substring(word, CAST(i AS INTEGER), 1)), '</w>') AS syms
-       |  FROM uwf),
-       |ualpha AS (SELECT DISTINCT unnest(syms) AS piece FROM uw0),
-       |uspans AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM (
+       |  FROM ${name}wf),
+       |${name}alpha AS (SELECT DISTINCT unnest(syms) AS piece
+       |                 FROM ${name}w0),
+       |${name}spans AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM (
        |  SELECT array_to_string(list_slice(syms, CAST(i AS INTEGER),
        |           CAST(i + l - 1 AS INTEGER)), '') AS piece, freq
        |  FROM (SELECT word, freq, syms,
-       |               unnest(range(1, len(syms) + 1)) AS i FROM uw0),
+       |               unnest(range(1, len(syms) + 1)) AS i FROM ${name}w0),
        |       range(1, $maxPieceSyms + 1) t(l)
        |  WHERE i + l - 1 <= len(syms)) GROUP BY piece),
-       |umultis AS (SELECT s.piece, s.c FROM uspans s
-       |  LEFT JOIN ualpha a ON a.piece = s.piece
+       |${name}multis AS (SELECT s.piece, s.c FROM ${name}spans s
+       |  LEFT JOIN ${name}alpha a ON a.piece = s.piece
        |  WHERE a.piece IS NULL AND s.c >= $minSeedCount
        |  ORDER BY s.c DESC, s.piece ASC LIMIT $seedSize),
-       |ueff0 AS (SELECT piece, c FROM umultis
+       |${name}eff0 AS (SELECT piece, c FROM ${name}multis
        |  UNION ALL
-       |  SELECT a.piece, s.c FROM ualpha a
-       |  JOIN uspans s ON s.piece = a.piece)""".stripMargin
-    var prevEff = "ueff0"
+       |  SELECT a.piece, s.c FROM ${name}alpha a
+       |  JOIN ${name}spans s ON s.piece = a.piece)""".stripMargin
+    var prevEff = s"${name}eff0"
     (1 to emRounds).foreach { k =>
-      val pfx = s"ue$k"
+      val pfx = s"${name}e$k"
       parts += costMapCtes(pfx, prevEff)
-      parts += viterbiCtes(pfx + "v", "uw0", pfx + "cm", maxPieceSyms)
-      parts += emCntCtes(pfx, pfx + "vfin")
+      parts += viterbiCtes(pfx + "v", s"${name}w0", pfx + "cm",
+        maxPieceSyms)
+      parts += emCntCtes(pfx, pfx + "vfin", s"${name}wf", s"${name}alpha")
       prevEff = pfx + "eff"
     }
-    parts += s"""upr AS MATERIALIZED (
+    parts += s"""${name}pr AS MATERIALIZED (
        |  SELECT piece, c FROM (
        |    SELECT e.piece, e.c FROM $prevEff e
-       |    LEFT JOIN ualpha a ON a.piece = e.piece WHERE a.piece IS NULL
+       |    LEFT JOIN ${name}alpha a ON a.piece = e.piece
+       |    WHERE a.piece IS NULL
        |    ORDER BY e.c DESC, e.piece ASC LIMIT $vocabTarget)
        |  UNION ALL
        |  SELECT e.piece, e.c FROM $prevEff e
-       |  JOIN ualpha a ON a.piece = e.piece)""".stripMargin
-    prevEff = "upr"
+       |  JOIN ${name}alpha a ON a.piece = e.piece)""".stripMargin
+    prevEff = s"${name}pr"
     (1 to postEmRounds).foreach { k =>
-      val pfx = s"up$k"
+      val pfx = s"${name}p$k"
       parts += costMapCtes(pfx, prevEff)
-      parts += viterbiCtes(pfx + "v", "uw0", pfx + "cm", maxPieceSyms)
-      parts += emCntCtes(pfx, pfx + "vfin")
+      parts += viterbiCtes(pfx + "v", s"${name}w0", pfx + "cm",
+        maxPieceSyms)
+      parts += emCntCtes(pfx, pfx + "vfin", s"${name}wf", s"${name}alpha")
       prevEff = pfx + "eff"
     }
-    parts += costMapCtes("uf", prevEff)
-    parts += s"ufeff AS (SELECT piece, c FROM $prevEff)"
-    parts += s"""uw0e AS (SELECT word,
+    parts += costMapCtes(s"${name}f", prevEff)
+    parts += s"${name}feff AS (SELECT piece, c FROM $prevEff)"
+    parts += s"""${name}w0e AS (SELECT word,
        |  list_append(list_transform(range(1, length(word) + 1),
        |    i -> substring(word, CAST(i AS INTEGER), 1)), '</w>') AS syms
        |  FROM (SELECT DISTINCT unnest($toks) AS word
        |        FROM $encodeFrom))""".stripMargin
-    parts += viterbiCtes("ufv", "uw0e", "ufcm", maxPieceSyms)
-    parts += s"""uvoc AS (SELECT piece,
+    parts += viterbiCtes(s"${name}fv", s"${name}w0e", s"${name}fcm",
+      maxPieceSyms)
+    parts += s"""${name}voc AS (SELECT piece,
        |  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS vid
        |  FROM (SELECT piece FROM $prevEff))""".stripMargin
     parts.result().mkString(",\n")
@@ -550,5 +557,68 @@ object UnigramQ {
       .orderBy("doc_id", "pos")
   }
 
-  val all: Seq[Q] = Seq(q147, q148, q149, q150, q151, q152)
+  /** q153: VOCABULARY-SIZE SWEEP — the tokenizer team's sizing table:
+    * the SAME corpus trained at two vocabulary targets (the q109
+    * classifier-sweep pattern applied to tokenization), each reporting
+    * its realized vocab size and exact fertility — the compression-vs-
+    * table-size trade as one artifact. The oracle replays BOTH
+    * complete training chains side by side (the generator's name
+    * prefix keeps the two EM histories disjoint in one statement). */
+  val q153 = Q(
+    "q153_unigram_vocab_sweep",
+    s"""WITH RECURSIVE
+       |${chain()},
+       |${unigramChainCtes(K.maxPieceSyms, K.minSeedCount, K.seedSize,
+          K.emRounds, 30, K.postEmRounds, name = "v")},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word FROM documents),
+       |chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc
+       |          FROM documents WHERE text IS NOT NULL),
+       |uc AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |              CAST(SUM(len(f.pieces)) AS BIGINT) AS n_pieces
+       |       FROM tokq t JOIN ufvfin f USING (word) GROUP BY t.doc_id),
+       |vc AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |              CAST(SUM(len(f.pieces)) AS BIGINT) AS n_pieces
+       |       FROM tokq t JOIN vfvfin f USING (word) GROUP BY t.doc_id),
+       |uagg AS (SELECT CAST(60 AS BIGINT) AS vocab_target,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM uvoc) AS n_vocab,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(c.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(c.n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(ch.nc) AS BIGINT) AS n_chars
+       |  FROM uc c JOIN chars ch USING (doc_id)),
+       |vagg AS (SELECT CAST(30 AS BIGINT) AS vocab_target,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vvoc) AS n_vocab,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(c.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(c.n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(ch.nc) AS BIGINT) AS n_chars
+       |  FROM vc c JOIN chars ch USING (doc_id))
+       |SELECT vocab_target, n_vocab, n_docs, n_words, n_pieces, n_chars,
+       |       CAST(n_pieces * 1000 // n_chars AS BIGINT)
+       |         AS pieces_per_kchar,
+       |       CAST(n_pieces * 1000 // n_words AS BIGINT)
+       |         AS pieces_per_word_milli
+       |FROM (SELECT * FROM vagg UNION ALL SELECT * FROM uagg)
+       |ORDER BY vocab_target""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    def side(target: Int) = {
+      val model = Unigram.train(docs, "text", K.copy(vocabTarget = target))
+      val pc = Unigram.pieceCounts(docs, "doc_id", "text", model)
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), length(col("text")).cast("long").as("nc"))
+        .join(pc, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+          sum("n_pieces").as("n_pieces"), sum("nc").as("n_chars"))
+        .select(lit(target.toLong).as("vocab_target"),
+          lit(model.pieces.length.toLong).as("n_vocab"),
+          col("n_docs"), col("n_words"), col("n_pieces"), col("n_chars"))
+        .withColumn("pieces_per_kchar",
+          expr("n_pieces * 1000L div n_chars"))
+        .withColumn("pieces_per_word_milli",
+          expr("n_pieces * 1000L div n_words"))
+    }
+    side(30).unionAll(side(60)).orderBy("vocab_target")
+  }
+
+  val all: Seq[Q] = Seq(q147, q148, q149, q150, q151, q152, q153)
 }
