@@ -620,5 +620,54 @@ object UnigramQ {
     side(30).unionAll(side(60)).orderBy("vocab_target")
   }
 
-  val all: Seq[Q] = Seq(q147, q148, q149, q150, q151, q152, q153)
+  /** q154: CP-CLASS PRE-TOKENIZED UNIGRAM ENCODE — q136's multilingual
+    * regime for the second family, at TOKEN level (q148 hash-checks the
+    * same segmentations only through the fertility aggregate): the
+    * planted mixed-script corpus trains and encodes under
+    * [[Bpe.PreTok.CpClass]], so recurring CJK runs accumulate frequency,
+    * survive the seed floor, and the EM learns multi-symbol pieces
+    * inside them — every token position hash-checked through the
+    * pre-split twin + the full training replay. */
+  val q154 = Q(
+    "q154_unigram_cpclass_encode",
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' v' || CAST(doc_id AS VARCHAR)
+       |           || '世界算法7!'
+       |  FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+       |${chain(trainFrom = "corpus", encodeFrom = "corpus",
+          toks = sqlToksCp)},
+       |tokq AS (SELECT doc_id, unnest($sqlToksCp) AS word,
+       |                unnest(range(1, len($sqlToksCp) + 1)) AS tp
+       |         FROM corpus),
+       |pcs AS (SELECT t.doc_id, t.tp, f.pieces
+       |        FROM tokq t JOIN ufvfin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(pieces) AS piece,
+       |                unnest(range(1, len(pieces) + 1)) AS sp FROM pcs),
+       |outp AS (SELECT doc_id,
+       |                CAST(row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY tp, sp) - 1 AS BIGINT) AS pos,
+       |                piece FROM flat)
+       |SELECT o.doc_id, o.pos, o.piece, v.vid AS token_id
+       |FROM outp o JOIN uvoc v ON v.piece = o.piece
+       |ORDER BY o.doc_id, o.pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val planted = docs
+      .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" v"), col("doc_id").cast("string"),
+          lit("世界算法7!")).as("text"))
+    val corpus = docs.select("doc_id", "text").unionAll(planted)
+    val model = Unigram.train(corpus, "text", K,
+      preTok = Bpe.PreTok.CpClass)
+    Unigram.encode(corpus, "doc_id", "text", model)
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("pieces"), col("token_ids"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col.pieces").as("piece"), col("col.token_ids").as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val all: Seq[Q] = Seq(q147, q148, q149, q150, q151, q152, q153, q154)
 }

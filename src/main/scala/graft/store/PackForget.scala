@@ -29,7 +29,12 @@ import graft.operators.Packing
   *
   * Bounded loud at [[ClaimRetraction.MaxRetractIds]] ids per batch;
   * idempotent under retry (masking masked rows is a no-op; the heal
-  * discipline covers the file window). */
+  * discipline covers the file window). Touched files rewrite
+  * SEQUENTIALLY in a driver loop (one small Spark job per file — the
+  * [[CorpusForget]] trade-off): fine at takedown scale under the
+  * O(touched) design; a pathological scattered takedown over many
+  * pack files serializes, which is the documented price of per-file
+  * atomic replacement without a manifest. */
 object PackForget {
 
   final case class Report(filesTouched: Long, membersMasked: Long,
