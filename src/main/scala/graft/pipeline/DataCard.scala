@@ -89,6 +89,31 @@ object DataCard {
       nBpeTokens = enc.getLong(0), nUnkPieces = enc.getLong(1))))
   }
 
+  /** The UNIGRAM family's tokenizer section — same card fields, same
+    * drift semantics ([[diff]]'s unkRatePpmDelta works across releases
+    * unchanged): `nMerges` carries the LEARNED-UNIT count (multi-symbol
+    * pieces beyond the coverage alphabet — the unigram analogue of a
+    * merge count), token/unk totals from one
+    * [[graft.operators.Unigram.encode]] aggregate. A release note
+    * comparing cards across FAMILIES is comparing apples to oranges by
+    * construction — the section says which artifact denominates the
+    * counts, exactly the field's purpose. */
+  def withUnigramTokenizer(card: Card, docs: DataFrame, idCol: String,
+                           textCol: String,
+                           model: graft.operators.Unigram.Model,
+                           byteFallback: Boolean = false): Card = {
+    val enc = graft.operators.Unigram
+      .encode(docs, idCol, textCol, model, byteFallback = byteFallback)
+      .agg(coalesce(sum(col("n_tokens")), lit(0L)),
+        coalesce(sum(col("n_unk")), lit(0L))).head()
+    val singles = model.pieces
+      .count(p => graft.operators.Unigram.symLen(p) == 1)
+    card.copy(tokenizer = Some(TokenizerSection(
+      nMerges = (model.pieces.length - singles).toLong,
+      vocabSize = model.vocab(byteFallback).size.toLong,
+      nBpeTokens = enc.getLong(0), nUnkPieces = enc.getLong(1))))
+  }
+
   /** Build the card. `thresholdMilli` is the near-dup bar (q41's
     * convention); `span`/`minDocs` the duplicate-span knobs (q62's). */
   def build(docs: DataFrame, idCol: String, textCol: String,

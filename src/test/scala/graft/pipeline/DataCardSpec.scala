@@ -235,4 +235,33 @@ class DataCardSpec extends AnyFunSuite {
       (card.tokenizer.get.nUnkPieces * 1000000L /
         card.tokenizer.get.nBpeTokens) && d.unkRatePpmDelta > 0L)
   }
+
+  test("unigram tokenizer section: totals pin to a direct encode, " +
+    "learned-unit count excludes the coverage alphabet, drift diff " +
+    "works unchanged") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "lang", "source")
+    val base = DataCard.build(docs, "doc_id", "text", "lang", "source")
+    val model = graft.operators.Unigram.train(docs, "text",
+      graft.operators.Unigram.Knobs(maxPieceSyms = 4, minSeedCount = 2L,
+        seedSize = 200, emRounds = 1, vocabTarget = 20, postEmRounds = 1))
+    val card = DataCard.withUnigramTokenizer(base, docs, "doc_id",
+      "text", model)
+    val ts = card.tokenizer.get
+    val singles = model.pieces
+      .count(p => graft.operators.Unigram.symLen(p) == 1)
+    assert(ts.nMerges == (model.pieces.length - singles).toLong &&
+      ts.nMerges > 0L)
+    assert(ts.vocabSize == model.pieces.length.toLong)
+    val direct = graft.operators.Unigram
+      .encode(docs, "doc_id", "text", model)
+      .agg(sum(col("n_tokens")), sum(col("n_unk"))).head()
+    assert(ts.nBpeTokens == direct.getLong(0) && ts.nBpeTokens > 0L)
+    assert(ts.nUnkPieces == direct.getLong(1) && ts.nUnkPieces == 0L,
+      "the training corpus encodes unk-free under its own vocab")
+    // the drift diff is section-shape-generic
+    val shifted = card.copy(tokenizer = card.tokenizer.map(t =>
+      t.copy(nUnkPieces = t.nBpeTokens / 50)))
+    assert(DataCard.diff(card, shifted).unkRatePpmDelta > 0L)
+  }
 }
