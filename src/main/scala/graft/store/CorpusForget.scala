@@ -79,7 +79,9 @@ object CorpusForget {
           .select(col("_metadata.file_path").as("f"))
           .groupBy("f").agg(count(lit(1)).as("n"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
-        touched.foreach { case (uri, _) =>
+        // bounded parallel per-file rewrite — each file's heal-first
+        // atomic sequence is its own; see ParquetSurgery.inParallel
+        ParquetSurgery.inParallel(touched.toSeq) { case (uri, _) =>
           val p = Paths.get(java.net.URI.create(uri))
           ParquetSurgery.replaceFile(spark, p, ClaimRetraction
             .excluding(spark.read.parquet(p.toString), col(idCol), ids))

@@ -29,12 +29,12 @@ import graft.operators.Packing
   *
   * Bounded loud at [[ClaimRetraction.MaxRetractIds]] ids per batch;
   * idempotent under retry (masking masked rows is a no-op; the heal
-  * discipline covers the file window). Touched files rewrite
-  * SEQUENTIALLY in a driver loop (one small Spark job per file — the
-  * [[CorpusForget]] trade-off): fine at takedown scale under the
-  * O(touched) design; a pathological scattered takedown over many
-  * pack files serializes, which is the documented price of per-file
-  * atomic replacement without a manifest. */
+  * discipline covers the file window). Touched files rewrite on a
+  * bounded driver-side pool ([[ParquetSurgery.inParallel]], up to
+  * [[ParquetSurgery.SurgeryParallelism]] concurrent single-file jobs)
+  * — a scattered takedown over many pack files pays ~touched/8 job
+  * latencies instead of serializing one by one, while each file keeps
+  * its own atomic heal-first stage-rename-delete sequence. */
 object PackForget {
 
   final case class Report(filesTouched: Long, membersMasked: Long,
@@ -42,8 +42,13 @@ object PackForget {
 
   import ParquetSurgery.{dataFiles, healPending}
 
-  private def requirePackSchema(spark: SparkSession, dir: String): Unit = {
-    val cols = spark.read.parquet(dir).columns.toSet
+  /** Schema check against ONE part file's footer (every part of a
+    * [[graft.operators.Packing.packTokenStreams]] write shares the
+    * schema) — not a whole-dir read, which would pay a second listing
+    * before the discovery scan. */
+  private def requirePackSchema(spark: SparkSession, dir: String,
+                                sample: java.nio.file.Path): Unit = {
+    val cols = spark.read.parquet(sample.toString).columns.toSet
     Seq("pack_id", "token_ids", "n_tokens", "doc_offsets", "doc_ids")
       .foreach(c => require(cols.contains(c),
         s"pack dataset at $dir lacks column '$c' — write it with " +
@@ -79,9 +84,10 @@ object PackForget {
     if (ids.isEmpty) Report(0L, 0L, 0L)
     else {
       healPending(dir)
-      if (dataFiles(dir).isEmpty) Report(0L, 0L, 0L)
+      val files = dataFiles(dir)
+      if (files.isEmpty) Report(0L, 0L, 0L)
       else {
-        requirePackSchema(spark, dir)
+        requirePackSchema(spark, dir, files.head)
         import spark.implicits._
         val deadDf = ids.toDF("_pf_dead")
         // column-pruned discovery: only doc_ids pages decode here
@@ -92,24 +98,21 @@ object PackForget {
           col("_pf_doc"), ids)
           .select("f").distinct()
           .collect().map(_.getString(0))
-        var members = 0L
-        var tokens = 0L
-        touched.foreach { uri =>
+        val sums = ParquetSurgery.inParallel(touched.toSeq) { uri =>
           val p = Paths.get(java.net.URI.create(uri))
           val packCols = spark.read.parquet(p.toString).columns
           val masked = Packing.forgetPacks(
             spark.read.parquet(p.toString), deadDf, "_pf_dead", padId)
             .localCheckpoint(true)
-          val sums = masked
+          val s = masked
             .agg(coalesce(sum("n_forgotten"), lit(0L)),
               coalesce(sum("n_masked_tokens"), lit(0L))).head()
-          members += sums.getLong(0)
-          tokens += sums.getLong(1)
           ParquetSurgery.replaceFile(spark, p,
             masked.select(packCols.map(col).toSeq: _*)
               .orderBy("pack_id"))
+          (s.getLong(0), s.getLong(1))
         }
-        Report(touched.length.toLong, members, tokens)
+        Report(touched.length.toLong, sums.map(_._1).sum, sums.map(_._2).sum)
       }
     }
   }

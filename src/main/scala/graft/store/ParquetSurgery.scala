@@ -24,6 +24,48 @@ private[store] object ParquetSurgery {
 
   val StagePrefix = ".graft-forget-stage-"
 
+  /** Driver-side thread cap for per-file surgery ([[inParallel]]): a
+    * scattered takedown over many files must not serialize into
+    * touched-count × per-job latency (the measured failure shape: 15
+    * one-file jobs at ~1 s each), but an unbounded fan-out would flood
+    * the scheduler with tiny jobs. 8 concurrent single-file rewrites
+    * keeps the local[32] scheduler fed without starving a concurrent
+    * query; on a cluster, each rewrite is one small job and the
+    * scheduler pools them fairly. */
+  val SurgeryParallelism: Int = 8
+
+  /** Run `op` over `items` on up to [[SurgeryParallelism]] threads —
+    * the batched form of the per-touched-file driver loop. Safe because
+    * each file's surgery is independent by construction: its staging
+    * dir is freshly created next to it, its deterministic replacement
+    * name is its own, and Spark schedules concurrent jobs from one
+    * session. Per-file atomic heal-first semantics are untouched — this
+    * parallelizes ACROSS files, never within one file's
+    * stage-rename-delete sequence. Results return in input order; the
+    * first failure rethrows after in-flight files finish (a crashed
+    * batch is re-runnable — [[healPending]] covers every file's
+    * window). */
+  def inParallel[A, B](items: Seq[A])(op: A => B): Seq[B] =
+    if (items.sizeIs <= 1) items.map(op)
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(SurgeryParallelism, items.size))
+      try {
+        val futures = items.map { a =>
+          pool.submit(new java.util.concurrent.Callable[B] {
+            def call(): B = op(a)
+          })
+        }
+        futures.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally { pool.shutdown(); () }
+    }
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
@@ -76,7 +118,21 @@ private[store] object ParquetSurgery {
 
   /** Replace one part file with `replacement`'s rows (one staged part,
     * atomic rename, drop original). An EMPTY replacement just deletes
-    * the original — the file died whole. */
+    * the original — the file died whole.
+    *
+    * The replacement keeps the deterministic name
+    * `<base>.forget.parquet` PERMANENTLY, and a later takedown touching
+    * the same file therefore compounds (`<base>.forget.forget.parquet`,
+    * and so on) — INTENDED: the suffix chain is what lets
+    * [[healPending]] resolve every crash state without a manifest
+    * (each level's `X.forget.parquet` names exactly the `X` it
+    * supersedes; renaming back to the base name would make a heal
+    * delete the WRONG file). The name grows one constant suffix per
+    * takedown batch that touches the file — cosmetic, bounded by the
+    * takedown count, and filesystem name limits (255 bytes ≈ 17
+    * batches on one file) are far beyond any plausible per-file
+    * takedown history; a periodic compaction rewrite of the dataset
+    * resets the chain wholesale if a deployment ever cares. */
   def replaceFile(spark: SparkSession, original: Path,
                   replacement: DataFrame): Unit = {
     val rows = replacement.localCheckpoint(true)

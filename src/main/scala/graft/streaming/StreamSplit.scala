@@ -163,6 +163,26 @@ object StreamSplit {
     StructField("bkey", StringType, nullable = false),
     StructField("rep", LongType, nullable = false)))
 
+  /** Heal the merge-log scrub's crash window BEFORE reading or
+    * rewriting `merges/`: the scrub stages the filtered log at
+    * `merges-retract-tmp`, deletes `merges/`, renames tmp into place —
+    * so a crash can leave (tmp + merges: the filtered log is staged but
+    * the original still stands — drop the stale tmp, a re-run
+    * re-filters) or (tmp only: the original is gone — complete the
+    * pending rename, the audit log must not be silently lost). Without
+    * this, a re-run's `fs.exists(mergesDir)` read false and skipped the
+    * scrub entirely, stranding the log in tmp forever. */
+  private def healMergeScrub(fs: org.apache.hadoop.fs.FileSystem,
+                             root: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/merges-retract-tmp")
+    if (fs.exists(tmp)) {
+      val mergesDir = new org.apache.hadoop.fs.Path(s"$root/merges")
+      if (fs.exists(mergesDir)) fs.delete(tmp, true)
+      else fs.rename(tmp, mergesDir)
+      ()
+    }
+  }
+
   /** RETRACTION — the split tier's leg of a deletion cascade
     * ([[graft.pipeline.Forget.cascade]] wires it as `splitClaimsDir`):
     * a DELETED document's id must not keep governing future placements
@@ -188,6 +208,7 @@ object StreamSplit {
     // only, but a takedown receipt should not keep citing them)
     val mergesDir = new org.apache.hadoop.fs.Path(s"$root/merges")
     val fs = mergesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healMergeScrub(fs, root)
     if (fs.exists(mergesDir) && fs.listStatus(mergesDir).nonEmpty) {
       import graft.store.ClaimRetraction.excluding
       val all = spark.read.parquet(s"$root/merges/*")
@@ -196,9 +217,9 @@ object StreamSplit {
         .localCheckpoint(true)
       if (alive.count() != all.count()) {
         // the log is a bounded audit artifact (one row per rare bridge
-        // event) — a whole-log rewrite is the simple correct move; a
-        // crash between delete and rename leaves the filtered log at
-        // merges-retract-tmp (an audit-log-only window, retryable)
+        // event) — a whole-log rewrite is the simple correct move; the
+        // crash window between delete and rename is closed by
+        // [[healMergeScrub]] on the next entry (completes the rename)
         val tmp = s"$root/merges-retract-tmp"
         alive.coalesce(1).write.mode("overwrite").parquet(tmp)
         fs.delete(mergesDir, true)
@@ -222,6 +243,7 @@ object StreamSplit {
       val mergesDir = new org.apache.hadoop.fs.Path(s"$root/merges")
       val fs = mergesDir.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
+      healMergeScrub(fs, root)
       if (fs.exists(mergesDir) && fs.listStatus(mergesDir).nonEmpty) {
         import graft.store.ClaimRetraction.among
         val all = spark.read.parquet(s"$root/merges/*")
