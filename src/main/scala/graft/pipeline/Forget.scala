@@ -38,11 +38,22 @@ import graft.streaming.{StreamBoilerplate, StreamCuration, StreamDataCard, Strea
   *
   * Per-document state, RETRACTABLE and wired (or wireable) here:
   *  - `IncrementalDedup` / `IncrementalBanded64` / `IncrementalLineDedup`
-  *    / `IncrementalImageDedup` / `IncrementalVideoDedup` and the
+  *    / `IncrementalEmbedDedup` / `IncrementalImageDedup` /
+  *    `IncrementalAudioDedup` / `IncrementalVideoDedup` and the
   *    curation funnels ([[StreamCuration]]/[[StreamMediaCuration]], the
   *    `textClaimsDir`/`mediaClaimsDir` legs): first-writer claim
-  *    stores — [[graft.store.ClaimRetraction]] clears the dead
-  *    claimant's buckets.
+  *    stores (the shared `ClaimStore` mechanics) —
+  *    [[graft.store.ClaimRetraction]] clears the dead claimant's
+  *    buckets.
+  *  - `IncrementalCdcDedup` (`cdcClaimsDir` leg): per-CHUNK first-writer
+  *    claims — retraction clears the dead claimant's chunk identities so
+  *    a recrawled copy is never suppressed against content that no
+  *    longer ships.
+  *  - [[StreamFertility]] (`fertility` leg): per-group additive fertility
+  *    counters — exact negative deltas over the deleted rows' original
+  *    counts, the [[StreamDataCard]] discipline (its audit is the
+  *    negative-total fail-loud in `report()`, not a per-id read — see
+  *    [[verify]]).
   *  - [[StreamSplit]] (`splitClaimsDir`): bucket → representative
   *    claims + the merge audit log — `StreamSplit.retract` (shipped
   *    splits stay immutable; `reconcile` is the repair).
@@ -59,6 +70,13 @@ import graft.streaming.{StreamBoilerplate, StreamCuration, StreamDataCard, Strea
   *    does).
   *
   * NO per-document standing state — deletion waiver, with the reason:
+  *  - `StreamDedup` (`flatMapGroupsWithState` first-per-key): its state
+  *    lives inside a Structured Streaming query's CHECKPOINT, which has
+  *    no surgical-edit API — a deployment needing retractable exact
+  *    dedup runs the claims-store twin (the funnel's `exact` stage /
+  *    `IncrementalDedup` family), which IS wired above; the
+  *    checkpoint-state variant is for unbounded-key, timeout-evicted
+  *    streams where claims never stand long enough to retract.
   *  - `StreamDrift` / `StreamDsir` / `StreamDecontam`: binder-frozen
   *    BOOKS (reference term counts, DSIR ratio books, eval n-gram
   *    sets) + stateless per-batch scoring. Nothing per-document to
@@ -100,6 +118,19 @@ object Forget {
                                    deletedRows: DataFrame, idCol: String,
                                    textCol: String, eventId: Long)
 
+  /** The fertility-telemetry leg's handle ([[StreamFertility]]): the
+    * monitor, the deleted documents' ORIGINAL rows, and their
+    * per-document `(idCol, n_words, n_pieces)` under the SAME frozen
+    * tokenizer `observe` counted them with — the caller re-derives
+    * `counts` exactly like the card leg re-reads shipped rows
+    * (`Bpe.pieceCounts` / `Unigram.pieceCounts` over `deletedRows`).
+    * Without this leg a takedown leaves the retrain signal counting
+    * deleted documents forever. */
+  final case class FertilityTarget(monitor: graft.streaming.StreamFertility,
+                                   deletedRows: DataFrame, idCol: String,
+                                   textCol: String, groupCol: String,
+                                   counts: DataFrame, eventId: Long)
+
   /** The corpus leg's handle: the materialized parquet dataset and its
     * id column — [[graft.store.CorpusForget]] rewrites only the files
     * that contain deleted rows. Runs LAST (the card/boiler legs read
@@ -124,6 +155,7 @@ object Forget {
               textClaimsDir: Option[String] = None,
               mediaClaimsDir: Option[String] = None,
               splitClaimsDir: Option[String] = None,
+              cdcClaimsDir: Option[String] = None,
               bm25IndexDir: Option[String] = None,
               vectorIndexDir: Option[String] = None,
               graphIndexDir: Option[String] = None,
@@ -131,6 +163,7 @@ object Forget {
               card: Option[CardTarget] = None,
               boiler: Option[BoilerTarget] = None,
               cdcBoiler: Option[CdcBoilerTarget] = None,
+              fertility: Option[FertilityTarget] = None,
               corpus: Option[CorpusTarget] = None,
               packs: Option[PackTarget] = None): Seq[Receipt] = {
     require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
@@ -141,6 +174,8 @@ object Forget {
     val cardRows = card.map(t => t.deletedRows.localCheckpoint(true))
     val boilerRows = boiler.map(t => t.deletedRows.localCheckpoint(true))
     val cdcRows = cdcBoiler.map(t => t.deletedRows.localCheckpoint(true))
+    val fertRows = fertility.map(t =>
+      (t.deletedRows.localCheckpoint(true), t.counts.localCheckpoint(true)))
     val b = Seq.newBuilder[Receipt]
     textClaimsDir.foreach(d => b += Receipt("text_claims",
       StreamCuration.retract(spark, d, ids)))
@@ -148,6 +183,8 @@ object Forget {
       StreamMediaCuration.retract(spark, d, ids)))
     splitClaimsDir.foreach(d => b += Receipt("split_claims",
       StreamSplit.retract(spark, d, ids)))
+    cdcClaimsDir.foreach(d => b += Receipt("cdc_claims",
+      graft.streaming.IncrementalCdcDedup.retract(spark, d, ids)))
     bm25IndexDir.foreach(d => b += Receipt("bm25_index",
       graft.operators.Retrieval.bm25DeleteIndex(spark, d, ids)))
     vectorIndexDir.foreach(d => b += Receipt("vector_index",
@@ -177,9 +214,26 @@ object Forget {
       t.counts.retract(rows, t.idCol, t.textCol, s"r${t.eventId}")
       b += Receipt("cdc_counts", rows.count())
     }
+    fertility.foreach { t =>
+      val (rows, cnts) = fertRows.get
+      val stray = graft.store.ClaimRetraction
+        .excluding(rows, col(t.idCol).cast("long"), ids)
+        .head(1)
+      require(stray.isEmpty,
+        s"fertility retraction rows carry ids outside the deletion " +
+          s"batch (first: ${stray.headOption.getOrElse("")})")
+      t.monitor.retract(rows, t.idCol, t.textCol, t.groupCol, cnts,
+        s"r${t.eventId}")
+      b += Receipt("fertility_docs", rows.count())
+    }
     packs.foreach { t =>
       val r = graft.store.PackForget.forget(spark, t.dir, ids, t.padId)
-      b += Receipt("pack_members", r.membersMasked)
+      // per-pack OCCURRENCES masked — distinct from verify's
+      // `pack_ids_held` (distinct still-attributed ids): a document
+      // packed into N packs counts N here and 1 there, so the two
+      // receipts carry distinct names rather than silently different
+      // denominations under one name
+      b += Receipt("pack_members_masked", r.membersMasked)
       b += Receipt("pack_files", r.filesTouched)
     }
     corpus.foreach { t =>
@@ -197,13 +251,16 @@ object Forget {
     * graph nodes servable). After a completed [[cascade]] every leg
     * must read 0; a non-zero row names the leg a hand-rolled deletion
     * forgot (the failure mode the cascade exists to prevent) or a new
-    * store the deployment added without wiring it here. The card has no
-    * per-id state to audit — its guarantee is the negative-total
-    * fail-loud in [[graft.streaming.StreamDataCard.card]]. */
+    * store the deployment added without wiring it here. The card and
+    * the fertility monitor have no per-id state to audit (additive
+    * per-group accumulators) — their guarantee is the negative-total
+    * fail-loud in [[graft.streaming.StreamDataCard.card]] /
+    * [[graft.streaming.StreamFertility.report]]. */
   def verify(spark: SparkSession, ids: Seq[Long],
              textClaimsDir: Option[String] = None,
              mediaClaimsDir: Option[String] = None,
              splitClaimsDir: Option[String] = None,
+             cdcClaimsDir: Option[String] = None,
              bm25IndexDir: Option[String] = None,
              vectorIndexDir: Option[String] = None,
              graphIndexDir: Option[String] = None,
@@ -220,6 +277,8 @@ object Forget {
       StreamMediaCuration.held(spark, d, ids)))
     splitClaimsDir.foreach(d => b += Receipt("split_claims",
       StreamSplit.held(spark, d, ids)))
+    cdcClaimsDir.foreach(d => b += Receipt("cdc_claims",
+      graft.streaming.IncrementalCdcDedup.held(spark, d, ids)))
     bm25IndexDir.foreach(d => b += Receipt("bm25_index",
       graft.operators.Retrieval.bm25Held(spark, d, ids)))
     vectorIndexDir.foreach(d => b += Receipt("vector_index",
@@ -230,7 +289,7 @@ object Forget {
       StreamGraphShards.held(spark, d, ids)))
     corpus.foreach(t => b += Receipt("corpus_rows",
       graft.store.CorpusForget.held(spark, t.dir, t.idCol, ids)))
-    packs.foreach(t => b += Receipt("pack_members",
+    packs.foreach(t => b += Receipt("pack_ids_held",
       graft.store.PackForget.held(spark, t.dir, ids)))
     b.result()
   }

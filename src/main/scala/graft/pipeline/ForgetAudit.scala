@@ -11,9 +11,11 @@ import graft.streaming.{StreamCuration, StreamDataCard}
 /** Bench sidecar for the FORGET CASCADE — the deletion family's claims
   * measured, not asserted (the media funnel's discipline): builds real
   * standing state over the bench corpus in per-audit owned scratch
-  * (curation claims via one funnel batch, a BM25 index, an IVF index, a
-  * cumulative card, the corpus parquet itself range-partitioned by id),
-  * runs ONE `Forget.cascade` over a scattered ~1% takedown list, then
+  * (curation claims via one funnel batch, CDC chunk claims, a BM25
+  * index, an IVF index, a cumulative card, fertility telemetry, the
+  * pack-stream dataset and the corpus parquet itself range-partitioned
+  * by id), runs ONE `Forget.cascade` over a scattered ~1% takedown
+  * list, then
   * `Forget.verify` — published: the cascade wall, per-leg removal
   * receipts, and whether every post-audit leg reads zero.
   *
@@ -63,6 +65,24 @@ object ForgetAudit {
       .write.parquet(packsDir)
     val padId = vocab.length.toLong + 1L
 
+    // standing CDC chunk claims over the corpus (the partial-overlap
+    // dedup tier's store — its deletion leg measured like the rest)
+    val cdcDir = s"$base/cdcclaims"
+    val cdc = new graft.streaming.IncrementalCdcDedup(spark, cdcDir,
+      window = 8, maskBits = 4)
+    cdc.init()
+    graft.Bench.runFully(
+      cdc.filterAndClaim(docs.select("doc_id", "text"), "doc_id", "text"))
+
+    // standing fertility telemetry under the same frozen BPE tokenizer
+    val fertDir = s"$base/fertility"
+    val fert = new graft.streaming.StreamFertility(spark, fertDir)
+    fert.init()
+    val fertCounts = graft.operators.Bpe
+      .pieceCounts(docs, "doc_id", "text", merges)
+      .localCheckpoint(true)
+    fert.observe(docs, "doc_id", "text", "lang", fertCounts, batchId = 0L)
+
     // standing BM25 + IVF indexes and the cumulative card
     val bm25Dir = s"$base/bm25"
     graft.operators.Retrieval.bm25WriteIndex(docs, "doc_id", "text",
@@ -81,16 +101,21 @@ object ForgetAudit {
     val t0 = System.nanoTime()
     val receipts = Forget.cascade(spark, dead,
       textClaimsDir = Some(claimsDir),
+      cdcClaimsDir = Some(cdcDir),
       bm25IndexDir = Some(bm25Dir),
       vectorIndexDir = Some(ivfDir),
       card = Some(Forget.CardTarget(card,
         docs.filter(col("doc_id") % 101 === 3), "doc_id", eventId = 1L)),
+      fertility = Some(Forget.FertilityTarget(fert,
+        docs.filter(col("doc_id") % 101 === 3), "doc_id", "text", "lang",
+        fertCounts.filter(col("doc_id") % 101 === 3), eventId = 1L)),
       corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")),
       packs = Some(Forget.PackTarget(packsDir, padId)))
     val cascadeSec = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val audit = Forget.verify(spark, dead,
       textClaimsDir = Some(claimsDir),
+      cdcClaimsDir = Some(cdcDir),
       bm25IndexDir = Some(bm25Dir),
       vectorIndexDir = Some(ivfDir),
       corpus = Some(Forget.CorpusTarget(corpusDir, "doc_id")),

@@ -47,10 +47,8 @@ final class IncrementalCdcDedup(spark: SparkSession, root: String,
     s"minDupPpm must be in [1, 1000000], got $minDupPpm")
   require(compactEvery >= 1, "compactEvery must be >= 1")
 
-  private val schema = StructType(Seq(
-    StructField("h", LongType, nullable = false),
-    StructField("claimant", LongType, nullable = false)))
-  private val snaps = new Snapshots(spark, root, schema)
+  private val snaps =
+    new Snapshots(spark, root, IncrementalCdcDedup.claimsSchema)
 
   def init(): Unit = snaps.init()
 
@@ -110,4 +108,31 @@ final class IncrementalCdcDedup(spark: SparkSession, root: String,
     }
     kept
   }
+}
+
+object IncrementalCdcDedup {
+
+  private[streaming] val claimsSchema = StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("claimant", LongType, nullable = false)))
+
+  /** Directory-level [[IncrementalCdcDedup!.retract]] — the deletion
+    * cascade's entry point ([[graft.pipeline.Forget.cascade]] wires it
+    * as `cdcClaimsDir`): clears every chunk claim a dead claimant
+    * holds, without needing the chunking knobs the live instance was
+    * built with (the claims schema is knob-free). Without this leg, a
+    * takedown would leave the dead document's chunk identities standing
+    * and a recrawled copy would be SUPPRESSED against content that no
+    * longer ships — the exact failure mode
+    * [[graft.store.ClaimRetraction]] exists to prevent. */
+  def retract(spark: SparkSession, root: String, ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.retract(
+      new Snapshots(spark, root, claimsSchema), ids)
+
+  /** Audit read for [[retract]]: claims still held by `ids` — 0 after
+    * a completed retraction (the [[graft.pipeline.Forget.verify]]
+    * read). */
+  def held(spark: SparkSession, root: String, ids: Seq[Long]): Long =
+    graft.store.ClaimRetraction.held(
+      new Snapshots(spark, root, claimsSchema), ids)
 }

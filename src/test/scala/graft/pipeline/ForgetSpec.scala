@@ -146,4 +146,109 @@ class ForgetSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("outside the deletion batch"))
   }
+
+  test("cdc-claims and fertility legs cascade end to end: the dead " +
+    "claimant's chunk claims clear (verify reads 0) and the fertility " +
+    "report describes the survivors") {
+    val base = Files.createTempDirectory("graft-forget2").toString
+    val para = (1 to 300)
+      .map(i => s"w${i % 41}y${(i * 13) % 89}").mkString(" ")
+    val other = (1 to 300).map(i => s"own$i").mkString(" ")
+    val corpus = Seq((1L, para, "en"), (2L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+
+    // standing CDC chunk claims: both docs ship and claim
+    val cdcDir = s"$base/cdcclaims"
+    val cdc = new graft.streaming.IncrementalCdcDedup(spark, cdcDir,
+      window = 8, maskBits = 4)
+    cdc.init()
+    assert(cdc.filterAndClaim(corpus, "doc_id", "text").count() == 2)
+    // ...and a shifted copy of doc 1 drops against them
+    val copy = Seq((9L, "EDITED PREFIX " + para, "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(cdc.filterAndClaim(copy, "doc_id", "text").count() == 0)
+
+    // standing fertility telemetry under a frozen (synthetic) tokenizer
+    val fertDir = s"$base/fertility"
+    val fert = new graft.streaming.StreamFertility(spark, fertDir)
+    fert.init()
+    val counts = Seq((1L, 25L, 40L), (2L, 17L, 20L))
+      .toDF("doc_id", "n_words", "n_pieces")
+    fert.observe(corpus, "doc_id", "text", "lang", counts, batchId = 0L)
+    assert(fert.report().select("n_docs").as[Long].head() == 2L)
+
+    // pre-audit: the cdc leg still holds doc 1's claims
+    def audit() = Forget.verify(spark, Seq(1L),
+      cdcClaimsDir = Some(cdcDir))
+      .map(r => r.component -> r.removed).toMap
+    assert(audit()("cdc_claims") > 0L, s"${audit()}")
+
+    def run() = Forget.cascade(spark, Seq(1L),
+      cdcClaimsDir = Some(cdcDir),
+      fertility = Some(Forget.FertilityTarget(fert,
+        corpus.filter(col("doc_id") === 1L), "doc_id", "text", "lang",
+        counts.filter(col("doc_id") === 1L), eventId = 3L)))
+    val receipts = run().map(r => r.component -> r.removed).toMap
+    assert(receipts("cdc_claims") > 0L, s"$receipts")
+    assert(receipts("fertility_docs") == 1L, s"$receipts")
+
+    // post-audit zero; the recrawled partial copy claims again; the
+    // report is exactly the survivor's counters
+    assert(audit()("cdc_claims") == 0L, s"${audit()}")
+    assert(cdc.filterAndClaim(copy, "doc_id", "text").count() == 1)
+    val r = fert.report()
+      .select("grp", "n_docs", "n_words", "n_pieces")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("en", 1L, 17L, 20L)), s"$r")
+
+    // retried fertility leg folds nothing twice (replay token); a
+    // second cdc retraction removes nothing
+    val again = run().map(r => r.component -> r.removed).toMap
+    assert(again("cdc_claims") == 0L, s"$again")
+    assert(fert.report()
+      .select("n_docs").as[Long].head() == 1L)
+
+    // fertility rows outside the deletion batch fail loud before the
+    // monitor is touched (the card-leg discipline)
+    val e = intercept[IllegalArgumentException] {
+      Forget.cascade(spark, Seq(1L),
+        fertility = Some(Forget.FertilityTarget(fert, corpus,
+          "doc_id", "text", "lang", counts, eventId = 4L)))
+    }
+    assert(e.getMessage.contains("outside the deletion batch"))
+  }
+
+  test("SELF-ENFORCING coverage map: every standing store in " +
+    "graft.streaming is named in Forget's deletion coverage map") {
+    // the map's own stated invariant — "a new store the deployment
+    // added without wiring it here" must fail THIS spec, not surface
+    // at the next takedown: every top-level class/object declared
+    // under graft/streaming must appear by name in Forget.scala
+    // (wired leg, documented waiver, or item-domain row)
+    val streamDir = java.nio.file.Paths.get(
+      "src/main/scala/graft/streaming")
+    val forgetSrc = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      "src/main/scala/graft/pipeline/Forget.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val decl = ("""^(?:private\[\w+\]\s+)?(?:final\s+)?""" +
+      """(?:class|object)\s+(\w+)""").r
+    val listing = Files.list(streamDir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".scala"))
+        .flatMap { p =>
+          new String(Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .linesIterator
+            .flatMap(l => decl.findPrefixMatchOf(l).map(_.group(1)))
+        }.toSet
+    } finally listing.close()
+    assert(names.size >= 25, s"suspiciously few stores parsed: $names")
+    val missing = names.filterNot(forgetSrc.contains)
+    assert(missing.isEmpty,
+      s"standing stores missing from Forget's deletion coverage map: " +
+        s"${missing.toSeq.sorted.mkString(", ")} — add a wired leg, a " +
+        "documented waiver, or an item-domain row")
+  }
 }

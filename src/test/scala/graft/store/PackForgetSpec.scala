@@ -116,14 +116,14 @@ class PackForgetSpec extends AnyFunSuite {
     val dead = Seq(3L, 7L)
     val pre = Forget.verify(spark, dead,
       packs = Some(Forget.PackTarget(dir, Pad)))
-    assert(pre == Seq(Forget.Receipt("pack_members", 2L)), s"$pre")
+    assert(pre == Seq(Forget.Receipt("pack_ids_held", 2L)), s"$pre")
     val receipts = Forget.cascade(spark, dead,
       packs = Some(Forget.PackTarget(dir, Pad)))
       .map(r => r.component -> r.removed).toMap
-    assert(receipts("pack_members") == 2L, s"$receipts")
+    assert(receipts("pack_members_masked") == 2L, s"$receipts")
     assert(receipts("pack_files") >= 1L, s"$receipts")
     val post = Forget.verify(spark, dead,
       packs = Some(Forget.PackTarget(dir, Pad)))
-    assert(post == Seq(Forget.Receipt("pack_members", 0L)), s"$post")
+    assert(post == Seq(Forget.Receipt("pack_ids_held", 0L)), s"$post")
   }
 }
