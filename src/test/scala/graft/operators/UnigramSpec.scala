@@ -289,6 +289,78 @@ class UnigramSpec extends AnyFunSuite {
     assert(err.getMessage.contains("not 'unigram'"))
   }
 
+  test("warm start: bit-identical to the cold model on an unchanged " +
+    "corpus (fixed point); adapts, covers and never grows on a drifted " +
+    "one; measured faster than a cold retrain") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("lowest", 4L), ("newer", 3L))
+    val knobs = Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L,
+      seedSize = 100, emRounds = 4, vocabTarget = 10, postEmRounds = 1)
+    val cold = Unigram.trainFromVocab(vocab, knobs)
+    // UNCHANGED corpus: the warm start reconstructs the fixed point and
+    // every further round maps it to itself — bit-identical for
+    // warmRounds 0, 1 and 3 (this also PROVES the cold model converged:
+    // warmRounds=1 equality IS the emRound fixed-point check)
+    Seq(0, 1, 3).foreach { r =>
+      assert(Unigram.warmStartFromVocab(vocab, cold, knobs, r) == cold,
+        s"warmRounds=$r diverged from the cold model")
+    }
+
+    // DRIFTED corpus: frequencies move, two new words bring a NEW
+    // symbol (ü), one stem family ("newest"/"widest"/"newer") vanishes
+    val drifted = Seq(("low", 9L), ("lower", 7L), ("lowest", 8L),
+      ("zünd", 4L), ("zündet", 3L))
+    val warm = Unigram.warmStartFromVocab(drifted, cold, knobs, 1)
+    // coverage: every drifted-corpus symbol is a piece (ü included)
+    val alphaNew = drifted.flatMap { case (w, _) => Bpe.initial(w) }.toSet
+    assert(alphaNew.subsetOf(warm.pieces.toSet),
+      s"coverage lost: ${alphaNew.diff(warm.pieces.toSet)}")
+    // the documented scope: the multi inventory only shrinks/re-weights
+    def multis(m: Unigram.Model) =
+      m.pieces.filter(p => Unigram.symLen(p) > 1).toSet
+    assert(multis(warm).subsetOf(multis(cold)),
+      s"warm start grew multis: ${multis(warm).diff(multis(cold))}")
+    // ...and multis the drifted corpus never uses DROP (the dead-piece
+    // EM semantics): cold learned est/newest-family pieces that no
+    // drifted word can contain
+    assert(multis(cold).exists(p => !multis(warm).contains(p)),
+      s"no dead multi dropped: cold=${multis(cold)} warm=${multis(warm)}")
+    // the warm model encodes the drifted corpus totally
+    drifted.foreach { case (w, _) =>
+      val seg = Unigram.viterbi(Bpe.initial(w), warm.costOf.get,
+        knobs.maxPieceSyms, unkSingles = true)
+      assert(seg.nonEmpty && seg.forall(warm.costOf.contains),
+        s"$w -> $seg")
+    }
+    // guard rails: empty table and under-sized lattice fail loud
+    intercept[IllegalArgumentException](
+      Unigram.warmStartFromVocab(Seq.empty[(String, Long)], cold, knobs))
+    intercept[IllegalArgumentException](
+      Unigram.warmStartFromVocab(vocab, cold, knobs.copy(maxPieceSyms = 1)))
+
+    // the MEASURED speedup (recorded in the warmStartFromVocab
+    // scaladoc): a planted 4,056-word vocabulary, cold seeding + 2 EM
+    // rounds + prune + post round vs warm 1 round + prune
+    val big = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield Seq(
+      (s"$a${b}ing", 10L), (s"$a${b}ed", 7L), (s"$a${b}s", 5L),
+      (s"re$a${b}", 4L), (s"$a${b}er", 3L), (s"un$a${b}ed", 2L)))
+      .flatten.toIndexedSeq
+    val bigKnobs = Unigram.Knobs(maxPieceSyms = 4, minSeedCount = 2L,
+      seedSize = 1 << 14, emRounds = 2, vocabTarget = 200,
+      postEmRounds = 1)
+    val t0 = System.nanoTime()
+    val coldBig = Unigram.trainFromVocab(big, bigKnobs)
+    val coldMs = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    val warmBig = Unigram.warmStartFromVocab(big, coldBig, bigKnobs, 1)
+    val warmMs = (System.nanoTime() - t1) / 1e6
+    info(f"warm-start timing: cold=$coldMs%.0f ms warm=$warmMs%.0f ms " +
+      f"(${coldMs / warmMs}%.1fx) over ${big.size} words")
+    assert(warmMs < coldMs,
+      f"warm start ($warmMs%.0f ms) not faster than cold ($coldMs%.0f ms)")
+    assert(multis(warmBig).subsetOf(multis(coldBig)))
+  }
+
   test("fertility: planted recurring CJK under CpClass - unigram " +
     "output matches the Bpe.fertility column contract") {
     val corpus = docs.filter(col("text").isNotNull)
