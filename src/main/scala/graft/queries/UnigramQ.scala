@@ -669,5 +669,89 @@ object UnigramQ {
       .orderBy("doc_id", "pos")
   }
 
-  val all: Seq[Q] = Seq(q147, q148, q149, q150, q151, q152, q153, q154)
+  /** q155: SAMPLED-ENCODING PACK STREAMS — the q150 loader artifact
+    * re-based from the frozen argmax segmentation to
+    * [[Unigram.encodeSampled]]'s deterministic subword regularization
+    * (q152's hash-geometric per-occurrence pick, salt `e1`, k = 4): the
+    * REGULARIZED training shards a deployment wanting Kudo-style
+    * segmentation diversity actually packs, as a first-class artifact
+    * instead of a hand-composition. Same epoch-shuffle seed 7 / 8
+    * shards / budget 700 / separator one past the vocabulary; the
+    * WEIGHT is the sampled piece count + 1 (a document's pack footprint
+    * follows its sampled segmentation, not the argmax one), so the
+    * oracle replays training, the k-best DP, every draw, the shuffle
+    * key, the global prefix sum AND the concatenation position by
+    * position. A new salt per epoch re-draws every pick — the
+    * epoch-shuffle discipline applied to segmentation — while the same
+    * salt replays shards bit for bit. */
+  val q155 = Q(
+    "q155_unigram_sampled_packs",
+    s"""WITH RECURSIVE
+       |${chain()},
+       |${kbestCtes("usmp", "uw0e", "ufcm", K.maxPieceSyms, 4)},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM documents),
+       |pick AS (SELECT doc_id, tp,
+       |                kb[CAST(len(kb) - (length(bin(
+       |                  (${TextQ.sqlHash(
+                            "'e1:' || CAST(doc_id AS VARCHAR) || ':' || " +
+                              "CAST(tp AS VARCHAR)")})
+       |                   % ((CAST(1 AS BIGINT) << len(kb)) - 1) + 1
+       |                  )) - 1) AS INTEGER)].ps AS pieces
+       |         FROM (SELECT t.doc_id, t.tp, f.kb
+       |               FROM tokq t JOIN usmpfin f USING (word))),
+       |flat AS (SELECT doc_id, tp, unnest(pieces) AS piece,
+       |                unnest(range(1, len(pieces) + 1)) AS sp FROM pick),
+       |docids AS (SELECT f.doc_id, v.vid,
+       |                  row_number() OVER (PARTITION BY f.doc_id
+       |                    ORDER BY f.tp, f.sp) AS dp
+       |           FROM flat f JOIN uvoc v ON v.piece = f.piece),
+       |ucnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pieces
+       |         FROM flat GROUP BY doc_id),
+       |usepv AS (SELECT CAST(COUNT(*) AS BIGINT) AS sep FROM uvoc),
+       |k AS (SELECT d.doc_id, c.n_pieces + 1 AS w,
+       |             (${TextQ.sqlHash("'7:' || CAST(d.doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM documents d JOIN ucnt c ON c.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard, w
+       |      FROM k),
+       |ww AS (SELECT doc_id, ek, shard, w,
+       |         SUM(w) OVER (ORDER BY shard, ek, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM s),
+       |pk AS (SELECT doc_id, ek, shard, w,
+       |              CAST((cum - w) // 700 AS BIGINT) AS pack_id FROM ww),
+       |tok2 AS (SELECT doc_id, vid, dp FROM docids
+       |         UNION ALL
+       |         SELECT p.doc_id, (SELECT sep FROM usepv) AS vid,
+       |                p.w AS dp
+       |         FROM pk p),
+       |expl AS (SELECT p.pack_id, p.shard, p.ek, t.doc_id, t.dp, t.vid
+       |         FROM tok2 t JOIN pk p USING (doc_id)),
+       |outp AS (SELECT pack_id,
+       |                CAST(row_number() OVER (PARTITION BY pack_id
+       |                  ORDER BY shard, ek, doc_id, dp) - 1 AS BIGINT)
+       |                  AS pos,
+       |                vid AS token_id FROM expl)
+       |SELECT pack_id, pos, token_id FROM outp
+       |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val model = Unigram.train(docs, "text", K)
+    val enc = Unigram.encodeSampled(docs, "doc_id", "text", model,
+      k = 4, salt = "e1")
+      .select(col("doc_id"), col("token_ids"))
+    val e = graft.operators.Mixing.epochShuffle(
+      docs.select("doc_id").join(enc, Seq("doc_id")),
+      "doc_id", seed = 7L, nShards = 8)
+    graft.operators.Packing.packTokenStreams(e, "shard", "pos",
+      "token_ids", budget = 700L, sepId = model.pieces.length.toLong)
+      .select(col("pack_id"), posexplode(col("token_ids")))
+      .select(col("pack_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+      .orderBy("pack_id", "pos")
+  }
+
+  val all: Seq[Q] = Seq(q147, q148, q149, q150, q151, q152, q153, q154,
+    q155)
 }

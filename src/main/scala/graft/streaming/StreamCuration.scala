@@ -220,6 +220,8 @@ object StreamCuration {
               bpePreTok: graft.operators.Bpe.PreTok =
                 graft.operators.Bpe.PreTok.Whitespace,
               unigramTokenizer: Option[graft.operators.Unigram.Model] = None,
+              unigramSampleK: Int = 1,
+              unigramSampleSalt: String = "e1",
               bpePackBudget: Option[Long] = None,
               onPackStreams: Option[(DataFrame, Long) => Unit] = None,
               onReport: Option[BatchReport => Unit] = None)
@@ -233,6 +235,14 @@ object StreamCuration {
     require(bpePackBudget.isEmpty ||
       bpeTokenizer.isDefined || unigramTokenizer.isDefined,
       "bpePackBudget requires a tokenizer (the ids being packed)")
+    // subword regularization rides the unigram family only (Kudo 2018
+    // §3 — the k-best lattice is a unigram construct); k = 1 IS the
+    // argmax encode (spec-pinned), so the default changes nothing
+    require(unigramSampleK >= 1,
+      s"unigramSampleK must be >= 1, got $unigramSampleK")
+    require(unigramSampleK == 1 || unigramTokenizer.isDefined,
+      "unigramSampleK > 1 requires unigramTokenizer (sampled " +
+        "segmentation is a unigram-lattice construct)")
     graft.functions.RepetitionStats.ensureRegistered(spark)
     graft.functions.WidePolyHash.ensureRegistered(spark)
     graft.functions.TokenStats.ensureRegistered(spark)
@@ -483,9 +493,21 @@ object StreamCuration {
             // split than the trainer's silently drifts
             Some(graft.operators.Bpe.encode(mixedOut, idCol, textCol,
               ms, vocab, preTok = bpePreTok))
-          case None => unigramTokenizer.map(model =>
-            // the unigram model RECORDS its policy — no drift seam
-            graft.operators.Unigram.encode(mixedOut, idCol, textCol, model))
+          case None => unigramTokenizer.map { model =>
+            // the unigram model RECORDS its policy — no drift seam.
+            // k > 1 ships REGULARIZED shards (q152/q155's deterministic
+            // subword regularization): the salt is the epoch key — same
+            // salt replays a batch bit for bit (the funnel's replay
+            // contract holds), a new salt per epoch re-draws every
+            // occurrence's segmentation
+            if (unigramSampleK > 1)
+              graft.operators.Unigram.encodeSampled(mixedOut, idCol,
+                textCol, model, k = unigramSampleK,
+                salt = unigramSampleSalt)
+            else
+              graft.operators.Unigram.encode(mixedOut, idCol, textCol,
+                model)
+          }
         }
         val out = encoded match {
           case Some(encRaw) =>

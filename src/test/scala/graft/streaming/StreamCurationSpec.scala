@@ -308,6 +308,53 @@ class StreamCurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mutually exclusive"))
   }
 
+  test("unigramSampleK knob: the funnel ships REGULARIZED shards — " +
+    "bitwise equal to encodeSampled over the kept rows, salt-replayable, " +
+    "and the pack streams pack the sampled footprints") {
+    val stateDir = Files.createTempDirectory("graft-scur-smp").toString
+    val b1 = Seq((1L, "aa bb aa cc aa bb", "s0"), (2L, "dd ee aa bb", "s0"))
+      .toDF("doc_id", "text", "source")
+    val model = graft.operators.Unigram.train(b1, "text",
+      graft.operators.Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L,
+        seedSize = 50, emRounds = 1, vocabTarget = 10, postEmRounds = 1))
+    var packs = Vector.empty[(Long, Seq[Long])]
+    val curate = StreamCuration.curator(spark, evalDocs.limit(0), stateDir,
+      unigramTokenizer = Some(model),
+      unigramSampleK = 4, unigramSampleSalt = "e7",
+      bpePackBudget = Some(8L),
+      onPackStreams = Some((df, _) => packs = df
+        .select("pack_id", "token_ids").as[(Long, Seq[Long])]
+        .collect().toVector),
+      repetitionTopBigramMilli = 1001)
+    val got = curate(b1, 0L).select("doc_id", "token_ids")
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = graft.operators.Unigram.encodeSampled(b1, "doc_id", "text",
+      model, k = 4, salt = "e7")
+      .select("doc_id", "token_ids").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(got == want, s"funnel sampled encode diverged: $got vs $want")
+    // the emitted pack streams carry the SAMPLED token footprints
+    val sep = model.pieces.length.toLong
+    val packedPerDoc = packs.flatMap(_._2).filter(_ != sep).size
+    assert(packedPerDoc == want.values.map(_.size).sum,
+      s"pack streams do not pack the sampled footprints: $packs")
+    // same salt replays bit for bit (the funnel's replay contract);
+    // a NEW salt re-draws — the epoch discipline
+    val curateReplay = StreamCuration.curator(spark, evalDocs.limit(0),
+      stateDir, unigramTokenizer = Some(model),
+      unigramSampleK = 4, unigramSampleSalt = "e7",
+      repetitionTopBigramMilli = 1001)
+    val replay = curateReplay(b1, 0L).select("doc_id", "token_ids")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(replay == got)
+    // k > 1 without a unigram model fails loud
+    val e = intercept[IllegalArgumentException] {
+      StreamCuration.curator(spark, evalDocs.limit(0), stateDir + "-x",
+        unigramSampleK = 2, repetitionTopBigramMilli = 1001)
+    }
+    assert(e.getMessage.contains("unigramSampleK"))
+  }
+
   test("bpePackBudget twin: per-batch pack streams match a direct " +
     "packTokenStreams over the shipped ids (separator = |vocab|), and " +
     "replay emits identical streams") {
