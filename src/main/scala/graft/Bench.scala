@@ -133,6 +133,18 @@ object Bench {
     // the reproducible cost of the plan.
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
+    // REP-LEVEL load audit (the start-load guard cannot see MID-RUN
+    // contention — r15_7 started at 0.04 and ended at 3.99): the 1-min
+    // loadavg is sampled before every rep and published as rep_times'
+    // sibling map, so the min-agg can be audited per rep (a min taken
+    // from a load-5 rep is visibly untrustworthy; the canonical receipt
+    // is a rep with load < 1). Optionally SPARK_GRAFT_MAX_REP_LOAD
+    // grants ONE retry rep to a query whose every rep started above the
+    // cap — bounded (+1 rep max per query), never a wait loop: mid-run
+    // ambient load includes our own scheduler tail, so waiting would
+    // deadlock against the run itself.
+    val maxRepLoad =
+      sys.env.get("SPARK_GRAFT_MAX_REP_LOAD").flatMap(_.toDoubleOption)
     // per-query Spark JOB count (from the final rep, listener bus flushed
     // for exactness): job count is load-invariant where wall time is not,
     // so a round-over-round bench diff can separate host noise (time moved,
@@ -148,8 +160,9 @@ object Bench {
     val results = names.map { name =>
       var failed = false
       var lastRepJobs = 0L
-      val times = (1 to reps).map { _ =>
+      def oneRep(): (Double, Double) = {
         if (!flushQuietly(spark.sparkContext)) flushTimeouts += 1
+        val load = loadAvg1m()
         val jobs0 = jobCounter.get()
         val t0 = System.nanoTime()
         try { Bench.runFully(SparkEntry.queries(name)(spark, sfDir)) }
@@ -157,30 +170,44 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         if (!flushQuietly(spark.sparkContext)) flushTimeouts += 1
         lastRepJobs = jobCounter.get() - jobs0
-        dt
+        (dt, load)
+      }
+      var repData = (1 to reps).map(_ => oneRep())
+      // one bounded retry when EVERY rep started above the cap
+      maxRepLoad.foreach { cap =>
+        if (!failed && repData.forall(_._2 > cap)) repData :+= oneRep()
       }
       spark.catalog.clearCache()
+      val times = repData.map(_._1)
       (name, if (failed) -1.0 else times.min,
         if (failed) -1L else lastRepJobs,
-        if (failed) Seq(-1.0) else times)
+        if (failed) Seq(-1.0) else times,
+        if (failed) Seq(-1.0) else repData.map(_._2))
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + f"""":$v%.3f""" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val js = results.map { case (k, _, j, _) => "\"" + k + s"""":$j""" }
+    val js = results.map { case (k, _, j, _, _) => "\"" + k + s"""":$j""" }
       .mkString("{", ",", "}")
     // per-rep arrays + max/min spread: two rounds of judge time went to
     // adjudicating 4x wall swings on sub-second queries that the rep
     // spread makes self-evident (huge spread + identical jobs = host
     // noise, not a plan change; jobs are the cross-round adjudicator)
-    val rts = results.map { case (k, _, _, ts) =>
+    val rts = results.map { case (k, _, _, ts, _) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val spread = results.map { case (k, v, _, ts) =>
+    // rep_times' sibling: the 1-min loadavg sampled before each rep —
+    // the per-rep noise audit (which rep the min came from, and whether
+    // that rep started quiet)
+    val rls = results.map { case (k, _, _, _, ls) =>
+      "\"" + k + "\":" + ls.map(l => f"$l%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val spread = results.map { case (k, v, _, ts, _) =>
       val s = if (v < 0) -1.0 else ts.max - ts.min
       "\"" + k + f"""":$s%.3f"""
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val errors = results.collect {
+      case (k, v, _, _, _) if v < 0 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Forced >64k-centroid regime for the two-level quantizer: q70/q71's
     // benched strides give a composite vocabulary a single-level path
@@ -335,7 +362,7 @@ object Bench {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
     val loadEnd = loadAvg1m()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"media_funnel":$mediaFunnel,"forget_cascade":$forgetCascade,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaited}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_loads":$rls,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"media_funnel":$mediaFunnel,"forget_cascade":$forgetCascade,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"agg":"min","flush_timeouts":$flushTimeouts,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaited}"""
     println(line)
     try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
