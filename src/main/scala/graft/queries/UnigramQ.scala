@@ -105,8 +105,9 @@ object UnigramQ {
        |                     CAST(j + 1 AS INTEGER)), ''))[1], $Inf))
        |          AS cands
        |      FROM ${pfx}dp, $cmCte WHERE j < len(syms)))),
-       |${pfx}dpf AS (SELECT word, syms, bp FROM ${pfx}dp
-       |              WHERE j = len(syms)),
+       |${pfx}dpf AS (SELECT word, syms, bp,
+       |              best[CAST(len(syms) + 1 AS INTEGER)] AS cost
+       |              FROM ${pfx}dp WHERE j = len(syms)),
        |${pfx}bt AS (
        |  SELECT word, syms, bp, CAST(len(syms) AS BIGINT) AS j,
        |         CAST([] AS VARCHAR[]) AS pieces
@@ -119,6 +120,43 @@ object UnigramQ {
        |  FROM ${pfx}bt WHERE j > 0),
        |${pfx}fin AS MATERIALIZED (SELECT word, pieces FROM ${pfx}bt
        |                           WHERE j = 0)""".stripMargin
+
+  /** COST-ONLY Viterbi DP over (word, excluded piece) pairs — the
+    * removal-loss replay's alternative-path leg ([[Unigram
+    * .removalLosses]]'s inner re-Viterbi): the same min-plus recurrence
+    * as [[viterbiCtes]], but each row carries the piece its lattice
+    * must pretend not to know (`CASE WHEN piece = excl THEN NULL`) and
+    * only `best[n]` survives — a removal loss needs the alternative's
+    * COST, not its path (every min path has the same total, so the
+    * tie-break is irrelevant here). `pairsCte(word, excl, syms)`. */
+  private def viterbiExclCtes(pfx: String, pairsCte: String,
+                              cmCte: String, maxLen: Int): String = {
+    val piece = s"""array_to_string(list_slice(syms,
+       |                     CAST(i + 1 AS INTEGER),
+       |                     CAST(j + 1 AS INTEGER)), '')""".stripMargin
+    s"""${pfx}dp AS (
+       |  SELECT word, excl, syms, 0 AS j, [CAST(0 AS BIGINT)] AS best
+       |  FROM $pairsCte
+       |  UNION ALL
+       |  SELECT word, excl, syms, j + 1,
+       |         list_append(best, CASE WHEN mn >= $Inf THEN NULL
+       |                                ELSE mn END)
+       |  FROM (
+       |    SELECT word, excl, syms, j, best, list_min(cands) AS mn
+       |    FROM (
+       |      SELECT word, excl, syms, j, best,
+       |        list_transform(range(greatest(0, j + 1 - $maxLen), j + 1),
+       |          i -> COALESCE(best[CAST(i + 1 AS INTEGER)] +
+       |                 CASE WHEN $piece = excl THEN NULL
+       |                      ELSE map_extract($cmCte.m, $piece)[1] END,
+       |                 $Inf))
+       |          AS cands
+       |      FROM ${pfx}dp, $cmCte WHERE j < len(syms)))),
+       |${pfx}fin AS MATERIALIZED (
+       |  SELECT word, excl,
+       |         best[CAST(len(syms) + 1 AS INTEGER)] AS altcost
+       |  FROM ${pfx}dp WHERE j = len(syms))""".stripMargin
+  }
 
   /** Counts after a Viterbi pass, with the coverage floor →
     * `{pfx}eff(piece, c)`: frequency-weighted usage, dead multis drop
@@ -141,13 +179,12 @@ object UnigramQ {
     * `uvoc(piece, vid)` (ids = `row_number() OVER (ORDER BY piece) − 1`,
     * DuckDB's binary collation = [[Bpe.cpOrder]]). Knobs mirror
     * [[Unigram.Knobs]] verbatim. */
-  private[queries] def unigramChainCtes(
-      maxPieceSyms: Int, minSeedCount: Long, seedSize: Int,
-      emRounds: Int, vocabTarget: Int, postEmRounds: Int,
-      trainFrom: String = "documents", encodeFrom: String = "documents",
-      toks: String = sqlToks, name: String = "u"): String = {
-    val parts = Seq.newBuilder[String]
-    parts += s"""${name}wf AS MATERIALIZED (
+  /** The seeding block: word-frequency table, symbol decomposition,
+    * alphabet, span counts, kept multis, `{name}eff0`. */
+  private def seedCtes(name: String, trainFrom: String, toks: String,
+                       maxPieceSyms: Int, minSeedCount: Long,
+                       seedSize: Int): String =
+    s"""${name}wf AS MATERIALIZED (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest($toks) AS w FROM $trainFrom) GROUP BY w),
        |${name}w0 AS MATERIALIZED (
@@ -172,6 +209,15 @@ object UnigramQ {
        |  UNION ALL
        |  SELECT a.piece, s.c FROM ${name}alpha a
        |  JOIN ${name}spans s ON s.piece = a.piece)""".stripMargin
+
+  private[queries] def unigramChainCtes(
+      maxPieceSyms: Int, minSeedCount: Long, seedSize: Int,
+      emRounds: Int, vocabTarget: Int, postEmRounds: Int,
+      trainFrom: String = "documents", encodeFrom: String = "documents",
+      toks: String = sqlToks, name: String = "u"): String = {
+    val parts = Seq.newBuilder[String]
+    parts += seedCtes(name, trainFrom, toks, maxPieceSyms, minSeedCount,
+      seedSize)
     var prevEff = s"${name}eff0"
     (1 to emRounds).foreach { k =>
       val pfx = s"${name}e$k"
@@ -752,6 +798,166 @@ object UnigramQ {
       .orderBy("pack_id", "pos")
   }
 
+  /** q156: LOSS-AWARE PRUNING under the oracle gate ([[Unigram.PruneBy
+    * .Loss]], Kudo 2018 §3.2) — the round-15 waiver closed at the one
+    * scale where the replay is proportionate: a planted 4-word corpus
+    * (`ab`×900, `a`×500, `b`×500, `xy`×40) where count- and
+    * loss-ranking DISAGREE — the 1400-count `b</w>` decomposes almost
+    * freely into two cheap survivors, so its removal costs the corpus
+    * LESS than the 900-count `ab</w>` whose alternative spells three
+    * pieces — trained at emRounds = 0 / vocabTarget = 1 so exactly one
+    * multi survives: the LOSS winner `ab</w>`, not the count winner.
+    * The oracle replays seeding, the fixed-point cost chain, every
+    * word's base Viterbi cost, the per-(word, candidate) re-Viterbi
+    * WITHOUT the candidate ([[viterbiExclCtes]]), the exact integer
+    * loss fold Σ freq × (alt − base), the loss-ranked prune, the
+    * post-prune cost chain, and the kept rows' `removal_loss` values
+    * themselves. The full-scale waiver stands documented in
+    * [[Unigram.PruneBy]]: replaying the loss DP per candidate over a
+    * real corpus squares the oracle's DP machinery; this row pins the
+    * semantics exactly where the two policies part. */
+  val q156 = Q(
+    "q156_unigram_loss_prune",
+    s"""WITH RECURSIVE
+       |corpus AS (
+       |  SELECT 'ab' AS text FROM range(900)
+       |  UNION ALL SELECT 'a' FROM range(500)
+       |  UNION ALL SELECT 'b' FROM range(500)
+       |  UNION ALL SELECT 'xy' FROM range(40)),
+       |${seedCtes("u", "corpus", sqlToks, 3, 2L, 100)},
+       |${costMapCtes("L", "ueff0")},
+       |${viterbiCtes("bv", "uw0", "Lcm", 3)},
+       |cand AS (SELECT DISTINCT b.word, b.excl FROM
+       |  (SELECT word, unnest(pieces) AS excl FROM bvfin) b
+       |  LEFT JOIN ualpha a ON a.piece = b.excl WHERE a.piece IS NULL),
+       |pairs AS (SELECT c.word, c.excl, w.syms FROM cand c
+       |          JOIN uw0 w USING (word)),
+       |${viterbiExclCtes("xv", "pairs", "Lcm", 3)},
+       |loss AS (SELECT x.excl AS piece,
+       |           CAST(SUM(f.freq * (x.altcost - b.cost)) AS BIGINT)
+       |             AS loss
+       |         FROM xvfin x
+       |         JOIN uwf f USING (word)
+       |         JOIN bvdpf b USING (word)
+       |         GROUP BY x.excl),
+       |upr AS MATERIALIZED (
+       |  SELECT piece, c FROM (
+       |    SELECT e.piece, e.c FROM ueff0 e
+       |    LEFT JOIN ualpha a ON a.piece = e.piece
+       |    LEFT JOIN loss l ON l.piece = e.piece
+       |    WHERE a.piece IS NULL
+       |    ORDER BY COALESCE(l.loss, 0) DESC, e.c DESC, e.piece ASC
+       |    LIMIT 1)
+       |  UNION ALL
+       |  SELECT e.piece, e.c FROM ueff0 e
+       |  JOIN ualpha a ON a.piece = e.piece),
+       |${costMapCtes("F", "upr")},
+       |uvoc AS (SELECT piece,
+       |  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS vid
+       |  FROM (SELECT piece FROM upr))
+       |SELECT v.vid, v.piece, e.c AS train_count, co.cost,
+       |       CAST(COALESCE(l.loss, 0) AS BIGINT) AS removal_loss
+       |FROM uvoc v
+       |JOIN upr e ON e.piece = v.piece
+       |JOIN Fcost co ON co.piece = v.piece
+       |LEFT JOIN loss l ON l.piece = v.piece
+       |ORDER BY v.vid""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val corpus = s.range(900).select(lit("ab").as("text"))
+      .unionAll(s.range(500).select(lit("a").as("text")))
+      .unionAll(s.range(500).select(lit("b").as("text")))
+      .unionAll(s.range(40).select(lit("xy").as("text")))
+    val knobs = Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L,
+      seedSize = 100, emRounds = 0, vocabTarget = 1, postEmRounds = 0,
+      pruneBy = Unigram.PruneBy.Loss)
+    val model = Unigram.train(corpus, "text", knobs)
+    // the same bounded word table train() collected, for the loss table
+    val vocab = Bpe.wordFrequencies(corpus, "text", model.preTok)
+      .orderBy(col("freq").desc, col("word").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    val (eff, alpha) = Unigram.seedFromVocab(vocab, knobs)
+    val losses = Unigram.removalLosses(vocab, eff, alpha, knobs)
+    model.pieces.indices
+      .map(i => (i.toLong, model.pieces(i), model.counts(i),
+        model.costs(i), losses.getOrElse(model.pieces(i), 0L)))
+      .toDF("vid", "piece", "train_count", "cost", "removal_loss")
+      .orderBy("vid")
+  }
+
+  /** q157: WARM-START RETRAINING under the oracle gate
+    * ([[Unigram.warmStart]] — round 16's incremental trainer, here
+    * hash-checked, not only spec-pinned): the base model trains on the
+    * full corpus (the standard chain), the corpus DRIFTS (a third of
+    * the documents leave; a planted cohort arrives carrying the new
+    * symbols `世界`), and the warm start replays in SQL exactly as the
+    * driver runs it — the previous model's singles ∪ the drifted
+    * corpus's alphabet (new symbols floored at 1, the coverage
+    * contract), the previous multis with their trained counts, ONE
+    * hard-EM round against the NEW word-frequency table (the same
+    * recursive-CTE Viterbi DP, usage re-estimation, coverage floor,
+    * dead multis dropping), the count prune and the fixed-point cost
+    * chain — every surviving piece, trained count and cost
+    * hash-checked. */
+  val q157 = Q(
+    "q157_unigram_warm_start",
+    s"""WITH RECURSIVE
+       |${chain()},
+       |drift AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text || ' zqz 世界'
+       |  FROM documents WHERE doc_id % 4 = 0 AND text IS NOT NULL),
+       |${seedCtes("n", "drift", sqlToks, K.maxPieceSyms, K.minSeedCount,
+          K.seedSize)},
+       |walpha AS (SELECT DISTINCT piece FROM (
+       |  SELECT piece FROM nalpha
+       |  UNION ALL
+       |  SELECT e.piece FROM ufeff e
+       |  JOIN ualpha a ON a.piece = e.piece)),
+       |weff0 AS MATERIALIZED (
+       |  SELECT w.piece, GREATEST(COALESCE(e.c, 0), 1) AS c
+       |  FROM walpha w LEFT JOIN ufeff e ON e.piece = w.piece
+       |  UNION ALL
+       |  SELECT e.piece, e.c FROM ufeff e
+       |  LEFT JOIN walpha w ON w.piece = e.piece
+       |  WHERE w.piece IS NULL),
+       |${costMapCtes("W", "weff0")},
+       |${viterbiCtes("wv", "nw0", "Wcm", K.maxPieceSyms)},
+       |${emCntCtes("w1", "wvfin", "nwf", "walpha")},
+       |wpr AS MATERIALIZED (
+       |  SELECT piece, c FROM (
+       |    SELECT e.piece, e.c FROM w1eff e
+       |    LEFT JOIN walpha a ON a.piece = e.piece
+       |    WHERE a.piece IS NULL
+       |    ORDER BY e.c DESC, e.piece ASC LIMIT ${K.vocabTarget})
+       |  UNION ALL
+       |  SELECT e.piece, e.c FROM w1eff e
+       |  JOIN walpha a ON a.piece = e.piece),
+       |${costMapCtes("Z", "wpr")},
+       |wvoc AS (SELECT piece,
+       |  CAST(row_number() OVER (ORDER BY piece) - 1 AS BIGINT) AS vid
+       |  FROM (SELECT piece FROM wpr))
+       |SELECT v.vid, v.piece, e.c AS train_count, co.cost
+       |FROM wvoc v
+       |JOIN wpr e ON e.piece = v.piece
+       |JOIN Zcost co ON co.piece = v.piece
+       |ORDER BY v.vid""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val base = Unigram.train(docs, "text", K)
+    val planted = docs
+      .filter(col("doc_id") % 4 === 0 && col("text").isNotNull)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(" zqz 世界")).as("text"))
+    val drift = docs.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id", "text").unionAll(planted)
+    val warm = Unigram.warmStart(drift, "text", base, K, warmRounds = 1)
+    warm.pieces.indices
+      .map(i => (i.toLong, warm.pieces(i), warm.counts(i), warm.costs(i)))
+      .toDF("vid", "piece", "train_count", "cost")
+      .orderBy("vid")
+  }
+
   val all: Seq[Q] = Seq(q147, q148, q149, q150, q151, q152, q153, q154,
-    q155)
+    q155, q156, q157)
 }
