@@ -166,6 +166,12 @@ class UnigramSpec extends AnyFunSuite {
     val pcPlan = pc.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(graft.PlanChecks.shuffleExchanges(pcPlan) <= 1, pcPlan)
+    // encodeSampled shares encode's scan shape: broadcast model,
+    // per-partition k-best memo, zero exchange
+    val smp = Unigram.encodeSampled(docs, "doc_id", "text", model, k = 3)
+    val smpPlan = smp.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(graft.PlanChecks.shuffleExchanges(smpPlan) == 0, smpPlan)
   }
 
   test("unk policies under a frozen vocabulary: unkId + n_unk, " +
