@@ -113,9 +113,12 @@ object Unigram {
     * when its words re-segment without it — which protects
     * low-frequency pieces with no cheap decomposition (rare-script
     * runs) over high-frequency pieces whose halves are nearly free.
-    * Loss pruning is deliberately NOT oracle-replayed (it would double
-    * the DP machinery per candidate inside the SQL chain); UnigramSpec
-    * pins its semantics against a brute-force reference instead. */
+    * Loss pruning is NOT oracle-replayed at corpus scale (it would
+    * square the DP machinery per candidate inside the SQL chain);
+    * UnigramSpec pins its semantics against a brute-force reference,
+    * and q156 replays the full loss fold in SQL at the one
+    * proportionate scale — a planted corpus where count- and
+    * loss-ranking disagree. */
   sealed trait PruneBy extends Serializable
   object PruneBy {
     case object Count extends PruneBy

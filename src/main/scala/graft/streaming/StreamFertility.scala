@@ -14,7 +14,9 @@ import graft.store.Snapshots
   * report of EVERYTHING shipped so far. This is the monitor that makes
   * the retrain signal OPERATIONAL: a language slice drifting toward
   * the byte-fallback fertility ceiling shows up batch by batch, not at
-  * the next full-corpus audit.
+  * the next full-corpus audit. [[graft.pipeline.Retrain.plan]] is the
+  * report's consumer — it names the proportional response per group
+  * (none / [[graft.operators.Unigram.warmStart]] / cold retrain).
   *
   * TOKENIZER-AGNOSTIC by the same seam the batch tier uses: the caller
   * supplies the per-document `(idCol, n_words, n_pieces)` frame
