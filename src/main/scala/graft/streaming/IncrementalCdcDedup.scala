@@ -125,14 +125,27 @@ object IncrementalCdcDedup {
     * and a recrawled copy would be SUPPRESSED against content that no
     * longer ships — the exact failure mode
     * [[graft.store.ClaimRetraction]] exists to prevent. */
-  def retract(spark: SparkSession, root: String, ids: Seq[Long]): Long =
+  def retract(spark: SparkSession, root: String, ids: Seq[Long]): Long = {
+    requireStore(root, "retract from")
     graft.store.ClaimRetraction.retract(
       new Snapshots(spark, root, claimsSchema), ids)
+  }
 
   /** Audit read for [[retract]]: claims still held by `ids` — 0 after
     * a completed retraction (the [[graft.pipeline.Forget.verify]]
     * read). */
-  def held(spark: SparkSession, root: String, ids: Seq[Long]): Long =
+  def held(spark: SparkSession, root: String, ids: Seq[Long]): Long = {
+    requireStore(root, "audit")
     graft.store.ClaimRetraction.held(
       new Snapshots(spark, root, claimsSchema), ids)
+  }
+
+  /** A cascade leg pointed at a dir with no store is a MISCONFIGURED
+    * takedown (the claims it meant to clear live elsewhere) — fail
+    * naming the cause, not with a manifest-read stack trace (the
+    * [[StreamSplit.retract]] discipline). */
+  private def requireStore(root: String, what: String): Unit =
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "current")),
+      s"no CDC claim store at $root — nothing to $what")
 }

@@ -208,6 +208,14 @@ class ForgetSpec extends AnyFunSuite {
     assert(fert.report()
       .select("n_docs").as[Long].head() == 1L)
 
+    // a cascade leg pointed at a dir with no CDC store fails naming
+    // the cause, not with a manifest stack trace
+    val e0 = intercept[IllegalArgumentException] {
+      Forget.cascade(spark, Seq(1L),
+        cdcClaimsDir = Some(s"$base/never-created"))
+    }
+    assert(e0.getMessage.contains("no CDC claim store"))
+
     // fertility rows outside the deletion batch fail loud before the
     // monitor is touched (the card-leg discipline)
     val e = intercept[IllegalArgumentException] {
