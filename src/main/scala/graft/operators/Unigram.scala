@@ -557,11 +557,13 @@ object Unigram {
     * new corpus, multis that fell out of use drop, and every NEW single
     * symbol the drifted corpus introduces joins the alphabet floored at
     * count 1 (coverage: encoding stays total) — but no new MULTI piece
-    * is ever learned (that requires the span enumeration, i.e. a cold
-    * retrain). Use it for drift in FREQUENCIES; when the fertility
-    * monitor shows a language slice pinned at the byte-fallback ceiling
-    * (content the inventory cannot compose), that is the cold-retrain
-    * signal.
+    * is ever learned (that requires a span enumeration —
+    * [[warmPlusFromVocab]] bounds it to the drifted words; a cold
+    * retrain runs it over everything). Use it for drift in
+    * FREQUENCIES; for a drifted slice whose new content needs new
+    * composed pieces use warm+; when the fertility monitor shows a
+    * language slice pinned at the byte-fallback ceiling (content the
+    * inventory cannot compose), that is the cold-retrain signal.
     *
     * Exactness: on an UNCHANGED corpus whose trained model is a hard-EM
     * fixed point (`emRound` maps its counts to themselves — the state
@@ -580,7 +582,18 @@ object Unigram {
     * — not 97×). */
   def warmStartFromVocab(vocab: Seq[(String, Long)], prev: Model,
                          knobs: Knobs = Knobs(),
-                         warmRounds: Int = 1): Model = {
+                         warmRounds: Int = 1): Model =
+    warmCore(vocab, prev, knobs, warmRounds, extraMultis = Nil)
+
+  /** The shared warm-retrain core: seed EM from the previous model's
+    * inventory (+ optionally `extraMultis` — [[warmPlusFromVocab]]'s
+    * drift-restricted candidates, appended to the seed with their span
+    * counts when not already present), run `warmRounds` hard-EM rounds
+    * against the updated table, prune, re-derive costs. With an empty
+    * `extraMultis` this IS the plain warm start bit for bit. */
+  private def warmCore(vocab: Seq[(String, Long)], prev: Model,
+                       knobs: Knobs, warmRounds: Int,
+                       extraMultis: Seq[(String, Long)]): Model = {
     require(vocab.nonEmpty,
       "unigram warm start needs a non-empty word-frequency table — the " +
         "corpus is empty (or all-NULL text / below minFreq)")
@@ -604,6 +617,8 @@ object Unigram {
       eff0(s) = math.max(prevCount.getOrElse(s, 0L), 1L))
     prev.pieces.filterNot(alpha.contains).sorted(Bpe.cpOrder)
       .foreach(p => eff0(p) = prevCount(p))
+    extraMultis.foreach { case (p, c) =>
+      if (!eff0.contains(p)) eff0(p) = c }
     var eff: mutable.LinkedHashMap[String, Long] = eff0
     (1 to warmRounds).foreach(_ => eff = emRound(vocab, eff, alpha, knobs))
     eff = knobs.pruneBy match {
@@ -613,6 +628,68 @@ object Unigram {
     val cost = costsOf(eff)
     val pieces = eff.keysIterator.toIndexedSeq.sorted(Bpe.cpOrder)
     Model(pieces, pieces.map(eff), pieces.map(cost), prev.preTok)
+  }
+
+  /** WARM+ retraining — the bounded middle tier between
+    * [[warmStartFromVocab]] (no new multi pieces ever) and a cold
+    * retrain (full span enumeration over the whole table): enumerate
+    * candidate spans ONLY over the DRIFTED words — words carrying at
+    * least one single symbol absent from the previous model's piece
+    * inventory, exactly the rows behind the fertility monitor's
+    * `n_unk > 0` warm signal — merge the new candidate multis into the
+    * warm seed with their drifted-slice span counts, then the standard
+    * warm rounds / prune / cost chain.
+    *
+    * Covers the common drift case (a new domain or language arrives:
+    * its new content needs new COMPOSED pieces, the established slices
+    * don't) at a fraction of cold cost — the span enumeration touches
+    * the drifted words only, and the EM rounds stay the warm count.
+    * Exactness pins (spec'd): on a corpus with NO drifted words the
+    * output is BIT-IDENTICAL to [[warmStartFromVocab]] (no new words ⇒
+    * no new spans ⇒ the same seed); candidate selection reuses the cold
+    * seeder's exact policy ([[seedFromVocab]]: count ≥ `minSeedCount`,
+    * top `seedSize` by count DESC / [[Bpe.cpOrder]] ASC) restricted to
+    * the drifted slice, so warm+ on an ALL-drifted table enumerates the
+    * same candidate multis a cold start would (the final seed is their
+    * union with the previous inventory). Pieces already in the previous
+    * inventory keep their warm seed counts (the drifted slice must not
+    * double-count established pieces). */
+  def warmPlusFromVocab(vocab: Seq[(String, Long)], prev: Model,
+                        knobs: Knobs = Knobs(),
+                        warmRounds: Int = 1): Model = {
+    requireModel(prev, "warmPlusFromVocab")
+    val prevSingles =
+      prev.pieces.iterator.filter(symLen(_) == 1).to(Set)
+    val drifted = vocab.filter { case (w, _) =>
+      Bpe.initial(w).exists(s => !prevSingles.contains(s)) }
+    val candidates =
+      if (drifted.isEmpty) Nil
+      else {
+        val (eff, alphaD) = seedFromVocab(drifted, knobs)
+        val prevPieces = prev.pieces.toSet
+        eff.iterator.filter { case (p, _) =>
+          !alphaD.contains(p) && symLen(p) > 1 && !prevPieces.contains(p)
+        }.toSeq
+      }
+    warmCore(vocab, prev, knobs, warmRounds, candidates)
+  }
+
+  /** Distributed WARM+ — [[warmStart]]'s corpus pass (one in-scan
+    * tokenize + aggregation to the bounded word-frequency table under
+    * the previous model's pre-tokenization policy), then
+    * [[warmPlusFromVocab]] on the driver. */
+  def warmPlus(docs: DataFrame, textCol: String, prev: Model,
+               knobs: Knobs = Knobs(), warmRounds: Int = 1,
+               minFreq: Long = 1L,
+               maxVocab: Int = Bpe.DefaultMaxVocab): Model = {
+    require(maxVocab > 0, "maxVocab must be > 0")
+    val vocab = Bpe.wordFrequencies(docs, textCol, prev.preTok)
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    warmPlusFromVocab(vocab.toIndexedSeq, prev, knobs, warmRounds)
   }
 
   /** Distributed WARM-START — [[train]]'s corpus pass (one in-scan

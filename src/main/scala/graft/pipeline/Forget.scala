@@ -224,7 +224,12 @@ object Forget {
           s"batch (first: ${stray.headOption.getOrElse("")})")
       t.monitor.retract(rows, t.idCol, t.textCol, t.groupCol, cnts,
         s"r${t.eventId}")
-      b += Receipt("fertility_docs", rows.count())
+      // the receipt counts exactly what the retraction subtracted:
+      // NULL-text rows never entered the telemetry (observe filters
+      // them), so retract skips them — counting them here would
+      // overstate the decrement
+      b += Receipt("fertility_docs",
+        rows.filter(col(t.textCol).isNotNull).count())
     }
     packs.foreach { t =>
       val r = graft.store.PackForget.forget(spark, t.dir, ids, t.padId)

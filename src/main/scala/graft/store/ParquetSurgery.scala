@@ -41,28 +41,65 @@ private[store] object ParquetSurgery {
     * name is its own, and Spark schedules concurrent jobs from one
     * session. Per-file atomic heal-first semantics are untouched — this
     * parallelizes ACROSS files, never within one file's
-    * stage-rename-delete sequence. Results return in input order; the
-    * first failure rethrows after in-flight files finish (a crashed
-    * batch is re-runnable — [[healPending]] covers every file's
-    * window). */
+    * stage-rename-delete sequence. Results return in input order.
+    *
+    * Failure semantics (exactly what runs, exactly what rethrows): the
+    * first item to FAIL trips a shared flag BEFORE its future settles,
+    * so every item whose task starts after that deterministically SKIPS
+    * its surgery — a failing batch never keeps performing new file
+    * surgeries behind the caller's back; items already IN FLIGHT when
+    * the failure lands finish their own atomic sequence (never
+    * interrupted mid stage-rename-delete, and never future-cancelled:
+    * `cancel(false)` on a running `FutureTask` would detach `get()`
+    * from the still-running body). The collector awaits EVERY future —
+    * nothing is still running when it returns — then rethrows the
+    * first REAL failure in input order (skip markers are never
+    * surfaced as the cause). A failed batch is re-runnable as a whole:
+    * [[healPending]] covers every file's crash window, completed items
+    * are idempotent, and skipped items simply run on the retry. */
   def inParallel[A, B](items: Seq[A])(op: A => B): Seq[B] =
     if (items.sizeIs <= 1) items.map(op)
     else {
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.min(SurgeryParallelism, items.size))
       try {
+        // trip-on-first-failure: set by the failing task itself BEFORE
+        // its future settles, so any task starting after a failure is
+        // deterministically skipped (no race against the collector)
+        val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
         val futures = items.map { a =>
           pool.submit(new java.util.concurrent.Callable[B] {
-            def call(): B = op(a)
+            def call(): B = {
+              if (failed.get())
+                throw new java.util.concurrent.CancellationException(
+                  "skipped: an earlier file surgery in this batch failed")
+              try op(a)
+              catch { case e: Throwable => failed.set(true); throw e }
+            }
           })
         }
-        futures.map { f =>
-          try f.get()
+        val outcomes = new Array[Either[Throwable, B]](futures.size)
+        var firstFailure: Option[Throwable] = None
+        // await every future — get() blocks until the task's body has
+        // actually finished (flag-skipped tasks settle immediately);
+        // no future is ever cancel()ed, so nothing runs past here
+        futures.zipWithIndex.foreach { case (f, i) =>
+          try outcomes(i) = Right(f.get())
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
+              e.getCause match {
+                case skip: java.util.concurrent.CancellationException =>
+                  outcomes(i) = Left(skip) // flag-skipped at start
+                case real =>
+                  if (firstFailure.isEmpty) firstFailure = Some(real)
+                  outcomes(i) = Left(real)
+              }
           }
         }
+        firstFailure.foreach(e => throw e)
+        require(outcomes.forall(_.isRight),
+          "file surgeries were skipped without a recorded failure")
+        outcomes.iterator.map(_.toOption.get).toSeq
       } finally { pool.shutdown(); () }
     }
 

@@ -135,9 +135,18 @@ object StreamCuration {
     * `ids` all clear, so future arrivals can claim them instead of
     * dropping against an identity that no longer ships. Only stores
     * that exist on disk are touched (optional stages may never have
-    * been enabled). Returns total claims removed across stores. */
+    * been enabled) — but the ROOT must hold at least one recognized
+    * store: every sub-store is individually optional, so a typo'd
+    * `stateDir` would otherwise skip them all and return 0, and the
+    * matching [[held]] audit would ALSO read 0 — a misconfigured
+    * takedown auditing clean, the exact false-negative
+    * [[graft.pipeline.Forget.verify]] exists to catch (the
+    * [[IncrementalCdcDedup]]/[[StreamSplit]] fail-loud discipline,
+    * lifted to the funnel-root level). Returns total claims removed
+    * across stores. */
   def retract(spark: SparkSession, stateDir: String,
               ids: Seq[Long]): Long = {
+    requireFunnelRoot(stateDir, "retract from")
     def has(sub: String): Boolean = java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))
     var n = 0L
@@ -162,6 +171,7 @@ object StreamCuration {
     * store under `stateDir` — 0 after a completed retraction (the
     * takedown verification [[graft.pipeline.Forget.verify]] reads). */
   def held(spark: SparkSession, stateDir: String, ids: Seq[Long]): Long = {
+    requireFunnelRoot(stateDir, "audit")
     def has(sub: String): Boolean = java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))
     var n = 0L
@@ -181,6 +191,25 @@ object StreamCuration {
         new Snapshots(spark, s"$stateDir/domaincap", capSchema), ids)
     n
   }
+
+  /** Claim sub-stores a text funnel can accumulate under its state
+    * root — the recognition list [[requireFunnelRoot]] checks. */
+  private val ClaimSubStores =
+    Seq("exact", "neardup", "embdedup", "linededup", "domaincap")
+
+  /** A retraction or audit pointed at a dir holding NONE of the
+    * funnel's claim stores is a misconfigured takedown (wrong or
+    * never-initialized root — the claims it meant to clear live
+    * elsewhere): fail naming the cause instead of silently skipping
+    * every optional sub-store and reporting a clean 0. A real funnel
+    * root always qualifies — [[curator]] bootstraps the mandatory
+    * exact store at construction, before any batch runs. */
+  private def requireFunnelRoot(stateDir: String, what: String): Unit =
+    require(ClaimSubStores.exists(sub => java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))),
+      s"no claim store under $stateDir (expected at least one of " +
+        s"${ClaimSubStores.mkString("/")} with a current snapshot) — " +
+        s"nothing to $what; a wrong funnel root must not audit clean")
 
   /** The per-batch funnel transform, closed over the stores and the
     * fold-once eval materialization. Bootstrap `init()` happens here.

@@ -64,10 +64,15 @@ object StreamMediaCuration {
   /** RETRACT deleted payloads from every media claim store under
     * `stateDir` ([[StreamCuration.retract]]'s byte-column twin): digest
     * claims, image/audio band claims and video frame-vote claims held
-    * by any of `ids` clear; only stores that exist on disk are touched.
-    * Returns total claims removed. */
+    * by any of `ids` clear; only stores that exist on disk are touched,
+    * but the root must hold at least one recognized store — a typo'd
+    * `stateDir` would otherwise skip every optional sub-store, return
+    * 0, and [[held]] would ALSO read 0: a misconfigured takedown
+    * auditing clean (the text twin's [[StreamCuration.retract]]
+    * fail-loud discipline). Returns total claims removed. */
   def retract(spark: SparkSession, stateDir: String,
               ids: Seq[Long]): Long = {
+    requireFunnelRoot(stateDir, "retract from")
     def has(sub: String): Boolean = java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))
     var n = 0L
@@ -88,6 +93,7 @@ object StreamMediaCuration {
   /** Audit read for [[retract]]: media claims still held by `ids` across
     * every store under `stateDir` — 0 after a completed retraction. */
   def held(spark: SparkSession, stateDir: String, ids: Seq[Long]): Long = {
+    requireFunnelRoot(stateDir, "audit")
     def has(sub: String): Boolean = java.nio.file.Files
       .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))
     var n = 0L
@@ -104,6 +110,23 @@ object StreamMediaCuration {
       n += new IncrementalVideoDedup(spark, s"$stateDir/video").held(ids)
     n
   }
+
+  /** Media claim sub-stores a funnel can accumulate under its state
+    * root — the recognition list [[requireFunnelRoot]] checks. */
+  private val ClaimSubStores = Seq("exact", "image", "audio", "video")
+
+  /** [[StreamCuration.requireFunnelRoot]]'s media twin: a retraction or
+    * audit pointed at a dir holding NONE of the funnel's claim stores
+    * fails naming the cause instead of reporting a clean 0 (every
+    * sub-store is individually optional; a real root always holds the
+    * mandatory exact store — [[curator]] bootstraps it at
+    * construction). */
+  private def requireFunnelRoot(stateDir: String, what: String): Unit =
+    require(ClaimSubStores.exists(sub => java.nio.file.Files
+      .exists(java.nio.file.Paths.get(s"$stateDir/$sub/current"))),
+      s"no media claim store under $stateDir (expected at least one of " +
+        s"${ClaimSubStores.mkString("/")} with a current snapshot) — " +
+        s"nothing to $what; a wrong funnel root must not audit clean")
 
   def curator(spark: SparkSession, stateDir: String,
               idCol: String = "media_id", bytesCol: String = "media",

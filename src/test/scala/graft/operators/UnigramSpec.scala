@@ -367,6 +367,90 @@ class UnigramSpec extends AnyFunSuite {
     assert(multis(warmBig).subsetOf(multis(coldBig)))
   }
 
+  test("warm+ grows new multis from the DRIFTED words only: " +
+    "bit-identical to warm (and the cold fixed point) when nothing " +
+    "drifted; a planted drift cohort's new multi is learned without " +
+    "the cold path; measured cheaper than a cold retrain") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("lowest", 4L), ("newer", 3L))
+    val knobs = Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L,
+      seedSize = 100, emRounds = 4, vocabTarget = 10, postEmRounds = 1)
+    val cold = Unigram.trainFromVocab(vocab, knobs)
+    def multis(m: Unigram.Model) =
+      m.pieces.filter(p => Unigram.symLen(p) > 1).toSet
+
+    // (a) NO drifted words (every symbol known): warm+ IS the warm
+    // start bit for bit — no new words, no new spans, the same seed
+    Seq(0, 1, 3).foreach { r =>
+      val plus = Unigram.warmPlusFromVocab(vocab, cold, knobs, r)
+      assert(plus == Unigram.warmStartFromVocab(vocab, cold, knobs, r),
+        s"warmRounds=$r: warm+ diverged from warm on an undrifted corpus")
+      assert(plus == cold, s"warmRounds=$r diverged from the fixed point")
+    }
+
+    // (b) a planted drift cohort arrives carrying a NEW symbol (ü):
+    // the warm start only covers it as a single; warm+ learns the
+    // composed piece from the drifted words' spans
+    val drifted = Seq(("low", 9L), ("lower", 7L), ("lowest", 8L),
+      ("zünd", 6L), ("zündet", 5L), ("zünden", 4L))
+    val warm = Unigram.warmStartFromVocab(drifted, cold, knobs, 1)
+    val plus = Unigram.warmPlusFromVocab(drifted, cold, knobs, 1)
+    assert(!multis(warm).exists(_.contains("ü")),
+      s"warm start grew a multi: ${multis(warm)}")
+    assert(multis(plus).exists(_.contains("ü")),
+      s"warm+ learned no composed piece over the new symbol: " +
+        s"${plus.pieces}")
+    // every multi warm+ added beyond the warm model's inventory came
+    // from a drifted word's spans — established slices grew nothing
+    val added = multis(plus).diff(multis(warm))
+    // pieces carry the </w> end-of-word marker, so compare against the
+    // drifted words' SYMBOL sequences, not their raw strings
+    val driftedSyms = drifted.map(_._1).filter(_.contains("ü"))
+      .map(w => Bpe.initial(w).mkString)
+    assert(added.nonEmpty && added.forall(p =>
+      driftedSyms.exists(_.contains(p))),
+      s"a new multi came from outside the drifted slice: $added")
+    // and the growth actually compresses: the drifted stem encodes in
+    // fewer pieces under warm+ than under the plain warm start
+    val segWarm = Unigram.viterbi(Bpe.initial("zünd"), warm.costOf.get,
+      knobs.maxPieceSyms)
+    val segPlus = Unigram.viterbi(Bpe.initial("zünd"), plus.costOf.get,
+      knobs.maxPieceSyms)
+    assert(segPlus.length < segWarm.length,
+      s"warm=$segWarm plus=$segPlus")
+
+    // (c) the measured cost note: a 4,056-word established vocabulary
+    // plus a 78-word drifted cohort (new symbol ø) — warm+ enumerates
+    // spans over the 78 words only, the cold path over all 4,134
+    val big = (for (a <- 'a' to 'z'; b <- 'a' to 'z') yield Seq(
+      (s"$a${b}ing", 10L), (s"$a${b}ed", 7L), (s"$a${b}s", 5L),
+      (s"re$a${b}", 4L), (s"$a${b}er", 3L), (s"un$a${b}ed", 2L)))
+      .flatten.toIndexedSeq
+    val bigKnobs = Unigram.Knobs(maxPieceSyms = 4, minSeedCount = 2L,
+      seedSize = 1 << 14, emRounds = 2, vocabTarget = 200,
+      postEmRounds = 1)
+    val coldBig = Unigram.trainFromVocab(big, bigKnobs)
+    val cohort = ('a' to 'z').flatMap(c => Seq(
+      (s"øq${c}ing", 8L), (s"øq${c}ed", 6L), (s"øq$c", 5L)))
+    val bigDrifted = big ++ cohort
+    val t0 = System.nanoTime()
+    val coldAll = Unigram.trainFromVocab(bigDrifted, bigKnobs)
+    val coldMs = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    val plusBig = Unigram.warmPlusFromVocab(bigDrifted, coldBig,
+      bigKnobs, 1)
+    val plusMs = (System.nanoTime() - t1) / 1e6
+    info(f"warm+ timing: cold=$coldMs%.0f ms warm+=$plusMs%.0f ms " +
+      f"(${coldMs / plusMs}%.1fx) over ${bigDrifted.size} words, " +
+      f"${cohort.size} drifted")
+    assert(plusMs < coldMs,
+      f"warm+ ($plusMs%.0f ms) not cheaper than cold ($coldMs%.0f ms)")
+    // the cohort's composed stem is learned by BOTH paths
+    assert(multis(plusBig).exists(_.contains("øq")), s"${plusBig.pieces
+      .filter(_.contains("ø"))}")
+    assert(multis(coldAll).exists(_.contains("øq")))
+  }
+
   test("fertility: planted recurring CJK under CpClass - unigram " +
     "output matches the Bpe.fertility column contract") {
     val corpus = docs.filter(col("text").isNotNull)

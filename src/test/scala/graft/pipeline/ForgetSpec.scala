@@ -226,6 +226,46 @@ class ForgetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("outside the deletion batch"))
   }
 
+  test("a takedown pointed at a WRONG funnel root fails naming the " +
+    "cause instead of auditing clean (retract 0 + held 0, the " +
+    "false-clean): text and media funnels, cascade and verify") {
+    val base = Files.createTempDirectory("graft-forget3").toString
+    // a real text funnel exists at claims/ ... but the takedown is
+    // configured with a typo'd path — every sub-store probe would
+    // silently skip and the receipt AND the audit would read 0
+    val claimsDir = s"$base/claims"
+    val emptyEval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val curate = StreamCuration.curator(spark, emptyEval, claimsDir,
+      repetitionTopBigramMilli = 1000)
+    assert(curate(Seq((1L, "some shipped text right here", "a"))
+      .toDF("doc_id", "text", "source"), 0L).count() == 1)
+    val typo = s"$base/clams" // the misconfiguration
+    val e1 = intercept[IllegalArgumentException] {
+      Forget.cascade(spark, Seq(1L), textClaimsDir = Some(typo))
+    }
+    assert(e1.getMessage.contains("no claim store under"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Forget.verify(spark, Seq(1L), textClaimsDir = Some(typo))
+    }
+    assert(e2.getMessage.contains("no claim store under"), e2.getMessage)
+    // the media twin: same discipline, its own recognition list
+    val e3 = intercept[IllegalArgumentException] {
+      Forget.cascade(spark, Seq(1L), mediaClaimsDir = Some(typo))
+    }
+    assert(e3.getMessage.contains("no media claim store under"),
+      e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Forget.verify(spark, Seq(1L), mediaClaimsDir = Some(typo))
+    }
+    assert(e4.getMessage.contains("no media claim store under"),
+      e4.getMessage)
+    // the REAL root still retracts/audits fine (one recognized store
+    // is enough — optional stages may never have been enabled)
+    assert(StreamCuration.held(spark, claimsDir, Seq(1L)) > 0L)
+    assert(StreamCuration.retract(spark, claimsDir, Seq(1L)) > 0L)
+    assert(StreamCuration.held(spark, claimsDir, Seq(1L)) == 0L)
+  }
+
   test("SELF-ENFORCING coverage map: every standing store in " +
     "graft.streaming is named in Forget's deletion coverage map") {
     // the map's own stated invariant — "a new store the deployment

@@ -20,7 +20,8 @@ class RetrainSpec extends AnyFunSuite {
       ("en", 2100L), // covered, compressing
       ("zz", 2400L), // unks but fertility fine -> warm
       ("yy", 5200L), // fertility past ceiling, no unks -> cold
-      ("xx", 5400L)) // both fire -> cold dominates
+      ("xx", 5400L), // both fire -> cold dominates
+      ("ww", 3000L)) // EXACTLY at the ceiling -> cold (>= boundary)
       .toDF("grp", "pieces_per_word_milli")
     val unks = Seq(("zz", 40L), ("xx", 7L)).toDF("grp", "n_unk")
     val got = Retrain.plan(fert, Some(unks),
@@ -31,12 +32,12 @@ class RetrainSpec extends AnyFunSuite {
     val byGrp = Retrain.plan(fert, Some(unks), 3000L)
       .select("grp", "action").as[(String, String)].collect().toMap
     assert(byGrp == Map("en" -> "none", "zz" -> "warm", "yy" -> "cold",
-      "xx" -> "cold"), s"$byGrp")
+      "xx" -> "cold", "ww" -> "cold"), s"$byGrp")
     // no unk telemetry: fertility-only verdicts
     val solo = Retrain.plan(fert, None, 3000L)
       .select("grp", "action").as[(String, String)].collect().toMap
     assert(solo == Map("en" -> "none", "zz" -> "none", "yy" -> "cold",
-      "xx" -> "cold"), s"$solo")
+      "xx" -> "cold", "ww" -> "cold"), s"$solo")
     intercept[IllegalArgumentException](Retrain.plan(fert, None, 0L))
     assert(got("en")._2 == 0L) // absent group reads 0, not NULL
   }

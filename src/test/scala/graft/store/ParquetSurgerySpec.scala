@@ -39,4 +39,41 @@ class ParquetSurgerySpec extends AnyFunSuite {
       i + 1
     }) == Seq(8))
   }
+
+  test("after a failure, items that have not yet STARTED never run — " +
+    "and the rethrown cause is the real failure, not a skip marker") {
+    // deterministic shape: the failer and 7 blockers occupy all
+    // SurgeryParallelism threads; the canary is queued behind them. The
+    // failer waits until every blocker is running, releases them, then
+    // throws — it trips the shared failed-flag BEFORE its thread frees,
+    // so whenever the canary is eventually scheduled the flag is
+    // already set and its op is skipped (no race against the
+    // collector's cancel).
+    val p = ParquetSurgery.SurgeryParallelism
+    val started = new java.util.concurrent.CountDownLatch(p - 1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val canaryRan = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val blockersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    // items: 0 = failer, 1..p-1 = blockers, p = canary
+    val e = intercept[IllegalStateException] {
+      ParquetSurgery.inParallel((0 to p).toSeq) {
+        case 0 =>
+          started.await()
+          release.countDown()
+          throw new IllegalStateException("surgery 0 failed")
+        case i if i < p =>
+          started.countDown()
+          release.await()
+          blockersDone.incrementAndGet()
+        case _ =>
+          canaryRan.set(true); 0
+      }
+    }
+    assert(e.getMessage == "surgery 0 failed",
+      s"rethrown cause was ${e.getMessage}")
+    assert(!canaryRan.get(),
+      "a not-yet-started surgery ran after the batch failed")
+    // in-flight items were never interrupted — they all finished
+    assert(blockersDone.get() == p - 1, s"${blockersDone.get()}")
+  }
 }
