@@ -19,10 +19,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * crash leaves (old only), (old + new: the documented
   * duplicate-window) or (new only); [[healPending]] resolves the
   * middle state by dropping the stale original, and sweeps any staging
-  * residue, making every operation idempotent under retry. */
-private[store] object ParquetSurgery {
+  * residue, making every operation idempotent under retry.
+  *
+  * Public surface: [[compact]] (periodic maintenance a deployment
+  * schedules) and its receipt; the per-file verbs stay the forget
+  * legs' internals. */
+object ParquetSurgery {
 
   val StagePrefix = ".graft-forget-stage-"
+
+  /** [[compact]]'s staging dir and commit marker (both dot-named —
+    * invisible to Spark's listing and to [[dataFiles]]). */
+  val CompactStageName = ".graft-compact-stage"
+  val CompactMarkerName = ".graft-compact-commit"
 
   /** Driver-side thread cap for per-file surgery ([[inParallel]]): a
     * scattered takedown over many files must not serialize into
@@ -112,10 +121,13 @@ private[store] object ParquetSurgery {
     }
 
   /** Drop originals whose deterministic replacement exists; sweep stale
-    * staging dirs. Run before every read or mutation. */
+    * staging dirs; resolve a crashed [[compact]] (forward past the
+    * commit marker, back before it). Run before every read or
+    * mutation. */
   def healPending(dir: String): Unit = {
     val root = Paths.get(dir)
     if (Files.exists(root)) {
+      healCompactionState(dir)
       // collect BEFORE deleting — a walk must not mutate under itself
       val (pending, staleTmp) = {
         val s = Files.walk(root)
@@ -141,14 +153,20 @@ private[store] object ParquetSurgery {
     * that killed every row: readers must report 0, not throw on schema
     * inference over a bare `_SUCCESS`. */
   def dataFiles(dir: String): Seq[Path] = {
-    val s = Files.walk(Paths.get(dir))
+    val root = Paths.get(dir)
+    val s = Files.walk(root)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
-          !p.iterator().asScala.exists(
-            _.getFileName.toString.startsWith(StagePrefix))
+        // segments relative to the dataset root: a hidden ('.'/'_')
+        // segment anywhere below it hides the file (Spark's own listing
+        // rule) — covers [[StagePrefix]] dirs and the compact stage
+        n.endsWith(".parquet") && !root.relativize(p).iterator()
+          .asScala.exists { seg =>
+            val sn = seg.getFileName.toString
+            sn.startsWith("_") || sn.startsWith(".")
+          }
       }.toList
     } finally s.close()
   }
@@ -196,5 +214,115 @@ private[store] object ParquetSurgery {
     // deterministic-name replacement is in place (or the file died
     // whole) — dropping the original completes this file
     Files.deleteIfExists(original); ()
+  }
+
+  /** [[compact]]'s receipt: rows carried through, file counts either
+    * side, and how many inputs wore a `.forget` chain. */
+  final case class CompactReceipt(rows: Long, filesBefore: Long,
+                                  filesAfter: Long, chainedBefore: Long)
+
+  /** PERIODIC MAINTENANCE for a surgery-worn dataset — the compaction
+    * rewrite [[replaceFile]]'s scaladoc gestures at: repeated takedowns
+    * grow `<base>.forget.forget….parquet` name chains and shrink
+    * touched files toward coalesce(1) fragments; this rewrites the
+    * dataset into ~`targetBytes` parts under FRESH names (the chain
+    * resets wholesale) and leaves row content identical.
+    *
+    * Crash discipline (the hot-path heal rule cannot cover a
+    * cross-file rewrite — a merged part has no single original its
+    * name could supersede — so compaction carries its own bounded
+    * commit record): the compacted copy is staged COMPLETELY under the
+    * dot-named [[CompactStageName]] (invisible to readers), then a
+    * commit marker listing every staged part and every original is
+    * published with one ATOMIC_MOVE — the marker's existence is the
+    * commit point, and the swap (move staged parts in, delete listed
+    * originals, drop marker, drop stage) is executed by
+    * [[healCompactionState]], the SAME code every later
+    * [[healPending]] runs: a crash anywhere resumes forward after the
+    * marker (moves and deletes are idempotent; data never disappears —
+    * parts move in before originals go) and rolls back before it (a
+    * stage without a marker was never authoritative and is swept,
+    * originals untouched). The duplicate window mid-swap matches the
+    * takedown one already documented on [[replaceFile]].
+    *
+    * Run it between takedowns, not concurrently with one (both verbs
+    * heal first; the takedown legs already serialize per store).
+    * Partition-DIRECTORY layouts are rewritten flat — compact a
+    * hive-partitioned dataset per partition dir. At scale each part is
+    * one task's sequential write; `targetBytes` defaults to the
+    * classic 128 MiB scan unit. */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): CompactReceipt = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    healPending(dir)
+    val files = dataFiles(dir)
+    if (files.isEmpty) return CompactReceipt(0L, 0L, 0L, 0L)
+    val root = Paths.get(dir)
+    val chained = files.count(_.getFileName.toString.contains(".forget."))
+    val totalBytes = files.map(Files.size).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .min(1 << 20).toInt
+    val stage = root.resolve(CompactStageName)
+    deleteRecursively(stage)
+    // read the exact healed file list (not the dir: nothing may race in)
+    spark.read.parquet(files.map(_.toString): _*)
+      .repartition(nOut).write.mode("overwrite").parquet(stage.toString)
+    val staged = {
+      val s = Files.list(stage)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".")).toList.sorted
+      } finally s.close()
+    }
+    require(staged.nonEmpty, s"compaction of $dir staged no parts")
+    // staged names carry Spark's per-run uuid — a collision with a live
+    // file would make the swap's REPLACE_EXISTING destructive
+    staged.foreach(n => require(!Files.exists(root.resolve(n)),
+      s"staged part $n collides with a live file in $dir"))
+    val rows = spark.read.parquet(stage.toString).count()
+    // the commit point: marker published whole via temp + atomic move
+    val tmp = Files.createTempFile(root, ".graft-compact-marker", ".tmp")
+    Files.write(tmp,
+      (staged.map("stage:" + _) ++
+        files.map(f => "orig:" + root.relativize(f).toString))
+        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve(CompactMarkerName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    healCompactionState(dir) // the swap IS the roll-forward — one path
+    CompactReceipt(rows, files.size.toLong, staged.size.toLong, chained)
+  }
+
+  /** Resolve a [[compact]] in any crash state — called first by every
+    * [[healPending]]. Marker present ⇒ the staged copy is complete and
+    * authoritative: finish the swap (idempotent under re-crash: a part
+    * already moved is skipped, a listed original already deleted is a
+    * no-op). Marker absent but stage present ⇒ pre-commit crash: sweep
+    * the stage, originals stand untouched. */
+  private def healCompactionState(dir: String): Unit = {
+    val root = Paths.get(dir)
+    val marker = root.resolve(CompactMarkerName)
+    val stage = root.resolve(CompactStageName)
+    if (Files.exists(marker)) {
+      import scala.jdk.CollectionConverters._
+      val lines = Files.readAllLines(marker).asScala.toList
+      lines.collect { case l if l.startsWith("stage:") =>
+        l.stripPrefix("stage:") }.foreach { n =>
+        val from = stage.resolve(n)
+        if (Files.exists(from))
+          Files.move(from, root.resolve(n),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else require(Files.exists(root.resolve(n)),
+          s"compacted part $n of $dir missing from both the stage and " +
+            "the dataset — the committed compaction cannot complete")
+      }
+      lines.collect { case l if l.startsWith("orig:") =>
+        l.stripPrefix("orig:") }.foreach { n =>
+        Files.deleteIfExists(root.resolve(n)); () }
+      Files.deleteIfExists(marker)
+      deleteRecursively(stage)
+    } else if (Files.exists(stage)) deleteRecursively(stage)
   }
 }

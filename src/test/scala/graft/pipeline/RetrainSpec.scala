@@ -84,4 +84,107 @@ class RetrainSpec extends AnyFunSuite {
     assert(after == Map("en" -> "none", "zz" -> "none"), s"$after")
     assert(telemetry(warm).agg(sum("n_unk")).head().getLong(0) == 0L)
   }
+
+  test("execute runs the verdicts end to end: none untouched, warm " +
+    "grows the drifted multi, receipts clear, the re-planned verdict " +
+    "is none, and the card restamps under the artifacts now in force") {
+    val knobs = Unigram.Knobs(maxPieceSyms = 3, minSeedCount = 2L,
+      seedSize = 100, emRounds = 1, vocabTarget = 10, postEmRounds = 1)
+    val base = Seq((1L, "low lower lowest", "en"),
+      (2L, "newest widest lowest", "en"))
+      .toDF("doc_id", "text", "lang")
+    val model = Unigram.train(base, "text", knobs)
+
+    val corpus = Seq((3L, "low newest lowest", "en"),
+      (4L, "zünd zündet zünd", "zz"), (5L, "zünd zünden lowest", "zz"))
+      .toDF("doc_id", "text", "lang")
+    def unkOf(grp: String, m: Unigram.Model): Long =
+      Unigram.encode(corpus.filter(col("lang") === grp), "doc_id",
+          "text", m)
+        .agg(coalesce(sum("n_unk"), lit(0L))).head().getLong(0)
+    val fertDir = java.nio.file.Files
+      .createTempDirectory("graft-retrain2").toString
+    val fert = new graft.streaming.StreamFertility(spark, fertDir)
+    fert.init()
+    fert.observe(corpus, "doc_id", "text", "lang",
+      Unigram.pieceCounts(corpus, "doc_id", "text", model), 0L)
+    val tel = Seq(("en", unkOf("en", model)), ("zz", unkOf("zz", model)))
+      .toDF("grp", "n_unk")
+    val plan1 = Retrain.plan(fert.report(), Some(tel),
+      maxPiecesPerWordMilli = 100000L)
+    assert(plan1.select("grp", "action").as[(String, String)]
+      .collect().toMap == Map("en" -> "none", "zz" -> "warm"))
+
+    // EXECUTE: en untouched (same model OBJECT, no re-measure), zz
+    // retrained warm with a cleared receipt and a grown composed piece
+    val executed = Retrain.execute(plan1, corpus, "doc_id", "text",
+      "lang", model, knobs)
+    val byGrp = executed.map(e => e.grp -> e).toMap
+    assert(byGrp("en").action == "none" && (byGrp("en").model eq model)
+      && byGrp("en").nDocs == -1L && byGrp("en").nUnkAfter == -1L)
+    val zz = byGrp("zz")
+    assert(zz.action == "warm" && zz.nDocs == 2L && zz.nUnkAfter == 0L,
+      s"$zz")
+    assert(zz.model.pieces.exists(p =>
+      Unigram.symLen(p) > 1 && p.contains("ü")),
+      s"warm+ grew no composed piece: ${zz.model.pieces}")
+    // growOnWarm=false drops to the plain warm start: covered (unk 0)
+    // but no new multi
+    val plain = Retrain.execute(plan1, corpus, "doc_id", "text", "lang",
+      model, knobs, growOnWarm = false).map(e => e.grp -> e).toMap
+    assert(plain("zz").nUnkAfter == 0L && !plain("zz").model.pieces
+      .exists(p => Unigram.symLen(p) > 1 && p.contains("ü")))
+
+    // the loop closes: telemetry under the executed artifacts reads 0
+    // and the re-planned verdict is none for every group
+    val tel2 = Seq(("en", unkOf("en", byGrp("en").model)),
+      ("zz", unkOf("zz", zz.model))).toDF("grp", "n_unk")
+    assert(tel2.agg(sum("n_unk")).head().getLong(0) == 0L)
+    assert(Retrain.plan(fert.report(), Some(tel2), 100000L)
+      .select("grp", "action").as[(String, String)].collect().toMap
+      == Map("en" -> "none", "zz" -> "none"))
+
+    // the card restamps under the artifacts NOW in force: totals over
+    // the whole corpus per group, drift telemetry cleared, shape
+    // totalled over the two DISTINCT artifacts (en shares prev, zz
+    // froze its own)
+    val card0 = DataCard.Card(3L, 0L, 0L, Map.empty, Map.empty,
+      0L, 0L, 0L, 0L, 0L, 0L)
+    val card = Retrain.restampTokenizer(card0, corpus, "doc_id", "text",
+      "lang", executed)
+    val t = card.tokenizer.get
+    assert(t.nUnkPieces == 0L && t.nBpeTokens > 0L)
+    assert(t.vocabSize ==
+      model.vocab().size.toLong + zz.model.vocab().size.toLong, s"$t")
+
+    // a COLD verdict runs the full retrain over the slice
+    val cold = Retrain.execute(Seq(("zz", "cold")).toDF("grp", "action"),
+      corpus, "doc_id", "text", "lang", model, knobs)
+    assert(cold.head.action == "cold" && cold.head.nUnkAfter == 0L &&
+      cold.head.model.pieces.exists(p =>
+        Unigram.symLen(p) > 1 && p.contains("ü")))
+
+    // fail-louds: a verdict over a slice that no longer exists is a
+    // STALE PLAN; duplicate groups; unknown actions; an empty plan; a
+    // restamp that cannot name a slice's tokenizer
+    val stale = intercept[IllegalArgumentException](Retrain.execute(
+      Seq(("qq", "warm")).toDF("grp", "action"), corpus, "doc_id",
+      "text", "lang", model, knobs))
+    assert(stale.getMessage.contains("qq"), stale.getMessage)
+    val dup = intercept[IllegalArgumentException](Retrain.execute(
+      Seq(("zz", "warm"), ("zz", "cold")).toDF("grp", "action"), corpus,
+      "doc_id", "text", "lang", model, knobs))
+    assert(dup.getMessage.contains("more than once"), dup.getMessage)
+    val unk = intercept[IllegalArgumentException](Retrain.execute(
+      Seq(("zz", "purple")).toDF("grp", "action"), corpus, "doc_id",
+      "text", "lang", model, knobs))
+    assert(unk.getMessage.contains("unknown retrain action"))
+    intercept[IllegalArgumentException](Retrain.execute(
+      Seq.empty[(String, String)].toDF("grp", "action"), corpus,
+      "doc_id", "text", "lang", model, knobs))
+    val uncov = intercept[IllegalArgumentException](
+      Retrain.restampTokenizer(card0, corpus, "doc_id", "text", "lang",
+        executed.filter(_.grp == "en")))
+    assert(uncov.getMessage.contains("zz"), uncov.getMessage)
+  }
 }

@@ -1,12 +1,21 @@
 package graft.store
 
+import java.nio.file.{Files, Path, Paths}
+
 import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
 
 /** The bounded-parallel surgery driver ([[ParquetSurgery.inParallel]]):
   * input order preserved, work actually fans out, a failing item's
   * exception propagates (not an ExecutionException wrapper), and the
-  * single-item path never builds a pool. */
+  * single-item path never builds a pool. Plus the periodic
+  * [[ParquetSurgery.compact]] maintenance verb: chain resets,
+  * row-identical content, and heal-safe crash states on either side of
+  * the commit marker. */
 class ParquetSurgerySpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
 
   test("inParallel preserves input order and runs items concurrently") {
     val running = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -75,5 +84,152 @@ class ParquetSurgerySpec extends AnyFunSuite {
       "a not-yet-started surgery ran after the batch failed")
     // in-flight items were never interrupted — they all finished
     assert(blockersDone.get() == p - 1, s"${blockersDone.get()}")
+  }
+
+  // ---- compact -------------------------------------------------------
+
+  /** A surgery-worn dataset: 4 parts of (id, payload), two of them
+    * renamed into one- and two-deep `.forget` chains (exactly the state
+    * repeated takedowns leave behind). Returns (dir, expected rows). */
+  private def wornDataset(): (String, Seq[(Long, String)]) = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString
+    (0L until 40L).map(i => (i, s"payload-$i")).toDF("id", "payload")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val parts = ParquetSurgery.dataFiles(dir).sortBy(_.toString)
+    assert(parts.size == 4)
+    def chain(p: Path, n: Int): Unit = {
+      val base = p.getFileName.toString.stripSuffix(".parquet")
+      val worn = p.getParent.resolve(
+        base + (".forget" * n) + ".parquet")
+      Files.move(p, worn); ()
+    }
+    chain(parts(0), 1)
+    chain(parts(1), 2)
+    (dir, (0L until 40L).map(i => (i, s"payload-$i")))
+  }
+
+  private def readAll(dir: String): Seq[(Long, String)] = {
+    import spark.implicits._
+    val files = ParquetSurgery.dataFiles(dir)
+    if (files.isEmpty) Seq.empty
+    else spark.read.parquet(files.map(_.toString): _*)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+  }
+
+  test("compact resets forget chains, keeps rows identical, and " +
+    "reports an honest receipt") {
+    val (dir, expected) = wornDataset()
+    val r = ParquetSurgery.compact(spark, dir)
+    assert(r.rows == 40L)
+    assert(r.filesBefore == 4L)
+    assert(r.chainedBefore == 2L)
+    assert(r.filesAfter >= 1L)
+    val after = ParquetSurgery.dataFiles(dir)
+    assert(after.size.toLong == r.filesAfter)
+    assert(after.forall(!_.getFileName.toString.contains(".forget.")),
+      s"chain survived compaction: $after")
+    assert(readAll(dir) == expected)
+    // no stage or marker residue
+    assert(!Files.exists(Paths.get(dir, ParquetSurgery.CompactStageName)))
+    assert(!Files.exists(Paths.get(dir, ParquetSurgery.CompactMarkerName)))
+    // idempotent: a second compact is a plain rewrite, rows unchanged
+    val r2 = ParquetSurgery.compact(spark, dir)
+    assert(r2.rows == 40L && r2.chainedBefore == 0L)
+    assert(readAll(dir) == expected)
+  }
+
+  test("compact honors targetBytes (small target => multiple parts) " +
+    "and an empty dir returns a zero receipt") {
+    val (dir, expected) = wornDataset()
+    val r = ParquetSurgery.compact(spark, dir, targetBytes = 1L)
+    assert(r.filesAfter > 1L, s"expected a multi-part rewrite, got $r")
+    assert(readAll(dir) == expected)
+    val empty = Files.createTempDirectory("graft-compact-empty").toString
+    assert(ParquetSurgery.compact(spark, empty) ==
+      ParquetSurgery.CompactReceipt(0L, 0L, 0L, 0L))
+  }
+
+  /** Stage a compacted copy + marker by hand — the exact on-disk state
+    * a compact leaves at its commit point — without running the swap. */
+  private def stageWithMarker(dir: String): (List[String], List[String]) = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    val files = ParquetSurgery.dataFiles(dir)
+    val stage = root.resolve(ParquetSurgery.CompactStageName)
+    spark.read.parquet(files.map(_.toString): _*)
+      .repartition(1).write.mode("overwrite").parquet(stage.toString)
+    val staged = {
+      val s = Files.list(stage)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")).toList.sorted
+      finally s.close()
+    }
+    val origs = files.map(f => root.relativize(f).toString).toList
+    val tmp = Files.createTempFile(root, ".graft-compact-marker", ".tmp")
+    Files.write(tmp, (staged.map("stage:" + _) ++ origs.map("orig:" + _))
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve(ParquetSurgery.CompactMarkerName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    (staged, origs)
+  }
+
+  test("pre-commit crash (stage, no marker) rolls BACK: healPending " +
+    "sweeps the stage and the originals stand untouched") {
+    val (dir, expected) = wornDataset()
+    val root = Paths.get(dir)
+    val stage = root.resolve(ParquetSurgery.CompactStageName)
+    spark.read.parquet(
+        ParquetSurgery.dataFiles(dir).map(_.toString): _*)
+      .repartition(1).write.mode("overwrite").parquet(stage.toString)
+    val before = ParquetSurgery.dataFiles(dir).map(_.toString).sorted
+    ParquetSurgery.healPending(dir)
+    assert(!Files.exists(stage), "pre-commit stage survived the heal")
+    assert(ParquetSurgery.dataFiles(dir).map(_.toString).sorted == before)
+    assert(readAll(dir) == expected)
+  }
+
+  test("post-commit crash (marker published, swap not started) rolls " +
+    "FORWARD: healPending finishes the swap") {
+    val (dir, expected) = wornDataset()
+    val (staged, _) = stageWithMarker(dir)
+    ParquetSurgery.healPending(dir)
+    val after = ParquetSurgery.dataFiles(dir)
+    assert(after.map(_.getFileName.toString).sorted == staged)
+    assert(readAll(dir) == expected)
+    assert(!Files.exists(Paths.get(dir, ParquetSurgery.CompactStageName)))
+    assert(!Files.exists(Paths.get(dir, ParquetSurgery.CompactMarkerName)))
+  }
+
+  test("mid-swap crash (one part moved in, one original deleted) " +
+    "completes idempotently on heal — and re-heals are no-ops") {
+    val (dir, expected) = wornDataset()
+    val root = Paths.get(dir)
+    val (staged, origs) = stageWithMarker(dir)
+    // simulate a crash half-way through the swap
+    val stage = root.resolve(ParquetSurgery.CompactStageName)
+    Files.move(stage.resolve(staged.head), root.resolve(staged.head),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.delete(root.resolve(origs.head))
+    ParquetSurgery.healPending(dir)
+    val after = ParquetSurgery.dataFiles(dir)
+    assert(after.map(_.getFileName.toString).sorted == staged)
+    assert(readAll(dir) == expected)
+    ParquetSurgery.healPending(dir) // idempotent
+    assert(readAll(dir) == expected)
+  }
+
+  test("a committed compaction whose staged part vanished from BOTH " +
+    "locations fails loud naming the part") {
+    val (dir, _) = wornDataset()
+    val root = Paths.get(dir)
+    val (staged, _) = stageWithMarker(dir)
+    Files.delete(root.resolve(ParquetSurgery.CompactStageName)
+      .resolve(staged.head))
+    val e = intercept[IllegalArgumentException] {
+      ParquetSurgery.healPending(dir)
+    }
+    assert(e.getMessage.contains(staged.head))
   }
 }
