@@ -16,7 +16,7 @@ object SparkEntry {
   private def modules: Seq[Q] =
     qry.Relational.all ++ qry.Hierarchy.all ++ qry.Events.all ++
       qry.Advanced.all ++ qry.TextQ.all ++ qry.VectorQ.all ++
-      qry.BpeQ.all ++ qry.UnigramQ.all
+      qry.BpeQ.all ++ qry.UnigramQ.all ++ qry.StoreQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -146,6 +146,15 @@ object Forget {
     * place, rewriting only touched files. */
   final case class PackTarget(dir: String, padId: Long)
 
+  /** The audit-trail handle: where to persist this cascade's receipts
+    * and the deletion event's replay token — [[ForgetLedger.record]]
+    * runs LAST (after every leg's receipt exists) so the recorded event
+    * describes a completed cascade; a crash before it leaves no record
+    * and the retried cascade records its own. Its receipt row
+    * (`ledger`) reads 1 when this run published the event, 0 on the
+    * idempotent replay (the first record stands). */
+  final case class LedgerTarget(dir: String, eventId: Long)
+
   /** Cascade the takedown of `ids` through every enabled target.
     * Returns one [[Receipt]] per enabled leg (enabled-but-empty legs
     * report 0 — the audit artifact must show the leg RAN). Fails loud
@@ -165,7 +174,8 @@ object Forget {
               cdcBoiler: Option[CdcBoilerTarget] = None,
               fertility: Option[FertilityTarget] = None,
               corpus: Option[CorpusTarget] = None,
-              packs: Option[PackTarget] = None): Seq[Receipt] = {
+              packs: Option[PackTarget] = None,
+              ledger: Option[LedgerTarget] = None): Seq[Receipt] = {
     require(ids.size <= graft.store.ClaimRetraction.MaxRetractIds,
       s"${ids.size} deletion ids exceed the " +
         s"${graft.store.ClaimRetraction.MaxRetractIds} batch ceiling")
@@ -246,6 +256,18 @@ object Forget {
       // both numbers, each under the name that says what it counts
       b += Receipt("corpus_rows", r.rowsRemoved)
       b += Receipt("corpus_files", r.filesTouched)
+    }
+    // audit trail LAST: the recorded event describes a completed
+    // cascade (its receipt list is every enabled leg's), and a crash
+    // anywhere above leaves no record for the retry to trip over
+    ledger.foreach { t =>
+      val legs = b.result()
+      require(legs.nonEmpty,
+        "a ledger-recorded cascade must enable at least one leg — an " +
+          "empty event is not a takedown")
+      val published = ForgetLedger.record(spark, t.dir, t.eventId,
+        ids.size.toLong, legs)
+      b += Receipt("ledger", if (published) 1L else 0L)
     }
     b.result()
   }

@@ -23,7 +23,13 @@ import graft.streaming.{StreamCuration, StreamDataCard}
   * takedown (one contiguous id range) against the same 16-file
   * id-range-partitioned corpus touches ~1 file where the scattered list
   * touches most — `touched_clustered` vs `touched_scattered` is the
-  * number the O(touched files) story rests on. */
+  * number the O(touched files) story rests on.
+  *
+  * Round 17 appends the composed close of the deletion lifecycle, timed
+  * as its own tail (`maint_sec` — `cascade_sec`/`verify_sec` stay
+  * cross-round comparable): both takedowns recorded in the persisted
+  * [[ForgetLedger]], then the surgery-worn corpus draws its
+  * [[graft.store.Maintenance]] verdict and the compaction receipt. */
 object ForgetAudit {
 
   def run(spark: SparkSession, sfDir: String): String = {
@@ -98,8 +104,10 @@ object ForgetAudit {
     val deadDf = docs.filter(col("doc_id") % 101 === 3)
       .select("doc_id").localCheckpoint(true)
     val dead = deadDf.collect().map(_.getLong(0)).toSeq
+    val ledgerDir = s"$base/ledger"
     val t0 = System.nanoTime()
     val receipts = Forget.cascade(spark, dead,
+      ledger = Some(Forget.LedgerTarget(ledgerDir, 1L)),
       textClaimsDir = Some(claimsDir),
       cdcClaimsDir = Some(cdcDir),
       bm25IndexDir = Some(bm25Dir),
@@ -140,12 +148,36 @@ object ForgetAudit {
       "doc_id", clustered)
     val rec = receipts.map(r => s""""${r.component}":${r.removed}""")
       .mkString(",")
+
+    // the audit trail + maintenance loop, composed end to end (round
+    // 17): both takedowns recorded in the persisted ledger (replay
+    // token = event id), then the surgery-worn corpus draws its
+    // maintenance verdict and the compaction receipt — measured as its
+    // own tail (maint_sec) so cascade_sec/verify_sec stay cross-round
+    // comparable.
+    val t2 = System.nanoTime()
+    ForgetLedger.record(spark, ledgerDir, 2L, clustered.size.toLong,
+      Seq(Forget.Receipt("corpus", rClustered.rowsRemoved)))
+    val ledgerEvents = ForgetLedger.read(spark, ledgerDir)
+      .select("event_id").distinct().count()
+    val verdicts = graft.store.Maintenance.plan(
+      Seq("corpus" -> corpusDir), maxChain = 1)
+    val maint = graft.store.Maintenance.execute(spark, verdicts)
+    val mAction = maint.head.action
+    val mr = maint.head.receipt
+    val maintSec = (System.nanoTime() - t2) / 1e9
+
     spark.catalog.clearCache()
     f"""{"docs":$nDocs,"files":16,"deleted":${dead.size},""" +
       f""""cascade_sec":$cascadeSec%.3f,"verify_sec":$verifySec%.3f,""" +
       f""""audit_zero":$allZero,"receipts":{$rec},""" +
       f""""touched_scattered":$scatteredTouched,""" +
       f""""clustered_deleted":${clustered.size},""" +
-      f""""touched_clustered":${rClustered.filesTouched}}"""
+      f""""touched_clustered":${rClustered.filesTouched},""" +
+      f""""ledger_events":$ledgerEvents,"maint_action":"$mAction",""" +
+      f""""maint_sec":$maintSec%.3f,""" +
+      f""""compact_files_before":${mr.map(_.filesBefore).getOrElse(-1L)},""" +
+      f""""compact_files_after":${mr.map(_.filesAfter).getOrElse(-1L)},""" +
+      f""""compact_chained":${mr.map(_.chainedBefore).getOrElse(-1L)}}"""
   }
 }
