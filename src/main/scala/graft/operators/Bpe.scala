@@ -749,6 +749,17 @@ object Bpe {
     * policy is PART of the artifact because encoding under a different
     * split than the trainer's silently produces different tokens —
     * exactly the class of drift a frozen artifact exists to prevent. */
+  /** The tokenizer's 64-bit denomination ([[graft.store.Denomination]]
+    * — [[Unigram.modelHash]]'s BPE twin): merges in rank order, vocab
+    * in id order, the pre-tokenization policy. Any drift in any of
+    * them changes the hash. */
+  def tokenizerHash(merges: Seq[Merge], vocab: Seq[String],
+                    preTok: PreTok = PreTok.Whitespace): Long =
+    graft.store.Denomination.hash64(
+      Iterator("bpe", PreTok.nameOf(preTok)) ++
+        merges.iterator.flatMap { case (a, b) => Iterator(a, b) } ++
+        vocab.iterator)
+
   def saveTokenizer(spark: org.apache.spark.sql.SparkSession, dir: String,
                     merges: Seq[Merge], vocab: Seq[String],
                     preTok: PreTok = PreTok.Whitespace): Unit = {

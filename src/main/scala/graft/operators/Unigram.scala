@@ -894,6 +894,18 @@ object Unigram {
         expr("n_pieces * 1000L div n_words"))
   }
 
+  /** The model's 64-bit denomination — the identity a token dataset is
+    * stamped with ([[graft.store.Denomination]]): any change to a
+    * piece, a count, a cost or the pre-tokenization policy changes the
+    * hash, so ids encoded under one artifact can never be silently
+    * read as another's. Deterministic fold, no floats. */
+  def modelHash(model: Model): Long =
+    graft.store.Denomination.hash64(
+      Iterator("unigram", Bpe.PreTok.nameOf(model.preTok)) ++
+        model.pieces.iterator ++
+        model.counts.iterator.map(_.toString) ++
+        model.costs.iterator.map(_.toString))
+
   /** Persist a trained model as parquet under `dir` — `pieces` (vid,
     * piece, count, cost) in id order, `meta` (key, value: `algo` =
     * "unigram", `pretok`). The FROZEN artifact every encode job ships;

@@ -74,11 +74,20 @@ object Retrain {
     * still ship (0 after a successful warm/warm+/cold pass: the number
     * [[plan]] reads next cycle). `none` groups report `nDocs = -1` and
     * `nUnkAfter = -1`: the churn discipline says an untouched group
-    * costs ZERO scans, so there is nothing re-measured to report. */
+    * costs ZERO scans, so there is nothing re-measured to report.
+    *
+    * `modelHash` is the group's NEW denomination
+    * ([[Unigram.modelHash]]) — the value a deployment stamps its
+    * re-encoded token datasets with ([[graft.store.Denomination]]), so
+    * shards encoded under the retired artifact fail loud at load
+    * instead of being silently read in the wrong id space (`none`
+    * groups keep the previous hash: nothing re-denominated). */
   final case class Executed(grp: String, action: String,
                             model: Unigram.Model, nDocs: Long,
                             piecesBefore: Long, piecesAfter: Long,
-                            nUnkAfter: Long)
+                            nUnkAfter: Long) {
+    def modelHash: Long = Unigram.modelHash(model)
+  }
 
   /** EXECUTE the verdicts — the middle step [[plan]] used to leave to
     * hand-written glue: slice the corpus by group and give each group

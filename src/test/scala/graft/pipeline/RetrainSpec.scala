@@ -128,6 +128,18 @@ class RetrainSpec extends AnyFunSuite {
     assert(zz.model.pieces.exists(p =>
       Unigram.symLen(p) > 1 && p.contains("ü")),
       s"warm+ grew no composed piece: ${zz.model.pieces}")
+    // denomination moved for the retrained group, stayed for none —
+    // shards stamped with the retired hash now fail loud at load
+    assert(byGrp("en").modelHash == Unigram.modelHash(model))
+    assert(zz.modelHash != Unigram.modelHash(model))
+    val shardDir = java.nio.file.Files
+      .createTempDirectory("graft-retrain-shard").toString
+    graft.store.Denomination.stamp(shardDir, "unigram",
+      Unigram.modelHash(model))
+    val retired = intercept[IllegalArgumentException] {
+      graft.store.Denomination.require(shardDir, "unigram", zz.modelHash)
+    }
+    assert(retired.getMessage.contains("retrained"))
     // growOnWarm=false drops to the plain warm start: covered (unk 0)
     // but no new multi
     val plain = Retrain.execute(plan1, corpus, "doc_id", "text", "lang",
