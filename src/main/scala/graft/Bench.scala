@@ -214,17 +214,6 @@ object Bench {
     val retried = results.collect {
       case (k, v, _, ts, _) if v >= 0 && ts.size > reps => "\"" + k + "\""
     }.mkString("[", ",", "]")
-    // CANONICAL-ELIGIBLE: the receipt self-adjudicates what two rounds
-    // of judge time went to doing by hand — an artifact is eligible to
-    // be the round's canonical number iff the run started quiet
-    // (loadavg_start < 1), every query's MIN rep (the one the published
-    // number comes from) started under load 1, and nothing errored.
-    // Ineligible artifacts are still full receipts; they just carry the
-    // noise verdict on their face instead of needing rep_loads forensics.
-    val canonicalEligible = loadStart < 1.0 && results.forall {
-      case (_, v, _, ts, ls) =>
-        v >= 0 && ls(ts.indexOf(ts.min)) < 1.0
-    }
     val total = results.map(_._2).filter(_ >= 0).sum
     // Forced >64k-centroid regime for the two-level quantizer: q70/q71's
     // benched strides give a composite vocabulary a single-level path
@@ -379,6 +368,24 @@ object Bench {
       case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
     val loadEnd = loadAvg1m()
+    // CANONICAL-ELIGIBLE: the receipt self-adjudicates what two rounds
+    // of judge time went to doing by hand. The obvious per-rep
+    // criterion ("every min rep under load 1") is UNIMPLEMENTABLE:
+    // mid-run 1-min loadavg is dominated by the run's own scheduler
+    // tail — measured, the r16_5 canonical artifact itself has every
+    // min-rep load >= 1 — so rep_loads separate SPIKES, not ambient
+    // quiet. The two ambient-dominated samples are the ENDPOINTS:
+    // loadavg_start precedes any work, and loadavg_end trails the last
+    // sidecar by only its decaying self-tail (measured 1.2-2.0 across
+    // every quiet artifact of rounds 15-17; 4-6 when external noise
+    // hit mid-run). Eligible := started quiet (< 1), ended within the
+    // self-tail band (< 2.5), nothing errored. The flag is
+    // deliberately CONSERVATIVE — eligible => trustworthy at face
+    // value; ineligible => fall back to the rep_loads/job-count
+    // forensics (a quiet run whose own funnel tail reads 3+ at the
+    // sample instant is mis-flagged ineligible, never the reverse).
+    val canonicalEligible = loadStart < 1.0 && loadEnd < 2.5 &&
+      results.forall(_._2 >= 0)
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_loads":$rls,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"media_funnel":$mediaFunnel,"forget_cascade":$forgetCascade,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"retried":$retried,"canonical_eligible":$canonicalEligible,"agg":"min","flush_timeouts":$flushTimeouts,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaited}"""
     println(line)
     try {

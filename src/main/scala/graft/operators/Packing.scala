@@ -597,4 +597,61 @@ object Packing {
       .withColumn("n_freed_tokens", col("_fp_old_n") - col("n_tokens"))
       .select(keep ++ Seq(col("n_forgotten"), col("n_freed_tokens")): _*)
   }
+
+  /** CHECKPOINT-RESUME attribution — the training-ops read that turns a
+    * trainer's global token offset (its step counter × tokens/step)
+    * back into pack coordinates: for each `(step, global_off)` row,
+    * which pack holds that token, at which position inside the pack,
+    * belonging to which document, and the token id itself. A resumed
+    * run seeks to `(pack_id, pack_off)` instead of re-reading every
+    * shard before its checkpoint; the `doc_id` column is the provenance
+    * answer ("which document was the trainer consuming at step N" — the
+    * contamination-incident question).
+    *
+    * Semantics: the global token stream is the packs' own artifact
+    * order (`pack_id` ascending, positions within each pack) — the same
+    * total order the q132 concatenation freezes. A member's interval
+    * covers its tokens plus its trailing separator, so a separator
+    * position attributes to the document it terminates.
+    *
+    * Scale shape: the prefix sum runs over the (pack_id, n_tokens)
+    * relation — 16 bytes per pack, the documented global-ordering
+    * exception every pack/epoch artifact already pays (the ordering IS
+    * the artifact); `steps` is checkpoint-bounded and broadcast, so the
+    * range join is one broadcast nested-loop over the sized pack
+    * relation, no shuffle of pack payloads. Out-of-range offsets fail
+    * LOUD up front (one bounded probe) — a resume offset past the
+    * stream's end silently matching nothing would resume a trainer at
+    * the wrong byte. */
+  def locate(packs: DataFrame, steps: DataFrame, stepCol: String,
+             offCol: String): DataFrame = {
+    val s = steps.select(col(stepCol).cast("long").as("step"),
+      col(offCol).cast("long").as("global_off"))
+    val total = packs.agg(coalesce(sum("n_tokens"), lit(0L)))
+      .head().getLong(0)
+    val bad = s.filter(col("global_off") < 0L ||
+      col("global_off") >= total).head(1)
+    require(bad.isEmpty,
+      s"resume offset ${bad.headOption.map(_.get(1)).getOrElse("")} " +
+        s"outside the token stream [0, $total) — refusing to locate a " +
+        "checkpoint that cannot exist")
+    val w = Window.orderBy("pack_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packs
+      .select(col("pack_id"), col("token_ids"), col("doc_offsets"),
+        col("doc_ids"), col("n_tokens").as("_len"))
+      .withColumn("_start", sum("_len").over(w) - col("_len"))
+      .join(broadcast(s),
+        col("global_off") >= col("_start") &&
+          col("global_off") < col("_start") + col("_len"))
+      .withColumn("_local", col("global_off") - col("_start"))
+      // member = last doc_offsets entry at or before the local position
+      .withColumn("_mi",
+        size(filter(col("doc_offsets"), o => o <= col("_local"))) - 1)
+      .select(col("step"), col("global_off"), col("pack_id"),
+        col("_local").as("pack_off"),
+        element_at(col("doc_ids"), col("_mi") + 1).as("doc_id"),
+        element_at(col("token_ids"),
+          (col("_local") + 1).cast("int")).as("token_id"))
+  }
 }

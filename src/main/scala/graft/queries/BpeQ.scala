@@ -911,6 +911,91 @@ object BpeQ {
       .orderBy("lang")
   }
 
+  /** q159: CHECKPOINT-RESUME attribution ([[Packing.locate]]) — the
+    * training-ops read back from a trainer's global token offset to
+    * pack coordinates: q132's materialized pack streams, 8 planted
+    * checkpoint offsets (`step × total // 8` — the stream's own
+    * eighths), each located to (pack, position-in-pack, the document
+    * being consumed, the token id under the cursor). The oracle replays
+    * q132's whole chain, numbers the global stream in artifact order
+    * (`pack_id`, `pos`), derives the same planted offsets from its own
+    * total and joins them back — an off-by-one in the prefix sum, a
+    * member attributed past its separator, or a drifted global order
+    * breaks the hash. */
+  val q159 = Q(
+    "q159_resume_locate",
+    s"""WITH RECURSIVE
+       |${bpeChainCtes(30)},
+       |tokq AS (SELECT doc_id, unnest($sqlToks) AS word,
+       |                unnest(range(1, len($sqlToks) + 1)) AS tp
+       |         FROM documents),
+       |pcs AS (SELECT t.doc_id, t.tp, f.syms
+       |        FROM tokq t JOIN fin f USING (word)),
+       |flat AS (SELECT doc_id, tp, unnest(syms) AS piece,
+       |                unnest(range(1, len(syms) + 1)) AS sp FROM pcs),
+       |docids AS (SELECT f.doc_id, v.vid,
+       |                  row_number() OVER (PARTITION BY f.doc_id
+       |                    ORDER BY f.tp, f.sp) AS dp
+       |           FROM flat f JOIN voc v ON v.piece = f.piece),
+       |$cntCte,
+       |sepv AS (SELECT na.n + (SELECT CAST(COUNT(*) AS BIGINT) FROM mg)
+       |           AS sep FROM na),
+       |k AS (SELECT d.doc_id, c.n_pieces + 1 AS w,
+       |             (${sqlHash("'7:' || CAST(d.doc_id AS VARCHAR)")}
+       |              * 2654435761) % 2147483647 AS ek
+       |      FROM documents d JOIN cnt c ON c.doc_id = d.doc_id),
+       |s AS (SELECT doc_id, ek, (ek * 8) // 2147483647 AS shard, w
+       |      FROM k),
+       |ww AS (SELECT doc_id, ek, shard, w,
+       |         SUM(w) OVER (ORDER BY shard, ek, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |       FROM s),
+       |pk AS (SELECT doc_id, ek, shard, w,
+       |              CAST((cum - w) // 700 AS BIGINT) AS pack_id FROM ww),
+       |tok2 AS (SELECT doc_id, vid, dp FROM docids
+       |         UNION ALL
+       |         SELECT p.doc_id, (SELECT sep FROM sepv) AS vid,
+       |                p.w AS dp
+       |         FROM pk p),
+       |expl AS (SELECT p.pack_id, p.shard, p.ek, t.doc_id, t.dp, t.vid
+       |         FROM tok2 t JOIN pk p USING (doc_id)),
+       |outp AS (SELECT pack_id,
+       |                CAST(row_number() OVER (PARTITION BY pack_id
+       |                  ORDER BY shard, ek, doc_id, dp) - 1 AS BIGINT)
+       |                  AS pos,
+       |                doc_id, vid AS token_id FROM expl),
+       |gstr AS (SELECT pack_id, pos, doc_id, token_id,
+       |                CAST(row_number() OVER (ORDER BY pack_id, pos)
+       |                  - 1 AS BIGINT) AS goff
+       |         FROM outp),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gstr),
+       |stepsq AS (SELECT CAST(k AS BIGINT) AS step,
+       |                  (CAST(k AS BIGINT) * n) // 8 AS goff
+       |           FROM range(8) t(k), tot)
+       |SELECT st.step, st.goff AS global_off, g.pack_id,
+       |       g.pos AS pack_off, g.doc_id, g.token_id
+       |FROM stepsq st JOIN gstr g USING (goff)
+       |ORDER BY step""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.train(docs, "text", numMerges = 30)
+    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
+      .select(col("doc_id"), col("token_ids"))
+    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
+      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    // the pack artifact is MATERIALIZED in production; the checkpoint
+    // stands in for that file read (the q139 discipline) — locate
+    // probes it three times (total, range check, the join)
+    val packs = Packing.packTokenStreams(e, "shard", "pos", "token_ids",
+      budget = 700L, sepId = vocab.length.toLong,
+      docIdCol = Some("doc_id")).localCheckpoint(true)
+    val total = packs
+      .agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+    val steps = s.range(8).select(col("id").as("step"),
+      expr(s"id * $total div 8").as("goff"))
+    Packing.locate(packs, steps, "step", "goff").orderBy("step")
+  }
+
   val all: Seq[Q] = Seq(q126, q127, q129, q131, q132, q133, q134, q135,
-    q136, q137, q139, q141, q142)
+    q136, q137, q139, q141, q142, q159)
 }

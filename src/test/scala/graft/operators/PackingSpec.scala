@@ -411,4 +411,38 @@ class PackingSpec extends AnyFunSuite {
       "doc_id").select("pack_id").as[Long].collect().toSet
     assert(gone == Set(0L, 1L))
   }
+
+  test("locate maps global offsets to pack/position/document — pack " +
+    "boundaries, separator attribution, out-of-range fail-loud") {
+    import org.apache.spark.sql.functions._
+    // two docs in one shard, ordered by pos: doc 1 tokens [10,11]+sep,
+    // doc 2 tokens [12]+sep; budget 3 -> pack 0 = doc 1 (len 3),
+    // pack 1 = doc 2 (len 2). Global stream: 10,11,sep | 12,sep
+    val enc = Seq((1L, 0L, 0L, Seq(10L, 11L)), (2L, 0L, 1L, Seq(12L)))
+      .toDF("doc_id", "shard", "pos", "token_ids")
+    val packs = Packing.packTokenStreams(enc, "shard", "pos",
+      "token_ids", budget = 3L, sepId = 99L, docIdCol = Some("doc_id"))
+      .localCheckpoint(true)
+    val steps = Seq((0L, 0L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("step", "goff")
+    val out = Packing.locate(packs, steps, "step", "goff")
+      .orderBy("step")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (0L, 0L, 0L, 0L, 1L, 10L), // pack start
+      (1L, 2L, 0L, 2L, 1L, 99L), // doc 1's separator attributes to doc 1
+      (2L, 3L, 1L, 0L, 2L, 12L), // first token past the pack boundary
+      (3L, 4L, 1L, 1L, 2L, 99L))) // final separator
+    val past = intercept[IllegalArgumentException] {
+      Packing.locate(packs, Seq((9L, 5L)).toDF("step", "goff"),
+        "step", "goff").collect()
+    }
+    assert(past.getMessage.contains("outside the token stream [0, 5)"))
+    val neg = intercept[IllegalArgumentException] {
+      Packing.locate(packs, Seq((9L, -1L)).toDF("step", "goff"),
+        "step", "goff").collect()
+    }
+    assert(neg.getMessage.contains("outside"))
+  }
 }
