@@ -223,6 +223,46 @@ object Bpe {
     trainFromVocab(vocab.toIndexedSeq, numMerges, minPairCount)
   }
 
+  /** [[train]] and [[alphabetOf]] from ONE corpus pass — the fused form
+    * for the (ubiquitous) caller that needs both the merge table and the
+    * alphabet to build a [[vocabOf]] vocabulary. Separately they cost
+    * two full corpus scans (word-frequency aggregation + the alphabet's
+    * tokenize-and-distinct); the alphabet, however, is a pure function
+    * of the DISTINCT-WORD SET — `initial(word)` symbols over distinct
+    * words — which the training collect already holds whenever the
+    * `maxVocab` cap did not bind and no `minFreq` floor filtered words
+    * out. In that (overwhelmingly common) case the alphabet derives on
+    * the driver from the collected table at zero extra cost; otherwise
+    * the exact distributed [[alphabetOf]] runs as before (the cap
+    * binding means >maxVocab distinct words — the regime where the
+    * corpus-scan alphabet is the only correct source).
+    *
+    * Exactness: identical to the unfused pair by construction — the
+    * word-frequency table's words are `preTok.wordsCol` tokens and
+    * [[alphabetOf]] tokenizes with `preTok.jvmSplit`, the spec-pinned
+    * bitwise twin pair every oracle row already relies on. */
+  def trainAndAlphabet(docs: DataFrame, textCol: String, numMerges: Int,
+                       minPairCount: Long = 2L, minFreq: Long = 1L,
+                       maxVocab: Int = DefaultMaxVocab,
+                       preTok: PreTok = PreTok.Whitespace)
+      : (Seq[Merge], Seq[String]) = {
+    require(numMerges >= 0, "numMerges must be >= 0")
+    require(maxVocab > 0, "maxVocab must be > 0")
+    val vocab = wordFrequencies(docs, textCol, preTok)
+      .filter(col("freq") >= minFreq)
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(maxVocab)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val alphabet =
+      if (minFreq <= 1L && vocab.length < maxVocab) {
+        val seen = mutable.HashSet.empty[String]
+        vocab.foreach { case (w, _) => initial(w).foreach(seen += _) }
+        seen.toIndexedSeq.sorted(cpOrder)
+      } else alphabetOf(docs, textCol, preTok)
+    (trainFromVocab(vocab.toIndexedSeq, numMerges, minPairCount), alphabet)
+  }
+
   /** The merge loop itself, pure and testable: greedy highest-count pair,
     * code-point-lexicographic tie-break ([[cpOrder]] — DuckDB's binary
     * collation, so the oracle's `ORDER BY a, b` replays the pick even
@@ -522,13 +562,18 @@ object Bpe {
     * per-partition memo capped at [[MemoCap]] distinct words, and the
     * output rides the scan — the corpus text crosses no exchange and the
     * driver collects nothing. The `pieces` column exists for audit
-    * joins; a loader that selects only `token_ids` prunes it at the
-    * scan. */
+    * joins; because the encoder is an OPAQUE mapPartitions, Catalyst
+    * cannot prune it for a consumer that selects only `token_ids` (the
+    * piece strings would still be built and serialized row by row) —
+    * such callers pass `emitPieces = false`, which drops the column from
+    * the output schema and skips constructing the strings entirely.
+    * Token ids, counts and every unk policy are bitwise unaffected. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge], vocab: Seq[String],
              unkId: Long = -1L, byteFallback: Boolean = false,
              failOnUnk: Boolean = false,
-             preTok: PreTok = PreTok.Whitespace): DataFrame = {
+             preTok: PreTok = PreTok.Whitespace,
+             emitPieces: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     if (byteFallback) {
       val vs = vocab.toSet
@@ -539,11 +584,11 @@ object Bpe {
     val rankB = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
     val idsB = spark.sparkContext.broadcast(vocabIds(vocab))
     val idField = docs.schema(docs.schema.fieldIndex(idCol))
-    val outSchema = StructType(Seq(
-      idField,
-      StructField("pieces",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType, containsNull = false)),
+    val piecesField = StructField("pieces",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))
+    val outSchema = StructType(Seq(idField) ++
+      (if (emitPieces) Seq(piecesField) else Nil) ++ Seq(
       StructField("token_ids",
         org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)),
       StructField("n_tokens", LongType, nullable = false),
@@ -569,26 +614,36 @@ object Bpe {
               segd ++= p
               i += 1
             }
-            val pieces = mutable.ArrayBuffer.empty[String]
+            val pieces =
+              if (emitPieces) mutable.ArrayBuffer.empty[String] else null
             val tids = mutable.ArrayBuffer.empty[Long]
             var nUnk = 0L
             segd.foreach { pc =>
               ids.get(pc) match {
-                case Some(v) => pieces += pc; tids += v
+                case Some(v) =>
+                  if (emitPieces) pieces += pc
+                  tids += v
                 case None =>
                   nUnk += 1
                   if (byteFallback) byteFallbackPieces(pc).foreach { bp =>
-                    pieces += bp; tids += ids(bp)
+                    if (emitPieces) pieces += bp
+                    tids += ids(bp)
                   }
                   else if (failOnUnk) throw new IllegalStateException(
                     s"BPE encode: piece '$pc' is not in the frozen " +
                       "vocabulary (failOnUnk policy; enable byteFallback " +
                       "for total encoding)")
-                  else { pieces += pc; tids += unkId }
+                  else {
+                    if (emitPieces) pieces += pc
+                    tids += unkId
+                  }
               }
             }
-            Some(Row(r.get(0), pieces.toSeq, tids.toSeq,
-              tids.length.toLong, nUnk))
+            Some(
+              if (emitPieces)
+                Row(r.get(0), pieces.toSeq, tids.toSeq,
+                  tids.length.toLong, nUnk)
+              else Row(r.get(0), tids.toSeq, tids.length.toLong, nUnk))
           }
         }
       }(Encoders.row(outSchema))

@@ -323,9 +323,11 @@ object Quantize {
     * init, keep-previous empty cells; QuantizeSpec pins the two trainers
     * within 1e-9 per coordinate — same math, different summation order).
     * Scale shape: the ordered fold gives up map-side combine — the
-    * (cell, pos) exchange carries (id, x) pairs, n·dim rows per round,
-    * vs [[kmeansTrain]]'s pre-combined partials — the price of
-    * cross-engine bitwise determinism. Audit/verification tier; train
+    * cell-keyed exchange carries whole (id, vector) rows, n rows per
+    * round (formerly n·dim exploded (cell, pos, id, x) scalars; the
+    * per-cell zip_with fold replays the identical per-coordinate IEEE
+    * sequence), vs [[kmeansTrain]]'s pre-combined partials — the price
+    * of cross-engine bitwise determinism. Audit/verification tier; train
     * production codebooks with [[kmeansTrain]] (warm-started). */
   def kmeansTrainExact(df: DataFrame, idCol: String, vecCol: String,
                        every: Int, iters: Int = 3,
@@ -348,26 +350,32 @@ object Quantize {
     var flat = centRows.flatMap(_.getSeq[Double](1).toArray)
     var it = 0
     while (it < iters) {
-      // id-ordered sequential fold per (cell, pos): ((0 + x_id1) + x_id2)
-      // + ... — the replayable IEEE sequence
-      val orderedSum = aggregate(
+      // id-ordered sequential fold per cell, whole vectors at a time:
+      // members sorted by id, coordinate sums accumulated with zip_with —
+      // per coordinate the identical IEEE sequence ((0 + x_id1) + x_id2)
+      // + ... as the former per-(cell, pos) fold, but the exchange
+      // carries n VECTOR rows instead of n·dim exploded scalar rows and
+      // the sort runs once per cell, not once per (cell, pos)
+      val orderedVecSum = aggregate(
         transform(
-          sort_array(collect_list(struct(col("id"), col("x")))),
-          s => s.getField("x")),
-        lit(0.0), (acc, x) => acc + x)
+          sort_array(collect_list(struct(col("id"), col("vecd")))),
+          s => s.getField("vecd")),
+        array_repeat(lit(0.0), dim),
+        (acc, v) => zip_with(acc, v, (a, x) => a + x))
       val agg = base
         .withColumn("cell", graft.functions.NearestResidual(
           col("vecd"), lit(0L), Seq(0L), zeroCent,
           ids.toIndexedSeq, flat.toIndexedSeq))
-        .select(col("id"), col("cell"),
-          posexplode(col("vecd")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(orderedSum.as("s"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(orderedVecSum.as("s"), count(lit(1)).as("n"))
         .collect()
       val next = flat.clone()
       agg.foreach { r =>
-        next(idToOff(r.getLong(0)) + r.getInt(1)) =
-          r.getDouble(2) / r.getLong(3)
+        val off = idToOff(r.getLong(0))
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2)
+        var i = 0
+        while (i < dim) { next(off + i) = s(i) / n; i += 1 }
       }
       flat = next
       it += 1

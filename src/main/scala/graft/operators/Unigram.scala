@@ -308,7 +308,8 @@ object Unigram {
   def encodeSampled(docs: DataFrame, idCol: String, textCol: String,
                     model: Model, k: Int = 4, salt: String = "e1",
                     unkId: Long = -1L, byteFallback: Boolean = false,
-                    failOnUnk: Boolean = false): DataFrame = {
+                    failOnUnk: Boolean = false,
+                    emitPieces: Boolean = true): DataFrame = {
     require(k >= 1 && k <= 62,
       s"k must be in [1, 62] (the draw is a 2^m − 1 modulus), got $k")
     requireModel(model, "encodeSampled")
@@ -324,9 +325,10 @@ object Unigram {
     val maxLen = math.max(1, model.pieces.iterator.map(symLen).max)
     val preTok = model.preTok
     val idField = docs.schema(docs.schema.fieldIndex(idCol))
-    val outSchema = StructType(Seq(
-      idField,
-      StructField("pieces", ArrayType(StringType, containsNull = false)),
+    val outSchema = StructType(Seq(idField) ++
+      (if (emitPieces)
+        Seq(StructField("pieces", ArrayType(StringType, containsNull = false)))
+      else Nil) ++ Seq(
       StructField("token_ids", ArrayType(LongType, containsNull = false)),
       StructField("n_tokens", LongType, nullable = false),
       StructField("n_unk", LongType, nullable = false)))
@@ -358,26 +360,36 @@ object Unigram {
               segd ++= kb(pick)
               tp += 1
             }
-            val pieces = mutable.ArrayBuffer.empty[String]
+            val pieces =
+              if (emitPieces) mutable.ArrayBuffer.empty[String] else null
             val tids = mutable.ArrayBuffer.empty[Long]
             var nUnk = 0L
             segd.foreach { pc =>
               ids.get(pc) match {
-                case Some(v) => pieces += pc; tids += v
+                case Some(v) =>
+                  if (emitPieces) pieces += pc
+                  tids += v
                 case None =>
                   nUnk += 1
                   if (byteFallback) Bpe.byteFallbackPieces(pc).foreach { bp =>
-                    pieces += bp; tids += ids(bp)
+                    if (emitPieces) pieces += bp
+                    tids += ids(bp)
                   }
                   else if (failOnUnk) throw new IllegalStateException(
                     s"unigram encodeSampled: piece '$pc' is not in the " +
                       "frozen vocabulary (failOnUnk policy; enable " +
                       "byteFallback for total encoding)")
-                  else { pieces += pc; tids += unkId }
+                  else {
+                    if (emitPieces) pieces += pc
+                    tids += unkId
+                  }
               }
             }
-            Some(Row(r.get(0), pieces.toSeq, tids.toSeq,
-              tids.length.toLong, nUnk))
+            Some(
+              if (emitPieces)
+                Row(r.get(0), pieces.toSeq, tids.toSeq,
+                  tids.length.toLong, nUnk)
+              else Row(r.get(0), tids.toSeq, tids.length.toLong, nUnk))
           }
         }
       }(Encoders.row(outSchema))
@@ -739,10 +751,14 @@ object Unigram {
     *
     * Scale shape: the model broadcasts, per-partition word memo capped
     * at [[Bpe.MemoCap]], output rides the scan — corpus text crosses
-    * no exchange, the driver collects nothing. */
+    * no exchange, the driver collects nothing. `emitPieces = false`
+    * drops the `pieces` column and skips building its strings (the
+    * opaque mapPartitions defeats Catalyst pruning — see
+    * [[Bpe.encode]]); ids/counts/policies bitwise unaffected. */
   def encode(docs: DataFrame, idCol: String, textCol: String, model: Model,
              unkId: Long = -1L, byteFallback: Boolean = false,
-             failOnUnk: Boolean = false): DataFrame = {
+             failOnUnk: Boolean = false,
+             emitPieces: Boolean = true): DataFrame = {
     requireModel(model, "encode")
     val spark = docs.sparkSession
     val vocabSeq = model.vocab(byteFallback)
@@ -761,9 +777,10 @@ object Unigram {
     }
     val preTok = model.preTok
     val idField = docs.schema(docs.schema.fieldIndex(idCol))
-    val outSchema = StructType(Seq(
-      idField,
-      StructField("pieces", ArrayType(StringType, containsNull = false)),
+    val outSchema = StructType(Seq(idField) ++
+      (if (emitPieces)
+        Seq(StructField("pieces", ArrayType(StringType, containsNull = false)))
+      else Nil) ++ Seq(
       StructField("token_ids", ArrayType(LongType, containsNull = false)),
       StructField("n_tokens", LongType, nullable = false),
       StructField("n_unk", LongType, nullable = false)))
@@ -789,26 +806,36 @@ object Unigram {
               segd ++= p
               i += 1
             }
-            val pieces = mutable.ArrayBuffer.empty[String]
+            val pieces =
+              if (emitPieces) mutable.ArrayBuffer.empty[String] else null
             val tids = mutable.ArrayBuffer.empty[Long]
             var nUnk = 0L
             segd.foreach { pc =>
               ids.get(pc) match {
-                case Some(v) => pieces += pc; tids += v
+                case Some(v) =>
+                  if (emitPieces) pieces += pc
+                  tids += v
                 case None =>
                   nUnk += 1
                   if (byteFallback) Bpe.byteFallbackPieces(pc).foreach { bp =>
-                    pieces += bp; tids += ids(bp)
+                    if (emitPieces) pieces += bp
+                    tids += ids(bp)
                   }
                   else if (failOnUnk) throw new IllegalStateException(
                     s"unigram encode: piece '$pc' is not in the frozen " +
                       "vocabulary (failOnUnk policy; enable byteFallback " +
                       "for total encoding)")
-                  else { pieces += pc; tids += unkId }
+                  else {
+                    if (emitPieces) pieces += pc
+                    tids += unkId
+                  }
               }
             }
-            Some(Row(r.get(0), pieces.toSeq, tids.toSeq,
-              tids.length.toLong, nUnk))
+            Some(
+              if (emitPieces)
+                Row(r.get(0), pieces.toSeq, tids.toSeq,
+                  tids.length.toLong, nUnk)
+              else Row(r.get(0), tids.toSeq, tids.length.toLong, nUnk))
           }
         }
       }(Encoders.row(outSchema))

@@ -55,14 +55,16 @@ object ForgetAudit {
     // docs, epoch-shuffled, token-budget packs with doc_ids) — the
     // cascade's in-place mask leg works against this
     val packsDir = s"$base/packs"
-    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 30)
-    val vocab = graft.operators.Bpe.vocabOf(
-      graft.operators.Bpe.alphabetOf(docs, "text"), merges)
+    // fused train+alphabet (one corpus pass), token_ids-only encode,
+    // and the identity re-attach join dropped — the q132-family
+    // optimizations applied to the sidecar's pack build too
+    val (merges, alphabet) = graft.operators.Bpe.trainAndAlphabet(
+      docs, "text", numMerges = 30)
+    val vocab = graft.operators.Bpe.vocabOf(alphabet, merges)
     val encTok = graft.operators.Bpe
-      .encode(docs, "doc_id", "text", merges, vocab)
-      .select(col("doc_id"), col("token_ids"))
+      .encode(docs, "doc_id", "text", merges, vocab, emitPieces = false)
     val eps = graft.operators.Mixing.epochShuffle(
-      docs.select("doc_id").join(encTok, Seq("doc_id")),
+      encTok.select(col("doc_id"), col("token_ids")),
       "doc_id", seed = 7L, nShards = 8)
     graft.operators.Packing.packTokenStreams(eps, "shard", "pos",
       "token_ids", budget = 700L, sepId = vocab.length.toLong,

@@ -204,8 +204,9 @@ object BpeQ {
        |FROM outp o JOIN voc v ON v.piece = o.piece
        |ORDER BY o.doc_id, o.pos""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val merges = Bpe.train(docs, "text", numMerges = 30)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(docs, "text",
+      numMerges = 30)
+    val vocab = Bpe.vocabOf(alphabet, merges)
     Bpe.encode(docs, "doc_id", "text", merges, vocab)
       .select(col("doc_id"),
         posexplode(arrays_zip(col("pieces"), col("token_ids"))))
@@ -363,9 +364,9 @@ object BpeQ {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" 世界 😀tok")).as("text"))
     val corpus = docs.select("doc_id", "text").unionAll(planted)
-    val merges = Bpe.train(docs, "text", numMerges = 30)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges,
-      byteFallback = true)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(docs, "text",
+      numMerges = 30)
+    val vocab = Bpe.vocabOf(alphabet, merges, byteFallback = true)
     Bpe.encode(corpus, "doc_id", "text", merges, vocab, byteFallback = true)
       .select(col("doc_id"), col("n_unk"),
         posexplode(arrays_zip(col("pieces"), col("token_ids"))))
@@ -431,12 +432,20 @@ object BpeQ {
        |SELECT pack_id, pos, token_id FROM outp
        |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val merges = Bpe.train(docs, "text", numMerges = 30)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
-    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
-      .select(col("doc_id"), col("token_ids"))
-    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
-      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(docs, "text",
+      numMerges = 30)
+    val vocab = Bpe.vocabOf(alphabet, merges)
+    // token_ids-only encode (emitPieces = false: the opaque encoder
+    // defeats column pruning, so the audit strings would otherwise be
+    // built and serialized just to be dropped), fed to the shuffle
+    // directly — the former docs⋈enc re-attach joined the encoder's own
+    // output back to its input ids (enc.doc_id ⊆ docs.doc_id, doc_id
+    // unique), i.e. an identity join that broadcast the whole encoded
+    // corpus and re-scanned the table
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab,
+      emitPieces = false)
+    val e = Mixing.epochShuffle(enc.select(col("doc_id"),
+      col("token_ids")), "doc_id", seed = 7L, nShards = 8)
     Packing.packTokenStreams(e, "shard", "pos", "token_ids",
       budget = 700L, sepId = vocab.length.toLong)
       .select(col("pack_id"), posexplode(col("token_ids")))
@@ -555,11 +564,13 @@ object BpeQ {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" 世界 😀tok")).as("text"))
     val corpus = docs.select("doc_id", "text").unionAll(planted)
-    val merges = Bpe.train(docs, "text", numMerges = 30)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges,
-      byteFallback = true)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(docs, "text",
+      numMerges = 30)
+    val vocab = Bpe.vocabOf(alphabet, merges, byteFallback = true)
+    // decode reads only (doc_id, token_ids): skip building the audit
+    // piece strings the opaque encoder cannot prune (emitPieces = false)
     val enc = Bpe.encode(corpus, "doc_id", "text", merges, vocab,
-      byteFallback = true)
+      byteFallback = true, emitPieces = false)
     Bpe.decode(enc, "doc_id", "token_ids", vocab)
       .select(col("doc_id"), col("text").as("text_rt"), col("n_invalid"))
       .orderBy("doc_id")
@@ -604,12 +615,20 @@ object BpeQ {
        |       CAST(off AS BIGINT) AS off
        |FROM offs ORDER BY pack_id, idx""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val merges = Bpe.train(docs, "text", numMerges = 30)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
-    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
-      .select(col("doc_id"), col("token_ids"))
-    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
-      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(docs, "text",
+      numMerges = 30)
+    val vocab = Bpe.vocabOf(alphabet, merges)
+    // token_ids-only encode (emitPieces = false: the opaque encoder
+    // defeats column pruning, so the audit strings would otherwise be
+    // built and serialized just to be dropped), fed to the shuffle
+    // directly — the former docs⋈enc re-attach joined the encoder's own
+    // output back to its input ids (enc.doc_id ⊆ docs.doc_id, doc_id
+    // unique), i.e. an identity join that broadcast the whole encoded
+    // corpus and re-scanned the table
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab,
+      emitPieces = false)
+    val e = Mixing.epochShuffle(enc.select(col("doc_id"),
+      col("token_ids")), "doc_id", seed = 7L, nShards = 8)
     Packing.packTokenStreams(e, "shard", "pos", "token_ids",
       budget = 700L, sepId = vocab.length.toLong,
       docIdCol = Some("doc_id"))
@@ -674,8 +693,9 @@ object BpeQ {
           lit("世界算法7!")).as("text"))
     val corpus = docs.select("doc_id", "text").unionAll(planted)
     val cp = Bpe.PreTok.CpClass
-    val merges = Bpe.train(corpus, "text", numMerges = 30, preTok = cp)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(corpus, "text", cp), merges)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(corpus, "text",
+      numMerges = 30, preTok = cp)
+    val vocab = Bpe.vocabOf(alphabet, merges)
     Bpe.encode(corpus, "doc_id", "text", merges, vocab, preTok = cp)
       .select(col("doc_id"),
         posexplode(arrays_zip(col("pieces"), col("token_ids"))))
@@ -716,11 +736,12 @@ object BpeQ {
           lit("世界算法7!")).as("text"))
     val corpus = docs.select("doc_id", "text").unionAll(planted)
     val cp = Bpe.PreTok.CpClass
-    val merges = Bpe.train(docs, "text", numMerges = 30, preTok = cp)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text", cp), merges,
-      byteFallback = true)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(docs, "text",
+      numMerges = 30, preTok = cp)
+    val vocab = Bpe.vocabOf(alphabet, merges, byteFallback = true)
+    // decode reads only (doc_id, token_ids) — emitPieces = false as q134
     val enc = Bpe.encode(corpus, "doc_id", "text", merges, vocab,
-      byteFallback = true, preTok = cp)
+      byteFallback = true, preTok = cp, emitPieces = false)
     Bpe.decode(enc, "doc_id", "token_ids", vocab)
       .select(col("doc_id"), col("text").as("text_rt"), col("n_invalid"))
       .orderBy("doc_id")
@@ -784,12 +805,20 @@ object BpeQ {
        |SELECT pack_id, pos, token_id FROM outp
        |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val merges = Bpe.train(docs, "text", numMerges = 30)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
-    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
-      .select(col("doc_id"), col("token_ids"))
-    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
-      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(docs, "text",
+      numMerges = 30)
+    val vocab = Bpe.vocabOf(alphabet, merges)
+    // token_ids-only encode (emitPieces = false: the opaque encoder
+    // defeats column pruning, so the audit strings would otherwise be
+    // built and serialized just to be dropped), fed to the shuffle
+    // directly — the former docs⋈enc re-attach joined the encoder's own
+    // output back to its input ids (enc.doc_id ⊆ docs.doc_id, doc_id
+    // unique), i.e. an identity join that broadcast the whole encoded
+    // corpus and re-scanned the table
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab,
+      emitPieces = false)
+    val e = Mixing.epochShuffle(enc.select(col("doc_id"),
+      col("token_ids")), "doc_id", seed = 7L, nShards = 8)
     // the pack artifact is MATERIALIZED in production (training files on
     // disk); the checkpoint stands in for that file read — forgetPacks /
     // repackForgotten reference their input twice (member probe + mask)
@@ -860,12 +889,20 @@ object BpeQ {
        |SELECT pack_id, pos, token_id FROM outp
        |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val merges = Bpe.train(docs, "text", numMerges = 30)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
-    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
-      .select(col("doc_id"), col("token_ids"))
-    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
-      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(docs, "text",
+      numMerges = 30)
+    val vocab = Bpe.vocabOf(alphabet, merges)
+    // token_ids-only encode (emitPieces = false: the opaque encoder
+    // defeats column pruning, so the audit strings would otherwise be
+    // built and serialized just to be dropped), fed to the shuffle
+    // directly — the former docs⋈enc re-attach joined the encoder's own
+    // output back to its input ids (enc.doc_id ⊆ docs.doc_id, doc_id
+    // unique), i.e. an identity join that broadcast the whole encoded
+    // corpus and re-scanned the table
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab,
+      emitPieces = false)
+    val e = Mixing.epochShuffle(enc.select(col("doc_id"),
+      col("token_ids")), "doc_id", seed = 7L, nShards = 8)
     // the pack artifact is MATERIALIZED in production (training files on
     // disk); the checkpoint stands in for that file read — forgetPacks /
     // repackForgotten reference their input twice (member probe + mask)
@@ -977,12 +1014,20 @@ object BpeQ {
        |FROM stepsq st JOIN gstr g USING (goff)
        |ORDER BY step""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val merges = Bpe.train(docs, "text", numMerges = 30)
-    val vocab = Bpe.vocabOf(Bpe.alphabetOf(docs, "text"), merges)
-    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab)
-      .select(col("doc_id"), col("token_ids"))
-    val e = Mixing.epochShuffle(docs.select("doc_id").join(enc,
-      Seq("doc_id")), "doc_id", seed = 7L, nShards = 8)
+    val (merges, alphabet) = Bpe.trainAndAlphabet(docs, "text",
+      numMerges = 30)
+    val vocab = Bpe.vocabOf(alphabet, merges)
+    // token_ids-only encode (emitPieces = false: the opaque encoder
+    // defeats column pruning, so the audit strings would otherwise be
+    // built and serialized just to be dropped), fed to the shuffle
+    // directly — the former docs⋈enc re-attach joined the encoder's own
+    // output back to its input ids (enc.doc_id ⊆ docs.doc_id, doc_id
+    // unique), i.e. an identity join that broadcast the whole encoded
+    // corpus and re-scanned the table
+    val enc = Bpe.encode(docs, "doc_id", "text", merges, vocab,
+      emitPieces = false)
+    val e = Mixing.epochShuffle(enc.select(col("doc_id"),
+      col("token_ids")), "doc_id", seed = 7L, nShards = 8)
     // the pack artifact is MATERIALIZED in production; the checkpoint
     // stands in for that file read (the q139 discipline) — locate
     // probes it three times (total, range check, the join)

@@ -43,13 +43,17 @@ object StoreQ {
       .createTempDirectory("graft-q158-store").toString
     try {
       docs.repartition(8).write.mode("overwrite").parquet(scratch)
-      def batch(cond: org.apache.spark.sql.Column): Seq[Long] =
-        docs.filter(cond).select(col("doc_id").cast("long"))
-          .collect().map(_.getLong(0)).toSeq
+      // one collect for both deletion generations (driver-side split —
+      // the second batch deliberately re-includes ids the first already
+      // removed, exactly as the former per-batch scans did)
+      val dead = docs
+        .filter(col("doc_id") % 13 === 5 || col("doc_id") % 17 === 2)
+        .select(col("doc_id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq
       graft.store.CorpusForget.forget(s, scratch, "doc_id",
-        batch(col("doc_id") % 13 === 5))
+        dead.filter(_ % 13 == 5))
       graft.store.CorpusForget.forget(s, scratch, "doc_id",
-        batch(col("doc_id") % 17 === 2))
+        dead.filter(_ % 17 == 2))
       val r = graft.store.ParquetSurgery.compact(s, scratch)
       require(r.chainedBefore > 0,
         "the double takedown formed no .forget chains — the compaction " +

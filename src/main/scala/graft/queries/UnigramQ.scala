@@ -404,8 +404,10 @@ object UnigramQ {
     val corpus = docs.select("doc_id", "text").unionAll(planted)
     val model = Unigram.train(docs, "text", K)
     val vocab = model.vocab(byteFallback = true)
+    // decode reads only (doc_id, token_ids) — skip the audit strings
+    // the opaque encoder cannot prune (emitPieces = false)
     val enc = Unigram.encode(corpus, "doc_id", "text", model,
-      byteFallback = true)
+      byteFallback = true, emitPieces = false)
     Bpe.decode(enc, "doc_id", "token_ids", vocab)
       .select(col("doc_id"), col("text").as("text_rt"), col("n_invalid"))
       .orderBy("doc_id")
@@ -468,10 +470,15 @@ object UnigramQ {
        |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val model = Unigram.train(docs, "text", K)
-    val enc = Unigram.encode(docs, "doc_id", "text", model)
-      .select(col("doc_id"), col("token_ids"))
+    // token_ids-only encode straight into the shuffle — the former
+    // docs⋈enc re-attach was an identity join (enc.doc_id ⊆ docs.doc_id,
+    // doc_id unique) that broadcast the encoded corpus and re-scanned
+    // the table; emitPieces = false skips building the audit strings
+    // the opaque encoder could never have pruned (see Bpe.encode)
+    val enc = Unigram.encode(docs, "doc_id", "text", model,
+      emitPieces = false)
     val e = graft.operators.Mixing.epochShuffle(
-      docs.select("doc_id").join(enc, Seq("doc_id")),
+      enc.select(col("doc_id"), col("token_ids")),
       "doc_id", seed = 7L, nShards = 8)
     graft.operators.Packing.packTokenStreams(e, "shard", "pos",
       "token_ids", budget = 700L, sepId = model.pieces.length.toLong)
@@ -784,11 +791,12 @@ object UnigramQ {
        |ORDER BY pack_id, pos""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val model = Unigram.train(docs, "text", K)
+    // token_ids-only sampled encode straight into the shuffle — same
+    // identity-join removal and emitPieces pruning as q150
     val enc = Unigram.encodeSampled(docs, "doc_id", "text", model,
-      k = 4, salt = "e1")
-      .select(col("doc_id"), col("token_ids"))
+      k = 4, salt = "e1", emitPieces = false)
     val e = graft.operators.Mixing.epochShuffle(
-      docs.select("doc_id").join(enc, Seq("doc_id")),
+      enc.select(col("doc_id"), col("token_ids")),
       "doc_id", seed = 7L, nShards = 8)
     graft.operators.Packing.packTokenStreams(e, "shard", "pos",
       "token_ids", budget = 700L, sepId = model.pieces.length.toLong)

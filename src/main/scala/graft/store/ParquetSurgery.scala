@@ -190,30 +190,44 @@ object ParquetSurgery {
     * resets the chain wholesale if a deployment ever cares. */
   def replaceFile(spark: SparkSession, original: Path,
                   replacement: DataFrame): Unit = {
-    val rows = replacement.localCheckpoint(true)
-    if (rows.head(1).nonEmpty) {
-      val tmp = Files.createTempDirectory(original.getParent, StagePrefix)
-      rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val one = {
-        val s = Files.list(tmp)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        } finally s.close()
-      }
-      require(one.size == 1, s"expected one part file, got $one")
+    // ONE staged single-part write evaluates the replacement exactly
+    // once — formerly localCheckpoint + head + write, three Spark jobs
+    // per touched file; emptiness ("the file died whole") is read from
+    // the staged part's parquet footer, which costs no job at all
+    val tmp = Files.createTempDirectory(original.getParent, StagePrefix)
+    replacement.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val one = {
+      val s = Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } finally s.close()
+    }
+    require(one.size <= 1, s"expected at most one part file, got $one")
+    if (one.nonEmpty && parquetRowCount(spark, one.head) > 0L) {
       val target: Path = original.getParent.resolve(
         original.getFileName.toString.stripSuffix(".parquet")
           + ".forget.parquet")
       Files.move(one.head, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      deleteRecursively(tmp)
     }
+    deleteRecursively(tmp)
     // deterministic-name replacement is in place (or the file died
     // whole) — dropping the original completes this file
     Files.deleteIfExists(original); ()
+  }
+
+  /** Row count straight from a parquet file's footer — free relative to
+    * a Spark job (the writer just produced the file; its footer is in
+    * page cache). */
+  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   /** [[compact]]'s receipt: rows carried through, file counts either

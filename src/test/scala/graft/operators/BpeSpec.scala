@@ -526,4 +526,52 @@ class BpeSpec extends AnyFunSuite {
     // pieces: 2 docs x (4+1) = 10 pieces over 8 chars -> 1250/kchar
     assert(out("zh") == ((2L, 2L, 10L, 8L, 1250L, 5000L)), s"$out")
   }
+
+  test("trainAndAlphabet: the fused one-pass result equals the unfused " +
+    "train + alphabetOf pair on every path (driver shortcut, minFreq " +
+    "floor fallback, maxVocab cap fallback, cp-class policy)") {
+    val d = docs
+    // common path: cap not binding, no floor -> driver-derived alphabet
+    val (m1, a1) = Bpe.trainAndAlphabet(d, "text", numMerges = 25)
+    assert(m1 == Bpe.train(d, "text", numMerges = 25))
+    assert(a1 == Bpe.alphabetOf(d, "text"))
+    val cp = Bpe.PreTok.CpClass
+    val (m2, a2) = Bpe.trainAndAlphabet(d, "text", numMerges = 10,
+      preTok = cp)
+    assert(m2 == Bpe.train(d, "text", numMerges = 10, preTok = cp))
+    assert(a2 == Bpe.alphabetOf(d, "text", cp))
+    // fallback paths: a minFreq floor and a binding cap both force the
+    // distributed alphabet -- which must STILL be the full corpus
+    // alphabet, never the filtered/capped table's symbols
+    val (m3, a3) = Bpe.trainAndAlphabet(d, "text", numMerges = 10,
+      minFreq = 3L)
+    assert(m3 == Bpe.train(d, "text", numMerges = 10, minFreq = 3L))
+    assert(a3 == Bpe.alphabetOf(d, "text"))
+    val (m4, a4) = Bpe.trainAndAlphabet(d, "text", numMerges = 10,
+      maxVocab = 50)
+    assert(m4 == Bpe.train(d, "text", numMerges = 10, maxVocab = 50))
+    assert(a4 == Bpe.alphabetOf(d, "text"))
+  }
+
+  test("encode emitPieces=false: pieces column dropped, every other " +
+    "column bitwise identical, under the plain and byte-fallback " +
+    "policies") {
+    val d = docs
+    val (merges, alpha) = Bpe.trainAndAlphabet(d, "text", numMerges = 20)
+    val vocab = Bpe.vocabOf(alpha, merges)
+    val vocabBf = Bpe.vocabOf(alpha, merges, byteFallback = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    val full = Bpe.encode(d, "doc_id", "text", merges, vocab)
+    val slim = Bpe.encode(d, "doc_id", "text", merges, vocab,
+      emitPieces = false)
+    assert(slim.columns.toSeq ==
+      Seq("doc_id", "token_ids", "n_tokens", "n_unk"))
+    assert(rows(slim) == rows(full.drop("pieces")))
+    val fullBf = Bpe.encode(d, "doc_id", "text", merges, vocabBf,
+      byteFallback = true)
+    val slimBf = Bpe.encode(d, "doc_id", "text", merges, vocabBf,
+      byteFallback = true, emitPieces = false)
+    assert(rows(slimBf) == rows(fullBf.drop("pieces")))
+  }
 }

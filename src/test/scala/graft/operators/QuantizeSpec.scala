@@ -332,4 +332,44 @@ class QuantizeSpec extends AnyFunSuite {
     assert(rer.map(_._1).toSet.subsetOf(adc50))
     assert(rer.map(_._2) == rer.map(_._2).sorted.reverse) // cosine-descending
   }
+
+  test("kmeansTrainExact: the per-cell vector fold is bit-identical to " +
+    "the former per-(cell, pos) scalar fold on adversarial magnitudes") {
+    // the fold-order claim itself: summing member vectors with zip_with
+    // in id order must replay, per coordinate, the EXACT IEEE sequence
+    // the exploded (cell, pos) formulation produced -- pinned on values
+    // where float addition is maximally order-sensitive
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (0L, 1L, Seq(1e16, 1.0, -1.0)),
+      (0L, 2L, Seq(1.0, 1e16, 3.3333333333)),
+      (0L, 3L, Seq(-1e16, -1e16, 1e-8)),
+      (1L, 4L, Seq(0.1, 0.2, 0.3)),
+      (1L, 5L, Seq(-0.1, 2e7, -0.3)))
+    val df = rows.toDF("cell", "id", "vecd")
+    val oldFold = df.select(col("cell"), col("id"),
+        posexplode(col("vecd")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("id"), col("x")))),
+          s => s.getField("x")),
+        lit(0.0), (acc, x) => acc + x).as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val newFold = df.groupBy("cell")
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("id"), col("vecd")))),
+          s => s.getField("vecd")),
+        array_repeat(lit(0.0), 3),
+        (acc, v) => zip_with(acc, v, (a, x) => a + x)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    newFold.foreach { case (cell, vec) =>
+      vec.zipWithIndex.foreach { case (v, i) =>
+        val o = oldFold((cell, i))
+        assert(java.lang.Double.doubleToRawLongBits(v) ==
+          java.lang.Double.doubleToRawLongBits(o),
+          s"cell $cell pos $i: $v != $o")
+      }
+    }
+  }
 }

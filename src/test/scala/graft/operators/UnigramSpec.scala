@@ -476,4 +476,25 @@ class UnigramSpec extends AnyFunSuite {
     val zz = f.find(_._1 == "zz").get
     assert(zz._2 == 20L)
   }
+
+  test("encode/encodeSampled emitPieces=false: pieces column dropped, " +
+    "every other column bitwise identical") {
+    val d = docs
+    val model = Unigram.train(d, "text", Unigram.Knobs(seedSize = 1 << 14))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().toSeq
+    val full = Unigram.encode(d, "doc_id", "text", model)
+    val slim = Unigram.encode(d, "doc_id", "text", model,
+      emitPieces = false)
+    assert(slim.columns.toSeq ==
+      Seq("doc_id", "token_ids", "n_tokens", "n_unk"))
+    assert(rows(slim) == rows(full.drop("pieces")))
+    val fullS = Unigram.encodeSampled(d, "doc_id", "text", model,
+      k = 4, salt = "e1")
+    val slimS = Unigram.encodeSampled(d, "doc_id", "text", model,
+      k = 4, salt = "e1", emitPieces = false)
+    assert(slimS.columns.toSeq ==
+      Seq("doc_id", "token_ids", "n_tokens", "n_unk"))
+    assert(rows(slimS) == rows(fullS.drop("pieces")))
+  }
 }
