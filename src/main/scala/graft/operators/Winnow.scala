@@ -307,53 +307,20 @@ object Winnow {
     require(w >= 1, s"w must be >= 1, got $w")
     require(hashBits == 31 || hashBits == 62,
       s"hashBits must be 31 or 62, got $hashBits")
-    graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
-    graft.functions.WidePolyHash.ensureRegistered(docs.sparkSession)
-    val wide = hashBits == 62
-    val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      if (wide) wideStrHash else strHash
-    val grams = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
-      .filter(size(col("t")) >= k)
-      .select(col("id"), posexplode(
-        transform(sequence(lit(1), size(col("t")) - (k - 1)),
-          i => hashFn(concat_ws(" ", slice(col("t"), i, lit(k))))))
-        .as(Seq("p", "h")))
-    val guard = col("p") > MaxGramsPerDoc
-    val boom = raise_error(concat(
-      lit(s"winnow: document "), col("id").cast("string"),
-      lit(s" exceeds $MaxGramsPerDoc grams — the pack arithmetic " +
-        "would collide; split the document upstream")))
-    // the tie-to-rightmost key: "smallest hash, then rightmost position"
-    // as ONE plain MIN. 31-bit: the h·2²⁴ + (2²⁴−1−p) packed long
-    // (31+24 < 63 bits). 62-bit: the same product overflows a long, so
-    // the carrier widens to a (h, inv_p) STRUCT — struct MIN is
-    // lexicographic, which equals the packed ordering exactly because
-    // inv_p < 2²⁴ (the oracle replays the arithmetic form in HUGEINT).
-    val packed =
-      if (wide) grams.withColumn("_pk", when(guard, boom)
-        .otherwise(struct(col("h").as("h"),
-          (lit(MaxGramsPerDoc) - col("p")).as("ip"))))
-      else grams.withColumn("_pk", when(guard, boom)
-        .otherwise(col("h") * (MaxGramsPerDoc + 1) +
-          (lit(MaxGramsPerDoc) - col("p"))))
-    val frame = Window.partitionBy("id").orderBy(col("p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val selected = packed
-      .withColumn("_mk", min(col("_pk")).over(frame))
-      .withColumn("_cnt", count(lit(1)).over(frame))
-      // full windows only — except the whole-document window of a short
-      // doc (fewer than w grams), which starts at p = 0 and spans all
-      .filter(col("_cnt") === w || (col("p") === 0 && col("_cnt") < w))
-      .select(col("id"), col("_mk")).distinct()
-    if (wide) selected.select(col("id").as(idCol),
-      (lit(MaxGramsPerDoc) - col("_mk").getField("ip")).cast("long")
-        .as("pos"),
-      col("_mk").getField("h").as("fp"))
-    else selected.select(col("id").as(idCol),
-      (lit(MaxGramsPerDoc) - col("_mk") % (MaxGramsPerDoc + 1))
-        .cast("long").as("pos"),
-      call_function("div", col("_mk"),
-        lit((MaxGramsPerDoc + 1).toLong)).as("fp"))
+    // the whole selection — gram hashing, the w-window min with ties to
+    // the rightmost, the full-window/short-doc rule, the distinct fold —
+    // runs IN-SCAN inside the codegen'd [[graft.functions.WinnowSelect]]
+    // (bit-identical to the former explode + per-document window + MIN
+    // formulation, spec-pinned in WinnowSpec): gram coordinates never
+    // cross an exchange at all; only the ~2/(w+1) selections leave the
+    // scan. The per-document gram ceiling fails loud inside the
+    // expression (same 2²⁴ pack-arithmetic bound).
+    graft.functions.WinnowSelect.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col(idCol).as("id"),
+        graft.functions.WinnowSelect(col(textCol), k, w,
+          wide = hashBits == 62).as("_s"))
+      .select(col("id").as(idCol), explode(col("_s")).as("_e"))
+      .select(col(idCol), col("_e.pos").as("pos"), col("_e.fp").as("fp"))
   }
 }

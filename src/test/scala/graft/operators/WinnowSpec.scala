@@ -298,18 +298,94 @@ class WinnowSpec extends AnyFunSuite {
     assert(milli == covered * 1000 / 11, s"per-mille arithmetic: $milli")
   }
 
-  test("plan shape: the per-document window sees coordinates only — " +
-    "text never crosses the exchange") {
+  test("plan shape: the selection rides the scan — no window operator, " +
+    "no exchange, text never leaves the scan stage") {
+    // (formerly: "the per-document window sees coordinates only" — the
+    // in-scan WinnowSelect expression removed the window AND its
+    // exchange outright; the stronger property is pinned here and the
+    // executed-plan twin below)
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val plan = Winnow.fingerprints(docs, "doc_id", "text")
       .queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
-    assert(windows.nonEmpty)
-    windows.foreach { w =>
-      val inputs = w.child.output.map(_.name)
-      assert(!inputs.exists(n => n == "text" || n == "t"),
-        s"window input carries text: $inputs")
+    assert(windows.isEmpty,
+      s"fingerprints should not plan a window operator any more: $plan")
+  }
+
+  test("WinnowSelect parity: the in-scan selection expression is " +
+    "bit-identical to the legacy explode + per-document window + packed " +
+    "MIN formulation, at both hash widths, on the real corpus") {
+    // the legacy formulation, verbatim (the pre-optimization
+    // fingerprints body): grams exploded, packed (h, inv_p) key, w-frame
+    // MIN + count, full-window/short-doc filter, distinct
+    import graft.functions.TextAnalysis.{tokens, strHash, wideStrHash}
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash.ensureRegistered(spark)
+    graft.functions.WidePolyHash.ensureRegistered(spark)
+    def legacy(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, k: Int, w: Int,
+               wide: Boolean): org.apache.spark.sql.DataFrame = {
+      val M = Winnow.MaxGramsPerDoc
+      val hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (wide) wideStrHash else strHash
+      val grams = docs
+        .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+        .filter(size(col("t")) >= k)
+        .select(col("id"), posexplode(
+          transform(sequence(lit(1), size(col("t")) - (k - 1)),
+            i => hashFn(concat_ws(" ", slice(col("t"), i, lit(k))))))
+          .as(Seq("p", "h")))
+      val packed =
+        if (wide) grams.withColumn("_pk", struct(col("h").as("h"),
+          (lit(M) - col("p")).as("ip")))
+        else grams.withColumn("_pk",
+          col("h") * (M + 1) + (lit(M) - col("p")))
+      val frame = Window.partitionBy("id").orderBy(col("p"))
+        .rowsBetween(Window.currentRow, w - 1)
+      val selected = packed
+        .withColumn("_mk", min(col("_pk")).over(frame))
+        .withColumn("_cnt", count(lit(1)).over(frame))
+        .filter(col("_cnt") === w || (col("p") === 0 && col("_cnt") < w))
+        .select(col("id"), col("_mk")).distinct()
+      if (wide) selected.select(col("id").as(idCol),
+        (lit(M) - col("_mk").getField("ip")).cast("long").as("pos"),
+        col("_mk").getField("h").as("fp"))
+      else selected.select(col("id").as(idCol),
+        (lit(M) - col("_mk") % (M + 1)).cast("long").as("pos"),
+        call_function("div", col("_mk"), lit((M + 1).toLong)).as("fp"))
     }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    // edge fixtures: short docs (single whole-doc window), ties, nulls
+    val edge = Seq(
+      (9001L, "a b c"),                     // exactly one gram
+      (9002L, "a b c d"),                   // m=2 < w
+      (9003L, "x x x x x x x x"),           // all-tie grams
+      (9004L, null.asInstanceOf[String]),   // null text
+      (9005L, "one two")                    // no grams at all
+    ).toDF("doc_id", "text")
+    for (wide <- Seq(true, false); df <- Seq(docs, edge)) {
+      val hb = if (wide) 62 else 31
+      val got = Winnow.fingerprints(df, "doc_id", "text", k = 3, w = 4,
+        hashBits = hb)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = legacy(df, "doc_id", "text", k = 3, w = 4, wide)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want,
+        s"wide=$wide: expression selection diverged from the window " +
+          s"formulation (got ${got.size} rows, want ${want.size}; " +
+          s"diff ${(got diff want).take(5)} / ${(want diff got).take(5)})")
+    }
+  }
+
+  test("WinnowSelect: zero exchanges in the fingerprints plan — the " +
+    "selection rides the scan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Winnow.fingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"fingerprints should be exchange-free, got:\n$plan")
   }
 }
