@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions.col
   * SPARK_GRAFT_BENCH_OUT): the driver's tail capture has truncated the
   * stdout artifact before (round 5 lost its headline and q01–q51), and
   * the in-repo copy is what the round notes and the judge read.
+  *
+  * Core-count scaling caveat: at sf0.1 every input table is ONE parquet
+  * file with ONE row group, so scan stages are single-task regardless
+  * of `SPARK_GRAFT_CPUS` — 8c/32c wall ratios ≈ 1 are the EXPECTED
+  * reading for scan-bound queries at this SF (scan parallelism returns
+  * with input splits at real scale), not evidence of a serial plan.
   */
 object Bench {
 
@@ -395,17 +401,34 @@ object Bench {
       results.forall(_._2 >= 0) && spreadFrac2 <= 0.17
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"jobs":$js,"rep_times":$rts,"rep_loads":$rls,"rep_spread":$spread,"forced_2level":$forced,"ann_recall":${annRecall._1},"ann_cost":${annRecall._2},"ann_clustered":$annClustered,"multimodal":$multimodal,"media_funnel":$mediaFunnel,"forget_cascade":$forgetCascade,"funnel_full":$funnel,"errors":$errors,"sf":"$sfDir","reps":$reps,"retried":$retried,"canonical_eligible":$canonicalEligible,"spread_frac2":$spreadFrac2%.3f,"agg":"min","flush_timeouts":$flushTimeouts,"loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,"load_wait_sec":$loadWaited}"""
     println(line)
-    try {
+    val sidecar: Option[java.nio.file.Path] = try {
       val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
         .map(java.nio.file.Paths.get(_)).getOrElse(defaultOutPath())
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full JSON persisted to $out")
+      Some(out)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] WARN: could not persist full JSON: $e")
+        None
     }
+    // The driver captures only a ~2000-char stdout TAIL; the full line
+    // above (~27 KB since the battery passed ~80 queries) has been
+    // unparseable to it since round 10 (BENCH_r10..r17 `parsed: null`).
+    // Emit a compact FINAL line that always fits that tail — additions
+    // only: the full line stays printed and persisted to the sidecar,
+    // which carries the per-query map this line cannot fit.
+    val nErr = results.count(_._2 < 0)
+    val errNames =
+      if (nErr == 0) "[]"
+      else results.collect { case (k, v, _, _, _) if v < 0 =>
+        "\"" + k + "\"" }.take(8).mkString("[", ",", "]")
+    val jobsTotal = results.map { case (_, _, j, _, _) =>
+      math.max(j, 0L) }.sum
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":$nErr,"errors":$errNames,"jobs_total":$jobsTotal,"canonical_eligible":$canonicalEligible,"spread_frac2":$spreadFrac2%.3f,"agg":"min","reps":$reps,"sf":"$sfDir","sidecar":${sidecar.map(p => "\"" + p + "\"").getOrElse("null")}}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -48,6 +48,15 @@ object Explain {
       val n = Bench.runFully(SparkEntry.queries(name)(spark, sfDir))
       println(f"[explain] $name rep=$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
+    if (args.contains("planafter")) {
+      // the EXECUTED plan after a run — with AQE this is the final
+      // re-optimized plan (ReusedExchange, AQEShuffleRead, runtime join
+      // strategy changes), which `explain` before execution cannot show
+      val df2 = SparkEntry.queries(name)(spark, sfDir)
+      Bench.runFully(df2)
+      println("== Executed Plan (post-AQE) ==")
+      println(df2.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }
