@@ -63,6 +63,20 @@ case class NearestCentroid(left: Expression, right: Expression,
             s"${l.catalogString}, ${r.catalogString}")
     }
 
+  /** PURE — the assignment is a function of (vector, norm) alone — but
+    * DECLARED non-deterministic so the optimizer cannot duplicate it
+    * (guide §4.4): every downstream cell-keyed join/groupBy infers
+    * `isnotnull(cell)` and, when this flag is true-deterministic,
+    * pushes that filter below the assignment Project by substituting
+    * the alias — re-evaluating the full dim × nCents argmax (plus the
+    * vecd/norm subtree inside it) per row per side. q61's round-17
+    * executed plan shipped exactly that: `isnotnull(nearest_centroid(
+    * transform(embedding …)))` under BOTH join inputs, doubling the
+    * family's dominant in-scan cost. With the flag false the inferred
+    * filter stays above the Project as `isnotnull(cell#…)` — one
+    * evaluation, bitwise-identical output (plan-shape spec-pinned). */
+  override lazy val deterministic: Boolean = false
+
   @transient private lazy val ids: Array[Long] = centIds.toArray
   @transient private lazy val flat: Array[Double] = centFlat.toArray
   @transient private lazy val norms: Array[Double] = centNorms.toArray

@@ -70,6 +70,14 @@ case class NearestResidual(left: Expression, right: Expression,
             s"${l.catalogString}, ${r.catalogString}")
     }
 
+  /** PURE, but declared non-deterministic so the optimizer cannot
+    * duplicate the dim × nCents argmin below inferred
+    * `isnotnull(cell…)` filters of downstream cell-keyed joins — the
+    * same guide-§4.4 trap [[NearestCentroid]] documents (q70's
+    * round-17 executed plan re-evaluated nearest_residual 2× per row
+    * per join side). Output is bitwise identical either way. */
+  override lazy val deterministic: Boolean = false
+
   @transient private lazy val ids1: Array[Long] = cent1Ids.toArray
   @transient private lazy val flat1: Array[Double] = cent1Flat.toArray
   @transient private lazy val ids2: Array[Long] = cent2Ids.toArray

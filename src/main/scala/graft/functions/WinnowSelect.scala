@@ -83,9 +83,17 @@ object WinnowSelect {
       else WindowHashes.compute(s, k)
     val m = hsData.numElements()
     if (m == 0) return new GenericArrayData(Array.empty[Any])
-    if (m - 1 > MaxGramsPerDoc) throw new IllegalStateException(
-      s"winnow: document exceeds $MaxGramsPerDoc grams — the pack " +
-        "arithmetic would collide; split the document upstream")
+    if (m - 1 > MaxGramsPerDoc) {
+      // identify the document: the expression only sees the text
+      // column, so carry a prefix + length into the message — at crawl
+      // scale the operator's caller must not need a second scan to
+      // find the offender
+      val prefix = if (s.length > 80) s.substring(0, 80) + "…" else s
+      throw new IllegalStateException(
+        s"winnow: document with $m grams (${s.length} chars, text " +
+          s"prefix '$prefix') exceeds $MaxGramsPerDoc grams — the " +
+          "pack arithmetic would collide; split the document upstream")
+    }
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) { hs(i) = hsData.getLong(i); i += 1 }

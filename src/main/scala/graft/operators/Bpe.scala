@@ -214,14 +214,24 @@ object Bpe {
             preTok: PreTok = PreTok.Whitespace): Seq[Merge] = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(maxVocab > 0, "maxVocab must be > 0")
-    val vocab = wordFrequencies(docs, textCol, preTok)
+    val vocab = collectedVocab(docs, textCol, minFreq, maxVocab, preTok)
+    trainFromVocab(vocab.toIndexedSeq, numMerges, minPairCount)
+  }
+
+  /** The shared collected-vocab step of [[train]] / [[trainAndAlphabet]]:
+    * word-frequency aggregation → `minFreq` floor → (freq DESC, word ASC)
+    * total order → `maxVocab` cap → driver collect. ONE definition so the
+    * two trainer entry points can never drift (a future tie-break or cap
+    * change applied to only one would silently fork the vocabularies). */
+  private def collectedVocab(docs: DataFrame, textCol: String,
+                             minFreq: Long, maxVocab: Int,
+                             preTok: PreTok): Array[(String, Long)] =
+    wordFrequencies(docs, textCol, preTok)
       .filter(col("freq") >= minFreq)
       .orderBy(col("freq").desc, col("word").asc)
       .limit(maxVocab)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    trainFromVocab(vocab.toIndexedSeq, numMerges, minPairCount)
-  }
 
   /** [[train]] and [[alphabetOf]] from ONE corpus pass — the fused form
     * for the (ubiquitous) caller that needs both the merge table and the
@@ -248,12 +258,7 @@ object Bpe {
       : (Seq[Merge], Seq[String]) = {
     require(numMerges >= 0, "numMerges must be >= 0")
     require(maxVocab > 0, "maxVocab must be > 0")
-    val vocab = wordFrequencies(docs, textCol, preTok)
-      .filter(col("freq") >= minFreq)
-      .orderBy(col("freq").desc, col("word").asc)
-      .limit(maxVocab)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    val vocab = collectedVocab(docs, textCol, minFreq, maxVocab, preTok)
     val alphabet =
       if (minFreq <= 1L && vocab.length < maxVocab) {
         val seen = mutable.HashSet.empty[String]
@@ -597,47 +602,35 @@ object Bpe {
       .mapPartitions { rows =>
         val rank = rankB.value
         val ids = idsB.value
-        val memo = new java.util.HashMap[String, Array[String]](1 << 12)
+        // memo per DISTINCT word: the fully ENCODED form (ids + piece
+        // strings + unk count), not just the segmentation — Zipfian
+        // corpora repeat words heavily, so the per-piece vocabulary
+        // lookups and fallback branches run once per distinct word per
+        // task instead of once per occurrence; the per-occurrence work
+        // is two array appends (bitwise the per-piece replay,
+        // parity spec-pinned)
+        val memo = new java.util.HashMap[String, EncodedWord](1 << 12)
         rows.flatMap { r =>
           if (r.isNullAt(1)) None
           else {
             val toks = preTok.jvmSplit(r.getString(1))
-            val segd = mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < toks.length) {
-              val w = toks(i)
-              var p = memo.get(w)
-              if (p == null) {
-                p = segmentRanked(w, rank).toArray
-                if (memo.size < MemoCap) memo.put(w, p)
-              }
-              segd ++= p
-              i += 1
-            }
             val pieces =
               if (emitPieces) mutable.ArrayBuffer.empty[String] else null
             val tids = mutable.ArrayBuffer.empty[Long]
             var nUnk = 0L
-            segd.foreach { pc =>
-              ids.get(pc) match {
-                case Some(v) =>
-                  if (emitPieces) pieces += pc
-                  tids += v
-                case None =>
-                  nUnk += 1
-                  if (byteFallback) byteFallbackPieces(pc).foreach { bp =>
-                    if (emitPieces) pieces += bp
-                    tids += ids(bp)
-                  }
-                  else if (failOnUnk) throw new IllegalStateException(
-                    s"BPE encode: piece '$pc' is not in the frozen " +
-                      "vocabulary (failOnUnk policy; enable byteFallback " +
-                      "for total encoding)")
-                  else {
-                    if (emitPieces) pieces += pc
-                    tids += unkId
-                  }
+            var i = 0
+            while (i < toks.length) {
+              val w = toks(i)
+              var e = memo.get(w)
+              if (e == null) {
+                e = encodeSegmented(segmentRanked(w, rank), ids, unkId,
+                  byteFallback, failOnUnk, emitPieces, "BPE encode")
+                if (memo.size < MemoCap) memo.put(w, e)
               }
+              tids ++= e.tids
+              if (emitPieces) pieces ++= e.pieces
+              nUnk += e.nUnk
+              i += 1
             }
             Some(
               if (emitPieces)
@@ -647,6 +640,54 @@ object Bpe {
           }
         }
       }(Encoders.row(outSchema))
+  }
+
+  /** A word's fully ENCODED form — the per-distinct-word memo entry of
+    * [[encode]] / [[Unigram.encode]] / [[Unigram.encodeSampled]]:
+    * vocabulary ids, the piece strings that produced them (null when
+    * the caller skips pieces), and the word's unknown-piece count. */
+  private[graft] final class EncodedWord(val tids: Array[Long],
+                                         val pieces: Array[String],
+                                         val nUnk: Long)
+
+  /** Map one segmented word to its [[EncodedWord]] under the shared
+    * unk/byte-fallback policy — the per-piece block all three encoders
+    * formerly ran per OCCURRENCE, now run once per distinct word (the
+    * memo above). `what` names the caller in the failOnUnk message
+    * (exact legacy texts: "BPE encode", "unigram encode",
+    * "unigram encodeSampled"). */
+  private[graft] def encodeSegmented(segd: Seq[String],
+                                     ids: Map[String, Long], unkId: Long,
+                                     byteFallback: Boolean,
+                                     failOnUnk: Boolean,
+                                     emitPieces: Boolean,
+                                     what: String): EncodedWord = {
+    val pieces =
+      if (emitPieces) new mutable.ArrayBuffer[String](segd.length) else null
+    val tids = new mutable.ArrayBuffer[Long](segd.length)
+    var nUnk = 0L
+    segd.foreach { pc =>
+      ids.get(pc) match {
+        case Some(v) =>
+          if (emitPieces) pieces += pc
+          tids += v
+        case None =>
+          nUnk += 1
+          if (byteFallback) byteFallbackPieces(pc).foreach { bp =>
+            if (emitPieces) pieces += bp
+            tids += ids(bp)
+          }
+          else if (failOnUnk) throw new IllegalStateException(
+            s"$what: piece '$pc' is not in the frozen vocabulary " +
+              "(failOnUnk policy; enable byteFallback for total encoding)")
+          else {
+            if (emitPieces) pieces += pc
+            tids += unkId
+          }
+      }
+    }
+    new EncodedWord(tids.toArray,
+      if (emitPieces) pieces.toArray else null, nUnk)
   }
 
   /** Reverse byte-symbol lookup for [[decodeTokens]]: `<0xNN>` → NN. */

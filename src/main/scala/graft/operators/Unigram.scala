@@ -336,54 +336,51 @@ object Unigram {
       .mapPartitions { rows =>
         val cost = costB.value
         val ids = idsB.value
-        val memo = new java.util.HashMap[String, Array[Array[String]]](1 << 12)
+        // per-distinct-word memo of the k-best segmentations plus their
+        // LAZILY-filled encoded forms: the draw stays per (doc,
+        // position) — it picks WHICH form to append — and a form is
+        // encoded on its FIRST draw only (so a failOnUnk throw still
+        // fires exactly when a drawn segmentation carries the unk, the
+        // legacy per-occurrence behavior), after which the per-piece
+        // vocabulary lookups are amortized away (see Bpe.encode)
+        val memo = new java.util.HashMap[String,
+          (Array[Seq[String]], Array[Bpe.EncodedWord])](1 << 12)
         rows.flatMap { r =>
           if (r.isNullAt(1)) None
           else {
             val idStr = String.valueOf(r.get(0))
             val toks = preTok.jvmSplit(r.getString(1))
-            val segd = mutable.ArrayBuffer.empty[String]
+            val pieces =
+              if (emitPieces) mutable.ArrayBuffer.empty[String] else null
+            val tids = mutable.ArrayBuffer.empty[Long]
+            var nUnk = 0L
             var tp = 1
             while (tp <= toks.length) {
               val w = toks(tp - 1)
               var kb = memo.get(w)
               if (kb == null) {
-                kb = kbestViterbi(Bpe.initial(w), cost.get, maxLen, k,
-                  unkSingles = true).map(_._2.toArray).toArray
+                val segs: Array[Seq[String]] =
+                  kbestViterbi(Bpe.initial(w), cost.get, maxLen, k,
+                    unkSingles = true).map(_._2: Seq[String]).toArray
+                kb = (segs, new Array[Bpe.EncodedWord](segs.length))
                 if (memo.size < Bpe.MemoCap) memo.put(w, kb)
               }
-              val m = kb.length
+              val m = kb._1.length
               val draw = graft.functions.PolyHash
                 .hash(s"$salt:$idStr:$tp") % ((1L << m) - 1L)
               val pick = m - (64 - java.lang.Long
                 .numberOfLeadingZeros(draw + 1L))
-              segd ++= kb(pick)
-              tp += 1
-            }
-            val pieces =
-              if (emitPieces) mutable.ArrayBuffer.empty[String] else null
-            val tids = mutable.ArrayBuffer.empty[Long]
-            var nUnk = 0L
-            segd.foreach { pc =>
-              ids.get(pc) match {
-                case Some(v) =>
-                  if (emitPieces) pieces += pc
-                  tids += v
-                case None =>
-                  nUnk += 1
-                  if (byteFallback) Bpe.byteFallbackPieces(pc).foreach { bp =>
-                    if (emitPieces) pieces += bp
-                    tids += ids(bp)
-                  }
-                  else if (failOnUnk) throw new IllegalStateException(
-                    s"unigram encodeSampled: piece '$pc' is not in the " +
-                      "frozen vocabulary (failOnUnk policy; enable " +
-                      "byteFallback for total encoding)")
-                  else {
-                    if (emitPieces) pieces += pc
-                    tids += unkId
-                  }
+              var e = kb._2(pick)
+              if (e == null) {
+                e = Bpe.encodeSegmented(kb._1(pick), ids, unkId,
+                  byteFallback, failOnUnk, emitPieces,
+                  "unigram encodeSampled")
+                kb._2(pick) = e
               }
+              tids ++= e.tids
+              if (emitPieces) pieces ++= e.pieces
+              nUnk += e.nUnk
+              tp += 1
             }
             Some(
               if (emitPieces)
@@ -788,48 +785,34 @@ object Unigram {
       .mapPartitions { rows =>
         val cost = costB.value
         val ids = idsB.value
-        val memo = new java.util.HashMap[String, Array[String]](1 << 12)
+        // per-distinct-word memo of the fully ENCODED form (see
+        // Bpe.encode): vocabulary lookups and fallback branches run
+        // once per distinct word per task, not once per occurrence
+        val memo = new java.util.HashMap[String, Bpe.EncodedWord](1 << 12)
         rows.flatMap { r =>
           if (r.isNullAt(1)) None
           else {
             val toks = preTok.jvmSplit(r.getString(1))
-            val segd = mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < toks.length) {
-              val w = toks(i)
-              var p = memo.get(w)
-              if (p == null) {
-                p = viterbi(Bpe.initial(w), cost.get, maxLen,
-                  unkSingles = true).toArray
-                if (memo.size < Bpe.MemoCap) memo.put(w, p)
-              }
-              segd ++= p
-              i += 1
-            }
             val pieces =
               if (emitPieces) mutable.ArrayBuffer.empty[String] else null
             val tids = mutable.ArrayBuffer.empty[Long]
             var nUnk = 0L
-            segd.foreach { pc =>
-              ids.get(pc) match {
-                case Some(v) =>
-                  if (emitPieces) pieces += pc
-                  tids += v
-                case None =>
-                  nUnk += 1
-                  if (byteFallback) Bpe.byteFallbackPieces(pc).foreach { bp =>
-                    if (emitPieces) pieces += bp
-                    tids += ids(bp)
-                  }
-                  else if (failOnUnk) throw new IllegalStateException(
-                    s"unigram encode: piece '$pc' is not in the frozen " +
-                      "vocabulary (failOnUnk policy; enable byteFallback " +
-                      "for total encoding)")
-                  else {
-                    if (emitPieces) pieces += pc
-                    tids += unkId
-                  }
+            var i = 0
+            while (i < toks.length) {
+              val w = toks(i)
+              var e = memo.get(w)
+              if (e == null) {
+                e = Bpe.encodeSegmented(
+                  viterbi(Bpe.initial(w), cost.get, maxLen,
+                    unkSingles = true),
+                  ids, unkId, byteFallback, failOnUnk, emitPieces,
+                  "unigram encode")
+                if (memo.size < Bpe.MemoCap) memo.put(w, e)
               }
+              tids ++= e.tids
+              if (emitPieces) pieces ++= e.pieces
+              nUnk += e.nUnk
+              i += 1
             }
             Some(
               if (emitPieces)

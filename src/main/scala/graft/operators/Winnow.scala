@@ -39,8 +39,11 @@ object Winnow {
 
   /** Per-document gram ceiling for the pack arithmetic: 2²⁴ grams ≈ a
     * 16M-token document — far past any sane training document; beyond it
-    * the packed key would collide across positions, so it fails loud. */
-  val MaxGramsPerDoc: Int = (1 << 24) - 1
+    * the packed key would collide across positions, so it fails loud.
+    * Aliases [[graft.functions.WinnowSelect.MaxGramsPerDoc]] (the
+    * expression enforces the guard in-scan) so the two can never
+    * silently diverge. */
+  val MaxGramsPerDoc: Int = graft.functions.WinnowSelect.MaxGramsPerDoc
 
   /** Winnow-gated overlap flagging — the LOCAL-overlap decontamination
     * probe: a `train` document is flagged when it shares ≥ `minShared`
@@ -315,12 +318,24 @@ object Winnow {
     // cross an exchange at all; only the ~2/(w+1) selections leave the
     // scan. The per-document gram ceiling fails loud inside the
     // expression (same 2²⁴ pack-arithmetic bound).
+    //
+    // explode_OUTER, not explode: InferFiltersFromGenerate injects
+    // `size(g) > 0 AND isnotnull(g)` below a non-outer Generate, which
+    // re-evaluates the full tokenize+hash+winnow pass up to 3× per
+    // document (the round-17 plans shipped that way — guide §4.4's
+    // duplicated-expensive-expression trap). The rule skips outer
+    // generates; the null row an outer explode emits for NULL/empty
+    // selections is dropped by the cheap filter on the generator
+    // OUTPUT, which cannot be pushed below the Generate. Result rows
+    // are identical; WinnowSpec pins "exactly one winnow_select in the
+    // executed plan".
     graft.functions.WinnowSelect.ensureRegistered(docs.sparkSession)
     docs
       .select(col(idCol).as("id"),
         graft.functions.WinnowSelect(col(textCol), k, w,
           wide = hashBits == 62).as("_s"))
-      .select(col("id").as(idCol), explode(col("_s")).as("_e"))
+      .select(col("id").as(idCol), explode_outer(col("_s")).as("_e"))
+      .filter(col("_e").isNotNull)
       .select(col(idCol), col("_e.pos").as("pos"), col("_e.fp").as("fp"))
   }
 }

@@ -574,4 +574,40 @@ class BpeSpec extends AnyFunSuite {
       byteFallback = true, emitPieces = false)
     assert(rows(slimBf) == rows(fullBf.drop("pieces")))
   }
+
+  test("encode word memo: repeated occurrences replay the per-word " +
+    "encoding bitwise (unk and byte-fallback branches included) and " +
+    "the output is partition-layout invariant") {
+    // the memo caches the fully ENCODED word per task, so (a) a word
+    // repeated N times must emit exactly N copies of its single-
+    // occurrence encoding, and (b) different task layouts (different
+    // memo populations) must not change a single byte
+    val (merges, alpha) = Bpe.trainAndAlphabet(docs, "text", numMerges = 20)
+    val vocab = Bpe.vocabOf(alpha, merges)
+    val vocabBf = Bpe.vocabOf(alpha, merges, byteFallback = true)
+    // χ is outside the corpus alphabet: unk under the plain policy,
+    // byte pieces under fallback
+    val rep = Seq((1L, "low low low χq χq"), (2L, "low χq"),
+      (3L, "low"), (4L, "χq")).toDF("doc_id", "text")
+    for ((bf, voc) <- Seq((false, vocab), (true, vocabBf))) {
+      val out = Bpe.encode(rep, "doc_id", "text", merges, voc,
+        byteFallback = bf)
+        .orderBy("doc_id").collect()
+      def enc(i: Int) = (out(i).getSeq[String](1), out(i).getSeq[Long](2),
+        out(i).getLong(3), out(i).getLong(4))
+      val (lowP, lowT, _, lowU) = enc(2)
+      val (unkP, unkT, _, unkU) = enc(3)
+      // repeated doc = 3× low ++ 2× χq, unk counts additive
+      assert(enc(0)._1 == lowP ++ lowP ++ lowP ++ unkP ++ unkP)
+      assert(enc(0)._2 == lowT ++ lowT ++ lowT ++ unkT ++ unkT)
+      assert(enc(0)._4 == 3 * lowU + 2 * unkU, s"bf=$bf n_unk")
+      assert(enc(1)._1 == lowP ++ unkP && enc(1)._2 == lowT ++ unkT)
+      // layout invariance: 1 task vs many tasks, same bytes
+      val one = Bpe.encode(rep.repartition(1), "doc_id", "text", merges,
+        voc, byteFallback = bf).orderBy("doc_id").collect().toSeq
+      val many = Bpe.encode(rep.repartition(7), "doc_id", "text", merges,
+        voc, byteFallback = bf).orderBy("doc_id").collect().toSeq
+      assert(one == many && one == out.toSeq, s"bf=$bf layout variance")
+    }
+  }
 }

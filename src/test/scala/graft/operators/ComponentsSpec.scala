@@ -48,6 +48,40 @@ class ComponentsSpec extends AnyFunSuite {
     assert(viaBytes == viaDriver)
   }
 
+  test("pointer doubling: a 512-node chain converges in O(log diameter) " +
+    "rounds, labels bit-identical to union-find") {
+    val n = 512L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val pairs = chain.select($"a".as("src"), $"b".as("dst"))
+    val (labels, rounds) = Components.distributed(pairs, maxRounds = 50)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == (1L to n).toSet)
+    assert(out.values.forall(_ == 1L), s"non-min labels: ${
+      out.filter(_._2 != 1L).take(5)}")
+    // the shortcut closes a 2^t − 1 hop gap after t rounds: diameter 511
+    // needs ⌈log₂ 512⌉ = 9 label rounds + 1 no-change round — the old
+    // one-hop propagation needed 511 (and threw at the default
+    // maxRounds = 50)
+    assert(rounds <= 12, s"pointer doubling regressed: $rounds rounds")
+  }
+
+  test("pointer doubling parity: random multi-component graph matches " +
+    "union-find exactly") {
+    val rnd = new scala.util.Random(41)
+    // 3 planted clusters + noise edges inside them, plus isolated pairs
+    val edges = (1 to 220).map { _ =>
+      val base = rnd.nextInt(3) * 1000L
+      (base + rnd.nextInt(40), base + rnd.nextInt(40))
+    }.filter { case (a, b) => a != b } ++
+      Seq((5000L, 5001L), (6000L, 6001L))
+    val df = edges.toDF("a", "b")
+    val dist = Components.of(df, "a", "b", driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = Components.of(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == uf)
+  }
+
   test("throws instead of returning non-converged labels past maxRounds") {
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {

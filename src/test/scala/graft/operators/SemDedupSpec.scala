@@ -73,6 +73,29 @@ class SemDedupSpec extends AnyFunSuite {
       s"unexpected extra shuffle:\n$p")
   }
 
+  test("plan: nearest_centroid evaluates ONCE per row per join side — " +
+    "the inferred isnotnull(cell) must not duplicate the argmax below " +
+    "the assignment projection") {
+    // the round-17 plans shipped `isnotnull(nearest_centroid(transform(
+    // embedding…)))` pushed under BOTH join inputs — the full
+    // dim × nCents argmax (and the vecd/norm subtree) twice per row per
+    // side (guide §4.4). NearestCentroid/NearestResidual are declared
+    // non-deterministic to make that impossible; this pin keeps it so.
+    val df = Similarity.semDedup(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "vec_id", "embedding", minCos = 0.4, centroidEvery = 50)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.contains("isnotnull(nearest_centroid"),
+      s"duplicated assignment evaluation:\n${p.take(4000)}")
+    val df2 = Similarity.semDedupTwoLevel(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      "vec_id", "embedding", minCos = 0.4, every1 = 50, every2 = 37)
+    val p2 = df2.queryExecution.optimizedPlan.toString
+    assert(!p2.contains("isnotnull(nearest_residual") &&
+      !p2.contains("isnotnull(nearest_centroid"),
+      s"duplicated two-level assignment evaluation:\n${p2.take(4000)}")
+  }
+
   test("semDedup drops nothing when the threshold exceeds every cosine") {
     val none = Similarity.semDedup(handBuilt, "vec_id", "embedding",
       minCos = 1.1, centroidEvery = 4)

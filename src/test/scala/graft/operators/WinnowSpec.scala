@@ -388,4 +388,19 @@ class WinnowSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"fingerprints should be exchange-free, got:\n$plan")
   }
+
+  test("WinnowSelect: evaluated exactly ONCE in the executed plan — " +
+    "InferFiltersFromGenerate must not duplicate the expensive pass") {
+    // the round-17 plans shipped with the inferred
+    // size(winnow_select)>0 AND isnotnull(winnow_select) filter below
+    // the Generate: the full tokenize+hash+winnow pass ran up to 3×
+    // per document. The outer-explode form makes the duplication
+    // impossible; this pin keeps it that way.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Winnow.fingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val n = "winnow_select".r.findAllMatchIn(plan).length
+    assert(n == 1,
+      s"winnow_select appears $n times in the executed plan:\n$plan")
+  }
 }
