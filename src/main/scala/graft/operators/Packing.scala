@@ -501,8 +501,11 @@ object Packing {
         element_at(col("doc_offsets"), k + 2))
         .otherwise(col("n_tokens").cast("long")).as("e")))
     val keep = packs.columns.map(col).toSeq
+    // deadIdx is administrative-sized (<= one row per TOUCHED pack, itself
+    // bounded by the deletion list) — broadcast it, or the left join
+    // shuffles every pack's token payload on pack_id just to attach it
     packs
-      .join(deadIdx, col("pack_id") === col("_fp_pack"), "left")
+      .join(broadcast(deadIdx), col("pack_id") === col("_fp_pack"), "left")
       .withColumn("_fp_dead_idx",
         coalesce(col("_fp_dead_idx"), array().cast("array<int>")))
       .withColumn("_fp_spans", spans)
@@ -566,8 +569,10 @@ object Packing {
         k.as("k"))),
       x => !array_contains(col("_fp_dead_idx"), x.getField("k")))
     val keep = packs.columns.map(col).toSeq
+    // broadcast for the same reason as [[forgetPacks]]: deadIdx is
+    // deletion-bounded; a shuffled join would move every token payload
     packs
-      .join(deadIdx, col("pack_id") === col("_fp_pack"), "left")
+      .join(broadcast(deadIdx), col("pack_id") === col("_fp_pack"), "left")
       .withColumn("_fp_dead_idx",
         coalesce(col("_fp_dead_idx"), array().cast("array<int>")))
       .withColumn("_fp_alive", aliveSlices)

@@ -480,14 +480,7 @@ object Similarity {
     val cb = buildCodebooks(base, idCol, every1, every2, MaxDriverCentroids)
     val assigned = assignWith(base, cb)
       .select(col(idCol), col("vecd"), col("norm"), col("cell1"), col("cell2"))
-    val a = assigned.select(col("cell1"), col("cell2"), col(idCol).as("id_a"),
-      col("vecd").as("va"), col("norm").as("na"))
-    val b = assigned.select(col("cell1"), col("cell2"), col(idCol).as("id_b"),
-      col("vecd").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("cell1", "cell2"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_r",
-        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+    pairedWithinCells(assigned, idCol, Seq("cell1", "cell2"))
       .filter(col("cos_r") >= minCos)
       .groupBy(col("id_b"), col("cell1"), col("cell2"))
       .agg(min(col("id_a")).as("dup_of"),
@@ -720,31 +713,63 @@ object Similarity {
     *
     * Scale shape: the all-pairs comparison is confined to cells —
     * candidate generation is the same broadcast assignment as
-    * [[ivfTopK]], the self-join shuffles only on the cell key (both
-    * sides reuse ONE assignment exchange via ReuseExchange), and the
-    * per-pair cosine is the codegen'd [[graft.functions.VecDot]]. The
-    * corpus never materializes driver-side. Cell population is bounded
-    * by the quantizer granularity (`centroidEvery`), which is the knob
-    * that keeps within-cell pairs quadratic-in-small rather than
+    * [[ivfTopK]], the self-join shuffles on (cell, id-hash block) via
+    * [[pairedWithinCells]] so a hot cell spreads across tasks instead
+    * of becoming one straggler, and the per-pair cosine is the
+    * codegen'd [[graft.functions.VecDot]]. The corpus never
+    * materializes driver-side. Cell population is bounded by the
+    * quantizer granularity (`centroidEvery`), which is the knob that
+    * keeps within-cell pairs quadratic-in-small rather than
     * quadratic-in-corpus — exactly the paper's k-means confinement.
     *
     * The threshold compares the 6-dp ROUNDED cosine (like the rest of
     * the similarity family) so the decision is bitwise-reproducible
     * across engines. */
+  /** Within-cell pair generation for the semantic-dedup family,
+    * SKEW-SAFE: keyed only by the cell columns, one hot cell is one
+    * straggler task at scale (all its pairs land on a single reducer).
+    * Side b carries a deterministic id-hash block in `0..g-1`; side a is
+    * replicated g ways (an exploded `sequence`, so the generator output
+    * — not a shuffle — fans out), and the join key `(cells..., _pb)`
+    * spreads each cell's quadratic pair work across g tasks. Every
+    * unordered pair `(id_a < id_b)` still joins EXACTLY once — a's copy
+    * whose `_pb` equals b's block. The pair SET is g-invariant
+    * (parity-spec-pinned); only the task decomposition changes.
+    *
+    * g = `spark.graft.semdedup.pairblocks` (default 8 — enough to show
+    * the shape locally without inflating the small-SF bench; production
+    * sizes g so the hottest cell's population²/g fits one task budget.
+    * The cost of a larger g is the a-side replicate crossing the
+    * exchange g times, which is the standard salting trade, guide §2.5).
+    *
+    * Output: the cell columns, id_a, id_b, and the 6-dp rounded cosine
+    * `cos_r` of every within-cell pair. */
+  private def pairedWithinCells(assigned: DataFrame, idCol: String,
+                                cellCols: Seq[String]): DataFrame = {
+    val g = assigned.sparkSession.conf
+      .get("spark.graft.semdedup.pairblocks", "8").toLong
+    require(g >= 1, s"spark.graft.semdedup.pairblocks must be >= 1, got $g")
+    val cells = cellCols.map(col)
+    val a = assigned.select(cells ++ Seq(col(idCol).as("id_a"),
+      col("vecd").as("va"), col("norm").as("na")): _*)
+      .withColumn("_pb", explode(sequence(lit(0L), lit(g - 1L))))
+    val b = assigned.select(cells ++ Seq(col(idCol).as("id_b"),
+      col("vecd").as("vb"), col("norm").as("nb")): _*)
+      .withColumn("_pb", pmod(xxhash64(col("id_b")), lit(g)))
+    a.join(b, cellCols :+ "_pb")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_r",
+        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+      .select(cells ++ Seq(col("id_a"), col("id_b"), col("cos_r")): _*)
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                minCos: Double, centroidEvery: Int = 137): DataFrame = {
     val base = withNorm(df, vecCol)
     val cents = centroidsOf(base, idCol, centroidEvery)
     val assigned = assignCells(base, idCol, cents)
       .select(col(idCol), col("vecd"), col("norm"), col("cell"))
-    val a = assigned.select(col("cell"), col(idCol).as("id_a"),
-      col("vecd").as("va"), col("norm").as("na"))
-    val b = assigned.select(col("cell"), col(idCol).as("id_b"),
-      col("vecd").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_r",
-        round(cosine(col("va"), col("vb"), col("na"), col("nb")), 6))
+    pairedWithinCells(assigned, idCol, Seq("cell"))
       .filter(col("cos_r") >= minCos)
       .groupBy(col("id_b"), col("cell"))
       .agg(min(col("id_a")).as("dup_of"),

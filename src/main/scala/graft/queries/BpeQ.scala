@@ -826,9 +826,17 @@ object BpeQ {
       budget = 700L, sepId = vocab.length.toLong,
       docIdCol = Some("doc_id")).localCheckpoint(true)
     val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    // posexplode_outer, not posexplode: InferFiltersFromGenerate only
+    // fires on non-outer explodes, and its size()>0/isnotnull filter
+    // would be pushed through the projection and re-expand the full
+    // per-token mask transform, evaluating it 3x per pack. Packs are
+    // never empty (every member contributes >= 1 token + separator and
+    // the mask preserves length), so dropping the null row the outer
+    // variant emits for an empty array restores posexplode's row set.
     Packing.forgetPacks(packs, dead, "doc_id",
       padId = vocab.length.toLong + 1L)
-      .select(col("pack_id"), posexplode(col("token_ids")))
+      .select(col("pack_id"), posexplode_outer(col("token_ids")))
+      .filter(col("pos").isNotNull)
       .select(col("pack_id"), col("pos").cast("long").as("pos"),
         col("col").as("token_id"))
       .orderBy("pack_id", "pos")
@@ -910,8 +918,13 @@ object BpeQ {
       budget = 700L, sepId = vocab.length.toLong,
       docIdCol = Some("doc_id")).localCheckpoint(true)
     val dead = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    // posexplode_outer + null filter for the same reason as q139: the
+    // inferred generate filter would re-expand the slice/flatten rebuild
+    // 3x per pack (surviving packs are non-empty by the size(_fp_alive)
+    // > 0 semantic filter, so the row set is identical)
     Packing.repackForgotten(packs, dead, "doc_id")
-      .select(col("pack_id"), posexplode(col("token_ids")))
+      .select(col("pack_id"), posexplode_outer(col("token_ids")))
+      .filter(col("pos").isNotNull)
       .select(col("pack_id"), col("pos").cast("long").as("pos"),
         col("col").as("token_id"))
       .orderBy("pack_id", "pos")

@@ -412,6 +412,28 @@ class PackingSpec extends AnyFunSuite {
     assert(gone == Set(0L, 1L))
   }
 
+  test("plan: forget/repack attach the deletion index by BROADCAST — " +
+    "the pack payloads must never shuffle on pack_id for the join-back") {
+    // deadIdx is deletion-bounded (<= one row per touched pack); before
+    // the broadcast the left join planned as SortMergeJoin, moving every
+    // pack's token array across an exchange to attach a tiny index
+    val rows = Seq(
+      (0L, 1L, Seq(10L, 11L)), (0L, 2L, Seq(20L)), (1L, 3L, Seq(30L))
+    ).toDF("shard", "pos", "token_ids")
+    val packs = Packing.packTokenStreams(rows, "shard", "pos",
+      "token_ids", budget = 8L, sepId = 99L, docIdCol = Some("pos"))
+      .localCheckpoint(true)
+    val dead = Seq(2L).toDF("doc_id")
+    for (df <- Seq(Packing.forgetPacks(packs, dead, "doc_id", 88L),
+      Packing.repackForgotten(packs, dead, "doc_id"))) {
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!p.contains("SortMergeJoin"),
+        s"join-back shuffles pack payloads:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"no broadcast join-back:\n$p")
+    }
+  }
+
   test("locate maps global offsets to pack/position/document — pack " +
     "boundaries, separator attribution, out-of-range fail-loud") {
     import org.apache.spark.sql.functions._

@@ -96,6 +96,36 @@ class SemDedupSpec extends AnyFunSuite {
       s"duplicated two-level assignment evaluation:\n${p2.take(4000)}")
   }
 
+  test("pair-block salting is result-invariant: g = 1, 3, default agree " +
+    "bit-for-bit, and the pair join is keyed on (cell, _pb)") {
+    // the skew-safe decomposition (side a replicated g ways, side b
+    // blocked by id hash) must change only the TASK layout, never the
+    // pair set: every (id_a < id_b) within-cell pair joins exactly once,
+    // under a's copy whose _pb equals b's block
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(): Set[(Long, Long, Long, Long, Double)] =
+      Similarity.semDedup(emb, "vec_id", "embedding",
+        minCos = 0.3, centroidEvery = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    def run2(): Set[(Long, Long, Long, Long, Long, Double)] =
+      Similarity.semDedupTwoLevel(emb, "vec_id", "embedding",
+        minCos = 0.3, every1 = 50, every2 = 37)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val key = "spark.graft.semdedup.pairblocks"
+    val base = (run(), run2()) // default g
+    for (g <- Seq("1", "3")) {
+      spark.conf.set(key, g)
+      try assert((run(), run2()) == base, s"pairblocks=$g changed results")
+      finally spark.conf.unset(key)
+    }
+    val p = Similarity.semDedup(emb, "vec_id", "embedding",
+      minCos = 0.3, centroidEvery = 50)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("_pb"), s"pair join not block-salted:\n${p.take(3000)}")
+  }
+
   test("semDedup drops nothing when the threshold exceeds every cosine") {
     val none = Similarity.semDedup(handBuilt, "vec_id", "embedding",
       minCos = 1.1, centroidEvery = 4)
