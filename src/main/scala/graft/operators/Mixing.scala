@@ -490,8 +490,15 @@ object Mixing {
     require(thresholds.distinct.size == thresholds.size,
       "duplicate thresholds in the ladder")
     graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    graft.functions.PinEval.ensureRegistered(docs.sparkSession)
     val nf = size(dsirFeatStrings(col(textCol), ngram)).cast("long")
-    val score = Classify.scoreExpr(col(textCol), weights, ngram)
+    // pin_eval: `tier` (a window partition key and a downstream
+    // join/group key in the pack chains) derives from the evidence
+    // score; inferred isnotnull/join constraints pushed below this
+    // projection would re-expand the whole per-token score fold into a
+    // Filter, doubling the scan stage (q123's round-17 plan did)
+    val score =
+      graft.functions.PinEval.pin(Classify.scoreExpr(col(textCol), weights, ngram))
     val tier = thresholds.sorted
       .map(t => (col("_sc") >= lit(t) * col("_nf")).cast("long"))
       .reduce(_ + _)
@@ -721,10 +728,17 @@ object Mixing {
                                     basePpm: Long, maxFeatures: Int,
                                     ngram: Int, maxW: Double): DataFrame = {
     graft.functions.PolyHash.ensureRegistered(docs.sparkSession)
+    graft.functions.PinEval.ensureRegistered(docs.sparkSession)
     val feats = dsirFeatsCol(textCol, ratio.length, maxFeatures, ngram)
     docs
       .withColumn("n_feat", size(feats).cast("long"))
-      .withColumn("weight_r", dsirWeightOf(feats, ratio))
+      // pin_eval: the keep-rate filter below references rate_ppm, which
+      // derives from weight_r — without the pin, PushDownPredicates
+      // substitutes the ENTIRE feature-hash + sort + ratio-fold subtree
+      // into the pushed filter and the weight evaluates twice per row
+      // (guide §4.4; q103/q105's round-17 plans shipped that way)
+      .withColumn("weight_r",
+        graft.functions.PinEval.pin(dsirWeightOf(feats, ratio)))
       .withColumn("rate_ppm", least(lit(1000000L),
         call_function("div",
           lit(basePpm) * floor(least(col("weight_r"), lit(maxW)) * 1000)

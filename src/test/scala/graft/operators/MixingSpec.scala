@@ -522,6 +522,39 @@ class MixingSpec extends AnyFunSuite {
       s"the sampling filter must ride the scan:\n$plan")
   }
 
+  test("plan: the DSIR weight fold and the curriculum score evaluate " +
+    "ONCE per row — pushed/inferred filters must not re-expand them") {
+    // the keep-rate filter (dsirSampleWith) and the inferred
+    // isnotnull(tier) constraints (curriculumOrder's pack consumers)
+    // used to substitute the whole feature-hash + fold subtree below
+    // the projection, doubling the scan stage; pin_eval makes the
+    // substitution impossible, and these pins keep it so.
+    // (A parquet-backed corpus, not a local Seq: the optimizer folds a
+    // LocalRelation-rooted plan wholesale — correct but planless.)
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ratio = Mixing.dsirRatio(corpus, "text",
+      corpus.filter(col("doc_id") % 2 === 0), "text", buckets = 64)
+    val sampled = Mixing.dsirRateMixDocs(corpus, "doc_id", "text", ratio,
+      budget = 20L, maxFeatures = 16)
+    val p1 = sampled.queryExecution.optimizedPlan.toString
+    assert(!p1.contains("< pin_eval") && !p1.matches(
+      "(?s).*Filter [^\\n]*aggregate\\(.*"),
+      s"weight fold duplicated into the filter:\n${p1.take(3000)}")
+    // the weight must still evaluate (pin_eval visible in the plan)
+    assert(p1.contains("pin_eval"), s"pin missing:\n${p1.take(2000)}")
+    // downstream-join shape: filtering on a tier-derived predicate must
+    // not re-expand the score fold below the projection
+    val w = Classify.evidenceWeights(
+      corpus.filter(col("lang") === "en"), "text",
+      corpus.filter(col("lang") =!= "en"), "text", buckets = 64)
+    val cur = Mixing.curriculumOrder(corpus, "doc_id", "text", w,
+      thresholds = Seq(0L), seed = 1L, nShards = 2)
+      .filter(col("tier").isNotNull)
+    val p2 = cur.queryExecution.optimizedPlan.toString
+    assert(!p2.matches("(?s).*Filter [^\\n]*aggregate\\(.*"),
+      s"score fold duplicated into a filter:\n${p2.take(3000)}")
+  }
+
   test("dsirRateMixTokens: kept TOKEN mass tracks the token budget, and " +
     "target-like token mass dominates at the same budget") {
     // even ids speak the target vocabulary, odd ids a disjoint one;
