@@ -504,11 +504,15 @@ object Packing {
     // deadIdx is administrative-sized (<= one row per TOUCHED pack, itself
     // bounded by the deletion list) — broadcast it, or the left join
     // shuffles every pack's token payload on pack_id just to attach it
+    graft.functions.PinEval.ensureRegistered(packs.sparkSession)
     packs
       .join(broadcast(deadIdx), col("pack_id") === col("_fp_pack"), "left")
       .withColumn("_fp_dead_idx",
         coalesce(col("_fp_dead_idx"), array().cast("array<int>")))
-      .withColumn("_fp_spans", spans)
+      // pin_eval: _fp_spans feeds both the mask and n_masked_tokens —
+      // unpinned, CollapseProject re-expands the span transform into
+      // each consumer (member-level work, but free to evaluate once)
+      .withColumn("_fp_spans", graft.functions.PinEval.pin(spans))
       .withColumn("token_ids", when(size(col("_fp_dead_idx")) === 0,
         col("token_ids")).otherwise(
         transform(col("token_ids"),
@@ -571,11 +575,16 @@ object Packing {
     val keep = packs.columns.map(col).toSeq
     // broadcast for the same reason as [[forgetPacks]]: deadIdx is
     // deletion-bounded; a shuffled join would move every token payload
+    graft.functions.PinEval.ensureRegistered(packs.sparkSession)
     packs
       .join(broadcast(deadIdx), col("pack_id") === col("_fp_pack"), "left")
       .withColumn("_fp_dead_idx",
         coalesce(col("_fp_dead_idx"), array().cast("array<int>")))
-      .withColumn("_fp_alive", aliveSlices)
+      // pin_eval: _fp_alive feeds the survivors-only filter plus FIVE
+      // recomputed columns (token_ids, doc_ids, doc_offsets, n_docs,
+      // n_tokens) — unpinned, the alive-slice transform re-expands into
+      // every one of them and the semantic size()>0 filter
+      .withColumn("_fp_alive", graft.functions.PinEval.pin(aliveSlices))
       .withColumn("n_forgotten", size(col("_fp_dead_idx")).cast("long"))
       .filter(size(col("_fp_alive")) > 0)
       .withColumn("_fp_old_n", col("n_tokens").cast("long"))

@@ -669,7 +669,13 @@ object Quantize {
       j += 1
     }
     val tabLit = typedlit(tab.toIndexedSeq)
-    val codes = graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat)
+    // pin_eval: the isNotNull filter below otherwise substitutes the
+    // full m-subspace encoder under the projection and every corpus row
+    // encodes twice (guide §4.4; the non-selective id filter riding the
+    // same predicate costs nothing unpushed)
+    graft.functions.PinEval.ensureRegistered(df.sparkSession)
+    val codes = graft.functions.PinEval.pin(
+      graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat))
     // explicit left-assoc sum over subspaces — ((d0 + d1) + d2) + ... —
     // bitwise-identical to the oracle's textual d0 + d1 + ... + d(m-1)
     val dist = (0 until m).map { jj =>
@@ -774,7 +780,11 @@ object Quantize {
     }.toIndexedSeq
     import spark.implicits._
     val tabsDf = tabs.toDF("qid", "tab")
-    val codes = graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat)
+    // pin_eval for the same reason as [[pqAdcTopKWith]]: one encode per
+    // corpus row, not one per filter substitution
+    graft.functions.PinEval.ensureRegistered(spark)
+    val codes = graft.functions.PinEval.pin(
+      graft.functions.PqCodes(vecd(col(vecCol)), m, k, flat))
     val dist = (0 until m).map { jj =>
       element_at(col("tab"),
         (lit(jj * k) + col("codes").getItem(jj)).cast("int") + 1)

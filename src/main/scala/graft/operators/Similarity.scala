@@ -866,16 +866,24 @@ object Similarity {
                         queryId: Long, k: Int, radius: Int = 1): DataFrame = {
     require(radius >= 0 && radius <= 8, "radius must be in [0, 8]")
     graft.functions.HyperplaneBucket.ensureRegistered(df.sparkSession)
-    val base = withNorm(df, vecCol)
+    graft.functions.PinEval.ensureRegistered(df.sparkSession)
+    val nb = withNorm(df, vecCol)
+    // id filters run BEFORE the bucket projection (so the selective
+    // query-row lookup still pushes to the scan) and the corpus-side
+    // bucket is pin_eval'd: the isin probe filter and inferred isnotnull
+    // otherwise substitute below the projection and the 8-plane fold
+    // runs twice per corpus row (guide §4.4)
+    val qRow = nb.filter(col(idCol) === queryId)
       .withColumn("bucket", hyperplaneBucket(col("vecd")))
-    val qRow = base.filter(col(idCol) === queryId)
       .select(col("vecd"), col("norm"), col("bucket")).head()
     val qb = qRow.getLong(2)
     val probed = (0 until 256).map(_.toLong)
       .filter(b => java.lang.Long.bitCount(b ^ qb) <= radius)
-    val q = base.filter(col(idCol) === queryId)
+    val q = nb.filter(col(idCol) === queryId)
       .select(col("vecd").as("qvec"), col("norm").as("qnorm"))
-    base.filter(col(idCol) =!= queryId)
+    nb.filter(col(idCol) =!= queryId)
+      .withColumn("bucket",
+        graft.functions.PinEval.pin(hyperplaneBucket(col("vecd"))))
       .filter(col("bucket").isin(probed: _*))
       .crossJoin(broadcast(q))
       .select(col(idCol), col("bucket"),
@@ -932,12 +940,20 @@ object Similarity {
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int): DataFrame = {
     graft.functions.HyperplaneBucket.ensureRegistered(df.sparkSession)
-    val base = withNorm(df, vecCol)
-      .withColumn("bucket", hyperplaneBucket(col("vecd")))
-    val q = base.filter(col(idCol) === queryId)
+    graft.functions.PinEval.ensureRegistered(df.sparkSession)
+    val nb = withNorm(df, vecCol)
+    // same discipline as [[annTopKMultiProbe]]: id filters before the
+    // bucket projection, corpus bucket pinned to one evaluation (the
+    // bucket equi-filter's inferred isnotnull used to re-expand the
+    // fold below the projection on both join sides)
+    val q = nb.filter(col(idCol) === queryId)
+      .withColumn("qbucket",
+        graft.functions.PinEval.pin(hyperplaneBucket(col("vecd"))))
       .select(col("vecd").as("qvec"), col("norm").as("qnorm"),
-        col("bucket").as("qbucket"))
-    base.filter(col(idCol) =!= queryId)
+        col("qbucket"))
+    nb.filter(col(idCol) =!= queryId)
+      .withColumn("bucket",
+        graft.functions.PinEval.pin(hyperplaneBucket(col("vecd"))))
       .crossJoin(broadcast(q))
       .filter(col("bucket") === col("qbucket"))
       .select(col(idCol), col("bucket"),
@@ -984,10 +1000,16 @@ object Similarity {
                              radius: Int = 1): DataFrame = {
     require(radius >= 0 && radius <= 8, "radius must be in [0, 8]")
     graft.functions.HyperplaneBucket.ensureRegistered(corpus.sparkSession)
+    graft.functions.PinEval.ensureRegistered(corpus.sparkSession)
+    // both buckets pinned: the probe equi-join's inferred isnotnull
+    // would re-expand the 8-plane fold below each projection (no
+    // filters need to push through either side — no pushdown lost)
     val base = withNorm(corpus, vecCol)
-      .withColumn("bucket", hyperplaneBucket(col("vecd")))
+      .withColumn("bucket",
+        graft.functions.PinEval.pin(hyperplaneBucket(col("vecd"))))
     val q = withNorm(queries, vecCol)
-      .withColumn("qbucket", hyperplaneBucket(col("vecd")))
+      .withColumn("qbucket",
+        graft.functions.PinEval.pin(hyperplaneBucket(col("vecd"))))
       // qid casts to long like every sibling batch operator — the batch
       // family's outputs are advertised interchangeable, so the schema
       // must agree across paths

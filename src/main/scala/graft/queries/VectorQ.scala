@@ -624,9 +624,15 @@ object VectorQ {
     s"""WITH ${pqCte(64 / PqM)}
        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code
        |FROM a ORDER BY vec_id, sub""".stripMargin) { (s, dir) =>
+    // posexplode_outer + null filter (the q139 discipline): the inferred
+    // generate filter would re-expand the m-subspace encoder 3x per row;
+    // a valid vector's codes array is never empty, so the row set is
+    // identical
     graft.operators.Quantize.pqEncode(Tables.embeddings(s, dir),
       "vec_id", "embedding", m = PqM, every = PqEvery)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"),
+        posexplode_outer(col("codes")).as(Seq("sub", "code")))
+      .filter(col("sub").isNotNull)
       .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
       .orderBy("vec_id", "sub")
   }

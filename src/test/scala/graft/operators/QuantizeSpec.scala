@@ -69,6 +69,29 @@ class QuantizeSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("plan: the PQ encoder evaluates ONCE per corpus row — no " +
+    "pq_codes inside a Filter condition") {
+    // the codes.isNotNull guard used to substitute the full m-subspace
+    // encoder below the projection (2x per row; 3x behind the q83
+    // explode) — the pinned alias keeps filters on the attribute
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (k, subDim, flat) =
+      Quantize.pqCodebook(emb, "vec_id", "embedding", m = 4, every = 20)
+    for (df <- Seq(
+      Quantize.pqAdcTopKWith(emb, "vec_id", "embedding", queryId = 0L,
+        kNN = 5, m = 4, k = k, subDim = subDim, flat = flat),
+      Quantize.pqAdcTopKBatchWith(emb, emb.filter(
+        org.apache.spark.sql.functions.col("vec_id") < 3),
+        "vec_id", "embedding", kNN = 5, m = 4, k = k, subDim = subDim,
+        flat = flat))) {
+      val bad = df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(l => l.trim.stripPrefix("+- ").stripPrefix(":- ")
+          .startsWith("Filter ") && l.contains("pq_codes"))
+        .toSeq
+      assert(bad.isEmpty, s"PQ encoder duplicated into a filter:\n$bad")
+    }
+  }
+
   test("pqEncode: malformed vectors carry NULL codes, rows survive") {
     val bad = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),  // subsample row: dim 4, m=2 ok

@@ -41,6 +41,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.contains(3L)) // opposite direction ⇒ all signs flip ⇒ different bucket
   }
 
+  test("plan: the LSH bucket fold evaluates ONCE per corpus row — no " +
+    "hyperplane_bucket inside a Filter condition") {
+    // the bucket equi-join / probe isin used to infer isnotnull(bucket)
+    // and substitute the 8-plane fold below the projection (2x per
+    // row); the pinned alias keeps the filter on the attribute
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (df <- Seq(
+      Similarity.annTopK(emb, "vec_id", "embedding", queryId = 0L, k = 5),
+      Similarity.annTopKMultiProbe(emb, "vec_id", "embedding",
+        queryId = 0L, k = 5, radius = 1),
+      Similarity.annTopKMultiProbeBatch(emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5))) {
+      val bad = df.queryExecution.optimizedPlan.toString.linesIterator
+        .filter(l => l.trim.stripPrefix("+- ").stripPrefix(":- ")
+          .startsWith("Filter ") && l.contains("hyperplane_bucket"))
+        .toSeq
+      assert(bad.isEmpty, s"bucket fold duplicated into a filter:\n$bad")
+    }
+  }
+
   test("multi-probe LSH: radius 0 is single-probe, radius 8 is brute force") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // radius 0 probes exactly the query bucket — bitwise annTopK
