@@ -37,11 +37,18 @@ object PlanSweep {
     var hits = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+        val qe = fn(spark, sfDir).queryExecution
+        val plan = qe.optimizedPlan.toString
         val bad = plan.linesIterator.filter { l =>
           val t = l.dropWhile(c => c == ' ' || c == '+' || c == '-' || c == ':')
           t.startsWith("Filter ") && Needles.exists(t.contains)
         }.toSeq
+        // join-strategy census (physical plan): a SortMergeJoin whose
+        // one side is provably bounded (deletion lists, component maps,
+        // sidecars) is a missed broadcast — reviewed by hand
+        val smjN = qe.sparkPlan.toString.linesIterator
+          .count(_.contains("SortMergeJoin"))
+        if (smjN > 0) println(s"[plansweep] $name smj=$smjN")
         if (bad.isEmpty) println(s"[plansweep] $name clean")
         else {
           hits += bad.size
